@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.model.INF
+
+/** Spark-native rebuild of the reference's graph operators.
+  *
+  * Reference: `/root/reference/src/comp9313/ass4/SingleSourceSP.java` (SSSP,
+  * Bellman-Ford label-correcting over Hadoop MR) and `ReverseGraph.java`
+  * (graph transposition with sorted adjacency via secondary sort).
+  *
+  * Design: every operator is a pure `DataFrame => DataFrame` over the edge
+  * schema `(src: Long, dst: Long, w: Double)`. The MR idioms do NOT carry
+  * over (SURVEY.md §2.3): the A/O/U tagged-union shuffle becomes an
+  * equi-join + min aggregation; the `Pair` WritableComparable + custom
+  * partitioner + LinkedHashMap secondary sort becomes
+  * `groupBy.agg(sort_array(collect_list(...)))`; the Hadoop counter becomes
+  * a `count()` on the checkpointed state; the per-round HDFS round-trip
+  * becomes `localCheckpoint`.
+  *
+  * Scale notes (100 TB): all aggregations here are hash-aggregatable with
+  * map-side partial aggregation (the reference never wrote a combiner —
+  * `setCombinerClass` is absent — so Spark is strictly better); the SSSP
+  * loop's only per-round shuffles are the frontier⋈edges join and the
+  * min-agg, both on a single long key, skew-handled by AQE; the edge table
+  * is shuffled once (`repartition($"src")`) and that partitioning is reused
+  * by every round's join.
+  */
+object GraphOps {
+
+  /** Graph transposition with sorted adjacency output.
+    *
+    * Reference: `ReverseGraph.java:102-205` — map swaps (from,to) by
+    * binding order (`:120-126`), a composite `Pair` key + custom
+    * partitioner (`:134-143`) gets the shuffle to sort, and a reducer-wide
+    * LinkedHashMap (`:153,165-180`) accumulates the ascending adjacency.
+    * Duplicate (parallel) edges are preserved (`:165-180`, SURVEY.md Q3).
+    *
+    * Here: one hash-aggregate. `sort_array` keeps duplicates, matching the
+    * reference; the single-reducer total order (`ReverseGraph.java:225`)
+    * becomes an `orderBy` only at output time (callers that don't need a
+    * total order skip it — at 100 TB a global sort is a deliberate act).
+    */
+  def reverseGraph(edges: DataFrame): DataFrame =
+    edges
+      .select(col("dst").as("node"), col("src"))
+      .groupBy("node")
+      .agg(concat_ws(",", sort_array(collect_list(col("src")))).as("adj"))
+
+  /** Adjacency-list construction + SSSP state seeding (format job).
+    *
+    * Reference: `SingleSourceSP.java:56-129` — map projects edge lines to
+    * `(from, "to:w")` (`:64-66`), reduce concatenates a CSV adjacency and
+    * seeds `dist=0.0` for the query node / 65535.0 otherwise, flag=Y
+    * (`:99-127`). The first-iteration flag is true for ALL nodes
+    * (SURVEY.md Q5). Adjacency entries are emitted in shuffle order; here
+    * they are sorted by (dst, w) to make output deterministic.
+    */
+  def buildAdjacency(edges: DataFrame, source: Long): DataFrame =
+    edges
+      .groupBy(col("src").as("node"))
+      .agg(
+        concat_ws(
+          ",",
+          transform(
+            sort_array(collect_list(struct(col("dst"), col("w")))),
+            e => concat(e("dst").cast("string"), lit(":"), e("w").cast("string")))
+        ).as("adj"))
+      .withColumn("dist", when(col("node") === source, 0.0).otherwise(INF))
+      .withColumn("updated", lit(true))
+
+  /** One Bellman-Ford relaxation round over an explicit state table.
+    *
+    * The Spark decomposition of the reference's A/O/U tagged shuffle
+    * (`SingleSourceSP.java:157,166,190`, SURVEY.md §2.3):
+    *
+    *   frontier  = state where updated ∧ dist ≠ INF          (F2, `:179`)
+    *   cand      = frontier ⋈ edges on id=src, dist+w        (M1, `:181-197`)
+    *   best      = min(cand) per id                          (A2, `:214-270`)
+    *   state'    = state FULL OUTER best                     (A2, `:224-281`)
+    *
+    * The join is FULL OUTER (not the reference's implicit left-outer):
+    * nodes with no out-edges have no state row until a relaxation reaches
+    * them, yet must then enter the state table (SURVEY.md Q4,
+    * `SingleSourceSP.java:220,259-262`).
+    *
+    * At scale: `best` after the min-agg is small (≤ frontier out-degree
+    * sum, collapsed per node) — AQE broadcast-joins it against state.
+    * Partial (map-side) min runs automatically.
+    */
+  def ssspRound(state: DataFrame, edges: DataFrame): DataFrame = {
+    // Explicit aliases: state is often derived from edges (seedState), and
+    // an unaliased frontier⋈edges would be an ambiguous self-join.
+    val frontier = state
+      .filter(col("updated") && col("dist") =!= INF)
+      .select(col("id"), col("dist"))
+      .alias("f")
+    val cand = frontier
+      .join(edges.alias("e"), col("f.id") === col("e.src"))
+      .select(col("e.dst").as("id"), (col("f.dist") + col("e.w")).as("cand"))
+    val best = cand.groupBy("id").agg(min(col("cand")).as("best"))
+    state
+      .join(best, Seq("id"), "full_outer")
+      .select(
+        col("id"),
+        least(coalesce(col("dist"), lit(INF)), coalesce(col("best"), lit(INF))).as("dist"),
+        (coalesce(col("best"), lit(INF)) < coalesce(col("dist"), lit(INF))).as("updated"))
+  }
+
+  /** Seed state for [[sssp]]: every node with out-edges, source at 0.0,
+    * everyone flagged updated (SURVEY.md Q5; `SingleSourceSP.java:114-123`).
+    */
+  def seedState(edges: DataFrame, source: Long): DataFrame =
+    edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("dist", when(col("id") === source, 0.0).otherwise(INF))
+      .withColumn("updated", lit(true))
+
+  /** Full iterative single-source shortest path.
+    *
+    * Reference: the driver loop at `SingleSourceSP.java:439-519` submits
+    * one full MR job per round, round-tripping the entire node state
+    * through HDFS (`:513-517`) and reading a Hadoop counter for
+    * convergence (`:473-479`). Here the loop lives in the driver over
+    * cached DataFrames; `localCheckpoint` truncates lineage each round
+    * (otherwise plan analysis blows up ~20 rounds in, SURVEY.md §4.3);
+    * convergence is `count()` on the checkpointed state — deterministic,
+    * unlike accumulators in transformations, and it doubles as the
+    * materialization action.
+    *
+    * `maxRounds` bounds the loop at |V|−1 (Bellman-Ford guarantee for
+    * non-negative weights) as a safety net against pathological input.
+    *
+    * Output = nodes with out-edges ∪ nodes ever reached; unreachable
+    * nodes with out-edges keep dist 65535.0 (SURVEY.md Q1/Q4).
+    */
+  def sssp(edges: DataFrame, source: Long, maxRounds: Int = Int.MaxValue): DataFrame = {
+    // One shuffle up front; every round's frontier⋈edges reuses it.
+    val e = edges.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    var state = seedState(e, source).localCheckpoint(true)
+    // Bellman-Ford bound over ALL nodes (sources ∪ sinks) — sinks join the
+    // state table mid-iteration (Q4), so |V| is src ∪ dst, not just src.
+    val nVertices =
+      e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id"))).distinct().count()
+    val bound = math.min(maxRounds.toLong, math.max(1L, nVertices - 1L))
+    var round = 0L
+    var changed = 1L
+    while (changed > 0 && round < bound) {
+      state = ssspRound(state, e).localCheckpoint(true)
+      changed = state.filter(col("updated")).count() // A4: the Hadoop counter
+      round += 1
+    }
+    e.unpersist()
+    state
+  }
+
+  /** Final-result projection (the reference's `JobSeq=Last` pass,
+    * `SingleSourceSP.java:285-288,484-508`): `(source, id, dist)`,
+    * adjacency and flag dropped.
+    */
+  def finalResult(state: DataFrame, source: Long): DataFrame =
+    state.select(lit(source).as("source"), col("id"), col("dist"))
+
+  /** Parse whitespace-delimited edge lines `"id from to w"` into the edge
+    * schema, dropping the edge-id column and non-digit-initial header
+    * lines.
+    *
+    * Reference: P1 projection `SingleSourceSP.java:56-71` + the comment
+    * filter `ReverseGraph.java:118`. The reference's only input format is
+    * text lines; in the rebuild this is one declarative select whose
+    * `split`/`cast` stay inside whole-stage codegen.
+    */
+  def parseEdgeLines(lines: DataFrame, col0: Column): DataFrame = {
+    val toks = split(trim(col0), "\\s+")
+    lines
+      .filter(col0.rlike("^[0-9]"))
+      .select(
+        toks.getItem(1).cast("long").as("src"),
+        toks.getItem(2).cast("long").as("dst"),
+        toks.getItem(3).cast("double").as("w"))
+  }
+}

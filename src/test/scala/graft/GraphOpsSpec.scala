@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.model.INF
+import graft.operators.GraphOps
+
+/** Unit tests for the reference graph surface on hand-computed micro-graphs,
+  * including the reference's edge-case semantics (SURVEY.md Q1-Q5).
+  */
+class GraphOpsSpec extends SparkSpec {
+
+  private def ssspMap(edges: Seq[(Long, Long, Double)], src: Long): Map[Long, Double] =
+    GraphOps
+      .sssp(edgesDf(edges), src)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+
+  test("reverseGraph transposes and sorts adjacency ascending") {
+    val out = GraphOps
+      .reverseGraph(edgesDf(Seq((1L, 2L, 1.0), (3L, 2L, 1.0), (2L, 1L, 1.0), (10L, 2L, 1.0))))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    // numeric (not string) ascending order: 1,3,10
+    assert(out === Map(2L -> "1,3,10", 1L -> "2"))
+  }
+
+  test("reverseGraph keeps parallel edges (Q3)") {
+    val out = GraphOps
+      .reverseGraph(edgesDf(Seq((1L, 2L, 1.0), (1L, 2L, 5.0), (3L, 2L, 1.0))))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(out === Map(2L -> "1,1,3"))
+  }
+
+  test("buildAdjacency seeds source=0, others=INF, all updated (Q5)") {
+    val rows = GraphOps
+      .buildAdjacency(edgesDf(Seq((1L, 2L, 3.5), (1L, 3L, 1.0), (2L, 3L, 2.0))), source = 1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(rows === Seq((1L, "2:3.5,3:1.0", 0.0, true), (2L, "3:2.0", INF, true)))
+  }
+
+  test("sssp on a line graph") {
+    val d = ssspMap(Seq((1L, 2L, 1.0), (2L, 3L, 2.0), (3L, 4L, 3.0)), 1L)
+    assert(d === Map(1L -> 0.0, 2L -> 1.0, 3L -> 3.0, 4L -> 6.0))
+  }
+
+  test("sssp picks shortest of multiple paths") {
+    val d = ssspMap(
+      Seq((1L, 2L, 10.0), (1L, 3L, 1.0), (3L, 2L, 2.0), (2L, 4L, 1.0)),
+      1L)
+    assert(d(2L) === 3.0 && d(4L) === 4.0)
+  }
+
+  test("sssp: unreachable node with out-edges keeps INF sentinel (Q1)") {
+    val d = ssspMap(Seq((1L, 2L, 1.0), (5L, 6L, 1.0)), 1L)
+    assert(d(5L) === INF)
+    // 6 is neither a source nor reached → absent from output (Q4)
+    assert(!d.contains(6L))
+  }
+
+  test("sssp: sink node discovered mid-iteration enters output (Q4)") {
+    // 4 has no out-edges, appears only as a dst two hops from the source
+    val d = ssspMap(Seq((1L, 2L, 1.0), (2L, 4L, 2.0)), 1L)
+    assert(d(4L) === 3.0)
+  }
+
+  test("sssp: self-loops and cycles converge") {
+    val d = ssspMap(
+      Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (2L, 3L, 2.0), (3L, 1L, 1.0)),
+      1L)
+    assert(d === Map(1L -> 0.0, 2L -> 2.0, 3L -> 4.0))
+  }
+
+  test("sssp matches in-driver Dijkstra on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 60
+    val edges = Seq.fill(300) {
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, (rnd.nextInt(9) + 1).toDouble)
+    }
+    val got = ssspMap(edges, 0L)
+
+    // reference oracle: plain Dijkstra over the same edge list
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(e => (e._2, e._3)) }
+    val dist = collection.mutable.Map[Long, Double](0L -> 0.0)
+    val pq = collection.mutable.PriorityQueue((0.0, 0L))(Ordering.by(-_._1))
+    val done = collection.mutable.Set[Long]()
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (!done(u)) {
+        done += u
+        adj.getOrElse(u, Nil).foreach { case (v, w) =>
+          if (d + w < dist.getOrElse(v, Double.MaxValue)) { dist(v) = d + w; pq.enqueue((d + w, v)) }
+        }
+      }
+    }
+    val expected = (edges.map(_._1).toSet ++ dist.keySet).map { id =>
+      id -> dist.getOrElse(id, INF)
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("parseEdgeLines drops header lines and parses fields") {
+    import spark.implicits._
+    val lines = Seq("# comment", "0 1 2 3.5", "1 2 3 1.0").toDF("line")
+    val out = GraphOps
+      .parseEdgeLines(lines, org.apache.spark.sql.functions.col("line"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(out === Set((1L, 2L, 3.5), (2L, 3L, 1.0)))
+  }
+}
