@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Parity
 import graft.model._
-import graft.operators.GraphOps
+import graft.operators.{Dedup, EventOps, GraphOps, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -111,6 +112,12 @@ object SparkEntry {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
 
+  // ---- north-star extensions (dedup / similarity / text / events) ---------
+
+  private def docs(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
+  private def events(s: SparkSession, dir: String): DataFrame = eventsTable(s, dir)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "reverse_graph" -> (reverseGraph _),
@@ -121,7 +128,43 @@ object SparkEntry {
     "edge_parse" -> (edgeParse _),
     "q1_agg" -> (q1Agg _),
     "join_revenue" -> (joinRevenue _),
-    "topk_orders" -> (topkOrders _)
+    "topk_orders" -> (topkOrders _),
+    // dedup family
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(docs(s, d)).orderBy(col("doc_id"))),
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashCandidates(docs(s, d)).orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashCandidates(docs(s, d), Dedup.SimhashMaxHamming)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d)).orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_embedding_cosine" -> ((s, d) =>
+      Dedup.embeddingNearDups(embs(s, d), minCosine = 0.3).orderBy(col("vec_a"), col("vec_b"))),
+    // similarity search
+    "ann_brute_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(embs(s, d), nQueries = 10, k = 5)
+        .orderBy(col("q_id"), col("rank"))),
+    "ann_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(embs(s, d), nQueries = 50, k = 3)
+        .orderBy(col("q_id"), col("rank"))),
+    // text analysis
+    "text_lang_id" -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
+    "text_quality" -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
+    "text_token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprints(docs(s, d)).orderBy(col("doc_id"))),
+    // events / windows
+    "events_tumbling" -> ((s, d) =>
+      EventOps.tumbling(events(s, d)).orderBy(col("ws"), col("event_type"))),
+    "events_sliding" -> ((s, d) =>
+      EventOps.sliding(events(s, d)).orderBy(col("ws"), col("event_type"))),
+    "events_sessionize" -> ((s, d) =>
+      EventOps.sessionize(events(s, d), gapMinutes = 30).orderBy(col("user_id"), col("session_id"))),
+    "events_json_agg" -> ((s, d) => EventOps.jsonAgg(events(s, d)).orderBy(col("event_type"))),
+    // multimodal plumbing (column-expressible projection; mapPartitions
+    // path covered in MultimodalSpec)
+    "multimodal_features" -> ((s, d) =>
+      Multimodal.featureSummary(docs(s, d)).orderBy(col("doc_id")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -192,5 +235,180 @@ object SparkEntry {
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
-  )
+  ) ++ extensionOracles
+
+  /** Oracles for the north-star extension queries; hash/vector fragments
+    * are generated by the same [[Parity]] constants the Spark side uses.
+    */
+  private def extensionOracles: Map[String, String] = {
+    val codes = Parity.tokenCodesSql("text")
+    val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+    val toks = Parity.tokensSql("text")
+    val h40s =
+      s"list_transform(${Parity.shinglesSql(Parity.tokensSql("text"))}, tok -> ${Parity.tokenH40Sql("tok")})"
+    val bandedUnion = (0 until Dedup.MinhashBands)
+      .map(i =>
+        s"SELECT doc_id, sig, $i AS band_idx, " +
+          s"${Parity.bandValSql("sig", i, Dedup.MinhashR)} AS band_val FROM sigs")
+      .mkString("\n  UNION ALL ")
+    val chunkedUnion = (0 until Dedup.SimhashChunks)
+      .map(i =>
+        s"SELECT doc_id, simhash, $i AS chunk_idx, " +
+          s"((simhash >> ${i * Dedup.SimhashChunkBits}) & ${(1L << Dedup.SimhashChunkBits) - 1}) AS chunk_val FROM sims")
+      .mkString("\n  UNION ALL ")
+    val sigMatch =
+      "round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(list_zip(a.sig, b.sig), " +
+        "s -> CASE WHEN s[1] = s[2] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
+        s"(acc, x) -> acc + x) AS DOUBLE) / ${Dedup.MinhashK}.0, 6)"
+    val shingleSql = Parity.shinglesSql("t")
+    val fmt = "'%Y-%m-%d %H:%M:%S'"
+
+    Map(
+      "dedup_exact" ->
+        """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+          |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+      "dedup_minhash_lsh" ->
+        s"""WITH sigs AS (
+           |  SELECT doc_id, ${Parity.minhashSigSql(codes, Dedup.MinhashK)} AS sig FROM documents),
+           |banded AS (
+           |  $bandedUnion)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, $sigMatch AS est_jaccard
+           |FROM banded a JOIN banded b
+           |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_simhash" ->
+        s"""WITH sims AS (
+           |  SELECT doc_id, ${Parity.simhashSql(h40s)} AS simhash FROM documents),
+           |chunked AS (
+           |  $chunkedUnion)
+           |SELECT * FROM (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |  FROM chunked a JOIN chunked b
+           |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+           |WHERE hamming <= ${Dedup.SimhashMaxHamming} ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_ngram_jaccard" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, lang, $shingleSql AS s
+           |  FROM (SELECT doc_id, lang, $toks AS t FROM documents))
+           |SELECT doc_a, doc_b, inter, uni, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+           |FROM (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+           |         CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS uni
+           |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+           |WHERE inter >= 1 ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_embedding_cosine" ->
+        s"""WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+           |SELECT * FROM (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |         round(${Parity.cosineSql("a.e", "b.e")}, 6) AS cos
+           |  FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id)
+           |WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+      "ann_brute_topk" ->
+        s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |scored AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |         round(${Parity.cosineSql("q.e", "c.e")}, 6) AS cos
+           |  FROM d q JOIN d c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+           |ranked AS (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+           |  FROM scored)
+           |SELECT * FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+      "ann_lsh_topk" ->
+        s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |b AS (SELECT vec_id, e, ${Parity.rpBucketSql("e", Similarity.NPlanes, Similarity.Dim)} AS bucket FROM d),
+           |scored AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.bucket AS bucket,
+           |         round(${Parity.cosineSql("q.e", "c.e")}, 6) AS cos
+           |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 50 AND q.vec_id <> c.vec_id),
+           |ranked AS (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+           |  FROM scored)
+           |SELECT * FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+      "text_lang_id" ->
+        s"""WITH f AS (
+           |  SELECT doc_id,
+           |         CAST(len(list_filter($toks, t -> t IN $stopList)) AS BIGINT) AS n_stop,
+           |         CAST(len(list_filter($toks, t -> regexp_matches(t, '[aeiou]$$'))) AS DOUBLE) /
+           |           greatest(CAST(len($toks) AS DOUBLE), 1.0) AS vr
+           |  FROM documents)
+           |SELECT doc_id,
+           |       CASE WHEN n_stop >= 2 THEN 'en' WHEN vr > 0.5 THEN 'es' ELSE 'other' END AS pred_lang,
+           |       round(vr, 6) AS vowel_ratio, n_stop
+           |FROM f ORDER BY doc_id""".stripMargin,
+      "text_quality" ->
+        s"""WITH f AS (
+           |  SELECT doc_id, text,
+           |         CAST(len($toks) AS BIGINT) AS n_tokens,
+           |         CAST(greatest(len($toks), 1) AS DOUBLE) AS nts,
+           |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |           list_transform($toks, x -> CAST(len(x) AS BIGINT))), (a, x) -> a + x) AS DOUBLE) AS tot_len,
+           |         CAST(len(list_filter($toks, t -> t IN $stopList)) AS DOUBLE) AS n_stop,
+           |         CAST(length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS DOUBLE) /
+           |           greatest(CAST(length(text) AS DOUBLE), 1.0) AS alnum_ratio
+           |  FROM documents)
+           |SELECT doc_id, n_tokens,
+           |       round(tot_len / nts, 6) AS mean_tok_len,
+           |       round(n_stop / nts, 6) AS stop_ratio,
+           |       round(alnum_ratio, 6) AS alnum_ratio,
+           |       round(least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4 +
+           |             (n_stop / nts) * 0.3 + alnum_ratio * 0.3, 6) AS quality
+           |FROM f ORDER BY doc_id""".stripMargin,
+      "text_token_count" ->
+        s"""SELECT doc_id,
+           |       CAST(len($toks) AS BIGINT) AS n_ws_tokens,
+           |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+           |       CAST(length(text) AS BIGINT) AS n_chars_actual
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_fingerprint" ->
+        s"""SELECT doc_id,
+           |       ${Parity.charFoldSql("text", 31L, Parity.TokP)} AS fp_a,
+           |       ${Parity.charFoldSql("text", 131L, Parity.TokP2)} AS fp_b,
+           |       (${Parity.charFoldSql("text", 31L, Parity.TokP)} * ${Parity.TokP2} +
+           |        ${Parity.charFoldSql("text", 131L, Parity.TokP2)}) AS fp40
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "events_tumbling" ->
+        s"""SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), $fmt) AS ws,
+           |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+      "events_sliding" ->
+        s"""WITH w AS (
+           |  SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), $fmt) AS ws, event_type, value FROM events
+           |  UNION ALL
+           |  SELECT strftime(time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', $fmt), event_type, value FROM events)
+           |SELECT ws, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM w GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+      "events_sessionize" ->
+        s"""WITH m AS (
+           |  SELECT user_id, event_id, ts, value,
+           |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           |  FROM events),
+           |s AS (
+           |  SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0
+           |                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_new
+           |  FROM m),
+           |n AS (
+           |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           |  FROM s)
+           |SELECT user_id, session_id, count(*) AS n_events,
+           |       strftime(min(ts), $fmt) AS session_start,
+           |       round(sum(value), 2) AS sum_value
+           |FROM n GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+      "events_json_agg" ->
+        """SELECT event_type, count(*) AS n,
+          |       CAST(sum(k) AS BIGINT) AS sum_k,
+          |       min(k) AS min_k, max(k) AS max_k
+          |FROM (SELECT event_type, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k FROM events)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "multimodal_features" ->
+        s"""SELECT doc_id,
+           |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           |       CAST(octet_length(encode(text)) // 64 AS BIGINT) AS n_frames,
+           |       ${Parity.charFoldSql("text", 31L, Parity.TokP)} AS content_hash
+           |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  }
 }

@@ -35,6 +35,23 @@ object model {
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table with its nanosecond timestamp normalized to Spark's
+    * microsecond TimestampType.
+    *
+    * The driver's events parquet carries TIMESTAMP(NANOS), which Spark 4
+    * refuses to read natively (PARQUET_TYPE_ILLEGAL); sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, the column arrives as
+    * nanos-since-epoch BIGINT, and this truncates (floor-divides) to
+    * microseconds — integer division, no double round-trip (ns values
+    * exceed 2^53).
+    */
+  def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = table(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
 }
 
 /** Canonical graph derivations, shared verbatim (as SQL text) with the

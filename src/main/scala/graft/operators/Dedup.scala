@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Parity
+
+/** Deduplication operators for a large-scale training-data pipeline.
+  *
+  * Four families, each with the partition/shuffle shape it would need at
+  * 100 TB:
+  *   - exact:    one hash-aggregate on the content key (map-side partial
+  *               count, single shuffle on the key);
+  *   - MinHash:  shingle→signature→band→bucket self-join (the only
+  *               shuffle is on the (band, value) bucket key, so candidate
+  *               generation is linear-ish, never all-pairs);
+  *   - SimHash:  40-bit fingerprint, banded into 10-bit chunks for the
+  *               bucket join, exact Hamming verify after;
+  *   - n-gram Jaccard: exact verify path, blocked on a cheap key so the
+  *               pair space stays bounded.
+  *
+  * No reference counterpart (the reference is a graph engine); these are
+  * the driver-mandated north-star extensions (BASELINE.json).
+  */
+object Dedup {
+
+  /** Exact content dedup: canonical doc id (min) + multiplicity per
+    * distinct text. `groupBy` gives partial aggregation map-side; the
+    * single shuffle is on the text key. For 100 TB, group on a 128-bit
+    * content hash instead of the raw text to shrink shuffle width — same
+    * plan shape.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+
+  import graft.functions.Parity.{BigP, permA, permB}
+
+  val MinhashK = 16
+  // 2 bands × 8 rows: candidate threshold (1/b)^(1/r) ≈ 0.92 — tuned for
+  // near-duplicate detection (loose banding on high-overlap corpora floods
+  // the bucket join with ~half of all pairs).
+  val MinhashBands = 2
+  val MinhashR = 8
+
+  /** Per-doc MinHash signature (K=16) over word-token codes.
+    *
+    * Physical shape: explode tokens to rows, hash each token ONCE, then
+    * K min-aggregations inside one codegen'd hash aggregate. (The
+    * array-expression form inlines the token-hash computation into every
+    * one of the K signature slots — Catalyst has no CSE across them — and
+    * falls back to interpreted higher-order functions; the aggregate form
+    * is whole-stage-codegen all the way and map-side-partial for free.)
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val perToken = docs.select(
+      col("doc_id"),
+      explode_outer(Parity.tokens(col("text"))).as("tok"))
+      .withColumn("c", Parity.charFold(col("tok"), 31L, Parity.TokP))
+    val aggs = (0 until MinhashK).map { i =>
+      coalesce(min((lit(permA(i)) * col("c") + lit(permB(i))) % lit(BigP)), lit(BigP)).as(s"s$i")
+    }
+    perToken
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until MinhashK).map(i => col(s"s$i")): _*).as("sig"))
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing at least one of 4 bands of
+    * 4 rows. The self-join runs on the (band_idx, band_val) bucket key —
+    * the scalable shape (no all-pairs comparison ever materializes).
+    * Output additionally carries the estimated Jaccard (fraction of
+    * matching signature positions).
+    */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    // persisted: the self-join below would otherwise recompute the whole
+    // signature pipeline on both the build and probe side
+    val banded = sigs.select(
+      col("doc_id"),
+      col("sig"),
+      posexplode(
+        array((0 until MinhashBands).map(i => Parity.bandVal(col("sig"), i, MinhashR)): _*))
+        .as(Seq("band_idx", "band_val")))
+      .persist()
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(
+        b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        round(
+          aggregate(
+            zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L),
+            (acc, x) => acc + x).cast("double") / MinhashK,
+          6).as("est_jaccard"))
+      .distinct()
+  }
+
+  val SimhashChunks = 4
+  val SimhashChunkBits = 10
+
+  /** Default near-dup Hamming cutoff (out of [[graft.functions.Parity.SimBits]]). */
+  val SimhashMaxHamming = 10
+
+  /** Per-doc 40-bit SimHash fingerprint over 3-gram shingle features.
+    * Shingles, not single tokens: token-level features of a small shared
+    * vocabulary are nearly identical across documents, which makes every
+    * SimHash collide and floods the banded candidate join; shingles carry
+    * ordering and decorrelate the fingerprints.
+    */
+  def simhashes(docs: DataFrame): DataFrame = {
+    // Same explode-then-aggregate shape as minhashSignatures: one 40-bit
+    // hash per shingle row, 40 bit-vote SUMs in a single codegen'd hash
+    // aggregate (vs 40 interpreted array traversals per doc).
+    val perShingle = docs.select(
+      col("doc_id"),
+      explode_outer(Parity.shingles(Parity.tokens(col("text")))).as("g"))
+      .withColumn("h", Parity.tokenH40(col("g")))
+    val voteAggs = (0 until Parity.SimBits).map { j =>
+      sum(
+        when(col("h").isNull, 0L)
+          .otherwise(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"v$j")
+    }
+    perShingle
+      .groupBy(col("doc_id"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until Parity.SimBits)
+          .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _)
+          .as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs: 40-bit fingerprints banded into
+    * four 10-bit chunks; docs sharing any chunk are candidates; exact
+    * Hamming distance attached for the verify step.
+    */
+  def simhashCandidates(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = simhashes(docs)
+    val chunked = sh.select(
+      col("doc_id"),
+      col("simhash"),
+      posexplode(array((0 until SimhashChunks).map { i =>
+        shiftright(col("simhash"), i * SimhashChunkBits)
+          .bitwiseAND(lit((1L << SimhashChunkBits) - 1))
+      }: _*)).as(Seq("chunk_idx", "chunk_val")))
+      .persist()
+    val a = chunked.alias("a")
+    val b = chunked.alias("b")
+    a.join(
+        b,
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  private def shingles(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Parity.shingles(Parity.tokens(text))
+
+  /** Exact n-gram Jaccard pairs within a `lang` block, for pairs sharing
+    * at least one 3-gram shingle.
+    *
+    * Physical plan is an inverted shingle index: explode distinct
+    * shingles, self-join on (lang, shingle), dedupe pairs, then re-attach
+    * the two shingle arrays for the exact intersect/union. Never forms
+    * the blocked all-pairs cross product — the only quadratic cost is
+    * per-shingle-bucket, which is how this survives 100 TB (identical
+    * output to the naive blocked cross join, verified by the unchanged
+    * oracle).
+    */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
+    val inv = sh.select(col("doc_id"), col("lang"), explode(col("sh")).as("g")).persist()
+    val a = inv.alias("a")
+    val b = inv.alias("b")
+    // Shingles are distinct within a doc, so the bucket join emits each
+    // shared shingle exactly once per pair: count(*) IS |A ∩ B|, and
+    // |A ∪ B| = |A| + |B| − inter. No per-pair set operations at all.
+    val inter = a
+      .join(
+        b,
+        col("a.lang") === col("b.lang") && col("a.g") === col("b.g") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+      .filter(col("inter") >= 1)
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked on `label` (stand-in
+    * for an ANN bucket at scale), cosine computed in deterministic
+    * sequential order and rounded before thresholding.
+    */
+  def embeddingNearDups(embs: DataFrame, minCosine: Double): DataFrame = {
+    val d = embs.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+    val a = d.alias("a")
+    val b = d.alias("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        round(Parity.cosine(col("a.e"), col("b.e")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+}

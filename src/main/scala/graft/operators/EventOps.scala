@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table (batch form; the
+  * Structured Streaming form of the windowed aggregation lives in
+  * graft.streaming.StreamOps and shares these semantics).
+  *
+  * Window starts are emitted as second-precision strings: the parquet
+  * carries nanosecond timestamps, Spark truncates to microseconds on
+  * read, and string form at the window boundary sidesteps the precision
+  * mismatch against the oracle engine.
+  */
+object EventOps {
+
+  /** Tumbling 10-minute windows: count + sum(value) per (window, type). */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"),
+        col("n"),
+        col("sum_value"))
+
+  /** Sliding windows, 10-minute length / 5-minute slide: every event lands
+    * in exactly two windows.
+    */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"),
+        col("n"),
+        col("sum_value"))
+
+  /** Gap-based sessionization: a session breaks after `gapMinutes` of
+    * user inactivity. Classic two-window composition — lag to mark
+    * session starts, running sum to number sessions — then one
+    * aggregation per session. Shuffles once on user_id; at 100 TB this
+    * is the shape you want (sessionization never needs a global sort,
+    * only per-user ordering inside the user's partition).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val marked = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "is_new",
+        when(
+          col("prev_ts").isNull ||
+            col("ts").cast("double") - col("prev_ts").cast("double") > gapMinutes * 60.0,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(byUser))
+    marked
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** JSON property extraction + aggregation: pulls `$.k` out of the props
+    * JSON column (Spark-native get_json_object — codegen'd path) and
+    * aggregates per event type.
+    */
+  def jsonAgg(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+}

@@ -150,8 +150,11 @@ object GraphOps {
     var round = 0L
     var changed = 1L
     while (changed > 0 && round < bound) {
-      state = ssspRound(state, e).localCheckpoint(true)
-      changed = state.filter(col("updated")).count() // A4: the Hadoop counter
+      // lazy local checkpoint: the count() below is the single action per
+      // round — it materializes the checkpoint AND reads the convergence
+      // counter (A4, the Hadoop-counter replacement) in one job.
+      state = ssspRound(state, e).localCheckpoint(false)
+      changed = state.filter(col("updated")).count()
       round += 1
     }
     e.unpersist()

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Parity
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+  * with decode / feature-extraction / frame-sampling as per-partition
+  * batch operators.
+  *
+  * The container has no image/audio codecs, so the actual decode is
+  * STUBBED ([[BinaryDecoder.RealImageDecoder]] is `???`); everything
+  * around it — schema, Dataset encoders, partition-batched execution
+  * shape, deterministic fake decoder for tests — is real. At scale this
+  * is the mapPartitions shape you want: one codec init per partition
+  * (not per row), batches flowing through an iterator without
+  * materializing the partition.
+  */
+object Multimodal {
+
+  /** One multimodal record: payload + typed metadata. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String, n_bytes: Long)
+
+  /** Extracted features: fixed-width vector + sampled frame offsets. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      n_frames: Long,
+      features: Array[Double])
+
+  /** Per-partition decoder. Implementations must be Serializable; they are
+    * constructed once per partition, not per row.
+    */
+  trait BinaryDecoder extends Serializable {
+    def decode(payload: Array[Byte]): Array[Double]
+  }
+
+  object BinaryDecoder {
+
+    /** The real codec hook — intentionally unimplemented in this
+      * container (no image/audio libraries available). Plug a JNI/JavaCV
+      * decoder here in a real deployment.
+      */
+    object RealImageDecoder extends BinaryDecoder {
+      def decode(payload: Array[Byte]): Array[Double] =
+        ??? // STUB: container ships no codecs; see class doc
+    }
+
+    /** Deterministic fake: 4 features from byte statistics. Used by tests
+      * and the harness query so the plumbing is exercised end-to-end.
+      */
+    object DeterministicFake extends BinaryDecoder {
+      def decode(payload: Array[Byte]): Array[Double] = {
+        var sum = 0L
+        var i = 0
+        while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+        Array(
+          payload.length.toDouble,
+          sum.toDouble,
+          if (payload.length > 0) (payload(0) & 0xff).toDouble else 0.0,
+          if (payload.length > 0) sum.toDouble / payload.length else 0.0)
+      }
+    }
+  }
+
+  /** Wrap the documents table as a multimodal table: utf-8 payload bytes +
+    * metadata columns. (Stand-in for reading real image/audio blobs; the
+    * schema and everything downstream is what a real pipeline uses.)
+    */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "utf-8").as("payload"),
+      lit("application/octet-stream").as("mime"),
+      octet_length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"))
+
+  /** Partition-batched decode + frame sampling (every `frameBytes` bytes
+    * counts as one "frame"). The decoder is instantiated once per
+    * partition; rows stream through the iterator.
+    */
+  def decodeFeatures(
+      spark: SparkSession,
+      media: DataFrame,
+      decoder: BinaryDecoder,
+      frameBytes: Int = 64): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition init point (codec setup happens here, once)
+      rows.map { r =>
+        val feats = decoder.decode(r.payload)
+        MediaFeatures(r.doc_id, r.n_bytes, r.n_bytes / frameBytes, feats)
+      }
+    }
+  }
+
+  /** Oracle-checkable projection of the multimodal pipeline: byte length,
+    * frame count, and a content hash — pure column expressions, so the
+    * DuckDB oracle can mirror them exactly (the mapPartitions path is
+    * covered by unit tests instead; its fake-decoder features are not
+    * SQL-expressible).
+    */
+  def featureSummary(docs: DataFrame, frameBytes: Int = 64): DataFrame =
+    asMediaTable(docs)
+      .withColumn("n_frames", (col("n_bytes") / frameBytes).cast("long"))
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"))
+      .join(
+        docs.select(col("doc_id"), Parity.charFold(col("text"), 31L, Parity.TokP).as("content_hash")),
+        Seq("doc_id"))
+}

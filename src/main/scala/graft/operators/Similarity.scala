@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Parity
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *     O(|Q|·|C|); fine when the query set is small (broadcast the
+  *     queries, stream the corpus — one narrow pass, no shuffle except
+  *     the final per-query top-k).
+  *   - [[lshTopK]]: random-hyperplane LSH — the scale path. Bucketing is a
+  *     single map over the corpus; the candidate join shuffles on the
+  *     bucket id only, so cost is per-bucket quadratic instead of global.
+  *
+  * Hyperplanes are deterministic literals (Parity.planeLit) so the DuckDB
+  * oracle embeds bit-identical planes.
+  */
+object Similarity {
+
+  val Dim = 64
+  val NPlanes = 6
+
+  private def asDouble(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+  /** Exact cosine top-k per query vector. Queries = `vec_id < nQueries`
+    * (a deterministic subset so the oracle can reproduce it). Ranking is
+    * dense by (cosine desc, vec_id asc) — fully deterministic.
+    */
+  def bruteForceTopK(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val d = asDouble(embs)
+    val q = d.filter(col("vec_id") < nQueries).alias("q")
+    val c = d.alias("c")
+    val scored = q
+      .join(c, col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("q_id"),
+        col("c.vec_id").as("n_id"),
+        round(Parity.cosine(col("q.e"), col("c.e")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Corpus bucketing: sign-of-projection bucket over NPlanes hyperplanes. */
+  def buckets(embs: DataFrame): DataFrame =
+    asDouble(embs).select(
+      col("vec_id"),
+      col("e"),
+      Parity.rpBucket(col("e"), NPlanes, Dim).as("bucket"))
+
+  /** LSH-bucketed ANN: candidates share the query's bucket; exact cosine
+    * re-rank within the bucket. Recall < 1 by construction — the verify
+    * contract is determinism, not equality with brute force.
+    */
+  def lshTopK(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val b = buckets(embs)
+    val q = b.filter(col("vec_id") < nQueries).alias("q")
+    val c = b.alias("c")
+    val scored = q
+      .join(
+        c,
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("q_id"),
+        col("c.vec_id").as("n_id"),
+        col("q.bucket").as("bucket"),
+        round(Parity.cosine(col("q.e"), col("c.e")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

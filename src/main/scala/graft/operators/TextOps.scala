@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Parity
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions (codegen'd, no UDFs) — each scales as a single
+  * narrow map over the documents table, no shuffle at all until an
+  * aggregation is asked for.
+  */
+object TextOps {
+
+  /** English function words for the stopword heuristics. */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+  private def toks(text: Column): Column = Parity.tokens(text)
+
+  private def stopCount(text: Column): Column =
+    size(filter(toks(text), t => t.isin(Stopwords: _*))).cast("long")
+
+  /** n-gram/stopword-heuristic language identification.
+    *
+    * Rule (deterministic, mirrored in the oracle): ≥2 English stopwords →
+    * 'en'; else vowel-final token ratio > 0.5 → 'es'; else 'other'. A toy
+    * profile, but the plumbing — per-token predicate counts folded into a
+    * classification — is the real n-gram-LID shape.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val n = greatest(size(toks(text)).cast("long"), lit(1L))
+    val vowelRatio =
+      size(filter(toks(text), t => t.rlike("[aeiou]$"))).cast("double") / n.cast("double")
+    docs.select(
+      col("doc_id"),
+      when(stopCount(text) >= 2, "en")
+        .when(vowelRatio > 0.5, "es")
+        .otherwise("other")
+        .as("pred_lang"),
+      round(vowelRatio, 6).as("vowel_ratio"),
+      stopCount(text).as("n_stop"))
+  }
+
+  /** Quality scoring: token count, mean token length, stopword ratio,
+    * alphanumeric character ratio, folded into a single [0,1]-ish score.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val t = toks(text)
+    val nTok = size(t).cast("long")
+    val nTokSafe = greatest(nTok, lit(1L)).cast("double")
+    val meanLen =
+      aggregate(t, lit(0L), (acc, x) => acc + length(x).cast("long")).cast("double") / nTokSafe
+    val stopRatio = stopCount(text).cast("double") / nTokSafe
+    val alnumRatio =
+      length(regexp_replace(text, "[^a-z0-9]", "")).cast("double") /
+        greatest(length(text), lit(1)).cast("double")
+    val score =
+      least(nTok.cast("double") / 20.0, lit(1.0)) * 0.4 + stopRatio * 0.3 + alnumRatio * 0.3
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      round(meanLen, 6).as("mean_tok_len"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(alnumRatio, 6).as("alnum_ratio"),
+      round(score, 6).as("quality"))
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * segmentation (letter runs / digit runs / single other symbols).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(toks(col("text"))).cast("long").as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("n_bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars_actual"))
+
+  /** Document fingerprinting: two independent rolling polynomial hashes of
+    * the full text plus their 40-bit concatenation — the content-addressed
+    * identity used by exact dedup at scale.
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val f1 = Parity.charFold(col("text"), 31L, Parity.TokP)
+    val f2 = Parity.charFold(col("text"), 131L, Parity.TokP2)
+    docs.select(
+      col("doc_id"),
+      f1.as("fp_a"),
+      f2.as("fp_b"),
+      (f1 * Parity.TokP2 + f2).as("fp40"))
+  }
+}

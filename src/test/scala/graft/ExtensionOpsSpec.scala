@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Parity
+import graft.operators.{Dedup, EventOps, Multimodal, TextOps}
+
+/** Unit tests for the north-star extension operators on tiny in-memory
+  * inputs with hand-computed expectations.
+  */
+class ExtensionOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: Seq[(Long, String, String)]): DataFrame =
+    rows.toDF("doc_id", "text", "lang")
+
+  test("exact dedup keeps min doc_id and counts copies") {
+    val d = docsDf(Seq((3L, "a b", "en"), (1L, "a b", "en"), (2L, "c", "en")))
+    val out = Dedup.exact(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("minhash: identical docs get identical signatures and become candidates") {
+    val d = docsDf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog", "en"),
+      (3L, "completely different words entirely here now", "en")))
+    val sigs = Dedup.minhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+    assert(sigs(1L).length === Dedup.MinhashK)
+    val cands = Dedup.minhashCandidates(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cands.exists(c => c._1 == 1L && c._2 == 2L && c._3 == 1.0))
+  }
+
+  test("simhash: identical docs at hamming 0; near docs closer than far docs") {
+    val d = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota", "en"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta", "en")))
+    val sh = Dedup.simhashes(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(3L))
+    val pairs = Dedup.simhashCandidates(d, maxHamming = Parity.SimBits).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((1L, 3L)) === 0L)
+    assert(pairs((1L, 2L)) > 0L)
+  }
+
+  test("ngram jaccard finds overlapping docs within a lang block") {
+    val d = docsDf(Seq(
+      (1L, "a b c d e", "en"),
+      (2L, "a b c d x", "en"),
+      (3L, "a b c d e", "fr"))) // other lang → never paired
+    val out = Dedup.ngramJaccardPairs(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // shingles(1) = {abc,bcd,cde}, shingles(2) = {abc,bcd,cdx}: inter 2, union 4
+    assert(out === Map((1L, 2L) -> ((2L, 4L))))
+  }
+
+  test("embedding near-dups: identical vectors hit cosine 1") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f, 0.0f), 0),
+      (4L, Seq(1.0f, 0.0f, 0.0f), 9)) // other label block
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingNearDups(e, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out === Array((1L, 2L, 1.0)))
+  }
+
+  test("lang id heuristic: stopword-heavy text → en") {
+    val d = docsDf(Seq((1L, "the cat sat on the mat", "xx"), (2L, "zzz qqq", "xx")))
+    val out = TextOps.langId(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "other")
+  }
+
+  test("quality: token stats are exact on a known doc") {
+    val d = docsDf(Seq((1L, "the fast key", "en")))
+    val r = TextOps.quality(d).collect()(0)
+    assert(r.getLong(1) === 3L) // n_tokens
+    assert(r.getDouble(2) === 3.333333) // mean_tok_len, rounded to 6
+    assert(r.getDouble(3) === math.rint(1.0 / 3.0 * 1e6) / 1e6) // stop_ratio ("the")
+  }
+
+  test("token counts: ws vs regex segmentation") {
+    val d = docsDf(Seq((1L, "ab 12 cd", "en")))
+    val r = TextOps.tokenCounts(d).collect()(0)
+    assert(r.getLong(1) === 3L)
+    assert(r.getLong(2) === 3L)
+    assert(r.getLong(3) === 8L)
+  }
+
+  test("fingerprints are deterministic and distinct per content") {
+    val d = docsDf(Seq((1L, "abc", "en"), (2L, "abc", "en"), (3L, "abd", "en")))
+    val fp = TextOps.fingerprints(d).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+    // hand-check fp_a for "abc": ((0*31+97)*31+98)*31+99 = 96262 % 1000003
+    val fa = TextOps.fingerprints(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fa(1L) === ((97L * 31 + 98) * 31 + 99) % Parity.TokP)
+  }
+
+  test("sessionize splits on gap > 30 minutes") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val e = Seq(
+      (1L, at(0), 7L, "click", 1.0, "{}"),
+      (2L, at(10), 7L, "click", 1.0, "{}"),
+      (3L, at(50), 7L, "click", 1.0, "{}"), // 40-min gap → new session
+      (4L, at(5), 8L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.sessionize(e, 30).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out === Map((7L, 1L) -> 2L, (7L, 2L) -> 1L, (8L, 1L) -> 1L))
+  }
+
+  test("multimodal mapPartitions decode with deterministic fake decoder") {
+    val d = docsDf(Seq((1L, "abcd", "en"))).select(col("doc_id"), col("text"))
+    val media = Multimodal.asMediaTable(d)
+    val feats = Multimodal
+      .decodeFeatures(spark, media, Multimodal.BinaryDecoder.DeterministicFake, frameBytes = 2)
+      .collect()
+    assert(feats.length === 1)
+    val f = feats(0)
+    assert(f.n_bytes === 4L && f.n_frames === 2L)
+    assert(f.features.toSeq === Seq(4.0, (97 + 98 + 99 + 100).toDouble, 97.0, 394 / 4.0))
+  }
+
+  test("multimodal real decoder is an explicit stub") {
+    intercept[NotImplementedError] {
+      Multimodal.BinaryDecoder.RealImageDecoder.decode(Array[Byte](1, 2))
+    }
+  }
+}
