@@ -14,28 +14,14 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.functions.Parity
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    import graft.operators.GraphOps
 
-    def time(label: String)(f: => Long): Unit = {
+    for (k <- Seq(1, 2, 4, 8)) {
+      val edges = GraphSource.lineitemEdges(spark, "/root/testdata/sf0.1")
       val t0 = System.nanoTime()
-      val n = f
-      println(s"[probe] $label rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
+      val n = GraphOps.sssp(edges, 1L, relaxPerRound = k).count()
+      println(s"[probe] relaxPerRound=$k rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
     }
-
-    val sh = docs.select(col("doc_id"), col("lang"),
-      Parity.shingles(Parity.tokens(col("text"))).as("sh"))
-    time("sh materialize")(sh.count())
-    val inv = sh.select(col("doc_id"), col("lang"), explode(col("sh")).as("g"))
-    time("inv explode")(inv.count())
-    val a = inv.alias("a"); val b = inv.alias("b")
-    val joined = a.join(b,
-      col("a.lang") === col("b.lang") && col("a.g") === col("b.g") &&
-        col("a.doc_id") < col("b.doc_id"))
-    time("bucket join")(joined.count())
-    val inter = joined.groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    time("inter agg")(inter.count())
     spark.stop()
   }
 }

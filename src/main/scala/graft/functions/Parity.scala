@@ -160,17 +160,17 @@ object Parity {
   // ---- vector math (embeddings) --------------------------------------------
 
   /** Sequential-order dot product of two double arrays — both engines fold
-    * left-to-right, so the IEEE result is bit-identical.
+    * left-to-right, so the IEEE result is bit-identical. Backed by the
+    * codegen'd [[DotProduct]] expression (the equivalent
+    * `aggregate(zip_with(...))` fold is interpreted and ~50× slower).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
 
   def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(list_zip($a, $b), s -> s[1] * s[2])), (acc, x) -> acc + x)"
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(DotProduct(a, a))
 
   def normSql(a: String): String =
     s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +

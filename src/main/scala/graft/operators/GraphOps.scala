@@ -138,24 +138,53 @@ object GraphOps {
     * Output = nodes with out-edges ∪ nodes ever reached; unreachable
     * nodes with out-edges keep dist 65535.0 (SURVEY.md Q1/Q4).
     */
-  def sssp(edges: DataFrame, source: Long, maxRounds: Int = Int.MaxValue): DataFrame = {
+  def sssp(
+      edges: DataFrame,
+      source: Long,
+      maxRounds: Int = Int.MaxValue,
+      relaxPerRound: Int = 2): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
     // One shuffle up front; every round's frontier⋈edges reuses it.
     val e = edges.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    var state = seedState(e, source).localCheckpoint(true)
     // Bellman-Ford bound over ALL nodes (sources ∪ sinks) — sinks join the
     // state table mid-iteration (Q4), so |V| is src ∪ dst, not just src.
     val nVertices =
       e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id"))).distinct().count()
     val bound = math.min(maxRounds.toLong, math.max(1L, nVertices - 1L))
-    var round = 0L
+
+    // Everything persisted before the loop (edges etc.) is off-limits for
+    // cleanup; loop-created checkpoints not minted in the current round
+    // are stale and freed eagerly.
+    val baselineIds = sc.getPersistentRDDs.keySet.toSet
+    var state = seedState(e, source).localCheckpoint(false)
+    var rounds = 0L
     var changed = 1L
-    while (changed > 0 && round < bound) {
-      // lazy local checkpoint: the count() below is the single action per
-      // round — it materializes the checkpoint AND reads the convergence
-      // counter (A4, the Hadoop-counter replacement) in one job.
-      state = ssspRound(state, e).localCheckpoint(false)
+    while (changed > 0 && rounds < bound) {
+      val preRoundIds = sc.getPersistentRDDs.keySet.toSet
+      // `relaxPerRound` Bellman-Ford relaxations per materialization:
+      // driver-loop latency (job scheduling, plan analysis, checkpoint,
+      // counter read) dominates per-round cost on all but the densest
+      // frontiers, so batching relaxations between checkpoints nearly
+      // halves wall-clock. Convergence stays exact — a sub-round's
+      // updates are relaxed by the next sub-round inside the same plan,
+      // and the final sub-round's `updated` flags are the loop condition.
+      var next = state
+      var i = 0
+      while (i < relaxPerRound && rounds + i < bound) { next = ssspRound(next, e); i += 1 }
+      // lazy local checkpoint: the count() below is the single action of
+      // the round — it materializes the checkpoint AND reads the
+      // convergence counter (A4, the Hadoop-counter replacement).
+      state = next.localCheckpoint(false)
       changed = state.filter(col("updated")).count()
-      round += 1
+      rounds += i
+      // free earlier rounds' checkpointed blocks (the reference leaves
+      // every iteration's full state on HDFS, SingleSourceSP.java:513-517;
+      // keeping every round's checkpoint in executor memory would be the
+      // same leak).
+      val persisted = sc.getPersistentRDDs
+      val freshIds = persisted.keySet.toSet -- preRoundIds
+      (persisted.keySet.toSet -- baselineIds -- freshIds)
+        .foreach(id => persisted.get(id).foreach(_.unpersist(false)))
     }
     e.unpersist()
     state
