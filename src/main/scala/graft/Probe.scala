@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch dev probe main — content changes as needed during profiling. */
 object Probe {
@@ -16,11 +15,12 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.GraphOps
 
-    for (k <- Seq(1, 2, 4, 8)) {
+    for (aqe <- Seq("true", "false", "true", "false")) {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
       val edges = GraphSource.lineitemEdges(spark, "/root/testdata/sf0.1")
       val t0 = System.nanoTime()
-      val n = GraphOps.sssp(edges, 1L, relaxPerRound = k).count()
-      println(s"[probe] relaxPerRound=$k rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
+      val n = GraphOps.sssp(edges, 1L).count()
+      println(s"[probe] aqe=$aqe rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
     }
     spark.stop()
   }

@@ -47,7 +47,7 @@ object SparkEntry {
 
   private def ssspOneRound(s: SparkSession, dir: String): DataFrame = {
     val e = GraphSource.lineitemEdges(s, dir)
-    GraphOps.ssspRound(GraphOps.seedState(e, 1L), e)
+    GraphOps.membershipFilter(GraphOps.ssspRound(GraphOps.seedState(e, 1L), e))
       .select(col("id"), col("dist"))
       .orderBy(col("id"))
   }

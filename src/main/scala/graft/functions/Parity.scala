@@ -42,15 +42,10 @@ object Parity {
 
   // ---- polynomial character fold ------------------------------------------
 
-  /** `fold(chars(s), 0, acc -> (acc*mult + codepoint) % p)` — the shared
-    * content hash. Spark `split(s, "")` keeps a trailing empty string
-    * (Java split semantics) while DuckDB's does not, hence the filter.
+  /** `fold(codepoints(s), 0, acc -> (acc*mult + cp) % p)` — the shared
+    * content hash, backed by the codegen'd [[PolyHash]] expression.
     */
-  def charFold(s: Column, mult: Long, p: Long): Column =
-    aggregate(
-      filter(split(s, ""), c => c =!= lit("")),
-      lit(0L),
-      (acc, c) => (acc * lit(mult) + ascii(c).cast("long")) % lit(p))
+  def charFold(s: Column, mult: Long, p: Long): Column = PolyHash(s, mult, p)
 
   def charFoldSql(s: String, mult: Long, p: Long): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +

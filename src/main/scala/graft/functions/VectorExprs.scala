@@ -75,3 +75,65 @@ object DotProduct {
   def apply(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** Polynomial rolling hash over a string's Unicode code points:
+  * `fold(codepoints(s), 0, acc -> (acc * mult + cp) % p)` — the codegen'd
+  * form of [[Parity.charFold]] / [[Parity.charFoldSql]]. Identical to the
+  * interpreted `aggregate(split(s, ""), ...)` fold and to the DuckDB
+  * `list_reduce(... ascii(c) ...)` fragment (both enumerate code points:
+  * Spark's split('')/ascii and DuckDB's string_split('')/ascii are
+  * code-point-wise for well-formed UTF-8).
+  *
+  * This is the inner loop of MinHash, SimHash and fingerprinting — at
+  * training-corpus scale it runs per token per document, which is why it
+  * is a native expression (stays inside whole-stage codegen; the
+  * higher-order fold allocates a char-array per row and evaluates
+  * lambdas interpreted).
+  */
+case class PolyHash(child: Expression, mult: Long, p: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"poly_hash expects a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "poly_hash"
+
+  override def nullSafeEval(v: Any): Any =
+    PolyHash.hash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString, mult, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      c => s"graft.functions.PolyHash.hash($c.toString(), ${mult}L, ${p}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolyHash {
+
+  /** Shared by interpreted and generated code paths (named `hash`, not
+    * `eval`: a companion method named like a class member gets no static
+    * forwarder, which breaks the generated Java). */
+  def hash(s: String, mult: Long, p: Long): Long = {
+    var acc = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      acc = (acc * mult + cp) % p
+    }
+    acc
+  }
+
+  def apply(c: Column, mult: Long, p: Long): Column =
+    ColumnBridge.column(PolyHash(ColumnBridge.expression(c), mult, p))
+}

@@ -102,23 +102,52 @@ object GraphOps {
       .join(edges.alias("e"), col("f.id") === col("e.src"))
       .select(col("e.dst").as("id"), (col("f.dist") + col("e.w")).as("cand"))
     val best = cand.groupBy("id").agg(min(col("cand")).as("best"))
+    // One left-outer merge join per round. `state` is seeded with EVERY
+    // vertex (src ∪ dst — see seedState), so no node is ever discovered
+    // mid-iteration and no full-outer/anti machinery is needed; `best`
+    // (bounded by the active frontier's out-neighborhood) is the build
+    // side, AQE converts the join to broadcast at runtime, and the state
+    // table never moves. Extra state columns (is_src) pass through.
+    val dropped = Set("dist", "updated", "reached")
+    val passthrough = state.columns.filterNot(dropped).map(col)
+    val reached =
+      if (state.columns.contains("reached"))
+        Seq((col("reached") || col("best").isNotNull).as("reached"))
+      else Nil
     state
-      .join(best, Seq("id"), "full_outer")
+      .join(best, Seq("id"), "left_outer")
       .select(
-        col("id"),
-        least(coalesce(col("dist"), lit(INF)), coalesce(col("best"), lit(INF))).as("dist"),
-        (coalesce(col("best"), lit(INF)) < coalesce(col("dist"), lit(INF))).as("updated"))
+        passthrough ++ reached ++ Seq(
+          least(col("dist"), coalesce(col("best"), lit(INF))).as("dist"),
+          (coalesce(col("best"), lit(INF)) < col("dist")).as("updated")): _*)
   }
 
-  /** Seed state for [[sssp]]: every node with out-edges, source at 0.0,
-    * everyone flagged updated (SURVEY.md Q5; `SingleSourceSP.java:114-123`).
+  /** Seed state for [[sssp]]: EVERY vertex (src ∪ dst), source at 0.0,
+    * everyone flagged updated (SURVEY.md Q5; `SingleSourceSP.java:114-123`),
+    * plus an `is_src` marker. The reference only materializes nodes with
+    * out-edges and lets relaxation messages create sink rows on the fly
+    * (Q4); seeding the full vertex set instead keeps every round's merge
+    * a single broadcastable left-outer join, and [[membershipFilter]]
+    * restores the reference's output-set semantics at the end.
     */
   def seedState(edges: DataFrame, source: Long): DataFrame =
     edges
-      .select(col("src").as("id"))
-      .distinct()
+      .select(col("src").as("id"), lit(true).as("is_src"))
+      .unionAll(edges.select(col("dst").as("id"), lit(false).as("is_src")))
+      .groupBy("id")
+      .agg(max(col("is_src")).as("is_src"))
+      .withColumn("reached", lit(false))
       .withColumn("dist", when(col("id") === source, 0.0).otherwise(INF))
       .withColumn("updated", lit(true))
+
+  /** Reference output membership (Q4): nodes with out-edges ∪ nodes that
+    * ever received a relaxation message. A pure sink never relaxed does
+    * not appear — and neither does an edgeless source (its dist 0 row is
+    * a seeding artifact here; the reference's format job never creates
+    * it, `SingleSourceSP.java:101`).
+    */
+  def membershipFilter(state: DataFrame): DataFrame =
+    state.filter(col("is_src") || col("reached")).drop("is_src", "reached")
 
   /** Full iterative single-source shortest path.
     *
@@ -146,17 +175,15 @@ object GraphOps {
     val sc = edges.sparkSession.sparkContext
     // One shuffle up front; every round's frontier⋈edges reuses it.
     val e = edges.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    // Bellman-Ford bound over ALL nodes (sources ∪ sinks) — sinks join the
-    // state table mid-iteration (Q4), so |V| is src ∪ dst, not just src.
-    val nVertices =
-      e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id"))).distinct().count()
-    val bound = math.min(maxRounds.toLong, math.max(1L, nVertices - 1L))
 
     // Everything persisted before the loop (edges etc.) is off-limits for
     // cleanup; loop-created checkpoints not minted in the current round
     // are stale and freed eagerly.
     val baselineIds = sc.getPersistentRDDs.keySet.toSet
     var state = seedState(e, source).localCheckpoint(false)
+    // One action seeds the loop AND reads |V| for the Bellman-Ford bound
+    // (|V|−1 rounds suffice for non-negative weights).
+    val bound = math.min(maxRounds.toLong, math.max(1L, state.count() - 1L))
     var rounds = 0L
     var changed = 1L
     while (changed > 0 && rounds < bound) {
@@ -187,7 +214,7 @@ object GraphOps {
         .foreach(id => persisted.get(id).foreach(_.unpersist(false)))
     }
     e.unpersist()
-    state
+    membershipFilter(state)
   }
 
   /** Final-result projection (the reference's `JobSeq=Last` pass,
