@@ -106,6 +106,42 @@ object SparkEntry {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  private def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    table(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  private def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private def setOps(s: SparkSession, dir: String): DataFrame = {
+    val custNations = table(s, dir, "customer").select(col("c_nationkey").cast("long").as("n"))
+    val suppNations = table(s, dir, "supplier").select(col("s_nationkey").cast("long").as("n"))
+    custNations.intersect(suppNations).select(lit("both").as("tag"), col("n"))
+      .unionAll(custNations.except(suppNations).select(lit("cust_only").as("tag"), col("n")))
+      .orderBy(col("tag"), col("n"))
+  }
+
+  private def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = table(s, dir, "customer").select(col("c_custkey"))
+    val o = table(s, dir, "orders").select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit(true).as("has_orders"))
+      .unionAll(
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), lit(false).as("has_orders")))
+      .orderBy(col("c_custkey"))
+  }
+
   private def topkOrders(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
@@ -129,6 +165,10 @@ object SparkEntry {
     "q1_agg" -> (q1Agg _),
     "join_revenue" -> (joinRevenue _),
     "topk_orders" -> (topkOrders _),
+    "window_rank" -> (windowRank _),
+    "rollup_agg" -> (rollupAgg _),
+    "set_ops" -> (setOps _),
+    "semi_anti_join" -> (semiAntiJoin _),
     // dedup family
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy(col("doc_id"))),
@@ -234,7 +274,33 @@ object SparkEntry {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "window_rank" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "set_ops" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS n FROM customer),
+        |s AS (SELECT CAST(s_nationkey AS BIGINT) AS n FROM supplier)
+        |SELECT 'both' AS tag, n FROM (SELECT n FROM c INTERSECT SELECT n FROM s)
+        |UNION ALL
+        |SELECT 'cust_only', n FROM (SELECT n FROM c EXCEPT SELECT n FROM s)
+        |ORDER BY tag, n""".stripMargin,
+    "semi_anti_join" ->
+      """SELECT c_custkey, TRUE AS has_orders FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, FALSE FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin
   ) ++ extensionOracles
 
   /** Oracles for the north-star extension queries; hash/vector fragments
