@@ -15,12 +15,14 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.GraphOps
 
-    for (aqe <- Seq("true", "false", "true", "false")) {
-      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    for {
+      coalesce <- Seq("true", "false", "true", "false")
+    } {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
       val edges = GraphSource.lineitemEdges(spark, "/root/testdata/sf0.1")
       val t0 = System.nanoTime()
       val n = GraphOps.sssp(edges, 1L).count()
-      println(s"[probe] aqe=$aqe rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
+      println(s"[probe] coalesce=$coalesce rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
     }
     spark.stop()
   }

@@ -188,6 +188,10 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(embs(s, d), nQueries = 50, k = 3)
         .orderBy(col("q_id"), col("rank"))),
+    "ann_topk_agg" -> ((s, d) =>
+      Similarity.bruteForceTopKAgg(s, embs(s, d), nQueries = 10, k = 5)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy(col("q_id"), col("rank"))),
     // text analysis
     "text_lang_id" -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
@@ -393,6 +397,16 @@ object SparkEntry {
            |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
            |  FROM scored)
            |SELECT * FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+      "ann_topk_agg" ->
+        s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |scored AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |         round(${Parity.cosineSql("q.e", "c.e")}, 6) AS cos
+           |  FROM d q JOIN d c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+           |ranked AS (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+           |  FROM scored)
+           |SELECT * FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
       "text_lang_id" ->
         s"""WITH f AS (
            |  SELECT doc_id,

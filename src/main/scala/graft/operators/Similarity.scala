@@ -48,6 +48,38 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** [[bruteForceTopK]] with the ranking done by a typed bounded-heap
+    * [[graft.functions.TopKAggregator]] instead of a window sort:
+    * identical output, but only k rows per query cross the shuffle
+    * (map-side partial top-k) — the form that survives a 100 TB corpus.
+    */
+  def bruteForceTopKAgg(
+      spark: org.apache.spark.sql.SparkSession,
+      embs: DataFrame,
+      nQueries: Int,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val d = asDouble(embs)
+    val q = d.filter(col("vec_id") < nQueries).alias("q")
+    val c = d.alias("c")
+    val scored = q
+      .join(c, col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("q_id"),
+        col("c.vec_id").as("n_id"),
+        round(Parity.cosine(col("q.e"), col("c.e")), 6).as("cos"))
+      .as[(Long, Long, Double)]
+    val topk = new graft.functions.TopKAggregator(k)
+    scored
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topk.toColumn)
+      .flatMap { case (qId, hits) =>
+        hits.zipWithIndex.map { case ((nId, cos), i) => (qId, nId, cos, i + 1) }
+      }
+      .toDF("q_id", "n_id", "cos", "rank")
+  }
+
   /** Corpus bucketing: sign-of-projection bucket over NPlanes hyperplanes. */
   def buckets(embs: DataFrame): DataFrame =
     asDouble(embs).select(

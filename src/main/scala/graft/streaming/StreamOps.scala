@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 import graft.operators.EventOps
@@ -44,6 +45,77 @@ object StreamOps {
     */
   def tumblingStream(events: DataFrame): DataFrame =
     EventOps.tumbling(events.withWatermark("ts", "20 minutes"))
+
+  /** One event routed into the stateful sessionizer. */
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Mutable per-user session accumulator held in GroupState. */
+  final case class SessionAgg(startMs: Long, lastMs: Long, nEvents: Long, sumValue: Double)
+
+  /** A closed session, emitted when the gap passes or state times out. */
+  final case class ClosedSession(
+      user_id: Long,
+      session_start_ms: Long,
+      n_events: Long,
+      sum_value: Double)
+
+  /** Streaming gap-based sessionization via flatMapGroupsWithState —
+    * custom per-key state with event-time timeout. A session closes
+    * (and is emitted downstream, Append mode) when a later event
+    * arrives past the gap, or when the watermark passes the session's
+    * last event + gap (the timeout path). State per user is one small
+    * struct: bounded regardless of stream length — the property that
+    * matters on an unbounded firehose.
+    *
+    * Batch equivalent: [[graft.operators.EventOps.sessionize]] (same gap
+    * rule); parity for closed sessions asserted in StreamOpsSpec.
+    */
+  def sessionizeStream(
+      spark: SparkSession,
+      events: Dataset[SessionEvent],
+      gapMinutes: Int,
+      watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def close(user: Long, s: SessionAgg): ClosedSession =
+      ClosedSession(user, s.startMs, s.nEvents, s.sumValue)
+
+    def update(
+        user: Long,
+        rows: Iterator[SessionEvent],
+        state: GroupState[SessionAgg]): Iterator[ClosedSession] =
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(user, _)).iterator
+        state.remove()
+        out
+      } else {
+        var closed = List.empty[ClosedSession]
+        var cur = state.getOption
+        rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastMs > gapMs =>
+              closed ::= close(user, s)
+              cur = Some(SessionAgg(t, t, 1L, e.value))
+            case Some(s) =>
+              cur = Some(SessionAgg(s.startMs, math.max(s.lastMs, t), s.nEvents + 1, s.sumValue + e.value))
+            case None =>
+              cur = Some(SessionAgg(t, t, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        }
+        closed.reverse.iterator
+      }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 
   /** Run the streaming aggregation over a static directory to completion
     * (memory sink), returning the final result table. Used by tests to

@@ -9,6 +9,41 @@ import graft.streaming.StreamOps
   */
 class StreamOpsSpec extends SparkSpec {
 
+  test("stateful streaming sessionizer closes sessions on gap and on timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def at(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L) // 2024-01-01T00:00Z
+    val input = MemoryStream[StreamOps.SessionEvent]
+    val q = StreamOps
+      .sessionizeStream(spark, input.toDS(), gapMinutes = 30, watermarkDelay = "5 minutes")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sessions_out")
+      .start()
+
+    // batch 1: two events 10min apart (one open session for user 7)
+    input.addData(
+      StreamOps.SessionEvent(7L, at(0), 1.0),
+      StreamOps.SessionEvent(7L, at(10), 2.0))
+    q.processAllAvailable()
+    // batch 2: event at +60min → gap 50min > 30min closes session 1 inline
+    input.addData(StreamOps.SessionEvent(7L, at(60), 5.0))
+    q.processAllAvailable()
+    // batch 3: another user far in the future → watermark passes user 7's
+    // session-2 timeout → emitted via the timeout path
+    input.addData(StreamOps.SessionEvent(8L, at(500), 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sessions_out").as[StreamOps.ClosedSession].collect()
+      .map(c => (c.user_id, c.session_start_ms, c.n_events, c.sum_value)).toSet
+    assert(out.contains((7L, at(0).getTime, 2L, 3.0))) // gap-closed
+    assert(out.contains((7L, at(60).getTime, 1L, 5.0))) // timeout-closed
+  }
+
   test("streaming tumbling agg equals batch tumbling agg at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventOps
