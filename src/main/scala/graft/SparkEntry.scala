@@ -60,6 +60,35 @@ object SparkEntry {
     GraphOps.finalResult(GraphOps.sssp(GraphSource.lineitemEdges(s, dir), 1L), 1L)
       .orderBy(col("id"))
 
+  private def connectedComponents(s: SparkSession, dir: String): DataFrame =
+    GraphOps.connectedComponents(GraphSource.layeredEdges(s, dir)).orderBy(col("id"))
+
+  /** 3-iteration fixed-point PageRank on the lineitem graph; integer
+    * micro-unit ranks make the result bit-identical to the unrolled SQL
+    * oracle (floating-point PageRank can never hash-match across
+    * engines — summation order differs).
+    */
+  private def pagerank(s: SparkSession, dir: String): DataFrame =
+    GraphOps.pagerankFixed(GraphSource.lineitemEdges(s, dir), iters = 3).orderBy(col("id"))
+
+  /** The multimodal mapPartitions decode path (deterministic fake
+    * decoder), projected to oracle-comparable scalars.
+    */
+  private def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(docs(s, dir).select(col("doc_id"), col("text")))
+    Multimodal
+      .decodeFeatures(s, media, Multimodal.BinaryDecoder.DeterministicFake, frameBytes = 64)
+      .toDF()
+      .select(
+        col("doc_id"),
+        col("n_bytes"),
+        col("n_frames"),
+        col("features")(1).cast("long").as("byte_sum"),
+        col("features")(2).cast("long").as("first_byte"),
+        round(col("features")(3), 6).as("mean_byte"))
+      .orderBy(col("doc_id"))
+  }
+
   private def edgeParse(s: SparkSession, dir: String): DataFrame = {
     // Round-trip the lineitem graph through the reference's text edge
     // format `"id from to w"` (SingleSourceSP.java:140-145), with a
@@ -162,6 +191,9 @@ object SparkEntry {
     "sssp_layered" -> (ssspLayered _),
     "sssp_lineitem" -> (ssspLineitem _),
     "edge_parse" -> (edgeParse _),
+    "connected_components" -> (connectedComponents _),
+    "pagerank_fixed" -> (pagerank _),
+    "multimodal_decode" -> (multimodalDecode _),
     "q1_agg" -> (q1Agg _),
     "join_revenue" -> (joinRevenue _),
     "topk_orders" -> (topkOrders _),
@@ -259,6 +291,46 @@ object SparkEntry {
         |       CAST(string_split(trim(line), ' ')[4] AS DOUBLE) AS w
         |FROM lines WHERE regexp_matches(line, '^[0-9]')
         |ORDER BY src, dst, w""".stripMargin,
+    "connected_components" ->
+      s"""WITH RECURSIVE edges AS (${GraphSource.layeredEdgesSql}),
+         |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+         |reach(id, lab) AS (
+         |  SELECT DISTINCT src AS id, src AS lab FROM und
+         |  UNION
+         |  SELECT u.dst, r.lab FROM reach r JOIN und u ON u.src = r.id
+         |)
+         |SELECT id, min(lab) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "pagerank_fixed" -> {
+      def iter(prev: String, k: Int): String =
+        s"""r$k AS (
+           |  SELECT r.id, r.deg,
+           |         CAST((15 * (1000000000000 // nn.n) // 100) +
+           |              (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+           |  FROM $prev r
+           |  LEFT JOIN (SELECT e.dst AS id, CAST(sum(r.pr // r.deg) AS BIGINT) AS s
+           |             FROM $prev r JOIN e ON e.src = r.id GROUP BY e.dst) s ON s.id = r.id
+           |  CROSS JOIN nn)""".stripMargin
+      s"""WITH edges AS (${GraphSource.lineitemEdgesSql}),
+         |e AS (SELECT src, dst FROM edges),
+         |outdeg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM outdeg),
+         |r0 AS (SELECT id, deg, CAST(1000000000000 // nn.n AS BIGINT) AS pr FROM outdeg CROSS JOIN nn),
+         |${iter("r0", 1)},
+         |${iter("r1", 2)},
+         |${iter("r2", 3)}
+         |SELECT id, pr FROM r3 ORDER BY id""".stripMargin
+    },
+    "multimodal_decode" -> {
+      val byteSum = Parity.charFoldSql("text", 1L, 1099511627776L)
+      s"""SELECT doc_id,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |       CAST(octet_length(encode(text)) // 64 AS BIGINT) AS n_frames,
+         |       $byteSum AS byte_sum,
+         |       CAST(ascii(text) AS BIGINT) AS first_byte,
+         |       round(CAST($byteSum AS DOUBLE) /
+         |             CAST(octet_length(encode(text)) AS DOUBLE), 6) AS mean_byte
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

@@ -234,6 +234,99 @@ object GraphOps {
   def finalResult(state: DataFrame, source: Long): DataFrame =
     state.select(lit(source).as("source"), col("id"), col("dist"))
 
+  /** Connected components over the UNDIRECTED closure of the edge list:
+    * iterative min-label propagation. Same loop skeleton as [[sssp]]
+    * (broadcastable per-round delta join + lazy localCheckpoint + count
+    * convergence); converges in O(diameter) rounds. Labels are node ids;
+    * each node ends with the minimum id in its component.
+    *
+    * Not in the reference (its two programs are SSSP and transpose), but
+    * the natural second consumer of the iterate-until-converged machinery.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = Int.MaxValue): DataFrame = {
+    val session = edges.sparkSession
+    val sc = session.sparkContext
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = session.conf.get(coalesceKey, "true")
+    session.conf.set(coalesceKey, "false")
+    val und = edges
+      .select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val baselineIds = sc.getPersistentRDDs.keySet.toSet
+    var state = und
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("lab", col("id"))
+      .withColumn("updated", lit(true))
+      .localCheckpoint(false)
+    val bound = math.min(maxRounds.toLong, math.max(1L, state.count() - 1L))
+    var rounds = 0L
+    var changed = 1L
+    while (changed > 0 && rounds < bound) {
+      val preRoundIds = sc.getPersistentRDDs.keySet.toSet
+      val frontier = state.filter(col("updated")).select(col("id"), col("lab")).alias("f")
+      val prop = frontier
+        .join(und.alias("e"), col("f.id") === col("e.src"))
+        .select(col("e.dst").as("id"), col("f.lab").as("cand"))
+      val best = prop.groupBy("id").agg(min(col("cand")).as("best"))
+      state = state
+        .join(best, Seq("id"), "left_outer")
+        .select(
+          col("id"),
+          least(col("lab"), coalesce(col("best"), col("lab"))).as("lab"),
+          (coalesce(col("best"), col("lab")) < col("lab")).as("updated"))
+        .localCheckpoint(false)
+      changed = state.filter(col("updated")).count()
+      rounds += 1
+      val persisted = sc.getPersistentRDDs
+      val freshIds = persisted.keySet.toSet -- preRoundIds
+      (persisted.keySet.toSet -- baselineIds -- freshIds)
+        .foreach(id => persisted.get(id).foreach(_.unpersist(false)))
+    }
+    und.unpersist()
+    session.conf.set(coalesceKey, prevCoalesce)
+    state.select(col("id"), col("lab").as("component"))
+  }
+
+  /** Fixed-point (integer-scaled) PageRank, `iters` rounds, damping 0.85.
+    *
+    * Ranks are BIGINT micro-units (scale 10^12) and every operation is
+    * integer arithmetic — deliberately: floating-point PageRank sums in a
+    * different order on every engine (and every run), so it can never
+    * hash-match a SQL oracle; integer sums are associative, making the
+    * result bit-identical and order-independent on ANY engine. The cost
+    * is ≤ outdeg units of truncation per node per round — far below any
+    * ranking-relevant difference.
+    *
+    * Dangling-node mass is dropped (classic simplification); ranks are
+    * seeded uniformly over the SOURCE set (nodes with out-edges).
+    */
+  def pagerankFixed(edges: DataFrame, iters: Int): DataFrame = {
+    val scale = 1000000000000L // 10^12
+    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val n = outdeg.count()
+    val base = 15L * (scale / n) / 100L
+    var rank = outdeg.select(col("id"), col("deg"), lit(scale / n).as("pr")).localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val contrib = rank
+        .join(e, rank("id") === e("src"))
+        .select(e("dst").as("id"), expr("pr div deg").as("c")) // integer div: exact on any engine
+      val summed = contrib.groupBy("id").agg(sum(col("c")).as("s"))
+      rank = rank
+        .join(summed, Seq("id"), "left_outer")
+        .select(
+          col("id"),
+          col("deg"),
+          expr(s"CAST($base + (85 * coalesce(s, 0L)) div 100 AS BIGINT)").as("pr"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    rank.select(col("id"), col("pr"))
+  }
+
   /** Parse whitespace-delimited edge lines `"id from to w"` into the edge
     * schema, dropping the edge-id column and non-digit-initial header
     * lines.
