@@ -17,14 +17,26 @@ import graft.operators.{Dedup, EventOps, GraphOps, Multimodal, Similarity, TextO
   * final sort on both sides.
   *
   * Operator coverage map (SURVEY.md §2.1 → query name):
-  *   S1/S3 scan+sink ......... every query (parquet in, parquet out)
-  *   P1 edge parse ........... edge_parse (text round-trip)
+  *   S1/S3 scan+sink ......... every query (parquet in, parquet out);
+  *                             reference text formats in sources.TextEdgeIO
+  *   S4 iteration chaining ... localCheckpoint loop (sssp_layered/lineitem)
+  *   P1/P2 parse ............. edge_parse; TextEdgeIO.readNodeState
   *   P3+A3+X1 reverse graph .. reverse_graph
   *   A1 adjacency build ...... build_adjacency
+  *   F1 header filter ........ edge_parse
   *   F2+M1+A2 one relax round  sssp_one_round
   *   C1+A4+C2 full SSSP ...... sssp_layered (oracle), sssp_lineitem (rows-only)
-  *   F1 header filter ........ edge_parse
-  *   joins/aggs/sort/limit ... q1_agg, join_revenue, topk_orders
+  *   X2 parallelism config ... Verify/Bench session builders
+  *   C3 config-as-parameter .. closure captures (source node literals)
+  *
+  * Relational breadth: q1_agg, join_revenue, topk_orders, window_rank,
+  * rollup_agg, set_ops, semi_anti_join.
+  * Graph extensions: connected_components, pagerank_fixed.
+  * North-star pipeline ops: dedup_{exact,minhash_lsh,simhash,
+  * ngram_jaccard,embedding_cosine}, ann_{brute_topk,lsh_topk,topk_agg},
+  * text_{lang_id,quality,token_count,fingerprint}, events_{tumbling,
+  * sliding,sessionize,json_agg}, multimodal_{features,decode};
+  * streaming counterparts in graft.streaming.StreamOps.
   */
 object SparkEntry {
 

@@ -172,58 +172,22 @@ object GraphOps {
       source: Long,
       maxRounds: Int = Int.MaxValue,
       relaxPerRound: Int = 2): DataFrame = {
-    val session = edges.sparkSession
-    val sc = session.sparkContext
-    // AQE partition coalescing rewrites the state's output partitioning
-    // into a coalesced form the next round's joins can't reuse, forcing a
-    // re-exchange of the checkpointed state every round. With stable
-    // 32-way hash partitioning the loop runs measurably faster; restore
-    // the caller's setting on exit.
-    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-    val prevCoalesce = session.conf.get(coalesceKey, "true")
-    session.conf.set(coalesceKey, "false")
     // One shuffle up front; every round's frontier⋈edges reuses it.
     val e = edges.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-
-    // Everything persisted before the loop (edges etc.) is off-limits for
-    // cleanup; loop-created checkpoints not minted in the current round
-    // are stale and freed eagerly.
-    val baselineIds = sc.getPersistentRDDs.keySet.toSet
-    var state = seedState(e, source).localCheckpoint(false)
-    // One action seeds the loop AND reads |V| for the Bellman-Ford bound
-    // (|V|−1 rounds suffice for non-negative weights).
-    val bound = math.min(maxRounds.toLong, math.max(1L, state.count() - 1L))
-    var rounds = 0L
-    var changed = 1L
-    while (changed > 0 && rounds < bound) {
-      val preRoundIds = sc.getPersistentRDDs.keySet.toSet
-      // `relaxPerRound` Bellman-Ford relaxations per materialization:
-      // driver-loop latency (job scheduling, plan analysis, checkpoint,
-      // counter read) dominates per-round cost on all but the densest
-      // frontiers, so batching relaxations between checkpoints nearly
-      // halves wall-clock. Convergence stays exact — a sub-round's
-      // updates are relaxed by the next sub-round inside the same plan,
-      // and the final sub-round's `updated` flags are the loop condition.
-      var next = state
-      var i = 0
-      while (i < relaxPerRound && rounds + i < bound) { next = ssspRound(next, e); i += 1 }
-      // lazy local checkpoint: the count() below is the single action of
-      // the round — it materializes the checkpoint AND reads the
-      // convergence counter (A4, the Hadoop-counter replacement).
-      state = next.localCheckpoint(false)
-      changed = state.filter(col("updated")).count()
-      rounds += i
-      // free earlier rounds' checkpointed blocks (the reference leaves
-      // every iteration's full state on HDFS, SingleSourceSP.java:513-517;
-      // keeping every round's checkpoint in executor memory would be the
-      // same leak).
-      val persisted = sc.getPersistentRDDs
-      val freshIds = persisted.keySet.toSet -- preRoundIds
-      (persisted.keySet.toSet -- baselineIds -- freshIds)
-        .foreach(id => persisted.get(id).foreach(_.unpersist(false)))
-    }
+    // `relaxPerRound`=2 Bellman-Ford relaxations per materialization:
+    // driver-loop latency (job scheduling, plan analysis, checkpoint,
+    // counter read) dominates per-round cost on all but the densest
+    // frontiers, so batching relaxations between checkpoints nearly
+    // halves wall-clock. Not more than 2: each un-checkpointed sub-round
+    // references the state twice (frontier + merge), so evaluation cost
+    // doubles per extra sub-round. Convergence stays exact — a
+    // sub-round's updates are relaxed by the next sub-round inside the
+    // same plan, and the final sub-round's `updated` flags are the loop
+    // condition.
+    val state =
+      iterateUntilConverged(seedState(e, source), maxRounds.toLong, relaxPerRound)(
+        ssspRound(_, e))
     e.unpersist()
-    session.conf.set(coalesceKey, prevCoalesce)
     membershipFilter(state)
   }
 
@@ -234,59 +198,94 @@ object GraphOps {
   def finalResult(state: DataFrame, source: Long): DataFrame =
     state.select(lit(source).as("source"), col("id"), col("dist"))
 
+  /** Shared driver-loop skeleton for iterate-until-converged algorithms.
+    *
+    * Runs `batch` step applications per materialization; each round does
+    * ONE action (a count of still-`updated` rows) which both materializes
+    * the lazy local checkpoint and reads the convergence counter (A4).
+    * Frees earlier rounds' checkpoint blocks; bounds the loop at
+    * min(maxRounds, seedCount−1); disables AQE partition coalescing for
+    * the loop's duration (coalesced output partitioning can't be reused
+    * by the next round's joins, forcing a state re-exchange per round)
+    * and restores the caller's setting on exit.
+    *
+    * The `updated` boolean column is the convergence contract: the loop
+    * stops when no row has it set.
+    */
+  private def iterateUntilConverged(
+      seed: DataFrame,
+      maxRounds: Long,
+      batch: Int)(step: DataFrame => DataFrame): DataFrame = {
+    val session = seed.sparkSession
+    val sc = session.sparkContext
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = session.conf.get(coalesceKey, "true")
+    session.conf.set(coalesceKey, "false")
+    try {
+      val baselineIds = sc.getPersistentRDDs.keySet.toSet
+      var state = seed.localCheckpoint(false)
+      val bound = math.min(maxRounds, math.max(1L, state.count() - 1L))
+      var rounds = 0L
+      var changed = 1L
+      while (changed > 0 && rounds < bound) {
+        val preRoundIds = sc.getPersistentRDDs.keySet.toSet
+        var next = state
+        var i = 0
+        while (i < batch && rounds + i < bound) { next = step(next); i += 1 }
+        state = next.localCheckpoint(false)
+        changed = state.filter(col("updated")).count()
+        rounds += i
+        // free earlier rounds' checkpointed blocks (the reference leaves
+        // every iteration's full state on HDFS, SingleSourceSP.java:513-517;
+        // keeping every round's checkpoint in executor memory would be
+        // the same leak)
+        val persisted = sc.getPersistentRDDs
+        val freshIds = persisted.keySet.toSet -- preRoundIds
+        (persisted.keySet.toSet -- baselineIds -- freshIds)
+          .foreach(id => persisted.get(id).foreach(_.unpersist(false)))
+      }
+      state
+    } finally session.conf.set(coalesceKey, prevCoalesce)
+  }
+
+  /** One min-label propagation round for [[connectedComponents]]. */
+  def ccRound(state: DataFrame, undirected: DataFrame): DataFrame = {
+    val frontier = state.filter(col("updated")).select(col("id"), col("lab")).alias("f")
+    val best = frontier
+      .join(undirected.alias("e"), col("f.id") === col("e.src"))
+      .select(col("e.dst").as("id"), col("f.lab").as("cand"))
+      .groupBy("id")
+      .agg(min(col("cand")).as("best"))
+    state
+      .join(best, Seq("id"), "left_outer")
+      .select(
+        col("id"),
+        least(col("lab"), coalesce(col("best"), col("lab"))).as("lab"),
+        (coalesce(col("best"), col("lab")) < col("lab")).as("updated"))
+  }
+
   /** Connected components over the UNDIRECTED closure of the edge list:
-    * iterative min-label propagation. Same loop skeleton as [[sssp]]
-    * (broadcastable per-round delta join + lazy localCheckpoint + count
-    * convergence); converges in O(diameter) rounds. Labels are node ids;
-    * each node ends with the minimum id in its component.
+    * iterative min-label propagation on the shared loop skeleton;
+    * converges in O(diameter) rounds. Labels are node ids; each node
+    * ends with the minimum id in its component.
     *
     * Not in the reference (its two programs are SSSP and transpose), but
     * the natural second consumer of the iterate-until-converged machinery.
     */
   def connectedComponents(edges: DataFrame, maxRounds: Int = Int.MaxValue): DataFrame = {
-    val session = edges.sparkSession
-    val sc = session.sparkContext
-    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-    val prevCoalesce = session.conf.get(coalesceKey, "true")
-    session.conf.set(coalesceKey, "false")
     val und = edges
       .select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val baselineIds = sc.getPersistentRDDs.keySet.toSet
-    var state = und
+    val seed = und
       .select(col("src").as("id"))
       .distinct()
       .withColumn("lab", col("id"))
       .withColumn("updated", lit(true))
-      .localCheckpoint(false)
-    val bound = math.min(maxRounds.toLong, math.max(1L, state.count() - 1L))
-    var rounds = 0L
-    var changed = 1L
-    while (changed > 0 && rounds < bound) {
-      val preRoundIds = sc.getPersistentRDDs.keySet.toSet
-      val frontier = state.filter(col("updated")).select(col("id"), col("lab")).alias("f")
-      val prop = frontier
-        .join(und.alias("e"), col("f.id") === col("e.src"))
-        .select(col("e.dst").as("id"), col("f.lab").as("cand"))
-      val best = prop.groupBy("id").agg(min(col("cand")).as("best"))
-      state = state
-        .join(best, Seq("id"), "left_outer")
-        .select(
-          col("id"),
-          least(col("lab"), coalesce(col("best"), col("lab"))).as("lab"),
-          (coalesce(col("best"), col("lab")) < col("lab")).as("updated"))
-        .localCheckpoint(false)
-      changed = state.filter(col("updated")).count()
-      rounds += 1
-      val persisted = sc.getPersistentRDDs
-      val freshIds = persisted.keySet.toSet -- preRoundIds
-      (persisted.keySet.toSet -- baselineIds -- freshIds)
-        .foreach(id => persisted.get(id).foreach(_.unpersist(false)))
-    }
+    val state =
+      iterateUntilConverged(seed, maxRounds.toLong, batch = 2)(ccRound(_, und))
     und.unpersist()
-    session.conf.set(coalesceKey, prevCoalesce)
     state.select(col("id"), col("lab").as("component"))
   }
 

@@ -104,6 +104,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("connectedComponents labels each component with its min id") {
+    val out = GraphOps
+      .connectedComponents(edgesDf(Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (9L, 7L, 1.0), (5L, 5L, 1.0))))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 7L -> 7L, 9L -> 7L, 5L -> 5L))
+  }
+
+  test("pagerankFixed is deterministic and mass-bounded") {
+    val edges = edgesDf(Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (1L, 3L, 1.0), (3L, 1L, 1.0)))
+    val a = GraphOps.pagerankFixed(edges, 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphOps.pagerankFixed(edges, 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b) // bit-identical across runs (integer arithmetic)
+    assert(a.values.forall(_ > 0))
+    assert(a.values.sum <= 1000000000000L) // truncation only loses mass
+    assert(a(1L) > a(2L)) // hub gets more rank than spokes
+  }
+
   test("parseEdgeLines drops header lines and parses fields") {
     import spark.implicits._
     val lines = Seq("# comment", "0 1 2 3.5", "1 2 3 1.0").toDF("line")
