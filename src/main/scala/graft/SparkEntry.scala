@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Parity
 import graft.model._
-import graft.operators.{Dedup, EventOps, GraphOps, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, EventOps, GraphOps, Multimodal, Similarity, SkewOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -249,6 +249,22 @@ object SparkEntry {
     "events_sessionize" -> ((s, d) =>
       EventOps.sessionize(events(s, d), gapMinutes = 30).orderBy(col("user_id"), col("session_id"))),
     "events_json_agg" -> ((s, d) => EventOps.jsonAgg(events(s, d)).orderBy(col("event_type"))),
+    "events_quantiles" -> ((s, d) =>
+      EventOps.quantiles(events(s, d)).orderBy(col("event_type"))),
+    "salted_agg" -> ((s, d) =>
+      SkewOps
+        .saltedCountSum(
+          events(s, d).withColumn(
+            "k",
+            regexp_extract(col("props"), "[0-9]+", 0).cast("long")),
+          col("event_type"),
+          col("k"),
+          pmod(col("event_id"), lit(8)))
+        .orderBy(col("key"))),
+    "text_tfidf" -> ((s, d) =>
+      TextOps.tfidf(docs(s, d)).orderBy(col("doc_id"), col("term"))),
+    "emb_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(embs(s, d)).orderBy(col("label"), col("dim"))),
     // multimodal plumbing (column-expressible projection; mapPartitions
     // path covered in MultimodalSpec)
     "multimodal_features" -> ((s, d) =>
@@ -567,6 +583,31 @@ object SparkEntry {
           |       min(k) AS min_k, max(k) AS max_k
           |FROM (SELECT event_type, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k FROM events)
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "events_quantiles" ->
+        """SELECT event_type,
+          |       round(quantile_cont(value, 0.5), 6) AS p50,
+          |       round(quantile_cont(value, 0.95), 6) AS p95,
+          |       count(*) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "salted_agg" ->
+        """SELECT event_type AS key, count(*) AS n,
+          |       CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_m
+          |FROM events GROUP BY event_type ORDER BY key""".stripMargin,
+      "text_tfidf" ->
+        s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+           |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |nn AS (SELECT count(*) AS n FROM documents)
+           |SELECT doc_id, term, tf, df,
+           |       round(tf * ln(CAST(nn.n AS DOUBLE) / df), 6) AS tfidf
+           |FROM tf JOIN dfx USING (term) CROSS JOIN nn
+           |ORDER BY doc_id, term""".stripMargin,
+      "emb_centroids" ->
+        """WITH d AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+          |SELECT label, CAST(t.i AS INT) AS dim,
+          |       round(avg(e[t.i]), 6) AS centroid, count(*) AS n
+          |FROM d CROSS JOIN range(1, 65) t(i)
+          |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
       "multimodal_features" ->
         s"""SELECT doc_id,
            |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

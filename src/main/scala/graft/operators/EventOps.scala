@@ -65,6 +65,19 @@ object EventOps {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** Exact interpolated quantiles of `value` per event type (Spark's
+    * `percentile`, the order-statistics exact form — not the approximate
+    * t-digest `approx_percentile`, whose sketch would never match an
+    * oracle).
+    */
+  def quantiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        count(lit(1)).as("n"))
+
   /** JSON property extraction + aggregation: pulls `$.k` out of the props
     * JSON column (Spark-native get_json_object — codegen'd path) and
     * aggregates per event type.

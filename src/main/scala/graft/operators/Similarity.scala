@@ -80,6 +80,21 @@ object Similarity {
       .toDF("q_id", "n_id", "cos", "rank")
   }
 
+  /** Per-label centroid of the embedding space, one row per (label, dim).
+    * posexplode keeps the dim index; the aggregation is a plain hash avg
+    * (map-side partial). Output rounded — a distributed double sum is
+    * order-nondeterministic at the last ulp by nature; 6-decimal rounding
+    * is ~10^7 ulps wide at these magnitudes.
+    */
+  def labelCentroids(embs: DataFrame): DataFrame =
+    asDoubleWithLabel(embs)
+      .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(round(avg(col("v")), 6).as("centroid"), count(lit(1)).as("n"))
+
+  private def asDoubleWithLabel(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+
   /** Corpus bucketing: sign-of-projection bucket over NPlanes hyperplanes. */
   def buckets(embs: DataFrame): DataFrame =
     asDouble(embs).select(

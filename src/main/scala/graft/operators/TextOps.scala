@@ -78,6 +78,25 @@ object TextOps {
       regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("n_bpe_tokens"),
       length(col("text")).cast("long").as("n_chars_actual"))
 
+  /** TF-IDF over the document corpus: term frequency per (doc, term),
+    * document frequency per term, idf = ln(N/df). Two hash aggregations,
+    * both map-side-partial; the corpus size N enters as a runtime scalar
+    * (broadcast literal at 100 TB, a scalar subquery in the oracle).
+    */
+  def tfidf(docs: DataFrame): DataFrame = {
+    val n = docs.count()
+    val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .select(
+        col("doc_id"),
+        col("term"),
+        col("tf"),
+        col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+  }
+
   /** Document fingerprinting: two independent rolling polynomial hashes of
     * the full text plus their 40-bit concatenation — the content-addressed
     * identity used by exact dedup at scale.
