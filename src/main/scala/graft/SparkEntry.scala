@@ -72,6 +72,16 @@ object SparkEntry {
     GraphOps.finalResult(GraphOps.sssp(GraphSource.lineitemEdges(s, dir), 1L), 1L)
       .orderBy(col("id"))
 
+  /** Two-round-bounded SSSP on the big graph — same loop, same membership
+    * semantics, but with a finite unrolled SQL oracle (the fully
+    * converged run on this graph keeps its rows-only check; the bounded
+    * variant proves the loop body itself against DuckDB at lineitem
+    * scale).
+    */
+  private def ssspLineitemBounded(s: SparkSession, dir: String): DataFrame =
+    GraphOps.finalResult(GraphOps.sssp(GraphSource.lineitemEdges(s, dir), 1L, maxRounds = 2), 1L)
+      .orderBy(col("id"))
+
   private def connectedComponents(s: SparkSession, dir: String): DataFrame =
     GraphOps.connectedComponents(GraphSource.layeredEdges(s, dir)).orderBy(col("id"))
 
@@ -202,6 +212,7 @@ object SparkEntry {
     "sssp_one_round" -> (ssspOneRound _),
     "sssp_layered" -> (ssspLayered _),
     "sssp_lineitem" -> (ssspLineitem _),
+    "sssp_two_rounds" -> (ssspLineitemBounded _),
     "edge_parse" -> (edgeParse _),
     "connected_components" -> (connectedComponents _),
     "pagerank_fixed" -> (pagerank _),
@@ -309,6 +320,31 @@ object SparkEntry {
          |       coalesce(b.dist, 65535.0) AS dist
          |FROM nodes n FULL OUTER JOIN best b ON n.id = b.id
          |ORDER BY id""".stripMargin,
+    "sssp_two_rounds" ->
+      s"""WITH edges AS (${GraphSource.lineitemEdgesSql}),
+         |v AS (SELECT id, CAST(max(is_src) AS BOOLEAN) AS is_src FROM (
+         |        SELECT src AS id, TRUE AS is_src FROM edges
+         |        UNION ALL SELECT dst, FALSE FROM edges) GROUP BY id),
+         |s0 AS (SELECT id, is_src,
+         |              CASE WHEN id = 1 THEN CAST(0.0 AS DOUBLE) ELSE 65535.0 END AS dist
+         |       FROM v),
+         |b1 AS (SELECT e.dst AS id, min(s.dist + e.w) AS best
+         |       FROM s0 s JOIN edges e ON e.src = s.id WHERE s.dist <> 65535.0
+         |       GROUP BY e.dst),
+         |s1 AS (SELECT s.id, s.is_src,
+         |              least(s.dist, coalesce(b.best, 65535.0)) AS dist,
+         |              coalesce(b.best, 65535.0) < s.dist AS updated,
+         |              b.best IS NOT NULL AS reached
+         |       FROM s0 s LEFT JOIN b1 b ON b.id = s.id),
+         |b2 AS (SELECT e.dst AS id, min(s.dist + e.w) AS best
+         |       FROM s1 s JOIN edges e ON e.src = s.id
+         |       WHERE s.updated AND s.dist <> 65535.0 GROUP BY e.dst),
+         |s2 AS (SELECT s.id, s.is_src,
+         |              least(s.dist, coalesce(b.best, 65535.0)) AS dist,
+         |              (s.reached OR b.best IS NOT NULL) AS reached
+         |       FROM s1 s LEFT JOIN b2 b ON b.id = s.id)
+         |SELECT CAST(1 AS BIGINT) AS source, id, dist FROM s2
+         |WHERE is_src OR reached ORDER BY id""".stripMargin,
     "edge_parse" ->
       """WITH lines AS (
         |  SELECT l_linenumber::VARCHAR || ' ' || l_orderkey::VARCHAR || ' ' ||
