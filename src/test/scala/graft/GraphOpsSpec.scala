@@ -104,6 +104,15 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("sssp on an empty edge list returns an empty result") {
+    assert(GraphOps.sssp(edgesDf(Seq.empty), 1L).count() === 0)
+  }
+
+  test("sssp with a source absent from the graph returns INF for all sources") {
+    val d = ssspMap(Seq((5L, 6L, 1.0)), 99L)
+    assert(d === Map(5L -> INF))
+  }
+
   test("connectedComponents labels each component with its min id") {
     val out = GraphOps
       .connectedComponents(edgesDf(Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (9L, 7L, 1.0), (5L, 5L, 1.0))))
