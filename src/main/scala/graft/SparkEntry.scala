@@ -262,6 +262,26 @@ object SparkEntry {
     "events_json_agg" -> ((s, d) => EventOps.jsonAgg(events(s, d)).orderBy(col("event_type"))),
     "events_quantiles" -> ((s, d) =>
       EventOps.quantiles(events(s, d)).orderBy(col("event_type"))),
+    "events_asof" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(expr("max_by(value, event_id)").as("click_value"))
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      operators.AsOfJoin
+        .asOfLeftWithTs(purchases, clicks, "user_id", "ts", Seq("click_value"))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("pts"),
+          col("value"),
+          col("asof_click_value").as("click_value"),
+          date_format(col("asof___rts"), "yyyy-MM-dd HH:mm:ss").as("cts"))
+        .orderBy(col("event_id"))
+    }),
     "salted_agg" -> ((s, d) =>
       SkewOps
         .saltedCountSum(
@@ -625,6 +645,14 @@ object SparkEntry {
           |       round(quantile_cont(value, 0.95), 6) AS p95,
           |       count(*) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "events_asof" ->
+        s"""WITH c AS (SELECT user_id, ts, arg_max(value, event_id) AS click_value
+           |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+           |p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+           |SELECT p.event_id, p.user_id, strftime(p.ts, $fmt) AS pts, p.value,
+           |       c.click_value AS click_value, strftime(c.ts, $fmt) AS cts
+           |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+           |ORDER BY p.event_id""".stripMargin,
       "salted_agg" ->
         """SELECT event_type AS key, count(*) AS n,
           |       CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_m

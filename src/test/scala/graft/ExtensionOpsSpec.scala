@@ -120,6 +120,24 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out === Map((7L, 1L) -> 2L, (7L, 2L) -> 1L, (8L, 1L) -> 1L))
   }
 
+  test("asOfJoin matches each left row to the latest prior right row") {
+    import graft.operators.AsOfJoin
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val left = Seq((1L, 7L, ts(10), 100.0), (2L, 7L, ts(30), 200.0), (3L, 8L, ts(5), 300.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = Seq((7L, ts(8), 1.5), (7L, ts(25), 2.5), (9L, ts(1), 9.9))
+      .toDF("user_id", "ts", "click_value")
+    val out = AsOfJoin
+      .asOfLeftWithTs(left, right, "user_id", "ts", Seq("click_value"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[Any]("asof_click_value")), Option(r.getAs[Any]("asof___rts"))))
+      .toMap
+    assert(out(1L)._1 === Some(1.5)) // latest click ≤ t10 is t8
+    assert(out(2L)._1 === Some(2.5)) // latest click ≤ t30 is t25
+    assert(out(3L)._1 === None) // user 8 has no clicks → null
+  }
+
   test("multimodal mapPartitions decode with deterministic fake decoder") {
     val d = docsDf(Seq((1L, "abcd", "en"))).select(col("doc_id"), col("text"))
     val media = Multimodal.asMediaTable(d)
