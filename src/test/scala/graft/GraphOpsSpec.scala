@@ -69,6 +69,14 @@ class GraphOpsSpec extends SparkSpec {
     assert(d(4L) === 3.0)
   }
 
+  test("sssp: path sums above the INF sentinel stay invisible (Q2)") {
+    // reference gate compares == 65535.0 exactly; a candidate above the
+    // sentinel loses the min and the node reads as unreachable
+    val d = ssspMap(Seq((1L, 2L, 70000.0)), 1L)
+    assert(d(2L) === INF) // reached (emitted) but distance capped at the sentinel
+    assert(d(1L) === 0.0)
+  }
+
   test("sssp: self-loops and cycles converge") {
     val d = ssspMap(
       Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (2L, 3L, 2.0), (3L, 1L, 1.0)),
