@@ -215,6 +215,8 @@ object SparkEntry {
     "sssp_two_rounds" -> (ssspLineitemBounded _),
     "edge_parse" -> (edgeParse _),
     "connected_components" -> (connectedComponents _),
+    "triangle_count" -> ((s, d) =>
+      GraphOps.triangleCount(GraphSource.lineitemEdges(s, d))),
     "pagerank_fixed" -> (pagerank _),
     "multimodal_decode" -> (multimodalDecode _),
     "q1_agg" -> (q1Agg _),
@@ -384,6 +386,14 @@ object SparkEntry {
          |  SELECT u.dst, r.lab FROM reach r JOIN und u ON u.src = r.id
          |)
          |SELECT id, min(lab) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "triangle_count" ->
+      s"""WITH edges AS (${GraphSource.lineitemEdgesSql}),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM edges WHERE src <> dst)
+         |SELECT (SELECT count(*) FROM und) AS n_und_edges,
+         |       (SELECT count(*) FROM und e1
+         |        JOIN und e2 ON e2.a = e1.b
+         |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin,
     "pagerank_fixed" -> {
       def iter(prev: String, k: Int): String =
         s"""r$k AS (

@@ -326,6 +326,26 @@ object GraphOps {
     rank.select(col("id"), col("pr"))
   }
 
+  /** Global triangle count over the undirected simple graph (dedup'd,
+    * self-loops dropped). Ordered-triple join (a<b<c): each edge stored
+    * once with a<b, triangles counted exactly once — the join-based
+    * formulation whose shuffles are all on single node-id keys (AQE
+    * handles the skewed high-degree centers). Returns one row:
+    * (n_und_edges, n_triangles).
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = und.alias("e1")
+      .join(und.alias("e2"), col("e1.b") === col("e2.a"))
+      .join(und.alias("e3"), col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    und.agg(count(lit(1)).as("n_und_edges")).crossJoin(tri)
+  }
+
   /** Parse whitespace-delimited edge lines `"id from to w"` into the edge
     * schema, dropping the edge-id column and non-digit-initial header
     * lines.

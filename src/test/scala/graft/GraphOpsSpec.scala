@@ -130,6 +130,16 @@ class GraphOpsSpec extends SparkSpec {
     assert(out === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 7L -> 7L, 9L -> 7L, 5L -> 5L))
   }
 
+  test("triangleCount counts each triangle once, ignores dups and self-loops") {
+    // K4 on {1,2,3,4} = 4 triangles; plus a self-loop and a parallel edge
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b, 1.0)
+    val r = GraphOps
+      .triangleCount(edgesDf(k4 ++ Seq((2L, 1L, 9.0), (3L, 3L, 1.0))))
+      .collect()(0)
+    assert(r.getLong(0) === 6L) // K4 edges, dedup'd
+    assert(r.getLong(1) === 4L)
+  }
+
   test("pagerankFixed is deterministic and mass-bounded") {
     val edges = edgesDf(Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (1L, 3L, 1.0), (3L, 1L, 1.0)))
     val a = GraphOps.pagerankFixed(edges, 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
