@@ -138,6 +138,21 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out(3L)._1 === None) // user 8 has no clicks → null
   }
 
+  test("saltedCountSum equals direct groupBy on a pathologically skewed key") {
+    import graft.operators.SkewOps
+    import org.apache.spark.sql.functions.{col, pmod}
+    // 10k rows on one hot key, 10 on another
+    val rows = (1L to 10000L).map(i => ("hot", i)) ++ (1L to 10L).map(i => ("cold", i))
+    val df = rows.toDF("k", "v")
+    val salted = SkewOps
+      .saltedCountSum(df, col("k"), col("v"), pmod(col("v"), org.apache.spark.sql.functions.lit(16)))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(salted("hot") === ((10000L, 10000L * 10001L / 2)))
+    assert(salted("cold") === ((10L, 55L)))
+  }
+
   test("multimodal mapPartitions decode with deterministic fake decoder") {
     val d = docsDf(Seq((1L, "abcd", "en"))).select(col("doc_id"), col("text"))
     val media = Multimodal.asMediaTable(d)

@@ -44,6 +44,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.contains((7L, at(60).getTime, 1L, 5.0))) // timeout-closed
   }
 
+  test("streaming sliding agg equals batch sliding agg at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = EventOps
+      .sliding(model.eventsTable(spark, dir))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val staged = java.nio.file.Files.createTempDirectory("stream-events-sliding")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = EventOps
+      .sliding(StreamOps.readEventStream(spark, staged.toString).withWatermark("ts", "20 minutes"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("sliding_parity_test")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sliding_parity_test")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming tumbling agg equals batch tumbling agg at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventOps
