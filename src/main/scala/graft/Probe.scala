@@ -1,7 +1,5 @@
 package graft
-
 import org.apache.spark.sql.SparkSession
-
 /** Scratch dev probe main — content changes as needed during profiling. */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -13,16 +11,14 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.operators.GraphOps
-
     for {
-      coalesce <- Seq("true", "false", "true", "false")
+      name <- Seq("sssp_lineitem", "connected_components", "sssp_layered", "sssp_two_rounds")
+      rep <- 1 to 2
     } {
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
-      val edges = GraphSource.lineitemEdges(spark, "/root/testdata/sf0.1")
       val t0 = System.nanoTime()
-      val n = GraphOps.sssp(edges, 1L).count()
-      println(s"[probe] coalesce=$coalesce rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
+      val n = SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").count()
+      spark.catalog.clearCache()
+      println(f"[probe] $name rep=$rep rows=$n sec=${(System.nanoTime() - t0) / 1e9}%6.2f")
     }
     spark.stop()
   }

@@ -154,12 +154,14 @@ object GraphOps {
     * Reference: the driver loop at `SingleSourceSP.java:439-519` submits
     * one full MR job per round, round-tripping the entire node state
     * through HDFS (`:513-517`) and reading a Hadoop counter for
-    * convergence (`:473-479`). Here the loop lives in the driver over
-    * cached DataFrames; `localCheckpoint` truncates lineage each round
-    * (otherwise plan analysis blows up ~20 rounds in, SURVEY.md §4.3);
-    * convergence is `count()` on the checkpointed state — deterministic,
-    * unlike accumulators in transformations, and it doubles as the
-    * materialization action.
+    * convergence (`:473-479`). Here the loop is the incremental
+    * [[deltaLoop]]: per round only the small per-round delta (the
+    * frontier's out-neighborhood) is shuffled, checkpointed, and counted;
+    * the full |V|-row state is rewritten only at periodic fold points —
+    * the property that makes long-tail convergence (many rounds, tiny
+    * frontiers, exactly what a power-law graph produces at scale)
+    * affordable. Loop shuffle parallelism scales with the edge count
+    * ([[loopPartitions]]).
     *
     * `maxRounds` bounds the loop at |V|−1 (Bellman-Ford guarantee for
     * non-negative weights) as a safety net against pathological input.
@@ -170,25 +172,60 @@ object GraphOps {
   def sssp(
       edges: DataFrame,
       source: Long,
-      maxRounds: Int = Int.MaxValue,
-      relaxPerRound: Int = 2): DataFrame = {
-    // One shuffle up front; every round's frontier⋈edges reuses it.
-    val e = edges.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    // `relaxPerRound`=2 Bellman-Ford relaxations per materialization:
-    // driver-loop latency (job scheduling, plan analysis, checkpoint,
-    // counter read) dominates per-round cost on all but the densest
-    // frontiers, so batching relaxations between checkpoints nearly
-    // halves wall-clock. Not more than 2: each un-checkpointed sub-round
-    // references the state twice (frontier + merge), so evaluation cost
-    // doubles per extra sub-round. Convergence stays exact — a
-    // sub-round's updates are relaxed by the next sub-round inside the
-    // same plan, and the final sub-round's `updated` flags are the loop
-    // condition.
-    val state =
-      iterateUntilConverged(seedState(e, source), maxRounds.toLong, relaxPerRound)(
-        ssspRound(_, e))
-    e.unpersist()
-    membershipFilter(state)
+      maxRounds: Int = Int.MaxValue): DataFrame = {
+    val session = edges.sparkSession
+    // Parquet count() is metadata-only — no data pass even at 100 TB.
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      // One shuffle up front; every round's frontier⋈edges reuses it.
+      val e = edges.repartition(parts, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      // Materialize the edge cache before patchLoop snapshots persisted-RDD
+      // ids, so loop cleanup can never evict it mid-iteration.
+      e.count()
+      // The base table drops `updated`: between-round frontier membership
+      // lives in the patch alone. Seed patch = the one finite-dist row
+      // (the source, when it is a vertex); Q5's everyone-updated first
+      // round is semantically identical because only dist≠INF rows relax.
+      val state = patchLoop(
+        seedState(e, source).drop("updated"),
+        b =>
+          b.filter(col("dist") =!= INF)
+            .select(col("id"), col("dist").as("p_val"), lit(true).as("p_upd"), lit(false).as("p_rch")),
+        valCol = "dist",
+        trackReached = true,
+        maxRounds.toLong)(ssspDelta(_, _, e))
+      e.unpersist(false)
+      membershipFilter(state)
+    }
+  }
+
+  /** One relaxation round in delta form: only the rows that RECEIVE a
+    * message this round, with their improved distance (null when the
+    * message does not improve — those rows still matter: first contact
+    * sets `reached`, SURVEY.md Q2/Q4). Same semantics as [[ssspRound]],
+    * proven by the shared oracle queries; the difference is purely
+    * physical — per-round cost is O(frontier out-neighborhood), not O(|V|).
+    *
+    * Exchange audit (the plan you want at 100 TB): the frontier comes
+    * from the small patch (hash-partitioned on id), edges are
+    * pre-partitioned on src → the relax join needs NO exchange; the
+    * min-combine shuffles only the candidate messages; the dist-compare
+    * join streams the state exactly once (no exchange — AQE broadcasts
+    * the small best side).
+    */
+  def ssspDelta(cur: DataFrame, frontier: DataFrame, edges: DataFrame): DataFrame = {
+    val f = frontier.filter(col("dist") =!= INF).alias("f")
+    val best = f
+      .join(edges.alias("e"), col("f.id") === col("e.src"))
+      .select(col("e.dst").as("id"), (col("f.dist") + col("e.w")).as("cand"))
+      .groupBy("id")
+      .agg(min(col("cand")).as("best"))
+    cur
+      .select(col("id"), col("dist"))
+      .alias("s")
+      .join(best.alias("b"), Seq("id"))
+      .select(col("id"), when(col("b.best") < col("s.dist"), col("b.best")).as("newval"))
+      .withColumn("improved", col("newval").isNotNull)
   }
 
   /** Final-result projection (the reference's `JobSeq=Last` pass,
@@ -198,74 +235,203 @@ object GraphOps {
   def finalResult(state: DataFrame, source: Long): DataFrame =
     state.select(lit(source).as("source"), col("id"), col("dist"))
 
-  /** Shared driver-loop skeleton for iterate-until-converged algorithms.
-    *
-    * Runs `batch` step applications per materialization; each round does
-    * ONE action (a count of still-`updated` rows) which both materializes
-    * the lazy local checkpoint and reads the convergence counter (A4).
-    * Frees earlier rounds' checkpoint blocks; bounds the loop at
-    * min(maxRounds, seedCount−1); disables AQE partition coalescing for
-    * the loop's duration (coalesced output partitioning can't be reused
-    * by the next round's joins, forcing a state re-exchange per round)
-    * and restores the caller's setting on exit.
-    *
-    * The `updated` boolean column is the convergence contract: the loop
-    * stops when no row has it set.
+  /** Never broadcast a patch above this many rows, whatever the
+    * fold-fraction says — a driver is not sized for gigarow builds.
     */
-  private def iterateUntilConverged(
-      seed: DataFrame,
-      maxRounds: Long,
-      batch: Int)(step: DataFrame => DataFrame): DataFrame = {
-    val session = seed.sparkSession
-    val sc = session.sparkContext
-    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-    val prevCoalesce = session.conf.get(coalesceKey, "true")
-    session.conf.set(coalesceKey, "false")
-    try {
-      val baselineIds = sc.getPersistentRDDs.keySet.toSet
-      var state = seed.localCheckpoint(false)
-      val bound = math.min(maxRounds, math.max(1L, state.count() - 1L))
-      var rounds = 0L
-      var changed = 1L
-      while (changed > 0 && rounds < bound) {
-        val preRoundIds = sc.getPersistentRDDs.keySet.toSet
-        var next = state
-        var i = 0
-        while (i < batch && rounds + i < bound) { next = step(next); i += 1 }
-        state = next.localCheckpoint(false)
-        changed = state.filter(col("updated")).count()
-        rounds += i
-        // free earlier rounds' checkpointed blocks (the reference leaves
-        // every iteration's full state on HDFS, SingleSourceSP.java:513-517;
-        // keeping every round's checkpoint in executor memory would be
-        // the same leak)
-        val persisted = sc.getPersistentRDDs
-        val freshIds = persisted.keySet.toSet -- preRoundIds
-        (persisted.keySet.toSet -- baselineIds -- freshIds)
-          .foreach(id => persisted.get(id).foreach(_.unpersist(false)))
-      }
-      state
-    } finally session.conf.set(coalesceKey, prevCoalesce)
+  private val BroadcastRowCap = 4000000L
+
+  /** Loop shuffle parallelism: ≈100k edges per partition, floor 4,
+    * capped at the session's configured shuffle partitions. At cluster
+    * scale the cap always wins (the configured parallelism is sized to
+    * the data); locally this stops a 15k-row state from paying 32-task
+    * scheduling overhead per round — the dominant cost of small
+    * iterative graphs.
+    */
+  private def loopPartitions(
+      session: org.apache.spark.sql.SparkSession,
+      nEdges: Long): Int = {
+    val configured = session.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    math.max(4, math.min(configured, (nEdges / 100000L + 1L).toInt))
   }
 
-  /** One min-label propagation round for [[connectedComponents]]. */
-  def ccRound(state: DataFrame, undirected: DataFrame): DataFrame = {
-    val frontier = state.filter(col("updated")).select(col("id"), col("lab")).alias("f")
-    val best = frontier
+  /** Run `body` with loop-tuned session confs — shuffle parallelism set
+    * to `parts`, AQE partition coalescing off (a coalesced output
+    * partitioning can't be reused by the next round's joins, which would
+    * force a state re-exchange per round) — restoring the caller's confs
+    * on exit. AQE itself stays on: its runtime broadcast conversion is
+    * what keeps the per-round merge exchange-free.
+    */
+  private def withLoopConfs[A](session: org.apache.spark.sql.SparkSession, parts: Int)(
+      body: => A): A = {
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevShuffle = session.conf.get(shuffleKey, "200")
+    val prevCoalesce = session.conf.get(coalesceKey, "true")
+    session.conf.set(shuffleKey, parts.toString)
+    session.conf.set(coalesceKey, "false")
+    try body
+    finally {
+      session.conf.set(shuffleKey, prevShuffle)
+      session.conf.set(coalesceKey, prevCoalesce)
+    }
+  }
+
+  /** Shared incremental driver loop for iterate-until-converged graph
+    * algorithms (C1/A4 of the reference, `SingleSourceSP.java:439-519`,
+    * re-engineered for scale).
+    *
+    * State is base ⟕ patch: `base` is the full |V|-row table, rewritten
+    * ONLY at fold points; `patch` is the small table of rows touched
+    * since the last fold (improved value, this-round `p_upd` frontier
+    * flag, optional `p_rch` first-contact mark). Per round:
+    *
+    *   frontier = patch.filter(p_upd)            — no |V| scan at all
+    *   delta    = mkDelta(current, frontier)     — algorithm step; rows
+    *              keyed by id with `newval` (null = no improvement) and
+    *              boolean `improved`
+    *   patch'   = patch ⟗ delta                  — small ⟗ small, then
+    *              checkpointed; ONE agg materializes it and reads both
+    *              the convergence counter (the reference's Hadoop
+    *              counter, `:473-479`) and the patch size
+    *
+    * The plan depth is CONSTANT per round (one broadcast probe over the
+    * base checkpoint — deep lazy merge chains make Catalyst's optimizer
+    * cost explode exponentially, measured 2.4×/round). Long-tail
+    * convergence (hundreds of rounds, tiny frontiers — what a power-law
+    * graph produces at scale) costs O(patch) per round, not O(|V|); the
+    * total fold cost is amortized O(touched rows × 8 / |V|) full
+    * rewrites for the whole run.
+    *
+    * Superseded base/patch checkpoint blocks are freed as soon as their
+    * replacement is materialized (the reference instead leaves every
+    * iteration's full state on HDFS, `SingleSourceSP.java:513-517`).
+    * The loop is bounded by min(maxRounds, |V|−1).
+    */
+  private def patchLoop(
+      base0: DataFrame,
+      seedPatch: DataFrame => DataFrame,
+      valCol: String,
+      trackReached: Boolean,
+      maxRounds: Long)(mkDelta: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val sc = base0.sparkSession.sparkContext
+    def persistedIds = sc.getPersistentRDDs.keySet.toSet
+    def free(ids: Set[Int]): Unit = {
+      val persisted = sc.getPersistentRDDs
+      ids.foreach(id => persisted.get(id).foreach(_.unpersist(false)))
+    }
+    def ckptAfter[A](pre: Set[Int])(materialize: => A): (A, Set[Int]) = {
+      val a = materialize
+      (a, persistedIds -- pre)
+    }
+
+    // current full state view: base overlaid with the patch
+    def currentState(b: DataFrame, p: DataFrame, pRows: Long): DataFrame = {
+      val pSide = if (pRows < BroadcastRowCap) broadcast(p) else p
+      val passthrough = b.columns.filterNot(c => c == valCol || c == "reached").map(col)
+      val reached =
+        if (trackReached)
+          Seq((coalesce(col("reached"), lit(false)) || coalesce(col("p_rch"), lit(false)))
+            .as("reached"))
+        else Nil
+      b.join(pSide, Seq("id"), "left_outer")
+        .select(
+          passthrough ++ reached ++ Seq(
+            coalesce(col("p_val"), col(valCol)).as(valCol),
+            coalesce(col("p_upd"), lit(false)).as("updated")): _*)
+    }
+
+    // Eager checkpoints (the materialization doubles as the round's
+    // work-horse job; measured faster than lazy + counting action), and
+    // dropOriginStats after EVERY checkpoint: without it the size-only
+    // estimator's sizeInBytes doubles its bit-length per round (see
+    // CheckpointBridge) and the driver dies in BigInt math by round ~16.
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+    var pre = persistedIds
+    var base = ckpt(base0)
+    val (nV, baseIds0) = ckptAfter(pre)(base.count())
+    var baseLive = baseIds0
+    pre = persistedIds
+    var patch = ckpt(seedPatch(base))
+    val (patchRows0, patchIds0) = ckptAfter(pre)(patch.count())
+    var patchLive = patchIds0
+    var patchRows = patchRows0
+
+    val bound = math.min(maxRounds, math.max(1L, nV - 1L))
+    val foldRows = math.max(1000L, nV / 8L)
+    var rounds = 0L
+    var changed = 1L
+    val debug = sys.env.contains("GRAFT_LOOP_DEBUG")
+    while (changed > 0 && rounds < bound) {
+      val tRound = System.nanoTime()
+      val frontier = patch.filter(col("p_upd")).select(col("id"), col("p_val").as(valCol))
+      val delta = mkDelta(currentState(base, patch, patchRows), frontier)
+      val reachedCols =
+        if (trackReached)
+          Seq((coalesce(col("p_rch"), lit(false)) || col("improved").isNotNull).as("p_rch"))
+        else Nil
+      pre = persistedIds
+      val pNewPlan = patch
+        .join(delta, Seq("id"), "full_outer")
+        .select(
+          Seq(
+            col("id"),
+            coalesce(col("newval"), col("p_val")).as("p_val"),
+            coalesce(col("improved"), lit(false)).as("p_upd")) ++ reachedCols: _*)
+      val pNew = ckpt(pNewPlan)
+      val (row, pNewIds) =
+        ckptAfter(pre)(pNew.agg(count(lit(1)), count_if(col("p_upd"))).head())
+      patchRows = row.getLong(0)
+      changed = row.getLong(1)
+      rounds += 1
+      if (patchRows >= foldRows) {
+        // fold: rewrite base with the patch applied, shrink the patch to
+        // the still-updated frontier rows
+        pre = persistedIds
+        val base2 = ckpt(currentState(base, pNew, patchRows).drop("updated"))
+        val (_, base2Ids) = ckptAfter(pre)(base2.count())
+        pre = persistedIds
+        val patch2 = ckpt(pNew.filter(col("p_upd")))
+        val (_, patch2Ids) = ckptAfter(pre)(patch2.count())
+        free(baseLive ++ patchLive ++ pNewIds)
+        base = base2
+        baseLive = base2Ids
+        patch = patch2
+        patchLive = patch2Ids
+        patchRows = changed
+      } else {
+        free(patchLive)
+        patch = pNew
+        patchLive = pNewIds
+      }
+      if (debug)
+        System.err.println(
+          f"[patchLoop] round=$rounds%3d changed=$changed%7d patchRows=$patchRows%7d " +
+            f"sec=${(System.nanoTime() - tRound) / 1e9}%5.2f")
+    }
+    currentState(base, patch, patchRows)
+  }
+
+  /** One min-label propagation round for [[connectedComponents]], in
+    * delta form: only the rows whose label improves this round.
+    */
+  def ccDelta(cur: DataFrame, frontier: DataFrame, undirected: DataFrame): DataFrame = {
+    val f = frontier.alias("f")
+    val best = f
       .join(undirected.alias("e"), col("f.id") === col("e.src"))
       .select(col("e.dst").as("id"), col("f.lab").as("cand"))
       .groupBy("id")
       .agg(min(col("cand")).as("best"))
-    state
-      .join(best, Seq("id"), "left_outer")
-      .select(
-        col("id"),
-        least(col("lab"), coalesce(col("best"), col("lab"))).as("lab"),
-        (coalesce(col("best"), col("lab")) < col("lab")).as("updated"))
+    cur
+      .select(col("id"), col("lab"))
+      .alias("s")
+      .join(best.alias("b"), Seq("id"))
+      .filter(col("b.best") < col("s.lab"))
+      .select(col("id"), col("b.best").as("newval"), lit(true).as("improved"))
   }
 
   /** Connected components over the UNDIRECTED closure of the edge list:
-    * iterative min-label propagation on the shared loop skeleton;
+    * iterative min-label propagation on the shared incremental loop;
     * converges in O(diameter) rounds. Labels are node ids; each node
     * ends with the minimum id in its component.
     *
@@ -273,20 +439,28 @@ object GraphOps {
     * the natural second consumer of the iterate-until-converged machinery.
     */
   def connectedComponents(edges: DataFrame, maxRounds: Int = Int.MaxValue): DataFrame = {
-    val und = edges
-      .select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val seed = und
-      .select(col("src").as("id"))
-      .distinct()
-      .withColumn("lab", col("id"))
-      .withColumn("updated", lit(true))
-    val state =
-      iterateUntilConverged(seed, maxRounds.toLong, batch = 2)(ccRound(_, und))
-    und.unpersist()
-    state.select(col("id"), col("lab").as("component"))
+    val session = edges.sparkSession
+    val parts = loopPartitions(session, edges.count() * 2)
+    withLoopConfs(session, parts) {
+      val und = edges
+        .select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      und.count()
+      // CC starts with EVERY node in the frontier (each proposes its own
+      // label), so the seed patch is |V| rows and the first round folds —
+      // by design; from round 2 on the patch is the shrinking update set.
+      val base0 = und.select(col("src").as("id")).distinct().withColumn("lab", col("id"))
+      val state = patchLoop(
+        base0,
+        b => b.select(col("id"), col("lab").as("p_val"), lit(true).as("p_upd")),
+        valCol = "lab",
+        trackReached = false,
+        maxRounds.toLong)(ccDelta(_, _, und))
+      und.unpersist(false)
+      state.select(col("id"), col("lab").as("component"))
+    }
   }
 
   /** Fixed-point (integer-scaled) PageRank, `iters` rounds, damping 0.85.

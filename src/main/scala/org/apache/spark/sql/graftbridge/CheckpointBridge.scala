@@ -1,0 +1,45 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Statistics hygiene for checkpoint-based iterative loops.
+  *
+  * Spark 4's `Dataset.localCheckpoint` wraps the checkpointed RDD in a
+  * `LogicalRDD` that CARRIES OVER the origin plan's estimated statistics
+  * (`originStats`). In an iterative driver loop that is a time bomb: the
+  * size-only estimator multiplies child `sizeInBytes` at every join, so a
+  * state built from k checkpointed generations carries a size estimate
+  * whose BigInt bit-length DOUBLES per round — by round 20 the driver
+  * spends minutes in Karatsuba multiplication inside
+  * `LogicalPlan.stats` (measured: 92-million-bit sizeInBytes, 97 s/round
+  * of pure driver CPU, executors idle).
+  *
+  * This shim rebuilds the checkpointed frame as a fresh `LogicalRDD`
+  * with NO origin stats (falling back to the conf default size) while
+  * preserving the output attributes, the RDD, its partitioning, and its
+  * ordering — so joins planned against the checkpoint still avoid
+  * re-exchanges, and AQE still sees true sizes at runtime.
+  *
+  * Lives in the `org.apache.spark.sql` namespace because `LogicalRDD`
+  * and `Dataset.ofRows` are `private[sql]` — same technique as
+  * [[ColumnBridge]].
+  */
+object CheckpointBridge {
+  def dropOriginStats(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD =>
+        val session = df.sparkSession.asInstanceOf[ClassicSession]
+        ClassicDataset.ofRows(
+          session,
+          new LogicalRDD(
+            l.output,
+            l.rdd,
+            l.outputPartitioning,
+            l.outputOrdering,
+            l.isStreaming,
+            l.stream)(session, None, None))
+      case _ => df
+    }
+}
