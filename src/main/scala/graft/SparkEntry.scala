@@ -238,6 +238,8 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs(s, d)).orderBy(col("doc_a"), col("doc_b"))),
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingNearDups(embs(s, d), minCosine = 0.3).orderBy(col("vec_a"), col("vec_b"))),
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(docs(s, d), Dedup.minhashCandidates(docs(s, d))).orderBy(col("doc_id"))),
     // similarity search
     "ann_brute_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embs(s, d), nQueries = 10, k = 5)
@@ -257,6 +259,10 @@ object SparkEntry {
     // events / windows
     "events_tumbling" -> ((s, d) =>
       EventOps.tumbling(events(s, d)).orderBy(col("ws"), col("event_type"))),
+    // same aggregation pushed through the Structured Streaming engine
+    // (watermark + state store + memory sink); shares the batch oracle
+    "events_stream_tumbling" -> ((s, d) =>
+      streaming.StreamOps.tumblingOverParquet(s, d).orderBy(col("ws"), col("event_type"))),
     "events_sliding" -> ((s, d) =>
       EventOps.sliding(events(s, d)).orderBy(col("ws"), col("event_type"))),
     "events_sessionize" -> ((s, d) =>
@@ -304,6 +310,41 @@ object SparkEntry {
       Multimodal.featureSummary(docs(s, d)).orderBy(col("doc_id")))
   )
 
+  /** Fully-unrolled Bellman-Ford oracle for the CONVERGED lineitem-graph
+    * SSSP (`SingleSourceSP.java:439-519`): `rounds` relaxation rounds of
+    * the exact per-round semantics of [[graft.operators.GraphOps.ssspDelta]]
+    * (frontier gate, min-combine, least-merge, reached tracking), each as
+    * a MATERIALIZED CTE pair (b_k, s_k). The loop converges in 16 rounds
+    * at sf0.01 (measured; extra rounds are no-ops because the frontier is
+    * empty), so 24 rounds is convergence plus safety margin. MATERIALIZED
+    * is load-bearing: s_k is referenced twice (b_{k+1} and s_{k+1}), and
+    * inlining would grow the plan 2^rounds.
+    */
+  private def ssspUnrolledSql(rounds: Int): String = {
+    val head = Seq(
+      s"edges AS MATERIALIZED (${GraphSource.lineitemEdgesSql})",
+      """v AS MATERIALIZED (SELECT id, CAST(max(is_src) AS BOOLEAN) AS is_src FROM (
+        |        SELECT src AS id, TRUE AS is_src FROM edges
+        |        UNION ALL SELECT dst, FALSE FROM edges) GROUP BY id)""".stripMargin,
+      """s0 AS MATERIALIZED (SELECT id, is_src,
+        |              CASE WHEN id = 1 THEN CAST(0.0 AS DOUBLE) ELSE 65535.0 END AS dist,
+        |              TRUE AS updated, FALSE AS reached
+        |       FROM v)""".stripMargin)
+    val iters = (1 to rounds).flatMap { k =>
+      Seq(
+        s"""b$k AS MATERIALIZED (SELECT e.dst AS id, min(s.dist + e.w) AS best
+           |       FROM s${k - 1} s JOIN edges e ON e.src = s.id
+           |       WHERE s.updated AND s.dist <> 65535.0 GROUP BY e.dst)""".stripMargin,
+        s"""s$k AS MATERIALIZED (SELECT s.id, s.is_src,
+           |              least(s.dist, coalesce(b.best, 65535.0)) AS dist,
+           |              coalesce(b.best, 65535.0) < s.dist AS updated,
+           |              (s.reached OR b.best IS NOT NULL) AS reached
+           |       FROM s${k - 1} s LEFT JOIN b$k b ON b.id = s.id)""".stripMargin)
+    }
+    (head ++ iters).mkString("WITH ", ",\n", "\n") +
+      s"SELECT CAST(1 AS BIGINT) AS source, id, dist FROM s$rounds WHERE is_src OR reached ORDER BY id"
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -342,6 +383,7 @@ object SparkEntry {
          |       coalesce(b.dist, 65535.0) AS dist
          |FROM nodes n FULL OUTER JOIN best b ON n.id = b.id
          |ORDER BY id""".stripMargin,
+    "sssp_lineitem" -> ssspUnrolledSql(rounds = 24),
     "sssp_two_rounds" ->
       s"""WITH edges AS (${GraphSource.lineitemEdgesSql}),
          |v AS (SELECT id, CAST(max(is_src) AS BOOLEAN) AS is_src FROM (
@@ -415,6 +457,10 @@ object SparkEntry {
          |SELECT id, pr FROM r3 ORDER BY id""".stripMargin
     },
     "multimodal_decode" -> {
+      // FIXTURE ASSUMPTION: the harness documents are ASCII-only, so the
+      // oracle's code-point fold and ascii(text) equal the engine's sums
+      // over real UTF-8 payload bytes. A multi-byte corpus would need a
+      // DuckDB byte-level fold over encode(text) instead.
       val byteSum = Parity.charFoldSql("text", 1L, 1099511627776L)
       s"""SELECT doc_id,
          |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -499,6 +545,10 @@ object SparkEntry {
         s"(acc, x) -> acc + x) AS DOUBLE) / ${Dedup.MinhashK}.0, 6)"
     val shingleSql = Parity.shinglesSql("t")
     val fmt = "'%Y-%m-%d %H:%M:%S'"
+    val tumblingSql =
+      s"""SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), $fmt) AS ws,
+         |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
 
     Map(
       "dedup_exact" ->
@@ -524,6 +574,27 @@ object SparkEntry {
            |  FROM chunked a JOIN chunked b
            |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
            |WHERE hamming <= ${Dedup.SimhashMaxHamming} ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE sigs AS (
+           |  SELECT doc_id, ${Parity.minhashSigSql(codes, Dedup.MinhashK)} AS sig FROM documents),
+           |banded AS (
+           |  $bandedUnion),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+           |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach(id, lab) AS (
+           |  SELECT DISTINCT src AS id, src AS lab FROM und
+           |  UNION
+           |  SELECT u.dst, r.lab FROM reach r JOIN und u ON u.src = r.id
+           |),
+           |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+           |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
+           |       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+           |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+           |ORDER BY doc_id""".stripMargin,
       "dedup_ngram_jaccard" ->
         s"""WITH sh AS (
            |  SELECT doc_id, lang, $shingleSql AS s
@@ -552,17 +623,26 @@ object SparkEntry {
            |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
            |  FROM scored)
            |SELECT * FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-      "ann_lsh_topk" ->
+      "ann_lsh_topk" -> {
+        val tableUnion = (0 until Similarity.NTables)
+          .map(t =>
+            s"SELECT vec_id, e, $t AS tbl, " +
+              s"${Parity.rpBucketSql("e", Similarity.PlanesPerTable, Similarity.Dim, t * Similarity.PlanesPerTable)} AS bucket FROM d")
+          .mkString("\n  UNION ALL ")
         s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-           |b AS (SELECT vec_id, e, ${Parity.rpBucketSql("e", Similarity.NPlanes, Similarity.Dim)} AS bucket FROM d),
+           |b AS (
+           |  $tableUnion),
            |scored AS (
-           |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.bucket AS bucket,
-           |         round(${Parity.cosineSql("q.e", "c.e")}, 6) AS cos
-           |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 50 AND q.vec_id <> c.vec_id),
+           |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |         max(round(${Parity.cosineSql("q.e", "c.e")}, 6)) AS cos
+           |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+           |    AND q.vec_id < 50 AND q.vec_id <> c.vec_id
+           |  GROUP BY 1, 2),
            |ranked AS (
            |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
            |  FROM scored)
-           |SELECT * FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+           |SELECT * FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      },
       "ann_topk_agg" ->
         s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
            |scored AS (
@@ -615,10 +695,10 @@ object SparkEntry {
            |       (${Parity.charFoldSql("text", 31L, Parity.TokP)} * ${Parity.TokP2} +
            |        ${Parity.charFoldSql("text", 131L, Parity.TokP2)}) AS fp40
            |FROM documents ORDER BY doc_id""".stripMargin,
-      "events_tumbling" ->
-        s"""SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), $fmt) AS ws,
-           |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-           |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+      "events_tumbling" -> tumblingSql,
+      // the streaming engine must converge to the batch answer on a
+      // bounded input — identical oracle by design
+      "events_stream_tumbling" -> tumblingSql,
       "events_sliding" ->
         s"""WITH w AS (
            |  SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), $fmt) AS ws, event_type, value FROM events
@@ -647,7 +727,7 @@ object SparkEntry {
         """SELECT event_type, count(*) AS n,
           |       CAST(sum(k) AS BIGINT) AS sum_k,
           |       min(k) AS min_k, max(k) AS max_k
-          |FROM (SELECT event_type, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k FROM events)
+          |FROM (SELECT event_type, TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k FROM events)
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
       "events_quantiles" ->
         """SELECT event_type,
@@ -665,7 +745,7 @@ object SparkEntry {
            |ORDER BY p.event_id""".stripMargin,
       "salted_agg" ->
         """SELECT event_type AS key, count(*) AS n,
-          |       CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_m
+          |       CAST(sum(TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_m
           |FROM events GROUP BY event_type ORDER BY key""".stripMargin,
       "text_tfidf" ->
         s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),

@@ -52,6 +52,14 @@ object Parity {
       s"list_transform(list_filter(string_split($s, ''), c -> c <> ''), " +
       s"c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * $mult + c) % $p)"
 
+  /** 40-bit content fingerprint: two independent 20-bit character folds
+    * concatenated (`fp_a * TokP2 + fp_b`) — the content-addressed
+    * identity used by [[graft.operators.TextOps.fingerprints]] and exact
+    * dedup.
+    */
+  def fp40(text: Column): Column =
+    charFold(text, 31L, TokP) * TokP2 + charFold(text, 131L, TokP2)
+
   /** Array of per-token codes (20-bit polynomial hash of each token). */
   def tokenCodes(text: Column): Column =
     transform(tokens(text), t => charFold(t, 31L, TokP))
@@ -191,15 +199,18 @@ object Parity {
   def planeLitSql(j: Int, dim: Int): String =
     (0 until dim).map(k => s"${planeComponent(j, k, dim)}.0").mkString("[", ", ", "]")
 
-  /** Sign-of-projection LSH bucket id over `nPlanes` hyperplanes. */
-  def rpBucket(vec: Column, nPlanes: Int, dim: Int): Column =
+  /** Sign-of-projection LSH bucket id over `nPlanes` hyperplanes,
+    * starting at global plane index `offset` (multi-table LSH gives each
+    * table its own disjoint plane slice).
+    */
+  def rpBucket(vec: Column, nPlanes: Int, dim: Int, offset: Int = 0): Column =
     (0 until nPlanes)
-      .map(j => when(dot(vec, planeLit(j, dim)) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .map(j => when(dot(vec, planeLit(offset + j, dim)) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  def rpBucketSql(vec: String, nPlanes: Int, dim: Int): String =
+  def rpBucketSql(vec: String, nPlanes: Int, dim: Int, offset: Int = 0): String =
     (0 until nPlanes)
       .map(j =>
-        s"(CASE WHEN ${dotSql(vec, planeLitSql(j, dim))} > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+        s"(CASE WHEN ${dotSql(vec, planeLitSql(offset + j, dim))} > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
       .mkString("(", " + ", ")")
 }

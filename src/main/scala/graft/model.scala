@@ -81,6 +81,13 @@ object GraphSource {
   /** Small layered graph (customer→nation, nation→region; unit weights).
     * Mostly acyclic, tiny diameter — the recursive-CTE-oracle-friendly
     * topology for full iterative SSSP (FIXTURES.md §2).
+    *
+    * DELIBERATE id-namespace conflation: custkey 1, nationkey 1 and
+    * regionkey 1 are the SAME node. That collision is what gives the
+    * graph its back-edges (region ids feed back into low customer ids),
+    * making it interestingly cyclic instead of a strict DAG; the oracle
+    * CTE ([[layeredEdgesSql]]) conflates identically, so parity holds.
+    * Not a bug — do not "fix" by offsetting key ranges.
     */
   def layeredEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val c = table(spark, sfDir, "customer")

@@ -26,6 +26,12 @@ object AsOfJoin {
 
   /** Left as-of join. `rightCols` are carried to matched left rows
     * (null when no prior right row exists).
+    *
+    * The right payload travels as ONE struct carried by a single
+    * ignore-nulls `last` — so the matched columns always come from the
+    * same right row, even when some of its payload fields are NULL
+    * (per-column carries would stitch fields from different rows,
+    * diverging from true as-of semantics and DuckDB's native ASOF JOIN).
     */
   def asOfLeft(
       left: DataFrame,
@@ -37,32 +43,33 @@ object AsOfJoin {
     val rightTagged = right.withColumn("__side", lit(0))
     val leftOnly = left.columns.filterNot(c => c == key || c == tsCol)
     val rightOnly = rightCols
+    val rType = org.apache.spark.sql.types.StructType(
+      rightOnly.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
 
     // align schemas: key, ts, side, left payload (null on right rows),
-    // right payload (null on left rows)
+    // right payload struct (null on left rows — never null on right rows,
+    // even when every field inside is null)
     val l = leftTagged.select(
       Seq(col(key), col(tsCol).as("__ts"), col("__side")) ++
-        leftOnly.map(col) ++
-        rightOnly.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftOnly.map(col) :+
+        lit(null).cast(rType).as("__r"): _*)
     val r = rightTagged.select(
       Seq(col(key), col(tsCol).as("__ts"), col("__side")) ++
-        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightOnly.map(c => col(c).as(s"__r_$c")): _*)
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightOnly.map(col): _*).as("__r"): _*)
 
     val w = Window
       .partitionBy(col(key))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = rightOnly.foldLeft(l.unionAll(r)) { (df, c) =>
-      df.withColumn(s"__c_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried
+    l.unionAll(r)
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(
         Seq(col(key), col("__ts").as(tsCol)) ++
           leftOnly.map(col) ++
-          rightOnly.map(c => col(s"__c_$c").as(s"asof_$c")): _*)
+          rightOnly.map(c => col("__c").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Also carry the matched right row's timestamp. Convenience wrapper

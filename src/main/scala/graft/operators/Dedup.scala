@@ -24,15 +24,29 @@ import graft.functions.Parity
   */
 object Dedup {
 
+  /** Shared materialization for self-joined intermediates: eager local
+    * checkpoint with origin stats dropped. Unlike `persist()`, the blocks
+    * are GC-scoped — freed by the ContextCleaner once the caller drops
+    * the frame — so repeated calls in a long-lived session can't
+    * accumulate pinned executor memory.
+    */
+  private def materialized(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+
   /** Exact content dedup: canonical doc id (min) + multiplicity per
-    * distinct text. `groupBy` gives partial aggregation map-side; the
-    * single shuffle is on the text key. For 100 TB, group on a 128-bit
-    * content hash instead of the raw text to shrink shuffle width — same
-    * plan shape.
+    * distinct text. The aggregation key leads with the 40-bit content
+    * fingerprint ([[TextOps.fingerprints]]' fp40): map-side partial
+    * aggregation collapses duplicate documents before the exchange, and
+    * the hash partitioner sees the fingerprint first, so the shuffle
+    * carries one row per DISTINCT document. The full text stays in the
+    * key only to keep the result exact under fingerprint collisions —
+    * at 100 TB with a 128-bit content hash the text column drops out of
+    * the key entirely (collision odds ≪ data-corruption odds); same
+    * plan shape either way.
     */
   def exact(docs: DataFrame): DataFrame =
     docs
-      .groupBy(col("text"))
+      .groupBy(Parity.fp40(col("text")).as("fp40"), col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
 
@@ -68,23 +82,23 @@ object Dedup {
       .select(col("doc_id"), array((0 until MinhashK).map(i => col(s"s$i")): _*).as("sig"))
   }
 
-  /** MinHash-LSH candidate pairs: docs sharing at least one of 4 bands of
-    * 4 rows. The self-join runs on the (band_idx, band_val) bucket key —
+  /** MinHash-LSH candidate pairs: docs sharing at least one of
+    * [[MinhashBands]] bands of [[MinhashR]] rows (2 bands of 8).
+    * The self-join runs on the (band_idx, band_val) bucket key —
     * the scalable shape (no all-pairs comparison ever materializes).
     * Output additionally carries the estimated Jaccard (fraction of
     * matching signature positions).
     */
   def minhashCandidates(docs: DataFrame): DataFrame = {
     val sigs = minhashSignatures(docs)
-    // persisted: the self-join below would otherwise recompute the whole
-    // signature pipeline on both the build and probe side
-    val banded = sigs.select(
+    // materialized: the self-join below would otherwise recompute the
+    // whole signature pipeline on both the build and probe side
+    val banded = materialized(sigs.select(
       col("doc_id"),
       col("sig"),
       posexplode(
         array((0 until MinhashBands).map(i => Parity.bandVal(col("sig"), i, MinhashR)): _*))
-        .as(Seq("band_idx", "band_val")))
-      .persist()
+        .as(Seq("band_idx", "band_val"))))
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(
@@ -146,14 +160,13 @@ object Dedup {
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sh = simhashes(docs)
-    val chunked = sh.select(
+    val chunked = materialized(sh.select(
       col("doc_id"),
       col("simhash"),
       posexplode(array((0 until SimhashChunks).map { i =>
         shiftright(col("simhash"), i * SimhashChunkBits)
           .bitwiseAND(lit((1L << SimhashChunkBits) - 1))
-      }: _*)).as(Seq("chunk_idx", "chunk_val")))
-      .persist()
+      }: _*)).as(Seq("chunk_idx", "chunk_val"))))
     val a = chunked.alias("a")
     val b = chunked.alias("b")
     a.join(
@@ -185,7 +198,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
     val sh = docs.select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
-    val inv = sh.select(col("doc_id"), col("lang"), explode(col("sh")).as("g")).persist()
+    val inv = materialized(sh.select(col("doc_id"), col("lang"), explode(col("sh")).as("g")))
     val a = inv.alias("a")
     val b = inv.alias("b")
     // Shingles are distinct within a doc, so the bucket join emits each
@@ -209,6 +222,29 @@ object Dedup {
         (col("na") + col("nb") - col("inter")).as("uni"))
       .filter(col("inter") >= 1)
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+  }
+
+  /** Candidate pairs → deduplication clusters → canonical-doc selection:
+    * the step that turns "find near-duplicate pairs" into "deduplicate
+    * the corpus" (what a training-data pipeline actually runs).
+    *
+    * The pair list is treated as an undirected graph and resolved with
+    * [[GraphOps.connectedComponents]] (min-label propagation on the
+    * incremental patch loop — near-dup clusters can chain A~B~C where A
+    * and C share no bucket, so transitive closure, not per-pair grouping,
+    * is required). Every corpus doc appears in the output: docs with no
+    * candidate pair are their own singleton cluster. `cluster` is the
+    * minimum doc_id of the component — the canonical survivor; a
+    * downstream keep-filter is `is_canonical`.
+    */
+  def clusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"), lit(1.0).as("w"))
+    val cc = GraphOps.connectedComponents(e)
+    docs
+      .select(col("doc_id"))
+      .join(cc, col("doc_id") === col("id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster"))
+      .withColumn("is_canonical", col("cluster") === col("doc_id"))
   }
 
   /** Embedding-cosine near-duplicate pairs, blocked on `label` (stand-in

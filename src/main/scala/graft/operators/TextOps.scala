@@ -80,21 +80,24 @@ object TextOps {
 
   /** TF-IDF over the document corpus: term frequency per (doc, term),
     * document frequency per term, idf = ln(N/df). Two hash aggregations,
-    * both map-side-partial; the corpus size N enters as a runtime scalar
-    * (broadcast literal at 100 TB, a scalar subquery in the oracle).
+    * both map-side-partial; the corpus size N enters as a cross-joined
+    * single-row aggregate INSIDE the plan (a broadcast nested loop of one
+    * row) — not a driver-side `count()`, which would cost a full extra
+    * corpus pass per call at 100 TB. Mirrors the oracle's `CROSS JOIN nn`.
     */
   def tfidf(docs: DataFrame): DataFrame = {
-    val n = docs.count()
+    val nn = docs.agg(count(lit(1)).as("n"))
     val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(df, Seq("term"))
+      .crossJoin(nn)
       .select(
         col("doc_id"),
         col("term"),
         col("tf"),
         col("df"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
   }
 
   /** Document fingerprinting: two independent rolling polynomial hashes of

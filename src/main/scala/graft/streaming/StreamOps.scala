@@ -117,6 +117,25 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Driver-facing streaming run over the harness events parquet: stages
+    * the file into a fresh directory (file stream sources require one),
+    * pushes the tumbling aggregation through the actual streaming engine
+    * (watermark, incremental state store, memory sink) to completion, and
+    * returns the final result — which must equal the batch
+    * `EventOps.tumbling` output row-for-row (asserted by the shared
+    * DuckDB oracle). Memory-sink names are uniquified per call so
+    * repeated invocations in one session (verify + bench) can't collide.
+    */
+  def tumblingOverParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("graft-stream-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      staged.resolve("events.parquet"))
+    runToCompletion(spark, staged.toString, s"graft_stream_tumbling_${runCounter.incrementAndGet()}")
+  }
+
   /** Run the streaming aggregation over a static directory to completion
     * (memory sink), returning the final result table. Used by tests to
     * assert batch/stream parity.

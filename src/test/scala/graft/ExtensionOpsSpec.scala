@@ -138,6 +138,26 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out(3L)._1 === None) // user 8 has no clicks → null
   }
 
+  test("asOfJoin carries the whole matched right row even when a payload field is NULL") {
+    import graft.operators.AsOfJoin
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val left = Seq((1L, 7L, ts(30), 100.0)).toDF("event_id", "user_id", "ts", "value")
+    // t8: (a=1.5, b="x"); t25: (a=NULL, b="y") — the matched row is t25,
+    // so a MUST come back NULL (a per-column carry would wrongly reach
+    // back to t8's 1.5 and stitch a row that never existed).
+    val right = Seq(
+      (7L, ts(8), Option(1.5), "x"),
+      (7L, ts(25), Option.empty[Double], "y"))
+      .toDF("user_id", "ts", "a", "b")
+    val row = AsOfJoin
+      .asOfLeftWithTs(left, right, "user_id", "ts", Seq("a", "b"))
+      .collect()
+      .head
+    assert(Option(row.getAs[Any]("asof_a")) === None)
+    assert(row.getAs[String]("asof_b") === "y")
+    assert(row.getAs[java.sql.Timestamp]("asof___rts") === ts(25))
+  }
+
   test("saltedCountSum equals direct groupBy on a pathologically skewed key") {
     import graft.operators.SkewOps
     import org.apache.spark.sql.functions.{col, pmod}
@@ -151,6 +171,20 @@ class ExtensionOpsSpec extends SparkSpec {
       .toMap
     assert(salted("hot") === ((10000L, 10000L * 10001L / 2)))
     assert(salted("cold") === ((10L, 55L)))
+  }
+
+  test("lshTopK recall@3 vs brute force is measured and floored") {
+    import graft.operators.Similarity
+    val embs = model.table(spark, "/root/testdata/sf0.001", "embeddings")
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val brute = hits(Similarity.bruteForceTopK(embs, nQueries = 50, k = 3))
+    val lsh = hits(Similarity.lshTopK(embs, nQueries = 50, k = 3))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"lsh recall@3 = $recall%.3f (${(brute & lsh).size}/${brute.size})")
+    // Recall < 1 by construction (bucket misses); the floor makes the
+    // scale path's quality a tested number instead of a doc claim.
+    assert(recall >= 0.4)
   }
 
   test("multimodal mapPartitions decode with deterministic fake decoder") {
