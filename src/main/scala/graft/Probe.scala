@@ -12,7 +12,7 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for {
-      name <- Seq("sssp_lineitem", "connected_components", "sssp_layered", "sssp_two_rounds")
+      name <- Seq("dedup_clusters", "connected_components")
       rep <- 1 to 2
     } {
       val t0 = System.nanoTime()

@@ -174,6 +174,41 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  private def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Pivot with an explicit value list: the deterministic (and 100 TB-
+    * sane) form — an implicit pivot would scan once just to discover the
+    * distinct values.
+    */
+  private def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .orderBy(col("o_orderpriority"))
+
+  /** Running aggregates: partition-ordered cumulative sum and a 3-row
+    * moving average — sequential in-order folds, bit-identical across
+    * engines.
+    */
+  private def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+    val cum = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = byKey.rowsBetween(-2, Window.currentRow)
+    table(s, dir, "orders")
+      .select(
+        col("o_orderpriority"),
+        col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(cum), 2).as("run_sum"),
+        round(avg(col("o_totalprice")).over(mov), 6).as("mov_avg"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
   private def setOps(s: SparkSession, dir: String): DataFrame = {
     val custNations = table(s, dir, "customer").select(col("c_nationkey").cast("long").as("n"))
     val suppNations = table(s, dir, "supplier").select(col("s_nationkey").cast("long").as("n"))
@@ -224,6 +259,9 @@ object SparkEntry {
     "topk_orders" -> (topkOrders _),
     "window_rank" -> (windowRank _),
     "rollup_agg" -> (rollupAgg _),
+    "cube_agg" -> (cubeAgg _),
+    "pivot_agg" -> (pivotAgg _),
+    "window_running" -> (windowRunning _),
     "set_ops" -> (setOps _),
     "semi_anti_join" -> (semiAntiJoin _),
     // dedup family
@@ -250,6 +288,9 @@ object SparkEntry {
     "ann_topk_agg" -> ((s, d) =>
       Similarity.bruteForceTopKAgg(s, embs(s, d), nQueries = 10, k = 5)
         .withColumn("rank", col("rank").cast("int"))
+        .orderBy(col("q_id"), col("rank"))),
+    "ann_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(embs(s, d), nQueries = 50, k = 3, nProbe = 3)
         .orderBy(col("q_id"), col("rank"))),
     // text analysis
     "text_lang_id" -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
@@ -503,6 +544,24 @@ object SparkEntry {
         |       round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "pivot_agg" ->
+      """SELECT o_orderpriority,
+        |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+        |       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+        |       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "window_running" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |             ROWS UNBOUNDED PRECEDING), 2) AS run_sum,
+        |       round(avg(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+        |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "set_ops" ->
       """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS n FROM customer),
         |s AS (SELECT CAST(s_nationkey AS BIGINT) AS n FROM supplier)
@@ -653,6 +712,32 @@ object SparkEntry {
            |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
            |  FROM scored)
            |SELECT * FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+      "ann_ivf_topk" ->
+        s"""WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |cent AS (
+           |  SELECT label AS cid, list(centroid ORDER BY dim) AS c
+           |  FROM (SELECT label, CAST(t.i AS INT) AS dim, round(avg(e[t.i]), 6) AS centroid
+           |        FROM d CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2)
+           |  GROUP BY label),
+           |cell_scores AS (
+           |  SELECT v.vec_id, c.cid, round(${Parity.cosineSql("v.e", "c.c")}, 6) AS ccos
+           |  FROM d v CROSS JOIN cent c),
+           |ranked_cells AS (
+           |  SELECT vec_id, cid,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+           |  FROM cell_scores),
+           |assigned AS (SELECT vec_id AS n_id, cid FROM ranked_cells WHERE rn = 1),
+           |probes AS (SELECT vec_id AS q_id, cid FROM ranked_cells WHERE vec_id < 50 AND rn <= 3),
+           |scored AS (
+           |  SELECT p.q_id, a.n_id, round(${Parity.cosineSql("q.e", "n.e")}, 6) AS cos
+           |  FROM probes p
+           |  JOIN assigned a ON a.cid = p.cid AND a.n_id <> p.q_id
+           |  JOIN d q ON q.vec_id = p.q_id
+           |  JOIN d n ON n.vec_id = a.n_id),
+           |ranked AS (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+           |  FROM scored)
+           |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
       "text_lang_id" ->
         s"""WITH f AS (
            |  SELECT doc_id,

@@ -238,7 +238,11 @@ object Dedup {
     * downstream keep-filter is `is_canonical`.
     */
   def clusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"), lit(1.0).as("w"))
+    // materialize the pair list ONCE: connectedComponents counts its edge
+    // input (parallelism sizing) and then builds the undirected closure —
+    // an unmaterialized candidate pipeline would be re-evaluated per use
+    val e = materialized(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"), lit(1.0).as("w")))
     val cc = GraphOps.connectedComponents(e)
     docs
       .select(col("doc_id"))

@@ -118,6 +118,55 @@ object Similarity {
         Parity.rpBucket(col("e"), PlanesPerTable, Dim, t * PlanesPerTable)): _*))
         .as(Seq("tbl", "bucket")))
 
+  /** Coarse-quantizer cells for [[ivfTopK]]: the per-label centroids
+    * ([[labelCentroids]], 6-decimal rounded for cross-engine identity)
+    * re-assembled into vectors. In a production IVF the quantizer comes
+    * from k-means over a sample; here the label structure plays the role
+    * of that training product — the INDEX mechanics (assign, invert,
+    * probe) are what this operator exercises.
+    */
+  def centroidVectors(embs: DataFrame): DataFrame =
+    labelCentroids(embs)
+      .groupBy(col("label").as("cid"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), col("centroid")))),
+          s => s("centroid")).as("c"))
+
+  /** IVF (inverted-file) ANN: every corpus vector is assigned to its
+    * nearest coarse cell (one narrow pass + a broadcast of the tiny
+    * centroid table); each query probes its `nProbe` nearest cells and
+    * re-ranks exactly ONLY within those inverted lists. The candidate
+    * join is keyed on the cell id — the second classic scale shape next
+    * to [[lshTopK]]'s hash tables: cost per query is the probed lists,
+    * never the corpus.
+    */
+  def ivfTopK(embs: DataFrame, nQueries: Int, k: Int, nProbe: Int = 2): DataFrame = {
+    val d = asDouble(embs)
+    val cellScores = d
+      .crossJoin(broadcast(centroidVectors(embs)))
+      .select(
+        col("vec_id"),
+        col("cid"),
+        col("e"),
+        round(Parity.cosine(col("e"), col("c")), 6).as("ccos"))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val rankedCells = cellScores.withColumn("rn", row_number().over(wCell))
+    val assigned = rankedCells
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("n_id"), col("cid"), col("e").as("ne"))
+    val probes = rankedCells
+      .filter(col("vec_id") < nQueries && col("rn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("cid"), col("e").as("qe"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    probes
+      .join(assigned, Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), round(Parity.cosine(col("qe"), col("ne")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Multi-table LSH ANN: candidates share the query's bucket in ANY of
     * the [[NTables]] tables; exact cosine re-rank over the deduplicated
     * candidate set. The join is keyed on (table, bucket) only — per-bucket

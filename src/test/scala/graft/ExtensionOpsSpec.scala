@@ -180,11 +180,15 @@ class ExtensionOpsSpec extends SparkSpec {
       df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
     val brute = hits(Similarity.bruteForceTopK(embs, nQueries = 50, k = 3))
     val lsh = hits(Similarity.lshTopK(embs, nQueries = 50, k = 3))
-    val recall = (brute & lsh).size.toDouble / brute.size
-    info(f"lsh recall@3 = $recall%.3f (${(brute & lsh).size}/${brute.size})")
-    // Recall < 1 by construction (bucket misses); the floor makes the
-    // scale path's quality a tested number instead of a doc claim.
-    assert(recall >= 0.4)
+    val ivf = hits(Similarity.ivfTopK(embs, nQueries = 50, k = 3, nProbe = 3))
+    val lshRecall = (brute & lsh).size.toDouble / brute.size
+    val ivfRecall = (brute & ivf).size.toDouble / brute.size
+    info(f"lsh recall@3 = $lshRecall%.3f (${(brute & lsh).size}/${brute.size})")
+    info(f"ivf recall@3 = $ivfRecall%.3f (${(brute & ivf).size}/${brute.size})")
+    // Recall < 1 by construction (bucket/cell misses); the floors make
+    // the scale paths' quality tested numbers instead of doc claims.
+    assert(lshRecall >= 0.4)
+    assert(ivfRecall >= 0.4)
   }
 
   test("multimodal mapPartitions decode with deterministic fake decoder") {
