@@ -25,18 +25,25 @@ import graft.operators.{Dedup, EventOps, GraphOps, Multimodal, Similarity, SkewO
   *   A1 adjacency build ...... build_adjacency
   *   F1 header filter ........ edge_parse
   *   F2+M1+A2 one relax round  sssp_one_round
-  *   C1+A4+C2 full SSSP ...... sssp_layered (oracle), sssp_lineitem (rows-only)
+  *   C1+A4+C2 full SSSP ...... sssp_layered + sssp_lineitem (both
+  *                             hash-checked; lineitem's oracle is the
+  *                             generated 24-round unrolled CTE)
   *   X2 parallelism config ... Verify/Bench session builders
   *   C3 config-as-parameter .. closure captures (source node literals)
   *
   * Relational breadth: q1_agg, join_revenue, topk_orders, window_rank,
-  * rollup_agg, set_ops, semi_anti_join.
-  * Graph extensions: connected_components, pagerank_fixed.
+  * window_running, rollup_agg, cube_agg, pivot_agg, set_ops,
+  * semi_anti_join.
+  * Graph extensions: connected_components, pagerank_fixed,
+  * triangle_count.
   * North-star pipeline ops: dedup_{exact,minhash_lsh,simhash,
-  * ngram_jaccard,embedding_cosine}, ann_{brute_topk,lsh_topk,topk_agg},
-  * text_{lang_id,quality,token_count,fingerprint}, events_{tumbling,
-  * sliding,sessionize,json_agg}, multimodal_{features,decode};
-  * streaming counterparts in graft.streaming.StreamOps.
+  * ngram_jaccard,embedding_cosine,embedding_lsh,clusters},
+  * ann_{brute_topk,lsh_topk,ivf_topk,topk_agg},
+  * text_{lang_id,quality,token_count,fingerprint,tfidf}, events_{tumbling,
+  * sliding,sessionize,json_agg,quantiles,asof}, multimodal_{features,
+  * decode}, {csv,json}_source_agg; the streaming engine itself is
+  * driver-checked via events_stream_{tumbling,sliding}
+  * (graft.streaming.StreamOps).
   */
 object SparkEntry {
 
@@ -304,6 +311,33 @@ object SparkEntry {
     // (watermark + state store + memory sink); shares the batch oracle
     "events_stream_tumbling" -> ((s, d) =>
       streaming.StreamOps.tumblingOverParquet(s, d).orderBy(col("ws"), col("event_type"))),
+    "events_stream_sliding" -> ((s, d) =>
+      streaming.StreamOps.slidingOverParquet(s, d).orderBy(col("ws"), col("event_type"))),
+    "dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDupsLsh(embs(s, d), minCosine = 0.3).orderBy(col("vec_a"), col("vec_b"))),
+    // first-class CSV / JSON-lines sources: stage through the format with
+    // an explicit schema, aggregate what came back; the oracle reads the
+    // original parquet — a format bug anywhere breaks the hash
+    "csv_source_agg" -> ((s, d) => {
+      val sup = table(s, d, "supplier").select(
+        col("s_suppkey").cast("long").as("s_suppkey"),
+        col("s_nationkey").cast("long").as("s_nationkey"),
+        col("s_acctbal").cast("double").as("s_acctbal"))
+      sources.TabularIO.csvRoundTrip(s, sup)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+    "json_source_agg" -> ((s, d) => {
+      val cust = table(s, d, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_mktsegment"),
+        col("c_acctbal").cast("double").as("c_acctbal"))
+      sources.TabularIO.jsonRoundTrip(s, cust)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
     "events_sliding" -> ((s, d) =>
       EventOps.sliding(events(s, d)).orderBy(col("ws"), col("event_type"))),
     "events_sessionize" -> ((s, d) =>
@@ -608,6 +642,18 @@ object SparkEntry {
       s"""SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), $fmt) AS ws,
          |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+    val slidingSql =
+      s"""WITH w AS (
+         |  SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), $fmt) AS ws, event_type, value FROM events
+         |  UNION ALL
+         |  SELECT strftime(time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', $fmt), event_type, value FROM events)
+         |SELECT ws, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         |FROM w GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+    val lshTableUnion = (0 until Similarity.NTables)
+      .map(t =>
+        s"SELECT vec_id, e, $t AS tbl, " +
+          s"${Parity.rpBucketSql("e", Similarity.PlanesPerTable, Similarity.Dim, t * Similarity.PlanesPerTable)} AS bucket FROM d")
+      .mkString("\n  UNION ALL ")
 
     Map(
       "dedup_exact" ->
@@ -672,6 +718,24 @@ object SparkEntry {
            |         round(${Parity.cosineSql("a.e", "b.e")}, 6) AS cos
            |  FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id)
            |WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+      "dedup_embedding_lsh" ->
+        s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |b AS (
+           |  $lshTableUnion),
+           |pairs AS (
+           |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+           |         max(round(${Parity.cosineSql("a.e", "b2.e")}, 6)) AS cos
+           |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+           |  GROUP BY 1, 2)
+           |SELECT * FROM pairs WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+      "csv_source_agg" ->
+        """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
+          |       round(sum(CAST(s_acctbal AS DOUBLE)), 2) AS sum_bal
+          |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+      "json_source_agg" ->
+        """SELECT c_mktsegment, count(*) AS n,
+          |       round(sum(CAST(c_acctbal AS DOUBLE)), 2) AS sum_bal
+          |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
       "ann_brute_topk" ->
         s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
            |scored AS (
@@ -683,14 +747,9 @@ object SparkEntry {
            |  FROM scored)
            |SELECT * FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
       "ann_lsh_topk" -> {
-        val tableUnion = (0 until Similarity.NTables)
-          .map(t =>
-            s"SELECT vec_id, e, $t AS tbl, " +
-              s"${Parity.rpBucketSql("e", Similarity.PlanesPerTable, Similarity.Dim, t * Similarity.PlanesPerTable)} AS bucket FROM d")
-          .mkString("\n  UNION ALL ")
         s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
            |b AS (
-           |  $tableUnion),
+           |  $lshTableUnion),
            |scored AS (
            |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
            |         max(round(${Parity.cosineSql("q.e", "c.e")}, 6)) AS cos
@@ -784,13 +843,8 @@ object SparkEntry {
       // the streaming engine must converge to the batch answer on a
       // bounded input — identical oracle by design
       "events_stream_tumbling" -> tumblingSql,
-      "events_sliding" ->
-        s"""WITH w AS (
-           |  SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), $fmt) AS ws, event_type, value FROM events
-           |  UNION ALL
-           |  SELECT strftime(time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', $fmt), event_type, value FROM events)
-           |SELECT ws, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-           |FROM w GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+      "events_sliding" -> slidingSql,
+      "events_stream_sliding" -> slidingSql,
       "events_sessionize" ->
         s"""WITH m AS (
            |  SELECT user_id, event_id, ts, value,

@@ -251,9 +251,35 @@ object Dedup {
       .withColumn("is_canonical", col("cluster") === col("doc_id"))
   }
 
+  /** Embedding-cosine near-duplicate pairs blocked on the REAL ANN
+    * buckets ([[Similarity.buckets]]' multi-table sign-LSH): pairs are
+    * candidates when they collide in any hash table, scored exactly,
+    * deduplicated across tables, thresholded. This is the form
+    * [[embeddingNearDups]]' `label` blocking stands in for — no label
+    * column needed, and the pair space is per-bucket quadratic at any
+    * corpus size.
+    */
+  def embeddingNearDupsLsh(embs: DataFrame, minCosine: Double): DataFrame = {
+    val b = materialized(Similarity.buckets(embs))
+    val a = b.alias("a")
+    val c = b.alias("b")
+    a.join(
+        c,
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        round(Parity.cosine(col("a.e"), col("b.e")), 6).as("cos"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(max(col("cos")).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on `label` (stand-in
-    * for an ANN bucket at scale), cosine computed in deterministic
-    * sequential order and rounded before thresholding.
+    * for an ANN bucket at scale — see [[embeddingNearDupsLsh]] for the
+    * real-bucket form), cosine computed in deterministic sequential order
+    * and rounded before thresholding.
     */
   def embeddingNearDups(embs: DataFrame, minCosine: Double): DataFrame = {
     val d = embs.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))

@@ -1,0 +1,37 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** First-class CSV / JSON-lines source+sink support.
+  *
+  * The reference's only formats are text lines (SURVEY.md §2.2); these
+  * are library extensions. Each round-trip stages a frame through the
+  * format and reads it back with the frame's OWN schema — never schema
+  * inference, which costs an extra full pass over the data at 100 TB
+  * (and is why `spark.read.schema(...)` is the only form used here).
+  * Reads stay declarative, so column pruning and filter pushdown reach
+  * the scans exactly as with parquet.
+  */
+object TabularIO {
+
+  /** Write `df` as headered CSV into a fresh directory, read it back
+    * with the identical explicit schema. Doubles survive exactly: Spark
+    * writes the shortest round-trippable decimal representation.
+    */
+  def csvRoundTrip(spark: SparkSession, df: DataFrame): DataFrame = {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    df.write.mode("overwrite").option("header", "true").csv(dir)
+    spark.read.schema(df.schema).option("header", "true").csv(dir)
+  }
+
+  /** Write `df` as JSON lines into a fresh directory, read it back with
+    * the identical explicit schema.
+    */
+  def jsonRoundTrip(spark: SparkSession, df: DataFrame): DataFrame = {
+    val dir = Files.createTempDirectory("graft-json").toString
+    df.write.mode("overwrite").json(dir)
+    spark.read.schema(df.schema).json(dir)
+  }
+}

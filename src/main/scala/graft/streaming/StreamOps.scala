@@ -128,20 +128,45 @@ object StreamOps {
     * DuckDB oracle). Memory-sink names are uniquified per call so
     * repeated invocations in one session (verify + bench) can't collide.
     */
-  def tumblingOverParquet(spark: SparkSession, sfDir: String): DataFrame = {
+  def tumblingOverParquet(spark: SparkSession, sfDir: String): DataFrame =
+    overParquet(spark, sfDir, "tumbling", tumblingStream)
+
+  /** [[tumblingOverParquet]]'s sliding-window sibling: 10-minute windows
+    * every 5 minutes, watermarked, through the streaming engine.
+    */
+  def slidingOverParquet(spark: SparkSession, sfDir: String): DataFrame =
+    overParquet(
+      spark,
+      sfDir,
+      "sliding",
+      ev => EventOps.sliding(ev.withWatermark("ts", "20 minutes")))
+
+  private def overParquet(
+      spark: SparkSession,
+      sfDir: String,
+      tag: String,
+      transform: DataFrame => DataFrame): DataFrame = {
     val staged = java.nio.file.Files.createTempDirectory("graft-stream-events")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       staged.resolve("events.parquet"))
-    runToCompletion(spark, staged.toString, s"graft_stream_tumbling_${runCounter.incrementAndGet()}")
+    runToCompletion(
+      spark,
+      staged.toString,
+      s"graft_stream_${tag}_${runCounter.incrementAndGet()}",
+      transform)
   }
 
-  /** Run the streaming aggregation over a static directory to completion
+  /** Run a streaming aggregation over a static directory to completion
     * (memory sink), returning the final result table. Used by tests to
-    * assert batch/stream parity.
+    * assert batch/stream parity and by the driver-facing stream queries.
     */
-  def runToCompletion(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val q = tumblingStream(readEventStream(spark, dir))
+  def runToCompletion(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      transform: DataFrame => DataFrame = tumblingStream): DataFrame = {
+    val q = transform(readEventStream(spark, dir))
       .writeStream
       .outputMode("complete")
       .format("memory")
