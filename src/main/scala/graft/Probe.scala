@@ -11,15 +11,9 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for {
-      name <- Seq("dedup_clusters", "connected_components")
-      rep <- 1 to 2
-    } {
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").count()
-      spark.catalog.clearCache()
-      println(f"[probe] $name rep=$rep rows=$n sec=${(System.nanoTime() - t0) / 1e9}%6.2f")
-    }
+    val t0 = System.nanoTime()
+    val n = SparkEntry.entry(spark).count()
+    println(f"[probe] entry rows=$n sec=${(System.nanoTime() - t0) / 1e9}%6.2f")
     spark.stop()
   }
 }

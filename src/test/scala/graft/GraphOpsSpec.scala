@@ -112,6 +112,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("sssp on a long path exercises many rounds and the loop bound") {
+    // 24-hop chain: one-node frontiers for 24 consecutive rounds — the
+    // long-tail regime the incremental patch loop exists for.
+    val n = 24
+    val chain = (0 until n).map(i => (i.toLong, i + 1L, 1.0))
+    val d = ssspMap(chain, 0L)
+    assert(d.size === n + 1)
+    (0 to n).foreach(i => assert(d(i.toLong) === i.toDouble))
+  }
+
+  test("connectedComponents on a long path folds and still labels one component") {
+    val n = 24
+    val chain = (0 until n).map(i => (i.toLong, i + 1L, 1.0))
+    val comps = GraphOps
+      .connectedComponents(edgesDf(chain))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(comps.size === n + 1)
+    assert(comps.values.toSet === Set(0L))
+  }
+
   test("sssp on an empty edge list returns an empty result") {
     assert(GraphOps.sssp(edgesDf(Seq.empty), 1L).count() === 0)
   }
