@@ -11,9 +11,15 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val t0 = System.nanoTime()
-    val n = SparkEntry.entry(spark).count()
-    println(f"[probe] entry rows=$n sec=${(System.nanoTime() - t0) / 1e9}%6.2f")
+    for {
+      name <- Seq("sssp_lineitem", "connected_components", "sssp_layered", "dedup_clusters", "sssp_two_rounds")
+      rep <- 1 to 2
+    } {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").count()
+      spark.catalog.clearCache()
+      println(f"[probe] $name rep=$rep rows=$n sec=${(System.nanoTime() - t0) / 1e9}%6.2f")
+    }
     spark.stop()
   }
 }

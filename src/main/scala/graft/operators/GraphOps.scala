@@ -240,6 +240,12 @@ object GraphOps {
     */
   private val BroadcastRowCap = 4000000L
 
+  /** Below this frontier size a round is driver-latency-bound and two
+    * sub-rounds are fused per materialization (see the batching note in
+    * [[patchLoop]]).
+    */
+  private val BatchBelowRows = 2000L
+
   /** Loop shuffle parallelism: ≈100k edges per partition, floor 4,
     * capped at the session's configured shuffle partitions. At cluster
     * scale the cap always wins (the configured parallelism is sized to
@@ -360,30 +366,45 @@ object GraphOps {
     val bound = math.min(maxRounds, math.max(1L, nV - 1L))
     val foldRows = math.max(1000L, nV / 8L)
     var rounds = 0L
-    var changed = 1L
+    // the seed patch size doubles as the first round's frontier size:
+    // it sizes the first batch decision, and an empty seed patch (e.g.
+    // a source vertex absent from the graph) skips the loop outright —
+    // an empty-frontier round is a no-op by construction
+    var changed = patchRows0
     val debug = sys.env.contains("GRAFT_LOOP_DEBUG")
     while (changed > 0 && rounds < bound) {
       val tRound = System.nanoTime()
-      val frontier = patch.filter(col("p_upd")).select(col("id"), col("p_val").as(valCol))
-      val delta = mkDelta(currentState(base, patch, patchRows), frontier)
-      val reachedCols =
-        if (trackReached)
-          Seq((coalesce(col("p_rch"), lit(false)) || col("improved").isNotNull).as("p_rch"))
-        else Nil
+      // one algorithm sub-round, composed lazily over `p`
+      def subRound(p: DataFrame): DataFrame = {
+        val frontier = p.filter(col("p_upd")).select(col("id"), col("p_val").as(valCol))
+        val delta = mkDelta(currentState(base, p, patchRows), frontier)
+        val reachedCols =
+          if (trackReached)
+            Seq((coalesce(col("p_rch"), lit(false)) || col("improved").isNotNull).as("p_rch"))
+          else Nil
+        p.join(delta, Seq("id"), "full_outer")
+          .select(
+            Seq(
+              col("id"),
+              coalesce(col("newval"), col("p_val")).as("p_val"),
+              coalesce(col("improved"), lit(false)).as("p_upd")) ++ reachedCols: _*)
+      }
+      // Adaptive batching: once the frontier is small the round cost is
+      // driver/job latency, not data — fuse two sub-rounds into one
+      // materialization (the intermediate patch is re-evaluated by its
+      // consumers, but in this regime that work is tiny). Large frontiers
+      // stay at one sub-round per materialization: there the per-round
+      // work is data-bound and re-evaluation would dominate. Convergence
+      // stays exact — the final sub-round's `p_upd` flags gate the loop,
+      // and a fused no-op sub-round is idempotent.
+      val batch = math.min(if (changed < BatchBelowRows) 2L else 1L, bound - rounds)
       pre = persistedIds
-      val pNewPlan = patch
-        .join(delta, Seq("id"), "full_outer")
-        .select(
-          Seq(
-            col("id"),
-            coalesce(col("newval"), col("p_val")).as("p_val"),
-            coalesce(col("improved"), lit(false)).as("p_upd")) ++ reachedCols: _*)
-      val pNew = ckpt(pNewPlan)
+      val pNew = ckpt((1L to batch).foldLeft(patch)((p, _) => subRound(p)))
       val (row, pNewIds) =
         ckptAfter(pre)(pNew.agg(count(lit(1)), count_if(col("p_upd"))).head())
       patchRows = row.getLong(0)
       changed = row.getLong(1)
-      rounds += 1
+      rounds += batch
       if (patchRows >= foldRows) {
         // fold: rewrite base with the patch applied, shrink the patch to
         // the still-updated frontier rows
