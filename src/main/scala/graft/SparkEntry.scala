@@ -382,7 +382,17 @@ object SparkEntry {
     // multimodal plumbing (column-expressible projection; mapPartitions
     // path covered in MultimodalSpec)
     "multimodal_features" -> ((s, d) =>
-      Multimodal.featureSummary(docs(s, d)).orderBy(col("doc_id")))
+      Multimodal.featureSummary(docs(s, d)).orderBy(col("doc_id"))),
+    "multimodal_frames" -> ((s, d) =>
+      Multimodal.frameSample(docs(s, d)).orderBy(col("doc_id"), col("frame_idx"))),
+    "text_vocab" -> ((s, d) => TextOps.vocab(docs(s, d), k = 50)),
+    "text_length_hist" -> ((s, d) =>
+      TextOps.lengthHistogram(docs(s, d)).orderBy(col("bucket"))),
+    "events_dedup" -> ((s, d) =>
+      EventOps.dedupStats(events(s, d)).orderBy(col("event_type"))),
+    "degree_hist" -> ((s, d) =>
+      GraphOps.degreeHistogram(GraphSource.lineitemEdges(s, d))
+        .orderBy(col("side"), col("deg")))
   )
 
   /** Fully-unrolled Bellman-Ford oracle for the CONVERGED lineitem-graph
@@ -906,7 +916,38 @@ object SparkEntry {
            |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            |       CAST(octet_length(encode(text)) // 64 AS BIGINT) AS n_frames,
            |       ${Parity.charFoldSql("text", 31L, Parity.TokP)} AS content_hash
-           |FROM documents ORDER BY doc_id""".stripMargin
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "multimodal_frames" ->
+        s"""WITH f AS (
+           |  SELECT doc_id, text, CAST(length(text) // 64 AS BIGINT) AS n_frames
+           |  FROM documents WHERE length(text) >= 64)
+           |SELECT doc_id, CAST(t.i AS BIGINT) AS frame_idx,
+           |       CAST(t.i * 64 AS BIGINT) AS offset,
+           |       ${Parity.charFoldSql("substring(text, CAST(t.i * 64 + 1 AS INT), 64)", 31L, Parity.TokP)} AS frame_hash
+           |FROM f CROSS JOIN range(0, 3) t(i) WHERE t.i < n_frames
+           |ORDER BY doc_id, frame_idx""".stripMargin,
+      "text_vocab" ->
+        s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents)
+           |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           |       CAST(count(*) AS BIGINT) AS tf
+           |FROM t GROUP BY term ORDER BY df DESC, term LIMIT 50""".stripMargin,
+      "text_length_hist" ->
+        s"""SELECT least(CAST(len($toks) AS BIGINT) // 10, 20) AS bucket,
+           |       count(*) AS n_docs,
+           |       round(avg(CAST(length(text) AS DOUBLE)), 6) AS avg_chars
+           |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+      "events_dedup" ->
+        """SELECT event_type, count(*) AS n_events,
+          |       CAST(count(DISTINCT (user_id, ts, value)) AS BIGINT) AS n_distinct,
+          |       CAST(count(*) - count(DISTINCT (user_id, ts, value)) AS BIGINT) AS n_dupes
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "degree_hist" ->
+        s"""WITH edges AS (${GraphSource.lineitemEdgesSql}),
+           |o AS (SELECT 'out' AS side, deg, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+           |        SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src) GROUP BY deg),
+           |i AS (SELECT 'in' AS side, deg, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+           |        SELECT dst, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY dst) GROUP BY deg)
+           |SELECT * FROM o UNION ALL SELECT * FROM i ORDER BY side, deg""".stripMargin
     )
   }
 }

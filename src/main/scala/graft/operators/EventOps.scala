@@ -70,6 +70,19 @@ object EventOps {
     * t-digest `approx_percentile`, whose sketch would never match an
     * oracle).
     */
+  /** Exact-duplicate profile of an event stream: per type, total events,
+    * distinct (user, ts, value) keys, and the duplicate surplus — the
+    * dedup-before-ingest accounting step. One hash aggregate; the
+    * distinct count rides the same shuffle on event_type.
+    */
+  def dedupStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id"), col("ts"), col("value")).as("n_distinct"))
+      .withColumn("n_dupes", col("n_events") - col("n_distinct"))
+
   def quantiles(events: DataFrame): DataFrame =
     events
       .groupBy(col("event_type"))

@@ -551,6 +551,23 @@ object GraphOps {
     und.agg(count(lit(1)).as("n_und_edges")).crossJoin(tri)
   }
 
+  /** Degree histogram over both directions: for each degree value, how
+    * many nodes have that out- (resp. in-) degree. Two hash aggregates
+    * per side, all map-side partial — the structure snapshot that sizes
+    * skew handling (salting thresholds, AQE hints) before running the
+    * iterative algorithms.
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    def side(keyCol: String, tag: String): DataFrame =
+      edges
+        .groupBy(col(keyCol).as("id"))
+        .agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(lit(tag).as("side"), col("deg"), col("n_nodes"))
+    side("src", "out").unionAll(side("dst", "in"))
+  }
+
   /** Parse whitespace-delimited edge lines `"id from to w"` into the edge
     * schema, dropping the edge-id column and non-digit-initial header
     * lines.

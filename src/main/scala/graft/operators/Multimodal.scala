@@ -107,4 +107,32 @@ object Multimodal {
       .join(
         docs.select(col("doc_id"), Parity.charFold(col("text"), 31L, Parity.TokP).as("content_hash")),
         Seq("doc_id"))
+
+  /** Frame sampling: the first `maxFrames` frame slots per media payload,
+    * each with its byte offset and a content hash of the frame's bytes —
+    * the video/audio frame-extraction shape (one row per sampled frame,
+    * offsets computable without decoding). Pure narrow map: explode of a
+    * bounded sequence, no shuffle. Payloads shorter than one frame
+    * produce no rows.
+    */
+  def frameSample(docs: DataFrame, frameBytes: Int = 64, maxFrames: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_frames", (length(col("text")) / frameBytes).cast("long"))
+      .filter(col("n_frames") > 0)
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(sequence(lit(0L), least(col("n_frames"), lit(maxFrames.toLong)) - 1L))
+          .as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        (col("frame_idx") * frameBytes).as("offset"),
+        Parity
+          .charFold(
+            col("text").substr((col("frame_idx") * frameBytes + 1L).cast("int"), lit(frameBytes)),
+            31L,
+            Parity.TokP)
+          .as("frame_hash"))
 }

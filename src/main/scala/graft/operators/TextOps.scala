@@ -100,6 +100,33 @@ object TextOps {
         round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
   }
 
+  /** Corpus vocabulary: top-k terms by document frequency (ties broken
+    * by term), with total term frequency — the vocab-building step of a
+    * tokenizer/LM pipeline. One explode + one hash aggregate; the
+    * distinct-doc count rides the same shuffle on the term key.
+    */
+  def vocab(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+
+  /** Document-length histogram: token-count deciles (bucket = n_tokens/10,
+    * capped at 20) with document counts and mean char length — the
+    * length-distribution snapshot a corpus-curation pipeline reports.
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        // `/` on longs is DOUBLE division in Column algebra — cast back
+        // after to get the integer decile (floor for non-negatives)
+        least((size(toks(col("text"))).cast("long") / 10L).cast("long"), lit(20L)).as("bucket"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 6).as("avg_chars"))
+
   /** Document fingerprinting: two independent rolling polynomial hashes of
     * the full text plus their 40-bit concatenation — the content-addressed
     * identity used by exact dedup at scale.
