@@ -24,15 +24,6 @@ import graft.functions.Parity
   */
 object Dedup {
 
-  /** Shared materialization for self-joined intermediates: eager local
-    * checkpoint with origin stats dropped. Unlike `persist()`, the blocks
-    * are GC-scoped — freed by the ContextCleaner once the caller drops
-    * the frame — so repeated calls in a long-lived session can't
-    * accumulate pinned executor memory.
-    */
-  private def materialized(df: DataFrame): DataFrame =
-    org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
-
   /** Exact content dedup: canonical doc id (min) + multiplicity per
     * distinct text. The aggregation key leads with the 40-bit content
     * fingerprint ([[TextOps.fingerprints]]' fp40): map-side partial
@@ -93,7 +84,7 @@ object Dedup {
     val sigs = minhashSignatures(docs)
     // materialized: the self-join below would otherwise recompute the
     // whole signature pipeline on both the build and probe side
-    val banded = materialized(sigs.select(
+    val banded = Phys.materialized(sigs.select(
       col("doc_id"),
       col("sig"),
       posexplode(
@@ -160,7 +151,7 @@ object Dedup {
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sh = simhashes(docs)
-    val chunked = materialized(sh.select(
+    val chunked = Phys.materialized(sh.select(
       col("doc_id"),
       col("simhash"),
       posexplode(array((0 until SimhashChunks).map { i =>
@@ -198,7 +189,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
     val sh = docs.select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
-    val inv = materialized(sh.select(col("doc_id"), col("lang"), explode(col("sh")).as("g")))
+    val inv = Phys.materialized(sh.select(col("doc_id"), col("lang"), explode(col("sh")).as("g")))
     val a = inv.alias("a")
     val b = inv.alias("b")
     // Shingles are distinct within a doc, so the bucket join emits each
@@ -241,7 +232,7 @@ object Dedup {
     // materialize the pair list ONCE: connectedComponents counts its edge
     // input (parallelism sizing) and then builds the undirected closure —
     // an unmaterialized candidate pipeline would be re-evaluated per use
-    val e = materialized(
+    val e = Phys.materialized(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"), lit(1.0).as("w")))
     val cc = GraphOps.connectedComponents(e)
     docs
@@ -260,7 +251,7 @@ object Dedup {
     * corpus size.
     */
   def embeddingNearDupsLsh(embs: DataFrame, minCosine: Double): DataFrame = {
-    val b = materialized(Similarity.buckets(embs))
+    val b = Phys.materialized(Similarity.buckets(embs))
     val a = b.alias("a")
     val c = b.alias("b")
     a.join(

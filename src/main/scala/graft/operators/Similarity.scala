@@ -151,7 +151,10 @@ object Similarity {
         col("e"),
         round(Parity.cosine(col("e"), col("c")), 6).as("ccos"))
     val wCell = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-    val rankedCells = cellScores.withColumn("rn", row_number().over(wCell))
+    // materialized: both the inverted lists (rn = 1) and the query probes
+    // (rn <= nProbe) consume this — without it the corpus×centroid
+    // scoring pass runs twice
+    val rankedCells = Phys.materialized(cellScores.withColumn("rn", row_number().over(wCell)))
     val assigned = rankedCells
       .filter(col("rn") === 1)
       .select(col("vec_id").as("n_id"), col("cid"), col("e").as("ne"))
