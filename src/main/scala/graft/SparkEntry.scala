@@ -392,7 +392,28 @@ object SparkEntry {
       EventOps.dedupStats(events(s, d)).orderBy(col("event_type"))),
     "degree_hist" -> ((s, d) =>
       GraphOps.degreeHistogram(GraphSource.lineitemEdges(s, d))
-        .orderBy(col("side"), col("deg")))
+        .orderBy(col("side"), col("deg"))),
+    // the end-to-end curation decision: exact-dedup canonical ∧ quality
+    // floor ∧ predicted language — the keep/drop table a training-data
+    // pipeline materializes, composed purely from the operators above
+    "pipeline_curate" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+      val canon = docs(s, d).select(
+        col("doc_id"),
+        (col("doc_id") === min(col("doc_id")).over(w)).as("is_canonical"))
+      val q = TextOps.quality(docs(s, d)).select(col("doc_id"), col("quality"))
+      val l = TextOps.langId(docs(s, d)).select(col("doc_id"), col("pred_lang"))
+      canon
+        .join(q, Seq("doc_id"))
+        .join(l, Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          col("is_canonical"),
+          col("quality"),
+          col("pred_lang"),
+          (col("is_canonical") && col("quality") >= 0.5 && col("pred_lang") === "en").as("kept"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** Fully-unrolled Bellman-Ford oracle for the CONVERGED lineitem-graph
@@ -659,6 +680,35 @@ object SparkEntry {
          |  SELECT strftime(time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', $fmt), event_type, value FROM events)
          |SELECT ws, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          |FROM w GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+    val langIdSql =
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter($toks, t -> t IN $stopList)) AS BIGINT) AS n_stop,
+         |         CAST(len(list_filter($toks, t -> regexp_matches(t, '[aeiou]$$'))) AS DOUBLE) /
+         |           greatest(CAST(len($toks) AS DOUBLE), 1.0) AS vr
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CASE WHEN n_stop >= 2 THEN 'en' WHEN vr > 0.5 THEN 'es' ELSE 'other' END AS pred_lang,
+         |       round(vr, 6) AS vowel_ratio, n_stop
+         |FROM f""".stripMargin
+    val qualitySql =
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |         CAST(len($toks) AS BIGINT) AS n_tokens,
+         |         CAST(greatest(len($toks), 1) AS DOUBLE) AS nts,
+         |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform($toks, x -> CAST(len(x) AS BIGINT))), (a, x) -> a + x) AS DOUBLE) AS tot_len,
+         |         CAST(len(list_filter($toks, t -> t IN $stopList)) AS DOUBLE) AS n_stop,
+         |         CAST(length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS DOUBLE) /
+         |           greatest(CAST(length(text) AS DOUBLE), 1.0) AS alnum_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |       round(tot_len / nts, 6) AS mean_tok_len,
+         |       round(n_stop / nts, 6) AS stop_ratio,
+         |       round(alnum_ratio, 6) AS alnum_ratio,
+         |       round(least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4 +
+         |             (n_stop / nts) * 0.3 + alnum_ratio * 0.3, 6) AS quality
+         |FROM f""".stripMargin
     val lshTableUnion = (0 until Similarity.NTables)
       .map(t =>
         s"SELECT vec_id, e, $t AS tbl, " +
@@ -738,6 +788,17 @@ object SparkEntry {
            |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
            |  GROUP BY 1, 2)
            |SELECT * FROM pairs WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+      "pipeline_curate" ->
+        s"""WITH c AS (
+           |  SELECT doc_id,
+           |         doc_id = min(doc_id) OVER (PARTITION BY text) AS is_canonical
+           |  FROM documents),
+           |q AS ($qualitySql),
+           |l AS ($langIdSql)
+           |SELECT c.doc_id, c.is_canonical, q.quality, l.pred_lang,
+           |       (c.is_canonical AND q.quality >= 0.5 AND l.pred_lang = 'en') AS kept
+           |FROM c JOIN q ON q.doc_id = c.doc_id JOIN l ON l.doc_id = c.doc_id
+           |ORDER BY c.doc_id""".stripMargin,
       "csv_source_agg" ->
         """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
           |       round(sum(CAST(s_acctbal AS DOUBLE)), 2) AS sum_bal
@@ -807,35 +868,8 @@ object SparkEntry {
            |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
            |  FROM scored)
            |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
-      "text_lang_id" ->
-        s"""WITH f AS (
-           |  SELECT doc_id,
-           |         CAST(len(list_filter($toks, t -> t IN $stopList)) AS BIGINT) AS n_stop,
-           |         CAST(len(list_filter($toks, t -> regexp_matches(t, '[aeiou]$$'))) AS DOUBLE) /
-           |           greatest(CAST(len($toks) AS DOUBLE), 1.0) AS vr
-           |  FROM documents)
-           |SELECT doc_id,
-           |       CASE WHEN n_stop >= 2 THEN 'en' WHEN vr > 0.5 THEN 'es' ELSE 'other' END AS pred_lang,
-           |       round(vr, 6) AS vowel_ratio, n_stop
-           |FROM f ORDER BY doc_id""".stripMargin,
-      "text_quality" ->
-        s"""WITH f AS (
-           |  SELECT doc_id, text,
-           |         CAST(len($toks) AS BIGINT) AS n_tokens,
-           |         CAST(greatest(len($toks), 1) AS DOUBLE) AS nts,
-           |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |           list_transform($toks, x -> CAST(len(x) AS BIGINT))), (a, x) -> a + x) AS DOUBLE) AS tot_len,
-           |         CAST(len(list_filter($toks, t -> t IN $stopList)) AS DOUBLE) AS n_stop,
-           |         CAST(length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS DOUBLE) /
-           |           greatest(CAST(length(text) AS DOUBLE), 1.0) AS alnum_ratio
-           |  FROM documents)
-           |SELECT doc_id, n_tokens,
-           |       round(tot_len / nts, 6) AS mean_tok_len,
-           |       round(n_stop / nts, 6) AS stop_ratio,
-           |       round(alnum_ratio, 6) AS alnum_ratio,
-           |       round(least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4 +
-           |             (n_stop / nts) * 0.3 + alnum_ratio * 0.3, 6) AS quality
-           |FROM f ORDER BY doc_id""".stripMargin,
+      "text_lang_id" -> s"$langIdSql ORDER BY doc_id",
+      "text_quality" -> s"$qualitySql ORDER BY doc_id",
       "text_token_count" ->
         s"""SELECT doc_id,
            |       CAST(len($toks) AS BIGINT) AS n_ws_tokens,
