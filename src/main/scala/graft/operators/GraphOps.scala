@@ -242,9 +242,13 @@ object GraphOps {
 
   /** Below this frontier size a round is driver-latency-bound and two
     * sub-rounds are fused per materialization (see the batching note in
-    * [[patchLoop]]).
+    * [[patchLoop]]). Conservative on purpose: a fused round evaluates
+    * the intermediate patch three times, and on dense graphs a few
+    * hundred frontier rows already carry real join work (measured: a
+    * 417-row frontier on a 330k-edge graph fused at 2.6s vs 2×1.0s
+    * unfused).
     */
-  private val BatchBelowRows = 2000L
+  private val BatchBelowRows = 200L
 
   /** Loop shuffle parallelism: ≈100k edges per partition, floor 4,
     * capped at the session's configured shuffle partitions. At cluster
