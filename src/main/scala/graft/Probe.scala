@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 /** Scratch dev probe main — content changes as needed during profiling. */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -12,13 +13,14 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for {
-      name <- Seq("sssp_lineitem", "connected_components", "sssp_layered", "dedup_clusters", "sssp_two_rounds")
-      rep <- 1 to 2
+      dir <- Seq("/root/testdata/sf0.01")
+      k <- Seq(3, 4, 5)
     } {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").count()
-      spark.catalog.clearCache()
-      println(f"[probe] $name rep=$rep rows=$n sec=${(System.nanoTime() - t0) / 1e9}%6.2f")
+      val out = graft.operators.GraphOps.kCore(GraphSource.lineitemEdges(spark, dir), k = k)
+      val alive = out.filter(col("in_core")).count()
+      val total = out.count()
+      println(f"[probe] kcore$k%d $dir alive=$alive total=$total sec=${(System.nanoTime() - t0) / 1e9}%6.2f")
     }
     spark.stop()
   }

@@ -260,6 +260,8 @@ object SparkEntry {
     "triangle_count" -> ((s, d) =>
       GraphOps.triangleCount(GraphSource.lineitemEdges(s, d))),
     "pagerank_fixed" -> (pagerank _),
+    "kcore_4" -> ((s, d) =>
+      GraphOps.kCore(GraphSource.lineitemEdges(s, d), k = 4).orderBy(col("id"))),
     "multimodal_decode" -> (multimodalDecode _),
     "q1_agg" -> (q1Agg _),
     "join_revenue" -> (joinRevenue _),
@@ -451,10 +453,34 @@ object SparkEntry {
       s"SELECT CAST(1 AS BIGINT) AS source, id, dist FROM s$rounds WHERE is_src OR reached ORDER BY id"
   }
 
+  /** Unrolled peeling oracle for [[graft.operators.GraphOps.kCore]]:
+    * `rounds` rounds of "keep nodes with ≥ k surviving neighbors" over
+    * the undirected simple graph. The lineitem graph reaches its
+    * fixpoint in 2 peels at sf0.01 (measured; extra rounds are no-ops),
+    * so 6 rounds is fixpoint plus wide margin.
+    */
+  private def kcoreUnrolledSql(k: Int, rounds: Int): String = {
+    val head = Seq(
+      s"e AS MATERIALIZED (${GraphSource.lineitemEdgesSql})",
+      """s AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |       FROM e WHERE src <> dst)""".stripMargin,
+      "und AS MATERIALIZED (SELECT a AS src, b AS dst FROM s UNION ALL SELECT b, a FROM s)",
+      "a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)")
+    val iters = (1 to rounds).map { r =>
+      s"""a$r AS MATERIALIZED (SELECT u.src AS id FROM und u
+         |       JOIN a${r - 1} x ON x.id = u.src JOIN a${r - 1} y ON y.id = u.dst
+         |       GROUP BY u.src HAVING count(*) >= $k)""".stripMargin
+    }
+    (head ++ iters).mkString("WITH ", ",\n", "\n") +
+      s"""SELECT n.id, c.id IS NOT NULL AS in_core
+         |FROM a0 n LEFT JOIN a$rounds c ON c.id = n.id ORDER BY n.id""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "kcore_4" -> kcoreUnrolledSql(k = 4, rounds = 6),
     "reverse_graph" ->
       s"""WITH edges AS (${GraphSource.lineitemEdgesSql})
          |SELECT dst AS node, string_agg(src, ',' ORDER BY src) AS adj

@@ -555,6 +555,76 @@ object GraphOps {
     und.agg(count(lit(1)).as("n_und_edges")).crossJoin(tri)
   }
 
+  /** One peeling round of [[kCore]], in delta form: dead frontier nodes
+    * send a decrement per incident edge; an ALIVE neighbor's degree drops
+    * by its dead-neighbor count, and it dies in turn (p_val −1) when the
+    * new degree falls below k. Decrement rows carry `improved = false` —
+    * the patch applies the new value but only DEATHS enter the next
+    * frontier, and the loop converges when a round kills nobody. Dead
+    * nodes are filtered from the compare side, so a death cascades
+    * exactly once.
+    */
+  def kCoreDelta(cur: DataFrame, frontier: DataFrame, undirected: DataFrame, k: Int): DataFrame = {
+    val f = frontier.alias("f")
+    val decs = f
+      .join(undirected.alias("e"), col("f.id") === col("e.src"))
+      .groupBy(col("e.dst").as("id"))
+      .agg(count(lit(1)).as("dec"))
+    cur
+      .filter(col("deg") >= 0)
+      .select(col("id"), col("deg"))
+      .alias("s")
+      .join(decs.alias("d"), Seq("id"))
+      .select(
+        col("id"),
+        when(col("s.deg") - col("d.dec") < k, lit(-1L))
+          .otherwise(col("s.deg") - col("d.dec"))
+          .as("newval"))
+      .withColumn("improved", col("newval") === -1L)
+  }
+
+  /** k-core decomposition: iteratively peel nodes whose degree in the
+    * surviving induced subgraph is below k, until a fixpoint. Runs on the
+    * same incremental [[patchLoop]] as SSSP/CC, but with DELETION-cascade
+    * semantics: the monotone value is the remaining degree (−1 = dead),
+    * messages are per-edge decrements, and only deaths re-enter the
+    * frontier. Returns every node of the undirected simple graph with its
+    * membership flag — the densest-region filter a graph pipeline runs
+    * before expensive per-node work.
+    */
+  def kCore(edges: DataFrame, k: Int): DataFrame = {
+    val session = edges.sparkSession
+    val parts = loopPartitions(session, edges.count() * 2)
+    withLoopConfs(session, parts) {
+      // undirected simple graph (dedup'd, self-loops dropped), both
+      // directions materialized so out-degree == undirected degree
+      val simple = Phys.materialized(
+        edges
+          .filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+          .distinct())
+      val und = simple
+        .select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(simple.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      und.count()
+      val base0 = und
+        .groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"))
+      val state = patchLoop(
+        base0,
+        b =>
+          b.filter(col("deg") < k)
+            .select(col("id"), lit(-1L).as("p_val"), lit(true).as("p_upd")),
+        valCol = "deg",
+        trackReached = false,
+        maxRounds = Long.MaxValue)(kCoreDelta(_, _, und, k))
+      und.unpersist(false)
+      state.select(col("id"), (col("deg") >= 0).as("in_core"))
+    }
+  }
+
   /** Degree histogram over both directions: for each degree value, how
     * many nodes have that out- (resp. in-) degree. Two hash aggregates
     * per side, all map-side partial — the structure snapshot that sizes

@@ -134,6 +134,36 @@ class GraphOpsSpec extends SparkSpec {
     assert(comps.values.toSet === Set(0L))
   }
 
+  test("kCore: a path fully peels via a multi-round deletion cascade") {
+    // path of 11 nodes: endpoints die first (deg 1), each death exposes
+    // the next node — the cascade the delta formulation must propagate
+    val n = 10
+    val path = (0 until n).map(i => (i.toLong, i + 1L, 1.0))
+    val out = GraphOps.kCore(edgesDf(path), k = 2).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out.size === n + 1)
+    assert(out.values.forall(_ == false))
+  }
+
+  test("kCore: a cycle with a pendant tail keeps exactly the cycle") {
+    val cycle = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0), (4L, 1L, 1.0))
+    val tail = Seq((4L, 5L, 1.0), (5L, 6L, 1.0), (6L, 7L, 1.0))
+    val out = GraphOps.kCore(edgesDf(cycle ++ tail), k = 2).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out.filter(_._2).keySet === Set(1L, 2L, 3L, 4L))
+    assert(out.filterNot(_._2).keySet === Set(5L, 6L, 7L))
+  }
+
+  test("kCore: parallel edges and self-loops don't inflate degrees") {
+    // 1-2 duplicated + self-loop on 1: simple-graph degree of 1 and 2 is 1
+    val out = GraphOps
+      .kCore(edgesDf(Seq((1L, 2L, 1.0), (1L, 2L, 2.0), (2L, 1L, 1.0), (1L, 1L, 1.0))), k = 2)
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1))
+      .toMap
+    assert(out === Map(1L -> false, 2L -> false))
+  }
+
   test("sssp on an empty edge list returns an empty result") {
     assert(GraphOps.sssp(edgesDf(Seq.empty), 1L).count() === 0)
   }
