@@ -1,9 +1,15 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-/** Scratch dev probe main — content changes as needed during profiling. */
+
+/** Scratch dev probe main — content changes as needed during profiling.
+  * Current shape: time a named query at sf0.1 with reps, e.g.
+  * `runMain graft.Probe sssp_lineitem 2`.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
+    val name = if (args.nonEmpty) args(0) else "sssp_lineitem"
+    val reps = if (args.length > 1) args(1).toInt else 1
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -12,15 +18,11 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for {
-      dir <- Seq("/root/testdata/sf0.01")
-      k <- Seq(3, 4, 5)
-    } {
+    (1 to reps).foreach { rep =>
       val t0 = System.nanoTime()
-      val out = graft.operators.GraphOps.kCore(GraphSource.lineitemEdges(spark, dir), k = k)
-      val alive = out.filter(col("in_core")).count()
-      val total = out.count()
-      println(f"[probe] kcore$k%d $dir alive=$alive total=$total sec=${(System.nanoTime() - t0) / 1e9}%6.2f")
+      val n = SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").count()
+      spark.catalog.clearCache()
+      println(f"[probe] $name rep=$rep rows=$n sec=${(System.nanoTime() - t0) / 1e9}%6.2f")
     }
     spark.stop()
   }

@@ -96,6 +96,4 @@ object TextEdgeIO {
     GraphOps.finalResult(GraphOps.sssp(edges, source), source)
   }
 
-  /** INF kept as named re-export so text round-trips stay byte-faithful. */
-  val Infinity: Double = INF
 }
