@@ -715,7 +715,7 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id,
          |       CASE WHEN n_stop >= 2 THEN 'en' WHEN vr > 0.5 THEN 'es' ELSE 'other' END AS pred_lang,
-         |       round(vr, 6) AS vowel_ratio, n_stop
+         |       round(vr + 1e-9, 6) AS vowel_ratio, n_stop
          |FROM f""".stripMargin
     val qualitySql =
       s"""WITH f AS (
@@ -729,11 +729,11 @@ object SparkEntry {
          |           greatest(CAST(length(text) AS DOUBLE), 1.0) AS alnum_ratio
          |  FROM documents)
          |SELECT doc_id, n_tokens,
-         |       round(tot_len / nts, 6) AS mean_tok_len,
-         |       round(n_stop / nts, 6) AS stop_ratio,
-         |       round(alnum_ratio, 6) AS alnum_ratio,
+         |       round(tot_len / nts + 1e-9, 6) AS mean_tok_len,
+         |       round(n_stop / nts + 1e-9, 6) AS stop_ratio,
+         |       round(alnum_ratio + 1e-9, 6) AS alnum_ratio,
          |       round(least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4 +
-         |             (n_stop / nts) * 0.3 + alnum_ratio * 0.3, 6) AS quality
+         |             (n_stop / nts) * 0.3 + alnum_ratio * 0.3 + 1e-9, 6) AS quality
          |FROM f""".stripMargin
     val lshTableUnion = (0 until Similarity.NTables)
       .map(t =>

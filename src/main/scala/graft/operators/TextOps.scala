@@ -39,9 +39,20 @@ object TextOps {
         .when(vowelRatio > 0.5, "es")
         .otherwise("other")
         .as("pred_lang"),
-      round(vowelRatio, 6).as("vowel_ratio"),
+      round(vowelRatio + RoundEps, 6).as("vowel_ratio"),
       stopCount(text).as("n_stop"))
   }
+
+  /** Boundary-stabilized rounding nudge for per-row RATIONAL ratios:
+    * small-integer quotients land EXACTLY on round-half boundaries
+    * (e.g. 0.6615625), and there Spark (rounds the shortest decimal
+    * string, half-up) and DuckDB (rounds the scaled binary) disagree by
+    * one ulp of the last kept digit. A 1e-9 nudge — mirrored in the
+    * oracle SQL — puts both engines on the same side; it is two orders
+    * of magnitude below the 5e-7 gap between representable outputs, so
+    * no non-boundary value changes.
+    */
+  private val RoundEps = 1e-9
 
   /** Quality scoring: token count, mean token length, stopword ratio,
     * alphanumeric character ratio, folded into a single [0,1]-ish score.
@@ -62,10 +73,10 @@ object TextOps {
     docs.select(
       col("doc_id"),
       nTok.as("n_tokens"),
-      round(meanLen, 6).as("mean_tok_len"),
-      round(stopRatio, 6).as("stop_ratio"),
-      round(alnumRatio, 6).as("alnum_ratio"),
-      round(score, 6).as("quality"))
+      round(meanLen + RoundEps, 6).as("mean_tok_len"),
+      round(stopRatio + RoundEps, 6).as("stop_ratio"),
+      round(alnumRatio + RoundEps, 6).as("alnum_ratio"),
+      round(score + RoundEps, 6).as("quality"))
   }
 
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
