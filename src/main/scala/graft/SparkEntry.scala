@@ -388,6 +388,9 @@ object SparkEntry {
     "multimodal_frames" -> ((s, d) =>
       Multimodal.frameSample(docs(s, d)).orderBy(col("doc_id"), col("frame_idx"))),
     "text_vocab" -> ((s, d) => TextOps.vocab(docs(s, d), k = 50)),
+    "doc_split" -> ((s, d) => TextOps.splitAssign(docs(s, d)).orderBy(col("doc_id"))),
+    "doc_split_stats" -> ((s, d) =>
+      TextOps.splitStats(docs(s, d)).orderBy(col("split"), col("lang"))),
     "text_length_hist" -> ((s, d) =>
       TextOps.lengthHistogram(docs(s, d)).orderBy(col("bucket"))),
     "events_dedup" -> ((s, d) =>
@@ -986,6 +989,18 @@ object SparkEntry {
            |       ${Parity.charFoldSql("substring(text, CAST(t.i * 64 + 1 AS INT), 64)", 31L, Parity.TokP)} AS frame_hash
            |FROM f CROSS JOIN range(0, 3) t(i) WHERE t.i < n_frames
            |ORDER BY doc_id, frame_idx""".stripMargin,
+      "doc_split" ->
+        s"""SELECT doc_id,
+           |       CASE WHEN ${Parity.fp40Sql("text")} % 100 < 80 THEN 'train'
+           |            WHEN ${Parity.fp40Sql("text")} % 100 < 90 THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "doc_split_stats" ->
+        s"""SELECT CASE WHEN ${Parity.fp40Sql("text")} % 100 < 80 THEN 'train'
+           |            WHEN ${Parity.fp40Sql("text")} % 100 < 90 THEN 'val'
+           |            ELSE 'test' END AS split,
+           |       lang, count(*) AS n_docs
+           |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
       "text_vocab" ->
         s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents)
            |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,

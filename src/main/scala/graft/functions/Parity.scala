@@ -60,6 +60,9 @@ object Parity {
   def fp40(text: Column): Column =
     charFold(text, 31L, TokP) * TokP2 + charFold(text, 131L, TokP2)
 
+  def fp40Sql(text: String): String =
+    s"(${charFoldSql(text, 31L, TokP)} * $TokP2 + ${charFoldSql(text, 131L, TokP2)})"
+
   /** Array of per-token codes (20-bit polynomial hash of each token). */
   def tokenCodes(text: Column): Column =
     transform(tokens(text), t => charFold(t, 31L, TokP))

@@ -138,6 +138,28 @@ object TextOps {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 6).as("avg_chars"))
 
+  /** Deterministic content-hash train/val/test split: bucket =
+    * fp40 mod 100, train < 80 ≤ val < 90 ≤ test. Hash-based (not
+    * random) so the assignment is REPRODUCIBLE across runs, engines and
+    * cluster sizes, and duplicate documents land in the same split —
+    * the leakage-safety property row-level random sampling lacks. A pure
+    * narrow map.
+    */
+  def splitAssign(docs: DataFrame): DataFrame = {
+    val bucket = pmod(Parity.fp40(col("text")), lit(100L))
+    docs.select(
+      col("doc_id"),
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+  }
+
+  /** Split sizes per language — the stratification report for
+    * [[splitAssign]]. */
+  def splitStats(docs: DataFrame): DataFrame =
+    splitAssign(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Document fingerprinting: two independent rolling polynomial hashes of
     * the full text plus their 40-bit concatenation — the content-addressed
     * identity used by exact dedup at scale.
