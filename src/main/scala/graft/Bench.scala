@@ -17,13 +17,16 @@ object Bench {
     // from whichever query happens to run first.
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .groupBy("l_returnflag").count().count()
-    // sorted for run-to-run comparability; cache cleared between queries
-    // so one query's persisted intermediates can't skew the next
+    // sorted for run-to-run comparability; ALL blocks freed between
+    // queries — clearCache() alone misses localCheckpoint RDD blocks,
+    // which otherwise accumulate across the 60-query session until the
+    // storage pool forces spill/eviction and later queries pay for it
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
