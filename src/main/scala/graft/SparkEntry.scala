@@ -286,7 +286,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingNearDups(embs(s, d), minCosine = 0.3).orderBy(col("vec_a"), col("vec_b"))),
     "dedup_clusters" -> ((s, d) =>
-      Dedup.clusters(docs(s, d), Dedup.minhashCandidates(docs(s, d))).orderBy(col("doc_id"))),
+      Dedup.clusters(docs(s, d), Dedup.minhashCandidatePairs(docs(s, d))).orderBy(col("doc_id"))),
     // similarity search
     "ann_brute_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embs(s, d), nQueries = 10, k = 5)
@@ -388,6 +388,20 @@ object SparkEntry {
     "multimodal_frames" -> ((s, d) =>
       Multimodal.frameSample(docs(s, d)).orderBy(col("doc_id"), col("frame_idx"))),
     "text_vocab" -> ((s, d) => TextOps.vocab(docs(s, d), k = 50)),
+    // batch-shaping + curation extensions (round 3)
+    "doc_pack" -> ((s, d) =>
+      TextOps.pack(docs(s, d), binTokens = 2048L).orderBy(col("lang"), col("doc_id"))),
+    "doc_sample" -> ((s, d) => TextOps.stratifiedSample(docs(s, d)).orderBy(col("doc_id"))),
+    "pii_redact" -> ((s, d) => TextOps.piiRedact(docs(s, d)).orderBy(col("doc_id"))),
+    "decontaminate" -> ((s, d) => TextOps.decontaminate(docs(s, d)).orderBy(col("doc_id"))),
+    "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d)).orderBy(col("doc_id"))),
+    "ann_recall" -> ((s, d) =>
+      Similarity.lshRecall(embs(s, d), nQueries = 50, k = 3).orderBy(col("q_id"))),
+    // the stateful sessionizer pushed through the streaming engine
+    // (flatMapGroupsWithState + state store); shares the batch oracle
+    "events_stream_sessionize" -> ((s, d) =>
+      streaming.StreamOps.sessionizeOverParquet(s, d, gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_id"))),
     "doc_split" -> ((s, d) => TextOps.splitAssign(docs(s, d)).orderBy(col("doc_id"))),
     "doc_split_stats" -> ((s, d) =>
       TextOps.splitStats(docs(s, d)).orderBy(col("split"), col("lang"))),
@@ -743,6 +757,25 @@ object SparkEntry {
         s"SELECT vec_id, e, $t AS tbl, " +
           s"${Parity.rpBucketSql("e", Similarity.PlanesPerTable, Similarity.Dim, t * Similarity.PlanesPerTable)} AS bucket FROM d")
       .mkString("\n  UNION ALL ")
+    val sessionizeSql =
+      s"""WITH m AS (
+         |  SELECT user_id, event_id, ts, value,
+         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |s AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0
+         |                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_new
+         |  FROM m),
+         |n AS (
+         |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |  FROM s)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |       strftime(min(ts), $fmt) AS session_start,
+         |       round(sum(value), 2) AS sum_value
+         |FROM n GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+    val allShingles = Parity.shinglesAllSql("t")
+    val fromToks = s"(SELECT doc_id, $toks AS t FROM documents)"
 
     Map(
       "dedup_exact" ->
@@ -918,23 +951,92 @@ object SparkEntry {
       "events_stream_tumbling" -> tumblingSql,
       "events_sliding" -> slidingSql,
       "events_stream_sliding" -> slidingSql,
-      "events_sessionize" ->
-        s"""WITH m AS (
-           |  SELECT user_id, event_id, ts, value,
-           |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-           |  FROM events),
-           |s AS (
-           |  SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0
-           |                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_new
-           |  FROM m),
-           |n AS (
-           |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-           |  FROM s)
-           |SELECT user_id, session_id, count(*) AS n_events,
-           |       strftime(min(ts), $fmt) AS session_start,
-           |       round(sum(value), 2) AS sum_value
-           |FROM n GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+      "events_sessionize" -> sessionizeSql,
+      // the streaming engine must converge to the batch sessionization on
+      // a bounded input — identical oracle by design
+      "events_stream_sessionize" -> sessionizeSql,
+      "doc_pack" ->
+        s"""WITH t AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+           |c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum FROM t)
+           |SELECT doc_id, lang, n_tokens,
+           |       CAST(cum // 2048 AS BIGINT) AS bin,
+           |       CAST(cum % 2048 AS BIGINT) AS "offset"
+           |FROM c ORDER BY lang, doc_id""".stripMargin,
+      "doc_sample" ->
+        s"""SELECT doc_id, lang,
+           |       (${Parity.fp40Sql("text")} % 1000) <
+           |         (CASE WHEN lang = 'en' THEN 500 WHEN lang = 'es' THEN 250 ELSE 125 END) AS kept
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "pii_redact" -> {
+        val email = "[a-z0-9.]+@[a-z0-9.]+"
+        val phone = "555-[0-9]{4}"
+        s"""WITH a AS (
+           |  SELECT doc_id,
+           |         text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+           |         '@mail.example or call 555-' ||
+           |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+           |  FROM documents),
+           |r AS (
+           |  SELECT doc_id, aug,
+           |         regexp_replace(regexp_replace(aug, '$email', '<EMAIL>', 'g'),
+           |                        '$phone', '<PHONE>', 'g') AS red
+           |  FROM a)
+           |SELECT doc_id,
+           |       CAST(len(regexp_extract_all(aug, '$email')) AS BIGINT) AS n_emails,
+           |       CAST(len(regexp_extract_all(aug, '$phone')) AS BIGINT) AS n_phones,
+           |       CAST(length(red) AS BIGINT) AS n_chars_red,
+           |       ${Parity.charFoldSql("red", 31L, Parity.TokP)} AS redacted_fp
+           |FROM r ORDER BY doc_id""".stripMargin
+      },
+      "decontaminate" ->
+        s"""WITH sh AS (SELECT doc_id, unnest($shingleSql) AS g FROM $fromToks),
+           |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % ${TextOps.BenchmarkMod} = 0),
+           |hits AS (SELECT DISTINCT doc_id FROM sh
+           |         WHERE doc_id % ${TextOps.BenchmarkMod} <> 0
+           |           AND g IN (SELECT g FROM bench))
+           |SELECT d.doc_id, d.doc_id % ${TextOps.BenchmarkMod} = 0 AS is_benchmark,
+           |       h.doc_id IS NOT NULL AS contaminated
+           |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+      "text_repetition" ->
+        s"""WITH g AS (SELECT doc_id, unnest($allShingles) AS g FROM $fromToks),
+           |per AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+           |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+           |             CAST(max(c) AS BIGINT) AS max_rep FROM per GROUP BY 1)
+           |SELECT d.doc_id,
+           |       coalesce(a.n_grams, 0) AS n_grams,
+           |       coalesce(a.max_rep, 0) AS max_rep,
+           |       round((CASE WHEN a.n_grams IS NULL THEN CAST(0.0 AS DOUBLE)
+           |                   ELSE CAST(a.max_rep AS DOUBLE) / a.n_grams END) + 1e-9, 6) AS rep_ratio
+           |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+      "ann_recall" ->
+        s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |scored_e AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |         round(${Parity.cosineSql("q.e", "c.e")}, 6) AS cos
+           |  FROM d q JOIN d c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+           |ranked_e AS (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           |  FROM scored_e),
+           |b AS (
+           |  $lshTableUnion),
+           |scored_a AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |         max(round(${Parity.cosineSql("q.e", "c.e")}, 6)) AS cos
+           |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+           |    AND q.vec_id < 50 AND q.vec_id <> c.vec_id
+           |  GROUP BY 1, 2),
+           |ranked_a AS (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           |  FROM scored_a)
+           |SELECT e.q_id, CAST(count(a.n_id) AS BIGINT) AS n_hits,
+           |       round(CAST(count(a.n_id) AS DOUBLE) / 3.0, 6) AS recall
+           |FROM (SELECT * FROM ranked_e WHERE rank <= 3) e
+           |LEFT JOIN (SELECT * FROM ranked_a WHERE rank <= 3) a
+           |  ON a.q_id = e.q_id AND a.n_id = e.n_id
+           |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
       "events_json_agg" ->
         """SELECT event_type, count(*) AS n,
           |       CAST(sum(k) AS BIGINT) AS sum_k,

@@ -96,6 +96,28 @@ object Parity {
       s"[array_to_string(list_slice($toks, i, i + 2), ' ') FOR i IN range(1, len($toks) - 1)]) " +
       s"ELSE [] END)"
 
+  /** ALL word 3-gram shingles in order (multiset — NOT deduplicated).
+    * [[shingles]]' distinct form serves set-overlap operators (Jaccard,
+    * decontamination); this form serves frequency analysis (repetition
+    * detection), where how often a trigram recurs IS the signal.
+    */
+  def shinglesAll(toks: Column): Column = {
+    val n = size(toks)
+    when(
+      n >= 3,
+      zip_with(
+        slice(toks, lit(1), n - 2),
+        zip_with(slice(toks, lit(2), n - 2), slice(toks, lit(3), n - 2), (y, z) =>
+          concat_ws(" ", y, z)),
+        (x, yz) => concat_ws(" ", x, yz)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  def shinglesAllSql(toks: String): String =
+    s"(CASE WHEN len($toks) >= 3 THEN " +
+      s"[array_to_string(list_slice($toks, i, i + 2), ' ') FOR i IN range(1, len($toks) - 1)] " +
+      s"ELSE [] END)"
+
   // ---- MinHash -------------------------------------------------------------
 
   /** K-element MinHash signature over the token-code array:

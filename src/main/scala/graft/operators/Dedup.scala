@@ -80,7 +80,37 @@ object Dedup {
     * Output additionally carries the estimated Jaccard (fraction of
     * matching signature positions).
     */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    bandedSelfJoin(docs)
+      // dedup (band collisions ≤ MinhashBands per pair) BEFORE scoring:
+      // the signature compare is an interpreted array fold per row, so it
+      // runs on the distinct pairs, not on every collision. The sig
+      // arrays ride the distinct shuffle (128 bytes/row, functionally
+      // dependent on the pair key).
+      .dropDuplicates("doc_a", "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(
+          aggregate(
+            zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L),
+            (acc, x) => acc + x).cast("double") / MinhashK,
+          6).as("est_jaccard"))
+
+  /** MinHash-LSH candidate pairs WITHOUT the signature-similarity score:
+    * the input [[clusters]] needs — skipping the score skips carrying
+    * and folding the signature arrays entirely.
+    */
+  def minhashCandidatePairs(docs: DataFrame): DataFrame =
+    bandedSelfJoin(docs).select(col("doc_a"), col("doc_b")).distinct()
+
+  /** Shared banded self-join: one collision row per (pair, band) with
+    * both signatures attached. The self-join runs on the (band_idx,
+    * band_val) bucket key — the scalable shape (no all-pairs comparison
+    * ever materializes).
+    */
+  private def bandedSelfJoin(docs: DataFrame): DataFrame = {
     val sigs = minhashSignatures(docs)
     // materialized: the self-join below would otherwise recompute the
     // whole signature pipeline on both the build and probe side
@@ -100,13 +130,8 @@ object Dedup {
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
-        round(
-          aggregate(
-            zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1L).otherwise(0L)),
-            lit(0L),
-            (acc, x) => acc + x).cast("double") / MinhashK,
-          6).as("est_jaccard"))
-      .distinct()
+        col("a.sig").as("sig_a"),
+        col("b.sig").as("sig_b"))
   }
 
   val SimhashChunks = 4

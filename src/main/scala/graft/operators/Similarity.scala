@@ -177,6 +177,29 @@ object Similarity {
     * measured recall@k test) — the verify contract is determinism, not
     * equality with brute force.
     */
+  /** Measured recall@k of [[lshTopK]] against [[bruteForceTopK]], per
+    * query: |LSH top-k ∩ exact top-k| / k. The number that makes the
+    * approximate path trustworthy — a pipeline tunes NTables /
+    * PlanesPerTable against THIS table, not against hope. Queries with
+    * zero LSH hits still appear (n_hits = 0).
+    */
+  def lshRecall(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val exact = bruteForceTopK(embs, nQueries, k).select(col("q_id"), col("n_id"))
+    val approx = lshTopK(embs, nQueries, k)
+      .select(col("q_id").as("a_qid"), col("n_id").as("a_nid"))
+    exact
+      .join(
+        approx,
+        col("q_id") === col("a_qid") && col("n_id") === col("a_nid"),
+        "left_outer")
+      .groupBy(col("q_id"))
+      .agg(count(col("a_nid")).as("n_hits"))
+      .select(
+        col("q_id"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / k.toDouble, 6).as("recall"))
+  }
+
   def lshTopK(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val b = buckets(embs)
     val q = b.filter(col("vec_id") < nQueries).alias("q")

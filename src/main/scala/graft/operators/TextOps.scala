@@ -173,4 +173,146 @@ object TextOps {
       f2.as("fp_b"),
       (f1 * Parity.TokP2 + f2).as("fp40"))
   }
+
+  /** Sequence packing: assign documents to fixed-capacity context-window
+    * bins (`binTokens` tokens each) by running token count within a
+    * `lang` shard, in doc_id order — the batch-shaping step between a
+    * curated corpus and an LM trainer. `bin`/`offset` are pure integer
+    * arithmetic on the exclusive prefix sum, so the assignment is
+    * identical on any engine and any cluster size.
+    *
+    * Scale shape: ONE window sort per shard (the same shuffle profile as
+    * any partitioned window); at 100 TB the shard key keeps partitions
+    * independent, and a per-shard ordered scan is exactly what the
+    * sequential packer needs — no driver-side loop.
+    */
+  def pack(docs: DataFrame, binTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("lang"), size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_tokens"),
+        (col("cum") / binTokens).cast("long").as("bin"),
+        pmod(col("cum"), lit(binTokens)).as("offset"))
+  }
+
+  /** Per-stratum sampling rates for [[stratifiedSample]], in thousandths. */
+  val SampleRates: Map[String, Long] = Map("en" -> 500L, "es" -> 250L)
+  val SampleRateDefault: Long = 125L
+
+  /** Deterministic stratified sampling: keep a doc iff its content hash
+    * mod 1000 falls under its language's rate — reproducible across runs
+    * and engines (no RNG), duplicate docs sampled identically, and the
+    * predicate is a narrow map that never shuffles. The per-doc decision
+    * table (not just the survivors) is emitted so the oracle checks both
+    * kept and dropped rows.
+    */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val rate = SampleRates.foldLeft(when(lit(false), lit(0L))) { case (acc, (l, r)) =>
+      acc.when(col("lang") === l, lit(r))
+    }.otherwise(lit(SampleRateDefault))
+    docs.select(
+      col("doc_id"),
+      col("lang"),
+      (pmod(Parity.fp40(col("text")), lit(1000L)) < rate).as("kept"))
+  }
+
+  /** Email/phone regexes for [[piiRedact]] — deliberately simple enough
+    * to be engine-portable (same semantics in Java regex and RE2).
+    */
+  val EmailRe = "[a-z0-9.]+@[a-z0-9.]+"
+  val PhoneRe = "555-[0-9]{4}"
+
+  /** PII redaction over a corpus: count and mask email/phone patterns.
+    * The harness corpus carries no real PII, so each doc is first
+    * AUGMENTED with synthetic contact strings derived from doc_id —
+    * making the redaction observable and the count assertions non-trivial
+    * — then scanned and masked. Output carries the redacted text's
+    * length and content hash (not the text itself), which pins the exact
+    * post-redaction bytes against the oracle. Pure narrow map, codegen'd
+    * regex — no shuffle, no UDF.
+    */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val aug = concat(
+      col("text"),
+      lit(" contact u"),
+      col("doc_id").cast("string"),
+      lit("@mail.example or call 555-"),
+      lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+    val redacted =
+      regexp_replace(regexp_replace(aug, lit(EmailRe), lit("<EMAIL>")), lit(PhoneRe), lit("<PHONE>"))
+    docs.select(
+      col("doc_id"),
+      regexp_count(aug, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(aug, lit(PhoneRe)).cast("long").as("n_phones"),
+      length(redacted).cast("long").as("n_chars_red"),
+      Parity.charFold(redacted, 31L, Parity.TokP).as("redacted_fp"))
+  }
+
+  /** Benchmark-doc selector for [[decontaminate]]: every 97th doc stands
+    * in for an eval set held out of training.
+    */
+  val BenchmarkMod = 97L
+
+  /** Training-set decontamination: flag corpus docs sharing any word
+    * 3-gram with the benchmark set (docs where `doc_id % 97 = 0`) — the
+    * eval-leakage scrub every LM data pipeline runs before training.
+    *
+    * Physical shape at 100 TB: the benchmark shingle set is SMALL (the
+    * eval suite, not the corpus), so the distinct benchmark shingles
+    * broadcast and the corpus side is a semi-join probe on its exploded
+    * shingles — no shuffle of corpus rows, never a doc×doc comparison.
+    */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val sh = docs.select(
+      col("doc_id"),
+      explode(Parity.shingles(toks(col("text")))).as("g"))
+    val benchShingles =
+      sh.filter(pmod(col("doc_id"), lit(BenchmarkMod)) === 0).select(col("g")).distinct()
+    val contaminated = sh
+      .filter(pmod(col("doc_id"), lit(BenchmarkMod)) =!= 0)
+      .join(broadcast(benchShingles), Seq("g"), "left_semi")
+      .select(col("doc_id"))
+      .distinct()
+      .withColumn("hit", lit(true))
+    docs
+      .select(col("doc_id"), (pmod(col("doc_id"), lit(BenchmarkMod)) === 0).as("is_benchmark"))
+      .join(contaminated, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("is_benchmark"),
+        (coalesce(col("hit"), lit(false)) && !col("is_benchmark")).as("contaminated"))
+  }
+
+  /** Repetition detection: the share of a doc's word trigrams taken by
+    * its single most frequent trigram — near 1.0 for degenerate
+    * loop/boilerplate docs, near 1/n for healthy prose. Uses the
+    * NON-distinct trigram multiset ([[Parity.shinglesAll]]); docs under 3
+    * tokens report zero grams. Explode + two hash aggregates, both
+    * map-side partial — the same shuffle profile as TF-IDF.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"), explode(Parity.shinglesAll(toks(col("text")))).as("g"))
+    val per = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val agg = per
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("max_rep"))
+    docs
+      .select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("max_rep"), lit(0L)).as("max_rep"),
+        round(
+          when(col("n_grams").isNull, 0.0)
+            .otherwise(col("max_rep").cast("double") / col("n_grams").cast("double")) + RoundEps,
+          6).as("rep_ratio"))
+  }
 }

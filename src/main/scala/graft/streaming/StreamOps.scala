@@ -49,8 +49,12 @@ object StreamOps {
   /** One event routed into the stateful sessionizer. */
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
-  /** Mutable per-user session accumulator held in GroupState. */
-  final case class SessionAgg(startMs: Long, lastMs: Long, nEvents: Long, sumValue: Double)
+  /** Mutable per-user session accumulator held in GroupState. Times are
+    * MICROSECONDS since epoch: gap decisions must see the full timestamp
+    * precision or a sub-millisecond straddle of the gap boundary would
+    * sessionize differently from the batch operator.
+    */
+  final case class SessionAgg(startUs: Long, lastUs: Long, nEvents: Long, sumValue: Double)
 
   /** A closed session, emitted when the gap passes or state times out. */
   final case class ClosedSession(
@@ -76,10 +80,13 @@ object StreamOps {
       gapMinutes: Int,
       watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
     import spark.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
+
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
 
     def close(user: Long, s: SessionAgg): ClosedSession =
-      ClosedSession(user, s.startMs, s.nEvents, s.sumValue)
+      ClosedSession(user, s.startUs / 1000L, s.nEvents, s.sumValue)
 
     def update(
         user: Long,
@@ -92,21 +99,21 @@ object StreamOps {
       } else {
         var closed = List.empty[ClosedSession]
         var cur = state.getOption
-        rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-          val t = e.ts.getTime
+        rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+          val t = micros(e.ts)
           cur match {
-            case Some(s) if t - s.lastMs > gapMs =>
+            case Some(s) if t - s.lastUs > gapUs =>
               closed ::= close(user, s)
               cur = Some(SessionAgg(t, t, 1L, e.value))
             case Some(s) =>
-              cur = Some(SessionAgg(s.startMs, math.max(s.lastMs, t), s.nEvents + 1, s.sumValue + e.value))
+              cur = Some(SessionAgg(s.startUs, math.max(s.lastUs, t), s.nEvents + 1, s.sumValue + e.value))
             case None =>
               cur = Some(SessionAgg(t, t, 1L, e.value))
           }
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.lastMs + gapMs)
+          state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L)
         }
         closed.reverse.iterator
       }
@@ -140,6 +147,69 @@ object StreamOps {
       sfDir,
       "sliding",
       ev => EventOps.sliding(ev.withWatermark("ts", "20 minutes")))
+
+  /** Driver-facing run of the STATEFUL sessionizer over the harness
+    * events parquet, checked against the batch sessionize oracle.
+    *
+    * A flatMapGroupsWithState session only closes when a LATER event (or
+    * the watermark) passes the gap — on a bounded file the last session
+    * per user would stay open and never be emitted. Instead of leaning on
+    * timeout mechanics, the staged input carries one far-future SENTINEL
+    * event per user: it closes every real trailing session in-stream, and
+    * the session it opens itself is never emitted. Emitted sessions are
+    * then exactly the batch operator's sessions; ids are re-derived as
+    * the per-user rank of session start, matching the batch cumsum rule.
+    */
+  def sessionizeOverParquet(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts = nanos BIGINT
+    val horizonNs = (gapMinutes + 60) * 60000000000L
+    // ONE shared sentinel timestamp (global max + horizon) for every
+    // user: a per-user sentinel time would let the global watermark pass
+    // early-finishing users' sentinel sessions and emit them through the
+    // timeout path — phantom sessions the batch operator never produces.
+    val sentinels = raw
+      .select(col("user_id"))
+      .distinct()
+      .crossJoin(raw.agg(max(col("ts")).as("mxg")))
+      .select(
+        lit(-1L).as("event_id"),
+        (col("mxg") + horizonNs).as("ts"),
+        col("user_id"),
+        lit("__sentinel").as("event_type"),
+        lit(0.0).as("value"),
+        lit("{}").as("props"))
+    val staged = java.nio.file.Files.createTempDirectory("graft-stream-sess")
+    val dataDir = staged.resolve("data").toString
+    raw.select(sentinels.columns.map(col): _*).unionAll(sentinels)
+      .write.mode("overwrite").parquet(dataDir)
+
+    val name = s"graft_stream_sessionize_${runCounter.incrementAndGet()}"
+    val q = sessionizeStream(
+      spark,
+      readEventStream(spark, dataDir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[SessionEvent],
+      gapMinutes)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("session_start_ms"))
+    spark.table(name).select(
+      col("user_id"),
+      row_number().over(w).cast("long").as("session_id"),
+      col("n_events"),
+      date_format(timestamp_millis(col("session_start_ms")), "yyyy-MM-dd HH:mm:ss")
+        .as("session_start"),
+      round(col("sum_value"), 2).as("sum_value"))
+  }
 
   private def overParquet(
       spark: SparkSession,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.Parity
-import graft.operators.{Dedup, EventOps, Multimodal, TextOps}
+import graft.operators.{Dedup, EventOps, Multimodal, Similarity, TextOps}
 
 /** Unit tests for the north-star extension operators on tiny in-memory
   * inputs with hand-computed expectations.
@@ -207,5 +207,75 @@ class ExtensionOpsSpec extends SparkSpec {
     intercept[NotImplementedError] {
       Multimodal.BinaryDecoder.RealImageDecoder.decode(Array[Byte](1, 2))
     }
+  }
+
+  test("sequence packing: bins fill in doc_id order within a lang shard") {
+    val d = docsDf(Seq(
+      (1L, "a b c d", "en"), // 4 tokens, cum 0 → bin 0 off 0
+      (2L, "e f g", "en"), //   3 tokens, cum 4 → bin 0 off 4
+      (3L, "h i", "en"), //     2 tokens, cum 7 → bin 1 off 1
+      (4L, "x y z", "fr"))) //  fr shard restarts: cum 0 → bin 0
+    val out = TextOps.pack(d, binTokens = 6L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((4L, 0L, 0L)))
+    assert(out(2L) === ((3L, 0L, 4L)))
+    assert(out(3L) === ((2L, 1L, 1L)))
+    assert(out(4L) === ((3L, 0L, 0L)))
+  }
+
+  test("stratified sample: per-lang rates applied to the content hash") {
+    val d = docsDf(Seq((1L, "aaa", "en"), (2L, "aaa", "de")))
+    val out = TextOps.stratifiedSample(d).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    val bucket = java.lang.Math.floorMod(
+      ("aaa".foldLeft(0L)((a, c) => (a * 31 + c) % Parity.TokP) * Parity.TokP2 +
+        "aaa".foldLeft(0L)((a, c) => (a * 131 + c) % Parity.TokP2)),
+      1000L)
+    assert(out(1L) === (bucket < 500L)) // en rate
+    assert(out(2L) === (bucket < 125L)) // default rate
+  }
+
+  test("pii redact: synthetic email and phone are counted and masked") {
+    val d = docsDf(Seq((7L, "hello world", "en")))
+    val r = TextOps.piiRedact(d).collect()(0)
+    // aug = "hello world contact u7@mail.example or call 555-0007"
+    assert(r.getLong(1) === 1L) // n_emails
+    assert(r.getLong(2) === 1L) // n_phones
+    val red = "hello world contact <EMAIL> or call <PHONE>"
+    assert(r.getLong(3) === red.length.toLong)
+    assert(r.getLong(4) === red.foldLeft(0L)((a, c) => (a * 31 + c) % Parity.TokP))
+  }
+
+  test("decontamination flags only non-benchmark docs sharing a trigram") {
+    val d = docsDf(Seq(
+      (0L, "secret eval question here", "en"), // benchmark (0 % 97 == 0)
+      (1L, "the secret eval question leaked", "en"), // shares "secret eval question"
+      (2L, "totally unrelated prose words", "en")))
+    val out = TextOps.decontaminate(d).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+    assert(out === Set((0L, true, false), (1L, false, true), (2L, false, false)))
+  }
+
+  test("repetition ratio: degenerate loops score high, short docs zero") {
+    val d = docsDf(Seq(
+      (1L, "spam spam spam spam spam", "en"), // one trigram ×3: ratio 1.0
+      (2L, "a b c d", "en"), // 2 distinct trigrams: ratio 0.5
+      (3L, "hi", "en"))) // < 3 tokens: no grams
+    val out = TextOps.repetition(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out === Set((1L, 3L, 3L, 1.0), (2L, 2L, 1L, 0.5), (3L, 0L, 0L, 0.0)))
+  }
+
+  test("lsh recall report covers every query and stays within [0,1]") {
+    val dir = "/root/testdata/sf0.001"
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.lshRecall(embs, nQueries = 20, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === 20)
+    assert(out.forall { case (_, h, rc) => h >= 0 && h <= 3 && rc >= 0.0 && rc <= 1.0 })
+    // ties out to the measured-recall floor asserted above
+    val mean = out.map(_._2).sum.toDouble / (3.0 * out.length)
+    info(f"lshRecall mean recall@3 = $mean%.3f")
+    assert(mean >= 0.3)
   }
 }
