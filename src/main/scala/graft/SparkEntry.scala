@@ -402,6 +402,47 @@ object SparkEntry {
     "events_stream_sessionize" -> ((s, d) =>
       streaming.StreamOps.sessionizeOverParquet(s, d, gapMinutes = 30)
         .orderBy(col("user_id"), col("session_id"))),
+    // streaming dropDuplicates state chained into a distinct count
+    "events_stream_dedup" -> ((s, d) =>
+      streaming.StreamOps.dedupOverParquet(s, d).orderBy(col("event_type"))),
+    // co-located join: both sides staged through bucketed managed tables
+    // on the join key — the executed plan has no shuffle exchange before
+    // the sort-merge join (asserted in BucketingSpec); the oracle reads
+    // the original parquet, so bucketing must not change the answer
+    "bucketed_join" -> ((s, d) => {
+      val o = sources.TabularIO.bucketed(
+        s,
+        table(s, d, "orders").select(
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice")),
+        "o_custkey",
+        nBuckets = 8)
+      val c = sources.TabularIO.bucketed(
+        s,
+        table(s, d, "customer").select(
+          col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment")),
+        "c_custkey",
+        nBuckets = 8)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    // range join against a tiny literal band dimension (broadcast): the
+    // non-equi-join shape for histogram/banding at any fact-table scale
+    "range_band_join" -> ((s, d) => {
+      val bands = s.range(0, 6).select(
+        col("id").as("band"),
+        (col("id") * 100000).cast("double").as("lo"),
+        ((col("id") + 1) * 100000).cast("double").as("hi"))
+      table(s, d, "orders")
+        .select(col("o_totalprice").cast("double").as("p"))
+        .join(broadcast(bands), col("p") >= col("lo") && col("p") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), round(sum(col("p")), 2).as("sum_price"))
+        .orderBy(col("band"))
+    }),
     "doc_split" -> ((s, d) => TextOps.splitAssign(docs(s, d)).orderBy(col("doc_id"))),
     "doc_split_stats" -> ((s, d) =>
       TextOps.splitStats(docs(s, d)).orderBy(col("split"), col("lang"))),
@@ -952,6 +993,25 @@ object SparkEntry {
       "events_sliding" -> slidingSql,
       "events_stream_sliding" -> slidingSql,
       "events_sessionize" -> sessionizeSql,
+      "events_stream_dedup" ->
+        """SELECT event_type, CAST(count(DISTINCT (user_id, ts, value)) AS BIGINT) AS n_distinct
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "bucketed_join" ->
+        """SELECT c_mktsegment, count(*) AS n,
+          |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS revenue
+          |FROM orders JOIN customer ON CAST(o_custkey AS BIGINT) = CAST(c_custkey AS BIGINT)
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      "range_band_join" ->
+        """WITH bands AS (
+          |  SELECT CAST(i AS BIGINT) AS band,
+          |         CAST(i * 100000 AS DOUBLE) AS lo,
+          |         CAST((i + 1) * 100000 AS DOUBLE) AS hi
+          |  FROM range(0, 6) t(i))
+          |SELECT band, count(*) AS n,
+          |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS sum_price
+          |FROM orders JOIN bands ON CAST(o_totalprice AS DOUBLE) >= lo
+          |                      AND CAST(o_totalprice AS DOUBLE) < hi
+          |GROUP BY band ORDER BY band""".stripMargin,
       // the streaming engine must converge to the batch sessionization on
       // a bounded input — identical oracle by design
       "events_stream_sessionize" -> sessionizeSql,

@@ -34,4 +34,26 @@ object TabularIO {
     df.write.mode("overwrite").json(dir)
     spark.read.schema(df.schema).json(dir)
   }
+
+  private val bucketCounter = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Write `df` bucketed (+ sorted) on `key` into a fresh managed-table
+    * path and return the catalog-backed bucketed relation. Two tables
+    * bucketed the same way on their join keys sort-merge-join with NO
+    * shuffle exchange — the co-location contract that turns a 100 TB
+    * fact⋈fact join from a full-cluster shuffle into a local merge per
+    * bucket. Table names are uniquified per call (verify + bench share
+    * one session).
+    */
+  def bucketed(spark: SparkSession, df: DataFrame, key: String, nBuckets: Int): DataFrame = {
+    val name = s"graft_bkt_${bucketCounter.incrementAndGet()}"
+    val dir = Files.createTempDirectory("graft-bucketed").toString
+    df.write
+      .mode("overwrite")
+      .option("path", s"$dir/$name")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .saveAsTable(name)
+    spark.table(name)
+  }
 }

@@ -148,6 +148,23 @@ object StreamOps {
       "sliding",
       ev => EventOps.sliding(ev.withWatermark("ts", "20 minutes")))
 
+  /** Streaming exact deduplication: dropDuplicates state keyed on the
+    * full event identity, chained into a per-type distinct count — the
+    * dedup-before-ingest operator run incrementally. On an unbounded
+    * stream the dedup state would be bounded with
+    * `dropDuplicatesWithinWatermark`; the bounded harness run keeps full
+    * state so the result equals the batch distinct count exactly.
+    */
+  def dedupOverParquet(spark: SparkSession, sfDir: String): DataFrame =
+    overParquet(
+      spark,
+      sfDir,
+      "dedup",
+      ev =>
+        ev.dropDuplicates("event_type", "user_id", "ts", "value")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_distinct")))
+
   /** Driver-facing run of the STATEFUL sessionizer over the harness
     * events parquet, checked against the batch sessionize oracle.
     *
