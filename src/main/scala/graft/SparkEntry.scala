@@ -257,6 +257,10 @@ object SparkEntry {
     "sssp_two_rounds" -> (ssspLineitemBounded _),
     "edge_parse" -> (edgeParse _),
     "connected_components" -> (connectedComponents _),
+    // same answer through the O(log d)-round star-contraction algorithm
+    // (Kiveris et al. SoCC'14) instead of O(d)-round label propagation
+    "cc_bigstar" -> ((s, d) =>
+      GraphOps.connectedComponentsStars(GraphSource.layeredEdges(s, d)).orderBy(col("id"))),
     "triangle_count" -> ((s, d) =>
       GraphOps.triangleCount(GraphSource.lineitemEdges(s, d))),
     "pagerank_fixed" -> (pagerank _),
@@ -534,6 +538,19 @@ object SparkEntry {
          |FROM a0 n LEFT JOIN a$rounds c ON c.id = n.id ORDER BY n.id""".stripMargin
   }
 
+  /** Min-label closure oracle over the layered graph — shared by both
+    * connected-components implementations (they must agree exactly).
+    */
+  private def ccOracleSql: String =
+    s"""WITH RECURSIVE edges AS (${GraphSource.layeredEdgesSql}),
+       |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT DISTINCT src AS id, src AS lab FROM und
+       |  UNION
+       |  SELECT u.dst, r.lab FROM reach r JOIN und u ON u.src = r.id
+       |)
+       |SELECT id, min(lab) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -609,15 +626,9 @@ object SparkEntry {
         |       CAST(string_split(trim(line), ' ')[4] AS DOUBLE) AS w
         |FROM lines WHERE regexp_matches(line, '^[0-9]')
         |ORDER BY src, dst, w""".stripMargin,
-    "connected_components" ->
-      s"""WITH RECURSIVE edges AS (${GraphSource.layeredEdgesSql}),
-         |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
-         |reach(id, lab) AS (
-         |  SELECT DISTINCT src AS id, src AS lab FROM und
-         |  UNION
-         |  SELECT u.dst, r.lab FROM reach r JOIN und u ON u.src = r.id
-         |)
-         |SELECT id, min(lab) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "connected_components" -> ccOracleSql,
+    // identical answer demanded from the star-contraction variant
+    "cc_bigstar" -> ccOracleSql,
     "triangle_count" ->
       s"""WITH edges AS (${GraphSource.lineitemEdgesSql}),
          |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

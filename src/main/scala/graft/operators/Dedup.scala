@@ -259,7 +259,7 @@ object Dedup {
     // an unmaterialized candidate pipeline would be re-evaluated per use
     val e = Phys.materialized(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"), lit(1.0).as("w")))
-    val cc = GraphOps.connectedComponents(e)
+    val cc = GraphOps.connectedComponentsStars(e)
     docs
       .select(col("doc_id"))
       .join(cc, col("doc_id") === col("id"), "left_outer")

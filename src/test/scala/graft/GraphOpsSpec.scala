@@ -182,6 +182,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(out === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 7L -> 7L, 9L -> 7L, 5L -> 5L))
   }
 
+  test("star-contraction CC agrees with label propagation on adversarial shapes") {
+    // long chain (worst case for label propagation, log-rounds for stars),
+    // a star with a large-id center, parallel edges, self-loops, and an
+    // isolated self-loop-only node
+    val edges =
+      (0 until 30).map(i => (i.toLong, i + 1L, 1.0)) ++
+        Seq((100L, 41L, 1.0), (100L, 42L, 1.0), (100L, 43L, 1.0), (100L, 41L, 1.0)) ++
+        Seq((60L, 60L, 1.0), (70L, 71L, 1.0), (71L, 70L, 1.0))
+    val byProp = GraphOps
+      .connectedComponents(edgesDf(edges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byStars = GraphOps
+      .connectedComponentsStars(edgesDf(edges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byStars === byProp)
+    assert(byStars(30L) === 0L) // chain collapsed to its min
+    assert(byStars(41L) === 41L && byStars(100L) === 41L)
+    assert(byStars(60L) === 60L) // self-loop-only node is its own component
+  }
+
   test("triangleCount counts each triangle once, ignores dups and self-loops") {
     // K4 on {1,2,3,4} = 4 triangles; plus a self-loop and a parallel edge
     val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b, 1.0)
