@@ -433,6 +433,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy(col("c_mktsegment"))
     }),
+    // explicit GROUPING SETS beyond rollup/cube: both single-dimension
+    // groupings computed in one pass over the fact table
+    "grouping_sets_agg" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"),
+          col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+    // hive-partitioned staging: the lang filter prunes whole directories
+    // (PartitionFilters, asserted in PlanAuditSpec); oracle reads the
+    // original parquet so the round-trip must be lossless
+    "partitioned_source_agg" -> ((s, d) => {
+      val staged = sources.TabularIO.partitionedRoundTrip(
+        s,
+        docs(s, d).select(col("doc_id"), length(col("text")).cast("long").as("n_chars"), col("lang")),
+        "lang")
+      staged
+        .filter(col("lang").isin("en", "es"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+    // Spark's NATIVE session-window operator (session_window merges
+    // events closer than the gap; a gap-equal event starts a new session
+    // — note the >= vs the manual sessionize's > rule, mirrored in the
+    // oracle)
+    "events_session_window" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("session_start"))
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(
+          col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"),
+          col("sum_value"))
+        .withColumn("session_id", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("session_id"), col("session_start"), col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
     // range join against a tiny literal band dimension (broadcast): the
     // non-equi-join shape for histogram/banding at any fact-table scale
     "range_band_join" -> ((s, d) => {
@@ -1012,6 +1056,32 @@ object SparkEntry {
           |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS revenue
           |FROM orders JOIN customer ON CAST(o_custkey AS BIGINT) = CAST(c_custkey AS BIGINT)
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      "grouping_sets_agg" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |       round(sum(l_quantity), 2) AS sum_qty
+          |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      "partitioned_source_agg" ->
+        """SELECT lang, count(*) AS n,
+          |       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+          |FROM documents WHERE lang IN ('en', 'es')
+          |GROUP BY lang ORDER BY lang""".stripMargin,
+      "events_session_window" ->
+        s"""WITH m AS (
+           |  SELECT user_id, event_id, ts, value,
+           |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           |  FROM events),
+           |s AS (
+           |  SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) >= 1800.0
+           |                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_new
+           |  FROM m),
+           |n AS (
+           |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           |  FROM s)
+           |SELECT user_id, session_id, strftime(min(ts), $fmt) AS session_start,
+           |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+           |FROM n GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
       "range_band_join" ->
         """WITH bands AS (
           |  SELECT CAST(i AS BIGINT) AS band,

@@ -35,6 +35,18 @@ object TabularIO {
     spark.read.schema(df.schema).json(dir)
   }
 
+  /** Write `df` hive-partitioned on `partCol` into a fresh directory and
+    * read it back. Downstream filters on the partition column prune at
+    * the DIRECTORY level (PartitionFilters in the scan, asserted in
+    * PlanAuditSpec) — at 100 TB the difference between listing a few
+    * directories and scanning the corpus.
+    */
+  def partitionedRoundTrip(spark: SparkSession, df: DataFrame, partCol: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft-part").toString
+    df.write.mode("overwrite").partitionBy(partCol).parquet(dir)
+    spark.read.parquet(dir)
+  }
+
   private val bucketCounter = new java.util.concurrent.atomic.AtomicInteger
 
   /** Write `df` bucketed (+ sorted) on `key` into a fresh managed-table
