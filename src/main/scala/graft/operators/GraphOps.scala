@@ -398,9 +398,11 @@ object GraphOps {
       // materialization (the intermediate patch is re-evaluated by its
       // consumers, but in this regime that work is tiny). Large frontiers
       // stay at one sub-round per materialization: there the per-round
-      // work is data-bound and re-evaluation would dominate. Convergence
-      // stays exact — the final sub-round's `p_upd` flags gate the loop,
-      // and a fused no-op sub-round is idempotent.
+      // work is data-bound and re-evaluation would dominate. Deeper
+      // fusing loses: each fused level re-evaluates its sub-plan ~3×, so
+      // cost grows 3^depth (measured: depth 4 tripled sssp_lineitem).
+      // Convergence stays exact — the final sub-round's `p_upd` flags
+      // gate the loop, and a fused no-op sub-round is idempotent.
       val batch = math.min(if (changed < BatchBelowRows) 2L else 1L, bound - rounds)
       pre = persistedIds
       val pNew = ckpt((1L to batch).foldLeft(patch)((p, _) => subRound(p)))
