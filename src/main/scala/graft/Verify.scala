@@ -25,6 +25,8 @@ object Verify {
       // free checkpoint blocks between queries (clearCache misses them)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // reclaim staged dirs + catalog/temp tables the query created
+      sources.Staging.cleanup(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -542,8 +542,11 @@ object GraphOps {
       edges.select(col("src").as("id")).unionAll(edges.select(col("dst").as("id"))).distinct()
 
     var e = ckpt(canon(edges.select(col("src").as("u"), col("dst").as("v"))))
-    // edge-set stability signature: exact at the fixpoint (the star
-    // rounds reproduce the set verbatim once everything is a star)
+    // Cheap stability signature as a PREFILTER only: (count, sum a, sum b)
+    // can collide across distinct edge sets (e.g. {(1,4),(2,3)} vs
+    // {(1,3),(2,4)}), so a signature match is CONFIRMED by exact set
+    // equality before the loop stops — both sides are canonical distinct
+    // sets, so equal counts + empty next∖prev ⇒ equal sets.
     def sig(df: DataFrame): (Long, Long, Long) = {
       val r = df.agg(count(lit(1)), sum(col("a")), sum(col("b"))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))
@@ -554,11 +557,14 @@ object GraphOps {
     while (!stable && rounds < maxRounds) {
       val next = ckpt(star(ckpt(star(e, large = true)), large = false))
       val s = sig(next)
-      stable = s == prev
+      stable = s == prev && next.exceptAll(e).isEmpty
       prev = s
       e = next
       rounds += 1
     }
+    if (!stable)
+      throw new IllegalStateException(
+        s"connectedComponentsStars did not converge in $maxRounds rounds")
     val comp = directed(e)
       .groupBy(col("u"))
       .agg(min(col("v")).as("mn"))

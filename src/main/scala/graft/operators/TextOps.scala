@@ -198,7 +198,9 @@ object TextOps {
         col("doc_id"),
         col("lang"),
         col("n_tokens"),
-        (col("cum") / binTokens).cast("long").as("bin"),
+        // integer division (not double `/` + cast): bit-exact vs the
+        // oracle's `//` for ANY binTokens, not just powers of two
+        expr(s"cum div ${binTokens}L").as("bin"),
         pmod(col("cum"), lit(binTokens)).as("offset"))
   }
 

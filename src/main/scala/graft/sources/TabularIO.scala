@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** First-class CSV / JSON-lines source+sink support.
@@ -13,6 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (and is why `spark.read.schema(...)` is the only form used here).
   * Reads stay declarative, so column pruning and filter pushdown reach
   * the scans exactly as with parquet.
+  *
+  * All staged directories and catalog tables go through [[Staging]]:
+  * the harness reclaims them between queries instead of accumulating
+  * one staged copy of the data per query per run.
   */
 object TabularIO {
 
@@ -21,7 +23,7 @@ object TabularIO {
     * writes the shortest round-trippable decimal representation.
     */
   def csvRoundTrip(spark: SparkSession, df: DataFrame): DataFrame = {
-    val dir = Files.createTempDirectory("graft-csv").toString
+    val dir = Staging.freshDir("csv")
     df.write.mode("overwrite").option("header", "true").csv(dir)
     spark.read.schema(df.schema).option("header", "true").csv(dir)
   }
@@ -30,7 +32,7 @@ object TabularIO {
     * the identical explicit schema.
     */
   def jsonRoundTrip(spark: SparkSession, df: DataFrame): DataFrame = {
-    val dir = Files.createTempDirectory("graft-json").toString
+    val dir = Staging.freshDir("json")
     df.write.mode("overwrite").json(dir)
     spark.read.schema(df.schema).json(dir)
   }
@@ -42,12 +44,10 @@ object TabularIO {
     * directories and scanning the corpus.
     */
   def partitionedRoundTrip(spark: SparkSession, df: DataFrame, partCol: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft-part").toString
+    val dir = Staging.freshDir("part")
     df.write.mode("overwrite").partitionBy(partCol).parquet(dir)
     spark.read.parquet(dir)
   }
-
-  private val bucketCounter = new java.util.concurrent.atomic.AtomicInteger
 
   /** Write `df` bucketed (+ sorted) on `key` into a fresh managed-table
     * path and return the catalog-backed bucketed relation. Two tables
@@ -55,11 +55,12 @@ object TabularIO {
     * shuffle exchange — the co-location contract that turns a 100 TB
     * fact⋈fact join from a full-cluster shuffle into a local merge per
     * bucket. Table names are uniquified per call (verify + bench share
-    * one session).
+    * one session); the table + its path are reclaimed by the harness's
+    * between-query [[Staging.cleanup]].
     */
   def bucketed(spark: SparkSession, df: DataFrame, key: String, nBuckets: Int): DataFrame = {
-    val name = s"graft_bkt_${bucketCounter.incrementAndGet()}"
-    val dir = Files.createTempDirectory("graft-bucketed").toString
+    val name = Staging.freshTable("graft_bkt")
+    val dir = Staging.freshDir("bucketed")
     df.write
       .mode("overwrite")
       .option("path", s"$dir/$name")

@@ -124,8 +124,6 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
-  private val runCounter = new java.util.concurrent.atomic.AtomicInteger
-
   /** Driver-facing streaming run over the harness events parquet: stages
     * the file into a fresh directory (file stream sources require one),
     * pushes the tumbling aggregation through the actual streaming engine
@@ -196,12 +194,12 @@ object StreamOps {
         lit("__sentinel").as("event_type"),
         lit(0.0).as("value"),
         lit("{}").as("props"))
-    val staged = java.nio.file.Files.createTempDirectory("graft-stream-sess")
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-sess"))
     val dataDir = staged.resolve("data").toString
     raw.select(sentinels.columns.map(col): _*).unionAll(sentinels)
       .write.mode("overwrite").parquet(dataDir)
 
-    val name = s"graft_stream_sessionize_${runCounter.incrementAndGet()}"
+    val name = graft.sources.Staging.freshTable("graft_stream_sessionize")
     val q = sessionizeStream(
       spark,
       readEventStream(spark, dataDir)
@@ -233,14 +231,14 @@ object StreamOps {
       sfDir: String,
       tag: String,
       transform: DataFrame => DataFrame): DataFrame = {
-    val staged = java.nio.file.Files.createTempDirectory("graft-stream-events")
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-events"))
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       staged.resolve("events.parquet"))
     runToCompletion(
       spark,
       staged.toString,
-      s"graft_stream_${tag}_${runCounter.incrementAndGet()}",
+      graft.sources.Staging.freshTable(s"graft_stream_$tag"),
       transform)
   }
 
