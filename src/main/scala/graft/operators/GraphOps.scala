@@ -588,37 +588,48 @@ object GraphOps {
     * seeded uniformly over the SOURCE set (nodes with out-edges).
     */
   def pagerankFixed(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
-    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    // The node count enters as a cross-joined single-row aggregate and is
-    // CARRIED through the rank state as a constant column — no driver-side
-    // count() pass; all arithmetic stays integer (exact on any engine),
-    // mirroring the oracle's `CROSS JOIN nn`.
-    def ckpt(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
-    val nn = outdeg.agg(count(lit(1)).as("n"))
-    var rank = ckpt(
-      outdeg
-        .crossJoin(nn)
-        .select(col("id"), col("deg"), expr("1000000000000L div n").as("pr"), col("n")))
-    (1 to iters).foreach { _ =>
-      val contrib = rank
-        .join(e, rank("id") === e("src"))
-        .select(e("dst").as("id"), expr("pr div deg").as("c")) // integer div: exact on any engine
-      val summed = contrib.groupBy("id").agg(sum(col("c")).as("s"))
-      rank = ckpt(
-        rank
-          .join(summed, Seq("id"), "left_outer")
-          .select(
-            col("id"),
-            col("deg"),
-            expr(
-              "CAST((15 * (1000000000000L div n) div 100) + (85 * coalesce(s, 0L)) div 100 AS BIGINT)")
-              .as("pr"),
-            col("n")))
+    val session = edges.sparkSession
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      // One shuffle up front (like the SSSP loop): every iteration's
+      // rank⋈edges probe reuses this partitioning, so the only per-round
+      // exchange left is the contribution min-agg.
+      val e = edges
+        .select(col("src"), col("dst"))
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      // The node count enters as a cross-joined single-row aggregate and is
+      // CARRIED through the rank state as a constant column — no driver-side
+      // count() pass; all arithmetic stays integer (exact on any engine),
+      // mirroring the oracle's `CROSS JOIN nn`.
+      def ckpt(df: DataFrame): DataFrame =
+        org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+      val nn = outdeg.agg(count(lit(1)).as("n"))
+      var rank = ckpt(
+        outdeg
+          .crossJoin(nn)
+          .select(col("id"), col("deg"), expr("1000000000000L div n").as("pr"), col("n")))
+      (1 to iters).foreach { _ =>
+        val contrib = rank
+          .join(e, rank("id") === e("src"))
+          .select(e("dst").as("id"), expr("pr div deg").as("c")) // integer div: exact on any engine
+        val summed = contrib.groupBy("id").agg(sum(col("c")).as("s"))
+        rank = ckpt(
+          rank
+            .join(summed, Seq("id"), "left_outer")
+            .select(
+              col("id"),
+              col("deg"),
+              expr(
+                "CAST((15 * (1000000000000L div n) div 100) + (85 * coalesce(s, 0L)) div 100 AS BIGINT)")
+                .as("pr"),
+              col("n")))
+      }
+      e.unpersist()
+      rank.select(col("id"), col("pr"))
     }
-    e.unpersist()
-    rank.select(col("id"), col("pr"))
   }
 
   /** Global triangle count over the undirected simple graph (dedup'd,
