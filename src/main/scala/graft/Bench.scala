@@ -23,17 +23,27 @@ object Bench {
     // storage pool forces spill/eviction and later queries pay for it
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a query that throws is recorded as -1 (NOT a wall time) and named
+      // in "errors" — a broken query must never look like a fast pass
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       sources.Staging.cleanup(spark)
-      name -> dt
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      (name, dt, ok)
+    }
+    // times rounded to ms: the driver tail-captures ~2 KB of output, and
+    // full-precision doubles pushed the JSON head past the window
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val qs = results
+      .map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) r3(v).toString else "-1") }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = r3(results.collect { case (_, v, true) => v }.sum)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errors,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -75,6 +75,48 @@ object SparkEntry {
     GraphOps.finalResult(GraphOps.sssp(GraphSource.layeredEdges(s, dir), 1L), 1L)
       .orderBy(col("id"))
 
+  /** C3 at harness level: the query node is a RUNTIME parameter of the
+    * same loop (`SingleSourceSP.java:402` passes it via Configuration) —
+    * this row runs the identical pipeline from source 5.
+    */
+  private def ssspLayeredSrc5(s: SparkSession, dir: String): DataFrame =
+    GraphOps.finalResult(GraphOps.sssp(GraphSource.layeredEdges(s, dir), 5L), 5L)
+      .orderBy(col("id"))
+
+  /** The empty-first-frontier edge, driver-checked: source 40 is a pure
+    * sink at sf0.01 (appears only as a dst), so round 1's frontier⋈edges
+    * join is empty, the loop converges immediately, and the output is
+    * every node with out-edges at dist 65535.0 — with the source itself
+    * ABSENT (the reference's format job only materializes nodes with
+    * out-edges, `SingleSourceSP.java:101`; SURVEY.md Q4). The oracle is
+    * the general unrolled CTE, so the row stays correct even at scale
+    * factors where 40 happens to have out-edges.
+    */
+  private def ssspSinkSource(s: SparkSession, dir: String): DataFrame =
+    GraphOps.finalResult(GraphOps.sssp(GraphSource.lineitemEdges(s, dir), 40L), 40L)
+      .orderBy(col("id"))
+
+  /** The reference's ACTUAL I/O surface, end-to-end: edges staged
+    * through the `id from to w` text format (S1/S3), the format job's
+    * node-state output staged through `id dist|adj|flag` text
+    * (writeNodeState/readNodeState, P2), adjacency decoded back to
+    * edges, and the full pipeline re-run from an edge text file
+    * (ssspFromFile). Hash-matches the sssp_layered oracle — a lossy
+    * encode/decode anywhere in the text formats breaks the hash.
+    */
+  private def ssspTextRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = sources.Staging.freshDir("textio")
+    val edgesTxt = s"$base/edges"
+    val stateTxt = s"$base/state"
+    val edgesTxt2 = s"$base/edges2"
+    sources.TextEdgeIO.writeEdges(GraphSource.layeredEdges(s, dir), edgesTxt)
+    val edges = sources.TextEdgeIO.readEdges(s, edgesTxt)
+    sources.TextEdgeIO.writeNodeState(GraphOps.buildAdjacency(edges, 1L), stateTxt)
+    val state = sources.TextEdgeIO.readNodeState(s, stateTxt)
+    sources.TextEdgeIO.writeEdges(sources.TextEdgeIO.adjacencyEdges(state), edgesTxt2)
+    sources.TextEdgeIO.ssspFromFile(s, edgesTxt2, 1L).orderBy(col("id"))
+  }
+
   private def ssspLineitem(s: SparkSession, dir: String): DataFrame =
     GraphOps.finalResult(GraphOps.sssp(GraphSource.lineitemEdges(s, dir), 1L), 1L)
       .orderBy(col("id"))
@@ -253,6 +295,9 @@ object SparkEntry {
     "build_adjacency" -> (buildAdjacency _),
     "sssp_one_round" -> (ssspOneRound _),
     "sssp_layered" -> (ssspLayered _),
+    "sssp_layered_src5" -> (ssspLayeredSrc5 _),
+    "sssp_sink_source" -> (ssspSinkSource _),
+    "sssp_text_roundtrip" -> (ssspTextRoundtrip _),
     "sssp_lineitem" -> (ssspLineitem _),
     "sssp_two_rounds" -> (ssspLineitemBounded _),
     "edge_parse" -> (edgeParse _),
@@ -409,6 +454,10 @@ object SparkEntry {
     // streaming dropDuplicates state chained into a distinct count
     "events_stream_dedup" -> ((s, d) =>
       streaming.StreamOps.dedupOverParquet(s, d).orderBy(col("event_type"))),
+    // the bounded-state (dropDuplicatesWithinWatermark) form — the one
+    // that survives an unbounded firehose; same batch oracle
+    "events_stream_dedup_ww" -> ((s, d) =>
+      streaming.StreamOps.dedupWithinWatermarkOverParquet(s, d).orderBy(col("event_type"))),
     // co-located join: both sides staged through bucketed managed tables
     // on the join key — the executed plan has no shuffle exchange before
     // the sort-merge join (asserted in BucketingSpec); the oracle reads
@@ -445,7 +494,11 @@ object SparkEntry {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
     // hive-partitioned staging: the lang filter prunes whole directories
     // (PartitionFilters, asserted in PlanAuditSpec); oracle reads the
-    // original parquet so the round-trip must be lossless
+    // original parquet so the round-trip must be lossless.
+    // Bench note: the staged WRITE is deliberately inside the timed
+    // region — the round-trip IS the operator under test (r4's ~0.9 s
+    // uptick vs r3 is the per-query staging cleanup forcing a cold
+    // re-stage each run, accepted as honest cost, not a plan regression)
     "partitioned_source_agg" -> ((s, d) => {
       val staged = sources.TabularIO.partitionedRoundTrip(
         s,
@@ -534,14 +587,14 @@ object SparkEntry {
     * is load-bearing: s_k is referenced twice (b_{k+1} and s_{k+1}), and
     * inlining would grow the plan 2^rounds.
     */
-  private def ssspUnrolledSql(rounds: Int): String = {
+  private def ssspUnrolledSql(rounds: Int, source: Long = 1L): String = {
     val head = Seq(
       s"edges AS MATERIALIZED (${GraphSource.lineitemEdgesSql})",
       """v AS MATERIALIZED (SELECT id, CAST(max(is_src) AS BOOLEAN) AS is_src FROM (
         |        SELECT src AS id, TRUE AS is_src FROM edges
         |        UNION ALL SELECT dst, FALSE FROM edges) GROUP BY id)""".stripMargin,
-      """s0 AS MATERIALIZED (SELECT id, is_src,
-        |              CASE WHEN id = 1 THEN CAST(0.0 AS DOUBLE) ELSE 65535.0 END AS dist,
+      s"""s0 AS MATERIALIZED (SELECT id, is_src,
+        |              CASE WHEN id = $source THEN CAST(0.0 AS DOUBLE) ELSE 65535.0 END AS dist,
         |              TRUE AS updated, FALSE AS reached
         |       FROM v)""".stripMargin)
     val iters = (1 to rounds).flatMap { k =>
@@ -556,8 +609,27 @@ object SparkEntry {
            |       FROM s${k - 1} s LEFT JOIN b$k b ON b.id = s.id)""".stripMargin)
     }
     (head ++ iters).mkString("WITH ", ",\n", "\n") +
-      s"SELECT CAST(1 AS BIGINT) AS source, id, dist FROM s$rounds WHERE is_src OR reached ORDER BY id"
+      s"SELECT CAST($source AS BIGINT) AS source, id, dist FROM s$rounds WHERE is_src OR reached ORDER BY id"
   }
+
+  /** Recursive-CTE SSSP oracle over the layered graph, source as a
+    * parameter (C3 — `SingleSourceSP.java:402`). Shared by sssp_layered,
+    * sssp_layered_src5, and sssp_text_roundtrip.
+    */
+  private def layeredSsspSql(source: Long): String =
+    s"""WITH RECURSIVE edges AS (${GraphSource.layeredEdgesSql}),
+       |reach(id, dist) AS (
+       |  SELECT CAST($source AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS dist
+       |  UNION
+       |  SELECT e.dst, r.dist + e.w FROM reach r JOIN edges e ON e.src = r.id
+       |  WHERE r.dist < 32.0
+       |),
+       |best AS (SELECT id, min(dist) AS dist FROM reach GROUP BY id),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges)
+       |SELECT CAST($source AS BIGINT) AS source, coalesce(n.id, b.id) AS id,
+       |       coalesce(b.dist, 65535.0) AS dist
+       |FROM nodes n FULL OUTER JOIN best b ON n.id = b.id
+       |ORDER BY id""".stripMargin
 
   /** Unrolled peeling oracle for [[graft.operators.GraphOps.kCore]]:
     * `rounds` rounds of "keep nodes with ≥ k surviving neighbors" over
@@ -620,20 +692,13 @@ object SparkEntry {
          |             coalesce(b.best, 65535.0)) AS dist
          |FROM nodes n FULL OUTER JOIN best b ON n.id = b.id
          |ORDER BY id""".stripMargin,
-    "sssp_layered" ->
-      s"""WITH RECURSIVE edges AS (${GraphSource.layeredEdgesSql}),
-         |reach(id, dist) AS (
-         |  SELECT CAST(1 AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS dist
-         |  UNION
-         |  SELECT e.dst, r.dist + e.w FROM reach r JOIN edges e ON e.src = r.id
-         |  WHERE r.dist < 32.0
-         |),
-         |best AS (SELECT id, min(dist) AS dist FROM reach GROUP BY id),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges)
-         |SELECT CAST(1 AS BIGINT) AS source, coalesce(n.id, b.id) AS id,
-         |       coalesce(b.dist, 65535.0) AS dist
-         |FROM nodes n FULL OUTER JOIN best b ON n.id = b.id
-         |ORDER BY id""".stripMargin,
+    "sssp_layered" -> layeredSsspSql(source = 1L),
+    "sssp_layered_src5" -> layeredSsspSql(source = 5L),
+    // the text round-trip must reproduce the layered answer exactly
+    "sssp_text_roundtrip" -> layeredSsspSql(source = 1L),
+    // source 40 is a sink at sf0.01 → converges in round 1; 6 unrolled
+    // rounds is margin in case another scale factor gives it out-edges
+    "sssp_sink_source" -> ssspUnrolledSql(rounds = 6, source = 40L),
     "sssp_lineitem" -> ssspUnrolledSql(rounds = 24),
     "sssp_two_rounds" ->
       s"""WITH edges AS (${GraphSource.lineitemEdgesSql}),
@@ -673,14 +738,25 @@ object SparkEntry {
     "connected_components" -> ccOracleSql,
     // identical answer demanded from the star-contraction variant
     "cc_bigstar" -> ccOracleSql,
+    // degree-ordered orientation mirrored from GraphOps.orientByDegree
     "triangle_count" ->
       s"""WITH edges AS (${GraphSource.lineitemEdgesSql}),
          |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-         |        FROM edges WHERE src <> dst)
+         |        FROM edges WHERE src <> dst),
+         |deg AS (SELECT id, count(*) AS d FROM (
+         |          SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+         |o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+         |                  THEN u.a ELSE u.b END AS lo,
+         |             CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+         |                  THEN u.b ELSE u.a END AS hi,
+         |             CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+         |                  THEN db.d ELSE da.d END AS hdeg
+         |      FROM und u JOIN deg da ON da.id = u.a JOIN deg db ON db.id = u.b)
          |SELECT (SELECT count(*) FROM und) AS n_und_edges,
-         |       (SELECT count(*) FROM und e1
-         |        JOIN und e2 ON e2.a = e1.b
-         |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin,
+         |       (SELECT count(*) FROM o e1
+         |        JOIN o e2 ON e2.lo = e1.lo
+         |          AND (e1.hdeg < e2.hdeg OR (e1.hdeg = e2.hdeg AND e1.hi < e2.hi))
+         |        JOIN o e3 ON e3.lo = e1.hi AND e3.hi = e2.hi) AS n_triangles""".stripMargin,
     "pagerank_fixed" -> {
       def iter(prev: String, k: Int): String =
         s"""r$k AS (
@@ -921,14 +997,22 @@ object SparkEntry {
       "dedup_ngram_jaccard" ->
         s"""WITH sh AS (
            |  SELECT doc_id, lang, $shingleSql AS s
-           |  FROM (SELECT doc_id, lang, $toks AS t FROM documents))
+           |  FROM (SELECT doc_id, lang, $toks AS t FROM documents)),
+           |inv AS (SELECT doc_id, lang, unnest(s) AS g FROM sh),
+           |keep AS (SELECT lang, g FROM inv GROUP BY lang, g
+           |         HAVING count(*) <= ${Dedup.MaxShingleDf}),
+           |cap AS (SELECT i.doc_id, i.lang, i.g FROM inv i JOIN keep k USING (lang, g)),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM cap GROUP BY doc_id),
+           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+           |          FROM cap a JOIN cap b
+           |            ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2)
            |SELECT doc_a, doc_b, inter, uni, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
-           |FROM (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
-           |         CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS uni
-           |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-           |WHERE inter >= 1 ORDER BY doc_a, doc_b""".stripMargin,
+           |FROM (SELECT i.doc_a, i.doc_b, i.inter,
+           |             CAST(sa.n_sh + sb.n_sh - i.inter AS BIGINT) AS uni
+           |      FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+           |                   JOIN sizes sb ON sb.doc_id = i.doc_b)
+           |ORDER BY doc_a, doc_b""".stripMargin,
       "dedup_embedding_cosine" ->
         s"""WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
            |SELECT * FROM (
@@ -1051,6 +1135,9 @@ object SparkEntry {
       "events_stream_dedup" ->
         """SELECT event_type, CAST(count(DISTINCT (user_id, ts, value)) AS BIGINT) AS n_distinct
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "events_stream_dedup_ww" ->
+        """SELECT event_type, CAST(count(DISTINCT (user_id, ts, value)) AS BIGINT) AS n_distinct
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "bucketed_join" ->
         """SELECT c_mktsegment, count(*) AS n,
           |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS revenue
@@ -1133,12 +1220,16 @@ object SparkEntry {
       "decontaminate" ->
         s"""WITH sh AS (SELECT doc_id, unnest($shingleSql) AS g FROM $fromToks),
            |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % ${TextOps.BenchmarkMod} = 0),
-           |hits AS (SELECT DISTINCT doc_id FROM sh
+           |hits AS (SELECT doc_id, g FROM sh
            |         WHERE doc_id % ${TextOps.BenchmarkMod} <> 0
-           |           AND g IN (SELECT g FROM bench))
+           |           AND g IN (SELECT g FROM bench)),
+           |hot AS (SELECT g FROM hits GROUP BY g
+           |        HAVING count(*) > ${TextOps.DecontamMaxDf}),
+           |cont AS (SELECT DISTINCT doc_id FROM hits
+           |         WHERE g NOT IN (SELECT g FROM hot))
            |SELECT d.doc_id, d.doc_id % ${TextOps.BenchmarkMod} = 0 AS is_benchmark,
            |       h.doc_id IS NOT NULL AS contaminated
-           |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+           |FROM documents d LEFT JOIN cont h ON h.doc_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin,
       "text_repetition" ->
         s"""WITH g AS (SELECT doc_id, unnest($allShingles) AS g FROM $fromToks),

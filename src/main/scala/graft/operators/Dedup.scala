@@ -201,25 +201,46 @@ object Dedup {
   private def shingles(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     Parity.shingles(Parity.tokens(text))
 
-  /** Exact n-gram Jaccard pairs within a `lang` block, for pairs sharing
-    * at least one 3-gram shingle.
-    *
-    * Physical plan is an inverted shingle index: explode distinct
-    * shingles, self-join on (lang, shingle), dedupe pairs, then re-attach
-    * the two shingle arrays for the exact intersect/union. Never forms
-    * the blocked all-pairs cross product — the only quadratic cost is
-    * per-shingle-bucket, which is how this survives 100 TB (identical
-    * output to the naive blocked cross join, verified by the unchanged
-    * oracle).
+  /** Document-frequency cap for the inverted shingle index: shingles
+    * contained in more than this many documents (within a lang block)
+    * are dropped from candidate generation AND from the Jaccard sets.
+    * Standard near-dup practice: a shingle shared by thousands of
+    * documents ("terms of service") carries no duplicate signal, and its
+    * bucket's pair-emit cost is quadratic in its document frequency —
+    * at 100 TB a single boilerplate trigram would otherwise emit ~10^18
+    * pairs. With the cap every bucket emits ≤ maxDf² pairs.
     */
-  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
-    val inv = Phys.materialized(sh.select(col("doc_id"), col("lang"), explode(col("sh")).as("g")))
+  val MaxShingleDf = 50L
+
+  /** Exact n-gram Jaccard pairs within a `lang` block, for pairs sharing
+    * at least one sub-ubiquitous 3-gram shingle (document frequency ≤
+    * `maxDf` in the lang block; [[MaxShingleDf]]). Jaccard is computed
+    * over the CAPPED shingle sets — both sides of a pair drop the same
+    * ubiquitous shingles, so the score stays a true set Jaccard of the
+    * discriminative shingles (mirrored exactly in the oracle CTE).
+    *
+    * Physical plan is a DF-capped inverted shingle index: explode
+    * distinct shingles, drop hot shingles (one extra hash-aggregate on
+    * the (lang, shingle) key, map-side partial), self-join on
+    * (lang, shingle), then aggregate per pair. Never forms the blocked
+    * all-pairs cross product, and no bucket exceeds maxDf rows — the
+    * two properties that make this survive 100 TB.
+    */
+  def ngramJaccardPairs(docs: DataFrame, maxDf: Long = MaxShingleDf): DataFrame = {
+    val inv0 = docs.select(col("doc_id"), col("lang"), explode(shingles(col("text"))).as("g"))
+    // Shingles are distinct within a doc, so count(*) per (lang, g) IS
+    // the shingle's document frequency in the block.
+    val keep = inv0
+      .groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("lang"), col("g"))
+    val inv = Phys.materialized(inv0.join(keep, Seq("lang", "g"), "left_semi"))
     val a = inv.alias("a")
     val b = inv.alias("b")
-    // Shingles are distinct within a doc, so the bucket join emits each
-    // shared shingle exactly once per pair: count(*) IS |A ∩ B|, and
-    // |A ∪ B| = |A| + |B| − inter. No per-pair set operations at all.
+    // Each shared kept shingle joins exactly once per pair: count(*) IS
+    // |A ∩ B| over the capped sets, and |A ∪ B| = |A| + |B| − inter.
+    // No per-pair set operations at all.
     val inter = a
       .join(
         b,
@@ -227,7 +248,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
@@ -236,7 +257,6 @@ object Dedup {
         col("doc_b"),
         col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"))
-      .filter(col("inter") >= 1)
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
   }
 

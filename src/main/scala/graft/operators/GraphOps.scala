@@ -632,12 +632,43 @@ object GraphOps {
     }
   }
 
+  /** Orient the undirected simple graph (rows `(a, b)` with a<b,
+    * dedup'd) by DEGREE: each edge points from its lower-degree endpoint
+    * to its higher-degree endpoint (ties by id). Output `(lo, hi, hdeg)`
+    * where `hdeg` is the destination's degree — carried so downstream
+    * wedge joins can compare endpoints in the same (degree, id) total
+    * order without re-joining the degree table.
+    *
+    * This is the standard skew-proof orientation for triangle counting:
+    * a node's ORIENTED out-degree is bounded by O(√m) / the graph's
+    * arboricity, so wedge generation never concentrates on power-law
+    * hubs the way id-ordered orientation does (a hub with degree d would
+    * otherwise emit O(d²) wedges from one key).
+    */
+  def orientByDegree(und: DataFrame): DataFrame = {
+    val deg = und
+      .select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("deg"))
+    val aLow = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(aLow, col("a")).otherwise(col("b")).as("lo"),
+        when(aLow, col("b")).otherwise(col("a")).as("hi"),
+        when(aLow, col("db")).otherwise(col("da")).as("hdeg"))
+  }
+
   /** Global triangle count over the undirected simple graph (dedup'd,
-    * self-loops dropped). Ordered-triple join (a<b<c): each edge stored
-    * once with a<b, triangles counted exactly once — the join-based
-    * formulation whose shuffles are all on single node-id keys (AQE
-    * handles the skewed high-degree centers). Returns one row:
-    * (n_und_edges, n_triangles).
+    * self-loops dropped), via degree-ordered orientation
+    * ([[orientByDegree]]): every triangle {x≺y≺z} in the (degree, id)
+    * total order appears exactly once as wedge (x→y, x→z) closed by edge
+    * (y→z), counted from the LOW-degree corner — per-node wedge work is
+    * O(arboricity²), not O(hub-degree²), which is what survives a
+    * power-law graph at 100 TB. All shuffles key on single node ids.
+    * Returns one row: (n_und_edges, n_triangles).
     */
   def triangleCount(edges: DataFrame): DataFrame = {
     val und = edges
@@ -645,9 +676,15 @@ object GraphOps {
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val tri = und.alias("e1")
-      .join(und.alias("e2"), col("e1.b") === col("e2.a"))
-      .join(und.alias("e3"), col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+    val o = Phys.materialized(orientByDegree(und))
+    val wedgeOrder =
+      col("e1.hdeg") < col("e2.hdeg") ||
+        (col("e1.hdeg") === col("e2.hdeg") && col("e1.hi") < col("e2.hi"))
+    val tri = o.alias("e1")
+      .join(o.alias("e2"), col("e1.lo") === col("e2.lo") && wedgeOrder)
+      // e1.hi ≺ e2.hi in the orientation order, so a closing undirected
+      // edge {e1.hi, e2.hi} can only be oriented e1.hi → e2.hi
+      .join(o.alias("e3"), col("e3.lo") === col("e1.hi") && col("e3.hi") === col("e2.hi"))
       .agg(count(lit(1)).as("n_triangles"))
     und.agg(count(lit(1)).as("n_und_edges")).crossJoin(tri)
   }

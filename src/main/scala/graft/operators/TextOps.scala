@@ -262,24 +262,47 @@ object TextOps {
     */
   val BenchmarkMod = 97L
 
-  /** Training-set decontamination: flag corpus docs sharing any word
-    * 3-gram with the benchmark set (docs where `doc_id % 97 = 0`) — the
-    * eval-leakage scrub every LM data pipeline runs before training.
+  /** Document-frequency cap for [[decontaminate]]'s probe: a benchmark
+    * shingle contained in more than this many NON-benchmark docs is
+    * boilerplate, not leakage evidence, and is excluded from the
+    * contamination test. Without it one ubiquitous trigram ("terms of
+    * service") shared by eval and corpus flags the entire corpus.
+    */
+  val DecontamMaxDf = 50L
+
+  /** Training-set decontamination: flag corpus docs sharing any
+    * DISCRIMINATIVE word 3-gram with the benchmark set (docs where
+    * `doc_id % 97 = 0`) — the eval-leakage scrub every LM data pipeline
+    * runs before training. Discriminative = contained in ≤ `maxDf`
+    * non-benchmark docs ([[DecontamMaxDf]]); ubiquitous shingles carry
+    * no leakage signal and are dropped (mirrored in the oracle).
     *
     * Physical shape at 100 TB: the benchmark shingle set is SMALL (the
     * eval suite, not the corpus), so the distinct benchmark shingles
     * broadcast and the corpus side is a semi-join probe on its exploded
     * shingles — no shuffle of corpus rows, never a doc×doc comparison.
+    * The DF filter aggregates only the HIT rows (corpus shingles that
+    * matched a benchmark shingle — bounded by the eval suite's reach,
+    * not the corpus), so the cap costs one small extra aggregate.
     */
-  def decontaminate(docs: DataFrame): DataFrame = {
+  def decontaminate(docs: DataFrame, maxDf: Long = DecontamMaxDf): DataFrame = {
     val sh = docs.select(
       col("doc_id"),
       explode(Parity.shingles(toks(col("text")))).as("g"))
     val benchShingles =
       sh.filter(pmod(col("doc_id"), lit(BenchmarkMod)) === 0).select(col("g")).distinct()
-    val contaminated = sh
-      .filter(pmod(col("doc_id"), lit(BenchmarkMod)) =!= 0)
-      .join(broadcast(benchShingles), Seq("g"), "left_semi")
+    val hits = Phys.materialized(
+      sh.filter(pmod(col("doc_id"), lit(BenchmarkMod)) =!= 0)
+        .join(broadcast(benchShingles), Seq("g"), "left_semi"))
+    // shingles are distinct per doc → count(*) per g is its DF among
+    // non-benchmark docs; shingles above the cap are boilerplate
+    val hot = hits
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("g"))
+    val contaminated = hits
+      .join(broadcast(hot), Seq("g"), "left_anti")
       .select(col("doc_id"))
       .distinct()
       .withColumn("hit", lit(true))

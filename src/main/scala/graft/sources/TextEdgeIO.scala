@@ -41,6 +41,39 @@ object TextEdgeIO {
         lit(1.0).as("w"))
   }
 
+  /** Write edges in the reference's `id from to w` line format — the
+    * edge-id token is arbitrary and ignored on read
+    * (`SingleSourceSP.java:64-66`; constant here). Doubles round-trip
+    * exactly: Spark writes the shortest re-parseable decimal form.
+    */
+  def writeEdges(edges: DataFrame, path: String): Unit =
+    edges
+      .select(
+        concat_ws(
+          " ",
+          lit("0"),
+          col("src").cast("string"),
+          col("dst").cast("string"),
+          col("w").cast("string")).as("value"))
+      .write
+      .mode("overwrite")
+      .text(path)
+
+  /** Decode the adjacency CSV (`dst:w,dst:w,...`) of a node-state frame
+    * back into the edge schema — the inverse of [[writeNodeState]]'s
+    * encoding, so an SSSP run can resume from a staged node-state text
+    * file exactly as the reference's iteration jobs do
+    * (`SingleSourceSP.java:181-197` walks the same entries).
+    */
+  def adjacencyEdges(state: DataFrame): DataFrame =
+    state
+      .filter(length(col("adj")) > 0)
+      .select(col("node").as("src"), explode(split(col("adj"), ",")).as("entry"))
+      .select(
+        col("src"),
+        split(col("entry"), ":").getItem(0).cast("long").as("dst"),
+        split(col("entry"), ":").getItem(1).cast("double").as("w"))
+
   /** Encode node state as the reference's text record
     * (`id\tdist|adj|flag`), adjacency entries `dst:w` comma-joined.
     */

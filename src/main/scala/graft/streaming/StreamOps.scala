@@ -163,6 +163,26 @@ object StreamOps {
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_distinct")))
 
+  /** BOUNDED-STATE streaming dedup: `dropDuplicatesWithinWatermark`
+    * keeps a key's state only until the watermark passes its event time
+    * plus the delay, so state size tracks the watermark window — the
+    * form that runs on an unbounded firehose, where [[dedupOverParquet]]'s
+    * full dropDuplicates state would grow without limit. On the bounded
+    * harness file every row arrives in one microbatch (state is never
+    * evicted mid-duplicate), so the result equals the exact batch
+    * distinct count — same oracle as the unbounded-state form.
+    */
+  def dedupWithinWatermarkOverParquet(spark: SparkSession, sfDir: String): DataFrame =
+    overParquet(
+      spark,
+      sfDir,
+      "dedupww",
+      ev =>
+        ev.withWatermark("ts", "30 minutes")
+          .dropDuplicatesWithinWatermark("event_type", "user_id", "ts", "value")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_distinct")))
+
   /** Driver-facing run of the STATEFUL sessionizer over the harness
     * events parquet, checked against the batch sessionize oracle.
     *

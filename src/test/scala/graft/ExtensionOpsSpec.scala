@@ -246,6 +246,50 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(r.getLong(4) === red.foldLeft(0L)((a, c) => (a * 31 + c) % Parity.TokP))
   }
 
+  test("ngram jaccard DF cap: a ubiquitous shingle generates no pairs") {
+    // every doc carries the boilerplate trigram "terms of service";
+    // only docs 1 and 2 additionally share a discriminative trigram
+    val d = docsDf(Seq(
+      (1L, "alpha beta gamma terms of service", "en"),
+      (2L, "alpha beta gamma x terms of service", "en"),
+      (3L, "unrelated words entirely terms of service", "en"),
+      (4L, "different text altogether terms of service", "en"),
+      (5L, "nothing shared here at all terms of service", "en")))
+    // cap 3 < 5 docs: "terms of service" (and the other boilerplate-
+    // spanning trigrams present in all 5 docs) drop out of the index
+    val out = Dedup.ngramJaccardPairs(d, maxDf = 3L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // pairs sharing ONLY capped shingles are gone entirely
+    assert(out.keySet === Set((1L, 2L)))
+    // capped sets: doc1 {abg, bg-terms, g-terms-of} minus DF>3 ones…
+    // inter/uni are over the KEPT shingles only — both > 0, inter < uni
+    val (inter, uni) = out((1L, 2L))
+    assert(inter >= 1L && uni > inter)
+    // without the cap the boilerplate shingle pairs everything: 10 pairs
+    assert(Dedup.ngramJaccardPairs(d, maxDf = 50L).count() === 10L)
+  }
+
+  test("decontamination DF cap: boilerplate trigrams are not leakage evidence") {
+    // doc 0 is benchmark; its trigram "terms of service" also appears in
+    // every corpus doc (boilerplate), while "secret eval question" is
+    // shared only with doc 1 (true leak)
+    val d = docsDf(Seq(
+      (0L, "secret eval question terms of service", "en"),
+      (1L, "the secret eval question terms of service", "en"),
+      (2L, "prose one terms of service", "en"),
+      (3L, "prose two terms of service", "en"),
+      (4L, "prose three terms of service", "en")))
+    val out = TextOps.decontaminate(d, maxDf = 2L).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    // docs 2-4 share only the DF-4 boilerplate trigram → NOT contaminated
+    assert(out === Map(0L -> false, 1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    // without the cap, boilerplate flags the whole corpus
+    val uncapped = TextOps.decontaminate(d, maxDf = 50L).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(uncapped === Map(0L -> false, 1L -> true, 2L -> true, 3L -> true, 4L -> true))
+  }
+
   test("decontamination flags only non-benchmark docs sharing a trigram") {
     val d = docsDf(Seq(
       (0L, "secret eval question here", "en"), // benchmark (0 % 97 == 0)

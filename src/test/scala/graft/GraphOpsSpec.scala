@@ -212,6 +212,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.getLong(1) === 4L)
   }
 
+  test("triangle orientation points at the hub: skewed wedge work stays at the leaves") {
+    import org.apache.spark.sql.functions._
+    // star: hub 7 ↔ leaves 100..139, plus leaf-leaf chords closing
+    // triangles {7,100,101} and {7,102,103}
+    val star = (100L to 139L).map(l => (7L, l, 1.0))
+    val chords = Seq((100L, 101L, 1.0), (102L, 103L, 1.0))
+    val edges = edgesDf(star ++ chords)
+    val r = GraphOps.triangleCount(edges).collect()(0)
+    assert(r.getLong(0) === 42L)
+    assert(r.getLong(1) === 2L)
+    // the skew property itself: the hub (max degree) has oriented
+    // out-degree ZERO — wedge generation can never concentrate on it.
+    // (id-ordered orientation would give the id-7 hub out-degree 40 and
+    // O(40²) wedges from one join key.)
+    val und = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val outdeg = GraphOps.orientByDegree(und)
+      .groupBy(col("lo")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!outdeg.contains(7L)) // hub emits no wedges at all
+    assert(outdeg.values.max <= 2L) // leaves carry ≤ their own tiny degree
+  }
+
   test("pagerankFixed is deterministic and mass-bounded") {
     val edges = edgesDf(Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (1L, 3L, 1.0), (3L, 1L, 1.0)))
     val a = GraphOps.pagerankFixed(edges, 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -66,6 +66,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("AQE splits a skewed partition in the bucket self-join shape") {
+    // the dedup/ANN candidate generators self-join on bucket keys
+    // (minhash bands, simhash chunks, LSH tables); a hot bucket lands on
+    // one shuffle partition, and the scale notes lean on AQE skew-join
+    // to split it. This pins (a) the config is on, and (b) with a
+    // skewed fixture and test-scale thresholds the split actually
+    // happens (`skew=true` on the executed sort-merge join).
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // bucket 0 is hot (5k rows on one shuffle partition); buckets
+      // 1..199 carry 5 rows each (the median stays tiny). The payload is
+      // a sha2 digest — INCOMPRESSIBLE, so the shuffle-file partition
+      // size the skew detector reads reflects the real row width (a
+      // constant pad would LZ4-compress below any threshold)
+      val df = spark.range(0, 6000).select(
+        when(col("id") < 5000, 0L).otherwise(pmod(col("id"), lit(200))).as("bucket"),
+        sha2(col("id").cast("string").cast("binary"), 256).as("payload"))
+      // max() on both payloads keeps the wide column alive through the
+      // exchange (column pruning would otherwise shrink the skewed
+      // partition below the split threshold); the aggregate is GLOBAL —
+      // an agg keyed on the join key would reuse the join's output
+      // partitioning, and AQE (correctly) refuses to split a partition
+      // some downstream operator still relies on
+      val j = df.alias("a")
+        .join(df.alias("b"), col("a.bucket") === col("b.bucket"))
+        .agg(count(lit(1)).as("n"), max(col("a.payload")).as("pa"), max(col("b.payload")).as("pb"))
+      val plan = planOf(j)
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join in:\n$plan")
+      assert(plan.contains("skew=true"), s"AQE did not split the skewed partition:\n$plan")
+    } finally prev.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("whole-stage codegen spans the relational aggregation path") {
     // (the text operators' higher-order array expressions are interpreted
     // by Spark — no codegen exists for lambda functions — but stay

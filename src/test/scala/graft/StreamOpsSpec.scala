@@ -72,6 +72,23 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("watermark-bounded streaming dedup equals exact batch distinct at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = model.eventsTable(spark, dir)
+      .dropDuplicates("event_type", "user_id", "ts", "value")
+      .groupBy("event_type")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toSet
+    val ww = StreamOps.dedupWithinWatermarkOverParquet(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toSet
+    assert(ww === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming tumbling agg equals batch tumbling agg at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventOps

@@ -48,6 +48,19 @@ class TextEdgeIOSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("edge sink + adjacency decode round-trip the edge list exactly") {
+    val edges = TextEdgeIO.readEdges(spark, fixture("micrograph.txt"))
+    val tmpE = Files.createTempDirectory("edgetxt").toString + "/edges"
+    TextEdgeIO.writeEdges(edges, tmpE)
+    val backE = TextEdgeIO.readEdges(spark, tmpE)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(asSet(backE) === asSet(edges))
+    // node-state adjacency string → edges: the P2 inverse
+    val decoded = TextEdgeIO.adjacencyEdges(GraphOps.buildAdjacency(edges, source = 0L))
+    assert(asSet(decoded) === asSet(edges))
+  }
+
   test("result sink writes the reference's src\\tid dist lines") {
     val tmp = Files.createTempDirectory("result").toString + "/out"
     val result = TextEdgeIO.ssspFromFile(spark, fixture("micrograph.txt"), 0L)
