@@ -42,8 +42,12 @@ import graft.operators.{Dedup, EventOps, GraphOps, Multimodal, Similarity, SkewO
   * text_{lang_id,quality,token_count,fingerprint,tfidf}, events_{tumbling,
   * sliding,sessionize,json_agg,quantiles,asof}, multimodal_{features,
   * decode}, {csv,json}_source_agg; the streaming engine itself is
-  * driver-checked via events_stream_{tumbling,sliding}
-  * (graft.streaming.StreamOps).
+  * driver-checked via events_stream_{tumbling,sliding,sessionize,dedup,
+  * dedup_ww,join} (graft.streaming.StreamOps).
+  * Round 5: kmeans_centroids + ann_ivf_trained (integer fixed-point
+  * Lloyd training), sketch_kmv_shingles (deterministic KMV cardinality
+  * sketch), sssp_{layered_src5,sink_source,text_roundtrip} (C3 source
+  * parameter, empty first frontier, reference text formats end-to-end).
   */
 object SparkEntry {
 
@@ -350,6 +354,18 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(embs(s, d), nQueries = 50, k = 3, nProbe = 3)
         .orderBy(col("q_id"), col("rank"))),
+    // the TRAINED quantizer: integer fixed-point Lloyd k-means (bit-
+    // identical cross-engine), exposed directly…
+    "kmeans_centroids" -> ((s, d) =>
+      Similarity.kmeansFixed(embs(s, d))
+        .select(col("cid"), posexplode(col("c")).as(Seq("pos", "c_int")))
+        .select(col("cid"), (col("pos") + 1).cast("int").as("dim"), col("c_int"))
+        .orderBy(col("cid"), col("dim"))),
+    // …and as the coarse cells of the full IVF path (train → assign →
+    // invert → probe)
+    "ann_ivf_trained" -> ((s, d) =>
+      Similarity.ivfTrainedTopK(embs(s, d), nQueries = 50, k = 3, nProbe = 2)
+        .orderBy(col("q_id"), col("rank"))),
     // text analysis
     "text_lang_id" -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
@@ -458,6 +474,13 @@ object SparkEntry {
     // that survives an unbounded firehose; same batch oracle
     "events_stream_dedup_ww" -> ((s, d) =>
       streaming.StreamOps.dedupWithinWatermarkOverParquet(s, d).orderBy(col("event_type"))),
+    // stream-stream interval join (watermarked state-store join on both
+    // sides); oracle = the same interval join over the static table
+    "events_stream_join" -> ((s, d) =>
+      streaming.StreamOps.intervalJoinOverParquet(s, d).orderBy(col("p_id"), col("c_id"))),
+    // deterministic KMV cardinality sketch next to its exact answer
+    "sketch_kmv_shingles" -> ((s, d) =>
+      operators.Sketches.kmvDistinctShingles(docs(s, d))),
     // co-located join: both sides staged through bucketed managed tables
     // on the join key — the executed plan has no shuffle exchange before
     // the sort-merge join (asserted in BucketingSpec); the oracle reads
@@ -858,6 +881,40 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin
   ) ++ extensionOracles
 
+  /** Unrolled Lloyd-iteration CTEs mirroring
+    * [[graft.operators.Similarity.kmeansFixed]] — integer micro-unit
+    * embeddings, exact-double dot scores, truncating integer-mean
+    * updates (Spark `div` ≡ DuckDB `//`, both toward zero). Returns the
+    * CTE list (caller prepends WITH); the final centroid table is
+    * `c${KmeansIters}`.
+    */
+  private def kmeansCtes: String = {
+    val intEmbSql =
+      s"list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * ${Similarity.KmeansScale}) AS BIGINT))"
+    def score(ei: String, c: String): String =
+      s"(${Parity.dotSql(s"CAST($ei AS DOUBLE[])", s"CAST($c AS DOUBLE[])")} / " +
+        s"sqrt(${Parity.dotSql(s"CAST($c AS DOUBLE[])", s"CAST($c AS DOUBLE[])")}))"
+    val head = Seq(
+      s"d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $intEmbSql AS ei FROM embeddings)",
+      s"c0 AS (SELECT vec_id AS cid, ei AS c FROM d WHERE vec_id < ${Similarity.KmeansCells})")
+    val iters = (1 to Similarity.KmeansIters).flatMap { i =>
+      Seq(
+        s"""s$i AS (SELECT v.vec_id, c.cid, ${score("v.ei", "c.c")} AS score
+           |        FROM d v CROSS JOIN c${i - 1} c)""".stripMargin,
+        s"""a$i AS (SELECT vec_id, cid FROM (
+           |          SELECT vec_id, cid,
+           |                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+           |          FROM s$i) WHERE rn = 1)""".stripMargin,
+        s"""c$i AS (SELECT cid, list(cv ORDER BY pos) AS c FROM (
+           |          SELECT a.cid, CAST(t.i AS INT) AS pos,
+           |                 CAST(sum(v.ei[t.i]) // count(*) AS BIGINT) AS cv
+           |          FROM a$i a JOIN d v ON v.vec_id = a.vec_id
+           |          CROSS JOIN range(1, ${Similarity.Dim + 1}) t(i)
+           |          GROUP BY 1, 2) GROUP BY cid)""".stripMargin)
+    }
+    (head ++ iters).mkString(",\n")
+  }
+
   /** Oracles for the north-star extension queries; hash/vector fragments
     * are generated by the same [[Parity]] constants the Spark side uses.
     */
@@ -1110,6 +1167,37 @@ object SparkEntry {
            |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
            |  FROM scored)
            |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+      "kmeans_centroids" -> {
+        val last = s"c${Similarity.KmeansIters}"
+        s"""WITH $kmeansCtes
+           |SELECT cid, CAST(t.i AS INT) AS dim, c[t.i] AS c_int
+           |FROM $last CROSS JOIN range(1, ${Similarity.Dim + 1}) t(i)
+           |ORDER BY cid, dim""".stripMargin
+      },
+      "ann_ivf_trained" -> {
+        val last = s"c${Similarity.KmeansIters}"
+        val score =
+          s"(${Parity.dotSql("CAST(v.ei AS DOUBLE[])", "CAST(c.c AS DOUBLE[])")} / " +
+            s"sqrt(${Parity.dotSql("CAST(c.c AS DOUBLE[])", "CAST(c.c AS DOUBLE[])")}))"
+        s"""WITH $kmeansCtes,
+           |cs AS (SELECT v.vec_id, c.cid, $score AS ccos FROM d v CROSS JOIN $last c),
+           |ranked_cells AS (
+           |  SELECT vec_id, cid,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+           |  FROM cs),
+           |assigned AS (SELECT vec_id AS n_id, cid FROM ranked_cells WHERE rn = 1),
+           |probes AS (SELECT vec_id AS q_id, cid FROM ranked_cells WHERE vec_id < 50 AND rn <= 2),
+           |scored AS (
+           |  SELECT p.q_id, a.n_id, round(${Parity.cosineSql("q.e", "n.e")}, 6) AS cos
+           |  FROM probes p
+           |  JOIN assigned a ON a.cid = p.cid AND a.n_id <> p.q_id
+           |  JOIN d q ON q.vec_id = p.q_id
+           |  JOIN d n ON n.vec_id = a.n_id),
+           |ranked AS (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+           |  FROM scored)
+           |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      },
       "text_lang_id" -> s"$langIdSql ORDER BY doc_id",
       "text_quality" -> s"$qualitySql ORDER BY doc_id",
       "text_token_count" ->
@@ -1138,6 +1226,29 @@ object SparkEntry {
       "events_stream_dedup_ww" ->
         """SELECT event_type, CAST(count(DISTINCT (user_id, ts, value)) AS BIGINT) AS n_distinct
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "events_stream_join" ->
+        s"""WITH p AS (SELECT event_id AS p_id, user_id, ts, value FROM events
+           |           WHERE event_type = 'purchase'),
+           |c AS (SELECT event_id AS c_id, user_id, ts, value FROM events
+           |      WHERE event_type = 'click')
+           |SELECT p.p_id, c.c_id, p.user_id,
+           |       strftime(p.ts, $fmt) AS pts, strftime(c.ts, $fmt) AS cts,
+           |       p.value AS p_value, c.value AS c_value
+           |FROM p JOIN c ON p.user_id = c.user_id
+           |  AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+           |ORDER BY p_id, c_id""".stripMargin,
+      "sketch_kmv_shingles" -> {
+        val k = operators.Sketches.KmvK
+        s"""WITH g AS (SELECT DISTINCT unnest($shingleSql) AS g FROM $fromToks),
+           |h AS (SELECT DISTINCT ${Parity.tokenH40Sql("g")} AS h FROM g),
+           |mins AS (SELECT h FROM h ORDER BY h LIMIT $k),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n_mins, max(h) AS kth_hash FROM mins),
+           |e AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM g)
+           |SELECT e.n_exact, a.n_mins, a.kth_hash,
+           |       CAST(CASE WHEN a.n_mins < $k THEN a.n_mins
+           |                 ELSE (${k - 1} * ${1L << 40}) // a.kth_hash END AS BIGINT) AS kmv_estimate
+           |FROM e CROSS JOIN a""".stripMargin
+      },
       "bucketed_join" ->
         """SELECT c_mktsegment, count(*) AS n,
           |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS revenue

@@ -227,7 +227,10 @@ object Dedup {
     * two properties that make this survive 100 TB.
     */
   def ngramJaccardPairs(docs: DataFrame, maxDf: Long = MaxShingleDf): DataFrame = {
-    val inv0 = docs.select(col("doc_id"), col("lang"), explode(shingles(col("text"))).as("g"))
+    // materialized: both the DF aggregate and the semi-join probe read
+    // the exploded index — one shingle pass over the corpus, not two
+    val inv0 = Phys.materialized(
+      docs.select(col("doc_id"), col("lang"), explode(shingles(col("text"))).as("g")))
     // Shingles are distinct within a doc, so count(*) per (lang, g) IS
     // the shingle's document frequency in the block.
     val keep = inv0

@@ -150,6 +150,14 @@ object Similarity {
         col("cid"),
         col("e"),
         round(Parity.cosine(col("e"), col("c")), 6).as("ccos"))
+    rankAndProbe(cellScores, nQueries, k, nProbe)
+  }
+
+  /** Shared IVF probe machinery: rank cells per vector, invert (rn = 1),
+    * probe (rn ≤ nProbe), exact cosine re-rank within the probed lists.
+    * Input must carry (vec_id, cid, e, ccos).
+    */
+  private def rankAndProbe(cellScores: DataFrame, nQueries: Int, k: Int, nProbe: Int): DataFrame = {
     val wCell = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     // materialized: both the inverted lists (rn = 1) and the query probes
     // (rn <= nProbe) consume this — without it the corpus×centroid
@@ -168,6 +176,95 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(Parity.cosine(col("qe"), col("ne")), 6).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  // ---- trained coarse quantizer: integer fixed-point Lloyd k-means ---------
+
+  /** Micro-unit scale for the fixed-point k-means. Embedding components
+    * are in (−1, 1), so scaled values fit 20 bits; a 64-dim dot product
+    * of two scaled vectors is ≤ 64·10¹² < 2⁵³ — every product and every
+    * partial sum is EXACTLY representable as a double, which is what
+    * makes the whole training bit-identical on any engine (same reason
+    * pagerankFixed uses integer micro-units).
+    */
+  val KmeansScale = 1000000L
+
+  val KmeansCells = 8
+  val KmeansIters = 2
+
+  /** (vec_id, e: double[], ei: micro-unit long[]) — `round` (half away
+    * from zero on both engines) then exact integer cast.
+    */
+  private def intEmb(embs: DataFrame): DataFrame =
+    embs.select(
+      col("vec_id"),
+      col("embedding").cast("array<double>").as("e"),
+      transform(
+        col("embedding").cast("array<double>"),
+        x => round(x * KmeansScale).cast("long")).as("ei"))
+
+  /** Cell-assignment score: dot(ei, c) / |c| over the INTEGER vectors.
+    * The dot is exact (see [[KmeansScale]]), `/` and `sqrt` are
+    * correctly-rounded IEEE on both engines — the score is bit-identical
+    * cross-engine, so argmax assignment (ties by cid) is too. Dividing
+    * by |c| (not |ei|·|c|) preserves the per-vector argmax ordering:
+    * |ei| is constant across the candidate cells.
+    */
+  private def cellScore(ei: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+    Parity.dot(ei.cast("array<double>"), c.cast("array<double>")) /
+      sqrt(Parity.dot(c.cast("array<double>"), c.cast("array<double>")))
+
+  /** Lloyd k-means over the embeddings in integer micro-units — the IVF
+    * quantizer TRAINING step ([[centroidVectors]]' label shortcut stands
+    * in for this when labels exist). Deterministic init (the first
+    * `kCells` vectors by vec_id); per-iteration: broadcast the tiny
+    * centroid table, assign each vector to its max-cosine cell (one
+    * narrow pass over the corpus), recompute centroids as per-dimension
+    * INTEGER means (`sum div count` — truncating division, identical in
+    * Spark `div` and DuckDB `//`). Everything the oracle must reproduce
+    * is integer or correctly-rounded IEEE, so the trained centroids are
+    * bit-identical cross-engine — no float-summation-order divergence.
+    *
+    * Scale shape: classic distributed Lloyd — assignment is a broadcast
+    * map, the update is one explode + hash aggregate (map-side partial)
+    * per iteration; nothing ever shuffles the corpus on a non-key.
+    */
+  def kmeansFixed(
+      embs: DataFrame,
+      kCells: Int = KmeansCells,
+      iters: Int = KmeansIters): DataFrame = {
+    val d = Phys.materialized(intEmb(embs).select(col("vec_id"), col("ei")))
+    var cent = d.filter(col("vec_id") < kCells).select(col("vec_id").as("cid"), col("ei").as("c"))
+    (1 to iters).foreach { _ =>
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid"))
+      val assigned = d
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"), col("ei"), cellScore(col("ei"), col("c")).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      cent = assigned
+        .select(col("cid"), posexplode(col("ei")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(expr("sum(v) div count(1)").as("cv"))
+        .groupBy(col("cid"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("cv")))), s => s("cv")).as("c"))
+    }
+    cent
+  }
+
+  /** IVF over the TRAINED quantizer: [[kmeansFixed]] centroids as the
+    * coarse cells, integer assignment scores, exact cosine re-rank
+    * within the probed inverted lists — the full production IVF path
+    * (train → assign → invert → probe) with every stage cross-engine
+    * deterministic.
+    */
+  def ivfTrainedTopK(embs: DataFrame, nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    val cents = kmeansFixed(embs)
+    val cellScores = intEmb(embs)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), col("e"), cellScore(col("ei"), col("c")).as("ccos"))
+    rankAndProbe(cellScores, nQueries, k, nProbe)
   }
 
   /** Multi-table LSH ANN: candidates share the query's bucket in ANY of

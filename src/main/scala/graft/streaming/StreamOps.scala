@@ -246,11 +246,61 @@ object StreamOps {
       round(col("sum_value"), 2).as("sum_value"))
   }
 
+  /** STREAM-STREAM interval join through the engine: purchases joined to
+    * the same user's clicks within the preceding 30 minutes, both sides
+    * watermarked — the state-store join whose per-side buffer is bounded
+    * by watermark + interval (the property that matters on an unbounded
+    * firehose; an unwatermarked stream-stream join buffers forever).
+    * Inner stream-stream joins emit each pair as soon as both rows have
+    * arrived, so the bounded run emits exactly the batch join's pairs —
+    * the batch oracle is the same interval join over the static table.
+    * A self-join of one source stream: the engine plans two independent
+    * stateful sides over the same file scan.
+    */
+  def intervalJoinOverParquet(spark: SparkSession, sfDir: String): DataFrame =
+    overParquet(
+      spark,
+      sfDir,
+      "ssjoin",
+      ev => {
+        val p = ev
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("event_id").as("p_id"),
+            col("user_id"),
+            col("ts").as("p_ts"),
+            col("value").as("p_value"))
+          .withWatermark("p_ts", "20 minutes")
+        val c = ev
+          .filter(col("event_type") === "click")
+          .select(
+            col("event_id").as("c_id"),
+            col("user_id").as("c_user"),
+            col("ts").as("c_ts"),
+            col("value").as("c_value"))
+          .withWatermark("c_ts", "20 minutes")
+        p.join(
+            c,
+            col("user_id") === col("c_user") &&
+              col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+              col("c_ts") <= col("p_ts"))
+          .select(
+            col("p_id"),
+            col("c_id"),
+            col("user_id"),
+            date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("pts"),
+            date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("cts"),
+            col("p_value"),
+            col("c_value"))
+      },
+      mode = "append")
+
   private def overParquet(
       spark: SparkSession,
       sfDir: String,
       tag: String,
-      transform: DataFrame => DataFrame): DataFrame = {
+      transform: DataFrame => DataFrame,
+      mode: String = "complete"): DataFrame = {
     val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-events"))
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
@@ -259,7 +309,8 @@ object StreamOps {
       spark,
       staged.toString,
       graft.sources.Staging.freshTable(s"graft_stream_$tag"),
-      transform)
+      transform,
+      mode)
   }
 
   /** Run a streaming aggregation over a static directory to completion
@@ -270,10 +321,11 @@ object StreamOps {
       spark: SparkSession,
       dir: String,
       name: String,
-      transform: DataFrame => DataFrame = tumblingStream): DataFrame = {
+      transform: DataFrame => DataFrame = tumblingStream,
+      mode: String = "complete"): DataFrame = {
     val q = transform(readEventStream(spark, dir))
       .writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .start()

@@ -310,6 +310,55 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out === Set((1L, 3L, 3L, 1.0), (2L, 2L, 1L, 0.5), (3L, 0L, 0L, 0.0)))
   }
 
+  test("fixed-point kmeans recovers well-separated clusters, deterministically") {
+    import spark.implicits._
+    // two orthogonal clusters in 64-dim: vecs 0,2,4,… near axis e0,
+    // vecs 1,3,5,… near axis e1 — init (vec 0, vec 1) seeds one
+    // centroid in each cluster
+    def vec(axis: Int, bump: Double): Seq[Float] =
+      (0 until Similarity.Dim).map(j => if (j == axis) 1.0f else if (j == axis + 2) bump.toFloat else 0.0f)
+    val rows = (0L until 10L).map { i =>
+      (i, vec((i % 2).toInt, 0.01 * i), (i % 2).toString)
+    }
+    val embs = rows.toDF("vec_id", "embedding", "label")
+    val cents = Similarity.kmeansFixed(embs, kCells = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(cents.keySet === Set(0L, 1L))
+    // cluster 0's centroid points along axis 0, cluster 1's along axis 1
+    assert(cents(0L)(0) === Similarity.KmeansScale)
+    assert(cents(1L)(1) === Similarity.KmeansScale)
+    assert(cents(0L)(1) === 0L && cents(1L)(0) === 0L)
+    // deterministic across runs (integer arithmetic end to end)
+    val again = Similarity.kmeansFixed(embs, kCells = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again === cents)
+  }
+
+  test("trained IVF returns k ranked neighbors per query at sf0.001") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.ivfTrainedTopK(embs, nQueries = 10, k = 3, nProbe = 2).collect()
+    val perQ = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQ.size === 10)
+    assert(perQ.values.forall(_ === 3))
+  }
+
+  test("KMV sketch: degenerate below k, within ~3·stderr of exact above k") {
+    import graft.operators.Sketches
+    // tiny corpus (4 distinct trigrams < k): sketch IS the exact count
+    val small = docsDf(Seq((1L, "a b c d", "en"), (2L, "a b c x y", "en")))
+    val r1 = Sketches.kmvDistinctShingles(small, k = 256).collect()(0)
+    assert(r1.getLong(0) === 4L) // {abc, bcd, bcx, cxy} — abc shared
+    assert(r1.getLong(3) === r1.getLong(1)) // estimate = n_mins (degenerate)
+    // larger universe (sf0.001 docs): estimate within 20% of exact
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r2 = Sketches.kmvDistinctShingles(docs, k = 256).collect()(0)
+    val (exact, est) = (r2.getLong(0).toDouble, r2.getLong(3).toDouble)
+    assert(est > exact * 0.8 && est < exact * 1.2, s"exact=$exact est=$est")
+    // deterministic across runs
+    val again = Sketches.kmvDistinctShingles(docs, k = 256).collect()(0)
+    assert(again.getLong(3) === r2.getLong(3))
+  }
+
   test("lsh recall report covers every query and stays within [0,1]") {
     val dir = "/root/testdata/sf0.001"
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")
