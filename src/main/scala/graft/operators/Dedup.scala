@@ -52,26 +52,23 @@ object Dedup {
 
   /** Per-doc MinHash signature (K=16) over word-token codes.
     *
-    * Physical shape: explode tokens to rows, hash each token ONCE, then
-    * K min-aggregations inside one codegen'd hash aggregate. (The
-    * array-expression form inlines the token-hash computation into every
-    * one of the K signature slots — Catalyst has no CSE across them — and
-    * falls back to interpreted higher-order functions; the aggregate form
-    * is whole-stage-codegen all the way and map-side-partial for free.)
+    * Physical shape: ONE narrow map — the single-pass
+    * [[graft.functions.MinHashSig]] kernel folds the K min-slots over
+    * the token-code array per document, where the document already
+    * lives. No explode, no shuffle, no K-wide aggregate. (Earlier
+    * explode+K-min-aggregate and pure-Column-array forms both lose:
+    * the aggregate form shuffles a row per token, and the array form
+    * re-inlines the token hash into every slot — Catalyst has no CSE
+    * across interpreted higher-order functions.)
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val perToken = docs.select(
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
-      explode_outer(Parity.tokens(col("text"))).as("tok"))
-      .withColumn("c", Parity.charFold(col("tok"), 31L, Parity.TokP))
-    val aggs = (0 until MinhashK).map { i =>
-      coalesce(min((lit(permA(i)) * col("c") + lit(permB(i))) % lit(BigP)), lit(BigP)).as(s"s$i")
-    }
-    perToken
-      .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array((0 until MinhashK).map(i => col(s"s$i")): _*).as("sig"))
-  }
+      // coalesce: a null text still gets the empty-doc signature (all
+      // BigP), as the explode_outer aggregate form produced
+      graft.functions.MinHashSig(
+        coalesce(Parity.tokenCodes(col("text")), array().cast("array<long>")),
+        MinhashK).as("sig"))
 
   /** MinHash-LSH candidate pairs: docs sharing at least one of
     * [[MinhashBands]] bands of [[MinhashR]] rows (2 bands of 8).
@@ -145,30 +142,22 @@ object Dedup {
     * vocabulary are nearly identical across documents, which makes every
     * SimHash collide and floods the banded candidate join; shingles carry
     * ordering and decorrelate the fingerprints.
+    *
+    * Physical shape: ONE narrow map — the single-pass
+    * [[graft.functions.SimHash40]] kernel folds all 40 bit-votes over
+    * the shingle-hash array per document (same rationale as
+    * [[minhashSignatures]]: the earlier explode + 40-sum aggregate
+    * shuffled a row per shingle and compiled ~9 s of generated
+    * aggregate code per session).
     */
-  def simhashes(docs: DataFrame): DataFrame = {
-    // Same explode-then-aggregate shape as minhashSignatures: one 40-bit
-    // hash per shingle row, 40 bit-vote SUMs in a single codegen'd hash
-    // aggregate (vs 40 interpreted array traversals per doc).
-    val perShingle = docs.select(
+  def simhashes(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
-      explode_outer(Parity.shingles(Parity.tokens(col("text")))).as("g"))
-      .withColumn("h", Parity.tokenH40(col("g")))
-    val voteAggs = (0 until Parity.SimBits).map { j =>
-      sum(
-        when(col("h").isNull, 0L)
-          .otherwise(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"v$j")
-    }
-    perShingle
-      .groupBy(col("doc_id"))
-      .agg(voteAggs.head, voteAggs.tail: _*)
-      .select(
-        col("doc_id"),
-        (0 until Parity.SimBits)
-          .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _)
-          .as("simhash"))
-  }
+      graft.functions.SimHash40(
+        coalesce(
+          transform(Parity.shingles(Parity.tokens(col("text"))), g => Parity.tokenH40(g)),
+          array().cast("array<long>")))
+        .as("simhash"))
 
   /** SimHash near-dup candidate pairs: 40-bit fingerprints banded into
     * four 10-bit chunks; docs sharing any chunk are candidates; exact

@@ -102,4 +102,28 @@ object GraphProps extends Properties("graph") {
       Prop(adj.forall(a => a == a.sorted)) :| "unsorted adjacency found"
     }
   }
+
+  property("degree-ordered triangle count equals brute-force enumeration") =
+    forAll(genGraph) { edges =>
+      edges.isEmpty || {
+        import spark.implicits._
+        val r = GraphOps.triangleCount(edges.toDF("src", "dst", "w")).collect()(0)
+        // driver-side oracle: undirected simple graph, count node triples
+        // with all three edges present
+        val und = edges
+          .filter(e => e._1 != e._2)
+          .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+          .toSet
+        val verts = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+        val triples = for {
+          (a, i) <- verts.zipWithIndex
+          (b, j) <- verts.zipWithIndex.drop(i + 1)
+          if und((a, b))
+          c <- verts.drop(j + 1)
+          if und((a, c)) && und((b, c))
+        } yield (a, b, c)
+        Prop(r.getLong(0) == und.size.toLong && r.getLong(1) == triples.size.toLong) :|
+          s"got=(${r.getLong(0)},${r.getLong(1)}) expected=(${und.size},${triples.size})"
+      }
+    }
 }
