@@ -87,17 +87,18 @@ object SparkEntry {
     GraphOps.finalResult(GraphOps.sssp(GraphSource.layeredEdges(s, dir), 5L), 5L)
       .orderBy(col("id"))
 
-  /** The empty-first-frontier edge, driver-checked: source 40 is a pure
-    * sink at sf0.01 (appears only as a dst), so round 1's frontier⋈edges
-    * join is empty, the loop converges immediately, and the output is
-    * every node with out-edges at dist 65535.0 — with the source itself
-    * ABSENT (the reference's format job only materializes nodes with
-    * out-edges, `SingleSourceSP.java:101`; SURVEY.md Q4). The oracle is
-    * the general unrolled CTE, so the row stays correct even at scale
-    * factors where 40 happens to have out-edges.
+  /** The empty-first-frontier edge, driver-checked: source 1655 is a
+    * pure sink at BOTH sf0.01 and sf0.1 (appears only as a dst), so
+    * round 1's frontier⋈edges join is empty, the loop converges
+    * immediately, and the output is every node with out-edges at dist
+    * 65535.0 — with the source itself ABSENT (the reference's format job
+    * only materializes nodes with out-edges, `SingleSourceSP.java:101`;
+    * SURVEY.md Q4). The oracle is the general unrolled CTE, so the row
+    * stays correct even at scale factors where 1655 has out-edges (or
+    * does not exist at all — same empty-frontier semantics).
     */
   private def ssspSinkSource(s: SparkSession, dir: String): DataFrame =
-    GraphOps.finalResult(GraphOps.sssp(GraphSource.lineitemEdges(s, dir), 40L), 40L)
+    GraphOps.finalResult(GraphOps.sssp(GraphSource.lineitemEdges(s, dir), 1655L), 1655L)
       .orderBy(col("id"))
 
   /** The reference's ACTUAL I/O surface, end-to-end: edges staged
@@ -719,9 +720,9 @@ object SparkEntry {
     "sssp_layered_src5" -> layeredSsspSql(source = 5L),
     // the text round-trip must reproduce the layered answer exactly
     "sssp_text_roundtrip" -> layeredSsspSql(source = 1L),
-    // source 40 is a sink at sf0.01 → converges in round 1; 6 unrolled
-    // rounds is margin in case another scale factor gives it out-edges
-    "sssp_sink_source" -> ssspUnrolledSql(rounds = 6, source = 40L),
+    // source 1655 is a sink at sf0.01 AND sf0.1 → converges in round 1;
+    // 6 unrolled rounds is margin for other scale factors
+    "sssp_sink_source" -> ssspUnrolledSql(rounds = 6, source = 1655L),
     "sssp_lineitem" -> ssspUnrolledSql(rounds = 24),
     "sssp_two_rounds" ->
       s"""WITH edges AS (${GraphSource.lineitemEdgesSql}),
