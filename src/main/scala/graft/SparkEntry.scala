@@ -64,6 +64,21 @@ object SparkEntry {
   private def reverseGraph(s: SparkSession, dir: String): DataFrame =
     GraphOps.reverseGraph(GraphSource.lineitemEdges(s, dir)).orderBy(col("node"))
 
+  /** ReverseGraph's ACTUAL I/O surface end-to-end: the lineitem graph
+    * staged through the unweighted tab-separated `from\tto` format
+    * (`ReverseGraph.java:120-124`, duplicate lines preserved — Q3), read
+    * back, transposed. Hash-matches the reverse_graph oracle, so a
+    * lossy encode/decode (or a dropped parallel edge) breaks the hash.
+    * With sssp_text_roundtrip this driver-checks all three reference
+    * text record shapes (SURVEY.md §1.1).
+    */
+  private def reverseGraphText(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sources.Staging.freshDir("textio-tsv")}/edges"
+    sources.TextEdgeIO.writeUnweightedEdges(GraphSource.lineitemEdges(s, dir), path)
+    GraphOps.reverseGraph(sources.TextEdgeIO.readUnweightedEdges(s, path))
+      .orderBy(col("node"))
+  }
+
   private def buildAdjacency(s: SparkSession, dir: String): DataFrame =
     GraphOps.buildAdjacency(GraphSource.lineitemEdges(s, dir), source = 1L)
       .orderBy(col("node"))
@@ -297,6 +312,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "reverse_graph" -> (reverseGraph _),
+    "reverse_graph_text" -> (reverseGraphText _),
     "build_adjacency" -> (buildAdjacency _),
     "sssp_one_round" -> (ssspOneRound _),
     "sssp_layered" -> (ssspLayered _),
@@ -697,6 +713,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "kcore_4" -> kcoreUnrolledSql(k = 4, rounds = 6),
     "reverse_graph" ->
+      s"""WITH edges AS (${GraphSource.lineitemEdgesSql})
+         |SELECT dst AS node, string_agg(src, ',' ORDER BY src) AS adj
+         |FROM edges GROUP BY dst ORDER BY node""".stripMargin,
+    // the tab-format round-trip must reproduce the transposition exactly
+    "reverse_graph_text" ->
       s"""WITH edges AS (${GraphSource.lineitemEdgesSql})
          |SELECT dst AS node, string_agg(src, ',' ORDER BY src) AS adj
          |FROM edges GROUP BY dst ORDER BY node""".stripMargin,

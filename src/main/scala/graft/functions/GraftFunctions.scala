@@ -17,7 +17,7 @@ object GraftFunctions {
   private def longLit(e: Expression, what: String): Long = e match {
     case Literal(v: Long, _) => v
     case Literal(v: Int, _) => v.toLong
-    case other => throw new IllegalArgumentException(s"poly_hash $what must be an integer literal, got $other")
+    case other => throw new IllegalArgumentException(s"argument $what must be an integer literal, got $other")
   }
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -29,7 +29,15 @@ object GraftFunctions {
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (args: Seq[Expression]) =>
-        PolyHash(args(0), longLit(args(1), "mult"), longLit(args(2), "modulus"))))
+        PolyHash(args(0), longLit(args(1), "mult"), longLit(args(2), "modulus"))),
+    (
+      FunctionIdentifier("simhash40"),
+      new ExpressionInfo(classOf[SimHash40].getName, "simhash40"),
+      (args: Seq[Expression]) => SimHash40(args(0))),
+    (
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args(0), longLit(args(1), "k").toInt)))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

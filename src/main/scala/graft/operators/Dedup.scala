@@ -95,12 +95,33 @@ object Dedup {
             (acc, x) => acc + x).cast("double") / MinhashK,
           6).as("est_jaccard"))
 
-  /** MinHash-LSH candidate pairs WITHOUT the signature-similarity score:
-    * the input [[clusters]] needs — skipping the score skips carrying
-    * and folding the signature arrays entirely.
+  /** Connectivity-preserving MinHash-LSH candidate pairs for
+    * [[clusters]]: within each (band, value) bucket, every member pairs
+    * with the bucket's MINIMUM doc id — a star per bucket instead of
+    * the clique [[minhashCandidates]] emits. The transitive closure is
+    * identical (all bucket members connect through the minimum, and
+    * clustering only consumes the closure — the unchanged
+    * dedup_clusters oracle still computes it from the full clique), but
+    * a bucket of n docs emits n−1 pairs instead of n(n−1)/2: candidate
+    * generation for clustering is LINEAR per bucket, the shape that
+    * survives a near-duplicate-heavy corpus at 100 TB. No signature
+    * columns are carried at all.
     */
-  def minhashCandidatePairs(docs: DataFrame): DataFrame =
-    bandedSelfJoin(docs).select(col("doc_a"), col("doc_b")).distinct()
+  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
+    val banded = Phys.materialized(minhashSignatures(docs).select(
+      col("doc_id"),
+      posexplode(
+        array((0 until MinhashBands).map(i => Parity.bandVal(col("sig"), i, MinhashR)): _*))
+        .as(Seq("band_idx", "band_val"))))
+    val mins = banded
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(min(col("doc_id")).as("doc_a"))
+    banded
+      .join(mins, Seq("band_idx", "band_val"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+  }
 
   /** Shared banded self-join: one collision row per (pair, band) with
     * both signatures attached. The self-join runs on the (band_idx,

@@ -59,6 +59,18 @@ object TextEdgeIO {
       .mode("overwrite")
       .text(path)
 
+  /** Write edges in ReverseGraph's unweighted tab-separated `from\tto`
+    * format (`ReverseGraph.java:120-124`); duplicate (parallel) edges
+    * keep their duplicate lines (SURVEY.md Q3).
+    */
+  def writeUnweightedEdges(edges: DataFrame, path: String): Unit =
+    edges
+      .select(
+        concat_ws("\t", col("src").cast("string"), col("dst").cast("string")).as("value"))
+      .write
+      .mode("overwrite")
+      .text(path)
+
   /** Decode the adjacency CSV (`dst:w,dst:w,...`) of a node-state frame
     * back into the edge schema — the inverse of [[writeNodeState]]'s
     * encoding, so an SSSP run can resume from a staged node-state text

@@ -246,6 +246,26 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(r.getLong(4) === red.foldLeft(0L)((a, c) => (a * 31 + c) % Parity.TokP))
   }
 
+  test("star-per-bucket candidate pairs cluster identically to clique pairs") {
+    // three exact-duplicate groups + singletons: every bucket is a clique
+    val d = docsDf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog", "en"),
+      (3L, "the quick brown fox jumps over the lazy dog", "en"),
+      (4L, "completely different words entirely here now", "en"),
+      (5L, "completely different words entirely here now", "en"),
+      (6L, "a lone singleton document with its own text", "en")))
+    def clusterMap(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.clusters(d, pairs).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val star = clusterMap(Dedup.minhashCandidatePairs(d))
+    val clique = clusterMap(Dedup.minhashCandidates(d).select(col("doc_a"), col("doc_b")))
+    assert(star === clique)
+    assert(star(1L) === ((1L, true)) && star(2L) === ((1L, false)) && star(3L) === ((1L, false)))
+    assert(star(4L) === ((4L, true)) && star(5L) === ((4L, false)))
+    assert(star(6L) === ((6L, true)))
+  }
+
   test("ngram jaccard DF cap: a ubiquitous shingle generates no pairs") {
     // every doc carries the boilerplate trigram "terms of service";
     // only docs 1 and 2 additionally share a discriminative trigram

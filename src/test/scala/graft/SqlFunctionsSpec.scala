@@ -16,6 +16,18 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(row.getLong(1) === ((97L * 31 + 98) * 31 + 99) % Parity.TokP)
   }
 
+  test("simhash40 and minhash_sig usable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val row = spark
+      .sql(
+        // hashes 1L (bit 0) and 3L (bits 0,1): votes bit0=+2, bit1=0 → 1
+        "SELECT simhash40(array(1L, 3L)) AS sh, " +
+          "minhash_sig(CAST(array() AS ARRAY<BIGINT>), 4) AS empty_sig")
+      .collect()(0)
+    assert(row.getLong(0) === 1L)
+    assert(row.getSeq[Long](1) === Seq.fill(4)(Parity.BigP))
+  }
+
   test("poly_hash rejects non-literal modulus") {
     GraftFunctions.register(spark)
     intercept[Exception] {
