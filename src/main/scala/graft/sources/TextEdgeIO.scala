@@ -132,6 +132,17 @@ object TextEdgeIO {
       .mode("overwrite")
       .text(path)
 
+  /** Write the transposed graph in ReverseGraph's `node\tsortedCsv`
+    * output shape (`ReverseGraph.java:200`). Input is
+    * [[graft.operators.GraphOps.reverseGraph]]'s (node, adj) frame.
+    */
+  def writeAdjacency(reversed: DataFrame, path: String): Unit =
+    reversed
+      .select(concat_ws("\t", col("node").cast("string"), col("adj")).as("value"))
+      .write
+      .mode("overwrite")
+      .text(path)
+
   /** End-to-end reference pipeline from a text edge file: format pass
     * (buildAdjacency ≙ phase 1), iterate (sssp ≙ phase 2), final
     * projection — the whole `SingleSourceSP.main` as three lines.

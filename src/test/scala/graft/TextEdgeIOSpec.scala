@@ -61,6 +61,20 @@ class TextEdgeIOSpec extends SparkSpec {
     assert(asSet(decoded) === asSet(edges))
   }
 
+  test("CLI entry points reproduce the reference's program outputs") {
+    // SingleSourceSP.main(in, out, queryNode) equivalent
+    val ssspOut = Files.createTempDirectory("cli-sssp").toString + "/out"
+    SsspMain.run(spark, fixture("micrograph.txt"), ssspOut, source = 0L)
+    val ssspLines = spark.read.text(ssspOut).collect().map(_.getString(0)).sorted
+    assert(ssspLines.length === 5)
+    assert(ssspLines.contains("0\t3 5.0")) // same shape as writeResult
+    // ReverseGraph.main(in, out) equivalent on the tab fixture
+    val revOut = Files.createTempDirectory("cli-rev").toString + "/out"
+    ReverseGraphMain.run(spark, fixture("micrograph_unweighted.tsv"), revOut)
+    val revLines = spark.read.text(revOut).collect().map(_.getString(0))
+    assert(revLines.contains("1\t0,3")) // node\tsortedCsv (ReverseGraph.java:200)
+  }
+
   test("result sink writes the reference's src\\tid dist lines") {
     val tmp = Files.createTempDirectory("result").toString + "/out"
     val result = TextEdgeIO.ssspFromFile(spark, fixture("micrograph.txt"), 0L)
