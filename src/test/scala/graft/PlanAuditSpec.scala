@@ -54,6 +54,27 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("kmeans/IVF centroid joins broadcast the tiny side, never a raw cartesian") {
+    // kmeans_centroids' plan exposes the training iterations: the
+    // corpus×centroids cross join must ride a BROADCAST of the k-row
+    // centroid table — a non-broadcast cartesian would shuffle the
+    // corpus against itself
+    val train = planOf(SparkEntry.queries("kmeans_centroids")(spark, dir))
+    assert(!train.contains("CartesianProduct"), s"raw cartesian in training:\n$train")
+    assert(
+      train.contains("BroadcastNestedLoopJoin"),
+      s"centroid table not broadcast in training:\n$train")
+    // ann_ivf_trained materializes training behind a checkpoint; its
+    // visible probe plan must still be cartesian-free
+    val probe = planOf(SparkEntry.queries("ann_ivf_trained")(spark, dir))
+    assert(!probe.contains("CartesianProduct"), s"raw cartesian in probe:\n$probe")
+  }
+
+  test("KMV sketch top-k plans as TakeOrdered, not a global sort") {
+    val plan = planOf(SparkEntry.queries("sketch_kmv_shingles")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("partition-column filter prunes directories, not rows") {
     val staged = sources.TabularIO.partitionedRoundTrip(
       spark,
