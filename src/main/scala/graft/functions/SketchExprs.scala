@@ -53,7 +53,7 @@ case class SimHash40(child: Expression) extends UnaryExpression {
 
 object SimHash40 {
 
-  val Bits = 40
+  val Bits: Int = Parity.SimBits
 
   /** Shared by interpreted and generated paths (named `hash`, not `eval`
     * — see [[PolyHash.hash]]'s static-forwarder note). */

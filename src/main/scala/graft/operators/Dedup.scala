@@ -41,8 +41,6 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
 
-  import graft.functions.Parity.{BigP, permA, permB}
-
   val MinhashK = 16
   // 2 bands × 8 rows: candidate threshold (1/b)^(1/r) ≈ 0.92 — tuned for
   // near-duplicate detection (loose banding on high-overlap corpora floods
@@ -108,11 +106,7 @@ object Dedup {
     * columns are carried at all.
     */
   def minhashCandidatePairs(docs: DataFrame): DataFrame = {
-    val banded = Phys.materialized(minhashSignatures(docs).select(
-      col("doc_id"),
-      posexplode(
-        array((0 until MinhashBands).map(i => Parity.bandVal(col("sig"), i, MinhashR)): _*))
-        .as(Seq("band_idx", "band_val"))))
+    val banded = Phys.materialized(bandRows(minhashSignatures(docs)).drop("sig"))
     val mins = banded
       .groupBy(col("band_idx"), col("band_val"))
       .agg(min(col("doc_id")).as("doc_a"))
@@ -123,21 +117,24 @@ object Dedup {
       .distinct()
   }
 
+  /** One row per (doc, band): `(doc_id, sig, band_idx, band_val)`. */
+  private def bandRows(sigs: DataFrame): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      col("sig"),
+      posexplode(
+        array((0 until MinhashBands).map(i => Parity.bandVal(col("sig"), i, MinhashR)): _*))
+        .as(Seq("band_idx", "band_val")))
+
   /** Shared banded self-join: one collision row per (pair, band) with
     * both signatures attached. The self-join runs on the (band_idx,
     * band_val) bucket key — the scalable shape (no all-pairs comparison
     * ever materializes).
     */
   private def bandedSelfJoin(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(docs)
     // materialized: the self-join below would otherwise recompute the
     // whole signature pipeline on both the build and probe side
-    val banded = Phys.materialized(sigs.select(
-      col("doc_id"),
-      col("sig"),
-      posexplode(
-        array((0 until MinhashBands).map(i => Parity.bandVal(col("sig"), i, MinhashR)): _*))
-        .as(Seq("band_idx", "band_val"))))
+    val banded = Phys.materialized(bandRows(minhashSignatures(docs)))
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(

@@ -216,8 +216,8 @@ object Similarity {
 
   /** Lloyd k-means over the embeddings in integer micro-units — the IVF
     * quantizer TRAINING step ([[centroidVectors]]' label shortcut stands
-    * in for this when labels exist). Deterministic init (the first
-    * `kCells` vectors by vec_id); per-iteration: broadcast the tiny
+    * in for this when labels exist). Deterministic init (the vectors
+    * with `vec_id < kCells`); per-iteration: broadcast the tiny
     * centroid table, assign each vector to its max-cosine cell (one
     * narrow pass over the corpus), recompute centroids as per-dimension
     * INTEGER means (`sum div count` — truncating division, identical in
