@@ -103,6 +103,18 @@ object GraphProps extends Properties("graph") {
     }
   }
 
+  property("star-contraction CC equals label-propagation CC") = forAll(genGraph) { edges =>
+    edges.isEmpty || {
+      import spark.implicits._
+      val df = edges.toDF("src", "dst", "w")
+      val byProp = GraphOps.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byStars = GraphOps.connectedComponentsStars(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Prop(byStars == byProp) :| s"stars=$byStars prop=$byProp"
+    }
+  }
+
   property("degree-ordered triangle count equals brute-force enumeration") =
     forAll(genGraph) { edges =>
       edges.isEmpty || {
