@@ -21,11 +21,18 @@ import graft.sources.TextEdgeIO
   * everything before it runs at full parallelism.
   */
 private object CliSession {
-  def apply(app: String): SparkSession =
-    SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName(app)
-      .getOrCreate()
+  def apply(app: String): SparkSession = {
+    val b = SparkSession.builder().appName(app)
+    // Precedence: never call .master() when spark-submit already set one
+    // (builder config overrides --master and would silently pull a
+    // cluster job onto the gateway); SPARK_MASTER overrides explicitly;
+    // bare-JVM runs (sbt runMain) fall back to local[*].
+    sys.env.get("SPARK_MASTER") match {
+      case Some(m) => b.master(m)
+      case None => if (!sys.props.contains("spark.master")) b.master("local[*]")
+    }
+    b.getOrCreate()
+  }
 }
 
 /** `runMain graft.SsspMain <edges.txt> <outDir> <queryNode>` */

@@ -694,6 +694,14 @@ object SparkEntry {
          |FROM a0 n LEFT JOIN a$rounds c ON c.id = n.id ORDER BY n.id""".stripMargin
   }
 
+  /** Transposition oracle — shared by reverse_graph and its tab-format
+    * round-trip (they must agree exactly).
+    */
+  private def reverseGraphOracleSql: String =
+    s"""WITH edges AS (${GraphSource.lineitemEdgesSql})
+       |SELECT dst AS node, string_agg(src, ',' ORDER BY src) AS adj
+       |FROM edges GROUP BY dst ORDER BY node""".stripMargin
+
   /** Min-label closure oracle over the layered graph — shared by both
     * connected-components implementations (they must agree exactly).
     */
@@ -712,15 +720,9 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "kcore_4" -> kcoreUnrolledSql(k = 4, rounds = 6),
-    "reverse_graph" ->
-      s"""WITH edges AS (${GraphSource.lineitemEdgesSql})
-         |SELECT dst AS node, string_agg(src, ',' ORDER BY src) AS adj
-         |FROM edges GROUP BY dst ORDER BY node""".stripMargin,
+    "reverse_graph" -> reverseGraphOracleSql,
     // the tab-format round-trip must reproduce the transposition exactly
-    "reverse_graph_text" ->
-      s"""WITH edges AS (${GraphSource.lineitemEdgesSql})
-         |SELECT dst AS node, string_agg(src, ',' ORDER BY src) AS adj
-         |FROM edges GROUP BY dst ORDER BY node""".stripMargin,
+    "reverse_graph_text" -> reverseGraphOracleSql,
     "build_adjacency" ->
       s"""WITH edges AS (${GraphSource.lineitemEdgesSql})
          |SELECT src AS node,
@@ -742,8 +744,10 @@ object SparkEntry {
     // the text round-trip must reproduce the layered answer exactly
     "sssp_text_roundtrip" -> layeredSsspSql(source = 1L),
     // source 1655 is a sink at sf0.01 AND sf0.1 → converges in round 1;
-    // 6 unrolled rounds is margin for other scale factors
-    "sssp_sink_source" -> ssspUnrolledSql(rounds = 6, source = 1655L),
+    // unrolled to the same 24-round margin as sssp_lineitem so the
+    // oracle stays correct at scale factors where 1655 has out-edges
+    // (empty-frontier rounds cost nothing in the CTE)
+    "sssp_sink_source" -> ssspUnrolledSql(rounds = 24, source = 1655L),
     "sssp_lineitem" -> ssspUnrolledSql(rounds = 24),
     "sssp_two_rounds" ->
       s"""WITH edges AS (${GraphSource.lineitemEdgesSql}),
@@ -1268,7 +1272,7 @@ object SparkEntry {
            |e AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM g)
            |SELECT e.n_exact, a.n_mins, a.kth_hash,
            |       CAST(CASE WHEN a.n_mins < $k THEN a.n_mins
-           |                 ELSE (${k - 1} * ${1L << 40}) // a.kth_hash END AS BIGINT) AS kmv_estimate
+           |                 ELSE (${k - 1} * ${Parity.TokP * Parity.TokP2}) // a.kth_hash END AS BIGINT) AS kmv_estimate
            |FROM e CROSS JOIN a""".stripMargin
       },
       "bucketed_join" ->

@@ -33,7 +33,10 @@ object Sketches {
     * exact hash count.
     */
   def kmvDistinctShingles(docs: DataFrame, k: Int = KmvK): DataFrame = {
-    val space = 1L << 40
+    // the ACTUAL range of tokenH40 (fpA * TokP2 + fpB < TokP * TokP2),
+    // not 2^40 — using the nominal bit width would bias every estimate
+    // ~+4.6% high (hashes never reach the top of the 40-bit space)
+    val space = Parity.TokP * Parity.TokP2
     val distinctShingles = docs
       .select(explode(Parity.shingles(Parity.tokens(col("text")))).as("g"))
       .distinct()
