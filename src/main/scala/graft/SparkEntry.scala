@@ -429,6 +429,9 @@ object SparkEntry {
     "events_json_agg" -> ((s, d) => EventOps.jsonAgg(events(s, d)).orderBy(col("event_type"))),
     "events_quantiles" -> ((s, d) =>
       EventOps.quantiles(events(s, d)).orderBy(col("event_type"))),
+    // the sort-free histogram-sketch form next to the exact baseline
+    "events_quantiles_binned" -> ((s, d) =>
+      EventOps.quantilesBinned(events(s, d)).orderBy(col("event_type"))),
     "events_asof" -> ((s, d) => {
       val ev = events(s, d)
       val clicks = ev
@@ -1418,6 +1421,26 @@ object SparkEntry {
           |       round(quantile_cont(value, 0.95), 6) AS p95,
           |       count(*) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "events_quantiles_binned" ->
+        """WITH hist AS (
+          |  SELECT event_type, CAST(floor(value * 4) AS BIGINT) AS bin, count(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |cum AS (
+          |  SELECT *, CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin
+          |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          |  FROM hist),
+          |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+          |p50 AS (SELECT c.event_type, min(bin) AS b50
+          |        FROM cum c JOIN t ON t.event_type = c.event_type
+          |        WHERE c.cum >= (t.n + 1) // 2 GROUP BY 1),
+          |p95 AS (SELECT c.event_type, min(bin) AS b95
+          |        FROM cum c JOIN t ON t.event_type = c.event_type
+          |        WHERE c.cum >= (19 * t.n + 19) // 20 GROUP BY 1)
+          |SELECT t.event_type, t.n,
+          |       round((b50 + 0.5) / 4.0, 6) AS p50_est,
+          |       round((b95 + 0.5) / 4.0, 6) AS p95_est
+          |FROM t JOIN p50 USING (event_type) JOIN p95 USING (event_type)
+          |ORDER BY event_type""".stripMargin,
       "events_asof" ->
         s"""WITH c AS (SELECT user_id, ts, arg_max(value, event_id) AS click_value
            |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),

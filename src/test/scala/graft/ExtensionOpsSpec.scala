@@ -120,6 +120,22 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out === Map((7L, 1L) -> 2L, (7L, 2L) -> 1L, (8L, 1L) -> 1L))
   }
 
+  test("binned quantiles land within half a bin of the exact percentiles") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // values 1.00 .. 100.00 → exact p50 = 50.5, p95 = 95.05
+    val e = (1 to 100).map(i => (i.toLong, base, 1L, "click", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.quantilesBinned(e).collect()(0)
+    assert(r.getString(0) === "click" && r.getLong(1) === 100L)
+    // rank ceil(100/2)=50 → value 50.0 → bin 200 → est (200+0.5)/4 = 50.125
+    assert(r.getDouble(2) === 50.125)
+    // rank ceil(19·100/20)=95 → value 95.0 → bin 380 → est 95.125
+    assert(r.getDouble(3) === 95.125)
+    val exact = EventOps.quantiles(e).collect()(0)
+    assert(math.abs(r.getDouble(2) - exact.getDouble(1)) <= 0.5)
+    assert(math.abs(r.getDouble(3) - exact.getDouble(2)) <= 0.5)
+  }
+
   test("asOfJoin matches each left row to the latest prior right row") {
     import graft.operators.AsOfJoin
     def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
