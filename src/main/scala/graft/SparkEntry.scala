@@ -477,6 +477,8 @@ object SparkEntry {
     "doc_pack" -> ((s, d) =>
       TextOps.pack(docs(s, d), binTokens = 2048L).orderBy(col("lang"), col("doc_id"))),
     "doc_sample" -> ((s, d) => TextOps.stratifiedSample(docs(s, d)).orderBy(col("doc_id"))),
+    // domain-mixing repeat factors: the step between curation and training
+    "doc_mixture" -> ((s, d) => TextOps.mixtureWeights(docs(s, d)).orderBy(col("lang"))),
     "pii_redact" -> ((s, d) => TextOps.piiRedact(docs(s, d)).orderBy(col("doc_id"))),
     "decontaminate" -> ((s, d) => TextOps.decontaminate(docs(s, d)).orderBy(col("doc_id"))),
     "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d)).orderBy(col("doc_id"))),
@@ -1336,6 +1338,19 @@ object SparkEntry {
            |       (${Parity.fp40Sql("text")} % 1000) <
            |         (CASE WHEN lang = 'en' THEN 500 WHEN lang = 'es' THEN 250 ELSE 125 END) AS kept
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "doc_mixture" ->
+        s"""WITH per AS (
+           |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |         CAST(sum(len($toks)) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY lang),
+           |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per)
+           |SELECT lang, n_docs, n_tokens,
+           |       CAST(CASE WHEN lang = 'en' THEN 600000 WHEN lang = 'es' THEN 250000
+           |                 ELSE 150000 END AS BIGINT) AS target_ppm,
+           |       round((CAST(CASE WHEN lang = 'en' THEN 600000 WHEN lang = 'es' THEN 250000
+           |                        ELSE 150000 END AS DOUBLE) / 1000000.0) *
+           |             (CAST(total_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS epochs
+           |FROM per CROSS JOIN t ORDER BY lang""".stripMargin,
       "pii_redact" -> {
         val email = "[a-z0-9.]+@[a-z0-9.]+"
         val phone = "555-[0-9]{4}"

@@ -116,14 +116,17 @@ object EventOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum(col("c")).over(w))
     val totals = hist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
-    val j = cum.join(totals, Seq("event_type"))
-    // smallest bin whose cumulative count reaches ceil(q·n), in exact
-    // integer arithmetic: ceil(n/2) = (n+1) div 2, ceil(19n/20)
-    def qBin(rank: org.apache.spark.sql.Column, name: String): DataFrame =
-      j.filter(col("cum") >= rank).groupBy(col("event_type")).agg(min(col("bin")).as(name))
-    totals
-      .join(qBin(expr("(n + 1) div 2"), "b50"), Seq("event_type"))
-      .join(qBin(expr("(19 * n + 19) div 20"), "b95"), Seq("event_type"))
+    // both quantiles in ONE pass over the cumulative histogram: the
+    // smallest bin whose cumulative count reaches ceil(q·n), with the
+    // rank thresholds in exact integer arithmetic (ceil(n/2) =
+    // (n+1) div 2; ceil(19n/20) = (19n+19) div 20); min(when(...))
+    // ignores below-rank rows (null)
+    cum
+      .join(totals, Seq("event_type"))
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("bin"))).as("b50"),
+        min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("bin"))).as("b95"))
       .select(
         col("event_type"),
         col("n"),

@@ -315,6 +315,47 @@ object TextOps {
         (coalesce(col("hit"), lit(false)) && !col("is_benchmark")).as("contaminated"))
   }
 
+  /** Target mixture shares per language, in parts-per-million; domains
+    * not listed get [[MixtureDefaultPpm]]. */
+  val MixtureTargetsPpm: Map[String, Long] = Map("en" -> 600000L, "es" -> 250000L)
+  val MixtureDefaultPpm: Long = 150000L
+
+  /** Domain-mixture weighting — the data-mixing step between a curated
+    * corpus and an LM trainer: given per-domain target shares, compute
+    * each domain's repeat factor ("epochs") so sampling every document
+    * `epochs` times yields the target token mixture:
+    * `epochs(d) = share(d) · total_tokens / tokens(d)`.
+    *
+    * Scale shape: one hash aggregate per domain (map-side partial) +
+    * a single-row total cross-joined INSIDE the plan (no driver count
+    * pass). The epochs arithmetic runs in doubles with a fixed
+    * evaluation order — token counts < 2⁵³ are exact and both engines'
+    * IEEE ops are correctly rounded, so the result hash-matches the
+    * oracle while never overflowing (the all-integer form
+    * `share_ppm · total_tokens` exceeds 2⁶³ at 100 TB token counts).
+    */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    val targetPpm = MixtureTargetsPpm.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (l, p)) => acc.when(col("lang") === l, lit(p))
+    }.otherwise(lit(MixtureDefaultPpm))
+    val per = docs
+      .select(col("lang"), size(toks(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val total = per.agg(sum(col("n_tokens")).as("total_tokens"))
+    per
+      .crossJoin(total)
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_tokens"),
+        targetPpm.as("target_ppm"),
+        round(
+          (targetPpm.cast("double") / 1000000.0) *
+            (col("total_tokens").cast("double") / col("n_tokens").cast("double")),
+          6).as("epochs"))
+  }
+
   /** Repetition detection: the share of a doc's word trigrams taken by
     * its single most frequent trigram — near 1.0 for degenerate
     * loop/boilerplate docs, near 1/n for healthy prose. Uses the

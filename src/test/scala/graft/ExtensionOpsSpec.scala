@@ -120,6 +120,19 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out === Map((7L, 1L) -> 2L, (7L, 2L) -> 1L, (8L, 1L) -> 1L))
   }
 
+  test("mixture weights scale each domain's epochs to its target share") {
+    val d = docsDf(Seq(
+      (1L, "a b c d e f g h i j", "en"), // 10 tokens
+      (2L, "k l m n o p q r s t", "es"), // 10 tokens
+      (3L, ("x " * 20).trim, "de"))) // 20 tokens; total 40
+    val out = TextOps.mixtureWeights(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out("en") === ((1L, 10L, 600000L, 2.4))) // 0.60 · 40/10
+    assert(out("es") === ((1L, 10L, 250000L, 1.0))) // 0.25 · 40/10
+    assert(out("de") === ((1L, 20L, 150000L, 0.3))) // 0.15 · 40/20
+  }
+
   test("binned quantiles land within half a bin of the exact percentiles") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     // values 1.00 .. 100.00 → exact p50 = 50.5, p95 = 95.05
