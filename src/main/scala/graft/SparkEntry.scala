@@ -603,10 +603,15 @@ object SparkEntry {
     // floor ∧ predicted language — the keep/drop table a training-data
     // pipeline materializes, composed purely from the operators above
     "pipeline_curate" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
-      val canon = docs(s, d).select(
-        col("doc_id"),
-        (col("doc_id") === min(col("doc_id")).over(w)).as("is_canonical"))
+      // min-agg + join, NOT a window over partitionBy(text): the
+      // aggregate partial-combines map-side, so a duplicate-heavy key
+      // (millions of copies of one boilerplate doc at 100 TB) reaches
+      // the exchange as one row per partition — a window would sort
+      // every duplicate on a single reducer
+      val minPerText = docs(s, d).groupBy(col("text")).agg(min(col("doc_id")).as("min_id"))
+      val canon = docs(s, d)
+        .join(minPerText, Seq("text"))
+        .select(col("doc_id"), (col("doc_id") === col("min_id")).as("is_canonical"))
       val q = TextOps.quality(docs(s, d)).select(col("doc_id"), col("quality"))
       val l = TextOps.langId(docs(s, d)).select(col("doc_id"), col("pred_lang"))
       canon
