@@ -127,6 +127,14 @@ class PlanAuditSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("curate canonical selection partial-aggregates before the exchange") {
+    // min(doc_id) per text must run as a hash aggregate with a partial
+    // (map-side) phase — a window over partitionBy(text) would ship
+    // every duplicate row raw to one reducer
+    val plan = planOf(SparkEntry.queries("pipeline_curate")(spark, dir))
+    assert(plan.contains("partial_min(doc_id"), plan)
+  }
+
   test("whole-stage codegen spans the relational aggregation path") {
     // (the text operators' higher-order array expressions are interpreted
     // by Spark — no codegen exists for lambda functions — but stay
