@@ -608,9 +608,13 @@ object SparkEntry {
       // (millions of copies of one boilerplate doc at 100 TB) reaches
       // the exchange as one row per partition — a window would sort
       // every duplicate on a single reducer
-      val minPerText = docs(s, d).groupBy(col("text")).agg(min(col("doc_id")).as("min_id"))
+      val minPerText = docs(s, d)
+        .groupBy(col("text").as("t"))
+        .agg(min(col("doc_id")).as("min_id"))
+      // null-safe join key: groupBy keeps a null-text group, and a plain
+      // equi-join would silently drop those rows (the oracle keeps them)
       val canon = docs(s, d)
-        .join(minPerText, Seq("text"))
+        .join(minPerText, col("text") <=> col("t"))
         .select(col("doc_id"), (col("doc_id") === col("min_id")).as("is_canonical"))
       val q = TextOps.quality(docs(s, d)).select(col("doc_id"), col("quality"))
       val l = TextOps.langId(docs(s, d)).select(col("doc_id"), col("pred_lang"))
@@ -1354,7 +1358,8 @@ object SparkEntry {
            |                 ELSE 150000 END AS BIGINT) AS target_ppm,
            |       round((CAST(CASE WHEN lang = 'en' THEN 600000 WHEN lang = 'es' THEN 250000
            |                        ELSE 150000 END AS DOUBLE) / 1000000.0) *
-           |             (CAST(total_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS epochs
+           |             (CAST(total_tokens AS DOUBLE) /
+           |              CAST(greatest(n_tokens, 1) AS DOUBLE)), 6) AS epochs
            |FROM per CROSS JOIN t ORDER BY lang""".stripMargin,
       "pii_redact" -> {
         val email = "[a-z0-9.]+@[a-z0-9.]+"

@@ -95,8 +95,10 @@ object EventOps {
     * [[quantiles]]' exact baseline: exact per-group percentiles need a
     * full sort of every value, while this is one hash aggregate on
     * (type, bin) — map-side partial, mergeable, bounded state — plus a
-    * per-type cumulative scan over the (small) histogram. Estimate
-    * error ≤ half the 0.25 bin width.
+    * per-type cumulative scan over the (small) histogram. The estimate
+    * is within half the 0.25 bin width of the rank-ceil(q·n) order
+    * statistic; against the INTERPOLATED exact percentile the gap can
+    * reach about one bin (interpolation lands between order statistics).
     *
     * Determinism: the bin is `floor(value * 4)` — multiplication by an
     * exactly-representable constant (no 1/width division noise), the
@@ -114,15 +116,17 @@ object EventOps {
       .partitionBy(col("event_type"))
       .orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum(col("c")).over(w))
-    val totals = hist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    // the per-type total rides the SAME window stage as the cumulative
+    // sum (whole-partition frame) — no second aggregate, no join back
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
     // both quantiles in ONE pass over the cumulative histogram: the
     // smallest bin whose cumulative count reaches ceil(q·n), with the
     // rank thresholds in exact integer arithmetic (ceil(n/2) =
     // (n+1) div 2; ceil(19n/20) = (19n+19) div 20); min(when(...))
     // ignores below-rank rows (null)
     cum
-      .join(totals, Seq("event_type"))
       .groupBy(col("event_type"), col("n"))
       .agg(
         min(when(col("cum") >= expr("(n + 1) div 2"), col("bin"))).as("b50"),

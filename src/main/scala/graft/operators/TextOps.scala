@@ -350,9 +350,12 @@ object TextOps {
         col("n_docs"),
         col("n_tokens"),
         targetPpm.as("target_ppm"),
+        // greatest(…, 1): a domain of all-empty docs must not divide by
+        // zero (same guard as the per-doc ratios above)
         round(
           (targetPpm.cast("double") / 1000000.0) *
-            (col("total_tokens").cast("double") / col("n_tokens").cast("double")),
+            (col("total_tokens").cast("double") /
+              greatest(col("n_tokens"), lit(1L)).cast("double")),
           6).as("epochs"))
   }
 

@@ -131,6 +131,10 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out("en") === ((1L, 10L, 600000L, 2.4))) // 0.60 · 40/10
     assert(out("es") === ((1L, 10L, 250000L, 1.0))) // 0.25 · 40/10
     assert(out("de") === ((1L, 20L, 150000L, 0.3))) // 0.15 · 40/20
+    // a domain of all-empty docs: epochs stays finite (zero-token guard)
+    val z = TextOps.mixtureWeights(docsDf(Seq((1L, "a b", "en"), (2L, "   ", "fr"))))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(!z("fr").isNaN && !z("fr").isInfinite)
   }
 
   test("binned quantiles land within half a bin of the exact percentiles") {

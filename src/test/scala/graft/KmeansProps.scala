@@ -23,10 +23,18 @@ object KmeansProps extends Properties("kmeans") {
 
   // Components are exact multiples of 1/8 in (−1, 1): scaling by 10⁶
   // lands on exact integers, so the round-to-micro-units step has no
-  // half-way ambiguity to reimplement.
+  // half-way ambiguity to reimplement. Component 0 is kept strictly
+  // positive so no vector (and no truncating-mean centroid) is ever
+  // all-zero — a zero centroid would make the Spark-side score divide
+  // by |c| = 0 while the driver reference yields NaN.
   private val genVecs: Gen[List[Array[Float]]] = for {
     n <- Gen.choose(K, 24)
-    vecs <- Gen.listOfN(n, Gen.listOfN(Dim, Gen.choose(-7, 7).map(_ / 8.0f)).map(_.toArray))
+    vecs <- Gen.listOfN(
+      n,
+      for {
+        head <- Gen.choose(1, 7).map(_ / 8.0f)
+        tail <- Gen.listOfN(Dim - 1, Gen.choose(-7, 7).map(_ / 8.0f))
+      } yield (head :: tail).toArray)
   } yield vecs
 
   /** Driver-side reference: same init, same sequential-order dot,
