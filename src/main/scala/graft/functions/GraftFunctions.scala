@@ -20,6 +20,11 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"argument $what must be an integer literal, got $other")
   }
 
+  private def boolLit(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(s"argument $what must be a boolean literal, got $other")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (
       FunctionIdentifier("dot_product"),
@@ -37,7 +42,19 @@ object GraftFunctions {
     (
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (args: Seq[Expression]) => MinHashSig(args(0), longLit(args(1), "k").toInt)))
+      (args: Seq[Expression]) => MinHashSig(args(0), longLit(args(1), "k").toInt)),
+    (
+      FunctionIdentifier("shingle_strings"),
+      new ExpressionInfo(classOf[ShingleStrings].getName, "shingle_strings"),
+      (args: Seq[Expression]) => ShingleStrings(args(0), boolLit(args(1), "distinct"))),
+    (
+      FunctionIdentifier("shingle_h40s"),
+      new ExpressionInfo(classOf[ShingleH40s].getName, "shingle_h40s"),
+      (args: Seq[Expression]) => ShingleH40s(args(0), boolLit(args(1), "distinct"))),
+    (
+      FunctionIdentifier("token_codes"),
+      new ExpressionInfo(classOf[TokenCodes].getName, "token_codes"),
+      (args: Seq[Expression]) => TokenCodes(args(0))))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -65,7 +65,9 @@ object Dedup {
       // coalesce: a null text still gets the empty-doc signature (all
       // BigP), as the explode_outer aggregate form produced
       graft.functions.MinHashSig(
-        coalesce(Parity.tokenCodes(col("text")), array().cast("array<long>")),
+        coalesce(
+          graft.functions.TokenCodes(split(col("text"), "\\s+")),
+          array().cast("array<long>")),
         MinhashK).as("sig"))
 
   /** MinHash-LSH candidate pairs: docs sharing at least one of
@@ -173,7 +175,7 @@ object Dedup {
       col("doc_id"),
       graft.functions.SimHash40(
         coalesce(
-          transform(Parity.shingles(Parity.tokens(col("text"))), g => Parity.tokenH40(g)),
+          graft.functions.ShingleH40s(split(col("text"), "\\s+"), distinct = true),
           array().cast("array<long>")))
         .as("simhash"))
 
@@ -206,7 +208,7 @@ object Dedup {
   }
 
   private def shingles(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    Parity.shingles(Parity.tokens(text))
+    graft.functions.ShingleStrings(split(text, "\\s+"), distinct = true)
 
   /** Document-frequency cap for the inverted shingle index: shingles
     * contained in more than this many documents (within a lang block)

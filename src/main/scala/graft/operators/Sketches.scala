@@ -38,7 +38,9 @@ object Sketches {
     // ~+4.6% high (hashes never reach the top of the 40-bit space)
     val space = Parity.TokP * Parity.TokP2
     val distinctShingles = docs
-      .select(explode(Parity.shingles(Parity.tokens(col("text")))).as("g"))
+      .select(
+        explode(graft.functions.ShingleStrings(split(col("text"), "\\s+"), distinct = true))
+          .as("g"))
       .distinct()
     val hashes = distinctShingles.select(Parity.tokenH40(col("g")).as("h")).distinct()
     val mins = hashes.orderBy(col("h")).limit(k)

@@ -288,7 +288,8 @@ object TextOps {
   def decontaminate(docs: DataFrame, maxDf: Long = DecontamMaxDf): DataFrame = {
     val sh = docs.select(
       col("doc_id"),
-      explode(Parity.shingles(toks(col("text")))).as("g"))
+      explode(graft.functions.ShingleStrings(split(col("text"), "\\s+"), distinct = true))
+        .as("g"))
     val benchShingles =
       sh.filter(pmod(col("doc_id"), lit(BenchmarkMod)) === 0).select(col("g")).distinct()
     val hits = Phys.materialized(
@@ -367,7 +368,10 @@ object TextOps {
     * map-side partial — the same shuffle profile as TF-IDF.
     */
   def repetition(docs: DataFrame): DataFrame = {
-    val grams = docs.select(col("doc_id"), explode(Parity.shinglesAll(toks(col("text")))).as("g"))
+    val grams = docs.select(
+      col("doc_id"),
+      explode(graft.functions.ShingleStrings(split(col("text"), "\\s+"), distinct = false))
+        .as("g"))
     val per = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     val agg = per
       .groupBy(col("doc_id"))

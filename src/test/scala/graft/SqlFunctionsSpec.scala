@@ -34,4 +34,63 @@ class SqlFunctionsSpec extends SparkSpec {
       spark.sql("SELECT poly_hash('a', 31, doc) FROM (SELECT 5L AS doc)").collect()
     }
   }
+
+  // Edge shapes the split-array kernels must agree on: boundary empties
+  // from split, runs of mixed whitespace, short docs (0/1/2 tokens),
+  // repeated shingles (distinct vs multiset), empty and null text.
+  private val kernelEdgeTexts = Seq(
+    "a b c d e", " a  b\tc ", "a b", "one", "", "x y z x y z x y z",
+    "the the the the", null)
+
+  test("shingle/token kernels equal the interpreted Column forms") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = kernelEdgeTexts.toDF("text").unionAll(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(col("text")))
+    val arr = split(col("text"), "\\s+")
+    val legacyShingles = Parity.shingles(Parity.tokens(col("text")))
+    // null text: the kernels propagate null, the legacy shingle forms
+    // yield an empty array (the `when`'s otherwise) — every call site
+    // coalesces or explodes, where the two are equivalent; normalize the
+    // same way here
+    def norm(c: org.apache.spark.sql.Column, tpe: String) =
+      coalesce(c, array().cast(s"array<$tpe>"))
+    val got = docs
+      .select(
+        col("text"),
+        norm(graft.functions.ShingleStrings(arr, distinct = true), "string").as("ks_d"),
+        norm(graft.functions.ShingleStrings(arr, distinct = false), "string").as("ks_a"),
+        norm(graft.functions.ShingleH40s(arr, distinct = true), "long").as("kh_d"),
+        norm(graft.functions.TokenCodes(arr), "long").as("kc"),
+        norm(legacyShingles, "string").as("ls_d"),
+        norm(Parity.shinglesAll(Parity.tokens(col("text"))), "string").as("ls_a"),
+        norm(transform(legacyShingles, g => Parity.tokenH40(g)), "long").as("lh_d"),
+        norm(Parity.tokenCodes(col("text")), "long").as("lc"))
+      .collect()
+    got.foreach { r =>
+      def seq[T](i: Int): Seq[T] = Option(r.getSeq[T](i)).getOrElse(null)
+      withClue(s"text=${r.get(0)}: ") {
+        assert(seq[String](1) === seq[String](5), "distinct shingle strings")
+        assert(seq[String](2) === seq[String](6), "all shingle strings")
+        assert(seq[Long](3) === seq[Long](7), "distinct shingle h40s")
+        assert(seq[Long](4) === seq[Long](8), "token codes")
+      }
+    }
+  }
+
+  test("split-array kernels usable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val row = spark
+      .sql(
+        "SELECT shingle_strings(split('a b a b a b', '\\\\s+'), true) AS sd, " +
+          "shingle_h40s(split('x', '\\\\s+'), false) AS he, " +
+          "token_codes(split(' a  b ', '\\\\s+')) AS tc")
+      .collect()(0)
+    assert(row.getSeq[String](0) === Seq("a b a", "b a b"))
+    assert(row.getSeq[Long](1) === Seq.empty[Long])
+    assert(
+      row.getSeq[Long](2) === Seq(
+        functions.PolyHash.hash("a", 31L, Parity.TokP),
+        functions.PolyHash.hash("b", 31L, Parity.TokP)))
+  }
 }
