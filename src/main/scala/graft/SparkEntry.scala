@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Parity
 import graft.model._
-import graft.operators.{Dedup, EventOps, GraphOps, Multimodal, Similarity, SkewOps, TextOps}
+import graft.operators.{BloomJoin, Dedup, EventOps, GraphOps, Layout, Multimodal, Similarity, SkewOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -527,6 +527,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy(col("c_mktsegment"))
     }),
+    // Bloom-prefiltered exact semi-join: the fact side filters through a
+    // broadcast Bloom sketch of the selective dim keys BEFORE its
+    // exchange (might_contain pinned in PlanAuditSpec); the exact semi
+    // join removes the sketch's false positives, so the oracle is the
+    // plain semi join — the sketch changes shuffle volume, not answers
+    "bloom_semi_join" -> ((s, d) => {
+      val highValue = table(s, d, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"))
+      BloomJoin
+        .semiJoin(
+          table(s, d, "lineitem")
+            .select(col("l_orderkey").cast("long").as("l_orderkey"), col("l_returnflag"), col("l_quantity")),
+          highValue,
+          "l_orderkey",
+          "o_orderkey",
+          expectedItems = 100000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // Z-order layout: lineitem staged in a Morton-curve-clustered layout
+    // (per-file bounding boxes pinned in LayoutSpec), box-aggregated on
+    // read-back; the oracle runs the same box over the original table —
+    // layout must change scan cost, never answers
+    "zorder_box_agg" -> ((s, d) => Layout.zorderBoxAgg(s, d)),
+    // the Z-curve itself as data: bit-interleave expression vs the
+    // oracle's term-for-term arithmetic mirror
+    "zorder_curve" -> ((s, d) => Layout.zcurveHistogram(s, d).orderBy(col("z_bucket"))),
     // explicit GROUPING SETS beyond rollup/cube: both single-dimension
     // groupings computed in one pass over the fact table
     "grouping_sets_agg" -> ((s, d) =>
@@ -1299,6 +1328,19 @@ object SparkEntry {
           |       round(sum(l_quantity), 2) AS sum_qty
           |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      // the Bloom prefilter is exact-after-join: plain semi join here
+      "bloom_semi_join" ->
+        """SELECT l_returnflag, count(*) AS n,
+          |       round(sum(l_quantity), 2) AS sum_qty
+          |FROM lineitem
+          |WHERE CAST(l_orderkey AS BIGINT) IN
+          |      (SELECT CAST(o_orderkey AS BIGINT) FROM orders
+          |       WHERE CAST(o_totalprice AS DOUBLE) > 400000.0)
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      // layout-independent: the same box over the original table
+      "zorder_box_agg" -> operators.Layout.zorderBoxAggSql,
+      "zorder_curve" ->
+        (operators.Layout.zcurveHistogramSql + "\nORDER BY z_bucket"),
       "partitioned_source_agg" ->
         """SELECT lang, count(*) AS n,
           |       CAST(sum(length(text)) AS BIGINT) AS sum_chars

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+class LayoutSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Driver-side reference Morton code. */
+  private def zRef(x: Long, y: Long): Long =
+    (0 until Layout.ZBits).map { i =>
+      (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }.reduce(_ | _)
+
+  test("zvalue equals the driver-side bit-interleave reference") {
+    import spark.implicits._
+    val pts = Seq[(Long, Long)](
+      (0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L), (12345L, 54321L),
+      (1L << 15, 1L), (43210L, 1L)) ++
+      (0 until 50).map(i => ((i * 2654435761L) & 65535L, (i * 40503L) & 65535L))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zvalue(col("x"), col("y")).as("z"))
+      .collect()
+    got.foreach(r => assert(r.getLong(2) === zRef(r.getLong(0), r.getLong(1)),
+      s"zvalue(${r.getLong(0)}, ${r.getLong(1)})"))
+  }
+
+  test("z-order layout gives compact per-file bounding boxes; a plain layout doesn't") {
+    val mask = (1L << Layout.ZBits) - 1
+    val keyed = model.table(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey").bitwiseAND(lit(mask)).as("x"),
+        col("l_partkey").bitwiseAND(lit(mask)).as("y"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zorder-test").toString
+    val plainDir = java.nio.file.Files.createTempDirectory("graft-plain-test").toString
+    try {
+      Layout.zorderWrite(keyed, "x", "y", nFiles = 8, dir = zDir)
+      keyed.repartition(8).write.mode("overwrite").parquet(plainDir)
+
+      // per-file bounding-box area, summed — the quantity a min-max
+      // file-skipping scan actually depends on
+      def boxArea(d: String): Double =
+        spark.read.parquet(d)
+          .groupBy(input_file_name().as("f"))
+          .agg(((max(col("x")) - min(col("x"))).cast("double") *
+            (max(col("y")) - min(col("y"))).cast("double")).as("area"))
+          .agg(sum(col("area")))
+          .head().getDouble(0)
+
+      val (zArea, plainArea) = (boxArea(zDir), boxArea(plainDir))
+      // hash-round-robin files each span ~the full key plane; Z-ranges
+      // cover compact tiles. 4× is a loose bound (measured ~10×+).
+      assert(zArea * 4 < plainArea, s"z=$zArea plain=$plainArea")
+
+      // and the box predicate reaches the staged scan as pushed filters
+      val q = spark.read.parquet(zDir)
+        .filter(col("x").between(1000, 9000) && col("y").between(2000, 12000))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(x,1000"), plan)
+    } finally Seq(zDir, plainDir).foreach { d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    }
+  }
+
+  test("zorderBoxAgg equals the box aggregate over the original table") {
+    val got = Layout.zorderBoxAgg(spark, dir).head()
+    val mask = (1L << Layout.ZBits) - 1
+    val want = model.table(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey").bitwiseAND(lit(mask)).as("x"),
+        col("l_partkey").bitwiseAND(lit(mask)).as("y"),
+        col("l_quantity"))
+      .filter(col("x").between(1000, 9000) && col("y").between(2000, 12000))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("x")).as("sum_x"),
+        sum(col("y")).as("sum_y"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .head()
+    assert(got === want)
+    graft.sources.Staging.cleanup(spark)
+  }
+}

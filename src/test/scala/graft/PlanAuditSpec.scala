@@ -135,6 +135,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_min(doc_id"), plan)
   }
 
+  test("bloom_semi_join prefilters the fact side below its exchange") {
+    // the sketch probe must run on the fact SCAN side — before the hash
+    // exchange feeding the semi join — or it saves no shuffle volume
+    val plan = planOf(SparkEntry.queries("bloom_semi_join")(spark, dir))
+    assert(plan.contains("might_contain"), s"no Bloom probe in:\n$plan")
+    val lines = plan.split("\n")
+    val probeAt = lines.indexWhere(_.contains("might_contain"))
+    val joinAt = lines.indexWhere(_.contains("LeftSemi"))
+    assert(joinAt >= 0 && probeAt > joinAt, // deeper in the tree = printed later
+      s"Bloom probe not below the semi join:\n$plan")
+  }
+
+  test("Spark auto-injects a runtime Bloom filter when thresholds allow") {
+    // the explicit BloomJoin operator has a planner-injected sibling
+    // (InjectRuntimeFilter); this pins that the engine-level path is
+    // available and fires on the selective-dim shuffle-join shape, with
+    // thresholds scaled down to fixture size
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "32MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = model.table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val dim = model.table(spark, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0) // selective creation side
+        .select(col("o_orderkey"))
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(
+        optimized.contains("bloom_filter_agg") || optimized.contains("might_contain"),
+        s"no injected runtime filter in:\n$optimized")
+    } finally prev.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("whole-stage codegen spans the relational aggregation path") {
     // (the text operators' higher-order array expressions are interpreted
     // by Spark — no codegen exists for lambda functions — but stay
