@@ -480,6 +480,40 @@ object SparkEntry {
     // domain-mixing repeat factors: the step between curation and training
     "doc_mixture" -> ((s, d) => TextOps.mixtureWeights(docs(s, d)).orderBy(col("lang"))),
     "pii_redact" -> ((s, d) => TextOps.piiRedact(docs(s, d)).orderBy(col("doc_id"))),
+    // doc → overlapping training-window fan-out (pure narrow map)
+    "doc_chunk" -> ((s, d) =>
+      TextOps.chunk(docs(s, d)).orderBy(col("doc_id"), col("chunk_idx"))),
+    // deterministic sharded corpus shuffle (reproducible example order)
+    "doc_shuffle" -> ((s, d) =>
+      TextOps.shuffleShards(docs(s, d)).orderBy(col("shard"), col("pos"))),
+    // latest-wins MERGE of an update batch into the keyed corpus; the
+    // partial-aggregating max_by shape, not a window (see Snapshot)
+    "corpus_upsert" -> ((s, d) => {
+      val base = docs(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), lit(1L).as("version"))
+      val revised = docs(s, d)
+        .filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(
+          col("doc_id"),
+          concat(lit("UPDATED: "), coalesce(col("text"), lit(""))).as("text"),
+          col("lang"),
+          lit(2L).as("version"))
+      val fresh = docs(s, d)
+        .filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("NEW "), col("doc_id").cast("string")).as("text"),
+          lit("en").as("lang"),
+          lit(2L).as("version"))
+      operators.Snapshot
+        .upsert(base, revised.unionByName(fresh), "doc_id", "version")
+        .select(
+          col("doc_id"),
+          col("version"),
+          length(col("text")).cast("long").as("n_chars"),
+          col("lang"))
+        .orderBy(col("doc_id"))
+    }),
     "decontaminate" -> ((s, d) => TextOps.decontaminate(docs(s, d)).orderBy(col("doc_id"))),
     "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d)).orderBy(col("doc_id"))),
     "ann_recall" -> ((s, d) =>
@@ -1424,6 +1458,28 @@ object SparkEntry {
            |       ${Parity.charFoldSql("red", 31L, Parity.TokP)} AS redacted_fp
            |FROM r ORDER BY doc_id""".stripMargin
       },
+      "doc_chunk" ->
+        (TextOps.chunkSql() + "\nORDER BY doc_id, chunk_idx"),
+      "doc_shuffle" ->
+        (TextOps.shuffleShardsSql() + "\nORDER BY shard, pos"),
+      "corpus_upsert" ->
+        """WITH base AS (
+          |  SELECT doc_id, text, lang, CAST(1 AS BIGINT) AS version FROM documents),
+          |revised AS (
+          |  SELECT doc_id, 'UPDATED: ' || coalesce(text, '') AS text, lang,
+          |         CAST(2 AS BIGINT) AS version
+          |  FROM documents WHERE doc_id % 7 = 0),
+          |fresh AS (
+          |  SELECT doc_id + 1000000 AS doc_id, 'NEW ' || CAST(doc_id AS VARCHAR) AS text,
+          |         'en' AS lang, CAST(2 AS BIGINT) AS version
+          |  FROM documents WHERE doc_id % 97 = 0),
+          |merged AS (SELECT * FROM base UNION ALL SELECT * FROM revised
+          |           UNION ALL SELECT * FROM fresh),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+          |  FROM merged)
+          |SELECT doc_id, version, CAST(length(text) AS BIGINT) AS n_chars, lang
+          |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
       "decontaminate" ->
         s"""WITH sh AS (SELECT doc_id, unnest($shingleSql) AS g FROM $fromToks),
            |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % ${TextOps.BenchmarkMod} = 0),

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot maintenance: latest-wins upsert (MERGE) of an update batch
+  * into a keyed base table — the incremental-refresh step of a corpus
+  * that is re-crawled or re-scored between training runs.
+  *
+  * Physical shape at 100 TB: ONE hash aggregate on the key with a
+  * map-side partial (`max_by` folds each partition's rows to one
+  * candidate per key before the exchange), so the shuffle carries at
+  * most one row per distinct key per partition. The window-function
+  * formulation (`row_number() OVER (PARTITION BY key ORDER BY version
+  * DESC)` then `rn = 1`) computes the same answer but ships EVERY
+  * version of every key raw to its reducer and sorts it there — the
+  * same partial-vs-window trade pinned for curate in PlanAuditSpec.
+  *
+  * No reference counterpart (north-star extension per BASELINE.json).
+  */
+object Snapshot {
+
+  /** Latest-wins merge of `updates` into `base`: one row per key, the
+    * row with the highest `version` wins. Both inputs must share a
+    * schema containing `key` and `version`. Version ties are resolved
+    * arbitrarily — callers own version uniqueness per key (a real
+    * pipeline uses an ingest timestamp or monotonic batch id).
+    */
+  def upsert(base: DataFrame, updates: DataFrame, key: String, version: String): DataFrame = {
+    val all = base.unionByName(updates)
+    val payload = all.columns.filterNot(_ == key)
+    all
+      .groupBy(col(key))
+      .agg(max_by(struct(payload.map(col): _*), col(version)).as("__winner"))
+      .select(col(key) +: payload.map(c => col(s"__winner.$c").as(c)): _*)
+  }
+}

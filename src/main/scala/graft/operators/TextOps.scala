@@ -160,6 +160,82 @@ object TextOps {
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Chunk size / stride (chars) for [[chunk]]: 200-char windows every
+    * 150 chars = 50 chars of overlap, so no boundary context is lost. */
+  val ChunkSize = 200
+  val ChunkStride = 150
+
+  /** Split documents into fixed-size overlapping character windows — the
+    * doc→training-example step of an LLM data pipeline (a 100 KB document
+    * is not one training row). Chunk i covers [1 + i·stride, +size);
+    * chunks start while their offset is inside the text, so every doc
+    * (including empty) yields ≥1 chunk and the final chunk may be short.
+    *
+    * A pure narrow map: `sequence` + `explode` fan out per source row
+    * with no shuffle at all — at 100 TB this pipelines straight from
+    * scan to sink. Null text is normalized to '' (one empty chunk) so
+    * the fan-out arithmetic is engine-independent.
+    */
+  def chunk(docs: DataFrame, size: Int = ChunkSize, stride: Int = ChunkStride): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        coalesce(col("text"), lit("")).as("t"))
+      .select(
+        col("doc_id"),
+        col("t"),
+        explode(sequence(lit(0L), expr(s"greatest(length(t) - 1, 0L) div $stride"))).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        expr(s"substring(t, cast(1 + chunk_idx * $stride AS INT), $size)").as("chunk"))
+      .withColumn("chunk_chars", length(col("chunk")).cast("long"))
+
+  /** SQL mirror of [[chunk]] (DuckDB: unnest(range(..)) fans out per row). */
+  def chunkSql(size: Int = ChunkSize, stride: Int = ChunkStride): String =
+    s"""SELECT doc_id, chunk_idx,
+       |       substr(t, CAST(1 + chunk_idx * $stride AS INT), $size) AS chunk,
+       |       CAST(length(substr(t, CAST(1 + chunk_idx * $stride AS INT), $size)) AS BIGINT) AS chunk_chars
+       |FROM (SELECT doc_id, coalesce(text, '') AS t,
+       |             unnest(range(0, greatest(length(coalesce(text, '')) - 1, 0) // $stride + 1)) AS chunk_idx
+       |      FROM documents)""".stripMargin
+
+  /** Shards for [[shuffleShards]]. */
+  val NShards = 8L
+
+  /** Deterministic corpus shuffle, sharded: every doc gets a pseudo-random
+    * but REPRODUCIBLE (shard, pos) — shard by a multiplicative hash of the
+    * doc id, position by the hash order within the shard. This is how a
+    * training pipeline randomizes example order at 100 TB: a global
+    * row_number would funnel the corpus through one partition, while
+    * per-shard windows run fully parallel (one hash exchange on shard),
+    * and readers consume shards independently.
+    */
+  def shuffleShards(docs: DataFrame, seed: Long = 1L, nShards: Long = NShards): DataFrame = {
+    // multiplicative hashing in exact BIGINT arithmetic (M < 2^31, ids
+    // ≪ 2^32 ⇒ no overflow), mirrored literally in the oracle
+    val k = pmod(col("doc_id") * lit(2654435761L) + lit(seed), lit(1000000007L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("k"), col("doc_id"))
+    docs
+      .select(col("doc_id"), k.as("k"))
+      .withColumn("shard", pmod(col("k"), lit(nShards)))
+      .select(
+        col("doc_id"),
+        col("shard"),
+        row_number().over(w).cast("long").as("pos"))
+  }
+
+  /** SQL mirror of [[shuffleShards]]. */
+  def shuffleShardsSql(seed: Long = 1L, nShards: Long = NShards): String =
+    s"""SELECT doc_id, shard,
+       |       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+       |FROM (SELECT doc_id,
+       |             (doc_id * 2654435761 + $seed) % 1000000007 AS k,
+       |             ((doc_id * 2654435761 + $seed) % 1000000007) % $nShards AS shard
+       |      FROM documents)""".stripMargin
+
   /** Document fingerprinting: two independent rolling polynomial hashes of
     * the full text plus their 40-bit concatenation — the content-addressed
     * identity used by exact dedup at scale.

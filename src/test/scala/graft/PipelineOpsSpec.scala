@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Snapshot, TextOps}
+
+class PipelineOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("chunk windows reconstruct the original text") {
+    // stride-prefixes of all chunks but the last, plus the whole last
+    // chunk, concatenate back to the source text — no char lost or
+    // duplicated beyond the declared overlap
+    val docs = model.table(spark, dir, "documents").limit(50)
+    val rebuilt = TextOps
+      .chunk(docs)
+      .withColumn(
+        "piece",
+        expr(s"substring(chunk, 1, ${TextOps.ChunkStride})"))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(
+          "",
+          slice(
+            sort_array(collect_list(struct(col("chunk_idx"), col("piece")))).getField("piece"),
+            1,
+            1000000)).as("head"),
+        max_by(col("chunk"), col("chunk_idx")).as("last"),
+        max(col("chunk_idx")).as("last_idx"))
+      .withColumn(
+        "rebuilt",
+        concat(
+          expr(s"substring(head, 1, cast(last_idx * ${TextOps.ChunkStride} as int))"),
+          col("last")))
+    val bad = rebuilt
+      .join(docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text")), Seq("doc_id"))
+      .filter(col("rebuilt") =!= col("text"))
+    assert(bad.count() === 0)
+  }
+
+  test("chunk edge shapes: empty, short, exact-boundary texts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""),
+      (2L, "x" * 149),
+      (3L, "y" * 150), // len-1 = 149 < 150 ⇒ still one chunk
+      (4L, "z" * 151), // crosses the stride ⇒ two chunks
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps
+      .chunk(docs)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(col("chunk_chars")).as("chars"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(1L) === ((1L, 0L)))
+    assert(got(2L) === ((1L, 149L)))
+    assert(got(3L) === ((1L, 150L)))
+    // chunk0 = chars 1..151 (size cap 200 ⇒ all 151), chunk1 = char 151 (1-char tail)
+    assert(got(4L) === ((2L, 152L)))
+    assert(got(5L) === ((1L, 0L)))
+  }
+
+  test("shuffleShards emits a dense permutation per shard, stable across runs") {
+    val docs = model.table(spark, dir, "documents")
+    val a = TextOps.shuffleShards(docs)
+    // dense: per shard, positions are exactly 1..n
+    val holes = a
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"), min(col("pos")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+    assert(holes.count() === 0)
+    // a doc's (shard, pos) is a pure function of its id: recompute equal
+    val b = TextOps.shuffleShards(docs)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // different seed ⇒ different permutation (not a constant mapping)
+    val c = TextOps.shuffleShards(docs, seed = 42L)
+    assert(a.exceptAll(c).count() > 0)
+  }
+
+  test("upsert: updates win, inserts appear, untouched rows survive") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "one", 1L),
+      (2L, "two", 1L),
+      (3L, "three", 1L)).toDF("k", "v", "version")
+    val updates = Seq(
+      (2L, "TWO", 2L), // revision
+      (9L, "nine", 2L)) // insert
+      .toDF("k", "v", "version")
+    val got = Snapshot
+      .upsert(base, updates, "k", "version")
+      .orderBy(col("k"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got === Array((1L, "one", 1L), (2L, "TWO", 2L), (3L, "three", 1L), (9L, "nine", 2L)))
+  }
+
+  test("upsert plans as a partial-aggregating max_by, not a window sort") {
+    val docs = model.table(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), col("text"), lit(1L).as("version"))
+    val upd = docs.limit(10).select(col("doc_id"), col("text"), lit(2L).as("version"))
+    val df = Snapshot.upsert(base, upd, "doc_id", "version")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by"), s"no map-side partial in:\n$plan")
+    assert(!plan.contains("Window"), s"window formulation leaked in:\n$plan")
+  }
+}
