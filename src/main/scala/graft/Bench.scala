@@ -42,8 +42,13 @@ object Bench {
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = r3(results.collect { case (_, v, true) => v }.sum)
+    // ambient host load (1-min avg): this box is shared, and load ≳ 5
+    // inflates every wall time 2×+ uniformly (measured 311 s vs 124 s
+    // for the identical build) — recorded so a regressed-looking total
+    // can be told apart from a contended run
+    val load = r3(java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errors,"queries":$qs}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","load_avg":$load,"errors":$errors,"queries":$qs}""")
     spark.stop()
   }
 }

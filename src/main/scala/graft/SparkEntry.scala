@@ -47,7 +47,13 @@ import graft.operators.{BloomJoin, Dedup, EventOps, GraphOps, Layout, Multimodal
   * Round 5: kmeans_centroids + ann_ivf_trained (integer fixed-point
   * Lloyd training), sketch_kmv_shingles (deterministic KMV cardinality
   * sketch), sssp_{layered_src5,sink_source,text_roundtrip} (C3 source
-  * parameter, empty first frontier, reference text formats end-to-end).
+  * parameter, empty first frontier, reference text formats end-to-end);
+  * bloom_semi_join (sketch-prefiltered exact semi join), zorder_{box_agg,
+  * curve} (Morton-clustered layout for min-max scan pruning),
+  * corpus_upsert (latest-wins MERGE), doc_chunk (training-window
+  * fan-out), doc_shuffle (sharded deterministic example order),
+  * bpe_{pair_counts,merges} (BPE tokenizer training over the word
+  * histogram; the merge-loop oracle is the identical loop unrolled).
   */
 object SparkEntry {
 
@@ -486,6 +492,15 @@ object SparkEntry {
     // deterministic sharded corpus shuffle (reproducible example order)
     "doc_shuffle" -> ((s, d) =>
       TextOps.shuffleShards(docs(s, d)).orderBy(col("shard"), col("pos"))),
+    // BPE tokenizer training over the word histogram: the iteration-1
+    // pair histogram (exact), and the real 4-round merge loop (the
+    // oracle unrolls the identical loop in SQL — see Tokenization)
+    "bpe_pair_counts" -> ((s, d) =>
+      operators.Tokenization
+        .pairCounts(operators.Tokenization.initialStates(docs(s, d)))
+        .orderBy(col("left"), col("right"))),
+    "bpe_merges" -> ((s, d) =>
+      operators.Tokenization.bpeTrain(s, docs(s, d), nMerges = 4)),
     // latest-wins MERGE of an update batch into the keyed corpus; the
     // partial-aggregating max_by shape, not a window (see Snapshot)
     "corpus_upsert" -> ((s, d) => {
@@ -1458,6 +1473,8 @@ object SparkEntry {
            |       ${Parity.charFoldSql("red", 31L, Parity.TokP)} AS redacted_fp
            |FROM r ORDER BY doc_id""".stripMargin
       },
+      "bpe_pair_counts" -> operators.Tokenization.pairCountsOracleSql,
+      "bpe_merges" -> operators.Tokenization.bpeMergesSql(4),
       "doc_chunk" ->
         (TextOps.chunkSql() + "\nORDER BY doc_id, chunk_idx"),
       "doc_shuffle" ->

@@ -80,6 +80,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.exceptAll(c).count() > 0)
   }
 
+  test("bpeTrain: greedy merges on a hand-computed corpus, early exhaustion") {
+    import graft.operators.Tokenization
+    import spark.implicits._
+    // corpus: "aaab" ×2, "ab" ×1
+    //   round 1: pairs (a,a)=4 [two positions per aaab], (a,b)=3 → merge (a,a)
+    //            greedy: a|a|a|b → aa|a|b (NOT aa|aa?b — non-overlapping)
+    //   round 2: (aa,a)=2, (a,b)=3 → merge (a,b) → aa|ab, ab
+    //   round 3: (aa,ab)=2 → merge
+    //   round 4: no pairs left → train stops early
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val got = Tokenization.bpeTrain(spark, docs, nMerges = 4)
+      .orderBy(col("merge_round"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got === Array(
+      (1L, "a", "a", 4L),
+      (2L, "a", "b", 3L),
+      (3L, "aa", "ab", 2L)))
+  }
+
   test("upsert: updates win, inserts appear, untouched rows survive") {
     import spark.implicits._
     val base = Seq(

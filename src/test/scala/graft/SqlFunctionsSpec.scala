@@ -78,6 +78,41 @@ class SqlFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("spark.sql.extensions=GraftExtensions registers every function at session build") {
+    // a REAL extensions-configured session (new session over the shared
+    // context — extensions only apply at builder time), not register()
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // spark.sql.extensions is a STATIC conf: the builder reads it from the
+    // SparkContext conf when instantiating the session, so set it on the
+    // live conf object (SparkEnv.get.conf IS the context's conf; a real
+    // deployment sets it on spark-submit — tests share one context)
+    org.apache.spark.SparkEnv.get.conf.set("spark.sql.extensions", "graft.functions.GraftExtensions")
+    try {
+      val s = SparkSession.builder().getOrCreate()
+      assert(s ne prev) // must be a fresh session, or extensions were skipped
+      val row = s.sql(
+        "SELECT poly_hash('spark', 31, 1048573) AS ph, " +
+          "dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp, " +
+          "simhash40(array(1L)) AS sh, " +
+          "minhash_sig(array(1L, 2L), 4) AS ms, " +
+          "shingle_strings(split('a b c d', '\\\\s+'), true) AS ss, " +
+          "shingle_h40s(split('a b c', '\\\\s+'), false) AS hh, " +
+          "token_codes(split('a', '\\\\s+')) AS tc").collect()(0)
+      assert(row.getLong(0) === functions.PolyHash.hash("spark", 31L, 1048573L))
+      assert(row.getDouble(1) === 11.0)
+      assert(row.getSeq[String](4) === Seq("a b c", "b c d"))
+    } finally {
+      org.apache.spark.SparkEnv.get.conf.remove("spark.sql.extensions")
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("split-array kernels usable from SQL after registration") {
     GraftFunctions.register(spark)
     val row = spark
