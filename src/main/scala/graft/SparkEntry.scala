@@ -516,7 +516,9 @@ object SparkEntry {
       val fresh = docs(s, d)
         .filter(pmod(col("doc_id"), lit(97)) === 0)
         .select(
-          (col("doc_id") + 1000000L).as("doc_id"),
+          // negated ids can never collide with the non-negative corpus
+          // ids at ANY scale (a fixed +offset would, past `offset` docs)
+          (-col("doc_id") - 1L).as("doc_id"),
           concat(lit("NEW "), col("doc_id").cast("string")).as("text"),
           lit("en").as("lang"),
           lit(2L).as("version"))
@@ -1487,7 +1489,7 @@ object SparkEntry {
           |         CAST(2 AS BIGINT) AS version
           |  FROM documents WHERE doc_id % 7 = 0),
           |fresh AS (
-          |  SELECT doc_id + 1000000 AS doc_id, 'NEW ' || CAST(doc_id AS VARCHAR) AS text,
+          |  SELECT -doc_id - 1 AS doc_id, 'NEW ' || CAST(doc_id AS VARCHAR) AS text,
           |         'en' AS lang, CAST(2 AS BIGINT) AS version
           |  FROM documents WHERE doc_id % 97 = 0),
           |merged AS (SELECT * FROM base UNION ALL SELECT * FROM revised

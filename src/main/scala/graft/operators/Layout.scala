@@ -99,8 +99,8 @@ object Layout {
   /** SQL mirror of [[zorderBoxAgg]]'s result (layout-independent). */
   val zorderBoxAggSql: String =
     """SELECT count(*) AS n_rows,
-      |       sum(x) AS sum_x,
-      |       sum(y) AS sum_y,
+      |       CAST(sum(x) AS BIGINT) AS sum_x,
+      |       CAST(sum(y) AS BIGINT) AS sum_y,
       |       round(sum(l_quantity), 2) AS sum_qty
       |FROM (SELECT l_orderkey & 65535 AS x, l_partkey & 65535 AS y, l_quantity
       |      FROM lineitem)

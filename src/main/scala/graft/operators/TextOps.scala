@@ -212,9 +212,13 @@ object TextOps {
     * and readers consume shards independently.
     */
   def shuffleShards(docs: DataFrame, seed: Long = 1L, nShards: Long = NShards): DataFrame = {
-    // multiplicative hashing in exact BIGINT arithmetic (M < 2^31, ids
-    // ≪ 2^32 ⇒ no overflow), mirrored literally in the oracle
-    val k = pmod(col("doc_id") * lit(2654435761L) + lit(seed), lit(1000000007L))
+    // multiplicative hashing in exact BIGINT arithmetic: the id is
+    // folded below 2^31 FIRST so (2^31)·2654435761 ≈ 5.7e18 stays under
+    // Long.Max — an unfolded id above ~3.5e9 would overflow, silently in
+    // Spark and as an error in the oracle engine. Mirrored literally.
+    val k = pmod(
+      pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L) + lit(seed),
+      lit(1000000007L))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))
       .orderBy(col("k"), col("doc_id"))
@@ -232,8 +236,8 @@ object TextOps {
     s"""SELECT doc_id, shard,
        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
        |FROM (SELECT doc_id,
-       |             (doc_id * 2654435761 + $seed) % 1000000007 AS k,
-       |             ((doc_id * 2654435761 + $seed) % 1000000007) % $nShards AS shard
+       |             ((doc_id % 2147483648) * 2654435761 + $seed) % 1000000007 AS k,
+       |             (((doc_id % 2147483648) * 2654435761 + $seed) % 1000000007) % $nShards AS shard
        |      FROM documents)""".stripMargin
 
   /** Document fingerprinting: two independent rolling polynomial hashes of

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Parity
+
 /** Tokenizer training: byte-pair-encoding merge induction over the
   * corpus — the step that turns "count tokens" into "own the tokenizer".
   *
@@ -13,49 +15,63 @@ import org.apache.spark.sql.functions._
   * histogram plus a narrow map applying the merge; at 100 TB the corpus
   * is read exactly once.
   *
-  * State encoding: a word's current symbol sequence is its characters
-  * joined by a control separator ([[Sep]], U+0001 — guarded against in
-  * the input). A merge of pair (l, r) is then `replace(state, l⊕SEP⊕r,
-  * l⊕r)` — and string `replace` is left-to-right non-overlapping in
-  * both Spark and ANSI SQL, which is EXACTLY greedy BPE merge semantics
-  * ("aaa" under (a,a) → ["aa","a"]). That makes the whole iterative
-  * train SQL-expressible, so the DuckDB oracle can verify the real
-  * loop, unrolled ([[bpeMergesSql]]), not a proxy.
+  * State encoding: a word's current symbol sequence is its symbols each
+  * individually WRAPPED in control delimiters — `␁sym␂` ([[SepL]],
+  * [[SepR]]) — and concatenated. A merge of pair (l, r) is then
+  * `replace(state, ␁l␂␁r␂, ␁lr␂)`, and string `replace` is
+  * leftmost-first non-overlapping in both Spark and ANSI SQL, which is
+  * exactly greedy BPE because under this encoding:
+  *   - a pattern can only match WHOLE symbols (`␁a␂` never matches
+  *     inside `␁aa␂` — the delimiter terminates the symbol), and
+  *   - adjacent matches share no characters (each symbol's wrapper is
+  *     wholly inside one match), so "aaaa" under (a,a) → [aa, aa] and
+  *     "aaa" → [aa, a], the greedy results.
+  * A single-separator encoding (`a␁a␁a`) fails BOTH properties: the
+  * match consumes the shared boundary separator and can bind a proper
+  * prefix/suffix of a multi-char neighbor.
+  *
+  * That makes the whole iterative train SQL-expressible, so the DuckDB
+  * oracle verifies the real loop, unrolled ([[bpeMergesSql]]), not a
+  * proxy.
   *
   * No reference counterpart (north-star extension per BASELINE.json).
   */
 object Tokenization {
 
-  /** Symbol separator inside a word state. U+0001 never appears in the
-    * corpus (and [[wordHistogram]] drops any word containing it, mirrored
-    * in the oracle, so a hostile input degrades coverage, not
-    * correctness).
+  /** Symbol delimiters. U+0001/U+0002 never appear in the corpus (and
+    * [[wordHistogram]] drops any word containing them, mirrored in the
+    * oracle, so a hostile input degrades coverage, not correctness).
     */
-  val Sep = "\u0001"
+  val SepL = "\u0001"
+  val SepR = "\u0002"
 
   /** Whitespace-token histogram: (word, freq), one shuffle on the word.
     * The BPE training set.
     */
   def wordHistogram(docs: DataFrame): DataFrame =
     docs
-      .select(explode(filter(split(col("text"), "\\s+"), t => length(t) > 0)).as("w"))
-      .filter(!col("w").contains(Sep))
+      .select(explode(Parity.tokens(col("text"))).as("w"))
+      .filter(!col("w").contains(SepL) && !col("w").contains(SepR))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("freq"))
 
-  /** Initial BPE state: each distinct word as its character sequence
-    * joined by [[Sep]], with its corpus frequency.
+  /** Initial BPE state: each distinct word as its wrapped character
+    * sequence (`␁c␂` per char), with its corpus frequency.
     */
   def initialStates(docs: DataFrame): DataFrame =
     wordHistogram(docs).select(
-      // insert the separator between characters. NOT split(w, ""): Spark's
-      // split keeps a trailing empty element (Pattern.split limit -1),
-      // which would leave a dangling separator. The interpreted lambda is
-      // fine here — it runs over the small histogram, not the corpus.
       array_join(
-        transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1))),
-        Sep).as("state"),
+        transform(
+          sequence(lit(1), length(col("w"))),
+          i => concat(lit(SepL), col("w").substr(i, lit(1)), lit(SepR))),
+        "").as("state"),
       col("freq"))
+
+  /** The symbol array of a state: strip the outermost delimiters, split
+    * on the `␂␁` junctions.
+    */
+  private def symbols(state: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    split(state.substr(lit(2), length(state) - 2), SepR + SepL)
 
   /** Adjacent-symbol pair histogram of a state table: (left, right,
     * pair_count), weighted by word frequency. One explode + one hash
@@ -63,7 +79,7 @@ object Tokenization {
     */
   def pairCounts(states: DataFrame): DataFrame =
     states
-      .select(col("freq"), split(col("state"), Sep).as("syms"))
+      .select(col("freq"), symbols(col("state")).as("syms"))
       .filter(size(col("syms")) >= 2) // sequence(1, 0) would run DESCENDING
       .select(
         col("freq"),
@@ -101,7 +117,10 @@ object Tokenization {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         states = Phys.materialized(
           states.select(
-            replace(col("state"), lit(l + Sep + r), lit(l + r)).as("state"),
+            replace(
+              col("state"),
+              lit(SepL + l + SepR + SepL + r + SepR),
+              lit(SepL + l + r + SepR)).as("state"),
             col("freq")))
         merges += ((merges.length + 1L, l, r, n))
       }
@@ -111,19 +130,16 @@ object Tokenization {
 
   // ---- DuckDB mirrors ------------------------------------------------
 
-  private def tokensSql(text: String): String =
-    s"list_filter(regexp_split_to_array($text, '\\s+'), t -> len(t) > 0)"
-
   /** WITH-clause body producing the initial (state, freq) table. */
   val initialStatesSql: String =
     s"""hist AS (
        |  SELECT w, count(*) AS freq
-       |  FROM (SELECT unnest(${tokensSql("text")}) AS w FROM documents)
-       |  WHERE NOT contains(w, chr(1)) GROUP BY w),
+       |  FROM (SELECT unnest(${Parity.tokensSql("text")}) AS w FROM documents)
+       |  WHERE NOT contains(w, chr(1)) AND NOT contains(w, chr(2)) GROUP BY w),
        |s0 AS (
        |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
-       |                                        i -> substr(w, CAST(i AS INT), 1)),
-       |                         chr(1)) AS state,
+       |                                        i -> chr(1) || substr(w, CAST(i AS INT), 1) || chr(2)),
+       |                         '') AS state,
        |         freq
        |  FROM hist)""".stripMargin
 
@@ -131,9 +147,11 @@ object Tokenization {
   private def pairCountsSql(s: String): String =
     s"""SELECT syms[CAST(i AS INT)] AS "left", syms[CAST(i + 1 AS INT)] AS "right",
        |       CAST(sum(freq) AS BIGINT) AS pair_count
-       |FROM (SELECT string_split(state, chr(1)) AS syms, freq,
-       |             unnest(range(1, len(string_split(state, chr(1))))) AS i
-       |      FROM $s)
+       |FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i
+       |      FROM (SELECT string_split(substr(state, 2, length(state) - 2),
+       |                                chr(2) || chr(1)) AS syms,
+       |                   freq
+       |            FROM $s))
        |GROUP BY 1, 2""".stripMargin
 
   /** The full iteration-1 pair histogram (exact oracle for
@@ -154,12 +172,14 @@ object Tokenization {
          |  ${pairCountsSql(s"s${k - 1}").replace("\n", "\n  ")}
          |  ORDER BY pair_count DESC, "left", "right" LIMIT 1),
          |s$k AS (
-         |  SELECT replace(state, t$k."left" || chr(1) || t$k."right",
-         |                 t$k."left" || t$k."right") AS state, freq
+         |  SELECT replace(state,
+         |                 chr(1) || t$k."left" || chr(2) || chr(1) || t$k."right" || chr(2),
+         |                 chr(1) || t$k."left" || t$k."right" || chr(2)) AS state, freq
          |  FROM s${k - 1} CROSS JOIN t$k)""".stripMargin
     }
     val out = (1 to nMerges)
-      .map(k => s"""SELECT CAST($k AS BIGINT) AS merge_round, "left", "right", pair_count FROM t$k""")
+      .map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS merge_round, "left", "right", pair_count FROM t$k""")
       .mkString("\nUNION ALL\n")
     s"""WITH $initialStatesSql,
        |${rounds.mkString(",\n")}

@@ -235,8 +235,8 @@ object StreamOps {
           .option("checkpointLocation", ckpt.toString)
           .queryName(name)
           .start()
-        q.processAllAvailable()
-        q.stop()
+        try q.processAllAvailable()
+        finally q.stop()
       } finally deleteRecursively(ckpt)
     }
 
@@ -387,8 +387,10 @@ object StreamOps {
         .option("checkpointLocation", ckpt.toString)
         .queryName(name)
         .start()
-      q.processAllAvailable()
-      q.stop()
+      // stop in finally: a failure mid-batch must not leak a running
+      // query whose checkpoint the outer finally is about to delete
+      try q.processAllAvailable()
+      finally q.stop()
     } finally deleteRecursively(ckpt)
     spark.table(name)
   }

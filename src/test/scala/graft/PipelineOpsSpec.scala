@@ -100,6 +100,26 @@ class PipelineOpsSpec extends SparkSpec {
       (3L, "aa", "ab", 2L)))
   }
 
+  test("bpeTrain merges whole symbols only — no cross-boundary prefix binding") {
+    import graft.operators.Tokenization
+    import spark.implicits._
+    // corpus: aa×5, ba×4, baa×1
+    //   round 1: (a,a) = 5 + 1 = 6  →  baa becomes [b, aa]
+    //   round 2: (b,a) = 4 (ba only!) — a naive single-separator encoding
+    //            would let 'b␁a' bind the 'b␁a…' PREFIX of [b, aa] and
+    //            corrupt it to one symbol [baa]
+    //   round 3: (b,aa) = 1 — only exists if round 2 left [b, aa] intact
+    val docs = Seq("aa aa aa aa aa ba ba ba ba baa").toDF("text")
+    val got = Tokenization.bpeTrain(spark, docs, nMerges = 3)
+      .orderBy(col("merge_round"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got === Array(
+      (1L, "a", "a", 6L),
+      (2L, "b", "a", 4L),
+      (3L, "b", "aa", 1L)))
+  }
+
   test("upsert: updates win, inserts appear, untouched rows survive") {
     import spark.implicits._
     val base = Seq(
