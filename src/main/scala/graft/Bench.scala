@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,13 +45,15 @@ object Bench {
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = r3(results.collect { case (_, v, true) => v }.sum)
-    // ambient host load (1-min avg): this box is shared, and load ≳ 5
-    // inflates every wall time 2×+ uniformly (measured 311 s vs 124 s
-    // for the identical build) — recorded so a regressed-looking total
-    // can be told apart from a contended run
-    val load = r3(java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage)
+    // ambient host load (1-min avg) at start AND end: this box is
+    // shared, and load ≳ 5 from OTHER tenants inflates every wall time
+    // 2×+ uniformly (measured 311 s vs 124 s for the identical build) —
+    // recorded so a regressed-looking total can be told apart from a
+    // contended run. The end sample includes this bench's own threads;
+    // the start sample is the ambient baseline.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","load_avg":$load,"errors":$errors,"queries":$qs}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","load_start":${r3(
+          loadStart)},"load_end":${r3(loadAvg)},"errors":$errors,"queries":$qs}""")
     spark.stop()
   }
 }

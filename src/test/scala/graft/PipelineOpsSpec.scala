@@ -120,6 +120,24 @@ class PipelineOpsSpec extends SparkSpec {
       (3L, "b", "aa", 1L)))
   }
 
+  test("BloomJoin.semiJoin equals the plain semi join (false positives removed)") {
+    import graft.operators.BloomJoin
+    val fact = model.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").cast("long").as("k"), col("l_quantity"))
+    val dim = model.table(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000.0)
+      .select(col("o_orderkey").cast("long").as("dk"))
+    // a tiny sketch (64 expected items for ~hundreds of real keys) forces
+    // a HIGH false-positive rate, so this only passes if the exact join
+    // really removes them
+    val got = BloomJoin.semiJoin(fact, dim, "k", "dk", expectedItems = 64L)
+    val want = fact.join(dim, fact("k") === dim("dk"), "left_semi")
+    assert(got.count() === want.count() && got.exceptAll(want).isEmpty)
+    // and the no-false-negative direction: nothing the plain join keeps
+    // is lost to the prefilter
+    assert(want.exceptAll(got).isEmpty)
+  }
+
   test("upsert: updates win, inserts appear, untouched rows survive") {
     import spark.implicits._
     val base = Seq(
