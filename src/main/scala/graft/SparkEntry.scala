@@ -53,7 +53,8 @@ import graft.operators.{BloomJoin, Dedup, EventOps, GraphOps, Layout, Multimodal
   * corpus_upsert (latest-wins MERGE), doc_chunk (training-window
   * fan-out), doc_shuffle (sharded deterministic example order),
   * bpe_{pair_counts,merges} (BPE tokenizer training over the word
-  * histogram; the merge-loop oracle is the identical loop unrolled).
+  * histogram; the merge-loop oracle is the identical loop unrolled),
+  * source_stats (per-source volume/dup-rate/token-budget rollup).
   */
 object SparkEntry {
 
@@ -492,6 +493,29 @@ object SparkEntry {
     // deterministic sharded corpus shuffle (reproducible example order)
     "doc_shuffle" -> ((s, d) =>
       TextOps.shuffleShards(docs(s, d)).orderBy(col("shard"), col("pos"))),
+    // per-source curation report: volume, exact-dup rate, token budget —
+    // the rollup a corpus owner reads per crawl/domain. One hash
+    // aggregate (count distinct two-phases on the source key); ratios
+    // are single long/long divisions, deterministic across engines
+    "source_stats" -> ((s, d) =>
+      docs(s, d)
+        .select(
+          col("source"),
+          col("text"),
+          size(Parity.tokens(col("text"))).cast("long").as("n_toks"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct"),
+          sum(col("n_toks")).as("sum_tokens"))
+        .select(
+          col("source"),
+          col("n_docs"),
+          col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6).as("dup_rate"),
+          col("sum_tokens"),
+          round(col("sum_tokens").cast("double") / col("n_docs"), 6).as("mean_tokens"))
+        .orderBy(col("source"))),
     // BPE tokenizer training over the word histogram: the iteration-1
     // pair histogram (exact), and the real 4-round merge loop (the
     // oracle unrolls the identical loop in SQL — see Tokenization)
@@ -1475,6 +1499,14 @@ object SparkEntry {
            |       ${Parity.charFoldSql("red", 31L, Parity.TokP)} AS redacted_fp
            |FROM r ORDER BY doc_id""".stripMargin
       },
+      "source_stats" ->
+        s"""SELECT source,
+           |       count(*) AS n_docs,
+           |       count(DISTINCT text) AS n_distinct,
+           |       round(1.0 - CAST(count(DISTINCT text) AS DOUBLE) / count(*), 6) AS dup_rate,
+           |       CAST(sum(CAST(len($toks) AS BIGINT)) AS BIGINT) AS sum_tokens,
+           |       round(CAST(sum(CAST(len($toks) AS BIGINT)) AS DOUBLE) / count(*), 6) AS mean_tokens
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
       "bpe_pair_counts" -> operators.Tokenization.pairCountsOracleSql,
       "bpe_merges" -> operators.Tokenization.bpeMergesSql(4),
       "doc_chunk" ->
