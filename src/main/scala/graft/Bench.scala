@@ -51,16 +51,17 @@ object Bench {
     // recorded so a regressed-looking total can be told apart from a
     // contended run. The end sample includes this bench's own threads;
     // the start sample is the ambient baseline.
+    val loadEnd = r3(loadAvg) // sampled once — both lines must agree
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","load_start":${r3(
-          loadStart)},"load_end":${r3(loadAvg)},"errors":$errors,"queries":$qs}""")
+          loadStart)},"load_end":$loadEnd,"errors":$errors,"queries":$qs}""")
     // the harness tail-captures ~2 KB of output and the full per-query
     // line now exceeds that (r3/r4 records were truncated mid-JSON) — a
     // final compact line without the per-query map always survives a
     // tail capture intact; the full line above remains the contract
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","load_start":${r3(
-          loadStart)},"load_end":${r3(loadAvg)},"errors":$errors,"n_queries":${results.size}}""")
+          loadStart)},"load_end":$loadEnd,"errors":$errors,"n_queries":${results.size}}""")
     spark.stop()
   }
 }

@@ -215,7 +215,13 @@ object TextOps {
     // multiplicative hashing in exact BIGINT arithmetic: the id is
     // folded below 2^31 FIRST so (2^31)·2654435761 ≈ 5.7e18 stays under
     // Long.Max — an unfolded id above ~3.5e9 would overflow, silently in
-    // Spark and as an error in the oracle engine. Mirrored literally.
+    // Spark and as an error in the oracle engine. The inner fold is
+    // pmod, and the oracle spells it ((id % m + m) % m) because SQL `%`
+    // keeps the dividend's sign — negative ids (a legitimate convention,
+    // see corpus_upsert's fresh rows) must land in the same shard in
+    // both engines. After the fold every operand is non-negative (seed
+    // must be ≥ 0), so the outer `%`s agree without the same treatment.
+    require(seed >= 0, s"seed must be non-negative, got $seed")
     val k = pmod(
       pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L) + lit(seed),
       lit(1000000007L))
@@ -236,8 +242,10 @@ object TextOps {
     s"""SELECT doc_id, shard,
        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
        |FROM (SELECT doc_id,
-       |             ((doc_id % 2147483648) * 2654435761 + $seed) % 1000000007 AS k,
-       |             (((doc_id % 2147483648) * 2654435761 + $seed) % 1000000007) % $nShards AS shard
+       |             ((doc_id % 2147483648 + 2147483648) % 2147483648 * 2654435761 + $seed)
+       |               % 1000000007 AS k,
+       |             (((doc_id % 2147483648 + 2147483648) % 2147483648 * 2654435761 + $seed)
+       |               % 1000000007) % $nShards AS shard
        |      FROM documents)""".stripMargin
 
   /** Document fingerprinting: two independent rolling polynomial hashes of

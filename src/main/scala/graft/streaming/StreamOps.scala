@@ -236,7 +236,7 @@ object StreamOps {
           .queryName(name)
           .start()
         try q.processAllAvailable()
-        finally q.stop()
+        finally stopQuietly(q)
       } finally deleteRecursively(ckpt)
     }
 
@@ -360,6 +360,17 @@ object StreamOps {
     java.nio.file.Files.createTempDirectory(root, "graft-stream-ckpt-")
   }
 
+  /** Stop a query without letting the stop itself mask the original
+    * failure: `stop()` can throw (stopTimeout), and an exception from a
+    * `finally` would replace the real mid-batch error.
+    */
+  private def stopQuietly(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try q.stop()
+    catch {
+      case e: Exception =>
+        System.err.println(s"[StreamOps] stop() failed for ${q.name}: $e")
+    }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
@@ -390,7 +401,7 @@ object StreamOps {
       // stop in finally: a failure mid-batch must not leak a running
       // query whose checkpoint the outer finally is about to delete
       try q.processAllAvailable()
-      finally q.stop()
+      finally stopQuietly(q)
     } finally deleteRecursively(ckpt)
     spark.table(name)
   }
