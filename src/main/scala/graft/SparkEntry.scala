@@ -43,7 +43,7 @@ import graft.operators.{BloomJoin, Dedup, EventOps, GraphOps, Layout, Multimodal
   * sliding,sessionize,json_agg,quantiles,asof}, multimodal_{features,
   * decode}, {csv,json}_source_agg; the streaming engine itself is
   * driver-checked via events_stream_{tumbling,sliding,sessionize,dedup,
-  * dedup_ww,join} (graft.streaming.StreamOps).
+  * dedup_ww,join,enrich} (graft.streaming.StreamOps).
   * Round 5: kmeans_centroids + ann_ivf_trained (integer fixed-point
   * Lloyd training), sketch_kmv_shingles (deterministic KMV cardinality
   * sketch), sssp_{layered_src5,sink_source,text_roundtrip} (C3 source
@@ -575,6 +575,11 @@ object SparkEntry {
     // sides); oracle = the same interval join over the static table
     "events_stream_join" -> ((s, d) =>
       streaming.StreamOps.intervalJoinOverParquet(s, d).orderBy(col("p_id"), col("c_id"))),
+    // stream-static enrichment join (broadcast dimension probed per
+    // micro-batch, zero stream-side state) + windowed agg per segment
+    "events_stream_enrich" -> ((s, d) =>
+      streaming.StreamOps.enrichedTumblingOverParquet(s, d)
+        .orderBy(col("ws"), col("c_mktsegment"))),
     // deterministic KMV cardinality sketch next to its exact answer
     "sketch_kmv_shingles" -> ((s, d) =>
       operators.Sketches.kmvDistinctShingles(docs(s, d))),
@@ -1381,6 +1386,11 @@ object SparkEntry {
            |FROM p JOIN c ON p.user_id = c.user_id
            |  AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
            |ORDER BY p_id, c_id""".stripMargin,
+      "events_stream_enrich" ->
+        s"""SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), $fmt) AS ws,
+           |       c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM events JOIN customer ON user_id = CAST(c_custkey AS BIGINT)
+           |GROUP BY 1, 2 ORDER BY ws, c_mktsegment""".stripMargin,
       "sketch_kmv_shingles" -> {
         val k = operators.Sketches.KmvK
         s"""WITH g AS (SELECT DISTINCT unnest($shingleSql) AS g FROM $fromToks),

@@ -252,6 +252,35 @@ object StreamOps {
       round(col("sum_value"), 2).as("sum_value"))
   }
 
+  /** STREAM-STATIC enrichment join: the event stream joined to a static
+    * dimension table (user → market segment) inside the streaming query,
+    * then window-aggregated per segment. The static side is broadcast —
+    * each micro-batch probes the dimension hash map with NO stream-side
+    * state at all, the shape that enriches a 100 TB/day firehose against
+    * a replicated dimension. Batch oracle: the same join + tumbling agg
+    * over the static tables.
+    */
+  def enrichedTumblingOverParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = broadcast(
+      spark.read
+        .parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey").cast("long").as("user_id"), col("c_mktsegment")))
+    overParquet(
+      spark,
+      sfDir,
+      "enrich",
+      ev =>
+        ev.withWatermark("ts", "20 minutes")
+          .join(dim, Seq("user_id"))
+          .groupBy(window(col("ts"), "10 minutes").as("w"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .select(
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("c_mktsegment"),
+            col("n"),
+            col("sum_value")))
+  }
+
   /** STREAM-STREAM interval join through the engine: purchases joined to
     * the same user's clicks within the preceding 30 minutes, both sides
     * watermarked — the state-store join whose per-side buffer is bounded
