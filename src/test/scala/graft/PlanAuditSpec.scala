@@ -174,6 +174,28 @@ class PlanAuditSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("chunk fan-out is a pure narrow map — zero exchanges") {
+    val df = graft.operators.TextOps.chunk(model.table(spark, dir, "documents"))
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), s"chunk shuffles:\n$plan")
+  }
+
+  test("shuffleShards windows per shard, never through a single partition") {
+    val df = graft.operators.TextOps.shuffleShards(model.table(spark, dir, "documents"))
+    val plan = planOf(df)
+    assert(plan.contains("Window"), plan)
+    assert(
+      !plan.contains("Exchange SinglePartition"),
+      s"global row_number funnel in:\n$plan")
+  }
+
+  test("BPE pair counting partial-aggregates the histogram before its exchange") {
+    val df = graft.operators.Tokenization.pairCounts(
+      graft.operators.Tokenization.initialStates(model.table(spark, dir, "documents")))
+    val plan = planOf(df)
+    assert(plan.contains("partial_sum(freq"), s"no map-side partial in:\n$plan")
+  }
+
   test("whole-stage codegen spans the relational aggregation path") {
     // (the text operators' higher-order array expressions are interpreted
     // by Spark — no codegen exists for lambda functions — but stay
