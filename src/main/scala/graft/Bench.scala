@@ -59,8 +59,10 @@ object Bench {
     // line now exceeds that (r3/r4 records were truncated mid-JSON) — a
     // final compact line without the per-query map always survives a
     // tail capture intact; the full line above remains the contract
+    // distinct metric name so a by-metric scanner never double-counts
+    // this with the full line above
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","load_start":${r3(
+      s"""{"metric":"total_compact","value":$total,"unit":"sec","sf":"$sfDir","load_start":${r3(
           loadStart)},"load_end":$loadEnd,"errors":$errors,"n_queries":${results.size}}""")
     spark.stop()
   }

@@ -25,36 +25,57 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"argument $what must be a boolean literal, got $other")
   }
 
+  private def arity(name: String, n: Int)(args: Seq[Expression]): Seq[Expression] = {
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${args.length}")
+    args
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        val Seq(a, b) = arity("dot_product", 2)(args)
+        DotProduct(a, b)
+      }),
     (
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
-      (args: Seq[Expression]) =>
-        PolyHash(args(0), longLit(args(1), "mult"), longLit(args(2), "modulus"))),
+      (args: Seq[Expression]) => {
+        val Seq(s, m, p) = arity("poly_hash", 3)(args)
+        PolyHash(s, longLit(m, "mult"), longLit(p, "modulus"))
+      }),
     (
       FunctionIdentifier("simhash40"),
       new ExpressionInfo(classOf[SimHash40].getName, "simhash40"),
-      (args: Seq[Expression]) => SimHash40(args(0))),
+      (args: Seq[Expression]) => SimHash40(arity("simhash40", 1)(args).head)),
     (
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (args: Seq[Expression]) => MinHashSig(args(0), longLit(args(1), "k").toInt)),
+      (args: Seq[Expression]) => {
+        val Seq(s, k) = arity("minhash_sig", 2)(args)
+        MinHashSig(s, longLit(k, "k").toInt)
+      }),
     (
       FunctionIdentifier("shingle_strings"),
       new ExpressionInfo(classOf[ShingleStrings].getName, "shingle_strings"),
-      (args: Seq[Expression]) => ShingleStrings(args(0), boolLit(args(1), "distinct"))),
+      (args: Seq[Expression]) => {
+        val Seq(s, d) = arity("shingle_strings", 2)(args)
+        ShingleStrings(s, boolLit(d, "distinct"))
+      }),
     (
       FunctionIdentifier("shingle_h40s"),
       new ExpressionInfo(classOf[ShingleH40s].getName, "shingle_h40s"),
-      (args: Seq[Expression]) => ShingleH40s(args(0), boolLit(args(1), "distinct"))),
+      (args: Seq[Expression]) => {
+        val Seq(s, d) = arity("shingle_h40s", 2)(args)
+        ShingleH40s(s, boolLit(d, "distinct"))
+      }),
     (
       FunctionIdentifier("token_codes"),
       new ExpressionInfo(classOf[TokenCodes].getName, "token_codes"),
-      (args: Seq[Expression]) => TokenCodes(args(0))))
+      (args: Seq[Expression]) => TokenCodes(arity("token_codes", 1)(args).head)))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

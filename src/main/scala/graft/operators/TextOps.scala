@@ -221,7 +221,12 @@ object TextOps {
     // see corpus_upsert's fresh rows) must land in the same shard in
     // both engines. After the fold every operand is non-negative (seed
     // must be ≥ 0), so the outer `%`s agree without the same treatment.
-    require(seed >= 0, s"seed must be non-negative, got $seed")
+    // upper bound keeps fold·mult + seed < Long.Max with headroom (the
+    // overflow analysis above assumes seed ≪ 2^31); a seed near
+    // Long.Max would overflow silently in Spark but error in DuckDB
+    require(
+      seed >= 0 && seed < 1000000000L,
+      s"seed must be in [0, 1e9), got $seed")
     val k = pmod(
       pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L) + lit(seed),
       lit(1000000007L))

@@ -403,8 +403,13 @@ object StreamOps {
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      // Files.walk holds a directory stream open until closed — without
+      // the finally, every harness stream run leaks one descriptor
+      val walk = java.nio.file.Files.walk(p)
+      val paths =
+        try walk.iterator().asScala.toSeq.reverse
+        finally walk.close()
+      paths.foreach(f => java.nio.file.Files.deleteIfExists(f))
     }
   }
 
