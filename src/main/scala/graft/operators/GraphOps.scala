@@ -375,6 +375,14 @@ object GraphOps {
     // a source vertex absent from the graph) skips the loop outright —
     // an empty-frontier round is a no-op by construction
     var changed = patchRows0
+    // one-round frontier history for the batching decision below: a
+    // small frontier alone does NOT mean the round is cheap — every
+    // SSSP seeds with ONE row, and round 1–2 are the exponential
+    // expansion phase where a fused round re-evaluates the biggest
+    // delta of the run ~3× (measured: sssp_two_rounds 2.9→6.4 s when
+    // the seed round fused). Two consecutive small frontiers is the
+    // long-tail signature fusing was built for.
+    var prevChanged = Long.MaxValue
     val debug = sys.env.contains("GRAFT_LOOP_DEBUG")
     while (changed > 0 && rounds < bound) {
       val tRound = System.nanoTime()
@@ -393,17 +401,21 @@ object GraphOps {
               coalesce(col("newval"), col("p_val")).as("p_val"),
               coalesce(col("improved"), lit(false)).as("p_upd")) ++ reachedCols: _*)
       }
-      // Adaptive batching: once the frontier is small the round cost is
-      // driver/job latency, not data — fuse two sub-rounds into one
-      // materialization (the intermediate patch is re-evaluated by its
-      // consumers, but in this regime that work is tiny). Large frontiers
+      // Adaptive batching: once the frontier has been small for TWO
+      // consecutive rounds (the converged long tail, not the small seed
+      // of a still-expanding run) the round cost is driver/job latency,
+      // not data — fuse two sub-rounds into one materialization (the
+      // intermediate patch is re-evaluated by its consumers, but in this
+      // regime that work is tiny). Large or still-expanding frontiers
       // stay at one sub-round per materialization: there the per-round
       // work is data-bound and re-evaluation would dominate. Deeper
       // fusing loses: each fused level re-evaluates its sub-plan ~3×, so
       // cost grows 3^depth (measured: depth 4 tripled sssp_lineitem).
       // Convergence stays exact — the final sub-round's `p_upd` flags
       // gate the loop, and a fused no-op sub-round is idempotent.
-      val batch = math.min(if (changed < BatchBelowRows) 2L else 1L, bound - rounds)
+      val smallTail = changed < BatchBelowRows && prevChanged < BatchBelowRows
+      val batch = math.min(if (smallTail) 2L else 1L, bound - rounds)
+      prevChanged = changed
       pre = persistedIds
       val pNew = ckpt((1L to batch).foldLeft(patch)((p, _) => subRound(p)))
       val (row, pNewIds) =
@@ -677,6 +689,10 @@ object GraphOps {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val o = Phys.materialized(orientByDegree(und))
+    // materialized is eager, so und's job is done here; orientation is a
+    // bijection on edges, so o's row count IS the undirected edge count
+    // and und needn't survive past this point
+    und.unpersist()
     val wedgeOrder =
       col("e1.hdeg") < col("e2.hdeg") ||
         (col("e1.hdeg") === col("e2.hdeg") && col("e1.hi") < col("e2.hi"))
@@ -686,7 +702,7 @@ object GraphOps {
       // edge {e1.hi, e2.hi} can only be oriented e1.hi → e2.hi
       .join(o.alias("e3"), col("e3.lo") === col("e1.hi") && col("e3.hi") === col("e2.hi"))
       .agg(count(lit(1)).as("n_triangles"))
-    und.agg(count(lit(1)).as("n_und_edges")).crossJoin(tri)
+    o.agg(count(lit(1)).as("n_und_edges")).crossJoin(tri)
   }
 
   /** One peeling round of [[kCore]], in delta form: dead frontier nodes

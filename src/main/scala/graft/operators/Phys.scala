@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 /** Shared physical-plan helpers for operators that reuse an intermediate
   * on both sides of a self-join (or across two downstream consumers).
   */
-private[operators] object Phys {
+private[graft] object Phys {
 
   /** Eager local checkpoint with origin stats dropped. Unlike
     * `persist()`, the blocks are GC-scoped — freed by the ContextCleaner
