@@ -517,14 +517,21 @@ object SparkEntry {
           round(col("sum_tokens").cast("double") / col("n_docs"), 6).as("mean_tokens"))
         .orderBy(col("source"))),
     // BPE tokenizer training over the word histogram: the iteration-1
-    // pair histogram (exact), and the real 4-round merge loop (the
-    // oracle unrolls the identical loop in SQL — see Tokenization)
+    // pair histogram (exact), the real 8-merge training loop (batched
+    // on the Spark side, sequential-equivalent — the oracle unrolls the
+    // SEQUENTIAL loop in SQL and must hash-match; see Tokenization),
+    // and the trained tokenizer APPLIED back to the corpus
+    // (train→encode — the highest-traffic path of a real pipeline)
     "bpe_pair_counts" -> ((s, d) =>
       operators.Tokenization
         .pairCounts(operators.Tokenization.initialStates(docs(s, d)))
         .orderBy(col("left"), col("right"))),
     "bpe_merges" -> ((s, d) =>
-      operators.Tokenization.bpeTrain(s, docs(s, d), nMerges = 4)),
+      operators.Tokenization.bpeTrain(s, docs(s, d), nMerges = 8, minFreq = 2L)),
+    "bpe_encode" -> ((s, d) =>
+      operators.Tokenization
+        .bpeEncode(s, docs(s, d), nMerges = 8, minFreq = 2L)
+        .orderBy(col("doc_id"))),
     // latest-wins MERGE of an update batch into the keyed corpus; the
     // partial-aggregating max_by shape, not a window (see Snapshot)
     "corpus_upsert" -> ((s, d) => {
@@ -559,6 +566,11 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d)).orderBy(col("doc_id"))),
     "ann_recall" -> ((s, d) =>
       Similarity.lshRecall(embs(s, d), nQueries = 50, k = 3).orderBy(col("q_id"))),
+    // measured recall@k of the TRAINED IVF at two probe widths — the
+    // table that makes nProbe a measured cost/recall trade, not a guess
+    "ann_ivf_recall" -> ((s, d) =>
+      Similarity.ivfRecall(embs(s, d), nQueries = 50, k = 3, nProbes = Seq(1, 3))
+        .orderBy(col("n_probe"), col("q_id"))),
     // the stateful sessionizer pushed through the streaming engine
     // (flatMapGroupsWithState + state store); shares the batch oracle
     "events_stream_sessionize" -> ((s, d) =>
@@ -737,6 +749,57 @@ object SparkEntry {
           col("pred_lang"),
           (col("is_canonical") && col("quality") >= 0.5 && col("pred_lang") === "en").as("kept"))
         .orderBy(col("doc_id"))
+    }),
+    // The whole pipeline, composed: curate (canonical-dedup + quality +
+    // language gate) → chunk into training windows → pack into
+    // fixed-capacity bins → deterministic sharded shuffle. Each stage is
+    // the already-verified operator; this row is the artifact a 100 TB
+    // pipeline actually ships — the final training-example table. The
+    // chunked example set is materialized ONCE and fans into pack and
+    // shuffle (both keyed), so the composition adds no exchange beyond
+    // the component stages' own (pinned in PlanAuditSpec).
+    "pipeline_e2e" -> ((s, d) => {
+      val all = docs(s, d)
+      // canonical = min doc_id per text; min-agg + null-safe join, same
+      // scale rationale as pipeline_curate above
+      val minPerText = all
+        .groupBy(col("text").as("t"))
+        .agg(min(col("doc_id")).as("min_id"))
+      val canon = all
+        .join(minPerText, col("text") <=> col("t"))
+        .filter(col("doc_id") === col("min_id"))
+        .select(col("doc_id"), col("text"), col("lang"))
+      val q = TextOps.quality(all).select(col("doc_id"), col("quality"))
+      val l = TextOps.langId(all).select(col("doc_id"), col("pred_lang"))
+      val kept = canon
+        .join(q, Seq("doc_id"))
+        .join(l, Seq("doc_id"))
+        .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
+        .select(col("doc_id"), col("text"), col("lang"))
+      // chunk → one example per training window; example_id packs
+      // (doc, chunk) into one key (chunk_idx < 10000 ⇔ docs < 1.5 MB —
+      // comfortably above any web-corpus page; a longer doc would need
+      // a wider multiplier, not a different design)
+      val ex = operators.Phys.materialized(
+        TextOps.chunk(kept)
+          .join(kept.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(
+            (col("doc_id") * lit(10000L) + col("chunk_idx")).as("doc_id"),
+            col("chunk").as("text"),
+            col("lang")))
+      val packed = TextOps.pack(ex, binTokens = 512L)
+      val shuffled = TextOps.shuffleShards(ex)
+      packed
+        .join(shuffled, Seq("doc_id"))
+        .select(
+          col("doc_id").as("example_id"),
+          col("lang"),
+          col("n_tokens"),
+          col("bin"),
+          col("offset"),
+          col("shard"),
+          col("pos"))
+        .orderBy(col("shard"), col("pos"))
     })
   )
 
@@ -1247,6 +1310,50 @@ object SparkEntry {
            |       (c.is_canonical AND q.quality >= 0.5 AND l.pred_lang = 'en') AS kept
            |FROM c JOIN q ON q.doc_id = c.doc_id JOIN l ON l.doc_id = c.doc_id
            |ORDER BY c.doc_id""".stripMargin,
+      "pipeline_e2e" -> {
+        val stride = TextOps.ChunkStride
+        val size = TextOps.ChunkSize
+        s"""WITH c AS (
+           |  SELECT doc_id,
+           |         doc_id = min(doc_id) OVER (PARTITION BY text) AS is_canonical
+           |  FROM documents),
+           |q AS ($qualitySql),
+           |l AS ($langIdSql),
+           |kept AS (
+           |  SELECT d.doc_id, d.text, d.lang
+           |  FROM documents d
+           |  JOIN c ON c.doc_id = d.doc_id
+           |  JOIN q ON q.doc_id = d.doc_id
+           |  JOIN l ON l.doc_id = d.doc_id
+           |  WHERE c.is_canonical AND q.quality >= 0.5 AND l.pred_lang = 'en'),
+           |ex AS (
+           |  SELECT doc_id * 10000 + chunk_idx AS doc_id,
+           |         substr(t, CAST(1 + chunk_idx * $stride AS INT), $size) AS text,
+           |         lang
+           |  FROM (SELECT doc_id, lang, coalesce(text, '') AS t,
+           |               unnest(range(0, greatest(length(coalesce(text, '')) - 1, 0) // $stride + 1)) AS chunk_idx
+           |        FROM kept)),
+           |pt AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens FROM ex),
+           |packed AS (
+           |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+           |  FROM pt),
+           |sh AS (
+           |  SELECT doc_id, shard,
+           |         CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+           |  FROM (SELECT doc_id,
+           |               ((doc_id % 2147483648 + 2147483648) % 2147483648 * 2654435761 + 1)
+           |                 % 1000000007 AS k,
+           |               (((doc_id % 2147483648 + 2147483648) % 2147483648 * 2654435761 + 1)
+           |                 % 1000000007) % ${TextOps.NShards} AS shard
+           |        FROM ex))
+           |SELECT p.doc_id AS example_id, p.lang, p.n_tokens,
+           |       CAST(p.cum // 512 AS BIGINT) AS bin,
+           |       CAST(p.cum % 512 AS BIGINT) AS "offset",
+           |       s.shard, s.pos
+           |FROM packed p JOIN sh s ON s.doc_id = p.doc_id
+           |ORDER BY s.shard, s.pos""".stripMargin
+      },
       "csv_source_agg" ->
         """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
           |       round(sum(CAST(s_acctbal AS DOUBLE)), 2) AS sum_bal
@@ -1346,6 +1453,50 @@ object SparkEntry {
            |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
            |  FROM scored)
            |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      },
+      "ann_ivf_recall" -> {
+        val last = s"c${Similarity.KmeansIters}"
+        val score =
+          s"(${Parity.dotSql("CAST(v.ei AS DOUBLE[])", "CAST(c.c AS DOUBLE[])")} / " +
+            s"sqrt(${Parity.dotSql("CAST(c.c AS DOUBLE[])", "CAST(c.c AS DOUBLE[])")}))"
+        def perProbe(p: Int): String =
+          s"""probes_$p AS (SELECT vec_id AS q_id, cid FROM ranked_cells
+             |              WHERE vec_id < 50 AND rn <= $p),
+             |scored_$p AS (
+             |  SELECT p.q_id, a.n_id, round(${Parity.cosineSql("q.e", "n.e")}, 6) AS cos
+             |  FROM probes_$p p
+             |  JOIN assigned a ON a.cid = p.cid AND a.n_id <> p.q_id
+             |  JOIN d q ON q.vec_id = p.q_id
+             |  JOIN d n ON n.vec_id = a.n_id),
+             |approx_$p AS (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+             |    FROM scored_$p) WHERE rank <= 3),
+             |rec_$p AS (
+             |  SELECT CAST($p AS INT) AS n_probe, e.q_id,
+             |         CAST(count(a.n_id) AS BIGINT) AS n_hits,
+             |         round(CAST(count(a.n_id) AS DOUBLE) / 3.0, 6) AS recall
+             |  FROM exact e LEFT JOIN approx_$p a ON a.q_id = e.q_id AND a.n_id = e.n_id
+             |  GROUP BY e.q_id)""".stripMargin
+        s"""WITH $kmeansCtes,
+           |scored_e AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |         round(${Parity.cosineSql("q.e", "c.e")}, 6) AS cos
+           |  FROM d q JOIN d c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+           |exact AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           |    FROM scored_e) WHERE rank <= 3),
+           |cs AS (SELECT v.vec_id, c.cid, $score AS ccos FROM d v CROSS JOIN $last c),
+           |ranked_cells AS (
+           |  SELECT vec_id, cid,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+           |  FROM cs),
+           |assigned AS (SELECT vec_id AS n_id, cid FROM ranked_cells WHERE rn = 1),
+           |${perProbe(1)},
+           |${perProbe(3)}
+           |SELECT * FROM rec_1 UNION ALL SELECT * FROM rec_3
+           |ORDER BY n_probe, q_id""".stripMargin
       },
       "text_lang_id" -> s"$langIdSql ORDER BY doc_id",
       "text_quality" -> s"$qualitySql ORDER BY doc_id",
@@ -1518,7 +1669,8 @@ object SparkEntry {
            |       round(CAST(sum(CAST(len($toks) AS BIGINT)) AS DOUBLE) / count(*), 6) AS mean_tokens
            |FROM documents GROUP BY source ORDER BY source""".stripMargin,
       "bpe_pair_counts" -> operators.Tokenization.pairCountsOracleSql,
-      "bpe_merges" -> operators.Tokenization.bpeMergesSql(4),
+      "bpe_merges" -> operators.Tokenization.bpeMergesSql(8, minFreq = 2L),
+      "bpe_encode" -> operators.Tokenization.bpeEncodeSql(8, minFreq = 2L),
       "doc_chunk" ->
         (TextOps.chunkSql() + "\nORDER BY doc_id, chunk_idx"),
       "doc_shuffle" ->

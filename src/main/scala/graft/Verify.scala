@@ -1,22 +1,42 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** Fault-injection flag (env or sysprop): adds a deliberately throwing
+    * query so the err path can be checked END-TO-END — with the flag on,
+    * the driver's compare must record an `err` for `fault_injection`
+    * (the oracle entry exists, the parquet dir doesn't), never a silent
+    * absence. Off by default; the 94-row green wall is unchanged.
+    */
+  private def faultEnabled: Boolean =
+    sys.env.contains("GRAFT_VERIFY_FAULT") || sys.props.contains("graft.verify.fault")
+
+  private val faultQuery: (SparkSession, String) => DataFrame =
+    (_, _) => throw new RuntimeException("deliberate fault (GRAFT_VERIFY_FAULT is set)")
+
+  def effectiveQueries: Map[String, (SparkSession, String) => DataFrame] =
+    if (faultEnabled) SparkEntry.queries + ("fault_injection" -> faultQuery)
+    else SparkEntry.queries
+
+  def effectiveOracles: Map[String, String] =
+    if (faultEnabled) SparkEntry.oracleSql + ("fault_injection" -> "SELECT CAST(1 AS BIGINT) AS one")
+    else SparkEntry.oracleSql
+
+  /** The per-query dump loop: one failing query must never take down the
+    * run (its dir is simply absent — the driver records err from the
+    * oracle side) nor leak its cached/staged state into the next query.
+    */
+  def dump(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      oracles: Map[String, String]): Unit = {
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -40,9 +60,23 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    dump(spark, sfDir, outDir, effectiveQueries, effectiveOracles)
     spark.stop()
   }
 }

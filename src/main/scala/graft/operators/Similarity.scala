@@ -280,13 +280,20 @@ object Similarity {
     * PlanesPerTable against THIS table, not against hope. Queries with
     * zero LSH hits still appear (n_hits = 0).
     */
-  def lshRecall(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val exact = bruteForceTopK(embs, nQueries, k).select(col("q_id"), col("n_id"))
-    val approx = lshTopK(embs, nQueries, k)
-      .select(col("q_id").as("a_qid"), col("n_id").as("a_nid"))
+  def lshRecall(embs: DataFrame, nQueries: Int, k: Int): DataFrame =
+    recallVsExact(
+      bruteForceTopK(embs, nQueries, k).select(col("q_id"), col("n_id")),
+      lshTopK(embs, nQueries, k),
+      k)
+
+  /** Per-query recall@k of any approximate top-k against the exact one:
+    * |approx ∩ exact| / k. Shared by [[lshRecall]] and [[ivfRecall]].
+    * Queries with zero approximate hits still appear (n_hits = 0).
+    */
+  private def recallVsExact(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
     exact
       .join(
-        approx,
+        approx.select(col("q_id").as("a_qid"), col("n_id").as("a_nid")),
         col("q_id") === col("a_qid") && col("n_id") === col("a_nid"),
         "left_outer")
       .groupBy(col("q_id"))
@@ -295,6 +302,23 @@ object Similarity {
         col("q_id"),
         col("n_hits"),
         round(col("n_hits").cast("double") / k.toDouble, 6).as("recall"))
+
+  /** Measured recall@k of the TRAINED IVF path ([[ivfTrainedTopK]]) at
+    * each probe width in `nProbes` — the number that turns nProbe from a
+    * guess into a measured cost/recall trade (probing p of
+    * [[KmeansCells]] cells scans ~p/cells of the corpus per query). The
+    * exact baseline is computed once and reused across probe widths;
+    * each IVF run retrains the same deterministic k-means (bit-identical
+    * by construction), so correctness doesn't depend on the reuse.
+    */
+  def ivfRecall(embs: DataFrame, nQueries: Int, k: Int, nProbes: Seq[Int]): DataFrame = {
+    val exact = Phys.materialized(
+      bruteForceTopK(embs, nQueries, k).select(col("q_id"), col("n_id")))
+    nProbes
+      .map(p =>
+        recallVsExact(exact, ivfTrainedTopK(embs, nQueries, k, nProbe = p), k)
+          .select(lit(p).cast("int").as("n_probe"), col("q_id"), col("n_hits"), col("recall")))
+      .reduce(_ unionAll _)
   }
 
   def lshTopK(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {

@@ -1,19 +1,35 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Parity
 
-/** Tokenizer training: byte-pair-encoding merge induction over the
-  * corpus — the step that turns "count tokens" into "own the tokenizer".
+/** Tokenizer training and application: byte-pair-encoding merge
+  * induction over the corpus, then encoding the corpus with the learned
+  * merge table — the train→encode pair that turns "count tokens" into
+  * "own the tokenizer".
   *
   * Scale design: BPE never trains on the corpus — it trains on the WORD
   * HISTOGRAM ([[wordHistogram]]: one hash aggregate, map-side partial,
   * output = distinct tokens, orders of magnitude smaller than the
-  * corpus). Every merge round is then one small aggregation over the
-  * histogram plus a narrow map applying the merge; at 100 TB the corpus
-  * is read exactly once.
+  * corpus), optionally frequency-floored ([[initialStates]]' `minFreq`,
+  * standard BPE practice — at web scale the freq-1 tail of the
+  * histogram is mostly noise and dominates its row count). Every merge
+  * ROUND is then one small TakeOrdered over the histogram plus a narrow
+  * map applying the round's merges; at 100 TB the corpus is read
+  * exactly once.
+  *
+  * Driver-round-trip bound: a naive loop does one argmax round-trip per
+  * merge — 30k merges = 30k sequential Spark jobs, driver-latency-bound
+  * on any cluster. [[trainMerges]] instead collects the TOP
+  * [[BatchCandidates]] pairs per round and applies every merge in the
+  * maximal SAFE batch (see [[selectBatch]] for the exact-equivalence
+  * argument) in one narrow map, so merges-per-job rises from 1 toward
+  * the batch width and the job count is O(merges / batch), not
+  * O(merges). The result is PROVABLY identical to the sequential loop —
+  * the DuckDB oracle ([[bpeMergesSql]]) remains the sequential
+  * unrolling and must hash-match.
   *
   * State encoding: a word's current symbol sequence is its symbols each
   * individually WRAPPED in control delimiters — `␁sym␂` ([[SepL]],
@@ -32,7 +48,7 @@ import graft.functions.Parity
   *
   * That makes the whole iterative train SQL-expressible, so the DuckDB
   * oracle verifies the real loop, unrolled ([[bpeMergesSql]]), not a
-  * proxy.
+  * proxy — and likewise the encoder ([[bpeEncodeSql]]).
   *
   * No reference counterpart (north-star extension per BASELINE.json).
   */
@@ -41,9 +57,14 @@ object Tokenization {
   /** Symbol delimiters. U+0001/U+0002 never appear in the corpus (and
     * [[wordHistogram]] drops any word containing them, mirrored in the
     * oracle, so a hostile input degrades coverage, not correctness).
+    * U+0003 separates word states inside a document state
+    * ([[bpeEncode]]): merge patterns are `…␂␁…`, and at a word boundary
+    * the junction is `␂␃␁`, so no merge ever crosses words — the same
+    * per-word semantics the training histogram assumes.
     */
   val SepL = "\u0001"
   val SepR = "\u0002"
+  val WordSep = "\u0003"
 
   /** Whitespace-token histogram: (word, freq), one shuffle on the word.
     * The BPE training set.
@@ -51,26 +72,29 @@ object Tokenization {
   def wordHistogram(docs: DataFrame): DataFrame =
     docs
       .select(explode(Parity.tokens(col("text"))).as("w"))
-      .filter(!col("w").contains(SepL) && !col("w").contains(SepR))
+      .filter(!col("w").contains(SepL) && !col("w").contains(SepR) && !col("w").contains(WordSep))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("freq"))
 
-  /** Initial BPE state: each distinct word as its wrapped character
-    * sequence (`␁c␂` per char), with its corpus frequency.
+  /** Initial BPE state: each distinct word with corpus frequency ≥
+    * `minFreq` as its wrapped character sequence (`␁c␂` per char), with
+    * its corpus frequency.
     */
-  def initialStates(docs: DataFrame): DataFrame =
-    wordHistogram(docs).select(
-      array_join(
-        transform(
-          sequence(lit(1), length(col("w"))),
-          i => concat(lit(SepL), col("w").substr(i, lit(1)), lit(SepR))),
-        "").as("state"),
-      col("freq"))
+  def initialStates(docs: DataFrame, minFreq: Long = 1L): DataFrame =
+    wordHistogram(docs)
+      .filter(col("freq") >= minFreq)
+      .select(
+        array_join(
+          transform(
+            sequence(lit(1), length(col("w"))),
+            i => concat(lit(SepL), col("w").substr(i, lit(1)), lit(SepR))),
+          "").as("state"),
+        col("freq"))
 
   /** The symbol array of a state: strip the outermost delimiters, split
     * on the `␂␁` junctions.
     */
-  private def symbols(state: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private def symbols(state: Column): Column =
     split(state.substr(lit(2), length(state) - 2), SepR + SepL)
 
   /** Adjacent-symbol pair histogram of a state table: (left, right,
@@ -92,56 +116,201 @@ object Tokenization {
       .groupBy(col("left"), col("right"))
       .agg(sum(col("freq")).as("pair_count"))
 
-  /** Train `nMerges` BPE merge rules: each round takes the most frequent
-    * adjacent symbol pair (ties broken lexicographically — deterministic
-    * across engines) and merges it greedily in every word state. Only
-    * the single argmax row comes to the driver per round (a scalar, like
-    * a convergence counter); the histogram itself never does. Returns
-    * the merge table (merge_round, left, right, pair_count).
+  /** One trained merge rule. */
+  final case class Merge(round: Long, left: String, right: String, count: Long)
+
+  /** Pairs collected to the driver per training round — the batch
+    * selection window. A scalar-sized TakeOrdered (≤ ~100 KB), same
+    * driver-control category as a convergence counter.
     */
-  def bpeTrain(spark: SparkSession, docs: DataFrame, nMerges: Int): DataFrame = {
-    import spark.implicits._
-    var states = Phys.materialized(initialStates(docs))
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+  val BatchCandidates = 1024
+
+  /** Greedy batch selection over the (pair_count desc, left, right)-
+    * sorted candidate list: the maximal prefix of pairwise NON-
+    * INTERACTING pairs, trimmed to counts strictly above the first
+    * non-selected pair's. Applying the batch in order is then EXACTLY
+    * the sequential greedy loop, because for each selected pᵢ:
+    *
+    *   - pᵢ's own count is invariant under the earlier batch merges:
+    *     interaction includes a selected pair's components AND its
+    *     merged string l+r, so no earlier merge consumes or creates
+    *     pᵢ's symbols;
+    *   - every pair sorting before pᵢ is an earlier batch member
+    *     (prefix rule), already merged to count 0;
+    *   - every NEW pair created by an earlier merge (x, l) → (x, ll+r)
+    *     etc. has count ≤ its enabling old pair's, which interacts with
+    *     a selected pair, hence was not selected, hence sorts after the
+    *     prefix — and the strict-count trim makes that bound STRICT, so
+    *     no new pair can tie pᵢ and win on the lexicographic
+    *     tie-break (a tie CAN re-order: the new pair's key (x, l+r)
+    *     differs from its enabling pair's (x, l)).
+    *
+    * If the trim would empty the batch (the argmax itself ties the
+    * boundary), the argmax alone is kept — merging just the true argmax
+    * is trivially sequential. `boundary` when no interacting pair was
+    * seen: −1 if the candidate list is COMPLETE (fewer than
+    * [[BatchCandidates]] pairs exist — nothing unseen can tie), else
+    * the last collected count (conservative: unseen pairs may tie it).
+    */
+  private[graft] def selectBatch(
+      sorted: Seq[(String, String, Long)],
+      maxN: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var boundary = if (sorted.length < BatchCandidates) -1L else sorted.last._3
+    var i = 0
+    var stop = false
+    while (!stop && i < sorted.length && picked.length < maxN) {
+      val (l, r, n) = sorted(i)
+      if (used.contains(l) || used.contains(r)) {
+        boundary = n
+        stop = true
+      } else {
+        picked += ((l, r, n))
+        used += l
+        used += r
+        used += (l + r)
+        i += 1
+      }
+    }
+    // stopped at maxN with pairs still unexamined: the next pair is the
+    // first non-selected one
+    if (!stop && picked.length == maxN && i < sorted.length) boundary = sorted(i)._3
+    val trimmed = picked.filter(_._3 > boundary)
+    if (trimmed.nonEmpty) trimmed.toSeq else picked.take(1).toSeq
+  }
+
+  /** Train up to `nMerges` merge rules, batched ([[selectBatch]]);
+    * returns the merges (driver-local — the merge table IS the model,
+    * scalar-sized like a centroid table) and the number of driver
+    * rounds taken (jobs ∝ rounds, pinned < merges by the batching test).
+    */
+  def trainMerges(
+      spark: SparkSession,
+      docs: DataFrame,
+      nMerges: Int,
+      minFreq: Long = 1L): (Seq[Merge], Int) = {
+    var states = Phys.materialized(initialStates(docs, minFreq))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rounds = 0
     var exhausted = false
     while (merges.length < nMerges && !exhausted) {
       val top = pairCounts(states)
         .orderBy(desc("pair_count"), col("left"), col("right"))
-        .limit(1)
+        .limit(BatchCandidates)
         .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
       if (top.isEmpty) {
         // every word is one symbol — mirror the oracle, whose round-k
         // argmax CTE is empty and contributes no row
         exhausted = true
       } else {
-        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rounds += 1
+        val batch = selectBatch(top, nMerges - merges.length)
         states = Phys.materialized(
           states.select(
-            replace(
-              col("state"),
-              lit(SepL + l + SepR + SepL + r + SepR),
-              lit(SepL + l + r + SepR)).as("state"),
+            batch
+              .foldLeft(col("state")) { case (st, (l, r, _)) => mergeReplace(st, l, r) }
+              .as("state"),
             col("freq")))
-        merges += ((merges.length + 1L, l, r, n))
+        batch.foreach { case (l, r, n) => merges += Merge(merges.length + 1L, l, r, n) }
       }
     }
-    merges.toSeq.toDF("merge_round", "left", "right", "pair_count")
+    (merges.toSeq, rounds)
+  }
+
+  private def mergeReplace(state: Column, l: String, r: String): Column =
+    replace(state, lit(SepL + l + SepR + SepL + r + SepR), lit(SepL + l + r + SepR))
+
+  /** The merge table (merge_round, left, right, pair_count) — identical
+    * to the one-merge-per-round sequential loop (see [[selectBatch]]),
+    * which is exactly what the unrolled oracle replays.
+    */
+  def bpeTrain(spark: SparkSession, docs: DataFrame, nMerges: Int, minFreq: Long = 1L): DataFrame = {
+    import spark.implicits._
+    trainMerges(spark, docs, nMerges, minFreq)._1
+      .map(m => (m.round, m.left, m.right, m.count))
+      .toDF("merge_round", "left", "right", "pair_count")
+  }
+
+  /** Token-id space: single-character symbols use their Unicode code
+    * point (`ascii()` in both engines); a symbol minted by merge round k
+    * gets [[MergedIdBase]] + k — disjoint from any code point
+    * (MergedIdBase > 0x10FFFF). If two merge rounds ever mint the same
+    * symbol STRING (possible: (a,bc) and (ab,c) both make "abc"), the
+    * LOWEST round's id wins — the Spark CASE chain and the oracle's
+    * evaluate in the same round order.
+    */
+  val MergedIdBase = 2000000L
+
+  /** Number of leading token ids surfaced per document. */
+  val EncodeHeadK = 8
+
+  /** Apply the trained tokenizer to the corpus: train `nMerges` rules,
+    * then encode every document by folding the merge table IN ORDER
+    * through the wrapped-state replace — one narrow map over the corpus
+    * (the merge table is a driver-local scalar, folded into the
+    * expression like a broadcast centroid table; no shuffle, no second
+    * corpus read beyond the histogram the training already took).
+    * Emits per doc: token count, the first [[EncodeHeadK]] token ids
+    * (comma-joined), and the token-id sum (an order-insensitive
+    * checksum of the full encoding).
+    *
+    * This is the highest-traffic path of a production pipeline —
+    * train→ENCODE→pack — and at 100 TB it is embarrassingly parallel:
+    * the fold is whole-stage-codegen string work per row.
+    */
+  def bpeEncode(
+      spark: SparkSession,
+      docs: DataFrame,
+      nMerges: Int,
+      minFreq: Long = 1L): DataFrame = {
+    val (merges, _) = trainMerges(spark, docs, nMerges, minFreq)
+    val words = filter(
+      Parity.tokens(col("text")),
+      w => !w.contains(SepL) && !w.contains(SepR) && !w.contains(WordSep))
+    val wordState = (w: Column) =>
+      array_join(
+        transform(
+          sequence(lit(1), length(w)),
+          i => concat(lit(SepL), w.substr(i, lit(1)), lit(SepR))),
+        "")
+    val state0 = array_join(transform(words, wordState), WordSep)
+    val encoded = merges.foldLeft(state0)((st, m) => mergeReplace(st, m.left, m.right))
+    // strip word separators, then split into symbols; '' → zero tokens
+    val stripped = replace(encoded, lit(WordSep), lit(""))
+    val syms = when(length(stripped) === 0, array().cast("array<string>"))
+      .otherwise(symbols(stripped))
+    val idOf = (s: Column) =>
+      merges
+        .foldLeft(when(lit(false), lit(0L))) { (acc, m) =>
+          acc.when(s === lit(m.left + m.right), lit(MergedIdBase + m.round))
+        }
+        .otherwise(ascii(s).cast("long"))
+    docs.select(
+      col("doc_id"),
+      size(syms).cast("long").as("n_tokens"),
+      array_join(transform(slice(syms, 1, EncodeHeadK), s => idOf(s).cast("string")), ",")
+        .as("head_ids"),
+      aggregate(syms, lit(0L), (acc, s) => acc + idOf(s)).as("sum_ids"))
   }
 
   // ---- DuckDB mirrors ------------------------------------------------
 
   /** WITH-clause body producing the initial (state, freq) table. */
-  val initialStatesSql: String =
+  def initialStatesSql(minFreq: Long = 1L): String =
     s"""hist AS (
        |  SELECT w, count(*) AS freq
        |  FROM (SELECT unnest(${Parity.tokensSql("text")}) AS w FROM documents)
-       |  WHERE NOT contains(w, chr(1)) AND NOT contains(w, chr(2)) GROUP BY w),
+       |  WHERE NOT contains(w, chr(1)) AND NOT contains(w, chr(2)) AND NOT contains(w, chr(3))
+       |  GROUP BY w),
        |s0 AS (
        |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
        |                                        i -> chr(1) || substr(w, CAST(i AS INT), 1) || chr(2)),
        |                         '') AS state,
        |         freq
-       |  FROM hist)""".stripMargin
+       |  FROM hist WHERE freq >= $minFreq)""".stripMargin
 
   /** Pair histogram over a state CTE named `sN`. */
   private def pairCountsSql(s: String): String =
@@ -158,32 +327,96 @@ object Tokenization {
     * [[pairCounts]] over [[initialStates]]).
     */
   val pairCountsOracleSql: String =
-    s"""WITH $initialStatesSql
+    s"""WITH ${initialStatesSql()}
        |${pairCountsSql("s0")}
        |ORDER BY "left", "right"""".stripMargin
+
+  /** The per-round argmax + state-advance CTEs, t1/s1 … t_n/s_n —
+    * shared by [[bpeMergesSql]] and [[bpeEncodeSql]]. Sequential, one
+    * merge per round: the batched Spark loop must land on exactly this.
+    */
+  private def trainRoundsSql(nMerges: Int): String =
+    (1 to nMerges)
+      .map { k =>
+        s"""t$k AS (
+           |  ${pairCountsSql(s"s${k - 1}").replace("\n", "\n  ")}
+           |  ORDER BY pair_count DESC, "left", "right" LIMIT 1),
+           |s$k AS (
+           |  SELECT replace(state,
+           |                 chr(1) || t$k."left" || chr(2) || chr(1) || t$k."right" || chr(2),
+           |                 chr(1) || t$k."left" || t$k."right" || chr(2)) AS state, freq
+           |  FROM s${k - 1} CROSS JOIN t$k)""".stripMargin
+      }
+      .mkString(",\n")
 
   /** The whole training loop, unrolled `nMerges` rounds: each round's
     * argmax CTE feeds a replace() over the previous state CTE —
     * byte-identical semantics to [[bpeTrain]].
     */
-  def bpeMergesSql(nMerges: Int): String = {
-    val rounds = (1 to nMerges).map { k =>
-      s"""t$k AS (
-         |  ${pairCountsSql(s"s${k - 1}").replace("\n", "\n  ")}
-         |  ORDER BY pair_count DESC, "left", "right" LIMIT 1),
-         |s$k AS (
-         |  SELECT replace(state,
-         |                 chr(1) || t$k."left" || chr(2) || chr(1) || t$k."right" || chr(2),
-         |                 chr(1) || t$k."left" || t$k."right" || chr(2)) AS state, freq
-         |  FROM s${k - 1} CROSS JOIN t$k)""".stripMargin
-    }
+  def bpeMergesSql(nMerges: Int, minFreq: Long = 1L): String = {
     val out = (1 to nMerges)
       .map(k =>
         s"""SELECT CAST($k AS BIGINT) AS merge_round, "left", "right", pair_count FROM t$k""")
       .mkString("\nUNION ALL\n")
-    s"""WITH $initialStatesSql,
-       |${rounds.mkString(",\n")}
+    s"""WITH ${initialStatesSql(minFreq)},
+       |${trainRoundsSql(nMerges)}
        |$out
        |ORDER BY merge_round""".stripMargin
+  }
+
+  /** [[bpeEncode]] unrolled: the training CTEs, then the document state
+    * folded through each round's merge (LEFT JOIN ON TRUE so an
+    * exhausted round — empty t_k — passes the state through unchanged,
+    * matching the Spark fold over only the trained merges), then
+    * symbol → id per [[MergedIdBase]]. The id CASE chain checks rounds
+    * in ascending order, mirroring the Spark fold's first-match-wins.
+    */
+  def bpeEncodeSql(nMerges: Int, minFreq: Long = 1L): String = {
+    val docRounds = (1 to nMerges)
+      .map { k =>
+        s"""e$k AS (
+           |  SELECT doc_id,
+           |         CASE WHEN t$k."left" IS NULL THEN state
+           |              ELSE replace(state,
+           |                           chr(1) || t$k."left" || chr(2) || chr(1) || t$k."right" || chr(2),
+           |                           chr(1) || t$k."left" || t$k."right" || chr(2)) END AS state
+           |  FROM e${k - 1} LEFT JOIN t$k ON TRUE)""".stripMargin
+      }
+      .mkString(",\n")
+    val idCases = (1 to nMerges)
+      .map(k =>
+        s"""WHEN t$k."left" IS NOT NULL AND sym = t$k."left" || t$k."right" THEN CAST(${MergedIdBase + k} AS BIGINT)""")
+      .mkString(" ")
+    val tJoins = (1 to nMerges).map(k => s"LEFT JOIN t$k ON TRUE").mkString(" ")
+    s"""WITH ${initialStatesSql(minFreq)},
+       |${trainRoundsSql(nMerges)},
+       |e0 AS (
+       |  SELECT doc_id,
+       |         array_to_string(list_transform(
+       |           list_filter(${Parity.tokensSql("text")},
+       |                       w -> NOT contains(w, chr(1)) AND NOT contains(w, chr(2)) AND NOT contains(w, chr(3))),
+       |           w -> array_to_string(list_transform(range(1, length(w) + 1),
+       |                                               i -> chr(1) || substr(w, CAST(i AS INT), 1) || chr(2)),
+       |                                '')),
+       |         chr(3)) AS state
+       |  FROM documents),
+       |$docRounds,
+       |symtab AS (
+       |  SELECT doc_id,
+       |         CASE WHEN length(s) = 0 THEN CAST([] AS VARCHAR[])
+       |              ELSE string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1)) END AS syms
+       |  FROM (SELECT doc_id, replace(state, chr(3), '') AS s FROM e$nMerges)),
+       |idtab AS (
+       |  SELECT doc_id,
+       |         list_transform(syms, sym -> CASE $idCases
+       |                                          ELSE CAST(ascii(sym) AS BIGINT) END) AS ids
+       |  FROM symtab $tJoins)
+       |SELECT doc_id,
+       |       CAST(len(ids) AS BIGINT) AS n_tokens,
+       |       array_to_string(list_transform(list_slice(ids, 1, $EncodeHeadK),
+       |                                      x -> CAST(x AS VARCHAR)), ',') AS head_ids,
+       |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ids), (acc, x) -> acc + x) AS BIGINT) AS sum_ids
+       |FROM idtab
+       |ORDER BY doc_id""".stripMargin
   }
 }

@@ -196,6 +196,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_sum(freq"), s"no map-side partial in:\n$plan")
   }
 
+  test("bpe_encode is one narrow pass over the corpus — zero exchanges") {
+    // the merge table is driver-local and folded into the projection, so
+    // encoding shuffles NOTHING: scan → project. (Training runs its own
+    // histogram jobs eagerly at construction; this is the encode plan.)
+    val df = graft.operators.Tokenization.bpeEncode(
+      spark, model.table(spark, dir, "documents"), nMerges = 2)
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), s"bpe_encode shuffles:\n$plan")
+  }
+
+  test("ann_ivf_recall stays cartesian-free across both probe widths") {
+    val plan = planOf(SparkEntry.queries("ann_ivf_recall")(spark, dir))
+    assert(
+      !plan.contains("CartesianProduct"),
+      s"raw cartesian in ivf recall:\n$plan")
+  }
+
+  test("pipeline_e2e composes without new exchanges beyond its stages'") {
+    // curate+chunk materialize once (behind the checkpoint); the visible
+    // plan is pack's lang-window, shuffle's shard-window, the example-id
+    // equi-join, and the final order — nothing all-pairs, nothing
+    // funneled through one partition, and no exchange count blow-up
+    val plan = planOf(SparkEntry.queries("pipeline_e2e")(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition funnel in:\n$plan")
+    val shuffles = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 6, s"too many exchanges ($shuffles) in:\n$plan")
+  }
+
   test("whole-stage codegen spans the relational aggregation path") {
     // (the text operators' higher-order array expressions are interpreted
     // by Spark — no codegen exists for lambda functions — but stay

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tokenization
+
+/** Unit tests for the batched BPE trainer and the corpus encoder.
+  * Sequential-equivalence of the BATCHED loop is property-tested in
+  * [[TokenizationProps]] against a driver-side sequential reference;
+  * here: the batching win itself (rounds < merges), and hand-computed
+  * encodings.
+  */
+class TokenizationSpec extends SparkSpec {
+
+  test("trainMerges batches disjoint top pairs: one driver round for many merges") {
+    import spark.implicits._
+    // top-4 pairs are pairwise symbol-disjoint with distinct counts:
+    // (a,b):8 (c,d):7 (e,f):6 (g,h):5 — one batch takes all four
+    val text = List.fill(8)("ab") ++ List.fill(7)("cd") ++ List.fill(6)("ef") ++ List.fill(5)("gh")
+    val docs = Seq(text.mkString(" ")).toDF("text")
+    val (merges, rounds) = Tokenization.trainMerges(spark, docs, nMerges = 4)
+    assert(rounds === 1, "disjoint pairs must merge in a single driver round")
+    assert(
+      merges.map(m => (m.round, m.left, m.right, m.count)) ===
+        Seq((1L, "a", "b", 8L), (2L, "c", "d", 7L), (3L, "e", "f", 6L), (4L, "g", "h", 5L)))
+  }
+
+  test("trainMerges stops a batch at the first interacting pair") {
+    import spark.implicits._
+    // (a,b):8, then (b,c):7 shares b — the batch must not jump past it
+    // to the disjoint (d,e):6 (sequential BPE would re-rank after the
+    // first merge)
+    val text = List.fill(8)("ab") ++ List.fill(7)("bc") ++ List.fill(6)("de")
+    val docs = Seq(text.mkString(" ")).toDF("text")
+    val (merges, rounds) = Tokenization.trainMerges(spark, docs, nMerges = 3)
+    assert(merges.map(m => (m.left, m.right)) === Seq(("a", "b"), ("b", "c"), ("d", "e")))
+    // round 1 stops at (b,c); round 2's survivors (b,c) and (d,e) are
+    // disjoint and batch together
+    assert(rounds === 2)
+  }
+
+  test("trainMerges treats a selected pair's MERGED STRING as interacting") {
+    import spark.implicits._
+    // (a,b):9 mints symbol "ab"; the pre-existing pair (ab,c):8 (from
+    // words containing literal 'ab' 'c' adjacency after round-1-style
+    // setup) must NOT batch with it — merging (a,b) creates NEW "ab"
+    // symbols that change (ab,c)'s true count mid-batch. Build it so
+    // (ab,c) exists in the same histogram: words "abc" contribute
+    // (a,b) and (b,c); we need a corpus where symbol "ab" already
+    // exists — impossible in round 1 (symbols are chars), so drive two
+    // trainMerges calls and check the batch boundary logic directly.
+    val sorted = Seq(("a", "b", 9L), ("ab", "c", 8L), ("x", "y", 7L))
+    val batch = Tokenization.selectBatch(sorted, maxN = 3)
+    assert(batch === Seq(("a", "b", 9L)), "pair consuming the minted symbol must stop the batch")
+  }
+
+  test("selectBatch trims count ties with the first non-selected pair") {
+    // (a,b):5 selected; (b,c):5 interacts → boundary 5 → (a,b) itself
+    // ties the boundary; keep-the-argmax guard applies
+    assert(
+      Tokenization.selectBatch(Seq(("a", "b", 5L), ("b", "c", 5L)), maxN = 2) ===
+        Seq(("a", "b", 5L)))
+    // (a,b):6, (c,d):5, (d,e):5 — (d,e) interacts at count 5, trimming
+    // (c,d):5 but keeping (a,b):6
+    assert(
+      Tokenization.selectBatch(Seq(("a", "b", 6L), ("c", "d", 5L), ("d", "e", 5L)), maxN = 3) ===
+        Seq(("a", "b", 6L)))
+  }
+
+  test("bpeEncode folds the trained merges in order over each document") {
+    import spark.implicits._
+    // training corpus (one doc): merges (a,a):4, (a,b):3, (aa,ab):2,
+    // then exhausted (see the bpeTrain hand test). Encoding the same
+    // doc: aaab → [aaab] (round-3 symbol), ab → [ab] (round-2 symbol).
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = Tokenization
+      .bpeEncode(spark, docs, nMerges = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val idAaab = Tokenization.MergedIdBase + 3
+    val idAb = Tokenization.MergedIdBase + 2
+    assert(
+      got === Array((1L, 3L, s"$idAaab,$idAaab,$idAb", idAaab * 2 + idAb)))
+  }
+
+  test("bpeEncode: single chars use code points; empty docs encode to zero tokens") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y"), (2L, ""), (3L, "xy")).toDF("doc_id", "text")
+    // histogram: x:1, y:1, xy:1 → only pair (x,y):1 → one merge
+    val got = Tokenization
+      .bpeEncode(spark, docs, nMerges = 2)
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val idXy = Tokenization.MergedIdBase + 1
+    assert(got === Array(
+      (1L, 2L, "120,121", 241L), // 'x'=120, 'y'=121
+      (2L, 0L, "", 0L),
+      (3L, 1L, s"$idXy", idXy)))
+  }
+
+  test("bpeEncode honors the frequency floor: floored words still encode") {
+    import spark.implicits._
+    // "ab" freq 3 trains the merge; "cd" freq 1 is floored OUT of
+    // training but must still ENCODE (as raw chars)
+    val docs = Seq((1L, "ab ab ab"), (2L, "cd")).toDF("doc_id", "text")
+    val got = Tokenization
+      .bpeEncode(spark, docs, nMerges = 1, minFreq = 2L)
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val idAb = Tokenization.MergedIdBase + 1
+    assert(got === Array(
+      (1L, 3L, s"$idAb,$idAb,$idAb", 3 * idAb),
+      (2L, 2L, "99,100", 199L))) // 'c'=99, 'd'=100
+  }
+}
