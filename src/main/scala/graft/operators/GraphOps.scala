@@ -240,15 +240,20 @@ object GraphOps {
     */
   private val BroadcastRowCap = 4000000L
 
-  /** Below this frontier size a round is driver-latency-bound and two
-    * sub-rounds are fused per materialization (see the batching note in
-    * [[patchLoop]]). Conservative on purpose: a fused round evaluates
-    * the intermediate patch three times, and on dense graphs a few
-    * hundred frontier rows already carry real join work (measured: a
-    * 417-row frontier on a 330k-edge graph fused at 2.6s vs 2×1.0s
-    * unfused).
+  /** Frontier size below which two sub-rounds fuse into one
+    * materialization (see the batching note in [[patchLoop]]). DEFAULT 0
+    * = never fuse: measured per-round debug shows a fused round costs
+    * 1.9–5.4 s against 0.3–0.5 s unfused EVEN ON 14-ROW PATCHES
+    * (sssp_layered 11.1 s fused vs 4.3 s unfused end-to-end) — the
+    * doubled plan depth's planning/codegen plus the ~3× re-evaluation
+    * of the unmaterialized intermediate swamp the one job dispatch a
+    * fuse saves, because in local mode planning IS the per-round floor.
+    * The knob stays for cluster profiles where dispatch latency (queue
+    * waits, 1 s+ scheduling) dominates planning; set GRAFT_BATCH_BELOW
+    * to a small frontier bound to re-enable.
     */
-  private val BatchBelowRows = 200L
+  private val BatchBelowRows =
+    sys.env.get("GRAFT_BATCH_BELOW").map(_.toLong).getOrElse(0L)
 
   /** Loop shuffle parallelism: ≈100k edges per partition, floor 4,
     * capped at the session's configured shuffle partitions. At cluster
@@ -401,18 +406,18 @@ object GraphOps {
               coalesce(col("newval"), col("p_val")).as("p_val"),
               coalesce(col("improved"), lit(false)).as("p_upd")) ++ reachedCols: _*)
       }
-      // Adaptive batching: once the frontier has been small for TWO
-      // consecutive rounds (the converged long tail, not the small seed
-      // of a still-expanding run) the round cost is driver/job latency,
-      // not data — fuse two sub-rounds into one materialization (the
-      // intermediate patch is re-evaluated by its consumers, but in this
-      // regime that work is tiny). Large or still-expanding frontiers
-      // stay at one sub-round per materialization: there the per-round
-      // work is data-bound and re-evaluation would dominate. Deeper
-      // fusing loses: each fused level re-evaluates its sub-plan ~3×, so
-      // cost grows 3^depth (measured: depth 4 tripled sssp_lineitem).
-      // Convergence stays exact — the final sub-round's `p_upd` flags
-      // gate the loop, and a fused no-op sub-round is idempotent.
+      // Adaptive batching (OFF by default — see [[BatchBelowRows]]):
+      // when enabled, a frontier small for TWO consecutive rounds (the
+      // converged long tail, not the small seed of a still-expanding
+      // run) fuses two sub-rounds into one materialization, trading ~3×
+      // re-evaluation of the unmaterialized intermediate for one fewer
+      // job dispatch. Measurement showed local planning/codegen — not
+      // dispatch — is the per-round floor, so the default stays 1
+      // sub-round per materialization. Deeper fusing compounds: cost
+      // grows 3^depth (measured: depth 4 tripled sssp_lineitem).
+      // Convergence stays exact either way — the final sub-round's
+      // `p_upd` flags gate the loop, and a fused no-op sub-round is
+      // idempotent.
       val smallTail = changed < BatchBelowRows && prevChanged < BatchBelowRows
       val batch = math.min(if (smallTail) 2L else 1L, bound - rounds)
       prevChanged = changed
