@@ -255,6 +255,13 @@ object GraphOps {
   private val BatchBelowRows =
     sys.env.get("GRAFT_BATCH_BELOW").map(_.toLong).getOrElse(0L)
 
+  /** Frontier sizes below this get an explicit broadcast hint in the
+    * loop (see the note in [[patchLoop]]'s subRound) — ~a few MB of ids
+    * and values, unambiguously broadcast-right. Above it the frontier
+    * takes the shuffle path and AQE decides at runtime.
+    */
+  private val FrontierBroadcastRows = 100000L
+
   /** Loop shuffle parallelism: ≈100k edges per partition, floor 4,
     * capped at the session's configured shuffle partitions. At cluster
     * scale the cap always wins (the configured parallelism is sized to
@@ -280,14 +287,18 @@ object GraphOps {
       body: => A): A = {
     val shuffleKey = "spark.sql.shuffle.partitions"
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val aqeKey = "spark.sql.adaptive.enabled"
     val prevShuffle = session.conf.get(shuffleKey, "200")
     val prevCoalesce = session.conf.get(coalesceKey, "true")
+    val prevAqe = session.conf.get(aqeKey, "true")
     session.conf.set(shuffleKey, parts.toString)
     session.conf.set(coalesceKey, "false")
+    sys.env.get("GRAFT_LOOP_AQE").foreach(v => session.conf.set(aqeKey, v))
     try body
     finally {
       session.conf.set(shuffleKey, prevShuffle)
       session.conf.set(coalesceKey, prevCoalesce)
+      session.conf.set(aqeKey, prevAqe)
     }
   }
 
@@ -393,7 +404,16 @@ object GraphOps {
       val tRound = System.nanoTime()
       // one algorithm sub-round, composed lazily over `p`
       def subRound(p: DataFrame): DataFrame = {
-        val frontier = p.filter(col("p_upd")).select(col("id"), col("p_val").as(valCol))
+        // the loop MEASURED the frontier size last round (`changed`), so
+        // hint the broadcast outright instead of waiting for AQE to
+        // rediscover it stage-by-stage (measured: the late-tail rounds'
+        // AQE re-planning cost 1.5 s/round on a 1-row frontier; hinted,
+        // 0.35 s). Gated well below the patch overlay's cap: a frontier
+        // this size is a few MB broadcast, while a fixed-iteration
+        // all-nodes "frontier" (pagerank) or a still-expanding 100 TB
+        // wave correctly stays on the shuffle path
+        val fr0 = p.filter(col("p_upd")).select(col("id"), col("p_val").as(valCol))
+        val frontier = if (changed < FrontierBroadcastRows) broadcast(fr0) else fr0
         val delta = mkDelta(currentState(base, p, patchRows), frontier)
         val reachedCols =
           if (trackReached)
