@@ -259,8 +259,19 @@ object Similarity {
     * (train → assign → invert → probe) with every stage cross-engine
     * deterministic.
     */
-  def ivfTrainedTopK(embs: DataFrame, nQueries: Int, k: Int, nProbe: Int): DataFrame = {
-    val cents = kmeansFixed(embs)
+  def ivfTrainedTopK(embs: DataFrame, nQueries: Int, k: Int, nProbe: Int): DataFrame =
+    ivfWithCentroids(embs, kmeansFixed(embs), nQueries, k, nProbe)
+
+  /** The probe path over an ALREADY-TRAINED quantizer — lets a caller
+    * train once and evaluate several probe widths ([[ivfRecall]])
+    * without re-running Lloyd per width.
+    */
+  def ivfWithCentroids(
+      embs: DataFrame,
+      cents: DataFrame,
+      nQueries: Int,
+      k: Int,
+      nProbe: Int): DataFrame = {
     val cellScores = intEmb(embs)
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), col("e"), cellScore(col("ei"), col("c")).as("ccos"))
@@ -314,9 +325,13 @@ object Similarity {
   def ivfRecall(embs: DataFrame, nQueries: Int, k: Int, nProbes: Seq[Int]): DataFrame = {
     val exact = Phys.materialized(
       bruteForceTopK(embs, nQueries, k).select(col("q_id"), col("n_id")))
+    // train ONCE, probe per width — k-means is deterministic, so this is
+    // result-identical to retraining per width, minus the repeated Lloyd
+    // iterations (the dominant cost of the retrain)
+    val cents = Phys.materialized(kmeansFixed(embs))
     nProbes
       .map(p =>
-        recallVsExact(exact, ivfTrainedTopK(embs, nQueries, k, nProbe = p), k)
+        recallVsExact(exact, ivfWithCentroids(embs, cents, nQueries, k, nProbe = p), k)
           .select(lit(p).cast("int").as("n_probe"), col("q_id"), col("n_hits"), col("recall")))
       .reduce(_ unionAll _)
   }
