@@ -429,6 +429,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
         .orderBy(col("c_mktsegment"))
     }),
+    // ORC staging round-trip — the second big columnar container a lake
+    // mixes; pruning/pushdown reach the ORC scan like the parquet one
+    "orc_source_agg" -> ((s, d) => {
+      val p = table(s, d, "part").select(
+        col("p_partkey").cast("long").as("p_partkey"),
+        col("p_brand"),
+        col("p_retailprice").cast("double").as("p_retailprice"))
+      sources.TabularIO.orcRoundTrip(s, p)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("sum_price"))
+        .orderBy(col("p_brand"))
+    }),
     "events_sliding" -> ((s, d) =>
       EventOps.sliding(events(s, d)).orderBy(col("ws"), col("event_type"))),
     "events_sessionize" -> ((s, d) =>
@@ -564,6 +576,13 @@ object SparkEntry {
     }),
     "decontaminate" -> ((s, d) => TextOps.decontaminate(docs(s, d)).orderBy(col("doc_id"))),
     "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d)).orderBy(col("doc_id"))),
+    // self-trained unigram-LM scoring — the perplexity-proxy quality
+    // filter; ln rounded per token, position-ordered fold (see TextOps)
+    "text_unigram_lm" -> ((s, d) => TextOps.unigramScore(docs(s, d)).orderBy(col("doc_id"))),
+    // deterministic size-weighted corpus subsample (A-Res exponential
+    // keys on the shared hash grid); TakeOrdered, never a full sort
+    "doc_weighted_sample" -> ((s, d) =>
+      TextOps.weightedSample(docs(s, d), k = 100).orderBy(col("doc_id"))),
     "ann_recall" -> ((s, d) =>
       Similarity.lshRecall(embs(s, d), nQueries = 50, k = 3).orderBy(col("q_id"))),
     // measured recall@k of the TRAINED IVF at two probe widths — the
@@ -1362,6 +1381,13 @@ object SparkEntry {
         """SELECT c_mktsegment, count(*) AS n,
           |       round(sum(CAST(c_acctbal AS DOUBLE)), 2) AS sum_bal
           |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+      "orc_source_agg" ->
+        """SELECT p_brand, count(*) AS n,
+          |       round(sum(CAST(p_retailprice AS DOUBLE)), 2) AS sum_price
+          |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin,
+      "text_unigram_lm" -> (TextOps.unigramScoreSql() + "\nORDER BY doc_id"),
+      "doc_weighted_sample" ->
+        s"SELECT * FROM (${TextOps.weightedSampleSql(k = 100)}) ORDER BY doc_id",
       "ann_brute_topk" ->
         s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
            |scored AS (

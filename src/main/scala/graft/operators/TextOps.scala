@@ -124,6 +124,130 @@ object TextOps {
       .orderBy(col("df").desc, col("term"))
       .limit(k)
 
+  /** Unigram-LM quality scoring — the perplexity-proxy filter: train
+    * add-one-smoothed unigram log-probabilities on the corpus's OWN
+    * token histogram, then score every document by its mean token
+    * log-prob (higher = more typical of the corpus; the score real
+    * pipelines threshold to drop boilerplate and gibberish).
+    *
+    * Cross-engine exactness: the only transcendental (ln) is rounded to
+    * 9 dp PER TOKEN, and the per-doc sum folds those identical rounded
+    * values in token-position order in both engines (array_sort on
+    * (pos, lnp) here, `list(... ORDER BY pos)` in DuckDB) — so the sum
+    * is bit-identical, not merely close (float group-sums have
+    * nondeterministic order; an ordered fold does not).
+    *
+    * Scale shape: histogram = one hash aggregate on the term (map-side
+    * partial); the score join broadcasts the vocab side via AQE; the
+    * per-doc fold is one shuffle on doc_id with O(doc tokens) state —
+    * the same class as tf-idf. The corpus is read twice (train, score),
+    * which is intrinsic to self-training.
+    */
+  def unigramScore(docs: DataFrame): DataFrame = {
+    val terms =
+      docs.select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "term")))
+    val hist = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totals = hist.agg(sum(col("c")).as("n_total"), count(lit(1)).as("v_size"))
+    val lnp = terms
+      .join(hist, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("doc_id"),
+        col("pos"),
+        round(
+          log((col("c") + 1).cast("double") / (col("n_total") + col("v_size")).cast("double")),
+          9).as("lnp"))
+    val perDoc = lnp
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("lnp")))), s => s("lnp")),
+          lit(0.0d),
+          (acc, v) => acc + v).as("sum_lnp"))
+    docs
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(col("sum_lnp") / col("n_tokens").cast("double"), 6).as("mean_lnp"))
+  }
+
+  /** [[unigramScore]], mirrored: same histogram, same per-token 9 dp
+    * rounding, same position-ordered fold.
+    */
+  def unigramScoreSql(): String = {
+    val toks = Parity.tokensSql("text")
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, $toks AS ts FROM documents),
+       |term AS (
+       |  SELECT doc_id, pos, ts[CAST(pos AS INT)] AS term
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos FROM tok0)),
+       |hist AS (SELECT term, count(*) AS c FROM term GROUP BY term),
+       |tot AS (SELECT sum(c) AS n_total, count(*) AS v_size FROM hist),
+       |lnp AS (
+       |  SELECT t.doc_id, t.pos,
+       |         round(ln(CAST(h.c + 1 AS DOUBLE) / CAST(tt.n_total + tt.v_size AS DOUBLE)), 9) AS lnp
+       |  FROM term t JOIN hist h USING (term) CROSS JOIN tot tt),
+       |per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lnp ORDER BY pos)),
+       |                     (a, b) -> a + b) AS sum_lnp
+       |  FROM lnp GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+       |       round(p.sum_lnp / CAST(p.n_tokens AS DOUBLE), 6) AS mean_lnp
+       |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+  }
+
+  /** Deterministic weighted sampling without replacement (the
+    * exponential-keys / A-Res scheme of Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): each doc draws
+    * u ~ Uniform(0,1] from a salted hash of its id and the k docs with
+    * the smallest -ln(u)/w survive, w = token count — longer documents
+    * proportionally likelier, the standard size-weighted corpus
+    * subsample. The sign-safe integer hash grid of [[shuffleShards]],
+    * but with the seed added BEFORE the Knuth multiply — an added-after
+    * seed only SHIFTS every u by a constant, which a monotone key map
+    * preserves almost order-exactly (measured: seeds 7 and 8 selected
+    * the identical 100 docs); pre-multiply it permutes. The sort key is
+    * rounded to a 9 dp grid (ties broken by doc_id) so both engines cut
+    * the same top-k. The key itself is not emitted — selection, not
+    * score, is the contract.
+    *
+    * Scale shape: one narrow map, then TakeOrdered top-k (per-partition
+    * heads + driver merge of k rows) — never a full sort.
+    */
+  def weightedSample(docs: DataFrame, k: Int, seed: Long = 7L): DataFrame = {
+    require(seed >= 0 && seed < 1000000000L, s"seed must be in [0, 1e9), got $seed")
+    // overflow bound: (2^31 + 1e9) * 2654435761 ≈ 8.4e18 < Long.Max
+    val w = greatest(size(toks(col("text"))).cast("long"), lit(1L))
+    val u = (pmod(
+      (pmod(col("doc_id"), lit(2147483648L)) + lit(seed)) * lit(2654435761L),
+      lit(1000000007L)) + 1L).cast("double") / lit(1000000008.0d)
+    docs
+      .select(
+        col("doc_id"),
+        w.as("weight"),
+        round(-log(u) / w.cast("double"), 9).as("skey"))
+      .orderBy(col("skey"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("weight"))
+  }
+
+  /** [[weightedSample]], mirrored on the same hash grid. */
+  def weightedSampleSql(k: Int, seed: Long = 7L): String = {
+    val toks = Parity.tokensSql("text")
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |         CAST(greatest(len($toks), 1) AS BIGINT) AS weight,
+       |         round(-ln(((((doc_id % 2147483648 + 2147483648) % 2147483648
+       |                       + $seed) * 2654435761) % 1000000007 + 1) / 1000000008.0)
+       |               / CAST(greatest(len($toks), 1) AS DOUBLE), 9) AS skey
+       |  FROM documents)
+       |SELECT doc_id, weight FROM s ORDER BY skey, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Document-length histogram: token-count deciles (bucket = n_tokens/10,
     * capped at 20) with document counts and mean char length — the
     * length-distribution snapshot a corpus-curation pipeline reports.

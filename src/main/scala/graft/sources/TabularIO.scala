@@ -37,6 +37,18 @@ object TabularIO {
     spark.read.schema(df.schema).json(dir)
   }
 
+  /** Write `df` as ORC into a fresh directory, read it back with the
+    * identical explicit schema. Columnar like parquet — column pruning
+    * and predicate pushdown reach the scan — so the engine is
+    * format-agnostic across the two big columnar container formats a
+    * lake actually mixes.
+    */
+  def orcRoundTrip(spark: SparkSession, df: DataFrame): DataFrame = {
+    val dir = Staging.freshDir("orc")
+    df.write.mode("overwrite").orc(dir)
+    spark.read.schema(df.schema).orc(dir)
+  }
+
   /** Write `df` hive-partitioned on `partCol` into a fresh directory and
     * read it back. Downstream filters on the partition column prune at
     * the DIRECTORY level (PartitionFilters in the scan, asserted in

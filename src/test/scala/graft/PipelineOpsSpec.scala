@@ -166,4 +166,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("partial_max_by"), s"no map-side partial in:\n$plan")
     assert(!plan.contains("Window"), s"window formulation leaked in:\n$plan")
   }
+
+  test("unigram LM: uniform corpus scores uniformly; rarer tokens score lower") {
+    import spark.implicits._
+    // "a a" ×3 docs and one "a b": b is the rare token, so doc 4's mean
+    // log-prob must be strictly below the all-'a' docs'; all-'a' docs
+    // tie exactly (same tokens, same counts)
+    val docs = Seq(
+      (1L, "a a"),
+      (2L, "a a"),
+      (3L, "a a"),
+      (4L, "a b"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextOps
+      .unigramScore(docs)
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(got.map(_._2).toSeq === Seq(2L, 2L, 2L, 2L, 0L))
+    assert(got(0)._3 === got(1)._3 && got(1)._3 === got(2)._3)
+    assert(got(3)._3 < got(0)._3, "doc with the rare token must score lower")
+    assert(got(4)._3.isNaN, "empty doc has no score")
+  }
+
+  test("weighted sample is deterministic, exactly k, and favors heavy docs in aggregate") {
+    val docs = model.table(spark, dir, "documents")
+    val s1 = TextOps.weightedSample(docs, k = 100).orderBy(col("doc_id")).collect()
+    val s2 = TextOps.weightedSample(docs, k = 100).orderBy(col("doc_id")).collect()
+    assert(s1.toSeq === s2.toSeq, "same seed must select the same set")
+    assert(s1.length === 100)
+    // size-weighted sampling must pull the sample's mean weight above
+    // the corpus mean (token counts vary ~100x across the fixture)
+    val corpusMean = docs
+      .select(avg(greatest(size(split(col("text"), "\\s+")), lit(1))).as("m"))
+      .head()
+      .getDouble(0)
+    val sampleMean = s1.map(_.getLong(1)).sum.toDouble / s1.length
+    assert(
+      sampleMean > corpusMean,
+      s"sample mean weight $sampleMean not above corpus mean $corpusMean")
+    val s3 = TextOps.weightedSample(docs, k = 100, seed = 8L).orderBy(col("doc_id")).collect()
+    assert(s3.map(_.getLong(0)).toSeq !== s1.map(_.getLong(0)).toSeq, "seed must matter")
+  }
 }

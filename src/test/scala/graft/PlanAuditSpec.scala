@@ -227,6 +227,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles <= 6, s"too many exchanges ($shuffles) in:\n$plan")
   }
 
+  test("doc_weighted_sample plans as TakeOrdered — never a global sort") {
+    val plan = planOf(
+      graft.operators.TextOps.weightedSample(model.table(spark, dir, "documents"), k = 100))
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$plan")
+    // the sample must not funnel the corpus through one partition to cut k
+    assert(!plan.contains("Exchange SinglePartition"), s"single-partition sort in:\n$plan")
+  }
+
+  test("text_unigram_lm: no cartesian; totals ride a 1-row broadcast") {
+    val plan = planOf(SparkEntry.queries("text_unigram_lm")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"raw cartesian in:\n$plan")
+  }
+
+  test("orc round-trip pushes filter + pruning into the ORC scan") {
+    val p = model.table(spark, dir, "part").select(
+      col("p_partkey").cast("long").as("p_partkey"),
+      col("p_brand"),
+      col("p_retailprice").cast("double").as("p_retailprice"))
+    val df = graft.sources.TabularIO.orcRoundTrip(spark, p)
+      .filter(col("p_partkey") > 100)
+      .select(col("p_partkey"), col("p_brand"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(p_partkey), GreaterThan(p_partkey"),
+      s"no pushdown into orc scan:\n$plan")
+    assert(!plan.contains("p_retailprice"), s"unpruned orc read:\n$plan")
+  }
+
   test("whole-stage codegen spans the relational aggregation path") {
     // (the text operators' higher-order array expressions are interpreted
     // by Spark — no codegen exists for lambda functions — but stay
