@@ -614,6 +614,12 @@ object SparkEntry {
     // deterministic KMV cardinality sketch next to its exact answer
     "sketch_kmv_shingles" -> ((s, d) =>
       operators.Sketches.kmvDistinctShingles(docs(s, d))),
+    // grouped KMV: per-source distinct-token estimate next to exact
+    "sketch_kmv_per_source" -> ((s, d) =>
+      operators.Sketches.kmvPerSource(docs(s, d)).orderBy(col("source"))),
+    // span-level exact-substring dedup (duplicated 3-gram runs)
+    "dedup_substring_spans" -> ((s, d) =>
+      Dedup.dupSpans(docs(s, d)).orderBy(col("doc_id"), col("span_start"))),
     // co-located join: both sides staged through bucketed managed tables
     // on the join key — the executed plan has no shuffle exchange before
     // the sort-merge join (asserted in BucketingSpec); the oracle reads
@@ -1580,6 +1586,10 @@ object SparkEntry {
            |                 ELSE (${k - 1} * ${Parity.TokP * Parity.TokP2}) // a.kth_hash END AS BIGINT) AS kmv_estimate
            |FROM e CROSS JOIN a""".stripMargin
       },
+      "sketch_kmv_per_source" ->
+        (operators.Sketches.kmvPerSourceSql() + "\nORDER BY source"),
+      "dedup_substring_spans" ->
+        s"SELECT * FROM (${Dedup.dupSpansSql()}) ORDER BY doc_id, span_start",
       "bucketed_join" ->
         """SELECT c_mktsegment, count(*) AS n,
           |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS revenue

@@ -324,6 +324,71 @@ object Dedup {
       .filter(col("cos") >= minCosine)
   }
 
+  /** Exact-substring duplicate spans (the span-level dedup of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 — there suffix-array-based; here re-expressed
+    * relationally): every maximal run of word-3-gram positions whose
+    * gram recurs ANYWHERE in the corpus, reported as
+    * (doc_id, span_start, span_end, n_grams) over 1-based token indices
+    * (a gram at position p covers tokens p..p+2). Real pipelines cut or
+    * down-weight these spans — boilerplate, licenses, templated text.
+    *
+    * Scale shape: gram extraction is one narrow map (the positions ride
+    * along, no join back to the text); the duplicate-gram set is a
+    * count>1 hash aggregate on the 40-bit gram hash (map-side partial,
+    * one shuffle carrying one row per DISTINCT gram); membership is an
+    * equi-join on that hash (at 100 TB: the [[BloomJoin]] prefilter
+    * drops unique grams below the exchange); span assembly is the
+    * gaps-and-islands trick — pos minus per-doc rank is constant within
+    * a consecutive run — one window + one aggregate, both keyed on
+    * doc_id with O(doc positions) state.
+    */
+  def dupSpans(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(
+        col("doc_id"),
+        posexplode(Parity.shinglesAll(Parity.tokens(col("text")))).as(Seq("p0", "gram")))
+      .select(
+        col("doc_id"),
+        (col("p0") + 1).cast("long").as("pos"),
+        Parity.tokenH40(col("gram")).as("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("n")).filter(col("n") > 1).select("h")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams
+      .join(dup, Seq("h"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(w).cast("long"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + 2).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** [[dupSpans]], mirrored: same grams, same 40-bit hash, same
+    * gaps-and-islands assembly.
+    */
+  def dupSpansSql(): String = {
+    val toks = Parity.tokensSql("text")
+    val h = Parity.tokenH40Sql("gs[CAST(pos AS INT)]")
+    s"""WITH tok AS (SELECT doc_id, $toks AS ts FROM documents),
+       |g AS (SELECT doc_id, ${Parity.shinglesAllSql("ts")} AS gs FROM tok),
+       |gram AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, $h AS h
+       |  FROM (SELECT doc_id, gs, unnest(range(1, len(gs) + 1)) AS pos FROM g)),
+       |dup AS (SELECT h FROM gram GROUP BY h HAVING count(*) > 1),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM gram JOIN dup USING (h)),
+       |sp AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + 2 AS span_end,
+       |         CAST(count(*) AS BIGINT) AS n_grams
+       |  FROM isl GROUP BY doc_id, grp)
+       |SELECT doc_id, span_start, span_end, n_grams FROM sp""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on `label` (stand-in
     * for an ANN bucket at scale — see [[embeddingNearDupsLsh]] for the
     * real-bucket form), cosine computed in deterministic sequential order

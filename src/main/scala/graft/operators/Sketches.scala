@@ -55,4 +55,61 @@ object Sketches {
           .otherwise(expr(s"(${k - 1} * ${space}L) div kth_hash"))
           .as("kmv_estimate"))
   }
+
+  /** GROUPED KMV: distinct-token estimate per `source` — the per-split
+    * vocabulary report a curation dashboard shows, one sketch row per
+    * group next to the exact count it estimates.
+    *
+    * Scale shape: the (source, hash) pre-distinct collapses duplicate
+    * tokens with a map-side partial before its exchange; the per-group
+    * k minima come from a rank over (source, hash) — a sort-based,
+    * spillable exchange keyed on source whose per-row state is one
+    * counter. At 100 TB the standard refinement is a per-partition
+    * bounded heap (the [[graft.functions.TopKAggregator]] pattern)
+    * truncating to k BEFORE the exchange; the estimator and result are
+    * unchanged, so the sketch row stays bit-identical.
+    */
+  def kmvPerSource(docs: DataFrame, k: Int = 64): DataFrame = {
+    val space = Parity.TokP * Parity.TokP2
+    val pairs = docs
+      .select(col("source"), explode(Parity.tokens(col("text"))).as("t"))
+      .select(col("source"), Parity.tokenH40(col("t")).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source")).orderBy(col("h"))
+    val exact = pairs.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_mins"), max(col("h")).as("kth_hash"))
+      .join(exact, Seq("source"))
+      .select(
+        col("source"),
+        col("n_exact"),
+        col("n_mins"),
+        col("kth_hash"),
+        when(col("n_mins") < k, col("n_mins"))
+          .otherwise(expr(s"(${k - 1} * ${space}L) div kth_hash"))
+          .as("kmv_estimate"))
+  }
+
+  /** [[kmvPerSource]], mirrored on the same hash and estimator. */
+  def kmvPerSourceSql(k: Int = 64): String = {
+    val space = Parity.TokP * Parity.TokP2
+    val h = Parity.tokenH40Sql("t")
+    s"""WITH tok AS (
+       |  SELECT source, unnest(${Parity.tokensSql("text")}) AS t FROM documents),
+       |pair AS (SELECT DISTINCT source, $h AS h FROM tok),
+       |ranked AS (
+       |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM pair),
+       |mins AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_mins, max(h) AS kth_hash
+       |  FROM ranked WHERE rn <= $k GROUP BY source),
+       |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM pair GROUP BY source)
+       |SELECT source, n_exact, n_mins, kth_hash,
+       |       CASE WHEN n_mins < $k THEN n_mins
+       |            ELSE (${k - 1} * $space) // kth_hash END AS kmv_estimate
+       |FROM mins JOIN ex USING (source)""".stripMargin
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.Parity
-import graft.operators.{Dedup, EventOps, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, EventOps, Multimodal, Similarity, Sketches, TextOps}
 
 /** Unit tests for the north-star extension operators on tiny in-memory
   * inputs with hand-computed expectations.
@@ -410,6 +410,46 @@ class ExtensionOpsSpec extends SparkSpec {
     // deterministic across runs
     val again = Sketches.kmvDistinctShingles(docs, k = 256).collect()(0)
     assert(again.getLong(3) === r2.getLong(3))
+  }
+
+  test("dup spans: merges consecutive duplicated 3-gram runs, 1-based, inclusive") {
+    // docs 1 and 2 share the 5-token prefix "w1 w2 w3 w4 w5" → grams at
+    // positions 1..3 in both, merged into one span covering tokens 1..5;
+    // their tails are unique. doc 3 shares nothing.
+    val d = docsDf(Seq(
+      (1L, "w1 w2 w3 w4 w5 u1 u2 u3", "en"),
+      (2L, "w1 w2 w3 w4 w5 v1 v2 v3", "en"),
+      (3L, "x1 x2 x3 x4 x5 x6", "en")))
+    val out = Dedup.dupSpans(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set((1L, 1L, 5L, 3L), (2L, 1L, 5L, 3L)))
+  }
+
+  test("dup spans: within-doc repetition splits into separate islands") {
+    // "a b c" occurs twice inside doc 1 (positions 1 and 5, gap at 2-4
+    // broken by the unique m1 m2 run between) → two 1-gram spans
+    val d = docsDf(Seq((1L, "a b c m1 a b c", "en"), (2L, "q r s t", "en")))
+    val out = Dedup.dupSpans(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set((1L, 1L, 3L, 1L), (1L, 5L, 7L, 1L)))
+  }
+
+  test("grouped kmv: small universe per source is exact; estimator is deterministic") {
+    val d = Seq(
+      (1L, "a b c", "en", "s1"),
+      (2L, "a b d", "en", "s1"),
+      (3L, "x y", "en", "s2")).toDF("doc_id", "text", "lang", "source")
+    val out = Sketches.kmvPerSource(d, k = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSet
+    // universes (4 and 2 distinct tokens) are below k → estimate exact
+    assert(out === Set(("s1", 4L, 4L, 4L), ("s2", 2L, 2L, 2L)))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val big = Sketches.kmvPerSource(docs, k = 64).collect()
+    assert(big.nonEmpty)
+    big.foreach { r =>
+      val (exact, est) = (r.getLong(1).toDouble, r.getLong(4).toDouble)
+      assert(est > exact * 0.6 && est < exact * 1.4, s"${r.getString(0)}: exact=$exact est=$est")
+    }
   }
 
   test("lsh recall report covers every query and stays within [0,1]") {

@@ -254,6 +254,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("p_retailprice"), s"unpruned orc read:\n$plan")
   }
 
+  test("dedup_substring_spans: partial agg below the gram exchange, no cartesian") {
+    val plan = planOf(SparkEntry.queries("dedup_substring_spans")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the duplicate-gram count must partial-aggregate before its shuffle
+    assert(plan.contains("partial_count"), s"no map-side partial in:\n$plan")
+  }
+
+  test("sketch_kmv_per_source never funnels through a single partition") {
+    val plan = planOf(SparkEntry.queries("sketch_kmv_per_source")(spark, dir))
+    assert(!plan.contains("Exchange SinglePartition, ENSURE"),
+      s"grouped sketch collapsed to one partition in:\n$plan")
+    // per-group rank rides a hash exchange on source, not a global sort
+    assert(plan.contains("hashpartitioning(source"), s"no source-keyed exchange in:\n$plan")
+  }
+
   test("whole-stage codegen spans the relational aggregation path") {
     // (the text operators' higher-order array expressions are interpreted
     // by Spark — no codegen exists for lambda functions — but stay
