@@ -620,6 +620,9 @@ object SparkEntry {
     // span-level exact-substring dedup (duplicated 3-gram runs)
     "dedup_substring_spans" -> ((s, d) =>
       Dedup.dupSpans(docs(s, d)).orderBy(col("doc_id"), col("span_start"))),
+    // per-doc duplicated-token fraction (the curation threshold scalar)
+    "dedup_dup_ratio" -> ((s, d) =>
+      Dedup.dupTokenRatio(docs(s, d)).orderBy(col("doc_id"))),
     // co-located join: both sides staged through bucketed managed tables
     // on the join key — the executed plan has no shuffle exchange before
     // the sort-merge join (asserted in BucketingSpec); the oracle reads
@@ -1590,6 +1593,8 @@ object SparkEntry {
         (operators.Sketches.kmvPerSourceSql() + "\nORDER BY source"),
       "dedup_substring_spans" ->
         s"SELECT * FROM (${Dedup.dupSpansSql()}) ORDER BY doc_id, span_start",
+      "dedup_dup_ratio" ->
+        s"SELECT * FROM (${Dedup.dupTokenRatioSql()}) ORDER BY doc_id",
       "bucketed_join" ->
         """SELECT c_mktsegment, count(*) AS n,
           |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS revenue

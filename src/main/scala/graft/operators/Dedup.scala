@@ -389,6 +389,70 @@ object Dedup {
        |SELECT doc_id, span_start, span_end, n_grams FROM sp""".stripMargin
   }
 
+  /** Per-document duplicated-token ratio — the scalar [[dupSpans]] rolls
+    * up to, and the number a curation pipeline actually thresholds
+    * ("drop docs more than X% duplicated"). A token is duplicated if ANY
+    * duplicated 3-gram covers it, so overlapping gram windows are
+    * counted once: each duplicated gram at position p expands to tokens
+    * {p, p+1, p+2}, distinct-ed per doc before counting. The 1e-9 nudge
+    * before rounding keeps small-integer quotients that land exactly on
+    * round-half boundaries on the same side in both engines.
+    *
+    * Scale shape: [[dupSpans]]' gram/dup-set plan plus a 3× explode of
+    * only the DUPLICATED positions (bounded by doc length), one distinct
+    * and one count keyed on doc_id.
+    */
+  def dupTokenRatio(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(
+        col("doc_id"),
+        posexplode(Parity.shinglesAll(Parity.tokens(col("text")))).as(Seq("p0", "gram")))
+      .select(
+        col("doc_id"),
+        (col("p0") + 1).cast("long").as("pos"),
+        Parity.tokenH40(col("gram")).as("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("n")).filter(col("n") > 1).select("h")
+    val covered = grams
+      .join(dup, Seq("h"))
+      .select(col("doc_id"), explode(array(col("pos"), col("pos") + 1, col("pos") + 2)).as("t"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_tokens"))
+    docs
+      .select(col("doc_id"), size(Parity.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(
+          coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            greatest(col("n_tokens"), lit(1L)).cast("double") + 1e-9,
+          6).as("dup_ratio"))
+  }
+
+  /** [[dupTokenRatio]], mirrored. */
+  def dupTokenRatioSql(): String = {
+    val toks = Parity.tokensSql("text")
+    val h = Parity.tokenH40Sql("gs[CAST(pos AS INT)]")
+    s"""WITH tok AS (SELECT doc_id, $toks AS ts FROM documents),
+       |g AS (SELECT doc_id, ${Parity.shinglesAllSql("ts")} AS gs FROM tok),
+       |gram AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, $h AS h
+       |  FROM (SELECT doc_id, gs, unnest(range(1, len(gs) + 1)) AS pos FROM g)),
+       |dup AS (SELECT h FROM gram GROUP BY h HAVING count(*) > 1),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pos + o AS t
+       |  FROM (SELECT doc_id, pos FROM gram JOIN dup USING (h))
+       |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS o)),
+       |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens FROM cov GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       |       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       |       round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) /
+       |             CAST(greatest(len(t.ts), 1) AS DOUBLE) + 1e-9, 6) AS dup_ratio
+       |FROM tok t LEFT JOIN per p USING (doc_id)""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on `label` (stand-in
     * for an ANN bucket at scale — see [[embeddingNearDupsLsh]] for the
     * real-bucket form), cosine computed in deterministic sequential order

@@ -434,6 +434,22 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out === Set((1L, 1L, 3L, 1L), (1L, 5L, 7L, 1L)))
   }
 
+  test("dup ratio: overlapping gram windows count each token once") {
+    // docs 1, 2 share "w1 w2 w3 w4": duplicated grams at positions 1, 2
+    // cover tokens 1..4 (token 2, 3 covered twice — counted once);
+    // doc 1 has 6 tokens → 4/6, doc 2 has 4 → 4/4; doc 3 untouched → 0
+    val d = docsDf(Seq(
+      (1L, "w1 w2 w3 w4 u1 u2", "en"),
+      (2L, "w1 w2 w3 w4", "en"),
+      (3L, "z1 z2 z3", "en")))
+    val out = Dedup.dupTokenRatio(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out === Set(
+      (1L, 6L, 4L, 0.666667),
+      (2L, 4L, 4L, 1.0),
+      (3L, 3L, 0L, 0.0)))
+  }
+
   test("grouped kmv: small universe per source is exact; estimator is deterministic") {
     val d = Seq(
       (1L, "a b c", "en", "s1"),
