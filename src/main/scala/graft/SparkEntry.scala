@@ -739,6 +739,11 @@ object SparkEntry {
         .orderBy(col("band"))
     }),
     "doc_split" -> ((s, d) => TextOps.splitAssign(docs(s, d)).orderBy(col("doc_id"))),
+    // train->eval shingle-leakage report over the content-hash split
+    "split_leakage" -> ((s, d) => TextOps.splitLeakage(docs(s, d)).orderBy(col("doc_id"))),
+    // keep each source's top half by quality score (median gate)
+    "doc_quality_filter" -> ((s, d) =>
+      TextOps.qualityFilter(docs(s, d)).orderBy(col("source"), col("rn"))),
     "doc_split_stats" -> ((s, d) =>
       TextOps.splitStats(docs(s, d)).orderBy(col("split"), col("lang"))),
     "text_length_hist" -> ((s, d) =>
@@ -1535,6 +1540,10 @@ object SparkEntry {
       },
       "text_lang_id" -> s"$langIdSql ORDER BY doc_id",
       "text_quality" -> s"$qualitySql ORDER BY doc_id",
+      "split_leakage" ->
+        s"SELECT * FROM (${TextOps.splitLeakageSql()}) ORDER BY doc_id",
+      "doc_quality_filter" ->
+        s"SELECT * FROM (${TextOps.qualityFilterSql(qualitySql)}) ORDER BY source, rn",
       "text_token_count" ->
         s"""SELECT doc_id,
            |       CAST(len($toks) AS BIGINT) AS n_ws_tokens,

@@ -248,6 +248,117 @@ object TextOps {
        |SELECT doc_id, weight FROM s ORDER BY skey, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Cross-split contamination report — the train→eval leakage check run
+    * after [[splitAssign]]: for every val/test document, how many of its
+    * distinct word-3-gram shingles also occur in ANY train document, and
+    * the leaked fraction. A nonzero tail here means the eval split is
+    * compromised (near-dups of training docs landed in eval) — the same
+    * overlap machinery as `decontaminate`, pointed at the pipeline's own
+    * split instead of an external benchmark.
+    *
+    * Scale shape: gram extraction is one narrow map; the train-gram set
+    * is one distinct on the 40-bit gram hash (map-side partial); the
+    * membership probe is an equi-join on that hash (Bloom-prefilterable
+    * at 100 TB); the per-doc rollup keys on doc_id.
+    */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val bucket = pmod(Parity.fp40(col("text")), lit(100L))
+    val base = docs.select(
+      col("doc_id"),
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"),
+      Parity.shingles(toks(col("text"))).as("gs"))
+    val grams = base
+      .select(col("doc_id"), col("split"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), col("split"), Parity.tokenH40(col("g")).as("h"))
+    val trainSet = grams.filter(col("split") === "train").select("h").distinct()
+    val leaked = grams
+      .filter(col("split") =!= "train")
+      .join(trainSet, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_leaked"))
+    base
+      .filter(col("split") =!= "train")
+      .select(col("doc_id"), col("split"), size(col("gs")).cast("long").as("n_grams"))
+      .join(leaked, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("split"),
+        col("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        round(
+          coalesce(col("n_leaked"), lit(0L)).cast("double") /
+            greatest(col("n_grams"), lit(1L)).cast("double") + RoundEps,
+          6).as("leak_ratio"))
+  }
+
+  /** [[splitLeakage]], mirrored: same split rule, same distinct shingles,
+    * same 40-bit gram hash.
+    */
+  def splitLeakageSql(): String = {
+    val toks = Parity.tokensSql("text")
+    val h = Parity.tokenH40Sql("g")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         CASE WHEN ${Parity.fp40Sql("text")} % 100 < 80 THEN 'train'
+       |              WHEN ${Parity.fp40Sql("text")} % 100 < 90 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |         ${Parity.shinglesSql(toks)} AS gs
+       |  FROM documents),
+       |gram AS (
+       |  SELECT doc_id, split, $h AS h
+       |  FROM (SELECT doc_id, split, unnest(gs) AS g FROM base)),
+       |tr AS (SELECT DISTINCT h FROM gram WHERE split = 'train'),
+       |lk AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_leaked
+       |  FROM gram JOIN tr USING (h) WHERE split <> 'train' GROUP BY doc_id)
+       |SELECT b.doc_id, b.split, CAST(len(b.gs) AS BIGINT) AS n_grams,
+       |       coalesce(l.n_leaked, 0) AS n_leaked,
+       |       round(CAST(coalesce(l.n_leaked, 0) AS DOUBLE) /
+       |             CAST(greatest(len(b.gs), 1) AS DOUBLE) + 1e-9, 6) AS leak_ratio
+       |FROM base b LEFT JOIN lk l USING (doc_id) WHERE b.split <> 'train'""".stripMargin
+  }
+
+  /** Per-source quality-percentile filter: keep each source's top half
+    * by [[quality]] score (rounded score, ties broken by doc_id, half
+    * rounded up) — the "keep the best X% per domain" curation gate,
+    * parameterized here at the median.
+    *
+    * Scale shape: the per-source rank is a sort-based exchange keyed on
+    * source (spillable, one-counter state); the per-source doc counts
+    * ride a broadcast join (sources ≪ docs). Cross-engine exactness:
+    * rank and cut are pure integer logic over the already-hash-matched
+    * 6 dp quality score.
+    */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val q = quality(docs).select(col("doc_id"), col("quality"))
+    val d = docs.select(col("doc_id"), col("source")).join(q, Seq("doc_id"))
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    d.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq("source"))
+      .filter(col("rn") <= expr("(n_docs + 1) div 2"))
+      .select(col("source"), col("doc_id"), col("quality"), col("rn"))
+  }
+
+  /** [[qualityFilter]], mirrored over the text_quality oracle body
+    * (passed in so the two stay one definition).
+    */
+  def qualityFilterSql(qualitySql: String): String =
+    s"""WITH q AS ($qualitySql),
+       |j AS (
+       |  SELECT d.source, q.doc_id, q.quality
+       |  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+       |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM j GROUP BY source),
+       |r AS (
+       |  SELECT source, doc_id, quality,
+       |         CAST(row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id)
+       |              AS BIGINT) AS rn
+       |  FROM j)
+       |SELECT r.source, r.doc_id, r.quality, r.rn
+       |FROM r JOIN c USING (source) WHERE rn <= (n_docs + 1) // 2""".stripMargin
+
   /** Document-length histogram: token-count deciles (bucket = n_tokens/10,
     * capped at 20) with document counts and mean char length — the
     * length-distribution snapshot a corpus-curation pipeline reports.

@@ -189,6 +189,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(4)._3.isNaN, "empty doc has no score")
   }
 
+  test("split leakage: eval doc sharing a train shingle is flagged; clean doc is zero") {
+    import spark.implicits._
+    val docs = model.table(spark, dir, "documents")
+    val out = TextOps.splitLeakage(docs).collect()
+    assert(out.nonEmpty)
+    // only eval rows, ratio in [0,1], n_leaked <= n_grams
+    out.foreach { r =>
+      assert(r.getString(1) === "val" || r.getString(1) === "test")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= r.getLong(2))
+      val ratio = r.getDouble(4)
+      assert(ratio >= 0.0 && ratio <= 1.0 + 1e-6)
+    }
+    // a synthetic corpus where one eval doc copies a train doc verbatim
+    // must flag that doc fully leaked: bucket(fp40) decides the split,
+    // so craft texts that land on each side, sharing their prefix
+    val train = "alpha beta gamma delta epsilon zeta"
+    // find a suffix word that flips the copy into val/test
+    val cands = (1 to 200).map(i => s"$train extra$i")
+    val probe = TextOps
+      .splitAssign(cands.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val trainIdx = probe.collectFirst { case (i, "train") => i }.get
+    val evalIdx = probe.collectFirst { case (i, s) if s != "train" => i }.get
+    val d2 = Seq(
+      (1L, cands(trainIdx.toInt), "en", "s1"),
+      (2L, cands(evalIdx.toInt), "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    val leak = TextOps.splitLeakage(d2).collect()
+    assert(leak.length === 1 && leak(0).getLong(0) === 2L)
+    // the two docs share the 4 shingles of the common 6-token prefix
+    assert(leak(0).getLong(3) === 4L, s"expected 4 leaked grams, got ${leak(0).getLong(3)}")
+  }
+
+  test("quality filter keeps each source's top half, half rounded up") {
+    val docs = model.table(spark, dir, "documents")
+    val out = TextOps.qualityFilter(docs).collect()
+    val perSource = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = out.groupBy(_.getString(0)).map { case (s, rows) => s -> rows.length.toLong }
+    assert(kept === perSource.map { case (s, n) => s -> ((n + 1) / 2) })
+    // within a source, every kept quality >= every dropped quality
+    val keptIds = out.map(_.getLong(1)).toSet
+    val qBySource = TextOps.quality(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("doc_id"), col("quality")).collect()
+      .groupBy(_.getString(0))
+    qBySource.foreach { case (_, rows) =>
+      val (k, d) = rows.partition(r => keptIds.contains(r.getLong(1)))
+      if (k.nonEmpty && d.nonEmpty)
+        assert(k.map(_.getDouble(2)).min >= d.map(_.getDouble(2)).max - 1e-9)
+    }
+  }
+
   test("weighted sample is deterministic, exactly k, and favors heavy docs in aggregate") {
     val docs = model.table(spark, dir, "documents")
     val s1 = TextOps.weightedSample(docs, k = 100).orderBy(col("doc_id")).collect()
