@@ -713,7 +713,10 @@ object GraphOps {
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val o = Phys.materialized(orientByDegree(und))
+    // materialize the oriented edges already hash-laid-out on the wedge
+    // key: both wedge-join references then arrive co-partitioned on lo
+    // and the join plans with no exchange on either side
+    val o = Phys.materializedHashedBy(orientByDegree(und), Seq("lo"))
     // materialized is eager, so und's job is done here; orientation is a
     // bijection on edges, so o's row count IS the undirected edge count
     // and und needn't survive past this point

@@ -16,4 +16,20 @@ private[graft] object Phys {
     */
   def materialized(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+
+  /** [[materialized]], hash-laid-out on `cols`: repartitions with an
+    * EXPLICIT partition count (so AQE cannot coalesce the layout),
+    * checkpoints, and re-declares the resulting `HashPartitioning` on
+    * the checkpointed frame (a checkpoint under AQE otherwise reports
+    * `UnknownPartitioning`). Downstream joins keyed on `cols` — notably
+    * self-joins — then plan with no exchange on this side.
+    */
+  def materializedHashedBy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    org.apache.spark.sql.graftbridge.CheckpointBridge.withDeclaredHashPartitioning(
+      df.repartition(n, cols.map(col): _*).localCheckpoint(true),
+      cols,
+      n)
+  }
 }

@@ -42,4 +42,37 @@ object CheckpointBridge {
             l.stream)(session, None, None))
       case _ => df
     }
+
+  /** [[dropOriginStats]] plus a DECLARED hash partitioning: a checkpoint
+    * taken under AQE reports `UnknownPartitioning`, so every downstream
+    * join re-exchanges rows that are already laid out on the join key.
+    * When the caller just produced the checkpoint from an explicit
+    * `repartition(numParts, cols…)` — explicit numParts, which AQE must
+    * not coalesce — the physical layout IS `HashPartitioning(cols,
+    * numParts)`, and declaring it lets self-joins on those keys plan
+    * with zero exchanges. The partition-count assertion refuses the
+    * claim if the layout can't match.
+    */
+  def withDeclaredHashPartitioning(df: DataFrame, cols: Seq[String], numParts: Int): DataFrame =
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD =>
+        require(
+          l.rdd.getNumPartitions == numParts,
+          s"checkpointed RDD has ${l.rdd.getNumPartitions} partitions, declared $numParts")
+        val attrs = cols.map(c =>
+          l.output
+            .find(_.name == c)
+            .getOrElse(throw new IllegalArgumentException(s"no output column '$c'")))
+        val session = df.sparkSession.asInstanceOf[ClassicSession]
+        ClassicDataset.ofRows(
+          session,
+          new LogicalRDD(
+            l.output,
+            l.rdd,
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(attrs, numParts),
+            l.outputOrdering,
+            l.isStreaming,
+            l.stream)(session, None, None))
+      case _ => df
+    }
 }

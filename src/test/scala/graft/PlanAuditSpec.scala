@@ -269,6 +269,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(source"), s"no source-keyed exchange in:\n$plan")
   }
 
+  test("split_leakage: no cartesian; train-gram distinct partial-aggregates below its exchange") {
+    val plan = planOf(SparkEntry.queries("split_leakage")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(h#"), s"no gram-hash exchange in:\n$plan")
+  }
+
+  test("doc_quality_filter: per-source counts ride a broadcast, rank keys on source") {
+    val plan = planOf(SparkEntry.queries("doc_quality_filter")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"counts not broadcast in:\n$plan")
+    assert(plan.contains("hashpartitioning(source"), s"no source-keyed exchange in:\n$plan")
+  }
+
   test("whole-stage codegen spans the relational aggregation path") {
     // (the text operators' higher-order array expressions are interpreted
     // by Spark — no codegen exists for lambda functions — but stay
