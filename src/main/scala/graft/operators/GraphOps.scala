@@ -442,11 +442,28 @@ object GraphOps {
       val batch = math.min(if (smallTail) 2L else 1L, bound - rounds)
       prevChanged = changed
       pre = persistedIds
-      val pNew = ckpt((1L to batch).foldLeft(patch)((p, _) => subRound(p)))
-      val (row, pNewIds) =
-        ckptAfter(pre)(pNew.agg(count(lit(1)), count_if(col("p_upd"))).head())
-      patchRows = row.getLong(0)
-      changed = row.getLong(1)
+      // the round's two control scalars (patch size, convergence count)
+      // ride the checkpoint materialization itself as observed metrics —
+      // no separate count job per round (the reference instead reads a
+      // Hadoop counter after each full MR job, SingleSourceSP.java:473-479)
+      val obs = org.apache.spark.sql.Observation()
+      val pNew = ckpt(
+        (1L to batch)
+          .foldLeft(patch)((p, _) => subRound(p))
+          .observe(obs, count(lit(1)).as("rows"), count_if(col("p_upd")).as("changed")))
+      val pNewIds = persistedIds -- pre
+      // eager ckpt ran the observed plan; getOrEmpty guards API drift —
+      // if the listener ever stops firing for checkpoint actions, fall
+      // back to the explicit count job rather than hang
+      val m = org.apache.spark.sql.graftbridge.CheckpointBridge.observedMetrics(obs)
+      if (m.nonEmpty) {
+        patchRows = m("rows").asInstanceOf[Long]
+        changed = m("changed").asInstanceOf[Long]
+      } else {
+        val row = pNew.agg(count(lit(1)), count_if(col("p_upd"))).head()
+        patchRows = row.getLong(0)
+        changed = row.getLong(1)
+      }
       rounds += batch
       if (patchRows >= foldRows) {
         // fold: rewrite base with the patch applied, shrink the patch to

@@ -43,6 +43,14 @@ object CheckpointBridge {
       case _ => df
     }
 
+  /** Non-blocking read of an [[org.apache.spark.sql.Observation]]'s
+    * metrics (`getOrEmpty` is `private[sql]`): empty map if the observed
+    * action has not reported — callers fall back to an explicit job
+    * instead of blocking on `get`.
+    */
+  def observedMetrics(obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    obs.getOrEmpty
+
   /** [[dropOriginStats]] plus a DECLARED hash partitioning: a checkpoint
     * taken under AQE reports `UnknownPartitioning`, so every downstream
     * join re-exchanges rows that are already laid out on the join key.
