@@ -468,12 +468,14 @@ object GraphOps {
       if (patchRows >= foldRows) {
         // fold: rewrite base with the patch applied, shrink the patch to
         // the still-updated frontier rows
+        // ckpt is EAGER: the blocks exist when it returns, so the live-id
+        // snapshot needs no extra count job
         pre = persistedIds
         val base2 = ckpt(currentState(base, pNew, patchRows).drop("updated"))
-        val (_, base2Ids) = ckptAfter(pre)(base2.count())
+        val base2Ids = persistedIds -- pre
         pre = persistedIds
         val patch2 = ckpt(pNew.filter(col("p_upd")))
-        val (_, patch2Ids) = ckptAfter(pre)(patch2.count())
+        val patch2Ids = persistedIds -- pre
         free(baseLive ++ patchLive ++ pNewIds)
         base = base2
         baseLive = base2Ids
