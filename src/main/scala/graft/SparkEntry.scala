@@ -358,6 +358,10 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashCandidates(docs(s, d), Dedup.SimhashMaxHamming)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // which sources re-serve each other's content: source-pair rollup of
+    // the MinHash candidate clique
+    "dedup_source_matrix" -> ((s, d) =>
+      Dedup.sourceDupMatrix(docs(s, d)).orderBy(col("source_a"), col("source_b"))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d)).orderBy(col("doc_a"), col("doc_b"))),
     "dedup_embedding_cosine" -> ((s, d) =>
@@ -579,6 +583,8 @@ object SparkEntry {
     // self-trained unigram-LM scoring — the perplexity-proxy quality
     // filter; ln rounded per token, position-ordered fold (see TextOps)
     "text_unigram_lm" -> ((s, d) => TextOps.unigramScore(docs(s, d)).orderBy(col("doc_id"))),
+    // conditional fluency score: add-1-smoothed bigram LM, self-trained
+    "text_bigram_lm" -> ((s, d) => TextOps.bigramScore(docs(s, d)).orderBy(col("doc_id"))),
     // deterministic size-weighted corpus subsample (A-Res exponential
     // keys on the shared hash grid); TakeOrdered, never a full sort
     "doc_weighted_sample" -> ((s, d) =>
@@ -1275,6 +1281,30 @@ object SparkEntry {
            |  FROM chunked a JOIN chunked b
            |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
            |WHERE hamming <= ${Dedup.SimhashMaxHamming} ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_source_matrix" -> {
+        val nMatch =
+          "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+            "list_transform(list_zip(a.sig, b.sig), " +
+            "s -> CASE WHEN s[1] = s[2] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
+            "(acc, x) -> acc + x)"
+        s"""WITH sigs AS (
+           |  SELECT doc_id, ${Parity.minhashSigSql(codes, Dedup.MinhashK)} AS sig FROM documents),
+           |banded AS (
+           |  $bandedUnion),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, $nMatch AS n_match
+           |  FROM banded a JOIN banded b
+           |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+           |m AS (
+           |  SELECT least(sa.source, sb.source) AS source_a,
+           |         greatest(sa.source, sb.source) AS source_b, p.n_match
+           |  FROM pairs p JOIN documents sa ON sa.doc_id = p.doc_a
+           |               JOIN documents sb ON sb.doc_id = p.doc_b)
+           |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+           |       round(CAST(sum(n_match) AS DOUBLE)
+           |             / CAST(count(*) * ${Dedup.MinhashK} AS DOUBLE), 6) AS mean_est_jaccard
+           |FROM m GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin
+      },
       "dedup_clusters" ->
         s"""WITH RECURSIVE sigs AS (
            |  SELECT doc_id, ${Parity.minhashSigSql(codes, Dedup.MinhashK)} AS sig FROM documents),
@@ -1400,6 +1430,7 @@ object SparkEntry {
           |       round(sum(CAST(p_retailprice AS DOUBLE)), 2) AS sum_price
           |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin,
       "text_unigram_lm" -> (TextOps.unigramScoreSql() + "\nORDER BY doc_id"),
+      "text_bigram_lm" -> (TextOps.bigramScoreSql() + "\nORDER BY doc_id"),
       "doc_weighted_sample" ->
         s"SELECT * FROM (${TextOps.weightedSampleSql(k = 100)}) ORDER BY doc_id",
       "ann_brute_topk" ->

@@ -119,6 +119,52 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-source near-duplication matrix: for every unordered pair of
+    * sources, how many MinHash-LSH candidate pairs ([[minhashCandidates]]'
+    * clique — pair COUNTS are the contract here, so the star contraction
+    * of [[minhashCandidatePairs]] would undercount) straddle them, and
+    * the mean estimated Jaccard of those pairs. The report a curation
+    * pipeline reads to find which crawls/feeds are re-serving each
+    * other's content — the source-level rollup of the pair list, small
+    * enough to eyeball (|sources|² rows) however large the corpus.
+    *
+    * Determinism: the mean is computed from the INTEGER count of
+    * matching signature positions (sum over pairs, one division at the
+    * end) — never a float sum, so engine-dependent double association
+    * order can't flip a low bit.
+    *
+    * Scale shape: the banded self-join bounds candidate generation by
+    * bucket as everywhere else; the two source lookups are equi-joins on
+    * doc_id (dim-like projection of the corpus — at 100 TB a (doc_id,
+    * source) projection is pruned to two thin columns at the scan);
+    * the final aggregate is map-side partial on a tiny key space.
+    */
+  def sourceDupMatrix(docs: DataFrame): DataFrame = {
+    val pairs = bandedSelfJoin(docs)
+      .dropDuplicates("doc_a", "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L),
+          (acc, x) => acc + x).as("n_match"))
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
+      .select(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        col("n_match"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(
+          sum(col("n_match")).cast("double") / (count(lit(1)) * MinhashK).cast("double"),
+          6).as("mean_est_jaccard"))
+  }
+
   /** One row per (doc, band): `(doc_id, sig, band_idx, band_val)`. */
   private def bandRows(sigs: DataFrame): DataFrame =
     sigs.select(

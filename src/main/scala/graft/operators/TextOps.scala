@@ -200,6 +200,107 @@ object TextOps {
        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
   }
 
+  /** Per-document bigram language-model score: the mean log-probability
+    * of each token given its predecessor under an add-1-smoothed bigram
+    * model trained on the corpus itself —
+    * ln P(w_i | w_{i-1}) = ln((c(w_{i-1} w_i) + 1) / (c·(w_{i-1}) + |V|)),
+    * where c·(ctx) counts the context over BIGRAM positions (so the last
+    * token of each doc is a next-word only, the standard conditioning)
+    * and |V| is the corpus-wide distinct-token count. The conditional
+    * companion to [[unigramScore]]: fluency, not just vocabulary — a
+    * doc of common words in an improbable ORDER scores low here while
+    * scoring high on the unigram model, which is exactly the gibberish
+    * the quality gate wants to catch.
+    *
+    * Determinism: each position's lnp is rounded to 9 dp, summed in
+    * position order via the same sorted-struct fold as [[unigramScore]],
+    * and the mean rounded to 6 dp — bit-identical on any engine.
+    *
+    * Scale shape: bigram extraction is one narrow map (no self-join —
+    * the pair is read off adjacent array slots); the two histograms are
+    * hash aggregates with map-side partials (one shuffle each, one row
+    * per distinct bigram/context); the score join keys on the bigram and
+    * context; the per-doc fold is one shuffle on doc_id with O(doc
+    * tokens) state. Same class as [[unigramScore]] and tf-idf.
+    */
+  def bigramScore(docs: DataFrame): DataFrame = {
+    val ts = toks(col("text"))
+    // adjacent-slot pairs; sequence(1, n-1) would COUNT DOWN for n < 2
+    // (Spark infers a negative step), so short docs get the empty array
+    val pairs = when(size(ts) < 2, array().cast("array<struct<ctx:string,nxt:string>>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(ts) - 1),
+          i => struct(element_at(ts, i).as("ctx"), element_at(ts, i + 1).as("nxt"))))
+    val big = docs
+      .select(col("doc_id"), posexplode(pairs).as(Seq("p0", "bg")))
+      .select(
+        col("doc_id"),
+        (col("p0") + 1).cast("long").as("pos"),
+        col("bg.ctx").as("ctx"),
+        col("bg.nxt").as("nxt"))
+    val h2 = big.groupBy(col("ctx"), col("nxt")).agg(count(lit(1)).as("c2"))
+    val hc = big.groupBy(col("ctx")).agg(count(lit(1)).as("cc"))
+    val v = docs
+      .select(explode(ts).as("term"))
+      .agg(countDistinct(col("term")).as("v_size"))
+    val lnp = big
+      .join(h2, Seq("ctx", "nxt"))
+      .join(hc, Seq("ctx"))
+      .crossJoin(broadcast(v))
+      .select(
+        col("doc_id"),
+        col("pos"),
+        round(
+          log((col("c2") + 1).cast("double") / (col("cc") + col("v_size")).cast("double")),
+          9).as("lnp"))
+    val perDoc = lnp
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("lnp")))), s => s("lnp")),
+          lit(0.0d),
+          (acc, x) => acc + x).as("sum_lnp"))
+    docs
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("sum_lnp") / col("n_bigrams").cast("double"), 6).as("mean_lnp2"))
+  }
+
+  /** [[bigramScore]], mirrored: same histograms, same 9 dp per-position
+    * rounding, same position-ordered fold. `range(1, len(ts))` is empty
+    * for single-token docs, matching the guarded Spark extraction.
+    */
+  def bigramScoreSql(): String = {
+    val toks = Parity.tokensSql("text")
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, $toks AS ts FROM documents),
+       |big AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |         ts[CAST(pos AS INT)] AS ctx, ts[CAST(pos + 1 AS INT)] AS nxt
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS pos FROM tok0)),
+       |h2 AS (SELECT ctx, nxt, count(*) AS c2 FROM big GROUP BY ctx, nxt),
+       |hc AS (SELECT ctx, count(*) AS cc FROM big GROUP BY ctx),
+       |v AS (SELECT count(DISTINCT t) AS v_size
+       |      FROM (SELECT unnest(ts) AS t FROM tok0)),
+       |lnp AS (
+       |  SELECT b.doc_id, b.pos,
+       |         round(ln(CAST(h2.c2 + 1 AS DOUBLE) / CAST(hc.cc + v.v_size AS DOUBLE)), 9) AS lnp
+       |  FROM big b JOIN h2 USING (ctx, nxt) JOIN hc USING (ctx) CROSS JOIN v),
+       |per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lnp ORDER BY pos)),
+       |                     (a, b) -> a + b) AS sum_lnp
+       |  FROM lnp GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+       |       round(p.sum_lnp / CAST(p.n_bigrams AS DOUBLE), 6) AS mean_lnp2
+       |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+  }
+
   /** Deterministic weighted sampling without replacement (the
     * exponential-keys / A-Res scheme of Efraimidis & Spirakis 2006,
     * "Weighted random sampling with a reservoir"): each doc draws

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Snapshot, TextOps}
+import graft.operators.{Dedup, Snapshot, TextOps}
 
 class PipelineOpsSpec extends SparkSpec {
 
@@ -187,6 +187,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(0)._3 === got(1)._3 && got(1)._3 === got(2)._3)
     assert(got(3)._3 < got(0)._3, "doc with the rare token must score lower")
     assert(got(4)._3.isNaN, "empty doc has no score")
+  }
+
+  test("bigram LM: word order matters; short docs have no bigrams") {
+    import spark.implicits._
+    // corpus: "a b" ×2, "b a" ×1 → c(a,b)=2, c(b,a)=1, ctx counts a:2 b:1,
+    // |V|=2. Same unigram profile, different order: the reversed doc must
+    // score strictly lower (ln(2/3) < ln(3/4)), which is exactly what the
+    // unigram model cannot see.
+    val docs = Seq(
+      (1L, "a b"),
+      (2L, "a b"),
+      (3L, "b a"),
+      (4L, "a"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextOps
+      .bigramScore(docs)
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(got.map(_._2).toSeq === Seq(1L, 1L, 1L, 0L, 0L))
+    assert(got(0)._3 === got(1)._3)
+    assert(math.abs(got(0)._3 - math.log(3.0 / 4.0)) < 1e-5)
+    assert(got(2)._3 < got(0)._3, "reversed word order must score lower")
+    assert(got(3)._3.isNaN && got(4)._3.isNaN, "sub-bigram docs have no score")
+  }
+
+  test("source dup matrix: rolls up exactly the candidate clique; identical cross-source docs hit 1.0") {
+    import spark.implicits._
+    val docs = model.table(spark, dir, "documents")
+    val matrix = Dedup.sourceDupMatrix(docs).collect()
+    val nPairs = Dedup.minhashCandidates(docs).count()
+    assert(matrix.map(_.getLong(2)).sum === nPairs, "matrix must partition the pair clique")
+    matrix.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "source pair must be canonicalized")
+      val j = r.getDouble(3)
+      assert(j >= 0.0 && j <= 1.0 + 1e-9)
+    }
+    val twin = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d2 = Seq(
+      (1L, twin, "en", "srcA"),
+      (2L, twin, "en", "srcB")).toDF("doc_id", "text", "lang", "source")
+    val m2 = Dedup.sourceDupMatrix(d2).collect()
+    assert(m2.length === 1)
+    assert((m2(0).getString(0), m2(0).getString(1), m2(0).getLong(2)) === (("srcA", "srcB", 1L)))
+    assert(m2(0).getDouble(3) === 1.0, "identical docs match on every signature position")
   }
 
   test("split leakage: eval doc sharing a train shingle is flagged; clean doc is zero") {

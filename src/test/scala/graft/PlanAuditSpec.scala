@@ -240,6 +240,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"raw cartesian in:\n$plan")
   }
 
+  test("text_bigram_lm: no cartesian; histograms partial-aggregate before their exchange") {
+    val plan = planOf(SparkEntry.queries("text_bigram_lm")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"raw cartesian in:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side partial in:\n$plan")
+  }
+
+  test("dedup_source_matrix: bucket-keyed candidates, no cartesian, partial final agg") {
+    val plan = planOf(SparkEntry.queries("dedup_source_matrix")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"raw cartesian in:\n$plan")
+    // the source-pair rollup must partial-aggregate before its exchange
+    assert(plan.contains("partial_count"), s"no map-side partial in:\n$plan")
+  }
+
   test("orc round-trip pushes filter + pruning into the ORC scan") {
     val p = model.table(spark, dir, "part").select(
       col("p_partkey").cast("long").as("p_partkey"),
