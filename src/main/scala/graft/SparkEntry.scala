@@ -585,6 +585,8 @@ object SparkEntry {
     "text_unigram_lm" -> ((s, d) => TextOps.unigramScore(docs(s, d)).orderBy(col("doc_id"))),
     // conditional fluency score: add-1-smoothed bigram LM, self-trained
     "text_bigram_lm" -> ((s, d) => TextOps.bigramScore(docs(s, d)).orderBy(col("doc_id"))),
+    // per-source distribution drift vs the corpus (KL over observed terms)
+    "source_kl_drift" -> ((s, d) => TextOps.sourceKlDrift(docs(s, d)).orderBy(col("source"))),
     // deterministic size-weighted corpus subsample (A-Res exponential
     // keys on the shared hash grid); TakeOrdered, never a full sort
     "doc_weighted_sample" -> ((s, d) =>
@@ -1431,6 +1433,7 @@ object SparkEntry {
           |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin,
       "text_unigram_lm" -> (TextOps.unigramScoreSql() + "\nORDER BY doc_id"),
       "text_bigram_lm" -> (TextOps.bigramScoreSql() + "\nORDER BY doc_id"),
+      "source_kl_drift" -> (TextOps.sourceKlDriftSql() + "\nORDER BY source"),
       "doc_weighted_sample" ->
         s"SELECT * FROM (${TextOps.weightedSampleSql(k = 100)}) ORDER BY doc_id",
       "ann_brute_topk" ->

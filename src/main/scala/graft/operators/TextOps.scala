@@ -271,6 +271,83 @@ object TextOps {
         round(col("sum_lnp") / col("n_bigrams").cast("double"), 6).as("mean_lnp2"))
   }
 
+  /** Per-source distribution-drift report: the KL divergence of each
+    * source's unigram token distribution from the corpus-wide one,
+    * KL(P_s ‖ P_c) = Σ_t p_s(t) · ln(p_s(t) / p_c(t)) summed over the
+    * source's OBSERVED terms (p_s is the in-source MLE, so absent terms
+    * contribute zero by continuity), with the corpus side add-1 smoothed
+    * over the vocab so the ratio is always finite. The number a mixture
+    * designer watches per source/domain: a crawl whose KL jumps between
+    * snapshots changed its content mix and needs its [[mixtureWeights]]
+    * re-fit.
+    *
+    * Determinism: each term's contribution is rounded to 9 dp and summed
+    * in term order through the same sorted-struct fold as
+    * [[unigramScore]]; the total is rounded to 6 dp.
+    *
+    * Scale shape: the (source, term) histogram is one hash aggregate with
+    * map-side partials (the tf-idf shape — one row per distinct pair);
+    * the term histogram and per-source totals are smaller aggregates of
+    * the same explode; totals ride a 1-row broadcast; the per-source fold
+    * carries O(per-source vocab) state, bounded by the vocab itself.
+    */
+  def sourceKlDrift(docs: DataFrame): DataFrame = {
+    val terms = docs.select(col("source"), explode(toks(col("text"))).as("term"))
+    val st = terms.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st"))
+    val th = terms.groupBy(col("term")).agg(count(lit(1)).as("c_t"))
+    val ns = terms.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val tot = terms.agg(count(lit(1)).as("n"), countDistinct(col("term")).as("v"))
+    val ps = col("c_st").cast("double") / col("n_s").cast("double")
+    val pc = (col("c_t") + 1).cast("double") / (col("n") + col("v")).cast("double")
+    val contrib = st
+      .join(th, Seq("term"))
+      .join(ns, Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("term"), round(ps * log(ps / pc), 9).as("kc"))
+    val per = contrib
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("term"), col("kc")))), s => s("kc")),
+          lit(0.0d),
+          (acc, x) => acc + x).as("s"))
+    per
+      .join(ns, Seq("source"))
+      .select(
+        col("source"),
+        col("n_s").as("n_tokens"),
+        col("n_terms"),
+        round(col("s"), 6).as("kl"))
+  }
+
+  /** [[sourceKlDrift]], mirrored: same histograms, same 9 dp per-term
+    * rounding, same term-ordered fold.
+    */
+  def sourceKlDriftSql(): String = {
+    val toks = Parity.tokensSql("text")
+    s"""WITH tok AS (
+       |  SELECT source, unnest($toks) AS term FROM documents),
+       |st AS (SELECT source, term, count(*) AS c_st FROM tok GROUP BY source, term),
+       |th AS (SELECT term, count(*) AS c_t FROM tok GROUP BY term),
+       |ns AS (SELECT source, count(*) AS n_s FROM tok GROUP BY source),
+       |tot AS (SELECT count(*) AS n, count(DISTINCT term) AS v FROM tok),
+       |contrib AS (
+       |  SELECT st.source, st.term,
+       |         round((CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+       |               * ln((CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+       |                    / (CAST(th.c_t + 1 AS DOUBLE) / CAST(tot.n + tot.v AS DOUBLE))),
+       |               9) AS kc
+       |  FROM st JOIN th USING (term) JOIN ns USING (source) CROSS JOIN tot),
+       |per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(kc ORDER BY term)),
+       |                     (a, b) -> a + b) AS s
+       |  FROM contrib GROUP BY source)
+       |SELECT p.source, ns.n_s AS n_tokens, p.n_terms, round(p.s, 6) AS kl
+       |FROM per p JOIN ns USING (source)""".stripMargin
+  }
+
   /** [[bigramScore]], mirrored: same histograms, same 9 dp per-position
     * rounding, same position-ordered fold. `range(1, len(ts))` is empty
     * for single-token docs, matching the guarded Spark extraction.

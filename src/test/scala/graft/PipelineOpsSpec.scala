@@ -213,6 +213,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(3)._3.isNaN && got(4)._3.isNaN, "sub-bigram docs have no score")
   }
 
+  test("source KL drift: corpus-like source scores near zero, skewed source higher") {
+    import spark.implicits._
+    // srcEven mirrors the corpus mix; srcSkew is all-'b' — its unigram
+    // distribution sits far from the pooled one, so KL(skew) > KL(even).
+    val docs = Seq(
+      (1L, "a b c d", "en", "srcEven"),
+      (2L, "a b c d", "en", "srcEven"),
+      (3L, "b b b b", "en", "srcSkew"),
+      (4L, "a b c d", "en", "srcEven")).toDF("doc_id", "text", "lang", "source")
+    val got = TextOps
+      .sourceKlDrift(docs)
+      .orderBy(col("source"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ===
+      Seq(("srcEven", 12L, 4L), ("srcSkew", 4L, 1L)))
+    assert(got(1)._4 > got(0)._4, "skewed source must drift further than the corpus-like one")
+    assert(got(0)._4 > -1e-6, "KL over the support of p_s with smoothed q stays ~non-negative here")
+  }
+
   test("source dup matrix: rolls up exactly the candidate clique; identical cross-source docs hit 1.0") {
     import spark.implicits._
     val docs = model.table(spark, dir, "documents")
