@@ -362,6 +362,10 @@ object SparkEntry {
     // the MinHash candidate clique
     "dedup_source_matrix" -> ((s, d) =>
       Dedup.sourceDupMatrix(docs(s, d)).orderBy(col("source_a"), col("source_b"))),
+    // nightly-ingest shape: incoming batch (doc_id >= 400) scored against
+    // the existing store, never a corpus self-join
+    "dedup_incremental" -> ((s, d) =>
+      Dedup.incremental(docs(s, d), firstNewId = 400L).orderBy(col("doc_id"))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d)).orderBy(col("doc_a"), col("doc_b"))),
     "dedup_embedding_cosine" -> ((s, d) =>
@@ -1283,6 +1287,29 @@ object SparkEntry {
            |  FROM chunked a JOIN chunked b
            |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
            |WHERE hamming <= ${Dedup.SimhashMaxHamming} ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_incremental" ->
+        s"""WITH sigs AS (
+           |  SELECT doc_id, ${Parity.minhashSigSql(codes, Dedup.MinhashK)} AS sig FROM documents),
+           |banded AS (
+           |  $bandedUnion),
+           |near AS (
+           |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+           |  FROM banded n JOIN banded o
+           |    ON n.band_idx = o.band_idx AND n.band_val = o.band_val
+           |   AND n.doc_id >= 400 AND o.doc_id < 400),
+           |nagg AS (
+           |  SELECT new_id, CAST(count(*) AS BIGINT) AS n_near, min(old_id) AS near_canon
+           |  FROM near GROUP BY new_id),
+           |ex AS (
+           |  SELECT DISTINCT i.doc_id
+           |  FROM documents i JOIN documents e ON i.text = e.text AND e.doc_id < 400
+           |  WHERE i.doc_id >= 400)
+           |SELECT d.doc_id, (ex.doc_id IS NOT NULL) AS exact_dup,
+           |       coalesce(nagg.n_near, 0) AS n_near, nagg.near_canon
+           |FROM documents d
+           |LEFT JOIN ex ON ex.doc_id = d.doc_id
+           |LEFT JOIN nagg ON nagg.new_id = d.doc_id
+           |WHERE d.doc_id >= 400 ORDER BY d.doc_id""".stripMargin,
       "dedup_source_matrix" -> {
         val nMatch =
           "list_reduce(list_prepend(CAST(0 AS BIGINT), " +

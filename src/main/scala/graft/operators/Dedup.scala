@@ -165,6 +165,57 @@ object Dedup {
           6).as("mean_est_jaccard"))
   }
 
+  /** Incremental (nightly-ingest) dedup: score each INCOMING document
+    * (doc_id >= `firstNewId`) against the EXISTING corpus
+    * (doc_id < `firstNewId`) — exact content match plus MinHash-LSH
+    * near-match count and the earliest matching store doc. The
+    * asymmetric shape production pipelines actually run: the store side
+    * is a pre-computed fingerprint/signature table that persists between
+    * batches, and each night's batch joins against it instead of
+    * re-self-joining the whole corpus.
+    *
+    * Scale shape: the exact check is an equi-join keyed on the 40-bit
+    * content fingerprint (text kept alongside only to stay exact under
+    * collisions); the near check is an equi-join of the batch's band
+    * rows against the store's band rows on the (band, value) bucket key —
+    * at 100 TB the store bands are a bucketed table, so the nightly join
+    * shuffles ONLY the incoming batch; per-new-doc aggregates are keyed
+    * on the new doc id.
+    */
+  def incremental(docs: DataFrame, firstNewId: Long): DataFrame = {
+    val banded = Phys.materialized(bandRows(minhashSignatures(docs)).drop("sig"))
+    val near = banded
+      .filter(col("doc_id") >= firstNewId)
+      .select(col("doc_id").as("new_id"), col("band_idx"), col("band_val"))
+      .join(
+        banded
+          .filter(col("doc_id") < firstNewId)
+          .select(col("doc_id").as("old_id"), col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
+      .select(col("new_id"), col("old_id"))
+      .distinct()
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_near"), min(col("old_id")).as("near_canon"))
+    val keyed = docs.select(col("doc_id"), Parity.fp40(col("text")).as("fp"), col("text"))
+    val exactDup = keyed
+      .filter(col("doc_id") >= firstNewId)
+      .join(
+        keyed.filter(col("doc_id") < firstNewId).select(col("fp"), col("text")).distinct(),
+        Seq("fp", "text"),
+        "left_semi")
+      .select(col("doc_id").as("new_id"), lit(true).as("exact_dup"))
+    docs
+      .filter(col("doc_id") >= firstNewId)
+      .select(col("doc_id").as("new_id"))
+      .join(exactDup, Seq("new_id"), "left_outer")
+      .join(near, Seq("new_id"), "left_outer")
+      .select(
+        col("new_id").as("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("near_canon"))
+  }
+
   /** One row per (doc, band): `(doc_id, sig, band_idx, band_val)`. */
   private def bandRows(sigs: DataFrame): DataFrame =
     sigs.select(

@@ -254,6 +254,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m2(0).getDouble(3) === 1.0, "identical docs match on every signature position")
   }
 
+  test("incremental dedup: verbatim re-ingest flags exact + near; fresh content flags neither") {
+    import spark.implicits._
+    val stored = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fresh = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, stored, "en", "s1"),
+      (2L, "lambda mu nu xi omicron pi rho sigma tau upsilon", "en", "s1"),
+      // incoming batch: 400 is a verbatim copy of store doc 1, 401 is new
+      (400L, stored, "en", "s2"),
+      (401L, fresh, "en", "s2")).toDF("doc_id", "text", "lang", "source")
+    val got = Dedup
+      .incremental(docs, firstNewId = 400L)
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getBoolean(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.length === 2, "only incoming docs are scored")
+    assert(got(0) === ((400L, true, 1L, 1L)), "verbatim copy: exact dup + near match of doc 1")
+    assert(got(1)._2 === false && got(1)._3 === 0L, "fresh doc matches nothing in the store")
+  }
+
   test("split leakage: eval doc sharing a train shingle is flagged; clean doc is zero") {
     import spark.implicits._
     val docs = model.table(spark, dir, "documents")
