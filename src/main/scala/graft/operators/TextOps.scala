@@ -292,11 +292,16 @@ object TextOps {
     * carries O(per-source vocab) state, bounded by the vocab itself.
     */
   def sourceKlDrift(docs: DataFrame): DataFrame = {
+    // ONE aggregate touches the raw token explode; every other histogram
+    // derives from the (source, term) counts — |sources|×|vocab| rows at
+    // most — so the corpus is exploded and shuffled exactly once however
+    // many distributions the report needs
     val terms = docs.select(col("source"), explode(toks(col("text"))).as("term"))
-    val st = terms.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st"))
-    val th = terms.groupBy(col("term")).agg(count(lit(1)).as("c_t"))
-    val ns = terms.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-    val tot = terms.agg(count(lit(1)).as("n"), countDistinct(col("term")).as("v"))
+    val st = Phys.materialized(
+      terms.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st")))
+    val th = st.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val tot = th.agg(sum(col("c_t")).as("n"), count(lit(1)).as("v"))
     val ps = col("c_st").cast("double") / col("n_s").cast("double")
     val pc = (col("c_t") + 1).cast("double") / (col("n") + col("v")).cast("double")
     val contrib = st
@@ -329,9 +334,9 @@ object TextOps {
     s"""WITH tok AS (
        |  SELECT source, unnest($toks) AS term FROM documents),
        |st AS (SELECT source, term, count(*) AS c_st FROM tok GROUP BY source, term),
-       |th AS (SELECT term, count(*) AS c_t FROM tok GROUP BY term),
-       |ns AS (SELECT source, count(*) AS n_s FROM tok GROUP BY source),
-       |tot AS (SELECT count(*) AS n, count(DISTINCT term) AS v FROM tok),
+       |th AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY term),
+       |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+       |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n, count(*) AS v FROM th),
        |contrib AS (
        |  SELECT st.source, st.term,
        |         round((CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
