@@ -623,6 +623,11 @@ object SparkEntry {
     "events_stream_enrich" -> ((s, d) =>
       streaming.StreamOps.enrichedTumblingOverParquet(s, d)
         .orderBy(col("ws"), col("c_mktsegment"))),
+    // dedup-on-arrival: incoming doc stream anti-joined to the static
+    // fingerprint store (stream-static LEFT ANTI through the real engine)
+    "docs_stream_dedup_static" -> ((s, d) =>
+      streaming.StreamOps.docDedupOverParquet(s, d, firstNewId = 400L)
+        .orderBy(col("source"))),
     // deterministic KMV cardinality sketch next to its exact answer
     "sketch_kmv_shingles" -> ((s, d) =>
       operators.Sketches.kmvDistinctShingles(docs(s, d))),
@@ -1647,6 +1652,17 @@ object SparkEntry {
            |       c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
            |FROM events JOIN customer ON user_id = CAST(c_custkey AS BIGINT)
            |GROUP BY 1, 2 ORDER BY ws, c_mktsegment""".stripMargin,
+      "docs_stream_dedup_static" -> {
+        val fp = Parity.fp40Sql("text")
+        s"""WITH store AS (
+           |  SELECT DISTINCT $fp AS fp FROM documents WHERE doc_id < 400),
+           |inc AS (
+           |  SELECT doc_id, source, $fp AS fp FROM documents WHERE doc_id >= 400)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_new, min(doc_id) AS first_id
+           |FROM inc i
+           |WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = i.fp)
+           |GROUP BY source ORDER BY source""".stripMargin
+      },
       "sketch_kmv_shingles" -> {
         val k = operators.Sketches.KmvK
         s"""WITH g AS (SELECT DISTINCT unnest($shingleSql) AS g FROM $fromToks),

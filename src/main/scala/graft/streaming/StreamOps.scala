@@ -330,6 +330,54 @@ object StreamOps {
       },
       mode = "append")
 
+  /** Schema of the documents table (readStream requires one). */
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming source over a directory of documents parquet files. */
+  def readDocStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docsSchema).parquet(dir)
+
+  /** STREAM-STATIC ANTI-join dedup-on-arrival: incoming documents
+    * (doc_id >= `firstNewId`) streamed against the STATIC fingerprint
+    * store of the existing corpus, keeping only content the store has
+    * never seen, rolled up per source. The streaming face of
+    * [[graft.operators.Dedup.incremental]]'s exact check — and the one
+    * stream-static join KIND the enrichment query doesn't cover: LEFT
+    * ANTI, which Structured Streaming supports stream-side-stateless
+    * (each micro-batch probes the broadcast store hash map and drops
+    * matches; nothing is buffered). On a real firehose the store is a
+    * nightly-refreshed fingerprint table; the per-batch work is one
+    * broadcast probe per row, the same shape at any corpus size.
+    */
+  def docDedupOverParquet(spark: SparkSession, sfDir: String, firstNewId: Long): DataFrame = {
+    import graft.functions.Parity
+    val store = broadcast(
+      spark.read
+        .parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < firstNewId)
+        .select(Parity.fp40(col("text")).as("fp"))
+        .distinct())
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-docs"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    runStream(
+      spark,
+      readDocStream(spark, staged.toString)
+        .filter(col("doc_id") >= firstNewId)
+        .select(col("doc_id"), col("source"), Parity.fp40(col("text")).as("fp"))
+        .join(store, Seq("fp"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_new"), min(col("doc_id")).as("first_id")),
+      graft.sources.Staging.freshTable("graft_stream_docdedup"),
+      "complete")
+  }
+
   private def overParquet(
       spark: SparkSession,
       sfDir: String,
@@ -422,11 +470,20 @@ object StreamOps {
       dir: String,
       name: String,
       transform: DataFrame => DataFrame = tumblingStream,
-      mode: String = "complete"): DataFrame = withStreamPartitions(spark) {
+      mode: String = "complete"): DataFrame =
+    runStream(spark, transform(readEventStream(spark, dir)), name, mode)
+
+  /** Start `out` against a memory sink, drain it, and return the result
+    * table. Shared engine-run plumbing for every bounded harness stream.
+    */
+  private def runStream(
+      spark: SparkSession,
+      out: DataFrame,
+      name: String,
+      mode: String): DataFrame = withStreamPartitions(spark) {
     val ckpt = freshCheckpointDir()
     try {
-      val q = transform(readEventStream(spark, dir))
-        .writeStream
+      val q = out.writeStream
         .outputMode(mode)
         .format("memory")
         .option("checkpointLocation", ckpt.toString)

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.EventOps
 import graft.streaming.StreamOps
 
@@ -107,6 +109,31 @@ class StreamOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1))
       .toSet
     assert(ww === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("stream-static anti-join dedup equals the batch anti-join at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = model.table(spark, dir, "documents")
+    val store = docs
+      .filter(col("doc_id") < 400)
+      .select(graft.functions.Parity.fp40(col("text")).as("fp"))
+      .distinct()
+    val batch = docs
+      .filter(col("doc_id") >= 400)
+      .select(col("doc_id"), col("source"), graft.functions.Parity.fp40(col("text")).as("fp"))
+      .join(store, Seq("fp"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_new"), min(col("doc_id")).as("first_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val streamed = StreamOps
+      .docDedupOverParquet(spark, dir, firstNewId = 400L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(streamed === batch)
     assert(batch.nonEmpty)
   }
 
