@@ -337,6 +337,11 @@ object SparkEntry {
     "triangle_count" -> ((s, d) =>
       GraphOps.triangleCount(GraphSource.lineitemEdges(s, d))),
     "pagerank_fixed" -> (pagerank _),
+    // topic-sensitive variant: teleport mass returns only to the seed set
+    "pagerank_personalized" -> ((s, d) =>
+      GraphOps
+        .pagerankPersonalized(GraphSource.lineitemEdges(s, d), iters = 3)
+        .orderBy(col("id"))),
     "kcore_4" -> ((s, d) =>
       GraphOps.kCore(GraphSource.lineitemEdges(s, d), k = 4).orderBy(col("id"))),
     "multimodal_decode" -> (multimodalDecode _),
@@ -1057,6 +1062,29 @@ object SparkEntry {
          |outdeg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
          |nn AS (SELECT count(*) AS n FROM outdeg),
          |r0 AS (SELECT id, deg, CAST(1000000000000 // nn.n AS BIGINT) AS pr FROM outdeg CROSS JOIN nn),
+         |${iter("r0", 1)},
+         |${iter("r1", 2)},
+         |${iter("r2", 3)}
+         |SELECT id, pr FROM r3 ORDER BY id""".stripMargin
+    },
+    "pagerank_personalized" -> {
+      val seed = "(id % 100 = 0)"
+      def iter(prev: String, k: Int): String =
+        s"""r$k AS (
+           |  SELECT r.id, r.deg,
+           |         CAST(CASE WHEN r.id % 100 = 0 THEN 15 * (1000000000000 // nn.ns) // 100 ELSE 0 END +
+           |              (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+           |  FROM $prev r
+           |  LEFT JOIN (SELECT e.dst AS id, CAST(sum(r.pr // r.deg) AS BIGINT) AS s
+           |             FROM $prev r JOIN e ON e.src = r.id GROUP BY e.dst) s ON s.id = r.id
+           |  CROSS JOIN nn)""".stripMargin
+      s"""WITH edges AS (${GraphSource.lineitemEdgesSql}),
+         |e AS (SELECT src, dst FROM edges),
+         |outdeg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+         |nn AS (SELECT count(*) AS ns FROM outdeg WHERE $seed),
+         |r0 AS (SELECT id, deg,
+         |              CAST(CASE WHEN $seed THEN 1000000000000 // nn.ns ELSE 0 END AS BIGINT) AS pr
+         |       FROM outdeg CROSS JOIN nn),
          |${iter("r0", 1)},
          |${iter("r1", 2)},
          |${iter("r2", 3)}

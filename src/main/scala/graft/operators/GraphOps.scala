@@ -688,6 +688,62 @@ object GraphOps {
     }
   }
 
+  /** Personalized (topic-sensitive) PageRank: [[pagerankFixed]]'s
+    * fixed-point integer iteration, but the 15% teleport mass returns
+    * ONLY to the seed set {id : id % seedMod == 0} instead of spreading
+    * uniformly — rank measures proximity to the seeds, the form used for
+    * seed-relative authority (e.g. trusted-domain propagation in a crawl
+    * curation pipeline). Seeds are restricted to the source-node set like
+    * the uniform variant; membership is recomputed from the id each
+    * round (pure expression, nothing extra carried through the state).
+    *
+    * Same scale shape as [[pagerankFixed]]: edges exchanged once and
+    * reused every round, one contribution aggregate per round, constant
+    * plan depth via per-round checkpoints, all-integer arithmetic so the
+    * result is bit-identical on any engine.
+    */
+  def pagerankPersonalized(edges: DataFrame, iters: Int, seedMod: Long = 100L): DataFrame = {
+    val session = edges.sparkSession
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      val e = edges
+        .select(col("src"), col("dst"))
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      def ckpt(df: DataFrame): DataFrame =
+        org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+      val isSeed = pmod(col("id"), lit(seedMod)) === 0
+      val ns = outdeg.filter(isSeed).agg(count(lit(1)).as("ns"))
+      var rank = ckpt(
+        outdeg
+          .crossJoin(ns)
+          .select(
+            col("id"),
+            col("deg"),
+            when(isSeed, expr("1000000000000L div ns")).otherwise(lit(0L)).as("pr"),
+            col("ns")))
+      (1 to iters).foreach { _ =>
+        val contrib = rank
+          .join(e, rank("id") === e("src"))
+          .select(e("dst").as("id"), expr("pr div deg").as("c"))
+        val summed = contrib.groupBy("id").agg(sum(col("c")).as("s"))
+        rank = ckpt(
+          rank
+            .join(summed, Seq("id"), "left_outer")
+            .select(
+              col("id"),
+              col("deg"),
+              (when(isSeed, expr("15 * (1000000000000L div ns) div 100")).otherwise(lit(0L)) +
+                expr("(85 * coalesce(s, 0L)) div 100")).cast("bigint").as("pr"),
+              col("ns")))
+      }
+      e.unpersist()
+      rank.select(col("id"), col("pr"))
+    }
+  }
+
   /** Orient the undirected simple graph (rows `(a, b)` with a<b,
     * dedup'd) by DEGREE: each edge points from its lower-degree endpoint
     * to its higher-degree endpoint (ties by id). Output `(lo, hi, hdeg)`

@@ -247,6 +247,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(a(1L) > a(2L)) // hub gets more rank than spokes
   }
 
+  test("personalized pagerank: teleport mass returns only to the seed set") {
+    // seedMod=2: seeds {0, 2, 4}; node 1 is a non-seed that 0 links to.
+    // ring 0→1→2→3→4→0 plus 0→2 shortcut
+    val edges = edgesDf(
+      Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0), (4L, 0L, 1.0), (0L, 2L, 1.0)))
+    val pr = GraphOps
+      .pagerankPersonalized(edges, iters = 3, seedMod = 2L)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val uni = GraphOps.pagerankFixed(edges, 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.keySet === uni.keySet)
+    assert(pr.values.sum <= 1000000000000L)
+    // at zero iterations ALL mass sits on the seeds — non-seeds get
+    // nothing until propagation starts
+    val pr0 = GraphOps
+      .pagerankPersonalized(edges, iters = 0, seedMod = 2L)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(pr0(1L) === 0L && pr0(3L) === 0L)
+    assert(pr0(0L) === 1000000000000L / 3 && pr0(0L) === pr0(2L) && pr0(2L) === pr0(4L))
+    // after iterating, the seeds' SHARE of total rank exceeds the uniform
+    // variant's seed share (the 15% returns only to them)
+    def share(m: Map[Long, Long]): Double =
+      Seq(0L, 2L, 4L).map(m).sum.toDouble / m.values.sum.toDouble
+    assert(share(pr) > share(uni))
+  }
+
   test("parseEdgeLines drops header lines and parses fields") {
     import spark.implicits._
     val lines = Seq("# comment", "0 1 2 3.5", "1 2 3 1.0").toDF("line")
