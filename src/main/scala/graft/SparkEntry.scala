@@ -403,6 +403,13 @@ object SparkEntry {
     "ann_ivf_trained" -> ((s, d) =>
       Similarity.ivfTrainedTopK(embs(s, d), nQueries = 50, k = 3, nProbe = 2)
         .orderBy(col("q_id"), col("rank"))),
+    // product quantization: per-subspace codebooks + LUT-based ADC scan
+    "ann_pq_topk" -> ((s, d) =>
+      Similarity.pqTopK(embs(s, d), nQueries = 50, k = 3)
+        .orderBy(col("q_id"), col("rank"))),
+    // measured recall of the 8×7-bit compression against brute force
+    "ann_pq_recall" -> ((s, d) =>
+      Similarity.pqRecall(embs(s, d), nQueries = 50, k = 3).orderBy(col("q_id"))),
     // text analysis
     "text_lang_id" -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
@@ -1178,31 +1185,90 @@ object SparkEntry {
     * CTE list (caller prepends WITH); the final centroid table is
     * `c${KmeansIters}`.
     */
-  private def kmeansCtes: String = {
+  private def kmeansScoreSql(ei: String, c: String): String =
+    s"(${Parity.dotSql(s"CAST($ei AS DOUBLE[])", s"CAST($c AS DOUBLE[])")} / " +
+      s"sqrt(${Parity.dotSql(s"CAST($c AS DOUBLE[])", s"CAST($c AS DOUBLE[])")}))"
+
+  private def kmeansCtes: String = kmeansCtesSliced("", 0, Similarity.Dim)
+
+  /** The unrolled Lloyd CTE chain over a contiguous embedding slice
+    * (`[lo0+1 .. lo0+dim]`, full vector when sfx is empty) with every CTE
+    * name suffixed — lets the PQ oracle train one codebook per subspace
+    * from the same generator the full-vector oracles use.
+    */
+  private def kmeansCtesSliced(
+      sfx: String,
+      lo0: Int,
+      dim: Int,
+      cells: Int = Similarity.KmeansCells): String = {
+    val sliced =
+      if (sfx.isEmpty) "CAST(embedding AS DOUBLE[])"
+      else s"CAST(embedding AS DOUBLE[])[${lo0 + 1}:${lo0 + dim}]"
     val intEmbSql =
-      s"list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * ${Similarity.KmeansScale}) AS BIGINT))"
-    def score(ei: String, c: String): String =
-      s"(${Parity.dotSql(s"CAST($ei AS DOUBLE[])", s"CAST($c AS DOUBLE[])")} / " +
-        s"sqrt(${Parity.dotSql(s"CAST($c AS DOUBLE[])", s"CAST($c AS DOUBLE[])")}))"
+      s"list_transform($sliced, x -> CAST(round(x * ${Similarity.KmeansScale}) AS BIGINT))"
     val head = Seq(
-      s"d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $intEmbSql AS ei FROM embeddings)",
-      s"c0 AS (SELECT vec_id AS cid, ei AS c FROM d WHERE vec_id < ${Similarity.KmeansCells})")
+      s"d$sfx AS (SELECT vec_id, $sliced AS e, $intEmbSql AS ei FROM embeddings)",
+      s"c0$sfx AS (SELECT vec_id AS cid, ei AS c FROM d$sfx WHERE vec_id < $cells)")
     val iters = (1 to Similarity.KmeansIters).flatMap { i =>
       Seq(
-        s"""s$i AS (SELECT v.vec_id, c.cid, ${score("v.ei", "c.c")} AS score
-           |        FROM d v CROSS JOIN c${i - 1} c)""".stripMargin,
-        s"""a$i AS (SELECT vec_id, cid FROM (
+        s"""s$i$sfx AS (SELECT v.vec_id, c.cid, ${kmeansScoreSql("v.ei", "c.c")} AS score
+           |        FROM d$sfx v CROSS JOIN c${i - 1}$sfx c)""".stripMargin,
+        s"""a$i$sfx AS (SELECT vec_id, cid FROM (
            |          SELECT vec_id, cid,
            |                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
-           |          FROM s$i) WHERE rn = 1)""".stripMargin,
-        s"""c$i AS (SELECT cid, list(cv ORDER BY pos) AS c FROM (
+           |          FROM s$i$sfx) WHERE rn = 1)""".stripMargin,
+        s"""c$i$sfx AS (SELECT cid, list(cv ORDER BY pos) AS c FROM (
            |          SELECT a.cid, CAST(t.i AS INT) AS pos,
            |                 CAST(sum(v.ei[t.i]) // count(*) AS BIGINT) AS cv
-           |          FROM a$i a JOIN d v ON v.vec_id = a.vec_id
-           |          CROSS JOIN range(1, ${Similarity.Dim + 1}) t(i)
+           |          FROM a$i$sfx a JOIN d$sfx v ON v.vec_id = a.vec_id
+           |          CROSS JOIN range(1, ${dim + 1}) t(i)
            |          GROUP BY 1, 2) GROUP BY cid)""".stripMargin)
     }
     (head ++ iters).mkString(",\n")
+  }
+
+  /** The PQ oracle's CTE bundle: one sliced Lloyd chain per subspace,
+    * final-codebook encoding, the query LUT, and the ADC scan, through
+    * `pq_ranked` — shared by the top-k and recall oracles.
+    */
+  private def pqCtes: String = {
+    val last = s"c${Similarity.KmeansIters}"
+    val sub = (0 until Similarity.PqM).map { m =>
+      val sfx = s"_p$m"
+      val chain =
+        kmeansCtesSliced(sfx, m * Similarity.PqSubDim, Similarity.PqSubDim, Similarity.PqCells)
+      val encode =
+        s"""se$sfx AS (SELECT v.vec_id, c.cid, ${kmeansScoreSql("v.ei", "c.c")} AS score
+           |        FROM d$sfx v CROSS JOIN $last$sfx c),
+           |enc$sfx AS (SELECT vec_id, cid AS code FROM (
+           |          SELECT vec_id, cid,
+           |                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+           |          FROM se$sfx) WHERE rn = 1),
+           |qt$sfx AS (SELECT v.vec_id AS q_id, c.cid AS code,
+           |                  ${Parity.dotSql("CAST(v.ei AS DOUBLE[])", "CAST(c.c AS DOUBLE[])")} AS qdot,
+           |                  ${Parity.dotSql("CAST(c.c AS DOUBLE[])", "CAST(c.c AS DOUBLE[])")} AS cnorm
+           |           FROM d$sfx v CROSS JOIN $last$sfx c WHERE v.vec_id < 50)""".stripMargin
+      s"$chain,\n$encode"
+    }
+    val codesUnion = (0 until Similarity.PqM)
+      .map(m => s"SELECT vec_id AS n_id, $m AS m, code FROM enc_p$m")
+      .mkString("\n  UNION ALL ")
+    val qtabUnion = (0 until Similarity.PqM)
+      .map(m => s"SELECT q_id, $m AS m, code, qdot, cnorm FROM qt_p$m")
+      .mkString("\n  UNION ALL ")
+    s"""${sub.mkString(",\n")},
+       |pq_codes AS (
+       |  $codesUnion),
+       |pq_qtab AS (
+       |  $qtabUnion),
+       |pq_scored AS (
+       |  SELECT q.q_id, c.n_id,
+       |         round(sum(q.qdot) / sqrt(sum(q.cnorm) + CAST(1 AS DOUBLE)), 6) AS adc
+       |  FROM pq_codes c JOIN pq_qtab q ON q.m = c.m AND q.code = c.code AND q.q_id <> c.n_id
+       |  GROUP BY q.q_id, c.n_id),
+       |pq_ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS INT) AS rank
+       |  FROM pq_scored)""".stripMargin
   }
 
   /** Oracles for the north-star extension queries; hash/vector fragments
@@ -1557,6 +1623,25 @@ object SparkEntry {
            |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
            |  FROM scored)
            |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+      "ann_pq_topk" ->
+        s"""WITH $pqCtes
+           |SELECT q_id, n_id, adc, rank FROM pq_ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+      "ann_pq_recall" ->
+        s"""WITH $pqCtes,
+           |de AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |scored_e AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |         round(${Parity.cosineSql("q.e", "c.e")}, 6) AS cos
+           |  FROM de q JOIN de c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+           |ranked_e AS (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           |  FROM scored_e)
+           |SELECT e.q_id, CAST(count(a.n_id) AS BIGINT) AS n_hits,
+           |       round(CAST(count(a.n_id) AS DOUBLE) / 3.0, 6) AS recall
+           |FROM (SELECT * FROM ranked_e WHERE rank <= 3) e
+           |LEFT JOIN (SELECT * FROM pq_ranked WHERE rank <= 3) a
+           |  ON a.q_id = e.q_id AND a.n_id = e.n_id
+           |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
       "kmeans_centroids" -> {
         val last = s"c${Similarity.KmeansIters}"
         s"""WITH $kmeansCtes

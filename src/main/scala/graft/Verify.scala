@@ -66,7 +66,11 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query names — local iteration
+    // only (the driver always dumps the full map)
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -76,7 +80,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    dump(spark, sfDir, outDir, effectiveQueries, effectiveOracles)
+    val qs = only.fold(effectiveQueries)(n => effectiveQueries.filter(kv => n(kv._1)))
+    val os = only.fold(effectiveOracles)(n => effectiveOracles.filter(kv => n(kv._1)))
+    dump(spark, sfDir, outDir, qs, os)
     spark.stop()
   }
 }

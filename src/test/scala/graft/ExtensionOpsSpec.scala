@@ -224,6 +224,25 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(ivfRecall >= 0.4)
   }
 
+  test("pqTopK: full per-query k, deterministic, and recall floored") {
+    import graft.operators.Similarity
+    val embs = model.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = Similarity.pqTopK(embs, nQueries = 50, k = 3).collect()
+    val b = Similarity.pqTopK(embs, nQueries = 50, k = 3).collect()
+    assert(a.length === 150, "every query gets its full top-3")
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ===
+      b.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    val rec = Similarity
+      .pqRecall(embs, nQueries = 50, k = 3)
+      .agg(org.apache.spark.sql.functions.avg(col("recall")))
+      .head()
+      .getDouble(0)
+    info(f"pq recall@3 = $rec%.3f (8 subspaces x 128 codes, cosine ADC)")
+    // 56-bit codes in place of 64 floats; the floor documents a tested
+    // minimum, not a quality claim
+    assert(rec >= 0.4)
+  }
+
   test("multimodal mapPartitions decode with deterministic fake decoder") {
     val d = docsDf(Seq((1L, "abcd", "en"))).select(col("doc_id"), col("text"))
     val media = Multimodal.asMediaTable(d)
