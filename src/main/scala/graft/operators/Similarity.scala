@@ -236,12 +236,16 @@ object Similarity {
     val d = Phys.materialized(intEmb(embs).select(col("vec_id"), col("ei")))
     var cent = d.filter(col("vec_id") < kCells).select(col("vec_id").as("cid"), col("ei").as("c"))
     (1 to iters).foreach { _ =>
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid"))
+      // hash-agg argmax (see [[argmaxCell]]): same selection as the
+      // former row_number window, with map-side partial aggregation
       val assigned = d
         .crossJoin(broadcast(cent))
         .select(col("vec_id"), col("cid"), col("ei"), cellScore(col("ei"), col("c")).as("score"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("vec_id"))
+        .agg(
+          max(struct(col("score"), (-col("cid")).as("ncid"))).as("sel"),
+          first(col("ei")).as("ei"))
+        .select(col("vec_id"), (-col("sel.ncid")).as("cid"), col("ei"))
       cent = assigned
         .select(col("cid"), posexplode(col("ei")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
@@ -370,40 +374,105 @@ object Similarity {
     * probe (IVF-PQ): the coarse quantizer bounds the candidate list and
     * ADC replaces the exact re-rank's full-vector reads.
     */
-  def pqTopK(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val di = Phys.materialized(intEmb(embs).select(col("vec_id"), col("ei")))
-    val parts = (0 until PqM).map { m =>
-      val lo = m * PqSubDim + 1
-      val subEmb = embs.select(
+  /** All [[PqM]] subspace views of the integer embeddings in ONE frame
+    * (m, vec_id, ei_m): a single narrow map emitting [[PqM]] rows per
+    * vector. Slicing the pre-rounded `ei` equals rounding the sliced
+    * doubles (round is elementwise), so downstream math is bit-identical
+    * to per-subspace slicing.
+    */
+  private def subspaced(di: DataFrame): DataFrame =
+    di.select(
         col("vec_id"),
-        slice(col("embedding"), lo, PqSubDim).as("embedding"))
-      val cent = Phys.materialized(kmeansFixed(subEmb, kCells = PqCells))
-      val eim = di.select(col("vec_id"), slice(col("ei"), lo, PqSubDim).as("ei_m"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid"))
-      val codes = eim
-        .crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cid"), cellScore(col("ei_m"), col("c")).as("score"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id").as("n_id"), lit(m).as("m"), col("cid").as("code"))
-      // the LUT carries BOTH the query-centroid dot and the centroid's
-      // own squared norm: the ADC below approximates COSINE (the exact
-      // path's objective), so the candidate norm must be reconstructed
-      // from its codes — raw inner-product ADC mis-ranks any corpus with
-      // varying vector norms (measured: recall@3 0.09 → cosine ADC fixes)
-      val qtab = eim
-        .filter(col("vec_id") < nQueries)
-        .crossJoin(broadcast(cent))
-        .select(
-          col("vec_id").as("q_id"),
-          lit(m).as("m"),
-          col("cid").as("code"),
-          Parity.dot(col("ei_m").cast("array<double>"), col("c").cast("array<double>")).as("qdot"),
-          Parity.dot(col("c").cast("array<double>"), col("c").cast("array<double>")).as("cnorm"))
-      (codes, qtab)
+        explode(array((0 until PqM).map(m =>
+          struct(
+            lit(m).as("m"),
+            slice(col("ei"), m * PqSubDim + 1, PqSubDim).as("ei_m"))): _*)).as("s"))
+      .select(col("s.m").as("m"), col("vec_id"), col("s.ei_m").as("ei_m"))
+
+  /** [[kmeansFixed]] with a grouping key: trains one independent Lloyd
+    * run PER distinct `m` in the same jobs — identical per-key math
+    * (same `vec_id < kCells` init, same scores, same integer means), but
+    * [[PqM]] codebooks cost ONE chain of Spark jobs instead of [[PqM]]
+    * sequential chains. The centroid table stays tiny (m × kCells rows),
+    * so assignment remains a broadcast join keyed on `m`.
+    */
+  /** Per-(grouping cols) argmax over (score desc, cid asc) as a HASH
+    * aggregate: `max(struct(score, -cid))` selects exactly the row a
+    * `row_number() = 1` window over (score desc, cid) would — but with
+    * map-side partial aggregation, only ONE row per group crosses the
+    * exchange instead of the full #cells-wide candidate set passing
+    * through a sort. `ei_m` rides along via `first` (constant within a
+    * group — every candidate row of a vector carries the same vector).
+    */
+  private def argmaxCell(scoredCands: DataFrame, keys: Seq[String]): DataFrame =
+    scoredCands
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max(struct(col("score"), (-col("cid")).as("ncid"))).as("sel"),
+        first(col("ei_m")).as("ei_m"))
+      .select(keys.map(col) ++ Seq((-col("sel.ncid")).as("cid"), col("ei_m")): _*)
+
+  private def kmeansFixedKeyed(d: DataFrame, kCells: Int, iters: Int): DataFrame = {
+    var cent = d
+      .filter(col("vec_id") < kCells)
+      .select(col("m"), col("vec_id").as("cid"), col("ei_m").as("c"))
+    (1 to iters).foreach { _ =>
+      val assigned = argmaxCell(
+        d.join(broadcast(cent), Seq("m"))
+          .select(
+            col("m"),
+            col("vec_id"),
+            col("cid"),
+            col("ei_m"),
+            cellScore(col("ei_m"), col("c")).as("score")),
+        Seq("m", "vec_id"))
+      cent = assigned
+        .select(col("m"), col("cid"), posexplode(col("ei_m")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("cid"), col("pos"))
+        .agg(expr("sum(v) div count(1)").as("cv"))
+        .groupBy(col("m"), col("cid"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("cv")))), s => s("cv")).as("c"))
     }
-    val codes = parts.map(_._1).reduce(_ unionAll _)
-    val qtab = parts.map(_._2).reduce(_ unionAll _)
+    cent
+  }
+
+  /** The PQ index pair: per-vector codes (n_id, m, code) and the query
+    * LUT (q_id, m, code, qdot, cnorm). The LUT carries BOTH the
+    * query-centroid dot and the centroid's own squared norm: the ADC
+    * approximates COSINE (the exact path's objective), so the candidate
+    * norm must be reconstructed from its codes — raw inner-product ADC
+    * mis-ranks any corpus with varying vector norms (measured: recall@3
+    * 0.09 → cosine ADC fixes).
+    */
+  private def pqCodesAndLut(embs: DataFrame, nQueries: Int): (DataFrame, DataFrame) = {
+    val dsub = Phys.materialized(subspaced(intEmb(embs).select(col("vec_id"), col("ei"))))
+    val cent = Phys.materialized(kmeansFixedKeyed(dsub, PqCells, KmeansIters))
+    val codes = argmaxCell(
+      dsub
+        .join(broadcast(cent), Seq("m"))
+        .select(
+          col("m"),
+          col("vec_id"),
+          col("cid"),
+          col("ei_m"),
+          cellScore(col("ei_m"), col("c")).as("score")),
+      Seq("m", "vec_id"))
+      .select(col("vec_id").as("n_id"), col("m"), col("cid").as("code"))
+    val qtab = dsub
+      .filter(col("vec_id") < nQueries)
+      .join(broadcast(cent), Seq("m"))
+      .select(
+        col("vec_id").as("q_id"),
+        col("m"),
+        col("cid").as("code"),
+        Parity.dot(col("ei_m").cast("array<double>"), col("c").cast("array<double>")).as("qdot"),
+        Parity.dot(col("c").cast("array<double>"), col("c").cast("array<double>")).as("cnorm"))
+    (codes, qtab)
+  }
+
+  def pqTopK(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val (codes, qtab) = pqCodesAndLut(embs, nQueries)
     // approximate cosine: Σ_m dot(q_m, c_m) / sqrt(Σ_m |c_m|² + 1); the
     // +1 micro-unit² regularizer (mirrored in the oracle) keeps an
     // all-zero reconstruction finite and is negligible against real
@@ -430,6 +499,55 @@ object Similarity {
     recallVsExact(
       bruteForceTopK(embs, nQueries, k).select(col("q_id"), col("n_id")),
       pqTopK(embs, nQueries, k),
+      k)
+
+  /** IVF-PQ, the production ANN composition (Jégou et al. 2011 §V): the
+    * trained coarse quantizer ([[kmeansFixed]]) bounds each query's
+    * candidate list to its `nProbe` nearest inverted lists, and the PQ
+    * ADC ranks those candidates from 56-bit codes — so a query touches
+    * neither the corpus (IVF prunes it) nor any full vector (ADC replaces
+    * the exact re-rank's vector reads). At 100 TB this is the shape that
+    * serves: candidate generation keyed on the cell id, scoring a
+    * broadcast-LUT lookup summed per pair, both sides of every join
+    * either bounded or broadcast.
+    *
+    * A candidate appears in exactly one inverted list (argmax cell), so
+    * probing several cells never duplicates a (query, candidate) pair —
+    * no DISTINCT needed on either engine.
+    */
+  def ivfpqTopK(embs: DataFrame, nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    val cents = kmeansFixed(embs)
+    val cellScores = intEmb(embs)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), cellScore(col("ei"), col("c")).as("ccos"))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val rankedCells = Phys.materialized(cellScores.withColumn("rn", row_number().over(wCell)))
+    val pairs = rankedCells
+      .filter(col("vec_id") < nQueries && col("rn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("cid"))
+      .join(rankedCells.filter(col("rn") === 1).select(col("vec_id").as("n_id"), col("cid")), Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"))
+    val (codes, qtab) = pqCodesAndLut(embs, nQueries)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    pairs
+      .join(codes, Seq("n_id"))
+      .join(broadcast(qtab), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(round(sum(col("qdot")) / sqrt(sum(col("cnorm")) + lit(1.0d)), 6).as("adc"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("adc"), col("rank"))
+  }
+
+  /** Measured recall@k of [[ivfpqTopK]] against brute force — quantifies
+    * what the COMPOSITION costs over [[pqRecall]]'s full-scan ADC (the
+    * IVF pruning can only lose candidates, never add them).
+    */
+  def ivfpqRecall(embs: DataFrame, nQueries: Int, k: Int, nProbe: Int): DataFrame =
+    recallVsExact(
+      bruteForceTopK(embs, nQueries, k).select(col("q_id"), col("n_id")),
+      ivfpqTopK(embs, nQueries, k, nProbe),
       k)
 
   def lshTopK(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {

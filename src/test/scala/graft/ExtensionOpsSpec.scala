@@ -243,6 +243,27 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(rec >= 0.4)
   }
 
+  test("ivfpqTopK: IVF pruning only removes candidates; composition recall floored") {
+    import graft.operators.Similarity
+    val embs = model.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val full = Similarity
+      .pqTopK(embs, nQueries = 50, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val composed = Similarity.ivfpqTopK(embs, nQueries = 50, k = 3, nProbe = Similarity.KmeansCells)
+    // probing EVERY coarse cell makes IVF a no-op: the composed path must
+    // then equal the full ADC scan exactly (same codes, same LUT)
+    assert(composed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === full)
+    val rec = Similarity
+      .ivfpqRecall(embs, nQueries = 50, k = 3, nProbe = 3)
+      .agg(org.apache.spark.sql.functions.avg(col("recall")))
+      .head()
+      .getDouble(0)
+    info(f"ivfpq recall@3 = $rec%.3f (nProbe=3 of ${Similarity.KmeansCells} cells)")
+    assert(rec >= 0.3)
+  }
+
   test("multimodal mapPartitions decode with deterministic fake decoder") {
     val d = docsDf(Seq((1L, "abcd", "en"))).select(col("doc_id"), col("text"))
     val media = Multimodal.asMediaTable(d)
