@@ -431,14 +431,15 @@ object Dedup {
     * down-weight these spans — boilerplate, licenses, templated text.
     *
     * Scale shape: gram extraction is one narrow map (the positions ride
-    * along, no join back to the text); the duplicate-gram set is a
-    * count>1 hash aggregate on the 40-bit gram hash (map-side partial,
-    * one shuffle carrying one row per DISTINCT gram); membership is an
-    * equi-join on that hash (at 100 TB: the [[BloomJoin]] prefilter
-    * drops unique grams below the exchange); span assembly is the
+    * along, no join back to the text); the per-gram corpus count is a
+    * window over the gram-hash exchange, so the corpus is tokenized and
+    * shuffled ONCE (the aggregate-then-join alternative costs a second
+    * full gram pass just to rebuild the positions); span assembly is the
     * gaps-and-islands trick — pos minus per-doc rank is constant within
     * a consecutive run — one window + one aggregate, both keyed on
-    * doc_id with O(doc positions) state.
+    * doc_id with O(doc positions) state. Per-gram-hash window state is
+    * bounded by the hottest gram's occurrence count, fine at 100 TB
+    * (a gram that hot is boilerplate the pipeline cuts anyway).
     */
   def dupSpans(docs: DataFrame): DataFrame = {
     val grams = docs
@@ -449,10 +450,15 @@ object Dedup {
         col("doc_id"),
         (col("p0") + 1).cast("long").as("pos"),
         Parity.tokenH40(col("gram")).as("h"))
-    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("n")).filter(col("n") > 1).select("h")
+    // per-gram corpus count as a WINDOW over the single gram pass — the
+    // aggregate-then-join form computes the gram set twice (once per
+    // side); this shuffles it once on h, filters in place, and moves on
+    // to the doc_id exchange the islands window needs anyway
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     grams
-      .join(dup, Seq("h"))
+      .withColumn("n", count(lit(1)).over(wh))
+      .filter(col("n") > 1)
       .select(col("doc_id"), col("pos"))
       .withColumn("grp", col("pos") - row_number().over(w).cast("long"))
       .groupBy(col("doc_id"), col("grp"))
@@ -508,9 +514,11 @@ object Dedup {
         col("doc_id"),
         (col("p0") + 1).cast("long").as("pos"),
         Parity.tokenH40(col("gram")).as("h"))
-    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("n")).filter(col("n") > 1).select("h")
+    // same single-pass windowed count as [[dupSpans]]
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val covered = grams
-      .join(dup, Seq("h"))
+      .withColumn("n", count(lit(1)).over(wh))
+      .filter(col("n") > 1)
       .select(col("doc_id"), explode(array(col("pos"), col("pos") + 1, col("pos") + 2)).as("t"))
       .distinct()
       .groupBy(col("doc_id"))

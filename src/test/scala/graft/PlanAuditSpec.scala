@@ -267,11 +267,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("p_retailprice"), s"unpruned orc read:\n$plan")
   }
 
-  test("dedup_substring_spans: partial agg below the gram exchange, no cartesian") {
+  test("dedup_substring_spans: single gram pass, no cartesian") {
     val plan = planOf(SparkEntry.queries("dedup_substring_spans")(spark, dir))
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
-    // the duplicate-gram count must partial-aggregate before its shuffle
-    assert(plan.contains("partial_count"), s"no map-side partial in:\n$plan")
+    // the windowed per-gram count tokenizes the corpus ONCE; the old
+    // aggregate-then-join form showed up as a second documents scan.
+    // (an executed AQE plan prints final + initial sections — count the
+    // final one only)
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(finalSection).length
+    assert(scans === 1, s"expected one documents scan, got $scans in:\n$plan")
   }
 
   test("sketch_kmv_per_source never funnels through a single partition") {
