@@ -70,6 +70,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!probe.contains("CartesianProduct"), s"raw cartesian in probe:\n$probe")
   }
 
+  test("PQ and IVF-PQ: codebook joins broadcast, LUT join is a broadcast hash join") {
+    // training/encoding rides broadcasts of the m×cells codebook; the
+    // ADC scoring join must be a BroadcastHashJoin keyed on (m, code)
+    // (for ivfpq: (q_id, m, code)) — a shuffle of the code table against
+    // the LUT would move the whole corpus encoding per query batch
+    Seq("ann_pq_topk", "ann_ivfpq_topk").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"$q raw cartesian:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"$q LUT join not broadcast:\n$plan")
+    }
+  }
+
   test("KMV sketch top-k plans as TakeOrdered, not a global sort") {
     val plan = planOf(SparkEntry.queries("sketch_kmv_shingles")(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"), plan)
