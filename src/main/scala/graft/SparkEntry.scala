@@ -334,6 +334,9 @@ object SparkEntry {
     // (Kiveris et al. SoCC'14) instead of O(d)-round label propagation
     "cc_bigstar" -> ((s, d) =>
       GraphOps.connectedComponentsStars(GraphSource.layeredEdges(s, d)).orderBy(col("id"))),
+    // fixed-round synchronous label-propagation community detection
+    "graph_communities" -> ((s, d) =>
+      GraphOps.labelPropagation(GraphSource.layeredEdges(s, d), rounds = 4).orderBy(col("id"))),
     "triangle_count" -> ((s, d) =>
       GraphOps.triangleCount(GraphSource.lineitemEdges(s, d))),
     "pagerank_fixed" -> (pagerank _),
@@ -1039,6 +1042,26 @@ object SparkEntry {
     "connected_components" -> ccOracleSql,
     // identical answer demanded from the star-contraction variant
     "cc_bigstar" -> ccOracleSql,
+    // synchronous LPA, rounds unrolled; argmax via (count desc, label)
+    "graph_communities" -> {
+      def round(prev: String, k: Int): String =
+        s"""l$k AS (
+           |  SELECT id, lbl FROM (
+           |    SELECT u.dst AS id, l.lbl,
+           |           row_number() OVER (PARTITION BY u.dst
+           |                              ORDER BY count(*) DESC, l.lbl) AS rn
+           |    FROM ud u JOIN $prev l ON l.id = u.src
+           |    GROUP BY u.dst, l.lbl) WHERE rn = 1)""".stripMargin
+      val rounds = (1 to 4).map(k => round(s"l${k - 1}", k)).mkString(",\n")
+      s"""WITH edges AS (${GraphSource.layeredEdgesSql}),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM edges WHERE src <> dst),
+         |ud AS (SELECT a AS src, b AS dst FROM und
+         |       UNION ALL SELECT b, a FROM und),
+         |l0 AS (SELECT id, id AS lbl FROM (SELECT DISTINCT src AS id FROM ud)),
+         |$rounds
+         |SELECT id, lbl AS community FROM l4 ORDER BY id""".stripMargin
+    },
     // degree-ordered orientation mirrored from GraphOps.orientByDegree
     "triangle_count" ->
       s"""WITH edges AS (${GraphSource.lineitemEdgesSql}),

@@ -744,6 +744,54 @@ object GraphOps {
     }
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007, Phys. Rev. E 76 036106): labels start as node ids; each round
+    * every node adopts the most frequent label among its neighbors in
+    * the undirected SIMPLE graph (self-loops dropped, multi-edges
+    * dedup'd), ties broken by the smallest label. The classic async LPA
+    * is visit-order-dependent by construction; this fixed-round
+    * synchronous variant is the one that is reproducible cross-engine,
+    * so `rounds` is a parameter, not a convergence test.
+    *
+    * Scale shape: the undirected edge list is exchanged once and reused
+    * every round; a round is one neighbor-label count (hash aggregate on
+    * (node, label), map-side partial) and one argmax (hash aggregate on
+    * node via max(struct(cnt, -label)) — only one row per node crosses
+    * the exchange), with constant plan depth via per-round checkpoints.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val session = edges.sparkSession
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      val und = edges
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val ud = und
+        .select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ud.count()
+      def ckpt(df: DataFrame): DataFrame =
+        org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+      var labels = ckpt(ud.select(col("src").as("id")).distinct().select(col("id"), col("id").as("lbl")))
+      (1 to rounds).foreach { _ =>
+        labels = ckpt(
+          labels
+            .join(ud, labels("id") === ud("src"))
+            .select(ud("dst").as("id"), col("lbl"))
+            .groupBy(col("id"), col("lbl"))
+            .agg(count(lit(1)).as("c"))
+            .groupBy(col("id"))
+            .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("sel"))
+            .select(col("id"), (-col("sel.nl")).as("lbl")))
+      }
+      ud.unpersist()
+      labels.select(col("id"), col("lbl").as("community"))
+    }
+  }
+
   /** Orient the undirected simple graph (rows `(a, b)` with a<b,
     * dedup'd) by DEGREE: each edge points from its lower-degree endpoint
     * to its higher-degree endpoint (ties by id). Output `(lo, hi, hdeg)`

@@ -202,6 +202,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(byStars(60L) === 60L) // self-loop-only node is its own component
   }
 
+  test("labelPropagation: disjoint triangles settle on their min id; dups/self-loops ignored") {
+    val tri = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0),
+      (4L, 5L, 1.0), (5L, 6L, 1.0), (4L, 6L, 1.0),
+      // noise: self-loop and a reversed duplicate edge
+      (1L, 1L, 1.0), (2L, 1L, 9.0))
+    val got = GraphOps
+      .labelPropagation(edgesDf(tri), rounds = 4)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("labelPropagation tie-break is the smallest label, synchronously") {
+    // path 1-2-3: after round 1, node 2 sees {1,3} (tie -> 1),
+    // endpoints adopt 2; round 2: node 2 sees {2,2} -> 2, node 1 sees
+    // {1}, node 3 sees {1} (node 2's round-1 label) -> both 1
+    val got = GraphOps
+      .labelPropagation(edgesDf(Seq((1L, 2L, 1.0), (2L, 3L, 1.0))), rounds = 2)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
   test("triangleCount counts each triangle once, ignores dups and self-loops") {
     // K4 on {1,2,3,4} = 4 triangles; plus a self-loop and a parallel edge
     val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b, 1.0)
