@@ -478,6 +478,9 @@ object SparkEntry {
     // the sort-free histogram-sketch form next to the exact baseline
     "events_quantiles_binned" -> ((s, d) =>
       EventOps.quantilesBinned(events(s, d)).orderBy(col("event_type"))),
+    // join-key skew pre-flight: heavy hitters + global key stats
+    "skew_key_report" -> ((s, d) =>
+      EventOps.skewKeyReport(events(s, d), "user_id", topN = 10).orderBy(col("rank"))),
     "events_asof" -> ((s, d) => {
       val ev = events(s, d)
       val clicks = ev
@@ -2049,6 +2052,18 @@ object SparkEntry {
           |       round(quantile_cont(value, 0.95), 6) AS p95,
           |       count(*) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "skew_key_report" ->
+        """WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY user_id),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          |             CAST(sum(cnt) AS BIGINT) AS total_rows,
+          |             CAST(max(cnt) AS BIGINT) AS max_cnt FROM c),
+          |r AS (SELECT key, cnt,
+          |             CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INT) AS rank
+          |      FROM c)
+          |SELECT r.rank, r.key, r.cnt,
+          |       CAST(r.cnt * 1000000 // t.total_rows AS BIGINT) AS share_ppm,
+          |       t.n_keys, t.total_rows, t.max_cnt
+          |FROM r CROSS JOIN t WHERE r.rank <= 10 ORDER BY r.rank""".stripMargin,
       "events_quantiles_binned" ->
         """WITH hist AS (
           |  SELECT event_type, CAST(floor(value * 4) AS BIGINT) AS bin, count(*) AS c

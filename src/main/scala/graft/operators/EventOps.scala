@@ -83,6 +83,41 @@ object EventOps {
         count_distinct(col("user_id"), col("ts"), col("value")).as("n_distinct"))
       .withColumn("n_dupes", col("n_events") - col("n_distinct"))
 
+  /** Join/aggregation-key skew audit — the pre-flight a 100 TB shuffle
+    * runs before picking a strategy: the `topN` heaviest values of
+    * `keyCol` with per-key count, parts-per-million share of all rows,
+    * and the global key stats (distinct keys, total rows, max count)
+    * repeated on every row for one-table consumption. The numbers decide
+    * between a plain hash join, salting ([[graft.SparkEntry]]'s
+    * `salted_agg` companion), or an AQE skew split.
+    *
+    * Scale shape: one map-side-partial count keyed on the audited key,
+    * then a top-N that never global-sorts (TakeOrdered over one row per
+    * DISTINCT key) and a single-row totals aggregate broadcast onto the
+    * N survivors. Integer ppm (`cnt * 1e6 div total`) keeps the report
+    * hash-identical cross-engine.
+    */
+  def skewKeyReport(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("total_rows"),
+      max(col("cnt")).as("max_cnt"))
+    counts
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topN)
+      .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("key"))).cast("int"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("rank"),
+        col("key"),
+        col("cnt"),
+        expr("cnt * 1000000 div total_rows").as("share_ppm"),
+        col("n_keys"),
+        col("total_rows"),
+        col("max_cnt"))
+  }
+
   def quantiles(events: DataFrame): DataFrame =
     events
       .groupBy(col("event_type"))

@@ -87,6 +87,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("skew_key_report: heavy hitters ride TakeOrdered + partial count, totals broadcast") {
+    val plan = planOf(SparkEntry.queries("skew_key_report")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort for top-N in:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side partial in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"totals not broadcast in:\n$plan")
+  }
+
   test("partition-column filter prunes directories, not rows") {
     val staged = sources.TabularIO.partitionedRoundTrip(
       spark,
