@@ -481,6 +481,9 @@ object SparkEntry {
     // join-key skew pre-flight: heavy hitters + global key stats
     "skew_key_report" -> ((s, d) =>
       EventOps.skewKeyReport(events(s, d), "user_id", topN = 10).orderBy(col("rank"))),
+    // ordered-sequence analytics: strict view→click→purchase progression
+    "events_funnel" -> ((s, d) =>
+      EventOps.funnel(events(s, d), Seq("view", "click", "purchase")).orderBy(col("step"))),
     "events_asof" -> ((s, d) => {
       val ev = events(s, d)
       val clicks = ev
@@ -2052,6 +2055,22 @@ object SparkEntry {
           |       round(quantile_cont(value, 0.95), 6) AS p95,
           |       count(*) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "events_funnel" ->
+        """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+          |            WHERE event_type = 'view' GROUP BY user_id),
+          |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          |       JOIN s1 ON s1.user_id = e.user_id
+          |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+          |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          |       JOIN s2 ON s2.user_id = e.user_id
+          |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+          |u AS (SELECT 1 AS step, 'view' AS event_type, CAST(count(*) AS BIGINT) AS n_users FROM s1
+          |      UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+          |      UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+          |SELECT CAST(step AS INT) AS step, event_type, n_users,
+          |       CAST(n_users * 1000000 // (SELECT n_users FROM u WHERE step = 1)
+          |            AS BIGINT) AS conv_ppm
+          |FROM u ORDER BY step""".stripMargin,
       "skew_key_report" ->
         """WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY user_id),
           |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,

@@ -118,6 +118,52 @@ object EventOps {
         col("max_cnt"))
   }
 
+  /** Ordered-funnel analysis: for the step sequence s₁ → s₂ → … → sₖ, a
+    * user reaches step i when events of those types occur in strict
+    * timestamp order. Computed greedily — tᵢ = min ts of an sᵢ event
+    * AFTER tᵢ₋₁ — which is exact: if any witness sequence exists, the
+    * earliest-completion one does. Output: one row per step with the
+    * users reaching it and integer-ppm conversion vs step 1.
+    *
+    * Scale shape: one filtered scan per step (the event-type equality
+    * pushes to the scan), each collapsed to one row per user by a
+    * map-side-partial min and joined back on user_id — per-step state is
+    * O(users), never a per-user event list, and k is the funnel length
+    * (a small constant). Same-timestamp ties do not progress (strict >),
+    * so the result is deterministic.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    def stepCount(reached: DataFrame, step: Int, tpe: String): DataFrame =
+      reached
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(step).cast("int").as("step"), lit(tpe).as("event_type"), col("n_users"))
+    var reached = ev
+      .filter(col("event_type") === steps.head)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t"))
+    val perStep = scala.collection.mutable.ArrayBuffer(stepCount(reached, 1, steps.head))
+    steps.zipWithIndex.drop(1).foreach { case (tpe, i) =>
+      reached = ev
+        .filter(col("event_type") === tpe)
+        .alias("e")
+        .join(reached.alias("r"), col("e.user_id") === col("r.user_id"))
+        .filter(col("e.ts") > col("r.t"))
+        .groupBy(col("e.user_id").as("user_id"))
+        .agg(min(col("e.ts")).as("t"))
+      perStep += stepCount(reached, i + 1, tpe)
+    }
+    val u = perStep.reduce(_ unionAll _)
+    val first = u.filter(col("step") === 1).select(col("n_users").as("n0"))
+    u.crossJoin(broadcast(first))
+      .select(
+        col("step"),
+        col("event_type"),
+        col("n_users"),
+        expr("n_users * 1000000 div n0").as("conv_ppm"))
+  }
+
   def quantiles(events: DataFrame): DataFrame =
     events
       .groupBy(col("event_type"))

@@ -120,6 +120,31 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out === Map((7L, 1L) -> 2L, (7L, 2L) -> 1L, (8L, 1L) -> 1L))
   }
 
+  test("funnel requires strict in-order progression; ties and reversals don't count") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val e = Seq(
+      // user 1: full ordered funnel
+      (1L, at(0), 1L, "view", 1.0, "{}"),
+      (2L, at(1), 1L, "click", 1.0, "{}"),
+      (3L, at(2), 1L, "purchase", 1.0, "{}"),
+      // user 2: click BEFORE view, purchase after → reaches view only
+      (4L, at(0), 2L, "click", 1.0, "{}"),
+      (5L, at(1), 2L, "view", 1.0, "{}"),
+      // user 3: click at the SAME ts as view → tie is not progression
+      (6L, at(0), 3L, "view", 1.0, "{}"),
+      (7L, at(0), 3L, "click", 1.0, "{}"),
+      // user 4: never views → not in the funnel at all
+      (8L, at(0), 4L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps
+      .funnel(e, Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === Map(1 -> (3L, 1000000L), 2 -> (1L, 333333L), 3 -> (1L, 333333L)))
+  }
+
   test("mixture weights scale each domain's epochs to its target share") {
     val d = docsDf(Seq(
       (1L, "a b c d e f g h i j", "en"), // 10 tokens
