@@ -484,6 +484,10 @@ object SparkEntry {
     // ordered-sequence analytics: strict view→click→purchase progression
     "events_funnel" -> ((s, d) =>
       EventOps.funnel(events(s, d), Seq("view", "click", "purchase")).orderBy(col("step"))),
+    // weekly cohort retention matrix off each user's first-event week
+    "events_retention" -> ((s, d) =>
+      EventOps.retentionCohorts(events(s, d))
+        .orderBy(col("cohort_week"), col("week_offset"))),
     "events_asof" -> ((s, d) => {
       val ev = events(s, d)
       val clicks = ev
@@ -2071,6 +2075,19 @@ object SparkEntry {
           |       CAST(n_users * 1000000 // (SELECT n_users FROM u WHERE step = 1)
           |            AS BIGINT) AS conv_ppm
           |FROM u ORDER BY step""".stripMargin,
+      "events_retention" ->
+        """WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+          |f AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+          |a AS (SELECT DISTINCT user_id, wk FROM ev),
+          |m AS (SELECT f.cohort_wk,
+          |             CAST((a.wk - f.cohort_wk) // 7 AS INT) AS week_offset,
+          |             CAST(count(*) AS BIGINT) AS n_active
+          |      FROM a JOIN f ON f.user_id = a.user_id GROUP BY 1, 2),
+          |s AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1)
+          |SELECT CAST(m.cohort_wk AS VARCHAR) AS cohort_week, m.week_offset, m.n_active,
+          |       s.cohort_size,
+          |       CAST(m.n_active * 1000000 // s.cohort_size AS BIGINT) AS retained_ppm
+          |FROM m JOIN s USING (cohort_wk) ORDER BY cohort_week, week_offset""".stripMargin,
       "skew_key_report" ->
         """WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY user_id),
           |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,

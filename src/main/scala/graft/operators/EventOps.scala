@@ -164,6 +164,40 @@ object EventOps {
         expr("n_users * 1000000 div n0").as("conv_ppm"))
   }
 
+  /** Weekly retention-cohort matrix: users grouped by the ISO week
+    * (Monday-truncated, identical in both engines) of their FIRST event;
+    * for each (cohort week, week offset) the cohort members active that
+    * week, the cohort size, and integer-ppm retention. Offsets are exact
+    * multiples of 7 days between two Mondays, so the integer division is
+    * exact. Cohort week is emitted as a date STRING — the established
+    * cross-engine convention for calendar boundaries.
+    *
+    * Scale shape: first-event week is a map-side-partial min per user;
+    * weekly activity a distinct on (user, week) — both one exchange keyed
+    * on user_id and mutually co-partitioned for the matrix join; cohort
+    * sizes are a tiny aggregate broadcast back onto the matrix.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val ev = events.select(
+      col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("wk"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val matrix = ev
+      .distinct()
+      .join(first, Seq("user_id"))
+      .groupBy(col("cohort_wk"), expr("datediff(wk, cohort_wk) div 7").cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = first.groupBy(col("cohort_wk")).agg(count(lit(1)).as("cohort_size"))
+    matrix
+      .join(broadcast(sizes), Seq("cohort_wk"))
+      .select(
+        col("cohort_wk").cast("string").as("cohort_week"),
+        col("week_offset"),
+        col("n_active"),
+        col("cohort_size"),
+        expr("n_active * 1000000 div cohort_size").as("retained_ppm"))
+  }
+
   def quantiles(events: DataFrame): DataFrame =
     events
       .groupBy(col("event_type"))

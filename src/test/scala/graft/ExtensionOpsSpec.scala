@@ -145,6 +145,27 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got === Map(1 -> (3L, 1000000L), 2 -> (1L, 333333L), 3 -> (1L, 333333L)))
   }
 
+  test("retentionCohorts anchors each user at their first-event week") {
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      // user 1: first week W0 (Mon 2024-01-01), active W0 and W2
+      (1L, at("2024-01-02 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, at("2024-01-16 10:00:00"), 1L, "view", 1.0, "{}"),
+      // user 2: joins W1, active W1 only (two events, one active week)
+      (3L, at("2024-01-08 09:00:00"), 2L, "view", 1.0, "{}"),
+      (4L, at("2024-01-09 09:00:00"), 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps
+      .retentionCohorts(e)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got === Map(
+      ("2024-01-01", 0) -> (1L, 1L, 1000000L),
+      ("2024-01-01", 2) -> (1L, 1L, 1000000L),
+      ("2024-01-08", 0) -> (1L, 1L, 1000000L)))
+  }
+
   test("mixture weights scale each domain's epochs to its target share") {
     val d = docsDf(Seq(
       (1L, "a b c d e f g h i j", "en"), // 10 tokens
