@@ -36,21 +36,32 @@ object model {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table with its nanosecond timestamp normalized to Spark's
-    * microsecond TimestampType.
+  /** The events table with its timestamp normalized to Spark's
+    * microsecond (timezone'd) TimestampType, whatever unit the parquet
+    * carries — the driver's testdata has shipped BOTH across
+    * generations:
     *
-    * The driver's events parquet carries TIMESTAMP(NANOS), which Spark 4
-    * refuses to read natively (PARQUET_TYPE_ILLEGAL); sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, the column arrives as
-    * nanos-since-epoch BIGINT, and this truncates (floor-divides) to
-    * microseconds — integer division, no double round-trip (ns values
-    * exceed 2^53).
+    *   - TIMESTAMP(NANOS): Spark 4 refuses it natively
+    *     (PARQUET_TYPE_ILLEGAL); sessions set
+    *     `spark.sql.legacy.parquet.nanosAsLong=true`, the column
+    *     arrives as nanos-since-epoch BIGINT, and this truncates
+    *     (floor-divides) to microseconds — integer division, no double
+    *     round-trip (ns values exceed 2^53).
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *     TIMESTAMP_NTZ, cast to TimestampType — value-identical under
+    *     the UTC session timezone every harness session pins, and the
+    *     cast restores the type the downstream operators (second-unit
+    *     double casts, interval arithmetic) are written against.
     */
   def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = table(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 }
 

@@ -31,12 +31,26 @@ object StreamOps {
 
   /** Streaming source over a directory of event parquet files, timestamp
     * normalized to microseconds exactly as the batch path does.
+    *
+    * The harness parquet has carried both TIMESTAMP(NANOS) (arrives as
+    * nanos-since-epoch BIGINT under `nanosAsLong`) and TIMESTAMP(MICROS)
+    * (arrives as native TimestampType) across testdata generations, so
+    * the unit is DETECTED from a batch footer read — mirroring
+    * model.eventsTable — instead of hardcoding either schema. A
+    * unit-blind `div 1000` on micros data shrinks every timestamp 1000×
+    * and silently collapses all windows onto 1970.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (spark.read.parquet(dir).schema("ts").dataType == LongType)
+      spark.readStream
+        .schema(eventsSchema)
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      spark.readStream
+        .schema(StructType(eventsSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampType) else f)))
+        .parquet(dir)
 
   /** Watermarked tumbling-window aggregation over a streaming events
     * frame. 20-minute watermark: late state is dropped two windows back,
@@ -197,7 +211,13 @@ object StreamOps {
     */
   def sessionizeOverParquet(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
     import spark.implicits._
-    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts = nanos BIGINT
+    // normalize to TimestampType first (unit varies across testdata
+    // generations — see model.eventsTable), then stage as nanos BIGINT:
+    // the staged file deliberately reproduces the LongType layout so the
+    // readEventStream nanos branch stays driver-exercised end-to-end
+    val raw = graft.model
+      .eventsTable(spark, sfDir)
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
     val horizonNs = (gapMinutes + 60) * 60000000000L
     // ONE shared sentinel timestamp (global max + horizon) for every
     // user: a per-user sentinel time would let the global watermark pass
