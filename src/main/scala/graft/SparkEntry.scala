@@ -314,6 +314,33 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
+
+  /** The shared versioned corpus log behind corpus_upsert / corpus_scd2:
+    * the whole corpus at version 1, every 7th doc revised at version 2,
+    * every 97th doc freshly inserted at version 2 (negated ids — can
+    * never collide with the non-negative corpus ids at ANY scale,
+    * unlike a fixed +offset, which collides past `offset` docs).
+    * Returns (base, updates).
+    */
+  private def corpusVersionLog(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = docs(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), lit(1L).as("version"))
+    val revised = docs(s, d)
+      .filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(
+        col("doc_id"),
+        concat(lit("UPDATED: "), coalesce(col("text"), lit(""))).as("text"),
+        col("lang"),
+        lit(2L).as("version"))
+    val fresh = docs(s, d)
+      .filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(
+        (-col("doc_id") - 1L).as("doc_id"),
+        concat(lit("NEW "), col("doc_id").cast("string")).as("text"),
+        lit("en").as("lang"),
+        lit(2L).as("version"))
+    (base, revised.unionByName(fresh))
+  }
   private def events(s: SparkSession, dir: String): DataFrame = eventsTable(s, dir)
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -337,6 +364,11 @@ object SparkEntry {
     // fixed-round synchronous label-propagation community detection
     "graph_communities" -> ((s, d) =>
       GraphOps.labelPropagation(GraphSource.layeredEdges(s, d), rounds = 4).orderBy(col("id"))),
+    // 48 BFS traversals batched into one bitmask loop (Then et al. VLDB'15)
+    "graph_msbfs" -> ((s, d) =>
+      GraphOps
+        .multiSourceBfs(GraphSource.lineitemEdges(s, d), nSources = 48, rounds = 4)
+        .orderBy(col("id"))),
     "triangle_count" -> ((s, d) =>
       GraphOps.triangleCount(GraphSource.lineitemEdges(s, d))),
     "pagerank_fixed" -> (pagerank _),
@@ -475,6 +507,9 @@ object SparkEntry {
     "events_json_agg" -> ((s, d) => EventOps.jsonAgg(events(s, d)).orderBy(col("event_type"))),
     "events_quantiles" -> ((s, d) =>
       EventOps.quantiles(events(s, d)).orderBy(col("event_type"))),
+    // Tukey-fence outlier report: robust per-type anomaly counting
+    "events_anomaly" -> ((s, d) =>
+      EventOps.anomalies(events(s, d)).orderBy(col("event_type"))),
     // the sort-free histogram-sketch form next to the exact baseline
     "events_quantiles_binned" -> ((s, d) =>
       EventOps.quantilesBinned(events(s, d)).orderBy(col("event_type"))),
@@ -584,32 +619,28 @@ object SparkEntry {
     // latest-wins MERGE of an update batch into the keyed corpus; the
     // partial-aggregating max_by shape, not a window (see Snapshot)
     "corpus_upsert" -> ((s, d) => {
-      val base = docs(s, d)
-        .select(col("doc_id"), col("text"), col("lang"), lit(1L).as("version"))
-      val revised = docs(s, d)
-        .filter(pmod(col("doc_id"), lit(7)) === 0)
-        .select(
-          col("doc_id"),
-          concat(lit("UPDATED: "), coalesce(col("text"), lit(""))).as("text"),
-          col("lang"),
-          lit(2L).as("version"))
-      val fresh = docs(s, d)
-        .filter(pmod(col("doc_id"), lit(97)) === 0)
-        .select(
-          // negated ids can never collide with the non-negative corpus
-          // ids at ANY scale (a fixed +offset would, past `offset` docs)
-          (-col("doc_id") - 1L).as("doc_id"),
-          concat(lit("NEW "), col("doc_id").cast("string")).as("text"),
-          lit("en").as("lang"),
-          lit(2L).as("version"))
+      val (base, updates) = corpusVersionLog(s, d)
       operators.Snapshot
-        .upsert(base, revised.unionByName(fresh), "doc_id", "version")
+        .upsert(base, updates, "doc_id", "version")
         .select(
           col("doc_id"),
           col("version"),
           length(col("text")).cast("long").as("n_chars"),
           col("lang"))
         .orderBy(col("doc_id"))
+    }),
+    // the same version log as SCD-2 validity intervals (time travel)
+    "corpus_scd2" -> ((s, d) => {
+      val (base, updates) = corpusVersionLog(s, d)
+      operators.Snapshot
+        .scd2(base.unionByName(updates), "doc_id", "version")
+        .select(
+          col("doc_id"),
+          col("valid_from"),
+          col("valid_to"),
+          col("is_current"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"), col("valid_from"))
     }),
     "decontaminate" -> ((s, d) => TextOps.decontaminate(docs(s, d)).orderBy(col("doc_id"))),
     "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d)).orderBy(col("doc_id"))),
@@ -631,6 +662,10 @@ object SparkEntry {
     "ann_ivf_recall" -> ((s, d) =>
       Similarity.ivfRecall(embs(s, d), nQueries = 50, k = 3, nProbes = Seq(1, 3))
         .orderBy(col("n_probe"), col("q_id"))),
+    // measured recall of ranking in the 16-dim random projection of the
+    // 64-dim space — the dimensionality-reduction cost, quantified
+    "ann_rp_recall" -> ((s, d) =>
+      Similarity.rpRecall(embs(s, d), nQueries = 50, k = 3).orderBy(col("q_id"))),
     // the stateful sessionizer pushed through the streaming engine
     // (flatMapGroupsWithState + state store); shares the batch oracle
     "events_stream_sessionize" -> ((s, d) =>
@@ -663,6 +698,9 @@ object SparkEntry {
     // grouped KMV: per-source distinct-token estimate next to exact
     "sketch_kmv_per_source" -> ((s, d) =>
       operators.Sketches.kmvPerSource(docs(s, d)).orderBy(col("source"))),
+    // count-min sketch point estimates next to the exact heavy hitters
+    "sketch_cms_tokens" -> ((s, d) =>
+      operators.Sketches.cmsHeavyHitters(docs(s, d)).orderBy(col("token"))),
     // span-level exact-substring dedup (duplicated 3-gram runs)
     "dedup_substring_spans" -> ((s, d) =>
       Dedup.dupSpans(docs(s, d)).orderBy(col("doc_id"), col("span_start"))),
@@ -1072,6 +1110,9 @@ object SparkEntry {
          |$rounds
          |SELECT id, lbl AS community FROM l4 ORDER BY id""".stripMargin
     },
+    // bitmask OR-propagation, rounds unrolled on the same distinct edges
+    "graph_msbfs" ->
+      GraphOps.multiSourceBfsSql(GraphSource.lineitemEdgesSql, nSources = 48, rounds = 4),
     // degree-ordered orientation mirrored from GraphOps.orientByDegree
     "triangle_count" ->
       s"""WITH edges AS (${GraphSource.lineitemEdgesSql}),
@@ -1852,6 +1893,7 @@ object SparkEntry {
       },
       "sketch_kmv_per_source" ->
         (operators.Sketches.kmvPerSourceSql() + "\nORDER BY source"),
+      "sketch_cms_tokens" -> operators.Sketches.cmsHeavyHittersSql(),
       "dedup_substring_spans" ->
         s"SELECT * FROM (${Dedup.dupSpansSql()}) ORDER BY doc_id, span_start",
       "dedup_dup_ratio" ->
@@ -1995,6 +2037,25 @@ object SparkEntry {
           |  FROM merged)
           |SELECT doc_id, version, CAST(length(text) AS BIGINT) AS n_chars, lang
           |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      "corpus_scd2" ->
+        """WITH base AS (
+          |  SELECT doc_id, text, lang, CAST(1 AS BIGINT) AS version FROM documents),
+          |revised AS (
+          |  SELECT doc_id, 'UPDATED: ' || coalesce(text, '') AS text, lang,
+          |         CAST(2 AS BIGINT) AS version
+          |  FROM documents WHERE doc_id % 7 = 0),
+          |fresh AS (
+          |  SELECT -doc_id - 1 AS doc_id, 'NEW ' || CAST(doc_id AS VARCHAR) AS text,
+          |         'en' AS lang, CAST(2 AS BIGINT) AS version
+          |  FROM documents WHERE doc_id % 97 = 0),
+          |log AS (SELECT * FROM base UNION ALL SELECT * FROM revised
+          |        UNION ALL SELECT * FROM fresh)
+          |SELECT doc_id,
+          |       version AS valid_from,
+          |       lead(version, 1) OVER (PARTITION BY doc_id ORDER BY version) AS valid_to,
+          |       lead(version, 1) OVER (PARTITION BY doc_id ORDER BY version) IS NULL AS is_current,
+          |       CAST(length(text) AS BIGINT) AS n_chars
+          |FROM log ORDER BY doc_id, valid_from""".stripMargin,
       "decontaminate" ->
         s"""WITH sh AS (SELECT doc_id, unnest($shingleSql) AS g FROM $fromToks),
            |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % ${TextOps.BenchmarkMod} = 0),
@@ -2021,6 +2082,36 @@ object SparkEntry {
            |                   ELSE CAST(a.max_rep AS DOUBLE) / a.n_grams END) + 1e-9, 6) AS rep_ratio
            |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+      "ann_rp_recall" -> {
+        val rLit = (0 until Similarity.RpDim)
+          .map(j =>
+            Parity.dotSql("e", Parity.planeLitSql(Similarity.RpPlaneOffset + j, Similarity.Dim)))
+          .mkString("[", ",\n             ", "]")
+        s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |rd AS (SELECT vec_id,
+           |       $rLit AS r
+           |       FROM d),
+           |scored_e AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |         round(${Parity.cosineSql("q.e", "c.e")}, 6) AS cos
+           |  FROM d q JOIN d c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+           |ranked_e AS (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           |  FROM scored_e),
+           |scored_r AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |         round(${Parity.cosineSql("q.r", "c.r")}, 6) AS cos
+           |  FROM rd q JOIN rd c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+           |ranked_r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           |  FROM scored_r)
+           |SELECT e.q_id, CAST(count(a.n_id) AS BIGINT) AS n_hits,
+           |       round(CAST(count(a.n_id) AS DOUBLE) / 3.0, 6) AS recall
+           |FROM (SELECT * FROM ranked_e WHERE rank <= 3) e
+           |LEFT JOIN (SELECT * FROM ranked_r WHERE rank <= 3) a
+           |  ON a.q_id = e.q_id AND a.n_id = e.n_id
+           |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+      },
       "ann_recall" ->
         s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
            |scored_e AS (
@@ -2059,6 +2150,24 @@ object SparkEntry {
           |       round(quantile_cont(value, 0.95), 6) AS p95,
           |       count(*) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "events_anomaly" ->
+        """WITH f AS (
+          |  SELECT event_type AS ft, count(*) AS n,
+          |         round(quantile_cont(value, 0.25), 6) AS p25,
+          |         round(quantile_cont(value, 0.75), 6) AS p75
+          |  FROM events GROUP BY event_type),
+          |ff AS (
+          |  SELECT ft, n,
+          |         round(p25 - (p75 - p25) * 1.5, 6) AS lo_fence,
+          |         round(p75 + (p75 - p25) * 1.5, 6) AS hi_fence
+          |  FROM f)
+          |SELECT e.event_type, ff.n, ff.lo_fence, ff.hi_fence,
+          |       CAST(sum(CASE WHEN e.value < ff.lo_fence OR e.value > ff.hi_fence
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+          |       max(e.value) AS max_value
+          |FROM events e JOIN ff ON e.event_type = ff.ft
+          |GROUP BY e.event_type, ff.n, ff.lo_fence, ff.hi_fence
+          |ORDER BY e.event_type""".stripMargin,
       "events_funnel" ->
         """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
           |            WHERE event_type = 'view' GROUP BY user_id),

@@ -206,6 +206,49 @@ object EventOps {
         round(expr("percentile(value, 0.95)"), 6).as("p95"),
         count(lit(1)).as("n"))
 
+  /** Per-type outlier report via Tukey fences: an event is anomalous
+    * when its value leaves [p25 − 1.5·IQR, p75 + 1.5·IQR] — the robust
+    * (quartile-based) alternative to z-scores, immune to the outliers
+    * it hunts inflating the threshold, and deterministic where a
+    * mean/stddev formulation is not (distributed double sums are
+    * order-nondeterministic at the last ulp; order statistics are
+    * exact, and the 6-decimal rounding of the fences is the same
+    * contract [[quantiles]] already hash-matches under).
+    *
+    * Scale shape: pass 1 computes the per-type fences (5 rows); pass 2
+    * re-scans with the fence table BROADCAST — a counting aggregate,
+    * map-side partial, no second shuffle of the events. At 100 TB the
+    * exact percentile inside pass 1 is the piece to swap for
+    * [[quantilesBinned]]'s histogram — the fence logic is unchanged.
+    */
+  def anomalies(events: DataFrame): DataFrame = {
+    val fences = events
+      .groupBy(col("event_type").as("ft"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 6).as("p25"),
+        round(expr("percentile(value, 0.75)"), 6).as("p75"),
+        count(lit(1)).as("n"))
+      .select(
+        col("ft"),
+        col("n"),
+        round(col("p25") - (col("p75") - col("p25")) * 1.5, 6).as("lo_fence"),
+        round(col("p75") + (col("p75") - col("p25")) * 1.5, 6).as("hi_fence"))
+    events
+      .join(broadcast(fences), col("event_type") === col("ft"))
+      .groupBy(col("event_type"), col("n"), col("lo_fence"), col("hi_fence"))
+      .agg(
+        sum(when(col("value") < col("lo_fence") || col("value") > col("hi_fence"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max(col("value")).as("max_value"))
+      .select(
+        col("event_type"),
+        col("n"),
+        col("lo_fence"),
+        col("hi_fence"),
+        col("n_outliers"),
+        col("max_value"))
+  }
+
   /** Histogram-binned approximate quantiles — the SCALE path next to
     * [[quantiles]]' exact baseline: exact per-group percentiles need a
     * full sort of every value, while this is one hash aggregate on

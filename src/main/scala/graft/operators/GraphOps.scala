@@ -744,6 +744,105 @@ object GraphOps {
     }
   }
 
+  /** Multi-source BFS: all `nSources` traversals advance in ONE loop
+    * via a per-node reachability BITMASK (Then et al., VLDB 2015, "The
+    * More the Merrier: Efficient Multi-Source Graph Traversal"). Source
+    * k's reach is bit k−1 of a 64-bit mask; a round ORs each node's
+    * mask into its out-neighbors' masks, so up to 63 BFS frontiers
+    * advance for the price of one edge join — the batching that makes
+    * landmark-distance / centrality sweeps feasible at 100 TB, where
+    * running the traversals separately would re-shuffle the edge list
+    * once per source.
+    *
+    * Sources are node ids 1..`nSources` (deterministic; ids absent from
+    * the graph simply contribute an unset bit — same degradation as a
+    * sink source in SSSP, SURVEY.md Q4). Fixed `rounds` like
+    * [[labelPropagation]]. Output: every reached node with its mask and
+    * source count `(id, reach_mask, n_sources)`.
+    *
+    * Scale shape: edges are exchanged once and reused every round; a
+    * round is one join (probe side = only nodes with a non-zero mask —
+    * the monotone-OR frontier) plus one `bit_or` hash aggregate with a
+    * map-side partial, constant plan depth via per-round checkpoints.
+    * The mask never exceeds 8 bytes no matter how many rounds run.
+    */
+  def multiSourceBfs(edges: DataFrame, nSources: Int, rounds: Int): DataFrame = {
+    require(nSources >= 1 && nSources <= 63, s"nSources must be in [1, 63], got $nSources")
+    val session = edges.sparkSession
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      val e = edges
+        .select(col("src"), col("dst"))
+        .distinct() // OR is idempotent: parallel edges add shuffle rows, never information
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      def ckpt(df: DataFrame): DataFrame =
+        org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+      // pow stays exact here (2^62 < 2^53 is false, but nSources ≤ 63 bits
+      // built from ids ≤ 63 → exponents ≤ 62; doubles are exact at every
+      // power of two, so the cast is exact) — and DuckDB computes the
+      // identical literal power
+      val seedMask = when(
+        col("id") >= 1 && col("id") <= nSources,
+        expr("CAST(pow(2, id - 1) AS BIGINT)")).otherwise(lit(0L))
+      var state = ckpt(
+        e.select(col("src").as("id"))
+          .unionAll(e.select(col("dst").as("id")))
+          .distinct()
+          .select(col("id"), seedMask.as("mask")))
+      (1 to rounds).foreach { _ =>
+        val prop = state
+          .filter(col("mask") =!= 0L)
+          .join(e, state("id") === e("src"))
+          .select(e("dst").as("id"), col("mask"))
+        state = ckpt(
+          state
+            .unionAll(prop)
+            .groupBy(col("id"))
+            .agg(expr("bit_or(mask)").as("mask")))
+      }
+      e.unpersist()
+      state
+        .filter(col("mask") =!= 0L)
+        .select(
+          col("id"),
+          col("mask").as("reach_mask"),
+          expr("CAST(bit_count(mask) AS BIGINT)").as("n_sources"))
+    }
+  }
+
+  /** [[multiSourceBfs]] unrolled for the DuckDB oracle: round k's CTE
+    * ORs round k−1's masks over the same distinct edge list. The
+    * frontier filter (`mask <> 0`) is mirrored — it is a pure pruning
+    * of zero contributions, but mirroring keeps the text the spec of
+    * the loop.
+    */
+  def multiSourceBfsSql(edgesSql: String, nSources: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds)
+      .map { k =>
+        s"""m$k AS (
+           |  SELECT id, bit_or(mask) AS mask FROM (
+           |    SELECT id, mask FROM m${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS id, m.mask FROM m${k - 1} m JOIN e ON m.id = e.src WHERE m.mask <> 0)
+           |  GROUP BY id)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH raw AS ($edgesSql),
+       |e AS (SELECT DISTINCT src, dst FROM raw),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |m0 AS (
+       |  SELECT id,
+       |         CASE WHEN id BETWEEN 1 AND $nSources THEN CAST(pow(2, id - 1) AS BIGINT)
+       |              ELSE CAST(0 AS BIGINT) END AS mask
+       |  FROM nodes),
+       |$roundCtes
+       |SELECT id, mask AS reach_mask, CAST(bit_count(mask) AS BIGINT) AS n_sources
+       |FROM m$rounds WHERE mask <> 0
+       |ORDER BY id""".stripMargin
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007, Phys. Rev. E 76 036106): labels start as node ids; each round
     * every node adopts the most frequent label among its neighbors in

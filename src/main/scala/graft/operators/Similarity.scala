@@ -340,6 +340,64 @@ object Similarity {
       .reduce(_ unionAll _)
   }
 
+  // ---- random-projection dimensionality reduction --------------------------
+
+  /** Reduced dimensionality and the slice of the shared deterministic
+    * hyperplane sequence backing it. Offset 100 keeps the reduction
+    * planes disjoint from the LSH tables' planes 0..23 — reusing those
+    * would correlate the reduction error with the LSH bucketing error
+    * exactly where the two are composed.
+    */
+  val RpDim = 16
+  val RpPlaneOffset = 100
+
+  /** Johnson–Lindenstrauss-style random projection: each vector mapped
+    * to [[RpDim]] deterministic hyperplane projections (the REAL-valued
+    * counterpart of the sign-only LSH bucket — LSH keeps 1 bit per
+    * plane, this keeps the whole coordinate). One narrow map over the
+    * corpus; at 100 TB the 4× dim cut is a 4× cut in every downstream
+    * dot product, shuffle byte, and cache line, which is why reduction
+    * runs FIRST in a production similarity pipeline. The JL guarantee
+    * (angles are preserved in expectation with error ~1/√RpDim) is made
+    * measurable by [[rpRecall]].
+    */
+  def rpReduce(embs: DataFrame): DataFrame =
+    asDouble(embs).select(
+      col("vec_id"),
+      array((0 until RpDim).map(j =>
+        Parity.dot(col("e"), Parity.planeLit(RpPlaneOffset + j, Dim))): _*).as("r"))
+
+  /** Exact cosine top-k in the REDUCED space — [[bruteForceTopK]]'s
+    * plan shape over [[rpReduce]] output. Same determinism contract
+    * (round 6, ties by id).
+    */
+  def rpTopK(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val d = rpReduce(embs)
+    val q = d.filter(col("vec_id") < nQueries).alias("q")
+    val c = d.alias("c")
+    val scored = q
+      .join(c, col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("q_id"),
+        col("c.vec_id").as("n_id"),
+        round(Parity.cosine(col("q.r"), col("c.r")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Measured recall@k of reduced-space ranking against the full-dim
+    * exact top-k: what a 4× dimension cut actually costs on THIS
+    * corpus — the number that decides whether downstream ANN runs at 16
+    * or 64 dims.
+    */
+  def rpRecall(embs: DataFrame, nQueries: Int, k: Int): DataFrame =
+    recallVsExact(
+      bruteForceTopK(embs, nQueries, k).select(col("q_id"), col("n_id")),
+      rpTopK(embs, nQueries, k),
+      k)
+
   /** Product-quantization geometry: [[Dim]] split into [[PqM]] contiguous
     * subspaces of [[PqSubDim]] dims, each quantized by its own
     * [[kmeansFixed]] codebook of [[PqCells]] centroids — 8×7-bit codes

@@ -93,6 +93,99 @@ object Sketches {
           .as("kmv_estimate"))
   }
 
+  // ---- Count-min sketch ----------------------------------------------------
+
+  /** CMS geometry: depth 4 × width 512 = 2048 counter cells. Width sets
+    * the overestimate bound (ε ≈ e/w of the total mass lands on each
+    * cell in expectation); depth sets the failure probability of that
+    * bound (δ = e^−d). 4×512 on the harness vocabulary keeps top-20
+    * estimates within a few percent while the sketch is ~16 KB.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 512L
+
+  /** Row-j CMS bucket of a 40-bit token hash: an affine permutation mod
+    * [[Parity.BigP]] folded to the width. `h` is reduced mod BigP FIRST
+    * so the product stays < 2^62 — the same overflow discipline as
+    * [[graft.operators.TextOps]]' shard hash; DuckDB BIGINT arithmetic
+    * is then bit-identical.
+    */
+  private def cmsBucket(j: Int, h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (lit(Parity.permA(j)) * (h % lit(Parity.BigP)) + lit(Parity.permB(j))) % lit(Parity.BigP) % lit(
+      CmsWidth)
+
+  private def cmsBucketSql(j: Int, h: String): String =
+    s"((${Parity.permA(j)} * ($h % ${Parity.BigP}) + ${Parity.permB(j)}) % ${Parity.BigP}) % $CmsWidth"
+
+  /** Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    * 2005, J. Algorithms 55): every token increments one counter per
+    * hash row; a point estimate is the MIN over its d counters —
+    * overestimates only (collisions add, never subtract). Emitted next
+    * to the exact frequencies it approximates: the exact top-`topN`
+    * tokens with their CMS estimates and the overestimate delta, so the
+    * sketch's error is a measured column, not a claim.
+    *
+    * Scale shape at 100 TB: the sketch build is ONE hash aggregate into
+    * d·w = 2048 cells with a map-side partial (each task folds its
+    * tokens into a 16 KB array before the exchange — this is why CMS
+    * exists: the full histogram needs memory ∝ vocabulary, the sketch
+    * O(d·w)). Here the build goes through the word histogram the probe
+    * side needs anyway, which is count-identical (sum of per-token
+    * freqs = token stream length). The probe is a broadcast-sized join
+    * of topN·d rows against the 2048-cell table.
+    */
+  def cmsHeavyHitters(docs: DataFrame, topN: Int = 20): DataFrame = {
+    val hist = docs
+      .select(explode(Parity.tokens(col("text"))).as("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("freq"))
+    def withBuckets(df: DataFrame): DataFrame =
+      df.withColumn("h", Parity.tokenH40(col("t")))
+        .select(
+          df.columns.map(col) :+
+            posexplode(array((0 until CmsDepth).map(j => cmsBucket(j, col("h"))): _*))
+              .as(Seq("j", "bucket")): _*)
+    val cells = withBuckets(hist)
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("freq")).as("cell"))
+    val top = hist.orderBy(desc("freq"), col("t")).limit(topN)
+    withBuckets(top)
+      .join(cells, Seq("j", "bucket"))
+      .groupBy(col("t"), col("freq"))
+      .agg(min(col("cell")).as("cms_estimate"))
+      .select(
+        col("t").as("token"),
+        col("freq").as("exact_freq"),
+        col("cms_estimate"),
+        (col("cms_estimate") - col("freq")).as("overcount"))
+  }
+
+  /** [[cmsHeavyHitters]] mirrored cell-for-cell. */
+  def cmsHeavyHittersSql(topN: Int = 20): String = {
+    val h = Parity.tokenH40Sql("t")
+    val bucketRows = (0 until CmsDepth)
+      .map(j => s"SELECT t, freq, $j AS j, ${cmsBucketSql(j, "h")} AS bucket FROM hh")
+      .mkString("\nUNION ALL\n")
+    s"""WITH hist AS (
+       |  SELECT t, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(${Parity.tokensSql("text")}) AS t FROM documents)
+       |  GROUP BY t),
+       |hh AS (SELECT t, freq, $h AS h FROM hist),
+       |buck AS (
+       |$bucketRows),
+       |cells AS (
+       |  SELECT j, bucket, CAST(sum(freq) AS BIGINT) AS cell FROM buck GROUP BY j, bucket),
+       |top AS (SELECT t, freq FROM hist ORDER BY freq DESC, t LIMIT $topN),
+       |probe AS (
+       |  SELECT b.t, b.freq, c.cell
+       |  FROM (SELECT t, freq, j, bucket FROM buck WHERE t IN (SELECT t FROM top)) b
+       |  JOIN cells c ON c.j = b.j AND c.bucket = b.bucket)
+       |SELECT t AS token, freq AS exact_freq,
+       |       min(cell) AS cms_estimate, min(cell) - freq AS overcount
+       |FROM probe GROUP BY t, freq
+       |ORDER BY token""".stripMargin
+  }
+
   /** [[kmvPerSource]], mirrored on the same hash and estimator. */
   def kmvPerSourceSql(k: Int = 64): String = {
     val space = Parity.TokP * Parity.TokP2

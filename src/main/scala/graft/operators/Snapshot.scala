@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot maintenance: latest-wins upsert (MERGE) of an update batch
@@ -33,5 +34,32 @@ object Snapshot {
       .groupBy(col(key))
       .agg(max_by(struct(payload.map(col): _*), col(version)).as("__winner"))
       .select(col(key) +: payload.map(c => col(s"__winner.$c").as(c)): _*)
+  }
+
+  /** SCD type-2 history (Kimball's slowly-changing dimension): the full
+    * version log turned into VALIDITY INTERVALS — every (key, version)
+    * state row kept, with `valid_from` = its version, `valid_to` = the
+    * key's next version (null while current) and an `is_current` flag.
+    * [[upsert]] answers "what is true now"; this answers "what was true
+    * at version v" with a plain `valid_from <= v AND (valid_to IS NULL
+    * OR v < valid_to)` predicate — the time-travel surface of a corpus
+    * that is re-crawled between training runs.
+    *
+    * Scale shape: one exchange on the key and a per-key sort for the
+    * `lead` — keys are independent, so the window never concentrates
+    * (per-key version-chain length is the partition bound, typically a
+    * handful of re-crawls). Unlike the upsert there is no partial-agg
+    * alternative: every version row IS output, so shipping each exactly
+    * once is already minimal.
+    */
+  def scd2(log: DataFrame, key: String, version: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(version))
+    val payload = log.columns.filterNot(c => c == key || c == version)
+    log.select(
+      (col(key) +:
+        col(version).as("valid_from") +:
+        lead(col(version), 1).over(w).as("valid_to") +:
+        lead(col(version), 1).over(w).isNull.as("is_current") +:
+        payload.map(col)): _*)
   }
 }

@@ -199,6 +199,30 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - exact.getDouble(2)) <= 0.5)
   }
 
+  test("Tukey-fence anomalies count exactly the planted extremes per type") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 'click': uniform 1..100 (fences ≈ [−49, 150]) + three planted
+    // extremes; 'view': uniform only → zero outliers
+    val rows =
+      (1 to 100).map(i => (i.toLong, base, 1L, "click", i.toDouble, "{}")) ++
+        Seq((201L, base, 1L, "click", 200.0, "{}"),
+          (202L, base, 1L, "click", 300.0, "{}"),
+          (203L, base, 1L, "click", -60.0, "{}")) ++
+        (1 to 50).map(i => (300L + i, base, 2L, "view", i.toDouble, "{}"))
+    val e = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps
+      .anomalies(e)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(got("click") === ((103L, 3L, 300.0)))
+    assert(got("view") === ((50L, 0L, 50.0)))
+    // fences are robust: the outliers did not drag the upper fence past
+    // the largest planted extreme (a mean/3σ rule would have)
+    val click = EventOps.anomalies(e).filter(col("event_type") === "click").collect()(0)
+    assert(click.getDouble(3) < 200.0)
+  }
+
   test("asOfJoin matches each left row to the latest prior right row") {
     import graft.operators.AsOfJoin
     def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
@@ -496,6 +520,34 @@ class ExtensionOpsSpec extends SparkSpec {
     // deterministic across runs
     val again = Sketches.kmvDistinctShingles(docs, k = 256).collect()(0)
     assert(again.getLong(3) === r2.getLong(3))
+  }
+
+  test("CMS estimates are exact-or-over, tight on the harness vocabulary") {
+    import graft.operators.Sketches
+    // token frequencies: a×4, b×2, c×1 — top-2 candidates are a and b
+    val docs = docsDf(Seq((1L, "a a b c", "en"), (2L, "a a b", "en")))
+    val got = Sketches
+      .cmsHeavyHitters(docs, topN = 2)
+      .orderBy(col("token"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(t => (t._1, t._2)).toSeq === Seq(("a", 4L), ("b", 2L)))
+    // min-of-counters NEVER undercounts, and the overcount column is the delta
+    got.foreach { case (_, exact, est, over) =>
+      assert(est >= exact)
+      assert(over === est - exact)
+    }
+    // real vocabulary: estimates stay exact-or-over and close — with
+    // ~1.5k distinct tokens in 4×512 cells, collisions are sparse enough
+    // that top-20 overcounts stay under 10% of the true frequency
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rr = Sketches.cmsHeavyHitters(real).collect()
+    assert(rr.length === 20)
+    rr.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact)
+      assert(est - exact <= math.max(1L, exact / 10), s"${r.getString(0)}: exact=$exact est=$est")
+    }
   }
 
   test("dup spans: merges consecutive duplicated 3-gram runs, 1-based, inclusive") {

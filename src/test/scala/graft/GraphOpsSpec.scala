@@ -227,6 +227,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("multiSourceBfs: masks union along directed paths, bounded by rounds") {
+    // chain 1→2→3→4→5 plus 2→10; sources {1, 2} (bits 0, 1)
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0), (4L, 5L, 1.0), (2L, 10L, 1.0))
+    val got = GraphOps
+      .multiSourceBfs(edgesDf(edges), nSources = 2, rounds = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // round bound: source 1 reaches {1,2,3,10} (1→2 then 2→{3,10}),
+    // source 2 reaches {2,3,4,10}; node 5 is beyond 2 rounds of both
+    assert(got === Map(
+      1L -> (1L, 1L),
+      2L -> (3L, 2L),
+      3L -> (3L, 2L),
+      4L -> (2L, 1L),
+      10L -> (3L, 2L)))
+    assert(!got.contains(5L))
+  }
+
+  test("multiSourceBfs: absent source ids degrade to unset bits; parallel edges collapse") {
+    val edges = Seq((7L, 8L, 1.0), (7L, 8L, 2.0), (8L, 9L, 1.0))
+    // sources 1..4 don't exist in the graph at all → empty result
+    val empty = GraphOps.multiSourceBfs(edgesDf(edges), nSources = 4, rounds = 3).collect()
+    assert(empty.isEmpty)
+    // source 7 alone (bit 6) sweeps the chain
+    val got = GraphOps
+      .multiSourceBfs(edgesDf(edges), nSources = 7, rounds = 3)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got === Map(7L -> 64L, 8L -> 64L, 9L -> 64L))
+  }
+
   test("triangleCount counts each triangle once, ignores dups and self-loops") {
     // K4 on {1,2,3,4} = 4 triangles; plus a self-loop and a parallel edge
     val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b, 1.0)

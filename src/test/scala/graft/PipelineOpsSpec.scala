@@ -156,6 +156,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Array((1L, "one", 1L), (2L, "TWO", 2L), (3L, "three", 1L), (9L, "nine", 2L)))
   }
 
+  test("scd2 turns the version log into contiguous validity intervals") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "v1", 1L), (1L, "v2", 2L), (1L, "v3", 5L), // three states, gap in versions
+      (2L, "only", 3L)) // single-version key is current from birth
+      .toDF("k", "v", "version")
+    val got = Snapshot
+      .scd2(log, "k", "version")
+      .orderBy(col("k"), col("valid_from"))
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3),
+          r.getString(4)))
+    assert(got === Array(
+      (1L, 1L, 2L, false, "v1"),
+      (1L, 2L, 5L, false, "v2"),
+      (1L, 5L, -1L, true, "v3"),
+      (2L, 3L, -1L, true, "only")))
+    // the SCD2 invariant: exactly one current row per key, and a
+    // point-in-time predicate at v=2 selects exactly one state per key
+    val cur = Snapshot.scd2(log, "k", "version").filter(col("is_current"))
+    assert(cur.groupBy(col("k")).count().collect().forall(_.getLong(1) === 1L))
+    val asOf2 = Snapshot
+      .scd2(log, "k", "version")
+      .filter(col("valid_from") <= 2 && (col("valid_to").isNull || col("valid_to") > 2))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    assert(asOf2.toSet === Set((1L, "v2")))
+  }
+
   test("upsert plans as a partial-aggregating max_by, not a window sort") {
     val docs = model.table(spark, dir, "documents")
     val base = docs.select(col("doc_id"), col("text"), lit(1L).as("version"))
