@@ -318,6 +318,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(source"), s"no source-keyed exchange in:\n$plan")
   }
 
+  test("sketch_cms_tokens: cell build partial-aggregates; probe joins on (row, bucket)") {
+    val plan = planOf(SparkEntry.queries("sketch_cms_tokens")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the d×w cell aggregate must fold map-side before its exchange —
+    // this partial IS the O(d·w)-memory property that justifies a CMS
+    assert(plan.contains("partial_sum"), s"no map-side partial in cell build:\n$plan")
+  }
+
+  test("events_anomaly: fence table rides a broadcast, outlier count partial-aggregates") {
+    val plan = planOf(SparkEntry.queries("events_anomaly")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"fences not broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("partial_sum"), s"outlier count has no map-side partial:\n$plan")
+  }
+
+  test("corpus_scd2 ships each version row exactly once: key exchanges only, no joins") {
+    val plan = planOf(SparkEntry.queries("corpus_scd2")(spark, dir))
+    assert(!plan.contains("Join"), s"scd2 needs no join:\n$plan")
+    // the only hash exchange is the window's, keyed on doc_id (the AQE
+    // plan string repeats it across initial/final sections — assert the
+    // key, not the count)
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("hashpartitioning(doc_id")),
+      s"non-key exchange in:\n${exchanges.mkString("\n")}")
+  }
+
   test("whole-stage codegen spans the relational aggregation path") {
     // (the text operators' higher-order array expressions are interpreted
     // by Spark — no codegen exists for lambda functions — but stay
