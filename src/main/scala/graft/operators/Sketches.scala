@@ -62,27 +62,31 @@ object Sketches {
     *
     * Scale shape: the (source, hash) pre-distinct collapses duplicate
     * tokens with a map-side partial before its exchange; the per-group
-    * k minima come from a rank over (source, hash) — a sort-based,
-    * spillable exchange keyed on source whose per-row state is one
-    * counter. At 100 TB the standard refinement is a per-partition
-    * bounded heap (the [[graft.functions.TopKAggregator]] pattern)
-    * truncating to k BEFORE the exchange; the estimator and result are
-    * unchanged, so the sketch row stays bit-identical.
+    * k minima then come from a typed bounded-heap
+    * [[graft.functions.KMinAggregator]] whose buffer also carries the
+    * exact count — ONE aggregate with a map-side partial, so at most k
+    * hashes (plus one counter) per source cross the final exchange. A
+    * hot source never concentrates its whole distinct-hash set on one
+    * task, and there is no per-group sort anywhere. The oracle keeps
+    * the equivalent rank formulation (the k smallest of a set are the
+    * same set however you find them), so the row is bit-identical.
     */
   def kmvPerSource(docs: DataFrame, k: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val space = Parity.TokP * Parity.TokP2
     val pairs = docs
       .select(col("source"), explode(Parity.tokens(col("text"))).as("t"))
       .select(col("source"), Parity.tokenH40(col("t")).as("h"))
       .distinct()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source")).orderBy(col("h"))
-    val exact = pairs.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    val agg = new graft.functions.KMinAggregator(k)
     pairs
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_mins"), max(col("h")).as("kth_hash"))
-      .join(exact, Seq("source"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn)
+      .map { case (source, (nExact, nMins, kth)) => (source, nExact, nMins, kth) }
+      .toDF("source", "n_exact", "n_mins", "kth_hash")
       .select(
         col("source"),
         col("n_exact"),

@@ -16,6 +16,14 @@ object TextOps {
   /** English function words for the stopword heuristics. */
   val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
 
+  /** 10⁻⁹-unit scale for [[sourceKlDrift]]'s per-term contributions:
+    * `round(x·10⁹)` then an exact long cast makes each contribution an
+    * integer, so the per-source reduction is an order-independent
+    * map-side-partial `sum` instead of a sorted fold whose buffer grows
+    * with the source's vocabulary.
+    */
+  val KlMicroScale = 1000000000L
+
   private def toks(text: Column): Column = Parity.tokens(text)
 
   private def stopCount(text: Column): Column =
@@ -281,15 +289,18 @@ object TextOps {
     * snapshots changed its content mix and needs its [[mixtureWeights]]
     * re-fit.
     *
-    * Determinism: each term's contribution is rounded to 9 dp and summed
-    * in term order through the same sorted-struct fold as
-    * [[unigramScore]]; the total is rounded to 6 dp.
+    * Determinism: each term's contribution is converted to an exact
+    * 10⁻⁹-unit integer (`round(x·10⁹)` is half-away-from-zero on both
+    * engines, then an exact cast — the [[graft.operators.Similarity]]
+    * micro-unit trick), so the per-source total is a plain integer `sum`,
+    * order-independent by construction; the total is rounded to 6 dp.
     *
     * Scale shape: the (source, term) histogram is one hash aggregate with
     * map-side partials (the tf-idf shape — one row per distinct pair);
     * the term histogram and per-source totals are smaller aggregates of
-    * the same explode; totals ride a 1-row broadcast; the per-source fold
-    * carries O(per-source vocab) state, bounded by the vocab itself.
+    * the same explode; totals ride a 1-row broadcast; the per-source
+    * reduction is a map-side-partial LONG sum whose state is one counter
+    * per source — no per-vocab buffer anywhere.
     */
   def sourceKlDrift(docs: DataFrame): DataFrame = {
     // ONE aggregate touches the raw token explode; every other histogram
@@ -308,26 +319,23 @@ object TextOps {
       .join(th, Seq("term"))
       .join(ns, Seq("source"))
       .crossJoin(broadcast(tot))
-      .select(col("source"), col("term"), round(ps * log(ps / pc), 9).as("kc"))
+      .select(
+        col("source"),
+        round(ps * log(ps / pc) * KlMicroScale).cast("long").as("kc_micro"))
     val per = contrib
       .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_terms"),
-        aggregate(
-          transform(array_sort(collect_list(struct(col("term"), col("kc")))), s => s("kc")),
-          lit(0.0d),
-          (acc, x) => acc + x).as("s"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("kc_micro")).as("s_micro"))
     per
       .join(ns, Seq("source"))
       .select(
         col("source"),
         col("n_s").as("n_tokens"),
         col("n_terms"),
-        round(col("s"), 6).as("kl"))
+        round(col("s_micro").cast("double") / KlMicroScale, 6).as("kl"))
   }
 
-  /** [[sourceKlDrift]], mirrored: same histograms, same 9 dp per-term
-    * rounding, same term-ordered fold.
+  /** [[sourceKlDrift]], mirrored: same histograms, same 10⁻⁹-unit
+    * integer contributions, same order-free integer sum.
     */
   def sourceKlDriftSql(): String = {
     val toks = Parity.tokensSql("text")
@@ -338,18 +346,18 @@ object TextOps {
        |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n, count(*) AS v FROM th),
        |contrib AS (
-       |  SELECT st.source, st.term,
-       |         round((CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+       |  SELECT st.source,
+       |         CAST(round((CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
        |               * ln((CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
-       |                    / (CAST(th.c_t + 1 AS DOUBLE) / CAST(tot.n + tot.v AS DOUBLE))),
-       |               9) AS kc
+       |                    / (CAST(th.c_t + 1 AS DOUBLE) / CAST(tot.n + tot.v AS DOUBLE)))
+       |               * $KlMicroScale) AS BIGINT) AS kc_micro
        |  FROM st JOIN th USING (term) JOIN ns USING (source) CROSS JOIN tot),
        |per AS (
        |  SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
-       |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(kc ORDER BY term)),
-       |                     (a, b) -> a + b) AS s
+       |         CAST(sum(kc_micro) AS BIGINT) AS s_micro
        |  FROM contrib GROUP BY source)
-       |SELECT p.source, ns.n_s AS n_tokens, p.n_terms, round(p.s, 6) AS kl
+       |SELECT p.source, ns.n_s AS n_tokens, p.n_terms,
+       |       round(CAST(p.s_micro AS DOUBLE) / $KlMicroScale, 6) AS kl
        |FROM per p JOIN ns USING (source)""".stripMargin
   }
 

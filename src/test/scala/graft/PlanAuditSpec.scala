@@ -302,8 +302,18 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planOf(SparkEntry.queries("sketch_kmv_per_source")(spark, dir))
     assert(!plan.contains("Exchange SinglePartition, ENSURE"),
       s"grouped sketch collapsed to one partition in:\n$plan")
-    // per-group rank rides a hash exchange on source, not a global sort
     assert(plan.contains("hashpartitioning(source"), s"no source-keyed exchange in:\n$plan")
+    // the k minima come from the bounded KMinAggregator (map-side
+    // partial), never a per-group window sort of the distinct hashes
+    assert(!plan.contains("Window"), s"per-group sort crept back in:\n$plan")
+    assert(plan.contains("partial_kminaggregator"),
+      s"k-minima heap lost its map-side partial in:\n$plan")
+  }
+
+  test("source_kl_drift sums integer micro-units — no per-source vocab-sized fold buffer") {
+    val plan = planOf(SparkEntry.queries("source_kl_drift")(spark, dir))
+    assert(!plan.contains("collect_list"), s"vocab-sized aggregation buffer in:\n$plan")
+    assert(plan.contains("partial_sum"), s"KL sum has no map-side partial in:\n$plan")
   }
 
   test("split_leakage: no cartesian; train-gram distinct partial-aggregates below its exchange") {
