@@ -438,6 +438,14 @@ object SparkEntry {
     "ann_ivf_trained" -> ((s, d) =>
       Similarity.ivfTrainedTopK(embs(s, d), nQueries = 50, k = 3, nProbe = 2)
         .orderBy(col("q_id"), col("rank"))),
+    // the train-once / apply-many half: Lloyd runs while the parquet
+    // MODEL ARTIFACT is staged; the returned probe plan only READS it
+    // (centroid scan + corpus scan — no training stage in the plan)
+    "ann_ivf_stored" -> ((s, d) => {
+      val model = Similarity.writeIvfModel(s, embs(s, d))
+      Similarity.ivfStoredTopK(s, embs(s, d), model, nQueries = 50, k = 3, nProbe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }),
     // product quantization: per-subspace codebooks + LUT-based ADC scan
     "ann_pq_topk" -> ((s, d) =>
       Similarity.pqTopK(embs(s, d), nQueries = 50, k = 3)
@@ -616,6 +624,14 @@ object SparkEntry {
       operators.Tokenization
         .bpeEncode(s, docs(s, d), nMerges = 8, minFreq = 2L)
         .orderBy(col("doc_id"))),
+    // the train-once / apply-many half: training runs while the merge
+    // table is staged as a parquet model artifact; the returned encode
+    // plan reads the model (scalar-sized, folded into the expression)
+    // and scans the corpus once — no histogram, no argmax rounds
+    "bpe_apply_stored" -> ((s, d) => {
+      val model = operators.Tokenization.writeBpeModel(s, docs(s, d), nMerges = 8, minFreq = 2L)
+      operators.Tokenization.bpeApplyStored(s, docs(s, d), model).orderBy(col("doc_id"))
+    }),
     // latest-wins MERGE of an update batch into the keyed corpus; the
     // partial-aggregating max_by shape, not a window (see Snapshot)
     "corpus_upsert" -> ((s, d) => {
@@ -1269,6 +1285,34 @@ object SparkEntry {
 
   private def kmeansCtes: String = kmeansCtesSliced("", 0, Similarity.Dim)
 
+  /** Trained-IVF probe oracle (nQueries=50, k=3, nProbe=2) — shared by
+    * `ann_ivf_trained` and `ann_ivf_stored`: the stored model is the same
+    * deterministic k-means, persisted and read back, so both queries must
+    * land on this exact result.
+    */
+  private def ivfTrainedOracleSql: String = {
+    val last = s"c${Similarity.KmeansIters}"
+    val score = kmeansScoreSql("v.ei", "c.c")
+    s"""WITH $kmeansCtes,
+       |cs AS (SELECT v.vec_id, c.cid, $score AS ccos FROM d v CROSS JOIN $last c),
+       |ranked_cells AS (
+       |  SELECT vec_id, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |  FROM cs),
+       |assigned AS (SELECT vec_id AS n_id, cid FROM ranked_cells WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, cid FROM ranked_cells WHERE vec_id < 50 AND rn <= 2),
+       |scored AS (
+       |  SELECT p.q_id, a.n_id, round(${Parity.cosineSql("q.e", "n.e")}, 6) AS cos
+       |  FROM probes p
+       |  JOIN assigned a ON a.cid = p.cid AND a.n_id <> p.q_id
+       |  JOIN d q ON q.vec_id = p.q_id
+       |  JOIN d n ON n.vec_id = a.n_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** The unrolled Lloyd CTE chain over a contiguous embedding slice
     * (`[lo0+1 .. lo0+dim]`, full vector when sfx is empty) with every CTE
     * name suffixed — lets the PQ oracle train one codebook per subspace
@@ -1752,30 +1796,10 @@ object SparkEntry {
            |FROM $last CROSS JOIN range(1, ${Similarity.Dim + 1}) t(i)
            |ORDER BY cid, dim""".stripMargin
       },
-      "ann_ivf_trained" -> {
-        val last = s"c${Similarity.KmeansIters}"
-        val score =
-          s"(${Parity.dotSql("CAST(v.ei AS DOUBLE[])", "CAST(c.c AS DOUBLE[])")} / " +
-            s"sqrt(${Parity.dotSql("CAST(c.c AS DOUBLE[])", "CAST(c.c AS DOUBLE[])")}))"
-        s"""WITH $kmeansCtes,
-           |cs AS (SELECT v.vec_id, c.cid, $score AS ccos FROM d v CROSS JOIN $last c),
-           |ranked_cells AS (
-           |  SELECT vec_id, cid,
-           |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-           |  FROM cs),
-           |assigned AS (SELECT vec_id AS n_id, cid FROM ranked_cells WHERE rn = 1),
-           |probes AS (SELECT vec_id AS q_id, cid FROM ranked_cells WHERE vec_id < 50 AND rn <= 2),
-           |scored AS (
-           |  SELECT p.q_id, a.n_id, round(${Parity.cosineSql("q.e", "n.e")}, 6) AS cos
-           |  FROM probes p
-           |  JOIN assigned a ON a.cid = p.cid AND a.n_id <> p.q_id
-           |  JOIN d q ON q.vec_id = p.q_id
-           |  JOIN d n ON n.vec_id = a.n_id),
-           |ranked AS (
-           |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
-           |  FROM scored)
-           |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
-      },
+      "ann_ivf_trained" -> ivfTrainedOracleSql,
+      // the stored-model probe is result-identical to the trained path:
+      // the artifact is the SAME deterministic k-means, written then read
+      "ann_ivf_stored" -> ivfTrainedOracleSql,
       "ann_ivf_recall" -> {
         val last = s"c${Similarity.KmeansIters}"
         val score =
@@ -2015,6 +2039,9 @@ object SparkEntry {
       "bpe_pair_counts" -> operators.Tokenization.pairCountsOracleSql,
       "bpe_merges" -> operators.Tokenization.bpeMergesSql(8, minFreq = 2L),
       "bpe_encode" -> operators.Tokenization.bpeEncodeSql(8, minFreq = 2L),
+      // stored-model apply is result-identical to train+encode: the
+      // artifact is the same sequential-equivalent merge table
+      "bpe_apply_stored" -> operators.Tokenization.bpeEncodeSql(8, minFreq = 2L),
       "doc_chunk" ->
         (TextOps.chunkSql() + "\nORDER BY doc_id, chunk_idx"),
       "doc_shuffle" ->

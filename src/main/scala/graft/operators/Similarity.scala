@@ -282,6 +282,35 @@ object Similarity {
     rankAndProbe(cellScores, nQueries, k, nProbe)
   }
 
+  /** Train once, persist the quantizer: the [[kmeansFixed]] centroid
+    * table written as a parquet artifact — (cid, c: array of micro-unit
+    * longs), k rows. The centroid table IS the IVF coarse quantizer;
+    * storing it decouples the Lloyd training cost from every future
+    * probe/index job.
+    */
+  def writeIvfModel(spark: org.apache.spark.sql.SparkSession, embs: DataFrame): String = {
+    val dir = graft.sources.Staging.freshDir("ivf-model")
+    kmeansFixed(embs).coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** The production probe path over a STORED quantizer: read the
+    * centroid artifact (k tiny rows — broadcast, never shuffled), assign
+    * + probe exactly as [[ivfWithCentroids]]. The plan contains the
+    * artifact scan and the corpus scan and nothing else — no Lloyd
+    * iteration, no assignment feedback loop; this is what every
+    * incremental batch of a 100 TB pipeline runs after training happens
+    * once.
+    */
+  def ivfStoredTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      embs: DataFrame,
+      modelDir: String,
+      nQueries: Int,
+      k: Int,
+      nProbe: Int): DataFrame =
+    ivfWithCentroids(embs, spark.read.parquet(modelDir), nQueries, k, nProbe)
+
   /** Multi-table LSH ANN: candidates share the query's bucket in ANY of
     * the [[NTables]] tables; exact cosine re-rank over the deduplicated
     * candidate set. The join is keyed on (table, bucket) only — per-bucket

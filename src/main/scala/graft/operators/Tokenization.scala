@@ -267,6 +267,17 @@ object Tokenization {
       nMerges: Int,
       minFreq: Long = 1L): DataFrame = {
     val (merges, _) = trainMerges(spark, docs, nMerges, minFreq)
+    encodeWithMerges(docs, merges)
+  }
+
+  /** The APPLY half of the tokenizer, over an already-trained merge
+    * table: fold the (scalar-sized, in-round-order) merges into the
+    * wrapped-state replace expression — one narrow whole-stage-codegen
+    * map over the corpus, no histogram scan, no training jobs anywhere
+    * in the plan. [[bpeEncode]] is train+this; [[bpeApplyStored]] is
+    * read-model+this.
+    */
+  def encodeWithMerges(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
     val words = filter(
       Parity.tokens(col("text")),
       w => !w.contains(SepL) && !w.contains(SepR) && !w.contains(WordSep))
@@ -294,6 +305,39 @@ object Tokenization {
       array_join(transform(slice(syms, 1, EncodeHeadK), s => idOf(s).cast("string")), ",")
         .as("head_ids"),
       aggregate(syms, lit(0L), (acc, s) => acc + idOf(s)).as("sum_ids"))
+  }
+
+  /** Train once, persist the model: the merge table written as a parquet
+    * artifact (schema = [[bpeTrain]]'s row). The merge table IS the whole
+    * tokenizer — scalar-sized, so the artifact is one tiny file a fleet
+    * of encode jobs can read for years without touching the training
+    * corpus again.
+    */
+  def writeBpeModel(
+      spark: SparkSession,
+      docs: DataFrame,
+      nMerges: Int,
+      minFreq: Long = 1L): String = {
+    val dir = graft.sources.Staging.freshDir("bpe-model")
+    bpeTrain(spark, docs, nMerges, minFreq).coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** The production train-once / apply-many path: READ the stored merge
+    * table (never the training corpus) and encode with it. The model is
+    * collected once (it is scalar-sized by construction — the same
+    * category as a broadcast centroid table) and folded into the encode
+    * expression, so the query plan is a single corpus scan + projection:
+    * no pair histogram, no argmax rounds, no training stage of any kind.
+    */
+  def bpeApplyStored(spark: SparkSession, docs: DataFrame, modelDir: String): DataFrame = {
+    val merges = spark.read
+      .parquet(modelDir)
+      .orderBy(col("merge_round"))
+      .collect()
+      .map(r => Merge(r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    encodeWithMerges(docs, merges)
   }
 
   // ---- DuckDB mirrors ------------------------------------------------

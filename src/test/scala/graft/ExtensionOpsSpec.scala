@@ -294,6 +294,31 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(ivfRecall >= 0.4)
   }
 
+  test("stored-IVF probe follows the artifact — trains nothing, reads the model") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val embs = model.table(spark, "/root/testdata/sf0.001", "embeddings")
+    // 1) the persisted model reproduces the trained path bit-for-bit
+    val modelDir = Similarity.writeIvfModel(spark, embs)
+    val trained = Similarity.ivfTrainedTopK(embs, nQueries = 20, k = 3, nProbe = 2)
+      .orderBy(col("q_id"), col("rank")).collect()
+    val stored = Similarity.ivfStoredTopK(spark, embs, modelDir, nQueries = 20, k = 3, nProbe = 2)
+      .orderBy(col("q_id"), col("rank")).collect()
+    assert(stored === trained)
+    // 2) overwrite the artifact with a SINGLE degenerate centroid: if the
+    // probe read the model (and did not silently retrain), every vector
+    // lands in that one cell and the probe degrades to exact brute-force
+    // top-k — a result no 8-cell retrain could produce
+    val oneCell = Seq((0L, Array.fill(Similarity.Dim)(1L))).toDF("cid", "c")
+    oneCell.coalesce(1).write.mode("overwrite").parquet(modelDir)
+    val degr = Similarity.ivfStoredTopK(spark, embs, modelDir, nQueries = 20, k = 3, nProbe = 2)
+      .select(col("q_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(embs, nQueries = 20, k = 3)
+      .select(col("q_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(degr === brute, "single-cell model must degrade the probe to brute force")
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("pqTopK: full per-query k, deterministic, and recall floored") {
     import graft.operators.Similarity
     val embs = model.table(spark, "/root/testdata/sf0.001", "embeddings")

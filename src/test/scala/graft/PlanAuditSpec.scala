@@ -310,6 +310,24 @@ class PlanAuditSpec extends SparkSpec {
       s"k-minima heap lost its map-side partial in:\n$plan")
   }
 
+  test("stored-model queries: apply/probe plans contain no training stage") {
+    // bpe_apply_stored: the merge table is read from the staged model
+    // artifact and folded into the expression — the plan is one corpus
+    // scan + projection, with no pair-histogram aggregate anywhere
+    val bpePlan = planOf(SparkEntry.queries("bpe_apply_stored")(spark, dir))
+    assert(!bpePlan.contains("HashAggregate"),
+      s"training aggregate in bpe apply plan:\n$bpePlan")
+    // ann_ivf_stored: the probe's scoring stage is checkpointed (the
+    // ranked-cell table feeds both the inverted lists and the probes), so
+    // the artifact scan sits behind an ExistingRDD in the final plan —
+    // the no-retrain property is pinned behaviorally in ExtensionOpsSpec
+    // ("stored-IVF probe follows the artifact"). Here: the probe join
+    // stays cartesian-free like every other ANN path.
+    val ivfPlan = planOf(SparkEntry.queries("ann_ivf_stored")(spark, dir))
+    assert(!ivfPlan.contains("CartesianProduct"), s"cartesian in stored probe:\n$ivfPlan")
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("source_kl_drift sums integer micro-units — no per-source vocab-sized fold buffer") {
     val plan = planOf(SparkEntry.queries("source_kl_drift")(spark, dir))
     assert(!plan.contains("collect_list"), s"vocab-sized aggregation buffer in:\n$plan")

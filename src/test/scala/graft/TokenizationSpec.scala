@@ -114,4 +114,18 @@ class TokenizationSpec extends SparkSpec {
       (1L, 3L, s"$idAb,$idAb,$idAb", 3 * idAb),
       (2L, 2L, "99,100", 199L))) // 'c'=99, 'd'=100
   }
+
+  test("stored-model apply is row-identical to train+encode; its plan has no training stage") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "x y"), (3L, "")).toDF("doc_id", "text")
+    val trained = Tokenization.bpeEncode(spark, docs, nMerges = 4).orderBy(col("doc_id")).collect()
+    val model = Tokenization.writeBpeModel(spark, docs, nMerges = 4)
+    val applied = Tokenization.bpeApplyStored(spark, docs, model)
+    assert(applied.orderBy(col("doc_id")).collect() === trained)
+    // apply-many plan: one corpus scan + projection — the model is a
+    // driver-side scalar, and no histogram/argmax aggregate exists
+    val plan = applied.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), s"training stage leaked into apply plan:\n$plan")
+    graft.sources.Staging.cleanup(spark)
+  }
 }
