@@ -708,6 +708,13 @@ object SparkEntry {
     "docs_stream_dedup_static" -> ((s, d) =>
       streaming.StreamOps.docDedupOverParquet(s, d, firstNewId = 400L)
         .orderBy(col("source"))),
+    // online ANN ingest: arriving embeddings streamed against the static
+    // trained IVF index (stateless cell assignment + stream-static
+    // cid-keyed probe of the inverted lists, argmax per arrival)
+    "emb_stream_ivf_static" -> ((s, d) =>
+      streaming.StreamOps
+        .embIvfIngestOverParquet(s, d, firstNewId = EmbStreamFirstNew, nProbe = 2)
+        .orderBy(col("q_id"))),
     // deterministic KMV cardinality sketch next to its exact answer
     "sketch_kmv_shingles" -> ((s, d) =>
       operators.Sketches.kmvDistinctShingles(docs(s, d))),
@@ -1322,14 +1329,15 @@ object SparkEntry {
       sfx: String,
       lo0: Int,
       dim: Int,
-      cells: Int = Similarity.KmeansCells): String = {
+      cells: Int = Similarity.KmeansCells,
+      srcWhere: String = ""): String = {
     val sliced =
       if (sfx.isEmpty) "CAST(embedding AS DOUBLE[])"
       else s"CAST(embedding AS DOUBLE[])[${lo0 + 1}:${lo0 + dim}]"
     val intEmbSql =
       s"list_transform($sliced, x -> CAST(round(x * ${Similarity.KmeansScale}) AS BIGINT))"
     val head = Seq(
-      s"d$sfx AS (SELECT vec_id, $sliced AS e, $intEmbSql AS ei FROM embeddings)",
+      s"d$sfx AS (SELECT vec_id, $sliced AS e, $intEmbSql AS ei FROM embeddings$srcWhere)",
       s"c0$sfx AS (SELECT vec_id AS cid, ei AS c FROM d$sfx WHERE vec_id < $cells)")
     val iters = (1 to Similarity.KmeansIters).flatMap { i =>
       Seq(
@@ -1347,6 +1355,49 @@ object SparkEntry {
            |          GROUP BY 1, 2) GROUP BY cid)""".stripMargin)
     }
     (head ++ iters).mkString(",\n")
+  }
+
+  /** First streaming-ingest vector id: embeddings below are the STATIC
+    * corpus (the index is trained/built over them), at-or-above are the
+    * arriving stream. 400 of 500 harness vectors are static at every SF.
+    */
+  private val EmbStreamFirstNew = 400L
+
+  /** Oracle for the streaming-ingest-vs-static-IVF-index query: Lloyd
+    * trained on the static subset only, static inverted lists, arriving
+    * vectors probe `nProbe` cells, argmax match (k = 1, ties to the
+    * lower n_id) — the batch replay of what the stream computes
+    * incrementally.
+    */
+  private def embStreamIvfOracleSql(nProbe: Int): String = {
+    val last = s"c${Similarity.KmeansIters}_s"
+    val intE =
+      s"list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * ${Similarity.KmeansScale}) AS BIGINT))"
+    s"""WITH ${kmeansCtesSliced("_s", 0, Similarity.Dim, srcWhere = s" WHERE vec_id < $EmbStreamFirstNew")},
+       |dn AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $intE AS ei
+       |       FROM embeddings WHERE vec_id >= $EmbStreamFirstNew),
+       |sl AS (SELECT v.vec_id, c.cid, ${kmeansScoreSql("v.ei", "c.c")} AS ccos
+       |       FROM d_s v CROSS JOIN $last c),
+       |lists AS (SELECT vec_id AS n_id, cid FROM (
+       |            SELECT vec_id, cid,
+       |                   row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |            FROM sl) WHERE rn = 1),
+       |sq AS (SELECT v.vec_id, c.cid, ${kmeansScoreSql("v.ei", "c.c")} AS ccos
+       |       FROM dn v CROSS JOIN $last c),
+       |probes AS (SELECT vec_id AS q_id, cid FROM (
+       |             SELECT vec_id, cid,
+       |                    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |             FROM sq) WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT p.q_id, l.n_id, round(${Parity.cosineSql("q.e", "n.e")}, 6) AS cos
+       |  FROM probes p
+       |  JOIN lists l USING (cid)
+       |  JOIN dn q ON q.vec_id = p.q_id
+       |  JOIN d_s n ON n.vec_id = l.n_id),
+       |best AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+       |  FROM scored)
+       |SELECT q_id, n_id, cos FROM best WHERE rn = 1 ORDER BY q_id""".stripMargin
   }
 
   /** The PQ oracle's CTE bundle: one sliced Lloyd chain per subspace,
@@ -1903,6 +1954,7 @@ object SparkEntry {
            |WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = i.fp)
            |GROUP BY source ORDER BY source""".stripMargin
       },
+      "emb_stream_ivf_static" -> embStreamIvfOracleSql(nProbe = 2),
       "sketch_kmv_shingles" -> {
         val k = operators.Sketches.KmvK
         s"""WITH g AS (SELECT DISTINCT unnest($shingleSql) AS g FROM $fromToks),

@@ -294,6 +294,42 @@ object Similarity {
     dir
   }
 
+  /** The IVF inverted lists of a corpus under a given centroid table:
+    * (cid, n_id, ne) — each vector in its argmax cell, selected by the
+    * same hash-agg `max(struct(score, -cid))` shape as the trained path
+    * (map-side partial, no window). This is the INDEX half of the online
+    * ANN story: built once over the static corpus, then probed by every
+    * arriving query batch.
+    */
+  def invertedLists(embs: DataFrame, cents: DataFrame): DataFrame =
+    intEmb(embs)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), col("e"), cellScore(col("ei"), col("c")).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("sel"),
+        first(col("e")).as("e"))
+      .select(col("vec_id").as("n_id"), (-col("sel.ncid")).as("cid"), col("e").as("ne"))
+
+  /** Top-`nProbe` probe cells of one embedding as a PURE EXPRESSION over
+    * a driver-collected centroid table (scalar-sized, like a folded
+    * merge table): array of (neg_score, cid) structs, ascending — i.e.
+    * best cell first, ties to the lower cid, exactly the trained path's
+    * `ORDER BY ccos DESC, cid`. Stateless and narrow, which is what lets
+    * a STREAMING query assign arriving vectors to cells without any
+    * aggregation state.
+    */
+  def probeCellsExpr(
+      emb: org.apache.spark.sql.Column,
+      cents: Seq[(Long, Seq[Long])],
+      nProbe: Int): org.apache.spark.sql.Column = {
+    val ei = transform(emb.cast("array<double>"), x => round(x * KmeansScale).cast("long"))
+    val scored = cents.map { case (cid, c) =>
+      struct((-cellScore(ei, typedLit(c))).as("ns"), lit(cid).as("cid"))
+    }
+    slice(array_sort(array(scored: _*)), 1, nProbe)
+  }
+
   /** The production probe path over a STORED quantizer: read the
     * centroid artifact (k tiny rows — broadcast, never shuffled), assign
     * + probe exactly as [[ivfWithCentroids]]. The plan contains the

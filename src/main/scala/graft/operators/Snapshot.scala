@@ -51,6 +51,13 @@ object Snapshot {
     * handful of re-crawls). Unlike the upsert there is no partial-agg
     * alternative: every version row IS output, so shipping each exactly
     * once is already minimal.
+    *
+    * Precondition: `version` is UNIQUE per key (the same contract a
+    * version log must satisfy for "the state at version v" to be
+    * well-defined at all). Duplicate (key, version) rows would make the
+    * lead-based interval chaining nondeterministic — two rows sharing a
+    * valid_from with arbitrary valid_to assignment; dedupe the log (e.g.
+    * [[upsert]] against itself) before deriving history.
     */
   def scd2(log: DataFrame, key: String, version: String): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(version))

@@ -17,9 +17,11 @@ import graft.operators.EventOps
   */
 object StreamOps {
 
-  /** Schema of the events table (explicit: readStream requires one). The
-    * parquet carries TIMESTAMP(NANOS); it is read as nanos-since-epoch
-    * BIGINT (see model.eventsTable) and normalized below.
+  /** Schema of the events table (explicit: readStream requires one).
+    * The LongType `ts` is the nanos-generation layout (TIMESTAMP(NANOS)
+    * arrives as nanos-since-epoch BIGINT under `nanosAsLong`);
+    * [[readEventStream]] swaps it for TimestampType when the directory's
+    * footers show micros-generation data.
     */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -39,9 +41,14 @@ object StreamOps {
     * model.eventsTable — instead of hardcoding either schema. A
     * unit-blind `div 1000` on micros data shrinks every timestamp 1000×
     * and silently collapses all windows onto 1970.
+    *
+    * An empty or not-yet-populated directory (a valid file-stream
+    * source: files may only arrive after the query starts) has no footer
+    * to detect from — fall back to the nanos layout rather than
+    * propagating the batch reader's cannot-infer-schema failure.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    if (spark.read.parquet(dir).schema("ts").dataType == LongType)
+    if (detectTsIsLong(spark, dir))
       spark.readStream
         .schema(eventsSchema)
         .parquet(dir)
@@ -51,6 +58,10 @@ object StreamOps {
         .schema(StructType(eventsSchema.map(f =>
           if (f.name == "ts") f.copy(dataType = TimestampType) else f)))
         .parquet(dir)
+
+  private def detectTsIsLong(spark: SparkSession, dir: String): Boolean =
+    try spark.read.parquet(dir).schema("ts").dataType == LongType
+    catch { case _: org.apache.spark.sql.AnalysisException => true }
 
   /** Watermarked tumbling-window aggregation over a streaming events
     * frame. 20-minute watermark: late state is dropped two windows back,
@@ -395,6 +406,79 @@ object StreamOps {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_new"), min(col("doc_id")).as("first_id")),
       graft.sources.Staging.freshTable("graft_stream_docdedup"),
+      "complete")
+  }
+
+  /** Schema of the embeddings table (readStream requires one). */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming source over a directory of embeddings parquet files. */
+  def readEmbStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(embSchema).parquet(dir)
+
+  /** STREAMING EMBEDDING INGEST against a STATIC IVF index — the online
+    * half of the ANN story at 100 TB: the index (coarse centroids +
+    * inverted lists) is trained/built ONCE over the existing corpus
+    * (vec_id < `firstNewId`), then arriving vectors (vec_id >=
+    * `firstNewId`) stream through it and each is matched to its nearest
+    * static neighbor among the `nProbe` probed cells.
+    *
+    * Per-batch work per arriving vector: cell assignment is a pure
+    * expression over the driver-collected centroid table
+    * ([[graft.operators.Similarity.probeCellsExpr]] — stateless, no
+    * aggregation state store), then a stream-static equi-join keyed on
+    * cid against the inverted lists (each micro-batch probes the static
+    * side; nothing stream-side is buffered), then a per-query argmax
+    * whose state is ONE struct per arriving vector. That is the same
+    * probe cost profile as the batch IVF path, incrementalized; on an
+    * unbounded firehose the argmax state is bounded by emitting per
+    * micro-batch (update mode) instead of complete — operator identical.
+    *
+    * Batch oracle: the trained-IVF SQL restricted to the static training
+    * set with the arriving vectors as queries, k=1.
+    */
+  def embIvfIngestOverParquet(
+      spark: SparkSession,
+      sfDir: String,
+      firstNewId: Long,
+      nProbe: Int): DataFrame = {
+    import graft.functions.Parity
+    import graft.operators.{Phys, Similarity}
+    val static = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < firstNewId)
+    val centsDf = Phys.materialized(Similarity.kmeansFixed(static))
+    val lists = Phys.materialized(Similarity.invertedLists(static, centsDf))
+    val cents = centsDf
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+      .toSeq
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-embs"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/embeddings.parquet"),
+      staged.resolve("embeddings.parquet"))
+    runStream(
+      spark,
+      readEmbStream(spark, staged.toString)
+        .filter(col("vec_id") >= firstNewId)
+        .select(
+          col("vec_id"),
+          col("embedding").cast("array<double>").as("qe"),
+          explode(Similarity.probeCellsExpr(col("embedding"), cents, nProbe)).as("pc"))
+        .select(col("vec_id"), col("qe"), col("pc.cid").as("cid"))
+        .join(lists, Seq("cid"))
+        .select(
+          col("vec_id").as("q_id"),
+          col("n_id"),
+          round(Parity.cosine(col("qe"), col("ne")), 6).as("cos"))
+        .groupBy(col("q_id"))
+        .agg(max(struct(col("cos"), (-col("n_id")).as("nn"))).as("sel"))
+        .select(col("q_id"), (-col("sel.nn")).as("n_id"), col("sel.cos").as("cos")),
+      graft.sources.Staging.freshTable("graft_stream_embivf"),
       "complete")
   }
 

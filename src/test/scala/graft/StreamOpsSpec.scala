@@ -137,6 +137,44 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming embedding ingest equals the batch probe of the static IVF index") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val static = embs.filter(col("vec_id") < 400L)
+    val cents = Similarity.kmeansFixed(static)
+    val lists = Similarity.invertedLists(static, cents)
+    val centSeq = cents.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    val batch = embs
+      .filter(col("vec_id") >= 400L)
+      .select(
+        col("vec_id"),
+        col("embedding").cast("array<double>").as("qe"),
+        explode(Similarity.probeCellsExpr(col("embedding"), centSeq, 2)).as("pc"))
+      .select(col("vec_id"), col("qe"), col("pc.cid").as("cid"))
+      .join(lists, Seq("cid"))
+      .select(
+        col("vec_id").as("q_id"),
+        col("n_id"),
+        round(graft.functions.Parity.cosine(col("qe"), col("ne")), 6).as("cos"))
+      .groupBy(col("q_id"))
+      .agg(max(struct(col("cos"), (-col("n_id")).as("nn"))).as("sel"))
+      .select(col("q_id"), (-col("sel.nn")).as("n_id"), col("sel.cos").as("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val streamed = StreamOps
+      .embIvfIngestOverParquet(spark, dir, firstNewId = 400L, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.size === 100, "every arriving vector must be matched")
+    assert(streamed.forall { case (q, n, _) => q >= 400L && n < 400L },
+      "matches must pair an arriving query with a static neighbor")
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("streaming tumbling agg equals batch tumbling agg at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventOps
