@@ -1,12 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Ambient 1-min load above this means wall times measure the host,
+    * not the engine (measured: 311 s vs 124 s for an identical build) —
+    * the run waits, bounded, for the box to quiet down.
+    */
+  val LoadGate = 2.0
+
+  /** Max seconds to wait for ambient load to fall under [[LoadGate]]
+    * before running anyway (annotated via load_start/load_wait_sec).
+    */
+  val LoadWaitCapSec = 600
+
+  /** Queries re-measured standalone after the sweep. */
+  val ArbiterN = 10
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    val loadStart = loadAvg
+    // load gate: two rounds in a row the raw sweep cried wolf because it
+    // ran against ambient load 3–4 — refuse-and-retry (bounded) so the
+    // published number measures the engine whenever the host allows it
+    var loadStart = loadAvg
+    var loadWaitSec = 0
+    while (loadStart > LoadGate && loadWaitSec < LoadWaitCapSec) {
+      Thread.sleep(30000)
+      loadWaitSec += 30
+      loadStart = loadAvg
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,47 +37,63 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed session warmup: JIT, codegen compiler, parquet footer cache.
-    // Not a per-query warmup — each query below still pays its own
-    // first-execution cost; this only removes one-time JVM/session init
-    // from whichever query happens to run first.
+    def freeAll(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      sources.Staging.cleanup(spark)
+    }
+    // Untimed session warmup: JIT, codegen compiler, parquet footer
+    // cache, AND the checkpoint/loop machinery (localCheckpoint block
+    // manager paths, shuffle writers) — the first loop query in a cold
+    // JVM otherwise pays ~9 s of warmup that is process init, not query
+    // cost (measured: sssp_lineitem 20.9 s cold vs 9.1 s warm). Not a
+    // per-query warmup — each timed query still pays its own
+    // first-execution cost.
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .groupBy("l_returnflag").count().count()
+    try SparkEntry.queries("sssp_one_round")(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    freeAll()
     // sorted for run-to-run comparability; ALL blocks freed between
     // queries — clearCache() alone misses localCheckpoint RDD blocks,
-    // which otherwise accumulate across the 60-query session until the
+    // which otherwise accumulate across the 120-query session until the
     // storage pool forces spill/eviction and later queries pay for it
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timed(name: String): (String, Double, Boolean) = {
       val t0 = System.nanoTime()
       // a query that throws is recorded as -1 (NOT a wall time) and named
       // in "errors" — a broken query must never look like a fast pass
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      sources.Staging.cleanup(spark)
+      freeAll()
       (name, dt, ok)
     }
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(timed)
+    // standalone arbiter pass: the sweep's slowest queries re-measured
+    // one at a time in the now-fully-warm, freshly-freed session — the
+    // number to trust when sweep time and arbiter time disagree (state
+    // accumulation / GC pressure inside the sweep, ambient spikes)
+    val arbiter = results.filter(_._3).sortBy(-_._2).take(ArbiterN).map(r => timed(r._1))
     // times rounded to ms: the driver tail-captures ~2 KB of output, and
     // full-precision doubles pushed the JSON head past the window
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
-    val qs = results
+    def qmap(rs: Seq[(String, Double, Boolean)]): String = rs
       .map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) r3(v).toString else "-1") }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = r3(results.collect { case (_, v, true) => v }.sum)
     // ambient host load (1-min avg) at start AND end: this box is
     // shared, and load ≳ 5 from OTHER tenants inflates every wall time
-    // 2×+ uniformly (measured 311 s vs 124 s for the identical build) —
-    // recorded so a regressed-looking total can be told apart from a
-    // contended run. The end sample includes this bench's own threads;
-    // the start sample is the ambient baseline.
+    // 2×+ uniformly — recorded so a regressed-looking total can be told
+    // apart from a contended run. The end sample includes this bench's
+    // own threads; the start sample is the ambient baseline (post-gate).
     val loadEnd = r3(loadAvg) // sampled once — both lines must agree
+    val env = s""""sf":"$sfDir","load_start":${r3(loadStart)},"load_end":$loadEnd""" +
+      s""","load_wait_sec":$loadWaitSec,"errors":$errors"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","load_start":${r3(
-          loadStart)},"load_end":$loadEnd,"errors":$errors,"queries":$qs}""")
+      s"""{"metric":"total","value":$total,"unit":"sec",$env,"arbiter":${qmap(
+          arbiter)},"queries":${qmap(results)}}""")
     // the harness tail-captures ~2 KB of output and the full per-query
     // line now exceeds that (r3/r4 records were truncated mid-JSON) — a
     // final compact line without the per-query map always survives a
@@ -62,8 +101,7 @@ object Bench {
     // distinct metric name so a by-metric scanner never double-counts
     // this with the full line above
     println(
-      s"""{"metric":"total_compact","value":$total,"unit":"sec","sf":"$sfDir","load_start":${r3(
-          loadStart)},"load_end":$loadEnd,"errors":$errors,"n_queries":${results.size}}""")
+      s"""{"metric":"total_compact","value":$total,"unit":"sec",$env,"n_queries":${results.size}}""")
     spark.stop()
   }
 }
