@@ -761,10 +761,16 @@ object GraphOps {
     * source count `(id, reach_mask, n_sources)`.
     *
     * Scale shape: edges are exchanged once and reused every round; a
-    * round is one join (probe side = only nodes with a non-zero mask —
-    * the monotone-OR frontier) plus one `bit_or` hash aggregate with a
-    * map-side partial, constant plan depth via per-round checkpoints.
-    * The mask never exceeds 8 bytes no matter how many rounds run.
+    * round propagates only the CHANGED set — nodes whose mask grew last
+    * round (monotone OR: a node's influence needs re-sending exactly
+    * when its mask changes, and the changed set shrinks fast after the
+    * frontier wave passes) — through one join plus one `bit_or` hash
+    * aggregate over the deltas (map-side partial), then patches the full
+    * state with a left join whose delta side is small (broadcast-sized
+    * once the wave recedes): the |V|-sized state is never re-aggregated
+    * per round, which is what matters when rounds ≈ graph diameter ≫ 4.
+    * Constant plan depth via per-round checkpoints; the mask never
+    * exceeds 8 bytes no matter how many rounds run.
     */
   def multiSourceBfs(edges: DataFrame, nSources: Int, rounds: Int): DataFrame = {
     require(nSources >= 1 && nSources <= 63, s"nSources must be in [1, 63], got $nSources")
@@ -791,16 +797,30 @@ object GraphOps {
           .unionAll(e.select(col("dst").as("id")))
           .distinct()
           .select(col("id"), seedMask.as("mask")))
+      // round-0 changed set = the seeds (their masks went 0 → bit)
+      var changed = state.filter(col("mask") =!= 0L)
       (1 to rounds).foreach { _ =>
-        val prop = state
-          .filter(col("mask") =!= 0L)
-          .join(e, state("id") === e("src"))
+        // only changed masks are worth re-sending: OR is idempotent, so a
+        // node whose mask is unchanged since its last send adds nothing
+        val delta = changed
+          .join(e, changed("id") === e("src"))
           .select(e("dst").as("id"), col("mask"))
-        state = ckpt(
+          .groupBy(col("id"))
+          .agg(expr("bit_or(mask)").as("add_mask"))
+        // patch the full state: one left join against the (small) delta;
+        // ONE checkpoint carries both next-round tables — the new state
+        // and the new changed set are narrow selections of it
+        val patched = ckpt(
           state
-            .unionAll(prop)
-            .groupBy(col("id"))
-            .agg(expr("bit_or(mask)").as("mask")))
+            .join(delta, Seq("id"), "left_outer")
+            .select(
+              col("id"),
+              col("mask"),
+              col("mask").bitwiseOR(coalesce(col("add_mask"), lit(0L))).as("mask2")))
+        state = patched.select(col("id"), col("mask2").as("mask"))
+        changed = patched
+          .filter(col("mask2") =!= col("mask"))
+          .select(col("id"), col("mask2").as("mask"))
       }
       e.unpersist()
       state
