@@ -9,13 +9,13 @@ import graft.functions.Parity
   * with decode / feature-extraction / frame-sampling as per-partition
   * batch operators.
   *
-  * The container has no image/audio codecs, so the actual decode is
-  * STUBBED ([[BinaryDecoder.RealImageDecoder]] is `???`); everything
-  * around it — schema, Dataset encoders, partition-batched execution
-  * shape, deterministic fake decoder for tests — is real. At scale this
-  * is the mapPartitions shape you want: one codec init per partition
-  * (not per row), batches flowing through an iterator without
-  * materializing the partition.
+  * [[BinaryDecoder.RealImageDecoder]] decodes real images through the
+  * pure-JVM `javax.imageio` codecs (PNG/JPEG/BMP/GIF — no native
+  * libraries); [[BinaryDecoder.DeterministicFake]] remains the oracle
+  * path (the harness documents table carries text payloads, not image
+  * bytes). At scale this is the mapPartitions shape you want: one codec
+  * init per partition (not per row), batches flowing through an
+  * iterator without materializing the partition.
   */
 object Multimodal {
 
@@ -38,13 +38,37 @@ object Multimodal {
 
   object BinaryDecoder {
 
-    /** The real codec hook — intentionally unimplemented in this
-      * container (no image/audio libraries available). Plug a JNI/JavaCV
-      * decoder here in a real deployment.
+    /** Real image decode via the JDK's own `javax.imageio` codecs
+      * (PNG/JPEG/BMP/GIF — pure JVM, headless-safe, no native deps).
+      * Features: width, height, band count, mean sample intensity —
+      * deterministic for a given payload, so downstream dedup/similarity
+      * over decoded features stays reproducible. A payload the codecs
+      * cannot decode FAILS (ImageIO.read returns null → error): at 100 TB
+      * a silent zero-vector would poison every downstream centroid;
+      * callers quarantine undecodable rows with a filter beforehand (or
+      * a try-wrapping decoder) rather than letting them alias as black
+      * frames. Swap in a JNI/JavaCV decoder here for codecs the JDK
+      * lacks (video, audio).
       */
     object RealImageDecoder extends BinaryDecoder {
-      def decode(payload: Array[Byte]): Array[Double] =
-        ??? // STUB: container ships no codecs; see class doc
+      def decode(payload: Array[Byte]): Array[Double] = {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        require(img != null, s"payload (${payload.length} bytes) is not a decodable image")
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        var sum = 0.0
+        var b = 0
+        while (b < bands) {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, b); x += 1 }
+            y += 1
+          }
+          b += 1
+        }
+        Array(w.toDouble, h.toDouble, bands.toDouble, sum / (w.toDouble * h * bands))
+      }
     }
 
     /** Deterministic fake: 4 features from byte statistics. Used by tests

@@ -371,8 +371,33 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(f.features.toSeq === Seq(4.0, (97 + 98 + 99 + 100).toDouble, 97.0, 394 / 4.0))
   }
 
-  test("multimodal real decoder is an explicit stub") {
-    intercept[NotImplementedError] {
+  test("multimodal real decoder reads PNG payloads end-to-end through mapPartitions") {
+    import spark.implicits._
+    // 3×2 RGB PNG with known pixels, encoded purely in-JVM
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, rgb)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // solid (16, 32, 48): mean over the 3 bands = (16+32+48)/3
+    val direct = Multimodal.BinaryDecoder.RealImageDecoder.decode(png(3, 2, 0x102030))
+    assert(direct.toSeq === Seq(3.0, 2.0, 3.0, 32.0))
+    // the same decoder through the distributed mapPartitions path
+    val p1 = png(3, 2, 0x102030)
+    val p2 = png(4, 4, 0x000000)
+    val media = Seq(
+      (1L, p1, "image/png", p1.length.toLong),
+      (2L, p2, "image/png", p2.length.toLong)).toDF("doc_id", "payload", "mime", "n_bytes")
+    val feats = Multimodal
+      .decodeFeatures(spark, media, Multimodal.BinaryDecoder.RealImageDecoder, frameBytes = 64)
+      .collect()
+      .sortBy(_.doc_id)
+    assert(feats(0).features.toSeq === Seq(3.0, 2.0, 3.0, 32.0))
+    assert(feats(1).features.toSeq === Seq(4.0, 4.0, 3.0, 0.0))
+    // undecodable bytes fail loudly, never alias as a black frame
+    intercept[IllegalArgumentException] {
       Multimodal.BinaryDecoder.RealImageDecoder.decode(Array[Byte](1, 2))
     }
   }
