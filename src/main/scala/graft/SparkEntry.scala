@@ -721,6 +721,9 @@ object SparkEntry {
     // grouped KMV: per-source distinct-token estimate next to exact
     "sketch_kmv_per_source" -> ((s, d) =>
       operators.Sketches.kmvPerSource(docs(s, d)).orderBy(col("source"))),
+    // HLL registers: m-cell max-merge distinct estimate, no pre-distinct
+    "sketch_hll_per_source" -> ((s, d) =>
+      operators.Sketches.hllPerSource(docs(s, d)).orderBy(col("source"))),
     // count-min sketch point estimates next to the exact heavy hitters
     "sketch_cms_tokens" -> ((s, d) =>
       operators.Sketches.cmsHeavyHitters(docs(s, d)).orderBy(col("token"))),
@@ -1969,6 +1972,10 @@ object SparkEntry {
       },
       "sketch_kmv_per_source" ->
         (operators.Sketches.kmvPerSourceSql() + "\nORDER BY source"),
+      "sketch_hll_per_source" ->
+        (operators.Sketches.hllPerSourceSql(
+          shingleSql,
+          s"(SELECT source, $toks AS t FROM documents)") + "\nORDER BY source"),
       "sketch_cms_tokens" -> operators.Sketches.cmsHeavyHittersSql(),
       "dedup_substring_spans" ->
         s"SELECT * FROM (${Dedup.dupSpansSql()}) ORDER BY doc_id, span_start",

@@ -190,6 +190,128 @@ object Sketches {
        |ORDER BY token""".stripMargin
   }
 
+  // ---- HyperLogLog ---------------------------------------------------------
+
+  /** HLL register count: 64 registers ≈ 13% standard error (1.04/√m).
+    * Deliberately coarse — the point of the operator is the REGISTER
+    * SHAPE (fixed m-cell max-merge state), and the harness corpus'
+    * per-source shingle universe (~1.3k) must sit well above the 2.5·m
+    * small-range threshold so the raw estimator is in its design regime.
+    */
+  val HllM = 64
+
+  /** Max register value: the sub-register hash space is
+    * `TokP·TokP2 / 64 < 2^34`, so a non-zero suffix has bin-length
+    * ≤ 34 and rho = 35 − len(bin(w)) ∈ [1, 34]; w = 0 ⇒ 35.
+    */
+  val HllRMax = 35
+
+  /** alpha_64 = 0.7213/(1 + 1.079/64) ≈ 0.70921, carried at 1e4 fixed
+    * point (0.7092). The ~0.003% truncation is far below the 13%
+    * standard error of m = 64.
+    */
+  val HllAlpha1e4 = 7092L
+
+  /** HyperLogLog-style distinct-shingle estimate per `source`, next to
+    * the exact count (Flajolet et al. 2007, AofA — the stochastic-
+    * averaging estimator over max-of-rho registers; the engine-portable
+    * twist is the same as [[kmvDistinctShingles]]: registers are built
+    * on the shared [[Parity]] 40-bit hash with rho extracted by integer
+    * `bin()` string length, and the harmonic mean is evaluated in fixed
+    * point, so the estimate is bit-identical across engines — no libm,
+    * no doubles).
+    *
+    * Register math: `j = h % 64`, `w = h div 64`, `rho(w) = 35 −
+    * len(bin(w))` (w = 0 ⇒ 35); register `M_j = max rho`. The harmonic
+    * mean `Σ_j 2^{−M_j}` is scaled by `2^35` into the integer
+    * `S = Σ_j 2^{35−M_j}` (absent registers contribute `2^35`, i.e.
+    * M = 0), giving `E = alpha·m²·2^35 / S` — evaluated as one 64-bit
+    * integer division (numerator ≈ 9.98e17 < 2^63).
+    *
+    * Why this exists next to KMV: the KMV sketch needs a distinct +
+    * top-k; HLL state is an m-cell MAX — idempotent, so the build skips
+    * the pre-distinct entirely and the exchange carries at most m rows
+    * per source however hot the source is. This is the degenerate-skew
+    * distinct-count shape at 100 TB. The raw estimator is emitted
+    * (n_zero_regs makes the small-range regime visible instead of
+    * silently switching to linear counting — ln() would break
+    * cross-engine parity).
+    */
+  def hllPerSource(docs: DataFrame): DataFrame = {
+    val m = HllM
+    val rMax = HllRMax
+    // alpha·m²·2^35 — the constant numerator of the estimator
+    val num = HllAlpha1e4 * m * m * (1L << rMax)
+    val hashes = docs.select(
+      col("source"),
+      explode(graft.functions.ShingleH40s(split(col("text"), "\\s+"), distinct = true)).as("h"))
+    // max-merge registers: map-side partial max, at most m rows/source
+    val regs = hashes
+      .select(
+        col("source"),
+        (col("h") % m).as("j"),
+        expr(s"h div $m").as("w"))
+      .select(
+        col("source"),
+        col("j"),
+        when(col("w") === 0L, lit(rMax.toLong))
+          .otherwise(lit(rMax.toLong) - length(expr("bin(w)")))
+          .as("rho"))
+      .groupBy(col("source"), col("j"))
+      .agg(max(col("rho")).as("m_j"))
+    val sk = regs
+      .groupBy(col("source"))
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($rMax - m_j AS INT))")).as("s_hit"),
+        count(lit(1)).as("n_hit"))
+      .select(
+        col("source"),
+        (lit(m.toLong) - col("n_hit")).as("n_zero_regs"),
+        (col("s_hit") + (lit(m.toLong) - col("n_hit")) * lit(1L << rMax)).as("s_total"))
+    // the exact column the sketch estimates (the thing it replaces at scale)
+    val exact = hashes.groupBy(col("source")).agg(count_distinct(col("h")).as("n_exact"))
+    exact
+      .join(sk, Seq("source"))
+      .select(
+        col("source"),
+        col("n_exact"),
+        col("n_zero_regs"),
+        expr(s"${num}L div (10000 * s_total)").as("hll_estimate"),
+        expr(s"abs(${num}L div (10000 * s_total) - n_exact) * 1000 div n_exact")
+          .as("err_permille"))
+  }
+
+  /** [[hllPerSource]] mirrored register-for-register. `shingleSql`
+    * must produce the per-doc DISTINCT shingle list of column `text`
+    * (the caller owns the tokenization fragment, as with the KMV
+    * oracle).
+    */
+  def hllPerSourceSql(shingleSql: String, fromDocs: String): String = {
+    val m = HllM
+    val rMax = HllRMax
+    val num = HllAlpha1e4 * m * m * (1L << rMax)
+    val h = Parity.tokenH40Sql("g")
+    s"""WITH sh AS (SELECT source, unnest($shingleSql) AS g FROM $fromDocs),
+       |hs AS (SELECT source, $h AS h FROM sh),
+       |rho AS (
+       |  SELECT source, h % $m AS j,
+       |         CASE WHEN h // $m = 0 THEN $rMax
+       |              ELSE $rMax - length(bin(h // $m)) END AS rho
+       |  FROM hs),
+       |regs AS (SELECT source, j, max(rho) AS m_j FROM rho GROUP BY source, j),
+       |sk AS (
+       |  SELECT source,
+       |         CAST($m - count(*) AS BIGINT) AS n_zero_regs,
+       |         CAST(sum(CAST(1 AS BIGINT) << ($rMax - m_j)) +
+       |              ($m - count(*)) * (CAST(1 AS BIGINT) << $rMax) AS BIGINT) AS s_total
+       |  FROM regs GROUP BY source),
+       |ex AS (SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS n_exact FROM hs GROUP BY source)
+       |SELECT source, n_exact, n_zero_regs,
+       |       $num // (10000 * s_total) AS hll_estimate,
+       |       abs($num // (10000 * s_total) - n_exact) * 1000 // n_exact AS err_permille
+       |FROM ex JOIN sk USING (source)""".stripMargin
+  }
+
   /** [[kmvPerSource]], mirrored on the same hash and estimator. */
   def kmvPerSourceSql(k: Int = 64): String = {
     val space = Parity.TokP * Parity.TokP2

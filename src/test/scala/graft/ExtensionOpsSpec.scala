@@ -656,6 +656,33 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("hll per source: max-merge registers, deterministic, sane error") {
+    // tiny corpus: registers still deterministic, zero-register column
+    // exposes the small-range regime instead of hiding it
+    val d = Seq(
+      (1L, "a b c d e", "en", "s1"),
+      (2L, "a b c x y", "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    val r1 = Sketches.hllPerSource(d).collect()
+    assert(r1.length === 1)
+    assert(r1(0).getLong(1) === 5L) // {abc bcd cde} ∪ {abc bcx cxy} — abc shared
+    assert(r1(0).getLong(2) >= 59L) // ≤ 5 of 64 registers hit
+    val again = Sketches.hllPerSource(d).collect()
+    assert(again(0).getLong(3) === r1(0).getLong(3))
+    // real corpus: per-source shingle universes (~1.3k ≫ 2.5·m = 160)
+    // are in the raw estimator's design regime — every register hit,
+    // errors within a few σ of the 13% standard error for m = 64
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val big = Sketches.hllPerSource(docs).collect()
+    assert(big.length >= 10)
+    big.foreach { r =>
+      assert(r.getLong(2) === 0L, s"${r.getString(0)}: zero registers in raw regime")
+      assert(r.getLong(4) < 600L, s"${r.getString(0)}: err ${r.getLong(4)}‰")
+    }
+    val meanErr = big.map(_.getLong(4)).sum.toDouble / big.length
+    info(f"hll mean |err| = ${meanErr / 10}%.1f%%")
+    assert(meanErr < 250.0)
+  }
+
   test("lsh recall report covers every query and stays within [0,1]") {
     val dir = "/root/testdata/sf0.001"
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -310,6 +310,18 @@ class PlanAuditSpec extends SparkSpec {
       s"k-minima heap lost its map-side partial in:\n$plan")
   }
 
+  test("sketch_hll_per_source builds registers with no pre-distinct and no window") {
+    val plan = planOf(SparkEntry.queries("sketch_hll_per_source")(spark, dir))
+    // HLL's whole point vs KMV: max-merge is idempotent, so the register
+    // build needs NO distinct of the (source, hash) stream — the only
+    // aggregates are the m-cell max and the exact-count verification column
+    assert(!plan.contains("Window"), s"window crept into the register build:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"register max lost its map-side partial in:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition, ENSURE"),
+      s"register build collapsed to one partition in:\n$plan")
+  }
+
   test("stored-model queries: apply/probe plans contain no training stage") {
     // bpe_apply_stored: the merge table is read from the staged model
     // artifact and folded into the expression — the plan is one corpus
