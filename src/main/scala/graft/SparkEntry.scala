@@ -371,6 +371,10 @@ object SparkEntry {
         .orderBy(col("id"))),
     "triangle_count" -> ((s, d) =>
       GraphOps.triangleCount(GraphSource.lineitemEdges(s, d))),
+    // approximate neighborhood function: K FM bitmasks OR-merged per hop,
+    // next to the exact ball-size sum (Palmer et al. KDD'02)
+    "graph_anf" -> ((s, d) =>
+      GraphOps.anf(GraphSource.lineitemEdges(s, d), nSketches = 8, rounds = 2)),
     "pagerank_fixed" -> (pagerank _),
     // topic-sensitive variant: teleport mass returns only to the seed set
     "pagerank_personalized" -> ((s, d) =>
@@ -715,6 +719,14 @@ object SparkEntry {
       streaming.StreamOps
         .embIvfIngestOverParquet(s, d, firstNewId = EmbStreamFirstNew, nProbe = 2)
         .orderBy(col("q_id"))),
+    // closed-form OLS: one pass of integer sufficient statistics,
+    // Cramer solve on the aggregated row
+    "train_linreg" -> ((s, d) =>
+      operators.Training.linregNormal(model.table(s, d, "lineitem"))),
+    // full-batch logistic regression, 3 synchronous GD rounds, integer
+    // micro-unit weights and gradients (no libm anywhere)
+    "train_logreg" -> ((s, d) =>
+      operators.Training.logregGd(docs(s, d), iters = 3)),
     // deterministic KMV cardinality sketch next to its exact answer
     "sketch_kmv_shingles" -> ((s, d) =>
       operators.Sketches.kmvDistinctShingles(docs(s, d))),
@@ -1139,6 +1151,9 @@ object SparkEntry {
     // bitmask OR-propagation, rounds unrolled on the same distinct edges
     "graph_msbfs" ->
       GraphOps.multiSourceBfsSql(GraphSource.lineitemEdgesSql, nSources = 48, rounds = 4),
+    // FM-bitmask neighborhood function, rounds unrolled on the same edges
+    "graph_anf" ->
+      GraphOps.anfSql(GraphSource.lineitemEdgesSql, nSketches = 8, rounds = 2),
     // degree-ordered orientation mirrored from GraphOps.orientByDegree
     "triangle_count" ->
       s"""WITH edges AS (${GraphSource.lineitemEdgesSql}),
@@ -1958,6 +1973,8 @@ object SparkEntry {
            |GROUP BY source ORDER BY source""".stripMargin
       },
       "emb_stream_ivf_static" -> embStreamIvfOracleSql(nProbe = 2),
+      "train_linreg" -> operators.Training.linregNormalSql,
+      "train_logreg" -> operators.Training.logregGdSql(toks),
       "sketch_kmv_shingles" -> {
         val k = operators.Sketches.KmvK
         s"""WITH g AS (SELECT DISTINCT unnest($shingleSql) AS g FROM $fromToks),

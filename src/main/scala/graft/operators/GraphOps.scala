@@ -863,6 +863,210 @@ object GraphOps {
        |ORDER BY id""".stripMargin
   }
 
+  /** ANF sketch-permutation offset into the shared [[graft.functions.Parity]]
+    * LCG family — a slice disjoint from the MinHash/CMS/LSH usages so the
+    * node hashes are independent of every other sketch in the engine.
+    */
+  private val AnfPermOff = 101
+
+  /** Fixed-point table of `2^(i/K) · 1000` for the ANF readout: node u's
+    * individual ball estimate is `2^(mean_s R_s) / 0.77351` (the
+    * GEOMETRIC mean form — the arithmetic mean of per-sketch `2^R` is
+    * biased ~2× high on small balls), and the fractional power becomes
+    * an integer table lookup on `Σ_s R_s ∈ [0, 32K]` that both engines
+    * index with identical literals. Milli fixed point keeps the
+    * corpus-wide sum under 2^59 even at the theoretical per-node max.
+    */
+  private def anfLut(nSketches: Int): IndexedSeq[Long] =
+    (0 to 32 * nSketches).map(i => math.round(math.pow(2.0, i.toDouble / nSketches) * 1000.0))
+
+  /** Approximate Neighborhood Function (Palmer et al., KDD 2002, "ANF: a
+    * fast and scalable tool for data mining in massive graphs"): for each
+    * hop count h, estimate `N(h) = Σ_u |Ball(u, h)|` — the number of
+    * (u, v) pairs within distance h — from K per-node Flajolet–Martin
+    * bitmasks that merge by bitwise OR, next to the exact count.
+    *
+    * Sketch mechanics, engine-portable like the engine's other sketches:
+    * node v seeds bit `tz(hash_s(v))` (trailing zeros of an LCG hash mod
+    * BigP, extracted via `bin()` string arithmetic — no libm); a round
+    * ORs each node's masks into its out-neighbors' (the same monotone
+    * propagation as [[multiSourceBfs]] — at scale the changed-mask patch
+    * strategy applies verbatim); after h rounds, node u's mask s holds
+    * the FM sketch of Ball(u, h), its lowest zero bit read by the
+    * `m XOR (m+1)` trick, and u's ball estimate `2^(mean_s R_s)/0.77351`
+    * comes from a fixed-point lookup table on `Σ_s R_s` ([[anfLut]]) —
+    * summed over nodes and divided once, all in 64-bit integers.
+    *
+    * Why it exists: N(h) is the 100 TB route to effective diameter /
+    * closeness centrality — the EXACT computation carries |V|·|Ball|
+    * pairs (quadratic on a small-diameter graph), while the sketch is
+    * K longs per node and one edge join per round, for any h. The exact
+    * side is computed alongside as the verification column (the same
+    * pattern as the ANN recall queries), which also bounds harness
+    * `rounds` — at scale you run ONLY the sketch side, to h = diameter.
+    *
+    * Output: one row per h ∈ [1, rounds] —
+    * `(h, n_pairs_exact, n_pairs_est, err_permille)`. N(0) = |V| is
+    * exact by definition and a 1-node ball is below the estimator's
+    * asymptotic regime, so h = 0 is not emitted.
+    */
+  def anf(edges: DataFrame, nSketches: Int = 8, rounds: Int = 2): DataFrame = {
+    require(nSketches >= 1 && nSketches <= 16, s"nSketches in [1,16], got $nSketches")
+    val session = edges.sparkSession
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      val e = edges
+        .select(col("src"), col("dst"))
+        .distinct() // OR is idempotent — parallel edges add no information
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      def ckpt(df: DataFrame): DataFrame =
+        org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+      val nodes = e
+        .select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+        .distinct()
+      import graft.functions.Parity
+      // per-sketch seed masks: bit tz(hash_s(id)), hash reduced mod BigP
+      // FIRST (the engine's 64-bit overflow discipline)
+      val hashCols = (0 until nSketches).map { s =>
+        ((lit(Parity.permA(AnfPermOff + s)) * (col("id") % lit(Parity.BigP)) +
+          lit(Parity.permB(AnfPermOff + s))) % lit(Parity.BigP)).as(s"h$s")
+      }
+      val rhoCols = (0 until nSketches).map { s =>
+        when(col(s"h$s") === 0L, lit(31L))
+          .otherwise(length(bin(col(s"h$s"))) - length(rtrim(bin(col(s"h$s")), "0")))
+          .cast("long")
+          .as(s"rho$s")
+      }
+      val maskInit = (0 until nSketches).map(s =>
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(rho$s AS INT))").as(s"m$s"))
+      var masks = ckpt(
+        nodes
+          .select(col("id") +: hashCols: _*)
+          .select(col("id") +: rhoCols: _*)
+          .select(col("id") +: maskInit: _*))
+      // exact reach state: all (u, v) with dist(u → v) ≤ h
+      var reach = ckpt(nodes.select(col("id").as("u"), col("id").as("v")))
+
+      // Σ_s (lowest zero bit of mask_s) — the FM register sum, read by
+      // the m XOR (m+1) trick; the per-node ball estimate is the LUT
+      // value at that sum (geometric-mean readout, see anfLut)
+      val rSum = (0 until nSketches)
+        .map(s => expr(s"CAST(length(bin(m$s ^ (m$s + 1))) - 1 AS BIGINT)"))
+        .reduce(_ + _)
+      val lutArr = array(anfLut(nSketches).map(lit(_)): _*)
+      def hRow(h: Int, m: DataFrame, r: DataFrame): DataFrame =
+        r.agg(count(lit(1)).as("n_pairs_exact"))
+          .crossJoin(
+            m.select(element_at(lutArr, (rSum + 1L).cast("int")).as("b"))
+              .agg(sum(col("b")).as("s"))
+              // N = S / (1000 · 0.77351): the overflow-free rewrite of
+              // (S·100) div 77351 — exact identity, never > 2^63
+              .select(
+                (expr("s div 77351") * 100L + expr("((s % 77351) * 100) div 77351"))
+                  .as("n_pairs_est")))
+          .select(
+            lit(h.toLong).as("h"),
+            col("n_pairs_exact"),
+            col("n_pairs_est"),
+            expr("abs(n_pairs_est - n_pairs_exact) * 1000 div n_pairs_exact")
+              .as("err_permille"))
+
+      // h = 0 is deliberately NOT emitted: N(0) = |V| exactly, and a
+      // 1-node ball sits below the FM estimator's asymptotic regime
+      var out: DataFrame = null
+      (1 to rounds).foreach { h =>
+        val contrib = masks
+          .join(e, masks("id") === e("src"))
+          .select(e("dst").as("id") +: (0 until nSketches).map(s => col(s"m$s")): _*)
+        masks = ckpt(
+          masks
+            .unionByName(contrib)
+            .groupBy(col("id"))
+            .agg(
+              expr(s"bit_or(m0)").as("m0"),
+              (1 until nSketches).map(s => expr(s"bit_or(m$s)").as(s"m$s")): _*))
+        val expand = reach
+          .join(e, reach("v") === e("src"))
+          .select(reach("u"), e("dst").as("v"))
+        reach = ckpt(reach.unionByName(expand).distinct())
+        val row = hRow(h, masks, reach)
+        out = if (out == null) row else out.unionByName(row)
+      }
+      e.unpersist()
+      out.orderBy(col("h"))
+    }
+  }
+
+  /** [[anf]] mirrored: per-round CTEs OR the masks and expand the exact
+    * reach set over the same distinct edges; the FM readout and the
+    * fixed-point estimator are textually the same integer arithmetic
+    * (DuckDB spells XOR `xor(a, b)` where Spark SQL spells it `a ^ b` —
+    * the only dialect divergence).
+    */
+  def anfSql(edgesSql: String, nSketches: Int = 8, rounds: Int = 2): String = {
+    import graft.functions.Parity
+    val ss = 0 until nSketches
+    val hashes = ss
+      .map(s =>
+        s"(${Parity.permA(AnfPermOff + s)} * (id % ${Parity.BigP}) + " +
+          s"${Parity.permB(AnfPermOff + s)}) % ${Parity.BigP} AS h$s")
+      .mkString(", ")
+    val seedMasks = ss
+      .map(s =>
+        s"CAST(1 AS BIGINT) << (CASE WHEN h$s = 0 THEN 31 " +
+          s"ELSE length(bin(h$s)) - length(rtrim(bin(h$s), '0')) END) AS m$s")
+      .mkString(", ")
+    val mCols = ss.map(s => s"m$s").mkString(", ")
+    val orAgg = ss.map(s => s"bit_or(m$s) AS m$s").mkString(", ")
+    val maskRounds = (1 to rounds)
+      .map { k =>
+        s"""b$k AS (
+           |  SELECT id, $orAgg FROM (
+           |    SELECT id, $mCols FROM b${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS id, $mCols FROM b${k - 1} m JOIN e ON m.id = e.src)
+           |  GROUP BY id)""".stripMargin
+      }
+      .mkString(",\n")
+    val reachRounds = (1 to rounds)
+      .map { k =>
+        s"""r$k AS (
+           |  SELECT u, v FROM r${k - 1}
+           |  UNION
+           |  SELECT r.u, e.dst AS v FROM r${k - 1} r JOIN e ON e.src = r.v)""".stripMargin
+      }
+      .mkString(",\n")
+    val rSumSql = ss
+      .map(s => s"(length(bin(xor(m$s, m$s + 1))) - 1)")
+      .mkString(" + ")
+    val lutSql = anfLut(nSketches).mkString("[", ", ", "]")
+    val sumSql = s"CAST(sum($lutSql[($rSumSql) + 1]) AS BIGINT)"
+    val hRows = (1 to rounds)
+      .map { h =>
+        s"""SELECT h, n_pairs_exact, n_pairs_est,
+           |       abs(n_pairs_est - n_pairs_exact) * 1000 // n_pairs_exact AS err_permille
+           |FROM (SELECT CAST($h AS BIGINT) AS h,
+           |             (SELECT CAST(count(*) AS BIGINT) FROM r$h) AS n_pairs_exact,
+           |             (SELECT ($sumSql // 77351) * 100 +
+           |                     (($sumSql % 77351) * 100) // 77351
+           |              FROM b$h) AS n_pairs_est)""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH raw AS ($edgesSql),
+       |e AS (SELECT DISTINCT src, dst FROM raw),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT id, $hashes FROM nodes),
+       |b0 AS (SELECT id, $seedMasks FROM h0),
+       |$maskRounds,
+       |r0 AS (SELECT id AS u, id AS v FROM nodes),
+       |$reachRounds
+       |$hRows
+       |ORDER BY h""".stripMargin
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007, Phys. Rev. E 76 036106): labels start as node ids; each round
     * every node adopts the most frequent label among its neighbors in

@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed model training as engine queries: the two canonical
+  * full-batch shapes — a closed-form linear solve and fixed-round
+  * gradient descent — each reduced to sufficient statistics that
+  * aggregate with map-side partials, so the only thing that ever
+  * crosses an exchange is O(features²) numbers per task, whatever the
+  * row count.
+  *
+  * Engine portability (the house discipline): every per-row
+  * contribution is rounded to an integer BEFORE it is summed — integer
+  * sums are order-independent, so the reduction tree Spark picks (or
+  * DuckDB's single-threaded fold) cannot change the answer. The only
+  * floating-point arithmetic is on the aggregated statistics, where
+  * both engines evaluate the identical expression once. No exp/log —
+  * the logistic link uses the rational "fast sigmoid"
+  * `σ(z) ≈ 0.5 + z / (2·(1+|z|))`, which is pure +,·,/ and therefore
+  * bit-identical cross-engine (libm's exp is not).
+  */
+object Training {
+
+  // ---- OLS via normal equations -------------------------------------------
+
+  /** The 3×3 Cramer solve over the aggregated normal-equation sums,
+    * shared textually between the Spark plan and the DuckDB oracle (the
+    * fragment is dialect-neutral: CAST + arithmetic). Columns expected
+    * in scope: n, sq, sd, sqq, sqd, sdd, sy, sqy, sdy (exact integer
+    * sums; y carried in milli-units).
+    */
+  private val linregDoubles: String =
+    """CAST(n AS DOUBLE) AS a11, CAST(sq AS DOUBLE) AS a12, CAST(sd AS DOUBLE) AS a13,
+      |CAST(sqq AS DOUBLE) AS a22, CAST(sqd AS DOUBLE) AS a23, CAST(sdd AS DOUBLE) AS a33,
+      |CAST(sy AS DOUBLE) AS c1, CAST(sqy AS DOUBLE) AS c2, CAST(sdy AS DOUBLE) AS c3""".stripMargin
+
+  private val linregDet: String =
+    "(a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13))"
+  private val linregDet0: String =
+    "(c1 * (a22 * a33 - a23 * a23) - a12 * (c2 * a33 - a23 * c3) + a13 * (c2 * a23 - a22 * c3))"
+  private val linregDet1: String =
+    "(a11 * (c2 * a33 - a23 * c3) - c1 * (a12 * a33 - a23 * a13) + a13 * (a12 * c3 - c2 * a13))"
+  private val linregDet2: String =
+    "(a11 * (a22 * c3 - c2 * a23) - a12 * (a12 * c3 - c2 * a13) + c1 * (a12 * a23 - a22 * a13))"
+
+  /** Betas come out in milli-price units (y was scaled by 1000) → /1000;
+    * the +1e-9 nudge before round(…, 6) is the engine's established
+    * tie-dodge for cross-engine decimal rounding of doubles.
+    */
+  private def beta(det: String): String = s"round($det / $linregDet / 1000.0 + 1e-9, 6)"
+
+  /** Ordinary least squares `l_extendedprice ~ b0 + b1·l_quantity +
+    * b2·(100·l_discount)`, solved in closed form via the normal
+    * equations: ONE aggregation computes the 9 sufficient statistics
+    * (n, Σx_i, Σx_i·x_j, Σx_i·y), the 3×3 system is solved by Cramer's
+    * rule on the aggregated row. This is how a linear model trains at
+    * 100 TB — the data is touched once, the exchange carries 9 numbers,
+    * and there is no iteration.
+    *
+    * Determinism: features are exact integers (quantity is integral,
+    * discount is percent points, the target is rounded to milli-units),
+    * so the statistics are exact 64-bit sums — identical in any
+    * aggregation order — and the double Cramer solve runs once on
+    * identical inputs. Sum magnitudes stay < 2^53 through SF 1; beyond
+    * that the sums switch to DECIMAL(38,0) (Spark and DuckDB both sum
+    * decimals exactly) — a type change, not a shape change.
+    *
+    * Output: one row `(n_rows, beta0, beta1, beta2)`.
+    */
+  def linregNormal(lineitem: DataFrame): DataFrame = {
+    val sums = lineitem
+      .select(
+        expr("CAST(l_quantity AS BIGINT)").as("q"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("d"),
+        expr("CAST(round(l_extendedprice * 1000) AS BIGINT)").as("y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sq"),
+        sum(col("d")).as("sd"),
+        sum(col("q") * col("q")).as("sqq"),
+        sum(col("q") * col("d")).as("sqd"),
+        sum(col("d") * col("d")).as("sdd"),
+        sum(col("y")).as("sy"),
+        sum(col("q") * col("y")).as("sqy"),
+        sum(col("d") * col("y")).as("sdy"))
+    sums
+      .select(col("n") +: linregDoubles.split(",").map(s => expr(s.trim)): _*)
+      .select(
+        col("n").as("n_rows"),
+        expr(beta(linregDet0)).as("beta0"),
+        expr(beta(linregDet1)).as("beta1"),
+        expr(beta(linregDet2)).as("beta2"))
+  }
+
+  /** [[linregNormal]] mirrored: same integer statistics, same Cramer
+    * text. */
+  def linregNormalSql: String =
+    s"""WITH f AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS q,
+       |         CAST(round(l_discount * 100) AS BIGINT) AS d,
+       |         CAST(round(l_extendedprice * 1000) AS BIGINT) AS y
+       |  FROM lineitem),
+       |sums AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(q) AS BIGINT) AS sq, CAST(sum(d) AS BIGINT) AS sd,
+       |         CAST(sum(q * q) AS BIGINT) AS sqq, CAST(sum(q * d) AS BIGINT) AS sqd,
+       |         CAST(sum(d * d) AS BIGINT) AS sdd,
+       |         CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(q * y) AS BIGINT) AS sqy, CAST(sum(d * y) AS BIGINT) AS sdy
+       |  FROM f),
+       |m AS (SELECT n, $linregDoubles FROM sums)
+       |SELECT n AS n_rows,
+       |       ${beta(linregDet0)} AS beta0,
+       |       ${beta(linregDet1)} AS beta1,
+       |       ${beta(linregDet2)} AS beta2
+       |FROM m""".stripMargin
+
+  // ---- logistic regression via fixed-round gradient descent ---------------
+
+  /** Learning-rate denominator: w ← w − round(grad_sum / (LrDen · n)),
+    * i.e. a 0.1 step on the MEAN gradient. round() (half away from
+    * zero) instead of integer div because gradients are signed and
+    * Spark's `div` truncates while DuckDB's `//` floors — they disagree
+    * on negatives.
+    */
+  val LogregLrDen = 10.0
+
+  /** Long-document label threshold (chars). The corpus' `lang` column
+    * carries NO feature signal (measured: en and non-en have identical
+    * token/char statistics — it is assigned independently of the text),
+    * so the trained demonstration predicts a label with a real monotone
+    * relation to the features: document length.
+    */
+  val LogregLenThreshold = 300L
+
+  /** Feature/label extraction: predict "is long document" from token
+    * count and 'e'-character count, both CENTERED by their integer
+    * means (two passes; the means use `div`, which both engines agree
+    * on for non-negative sums). Centering is what makes full-batch GD
+    * converge in 3 rounds — with raw features the intercept direction
+    * is so badly conditioned the model stalls at the majority class
+    * (measured 51% vs 98% centered). Integer features in, integers
+    * out — the determinism anchor.
+    */
+  private def logregFeatures(docs: DataFrame): DataFrame = {
+    val raw = docs.select(
+      expr(s"CASE WHEN n_chars > $LogregLenThreshold THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .as("y"),
+      expr("CAST(size(filter(split(text, '\\\\s+'), t -> length(t) > 0)) AS BIGINT)").as("x1r"),
+      expr("CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT)").as("x2r"))
+    val means = raw.agg(
+      expr("sum(x1r) div count(*)").as("m1"),
+      expr("sum(x2r) div count(*)").as("m2"))
+    raw
+      .crossJoin(means)
+      .select(col("y"), (col("x1r") - col("m1")).as("x1"), (col("x2r") - col("m2")).as("x2"))
+  }
+
+  private def logregFeaturesSql(toksSql: String): String =
+    s"""SELECT y, x1r - m1 AS x1, x2r - m2 AS x2 FROM (
+       |  SELECT CASE WHEN n_chars > $LogregLenThreshold THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
+       |         CAST(len($toksSql) AS BIGINT) AS x1r,
+       |         CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS x2r
+       |  FROM documents)
+       |CROSS JOIN (
+       |  SELECT CAST(sum(CAST(len($toksSql) AS BIGINT)) // count(*) AS BIGINT) AS m1,
+       |         CAST(sum(CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT)) // count(*) AS BIGINT) AS m2
+       |  FROM documents)""".stripMargin
+
+  /** `p − y` under the fast sigmoid at weights (micro-units) w0,w1,w2 —
+    * dialect-neutral fragment over columns y, x1, x2 and a double `z`.
+    */
+  private def residual(w0: String, w1: String, w2: String): String = {
+    val z = s"(CAST($w0 + $w1 * x1 + $w2 * x2 AS DOUBLE) / 1000000.0)"
+    s"(0.5 + $z / (2.0 * (1.0 + abs($z))) - CAST(y AS DOUBLE))"
+  }
+
+  /** Full-batch logistic regression by `iters` rounds of synchronous
+    * gradient descent, weights carried in integer micro-units. Each
+    * round is ONE aggregation: the per-row gradient contribution
+    * `(σ(w·x) − y)·x_j` is rounded to micro-units and summed per
+    * feature (map-side partial — 3 longs cross the exchange), then the
+    * driver applies `w_j ← w_j − round(Σ/(10·n))` — the scalar control
+    * read every iterative operator here uses (the SSSP convergence
+    * counter pattern). At scale the same loop runs mini-batched per
+    * round; the aggregate shape is unchanged.
+    *
+    * σ is the rational fast sigmoid (no exp — see object doc), and the
+    * micro-unit rounding makes every gradient an exact integer, so the
+    * trained weights are bit-identical to the unrolled DuckDB oracle.
+    *
+    * Output: one row `(n_rows, w0_micro, w1_micro, w2_micro,
+    * n_correct)` — weights after `iters` rounds plus the training-set
+    * accuracy count under the final weights (`p > 0.5 ⇔ z > 0`).
+    */
+  def logregGd(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val f = logregFeatures(docs).persist()
+    val n = f.count()
+    var w = Array(0L, 0L, 0L)
+    (1 to iters).foreach { _ =>
+      val r = residual(s"${w(0)}", s"${w(1)}", s"${w(2)}")
+      val g = f
+        .agg(
+          sum(expr(s"CAST(round($r * 1000000) AS BIGINT)")).as("g0"),
+          sum(expr(s"CAST(round($r * x1 * 1000000) AS BIGINT)")).as("g1"),
+          sum(expr(s"CAST(round($r * x2 * 1000000) AS BIGINT)")).as("g2"))
+        .head()
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj - math.round(g.getLong(j).toDouble / (LogregLrDen * n))
+      }
+    }
+    val z = s"(CAST(${w(0)} + ${w(1)} * x1 + ${w(2)} * x2 AS DOUBLE) / 1000000.0)"
+    val out = f.agg(
+      count(lit(1)).as("n_rows"),
+      lit(w(0)).as("w0_micro"),
+      lit(w(1)).as("w1_micro"),
+      lit(w(2)).as("w2_micro"),
+      sum(expr(s"CASE WHEN ($z > 0.0) = (y = 1) THEN 1 ELSE 0 END")).as("n_correct"))
+    f.unpersist()
+    out
+  }
+
+  /** [[logregGd]] with the driver loop unrolled: iteration k's weights
+    * are a 1-row CTE cross-joined into iteration k+1's gradient
+    * aggregate — textually the same residual, rounding, and update
+    * arithmetic.
+    */
+  def logregGdSql(toksSql: String, iters: Int = 3): String = {
+    def grad(prev: String, k: Int): String = {
+      val r = residual(s"w.w0", s"w.w1", s"w.w2")
+      s"""g$k AS (
+         |  SELECT w.w0 AS pw0, w.w1 AS pw1, w.w2 AS pw2, nn.n AS n,
+         |         CAST(sum(CAST(round($r * 1000000) AS BIGINT)) AS BIGINT) AS g0,
+         |         CAST(sum(CAST(round($r * x1 * 1000000) AS BIGINT)) AS BIGINT) AS g1,
+         |         CAST(sum(CAST(round($r * x2 * 1000000) AS BIGINT)) AS BIGINT) AS g2
+         |  FROM f CROSS JOIN $prev w CROSS JOIN nn
+         |  GROUP BY w.w0, w.w1, w.w2, nn.n),
+         |w$k AS (
+         |  SELECT pw0 - CAST(round(CAST(g0 AS DOUBLE) / ($LogregLrDen * n)) AS BIGINT) AS w0,
+         |         pw1 - CAST(round(CAST(g1 AS DOUBLE) / ($LogregLrDen * n)) AS BIGINT) AS w1,
+         |         pw2 - CAST(round(CAST(g2 AS DOUBLE) / ($LogregLrDen * n)) AS BIGINT) AS w2
+         |  FROM g$k)""".stripMargin
+    }
+    val rounds = (1 to iters).map(k => grad(s"w${k - 1}", k)).mkString(",\n")
+    val zf = s"(CAST(w.w0 + w.w1 * x1 + w.w2 * x2 AS DOUBLE) / 1000000.0)"
+    s"""WITH f AS (${logregFeaturesSql(toksSql)}),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2),
+       |$rounds
+       |SELECT nn.n AS n_rows, w.w0 AS w0_micro, w.w1 AS w1_micro, w.w2 AS w2_micro,
+       |       CAST(sum(CASE WHEN ($zf > 0.0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |FROM f CROSS JOIN w$iters w CROSS JOIN nn
+       |GROUP BY nn.n, w.w0, w.w1, w.w2""".stripMargin
+  }
+}

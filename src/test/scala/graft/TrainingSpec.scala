@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{GraphOps, Training}
+
+/** Distributed training + neighborhood-function operators. */
+class TrainingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("linreg recovers exact coefficients from exactly linear data") {
+    // y = 100 + 5·q + 2·d_pct, constructed with exact milli rounding —
+    // the Cramer solve must return the generating coefficients
+    val rows = for {
+      q <- 1L to 8L
+      d <- Seq(0, 5, 10)
+    } yield (q.toDouble, d / 100.0, 100.0 + 5.0 * q + 2.0 * d)
+    val li = rows.toDF("l_quantity", "l_discount", "l_extendedprice")
+    val out = Training.linregNormal(li).collect()(0)
+    assert(out.getLong(0) === 24L)
+    assert(out.getDouble(1) === 100.0)
+    assert(out.getDouble(2) === 5.0)
+    assert(out.getDouble(3) === 2.0)
+  }
+
+  test("linreg on the harness table is deterministic across partitionings") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val a = Training.linregNormal(li).collect()(0)
+    val b = Training.linregNormal(li.repartition(7)).collect()(0)
+    assert(a === b) // integer statistics ⇒ partitioning cannot change betas
+  }
+
+  test("logreg learns the length label well above the majority class") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Training.logregGd(docs, iters = 3).collect()(0)
+    val (n, correct) = (out.getLong(0), out.getLong(4))
+    // majority class is ~51% on this corpus; centered GD reaches ~98%
+    assert(correct.toDouble / n > 0.9, s"accuracy ${correct.toDouble / n}")
+    // deterministic: integer gradients in any aggregation order
+    val again = Training.logregGd(docs.repartition(5), iters = 3).collect()(0)
+    assert(again === out)
+  }
+
+  test("anf: exact column matches hand-computed balls on a chain") {
+    // 1→2→3→4: N(1) = 4 self + 3 edges = 7; N(2) = N(1) + {1→3, 2→4} = 9
+    val e = edgesDf(Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0)))
+    val out = GraphOps.anf(e, nSketches = 8, rounds = 2).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 7L), (2L, 9L)))
+    out.foreach(r => assert(r.getLong(2) > 0L)) // estimate present and positive
+  }
+
+  test("anf estimate tracks exact counts on the harness graph") {
+    val e = GraphSource.lineitemEdges(spark, "/root/testdata/sf0.001")
+    val out = GraphOps.anf(e, nSketches = 8, rounds = 2).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      val (h, exact, est, err) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(exact > 0 && est > 0)
+      // K = 8 FM sketches ⇒ ~1/√8 ≈ 35% standard error; the harness
+      // graph lands ~20%/5% (h = 1/2) — pin a generous 50% ceiling
+      assert(err < 500L, s"h=$h err=$err‰ (exact=$exact est=$est)")
+    }
+    // monotone: balls only grow with h
+    assert(out(0).getLong(1) < out(1).getLong(1))
+  }
+}
