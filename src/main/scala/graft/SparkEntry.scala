@@ -719,6 +719,15 @@ object SparkEntry {
       streaming.StreamOps
         .embIvfIngestOverParquet(s, d, firstNewId = EmbStreamFirstNew, nProbe = 2)
         .orderBy(col("q_id"))),
+    // one-pass second moments (typed aggregator, d²-long buffer) →
+    // upper-triangular covariance of the embedding components
+    "emb_covariance" -> ((s, d) =>
+      operators.LinAlg.covariance(model.table(s, d, "embeddings"))
+        .orderBy(col("i"), col("j"))),
+    // top principal component by power iteration on the same one-pass
+    // statistics; the 64×64 eigensolve is driver-side by design
+    "emb_pca_power" -> ((s, d) =>
+      operators.LinAlg.pcaPower(model.table(s, d, "embeddings"))),
     // closed-form OLS: one pass of integer sufficient statistics,
     // Cramer solve on the aggregated row
     "train_linreg" -> ((s, d) =>
@@ -1973,6 +1982,8 @@ object SparkEntry {
            |GROUP BY source ORDER BY source""".stripMargin
       },
       "emb_stream_ivf_static" -> embStreamIvfOracleSql(nProbe = 2),
+      "emb_covariance" -> operators.LinAlg.covarianceSql(),
+      "emb_pca_power" -> operators.LinAlg.pcaPowerSql(),
       "train_linreg" -> operators.Training.linregNormalSql,
       "train_logreg" -> operators.Training.logregGdSql(toks),
       "sketch_kmv_shingles" -> {

@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Distributed linear algebra over the embedding corpus: second-moment
+  * (covariance) accumulation and power-iteration PCA.
+  *
+  * The scale contract: the DATA pass is one typed aggregation whose
+  * buffer is the d + d(d+1)/2 + 1 sufficient statistics (n, Σx,
+  * upper-triangular Σx·xᵀ) — ~17 KB at d = 64, merged elementwise with
+  * a map-side partial, so row count never touches memory. Everything
+  * AFTER the pass operates on that O(d²) row: the eigensolve is
+  * driver-side by design (the same legitimacy as the SSSP convergence
+  * scalar — the collected object does not grow with the data).
+  *
+  * Determinism: components are fixed-pointed to milli-units BEFORE
+  * aggregation, so the statistics are exact integer sums (any
+  * aggregation order); the covariance and the power iteration then run
+  * in double arithmetic on identical inputs with an identical fold
+  * order (ascending index, seeded 0.0) in Scala and in the DuckDB
+  * oracle's `list_reduce` — IEEE +,·,/,√ are exactly specified, so the
+  * loadings are bit-identical before the final display rounding.
+  */
+object LinAlg {
+
+  /** Embedding dimensionality of the harness table. */
+  val Dim = 64
+
+  /** Upper-triangle flat index of (i, j), 0-based, requires i ≤ j. */
+  private def tri(i: Int, j: Int, d: Int): Int = i * d - i * (i - 1) / 2 + (j - i)
+
+  /** One-pass second-moment accumulator: (n, Σc, upper-tri Σc·cᵀ). */
+  class MomentsAggregator(d: Int)
+      extends Aggregator[Seq[Long], (Long, Array[Long], Array[Long]), (Long, Seq[Long], Seq[Long])] {
+
+    override def zero: (Long, Array[Long], Array[Long]) =
+      (0L, new Array[Long](d), new Array[Long](d * (d + 1) / 2))
+
+    override def reduce(
+        b: (Long, Array[Long], Array[Long]),
+        c: Seq[Long]): (Long, Array[Long], Array[Long]) = {
+      val (n, s, p) = b
+      val arr = c.toArray
+      var i = 0
+      while (i < d) {
+        s(i) += arr(i)
+        var j = i
+        while (j < d) {
+          p(tri(i, j, d)) += arr(i) * arr(j)
+          j += 1
+        }
+        i += 1
+      }
+      (n + 1L, s, p)
+    }
+
+    override def merge(
+        a: (Long, Array[Long], Array[Long]),
+        b: (Long, Array[Long], Array[Long])): (Long, Array[Long], Array[Long]) = {
+      var i = 0
+      while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
+      i = 0
+      while (i < a._3.length) { a._3(i) += b._3(i); i += 1 }
+      (a._1 + b._1, a._2, a._3)
+    }
+
+    override def finish(b: (Long, Array[Long], Array[Long])): (Long, Seq[Long], Seq[Long]) =
+      (b._1, b._2.toSeq, b._3.toSeq)
+
+    override def bufferEncoder: Encoder[(Long, Array[Long], Array[Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Array[Long], Array[Long])]()
+
+    override def outputEncoder: Encoder[(Long, Seq[Long], Seq[Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Long], Seq[Long])]()
+  }
+
+  /** The single distributed pass: milli fixed-point components, one
+    * typed aggregate, O(d²) result on the driver.
+    */
+  private def moments(embs: DataFrame, d: Int): (Long, Array[Long], Array[Long]) = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val c = embs
+      .select(
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("c"))
+      .as[Seq[Long]]
+    val (n, s, p) = c.select(new MomentsAggregator(d).toColumn).head()
+    (n, s.toArray, p.toArray)
+  }
+
+  /** The covariance entry as dialect-neutral double arithmetic over the
+    * integer statistics — shared text with the oracle. Columns in
+    * scope: n, p (Σ c_i·c_j), si, sj.
+    */
+  private val covExpr: String =
+    "(CAST(n AS DOUBLE) * CAST(p AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1000000.0)"
+
+  /** Upper-triangular covariance of the embedding components:
+    * `cov(i, j) = (n·Σc_i c_j − Σc_i · Σc_j) / (n² · 10⁶)` (milli² →
+    * unit scale), one row per 1-based (i ≤ j) pair next to the raw
+    * integer second moment. The d(d+1)/2-row result is assembled from
+    * the driver-side statistics; the final arithmetic and rounding run
+    * as Spark expressions so they are textually the oracle's.
+    */
+  def covariance(embs: DataFrame, d: Int = Dim): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val (n, s, p) = moments(embs, d)
+    val rows = for {
+      i <- 0 until d
+      j <- i until d
+    } yield (i + 1L, j + 1L, n, p(tri(i, j, d)), s(i), s(j))
+    rows
+      .toDF("i", "j", "n", "p", "si", "sj")
+      .select(
+        col("i"),
+        col("j"),
+        col("p").as("s_xy"),
+        expr(s"round($covExpr + 1e-11, 8)").as("cov"))
+  }
+
+  /** [[covariance]] mirrored: the same milli fixed point, the same
+    * integer moments (via an index cross join instead of the
+    * aggregator), the same covariance text.
+    */
+  def covarianceSql(d: Int = Dim): String =
+    s"""WITH c AS (
+       |  SELECT [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS c
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(range(1, ${d + 1})) AS i),
+       |m AS (
+       |  SELECT di.i AS i, dj.i AS j,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(c.c[di.i] * c.c[dj.i]) AS BIGINT) AS p
+       |  FROM c, dims di, dims dj WHERE di.i <= dj.i GROUP BY di.i, dj.i),
+       |sv AS (SELECT d.i AS i, CAST(sum(c.c[d.i]) AS BIGINT) AS s FROM c, dims d GROUP BY d.i)
+       |SELECT m.i, m.j, m.p AS s_xy,
+       |       round($covExpr + 1e-11, 8) AS cov
+       |FROM (SELECT m.i, m.j, m.n AS n, m.p, a.s AS si, b.s AS sj
+       |      FROM m JOIN sv a ON a.i = m.i JOIN sv b ON b.i = m.j) m
+       |ORDER BY i, j""".stripMargin
+
+  /** Power-iteration start value: 1/√d = 0.125 at d = 64 — exactly
+    * representable in binary, so both engines seed bit-identically.
+    */
+  private val V0 = 0.125
+
+  /** Top principal component by `iters` rounds of power iteration on
+    * the covariance matrix. The distributed part is [[moments]] (one
+    * pass); the 64×64 iteration is driver-side with the fold order
+    * pinned to ascending index so the oracle's `list_reduce` computes
+    * the identical IEEE sequence. Output: one row per 1-based component
+    * `(k, loading, lambda)` — the unit eigenvector entry and the
+    * Rayleigh estimate (‖Av‖ of the final un-normalized iterate).
+    */
+  def pcaPower(embs: DataFrame, d: Int = Dim, iters: Int = 10): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val (n, s, p) = moments(embs, d)
+    val dn = n.toDouble
+    val a = Array.tabulate(d, d) { (i, j) =>
+      val (lo, hi) = if (i <= j) (i, j) else (j, i)
+      (dn * p(tri(lo, hi, d)).toDouble - s(i).toDouble * s(j).toDouble) / (dn * dn * 1000000.0)
+    }
+    var v = Array.fill(d)(V0)
+    var lambda = 0.0
+    (1 to iters).foreach { _ =>
+      val u = Array.tabulate(d) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += a(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var nn = 0.0
+      var i = 0
+      while (i < d) { nn += u(i) * u(i); i += 1 }
+      lambda = math.sqrt(nn)
+      v = u.map(_ / lambda)
+    }
+    val rows = (0 until d).map(k => (k + 1L, v(k), lambda))
+    rows
+      .toDF("k", "loading_raw", "lambda_raw")
+      .select(
+        col("k"),
+        expr("round(loading_raw + 1e-9, 6)").as("loading"),
+        expr("round(lambda_raw + 1e-9, 6)").as("lambda"))
+  }
+
+  /** [[pcaPower]] with the iteration unrolled into list CTEs: matvec is
+    * a `list_reduce` over the j-ascending covariance row zipped with
+    * the previous iterate, the norm a `list_reduce` over the
+    * i-ascending un-normalized iterate — the exact fold orders the
+    * Scala loop uses.
+    */
+  def pcaPowerSql(d: Int = Dim, iters: Int = 10): String = {
+    val normOf = (ul: String) =>
+      s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform($ul, y -> y * y)), (a, b) -> a + b))"
+    val rounds = (1 to iters)
+      .map { k =>
+        s"""u$k AS (
+           |  SELECT list(u ORDER BY i) AS ul FROM (
+           |    SELECT r.i AS i,
+           |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |             list_transform(list_zip(r.row, w.v), s -> s[1] * s[2])),
+           |             (acc, x) -> acc + x) AS u
+           |    FROM a_rows r CROSS JOIN v${k - 1} w)),
+           |v$k AS (
+           |  SELECT list_transform(ul, x -> x / ${normOf("ul")}) AS v FROM u$k)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH c AS (
+       |  SELECT [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS c
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(range(1, ${d + 1})) AS i),
+       |m AS (
+       |  SELECT di.i AS i, dj.i AS j,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(c.c[di.i] * c.c[dj.i]) AS BIGINT) AS p
+       |  FROM c, dims di, dims dj WHERE di.i <= dj.i GROUP BY di.i, dj.i),
+       |sv AS (SELECT d.i AS i, CAST(sum(c.c[d.i]) AS BIGINT) AS s FROM c, dims d GROUP BY d.i),
+       |a_full AS (
+       |  SELECT i, j, $covExpr AS a FROM (
+       |    SELECT m.i, m.j, m.n AS n, m.p, a.s AS si, b.s AS sj
+       |    FROM m JOIN sv a ON a.i = m.i JOIN sv b ON b.i = m.j
+       |    UNION ALL
+       |    SELECT m.j, m.i, m.n, m.p, b.s, a.s
+       |    FROM m JOIN sv a ON a.i = m.i JOIN sv b ON b.i = m.j
+       |    WHERE m.i < m.j)),
+       |a_rows AS (SELECT i, list(a ORDER BY j) AS row FROM a_full GROUP BY i),
+       |v0 AS (SELECT ${Seq.fill(d)(V0.toString).mkString("[", ", ", "]")} AS v),
+       |$rounds
+       |SELECT d.i AS k,
+       |       round(w.v[d.i] + 1e-9, 6) AS loading,
+       |       round(${normOf("u.ul")} + 1e-9, 6) AS lambda
+       |FROM v$iters w CROSS JOIN u$iters u CROSS JOIN dims d
+       |ORDER BY k""".stripMargin
+  }
+}

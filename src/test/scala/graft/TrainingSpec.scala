@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.{GraphOps, Training}
+import graft.operators.{GraphOps, LinAlg, Training}
 
-/** Distributed training + neighborhood-function operators. */
+/** Distributed training + neighborhood-function + linear-algebra ops. */
 class TrainingSpec extends SparkSpec {
 
   import spark.implicits._
@@ -40,6 +40,41 @@ class TrainingSpec extends SparkSpec {
     // deterministic: integer gradients in any aggregation order
     val again = Training.logregGd(docs.repartition(5), iters = 3).collect()(0)
     assert(again === out)
+  }
+
+  test("covariance matches hand-computed moments on axis-aligned vectors") {
+    // mean-zero: cov11 = Σx²/n = 0.5, cov22 = 2.0, cov12 = 0
+    val embs = Seq(
+      Tuple1(Array(1f, 0f)),
+      Tuple1(Array(-1f, 0f)),
+      Tuple1(Array(0f, 2f)),
+      Tuple1(Array(0f, -2f))).toDF("embedding")
+    val out = LinAlg.covariance(embs, d = 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(out === Map((1L, 1L) -> 0.5, (1L, 2L) -> 0.0, (2L, 2L) -> 2.0))
+  }
+
+  test("power iteration finds the dominant axis and eigenvalue") {
+    val embs = Seq(
+      Tuple1(Array(1f, 0f)),
+      Tuple1(Array(-1f, 0f)),
+      Tuple1(Array(0f, 2f)),
+      Tuple1(Array(0f, -2f))).toDF("embedding")
+    val out = LinAlg.pcaPower(embs, d = 2, iters = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length === 2)
+    val lambda = out.head._3
+    assert(math.abs(lambda - 2.0) < 1e-3, s"lambda=$lambda")
+    // dominant axis is component 2; the unit loading is ±1
+    assert(math.abs(math.abs(out(1)._2) - 1.0) < 1e-3)
+    assert(math.abs(out(0)._2) < 1e-3)
+  }
+
+  test("moments pass is deterministic across partitionings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = LinAlg.pcaPower(embs).collect()
+    val b = LinAlg.pcaPower(embs.repartition(7)).collect()
+    assert(a === b) // integer moments ⇒ partitioning cannot move an ulp
   }
 
   test("anf: exact column matches hand-computed balls on a chain") {
