@@ -707,6 +707,15 @@ object SparkEntry {
     "events_stream_enrich" -> ((s, d) =>
       streaming.StreamOps.enrichedTumblingOverParquet(s, d)
         .orderBy(col("ws"), col("c_mktsegment"))),
+    // streaming anomaly gate: arriving events probed against static
+    // Tukey fences (broadcast), per-type outlier counts — O(1)/event
+    "events_stream_anomaly" -> ((s, d) =>
+      streaming.StreamOps.anomalyIngestOverParquet(s, d, firstNewId = EventStreamFirstNew)
+        .orderBy(col("event_type"))),
+    // per-user running totals via transformWithState (arbitrary-state
+    // v2: typed ValueState in the RocksDB store, declarative TTL)
+    "events_stream_user_totals" -> ((s, d) =>
+      streaming.StreamOps.userTotalsOverParquet(s, d).orderBy(col("user_id"))),
     // dedup-on-arrival: incoming doc stream anti-joined to the static
     // fingerprint store (stream-static LEFT ANTI through the real engine)
     "docs_stream_dedup_static" -> ((s, d) =>
@@ -1390,6 +1399,13 @@ object SparkEntry {
     */
   private val EmbStreamFirstNew = 400L
 
+  /** First streaming-ingest event id for the anomaly gate: events below
+    * are the historical slice the Tukey fences are computed over; at-or-
+    * above are the arriving stream (800 historical at every SF — the
+    * event_id space starts at 0 in all generations).
+    */
+  private val EventStreamFirstNew = 800L
+
   /** Oracle for the streaming-ingest-vs-static-IVF-index query: Lloyd
     * trained on the static subset only, static inverted lists, arriving
     * vectors probe `nProbe` cells, argmax match (k = 1, ties to the
@@ -1982,6 +1998,29 @@ object SparkEntry {
            |GROUP BY source ORDER BY source""".stripMargin
       },
       "emb_stream_ivf_static" -> embStreamIvfOracleSql(nProbe = 2),
+      "events_stream_anomaly" ->
+        s"""WITH f AS (
+           |  SELECT event_type AS ft,
+           |         round(quantile_cont(value, 0.25), 6) AS p25,
+           |         round(quantile_cont(value, 0.75), 6) AS p75
+           |  FROM events WHERE event_id < $EventStreamFirstNew GROUP BY event_type),
+           |ff AS (
+           |  SELECT ft,
+           |         round(p25 - (p75 - p25) * 1.5, 6) AS lo_fence,
+           |         round(p75 + (p75 - p25) * 1.5, 6) AS hi_fence
+           |  FROM f)
+           |SELECT e.event_type, ff.lo_fence, ff.hi_fence,
+           |       CAST(count(*) AS BIGINT) AS n_new,
+           |       CAST(sum(CASE WHEN e.value < ff.lo_fence OR e.value > ff.hi_fence
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+           |FROM events e JOIN ff ON e.event_type = ff.ft
+           |WHERE e.event_id >= $EventStreamFirstNew
+           |GROUP BY e.event_type, ff.lo_fence, ff.hi_fence
+           |ORDER BY e.event_type""".stripMargin,
+      "events_stream_user_totals" ->
+        """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
       "emb_covariance" -> operators.LinAlg.covarianceSql(),
       "emb_pca_power" -> operators.LinAlg.pcaPowerSql(),
       "train_linreg" -> operators.Training.linregNormalSql,

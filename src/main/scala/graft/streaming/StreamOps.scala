@@ -482,6 +482,104 @@ object StreamOps {
       "complete")
   }
 
+  /** STREAMING ANOMALY GATE against STATIC fences — the online half of
+    * [[graft.operators.EventOps.anomalies]], the same split pattern as
+    * [[docDedupOverParquet]]/[[embIvfIngestOverParquet]]: Tukey fences
+    * are computed ONCE (batch, exact percentiles) over the historical
+    * events (event_id < `firstNewId`), then arriving events stream
+    * through a broadcast fence probe and a per-type counting aggregate.
+    *
+    * Per-batch work per arriving event: one broadcast hash probe + a
+    * map-side-partial count — no percentile state, no sort, state
+    * bounded by the number of event types. This is the deployable shape
+    * of outlier monitoring at firehose rate: the expensive robust
+    * statistic lives in the (nightly) batch pass, the stream pays O(1)
+    * per event.
+    *
+    * Output per type: `(event_type, lo_fence, hi_fence, n_new,
+    * n_outliers)`; batch oracle computes the identical fences on the
+    * historical slice and counts over the arriving slice.
+    */
+  def anomalyIngestOverParquet(
+      spark: SparkSession,
+      sfDir: String,
+      firstNewId: Long): DataFrame = {
+    val hist = graft.model
+      .eventsTable(spark, sfDir)
+      .filter(col("event_id") < firstNewId)
+    val fences = broadcast(
+      hist
+        .groupBy(col("event_type").as("ft"))
+        .agg(
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.75)"), 6).as("p75"))
+        .select(
+          col("ft"),
+          round(col("p25") - (col("p75") - col("p25")) * 1.5, 6).as("lo_fence"),
+          round(col("p75") + (col("p75") - col("p25")) * 1.5, 6).as("hi_fence")))
+    overParquet(
+      spark,
+      sfDir,
+      "anomaly",
+      ev =>
+        ev.filter(col("event_id") >= firstNewId)
+          .join(fences, col("event_type") === col("ft"))
+          .groupBy(col("event_type"), col("lo_fence"), col("hi_fence"))
+          .agg(
+            count(lit(1)).as("n_new"),
+            sum(when(col("value") < col("lo_fence") || col("value") > col("hi_fence"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .select(
+            col("event_type"),
+            col("lo_fence"),
+            col("hi_fence"),
+            col("n_new"),
+            col("n_outliers")))
+  }
+
+  /** Per-user running totals through `transformWithState` — the
+    * arbitrary-state v2 API (Spark 4): typed [[org.apache.spark.sql.streaming.ValueState]]
+    * held in the RocksDB state store, explicit TTL policy, one state
+    * struct per user. The harness keeps the value in integer milli-units
+    * so the running sum is exact in any arrival order — the same
+    * determinism contract as every aggregate in the engine.
+    *
+    * Versus [[sessionizeStream]]'s flatMapGroupsWithState: this is the
+    * successor API — state is named and typed per variable (value/list/
+    * map), TTL is declarative, and the store is RocksDB-backed (the
+    * provider that scales state past executor memory at 100 TB; the
+    * conf is scoped to this query and restored after).
+    *
+    * Output per user: `(user_id, n_events, sum_milli)`; oracle is the
+    * plain batch GROUP BY.
+    */
+  def userTotalsOverParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf
+      .set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      overParquet(
+        spark,
+        sfDir,
+        "usertotals",
+        ev =>
+          ev.select(
+              col("user_id"),
+              expr("CAST(round(value * 1000) AS BIGINT)").as("m"))
+            .as[(Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(
+              new UserTotalsProcessor,
+              TimeMode.None(),
+              OutputMode.Update())
+            .toDF("user_id", "n_events", "sum_milli"),
+        mode = "update")
+    } finally spark.conf.set(key, prev)
+  }
+
   private def overParquet(
       spark: SparkSession,
       sfDir: String,
@@ -599,5 +697,35 @@ object StreamOps {
       finally stopQuietly(q)
     } finally deleteRecursively(ckpt)
     spark.table(name)
+  }
+}
+
+/** transformWithState processor for [[StreamOps.userTotalsOverParquet]]:
+  * one ValueState struct per user carrying (n_events, sum_milli),
+  * updated per input batch and emitted in Update mode. No TTL — the
+  * harness stream is bounded; on a firehose the same state gets
+  * `TTLConfig` with a retention duration and nothing else changes.
+  */
+class UserTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+
+  @transient private var totals: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)](
+      "totals",
+      org.apache.spark.sql.Encoders.product[(Long, Long)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Long)] = {
+    var (n, s) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { case (_, m) => n += 1L; s += m }
+    totals.update((n, s))
+    Iterator.single((key, n, s))
   }
 }

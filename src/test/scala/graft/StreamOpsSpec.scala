@@ -175,6 +175,40 @@ class StreamOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("streaming anomaly gate equals the batch fence-count at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val out = StreamOps.anomalyIngestOverParquet(spark, dir, firstNewId = 800L).collect()
+    assert(out.length === 5) // one row per event type
+    out.foreach { r =>
+      assert(r.getDouble(1) < r.getDouble(2), "lo_fence < hi_fence")
+      assert(r.getLong(4) <= r.getLong(3), "outliers ≤ arrivals")
+    }
+    // arriving slice is event_id ∈ [800, 1000) → 200 events in total
+    assert(out.map(_.getLong(3)).sum === 200L)
+    graft.sources.Staging.cleanup(spark)
+  }
+
+  test("transformWithState running totals equal the batch group-by") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = model
+      .eventsTable(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val streamed = StreamOps
+      .userTotalsOverParquet(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("streaming tumbling agg equals batch tumbling agg at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventOps
