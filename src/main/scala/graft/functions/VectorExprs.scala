@@ -76,6 +76,71 @@ object DotProduct {
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
+/** Micro-unit fixed-pointing of a double array:
+  * `transform(e, x -> CAST(round(x * scale) AS BIGINT))` as a native
+  * codegen'd expression. Semantics are EXACTLY the interpreted
+  * higher-order form it replaces — including Spark `round`'s
+  * decimal-string HALF_UP rounding (BigDecimal.valueOf, not
+  * Math.round, whose half-toward-positive differs on negative .5s) —
+  * so existing oracles stay bit-identical. Null elements yield null,
+  * as the lambda form did.
+  *
+  * This is the first map of every k-means / IVF / PQ query (it runs
+  * once per corpus vector); as an interpreted lambda it not only costs
+  * ~50× per element but pollutes the shared megamorphic
+  * `Expression.eval` JIT profile for every later query in the session
+  * (the ShingleKernel lesson) — measured as the ANN family inflating
+  * 5× in long-lived bench JVMs while staying ~4 s standalone.
+  */
+case class MicroInts(child: Expression, scale: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"micro_ints expects array<double>, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType)
+
+  override def prettyName: String = "micro_ints"
+
+  override def nullSafeEval(v: Any): Any = MicroInts.convert(v.asInstanceOf[ArrayData], scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MicroInts.convert($c, ${scale}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MicroInts {
+
+  /** Spark Round(double, 0) semantics: BigDecimal.valueOf (shortest
+    * decimal repr) + HALF_UP — NOT Math.round. Shared by interpreted
+    * and generated paths.
+    */
+  def round0(x: Double): Long =
+    java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  def convert(a: ArrayData, scale: Long): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) out(i) = round0(a.getDouble(i) * scale)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def apply(c: Column, scale: Long): Column =
+    ColumnBridge.column(MicroInts(ColumnBridge.expression(c), scale))
+}
+
 /** Polynomial rolling hash over a string's Unicode code points:
   * `fold(codepoints(s), 0, acc -> (acc * mult + cp) % p)` — the codegen'd
   * form of [[Parity.charFold]] / [[Parity.charFoldSql]]. Identical to the

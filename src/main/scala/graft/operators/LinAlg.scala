@@ -84,8 +84,7 @@ object LinAlg {
     import spark.implicits._
     val c = embs
       .select(
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-          .as("c"))
+        graft.functions.MicroInts(col("embedding").cast("array<double>"), 1000L).as("c"))
       .as[Seq[Long]]
     val (n, s, p) = c.select(new MomentsAggregator(d).toColumn).head()
     (n, s.toArray, p.toArray)

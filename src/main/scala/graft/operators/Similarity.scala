@@ -199,9 +199,7 @@ object Similarity {
     embs.select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("e"),
-      transform(
-        col("embedding").cast("array<double>"),
-        x => round(x * KmeansScale).cast("long")).as("ei"))
+      graft.functions.MicroInts(col("embedding").cast("array<double>"), KmeansScale).as("ei"))
 
   /** Cell-assignment score: dot(ei, c) / |c| over the INTEGER vectors.
     * The dot is exact (see [[KmeansScale]]), `/` and `sqrt` are
@@ -323,7 +321,7 @@ object Similarity {
       emb: org.apache.spark.sql.Column,
       cents: Seq[(Long, Seq[Long])],
       nProbe: Int): org.apache.spark.sql.Column = {
-    val ei = transform(emb.cast("array<double>"), x => round(x * KmeansScale).cast("long"))
+    val ei = graft.functions.MicroInts(emb.cast("array<double>"), KmeansScale)
     val scored = cents.map { case (cid, c) =>
       struct((-cellScore(ei, typedLit(c))).as("ns"), lit(cid).as("cid"))
     }
