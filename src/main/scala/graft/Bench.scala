@@ -70,11 +70,21 @@ object Bench {
       (name, dt, ok)
     }
     val results = SparkEntry.queries.keys.toSeq.sorted.map(timed)
-    // standalone arbiter pass: the sweep's slowest queries re-measured
-    // one at a time in the now-fully-warm, freshly-freed session — the
-    // number to trust when sweep time and arbiter time disagree (state
-    // accumulation / GC pressure inside the sweep, ambient spikes)
-    val arbiter = results.filter(_._3).sortBy(-_._2).take(ArbiterN).map(r => timed(r._1))
+    // FRESH-PROCESS arbiter pass: the sweep's slowest queries re-measured
+    // in a child JVM — the number to trust when sweep and arbiter
+    // disagree. In-process re-measurement (r7's first protocol) was not
+    // enough: a ~130-query session accumulates megamorphic JIT profile
+    // decay that the same JVM cannot shed (measured: ann_pq_topk 25 s
+    // in-sweep AND 25 s in-process-arbiter vs 4–5 s in a fresh JVM), so
+    // the arbiter now execs a child with the parent's classpath and
+    // --add-opens flags, warms it up, and times each query twice,
+    // reporting the warm rep. Falls back to in-process times if the
+    // child fails (its names are then absent from "arbiter").
+    val slowest = results.filter(_._3).sortBy(-_._2).take(ArbiterN).map(_._1)
+    val arbiter = ArbiterChild.runInChild(sfDir, cpus, slowest) match {
+      case Some(times) => slowest.flatMap(n => times.get(n).map(t => (n, t, true)))
+      case None => slowest.map(timed)
+    }
     // times rounded to ms: the driver tail-captures ~2 KB of output, and
     // full-precision doubles pushed the JSON head past the window
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
