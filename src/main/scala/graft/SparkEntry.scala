@@ -745,6 +745,13 @@ object SparkEntry {
     // micro-unit weights and gradients (no libm anywhere)
     "train_logreg" -> ((s, d) =>
       operators.Training.logregGd(docs(s, d), iters = 3)),
+    // train-once/apply-many for the quality model: score every doc with
+    // the STORED weights+means artifact — pure integer serving, no
+    // training stage in the plan
+    "train_logreg_stored" -> ((s, d) => {
+      val model = operators.Training.writeLogregModel(s, docs(s, d), iters = 3)
+      operators.Training.logregApplyStored(s, docs(s, d), model).orderBy(col("doc_id"))
+    }),
     // deterministic KMV cardinality sketch next to its exact answer
     "sketch_kmv_shingles" -> ((s, d) =>
       operators.Sketches.kmvDistinctShingles(docs(s, d))),
@@ -2025,6 +2032,7 @@ object SparkEntry {
       "emb_pca_power" -> operators.LinAlg.pcaPowerSql(),
       "train_linreg" -> operators.Training.linregNormalSql,
       "train_logreg" -> operators.Training.logregGdSql(toks),
+      "train_logreg_stored" -> operators.Training.logregApplyStoredSql(toks),
       "sketch_kmv_shingles" -> {
         val k = operators.Sketches.KmvK
         s"""WITH g AS (SELECT DISTINCT unnest($shingleSql) AS g FROM $fromToks),

@@ -143,30 +143,68 @@ object Training {
     * (measured 51% vs 98% centered). Integer features in, integers
     * out — the determinism anchor.
     */
-  private def logregFeatures(docs: DataFrame): DataFrame = {
-    val raw = docs.select(
+  private def logregRaw(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
       expr(s"CASE WHEN n_chars > $LogregLenThreshold THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END")
         .as("y"),
       expr("CAST(size(filter(split(text, '\\\\s+'), t -> length(t) > 0)) AS BIGINT)").as("x1r"),
       expr("CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT)").as("x2r"))
-    val means = raw.agg(
-      expr("sum(x1r) div count(*)").as("m1"),
-      expr("sum(x2r) div count(*)").as("m2"))
-    raw
-      .crossJoin(means)
-      .select(col("y"), (col("x1r") - col("m1")).as("x1"), (col("x2r") - col("m2")).as("x2"))
+
+  /** Integer feature means (one 1-row aggregate, collected — the same
+    * scalar-control category as a convergence counter).
+    */
+  private def logregMeans(raw: DataFrame): (Long, Long) = {
+    val r = raw
+      .agg(
+        expr("sum(x1r) div count(*)").as("m1"),
+        expr("sum(x2r) div count(*)").as("m2"))
+      .head()
+    (r.getLong(0), r.getLong(1))
   }
 
-  private def logregFeaturesSql(toksSql: String): String =
-    s"""SELECT y, x1r - m1 AS x1, x2r - m2 AS x2 FROM (
-       |  SELECT CASE WHEN n_chars > $LogregLenThreshold THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
+  private def logregFeatures(docs: DataFrame): DataFrame = {
+    val raw = logregRaw(docs)
+    val (m1, m2) = logregMeans(raw)
+    raw.select(col("y"), (col("x1r") - lit(m1)).as("x1"), (col("x2r") - lit(m2)).as("x2"))
+  }
+
+  /** Shared oracle CTE chain: raw integer features (with doc_id), the
+    * integer means, the centered frame, and the unrolled GD rounds —
+    * both the trainer's and the stored-apply's oracle build on it.
+    */
+  private def logregCtes(toksSql: String, iters: Int): String = {
+    def grad(prev: String, k: Int): String = {
+      val r = residual(s"w.w0", s"w.w1", s"w.w2")
+      s"""g$k AS (
+         |  SELECT w.w0 AS pw0, w.w1 AS pw1, w.w2 AS pw2, nn.n AS n,
+         |         CAST(sum(CAST(round($r * 1000000) AS BIGINT)) AS BIGINT) AS g0,
+         |         CAST(sum(CAST(round($r * x1 * 1000000) AS BIGINT)) AS BIGINT) AS g1,
+         |         CAST(sum(CAST(round($r * x2 * 1000000) AS BIGINT)) AS BIGINT) AS g2
+         |  FROM f CROSS JOIN $prev w CROSS JOIN nn
+         |  GROUP BY w.w0, w.w1, w.w2, nn.n),
+         |w$k AS (
+         |  SELECT pw0 - CAST(round(CAST(g0 AS DOUBLE) / ($LogregLrDen * n)) AS BIGINT) AS w0,
+         |         pw1 - CAST(round(CAST(g1 AS DOUBLE) / ($LogregLrDen * n)) AS BIGINT) AS w1,
+         |         pw2 - CAST(round(CAST(g2 AS DOUBLE) / ($LogregLrDen * n)) AS BIGINT) AS w2
+         |  FROM g$k)""".stripMargin
+    }
+    val rounds = (1 to iters).map(k => grad(s"w${k - 1}", k)).mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |         CASE WHEN n_chars > $LogregLenThreshold THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
        |         CAST(len($toksSql) AS BIGINT) AS x1r,
        |         CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS x2r
-       |  FROM documents)
-       |CROSS JOIN (
-       |  SELECT CAST(sum(CAST(len($toksSql) AS BIGINT)) // count(*) AS BIGINT) AS m1,
-       |         CAST(sum(CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT)) // count(*) AS BIGINT) AS m2
-       |  FROM documents)""".stripMargin
+       |  FROM documents),
+       |mm AS (
+       |  SELECT CAST(sum(x1r) // count(*) AS BIGINT) AS m1,
+       |         CAST(sum(x2r) // count(*) AS BIGINT) AS m2
+       |  FROM raw),
+       |f AS (SELECT y, x1r - mm.m1 AS x1, x2r - mm.m2 AS x2 FROM raw CROSS JOIN mm),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2),
+       |$rounds""".stripMargin
+  }
 
   /** `p − y` under the fast sigmoid at weights (micro-units) w0,w1,w2 —
     * dialect-neutral fragment over columns y, x1, x2 and a double `z`.
@@ -194,9 +232,11 @@ object Training {
     * n_correct)` — weights after `iters` rounds plus the training-set
     * accuracy count under the final weights (`p > 0.5 ⇔ z > 0`).
     */
-  def logregGd(docs: DataFrame, iters: Int = 3): DataFrame = {
-    val f = logregFeatures(docs).persist()
-    val n = f.count()
+  /** The GD loop over a (y, x1, x2) feature frame: one gradient
+    * aggregate per round, scalar driver update. Shared by the in-query
+    * trainer and the stored-model writer.
+    */
+  private def trainWeights(f: DataFrame, n: Long, iters: Int): Array[Long] = {
     var w = Array(0L, 0L, 0L)
     (1 to iters).foreach { _ =>
       val r = residual(s"${w(0)}", s"${w(1)}", s"${w(2)}")
@@ -210,6 +250,13 @@ object Training {
         wj - math.round(g.getLong(j).toDouble / (LogregLrDen * n))
       }
     }
+    w
+  }
+
+  def logregGd(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val f = logregFeatures(docs).persist()
+    val n = f.count()
+    val w = trainWeights(f, n, iters)
     val z = s"(CAST(${w(0)} + ${w(1)} * x1 + ${w(2)} * x2 AS DOUBLE) / 1000000.0)"
     val out = f.agg(
       count(lit(1)).as("n_rows"),
@@ -221,33 +268,80 @@ object Training {
     out
   }
 
+  /** Train on `docs` and persist the model artifact — weights AND the
+    * feature means they were trained against (a centered model scores
+    * garbage without its centering constants; they are part of the
+    * model, the classic serving-skew bug). One tiny parquet row.
+    */
+  def writeLogregModel(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      iters: Int = 3): String = {
+    import spark.implicits._
+    val raw = logregRaw(docs).persist()
+    val (m1, m2) = logregMeans(raw)
+    val f = raw.select(col("y"), (col("x1r") - lit(m1)).as("x1"), (col("x2r") - lit(m2)).as("x2"))
+    val n = raw.count()
+    val w = trainWeights(f, n, iters)
+    raw.unpersist()
+    val dir = graft.sources.Staging.freshDir("logreg-model")
+    Seq((w(0), w(1), w(2), m1, m2))
+      .toDF("w0", "w1", "w2", "m1", "m2")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(dir)
+    dir
+  }
+
+  /** The production apply path: READ the stored weights (never the
+    * training pass) and score every document. The score
+    * `z = w0 + w1·(x1−m1) + w2·(x2−m2)` is an exact 64-bit integer in
+    * micro-units — no doubles anywhere in serving — and the plan is one
+    * corpus scan + projection: no gradient aggregate, no mean
+    * aggregate, no training stage of any kind (pinned in
+    * PlanAuditSpec). Output per doc: `(doc_id, label, score_micro,
+    * pred)`.
+    */
+  def logregApplyStored(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      modelDir: String): DataFrame = {
+    val m = spark.read.parquet(modelDir).head()
+    val (w0, w1, w2, m1, m2) =
+      (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3), m.getLong(4))
+    logregRaw(docs).select(
+      col("doc_id"),
+      col("y").as("label"),
+      (lit(w0) + lit(w1) * (col("x1r") - lit(m1)) + lit(w2) * (col("x2r") - lit(m2)))
+        .as("score_micro"),
+      expr(s"CASE WHEN $w0 + $w1 * (x1r - $m1) + $w2 * (x2r - $m2) > 0 " +
+        "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("pred"))
+  }
+
+  /** [[logregApplyStored]]'s oracle: the training CTEs reproduce the
+    * stored weights (bit-identical — proven by train_logreg), then the
+    * integer score is applied per document.
+    */
+  def logregApplyStoredSql(toksSql: String, iters: Int = 3): String = {
+    val ctes = logregCtes(toksSql, iters)
+    s"""$ctes
+       |SELECT r.doc_id, r.y AS label,
+       |       w.w0 + w.w1 * (r.x1r - mm.m1) + w.w2 * (r.x2r - mm.m2) AS score_micro,
+       |       CASE WHEN w.w0 + w.w1 * (r.x1r - mm.m1) + w.w2 * (r.x2r - mm.m2) > 0
+       |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pred
+       |FROM raw r CROSS JOIN w$iters w CROSS JOIN mm
+       |ORDER BY r.doc_id""".stripMargin
+  }
+
   /** [[logregGd]] with the driver loop unrolled: iteration k's weights
     * are a 1-row CTE cross-joined into iteration k+1's gradient
     * aggregate — textually the same residual, rounding, and update
     * arithmetic.
     */
   def logregGdSql(toksSql: String, iters: Int = 3): String = {
-    def grad(prev: String, k: Int): String = {
-      val r = residual(s"w.w0", s"w.w1", s"w.w2")
-      s"""g$k AS (
-         |  SELECT w.w0 AS pw0, w.w1 AS pw1, w.w2 AS pw2, nn.n AS n,
-         |         CAST(sum(CAST(round($r * 1000000) AS BIGINT)) AS BIGINT) AS g0,
-         |         CAST(sum(CAST(round($r * x1 * 1000000) AS BIGINT)) AS BIGINT) AS g1,
-         |         CAST(sum(CAST(round($r * x2 * 1000000) AS BIGINT)) AS BIGINT) AS g2
-         |  FROM f CROSS JOIN $prev w CROSS JOIN nn
-         |  GROUP BY w.w0, w.w1, w.w2, nn.n),
-         |w$k AS (
-         |  SELECT pw0 - CAST(round(CAST(g0 AS DOUBLE) / ($LogregLrDen * n)) AS BIGINT) AS w0,
-         |         pw1 - CAST(round(CAST(g1 AS DOUBLE) / ($LogregLrDen * n)) AS BIGINT) AS w1,
-         |         pw2 - CAST(round(CAST(g2 AS DOUBLE) / ($LogregLrDen * n)) AS BIGINT) AS w2
-         |  FROM g$k)""".stripMargin
-    }
-    val rounds = (1 to iters).map(k => grad(s"w${k - 1}", k)).mkString(",\n")
     val zf = s"(CAST(w.w0 + w.w1 * x1 + w.w2 * x2 AS DOUBLE) / 1000000.0)"
-    s"""WITH f AS (${logregFeaturesSql(toksSql)}),
-       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
-       |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2),
-       |$rounds
+    s"""${logregCtes(toksSql, iters)}
        |SELECT nn.n AS n_rows, w.w0 AS w0_micro, w.w1 AS w1_micro, w.w2 AS w2_micro,
        |       CAST(sum(CASE WHEN ($zf > 0.0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
        |FROM f CROSS JOIN w$iters w CROSS JOIN nn

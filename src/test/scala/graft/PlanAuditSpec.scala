@@ -329,6 +329,11 @@ class PlanAuditSpec extends SparkSpec {
     val bpePlan = planOf(SparkEntry.queries("bpe_apply_stored")(spark, dir))
     assert(!bpePlan.contains("HashAggregate"),
       s"training aggregate in bpe apply plan:\n$bpePlan")
+    // train_logreg_stored: weights + centering means fold into an
+    // integer projection — no gradient or mean aggregate in serving
+    val lrPlan = planOf(SparkEntry.queries("train_logreg_stored")(spark, dir))
+    assert(!lrPlan.contains("HashAggregate"),
+      s"training aggregate in logreg apply plan:\n$lrPlan")
     // ann_ivf_stored: the probe's scoring stage is checkpointed (the
     // ranked-cell table feeds both the inverted lists and the probes), so
     // the artifact scan sits behind an ExistingRDD in the final plan —

@@ -42,6 +42,20 @@ class TrainingSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("stored logreg model scores identically to the in-query trainer") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val trained = Training.logregGd(docs, iters = 3).collect()(0)
+    val model = Training.writeLogregModel(spark, docs, iters = 3)
+    val applied = Training.logregApplyStored(spark, docs, model).collect()
+    assert(applied.length === trained.getLong(0)) // one score per doc
+    // the stored weights reproduce the trainer's accuracy exactly
+    val nCorrect = applied.count(r => (r.getLong(2) > 0L) == (r.getLong(1) == 1L))
+    assert(nCorrect.toLong === trained.getLong(4))
+    // serving is pure integers: pred is the sign of score_micro
+    applied.foreach(r => assert((r.getLong(3) == 1L) === (r.getLong(2) > 0L)))
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("covariance matches hand-computed moments on axis-aligned vectors") {
     // mean-zero: cov11 = Σx²/n = 0.5, cov22 = 2.0, cov12 = 0
     val embs = Seq(
