@@ -761,6 +761,10 @@ object SparkEntry {
     // HLL registers: m-cell max-merge distinct estimate, no pre-distinct
     "sketch_hll_per_source" -> ((s, d) =>
       operators.Sketches.hllPerSource(docs(s, d)).orderBy(col("source"))),
+    // one-pass per-column profile: unpivot + nulls/exact-distinct/HLL
+    "profile_table" -> ((s, d) =>
+      operators.Sketches.profileLineitem(model.table(s, d, "lineitem"))
+        .orderBy(col("column"))),
     // count-min sketch point estimates next to the exact heavy hitters
     "sketch_cms_tokens" -> ((s, d) =>
       operators.Sketches.cmsHeavyHitters(docs(s, d)).orderBy(col("token"))),
@@ -2051,6 +2055,7 @@ object SparkEntry {
         (operators.Sketches.hllPerSourceSql(
           shingleSql,
           s"(SELECT source, $toks AS t FROM documents)") + "\nORDER BY source"),
+      "profile_table" -> operators.Sketches.profileLineitemSql(),
       "sketch_cms_tokens" -> operators.Sketches.cmsHeavyHittersSql(),
       "dedup_substring_spans" ->
         s"SELECT * FROM (${Dedup.dupSpansSql()}) ORDER BY doc_id, span_start",

@@ -312,6 +312,129 @@ object Sketches {
        |FROM ex JOIN sk USING (source)""".stripMargin
   }
 
+  // ---- table profiling -----------------------------------------------------
+
+  /** Register-value hashing for INTEGER keys needs real avalanche: an
+    * affine LCG alone keeps an arithmetic progression's structured
+    * trailing bits (measured +60–100% HLL error on consecutive keys),
+    * and the polynomial string fold is linear in the last digit (same
+    * failure, opposite sign). The profile therefore mixes with two
+    * LCG-mod-BigP rounds interleaved with xor-shift folds — every step
+    * is integer *, %, xor, >> that both engines evaluate identically
+    * (DuckDB spells xor `xor(a,b)`). Output lives in [0, 2^31);
+    * register space 2^31/64 < 2^25 ⇒ rho = 26 − len(bin(w)), cap 26.
+    * Measured on consecutive/strided keys: errors inside the 13%
+    * standard-error band for m = 64.
+    */
+  private val ProfRMax = 26
+
+  private def mixCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val x1 = (lit(1103515245L) * (v % lit(Parity.BigP)) + lit(12345L)) % lit(Parity.BigP)
+    val x2 = x1.bitwiseXOR(shiftright(x1, 13))
+    val x3 = (lit(69069L) * x2 + lit(1L)) % lit(Parity.BigP)
+    x3.bitwiseXOR(shiftright(x3, 7))
+  }
+
+  /** PER-COLUMN PROFILE of the fact table in ONE pass: the table is
+    * unpivoted (`stack`) to (column, value) rows and a single grouped
+    * aggregate emits row count, null count, exact distinct count, and
+    * an HLL register estimate per column — the new-source data-profiling
+    * report a pipeline runs before trusting a feed.
+    *
+    * Scale shape: the unpivot is a narrow map (k rows out per input
+    * row, no shuffle); the profile is one hash aggregate per (column,
+    * register) — at most 64 register rows per column cross the final
+    * exchange next to the exact-distinct verification column (which is
+    * itself the thing the sketch replaces at 100 TB; drop it there and
+    * the profile never shuffles more than k·64 rows). Same estimator
+    * discipline as [[hllPerSource]]: integer registers over the shared
+    * LCG hash, fixed-point harmonic mean, no libm.
+    */
+  def profileLineitem(lineitem: DataFrame): DataFrame = {
+    val m = HllM
+    val num = HllAlpha1e4 * m * m * (1L << ProfRMax)
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+    val stackArgs = cols.map(c => s"'$c', CAST($c AS BIGINT)").mkString(", ")
+    val kv = lineitem.selectExpr(s"stack(${cols.length}, $stackArgs) AS (col, v)")
+    val hashed = kv.select(col("col"), col("v"), mixCol(col("v")).as("h"))
+    val regs = hashed
+      .filter(col("v").isNotNull)
+      .select(
+        col("col"),
+        (col("h") % m).as("j"),
+        expr(s"h div $m").as("w"))
+      .select(
+        col("col"),
+        col("j"),
+        when(col("w") === 0L, lit(ProfRMax.toLong))
+          .otherwise(lit(ProfRMax.toLong) - length(expr("bin(w)")))
+          .as("rho"))
+      .groupBy(col("col"), col("j"))
+      .agg(max(col("rho")).as("m_j"))
+    val sk = regs
+      .groupBy(col("col"))
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($ProfRMax - m_j AS INT))")).as("s_hit"),
+        count(lit(1)).as("n_hit"))
+      .select(
+        col("col"),
+        (col("s_hit") + (lit(m.toLong) - col("n_hit")) * lit(1L << ProfRMax)).as("s_total"))
+    val stats = hashed
+      .groupBy(col("col"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        count_distinct(col("v")).as("n_distinct"))
+    stats
+      .join(sk, Seq("col"))
+      .select(
+        col("col").as("column"),
+        col("n_rows"),
+        col("n_nulls"),
+        col("n_distinct"),
+        expr(s"${num}L div (10000 * s_total)").as("hll_estimate"),
+        expr(s"abs(${num}L div (10000 * s_total) - n_distinct) * 1000 div n_distinct")
+          .as("err_permille"))
+  }
+
+  /** [[profileLineitem]] mirrored: UNION-ALL unpivot, same hash, same
+    * registers, same fixed-point estimator. */
+  def profileLineitemSql(): String = {
+    val m = HllM
+    val num = HllAlpha1e4 * m * m * (1L << ProfRMax)
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+    val unpivot = cols
+      .map(c => s"SELECT '$c' AS col, CAST($c AS BIGINT) AS v FROM lineitem")
+      .mkString("\nUNION ALL\n")
+    s"""WITH kv AS (
+       |$unpivot),
+       |h1 AS (SELECT col, v, (1103515245 * (v % ${Parity.BigP}) + 12345) % ${Parity.BigP} AS x FROM kv),
+       |h2 AS (SELECT col, v, xor(x, x >> 13) AS x FROM h1),
+       |h3 AS (SELECT col, v, (69069 * x + 1) % ${Parity.BigP} AS x FROM h2),
+       |hs AS (SELECT col, v, xor(x, x >> 7) AS h FROM h3),
+       |rho AS (
+       |  SELECT col, h % $m AS j,
+       |         CASE WHEN h // $m = 0 THEN $ProfRMax
+       |              ELSE $ProfRMax - length(bin(h // $m)) END AS rho
+       |  FROM hs WHERE v IS NOT NULL),
+       |regs AS (SELECT col, j, max(rho) AS m_j FROM rho GROUP BY col, j),
+       |sk AS (
+       |  SELECT col,
+       |         CAST(sum(CAST(1 AS BIGINT) << ($ProfRMax - m_j)) +
+       |              ($m - count(*)) * (CAST(1 AS BIGINT) << $ProfRMax) AS BIGINT) AS s_total
+       |  FROM regs GROUP BY col),
+       |st AS (
+       |  SELECT col, CAST(count(*) AS BIGINT) AS n_rows,
+       |         CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |         CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+       |  FROM hs GROUP BY col)
+       |SELECT col AS "column", n_rows, n_nulls, n_distinct,
+       |       $num // (10000 * s_total) AS hll_estimate,
+       |       abs($num // (10000 * s_total) - n_distinct) * 1000 // n_distinct AS err_permille
+       |FROM st JOIN sk USING (col)
+       |ORDER BY "column"""".stripMargin
+  }
+
   /** [[kmvPerSource]], mirrored on the same hash and estimator. */
   def kmvPerSourceSql(k: Int = 64): String = {
     val space = Parity.TokP * Parity.TokP2

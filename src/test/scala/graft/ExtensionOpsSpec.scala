@@ -683,6 +683,21 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(meanErr < 250.0)
   }
 
+  test("profile_table: exact stats right, HLL sane on key columns") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val out = Sketches.profileLineitem(li).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.keySet === Set("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"))
+    val n = li.count()
+    out.values.foreach { case (rows, nulls, _, _) => assert(rows === n && nulls === 0L) }
+    // key columns (cardinality ≫ 2.5·m) must estimate within ~3σ;
+    // tiny-cardinality columns are the documented small-range regime
+    val (_, _, exact, est) = out("l_orderkey")
+    assert(exact > 160L) // sanity: the column really is high-cardinality
+    assert(math.abs(est - exact).toDouble / exact < 0.45, s"exact=$exact est=$est")
+  }
+
   test("lsh recall report covers every query and stays within [0,1]") {
     val dir = "/root/testdata/sf0.001"
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")
