@@ -716,6 +716,11 @@ object SparkEntry {
     // v2: typed ValueState in the RocksDB store, declarative TTL)
     "events_stream_user_totals" -> ((s, d) =>
       streaming.StreamOps.userTotalsOverParquet(s, d).orderBy(col("user_id"))),
+    // per-user strict funnel via transformWithState ListState: the event
+    // log IS the state (incremental min-tuples are wrong under
+    // out-of-order arrival), recomputed per batch
+    "events_stream_funnel" -> ((s, d) =>
+      streaming.StreamOps.funnelOverParquet(s, d).orderBy(col("user_id"))),
     // dedup-on-arrival: incoming doc stream anti-joined to the static
     // fingerprint store (stream-static LEFT ANTI through the real engine)
     "docs_stream_dedup_static" -> ((s, d) =>
@@ -2032,6 +2037,23 @@ object SparkEntry {
         """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
           |       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "events_stream_funnel" ->
+        """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+          |            WHERE event_type = 'view' GROUP BY user_id),
+          |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          |       JOIN s1 ON s1.user_id = e.user_id
+          |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+          |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          |       JOIN s2 ON s2.user_id = e.user_id
+          |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+          |SELECT s1.user_id,
+          |       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+          |                 WHEN s2.user_id IS NOT NULL THEN 2
+          |                 ELSE 1 END AS BIGINT) AS furthest_step
+          |FROM s1
+          |LEFT JOIN s2 ON s2.user_id = s1.user_id
+          |LEFT JOIN s3 ON s3.user_id = s1.user_id
+          |ORDER BY s1.user_id""".stripMargin,
       "emb_covariance" -> operators.LinAlg.covarianceSql(),
       "emb_pca_power" -> operators.LinAlg.pcaPowerSql(),
       "train_linreg" -> operators.Training.linregNormalSql,

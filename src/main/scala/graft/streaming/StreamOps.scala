@@ -580,6 +580,51 @@ object StreamOps {
     } finally spark.conf.set(key, prev)
   }
 
+  /** STREAMING per-user funnel via `transformWithState` + ListState:
+    * each user's event log is held as typed ListState and the strict
+    * ordered progression (first view → first later click → first later
+    * purchase) is recomputed per batch. The LOG is the state on
+    * purpose: an incremental (t1, t2, t3) min-tuple is NOT correct
+    * under out-of-order arrival — a late-arriving early view can
+    * retroactively unlock clicks that were already seen — so the
+    * operator keeps what correctness needs (bounded by per-user
+    * activity; on a firehose the list gets a TTL and the funnel a
+    * lateness horizon). Versus [[userTotalsOverParquet]]'s ValueState,
+    * this exercises the v2 API's list-variable form.
+    *
+    * Output: one row per user that reached step ≥ 1
+    * `(user_id, furthest_step)`, Update mode; oracle is the per-user
+    * strict progression in plain SQL.
+    */
+  def funnelOverParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf
+      .set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      overParquet(
+        spark,
+        sfDir,
+        "funnel",
+        ev =>
+          ev.select(
+              col("user_id"),
+              expr("CAST(unix_micros(ts) AS BIGINT)").as("tus"),
+              col("event_type"))
+            .as[(Long, Long, String)]
+            .groupByKey(_._1)
+            .transformWithState(
+              new FunnelProcessor,
+              TimeMode.None(),
+              OutputMode.Update())
+            .toDF("user_id", "furthest_step")
+            .filter(col("furthest_step") >= 1L),
+        mode = "update")
+    } finally spark.conf.set(key, prev)
+  }
+
   private def overParquet(
       spark: SparkSession,
       sfDir: String,
@@ -697,6 +742,43 @@ object StreamOps {
       finally stopQuietly(q)
     } finally deleteRecursively(ckpt)
     spark.table(name)
+  }
+}
+
+/** transformWithState processor for [[StreamOps.funnelOverParquet]]: the
+  * per-user event log in ListState, strict funnel recomputed per batch.
+  * The mins are taken directly (no sort needed): t1 = min view ts,
+  * t2 = min click ts strictly after t1, t3 = min purchase ts strictly
+  * after t2 — the same rule as the batch funnel oracle.
+  */
+class FunnelProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long, String), (Long, Long)] {
+
+  @transient private var log: org.apache.spark.sql.streaming.ListState[(Long, String)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    log = getHandle.getListState[(Long, String)](
+      "events",
+      org.apache.spark.sql.Encoders.product[(Long, String)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long, String)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+    rows.foreach { case (_, tus, tpe) => log.appendValue((tus, tpe)) }
+    val evs = log.get().toArray
+    def minAfter(tpe: String, after: Long): Option[Long] = {
+      val ts = evs.collect { case (t, e) if e == tpe && t > after => t }
+      if (ts.isEmpty) None else Some(ts.min)
+    }
+    val t1 = minAfter("view", Long.MinValue)
+    val t2 = t1.flatMap(minAfter("click", _))
+    val t3 = t2.flatMap(minAfter("purchase", _))
+    val step = if (t3.isDefined) 3L else if (t2.isDefined) 2L else if (t1.isDefined) 1L else 0L
+    Iterator.single((key, step))
   }
 }
 

@@ -209,6 +209,48 @@ class StreamOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("streaming funnel: a late early view retroactively unlocks later steps") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf
+      .set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("funnel-ckpt")
+      val q = input
+        .toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.FunnelProcessor,
+          TimeMode.None(),
+          OutputMode.Update())
+        .toDF("user_id", "furthest_step")
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .option("checkpointLocation", ckpt.toString)
+        .queryName("funnel_out")
+        .start()
+      try {
+        // batch 1: click then purchase but NO view yet → step 0 — the
+        // exact case an incremental min-tuple gets permanently wrong
+        input.addData((7L, 100L, "click"), (7L, 200L, "purchase"))
+        q.processAllAvailable()
+        // batch 2: the view arrives LATE with an EARLIER timestamp —
+        // the retained log re-derives view@50 → click@100 → purchase@200
+        input.addData((7L, 50L, "view"))
+        q.processAllAvailable()
+        val rows = spark.table("funnel_out").collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(rows.contains((7L, 0L)), "batch 1 must see no funnel entry")
+        assert(rows.last === ((7L, 3L)), "the late view must unlock all three steps")
+      } finally q.stop()
+    } finally spark.conf.set(key, prev)
+  }
+
   test("streaming tumbling agg equals batch tumbling agg at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventOps
