@@ -675,6 +675,10 @@ object SparkEntry {
     // keys on the shared hash grid); TakeOrdered, never a full sort
     "doc_weighted_sample" -> ((s, d) =>
       TextOps.weightedSample(docs(s, d), k = 100).orderBy(col("doc_id"))),
+    // stratified form: an independent bounded-heap k-sample per source
+    "doc_weighted_sample_grouped" -> ((s, d) =>
+      TextOps.weightedSampleGrouped(docs(s, d), kPerGroup = 10)
+        .orderBy(col("source"), col("rank"))),
     "ann_recall" -> ((s, d) =>
       Similarity.lshRecall(embs(s, d), nQueries = 50, k = 3).orderBy(col("q_id"))),
     // measured recall@k of the TRAINED IVF at two probe widths — the
@@ -1794,6 +1798,8 @@ object SparkEntry {
       "source_kl_drift" -> (TextOps.sourceKlDriftSql() + "\nORDER BY source"),
       "doc_weighted_sample" ->
         s"SELECT * FROM (${TextOps.weightedSampleSql(k = 100)}) ORDER BY doc_id",
+      "doc_weighted_sample_grouped" ->
+        (TextOps.weightedSampleGroupedSql(kPerGroup = 10) + "\nORDER BY source, rank"),
       "ann_brute_topk" ->
         s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
            |scored AS (

@@ -439,6 +439,59 @@ object TextOps {
        |SELECT doc_id, weight FROM s ORDER BY skey, doc_id LIMIT $k""".stripMargin
   }
 
+  /** GROUPED A-Res weighted sampling: an independent k-document weighted
+    * sample per source — the stratified form of [[weightedSample]], the
+    * shape a mixture-building pipeline actually draws (per-domain
+    * budgets, not one global pot). Same deterministic exponential-keys
+    * grid; the per-group k minima come from the bounded
+    * [[graft.functions.TopKAggregator]] (map-side partial, at most k
+    * rows per source cross the exchange — never a per-group sort of the
+    * corpus; the window-rank form the oracle uses is exactly what this
+    * avoids at scale). Output: `(source, doc_id, rank)`.
+    */
+  def weightedSampleGrouped(docs: DataFrame, kPerGroup: Int, seed: Long = 7L): DataFrame = {
+    require(seed >= 0 && seed < 1000000000L, s"seed must be in [0, 1e9), got $seed")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = greatest(size(toks(col("text"))).cast("long"), lit(1L))
+    val u = (pmod(
+      (pmod(col("doc_id"), lit(2147483648L)) + lit(seed)) * lit(2654435761L),
+      lit(1000000007L)) + 1L).cast("double") / lit(1000000008.0d)
+    val keyed = docs
+      .select(
+        col("source"),
+        col("doc_id"),
+        round(-log(u) / w.cast("double"), 9).as("skey"))
+      .as[(String, Long, Double)]
+    val agg = new graft.functions.TopKAggregator(kPerGroup)
+    keyed
+      .groupByKey(_._1)
+      // smallest key wins A-Res; the aggregator keeps HIGHEST score, so
+      // feed the negated key (ties by doc_id either way)
+      .mapValues { case (_, id, skey) => (id, -skey) }
+      .agg(agg.toColumn)
+      .flatMap { case (src, picks) =>
+        picks.zipWithIndex.map { case ((id, _), i) => (src, id, i + 1L) }
+      }
+      .toDF("source", "doc_id", "rank")
+  }
+
+  /** [[weightedSampleGrouped]] mirrored as the per-source window rank. */
+  def weightedSampleGroupedSql(kPerGroup: Int, seed: Long = 7L): String = {
+    val toks = Parity.tokensSql("text")
+    s"""WITH s AS (
+       |  SELECT source, doc_id,
+       |         round(-ln(((((doc_id % 2147483648 + 2147483648) % 2147483648
+       |                       + $seed) * 2654435761) % 1000000007 + 1) / 1000000008.0)
+       |               / CAST(greatest(len($toks), 1) AS DOUBLE), 9) AS skey
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id,
+       |         CAST(row_number() OVER (PARTITION BY source ORDER BY skey, doc_id) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT source, doc_id, rank FROM r WHERE rank <= $kPerGroup""".stripMargin
+  }
+
   /** Cross-split contamination report — the train→eval leakage check run
     * after [[splitAssign]]: for every val/test document, how many of its
     * distinct word-3-gram shingles also occur in ANY train document, and

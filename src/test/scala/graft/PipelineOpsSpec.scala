@@ -377,4 +377,19 @@ class PipelineOpsSpec extends SparkSpec {
     val s3 = TextOps.weightedSample(docs, k = 100, seed = 8L).orderBy(col("doc_id")).collect()
     assert(s3.map(_.getLong(0)).toSeq !== s1.map(_.getLong(0)).toSeq, "seed must matter")
   }
+
+  test("grouped weighted sample draws exactly k per source, partition-invariant") {
+    val docs = model.table(spark, dir, "documents")
+    val out = TextOps.weightedSampleGrouped(docs, kPerGroup = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perSource = out.groupBy(_._1)
+    perSource.foreach { case (src, rows) =>
+      assert(rows.length === 10, s"$src drew ${rows.length}")
+      assert(rows.map(_._3).sorted.toSeq === (1L to 10L), s"$src ranks not 1..10")
+    }
+    // the bounded-heap merge must be arrival-order-invariant
+    val again = TextOps.weightedSampleGrouped(docs.repartition(7), kPerGroup = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet === out.toSet)
+  }
 }
