@@ -746,6 +746,11 @@ object SparkEntry {
     // statistics; the 64×64 eigensolve is driver-side by design
     "emb_pca_power" -> ((s, d) =>
       operators.LinAlg.pcaPower(model.table(s, d, "embeddings"))),
+    // the apply half: every embedding's score along the top component —
+    // one narrow codegen'd dot-product map, centering folded into a scalar
+    "emb_pca_project" -> ((s, d) =>
+      operators.LinAlg.pcaProject(model.table(s, d, "embeddings"))
+        .orderBy(col("vec_id"))),
     // closed-form OLS: one pass of integer sufficient statistics,
     // Cramer solve on the aggregated row
     "train_linreg" -> ((s, d) =>
@@ -2062,6 +2067,7 @@ object SparkEntry {
           |ORDER BY s1.user_id""".stripMargin,
       "emb_covariance" -> operators.LinAlg.covarianceSql(),
       "emb_pca_power" -> operators.LinAlg.pcaPowerSql(),
+      "emb_pca_project" -> operators.LinAlg.pcaProjectSql(),
       "train_linreg" -> operators.Training.linregNormalSql,
       "train_logreg" -> operators.Training.logregGdSql(toks),
       "train_logreg_stored" -> operators.Training.logregApplyStoredSql(toks),

@@ -156,9 +156,14 @@ object LinAlg {
     * `(k, loading, lambda)` — the unit eigenvector entry and the
     * Rayleigh estimate (‖Av‖ of the final un-normalized iterate).
     */
-  def pcaPower(embs: DataFrame, d: Int = Dim, iters: Int = 10): DataFrame = {
-    val spark = embs.sparkSession
-    import spark.implicits._
+  /** Shared driver-side eigensolve: one [[moments]] pass, then `iters`
+    * power rounds with ascending-index folds. Returns
+    * (n, Σc, loadings, lambda).
+    */
+  private def topComponent(
+      embs: DataFrame,
+      d: Int,
+      iters: Int): (Long, Array[Long], Array[Double], Double) = {
     val (n, s, p) = moments(embs, d)
     val dn = n.toDouble
     val a = Array.tabulate(d, d) { (i, j) =>
@@ -180,6 +185,13 @@ object LinAlg {
       lambda = math.sqrt(nn)
       v = u.map(_ / lambda)
     }
+    (n, s, v, lambda)
+  }
+
+  def pcaPower(embs: DataFrame, d: Int = Dim, iters: Int = 10): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val (_, _, v, lambda) = topComponent(embs, d, iters)
     val rows = (0 until d).map(k => (k + 1L, v(k), lambda))
     rows
       .toDF("k", "loading_raw", "lambda_raw")
@@ -189,16 +201,42 @@ object LinAlg {
         expr("round(lambda_raw + 1e-9, 6)").as("lambda"))
   }
 
+  /** The APPLY half of PCA: every embedding's score along the top
+    * principal component, `s_i = (c_i · v)/1000 − μ·v` (linearity of
+    * the dot product folds the centering into one scalar — no per-row
+    * centered-array materialization, no interpreted zip). The
+    * distributed pass is a single narrow map through the codegen'd
+    * [[graft.functions.DotProduct]] kernel over the milli fixed-point
+    * vectors; the eigensolve behind `v` is the same driver-side
+    * [[topComponent]]. Output per vector: `(vec_id, pc1)`.
+    */
+  def pcaProject(embs: DataFrame, d: Int = Dim, iters: Int = 10): DataFrame = {
+    val (n, s, v, _) = topComponent(embs, d, iters)
+    // μ·v with the same ascending fold as the oracle's list_reduce
+    var muDotV = 0.0
+    var k = 0
+    while (k < d) { muDotV += (s(k).toDouble / n.toDouble) * v(k); k += 1 }
+    val vLit = array(v.map(lit(_)): _*)
+    val c = graft.functions.MicroInts(col("embedding").cast("array<double>"), 1000L)
+    val dotCol = graft.functions.DotProduct(c.cast("array<double>"), vLit)
+    embs.select(
+      col("vec_id"),
+      round(dotCol / lit(1000.0d) - lit(muDotV) + lit(1e-9), 6).as("pc1"))
+  }
+
   /** [[pcaPower]] with the iteration unrolled into list CTEs: matvec is
     * a `list_reduce` over the j-ascending covariance row zipped with
     * the previous iterate, the norm a `list_reduce` over the
     * i-ascending un-normalized iterate — the exact fold orders the
     * Scala loop uses.
     */
-  def pcaPowerSql(d: Int = Dim, iters: Int = 10): String = {
-    val normOf = (ul: String) =>
-      s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"list_transform($ul, y -> y * y)), (a, b) -> a + b))"
+  private def normOfSql(ul: String): String =
+    s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform($ul, y -> y * y)), (a, b) -> a + b))"
+
+  /** Shared CTE chain: fixed-point vectors (with vec_id), moments,
+    * symmetric covariance rows, and the unrolled power rounds. */
+  private def pcaCtes(d: Int, iters: Int): String = {
     val rounds = (1 to iters)
       .map { k =>
         s"""u$k AS (
@@ -209,13 +247,15 @@ object LinAlg {
            |             (acc, x) -> acc + x) AS u
            |    FROM a_rows r CROSS JOIN v${k - 1} w)),
            |v$k AS (
-           |  SELECT list_transform(ul, x -> x / ${normOf("ul")}) AS v FROM u$k)""".stripMargin
+           |  SELECT list_transform(ul, x -> x / ${normOfSql("ul")}) AS v FROM u$k)""".stripMargin
       }
       .mkString(",\n")
     s"""WITH c AS (
-       |  SELECT [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS c
+       |  SELECT vec_id,
+       |         [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS c
        |  FROM embeddings),
        |dims AS (SELECT unnest(range(1, ${d + 1})) AS i),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
        |m AS (
        |  SELECT di.i AS i, dj.i AS j,
        |         CAST(count(*) AS BIGINT) AS n,
@@ -232,11 +272,38 @@ object LinAlg {
        |    WHERE m.i < m.j)),
        |a_rows AS (SELECT i, list(a ORDER BY j) AS row FROM a_full GROUP BY i),
        |v0 AS (SELECT ${Seq.fill(d)(V0.toString).mkString("[", ", ", "]")} AS v),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  def pcaPowerSql(d: Int = Dim, iters: Int = 10): String =
+    s"""${pcaCtes(d, iters)}
        |SELECT d.i AS k,
        |       round(w.v[d.i] + 1e-9, 6) AS loading,
-       |       round(${normOf("u.ul")} + 1e-9, 6) AS lambda
+       |       round(${normOfSql("u.ul")} + 1e-9, 6) AS lambda
        |FROM v$iters w CROSS JOIN u$iters u CROSS JOIN dims d
        |ORDER BY k""".stripMargin
-  }
+
+  /** [[pcaProject]] mirrored: the per-row dot is the ascending
+    * `list_reduce` fold [[graft.functions.DotProduct]] computes, and
+    * μ·v is re-derived from the same moment CTEs (never an
+    * interpolated literal — a double through a decimal string is not
+    * the double the engine computed).
+    */
+  def pcaProjectSql(d: Int = Dim, iters: Int = 10): String =
+    s"""${pcaCtes(d, iters)},
+       |means AS (
+       |  SELECT list(CAST(sv.s AS DOUBLE) / CAST(nn.n AS DOUBLE) ORDER BY sv.i) AS mu
+       |  FROM sv CROSS JOIN nn),
+       |muv AS (
+       |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(list_zip(m.mu, w.v), s -> s[1] * s[2])),
+       |         (a, b) -> a + b) AS muv
+       |  FROM means m CROSS JOIN v$iters w)
+       |SELECT c.vec_id,
+       |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |               list_transform(list_zip(list_transform(c.c, x -> CAST(x AS DOUBLE)), w.v),
+       |                 s -> s[1] * s[2])),
+       |             (a, b) -> a + b) / 1000.0 - mv.muv + 1e-9, 6) AS pc1
+       |FROM c CROSS JOIN v$iters w CROSS JOIN muv mv
+       |ORDER BY c.vec_id""".stripMargin
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 
 import graft.operators.{GraphOps, LinAlg, Training}
 
@@ -82,6 +83,23 @@ class TrainingSpec extends SparkSpec {
     // dominant axis is component 2; the unit loading is ±1
     assert(math.abs(math.abs(out(1)._2) - 1.0) < 1e-3)
     assert(math.abs(out(0)._2) < 1e-3)
+  }
+
+  test("pca projection scores along the dominant axis, centered") {
+    val embs = Seq(
+      Tuple1(Array(1f, 0f)),
+      Tuple1(Array(-1f, 0f)),
+      Tuple1(Array(0f, 2f)),
+      Tuple1(Array(0f, -2f))).toDF("embedding").withColumn("vec_id", lit(0L))
+    // mean is 0; v → (0, ±1) up to the convergence residual
+    // (λ2/λ1)^iters = (0.5/2)^10 ≈ 1e-6 — so scores are ±x2 within 1e-5
+    val scores = LinAlg.pcaProject(embs, d = 2, iters = 10).collect()
+      .map(r => r.getDouble(1))
+    val expect = Seq(0.0, 0.0, 2.0, 2.0)
+    scores.map(math.abs).sorted.zip(expect).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-5, s"got $got want $want")
+    }
+    assert(math.abs(scores.sum) < 1e-5) // centered: projections sum to ~zero
   }
 
   test("moments pass is deterministic across partitionings") {
