@@ -310,6 +310,18 @@ class PlanAuditSpec extends SparkSpec {
       s"k-minima heap lost its map-side partial in:\n$plan")
   }
 
+  test("train_linreg reduces to one scan with map-side partial statistics") {
+    val plan = planOf(SparkEntry.queries("train_linreg")(spark, dir))
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    // the whole training pass is ONE lineitem scan...
+    assert("Scan parquet".r.findAllIn(finalSection).length === 1,
+      s"expected one lineitem scan in:\n$plan")
+    // ...whose 9 sufficient statistics partial-aggregate before the exchange
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"normal-equation sums lost their map-side partial in:\n$plan")
+    assert(!plan.contains("Window"), s"window crept into the solve:\n$plan")
+  }
+
   test("sketch_hll_per_source builds registers with no pre-distinct and no window") {
     val plan = planOf(SparkEntry.queries("sketch_hll_per_source")(spark, dir))
     // HLL's whole point vs KMV: max-merge is idempotent, so the register
