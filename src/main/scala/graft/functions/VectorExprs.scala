@@ -76,6 +76,70 @@ object DotProduct {
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
+/** Sequential-order dot product of two LONG arrays, accumulated in
+  * doubles — exactly `DotProduct(a.cast(array<double>),
+  * b.cast(array<double>))` (each long converts exactly: micro-unit
+  * values stay far below 2^53) but WITHOUT materializing two cast
+  * copies per evaluation. This is the k-means / PQ assignment hot loop:
+  * cellScore runs once per (vector, candidate-cell) pair, so the cast
+  * allocations dominated the scan's garbage at corpus scale.
+  */
+case class DotLongs(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_longs expects two array<bigint> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "dot_longs"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i).toDouble * y.getLong(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getLong($i) * (double) $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object DotLongs {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(DotLongs(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
 /** Micro-unit fixed-pointing of a double array:
   * `transform(e, x -> CAST(round(x * scale) AS BIGINT))` as a native
   * codegen'd expression. Semantics are EXACTLY the interpreted

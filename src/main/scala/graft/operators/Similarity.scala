@@ -209,8 +209,7 @@ object Similarity {
     * |ei| is constant across the candidate cells.
     */
   private def cellScore(ei: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
-    Parity.dot(ei.cast("array<double>"), c.cast("array<double>")) /
-      sqrt(Parity.dot(c.cast("array<double>"), c.cast("array<double>")))
+    graft.functions.DotLongs(ei, c) / sqrt(graft.functions.DotLongs(c, c))
 
   /** Lloyd k-means over the embeddings in integer micro-units — the IVF
     * quantizer TRAINING step ([[centroidVectors]]' label shortcut stands
@@ -587,8 +586,8 @@ object Similarity {
         col("vec_id").as("q_id"),
         col("m"),
         col("cid").as("code"),
-        Parity.dot(col("ei_m").cast("array<double>"), col("c").cast("array<double>")).as("qdot"),
-        Parity.dot(col("c").cast("array<double>"), col("c").cast("array<double>")).as("cnorm"))
+        graft.functions.DotLongs(col("ei_m"), col("c")).as("qdot"),
+        graft.functions.DotLongs(col("c"), col("c")).as("cnorm"))
     (codes, qtab)
   }
 
