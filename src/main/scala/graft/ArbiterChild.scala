@@ -18,6 +18,13 @@ object ArbiterChild {
     */
   def main(args: Array[String]): Unit = {
     val (sfDir, cpus, names) = (args(0), args(1), args.drop(2))
+    // the child's whole reason to exist is clean numbers — if the host
+    // is loaded (the sweep may have ended inside an ambient spike, as
+    // r7's did), wait briefly for it to pass before measuring
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    var waited = 0
+    while (loadAvg > 2.0 && waited < 180) { Thread.sleep(15000); waited += 15 }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -58,6 +58,11 @@ object Bench {
     // queries — clearCache() alone misses localCheckpoint RDD blocks,
     // which otherwise accumulate across the 120-query session until the
     // storage pool forces spill/eviction and later queries pay for it
+    // the gate samples load only at START; a mid-run ambient spike still
+    // poisons wall times (measured r7: sssp stretch 93 s under a spike,
+    // 8 s quiet) — record the worst 1-min load seen between queries so a
+    // regressed-looking stretch can be told apart from a contended one
+    var loadMax = loadStart
     def timed(name: String): (String, Double, Boolean) = {
       val t0 = System.nanoTime()
       // a query that throws is recorded as -1 (NOT a wall time) and named
@@ -67,6 +72,7 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       freeAll()
+      loadMax = math.max(loadMax, loadAvg)
       (name, dt, ok)
     }
     val results = SparkEntry.queries.keys.toSeq.sorted.map(timed)
@@ -100,7 +106,7 @@ object Bench {
     // own threads; the start sample is the ambient baseline (post-gate).
     val loadEnd = r3(loadAvg) // sampled once — both lines must agree
     val env = s""""sf":"$sfDir","load_start":${r3(loadStart)},"load_end":$loadEnd""" +
-      s""","load_wait_sec":$loadWaitSec,"errors":$errors"""
+      s""","load_max":${r3(loadMax)},"load_wait_sec":$loadWaitSec,"errors":$errors"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec",$env,"arbiter":${qmap(
           arbiter)},"queries":${qmap(results)}}""")
