@@ -675,6 +675,12 @@ object SparkEntry {
     // keys on the shared hash grid); TakeOrdered, never a full sort
     "doc_weighted_sample" -> ((s, d) =>
       TextOps.weightedSample(docs(s, d), k = 100).orderBy(col("doc_id"))),
+    // model-as-table serving: the stored vocabulary-sized LM artifact is
+    // broadcast-joined, never retrained — no term histogram in the plan
+    "lm_apply_stored" -> ((s, d) => {
+      val model = TextOps.writeLmModel(s, docs(s, d))
+      TextOps.lmApplyStored(s, docs(s, d), model).orderBy(col("doc_id"))
+    }),
     // stratified form: an independent bounded-heap k-sample per source
     "doc_weighted_sample_grouped" -> ((s, d) =>
       TextOps.weightedSampleGrouped(docs(s, d), kPerGroup = 10)
@@ -1799,6 +1805,9 @@ object SparkEntry {
           |       round(sum(CAST(p_retailprice AS DOUBLE)), 2) AS sum_price
           |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin,
       "text_unigram_lm" -> (TextOps.unigramScoreSql() + "\nORDER BY doc_id"),
+      // apply-on-train reproduces the self-trained scores exactly — the
+      // stored-model query shares the oracle
+      "lm_apply_stored" -> (TextOps.unigramScoreSql() + "\nORDER BY doc_id"),
       "text_bigram_lm" -> (TextOps.bigramScoreSql() + "\nORDER BY doc_id"),
       "source_kl_drift" -> (TextOps.sourceKlDriftSql() + "\nORDER BY source"),
       "doc_weighted_sample" ->

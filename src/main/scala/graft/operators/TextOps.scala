@@ -182,6 +182,69 @@ object TextOps {
         round(col("sum_lnp") / col("n_tokens").cast("double"), 6).as("mean_lnp"))
   }
 
+  /** Train the unigram LM once and persist it as a TABLE artifact:
+    * (term, lnp) rows plus one NULL-term row carrying the add-one
+    * out-of-vocabulary mass `ln(1/(n_total + v_size))` — OOV handling
+    * is part of the model, not the serving code. Unlike the
+    * scalar-sized BPE/centroid/logreg artifacts, an LM is
+    * vocabulary-sized, so the apply path joins it (broadcast) instead
+    * of folding literals — the third model-serving shape.
+    */
+  def writeLmModel(spark: org.apache.spark.sql.SparkSession, docs: DataFrame): String = {
+    val terms = docs.select(posexplode(toks(col("text"))).as(Seq("pos", "term")))
+    val hist = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totals = hist.agg(sum(col("c")).as("n_total"), count(lit(1)).as("v_size"))
+    val lnp = hist
+      .crossJoin(broadcast(totals))
+      .select(
+        col("term"),
+        round(
+          log((col("c") + 1).cast("double") / (col("n_total") + col("v_size")).cast("double")),
+          9).as("lnp"))
+    val oov = totals.select(
+      lit(null).cast("string").as("term"),
+      round(log(lit(1.0d) / (col("n_total") + col("v_size")).cast("double")), 9).as("lnp"))
+    val dir = graft.sources.Staging.freshDir("lm-model")
+    lnp.unionByName(oov).coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** The apply path of [[unigramScore]] over a STORED model: one corpus
+    * scan, a broadcast join against the vocabulary table (never a term
+    * histogram — the plan has no term-keyed exchange, pinned in
+    * PlanAuditSpec), OOV terms scored by the model's own smoothing row,
+    * and the same position-ordered per-doc fold. Applying the model to
+    * its own training corpus reproduces [[unigramScore]] exactly, so
+    * the two queries share an oracle.
+    */
+  def lmApplyStored(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      modelDir: String): DataFrame = {
+    val model = spark.read.parquet(modelDir)
+    val oovLnp = model.filter(col("term").isNull).head().getDouble(1)
+    val lm = broadcast(model.filter(col("term").isNotNull))
+    val lnp = docs
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "term")))
+      .join(lm, Seq("term"), "left_outer")
+      .select(col("doc_id"), col("pos"), coalesce(col("lnp"), lit(oovLnp)).as("lnp"))
+    val perDoc = lnp
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("lnp")))), s => s("lnp")),
+          lit(0.0d),
+          (acc, v) => acc + v).as("sum_lnp"))
+    docs
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(col("sum_lnp") / col("n_tokens").cast("double"), 6).as("mean_lnp"))
+  }
+
   /** [[unigramScore]], mirrored: same histogram, same per-token 9 dp
     * rounding, same position-ordered fold.
     */

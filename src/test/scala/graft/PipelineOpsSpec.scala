@@ -378,6 +378,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(s3.map(_.getLong(0)).toSeq !== s1.map(_.getLong(0)).toSeq, "seed must matter")
   }
 
+  test("stored LM scores unseen terms with the model's own OOV mass") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a a b", "en", "s1"),
+      (2L, "a b c", "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    val model = TextOps.writeLmModel(spark, train)
+    // train: N=6 tokens, V=3 → p(a)=(3+1)/9, p(b)=(2+1)/9, p(unseen)=1/9
+    val apply = Seq((9L, "a zzz", "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.lmApplyStored(spark, apply, model).collect()(0)
+    assert(out.getLong(1) === 2L)
+    val expect = (math.rint(math.log(4.0 / 9.0) * 1e9) / 1e9 +
+      math.rint(math.log(1.0 / 9.0) * 1e9) / 1e9) / 2.0
+    assert(math.abs(out.getDouble(2) - expect) < 1e-6, s"got ${out.getDouble(2)} want $expect")
+    // applying to the training corpus reproduces the self-trained scores
+    val self = TextOps.unigramScore(train).collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val applied = TextOps.lmApplyStored(spark, train, model).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(applied === self)
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("grouped weighted sample draws exactly k per source, partition-invariant") {
     val docs = model.table(spark, dir, "documents")
     val out = TextOps.weightedSampleGrouped(docs, kPerGroup = 10).collect()

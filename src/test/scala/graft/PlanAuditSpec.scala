@@ -346,6 +346,13 @@ class PlanAuditSpec extends SparkSpec {
     val lrPlan = planOf(SparkEntry.queries("train_logreg_stored")(spark, dir))
     assert(!lrPlan.contains("HashAggregate"),
       s"training aggregate in logreg apply plan:\n$lrPlan")
+    // lm_apply_stored: the vocabulary table is broadcast-joined — the
+    // serving plan never exchanges on the term (no histogram rebuild)
+    val lmPlan = planOf(SparkEntry.queries("lm_apply_stored")(spark, dir))
+    assert(!lmPlan.contains("hashpartitioning(term"),
+      s"term-keyed exchange (histogram?) in LM apply plan:\n$lmPlan")
+    assert(lmPlan.contains("BroadcastHashJoin"),
+      s"LM vocabulary join lost its broadcast in:\n$lmPlan")
     // ann_ivf_stored: the probe's scoring stage is checkpointed (the
     // ranked-cell table feeds both the inverted lists and the probes), so
     // the artifact scan sits behind an ExistingRDD in the final plan —
