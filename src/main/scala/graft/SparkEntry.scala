@@ -726,6 +726,10 @@ object SparkEntry {
     // v2: typed ValueState in the RocksDB store, declarative TTL)
     "events_stream_user_totals" -> ((s, d) =>
       streaming.StreamOps.userTotalsOverParquet(s, d).orderBy(col("user_id"))),
+    // streaming quantiles: the additive bin histogram IS the bounded
+    // stream state; p50/p95 extracted from the sink
+    "events_stream_quantiles" -> ((s, d) =>
+      streaming.StreamOps.quantilesBinnedOverParquet(s, d).orderBy(col("event_type"))),
     // per-user strict funnel via transformWithState ListState: the event
     // log IS the state (incremental min-tuples are wrong under
     // out-of-order arrival), recomputed per batch
@@ -1608,6 +1612,26 @@ object SparkEntry {
          |FROM n GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
     val allShingles = Parity.shinglesAllSql("t")
     val fromToks = s"(SELECT doc_id, $toks AS t FROM documents)"
+    val quantilesBinnedOracleSql =
+      """WITH hist AS (
+        |  SELECT event_type, CAST(floor(value * 4) AS BIGINT) AS bin, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin
+        |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM hist),
+        |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+        |p50 AS (SELECT c.event_type, min(bin) AS b50
+        |        FROM cum c JOIN t ON t.event_type = c.event_type
+        |        WHERE c.cum >= (t.n + 1) // 2 GROUP BY 1),
+        |p95 AS (SELECT c.event_type, min(bin) AS b95
+        |        FROM cum c JOIN t ON t.event_type = c.event_type
+        |        WHERE c.cum >= (19 * t.n + 19) // 20 GROUP BY 1)
+        |SELECT t.event_type, t.n,
+        |       round((b50 + 0.5) / 4.0, 6) AS p50_est,
+        |       round((b95 + 0.5) / 4.0, 6) AS p95_est
+        |FROM t JOIN p50 USING (event_type) JOIN p95 USING (event_type)
+        |ORDER BY event_type""".stripMargin
 
     Map(
       "dedup_exact" ->
@@ -2418,26 +2442,10 @@ object SparkEntry {
           |       CAST(r.cnt * 1000000 // t.total_rows AS BIGINT) AS share_ppm,
           |       t.n_keys, t.total_rows, t.max_cnt
           |FROM r CROSS JOIN t WHERE r.rank <= 10 ORDER BY r.rank""".stripMargin,
-      "events_quantiles_binned" ->
-        """WITH hist AS (
-          |  SELECT event_type, CAST(floor(value * 4) AS BIGINT) AS bin, count(*) AS c
-          |  FROM events GROUP BY 1, 2),
-          |cum AS (
-          |  SELECT *, CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin
-          |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-          |  FROM hist),
-          |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
-          |p50 AS (SELECT c.event_type, min(bin) AS b50
-          |        FROM cum c JOIN t ON t.event_type = c.event_type
-          |        WHERE c.cum >= (t.n + 1) // 2 GROUP BY 1),
-          |p95 AS (SELECT c.event_type, min(bin) AS b95
-          |        FROM cum c JOIN t ON t.event_type = c.event_type
-          |        WHERE c.cum >= (19 * t.n + 19) // 20 GROUP BY 1)
-          |SELECT t.event_type, t.n,
-          |       round((b50 + 0.5) / 4.0, 6) AS p50_est,
-          |       round((b95 + 0.5) / 4.0, 6) AS p95_est
-          |FROM t JOIN p50 USING (event_type) JOIN p95 USING (event_type)
-          |ORDER BY event_type""".stripMargin,
+      "events_quantiles_binned" -> quantilesBinnedOracleSql,
+      // the streaming histogram converges to the batch histogram, so the
+      // sketch-quantile oracle is shared verbatim
+      "events_stream_quantiles" -> quantilesBinnedOracleSql,
       "events_asof" ->
         s"""WITH c AS (SELECT user_id, ts, arg_max(value, event_id) AS click_value
            |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),

@@ -265,11 +265,18 @@ object EventOps {
     * hash-match the oracle exactly, which a t-digest/GK sketch never
     * could (their merge order is nondeterministic).
     */
-  def quantilesBinned(events: DataFrame): DataFrame = {
-    val hist = events
-      .select(col("event_type"), floor(col("value") * 4).cast("long").as("bin"))
-      .groupBy(col("event_type"), col("bin"))
-      .agg(count(lit(1)).as("c"))
+  def quantilesBinned(events: DataFrame): DataFrame =
+    quantilesFromHist(
+      events
+        .select(col("event_type"), floor(col("value") * 4).cast("long").as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("c")))
+
+  /** Quantile extraction from a (event_type, bin, c) histogram — shared
+    * by the batch operator and the streaming form (where the histogram
+    * is the continuously-maintained state and this runs over the sink).
+    */
+  def quantilesFromHist(hist: DataFrame): DataFrame = {
     val w = Window
       .partitionBy(col("event_type"))
       .orderBy(col("bin"))

@@ -580,6 +580,26 @@ object StreamOps {
     } finally spark.conf.set(key, prev)
   }
 
+  /** STREAMING quantile sketch: the fixed-bin histogram is maintained
+    * AS the streaming aggregation (additive counts — per-type state
+    * bounded by the bin count, the property an exact percentile can
+    * never have on an unbounded stream), and the p50/p95 extraction
+    * runs over the sink — how a dashboard serves quantiles off a
+    * continuously-updated histogram. Same bins, ranks, and rounding as
+    * the batch [[EventOps.quantilesBinned]], so the oracle is shared.
+    */
+  def quantilesBinnedOverParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = overParquet(
+      spark,
+      sfDir,
+      "qbinned",
+      ev =>
+        ev.select(col("event_type"), floor(col("value") * 4).cast("long").as("bin"))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("c")))
+    EventOps.quantilesFromHist(hist)
+  }
+
   /** STREAMING per-user funnel via `transformWithState` + ListState:
     * each user's event log is held as typed ListState and the strict
     * ordered progression (first view → first later click → first later
