@@ -75,7 +75,21 @@ object GraftFunctions {
     (
       FunctionIdentifier("token_codes"),
       new ExpressionInfo(classOf[TokenCodes].getName, "token_codes"),
-      (args: Seq[Expression]) => TokenCodes(arity("token_codes", 1)(args).head)))
+      (args: Seq[Expression]) => TokenCodes(arity("token_codes", 1)(args).head)),
+    (
+      FunctionIdentifier("dot_longs"),
+      new ExpressionInfo(classOf[DotLongs].getName, "dot_longs"),
+      (args: Seq[Expression]) => {
+        val Seq(a, b) = arity("dot_longs", 2)(args)
+        DotLongs(a, b)
+      }),
+    (
+      FunctionIdentifier("micro_ints"),
+      new ExpressionInfo(classOf[MicroInts].getName, "micro_ints"),
+      (args: Seq[Expression]) => {
+        val Seq(a, s) = arity("micro_ints", 2)(args)
+        MicroInts(a, longLit(s, "scale"))
+      }))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -28,6 +28,18 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(row.getSeq[Long](1) === Seq.fill(4)(Parity.BigP))
   }
 
+  test("dot_longs and micro_ints usable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val row = spark
+      .sql(
+        "SELECT dot_longs(array(2L, 3L), array(10L, 100L)) AS d, " +
+          "micro_ints(array(1.25D, -0.0015D), 1000) AS m")
+      .collect()(0)
+    assert(row.getDouble(0) === 320.0)
+    // Spark round semantics: -1.5 rounds HALF_UP away from zero → -2
+    assert(row.getSeq[Long](1) === Seq(1250L, -2L))
+  }
+
   test("poly_hash rejects non-literal modulus") {
     GraftFunctions.register(spark)
     intercept[Exception] {
