@@ -375,6 +375,12 @@ object SparkEntry {
     // next to the exact ball-size sum (Palmer et al. KDD'02)
     "graph_anf" -> ((s, d) =>
       GraphOps.anf(GraphSource.lineitemEdges(s, d), nSketches = 8, rounds = 2)),
+    // landmark embeddings: K batched traversals recording first-arrival
+    // rounds — hop distance from every landmark, one edge join per round
+    "graph_landmark_dist" -> ((s, d) =>
+      GraphOps
+        .landmarkDistances(GraphSource.lineitemEdges(s, d), nLandmarks = 8, rounds = 4)
+        .orderBy(col("id"), col("landmark"))),
     "pagerank_fixed" -> (pagerank _),
     // topic-sensitive variant: teleport mass returns only to the seed set
     "pagerank_personalized" -> ((s, d) =>
@@ -1207,6 +1213,9 @@ object SparkEntry {
     // FM-bitmask neighborhood function, rounds unrolled on the same edges
     "graph_anf" ->
       GraphOps.anfSql(GraphSource.lineitemEdgesSql, nSketches = 8, rounds = 2),
+    // first-arrival rounds of the batched landmark wave, unrolled
+    "graph_landmark_dist" ->
+      GraphOps.landmarkDistancesSql(GraphSource.lineitemEdgesSql, nLandmarks = 8, rounds = 4),
     // degree-ordered orientation mirrored from GraphOps.orientByDegree
     "triangle_count" ->
       s"""WITH edges AS (${GraphSource.lineitemEdgesSql}),

@@ -863,6 +863,111 @@ object GraphOps {
        |ORDER BY id""".stripMargin
   }
 
+  /** Landmark distance table: [[multiSourceBfs]]'s bitmask wave with the
+    * ROUND OF FIRST ARRIVAL recorded — for every (node, landmark) pair
+    * that connects within `rounds`, the hop distance from the landmark.
+    * This is the landmark-embedding primitive (approximate shortest
+    * paths / closeness features at 100 TB: estimate d(u,v) ≤
+    * min_L d(L,u)+d(L,v) from K columns per node instead of a BFS per
+    * query), and the reason batching matters — K landmark traversals
+    * cost ONE edge join per round.
+    *
+    * Per round the newly-reached set is exactly `mask' & ~mask` — the
+    * monotone OR makes "first time a bit appears" well-defined — and
+    * those bits join the output with the round number; the mask loop
+    * itself is [[multiSourceBfs]]'s (at scale, its changed-set patch
+    * form applies verbatim). Output: `(id, landmark, dist)`.
+    */
+  def landmarkDistances(edges: DataFrame, nLandmarks: Int = 8, rounds: Int = 4): DataFrame = {
+    require(nLandmarks >= 1 && nLandmarks <= 63, s"nLandmarks in [1,63], got $nLandmarks")
+    val session = edges.sparkSession
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      val e = edges
+        .select(col("src"), col("dst"))
+        .distinct()
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      def ckpt(df: DataFrame): DataFrame =
+        org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+      val seedMask = when(
+        col("id") >= 1 && col("id") <= nLandmarks,
+        expr("CAST(pow(2, id - 1) AS BIGINT)")).otherwise(lit(0L))
+      var state = ckpt(
+        e.select(col("src").as("id"))
+          .unionAll(e.select(col("dst").as("id")))
+          .distinct()
+          .select(col("id"), seedMask.as("mask")))
+      // explode the set bits of a delta mask into (id, landmark, dist)
+      def arrivals(df: DataFrame, h: Int): DataFrame =
+        df.select(col("id"), explode(expr(s"sequence(0, ${nLandmarks - 1})")).as("b"), col("delta"))
+          .filter(expr("(delta >> b) & 1 = 1"))
+          .select(col("id"), (col("b") + 1L).as("landmark"), lit(h.toLong).as("dist"))
+      var out = arrivals(state.select(col("id"), col("mask").as("delta")), 0)
+      (1 to rounds).foreach { h =>
+        val next = ckpt(
+          state
+            .select(col("id"), col("mask"))
+            .unionAll(
+              state
+                .join(e, state("id") === e("src"))
+                .select(e("dst").as("id"), col("mask")))
+            .groupBy(col("id"))
+            .agg(expr("bit_or(mask)").as("mask2"))
+            .join(state.withColumnRenamed("mask", "old"), Seq("id"))
+            .select(
+              col("id"),
+              col("mask2").as("mask"),
+              col("mask2").bitwiseAND(expr("~old")).as("delta")))
+        out = out.unionByName(arrivals(next.filter(col("delta") =!= 0L), h))
+        state = next.select(col("id"), col("mask"))
+      }
+      e.unpersist()
+      out
+    }
+  }
+
+  /** [[landmarkDistances]] unrolled: round k's masks OR round k−1's over
+    * the distinct edges, and the arrivals CTE picks the bits in m_k
+    * that are absent from m_{k−1}.
+    */
+  def landmarkDistancesSql(edgesSql: String, nLandmarks: Int = 8, rounds: Int = 4): String = {
+    val roundCtes = (1 to rounds)
+      .map { k =>
+        s"""m$k AS (
+           |  SELECT id, bit_or(mask) AS mask FROM (
+           |    SELECT id, mask FROM m${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS id, m.mask FROM m${k - 1} m JOIN e ON m.id = e.src WHERE m.mask <> 0)
+           |  GROUP BY id)""".stripMargin
+      }
+      .mkString(",\n")
+    val arrivals = (0 to rounds)
+      .map { h =>
+        val delta =
+          if (h == 0) s"SELECT id, mask AS delta FROM m0"
+          else
+            s"""SELECT a.id, a.mask & ~b.mask AS delta
+               |      FROM m$h a JOIN m${h - 1} b ON b.id = a.id""".stripMargin
+        s"""SELECT id, b + 1 AS landmark, CAST($h AS BIGINT) AS dist
+           |FROM ($delta) d CROSS JOIN (SELECT unnest(range(0, $nLandmarks)) AS b)
+           |WHERE (d.delta >> b) & 1 = 1""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH raw AS ($edgesSql),
+       |e AS (SELECT DISTINCT src, dst FROM raw),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |m0 AS (
+       |  SELECT id,
+       |         CASE WHEN id BETWEEN 1 AND $nLandmarks THEN CAST(pow(2, id - 1) AS BIGINT)
+       |              ELSE CAST(0 AS BIGINT) END AS mask
+       |  FROM nodes),
+       |$roundCtes
+       |$arrivals
+       |ORDER BY id, landmark""".stripMargin
+  }
+
   /** ANF sketch-permutation offset into the shared [[graft.functions.Parity]]
     * LCG family — a slice disjoint from the MinHash/CMS/LSH usages so the
     * node hashes are independent of every other sketch in the engine.

@@ -117,6 +117,19 @@ class TrainingSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(2) > 0L)) // estimate present and positive
   }
 
+  test("landmark distances record the first-arrival round per (node, landmark)") {
+    // chain 1→2→3→4, landmarks {1, 2}: each lands exactly once per node
+    val e = edgesDf(Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0)))
+    val out = GraphOps.landmarkDistances(e, nLandmarks = 2, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(
+      (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 2L), (4L, 1L, 3L),
+      (2L, 2L, 0L), (3L, 2L, 1L), (4L, 2L, 2L)))
+    // monotone OR means a (node, landmark) pair arrives at most once
+    val keys = out.toSeq.map(t => (t._1, t._2))
+    assert(keys.distinct.size === keys.size)
+  }
+
   test("anf estimate tracks exact counts on the harness graph") {
     val e = GraphSource.lineitemEdges(spark, "/root/testdata/sf0.001")
     val out = GraphOps.anf(e, nSketches = 8, rounds = 2).collect()
