@@ -84,9 +84,19 @@ object ArbiterChild {
         val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
           .filter(a =>
             a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
-              a.startsWith("--enable-native-access") || a.startsWith("-Xmx") ||
-              a.startsWith("-Xss"))
-        val cmd = Seq(javaBin) ++ inherited ++
+              a.startsWith("--enable-native-access") || a.startsWith("-Xss"))
+        // heap: the parent keeps ITS full -Xmx alive while the child runs,
+        // so inheriting the parent's would double peak memory during the
+        // measurement window — cap the child at min(parent, 32g), plenty
+        // for an sf0.1 local sweep
+        val parentXmx = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+          .collectFirst { case a if a.startsWith("-Xmx") => a }
+        val childXmx = parentXmx match {
+          case Some(x) if xmxBytes(x).exists(_ > 32L * 1024 * 1024 * 1024) => "-Xmx32g"
+          case Some(x) => x
+          case None => "-Xmx32g"
+        }
+        val cmd = Seq(javaBin) ++ inherited ++ Seq(childXmx) ++
           Seq("-cp", System.getProperty("java.class.path"), "graft.ArbiterChild", sfDir, cpus) ++
           names
         // both streams to files: an unread pipe would fill and deadlock
@@ -99,9 +109,14 @@ object ArbiterChild {
         val proc = pb.start()
         val done = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
         try {
-          if (!done) { proc.destroyForcibly(); None }
-          else if (proc.exitValue() != 0) None
-          else
+          // a systematically failing child silently degrades "arbiter" to
+          // the in-process numbers the whole redesign distrusts — so a
+          // failure must never be quiet: surface the child's stderr tail
+          // before falling back
+          if (!done) { proc.destroyForcibly(); dumpErr("timeout after 15 min", errFile); None }
+          else if (proc.exitValue() != 0) {
+            dumpErr(s"exit ${proc.exitValue()}", errFile); None
+          } else
             Some(
               java.nio.file.Files.readString(outFile.toPath).linesIterator
                 .filter(_.startsWith("[arbiter] "))
@@ -110,4 +125,24 @@ object ArbiterChild {
                 .toMap)
         } finally { outFile.delete(); errFile.delete(); () }
       } catch { case e: Throwable => System.err.println(s"[arbiter] child failed: $e"); None }
+
+  /** `-Xmx<n>[kmg]` → bytes; None if unparseable (then left as-is). */
+  private def xmxBytes(arg: String): Option[Long] = {
+    val v = arg.stripPrefix("-Xmx").toLowerCase
+    val (num, mult) = v.last match {
+      case 'k' => (v.init, 1024L)
+      case 'm' => (v.init, 1024L * 1024)
+      case 'g' => (v.init, 1024L * 1024 * 1024)
+      case 't' => (v.init, 1024L * 1024 * 1024 * 1024)
+      case _ => (v, 1L)
+    }
+    num.toLongOption.map(_ * mult)
+  }
+
+  private def dumpErr(why: String, errFile: java.io.File): Unit =
+    try {
+      val lines = java.nio.file.Files.readString(errFile.toPath).linesIterator.toSeq
+      System.err.println(
+        s"[arbiter] child failed ($why); stderr tail:\n" + lines.takeRight(25).mkString("\n"))
+    } catch { case _: Throwable => System.err.println(s"[arbiter] child failed ($why); stderr unreadable") }
 }

@@ -87,9 +87,12 @@ object Bench {
     // reporting the warm rep. Falls back to in-process times if the
     // child fails (its names are then absent from "arbiter").
     val slowest = results.filter(_._3).sortBy(-_._2).take(ArbiterN).map(_._1)
-    val arbiter = ArbiterChild.runInChild(sfDir, cpus, slowest) match {
-      case Some(times) => slowest.flatMap(n => times.get(n).map(t => (n, t, true)))
-      case None => slowest.map(timed)
+    val (arbiter, arbiterMode) = ArbiterChild.runInChild(sfDir, cpus, slowest) match {
+      case Some(times) => (slowest.flatMap(n => times.get(n).map(t => (n, t, true))), "child")
+      // the fallback numbers come from the SAME polluted JVM the arbiter
+      // exists to distrust — name the mode so a reader of the artifact
+      // knows which meaning "arbiter" carries this run
+      case None => (slowest.map(timed), "inprocess")
     }
     // times rounded to ms: the driver tail-captures ~2 KB of output, and
     // full-precision doubles pushed the JSON head past the window
@@ -111,13 +114,19 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec",$env,"arbiter":${qmap(
           arbiter)},"queries":${qmap(results)}}""")
     // the harness tail-captures ~2 KB of output and the full per-query
-    // line now exceeds that (r3/r4 records were truncated mid-JSON) — a
-    // final compact line without the per-query map always survives a
-    // tail capture intact; the full line above remains the contract
-    // distinct metric name so a by-metric scanner never double-counts
-    // this with the full line above
+    // line now exceeds that (r3/r4 records were truncated mid-JSON; r7
+    // lost the arbiter map the same way) — everything that must survive
+    // grading is REPEATED below in lines small enough that the last two
+    // always fit in the tail window. The full line above remains the
+    // contract; distinct metric names keep a by-metric scanner from
+    // double-counting.
+    // the arbiter map is ~ArbiterN entries (< 400 bytes) — its own line
+    // so the trustworthy fresh-process numbers can never be truncated
+    // away with the 140-entry queries map again
     println(
-      s"""{"metric":"total_compact","value":$total,"unit":"sec",$env,"n_queries":${results.size}}""")
+      s"""{"metric":"arbiter","unit":"sec","mode":"$arbiterMode","queries":${qmap(arbiter)}}""")
+    println(
+      s"""{"metric":"total_compact","value":$total,"unit":"sec",$env,"n_queries":${results.size},"arbiter_mode":"$arbiterMode"}""")
     spark.stop()
   }
 }
