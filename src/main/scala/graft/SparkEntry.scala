@@ -381,6 +381,17 @@ object SparkEntry {
       GraphOps
         .landmarkDistances(GraphSource.lineitemEdges(s, d), nLandmarks = 8, rounds = 4)
         .orderBy(col("id"), col("landmark"))),
+    // the landmark table SERVED: d(u,v) ≈ min_L d(L,u)+d(L,v) from K
+    // precomputed columns — no per-query BFS; exact hop distance rides
+    // along as the recall-style check (itself a batched second sweep)
+    "graph_landmark_est" -> ((s, d) =>
+      GraphOps
+        .landmarkEstimate(GraphSource.lineitemEdges(s, d), nLandmarks = 8, rounds = 4)
+        .orderBy(col("u"), col("v"))),
+    // ANF's production read: sketch-only to saturation (changed set
+    // empties → early exit), no exact reach expansion anywhere
+    "graph_eff_diameter" -> ((s, d) =>
+      GraphOps.effectiveDiameter(GraphSource.lineitemEdges(s, d), nSketches = 8, maxRounds = 16)),
     "pagerank_fixed" -> (pagerank _),
     // topic-sensitive variant: teleport mass returns only to the seed set
     "pagerank_personalized" -> ((s, d) =>
@@ -1216,6 +1227,10 @@ object SparkEntry {
     // first-arrival rounds of the batched landmark wave, unrolled
     "graph_landmark_dist" ->
       GraphOps.landmarkDistancesSql(GraphSource.lineitemEdgesSql, nLandmarks = 8, rounds = 4),
+    "graph_landmark_est" ->
+      GraphOps.landmarkEstimateSql(GraphSource.lineitemEdgesSql, nLandmarks = 8, rounds = 4),
+    "graph_eff_diameter" ->
+      GraphOps.effectiveDiameterSql(GraphSource.lineitemEdgesSql, nSketches = 8, maxRounds = 16),
     // degree-ordered orientation mirrored from GraphOps.orientByDegree
     "triangle_count" ->
       s"""WITH edges AS (${GraphSource.lineitemEdgesSql}),

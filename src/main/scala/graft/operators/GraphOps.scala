@@ -850,7 +850,7 @@ object GraphOps {
       }
       .mkString(",\n")
     s"""WITH raw AS ($edgesSql),
-       |e AS (SELECT DISTINCT src, dst FROM raw),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
        |m0 AS (
        |  SELECT id,
@@ -874,11 +874,31 @@ object GraphOps {
     *
     * Per round the newly-reached set is exactly `mask' & ~mask` — the
     * monotone OR makes "first time a bit appears" well-defined — and
-    * those bits join the output with the round number; the mask loop
-    * itself is [[multiSourceBfs]]'s (at scale, its changed-set patch
-    * form applies verbatim). Output: `(id, landmark, dist)`.
+    * those bits join the output with the round number.
+    *
+    * The loop is [[multiSourceBfs]]'s changed-set patch form: only nodes
+    * whose mask GREW last round re-send (OR is idempotent — an unchanged
+    * mask adds nothing), one `bit_or` hash aggregate over those deltas
+    * (map-side partial), and the |V|-row state is patched by a left join
+    * whose delta side shrinks to nothing once the wave passes. That is
+    * the regime this operator exists for — rounds ≈ graph diameter —
+    * where trailing rounds now cost ~zero instead of a full O(|V|+|E|)
+    * re-aggregation each. The changed set doubles as the arrival set:
+    * the per-round first-arrival bits are `mask' & ~mask` of exactly the
+    * patched rows.
+    *
+    * `seedLo` shifts the landmark id range to [seedLo, seedLo+K-1]
+    * (bit k ↔ id seedLo+k): one graph can host several independent
+    * K-sweeps — e.g. [[landmarkEstimate]] seeds a second sweep at the
+    * sample sources to compute its exact-distance check column.
+    * Output: `(id, landmark, dist)` with landmark ∈ [1, K] regardless
+    * of the seed offset.
     */
-  def landmarkDistances(edges: DataFrame, nLandmarks: Int = 8, rounds: Int = 4): DataFrame = {
+  def landmarkDistances(
+      edges: DataFrame,
+      nLandmarks: Int = 8,
+      rounds: Int = 4,
+      seedLo: Long = 1L): DataFrame = {
     require(nLandmarks >= 1 && nLandmarks <= 63, s"nLandmarks in [1,63], got $nLandmarks")
     val session = edges.sparkSession
     val parts = loopPartitions(session, edges.count())
@@ -891,9 +911,10 @@ object GraphOps {
       e.count()
       def ckpt(df: DataFrame): DataFrame =
         org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+      val seedHi = seedLo + nLandmarks - 1
       val seedMask = when(
-        col("id") >= 1 && col("id") <= nLandmarks,
-        expr("CAST(pow(2, id - 1) AS BIGINT)")).otherwise(lit(0L))
+        col("id") >= seedLo && col("id") <= seedHi,
+        expr(s"CAST(pow(2, id - $seedLo) AS BIGINT)")).otherwise(lit(0L))
       var state = ckpt(
         e.select(col("src").as("id"))
           .unionAll(e.select(col("dst").as("id")))
@@ -905,67 +926,179 @@ object GraphOps {
           .filter(expr("(delta >> b) & 1 = 1"))
           .select(col("id"), (col("b") + 1L).as("landmark"), lit(h.toLong).as("dist"))
       var out = arrivals(state.select(col("id"), col("mask").as("delta")), 0)
+      // round-0 changed set = the seeds (their masks went 0 → bit)
+      var changed = state.filter(col("mask") =!= 0L)
       (1 to rounds).foreach { h =>
-        val next = ckpt(
+        val delta = changed
+          .join(e, changed("id") === e("src"))
+          .select(e("dst").as("id"), col("mask"))
+          .groupBy(col("id"))
+          .agg(expr("bit_or(mask)").as("add_mask"))
+        // ONE checkpoint carries next round's three tables — state,
+        // changed set, and this round's arrivals are narrow selections
+        val patched = ckpt(
           state
-            .select(col("id"), col("mask"))
-            .unionAll(
-              state
-                .join(e, state("id") === e("src"))
-                .select(e("dst").as("id"), col("mask")))
-            .groupBy(col("id"))
-            .agg(expr("bit_or(mask)").as("mask2"))
-            .join(state.withColumnRenamed("mask", "old"), Seq("id"))
+            .join(delta, Seq("id"), "left_outer")
             .select(
               col("id"),
-              col("mask2").as("mask"),
-              col("mask2").bitwiseAND(expr("~old")).as("delta")))
-        out = out.unionByName(arrivals(next.filter(col("delta") =!= 0L), h))
-        state = next.select(col("id"), col("mask"))
+              col("mask"),
+              col("mask").bitwiseOR(coalesce(col("add_mask"), lit(0L))).as("mask2")))
+        out = out.unionByName(
+          arrivals(
+            patched
+              .filter(col("mask2") =!= col("mask"))
+              .select(col("id"), col("mask2").bitwiseAND(expr("~mask")).as("delta")),
+            h))
+        state = patched.select(col("id"), col("mask2").as("mask"))
+        changed = patched
+          .filter(col("mask2") =!= col("mask"))
+          .select(col("id"), col("mask2").as("mask"))
       }
       e.unpersist()
       out
     }
   }
 
-  /** [[landmarkDistances]] unrolled: round k's masks OR round k−1's over
-    * the distinct edges, and the arrivals CTE picks the bits in m_k
-    * that are absent from m_{k−1}.
+  /** The mask-round CTE bodies of one landmark sweep, name-prefixed so
+    * two independent sweeps (different seed ranges) can share one `e` /
+    * `nodes` pair in a single oracle query ([[landmarkEstimateSql]]).
+    * Produces `<p>0 … <p>rounds` plus `<p>arr` (the arrivals union).
     */
-  def landmarkDistancesSql(edgesSql: String, nLandmarks: Int = 8, rounds: Int = 4): String = {
+  private def landmarkSweepCtes(
+      p: String,
+      nLandmarks: Int,
+      rounds: Int,
+      seedLo: Long): String = {
+    val seedHi = seedLo + nLandmarks - 1
     val roundCtes = (1 to rounds)
       .map { k =>
-        s"""m$k AS (
+        s"""$p$k AS MATERIALIZED (
            |  SELECT id, bit_or(mask) AS mask FROM (
-           |    SELECT id, mask FROM m${k - 1}
+           |    SELECT id, mask FROM $p${k - 1}
            |    UNION ALL
-           |    SELECT e.dst AS id, m.mask FROM m${k - 1} m JOIN e ON m.id = e.src WHERE m.mask <> 0)
+           |    SELECT e.dst AS id, m.mask FROM $p${k - 1} m JOIN e ON m.id = e.src WHERE m.mask <> 0)
            |  GROUP BY id)""".stripMargin
       }
       .mkString(",\n")
     val arrivals = (0 to rounds)
       .map { h =>
         val delta =
-          if (h == 0) s"SELECT id, mask AS delta FROM m0"
+          if (h == 0) s"SELECT id, mask AS delta FROM ${p}0"
           else
             s"""SELECT a.id, a.mask & ~b.mask AS delta
-               |      FROM m$h a JOIN m${h - 1} b ON b.id = a.id""".stripMargin
-        s"""SELECT id, b + 1 AS landmark, CAST($h AS BIGINT) AS dist
-           |FROM ($delta) d CROSS JOIN (SELECT unnest(range(0, $nLandmarks)) AS b)
-           |WHERE (d.delta >> b) & 1 = 1""".stripMargin
+               |      FROM $p$h a JOIN $p${h - 1} b ON b.id = a.id""".stripMargin
+        s"""  SELECT id, b + 1 AS landmark, CAST($h AS BIGINT) AS dist
+           |  FROM ($delta) d CROSS JOIN (SELECT unnest(range(0, $nLandmarks)) AS b)
+           |  WHERE (d.delta >> b) & 1 = 1""".stripMargin
       }
-      .mkString("\nUNION ALL\n")
-    s"""WITH raw AS ($edgesSql),
-       |e AS (SELECT DISTINCT src, dst FROM raw),
-       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-       |m0 AS (
+      .mkString("\n  UNION ALL\n")
+    s"""${p}0 AS (
        |  SELECT id,
-       |         CASE WHEN id BETWEEN 1 AND $nLandmarks THEN CAST(pow(2, id - 1) AS BIGINT)
+       |         CASE WHEN id BETWEEN $seedLo AND $seedHi THEN CAST(pow(2, id - $seedLo) AS BIGINT)
        |              ELSE CAST(0 AS BIGINT) END AS mask
        |  FROM nodes),
-       |$roundCtes
-       |$arrivals
+       |$roundCtes,
+       |${p}arr AS (
+       |$arrivals)""".stripMargin
+  }
+
+  /** [[landmarkDistances]] unrolled: round k's masks OR round k−1's over
+    * the distinct edges, and the arrivals CTE picks the bits in m_k
+    * that are absent from m_{k−1}.
+    */
+  def landmarkDistancesSql(
+      edgesSql: String,
+      nLandmarks: Int = 8,
+      rounds: Int = 4,
+      seedLo: Long = 1L): String =
+    s"""WITH raw AS ($edgesSql),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |${landmarkSweepCtes("m", nLandmarks, rounds, seedLo)}
+       |SELECT id, landmark, dist FROM marr
        |ORDER BY id, landmark""".stripMargin
+
+  /** The landmark table SERVING, the point of building it: estimate
+    * d(u, v) as `min_L d(L,u) + d(L,v)` — a triangle-inequality upper
+    * bound read from K precomputed columns per node, NO per-query BFS
+    * (Potamias et al., CIKM 2009, "Fast shortest path distance
+    * estimation in large networks"). Runs on the UNDIRECTED closure so
+    * hop distance is a metric and the bound is sound.
+    *
+    * Next to each estimate sits the exact hop distance as the
+    * recall-style check column, computed the same batched way: a SECOND
+    * bitmask sweep seeded at the sample sources ([[landmarkDistances]]
+    * with `seedLo` — d(u, v) for all sampled u at once), so even the
+    * verification column costs one edge join per round, not a BFS per
+    * pair. `exact_dist` is NULL when v is beyond `rounds` hops of u —
+    * est_dist ≥ exact_dist everywhere both are present.
+    *
+    * Scale shape: the sweeps are the batched loops above; the serving
+    * join itself is the production story — `lu` is K·|sample| rows
+    * (broadcast), the per-landmark join fans out |lv| × K rows, and the
+    * min folds in one hash aggregate (map-side partial). At 100 TB the
+    * landmark table is the only big operand and it is probed, never
+    * shuffled.
+    */
+  def landmarkEstimate(
+      edges: DataFrame,
+      nLandmarks: Int = 8,
+      rounds: Int = 4,
+      sampleSeedLo: Long = 9L,
+      vMod: Long = 97L): DataFrame = {
+    val und = edges
+      .select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val lm = landmarkDistances(und, nLandmarks, rounds)
+    val ex = landmarkDistances(und, nLandmarks, rounds, sampleSeedLo)
+    val lu = lm
+      .filter(col("id") >= sampleSeedLo && col("id") <= sampleSeedLo + nLandmarks - 1)
+      .select(col("id").as("u"), col("landmark"), col("dist").as("du"))
+    val lv = lm
+      .filter(pmod(col("id"), lit(vMod)) === 0)
+      .select(col("id").as("v"), col("landmark"), col("dist").as("dv"))
+    val est = lv
+      .join(broadcast(lu), Seq("landmark"))
+      .groupBy(col("u"), col("v"))
+      .agg(min(col("du") + col("dv")).as("est_dist"))
+    val exact = ex
+      .filter(pmod(col("id"), lit(vMod)) === 0)
+      .select(
+        col("id").as("v"),
+        (col("landmark") + lit(sampleSeedLo - 1)).as("u"),
+        col("dist").as("exact_dist"))
+    est
+      .join(exact, Seq("u", "v"), "left_outer")
+      .select(col("u"), col("v"), col("est_dist"), col("exact_dist"))
+  }
+
+  /** [[landmarkEstimate]] mirrored: two [[landmarkSweepCtes]] sweeps
+    * (landmarks at seed 1, sample sources at `sampleSeedLo`) over one
+    * undirected edge CTE, then the est/exact join.
+    */
+  def landmarkEstimateSql(
+      edgesSql: String,
+      nLandmarks: Int = 8,
+      rounds: Int = 4,
+      sampleSeedLo: Long = 9L,
+      vMod: Long = 97L): String = {
+    val sampleHi = sampleSeedLo + nLandmarks - 1
+    s"""WITH raw0 AS ($edgesSql),
+       |raw AS (SELECT src, dst FROM raw0 UNION ALL SELECT dst AS src, src AS dst FROM raw0),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |${landmarkSweepCtes("m", nLandmarks, rounds, 1L)},
+       |${landmarkSweepCtes("x", nLandmarks, rounds, sampleSeedLo)},
+       |lu AS (SELECT id AS u, landmark, dist AS du FROM marr
+       |       WHERE id BETWEEN $sampleSeedLo AND $sampleHi),
+       |lv AS (SELECT id AS v, landmark, dist AS dv FROM marr WHERE id % $vMod = 0),
+       |est AS (SELECT u, v, min(du + dv) AS est_dist FROM lv JOIN lu USING (landmark)
+       |        GROUP BY u, v),
+       |exact AS (SELECT id AS v, landmark + ${sampleSeedLo - 1} AS u, dist AS exact_dist
+       |          FROM xarr WHERE id % $vMod = 0)
+       |SELECT est.u, est.v, est.est_dist, exact.exact_dist
+       |FROM est LEFT JOIN exact ON exact.u = est.u AND exact.v = est.v
+       |ORDER BY est.u, est.v""".stripMargin
   }
 
   /** ANF sketch-permutation offset into the shared [[graft.functions.Parity]]
@@ -995,8 +1128,8 @@ object GraphOps {
     * node v seeds bit `tz(hash_s(v))` (trailing zeros of an LCG hash mod
     * BigP, extracted via `bin()` string arithmetic — no libm); a round
     * ORs each node's masks into its out-neighbors' (the same monotone
-    * propagation as [[multiSourceBfs]] — at scale the changed-mask patch
-    * strategy applies verbatim); after h rounds, node u's mask s holds
+    * propagation as [[multiSourceBfs]], run in its changed-set patch
+    * form — only masks that grew re-send); after h rounds, node u's mask s holds
     * the FM sketch of Ball(u, h), its lowest zero bit read by the
     * `m XOR (m+1)` trick, and u's ball estimate `2^(mean_s R_s)/0.77351`
     * comes from a fixed-point lookup table on `Σ_s R_s` ([[anfLut]]) —
@@ -1082,21 +1215,50 @@ object GraphOps {
       // h = 0 is deliberately NOT emitted: N(0) = |V| exactly, and a
       // 1-node ball sits below the FM estimator's asymptotic regime
       var out: DataFrame = null
+      // changed-set patch rounds, [[multiSourceBfs]]'s form lifted to K
+      // mask columns: only nodes where ANY sketch grew last round
+      // re-send (OR is idempotent per column), the deltas fold through
+      // one K-column bit_or hash aggregate (map-side partial), and the
+      // |V|-row state is patched by a left join whose delta side
+      // shrinks to nothing as the balls saturate — at rounds ≈ diameter
+      // (the effective-diameter regime, [[effectiveDiameter]]) trailing
+      // rounds cost ~zero instead of a full K-column re-aggregation
+      var changed = masks // every seed mask is nonzero — all nodes "grew" at h = 0
+      // the exact side advances by FRONTIER: only pairs first reached
+      // last round can discover new pairs (BFS layering), and the new
+      // pairs are the expansion minus the already-known set (anti join)
+      // — the union never re-distincts the full quadratic reach table
+      var frontier = reach
       (1 to rounds).foreach { h =>
-        val contrib = masks
-          .join(e, masks("id") === e("src"))
+        val delta = changed
+          .join(e, changed("id") === e("src"))
           .select(e("dst").as("id") +: (0 until nSketches).map(s => col(s"m$s")): _*)
-        masks = ckpt(
+          .groupBy(col("id"))
+          .agg(
+            expr("bit_or(m0)").as("a0"),
+            (1 until nSketches).map(s => expr(s"bit_or(m$s)").as(s"a$s")): _*)
+        // ONE checkpoint carries both next-round tables (state + changed)
+        val patched = ckpt(
           masks
-            .unionByName(contrib)
-            .groupBy(col("id"))
-            .agg(
-              expr(s"bit_or(m0)").as("m0"),
-              (1 until nSketches).map(s => expr(s"bit_or(m$s)").as(s"m$s")): _*))
-        val expand = reach
-          .join(e, reach("v") === e("src"))
-          .select(reach("u"), e("dst").as("v"))
-        reach = ckpt(reach.unionByName(expand).distinct())
+            .join(delta, Seq("id"), "left_outer")
+            .select(
+              col("id") +: (0 until nSketches).flatMap(s =>
+                Seq(
+                  col(s"m$s"),
+                  col(s"m$s").bitwiseOR(coalesce(col(s"a$s"), lit(0L))).as(s"n$s"))): _*))
+        masks = patched.select(
+          col("id") +: (0 until nSketches).map(s => col(s"n$s").as(s"m$s")): _*)
+        changed = patched
+          .filter((0 until nSketches).map(s => col(s"n$s") =!= col(s"m$s")).reduce(_ || _))
+          .select(col("id") +: (0 until nSketches).map(s => col(s"n$s").as(s"m$s")): _*)
+        val newPairs = ckpt(
+          frontier
+            .join(e, frontier("v") === e("src"))
+            .select(frontier("u"), e("dst").as("v"))
+            .distinct()
+            .join(reach, Seq("u", "v"), "left_anti"))
+        reach = reach.unionByName(newPairs) // disjoint by construction — still a set
+        frontier = newPairs
         val row = hRow(h, masks, reach)
         out = if (out == null) row else out.unionByName(row)
       }
@@ -1161,7 +1323,7 @@ object GraphOps {
       }
       .mkString("\nUNION ALL\n")
     s"""WITH raw AS ($edgesSql),
-       |e AS (SELECT DISTINCT src, dst FROM raw),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
        |h0 AS (SELECT id, $hashes FROM nodes),
        |b0 AS (SELECT id, $seedMasks FROM h0),
@@ -1170,6 +1332,197 @@ object GraphOps {
        |$reachRounds
        |$hRows
        |ORDER BY h""".stripMargin
+  }
+
+  /** Effective diameter — [[anf]]'s PRODUCTION read (Palmer et al., KDD
+    * 2002 §4): run ONLY the sketch side to saturation and report the
+    * smallest h with `N(h) ≥ 0.9 · N(∞)` — the hop count within which
+    * 90% of reachable pairs connect. No exact `reach` expansion
+    * anywhere: the quadratic verification column that bounds [[anf]]'s
+    * harness rounds is exactly what this entry point exists to avoid,
+    * which is what makes h = diameter affordable at 100 TB (K longs per
+    * node, one delta join per round).
+    *
+    * Runs on the UNDIRECTED closure (the standard effective-diameter
+    * setting; the directed lineitem graph is bipartite with sinks, so
+    * its directed balls saturate at h = 1). The loop is the
+    * changed-set patch form: after the wave passes, the changed set
+    * empties, remaining rounds cost ~zero, and the loop EXITS early —
+    * convergence detected on the (checkpointed, already-materialized)
+    * changed table, the [[anf]] analogue of SSSP's A4 counter. Early
+    * exit is result-identical to running all `maxRounds`: an empty
+    * changed set means every later N(h) equals N(h_c), so the min-h
+    * readout and N(∞) are unchanged — which is why the fixed-round
+    * oracle hash-matches whatever round the loop stops at.
+    *
+    * Output: ONE row `(eff_h, n_pairs_est_at_h, n_pairs_est_inf)` —
+    * all exact 64-bit integer arithmetic ([[anfLut]] fixed point), so
+    * the row is bit-identical cross-engine.
+    */
+  def effectiveDiameter(
+      edges: DataFrame,
+      nSketches: Int = 8,
+      maxRounds: Int = 16,
+      permille: Int = 900): DataFrame = {
+    require(nSketches >= 1 && nSketches <= 16, s"nSketches in [1,16], got $nSketches")
+    val session = edges.sparkSession
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      val e = edges
+        .select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      def ckpt(df: DataFrame): DataFrame =
+        org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+      val nodes = e
+        .select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+        .distinct()
+      import graft.functions.Parity
+      val hashCols = (0 until nSketches).map { s =>
+        ((lit(Parity.permA(AnfPermOff + s)) * (col("id") % lit(Parity.BigP)) +
+          lit(Parity.permB(AnfPermOff + s))) % lit(Parity.BigP)).as(s"h$s")
+      }
+      val rhoCols = (0 until nSketches).map { s =>
+        when(col(s"h$s") === 0L, lit(31L))
+          .otherwise(length(bin(col(s"h$s"))) - length(rtrim(bin(col(s"h$s")), "0")))
+          .cast("long")
+          .as(s"rho$s")
+      }
+      val maskInit = (0 until nSketches).map(s =>
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(rho$s AS INT))").as(s"m$s"))
+      var masks = ckpt(
+        nodes
+          .select(col("id") +: hashCols: _*)
+          .select(col("id") +: rhoCols: _*)
+          .select(col("id") +: maskInit: _*))
+      val rSum = (0 until nSketches)
+        .map(s => expr(s"CAST(length(bin(m$s ^ (m$s + 1))) - 1 AS BIGINT)"))
+        .reduce(_ + _)
+      val lutArr = array(anfLut(nSketches).map(lit(_)): _*)
+      // the per-h estimate row: one narrow O(|V|) readout aggregate —
+      // the operator's OUTPUT, not loop state
+      def estRow(h: Int, m: DataFrame): DataFrame =
+        m.select(element_at(lutArr, (rSum + 1L).cast("int")).as("b"))
+          .agg(sum(col("b")).as("s"))
+          .select(
+            lit(h.toLong).as("h"),
+            (expr("s div 77351") * 100L + expr("((s % 77351) * 100) div 77351")).as("n"))
+      var ests: DataFrame = null
+      var changed = masks
+      var h = 0
+      var converged = false
+      while (h < maxRounds && !converged) {
+        h += 1
+        val delta = changed
+          .join(e, changed("id") === e("src"))
+          .select(e("dst").as("id") +: (0 until nSketches).map(s => col(s"m$s")): _*)
+          .groupBy(col("id"))
+          .agg(
+            expr("bit_or(m0)").as("a0"),
+            (1 until nSketches).map(s => expr(s"bit_or(m$s)").as(s"a$s")): _*)
+        val patched = ckpt(
+          masks
+            .join(delta, Seq("id"), "left_outer")
+            .select(
+              col("id") +: (0 until nSketches).flatMap(s =>
+                Seq(
+                  col(s"m$s"),
+                  col(s"m$s").bitwiseOR(coalesce(col(s"a$s"), lit(0L))).as(s"n$s"))): _*))
+        masks = patched.select(
+          col("id") +: (0 until nSketches).map(s => col(s"n$s").as(s"m$s")): _*)
+        changed = patched
+          .filter((0 until nSketches).map(s => col(s"n$s") =!= col(s"m$s")).reduce(_ || _))
+          .select(col("id") +: (0 until nSketches).map(s => col(s"n$s").as(s"m$s")): _*)
+        val row = estRow(h, masks)
+        ests = if (ests == null) row else ests.unionByName(row)
+        converged = changed.isEmpty
+      }
+      e.unpersist()
+      // N(∞) = the last recorded estimate (monotone masks → monotone N);
+      // the readout is a handful of 1-row aggregates over ≤ maxRounds rows
+      val nInf = ests
+        .agg(max(struct(col("h"), col("n"))).as("top"))
+        .select(col("top.n").as("n_inf"))
+      ests
+        .crossJoin(nInf)
+        .filter(col("n") * lit(1000L) >= col("n_inf") * lit(permille.toLong))
+        .agg(min(col("h")).as("eff_h"))
+        .join(
+          ests.select(col("h").as("eff_h"), col("n").as("n_pairs_est_at_h")),
+          Seq("eff_h"))
+        .crossJoin(nInf.select(col("n_inf").as("n_pairs_est_inf")))
+        .select(col("eff_h"), col("n_pairs_est_at_h"), col("n_pairs_est_inf"))
+    }
+  }
+
+  /** [[effectiveDiameter]] mirrored, fixed rounds: the oracle unrolls
+    * all `maxRounds` mask CTEs (no early exit in SQL — the estimates
+    * are constant past convergence, so the readout agrees with the
+    * loop's whenever it stops). Same undirected closure, same
+    * fixed-point estimator text as [[anfSql]].
+    */
+  def effectiveDiameterSql(
+      edgesSql: String,
+      nSketches: Int = 8,
+      maxRounds: Int = 16,
+      permille: Int = 900): String = {
+    import graft.functions.Parity
+    val ss = 0 until nSketches
+    val hashes = ss
+      .map(s =>
+        s"(${Parity.permA(AnfPermOff + s)} * (id % ${Parity.BigP}) + " +
+          s"${Parity.permB(AnfPermOff + s)}) % ${Parity.BigP} AS h$s")
+      .mkString(", ")
+    val seedMasks = ss
+      .map(s =>
+        s"CAST(1 AS BIGINT) << (CASE WHEN h$s = 0 THEN 31 " +
+          s"ELSE length(bin(h$s)) - length(rtrim(bin(h$s), '0')) END) AS m$s")
+      .mkString(", ")
+    val mCols = ss.map(s => s"m$s").mkString(", ")
+    val orAgg = ss.map(s => s"bit_or(m$s) AS m$s").mkString(", ")
+    // MATERIALIZED: each round CTE references the previous one TWICE, so
+    // DuckDB's default CTE inlining would expand the scan 2^maxRounds
+    // times ("Too many open files" at 16 rounds); materializing each
+    // round is also exactly the loop's execution shape
+    val maskRounds = (1 to maxRounds)
+      .map { k =>
+        s"""b$k AS MATERIALIZED (
+           |  SELECT id, $orAgg FROM (
+           |    SELECT id, $mCols FROM b${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS id, $mCols FROM b${k - 1} m JOIN e ON m.id = e.src)
+           |  GROUP BY id)""".stripMargin
+      }
+      .mkString(",\n")
+    val rSumSql = ss
+      .map(s => s"(length(bin(xor(m$s, m$s + 1))) - 1)")
+      .mkString(" + ")
+    val lutSql = anfLut(nSketches).mkString("[", ", ", "]")
+    val sumSql = s"CAST(sum($lutSql[($rSumSql) + 1]) AS BIGINT)"
+    val estRows = (1 to maxRounds)
+      .map(k =>
+        s"""  SELECT $k AS h, ($sumSql // 77351) * 100 +
+           |         (($sumSql % 77351) * 100) // 77351 AS n FROM b$k""".stripMargin)
+      .mkString("\n  UNION ALL\n")
+    s"""WITH raw0 AS ($edgesSql),
+       |raw AS (SELECT src, dst FROM raw0 UNION ALL SELECT dst AS src, src AS dst FROM raw0),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT id, $hashes FROM nodes),
+       |b0 AS (SELECT id, $seedMasks FROM h0),
+       |$maskRounds,
+       |ests AS MATERIALIZED (
+       |$estRows),
+       |ninf AS (SELECT n AS n_inf FROM ests WHERE h = $maxRounds),
+       |eff AS (SELECT min(h) AS eff_h FROM ests, ninf WHERE n * 1000 >= n_inf * $permille)
+       |SELECT CAST(eff.eff_h AS BIGINT) AS eff_h,
+       |       CAST((SELECT n FROM ests WHERE h = eff.eff_h) AS BIGINT) AS n_pairs_est_at_h,
+       |       CAST(ninf.n_inf AS BIGINT) AS n_pairs_est_inf
+       |FROM eff, ninf""".stripMargin
   }
 
   /** Synchronous label-propagation community detection (Raghavan et al.
