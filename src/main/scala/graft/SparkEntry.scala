@@ -478,6 +478,22 @@ object SparkEntry {
     "ann_ivfpq_topk" -> ((s, d) =>
       Similarity.ivfpqTopK(embs(s, d), nQueries = 50, k = 3, nProbe = 3)
         .orderBy(col("q_id"), col("rank"))),
+    // PQ train-once/apply-many: the per-subspace codebooks staged as a
+    // parquet artifact; the returned ADC plan only READS them (codebook
+    // scan + corpus scan — no Lloyd stage in the plan)
+    "ann_pq_stored" -> ((s, d) => {
+      val model = Similarity.writePqModel(s, embs(s, d))
+      Similarity.pqStoredTopK(s, embs(s, d), model, nQueries = 50, k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+    // both artifacts stored — coarse quantizer + codebooks: the complete
+    // production ANN serving plan, zero training stages
+    "ann_ivfpq_stored" -> ((s, d) => {
+      val ivf = Similarity.writeIvfModel(s, embs(s, d))
+      val pq = Similarity.writePqModel(s, embs(s, d))
+      Similarity.ivfpqStoredTopK(s, embs(s, d), ivf, pq, nQueries = 50, k = 3, nProbe = 3)
+        .orderBy(col("q_id"), col("rank"))
+    }),
     // text analysis
     "text_lang_id" -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
@@ -1415,6 +1431,36 @@ object SparkEntry {
        |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** IVF-PQ oracle (nQueries=50, k=3, nProbe=3) — shared by
+    * `ann_ivfpq_topk` and `ann_ivfpq_stored` (same rationale as
+    * [[ivfTrainedOracleSql]]).
+    */
+  private def ivfpqOracleSql: String = {
+    val last = s"c${Similarity.KmeansIters}"
+    s"""WITH $kmeansCtes,
+       |$pqCtes,
+       |sc_ivf AS (SELECT v.vec_id, c.cid, ${kmeansScoreSql("v.ei", "c.c")} AS ccos
+       |           FROM d v CROSS JOIN $last c),
+       |rc_ivf AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |           FROM sc_ivf),
+       |pairs_ivf AS (
+       |  SELECT p.q_id, a.n_id
+       |  FROM (SELECT vec_id AS q_id, cid FROM rc_ivf WHERE vec_id < 50 AND rn <= 3) p
+       |  JOIN (SELECT vec_id AS n_id, cid FROM rc_ivf WHERE rn = 1) a USING (cid)
+       |  WHERE p.q_id <> a.n_id),
+       |ivfpq_scored AS (
+       |  SELECT r.q_id, r.n_id,
+       |         round(sum(q.qdot) / sqrt(sum(q.cnorm) + CAST(1 AS DOUBLE)), 6) AS adc
+       |  FROM pairs_ivf r
+       |  JOIN pq_codes c ON c.n_id = r.n_id
+       |  JOIN pq_qtab q ON q.q_id = r.q_id AND q.m = c.m AND q.code = c.code
+       |  GROUP BY r.q_id, r.n_id),
+       |ivfpq_ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS INT) AS rank
+       |  FROM ivfpq_scored)
+       |SELECT q_id, n_id, adc, rank FROM ivfpq_ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** The unrolled Lloyd CTE chain over a contiguous embedding slice
     * (`[lo0+1 .. lo0+dim]`, full vector when sfx is empty) with every CTE
     * name suffixed — lets the PQ oracle train one codebook per subspace
@@ -1926,31 +1972,17 @@ object SparkEntry {
       "ann_pq_topk" ->
         s"""WITH $pqCtes
            |SELECT q_id, n_id, adc, rank FROM pq_ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
-      "ann_ivfpq_topk" -> {
-        val last = s"c${Similarity.KmeansIters}"
-        s"""WITH $kmeansCtes,
-           |$pqCtes,
-           |sc_ivf AS (SELECT v.vec_id, c.cid, ${kmeansScoreSql("v.ei", "c.c")} AS ccos
-           |           FROM d v CROSS JOIN $last c),
-           |rc_ivf AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-           |           FROM sc_ivf),
-           |pairs_ivf AS (
-           |  SELECT p.q_id, a.n_id
-           |  FROM (SELECT vec_id AS q_id, cid FROM rc_ivf WHERE vec_id < 50 AND rn <= 3) p
-           |  JOIN (SELECT vec_id AS n_id, cid FROM rc_ivf WHERE rn = 1) a USING (cid)
-           |  WHERE p.q_id <> a.n_id),
-           |ivfpq_scored AS (
-           |  SELECT r.q_id, r.n_id,
-           |         round(sum(q.qdot) / sqrt(sum(q.cnorm) + CAST(1 AS DOUBLE)), 6) AS adc
-           |  FROM pairs_ivf r
-           |  JOIN pq_codes c ON c.n_id = r.n_id
-           |  JOIN pq_qtab q ON q.q_id = r.q_id AND q.m = c.m AND q.code = c.code
-           |  GROUP BY r.q_id, r.n_id),
-           |ivfpq_ranked AS (
-           |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS INT) AS rank
-           |  FROM ivfpq_scored)
-           |SELECT q_id, n_id, adc, rank FROM ivfpq_ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
-      },
+      "ann_ivfpq_topk" -> ivfpqOracleSql,
+      // both stored artifacts are the same deterministic k-means tables
+      // written then read — the serving result is bit-identical to the
+      // train-inline composition
+      "ann_ivfpq_stored" -> ivfpqOracleSql,
+      // the stored-model ADC/probe paths are result-identical to the
+      // train-inline ones: the artifacts are the SAME deterministic
+      // k-means codebooks, written then read (the ann_ivf_stored pattern)
+      "ann_pq_stored" ->
+        s"""WITH $pqCtes
+           |SELECT q_id, n_id, adc, rank FROM pq_ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
       "ann_pq_recall" ->
         s"""WITH $pqCtes,
            |de AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -568,6 +568,18 @@ object Similarity {
   private def pqCodesAndLut(embs: DataFrame, nQueries: Int): (DataFrame, DataFrame) = {
     val dsub = Phys.materialized(subspaced(intEmb(embs).select(col("vec_id"), col("ei"))))
     val cent = Phys.materialized(kmeansFixedKeyed(dsub, PqCells, KmeansIters))
+    codesAndLutFrom(dsub, cent, nQueries)
+  }
+
+  /** Encode + LUT against a GIVEN codebook table — the apply half of the
+    * PQ index, shared by the train-inline path and the stored-model
+    * serving path. The codebook is m × [[PqCells]] rows — broadcast on
+    * both uses, never shuffled.
+    */
+  private def codesAndLutFrom(
+      dsub: DataFrame,
+      cent: DataFrame,
+      nQueries: Int): (DataFrame, DataFrame) = {
     val codes = argmaxCell(
       dsub
         .join(broadcast(cent), Seq("m"))
@@ -591,8 +603,41 @@ object Similarity {
     (codes, qtab)
   }
 
-  def pqTopK(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val (codes, qtab) = pqCodesAndLut(embs, nQueries)
+  /** Train once, persist the PQ quantizer: the [[kmeansFixedKeyed]]
+    * per-subspace codebooks written as a parquet artifact — (m, cid, c),
+    * [[PqM]]·[[PqCells]] tiny rows, the [[writeIvfModel]] pattern for
+    * the product quantizer. Storing it decouples the [[PqM]] Lloyd
+    * chains from every future encode/ADC job.
+    */
+  def writePqModel(spark: org.apache.spark.sql.SparkSession, embs: DataFrame): String = {
+    val dir = graft.sources.Staging.freshDir("pq-model")
+    val dsub = Phys.materialized(subspaced(intEmb(embs).select(col("vec_id"), col("ei"))))
+    kmeansFixedKeyed(dsub, PqCells, KmeansIters)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** The production ADC scan over a STORED product quantizer: read the
+    * codebook artifact, encode the corpus and build the query LUT
+    * against it (both broadcast probes), rank by ADC — no Lloyd stage
+    * anywhere in the plan. Together with [[writePqModel]] this completes
+    * train-once/apply-many for the PQ family.
+    */
+  def pqStoredTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      embs: DataFrame,
+      modelDir: String,
+      nQueries: Int,
+      k: Int): DataFrame = {
+    val dsub = Phys.materialized(subspaced(intEmb(embs).select(col("vec_id"), col("ei"))))
+    val (codes, qtab) = codesAndLutFrom(dsub, spark.read.parquet(modelDir), nQueries)
+    adcRank(codes, qtab, k)
+  }
+
+  /** Full-scan ADC ranking of (codes, LUT) — the scoring tail shared by
+    * [[pqTopK]] and [[pqStoredTopK]].
+    */
+  private def adcRank(codes: DataFrame, qtab: DataFrame, k: Int): DataFrame = {
     // approximate cosine: Σ_m dot(q_m, c_m) / sqrt(Σ_m |c_m|² + 1); the
     // +1 micro-unit² regularizer (mirrored in the oracle) keeps an
     // all-zero reconstruction finite and is negligible against real
@@ -609,6 +654,11 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("adc"), col("rank"))
+  }
+
+  def pqTopK(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val (codes, qtab) = pqCodesAndLut(embs, nQueries)
+    adcRank(codes, qtab, k)
   }
 
   /** Measured recall@k of [[pqTopK]] against brute force — 56-bit codes
@@ -635,8 +685,42 @@ object Similarity {
     * probing several cells never duplicates a (query, candidate) pair —
     * no DISTINCT needed on either engine.
     */
-  def ivfpqTopK(embs: DataFrame, nQueries: Int, k: Int, nProbe: Int): DataFrame = {
-    val cents = kmeansFixed(embs)
+  def ivfpqTopK(embs: DataFrame, nQueries: Int, k: Int, nProbe: Int): DataFrame =
+    ivfpqWith(embs, kmeansFixed(embs), pqCodesAndLut(embs, nQueries), nQueries, k, nProbe)
+
+  /** IVF-PQ over STORED artifacts — both the coarse quantizer
+    * ([[writeIvfModel]]) and the per-subspace codebooks
+    * ([[writePqModel]]) read from parquet: the serving plan assigns,
+    * probes, encodes, and ADC-ranks with zero Lloyd stages. This is the
+    * complete production ANN shape at 100 TB: every model operand is a
+    * broadcast-sized artifact scan, the corpus crosses the plan once
+    * for assignment and once for encoding.
+    */
+  def ivfpqStoredTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      embs: DataFrame,
+      ivfModelDir: String,
+      pqModelDir: String,
+      nQueries: Int,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val dsub = Phys.materialized(subspaced(intEmb(embs).select(col("vec_id"), col("ei"))))
+    ivfpqWith(
+      embs,
+      spark.read.parquet(ivfModelDir),
+      codesAndLutFrom(dsub, spark.read.parquet(pqModelDir), nQueries),
+      nQueries,
+      k,
+      nProbe)
+  }
+
+  private def ivfpqWith(
+      embs: DataFrame,
+      cents: DataFrame,
+      codesQtab: (DataFrame, DataFrame),
+      nQueries: Int,
+      k: Int,
+      nProbe: Int): DataFrame = {
     val cellScores = intEmb(embs)
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), cellScore(col("ei"), col("c")).as("ccos"))
@@ -648,7 +732,7 @@ object Similarity {
       .join(rankedCells.filter(col("rn") === 1).select(col("vec_id").as("n_id"), col("cid")), Seq("cid"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
-    val (codes, qtab) = pqCodesAndLut(embs, nQueries)
+    val (codes, qtab) = codesQtab
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
     pairs
       .join(codes, Seq("n_id"))

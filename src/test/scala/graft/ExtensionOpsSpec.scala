@@ -319,6 +319,37 @@ class ExtensionOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("stored-PQ ADC follows the artifact — trains nothing, reads the codebooks") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val embs = model.table(spark, "/root/testdata/sf0.001", "embeddings")
+    // 1) the persisted codebooks reproduce the train-inline path bit-for-bit
+    val modelDir = Similarity.writePqModel(spark, embs)
+    val trained = Similarity.pqTopK(embs, nQueries = 20, k = 3)
+      .orderBy(col("q_id"), col("rank")).collect()
+    val stored = Similarity.pqStoredTopK(spark, embs, modelDir, nQueries = 20, k = 3)
+      .orderBy(col("q_id"), col("rank")).collect()
+    assert(stored === trained)
+    // 2) overwrite the artifact with ONE degenerate centroid per
+    // subspace: if the ADC read the codebooks (and did not silently
+    // retrain), every candidate reconstructs identically, every ADC
+    // score ties, and ranking collapses to the n_id tie-break — the
+    // k smallest non-self ids per query, a result no 128-cell retrain
+    // could produce
+    val oneCode = (0 until Similarity.PqM)
+      .map(m => (m, 0L, Array.fill(Similarity.PqSubDim)(1L)))
+      .toDF("m", "cid", "c")
+    oneCode.coalesce(1).write.mode("overwrite").parquet(modelDir)
+    val degr = Similarity.pqStoredTopK(spark, embs, modelDir, nQueries = 5, k = 3)
+      .select(col("q_id"), col("n_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    (0L until 5L).foreach { q =>
+      val expect = (0L until 4L).filter(_ != q).take(3).toSet
+      assert(degr(q) === expect, s"query $q should tie-break to the smallest ids")
+    }
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("pqTopK: full per-query k, deterministic, and recall floored") {
     import graft.operators.Similarity
     val embs = model.table(spark, "/root/testdata/sf0.001", "embeddings")

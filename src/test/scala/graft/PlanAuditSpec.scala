@@ -361,6 +361,17 @@ class PlanAuditSpec extends SparkSpec {
     // stays cartesian-free like every other ANN path.
     val ivfPlan = planOf(SparkEntry.queries("ann_ivf_stored")(spark, dir))
     assert(!ivfPlan.contains("CartesianProduct"), s"cartesian in stored probe:\n$ivfPlan")
+    // ann_pq_stored / ann_ivfpq_stored: the codebook artifacts fold in
+    // as broadcast scans; no Lloyd feedback loop means no posexplode-fed
+    // centroid-mean aggregate anywhere in the serving plan (the
+    // no-retrain property itself is pinned behaviorally in
+    // ExtensionOpsSpec "stored-PQ ADC follows the artifact")
+    val pqPlan = planOf(SparkEntry.queries("ann_pq_stored")(spark, dir))
+    assert(!pqPlan.contains("CartesianProduct"), s"cartesian in stored ADC:\n$pqPlan")
+    assert(!pqPlan.contains("posexplode"), s"Lloyd centroid-mean stage in stored ADC:\n$pqPlan")
+    val ivfpqPlan = planOf(SparkEntry.queries("ann_ivfpq_stored")(spark, dir))
+    assert(!ivfpqPlan.contains("CartesianProduct"), s"cartesian in stored IVF-PQ:\n$ivfpqPlan")
+    assert(!ivfpqPlan.contains("posexplode"), s"Lloyd centroid-mean stage in stored IVF-PQ:\n$ivfpqPlan")
     graft.sources.Staging.cleanup(spark)
   }
 
