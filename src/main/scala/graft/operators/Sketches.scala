@@ -354,6 +354,12 @@ object Sketches {
     val m = HllM
     val num = HllAlpha1e4 * m * m * (1L << ProfRMax)
     val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+    // INVARIANT: every profiled column must be integral-valued.
+    // CAST(DECIMAL AS BIGINT) truncates toward zero in Spark but rounds
+    // half-up in DuckDB — parity for l_quantity holds only because
+    // TPC-H quantities are whole numbers. A non-integral column added
+    // here must be wrapped CAST(round(c) AS BIGINT) on BOTH engines
+    // (or profiled at a fixed-point scale) before it can be hashed.
     val stackArgs = cols.map(c => s"'$c', CAST($c AS BIGINT)").mkString(", ")
     val kv = lineitem.selectExpr(s"stack(${cols.length}, $stackArgs) AS (col, v)")
     val hashed = kv.select(col("col"), col("v"), mixCol(col("v")).as("h"))

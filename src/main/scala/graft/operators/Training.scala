@@ -246,8 +246,13 @@ object Training {
           sum(expr(s"CAST(round($r * x1 * 1000000) AS BIGINT)")).as("g1"),
           sum(expr(s"CAST(round($r * x2 * 1000000) AS BIGINT)")).as("g2"))
         .head()
+      // MicroInts.round0 (HALF_UP), NOT math.round: Scala's math.round
+      // is half-toward-+infinity, which disagrees with Spark SQL round()
+      // and DuckDB round() (both half away from zero) on negative .5
+      // means — a signed mean gradient landing exactly on one would
+      // silently de-sync the trained weights from the oracle
       w = w.zipWithIndex.map { case (wj, j) =>
-        wj - math.round(g.getLong(j).toDouble / (LogregLrDen * n))
+        wj - graft.functions.MicroInts.round0(g.getLong(j).toDouble / (LogregLrDen * n))
       }
     }
     w
