@@ -2,22 +2,32 @@ package graft
 import org.apache.spark.sql.SparkSession
 import scala.jdk.CollectionConverters._
 
-/** Fresh-JVM arbiter for [[Bench]]: a long bench session's JIT profile
-  * decays at the shared interpreted-eval call sites (see PERF_NOTES
-  * rounds 6–7), inflating late measurements in ways the same process
-  * cannot undo — so the trustworthy re-measurement runs in a CHILD JVM
-  * that inherits the parent's classpath, module flags, and heap. Each
-  * query runs twice (first execution pays residual session warmup);
-  * the warm rep is reported, matching the judge's standalone
-  * methodology.
+/** Fresh-JVM measurement child for [[Bench]]: a long bench session's
+  * JIT profile decays at the shared interpreted-eval call sites (see
+  * PERF_NOTES rounds 6–7), inflating late measurements in ways the
+  * same process cannot undo — so trustworthy numbers come from CHILD
+  * JVMs that inherit the parent's classpath and module flags.
+  *
+  * Two modes:
+  *  - `sweep`: one timed rep per query after the shared session warmup
+  *    — the chunked-sweep unit. Splitting the ~140-query sweep across a
+  *    few children bounds how much JIT decay any one measurement can
+  *    accumulate, so the PUBLISHED per-query map is trustworthy, not
+  *    just the arbiter's top-10.
+  *  - `min2`: one untimed + two timed reps, min reported — the arbiter
+  *    re-measurement for the slowest queries, matching the judge's
+  *    warm-rep standalone methodology.
   */
 object ArbiterChild {
 
-  /** Child entry: `ArbiterChild <sfDir> <cpus> <query>...` — prints one
-    * `[arbiter] <name> <sec>` line per query.
+  /** Child entry: `ArbiterChild <sfDir> <cpus> <mode> <query>...` —
+    * prints one `[arbiter] <name> <sec>` line per query (`-1` for a
+    * query that threw, so a broken query never looks fast), and a
+    * final `[loadmax] <v>` line (worst 1-min load sampled between
+    * queries — the parent folds it into the published load_max).
     */
   def main(args: Array[String]): Unit = {
-    val (sfDir, cpus, names) = (args(0), args(1), args.drop(2))
+    val (sfDir, cpus, mode, names) = (args(0), args(1), args(2), args.drop(3))
     // the child's whole reason to exist is clean numbers — if the host
     // is loaded (the sweep may have ended inside an ambient spike, as
     // r7's did), wait briefly for it to pass before measuring
@@ -32,8 +42,8 @@ object ArbiterChild {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // same untimed session warmup as the sweep (JIT, codegen, parquet
-    // footers, checkpoint machinery)
+    // same untimed session warmup as the old in-process sweep (JIT,
+    // codegen compiler, parquet footers, checkpoint machinery)
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .groupBy("l_returnflag").count().count()
     try SparkEntry.queries("sssp_one_round")(spark, sfDir).count()
@@ -44,43 +54,67 @@ object ArbiterChild {
       sources.Staging.cleanup(spark)
     }
     freeAll()
+    var loadMax = loadAvg
     names.foreach { name =>
       try {
-        // one untimed + two timed reps, report the min: plan-heavy
-        // queries (40+ jobs of driver-side Catalyst work) need more
-        // than one rep before the planner itself is JIT-warm —
-        // measured 15 s → 5 s between rep 2 and rep 3 on ivfpq
-        SparkEntry.queries(name)(spark, sfDir).count()
-        freeAll()
-        val dts = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, sfDir).count()
-          val dt = (System.nanoTime() - t0) / 1e9
-          freeAll()
-          dt
+        val dts = mode match {
+          case "min2" =>
+            // one untimed + two timed reps, report the min: plan-heavy
+            // queries (40+ jobs of driver-side Catalyst work) need more
+            // than one rep before the planner itself is JIT-warm —
+            // measured 15 s → 5 s between rep 2 and rep 3 on ivfpq
+            SparkEntry.queries(name)(spark, sfDir).count()
+            freeAll()
+            (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              SparkEntry.queries(name)(spark, sfDir).count()
+              val dt = (System.nanoTime() - t0) / 1e9
+              freeAll()
+              dt
+            }
+          case _ =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, sfDir).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            freeAll()
+            Seq(dt)
         }
+        loadMax = math.max(loadMax, loadAvg)
         println(f"[arbiter] $name ${dts.min}%.3f")
       } catch {
-        case e: Throwable => System.err.println(s"[arbiter] $name failed: $e")
+        case e: Throwable =>
+          System.err.println(s"[arbiter] $name failed: $e")
+          println(s"[arbiter] $name -1")
       }
     }
+    println(f"[loadmax] $loadMax%.3f")
     spark.stop()
   }
 
-  /** Fork the child against the parent's own classpath/flags; None on
-    * any failure (spawn error, nonzero exit, 15-min cap) so the caller
-    * can fall back.
+  /** One chunk's child results: per-query seconds (−1 = query threw)
+    * plus the worst ambient load the child saw.
     */
-  def runInChild(sfDir: String, cpus: String, names: Seq[String]): Option[Map[String, Double]] =
-    if (names.isEmpty) Some(Map.empty)
+  final case class ChildResult(times: Map[String, Double], loadMax: Double)
+
+  /** Fork the child against the parent's own classpath/flags; None on
+    * any failure (spawn error, nonzero exit, timeout cap) so the
+    * caller can fall back.
+    */
+  def runInChild(
+      sfDir: String,
+      cpus: String,
+      names: Seq[String],
+      mode: String = "min2",
+      timeoutMin: Long = 15): Option[ChildResult] =
+    if (names.isEmpty) Some(ChildResult(Map.empty, 0.0))
     else
       try {
         val javaBin = java.nio.file.Paths
           .get(System.getProperty("java.home"), "bin", "java")
           .toString
-        // module --add-opens flags and heap come from the parent's own
-        // JVM args (sbt sets them; a bare child would fail on Spark's
-        // reflective accesses)
+        // module --add-opens flags come from the parent's own JVM args
+        // (sbt sets them; a bare child would fail on Spark's reflective
+        // accesses)
         val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
           .filter(a =>
             a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
@@ -97,7 +131,7 @@ object ArbiterChild {
           case None => "-Xmx32g"
         }
         val cmd = Seq(javaBin) ++ inherited ++ Seq(childXmx) ++
-          Seq("-cp", System.getProperty("java.class.path"), "graft.ArbiterChild", sfDir, cpus) ++
+          Seq("-cp", System.getProperty("java.class.path"), "graft.ArbiterChild", sfDir, cpus, mode) ++
           names
         // both streams to files: an unread pipe would fill and deadlock
         // the child, and reading inline would defeat the waitFor cap
@@ -107,22 +141,27 @@ object ArbiterChild {
         pb.redirectOutput(outFile)
         pb.redirectError(errFile)
         val proc = pb.start()
-        val done = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+        val done = proc.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)
         try {
-          // a systematically failing child silently degrades "arbiter" to
+          // a systematically failing child silently degrades the bench to
           // the in-process numbers the whole redesign distrusts — so a
           // failure must never be quiet: surface the child's stderr tail
           // before falling back
-          if (!done) { proc.destroyForcibly(); dumpErr("timeout after 15 min", errFile); None }
+          if (!done) { proc.destroyForcibly(); dumpErr(s"timeout after $timeoutMin min", errFile); None }
           else if (proc.exitValue() != 0) {
             dumpErr(s"exit ${proc.exitValue()}", errFile); None
-          } else
-            Some(
-              java.nio.file.Files.readString(outFile.toPath).linesIterator
-                .filter(_.startsWith("[arbiter] "))
-                .map(_.stripPrefix("[arbiter] ").split(' '))
-                .collect { case Array(n, t) => n -> t.toDouble }
-                .toMap)
+          } else {
+            val lines = java.nio.file.Files.readString(outFile.toPath).linesIterator.toSeq
+            val times = lines
+              .filter(_.startsWith("[arbiter] "))
+              .map(_.stripPrefix("[arbiter] ").split(' '))
+              .collect { case Array(n, t) => n -> t.toDouble }
+              .toMap
+            val lm = lines
+              .collectFirst { case l if l.startsWith("[loadmax] ") => l.stripPrefix("[loadmax] ").toDouble }
+              .getOrElse(0.0)
+            Some(ChildResult(times, lm))
+          }
         } finally { outFile.delete(); errFile.delete(); () }
       } catch { case e: Throwable => System.err.println(s"[arbiter] child failed: $e"); None }
 
