@@ -15,6 +15,13 @@ object Bench {
   /** Queries re-measured standalone after the sweep. */
   val ArbiterN = 10
 
+  /** Child JVMs the sweep is split across: bounds how much JIT-profile
+    * decay any one published per-query time can accumulate (measured r7:
+    * a ~130-query single-JVM session inflated late queries 5×; a fresh
+    * child recovers them).
+    */
+  val SweepChunks = 4
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,39 +37,38 @@ object Bench {
       loadWaitSec += 30
       loadStart = loadAvg
     }
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    var loadMax = loadStart
+    // Parent Spark session exists ONLY as the in-process fallback when a
+    // child JVM fails to spawn — the sweep itself runs in fresh children
+    // so the published numbers never come from a JIT-polluted session.
+    // Lazy so the common all-children-succeed path never starts it.
+    var sparkStarted = false
+    lazy val spark: SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // Untimed session warmup: JIT, codegen compiler, parquet footer
+      // cache, AND the checkpoint/loop machinery — the first loop query
+      // in a cold JVM otherwise pays ~9 s of process init, not query cost
+      s.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+        .groupBy("l_returnflag").count().count()
+      try SparkEntry.queries("sssp_one_round")(s, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+      sparkStarted = true
+      s
+    }
+    // ALL blocks freed between queries — clearCache() alone misses
+    // localCheckpoint RDD blocks, which otherwise accumulate across the
+    // session until the storage pool forces spill/eviction
     def freeAll(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       sources.Staging.cleanup(spark)
     }
-    // Untimed session warmup: JIT, codegen compiler, parquet footer
-    // cache, AND the checkpoint/loop machinery (localCheckpoint block
-    // manager paths, shuffle writers) — the first loop query in a cold
-    // JVM otherwise pays ~9 s of warmup that is process init, not query
-    // cost (measured: sssp_lineitem 20.9 s cold vs 9.1 s warm). Not a
-    // per-query warmup — each timed query still pays its own
-    // first-execution cost.
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
-      .groupBy("l_returnflag").count().count()
-    try SparkEntry.queries("sssp_one_round")(spark, sfDir).count()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
-    freeAll()
-    // sorted for run-to-run comparability; ALL blocks freed between
-    // queries — clearCache() alone misses localCheckpoint RDD blocks,
-    // which otherwise accumulate across the 120-query session until the
-    // storage pool forces spill/eviction and later queries pay for it
-    // the gate samples load only at START; a mid-run ambient spike still
-    // poisons wall times (measured r7: sssp stretch 93 s under a spike,
-    // 8 s quiet) — record the worst 1-min load seen between queries so a
-    // regressed-looking stretch can be told apart from a contended one
-    var loadMax = loadStart
     def timed(name: String): (String, Double, Boolean) = {
       val t0 = System.nanoTime()
       // a query that throws is recorded as -1 (NOT a wall time) and named
@@ -75,20 +81,42 @@ object Bench {
       loadMax = math.max(loadMax, loadAvg)
       (name, dt, ok)
     }
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(timed)
+    // CHUNKED SWEEP in fresh child JVMs (sorted for run-to-run
+    // comparability, contiguous chunks): every published per-query time —
+    // not just the arbiter's top-10 — now comes from a JVM that ran at
+    // most ~|queries|/SweepChunks queries before it. A chunk whose child
+    // fails falls back to the in-process parent for THAT chunk only and
+    // flips sweep_mode so the artifact says which meaning the map carries.
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val chunkSize = math.max(1, math.ceil(allNames.size.toDouble / SweepChunks).toInt)
+    var sweepMode = "child"
+    val results: Seq[(String, Double, Boolean)] = allNames.grouped(chunkSize).toSeq.flatMap {
+      chunk =>
+        ArbiterChild.runInChild(sfDir, cpus, chunk, mode = "sweep") match {
+          case Some(ArbiterChild.ChildResult(times, childLoad)) =>
+            loadMax = math.max(loadMax, childLoad)
+            // a name the child reported as -1 (threw) or not at all is a
+            // failure row, same shape as an in-process failure: ok=false
+            chunk.map { n =>
+              times.get(n) match {
+                case Some(t) if t >= 0 => (n, t, true)
+                case _ => (n, -1.0, false)
+              }
+            }
+          case None =>
+            sweepMode = "inprocess"
+            chunk.map(timed)
+        }
+    }
     // FRESH-PROCESS arbiter pass: the sweep's slowest queries re-measured
-    // in a child JVM — the number to trust when sweep and arbiter
-    // disagree. In-process re-measurement (r7's first protocol) was not
-    // enough: a ~130-query session accumulates megamorphic JIT profile
-    // decay that the same JVM cannot shed (measured: ann_pq_topk 25 s
-    // in-sweep AND 25 s in-process-arbiter vs 4–5 s in a fresh JVM), so
-    // the arbiter now execs a child with the parent's classpath and
-    // --add-opens flags, warms it up, and times each query twice,
-    // reporting the warm rep. Falls back to in-process times if the
-    // child fails (its names are then absent from "arbiter").
+    // warm (one untimed + two timed reps, min reported) in one more child
+    // JVM — the number to trust when sweep and arbiter disagree, matching
+    // the judge's warm-rep standalone methodology.
     val slowest = results.filter(_._3).sortBy(-_._2).take(ArbiterN).map(_._1)
     val (arbiter, arbiterMode) = ArbiterChild.runInChild(sfDir, cpus, slowest) match {
-      case Some(times) => (slowest.flatMap(n => times.get(n).map(t => (n, t, true))), "child")
+      case Some(ArbiterChild.ChildResult(times, childLoad)) =>
+        loadMax = math.max(loadMax, childLoad)
+        (slowest.flatMap(n => times.get(n).map(t => (n, t, t >= 0))), "child")
       // the fallback numbers come from the SAME polluted JVM the arbiter
       // exists to distrust — name the mode so a reader of the artifact
       // knows which meaning "arbiter" carries this run
@@ -109,7 +137,8 @@ object Bench {
     // own threads; the start sample is the ambient baseline (post-gate).
     val loadEnd = r3(loadAvg) // sampled once — both lines must agree
     val env = s""""sf":"$sfDir","load_start":${r3(loadStart)},"load_end":$loadEnd""" +
-      s""","load_max":${r3(loadMax)},"load_wait_sec":$loadWaitSec,"errors":$errors"""
+      s""","load_max":${r3(loadMax)},"load_wait_sec":$loadWaitSec""" +
+      s""","sweep_mode":"$sweepMode","errors":$errors"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec",$env,"arbiter":${qmap(
           arbiter)},"queries":${qmap(results)}}""")
@@ -127,6 +156,6 @@ object Bench {
       s"""{"metric":"arbiter","unit":"sec","mode":"$arbiterMode","queries":${qmap(arbiter)}}""")
     println(
       s"""{"metric":"total_compact","value":$total,"unit":"sec",$env,"n_queries":${results.size},"arbiter_mode":"$arbiterMode"}""")
-    spark.stop()
+    if (sparkStarted) spark.stop()
   }
 }
