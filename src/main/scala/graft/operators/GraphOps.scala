@@ -744,6 +744,139 @@ object GraphOps {
     }
   }
 
+  /** Adaptive monotone-OR mask-propagation loop — the shared engine of
+    * [[multiSourceBfs]], [[landmarkDistances]], [[anf]] and
+    * [[effectiveDiameter]]. State is `(id, m0..m{K-1})`, one row per
+    * node; a round ORs every CHANGED node's masks into its
+    * out-neighbors' (OR is idempotent — an unchanged mask adds
+    * nothing).
+    *
+    * Two physical round shapes, chosen per round by the measured
+    * |changed| (the r8 finding: the patch form pays an extra |V|-row
+    * left join for no delta shrinkage while the wave is still
+    * expanding, ~2× the single-aggregate form at |changed| ≈ |V|):
+    *
+    *  - FULL (|changed| > |V|/2): each node's own row carries its old
+    *    masks through the aggregate in parallel `o*` columns (every id
+    *    has exactly one own row, so `bit_or(o)` recovers it; messages
+    *    carry zeros) — ONE hash aggregate over |V| + |msgs| rows,
+    *    map-side partial, no join against the state at all.
+    *  - PATCH (|changed| ≤ |V|/2): `bit_or` over the delta messages
+    *    only, then a left join patches the |V|-row state — trailing
+    *    rounds cost ∝ |changed|, which is what matters when rounds ≈
+    *    graph diameter and the wave has passed.
+    *
+    * Both shapes produce the same checkpointed layout `(id, m* = old,
+    * n* = new)`, so the new state, the changed set, and the
+    * first-arrival delta (`n & ~m`) are narrow selections of ONE
+    * checkpoint per round, and the changed count — plus any
+    * caller-supplied `extraObs` aggregates (e.g. the ANF estimator
+    * sum) — rides that checkpoint's materialization as observed
+    * metrics: no per-round count/isEmpty action anywhere (the A4
+    * pattern [[patchLoop]] uses).
+    *
+    * `onSeed` sees the checkpointed round-0 state; `onRound(h, state,
+    * arrivalDelta, metrics)` fires after each round. `freeSuperseded`
+    * unpersists a round's blocks once its successor is materialized —
+    * callers that retain per-round views (landmark arrivals) must pass
+    * false. Early exit on an empty changed set is result-identical for
+    * every caller (frozen masks ⇒ frozen outputs) but optional
+    * (`earlyExit`) for loops whose callback must fire a fixed number
+    * of times.
+    */
+  private def maskLoop(
+      e: DataFrame,
+      seed: DataFrame,
+      nMasks: Int,
+      maxRounds: Int,
+      earlyExit: Boolean,
+      freeSuperseded: Boolean,
+      extraObs: Seq[Column] = Nil)(
+      onSeed: DataFrame => Unit,
+      onRound: (Int, DataFrame, DataFrame, Map[String, Any]) => Unit): DataFrame = {
+    val sc = e.sparkSession.sparkContext
+    val ss = 0 until nMasks
+    def persistedIds = sc.getPersistentRDDs.keySet.toSet
+    def free(ids: Set[Int]): Unit = {
+      val persisted = sc.getPersistentRDDs
+      ids.foreach(id => persisted.get(id).foreach(_.unpersist(false)))
+    }
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+    def metricsOf(obs: org.apache.spark.sql.Observation, df: => DataFrame, cols: Seq[Column])
+        : Map[String, Any] = {
+      // eager ckpt ran the observed plan; the explicit-job fallback
+      // guards API drift (same guard as patchLoop's)
+      val m = org.apache.spark.sql.graftbridge.CheckpointBridge.observedMetrics(obs)
+      if (m.nonEmpty) m
+      else {
+        val row = df.agg(cols.head, cols.tail: _*).head()
+        row.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> row.get(i) }.toMap
+      }
+    }
+    val anyChanged = ss.map(s => col(s"n$s") =!= col(s"m$s")).reduce(_ || _)
+    val anyNonzero = ss.map(s => col(s"m$s") =!= 0L).reduce(_ || _)
+    // |V| and the round-0 changed count (masks that went 0 → nonzero)
+    // ride the seed checkpoint
+    val seedObs = Seq(count(lit(1)).as("rows"), count_if(anyNonzero).as("changed"))
+    val obs0 = org.apache.spark.sql.Observation()
+    var pre = persistedIds
+    var state = ckpt(seed.observe(obs0, seedObs.head, seedObs.tail: _*))
+    var live = persistedIds -- pre
+    val m0 = metricsOf(obs0, state, seedObs)
+    val nV = m0("rows").asInstanceOf[Long]
+    var changedCount = m0("changed").asInstanceOf[Long]
+    var changedDf = state.filter(anyNonzero)
+    onSeed(state)
+    var h = 0
+    while (h < maxRounds && (!earlyExit || changedCount > 0)) {
+      h += 1
+      val msgs = changedDf
+        .join(e, changedDf("id") === e("src"))
+        .select(e("dst").as("id") +: ss.map(s => col(s"m$s")): _*)
+      val patched =
+        if (changedCount * 2 > nV) {
+          val own = state.select(
+            col("id") +: ss.flatMap(s => Seq(col(s"m$s").as(s"v$s"), col(s"m$s").as(s"o$s"))): _*)
+          val msg = msgs.select(
+            col("id") +: ss.flatMap(s => Seq(col(s"m$s").as(s"v$s"), lit(0L).as(s"o$s"))): _*)
+          val aggs = ss.map(s => expr(s"bit_or(v$s)").as(s"n$s")) ++
+            ss.map(s => expr(s"bit_or(o$s)").as(s"m$s"))
+          own.unionAll(msg).groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+        } else {
+          val delta = msgs
+            .groupBy(col("id"))
+            .agg(
+              expr("bit_or(m0)").as("a0"),
+              ss.drop(1).map(s => expr(s"bit_or(m$s)").as(s"a$s")): _*)
+          state
+            .join(delta, Seq("id"), "left_outer")
+            .select(
+              col("id") +: ss.flatMap(s =>
+                Seq(
+                  col(s"m$s"),
+                  col(s"m$s").bitwiseOR(coalesce(col(s"a$s"), lit(0L))).as(s"n$s"))): _*)
+        }
+      val roundObs = count_if(anyChanged).as("changed") +: extraObs
+      val obs = org.apache.spark.sql.Observation()
+      pre = persistedIds
+      val pNew = ckpt(patched.observe(obs, roundObs.head, roundObs.tail: _*))
+      val newIds = persistedIds -- pre
+      val metrics = metricsOf(obs, pNew, roundObs)
+      changedCount = metrics("changed").asInstanceOf[Long]
+      state = pNew.select(col("id") +: ss.map(s => col(s"n$s").as(s"m$s")): _*)
+      changedDf = pNew
+        .filter(anyChanged)
+        .select(col("id") +: ss.map(s => col(s"n$s").as(s"m$s")): _*)
+      val deltaDf = pNew
+        .filter(anyChanged)
+        .select(col("id") +: ss.map(s => expr(s"n$s & ~m$s").as(s"d$s")): _*)
+      onRound(h, state, deltaDf, metrics)
+      if (freeSuperseded) { free(live); live = newIds }
+    }
+    state
+  }
+
   /** Multi-source BFS: all `nSources` traversals advance in ONE loop
     * via a per-node reachability BITMASK (Then et al., VLDB 2015, "The
     * More the Merrier: Efficient Multi-Source Graph Traversal"). Source
@@ -756,21 +889,15 @@ object GraphOps {
     *
     * Sources are node ids 1..`nSources` (deterministic; ids absent from
     * the graph simply contribute an unset bit — same degradation as a
-    * sink source in SSSP, SURVEY.md Q4). Fixed `rounds` like
-    * [[labelPropagation]]. Output: every reached node with its mask and
-    * source count `(id, reach_mask, n_sources)`.
+    * sink source in SSSP, SURVEY.md Q4). Output: every reached node
+    * with its mask and source count `(id, reach_mask, n_sources)`.
     *
-    * Scale shape: edges are exchanged once and reused every round; a
-    * round propagates only the CHANGED set — nodes whose mask grew last
-    * round (monotone OR: a node's influence needs re-sending exactly
-    * when its mask changes, and the changed set shrinks fast after the
-    * frontier wave passes) — through one join plus one `bit_or` hash
-    * aggregate over the deltas (map-side partial), then patches the full
-    * state with a left join whose delta side is small (broadcast-sized
-    * once the wave recedes): the |V|-sized state is never re-aggregated
-    * per round, which is what matters when rounds ≈ graph diameter ≫ 4.
-    * Constant plan depth via per-round checkpoints; the mask never
-    * exceeds 8 bytes no matter how many rounds run.
+    * Scale shape: edges are exchanged once and reused every round; the
+    * rounds are [[maskLoop]]'s adaptive form — single-aggregate full
+    * rounds while the wave expands, per-|changed| patch rounds once it
+    * passes, early exit on an empty changed set (result-identical:
+    * frozen masks). Constant plan depth via per-round checkpoints; the
+    * mask never exceeds 8 bytes no matter how many rounds run.
     */
   def multiSourceBfs(edges: DataFrame, nSources: Int, rounds: Int): DataFrame = {
     require(nSources >= 1 && nSources <= 63, s"nSources must be in [1, 63], got $nSources")
@@ -783,8 +910,6 @@ object GraphOps {
         .repartition(parts, col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       e.count()
-      def ckpt(df: DataFrame): DataFrame =
-        org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
       // pow stays exact here (2^62 < 2^53 is false, but nSources ≤ 63 bits
       // built from ids ≤ 63 → exponents ≤ 62; doubles are exact at every
       // power of two, so the cast is exact) — and DuckDB computes the
@@ -792,43 +917,22 @@ object GraphOps {
       val seedMask = when(
         col("id") >= 1 && col("id") <= nSources,
         expr("CAST(pow(2, id - 1) AS BIGINT)")).otherwise(lit(0L))
-      var state = ckpt(
-        e.select(col("src").as("id"))
-          .unionAll(e.select(col("dst").as("id")))
-          .distinct()
-          .select(col("id"), seedMask.as("mask")))
-      // round-0 changed set = the seeds (their masks went 0 → bit)
-      var changed = state.filter(col("mask") =!= 0L)
-      (1 to rounds).foreach { _ =>
-        // only changed masks are worth re-sending: OR is idempotent, so a
-        // node whose mask is unchanged since its last send adds nothing
-        val delta = changed
-          .join(e, changed("id") === e("src"))
-          .select(e("dst").as("id"), col("mask"))
-          .groupBy(col("id"))
-          .agg(expr("bit_or(mask)").as("add_mask"))
-        // patch the full state: one left join against the (small) delta;
-        // ONE checkpoint carries both next-round tables — the new state
-        // and the new changed set are narrow selections of it
-        val patched = ckpt(
-          state
-            .join(delta, Seq("id"), "left_outer")
-            .select(
-              col("id"),
-              col("mask"),
-              col("mask").bitwiseOR(coalesce(col("add_mask"), lit(0L))).as("mask2")))
-        state = patched.select(col("id"), col("mask2").as("mask"))
-        changed = patched
-          .filter(col("mask2") =!= col("mask"))
-          .select(col("id"), col("mask2").as("mask"))
-      }
+      val seed = e
+        .select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+        .distinct()
+        .select(col("id"), seedMask.as("m0"))
+      val state =
+        maskLoop(e, seed, 1, rounds, earlyExit = true, freeSuperseded = true)(
+          _ => (),
+          (_, _, _, _) => ())
       e.unpersist()
       state
-        .filter(col("mask") =!= 0L)
+        .filter(col("m0") =!= 0L)
         .select(
           col("id"),
-          col("mask").as("reach_mask"),
-          expr("CAST(bit_count(mask) AS BIGINT)").as("n_sources"))
+          col("m0").as("reach_mask"),
+          expr("CAST(bit_count(m0) AS BIGINT)").as("n_sources"))
     }
   }
 
@@ -876,16 +980,13 @@ object GraphOps {
     * monotone OR makes "first time a bit appears" well-defined — and
     * those bits join the output with the round number.
     *
-    * The loop is [[multiSourceBfs]]'s changed-set patch form: only nodes
-    * whose mask GREW last round re-send (OR is idempotent — an unchanged
-    * mask adds nothing), one `bit_or` hash aggregate over those deltas
-    * (map-side partial), and the |V|-row state is patched by a left join
-    * whose delta side shrinks to nothing once the wave passes. That is
-    * the regime this operator exists for — rounds ≈ graph diameter —
-    * where trailing rounds now cost ~zero instead of a full O(|V|+|E|)
-    * re-aggregation each. The changed set doubles as the arrival set:
-    * the per-round first-arrival bits are `mask' & ~mask` of exactly the
-    * patched rows.
+    * The loop is the shared adaptive [[maskLoop]]: single-aggregate
+    * full rounds while the wave is expanding (|changed| > |V|/2), patch
+    * rounds ∝ |changed| once it passes — the regime this operator
+    * exists for is rounds ≈ graph diameter, where trailing rounds cost
+    * ~zero. The changed set doubles as the arrival set: the per-round
+    * first-arrival bits are `mask' & ~mask` of exactly the patched
+    * rows.
     *
     * `seedLo` shifts the landmark id range to [seedLo, seedLo+K-1]
     * (bit k ↔ id seedLo+k): one graph can host several independent
@@ -909,51 +1010,27 @@ object GraphOps {
         .repartition(parts, col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       e.count()
-      def ckpt(df: DataFrame): DataFrame =
-        org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
       val seedHi = seedLo + nLandmarks - 1
       val seedMask = when(
         col("id") >= seedLo && col("id") <= seedHi,
         expr(s"CAST(pow(2, id - $seedLo) AS BIGINT)")).otherwise(lit(0L))
-      var state = ckpt(
-        e.select(col("src").as("id"))
-          .unionAll(e.select(col("dst").as("id")))
-          .distinct()
-          .select(col("id"), seedMask.as("mask")))
+      val seed = e
+        .select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+        .distinct()
+        .select(col("id"), seedMask.as("m0"))
       // explode the set bits of a delta mask into (id, landmark, dist)
       def arrivals(df: DataFrame, h: Int): DataFrame =
         df.select(col("id"), explode(expr(s"sequence(0, ${nLandmarks - 1})")).as("b"), col("delta"))
           .filter(expr("(delta >> b) & 1 = 1"))
           .select(col("id"), (col("b") + 1L).as("landmark"), lit(h.toLong).as("dist"))
-      var out = arrivals(state.select(col("id"), col("mask").as("delta")), 0)
-      // round-0 changed set = the seeds (their masks went 0 → bit)
-      var changed = state.filter(col("mask") =!= 0L)
-      (1 to rounds).foreach { h =>
-        val delta = changed
-          .join(e, changed("id") === e("src"))
-          .select(e("dst").as("id"), col("mask"))
-          .groupBy(col("id"))
-          .agg(expr("bit_or(mask)").as("add_mask"))
-        // ONE checkpoint carries next round's three tables — state,
-        // changed set, and this round's arrivals are narrow selections
-        val patched = ckpt(
-          state
-            .join(delta, Seq("id"), "left_outer")
-            .select(
-              col("id"),
-              col("mask"),
-              col("mask").bitwiseOR(coalesce(col("add_mask"), lit(0L))).as("mask2")))
-        out = out.unionByName(
-          arrivals(
-            patched
-              .filter(col("mask2") =!= col("mask"))
-              .select(col("id"), col("mask2").bitwiseAND(expr("~mask")).as("delta")),
-            h))
-        state = patched.select(col("id"), col("mask2").as("mask"))
-        changed = patched
-          .filter(col("mask2") =!= col("mask"))
-          .select(col("id"), col("mask2").as("mask"))
-      }
+      var out: DataFrame = null
+      // freeSuperseded=false: `out` retains arrival views over every
+      // round's checkpoint until the caller consumes it
+      maskLoop(e, seed, 1, rounds, earlyExit = true, freeSuperseded = false)(
+        st => out = arrivals(st.select(col("id"), col("m0").as("delta")), 0),
+        (h, _, delta, _) =>
+          out = out.unionByName(arrivals(delta.select(col("id"), col("d0").as("delta")), h)))
       e.unpersist()
       out
     }
@@ -1101,6 +1178,32 @@ object GraphOps {
        |ORDER BY est.u, est.v""".stripMargin
   }
 
+  /** Oracle for the STREAMING landmark maintenance
+    * ([[graft.streaming.StreamOps.landmarkExtendOverParquet]]): the
+    * static landmark table is one [[landmarkSweepCtes]] sweep over the
+    * undirected closure of `staticEdgesSql`, and each arriving edge
+    * (u, v) with v in the static graph extends it one hop — a NEW node
+    * u gets `d(L, u) = min over its arriving edges (d(L, v) + 1)`.
+    * Arriving srcs that already exist in the static graph are excluded
+    * (their distances are already served by the static table).
+    */
+  def landmarkExtendSql(
+      staticEdgesSql: String,
+      newEdgesSql: String,
+      nLandmarks: Int = 8,
+      rounds: Int = 4): String =
+    s"""WITH raw0 AS ($staticEdgesSql),
+       |raw AS (SELECT src, dst FROM raw0 UNION ALL SELECT dst AS src, src AS dst FROM raw0),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |${landmarkSweepCtes("m", nLandmarks, rounds, 1L)},
+       |new_e AS ($newEdgesSql)
+       |SELECT n.src AS id, m.landmark, min(m.dist + 1) AS dist
+       |FROM new_e n JOIN marr m ON m.id = n.dst
+       |WHERE n.src NOT IN (SELECT id FROM nodes)
+       |GROUP BY n.src, m.landmark
+       |ORDER BY id, landmark""".stripMargin
+
   /** ANF sketch-permutation offset into the shared [[graft.functions.Parity]]
     * LCG family — a slice disjoint from the MinHash/CMS/LSH usages so the
     * node hashes are independent of every other sketch in the engine.
@@ -1128,8 +1231,8 @@ object GraphOps {
     * node v seeds bit `tz(hash_s(v))` (trailing zeros of an LCG hash mod
     * BigP, extracted via `bin()` string arithmetic — no libm); a round
     * ORs each node's masks into its out-neighbors' (the same monotone
-    * propagation as [[multiSourceBfs]], run in its changed-set patch
-    * form — only masks that grew re-send); after h rounds, node u's mask s holds
+    * propagation as [[multiSourceBfs]], run through the shared adaptive
+    * [[maskLoop]] — only masks that grew re-send); after h rounds, node u's mask s holds
     * the FM sketch of Ball(u, h), its lowest zero bit read by the
     * `m XOR (m+1)` trick, and u's ball estimate `2^(mean_s R_s)/0.77351`
     * comes from a fixed-point lookup table on `Σ_s R_s` ([[anfLut]]) —
@@ -1180,90 +1283,71 @@ object GraphOps {
       }
       val maskInit = (0 until nSketches).map(s =>
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(rho$s AS INT))").as(s"m$s"))
-      var masks = ckpt(
-        nodes
-          .select(col("id") +: hashCols: _*)
-          .select(col("id") +: rhoCols: _*)
-          .select(col("id") +: maskInit: _*))
-      // exact reach state: all (u, v) with dist(u → v) ≤ h
-      var reach = ckpt(nodes.select(col("id").as("u"), col("id").as("v")))
+      val seed = nodes
+        .select(col("id") +: hashCols: _*)
+        .select(col("id") +: rhoCols: _*)
+        .select(col("id") +: maskInit: _*)
+      // eager checkpoint with the row count riding the materialization
+      def ckptCounted(df: DataFrame): (DataFrame, Long) = {
+        val obs = org.apache.spark.sql.Observation()
+        val d = ckpt(df.observe(obs, count(lit(1)).as("rows")))
+        val m = org.apache.spark.sql.graftbridge.CheckpointBridge.observedMetrics(obs)
+        (d, if (m.nonEmpty) m("rows").asInstanceOf[Long] else d.count())
+      }
+      // exact reach state: all (u, v) with dist(u → v) ≤ h. Advances by
+      // FRONTIER: only pairs first reached last round can discover new
+      // pairs (BFS layering), and the new pairs are the expansion minus
+      // the already-known set (anti join) — the union never re-distincts
+      // the full quadratic reach table
+      val (reach0, nPairs0) = ckptCounted(nodes.select(col("id").as("u"), col("id").as("v")))
+      var reach = reach0
+      var frontier = reach0
+      var nPairsExact = nPairs0
 
-      // Σ_s (lowest zero bit of mask_s) — the FM register sum, read by
-      // the m XOR (m+1) trick; the per-node ball estimate is the LUT
-      // value at that sum (geometric-mean readout, see anfLut)
-      val rSum = (0 until nSketches)
-        .map(s => expr(s"CAST(length(bin(m$s ^ (m$s + 1))) - 1 AS BIGINT)"))
+      // Σ_s (lowest zero bit of mask_s) over the round's NEW masks — the
+      // FM register sum, read by the m XOR (m+1) trick; the per-node
+      // ball estimate is the LUT value at that sum (geometric-mean
+      // readout, see anfLut). Observed on the round checkpoint itself —
+      // no separate O(|V|) readout aggregate per h.
+      val rSumNew = (0 until nSketches)
+        .map(s => expr(s"CAST(length(bin(n$s ^ (n$s + 1))) - 1 AS BIGINT)"))
         .reduce(_ + _)
       val lutArr = array(anfLut(nSketches).map(lit(_)): _*)
-      def hRow(h: Int, m: DataFrame, r: DataFrame): DataFrame =
-        r.agg(count(lit(1)).as("n_pairs_exact"))
-          .crossJoin(
-            m.select(element_at(lutArr, (rSum + 1L).cast("int")).as("b"))
-              .agg(sum(col("b")).as("s"))
-              // N = S / (1000 · 0.77351): the overflow-free rewrite of
-              // (S·100) div 77351 — exact identity, never > 2^63
-              .select(
-                (expr("s div 77351") * 100L + expr("((s % 77351) * 100) div 77351"))
-                  .as("n_pairs_est")))
-          .select(
-            lit(h.toLong).as("h"),
-            col("n_pairs_exact"),
-            col("n_pairs_est"),
-            expr("abs(n_pairs_est - n_pairs_exact) * 1000 div n_pairs_exact")
-              .as("err_permille"))
+      val estObs = Seq(sum(element_at(lutArr, (rSumNew + 1L).cast("int"))).as("est_s"))
 
       // h = 0 is deliberately NOT emitted: N(0) = |V| exactly, and a
-      // 1-node ball sits below the FM estimator's asymptotic regime
-      var out: DataFrame = null
-      // changed-set patch rounds, [[multiSourceBfs]]'s form lifted to K
-      // mask columns: only nodes where ANY sketch grew last round
-      // re-send (OR is idempotent per column), the deltas fold through
-      // one K-column bit_or hash aggregate (map-side partial), and the
-      // |V|-row state is patched by a left join whose delta side
-      // shrinks to nothing as the balls saturate — at rounds ≈ diameter
-      // (the effective-diameter regime, [[effectiveDiameter]]) trailing
-      // rounds cost ~zero instead of a full K-column re-aggregation
-      var changed = masks // every seed mask is nonzero — all nodes "grew" at h = 0
-      // the exact side advances by FRONTIER: only pairs first reached
-      // last round can discover new pairs (BFS layering), and the new
-      // pairs are the expansion minus the already-known set (anti join)
-      // — the union never re-distincts the full quadratic reach table
-      var frontier = reach
-      (1 to rounds).foreach { h =>
-        val delta = changed
-          .join(e, changed("id") === e("src"))
-          .select(e("dst").as("id") +: (0 until nSketches).map(s => col(s"m$s")): _*)
-          .groupBy(col("id"))
-          .agg(
-            expr("bit_or(m0)").as("a0"),
-            (1 until nSketches).map(s => expr(s"bit_or(m$s)").as(s"a$s")): _*)
-        // ONE checkpoint carries both next-round tables (state + changed)
-        val patched = ckpt(
-          masks
-            .join(delta, Seq("id"), "left_outer")
-            .select(
-              col("id") +: (0 until nSketches).flatMap(s =>
-                Seq(
-                  col(s"m$s"),
-                  col(s"m$s").bitwiseOR(coalesce(col(s"a$s"), lit(0L))).as(s"n$s"))): _*))
-        masks = patched.select(
-          col("id") +: (0 until nSketches).map(s => col(s"n$s").as(s"m$s")): _*)
-        changed = patched
-          .filter((0 until nSketches).map(s => col(s"n$s") =!= col(s"m$s")).reduce(_ || _))
-          .select(col("id") +: (0 until nSketches).map(s => col(s"n$s").as(s"m$s")): _*)
-        val newPairs = ckpt(
-          frontier
-            .join(e, frontier("v") === e("src"))
-            .select(frontier("u"), e("dst").as("v"))
-            .distinct()
-            .join(reach, Seq("u", "v"), "left_anti"))
-        reach = reach.unionByName(newPairs) // disjoint by construction — still a set
-        frontier = newPairs
-        val row = hRow(h, masks, reach)
-        out = if (out == null) row else out.unionByName(row)
-      }
+      // 1-node ball sits below the FM estimator's asymptotic regime.
+      // Per-h rows are ≤ `rounds` scalars — assembled driver-side from
+      // the observed metrics, in the same exact 64-bit integer
+      // arithmetic as the SQL (nonneg operands: Scala / ≡ SQL div)
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      // earlyExit=false: one output row per h ∈ [1, rounds] is the
+      // contract, and sketch saturation does not imply the exact side
+      // has saturated (FM collisions) — a converged-mask round still
+      // expands `reach`
+      maskLoop(e, seed, nSketches, rounds, earlyExit = false, freeSuperseded = true, estObs)(
+        _ => (),
+        (h, _, _, metrics) => {
+          val (newPairs, nNew) = ckptCounted(
+            frontier
+              .join(e, frontier("v") === e("src"))
+              .select(frontier("u"), e("dst").as("v"))
+              .distinct()
+              .join(reach, Seq("u", "v"), "left_anti"))
+          reach = reach.unionByName(newPairs) // disjoint by construction — still a set
+          frontier = newPairs
+          nPairsExact += nNew
+          // N = S / (1000 · 0.77351): the overflow-free rewrite of
+          // (S·100) div 77351 — exact identity, never > 2^63
+          val s = metrics("est_s").asInstanceOf[Long]
+          val est = (s / 77351L) * 100L + ((s % 77351L) * 100L) / 77351L
+          rows += ((h.toLong, nPairsExact, est, math.abs(est - nPairsExact) * 1000L / nPairsExact))
+        })
       e.unpersist()
-      out.orderBy(col("h"))
+      import session.implicits._
+      rows.toSeq
+        .toDF("h", "n_pairs_exact", "n_pairs_est", "err_permille")
+        .orderBy(col("h"))
     }
   }
 
@@ -1345,15 +1429,15 @@ object GraphOps {
     *
     * Runs on the UNDIRECTED closure (the standard effective-diameter
     * setting; the directed lineitem graph is bipartite with sinks, so
-    * its directed balls saturate at h = 1). The loop is the
-    * changed-set patch form: after the wave passes, the changed set
-    * empties, remaining rounds cost ~zero, and the loop EXITS early —
-    * convergence detected on the (checkpointed, already-materialized)
-    * changed table, the [[anf]] analogue of SSSP's A4 counter. Early
-    * exit is result-identical to running all `maxRounds`: an empty
-    * changed set means every later N(h) equals N(h_c), so the min-h
-    * readout and N(∞) are unchanged — which is why the fixed-round
-    * oracle hash-matches whatever round the loop stops at.
+    * its directed balls saturate at h = 1). The loop is the shared
+    * adaptive [[maskLoop]]; once the wave passes, patch rounds cost
+    * ∝ |changed| and the loop EXITS early — convergence read from the
+    * same observed metrics that carry the per-round estimate, the
+    * [[anf]] analogue of SSSP's A4 counter. Early exit is
+    * result-identical to running all `maxRounds`: an empty changed set
+    * means every later N(h) equals N(h_c), so the min-h readout and
+    * N(∞) are unchanged — which is why the fixed-round oracle
+    * hash-matches whatever round the loop stops at.
     *
     * Output: ONE row `(eff_h, n_pairs_est_at_h, n_pairs_est_inf)` —
     * all exact 64-bit integer arithmetic ([[anfLut]] fixed point), so
@@ -1375,8 +1459,6 @@ object GraphOps {
         .repartition(parts, col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       e.count()
-      def ckpt(df: DataFrame): DataFrame =
-        org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
       val nodes = e
         .select(col("src").as("id"))
         .unionAll(e.select(col("dst").as("id")))
@@ -1394,68 +1476,35 @@ object GraphOps {
       }
       val maskInit = (0 until nSketches).map(s =>
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(rho$s AS INT))").as(s"m$s"))
-      var masks = ckpt(
-        nodes
-          .select(col("id") +: hashCols: _*)
-          .select(col("id") +: rhoCols: _*)
-          .select(col("id") +: maskInit: _*))
-      val rSum = (0 until nSketches)
-        .map(s => expr(s"CAST(length(bin(m$s ^ (m$s + 1))) - 1 AS BIGINT)"))
+      val seed = nodes
+        .select(col("id") +: hashCols: _*)
+        .select(col("id") +: rhoCols: _*)
+        .select(col("id") +: maskInit: _*)
+      // the per-h estimate is ONE scalar: Σ_u LUT[Σ_s ρ_s(u)] over the
+      // round's NEW masks, observed on the round checkpoint itself —
+      // no per-round readout aggregate, no per-round isEmpty action
+      // (the r8 finding: those cost 3–4× the loop itself). Convergence
+      // reads the same observed metrics (maskLoop's changed count).
+      val rSumNew = (0 until nSketches)
+        .map(s => expr(s"CAST(length(bin(n$s ^ (n$s + 1))) - 1 AS BIGINT)"))
         .reduce(_ + _)
       val lutArr = array(anfLut(nSketches).map(lit(_)): _*)
-      // the per-h estimate row: one narrow O(|V|) readout aggregate —
-      // the operator's OUTPUT, not loop state
-      def estRow(h: Int, m: DataFrame): DataFrame =
-        m.select(element_at(lutArr, (rSum + 1L).cast("int")).as("b"))
-          .agg(sum(col("b")).as("s"))
-          .select(
-            lit(h.toLong).as("h"),
-            (expr("s div 77351") * 100L + expr("((s % 77351) * 100) div 77351")).as("n"))
-      var ests: DataFrame = null
-      var changed = masks
-      var h = 0
-      var converged = false
-      while (h < maxRounds && !converged) {
-        h += 1
-        val delta = changed
-          .join(e, changed("id") === e("src"))
-          .select(e("dst").as("id") +: (0 until nSketches).map(s => col(s"m$s")): _*)
-          .groupBy(col("id"))
-          .agg(
-            expr("bit_or(m0)").as("a0"),
-            (1 until nSketches).map(s => expr(s"bit_or(m$s)").as(s"a$s")): _*)
-        val patched = ckpt(
-          masks
-            .join(delta, Seq("id"), "left_outer")
-            .select(
-              col("id") +: (0 until nSketches).flatMap(s =>
-                Seq(
-                  col(s"m$s"),
-                  col(s"m$s").bitwiseOR(coalesce(col(s"a$s"), lit(0L))).as(s"n$s"))): _*))
-        masks = patched.select(
-          col("id") +: (0 until nSketches).map(s => col(s"n$s").as(s"m$s")): _*)
-        changed = patched
-          .filter((0 until nSketches).map(s => col(s"n$s") =!= col(s"m$s")).reduce(_ || _))
-          .select(col("id") +: (0 until nSketches).map(s => col(s"n$s").as(s"m$s")): _*)
-        val row = estRow(h, masks)
-        ests = if (ests == null) row else ests.unionByName(row)
-        converged = changed.isEmpty
-      }
+      val estObs = Seq(sum(element_at(lutArr, (rSumNew + 1L).cast("int"))).as("est_s"))
+      val ests = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      maskLoop(e, seed, nSketches, maxRounds, earlyExit = true, freeSuperseded = true, estObs)(
+        _ => (),
+        (h, _, _, metrics) => {
+          val s = metrics("est_s").asInstanceOf[Long]
+          ests += ((h.toLong, (s / 77351L) * 100L + ((s % 77351L) * 100L) / 77351L))
+        })
       e.unpersist()
-      // N(∞) = the last recorded estimate (monotone masks → monotone N);
-      // the readout is a handful of 1-row aggregates over ≤ maxRounds rows
-      val nInf = ests
-        .agg(max(struct(col("h"), col("n"))).as("top"))
-        .select(col("top.n").as("n_inf"))
-      ests
-        .crossJoin(nInf)
-        .filter(col("n") * lit(1000L) >= col("n_inf") * lit(permille.toLong))
-        .agg(min(col("h")).as("eff_h"))
-        .join(
-          ests.select(col("h").as("eff_h"), col("n").as("n_pairs_est_at_h")),
-          Seq("eff_h"))
-        .crossJoin(nInf.select(col("n_inf").as("n_pairs_est_inf")))
-        .select(col("eff_h"), col("n_pairs_est_at_h"), col("n_pairs_est_inf"))
+      // ≤ maxRounds scalars: the permille readout runs driver-side, in
+      // the same exact 64-bit arithmetic as the SQL. N(∞) = the last
+      // recorded estimate (monotone masks → monotone N).
+      val nInf = ests.last._2
+      val (effH, nAtH) = ests.find { case (_, n) => n * 1000L >= nInf * permille.toLong }.get
+      import session.implicits._
+      Seq((effH, nAtH, nInf)).toDF("eff_h", "n_pairs_est_at_h", "n_pairs_est_inf")
     }
   }
 
