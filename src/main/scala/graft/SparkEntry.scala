@@ -780,6 +780,13 @@ object SparkEntry {
       streaming.StreamOps
         .embIvfIngestOverParquet(s, d, firstNewId = EmbStreamFirstNew, nProbe = 2)
         .orderBy(col("q_id"))),
+    // streaming landmark maintenance: arriving edges extend the static
+    // landmark table one hop (new node u gets min over its arriving
+    // edges of d(L, v) + 1) — stream-static anti probe + table probe
+    "graph_stream_landmark" -> ((s, d) =>
+      streaming.StreamOps
+        .landmarkExtendOverParquet(s, d, nLandmarks = 8, rounds = 4)
+        .orderBy(col("id"), col("landmark"))),
     // one-pass second moments (typed aggregator, d²-long buffer) →
     // upper-triangular covariance of the embedding components
     "emb_covariance" -> ((s, d) =>
@@ -1245,6 +1252,15 @@ object SparkEntry {
       GraphOps.landmarkDistancesSql(GraphSource.lineitemEdgesSql, nLandmarks = 8, rounds = 4),
     "graph_landmark_est" ->
       GraphOps.landmarkEstimateSql(GraphSource.lineitemEdgesSql, nLandmarks = 8, rounds = 4),
+    // static landmark sweep + one-hop extension of the arriving slice,
+    // same 90%-of-max-orderkey split computed in integer math
+    "graph_stream_landmark" -> {
+      val split = "(SELECT max(CAST(l_orderkey AS BIGINT)) * 9 // 10 FROM lineitem)"
+      def slice(op: String) =
+        "SELECT CAST(l_orderkey AS BIGINT) AS src, CAST(l_partkey AS BIGINT) AS dst " +
+          s"FROM lineitem WHERE CAST(l_orderkey AS BIGINT) $op $split"
+      GraphOps.landmarkExtendSql(slice("<"), slice(">="), nLandmarks = 8, rounds = 4)
+    },
     "graph_eff_diameter" ->
       GraphOps.effectiveDiameterSql(GraphSource.lineitemEdgesSql, nSketches = 8, maxRounds = 16),
     // degree-ordered orientation mirrored from GraphOps.orientByDegree

@@ -482,6 +482,80 @@ object StreamOps {
       "complete")
   }
 
+  /** STREAMING LANDMARK MAINTENANCE — arriving edges incrementally
+    * extending the landmark-distance table
+    * ([[graft.operators.GraphOps.landmarkDistances]]): the table is
+    * built ONCE over the undirected closure of the existing graph
+    * (lineitem orders below the 90%-of-max-orderkey split), then each
+    * arriving edge (u, v) whose endpoint v is in the static graph
+    * attaches the NEW node u one hop out — `d(L, u) = min over u's
+    * arriving edges (d(L, v) + 1)`, the triangle-inequality extension
+    * that keeps the serving table ([[graft.operators.GraphOps.landmarkEstimate]])
+    * fresh between full rebuilds. Arriving srcs already present in the
+    * static graph are dropped by a stream-static LEFT ANTI probe
+    * (their distances are already served).
+    *
+    * Per-batch work per arriving edge: one anti probe of the static
+    * node set + one equi-join against the static landmark table + a
+    * min fold; streaming state is ONE min struct per (new node,
+    * landmark) — bounded by the arrival set × K, and on an unbounded
+    * firehose the same query runs in update mode with a lateness
+    * horizon on an arrival timestamp. At 100 TB the landmark table is
+    * the only big operand and it is probed per micro-batch, never
+    * shuffled stream-side.
+    *
+    * Output: `(id, landmark, dist)` — the EXTENSION rows, i.e. the
+    * incremental delta a maintainer would union into the served table.
+    * Oracle: [[graft.operators.GraphOps.landmarkExtendSql]], the same
+    * sweep + one-hop min in SQL.
+    */
+  def landmarkExtendOverParquet(
+      spark: SparkSession,
+      sfDir: String,
+      nLandmarks: Int,
+      rounds: Int): DataFrame = {
+    import graft.operators.{GraphOps, Phys}
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // scale-free split, integer math — the oracle computes the identical
+    // scalar with a subquery (max * 9 // 10)
+    val firstNew =
+      li.agg(max(col("l_orderkey").cast("long"))).head().getLong(0) * 9L / 10L
+    val staticE = li
+      .filter(col("l_orderkey").cast("long") < firstNew)
+      .select(
+        col("l_orderkey").cast("long").as("src"),
+        col("l_partkey").cast("long").as("dst"))
+    val und = staticE.unionAll(staticE.select(col("dst").as("src"), col("src").as("dst")))
+    val lm = Phys.materialized(
+      GraphOps
+        .landmarkDistances(und, nLandmarks, rounds)
+        .select(col("id").as("v"), col("landmark"), col("dist").as("dv")))
+    val known = Phys.materialized(
+      staticE
+        .select(col("src").as("id"))
+        .unionAll(staticE.select(col("dst").as("id")))
+        .distinct())
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-edges"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/lineitem.parquet"),
+      staged.resolve("lineitem.parquet"))
+    runStream(
+      spark,
+      spark.readStream
+        .schema(li.schema)
+        .parquet(staged.toString)
+        .filter(col("l_orderkey").cast("long") >= firstNew)
+        .select(
+          col("l_orderkey").cast("long").as("id"),
+          col("l_partkey").cast("long").as("v"))
+        .join(broadcast(known), Seq("id"), "left_anti")
+        .join(broadcast(lm), Seq("v"))
+        .groupBy(col("id"), col("landmark"))
+        .agg(min(col("dv") + 1L).as("dist")),
+      graft.sources.Staging.freshTable("graft_stream_lmext"),
+      "complete")
+  }
+
   /** STREAMING ANOMALY GATE against STATIC fences — the online half of
     * [[graft.operators.EventOps.anomalies]], the same split pattern as
     * [[docDedupOverParquet]]/[[embIvfIngestOverParquet]]: Tukey fences

@@ -175,6 +175,49 @@ class StreamOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("streaming landmark extension equals the batch one-hop extension at sf0.001") {
+    import graft.operators.GraphOps
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val firstNew = li.agg(max(col("l_orderkey").cast("long"))).head().getLong(0) * 9L / 10L
+    val staticE = li
+      .filter(col("l_orderkey").cast("long") < firstNew)
+      .select(
+        col("l_orderkey").cast("long").as("src"),
+        col("l_partkey").cast("long").as("dst"))
+    val und = staticE.unionAll(staticE.select(col("dst").as("src"), col("src").as("dst")))
+    val lm = GraphOps
+      .landmarkDistances(und, nLandmarks = 8, rounds = 4)
+      .select(col("id").as("v"), col("landmark"), col("dist").as("dv"))
+    val known = staticE
+      .select(col("src").as("id"))
+      .unionAll(staticE.select(col("dst").as("id")))
+      .distinct()
+    val batch = li
+      .filter(col("l_orderkey").cast("long") >= firstNew)
+      .select(
+        col("l_orderkey").cast("long").as("id"),
+        col("l_partkey").cast("long").as("v"))
+      .join(known, Seq("id"), "left_anti")
+      .join(lm, Seq("v"))
+      .groupBy(col("id"), col("landmark"))
+      .agg(min(col("dv") + 1L).as("dist"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val streamed = StreamOps
+      .landmarkExtendOverParquet(spark, dir, nLandmarks = 8, rounds = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "arriving orders must extend the landmark table")
+    assert(
+      streamed.forall { case (id, l, d) => id >= firstNew && l >= 1 && l <= 8 && d >= 1 },
+      "extensions must be new nodes, valid landmarks, and at least one hop out")
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("streaming anomaly gate equals the batch fence-count at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val out = StreamOps.anomalyIngestOverParquet(spark, dir, firstNewId = 800L).collect()
