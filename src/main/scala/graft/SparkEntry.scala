@@ -433,6 +433,10 @@ object SparkEntry {
       Dedup.embeddingNearDups(embs(s, d), minCosine = 0.3).orderBy(col("vec_a"), col("vec_b"))),
     "dedup_clusters" -> ((s, d) =>
       Dedup.clusters(docs(s, d), Dedup.minhashCandidatePairs(docs(s, d))).orderBy(col("doc_id"))),
+    // SemDeDup: k-means cells as the candidate blocks, within-cluster
+    // lower-id cosine evidence — paraphrase dedup with no shingle overlap
+    "dedup_semantic" -> ((s, d) =>
+      Dedup.semanticDedup(embs(s, d), minCosine = 0.4).orderBy(col("vec_id"))),
     // similarity search
     "ann_brute_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embs(s, d), nQueries = 10, k = 5)
@@ -494,6 +498,11 @@ object SparkEntry {
       Similarity.ivfpqStoredTopK(s, embs(s, d), ivf, pq, nQueries = 50, k = 3, nProbe = 3)
         .orderBy(col("q_id"), col("rank"))
     }),
+    // IVFADC+R: top-10 ADC candidates per query re-scored by exact
+    // cosine over the full vectors — candidate-bounded vector reads
+    "ann_ivfpq_rerank" -> ((s, d) =>
+      Similarity.ivfpqRerankTopK(embs(s, d), nQueries = 50, k = 3, nProbe = 3, nCand = 10)
+        .orderBy(col("q_id"), col("rank"))),
     // text analysis
     "text_lang_id" -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
@@ -1447,13 +1456,13 @@ object SparkEntry {
        |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
-  /** IVF-PQ oracle (nQueries=50, k=3, nProbe=3) — shared by
-    * `ann_ivfpq_topk` and `ann_ivfpq_stored` (same rationale as
-    * [[ivfTrainedOracleSql]]).
+  /** The shared IVF-PQ CTE chain up to `ivfpq_ranked` (nQueries=50,
+    * nProbe=3, ranks unfiltered) — the common prefix of the plain,
+    * stored, and re-ranked IVF-PQ oracles.
     */
-  private def ivfpqOracleSql: String = {
+  private def ivfpqRankedCtes: String = {
     val last = s"c${Similarity.KmeansIters}"
-    s"""WITH $kmeansCtes,
+    s"""$kmeansCtes,
        |$pqCtes,
        |sc_ivf AS (SELECT v.vec_id, c.cid, ${kmeansScoreSql("v.ei", "c.c")} AS ccos
        |           FROM d v CROSS JOIN $last c),
@@ -1473,8 +1482,62 @@ object SparkEntry {
        |  GROUP BY r.q_id, r.n_id),
        |ivfpq_ranked AS (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS INT) AS rank
-       |  FROM ivfpq_scored)
+       |  FROM ivfpq_scored)""".stripMargin
+  }
+
+  /** IVF-PQ oracle (nQueries=50, k=3, nProbe=3) — shared by
+    * `ann_ivfpq_topk` and `ann_ivfpq_stored` (same rationale as
+    * [[ivfTrainedOracleSql]]).
+    */
+  private def ivfpqOracleSql: String =
+    s"""WITH $ivfpqRankedCtes
        |SELECT q_id, n_id, adc, rank FROM ivfpq_ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  /** IVF-PQ + exact re-rank oracle (nCand=10 ADC candidates, final
+    * k=3) — mirrors [[graft.operators.Similarity.ivfpqRerankTopK]]:
+    * the top-10 ADC rows per query re-scored by exact cosine over the
+    * full vectors, re-ranked.
+    */
+  private def ivfpqRerankOracleSql: String =
+    s"""WITH $ivfpqRankedCtes,
+       |rr_cand AS (SELECT q_id, n_id FROM ivfpq_ranked WHERE rank <= 10),
+       |rr_exact AS (
+       |  SELECT c.q_id, c.n_id, round(${Parity.cosineSql("dq.e", "dn.e")}, 6) AS cos
+       |  FROM rr_cand c
+       |  JOIN d dq ON dq.vec_id = c.q_id
+       |  JOIN d dn ON dn.vec_id = c.n_id),
+       |rr_ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+       |  FROM rr_exact)
+       |SELECT q_id, n_id, cos, rank FROM rr_ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  /** Semantic-dedup oracle — mirrors
+    * [[graft.operators.Dedup.semanticDedup]]: the same fixed-point
+    * Lloyd quantizer at [[graft.operators.Dedup.SemanticCells]] cells,
+    * argmax assignment, within-cluster lower-id cosine evidence at
+    * threshold 0.4.
+    */
+  private def semanticDedupOracleSql: String = {
+    val last = s"c${Similarity.KmeansIters}"
+    s"""WITH ${kmeansCtesSliced("", 0, Similarity.Dim, graft.operators.Dedup.SemanticCells)},
+       |cs AS (SELECT v.vec_id, c.cid, ${kmeansScoreSql("v.ei", "c.c")} AS ccos
+       |       FROM d v CROSS JOIN $last c),
+       |rc AS (SELECT vec_id, cid,
+       |              row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |       FROM cs),
+       |asg AS (SELECT vec_id, cid FROM rc WHERE rn = 1),
+       |dup AS (
+       |  SELECT vec_id, max(cos) AS max_cos FROM (
+       |    SELECT b.vec_id AS vec_id, round(${Parity.cosineSql("da.e", "db.e")}, 6) AS cos
+       |    FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |    JOIN d da ON da.vec_id = a.vec_id
+       |    JOIN d db ON db.vec_id = b.vec_id)
+       |  WHERE cos >= 0.4 GROUP BY vec_id)
+       |SELECT g.vec_id, CAST(g.cid AS INT) AS cluster,
+       |       (p.max_cos IS NOT NULL) AS is_dup,
+       |       coalesce(p.max_cos, CAST(-2 AS DOUBLE)) AS max_cos
+       |FROM asg g LEFT JOIN dup p ON p.vec_id = g.vec_id
+       |ORDER BY g.vec_id""".stripMargin
   }
 
   /** The unrolled Lloyd CTE chain over a contiguous embedding slice
@@ -1993,6 +2056,8 @@ object SparkEntry {
       // written then read — the serving result is bit-identical to the
       // train-inline composition
       "ann_ivfpq_stored" -> ivfpqOracleSql,
+      "ann_ivfpq_rerank" -> ivfpqRerankOracleSql,
+      "dedup_semantic" -> semanticDedupOracleSql,
       // the stored-model ADC/probe paths are result-identical to the
       // train-inline ones: the artifacts are the SAME deterministic
       // k-means codebooks, written then read (the ann_ivf_stored pattern)

@@ -574,4 +574,55 @@ object Dedup {
         round(Parity.cosine(col("a.e"), col("b.e")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
   }
+
+  /** How many k-means cells [[semanticDedup]] partitions the corpus
+    * into. More cells than the IVF default: the cell is the dedup
+    * BLOCK, and per-cell pair work is (|V|/cells)² — the knob that
+    * keeps the quadratic term bounded as the corpus grows (SemDeDup
+    * uses 11k clusters for 100M embeddings for the same reason).
+    */
+  val SemanticCells = 64
+
+  /** Semantic deduplication (SemDeDup — Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are clustered by the deterministic
+    * fixed-point Lloyd quantizer ([[Similarity.kmeansFixed]]), and
+    * near-duplicates are detected only WITHIN a cluster — the cluster
+    * plays the candidate-block role that LSH bands play for MinHash,
+    * but driven by the embedding geometry itself, so paraphrases land
+    * in the same block even when they share no shingle. Within a
+    * cluster, a document is a duplicate iff some LOWER-id member has
+    * cosine ≥ `minCosine` — the deterministic id-order form of
+    * SemDeDup's keep-one-representative policy. Output: one row per
+    * vector (vec_id, cluster, is_dup, max_cos), max_cos = the best
+    * qualifying earlier-member cosine (−2 when none — below any real
+    * cosine).
+    *
+    * Scale shape: training is the broadcast Lloyd (corpus never
+    * shuffled on a non-key); assignment is one broadcast argmax pass;
+    * the pair stage shuffles each vector ONCE on its cell id and the
+    * per-cell self-join is bounded by (|V|/[[SemanticCells]])² — grow
+    * cells with the corpus to hold the block size constant. No
+    * all-pairs term anywhere.
+    */
+  def semanticDedup(embs: DataFrame, minCosine: Double): DataFrame = {
+    val assigned = Similarity.invertedLists(embs, Similarity.kmeansFixed(embs, Dedup.SemanticCells))
+    val a = assigned.alias("a")
+    val b = assigned.alias("b")
+    val dupEvidence = a
+      .join(b, col("a.cid") === col("b.cid") && col("a.n_id") < col("b.n_id"))
+      .select(
+        col("b.n_id").as("vec_id"),
+        round(Parity.cosine(col("a.ne"), col("b.ne")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("max_cos"))
+    assigned
+      .select(col("n_id").as("vec_id"), col("cid").cast("int").as("cluster"))
+      .join(dupEvidence, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("cluster"),
+        col("max_cos").isNotNull.as("is_dup"),
+        coalesce(col("max_cos"), lit(-2.0d)).as("max_cos"))
+  }
 }

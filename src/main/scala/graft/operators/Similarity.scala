@@ -754,6 +754,44 @@ object Similarity {
       ivfpqTopK(embs, nQueries, k, nProbe),
       k)
 
+  /** IVF-PQ with an exact re-ranking tail (the IVFADC+R refinement,
+    * Jégou et al. 2011 §VII / "Searching in one billion vectors",
+    * ICASSP 2011): the ADC scan returns `nCand` > k candidates per
+    * query from 56-bit codes, and only those nQueries·nCand pairs are
+    * re-scored against the FULL vectors — exact cosine, re-ranked to
+    * the final top-k. This repairs most of the quantization error
+    * (ADC mis-orders near-ties; the exact tail restores them) at a
+    * vector-read cost proportional to the CANDIDATE list, not the
+    * corpus.
+    *
+    * Scale shape: the candidate table is nQueries·nCand rows —
+    * broadcast against the corpus scan, so the refinement reads each
+    * candidate's full vector exactly once via a broadcast-hash join and
+    * never shuffles the corpus; the final top-k window partitions on
+    * q_id over ≤ nCand rows per query.
+    */
+  def ivfpqRerankTopK(
+      embs: DataFrame,
+      nQueries: Int,
+      k: Int,
+      nProbe: Int,
+      nCand: Int): DataFrame = {
+    val cand = ivfpqTopK(embs, nQueries, nCand, nProbe).select(col("q_id"), col("n_id"))
+    val d = asDouble(embs)
+    val exact = broadcast(cand)
+      .join(d.select(col("vec_id").as("q_id"), col("e").as("qe")), Seq("q_id"))
+      .join(d.select(col("vec_id").as("n_id"), col("e").as("ne")), Seq("n_id"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        round(Parity.cosine(col("qe"), col("ne")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    exact
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+
   def lshTopK(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val b = buckets(embs)
     val q = b.filter(col("vec_id") < nQueries).alias("q")

@@ -390,6 +390,54 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(rec >= 0.3)
   }
 
+  test("ivfpqRerankTopK: exact under full probe/cand; per-query recall never below plain ADC") {
+    import graft.operators.Similarity
+    val embs = model.table(spark, "/root/testdata/sf0.001", "embeddings")
+    // probing every cell with a corpus-wide candidate list makes both
+    // approximations no-ops: the exact re-rank must equal brute force
+    val full = Similarity
+      .ivfpqRerankTopK(embs, nQueries = 20, k = 3, nProbe = Similarity.KmeansCells, nCand = 10000)
+      .select(col("q_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(embs, nQueries = 20, k = 3)
+      .select(col("q_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === brute, "full-probe full-candidate re-rank must be exact")
+    // within the SAME candidate list, the exact tail retains every global
+    // top-k member the list contains, while ADC order may drop some —
+    // so re-ranked recall dominates plain ADC recall PER QUERY
+    def byQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("q_id"), col("n_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact3 = byQuery(Similarity.bruteForceTopK(embs, nQueries = 50, k = 3))
+    val plain = byQuery(Similarity.ivfpqTopK(embs, nQueries = 50, k = 3, nProbe = 3))
+    val rr = byQuery(Similarity.ivfpqRerankTopK(embs, nQueries = 50, k = 3, nProbe = 3, nCand = 10))
+    exact3.keys.foreach { q =>
+      val hitPlain = (plain.getOrElse(q, Set.empty) & exact3(q)).size
+      val hitRr = (rr.getOrElse(q, Set.empty) & exact3(q)).size
+      assert(hitRr >= hitPlain, s"query $q: re-rank recall $hitRr below ADC recall $hitPlain")
+    }
+    val recPlain = plain.map { case (q, s) => (s & exact3(q)).size }.sum / (3.0 * exact3.size)
+    val recRr = rr.map { case (q, s) => (s & exact3(q)).size }.sum / (3.0 * exact3.size)
+    info(f"ivfpq recall@3 $recPlain%.3f -> rerank $recRr%.3f (nProbe=3, nCand=10)")
+  }
+
+  test("semanticDedup: exact duplicates share a cluster and the higher id is marked") {
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.0f, 1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.semanticDedup(e, minCosine = 0.9).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2), r.getDouble(3)))).toMap
+    // identical vectors tie on every cell score and tie-break to the same
+    // (min-cid) cell; the lower id is the kept representative
+    assert(out(0L)._1 === out(1L)._1, "identical vectors must share a cluster")
+    assert(!out(0L)._2 && out(1L)._2, "only the higher id of the pair is a dup")
+    assert(out(1L)._3 === 1.0)
+    assert(!out(2L)._2 && !out(3L)._2, "orthogonal vectors are kept")
+    assert(out(2L)._3 === -2.0 && out(3L)._3 === -2.0)
+  }
+
   test("multimodal mapPartitions decode with deterministic fake decoder") {
     val d = docsDf(Seq((1L, "abcd", "en"))).select(col("doc_id"), col("text"))
     val media = Multimodal.asMediaTable(d)
