@@ -709,6 +709,10 @@ object SparkEntry {
     // self-trained unigram-LM scoring — the perplexity-proxy quality
     // filter; ln rounded per token, position-ordered fold (see TextOps)
     "text_unigram_lm" -> ((s, d) => TextOps.unigramScore(docs(s, d)).orderBy(col("doc_id"))),
+    // CCNet head/middle/tail: per-lang LM-score terciles
+    "doc_ppl_buckets" -> ((s, d) => TextOps.pplBuckets(docs(s, d)).orderBy(col("doc_id"))),
+    // fixed per-lang token budget spent best-LM-fit-first
+    "doc_budget_select" -> ((s, d) => TextOps.budgetSelect(docs(s, d)).orderBy(col("doc_id"))),
     // conditional fluency score: add-1-smoothed bigram LM, self-trained
     "text_bigram_lm" -> ((s, d) => TextOps.bigramScore(docs(s, d)).orderBy(col("doc_id"))),
     // per-source distribution drift vs the corpus (KL over observed terms)
@@ -1978,6 +1982,8 @@ object SparkEntry {
           |       round(sum(CAST(p_retailprice AS DOUBLE)), 2) AS sum_price
           |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin,
       "text_unigram_lm" -> (TextOps.unigramScoreSql() + "\nORDER BY doc_id"),
+      "doc_ppl_buckets" -> (TextOps.pplBucketsSql() + "\nORDER BY doc_id"),
+      "doc_budget_select" -> (TextOps.budgetSelectSql() + "\nORDER BY doc_id"),
       // apply-on-train reproduces the self-trained scores exactly — the
       // stored-model query shares the oracle
       "lm_apply_stored" -> (TextOps.unigramScoreSql() + "\nORDER BY doc_id"),

@@ -1023,4 +1023,116 @@ object TextOps {
             .otherwise(col("max_rep").cast("double") / col("n_grams").cast("double")) + RoundEps,
           6).as("rep_ratio"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): each document scored by the corpus unigram LM
+    * ([[unigramScore]]) and split WITHIN ITS LANGUAGE into three
+    * equal-size buckets by score rank — head (best LM fit ≈ lowest
+    * perplexity), middle, tail. The lang partitioning is the point:
+    * perplexity is only comparable within a language, and CCNet's
+    * head/middle/tail is the standard pre-training data-selection
+    * signal.
+    *
+    * The rank split here is the exact `ntile` form (a per-lang sort) —
+    * correct at any size but sort-bound; at 100 TB the same buckets
+    * come from per-lang tercile THRESHOLDS (the binned-quantile
+    * pattern of `events_quantiles_binned`: one hash aggregate over
+    * score bins + a tiny cumulative scan) applied as a broadcast
+    * compare, trading exact rank ties at the two boundaries for a
+    * sort-free plan. Empty docs (no tokens → NULL score) rank last and
+    * land in the tail, explicitly on both engines.
+    */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    val scored = unigramScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("mean_lnp").desc_nulls_last, col("doc_id"))
+    scored
+      .withColumn("tile", ntile(3).over(w))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_tokens"),
+        col("mean_lnp"),
+        when(col("tile") === 1, "head")
+          .when(col("tile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** [[pplBuckets]] mirrored: the same nested unigram-LM scoring CTE,
+    * the same NULLS LAST rank order, DuckDB `ntile`.
+    */
+  def pplBucketsSql(): String =
+    s"""WITH scored AS (${unigramScoreSql().replace("\n", "\n  ")}),
+       |tiled AS (
+       |  SELECT s.doc_id, d.lang, s.n_tokens, s.mean_lnp,
+       |         ntile(3) OVER (PARTITION BY d.lang
+       |                        ORDER BY s.mean_lnp DESC NULLS LAST, s.doc_id) AS tile
+       |  FROM scored s JOIN documents d USING (doc_id))
+       |SELECT doc_id, lang, n_tokens, mean_lnp,
+       |       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM tiled""".stripMargin
+
+  /** Share of each language's tokens the budget selection keeps. */
+  val BudgetShare = 0.4
+
+  /** Token-budget corpus selection: within each language, documents are
+    * taken best-LM-fit-first ([[unigramScore]] rank, the [[pplBuckets]]
+    * order) until the language's token budget —
+    * [[BudgetShare]] · its total tokens — is exhausted; a document is
+    * selected iff it fits ENTIRELY within the remaining budget
+    * (cumulative tokens through it ≤ budget). This is the final
+    * data-selection step of a curation pipeline: a fixed token budget
+    * per language, spent on the highest-quality documents.
+    *
+    * Scale shape: one hash aggregate for the per-lang totals
+    * (broadcast back), one running-sum window over the per-lang rank
+    * order — same sort-bound-but-distributed profile as [[pplBuckets]],
+    * with the same binned-threshold escape hatch at 100 TB (find the
+    * score cutoff whose cumulative token mass hits the budget, then
+    * broadcast-compare).
+    */
+  def budgetSelect(docs: DataFrame): DataFrame = {
+    val scored = unigramScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val totals = docs
+      .select(col("lang"), size(toks(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("lang_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("mean_lnp").desc_nulls_last, col("doc_id"))
+    scored
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_tokens"),
+        col("mean_lnp"),
+        col("cum_tokens"),
+        (col("cum_tokens").cast("double") <=
+          lit(BudgetShare) * col("lang_tokens").cast("double")).as("selected"))
+  }
+
+  /** [[budgetSelect]] mirrored. */
+  def budgetSelectSql(): String = {
+    val toks = Parity.tokensSql("text")
+    s"""WITH scored AS (${unigramScoreSql().replace("\n", "\n  ")}),
+       |lt AS (SELECT lang, CAST(sum(len($toks)) AS BIGINT) AS lang_tokens
+       |       FROM documents GROUP BY lang),
+       |cum AS (
+       |  SELECT s.doc_id, d.lang, s.n_tokens, s.mean_lnp,
+       |         CAST(sum(s.n_tokens) OVER (PARTITION BY d.lang
+       |              ORDER BY s.mean_lnp DESC NULLS LAST, s.doc_id
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |         lt.lang_tokens
+       |  FROM scored s JOIN documents d USING (doc_id) JOIN lt ON lt.lang = d.lang)
+       |SELECT doc_id, lang, n_tokens, mean_lnp, cum_tokens,
+       |       (CAST(cum_tokens AS DOUBLE) <=
+       |        $BudgetShare * CAST(lang_tokens AS DOUBLE)) AS selected
+       |FROM cum""".stripMargin
+  }
 }

@@ -73,6 +73,38 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out === Array((1L, 2L, 1.0)))
   }
 
+  test("pplBuckets: per-lang LM-score terciles; empty doc lands in tail") {
+    val d = docsDf(Seq(
+      (1L, "a a", "en"), // best LM fit (all high-freq tokens)
+      (2L, "a b a", "en"),
+      (3L, "z a", "en"), // rare-token-heavy → worst scored non-empty
+      (4L, "", "en"), // no tokens → NULL score → tail
+      (5L, "x", "fr"))) // own lang partition
+    val out = TextOps.pplBuckets(d).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    // 4 en docs, ntile(3) → sizes 2,1,1 in score-desc order
+    assert(out === Map(1L -> "head", 2L -> "head", 3L -> "middle", 4L -> "tail", 5L -> "head"))
+  }
+
+  test("budgetSelect: best-fit-first until the per-lang token budget") {
+    val d = docsDf(Seq(
+      (1L, "a a", "en"),
+      (2L, "a b a", "en"),
+      (3L, "z a", "en"),
+      (4L, "", "en"),
+      (5L, "x", "fr")))
+    // en budget = 0.4 * 7 = 2.8 tokens: doc 1 (2 tokens, best score) fits;
+    // doc 2 would take the running total to 5 — everything after is out
+    val out = TextOps.budgetSelect(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(1L) === ((2L, true)))
+    assert(out(2L) === ((5L, false)))
+    assert(out(3L) === ((7L, false)))
+    assert(out(4L) === ((7L, false)))
+    // fr budget = 0.4 * 1: its only doc exceeds it
+    assert(out(5L) === ((1L, false)))
+  }
+
   test("lang id heuristic: stopword-heavy text → en") {
     val d = docsDf(Seq((1L, "the cat sat on the mat", "xx"), (2L, "zzz qqq", "xx")))
     val out = TextOps.langId(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
