@@ -139,10 +139,15 @@ object Sketches {
     * of topN·d rows against the 2048-cell table.
     */
   def cmsHeavyHitters(docs: DataFrame, topN: Int = 20): DataFrame = {
-    val hist = docs
-      .select(explode(Parity.tokens(col("text"))).as("t"))
-      .groupBy(col("t"))
-      .agg(count(lit(1)).as("freq"))
+    // materialized: the exact histogram feeds BOTH the cell build and
+    // the top-N probe — without the checkpoint the corpus would be
+    // tokenized twice (the scan, not the vocab-sized histogram, is the
+    // dominant cost at scale)
+    val hist = Phys.materialized(
+      docs
+        .select(explode(Parity.tokens(col("text"))).as("t"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("freq")))
     def withBuckets(df: DataFrame): DataFrame =
       df.withColumn("h", Parity.tokenH40(col("t")))
         .select(

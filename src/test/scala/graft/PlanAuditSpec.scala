@@ -375,6 +375,29 @@ class PlanAuditSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("dedup_semantic: pair stage joins on the cell id — no corpus all-pairs") {
+    val plan = planOf(SparkEntry.queries("dedup_semantic")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"unblocked all-pairs in:\n$plan")
+    // the only self-join key is the k-means cell — the SemDeDup blocking
+    assert(plan.contains("cid"), s"cell-keyed pair join missing in:\n$plan")
+  }
+
+  test("ann_ivfpq_rerank: exact tail reads vectors via a broadcast candidate join") {
+    val plan = planOf(SparkEntry.queries("ann_ivfpq_rerank")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in re-rank:\n$plan")
+    // the nQueries×nCand candidate list must ride a broadcast against the
+    // corpus scan — the refinement's vector reads stay candidate-bounded
+    assert(plan.contains("BroadcastHashJoin"), s"candidate join lost its broadcast in:\n$plan")
+  }
+
+  test("doc_ppl_buckets / doc_budget_select: lang-partitioned windows, totals broadcast") {
+    val bPlan = planOf(SparkEntry.queries("doc_ppl_buckets")(spark, dir))
+    assert(bPlan.contains("hashpartitioning(lang"), s"no lang-keyed window exchange in:\n$bPlan")
+    val sPlan = planOf(SparkEntry.queries("doc_budget_select")(spark, dir))
+    assert(sPlan.contains("hashpartitioning(lang"), s"no lang-keyed window exchange in:\n$sPlan")
+    assert(sPlan.contains("BroadcastHashJoin"), s"lang totals not broadcast in:\n$sPlan")
+  }
+
   test("source_kl_drift sums integer micro-units — no per-source vocab-sized fold buffer") {
     val plan = planOf(SparkEntry.queries("source_kl_drift")(spark, dir))
     assert(!plan.contains("collect_list"), s"vocab-sized aggregation buffer in:\n$plan")
