@@ -829,6 +829,14 @@ object SparkEntry {
       val model = operators.Training.writeLogregModel(s, docs(s, d), iters = 3)
       operators.Training.logregApplyStored(s, docs(s, d), model).orderBy(col("doc_id"))
     }),
+    // fastText-style classifier: hashed bag-of-tokens buckets as the
+    // fixed-width feature space, same integer-GD discipline
+    "train_fasttext" -> ((s, d) =>
+      operators.Training.fasttextGd(docs(s, d))),
+    "train_fasttext_stored" -> ((s, d) => {
+      val model = operators.Training.writeFasttextModel(s, docs(s, d))
+      operators.Training.fasttextApplyStored(s, docs(s, d), model).orderBy(col("doc_id"))
+    }),
     // deterministic KMV cardinality sketch next to its exact answer
     "sketch_kmv_shingles" -> ((s, d) =>
       operators.Sketches.kmvDistinctShingles(docs(s, d))),
@@ -2247,6 +2255,8 @@ object SparkEntry {
       "train_linreg" -> operators.Training.linregNormalSql,
       "train_logreg" -> operators.Training.logregGdSql(toks),
       "train_logreg_stored" -> operators.Training.logregApplyStoredSql(toks),
+      "train_fasttext" -> operators.Training.fasttextGdSql(),
+      "train_fasttext_stored" -> operators.Training.fasttextApplyStoredSql(),
       "sketch_kmv_shingles" -> {
         val k = operators.Sketches.KmvK
         s"""WITH g AS (SELECT DISTINCT unnest($shingleSql) AS g FROM $fromToks),

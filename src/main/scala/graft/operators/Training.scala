@@ -352,4 +352,245 @@ object Training {
        |FROM f CROSS JOIN w$iters w CROSS JOIN nn
        |GROUP BY nn.n, w.w0, w.w1, w.w2""".stripMargin
   }
+
+  // ---- fastText-style hashed-feature quality classifier -------------------
+
+  /** Hashed-feature bucket count for the bag-of-tokens classifier
+    * (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+    * Classification": hash the vocabulary into a FIXED feature width so
+    * the model size never depends on the corpus). 16 buckets keeps the
+    * unrolled cross-engine oracle tractable; the plan shape is
+    * width-independent (one conditional-sum aggregate row per doc).
+    */
+  val FtDim = 16
+  val FtIters = 5
+
+  /** Per-doc label + hashed bag-of-tokens features:
+    * y = "stopword-dense prose" (≥ 1/14 ≈ 7% stopwords — the median of
+    * the harness corpus, so the label is balanced; in production this
+    * is the quality label distilled from a teacher signal),
+    * x(j) = # tokens hashing into bucket j under the shared 40-bit
+    * token hash mod [[FtDim]]. One explode + one per-doc conditional-sum
+    * aggregate; token-less docs keep all-zero features via the outer
+    * join. Everything integer — exact on both engines.
+    */
+  private def ftRaw(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      graft.functions.Parity.tokens(col("text")).as("ts"))
+    val lab = base.select(
+      col("doc_id"),
+      when(
+        size(col("ts")) > 0 &&
+          size(filter(col("ts"), t => t.isin(TextOps.Stopwords: _*))) * 14 >= size(col("ts")),
+        lit(1L)).otherwise(lit(0L)).as("y"))
+    val buckets = base
+      .select(col("doc_id"), explode(col("ts")).as("t"))
+      .select(col("doc_id"), pmod(graft.functions.Parity.tokenH40(col("t")), lit(FtDim)).as("b"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("b") === 0, 1L).otherwise(0L)).as("x1r"),
+        (1 until FtDim).map(j =>
+          sum(when(col("b") === j, 1L).otherwise(0L)).as(s"x${j + 1}r")): _*)
+    lab
+      .join(buckets, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id") +: col("y") +:
+          (1 to FtDim).map(j => coalesce(col(s"x${j}r"), lit(0L)).as(s"x${j}r")): _*)
+  }
+
+  private def ftMeans(raw: DataFrame): Array[Long] = {
+    val r = raw
+      .agg(
+        expr("sum(x1r) div count(*)").as("m1"),
+        (2 to FtDim).map(j => expr(s"sum(x${j}r) div count(*)").as(s"m$j")): _*)
+      .head()
+    (0 until FtDim).map(r.getLong).toArray
+  }
+
+  /** `p − y` under the fast sigmoid at the given micro-unit weight
+    * fragments (intercept first) over columns y, x1..x[[FtDim]].
+    */
+  private def ftResidual(ws: Seq[String]): String = {
+    val lin = ws.head + ws.tail.zipWithIndex
+      .map { case (w, i) => s" + $w * x${i + 1}" }
+      .mkString
+    val z = s"(CAST($lin AS DOUBLE) / 1000000.0)"
+    s"(0.5 + $z / (2.0 * (1.0 + abs($z))) - CAST(y AS DOUBLE))"
+  }
+
+  /** [[trainWeights]] at [[FtDim]]+1 weights: one gradient aggregate per
+    * round ([[FtDim]]+1 exact-integer sums, map-side partial), scalar
+    * driver update — identical discipline, wider vector.
+    */
+  private def ftTrainWeights(f: DataFrame, n: Long, iters: Int): Array[Long] = {
+    var w = Array.fill(FtDim + 1)(0L)
+    (1 to iters).foreach { _ =>
+      val r = ftResidual(w.map(_.toString).toSeq)
+      val g = f
+        .agg(
+          sum(expr(s"CAST(round($r * 1000000) AS BIGINT)")).as("g0"),
+          (1 to FtDim).map(j =>
+            sum(expr(s"CAST(round($r * x$j * 1000000) AS BIGINT)")).as(s"g$j")): _*)
+        .head()
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj - graft.functions.MicroInts.round0(g.getLong(j).toDouble / (LogregLrDen * n))
+      }
+    }
+    w
+  }
+
+  private def ftFeatures(raw: DataFrame, ms: Array[Long]): DataFrame =
+    raw.select(
+      col("y") +: (1 to FtDim).map(j => (col(s"x${j}r") - lit(ms(j - 1))).as(s"x$j")): _*)
+
+  /** Train the hashed-feature classifier in-query: [[FtIters]] GD
+    * rounds over the centered bucket counts, output one row —
+    * `(n_rows, w0_micro..w{FtDim}_micro, n_correct)`.
+    */
+  def fasttextGd(docs: DataFrame, iters: Int = FtIters): DataFrame = {
+    val raw = Phys.materialized(ftRaw(docs))
+    val ms = ftMeans(raw)
+    val f = ftFeatures(raw, ms)
+    val n = raw.count()
+    val w = ftTrainWeights(f, n, iters)
+    val lin = s"${w(0)}" + (1 to FtDim).map(j => s" + ${w(j)} * x$j").mkString
+    val z = s"(CAST($lin AS DOUBLE) / 1000000.0)"
+    val aggCols = count(lit(1)).as("n_rows") +:
+      (0 to FtDim).map(j => lit(w(j)).as(s"w${j}_micro")) :+
+      sum(expr(s"CASE WHEN ($z > 0.0) = (y = 1) THEN 1 ELSE 0 END")).as("n_correct")
+    f.agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Train once, persist weights AND centering means (one tiny row —
+    * the [[writeLogregModel]] serving-skew rule at [[FtDim]] wide).
+    */
+  def writeFasttextModel(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      iters: Int = FtIters): String = {
+    val raw = Phys.materialized(ftRaw(docs))
+    val ms = ftMeans(raw)
+    val n = raw.count()
+    val w = ftTrainWeights(ftFeatures(raw, ms), n, iters)
+    val dir = graft.sources.Staging.freshDir("fasttext-model")
+    import spark.implicits._
+    Seq((w.toSeq, ms.toSeq))
+      .toDF("w", "m")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(dir)
+    dir
+  }
+
+  /** Serve the stored classifier: the score is an exact integer fold of
+    * the stored weights over the hashed bucket counts — the plan is the
+    * feature aggregate plus a projection; no mean aggregate, no
+    * gradient stage (pinned in PlanAuditSpec). Output per doc:
+    * `(doc_id, label, score_micro, pred)`.
+    */
+  def fasttextApplyStored(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      modelDir: String): DataFrame = {
+    val m = spark.read.parquet(modelDir).head()
+    val w = m.getSeq[Long](0)
+    val ms = m.getSeq[Long](1)
+    val score = (1 to FtDim).foldLeft(lit(w(0)): org.apache.spark.sql.Column) {
+      case (acc, j) => acc + lit(w(j)) * (col(s"x${j}r") - lit(ms(j - 1)))
+    }
+    ftRaw(docs).select(
+      col("doc_id"),
+      col("y").as("label"),
+      score.as("score_micro"),
+      when(score > 0L, lit(1L)).otherwise(lit(0L)).as("pred"))
+  }
+
+  /** Shared oracle CTE chain for the hashed-feature classifier: label +
+    * bucket counts, integer means, centered frame, unrolled GD rounds.
+    */
+  private def ftCtes(iters: Int): String = {
+    val toksSql = graft.functions.Parity.tokensSql("text")
+    val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+    val h = graft.functions.Parity.tokenH40Sql("t")
+    val xrCols = (1 to FtDim)
+      .map(j => s"CAST(sum(CASE WHEN b = ${j - 1} THEN 1 ELSE 0 END) AS BIGINT) AS x${j}r")
+      .mkString(",\n         ")
+    val rawCols = (1 to FtDim).map(j => s"coalesce(b.x${j}r, 0) AS x${j}r").mkString(", ")
+    val mmCols = (1 to FtDim)
+      .map(j => s"CAST(sum(x${j}r) // count(*) AS BIGINT) AS m$j")
+      .mkString(",\n         ")
+    val fCols = (1 to FtDim).map(j => s"x${j}r - mm.m$j AS x$j").mkString(", ")
+    val w0Cols = (0 to FtDim).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")
+    def grad(prev: String, k: Int): String = {
+      val r = ftResidual((0 to FtDim).map(j => s"w.w$j"))
+      val pw = (0 to FtDim).map(j => s"w.w$j AS pw$j").mkString(", ")
+      val gs = ((s"CAST(sum(CAST(round($r * 1000000) AS BIGINT)) AS BIGINT) AS g0") +:
+        (1 to FtDim).map(j =>
+          s"CAST(sum(CAST(round($r * x$j * 1000000) AS BIGINT)) AS BIGINT) AS g$j"))
+        .mkString(",\n         ")
+      val upd = (0 to FtDim)
+        .map(j => s"pw$j - CAST(round(CAST(g$j AS DOUBLE) / ($LogregLrDen * n)) AS BIGINT) AS w$j")
+        .mkString(",\n         ")
+      val gb = (0 to FtDim).map(j => s"w.w$j").mkString(", ")
+      s"""g$k AS (
+         |  SELECT $pw, nn.n AS n,
+         |         $gs
+         |  FROM f CROSS JOIN $prev w CROSS JOIN nn
+         |  GROUP BY $gb, nn.n),
+         |w$k AS (
+         |  SELECT $upd
+         |  FROM g$k)""".stripMargin
+    }
+    val rounds = (1 to iters).map(k => grad(s"w${k - 1}", k)).mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS ts FROM documents),
+       |lab AS (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN len(ts) > 0 AND
+       |                        14 * len(list_filter(ts, t -> t IN ($stopList))) >= len(ts)
+       |                   THEN 1 ELSE 0 END AS BIGINT) AS y
+       |  FROM tk),
+       |bt AS (SELECT doc_id, $h % $FtDim AS b
+       |       FROM (SELECT doc_id, unnest(ts) AS t FROM tk)),
+       |bx AS (SELECT doc_id,
+       |         $xrCols
+       |       FROM bt GROUP BY doc_id),
+       |raw AS (SELECT l.doc_id, l.y, $rawCols
+       |        FROM lab l LEFT JOIN bx b USING (doc_id)),
+       |mm AS (SELECT $mmCols
+       |       FROM raw),
+       |f AS (SELECT y, $fCols FROM raw CROSS JOIN mm),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+       |w0 AS (SELECT $w0Cols),
+       |$rounds""".stripMargin
+  }
+
+  /** [[fasttextGd]]'s oracle: the unrolled GD rounds at [[FtDim]]+1
+    * weights.
+    */
+  def fasttextGdSql(iters: Int = FtIters): String = {
+    val lin = "w.w0" + (1 to FtDim).map(j => s" + w.w$j * x$j").mkString
+    val zf = s"(CAST($lin AS DOUBLE) / 1000000.0)"
+    val wCols = (0 to FtDim).map(j => s"w.w$j AS w${j}_micro").mkString(", ")
+    val gb = (0 to FtDim).map(j => s"w.w$j").mkString(", ")
+    s"""${ftCtes(iters)}
+       |SELECT nn.n AS n_rows, $wCols,
+       |       CAST(sum(CASE WHEN ($zf > 0.0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |FROM f CROSS JOIN w$iters w CROSS JOIN nn
+       |GROUP BY nn.n, $gb""".stripMargin
+  }
+
+  /** [[fasttextApplyStored]]'s oracle: the training CTEs reproduce the
+    * stored weights, then the integer score is applied per document.
+    */
+  def fasttextApplyStoredSql(iters: Int = FtIters): String = {
+    val score = "w.w0" + (1 to FtDim).map(j => s" + w.w$j * (r.x${j}r - mm.m$j)").mkString
+    s"""${ftCtes(iters)}
+       |SELECT r.doc_id, r.y AS label,
+       |       $score AS score_micro,
+       |       CAST(CASE WHEN $score > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM raw r CROSS JOIN w$iters w CROSS JOIN mm
+       |ORDER BY r.doc_id""".stripMargin
+  }
 }

@@ -73,6 +73,33 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out === Array((1L, 2L, 1.0)))
   }
 
+  test("fasttextApplyStored follows the artifact — a planted weight vector scores as planted") {
+    import graft.operators.Training
+    val docs = model.table(spark, "/root/testdata/sf0.001", "documents")
+    val dir = Training.writeFasttextModel(spark, docs)
+    // plant w = (0, 1e6, 0, …), m = 0: the score must become exactly
+    // 1e6 · (bucket-0 token count) — a result no retrain could produce
+    val planted = Seq((
+      0L +: 1000000L +: Seq.fill(Training.FtDim - 1)(0L),
+      Seq.fill(Training.FtDim)(0L)))
+      .toDF("w", "m")
+    planted.coalesce(1).write.mode("overwrite").parquet(dir)
+    // recompute bucket-0 counts independently
+    val expect = docs
+      .select(col("doc_id"), explode(Parity.tokens(col("text"))).as("t"))
+      .filter(pmod(Parity.tokenH40(col("t")), lit(Training.FtDim)) === 0)
+      .groupBy(col("doc_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Training.fasttextApplyStored(spark, docs, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    full.foreach { case (id, score, pred) =>
+      val x0 = expect.getOrElse(id, 0L)
+      assert(score === 1000000L * x0, s"doc $id scored $score, planted model says ${1000000L * x0}")
+      assert(pred === (if (x0 > 0) 1L else 0L))
+    }
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("pplBuckets: per-lang LM-score terciles; empty doc lands in tail") {
     val d = docsDf(Seq(
       (1L, "a a", "en"), // best LM fit (all high-freq tokens)
