@@ -786,6 +786,11 @@ object SparkEntry {
     "docs_stream_dedup_static" -> ((s, d) =>
       streaming.StreamOps.docDedupOverParquet(s, d, firstNewId = 400L)
         .orderBy(col("source"))),
+    // quality-gate-on-arrival: the stored hashed-feature classifier
+    // scores each arriving doc as one stateless array fold
+    "docs_stream_quality_static" -> ((s, d) =>
+      streaming.StreamOps.docQualityGateOverParquet(s, d, firstNewId = 400L)
+        .orderBy(col("source"))),
     // online ANN ingest: arriving embeddings streamed against the static
     // trained IVF index (stateless cell assignment + stream-static
     // cid-keyed probe of the inverted lists, argmax per arrival)
@@ -2208,6 +2213,7 @@ object SparkEntry {
            |WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = i.fp)
            |GROUP BY source ORDER BY source""".stripMargin
       },
+      "docs_stream_quality_static" -> operators.Training.fasttextGateSql(firstNewId = 400L),
       "emb_stream_ivf_static" -> embStreamIvfOracleSql(nProbe = 2),
       "events_stream_anomaly" ->
         s"""WITH f AS (

@@ -510,7 +510,7 @@ object Training {
   /** Shared oracle CTE chain for the hashed-feature classifier: label +
     * bucket counts, integer means, centered frame, unrolled GD rounds.
     */
-  private def ftCtes(iters: Int): String = {
+  private def ftCtes(iters: Int, srcWhere: String = ""): String = {
     val toksSql = graft.functions.Parity.tokensSql("text")
     val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
     val h = graft.functions.Parity.tokenH40Sql("t")
@@ -544,7 +544,7 @@ object Training {
          |  FROM g$k)""".stripMargin
     }
     val rounds = (1 to iters).map(k => grad(s"w${k - 1}", k)).mkString(",\n")
-    s"""WITH tk AS (SELECT doc_id, $toksSql AS ts FROM documents),
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS ts FROM documents$srcWhere),
        |lab AS (
        |  SELECT doc_id,
        |         CAST(CASE WHEN len(ts) > 0 AND
@@ -579,6 +579,33 @@ object Training {
        |       CAST(sum(CASE WHEN ($zf > 0.0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
        |FROM f CROSS JOIN w$iters w CROSS JOIN nn
        |GROUP BY nn.n, $gb""".stripMargin
+  }
+
+  /** Oracle for the STREAMING quality gate
+    * ([[graft.streaming.StreamOps.docQualityGateOverParquet]]): train on
+    * the static slice (`doc_id < firstNewId`), score every arriving doc
+    * as one weight-lookup fold over its token hashes (the exact same
+    * integer score as [[fasttextApplyStored]], rewritten as
+    * `w0 − Σ wj·mj + Σ_tokens w[bucket(t)]`), roll up accepts per
+    * source.
+    */
+  def fasttextGateSql(firstNewId: Long, iters: Int = FtIters): String = {
+    val h = graft.functions.Parity.tokenH40Sql("t")
+    val wList = (1 to FtDim).map(j => s"w.w$j").mkString("[", ", ", "]")
+    val mdot = (1 to FtDim).map(j => s"w.w$j * mm.m$j").mkString(" + ")
+    s"""${ftCtes(iters, s" WHERE doc_id < $firstNewId")},
+       |arr AS (SELECT doc_id, source, ${graft.functions.Parity.tokensSql("text")} AS ts
+       |        FROM documents WHERE doc_id >= $firstNewId),
+       |sc AS (
+       |  SELECT a.doc_id, a.source,
+       |         w.w0 - ($mdot) + list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(a.ts, t -> $wList[CAST(($h % $FtDim) + 1 AS INT)])),
+       |             (x, y) -> x + y) AS score_micro
+       |  FROM arr a CROSS JOIN w$iters w CROSS JOIN mm)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN score_micro > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+       |       min(doc_id) AS first_id
+       |FROM sc GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** [[fasttextApplyStored]]'s oracle: the training CTEs reproduce the

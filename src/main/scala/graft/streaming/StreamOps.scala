@@ -409,6 +409,58 @@ object StreamOps {
       "complete")
   }
 
+  /** STREAMING QUALITY GATE: the stored fastText-style classifier
+    * ([[graft.operators.Training.writeFasttextModel]], trained on the
+    * STATIC corpus slice) applied to arriving documents. The per-doc
+    * score folds to ONE stateless array pass — hash each token to its
+    * bucket and look up the bucket's stored weight
+    * (`w0 − Σ wj·mj + Σ_tokens w[bucket(t)]`, algebraically identical
+    * to the batch serving score) — so the streaming plan is a pure
+    * projection feeding a single per-source aggregate: no per-doc
+    * explode/groupBy (Structured Streaming allows only one aggregation),
+    * no state beyond the rollup, model folded in as literals. This is
+    * the production shape of a quality filter on an ingest firehose:
+    * train nightly, gate arrivals statelessly.
+    */
+  def docQualityGateOverParquet(
+      spark: SparkSession,
+      sfDir: String,
+      firstNewId: Long): DataFrame = {
+    import graft.functions.Parity
+    import graft.operators.Training
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val modelDir = Training.writeFasttextModel(spark, docs.filter(col("doc_id") < firstNewId))
+    val m = spark.read.parquet(modelDir).head()
+    val w = m.getSeq[Long](0)
+    val ms = m.getSeq[Long](1)
+    val bias = w(0) - (1 to Training.FtDim).map(j => w(j) * ms(j - 1)).sum
+    val wArr = array((1 to Training.FtDim).map(j => lit(w(j))): _*)
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-docs-gate"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    runStream(
+      spark,
+      readDocStream(spark, staged.toString)
+        .filter(col("doc_id") >= firstNewId)
+        .select(
+          col("doc_id"),
+          col("source"),
+          (lit(bias) + aggregate(
+            transform(
+              Parity.tokens(col("text")),
+              t => pmod(Parity.tokenH40(t), lit(Training.FtDim))),
+            lit(0L),
+            (acc, h) => acc + element_at(wArr, (h + 1).cast("int")))).as("score_micro"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("score_micro") > 0, 1L).otherwise(0L)).as("n_accepted"),
+          min(col("doc_id")).as("first_id")),
+      graft.sources.Staging.freshTable("graft_stream_docgate"),
+      "complete")
+  }
+
   /** Schema of the embeddings table (readStream requires one). */
   val embSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

@@ -218,6 +218,27 @@ class StreamOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("streaming quality gate equals the batch stored-classifier rollup at sf0.001") {
+    import graft.operators.Training
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // batch formulation: train on the static slice, score arrivals with
+    // the stored artifact, roll up accepts per source
+    val modelDir = Training.writeFasttextModel(spark, docs.filter(col("doc_id") < 400L))
+    val batch = Training
+      .fasttextApplyStored(spark, docs.filter(col("doc_id") >= 400L), modelDir)
+      .groupBy()
+      .agg(count(lit(1)).as("n"), sum(col("pred")).as("acc"))
+      .head()
+    val streamed = StreamOps
+      .docQualityGateOverParquet(spark, dir, firstNewId = 400L)
+      .agg(sum(col("n_docs")), sum(col("n_accepted")))
+      .head()
+    assert(streamed.getLong(0) === batch.getLong(0))
+    assert(streamed.getLong(1) === batch.getLong(1))
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("streaming anomaly gate equals the batch fence-count at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val out = StreamOps.anomalyIngestOverParquet(spark, dir, firstNewId = 800L).collect()
