@@ -490,6 +490,14 @@ object SparkEntry {
       Similarity.pqStoredTopK(s, embs(s, d), model, nQueries = 50, k = 3)
         .orderBy(col("q_id"), col("rank"))
     }),
+    // scalar quantizer (SQ8) train-once/apply-many: per-dim [lo, hi]
+    // artifact; serving decomposes the dot EXACTLY through the codes
+    // (one codegen'd DotProduct per pair — no dequantized array per pair)
+    "ann_sq_stored" -> ((s, d) => {
+      val model = Similarity.writeSqModel(s, embs(s, d))
+      Similarity.sqStoredTopK(s, embs(s, d), model, nQueries = 10, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
     // both artifacts stored — coarse quantizer + codebooks: the complete
     // production ANN serving plan, zero training stages
     "ann_ivfpq_stored" -> ((s, d) => {
@@ -609,6 +617,9 @@ object SparkEntry {
         .orderBy(col("key"))),
     "text_tfidf" -> ((s, d) =>
       TextOps.tfidf(docs(s, d)).orderBy(col("doc_id"), col("term"))),
+    // BM25 top-k retrieval — tf-idf's production successor; query terms
+    // self-derived (top-df) for determinism, per-doc ordered score fold
+    "text_bm25_topk" -> ((s, d) => TextOps.bm25TopK(docs(s, d), nTerms = 3, k = 20)),
     "emb_centroids" -> ((s, d) =>
       Similarity.labelCentroids(embs(s, d)).orderBy(col("label"), col("dim"))),
     // multimodal plumbing (column-expressible projection; mapPartitions
@@ -617,6 +628,11 @@ object SparkEntry {
       Multimodal.featureSummary(docs(s, d)).orderBy(col("doc_id"))),
     "multimodal_frames" -> ((s, d) =>
       Multimodal.frameSample(docs(s, d)).orderBy(col("doc_id"), col("frame_idx"))),
+    // perceptual-hash near-dup over the binary media column: banded
+    // 64-bit average-hash LSH + exact Hamming verification (bucket-keyed,
+    // never all-pairs; oversized buckets dropped as boilerplate)
+    "multimodal_phash_dedup" -> ((s, d) =>
+      Multimodal.phashDedup(docs(s, d)).orderBy(col("a_id"), col("b_id"))),
     "text_vocab" -> ((s, d) => TextOps.vocab(docs(s, d), k = 50)),
     // batch-shaping + curation extensions (round 3)
     "doc_pack" -> ((s, d) =>
@@ -791,6 +807,12 @@ object SparkEntry {
     "docs_stream_quality_static" -> ((s, d) =>
       streaming.StreamOps.docQualityGateOverParquet(s, d, firstNewId = 400L)
         .orderBy(col("source"))),
+    // decontamination-on-arrival: arriving docs' shingles semi-joined
+    // (stateless stream-static) to the static benchmark-shingle store;
+    // output = contaminated arrivals with benchmark-overlap counts
+    "docs_stream_decontam_static" -> ((s, d) =>
+      streaming.StreamOps.docDecontamGateOverParquet(s, d, firstNewId = 400L)
+        .orderBy(col("doc_id"))),
     // online ANN ingest: arriving embeddings streamed against the static
     // trained IVF index (stateless cell assignment + stream-static
     // cid-keyed probe of the inverted lists, argmax per arrival)
@@ -2110,6 +2132,7 @@ object SparkEntry {
       // the stored-model probe is result-identical to the trained path:
       // the artifact is the SAME deterministic k-means, written then read
       "ann_ivf_stored" -> ivfTrainedOracleSql,
+      "ann_sq_stored" -> Similarity.sqStoredTopKSql(nQueries = 10, k = 5),
       "ann_ivf_recall" -> {
         val last = s"c${Similarity.KmeansIters}"
         val score =
@@ -2214,6 +2237,24 @@ object SparkEntry {
            |GROUP BY source ORDER BY source""".stripMargin
       },
       "docs_stream_quality_static" -> operators.Training.fasttextGateSql(firstNewId = 400L),
+      "docs_stream_decontam_static" -> {
+        val t = Parity.tokensSql("text")
+        val shingle = Parity.shinglesSql("t")
+        s"""WITH tt AS (SELECT doc_id, source, $t AS t FROM documents),
+           |sh AS (SELECT doc_id, source, unnest($shingle) AS g FROM tt),
+           |bench AS (SELECT DISTINCT g FROM sh
+           |          WHERE doc_id < 400 AND doc_id % ${TextOps.BenchmarkMod} = 0),
+           |hot AS (SELECT g FROM sh
+           |        WHERE doc_id < 400 AND doc_id % ${TextOps.BenchmarkMod} <> 0
+           |          AND g IN (SELECT g FROM bench)
+           |        GROUP BY g HAVING count(*) > ${TextOps.DecontamMaxDf}),
+           |store AS (SELECT g FROM bench WHERE g NOT IN (SELECT g FROM hot))
+           |SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_hits
+           |FROM sh
+           |WHERE doc_id >= 400 AND doc_id % ${TextOps.BenchmarkMod} <> 0
+           |  AND g IN (SELECT g FROM store)
+           |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+      },
       "emb_stream_ivf_static" -> embStreamIvfOracleSql(nProbe = 2),
       "events_stream_anomaly" ->
         s"""WITH f AS (
@@ -2617,6 +2658,7 @@ object SparkEntry {
         """SELECT event_type AS key, count(*) AS n,
           |       CAST(sum(TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_m
           |FROM events GROUP BY event_type ORDER BY key""".stripMargin,
+      "text_bm25_topk" -> TextOps.bm25TopKSql(nTerms = 3, k = 20),
       "text_tfidf" ->
         s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
            |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
@@ -2638,6 +2680,7 @@ object SparkEntry {
            |       CAST(octet_length(encode(text)) // 64 AS BIGINT) AS n_frames,
            |       ${Parity.charFoldSql("text", 31L, Parity.TokP)} AS content_hash
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "multimodal_phash_dedup" -> Multimodal.phashDedupSql,
       "multimodal_frames" ->
         s"""WITH f AS (
            |  SELECT doc_id, text, CAST(length(text) // 64 AS BIGINT) AS n_frames

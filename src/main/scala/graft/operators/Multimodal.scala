@@ -159,4 +159,134 @@ object Multimodal {
             31L,
             Parity.TokP)
           .as("frame_hash"))
+
+  /** Perceptual-hash constants: 64 "pixels" (the first 64 payload bytes),
+    * signature split into 4×16-bit bands for the LSH bucket join; pairs
+    * within full-signature Hamming ≤ [[PhashMaxHamming]] are near-dups.
+    * Buckets larger than [[PhashBucketCap]] are boilerplate prefixes
+    * (same reasoning as the dedup family's DF cap) and are dropped.
+    */
+  val PhashPixels = 64
+  val PhashBands = 4
+  val PhashBandBits = 16
+  val PhashMaxHamming = 12
+  val PhashBucketCap = 50L
+
+  private val PhashPow2: Seq[Long] = (0 until PhashBandBits).map(1L << _)
+
+  /** Per-media perceptual-hash bands: pixel i = byte i of the payload
+    * (here: ascii of char i — the deterministic stand-in decode, see
+    * [[asMediaTable]]), bit i = pixel·64 > Σpixels (the average-hash
+    * test, integer-exact so it needs no float parity), packed into
+    * [[PhashBands]]×[[PhashBandBits]]-bit band values. Payloads shorter
+    * than [[PhashPixels]] bytes are excluded (the [[frameSample]] rule).
+    * Pure narrow map — no shuffle.
+    */
+  def phashBands(docs: DataFrame): DataFrame = {
+    val px = transform(
+      filter(split(substring(col("text"), 1, PhashPixels), ""), c => c =!= ""),
+      c => ascii(c).cast("long"))
+    val pow2 = typedLit(PhashPow2)
+    val withPx = docs
+      .filter(length(col("text")) >= PhashPixels)
+      .select(col("doc_id"), px.as("px"))
+      .withColumn("s", aggregate(col("px"), lit(0L), (acc, x) => acc + x))
+    val bands = (0 until PhashBands).map { j =>
+      aggregate(
+        zip_with(
+          slice(col("px"), j * PhashBandBits + 1, PhashBandBits),
+          pow2,
+          (p, w) => when(p * PhashPixels > col("s"), w).otherwise(lit(0L))),
+        lit(0L),
+        (acc, x) => acc + x).as(s"b$j")
+    }
+    withPx.select(col("doc_id") +: bands: _*)
+  }
+
+  /** Perceptual-hash near-duplicate detection over the binary media
+    * column — the image/video counterpart of MinHash-LSH text dedup:
+    * candidates share ANY 16-bit band (bucket-keyed join, never
+    * all-pairs; oversized buckets dropped as boilerplate), verified by
+    * exact 64-bit Hamming distance (`Σ_j bit_count(a_j XOR b_j)`) ≤
+    * [[PhashMaxHamming]]. Output: (a_id, b_id, hamming) with a < b.
+    */
+  def phashDedup(docs: DataFrame): DataFrame = {
+    val sigs = phashBands(docs)
+    val bandCols = (0 until PhashBands).map(j => col(s"b$j"))
+    val exploded = sigs.select(
+      col("doc_id") +: bandCols :+
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")): _*)
+    val hotBuckets = exploded
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > PhashBucketCap)
+      .select(col("band_idx"), col("band_val"))
+    val buckets = exploded.join(broadcast(hotBuckets), Seq("band_idx", "band_val"), "left_anti")
+    val a = buckets.alias("a")
+    val b = buckets.alias("b")
+    val hamming = (0 until PhashBands)
+      .map(j => bit_count(col(s"a.b$j").bitwiseXOR(col(s"b.b$j"))).cast("long"))
+      .reduce(_ + _)
+    a.join(
+      b,
+      col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("a_id"),
+        col("b.doc_id").as("b_id"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .distinct()
+  }
+
+  /** DuckDB oracle for [[phashDedup]] — same pixels, bits, bands,
+    * bucket cap, and Hamming verification.
+    */
+  def phashDedupSql: String = {
+    val pxSql = "list_transform(list_filter(string_split(substring(text, 1, " +
+      s"$PhashPixels), ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))"
+    val powList = PhashPow2.mkString("[", ", ", "]")
+    val bandExprs = (0 until PhashBands)
+      .map { j =>
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"[CASE WHEN px[i] * $PhashPixels > s THEN $powList[((i - 1) % $PhashBandBits) + 1] " +
+          s"ELSE CAST(0 AS BIGINT) END " +
+          s"FOR i IN range(${j * PhashBandBits + 1}, ${(j + 1) * PhashBandBits + 1})]), " +
+          s"(acc, x) -> acc + x) AS b$j"
+      }
+      .mkString(",\n       ")
+    val hammingSql = (0 until PhashBands)
+      .map(j => s"bit_count(xor(a.b$j, b.b$j))")
+      .mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT doc_id, $pxSql AS px
+       |  FROM documents WHERE length(text) >= $PhashPixels),
+       |ps AS (
+       |  SELECT doc_id, px,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), px), (acc, x) -> acc + x) AS s
+       |  FROM p),
+       |sig AS (
+       |  SELECT doc_id,
+       |       $bandExprs
+       |  FROM ps),
+       |bands AS (
+       |  SELECT doc_id, b0, b1, b2, b3, t.i AS band_idx,
+       |         CASE t.i WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS band_val
+       |  FROM sig CROSS JOIN range(0, $PhashBands) t(i)),
+       |hot AS (
+       |  SELECT band_idx, band_val FROM bands
+       |  GROUP BY 1, 2 HAVING count(*) > $PhashBucketCap),
+       |keep AS (
+       |  SELECT k.* FROM bands k
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+       |                    WHERE h.band_idx = k.band_idx AND h.band_val = k.band_val))
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |       CAST($hammingSql AS BIGINT) AS hamming
+       |FROM keep a JOIN keep b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       | AND a.doc_id < b.doc_id
+       |WHERE $hammingSql <= $PhashMaxHamming
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 }

@@ -617,6 +617,110 @@ object Similarity {
     dir
   }
 
+  /** Train once, persist the SCALAR quantizer (faiss SQ8): per-dimension
+    * (dim, lo, hi) over the corpus — 64 tiny rows, one posexplode + one
+    * 64-key hash aggregate (map-side partial min/max). The cheapest
+    * trained compressor in the family: no Lloyd at all, 4× smaller codes
+    * than raw floats, and unlike PQ the reconstruction is per-dimension
+    * independent, so the serving dot product decomposes exactly (see
+    * [[sqStoredTopK]]).
+    */
+  def writeSqModel(spark: org.apache.spark.sql.SparkSession, embs: DataFrame): String = {
+    val dir = graft.sources.Staging.freshDir("sq-model")
+    asDouble(embs)
+      .select(posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy((col("pos") + 1).cast("int").as("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Inner-product top-k over a STORED scalar quantizer: the corpus is
+    * encoded to uint8 codes against the artifact's per-dim [lo, hi]
+    * ranges (one interpreted zip pass per CORPUS vector — never per
+    * pair), and the query-side dot decomposes EXACTLY through the
+    * quantizer:
+    * `dot(q, dequant(c)) = dot(q, lo) + dot(q ∘ step, code)` with
+    * `step_d = (hi_d − lo_d)/255` — so the per-pair hot path is ONE
+    * codegen'd [[graft.functions.DotProduct]] over the code array plus a
+    * scalar add, with the query-side `dot(q, lo)` and `q ∘ step`
+    * precomputed once per QUERY row. The plan reads the 64-row artifact
+    * (broadcast) and the corpus, nothing else — no training stage.
+    * Degenerate dims (hi = lo) encode to 0 and contribute exactly
+    * `q_d·lo_d` through the decomposition, so constant dimensions are
+    * lossless.
+    */
+  def sqStoredTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      embs: DataFrame,
+      modelDir: String,
+      nQueries: Int,
+      k: Int): DataFrame = {
+    // fold the 64 (dim, lo, hi) rows into dim-aligned arrays INSIDE the
+    // plan (single-row aggregate, broadcast) — no driver-side collect
+    val m = broadcast(
+      spark.read.parquet(modelDir).agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("lo")))), s => s("lo"))
+          .as("lo"),
+        transform(array_sort(collect_list(struct(col("dim"), col("hi")))), s => s("hi"))
+          .as("hi")))
+    val d = asDouble(embs)
+    val codes = d.crossJoin(m).select(
+      col("vec_id").as("n_id"),
+      zip_with(
+        zip_with(col("e"), col("lo"), (x, l) => x - l),
+        zip_with(col("hi"), col("lo"), (h, l) => h - l),
+        (xl, r) =>
+          when(r > lit(0.0), least(greatest(floor(xl / r * lit(255.0)), lit(0.0)), lit(255.0)))
+            .otherwise(lit(0.0))).as("code"))
+    val q = d.filter(col("vec_id") < nQueries).crossJoin(m).select(
+      col("vec_id").as("q_id"),
+      Parity.dot(col("e"), col("lo")).as("qlo"),
+      zip_with(
+        col("e"),
+        zip_with(col("hi"), col("lo"), (h, l) => (h - l) / lit(255.0)),
+        (x, s) => x * s).as("qs"))
+    val scored = broadcast(q)
+      .join(codes, col("q_id") =!= col("n_id"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        round(col("qlo") + Parity.dot(col("qs"), col("code")), 6).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("score"), col("rank"))
+  }
+
+  /** DuckDB oracle for [[writeSqModel]]+[[sqStoredTopK]]: the same
+    * min/max train, encode, and decomposed dot, operation for operation.
+    */
+  def sqStoredTopKSql(nQueries: Int, k: Int): String = {
+    val dims = 64
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |mm AS (SELECT t.i AS dim, min(e[t.i]) AS lo, max(e[t.i]) AS hi
+       |       FROM d CROSS JOIN range(1, ${dims + 1}) t(i) GROUP BY 1),
+       |m AS (SELECT list(lo ORDER BY dim) AS lo, list(hi ORDER BY dim) AS hi FROM mm),
+       |codes AS (SELECT vec_id AS n_id,
+       |  [CASE WHEN (hi[i] - lo[i]) > 0.0
+       |        THEN least(greatest(floor((e[i] - lo[i]) / (hi[i] - lo[i]) * 255.0), 0.0), 255.0)
+       |        ELSE 0.0 END FOR i IN range(1, ${dims + 1})] AS code
+       |  FROM d CROSS JOIN m),
+       |q AS (SELECT vec_id AS q_id,
+       |  ${Parity.dotSql("e", "lo")} AS qlo,
+       |  [e[i] * ((hi[i] - lo[i]) / 255.0) FOR i IN range(1, ${dims + 1})] AS qs
+       |  FROM d CROSS JOIN m WHERE vec_id < $nQueries),
+       |sc AS (SELECT q_id, n_id,
+       |  round(qlo + ${Parity.dotSql("qs", "code")}, 6) AS score
+       |  FROM q JOIN codes ON q_id <> n_id),
+       |r AS (SELECT q_id, n_id, score,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INT) AS rank
+       |  FROM sc)
+       |SELECT q_id, n_id, score, rank FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** The production ADC scan over a STORED product quantizer: read the
     * codebook artifact, encode the corpus and build the query LUT
     * against it (both broadcast probes), rank by ADC — no Lloyd stage

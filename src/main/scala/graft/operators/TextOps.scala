@@ -132,6 +132,96 @@ object TextOps {
       .orderBy(col("df").desc, col("term"))
       .limit(k)
 
+  /** BM25 constants — written as LITERALS on both engines (never derived
+    * arithmetic like `k1 + 1`, whose double rounding can differ from the
+    * literal's) so the per-term score is bit-identical cross-engine.
+    */
+  val Bm25K1 = "1.2"
+  val Bm25K1Plus1 = "2.2"
+  val Bm25B = "0.75"
+  val Bm25OneMinusB = "0.25"
+
+  /** BM25 top-k retrieval — tf-idf's production successor and the lexical
+    * half of a RAG/retrieval stack. The "query" is self-derived for
+    * determinism: the corpus's top-`nTerms` terms by document frequency
+    * (ties to the smaller term). With an EXTERNAL query — the production
+    * case — the plan gets strictly cheaper: terms filter to the query set
+    * BEFORE the tf aggregate and df comes from a stored vocabulary
+    * artifact, so the corpus is crossed once.
+    *
+    * Scale shape: one explode feeding the (doc, term) tf hash aggregate
+    * (map-side partial); doc length rides THROUGH that aggregate
+    * (`first(dl)`) instead of a second corpus join; df is a second hash
+    * aggregate on the term key; the query-term table (≤ nTerms rows) and
+    * the corpus stats (one row: N, total tokens) are broadcast. The
+    * per-doc score is an ordered fold over per-term scores (term order,
+    * each rounded to 9 dp) — bit-identical cross-engine, like
+    * [[unigramScore]]; the global top-k is a TakeOrdered, never a full
+    * sort.
+    */
+  def bm25TopK(docs: DataFrame, nTerms: Int = 3, k: Int = 20): DataFrame = {
+    val terms = docs.select(
+      col("doc_id"),
+      size(toks(col("text"))).cast("long").as("dl"),
+      explode(toks(col("text"))).as("term"))
+    val tf = terms
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val q = dfx.orderBy(col("df").desc, col("term")).limit(nTerms)
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(size(toks(col("text"))).cast("long")).cast("double").as("tot"))
+    val idf = log(lit(1.0) + (col("n") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)))
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val denom = tfd + lit(Bm25K1.toDouble) *
+      (lit(Bm25OneMinusB.toDouble) + lit(Bm25B.toDouble) * dld / (col("tot") / col("n")))
+    val scored = tf
+      .join(broadcast(q.select(col("term"), col("df"))), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("doc_id"),
+        col("term"),
+        round(idf * (tfd * lit(Bm25K1Plus1.toDouble)) / denom, 9).as("s"))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms_matched"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("term"), col("s")))), x => x("s")),
+          lit(0.0d),
+          (acc, v) => acc + v).as("sum_s"))
+      .select(col("doc_id"), col("n_terms_matched"), round(col("sum_s"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[bm25TopK]] — same literals, same operation tree,
+    * same ordered per-doc fold.
+    */
+  def bm25TopKSql(nTerms: Int, k: Int): String = {
+    val toks = Parity.tokensSql("text")
+    s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl,
+       |                  unnest($toks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM t GROUP BY 1, 2),
+       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |q AS (SELECT term, df FROM dfx ORDER BY df DESC, term LIMIT $nTerms),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |              CAST(sum(len($toks)) AS DOUBLE) AS tot FROM documents),
+       |sc AS (SELECT doc_id, term,
+       |              round(ln(1.0 + (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |                    * (CAST(tf AS DOUBLE) * $Bm25K1Plus1)
+       |                    / (CAST(tf AS DOUBLE) + $Bm25K1 * ($Bm25OneMinusB + $Bm25B * CAST(dl AS DOUBLE) / (tot / n))), 9) AS s
+       |       FROM tf JOIN q USING (term) CROSS JOIN st)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+       |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY term)),
+       |                         (acc, x) -> acc + x), 6) AS bm25
+       |FROM sc GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Unigram-LM quality scoring — the perplexity-proxy filter: train
     * add-one-smoothed unigram log-probabilities on the corpus's OWN
     * token histogram, then score every document by its mean token

@@ -461,6 +461,65 @@ object StreamOps {
       "complete")
   }
 
+  /** STREAMING DECONTAMINATION GATE: the benchmark-shingle store (built
+    * from the STATIC corpus slice — distinct word-3-gram shingles of
+    * benchmark docs, minus boilerplate grams whose static DF among
+    * non-benchmark docs exceeds [[graft.operators.TextOps.DecontamMaxDf]])
+    * joined against arriving documents' shingles as a STATELESS
+    * stream-static left-semi join, then one per-doc aggregation. Output =
+    * the contaminated arrivals with their benchmark-overlap counts — the
+    * rows a training pipeline drops before they reach the trainer
+    * (build-nightly / gate-arrivals, like [[docQualityGateOverParquet]]).
+    *
+    * Exact, not sketch-based: the static side IS the exact shingle set,
+    * so there are no false positives to remove. At 100 TB the same plan
+    * takes a Bloom prefilter in front of the semi join (the
+    * [[graft.operators.BloomJoin]] pattern) — the sketch trims the
+    * exploded shingle stream before the exchange; the exact join after it
+    * keeps the gate exact.
+    */
+  def docDecontamGateOverParquet(
+      spark: SparkSession,
+      sfDir: String,
+      firstNewId: Long): DataFrame = {
+    import graft.operators.TextOps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def sh(d: DataFrame): DataFrame = d.select(
+      col("doc_id"),
+      col("source"),
+      explode(graft.functions.ShingleStrings(split(col("text"), "\\s+"), distinct = true))
+        .as("g"))
+    val staticSh = sh(docs.filter(col("doc_id") < firstNewId))
+    val bench = staticSh
+      .filter(pmod(col("doc_id"), lit(TextOps.BenchmarkMod)) === 0)
+      .select(col("g"))
+      .distinct()
+    val hot = staticSh
+      .filter(pmod(col("doc_id"), lit(TextOps.BenchmarkMod)) =!= 0)
+      .join(bench, Seq("g"), "left_semi")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > TextOps.DecontamMaxDf)
+      .select(col("g"))
+    val store = broadcast(bench.join(hot, Seq("g"), "left_anti"))
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-docs-decon"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    runStream(
+      spark,
+      sh(
+        readDocStream(spark, staged.toString)
+          .filter(
+            col("doc_id") >= firstNewId &&
+              pmod(col("doc_id"), lit(TextOps.BenchmarkMod)) =!= 0))
+        .join(store, Seq("g"), "left_semi")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_hits")),
+      graft.sources.Staging.freshTable("graft_stream_docdecon"),
+      "complete")
+  }
+
   /** Schema of the embeddings table (readStream requires one). */
   val embSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

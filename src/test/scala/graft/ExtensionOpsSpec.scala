@@ -848,4 +848,73 @@ class ExtensionOpsSpec extends SparkSpec {
     info(f"lshRecall mean recall@3 = $mean%.3f")
     assert(mean >= 0.3)
   }
+
+  test("bm25TopK matches an independently hand-computed corpus") {
+    val d = docsDf(Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "alpha alpha beta gamma", "en"),
+      (3L, "alpha beta", "en"),
+      (4L, "delta epsilon", "en")))
+    val out = TextOps.bm25TopK(d, nTerms = 3, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // query = top-3 df terms: alpha(3), beta(3), gamma(2); doc 4 matches none
+    assert(!out.exists(_._1 == 4L))
+    val byDoc = out.map(t => t._1 -> t).toMap
+    assert(byDoc(1L)._2 === 3L)
+    assert(byDoc(2L)._2 === 3L)
+    assert(byDoc(3L)._2 === 2L)
+    // independent closed-form recomputation (same literals, same rounding)
+    val n = 4.0
+    val avgdl = (3 + 4 + 2 + 2) / 4.0
+    def idf(df: Long) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def s(tf: Long, dl: Long, df: Long) = {
+      val raw = idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      BigDecimal(raw).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def doc(scores: Seq[Double]) =
+      BigDecimal(scores.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byDoc(1L)._3 === doc(Seq(s(1, 3, 3), s(1, 3, 3), s(1, 3, 2))))
+    assert(byDoc(2L)._3 === doc(Seq(s(2, 4, 3), s(1, 4, 3), s(1, 4, 2))))
+    assert(byDoc(3L)._3 === doc(Seq(s(1, 2, 3), s(1, 2, 3))))
+    // output order: bm25 desc (ties broken by doc_id upstream)
+    assert(out.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("stored-SQ serving follows the artifact and bounds quantization error") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val embs = model.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val modelDir = Similarity.writeSqModel(spark, embs)
+    val out = Similarity.sqStoredTopK(spark, embs, modelDir, nQueries = 3, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === 12)
+    // every served score within the per-dim quantization error bound of
+    // the exact inner product: |err| ≤ Σ_d |q_d|·step_d (residuals ∈ [0, step))
+    val vecs = embs.select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val step = spark.read.parquet(modelDir).collect()
+      .map(r => (r.getInt(0), (r.getDouble(2) - r.getDouble(1)) / 255.0))
+      .sortBy(_._1).map(_._2)
+    out.foreach { case (q, nId, score) =>
+      val qv = vecs(q)
+      val exact = qv.zip(vecs(nId)).map { case (a, b) => a * b }.sum
+      val bound = qv.zip(step).map { case (a, st) => math.abs(a) * st }.sum
+      assert(
+        math.abs(score - exact) <= bound + 1e-6,
+        s"q=$q n=$nId score=$score exact=$exact bound=$bound")
+    }
+    // planted degenerate artifact: lo=hi=0 → every code 0, every score
+    // dot(q, lo)=0 — constant per query, so ranking collapses to the
+    // n_id tie-break; no silent retrain could produce this
+    (1 to 64).map(d => (d, 0.0, 0.0)).toDF("dim", "lo", "hi")
+      .coalesce(1).write.mode("overwrite").parquet(modelDir)
+    val degr = Similarity.sqStoredTopK(spark, embs, modelDir, nQueries = 3, k = 3)
+      .select(col("q_id"), col("n_id"), col("score")).collect()
+    assert(degr.forall(_.getDouble(2) === 0.0))
+    val byQ = degr.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    (0L until 3L).foreach { q =>
+      assert(byQ(q) === (0L until 4L).filter(_ != q).take(3).toSet)
+    }
+    graft.sources.Staging.cleanup(spark)
+  }
 }

@@ -452,4 +452,21 @@ class PlanAuditSpec extends SparkSpec {
     // the *(n) stage markers are the simple-string form of WholeStageCodegen spans
     assert(plan.contains("*(1) HashAggregate"), plan)
   }
+
+  test("ann_sq_stored serving plan is train-free; bm25 top-k is a TakeOrdered") {
+    // stored-SQ serving: the artifact folds in as a broadcast single-row
+    // aggregate — no posexplode means no min/max TRAIN stage in the plan
+    // (serving-follows-the-artifact is pinned behaviorally in
+    // ExtensionOpsSpec "stored-SQ serving follows the artifact")
+    val sqPlan = planOf(SparkEntry.queries("ann_sq_stored")(spark, dir))
+    assert(!sqPlan.contains("posexplode"), s"train (min/max) stage in stored-SQ serving:\n$sqPlan")
+    assert(!sqPlan.contains("CartesianProduct"), s"cartesian in stored-SQ serving:\n$sqPlan")
+    // bm25: global top-k must be a TakeOrdered (map-side partial top-k),
+    // never a full sort of the scored docs; the query-term and corpus-stat
+    // sides must not force a cartesian
+    val bmPlan = planOf(SparkEntry.queries("text_bm25_topk")(spark, dir))
+    assert(bmPlan.contains("TakeOrderedAndProject"), s"bm25 top-k is a full sort:\n$bmPlan")
+    assert(!bmPlan.contains("CartesianProduct"), s"cartesian in bm25:\n$bmPlan")
+    graft.sources.Staging.cleanup(spark)
+  }
 }

@@ -335,4 +335,39 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed === batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming decontamination gate equals the batch shingle-overlap rollup at sf0.001") {
+    import graft.operators.TextOps
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def sh(d: org.apache.spark.sql.DataFrame) = d.select(
+      col("doc_id"),
+      col("source"),
+      explode(graft.functions.ShingleStrings(split(col("text"), "\\s+"), distinct = true))
+        .as("g"))
+    val staticSh = sh(docs.filter(col("doc_id") < 400L))
+    val bench = staticSh
+      .filter(pmod(col("doc_id"), lit(TextOps.BenchmarkMod)) === 0)
+      .select(col("g")).distinct()
+    val hot = staticSh
+      .filter(pmod(col("doc_id"), lit(TextOps.BenchmarkMod)) =!= 0)
+      .join(bench, Seq("g"), "left_semi")
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > TextOps.DecontamMaxDf)
+      .select(col("g"))
+    val store = bench.join(hot, Seq("g"), "left_anti")
+    val batch = sh(
+      docs.filter(
+        col("doc_id") >= 400L && pmod(col("doc_id"), lit(TextOps.BenchmarkMod)) =!= 0))
+      .join(store, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"), col("source")).agg(count(lit(1)).as("n_hits"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = StreamOps
+      .docDecontamGateOverParquet(spark, dir, firstNewId = 400L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "the sf0.001 corpus must contain contaminated arrivals")
+    assert(streamed.forall { case (id, _, n) => id >= 400L && n >= 1L })
+    graft.sources.Staging.cleanup(spark)
+  }
 }
