@@ -864,6 +864,14 @@ object SparkEntry {
       val model = operators.Training.writeFasttextModel(s, docs(s, d))
       operators.Training.fasttextApplyStored(s, docs(s, d), model).orderBy(col("doc_id"))
     }),
+    // multinomial naive Bayes (lang from tokens): the one-pass closed-form
+    // trainer — the model IS an aggregation; argmax serving per class
+    "train_nb" -> ((s, d) =>
+      operators.Training.naiveBayes(docs(s, d)).orderBy(col("doc_id"))),
+    "train_nb_stored" -> ((s, d) => {
+      val model = operators.Training.writeNbModel(s, docs(s, d))
+      operators.Training.naiveBayesApplyStored(s, docs(s, d), model).orderBy(col("doc_id"))
+    }),
     // deterministic KMV cardinality sketch next to its exact answer
     "sketch_kmv_shingles" -> ((s, d) =>
       operators.Sketches.kmvDistinctShingles(docs(s, d))),
@@ -2304,6 +2312,8 @@ object SparkEntry {
       "train_logreg_stored" -> operators.Training.logregApplyStoredSql(toks),
       "train_fasttext" -> operators.Training.fasttextGdSql(),
       "train_fasttext_stored" -> operators.Training.fasttextApplyStoredSql(),
+      "train_nb" -> operators.Training.naiveBayesSql(),
+      "train_nb_stored" -> operators.Training.naiveBayesStoredSql(),
       "sketch_kmv_shingles" -> {
         val k = operators.Sketches.KmvK
         s"""WITH g AS (SELECT DISTINCT unnest($shingleSql) AS g FROM $fromToks),

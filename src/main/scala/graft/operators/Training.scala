@@ -620,4 +620,201 @@ object Training {
        |FROM raw r CROSS JOIN w$iters w CROSS JOIN mm
        |ORDER BY r.doc_id""".stripMargin
   }
+
+  // ---- multinomial naive Bayes (closed-form, one-pass trainer) ------------
+
+  /** Multinomial naive Bayes predicting `lang` from tokens — the third
+    * trainer shape next to the closed-form linear solve and fixed-round
+    * GD: the model IS an aggregation. Training touches the corpus once
+    * (one explode + a (lang, term) hash aggregate with map-side
+    * partials); everything else — per-class token totals, the global
+    * vocabulary size, class priors — reduces from that table. Add-one
+    * smoothing; out-of-vocabulary mass `ln(1/(T_l + V))` is part of the
+    * model, not the serving code (the [[graft.operators.TextOps.writeLmModel]]
+    * rule).
+    *
+    * Cross-engine exactness: per-(lang, term) log-probabilities and the
+    * class priors are rounded to 9 dp; the per-(doc, class) sum folds
+    * those identical values in token-position order (the
+    * [[graft.operators.TextOps.unigramScore]] discipline); the argmax is
+    * over 6-dp-rounded scores with ties to the smaller class label.
+    */
+  private def nbTerms(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("lang"),
+      posexplode(graft.functions.Parity.tokens(col("text"))).as(Seq("pos", "term")))
+
+  /** Training pass: (vocab (lang, term, lnp), classes (lang, prior_lnp,
+    * oov_lnp)). Both outputs are model-sized (vocabulary / #classes), so
+    * serving broadcasts them.
+    */
+  private def nbModel(docs: DataFrame): (DataFrame, DataFrame) = {
+    val counts = nbTerms(docs).groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
+    val tl = counts.groupBy(col("lang")).agg(sum(col("c")).as("t_l"))
+    val v = counts.agg(count_distinct(col("term")).as("v"))
+    val vocab = counts
+      .join(tl, Seq("lang"))
+      .crossJoin(broadcast(v))
+      .select(
+        col("lang"),
+        col("term"),
+        round(log((col("c") + 1).cast("double") / (col("t_l") + col("v")).cast("double")), 9)
+          .as("lnp"))
+    val nn = docs.agg(count(lit(1)).as("n"))
+    val classes = docs
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_l"))
+      .join(tl, Seq("lang"), "left_outer")
+      .crossJoin(broadcast(nn))
+      .crossJoin(broadcast(v))
+      .select(
+        col("lang"),
+        round(log(col("n_l").cast("double") / col("n").cast("double")), 9).as("prior_lnp"),
+        round(log(lit(1.0) / (coalesce(col("t_l"), lit(0L)) + col("v")).cast("double")), 9)
+          .as("oov_lnp"))
+    (vocab, classes)
+  }
+
+  /** Serving: every doc scored against every class — tokens cross the
+    * (few-row, broadcast) class table, look up the (broadcast,
+    * vocabulary-sized) log-prob table with per-class OOV fallback, fold
+    * per (doc, class) in token order, add the prior, and take the
+    * argmax as a `min(struct(-score, lang))` hash aggregate (map-side
+    * partial — no window, no extra exchange; ties to the smaller
+    * label). Output: (doc_id, pred_lang, score, correct).
+    */
+  private def nbScore(docs: DataFrame, vocab: DataFrame, classes: DataFrame): DataFrame = {
+    val scoreRows = nbTerms(docs)
+      .drop("lang")
+      .crossJoin(broadcast(classes.select(col("lang"), col("oov_lnp"))))
+      .join(broadcast(vocab), Seq("lang", "term"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("pos"),
+        col("lang"),
+        coalesce(col("lnp"), col("oov_lnp")).as("lnp_eff"))
+    val perDocLang = scoreRows
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("lnp_eff")))), s =>
+            s("lnp_eff")),
+          lit(0.0d),
+          (acc, x) => acc + x).as("sum_lnp"))
+    docs
+      .select(col("doc_id"), col("lang").as("actual"))
+      .crossJoin(broadcast(classes.select(col("lang"), col("prior_lnp"))))
+      .join(perDocLang, Seq("doc_id", "lang"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("actual"),
+        col("lang"),
+        round(col("prior_lnp") + coalesce(col("sum_lnp"), lit(0.0d)), 6).as("score"))
+      .groupBy(col("doc_id"), col("actual"))
+      .agg(min(struct((-col("score")).as("ns"), col("lang"))).as("sel"))
+      .select(
+        col("doc_id"),
+        col("sel.lang").as("pred_lang"),
+        (-col("sel.ns")).as("score"),
+        (col("sel.lang") === col("actual")).as("correct"))
+  }
+
+  /** Train-and-apply in one query (the `train_logreg` shape). */
+  def naiveBayes(docs: DataFrame): DataFrame = {
+    val (vocab, classes) = nbModel(docs)
+    nbScore(docs, vocab, classes)
+  }
+
+  /** Train once, persist: one artifact with vocabulary rows
+    * (lang, term, lnp, prior_lnp = NULL) plus one NULL-term row per
+    * class carrying the OOV mass in `lnp` and the class prior — the
+    * vocabulary-sized model-as-table shape of [[graft.operators.TextOps.writeLmModel]].
+    */
+  def writeNbModel(spark: org.apache.spark.sql.SparkSession, docs: DataFrame): String = {
+    val (vocab, classes) = nbModel(docs)
+    val dir = graft.sources.Staging.freshDir("nb-model")
+    vocab
+      .select(col("lang"), col("term"), col("lnp"), lit(null).cast("double").as("prior_lnp"))
+      .unionByName(classes.select(
+        col("lang"),
+        lit(null).cast("string").as("term"),
+        col("oov_lnp").as("lnp"),
+        col("prior_lnp")))
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(dir)
+    dir
+  }
+
+  /** The production apply path: READ the stored model — the plan contains
+    * the artifact scan and the corpus scan, no (lang, term) training
+    * aggregate of any kind.
+    */
+  def naiveBayesApplyStored(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      modelDir: String): DataFrame = {
+    val m = spark.read.parquet(modelDir)
+    val vocab = m.filter(col("term").isNotNull).select(col("lang"), col("term"), col("lnp"))
+    val classes = m
+      .filter(col("term").isNull)
+      .select(col("lang"), col("prior_lnp"), col("lnp").as("oov_lnp"))
+    nbScore(docs, vocab, classes)
+  }
+
+  /** Shared oracle CTEs: training + scoring, mirroring [[nbModel]] and
+    * [[nbScore]] operation for operation (window-ranked argmax — same
+    * deterministic winner as the min-struct aggregate).
+    */
+  private def nbSql(): String = {
+    val toks = graft.functions.Parity.tokensSql("text")
+    s"""WITH tok0 AS (SELECT doc_id, lang, $toks AS ts FROM documents),
+       |term AS (
+       |  SELECT doc_id, lang, pos, ts[CAST(pos AS INT)] AS term
+       |  FROM (SELECT doc_id, lang, ts, unnest(range(1, len(ts) + 1)) AS pos FROM tok0)),
+       |counts AS (SELECT lang, term, count(*) AS c FROM term GROUP BY 1, 2),
+       |tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t_l FROM counts GROUP BY 1),
+       |v AS (SELECT count(DISTINCT term) AS v FROM counts),
+       |vocab AS (
+       |  SELECT c.lang, c.term,
+       |         round(ln(CAST(c.c + 1 AS DOUBLE) / CAST(t.t_l + v.v AS DOUBLE)), 9) AS lnp
+       |  FROM counts c JOIN tl t USING (lang) CROSS JOIN v),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |classes AS (
+       |  SELECT d.lang,
+       |         round(ln(CAST(count(*) AS DOUBLE) / CAST(nn.n AS DOUBLE)), 9) AS prior_lnp,
+       |         round(ln(1.0 / CAST(coalesce(t.t_l, 0) + v.v AS DOUBLE)), 9) AS oov_lnp
+       |  FROM documents d CROSS JOIN nn CROSS JOIN v
+       |  LEFT JOIN tl t ON t.lang = d.lang
+       |  GROUP BY d.lang, nn.n, t.t_l, v.v),
+       |sr AS (
+       |  SELECT t.doc_id, t.pos, cl.lang,
+       |         coalesce(vb.lnp, cl.oov_lnp) AS lnp_eff
+       |  FROM term t CROSS JOIN classes cl
+       |  LEFT JOIN vocab vb ON vb.lang = cl.lang AND vb.term = t.term),
+       |pdl AS (
+       |  SELECT doc_id, lang,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lnp_eff ORDER BY pos)),
+       |                     (a, b) -> a + b) AS sum_lnp
+       |  FROM sr GROUP BY 1, 2),
+       |base AS (
+       |  SELECT d.doc_id, d.lang AS actual, cl.lang,
+       |         round(cl.prior_lnp + coalesce(p.sum_lnp, CAST(0.0 AS DOUBLE)), 6) AS score
+       |  FROM documents d CROSS JOIN classes cl
+       |  LEFT JOIN pdl p ON p.doc_id = d.doc_id AND p.lang = cl.lang),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+       |  FROM base)
+       |SELECT doc_id, lang AS pred_lang, score, lang = actual AS correct
+       |FROM rk WHERE rn = 1""".stripMargin
+  }
+
+  def naiveBayesSql(): String = nbSql() + "\nORDER BY doc_id"
+
+  /** Stored-serving oracle = the same CTEs (the artifact is proven to
+    * EQUAL the inline training tables by the planted-model spec; the
+    * oracle proves the scores). */
+  def naiveBayesStoredSql(): String = naiveBayesSql()
 }

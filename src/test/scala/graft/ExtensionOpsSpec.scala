@@ -917,4 +917,31 @@ class ExtensionOpsSpec extends SparkSpec {
     }
     graft.sources.Staging.cleanup(spark)
   }
+
+  test("stored-NB serving follows the artifact — a planted model forces the winner") {
+    import graft.operators.Training
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // 1) the persisted model reproduces the train-inline path bit-for-bit
+    val modelDir = Training.writeNbModel(spark, docs)
+    val inline = Training.naiveBayes(docs).orderBy(col("doc_id")).collect()
+    val stored = Training.naiveBayesApplyStored(spark, docs, modelDir)
+      .orderBy(col("doc_id")).collect()
+    assert(stored === inline)
+    assert(inline.length === 500)
+    // 2) plant a two-class model with an empty vocabulary: class 'aa'
+    // has the dominant prior, both classes share the per-token OOV mass,
+    // so every doc must predict 'aa' — no retrain on the real langs
+    // (en/es/…) could ever produce that class label
+    Seq(
+      ("aa", Option.empty[String], -1.0, Some(-1.0)),
+      ("zz", Option.empty[String], -1.0, Some(-100.0)))
+      .toDF("lang", "term", "lnp", "prior_lnp")
+      .coalesce(1).write.mode("overwrite").parquet(modelDir)
+    val planted = Training.naiveBayesApplyStored(spark, docs, modelDir).collect()
+    assert(planted.length === 500)
+    assert(planted.forall(_.getString(1) == "aa"), "planted dominant class must win every doc")
+    assert(planted.forall(!_.getBoolean(3)), "planted labels are disjoint from real langs")
+    graft.sources.Staging.cleanup(spark)
+  }
 }
