@@ -213,9 +213,15 @@ object Multimodal {
   def phashDedup(docs: DataFrame): DataFrame = {
     val sigs = phashBands(docs)
     val bandCols = (0 until PhashBands).map(j => col(s"b$j"))
-    val exploded = sigs.select(
-      col("doc_id") +: bandCols :+
-        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")): _*)
+    // materialized + hash-laid-out on the bucket key: the signature
+    // subtree (interpreted per-char array lambdas) feeds the hot-bucket
+    // aggregate AND both self-join sides — one evaluation, and the
+    // bucket-keyed self-join plans with no exchange on either side
+    val exploded = Phys.materializedHashedBy(
+      sigs.select(
+        col("doc_id") +: bandCols :+
+          posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")): _*),
+      Seq("band_idx", "band_val"))
     val hotBuckets = exploded
       .groupBy(col("band_idx"), col("band_val"))
       .agg(count(lit(1)).as("n"))

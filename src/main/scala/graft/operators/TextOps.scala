@@ -164,14 +164,22 @@ object TextOps {
       col("doc_id"),
       size(toks(col("text"))).cast("long").as("dl"),
       explode(toks(col("text"))).as("term"))
-    val tf = terms
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    // materialized: tf feeds BOTH the query-term derivation (df ranking)
+    // and the scored join — without a checkpoint the explode + tf
+    // aggregate would run twice (with an external query, production's
+    // case, q comes from a vocabulary artifact and this is moot)
+    val tf = Phys.materialized(
+      terms
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl")))
     val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val q = dfx.orderBy(col("df").desc, col("term")).limit(nTerms)
-    val stats = docs.agg(
-      count(lit(1)).cast("double").as("n"),
-      sum(size(toks(col("text"))).cast("long")).cast("double").as("tot"))
+    // N from a tokenize-free corpus count; total tokens = Σtf off the
+    // already-materialized tf table (same value as Σ len(tokens), never
+    // a third tokenize pass over the corpus)
+    val stats = docs
+      .agg(count(lit(1)).cast("double").as("n"))
+      .crossJoin(tf.agg(sum(col("tf")).cast("double").as("tot")))
     val idf = log(lit(1.0) + (col("n") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5)))
     val tfd = col("tf").cast("double")
