@@ -622,6 +622,15 @@ object SparkEntry {
     "text_bm25_topk" -> ((s, d) => TextOps.bm25TopK(docs(s, d), nTerms = 3, k = 20)),
     "emb_centroids" -> ((s, d) =>
       Similarity.labelCentroids(embs(s, d)).orderBy(col("label"), col("dim"))),
+    // contrastive hard-negative mining: per query, the most-similar
+    // vectors of a DIFFERENT label (exact baseline; composes with ANN)
+    "emb_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(embs(s, d), nQueries = 20, k = 3)
+        .orderBy(col("q_id"), col("rank"))),
+    // mislabeled-data mining: per label, the k vectors least similar to
+    // their own label centroid
+    "emb_outliers" -> ((s, d) =>
+      Similarity.labelOutliers(embs(s, d), k = 10).orderBy(col("label"), col("rank"))),
     // multimodal plumbing (column-expressible projection; mapPartitions
     // path covered in MultimodalSpec)
     "multimodal_features" -> ((s, d) =>
@@ -2678,6 +2687,8 @@ object SparkEntry {
            |       round(tf * ln(CAST(nn.n AS DOUBLE) / df), 6) AS tfidf
            |FROM tf JOIN dfx USING (term) CROSS JOIN nn
            |ORDER BY doc_id, term""".stripMargin,
+      "emb_hard_negatives" -> Similarity.hardNegativesSql(nQueries = 20, k = 3),
+      "emb_outliers" -> Similarity.labelOutliersSql(k = 10),
       "emb_centroids" ->
         """WITH d AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
           |SELECT label, CAST(t.i AS INT) AS dim,

@@ -917,4 +917,79 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Contrastive hard-negative mining: for each query vector, the
+    * top-`k` most-similar vectors with a DIFFERENT label — the pairs a
+    * contrastive/embedding trainer wants as hard negatives. This is the
+    * exact baseline (label-filtered brute force); at 100 TB the same
+    * ranking runs over ANN candidates (the [[ivfTopK]] probe) instead of
+    * the corpus cross — the label predicate composes with any candidate
+    * generator.
+    */
+  def hardNegatives(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val d = asDoubleWithLabel(embs)
+    val q = d.filter(col("vec_id") < nQueries).alias("q")
+    val c = d.alias("c")
+    val scored = q
+      .join(c, col("q.label") =!= col("c.label"))
+      .select(
+        col("q.vec_id").as("q_id"),
+        col("q.label").as("q_label"),
+        col("c.vec_id").as("n_id"),
+        col("c.label").as("n_label"),
+        round(Parity.cosine(col("q.e"), col("c.e")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB oracle for [[hardNegatives]]. */
+  def hardNegativesSql(nQueries: Int, k: Int): String =
+    s"""WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id AS n_id, c.label AS n_label,
+       |         round(${Parity.cosineSql("q.e", "c.e")}, 6) AS cos
+       |  FROM d q JOIN d c ON q.vec_id < $nQueries AND q.label <> c.label),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT * FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** Embedding-space label outliers: per label, the `k` vectors LEAST
+    * similar to their own label centroid — the mislabeled-data /
+    * low-quality-embedding mining step of an embedding pipeline. One
+    * narrow pass scores the corpus against the broadcast centroid table
+    * (the [[ivfTopK]] assignment shape); per-label top-k by ascending
+    * similarity.
+    */
+  def labelOutliers(embs: DataFrame, k: Int): DataFrame = {
+    val scored = asDoubleWithLabel(embs)
+      .join(broadcast(centroidVectors(embs).withColumnRenamed("cid", "label")), Seq("label"))
+      .select(
+        col("label"),
+        col("vec_id"),
+        round(Parity.cosine(col("e"), col("c")), 6).as("ccos"))
+    val w = Window.partitionBy(col("label")).orderBy(col("ccos").asc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB oracle for [[labelOutliers]] (the emb_centroids fold feeds
+    * the centroid arrays). */
+  def labelOutliersSql(k: Int): String =
+    s"""WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cent AS (
+       |  SELECT label, t.i AS dim, round(avg(e[t.i]), 6) AS centroid
+       |  FROM d CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+       |cv AS (SELECT label, list(centroid ORDER BY dim) AS c FROM cent GROUP BY label),
+       |scored AS (
+       |  SELECT d.label, d.vec_id,
+       |         round(${Parity.cosineSql("d.e", "cv.c")}, 6) AS ccos
+       |  FROM d JOIN cv USING (label)),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY label ORDER BY ccos ASC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT * FROM ranked WHERE rank <= $k ORDER BY label, rank""".stripMargin
 }
