@@ -918,6 +918,43 @@ class ExtensionOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("phashDedup pairs identical prefixes at hamming 0 and drops boilerplate buckets") {
+    import graft.operators.Multimodal
+    val base = "x" * 64
+    // two docs sharing the 64-byte prefix → identical signature → a
+    // hamming-0 pair; one unrelated doc with a different byte profile
+    val d = docsDf(Seq(
+      (1L, base + " tail one", "en"),
+      (2L, base + " other tail", "en"),
+      (3L, "Z9" * 40, "en")))
+    val pairs = Multimodal.phashDedup(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)))
+    // 52 docs sharing one prefix: every band bucket exceeds the cap
+    // (boilerplate) → the whole clique contributes NO pairs
+    val boiler = docsDf((1L to 52L).map(i => (i, base + s" tail $i", "en")))
+    assert(Multimodal.phashDedup(boiler).collect().isEmpty)
+  }
+
+  test("hard negatives cross labels; label outliers are per-label k") {
+    import graft.operators.Similarity
+    val embs = model.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val hn = Similarity.hardNegatives(embs, nQueries = 10, k = 3).collect()
+    assert(hn.length === 30)
+    assert(
+      hn.forall(r => r.getInt(1) != r.getInt(3)),
+      "a hard negative must carry a different label than its query")
+    val labels = embs.select(col("label")).distinct().count()
+    val out = Similarity.labelOutliers(embs, k = 5).collect()
+    assert(out.length === labels * 5)
+    // outliers rank ascending by similarity: rank 1 is the farthest
+    val byLabel = out.groupBy(_.getInt(0))
+    byLabel.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getDouble(2)).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    }
+  }
+
   test("stored-NB serving follows the artifact — a planted model forces the winner") {
     import graft.operators.Training
     import spark.implicits._
