@@ -498,6 +498,10 @@ object SparkEntry {
       Similarity.sqStoredTopK(s, embs(s, d), model, nQueries = 10, k = 5)
         .orderBy(col("q_id"), col("rank"))
     }),
+    // measured recall of the 4x SQ compression against the exact
+    // inner-product ranking (the pq_recall discipline)
+    "ann_sq_recall" -> ((s, d) =>
+      Similarity.sqRecall(s, embs(s, d), nQueries = 20, k = 5).orderBy(col("q_id"))),
     // both artifacts stored — coarse quantizer + codebooks: the complete
     // production ANN serving plan, zero training stages
     "ann_ivfpq_stored" -> ((s, d) => {
@@ -620,6 +624,13 @@ object SparkEntry {
     // BM25 top-k retrieval — tf-idf's production successor; query terms
     // self-derived (top-df) for determinism, per-doc ordered score fold
     "text_bm25_topk" -> ((s, d) => TextOps.bm25TopK(docs(s, d), nTerms = 3, k = 20)),
+    // index-once/query-many BM25: vocabulary df + corpus stats stored;
+    // serving filters terms to the query list BEFORE the tf aggregate —
+    // one corpus crossing, no vocabulary-wide aggregate in the plan
+    "text_bm25_stored" -> ((s, d) => {
+      val model = TextOps.writeBm25Model(s, docs(s, d))
+      TextOps.bm25ApplyStored(s, docs(s, d), model, nTerms = 3, k = 20)
+    }),
     "emb_centroids" -> ((s, d) =>
       Similarity.labelCentroids(embs(s, d)).orderBy(col("label"), col("dim"))),
     // contrastive hard-negative mining: per query, the most-similar
@@ -821,6 +832,12 @@ object SparkEntry {
     // output = contaminated arrivals with benchmark-overlap counts
     "docs_stream_decontam_static" -> ((s, d) =>
       streaming.StreamOps.docDecontamGateOverParquet(s, d, firstNewId = 400L)
+        .orderBy(col("doc_id"))),
+    // near-dup-on-arrival for the binary media column: arriving payloads'
+    // pHash bands probe the static band store (stream-static, bucket-
+    // keyed); exact Hamming verify, best static match per flagged arrival
+    "docs_stream_phash_static" -> ((s, d) =>
+      streaming.StreamOps.docPhashGateOverParquet(s, d, firstNewId = 400L)
         .orderBy(col("doc_id"))),
     // online ANN ingest: arriving embeddings streamed against the static
     // trained IVF index (stateless cell assignment + stream-static
@@ -2150,6 +2167,7 @@ object SparkEntry {
       // the artifact is the SAME deterministic k-means, written then read
       "ann_ivf_stored" -> ivfTrainedOracleSql,
       "ann_sq_stored" -> Similarity.sqStoredTopKSql(nQueries = 10, k = 5),
+      "ann_sq_recall" -> Similarity.sqRecallSql(nQueries = 20, k = 5),
       "ann_ivf_recall" -> {
         val last = s"c${Similarity.KmeansIters}"
         val score =
@@ -2678,6 +2696,9 @@ object SparkEntry {
           |       CAST(sum(TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_m
           |FROM events GROUP BY event_type ORDER BY key""".stripMargin,
       "text_bm25_topk" -> TextOps.bm25TopKSql(nTerms = 3, k = 20),
+      // the stored model reproduces the training tables (pinned by the
+      // planted-model spec); the oracle proves the scores
+      "text_bm25_stored" -> TextOps.bm25TopKSql(nTerms = 3, k = 20),
       "text_tfidf" ->
         s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
            |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
@@ -2702,6 +2723,7 @@ object SparkEntry {
            |       ${Parity.charFoldSql("text", 31L, Parity.TokP)} AS content_hash
            |FROM documents ORDER BY doc_id""".stripMargin,
       "multimodal_phash_dedup" -> Multimodal.phashDedupSql,
+      "docs_stream_phash_static" -> Multimodal.phashGateSql(firstNewId = 400L),
       "multimodal_frames" ->
         s"""WITH f AS (
            |  SELECT doc_id, text, CAST(length(text) // 64 AS BIGINT) AS n_frames

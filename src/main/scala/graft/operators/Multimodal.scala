@@ -246,6 +246,66 @@ object Multimodal {
       .distinct()
   }
 
+  /** DuckDB oracle for the STREAMING pHash gate
+    * ([[graft.streaming.StreamOps.docPhashGateOverParquet]]): arrivals
+    * (doc_id ≥ `firstNewId`) matched against the static band store
+    * (doc_id < `firstNewId`, cap computed on static buckets only); per
+    * flagged arrival, the lexicographically best (hamming, static id).
+    */
+  def phashGateSql(firstNewId: Long): String = {
+    val pxSql = "list_transform(list_filter(string_split(substring(text, 1, " +
+      s"$PhashPixels), ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))"
+    val powList = PhashPow2.mkString("[", ", ", "]")
+    val bandExprs = (0 until PhashBands)
+      .map { j =>
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"[CASE WHEN px[i] * $PhashPixels > s THEN $powList[((i - 1) % $PhashBandBits) + 1] " +
+          s"ELSE CAST(0 AS BIGINT) END " +
+          s"FOR i IN range(${j * PhashBandBits + 1}, ${(j + 1) * PhashBandBits + 1})]), " +
+          s"(acc, x) -> acc + x) AS b$j"
+      }
+      .mkString(",\n       ")
+    val hammingSql = (0 until PhashBands)
+      .map(j => s"bit_count(xor(a.b$j, st.b$j))")
+      .mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT doc_id, $pxSql AS px
+       |  FROM documents WHERE length(text) >= $PhashPixels),
+       |ps AS (
+       |  SELECT doc_id, px,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), px), (acc, x) -> acc + x) AS s
+       |  FROM p),
+       |sig AS (
+       |  SELECT doc_id,
+       |       $bandExprs
+       |  FROM ps),
+       |bands AS (
+       |  SELECT doc_id, b0, b1, b2, b3, t.i AS band_idx,
+       |         CASE t.i WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS band_val
+       |  FROM sig CROSS JOIN range(0, $PhashBands) t(i)),
+       |sbands AS (SELECT * FROM bands WHERE doc_id < $firstNewId),
+       |hot AS (
+       |  SELECT band_idx, band_val FROM sbands
+       |  GROUP BY 1, 2 HAVING count(*) > $PhashBucketCap),
+       |store AS (
+       |  SELECT k.* FROM sbands k
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+       |                    WHERE h.band_idx = k.band_idx AND h.band_val = k.band_val)),
+       |abands AS (SELECT * FROM bands WHERE doc_id >= $firstNewId),
+       |pairs AS (
+       |  SELECT a.doc_id, st.doc_id AS s_id,
+       |         CAST($hammingSql AS BIGINT) AS hamming
+       |  FROM abands a JOIN store st
+       |    ON a.band_idx = st.band_idx AND a.band_val = st.band_val
+       |  WHERE $hammingSql <= $PhashMaxHamming),
+       |rk AS (
+       |  SELECT doc_id, hamming, s_id,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY hamming, s_id) AS rn
+       |  FROM pairs)
+       |SELECT doc_id, hamming AS best_hamming, s_id AS best_match
+       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[phashDedup]] — same pixels, bits, bands,
     * bucket cap, and Hamming verification.
     */

@@ -693,12 +693,11 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("score"), col("rank"))
   }
 
-  /** DuckDB oracle for [[writeSqModel]]+[[sqStoredTopK]]: the same
-    * min/max train, encode, and decomposed dot, operation for operation.
-    */
-  def sqStoredTopKSql(nQueries: Int, k: Int): String = {
+  /** Shared oracle CTEs for the SQ8 path: min/max train, encode, and the
+    * decomposed dot, operation for operation (ends with ranked `r`). */
+  private def sqCtes(nQueries: Int): String = {
     val dims = 64
-    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |mm AS (SELECT t.i AS dim, min(e[t.i]) AS lo, max(e[t.i]) AS hi
        |       FROM d CROSS JOIN range(1, ${dims + 1}) t(i) GROUP BY 1),
        |m AS (SELECT list(lo ORDER BY dim) AS lo, list(hi ORDER BY dim) AS hi FROM mm),
@@ -716,10 +715,67 @@ object Similarity {
        |  FROM q JOIN codes ON q_id <> n_id),
        |r AS (SELECT q_id, n_id, score,
        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INT) AS rank
-       |  FROM sc)
+       |  FROM sc)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[writeSqModel]]+[[sqStoredTopK]]. */
+  def sqStoredTopKSql(nQueries: Int, k: Int): String =
+    s"""WITH ${sqCtes(nQueries)}
        |SELECT q_id, n_id, score, rank FROM r WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
+
+  /** Exact inner-product top-k — the baseline [[sqRecall]] measures
+    * against (the SQ score is a dot, so the like-for-like exact ranking
+    * is a dot, not a cosine).
+    */
+  def bruteDotTopK(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val d = asDouble(embs)
+    val q = d.filter(col("vec_id") < nQueries).alias("q")
+    val c = d.alias("c")
+    val scored = q
+      .join(c, col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("q_id"),
+        col("c.vec_id").as("n_id"),
+        round(Parity.dot(col("q.e"), col("c.e")), 6).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
   }
+
+  /** Measured recall@k of the SQ8 serving ranking against the exact
+    * inner-product top-k — the number that makes the 4× compression a
+    * measured trade instead of a hope (the [[pqRecall]] discipline).
+    */
+  def sqRecall(
+      spark: org.apache.spark.sql.SparkSession,
+      embs: DataFrame,
+      nQueries: Int,
+      k: Int): DataFrame = {
+    val modelDir = writeSqModel(spark, embs)
+    recallVsExact(
+      bruteDotTopK(embs, nQueries, k).select(col("q_id"), col("n_id")),
+      sqStoredTopK(spark, embs, modelDir, nQueries, k),
+      k)
+  }
+
+  /** DuckDB oracle for [[sqRecall]]. */
+  def sqRecallSql(nQueries: Int, k: Int): String =
+    s"""WITH ${sqCtes(nQueries)},
+       |scored_e AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         round(${Parity.dotSql("q.e", "c.e")}, 6) AS s
+       |  FROM d q JOIN d c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+       |ranked_e AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rank
+       |  FROM scored_e)
+       |SELECT e.q_id, CAST(count(a.n_id) AS BIGINT) AS n_hits,
+       |       round(CAST(count(a.n_id) AS DOUBLE) / $k.0, 6) AS recall
+       |FROM (SELECT * FROM ranked_e WHERE rank <= $k) e
+       |LEFT JOIN (SELECT * FROM r WHERE rank <= $k) a
+       |  ON a.q_id = e.q_id AND a.n_id = e.n_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
   /** The production ADC scan over a STORED product quantizer: read the
     * codebook artifact, encode the corpus and build the query LUT

@@ -180,19 +180,28 @@ object TextOps {
     val stats = docs
       .agg(count(lit(1)).cast("double").as("n"))
       .crossJoin(tf.agg(sum(col("tf")).cast("double").as("tot")))
+    val scored = tf
+      .join(broadcast(q.select(col("term"), col("df"))), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), bm25ScoreCol.as("s"))
+    bm25Fold(scored, k)
+  }
+
+  /** The per-(doc, term) BM25 score over columns (tf, dl, df, n, tot) —
+    * shared by the self-derived and stored-model paths so both are
+    * bit-identical to the one oracle. */
+  private def bm25ScoreCol: Column = {
     val idf = log(lit(1.0) + (col("n") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5)))
     val tfd = col("tf").cast("double")
     val dld = col("dl").cast("double")
     val denom = tfd + lit(Bm25K1.toDouble) *
       (lit(Bm25OneMinusB.toDouble) + lit(Bm25B.toDouble) * dld / (col("tot") / col("n")))
-    val scored = tf
-      .join(broadcast(q.select(col("term"), col("df"))), Seq("term"))
-      .crossJoin(broadcast(stats))
-      .select(
-        col("doc_id"),
-        col("term"),
-        round(idf * (tfd * lit(Bm25K1Plus1.toDouble)) / denom, 9).as("s"))
+    round(idf * (tfd * lit(Bm25K1Plus1.toDouble)) / denom, 9)
+  }
+
+  /** Ordered per-doc fold of per-term scores + TakeOrdered top-k. */
+  private def bm25Fold(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("doc_id"))
       .agg(
@@ -204,6 +213,72 @@ object TextOps {
       .select(col("doc_id"), col("n_terms_matched"), round(col("sum_s"), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
+
+  /** Train-once/apply-many BM25: persist the retrieval model — the
+    * vocabulary df table plus one stats row (N, total tokens) — as a
+    * parquet artifact (vocab rows carry NULL stats; the NULL-term row
+    * carries them, the [[writeLmModel]] shape).
+    */
+  def writeBm25Model(spark: org.apache.spark.sql.SparkSession, docs: DataFrame): String = {
+    val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tf.agg(sum(col("tf")).as("tot_tokens")))
+    val dir = graft.sources.Staging.freshDir("bm25-model")
+    dfx
+      .select(
+        col("term"),
+        col("df"),
+        lit(null).cast("long").as("n_docs"),
+        lit(null).cast("long").as("tot_tokens"))
+      .unionByName(stats.select(
+        lit(null).cast("string").as("term"),
+        lit(null).cast("long").as("df"),
+        col("n_docs"),
+        col("tot_tokens")))
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(dir)
+    dir
+  }
+
+  /** The production BM25 serving path over the STORED model: the
+    * arriving corpus's exploded terms semi-reduce to the query list
+    * BEFORE the tf aggregate (a broadcast join of ≤ nTerms rows), df and
+    * the corpus stats come from the artifact — so the plan crosses the
+    * corpus exactly once and contains NO vocabulary-wide aggregate (the
+    * cost [[bm25TopK]] pays to self-derive its query). This is what
+    * every query against a 100 TB indexed corpus runs.
+    */
+  def bm25ApplyStored(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      modelDir: String,
+      nTerms: Int = 3,
+      k: Int = 20): DataFrame = {
+    val m = spark.read.parquet(modelDir)
+    val q = m
+      .filter(col("term").isNotNull)
+      .orderBy(col("df").desc, col("term"))
+      .limit(nTerms)
+      .select(col("term"), col("df"))
+    val stats = m
+      .filter(col("term").isNull)
+      .select(col("n_docs").cast("double").as("n"), col("tot_tokens").cast("double").as("tot"))
+    val scored = docs
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).cast("long").as("dl"),
+        explode(toks(col("text"))).as("term"))
+      .join(broadcast(q), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"), first(col("df")).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), bm25ScoreCol.as("s"))
+    bm25Fold(scored, k)
   }
 
   /** DuckDB oracle for [[bm25TopK]] — same literals, same operation tree,

@@ -520,6 +520,65 @@ object StreamOps {
       "complete")
   }
 
+  /** STREAMING PERCEPTUAL-HASH GATE: arriving media payloads near-dup-
+    * checked against the static corpus's banded pHash store — the
+    * multimodal counterpart of [[docDedupOverParquet]]'s exact-hash
+    * gate. The store (static signatures exploded to 16-bit bands, hot
+    * buckets capped as boilerplate) is broadcast; arrivals compute their
+    * signature STATELESSLY (narrow column expressions), join the store
+    * on the band key (stream-static inner — bucket-keyed, never
+    * all-pairs), verify exact Hamming ≤
+    * [[graft.operators.Multimodal.PhashMaxHamming]], and the single
+    * aggregation takes each flagged arrival's lexicographically best
+    * (hamming, static id). Output: (doc_id, best_hamming, best_match).
+    */
+  def docPhashGateOverParquet(
+      spark: SparkSession,
+      sfDir: String,
+      firstNewId: Long): DataFrame = {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bandCols = (0 until Multimodal.PhashBands).map(j => col(s"b$j"))
+    def explodeBands(sigs: DataFrame): DataFrame = sigs.select(
+      col("doc_id") +: bandCols :+
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")): _*)
+    val staticBands = explodeBands(Multimodal.phashBands(docs.filter(col("doc_id") < firstNewId)))
+    val hot = staticBands
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > Multimodal.PhashBucketCap)
+      .select(col("band_idx"), col("band_val"))
+    val store = broadcast(
+      staticBands
+        .join(hot, Seq("band_idx", "band_val"), "left_anti")
+        .select(
+          col("doc_id").as("s_id") +: col("band_idx") +: col("band_val") +:
+            (0 until Multimodal.PhashBands).map(j => col(s"b$j").as(s"sb$j")): _*))
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-docs-phash"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val hamming = (0 until Multimodal.PhashBands)
+      .map(j => bit_count(col(s"b$j").bitwiseXOR(col(s"sb$j"))).cast("long"))
+      .reduce(_ + _)
+    runStream(
+      spark,
+      explodeBands(
+        Multimodal.phashBands(
+          readDocStream(spark, staged.toString).filter(col("doc_id") >= firstNewId)))
+        .join(store, Seq("band_idx", "band_val"))
+        .select(col("doc_id"), col("s_id"), hamming.as("hamming"))
+        .filter(col("hamming") <= Multimodal.PhashMaxHamming)
+        .groupBy(col("doc_id"))
+        .agg(min(struct(col("hamming").as("h"), col("s_id").as("sid"))).as("sel"))
+        .select(
+          col("doc_id"),
+          col("sel.h").as("best_hamming"),
+          col("sel.sid").as("best_match")),
+      graft.sources.Staging.freshTable("graft_stream_docphash"),
+      "complete")
+  }
+
   /** Schema of the embeddings table (readStream requires one). */
   val embSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

@@ -918,6 +918,31 @@ class ExtensionOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("stored-BM25 serving follows the artifact — planted vocabulary steers the query") {
+    import spark.implicits._
+    val d = docsDf(Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "alpha alpha beta gamma", "en"),
+      (3L, "alpha beta", "en"),
+      (4L, "delta epsilon", "en")))
+    // 1) the persisted model reproduces the self-derived path bit-for-bit
+    val modelDir = TextOps.writeBm25Model(spark, d)
+    val inline = TextOps.bm25TopK(d, nTerms = 3, k = 10).collect()
+    val stored = TextOps.bm25ApplyStored(spark, d, modelDir, nTerms = 3, k = 10).collect()
+    assert(stored === inline)
+    // 2) plant a vocabulary where 'delta' dominates df: the stored query
+    // becomes {delta}, so only doc 4 can score — a silent re-derivation
+    // from the corpus (where alpha/beta dominate) could never produce this
+    Seq(
+      (Some("delta"), Some(100L), Option.empty[Long], Option.empty[Long]),
+      (Option.empty[String], Option.empty[Long], Some(4L), Some(11L)))
+      .toDF("term", "df", "n_docs", "tot_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(modelDir)
+    val planted = TextOps.bm25ApplyStored(spark, d, modelDir, nTerms = 1, k = 10).collect()
+    assert(planted.map(_.getLong(0)).toSeq === Seq(4L))
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("phashDedup pairs identical prefixes at hamming 0 and drops boilerplate buckets") {
     import graft.operators.Multimodal
     val base = "x" * 64

@@ -370,4 +370,41 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.forall { case (id, _, n) => id >= 400L && n >= 1L })
     graft.sources.Staging.cleanup(spark)
   }
+
+  test("streaming pHash gate equals the batch banded near-dup probe at sf0.001") {
+    import graft.operators.Multimodal
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bandCols = (0 until Multimodal.PhashBands).map(j => col(s"b$j"))
+    def explodeBands(sigs: org.apache.spark.sql.DataFrame) = sigs.select(
+      col("doc_id") +: bandCols :+
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")): _*)
+    val staticBands = explodeBands(Multimodal.phashBands(docs.filter(col("doc_id") < 400L)))
+    val hot = staticBands.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > Multimodal.PhashBucketCap)
+      .select(col("band_idx"), col("band_val"))
+    val store = staticBands.join(hot, Seq("band_idx", "band_val"), "left_anti")
+      .select(
+        col("doc_id").as("s_id") +: col("band_idx") +: col("band_val") +:
+          (0 until Multimodal.PhashBands).map(j => col(s"b$j").as(s"sb$j")): _*)
+    val hamming = (0 until Multimodal.PhashBands)
+      .map(j => bit_count(col(s"b$j").bitwiseXOR(col(s"sb$j"))).cast("long"))
+      .reduce(_ + _)
+    val batch = explodeBands(Multimodal.phashBands(docs.filter(col("doc_id") >= 400L)))
+      .join(store, Seq("band_idx", "band_val"))
+      .select(col("doc_id"), col("s_id"), hamming.as("hamming"))
+      .filter(col("hamming") <= Multimodal.PhashMaxHamming)
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("hamming").as("h"), col("s_id").as("sid"))).as("sel"))
+      .select(col("doc_id"), col("sel.h"), col("sel.sid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = StreamOps.docPhashGateOverParquet(spark, dir, firstNewId = 400L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "the sf0.001 corpus must contain near-dup arrivals")
+    assert(streamed.forall { case (id, h, s) =>
+      id >= 400L && h <= Multimodal.PhashMaxHamming && s < 400L
+    })
+    graft.sources.Staging.cleanup(spark)
+  }
 }
