@@ -653,6 +653,15 @@ object SparkEntry {
     // never all-pairs; oversized buckets dropped as boilerplate)
     "multimodal_phash_dedup" -> ((s, d) =>
       Multimodal.phashDedup(docs(s, d)).orderBy(col("a_id"), col("b_id"))),
+    // pairs -> transitive near-dup clusters -> canonical keep list (the
+    // dedup_clusters step for the media column; shares the min-label CC)
+    "multimodal_phash_clusters" -> ((s, d) =>
+      Dedup
+        .clusters(
+          docs(s, d),
+          Multimodal.phashDedup(docs(s, d))
+            .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
+        .orderBy(col("doc_id"))),
     "text_vocab" -> ((s, d) => TextOps.vocab(docs(s, d), k = 50)),
     // batch-shaping + curation extensions (round 3)
     "doc_pack" -> ((s, d) =>
@@ -2723,6 +2732,7 @@ object SparkEntry {
            |       ${Parity.charFoldSql("text", 31L, Parity.TokP)} AS content_hash
            |FROM documents ORDER BY doc_id""".stripMargin,
       "multimodal_phash_dedup" -> Multimodal.phashDedupSql,
+      "multimodal_phash_clusters" -> Multimodal.phashClustersSql,
       "docs_stream_phash_static" -> Multimodal.phashGateSql(firstNewId = 400L),
       "multimodal_frames" ->
         s"""WITH f AS (

@@ -306,10 +306,9 @@ object Multimodal {
        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
-  /** DuckDB oracle for [[phashDedup]] — same pixels, bits, bands,
-    * bucket cap, and Hamming verification.
-    */
-  def phashDedupSql: String = {
+  /** Shared oracle CTE chain: pixels → signature → bands → cap-filtered
+    * `keep` (bucket rows eligible for the pair join). */
+  private def phashCoreCtes: String = {
     val pxSql = "list_transform(list_filter(string_split(substring(text, 1, " +
       s"$PhashPixels), ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))"
     val powList = PhashPow2.mkString("[", ", ", "]")
@@ -322,10 +321,7 @@ object Multimodal {
           s"(acc, x) -> acc + x) AS b$j"
       }
       .mkString(",\n       ")
-    val hammingSql = (0 until PhashBands)
-      .map(j => s"bit_count(xor(a.b$j, b.b$j))")
-      .mkString(" + ")
-    s"""WITH p AS (
+    s"""p AS (
        |  SELECT doc_id, $pxSql AS px
        |  FROM documents WHERE length(text) >= $PhashPixels),
        |ps AS (
@@ -346,7 +342,18 @@ object Multimodal {
        |keep AS (
        |  SELECT k.* FROM bands k
        |  WHERE NOT EXISTS (SELECT 1 FROM hot h
-       |                    WHERE h.band_idx = k.band_idx AND h.band_val = k.band_val))
+       |                    WHERE h.band_idx = k.band_idx AND h.band_val = k.band_val))""".stripMargin
+  }
+
+  private def phashHammingSql(a: String, b: String): String =
+    (0 until PhashBands).map(j => s"bit_count(xor($a.b$j, $b.b$j))").mkString(" + ")
+
+  /** DuckDB oracle for [[phashDedup]] — same pixels, bits, bands,
+    * bucket cap, and Hamming verification.
+    */
+  def phashDedupSql: String = {
+    val hammingSql = phashHammingSql("a", "b")
+    s"""WITH $phashCoreCtes
        |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
        |       CAST($hammingSql AS BIGINT) AS hamming
        |FROM keep a JOIN keep b
@@ -354,5 +361,32 @@ object Multimodal {
        | AND a.doc_id < b.doc_id
        |WHERE $hammingSql <= $PhashMaxHamming
        |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** DuckDB oracle for the pHash CLUSTER step
+    * ([[graft.operators.Dedup.clusters]] over [[phashDedup]] pairs):
+    * transitive closure by recursive min-label reach, singletons kept.
+    */
+  def phashClustersSql: String = {
+    val hammingSql = phashHammingSql("a", "b")
+    s"""WITH RECURSIVE $phashCoreCtes,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM keep a JOIN keep b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id
+       |  WHERE $hammingSql <= $PhashMaxHamming),
+       |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT DISTINCT src AS id, src AS lab FROM und
+       |  UNION
+       |  SELECT u.dst, r.lab FROM reach r JOIN und u ON u.src = r.id
+       |),
+       |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+       |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
+       |       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 }

@@ -467,6 +467,15 @@ class PlanAuditSpec extends SparkSpec {
     val bmPlan = planOf(SparkEntry.queries("text_bm25_topk")(spark, dir))
     assert(bmPlan.contains("TakeOrderedAndProject"), s"bm25 top-k is a full sort:\n$bmPlan")
     assert(!bmPlan.contains("CartesianProduct"), s"cartesian in bm25:\n$bmPlan")
+    // stored-BM25 serving: terms filter to the query list BEFORE the tf
+    // aggregate, so the corpus is exploded exactly once and there is no
+    // vocabulary-wide df aggregate — pinned as a single Generate node
+    // (count in the final plan only — AQE's toString repeats the tree
+    // under "== Initial Plan ==")
+    val bmsPlan = planOf(SparkEntry.queries("text_bm25_stored")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    val generates = bmsPlan.split("\n").count(_.contains("Generate"))
+    assert(generates === 1, s"stored-BM25 serving must explode the corpus once, saw $generates:\n$bmsPlan")
     graft.sources.Staging.cleanup(spark)
   }
 }
