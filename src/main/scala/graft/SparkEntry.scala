@@ -388,6 +388,14 @@ object SparkEntry {
       GraphOps
         .landmarkEstimate(GraphSource.lineitemEdges(s, d), nLandmarks = 8, rounds = 4)
         .orderBy(col("u"), col("v"))),
+    // graph-family train-once/apply-many: the landmark table is the
+    // stored index; serving is ONE artifact scan + the triangle fold —
+    // no BFS loop in the plan
+    "graph_landmark_stored" -> ((s, d) => {
+      val model =
+        GraphOps.writeLandmarkModel(GraphSource.lineitemEdges(s, d), nLandmarks = 8, rounds = 4)
+      GraphOps.landmarkEstimateStored(s, model, nLandmarks = 8).orderBy(col("u"), col("v"))
+    }),
     // ANF's production read: sketch-only to saturation (changed set
     // empties → early exit), no exact reach expansion anywhere
     "graph_eff_diameter" -> ((s, d) =>
@@ -1343,6 +1351,9 @@ object SparkEntry {
       GraphOps.landmarkDistancesSql(GraphSource.lineitemEdgesSql, nLandmarks = 8, rounds = 4),
     "graph_landmark_est" ->
       GraphOps.landmarkEstimateSql(GraphSource.lineitemEdgesSql, nLandmarks = 8, rounds = 4),
+    "graph_landmark_stored" ->
+      GraphOps
+        .landmarkEstimateStoredSql(GraphSource.lineitemEdgesSql, nLandmarks = 8, rounds = 4),
     // static landmark sweep + one-hop extension of the arriving slice,
     // same 90%-of-max-orderkey split computed in integer math
     "graph_stream_landmark" -> {

@@ -980,6 +980,22 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("stored-landmark serving follows the artifact — planted distances fold exactly") {
+    import graft.operators.GraphOps
+    import spark.implicits._
+    // plant a 2-landmark table: u = 9 (the sample-source row),
+    // v = 0 (the only id ≡ 0 mod 97); est(9, 0) = min(2+5, 10+1) = 7 —
+    // values no sweep over any real edge table would produce
+    val dir = graft.sources.Staging.freshDir("landmark-model-test")
+    Seq((9L, 1L, 2L), (9L, 2L, 10L), (0L, 1L, 5L), (0L, 2L, 1L))
+      .toDF("id", "landmark", "dist")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val out = GraphOps.landmarkEstimateStored(spark, dir, nLandmarks = 8).collect()
+    assert(out.length === 1)
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2)) === ((9L, 0L, 7L)))
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("stored-NB serving follows the artifact — a planted model forces the winner") {
     import graft.operators.Training
     import spark.implicits._

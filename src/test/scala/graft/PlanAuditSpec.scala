@@ -478,4 +478,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(generates === 1, s"stored-BM25 serving must explode the corpus once, saw $generates:\n$bmsPlan")
     graft.sources.Staging.cleanup(spark)
   }
+
+  test("graph_landmark_stored serving plan is sweep-free") {
+    // the BFS loop runs inside writeLandmarkModel (before the serving
+    // plan exists); the returned plan must be artifact scan + triangle
+    // fold only — no checkpointed iteration state (ExistingRDD), no loop
+    val plan = planOf(SparkEntry.queries("graph_landmark_stored")(spark, dir))
+    assert(!plan.contains("ExistingRDD"), s"iteration state leaked into serving plan:\n$plan")
+    assert(plan.contains("Scan parquet"), s"serving must read the stored landmark table:\n$plan")
+    graft.sources.Staging.cleanup(spark)
+  }
 }
