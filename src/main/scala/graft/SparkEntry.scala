@@ -856,6 +856,11 @@ object SparkEntry {
     "docs_stream_phash_static" -> ((s, d) =>
       streaming.StreamOps.docPhashGateOverParquet(s, d, firstNewId = 400L)
         .orderBy(col("doc_id"))),
+    // relevance-on-arrival: the stored BM25 index scores arriving docs
+    // as one stateless projection (model folded in as literals)
+    "docs_stream_bm25_static" -> ((s, d) =>
+      streaming.StreamOps.docBm25GateOverParquet(s, d, firstNewId = 400L)
+        .orderBy(col("source"))),
     // online ANN ingest: arriving embeddings streamed against the static
     // trained IVF index (stateless cell assignment + stream-static
     // cid-keyed probe of the inverted lists, argmax per arrival)
@@ -2292,6 +2297,7 @@ object SparkEntry {
            |GROUP BY source ORDER BY source""".stripMargin
       },
       "docs_stream_quality_static" -> operators.Training.fasttextGateSql(firstNewId = 400L),
+      "docs_stream_bm25_static" -> TextOps.bm25GateSql(firstNewId = 400L),
       "docs_stream_decontam_static" -> {
         val t = Parity.tokensSql("text")
         val shingle = Parity.shinglesSql("t")

@@ -305,6 +305,43 @@ object TextOps {
        |ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** DuckDB oracle for the STREAMING BM25 relevance gate
+    * ([[graft.streaming.StreamOps.docBm25GateOverParquet]]): the model
+    * trains on the static slice, arrivals score against it, per-source
+    * rollup (n_docs, n_matched, best score). Doubles only max/fold —
+    * never a cross-doc float sum.
+    */
+  def bm25GateSql(firstNewId: Long, nTerms: Int = 3): String = {
+    val toks = Parity.tokensSql("text")
+    s"""WITH tt AS (SELECT doc_id, source, $toks AS t FROM documents),
+       |st_term AS (SELECT doc_id, unnest(t) AS term FROM tt WHERE doc_id < $firstNewId),
+       |st_tf AS (SELECT doc_id, term, count(*) AS tf FROM st_term GROUP BY 1, 2),
+       |dfx AS (SELECT term, count(*) AS df FROM st_tf GROUP BY 1),
+       |q AS (SELECT term, df FROM dfx ORDER BY df DESC, term LIMIT $nTerms),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |              CAST(sum(len(t)) AS DOUBLE) AS tot
+       |       FROM tt WHERE doc_id < $firstNewId),
+       |adl AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS dl
+       |        FROM tt WHERE doc_id >= $firstNewId),
+       |aterm AS (SELECT doc_id, unnest(t) AS term FROM tt WHERE doc_id >= $firstNewId),
+       |atf AS (SELECT a.doc_id, a.term, count(*) AS tf
+       |        FROM aterm a WHERE a.term IN (SELECT term FROM q) GROUP BY 1, 2),
+       |sc AS (SELECT f.doc_id, f.term, f.tf,
+       |              round(ln(1.0 + (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |                    * (CAST(tf AS DOUBLE) * $Bm25K1Plus1)
+       |                    / (CAST(tf AS DOUBLE) + $Bm25K1 * ($Bm25OneMinusB + $Bm25B * CAST(dl AS DOUBLE) / (tot / n))), 9) AS s
+       |       FROM atf f JOIN q USING (term) JOIN adl d ON d.doc_id = f.doc_id CROSS JOIN st),
+       |pd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_q,
+       |              round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY term)),
+       |                                (acc, x) -> acc + x), 6) AS bm25
+       |       FROM sc GROUP BY doc_id)
+       |SELECT a.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN coalesce(p.n_q, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       |       max(coalesce(p.bm25, CAST(0.0 AS DOUBLE))) AS top_bm25
+       |FROM adl a LEFT JOIN pd p ON p.doc_id = a.doc_id
+       |GROUP BY a.source ORDER BY a.source""".stripMargin
+  }
+
   /** Unigram-LM quality scoring — the perplexity-proxy filter: train
     * add-one-smoothed unigram log-probabilities on the corpus's OWN
     * token histogram, then score every document by its mean token

@@ -579,6 +579,75 @@ object StreamOps {
       "complete")
   }
 
+  /** STREAMING BM25 RELEVANCE GATE: the stored BM25 index
+    * ([[graft.operators.TextOps.writeBm25Model]], built on the STATIC
+    * corpus slice) scores arriving documents against the index's top-df
+    * query — the ingest-time "does this doc match our domain" filter.
+    * The model is scalar-sized once the query is fixed (nTerms df
+    * values + 2 corpus stats), so it folds in as LITERALS and the
+    * per-doc score is a pure stateless projection (the
+    * [[docQualityGateOverParquet]] shape): per query term,
+    * tf = one array-filter count, the BM25 term score, zero when
+    * unmatched (adding literal 0.0 is IEEE-exact, so the fold equals
+    * the batch matched-terms-only fold); one per-source aggregation.
+    * Doubles only fold per-doc and max per-source — never a cross-doc
+    * float sum.
+    */
+  def docBm25GateOverParquet(
+      spark: SparkSession,
+      sfDir: String,
+      firstNewId: Long,
+      nTerms: Int = 3): DataFrame = {
+    import graft.functions.Parity
+    import graft.operators.TextOps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val modelDir = TextOps.writeBm25Model(spark, docs.filter(col("doc_id") < firstNewId))
+    val m = spark.read.parquet(modelDir)
+    val q = m
+      .filter(col("term").isNotNull)
+      .orderBy(col("df").desc, col("term"))
+      .limit(nTerms)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1) // fold in term order — the batch ordered-fold discipline
+    val stRow = m.filter(col("term").isNull).head()
+    val n = stRow.getAs[Long]("n_docs").toDouble
+    val avgdl = stRow.getAs[Long]("tot_tokens").toDouble / n
+    val dld = size(Parity.tokens(col("text"))).cast("long").cast("double")
+    val parts = q.map { case (term, df) =>
+      val tf = size(filter(Parity.tokens(col("text")), x => x === lit(term))).cast("long")
+      // full-precision idf literal: JVM log == the engine's log, so this
+      // equals the batch path's in-engine idf bit for bit
+      val idf = math.log(1.0 + (n - df.toDouble + 0.5) / (df.toDouble + 0.5))
+      val tfd = tf.cast("double")
+      val s = round(
+        lit(idf) * (tfd * lit(TextOps.Bm25K1Plus1.toDouble)) /
+          (tfd + lit(TextOps.Bm25K1.toDouble) *
+            (lit(TextOps.Bm25OneMinusB.toDouble) +
+              lit(TextOps.Bm25B.toDouble) * dld / lit(avgdl))),
+        9)
+      (tf, when(tf > 0, s).otherwise(lit(0.0d)))
+    }
+    val nQ = parts.map(_._1).reduce(_ + _)
+    val score = parts.map(_._2).foldLeft(lit(0.0d))(_ + _)
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-docs-bm25"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    runStream(
+      spark,
+      readDocStream(spark, staged.toString)
+        .filter(col("doc_id") >= firstNewId)
+        .select(col("source"), nQ.as("n_q"), round(score, 6).as("bm25"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_q") > 0, 1L).otherwise(0L)).as("n_matched"),
+          max(col("bm25")).as("top_bm25")),
+      graft.sources.Staging.freshTable("graft_stream_docbm25"),
+      "complete")
+  }
+
   /** Schema of the embeddings table (readStream requires one). */
   val embSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
