@@ -731,6 +731,12 @@ object SparkEntry {
       val model = operators.Tokenization.writeBpeModel(s, docs(s, d), nMerges = 8, minFreq = 2L)
       operators.Tokenization.bpeApplyStored(s, docs(s, d), model).orderBy(col("doc_id"))
     }),
+    // tokenizer evaluation: BPE pieces per word, per language — the
+    // fertility number that sizes per-lang vocab budgets
+    "tokenizer_fertility" -> ((s, d) =>
+      operators.Tokenization
+        .tokenizerFertility(s, docs(s, d), nMerges = 8, minFreq = 2L)
+        .orderBy(col("lang"))),
     // latest-wins MERGE of an update batch into the keyed corpus; the
     // partial-aggregating max_by shape, not a window (see Snapshot)
     "corpus_upsert" -> ((s, d) => {
@@ -2511,6 +2517,7 @@ object SparkEntry {
       // stored-model apply is result-identical to train+encode: the
       // artifact is the same sequential-equivalent merge table
       "bpe_apply_stored" -> operators.Tokenization.bpeEncodeSql(8, minFreq = 2L),
+      "tokenizer_fertility" -> operators.Tokenization.tokenizerFertilitySql(8, minFreq = 2L),
       "doc_chunk" ->
         (TextOps.chunkSql() + "\nORDER BY doc_id, chunk_idx"),
       "doc_shuffle" ->

@@ -415,6 +415,60 @@ object Tokenization {
     * symbol → id per [[MergedIdBase]]. The id CASE chain checks rounds
     * in ascending order, mirroring the Spark fold's first-match-wins.
     */
+  /** Tokenizer fertility — the standard tokenizer-evaluation metric:
+    * BPE pieces per word, per language. High fertility on a language
+    * means the vocabulary under-serves it (each word shatters into many
+    * pieces) — the number multilingual pipelines use to size per-lang
+    * vocab budgets. Uses the STORED merge table (train-once, evaluate
+    * per corpus slice); all sums are integers (order-independent); the
+    * one division happens on the aggregated row.
+    */
+  def tokenizerFertility(
+      spark: SparkSession,
+      docs: DataFrame,
+      nMerges: Int,
+      minFreq: Long = 1L): DataFrame = {
+    val modelDir = writeBpeModel(spark, docs, nMerges, minFreq)
+    val enc = bpeApplyStored(spark, docs, modelDir).select(col("doc_id"), col("n_tokens"))
+    val words = size(
+      filter(
+        Parity.tokens(col("text")),
+        w => !w.contains(SepL) && !w.contains(SepR) && !w.contains(WordSep))).cast("long")
+    docs
+      .select(col("doc_id"), col("lang"), words.as("n_words"))
+      .join(enc, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_bpe_tokens"))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_words"),
+        col("n_bpe_tokens"),
+        when(col("n_words") > 0,
+          round(col("n_bpe_tokens").cast("double") / col("n_words").cast("double"), 6))
+          .otherwise(lit(0.0d)).as("fertility"))
+  }
+
+  /** DuckDB oracle for [[tokenizerFertility]]: the encode CTEs as a
+    * subquery, per-lang integer rollup, one division on the aggregate. */
+  def tokenizerFertilitySql(nMerges: Int, minFreq: Long = 1L): String = {
+    val wordsSql =
+      s"len(list_filter(${Parity.tokensSql("text")}, " +
+        "w -> NOT contains(w, chr(1)) AND NOT contains(w, chr(2)) AND NOT contains(w, chr(3))))"
+    s"""SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum($wordsSql) AS BIGINT) AS n_words,
+       |       CAST(sum(e.n_tokens) AS BIGINT) AS n_bpe_tokens,
+       |       CASE WHEN sum($wordsSql) > 0
+       |            THEN round(CAST(sum(e.n_tokens) AS DOUBLE) / CAST(sum($wordsSql) AS DOUBLE), 6)
+       |            ELSE CAST(0.0 AS DOUBLE) END AS fertility
+       |FROM (${bpeEncodeSql(nMerges, minFreq)}) e
+       |JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   def bpeEncodeSql(nMerges: Int, minFreq: Long = 1L): String = {
     val docRounds = (1 to nMerges)
       .map { k =>
