@@ -441,6 +441,12 @@ object SparkEntry {
       Dedup.embeddingNearDups(embs(s, d), minCosine = 0.3).orderBy(col("vec_a"), col("vec_b"))),
     "dedup_clusters" -> ((s, d) =>
       Dedup.clusters(docs(s, d), Dedup.minhashCandidatePairs(docs(s, d))).orderBy(col("doc_id"))),
+    // threshold tuning table: pair/flagged counts at each candidate
+    // cosine cut, one pass over the materialized scored pairs
+    "dedup_threshold_sweep" -> ((s, d) =>
+      Dedup
+        .nearDupThresholdSweep(embs(s, d), thresholds = Seq(0.3, 0.5, 0.9))
+        .orderBy(col("threshold"))),
     // SemDeDup: k-means cells as the candidate blocks, within-cluster
     // lower-id cosine evidence — paraphrase dedup with no shingle overlap
     "dedup_semantic" -> ((s, d) =>
@@ -2014,6 +2020,22 @@ object SparkEntry {
            |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
            |  GROUP BY 1, 2)
            |SELECT * FROM pairs WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+      "dedup_threshold_sweep" ->
+        s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |b AS (
+           |  $lshTableUnion),
+           |pairs AS (
+           |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+           |         max(round(${Parity.cosineSql("a.e", "b2.e")}, 6)) AS cos
+           |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+           |  GROUP BY 1, 2),
+           |t AS (SELECT unnest([CAST(0.3 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS threshold)
+           |SELECT t.threshold,
+           |       CAST((SELECT count(*) FROM pairs p WHERE p.cos >= t.threshold) AS BIGINT) AS n_pairs,
+           |       CAST((SELECT count(DISTINCT id) FROM (
+           |              SELECT vec_a AS id FROM pairs WHERE cos >= t.threshold
+           |              UNION ALL SELECT vec_b FROM pairs WHERE cos >= t.threshold)) AS BIGINT) AS n_flagged
+           |FROM t ORDER BY threshold""".stripMargin,
       "pipeline_curate" ->
         s"""WITH c AS (
            |  SELECT doc_id,

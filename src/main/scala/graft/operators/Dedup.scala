@@ -421,6 +421,28 @@ object Dedup {
       .filter(col("cos") >= minCosine)
   }
 
+  /** Near-dup threshold tuning table: pair and flagged-document counts
+    * at each candidate cosine threshold, computed in ONE pass — the
+    * scored pair table materializes once at the loosest threshold and
+    * each row is two aggregates over it. This is the table a curation
+    * team reads to pick the dedup threshold (how much of the corpus
+    * does 0.9 vs 0.95 actually remove?) before committing to a sweep
+    * over 100 TB.
+    */
+  def nearDupThresholdSweep(embs: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    val pairs = Phys.materialized(embeddingNearDupsLsh(embs, minCosine = thresholds.min))
+    thresholds
+      .map { t =>
+        val p = pairs.filter(col("cos") >= t)
+        p.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(
+            p.select(explode(array(col("vec_a"), col("vec_b"))).as("id"))
+              .agg(count_distinct(col("id")).as("n_flagged")))
+          .select(lit(t).as("threshold"), col("n_pairs"), col("n_flagged"))
+      }
+      .reduce(_.unionByName(_))
+  }
+
   /** Exact-substring duplicate spans (the span-level dedup of Lee et al.
     * 2022, "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499 — there suffix-array-based; here re-expressed
