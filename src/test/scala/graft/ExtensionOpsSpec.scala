@@ -996,6 +996,23 @@ class ExtensionOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("new-operator edge cases: tiny vocab, short payloads, single-class corpus") {
+    import graft.operators.{Multimodal, Training}
+    // bm25 with fewer distinct terms than nTerms: the query is just the
+    // whole vocabulary — no crash, both docs score
+    val tiny = docsDf(Seq((1L, "only two", "en"), (2L, "only", "en")))
+    val bm = TextOps.bm25TopK(tiny, nTerms = 3, k = 10).collect()
+    assert(bm.length === 2)
+    // phash on a corpus with no payload ≥ 64 bytes: no eligible docs, no pairs
+    assert(Multimodal.phashDedup(docsDf(Seq((1L, "short", "en")))).collect().isEmpty)
+    // naive Bayes on a single-class corpus: prior = ln(1) = 0, every doc
+    // predicts the one class, correct everywhere
+    val mono = docsDf(Seq((1L, "a b", "en"), (2L, "b c", "en")))
+    val nb = Training.naiveBayes(mono).collect()
+    assert(nb.length === 2)
+    assert(nb.forall(r => r.getString(1) == "en" && r.getBoolean(3)))
+  }
+
   test("stored-NB serving follows the artifact — a planted model forces the winner") {
     import graft.operators.Training
     import spark.implicits._
