@@ -667,6 +667,16 @@ object SparkEntry {
     // never all-pairs; oversized buckets dropped as boilerplate)
     "multimodal_phash_dedup" -> ((s, d) =>
       Multimodal.phashDedup(docs(s, d)).orderBy(col("a_id"), col("b_id"))),
+    // index-once/probe-many for the media column: the banded pHash store
+    // persisted as a parquet artifact; probing a batch of arrivals reads
+    // the artifact and the batch — no signature/cap stage for the corpus
+    "multimodal_phash_stored" -> ((s, d) => {
+      val all = docs(s, d)
+      val index = Multimodal.writePhashIndex(all.filter(col("doc_id") < 400L))
+      Multimodal
+        .phashStoredProbe(s, all.filter(col("doc_id") >= 400L), index)
+        .orderBy(col("doc_id"))
+    }),
     // pairs -> transitive near-dup clusters -> canonical keep list (the
     // dedup_clusters step for the media column; shares the min-label CC)
     "multimodal_phash_clusters" -> ((s, d) =>
@@ -2779,6 +2789,9 @@ object SparkEntry {
            |FROM documents ORDER BY doc_id""".stripMargin,
       "multimodal_phash_dedup" -> Multimodal.phashDedupSql,
       "multimodal_phash_clusters" -> Multimodal.phashClustersSql,
+      // the artifact reproduces the static store (pinned by batch/stream
+      // parity + the stored-probe spec); the oracle proves the matches
+      "multimodal_phash_stored" -> Multimodal.phashGateSql(firstNewId = 400L),
       "docs_stream_phash_static" -> Multimodal.phashGateSql(firstNewId = 400L),
       "multimodal_frames" ->
         s"""WITH f AS (

@@ -306,6 +306,68 @@ object Multimodal {
        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** The banded pHash STORE of a corpus: signatures exploded to
+    * (band_idx, band_val) bucket rows with the full signature carried
+    * (sb0..sb3), hot buckets capped as boilerplate. This is the index
+    * half of media near-dup: built once over the static corpus, probed
+    * by every batch or stream of arrivals.
+    */
+  def phashBandStore(docs: DataFrame): DataFrame = {
+    val bandCols = (0 until PhashBands).map(j => col(s"b$j"))
+    val exploded = phashBands(docs).select(
+      col("doc_id") +: bandCols :+
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")): _*)
+    val hot = exploded
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > PhashBucketCap)
+      .select(col("band_idx"), col("band_val"))
+    exploded
+      .join(hot, Seq("band_idx", "band_val"), "left_anti")
+      .select(
+        col("doc_id").as("s_id") +: col("band_idx") +: col("band_val") +:
+          (0 until PhashBands).map(j => col(s"b$j").as(s"sb$j")): _*)
+  }
+
+  /** Persist [[phashBandStore]] as a parquet artifact — index-once /
+    * probe-many for the media column. */
+  def writePhashIndex(docs: DataFrame): String = {
+    val dir = graft.sources.Staging.freshDir("phash-index")
+    phashBandStore(docs).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Probe a batch of payloads against the STORED band index: arrival
+    * signatures (narrow map), bucket-keyed join against the artifact,
+    * exact Hamming ≤ [[PhashMaxHamming]] verify, best (hamming, id)
+    * per flagged arrival. The plan reads the index artifact and the
+    * probe batch — signature/cap stages of the indexed corpus appear
+    * nowhere (they ran at index time).
+    */
+  def phashStoredProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      probeDocs: DataFrame,
+      indexDir: String): DataFrame = {
+    val store = broadcast(spark.read.parquet(indexDir))
+    val bandCols = (0 until PhashBands).map(j => col(s"b$j"))
+    val arrivals = phashBands(probeDocs).select(
+      col("doc_id") +: bandCols :+
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")): _*)
+    val hamming = (0 until PhashBands)
+      .map(j => bit_count(col(s"b$j").bitwiseXOR(col(s"sb$j"))).cast("long"))
+      .reduce(_ + _)
+    arrivals
+      .join(store, Seq("band_idx", "band_val"))
+      .select(col("doc_id"), col("s_id"), hamming.as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("hamming").as("h"), col("s_id").as("sid"))).as("sel"))
+      .select(
+        col("doc_id"),
+        col("sel.h").as("best_hamming"),
+        col("sel.sid").as("best_match"))
+  }
+
   /** Shared oracle CTE chain: pixels → signature → bands → cap-filtered
     * `keep` (bucket rows eligible for the pair join). */
   private def phashCoreCtes: String = {

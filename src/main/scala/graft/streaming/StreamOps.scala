@@ -542,18 +542,7 @@ object StreamOps {
     def explodeBands(sigs: DataFrame): DataFrame = sigs.select(
       col("doc_id") +: bandCols :+
         posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")): _*)
-    val staticBands = explodeBands(Multimodal.phashBands(docs.filter(col("doc_id") < firstNewId)))
-    val hot = staticBands
-      .groupBy(col("band_idx"), col("band_val"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > Multimodal.PhashBucketCap)
-      .select(col("band_idx"), col("band_val"))
-    val store = broadcast(
-      staticBands
-        .join(hot, Seq("band_idx", "band_val"), "left_anti")
-        .select(
-          col("doc_id").as("s_id") +: col("band_idx") +: col("band_val") +:
-            (0 until Multimodal.PhashBands).map(j => col(s"b$j").as(s"sb$j")): _*))
+    val store = broadcast(Multimodal.phashBandStore(docs.filter(col("doc_id") < firstNewId)))
     val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-docs-phash"))
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/documents.parquet"),

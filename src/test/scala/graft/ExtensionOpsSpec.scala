@@ -1013,6 +1013,33 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(nb.forall(r => r.getString(1) == "en" && r.getBoolean(3)))
   }
 
+  test("stored-pHash index probe follows the artifact") {
+    import graft.operators.Multimodal
+    val base = "q" * 64
+    // index two docs; probe a payload sharing doc 1's 64-byte prefix →
+    // flagged at hamming 0 against s_id 1; a too-short probe is ineligible
+    val index = Multimodal.writePhashIndex(
+      docsDf(Seq((1L, base + " indexed", "en"), (2L, "Z9" * 40, "en"))))
+    val probed = Multimodal
+      .phashStoredProbe(
+        spark,
+        docsDf(Seq((100L, base + " probing now", "en"), (101L, "short", "en"))),
+        index)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(probed.toSeq === Seq((100L, 0L, 1L)))
+    // overwrite the artifact with an EMPTY store (valid schema, no rows):
+    // the same probe must now match nothing — the probe reads the
+    // artifact, it does not rebuild the index
+    Multimodal.phashBandStore(docsDf(Seq((1L, "too short", "en"))))
+      .write.mode("overwrite").parquet(index)
+    val empty = Multimodal
+      .phashStoredProbe(spark, docsDf(Seq((100L, base + " probing now", "en"))), index)
+      .collect()
+    assert(empty.isEmpty)
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("stored-NB serving follows the artifact — a planted model forces the winner") {
     import graft.operators.Training
     import spark.implicits._
