@@ -806,6 +806,16 @@ object SparkEntry {
     "doc_weighted_sample_grouped" -> ((s, d) =>
       TextOps.weightedSampleGrouped(docs(s, d), kPerGroup = 10)
         .orderBy(col("source"), col("rank"))),
+    // DSIR importance weights: hashed-bucket target/raw llr, self-trained
+    "doc_dsir_weights" -> ((s, d) => TextOps.dsirWeights(docs(s, d)).orderBy(col("doc_id"))),
+    // Gumbel-top-k sampling ∝ exp(llr) — the DSIR selection itself
+    "doc_dsir_select" -> ((s, d) => TextOps.dsirSelect(docs(s, d)).orderBy(col("doc_id"))),
+    // serving over the stored 16-row llr artifact: one corpus scan,
+    // no target-label pass (plan-pinned)
+    "doc_dsir_stored" -> ((s, d) => {
+      val model = TextOps.writeDsirModel(s, docs(s, d))
+      TextOps.dsirApplyStored(s, docs(s, d), model).orderBy(col("doc_id"))
+    }),
     "ann_recall" -> ((s, d) =>
       Similarity.lshRecall(embs(s, d), nQueries = 50, k = 3).orderBy(col("q_id"))),
     // measured recall@k of the TRAINED IVF at two probe widths — the
@@ -2125,6 +2135,10 @@ object SparkEntry {
         s"SELECT * FROM (${TextOps.weightedSampleSql(k = 100)}) ORDER BY doc_id",
       "doc_weighted_sample_grouped" ->
         (TextOps.weightedSampleGroupedSql(kPerGroup = 10) + "\nORDER BY source, rank"),
+      "doc_dsir_weights" -> (TextOps.dsirWeightsSql() + "\nORDER BY doc_id"),
+      "doc_dsir_select" -> TextOps.dsirSelectSql(),
+      // apply-on-train reproduces the self-trained weights exactly
+      "doc_dsir_stored" -> (TextOps.dsirWeightsSql() + "\nORDER BY doc_id"),
       "ann_brute_topk" ->
         s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
            |scored AS (

@@ -1345,4 +1345,222 @@ object TextOps {
        |        $BudgetShare * CAST(lang_tokens AS DOUBLE)) AS selected
        |FROM cum""".stripMargin
   }
+
+  // ---- DSIR importance resampling ------------------------------------------
+
+  /** Hashed feature width for DSIR (Xie et al. 2023, NeurIPS, "Data
+    * Selection for Language Models via Importance Resampling"): the
+    * target and raw distributions are bag-of-hashed-token models over a
+    * FIXED bucket count, so the model is a [[DsirDim]]-row table
+    * whatever the corpus vocabulary — the property that makes the
+    * importance weights computable at 100 TB with one broadcast.
+    */
+  val DsirDim = 16
+
+  /** Documents the DSIR Gumbel-top-k selection keeps. */
+  val DsirK = 120
+
+  /** Per-bucket log-likelihood-ratio table `(b, llr)`:
+    * `llr_b = ln p_target(b) − ln p_raw(b)` under add-one smoothing,
+    * each ln rounded to 9 dp (the cross-engine transcendental grid).
+    * The target distribution is the stopword-dense-prose slice — the
+    * same deterministic quality proxy the fastText classifier trains
+    * on ([[graft.operators.Training]]); in production it is a trusted
+    * high-quality corpus. A [[DsirDim]]-row spine keeps never-hit
+    * buckets in the model (their smoothed mass is part of the ratio).
+    *
+    * Scale shape: one explode + one hash aggregate on the bucket id
+    * (map-side partial, [[DsirDim]] groups), one 2-value total folded
+    * back by broadcast — the model build crosses the corpus once.
+    */
+  private def dsirLlr(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val tgt = docs
+      .select(toks(col("text")).as("ts"))
+      .select(
+        col("ts"),
+        (size(col("ts")) > 0 &&
+          size(filter(col("ts"), t => t.isin(Stopwords: _*))) * 14 >= size(col("ts"))).as("is_t"))
+    val bt = tgt
+      .select(explode(col("ts")).as("t"), col("is_t"))
+      .select(pmod(Parity.tokenH40(col("t")), lit(DsirDim.toLong)).as("b"), col("is_t"))
+    val cnt = bt
+      .groupBy(col("b"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"), count(lit(1)).as("cr"))
+    val spine = spark.range(DsirDim.toLong).select(col("id").as("b"))
+    val cnt2 = spine
+      .join(cnt, Seq("b"), "left_outer")
+      .select(
+        col("b"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val tot = cnt2.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    cnt2
+      .crossJoin(broadcast(tot))
+      .select(
+        col("b"),
+        (round(log((col("ct") + 1).cast("double") / (col("nt") + DsirDim).cast("double")), 9) -
+          round(log((col("cr") + 1).cast("double") / (col("nr") + DsirDim).cast("double")), 9))
+          .as("llr"))
+  }
+
+  /** Score every document against a bucket-llr model: the per-doc
+    * importance log-weight is the position-ordered fold of its tokens'
+    * bucket llr values (the same bit-identical ordered-sum discipline
+    * as [[unigramScore]]), rounded to 6 dp; token-less docs carry the
+    * neutral weight 0. One corpus scan, the [[DsirDim]]-row model
+    * broadcast — no vocabulary-sized state anywhere.
+    */
+  private def dsirScore(docs: DataFrame, llr: DataFrame): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "term")))
+      .select(
+        col("doc_id"),
+        col("pos"),
+        pmod(Parity.tokenH40(col("term")), lit(DsirDim.toLong)).as("b"))
+      .join(broadcast(llr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("llr")))), s => s("llr")),
+          lit(0.0d),
+          (acc, v) => acc + v).as("sum_llr"))
+    docs
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("sum_llr"), lit(0.0d)), 6).as("llr"))
+  }
+
+  /** DSIR importance weights, self-trained: `(doc_id, n_tokens, llr)`
+    * where llr > 0 means the document looks more like the target
+    * (quality) distribution than the raw corpus. Two corpus crossings
+    * (model build + scoring), intrinsic to self-training — the stored
+    * form ([[dsirApplyStored]]) needs one.
+    */
+  def dsirWeights(docs: DataFrame): DataFrame = dsirScore(docs, dsirLlr(docs))
+
+  /** DSIR selection: sample [[DsirK]] documents without replacement
+    * with probability ∝ exp(llr) via the Gumbel-top-k trick — key
+    * `llr + G`, `G = −ln(−ln u)` drawn from the same salted hash grid
+    * as [[weightedSample]] (9 dp grid, ties by doc_id), largest keys
+    * win. One narrow map over the scored table + TakeOrdered — never a
+    * full sort.
+    */
+  def dsirSelect(docs: DataFrame, k: Int = DsirK, seed: Long = 7L): DataFrame = {
+    require(seed >= 0 && seed < 1000000000L, s"seed must be in [0, 1e9), got $seed")
+    val u = (pmod(
+      (pmod(col("doc_id"), lit(2147483648L)) + lit(seed)) * lit(2654435761L),
+      lit(1000000007L)) + 1L).cast("double") / lit(1000000008.0d)
+    dsirWeights(docs)
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("llr"),
+        (col("llr") + round(-log(-log(u)), 9)).as("gkey"))
+      .orderBy(col("gkey").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_tokens"), col("llr"))
+  }
+
+  /** Train the DSIR model once and persist the [[DsirDim]]-row bucket
+    * llr table as a parquet artifact — the scalar-sized model shape
+    * (like the quantizer codebooks), stored as a table.
+    */
+  def writeDsirModel(spark: org.apache.spark.sql.SparkSession, docs: DataFrame): String = {
+    val dir = graft.sources.Staging.freshDir("dsir-model")
+    dsirLlr(docs).coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Serving over the STORED model: the [[DsirDim]]-row artifact folds
+    * into a LITERAL lookup array (the scalar-sized-artifact discipline
+    * of the BPE/logreg serving paths), so scoring is ONE narrow
+    * projection over one corpus scan — no join, no aggregate, no
+    * explode (plan-pinned). The in-order array fold visits tokens in
+    * position order, so the IEEE sum is bit-identical to
+    * [[dsirWeights]]'s ordered fold — applied to its own training
+    * corpus it reproduces the self-trained weights exactly and the two
+    * share an oracle.
+    */
+  def dsirApplyStored(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      modelDir: String): DataFrame = {
+    val m = spark.read.parquet(modelDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    require(m.size == DsirDim, s"DSIR model must have $DsirDim buckets, got ${m.size}")
+    val llrArr = array((0 until DsirDim).map(b => lit(m(b.toLong))): _*)
+    val ts = toks(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(ts).cast("long").as("n_tokens"),
+      round(
+        aggregate(
+          transform(ts, t =>
+            element_at(
+              llrArr,
+              (pmod(Parity.tokenH40(t), lit(DsirDim.toLong)) + 1L).cast("int"))),
+          lit(0.0d),
+          (acc, v) => acc + v),
+        6).as("llr"))
+  }
+
+  /** Shared oracle CTE chain: tokenize → target label → bucket counts
+    * over a [[DsirDim]]-row spine → smoothed llr → position-ordered
+    * per-doc fold → `wts(doc_id, n_tokens, llr)`.
+    */
+  private def dsirCtes(): String = {
+    val toksSql = Parity.tokensSql("text")
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    val h = Parity.tokenH40Sql("t")
+    s"""tk AS (SELECT doc_id, $toksSql AS ts FROM documents),
+       |tgt AS (SELECT doc_id, ts,
+       |               (len(ts) > 0 AND
+       |                14 * len(list_filter(ts, t -> t IN ($stopList))) >= len(ts)) AS is_t
+       |        FROM tk),
+       |bt AS (SELECT $h % $DsirDim AS b, is_t
+       |       FROM (SELECT unnest(ts) AS t, is_t FROM tgt)),
+       |cnt AS (SELECT b, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |               CAST(count(*) AS BIGINT) AS cr
+       |        FROM bt GROUP BY b),
+       |spine AS (SELECT CAST(range AS BIGINT) AS b FROM range($DsirDim)),
+       |cnt2 AS (SELECT s.b, coalesce(c.ct, 0) AS ct, coalesce(c.cr, 0) AS cr
+       |         FROM spine s LEFT JOIN cnt c USING (b)),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM cnt2),
+       |llr AS (SELECT b,
+       |               round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + $DsirDim AS DOUBLE)), 9) -
+       |               round(ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + $DsirDim AS DOUBLE)), 9) AS llr
+       |        FROM cnt2 CROSS JOIN tot),
+       |term AS (SELECT doc_id, pos, $h % $DsirDim AS b
+       |         FROM (SELECT doc_id, ts[CAST(pos AS INT)] AS t, pos
+       |               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos FROM tk))),
+       |per AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |               list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.llr ORDER BY t.pos)),
+       |                           (a, x) -> a + x) AS sum_llr
+       |        FROM term t JOIN llr l USING (b) GROUP BY t.doc_id),
+       |wts AS (SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+       |               round(coalesce(p.sum_llr, 0.0), 6) AS llr
+       |        FROM documents d LEFT JOIN per p USING (doc_id))""".stripMargin
+  }
+
+  /** [[dsirWeights]] mirrored (also the [[dsirApplyStored]] oracle). */
+  def dsirWeightsSql(): String =
+    s"WITH ${dsirCtes()}\nSELECT doc_id, n_tokens, llr FROM wts"
+
+  /** [[dsirSelect]] mirrored on the same hash grid; the selected set is
+    * re-ordered by doc_id so the contract is the SET, not the key.
+    */
+  def dsirSelectSql(k: Int = DsirK, seed: Long = 7L): String =
+    s"""WITH ${dsirCtes()},
+       |sel AS (SELECT doc_id, n_tokens, llr,
+       |               llr + round(-ln(-ln(((((doc_id % 2147483648 + 2147483648) % 2147483648
+       |                        + $seed) * 2654435761) % 1000000007 + 1) / 1000000008.0)), 9) AS gkey
+       |        FROM wts)
+       |SELECT doc_id, n_tokens, llr
+       |FROM (SELECT doc_id, n_tokens, llr FROM sel ORDER BY gkey DESC, doc_id LIMIT $k)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -100,6 +100,39 @@ class ExtensionOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("dsirWeights: stopword-dense prose outscores gibberish; select is the top of that order") {
+    val d = docsDf(Seq(
+      (1L, "the of and to in is on for the of", "en"), // target-slice prose
+      (2L, "the a an of and to in is on for", "en"), // target-slice prose
+      (3L, "zzqx wvnp qqrm ttkl zzqx wvnp qqrm ttkl mmop bbvc", "en"), // gibberish
+      (4L, "", "en"))) // token-less → neutral 0
+    val w = TextOps.dsirWeights(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // the target distribution is built FROM docs 1-2, so their buckets
+    // carry more target mass than the gibberish buckets
+    assert(w(1L)._2 > w(3L)._2, s"prose ${w(1L)} must outscore gibberish ${w(3L)}")
+    assert(w(2L)._2 > w(3L)._2)
+    assert(w(4L) === ((0L, 0.0)), "token-less doc carries the neutral weight")
+    // selection keeps k docs and they are a subset of the scored set
+    val sel = TextOps.dsirSelect(d, k = 2).collect().map(_.getLong(0)).toSet
+    assert(sel.size === 2 && sel.subsetOf(w.keySet))
+  }
+
+  test("dsirApplyStored follows the artifact — a planted all-ones llr scores llr = n_tokens") {
+    val docs = model.table(spark, "/root/testdata/sf0.001", "documents")
+    val dir = graft.sources.Staging.freshDir("dsir-model")
+    // plant llr_b = 1.0 for every bucket: the served weight must become
+    // exactly n_tokens · 1.0 — a value no retrain could produce
+    (0 until TextOps.DsirDim).map(b => (b.toLong, 1.0d)).toDF("b", "llr")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val out = TextOps.dsirApplyStored(spark, docs, dir).collect()
+    out.foreach { r =>
+      assert(r.getDouble(2) === r.getLong(1).toDouble,
+        s"doc ${r.getLong(0)}: served ${r.getDouble(2)}, planted model says ${r.getLong(1)}")
+    }
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("pplBuckets: per-lang LM-score terciles; empty doc lands in tail") {
     val d = docsDf(Seq(
       (1L, "a a", "en"), // best LM fit (all high-freq tokens)

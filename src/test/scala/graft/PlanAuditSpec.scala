@@ -372,6 +372,19 @@ class PlanAuditSpec extends SparkSpec {
     val ivfpqPlan = planOf(SparkEntry.queries("ann_ivfpq_stored")(spark, dir))
     assert(!ivfpqPlan.contains("CartesianProduct"), s"cartesian in stored IVF-PQ:\n$ivfpqPlan")
     assert(!ivfpqPlan.contains("posexplode"), s"Lloyd centroid-mean stage in stored IVF-PQ:\n$ivfpqPlan")
+    // doc_dsir_stored: the 16-row artifact folds into a literal lookup
+    // array, so serving is ONE corpus scan and a narrow projection —
+    // no join, no aggregate, no target-label second crossing
+    val dsirModel = graft.operators.TextOps.writeDsirModel(
+      spark, model.table(spark, dir, "documents"))
+    val dsirPlan = planOf(
+      graft.operators.TextOps.dsirApplyStored(
+        spark, model.table(spark, dir, "documents"), dsirModel))
+    val dsirScans = "Scan parquet".r.findAllIn(dsirPlan.split("== Initial Plan ==")(0)).length
+    assert(dsirScans === 1, s"expected one corpus scan, got $dsirScans:\n$dsirPlan")
+    assert(!dsirPlan.contains("HashAggregate"),
+      s"training/histogram aggregate in DSIR serving plan:\n$dsirPlan")
+    assert(!dsirPlan.contains("Join"), s"join in DSIR serving plan:\n$dsirPlan")
     graft.sources.Staging.cleanup(spark)
   }
 
