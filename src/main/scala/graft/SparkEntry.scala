@@ -806,6 +806,8 @@ object SparkEntry {
     "doc_weighted_sample_grouped" -> ((s, d) =>
       TextOps.weightedSampleGrouped(docs(s, d), kPerGroup = 10)
         .orderBy(col("source"), col("rank"))),
+    // Gopher heuristic filter stack: 7 integer-exact per-doc rules + pass
+    "text_gopher_rules" -> ((s, d) => TextOps.gopherRules(docs(s, d)).orderBy(col("doc_id"))),
     // DSIR importance weights: hashed-bucket target/raw llr, self-trained
     "doc_dsir_weights" -> ((s, d) => TextOps.dsirWeights(docs(s, d)).orderBy(col("doc_id"))),
     // Gumbel-top-k sampling ∝ exp(llr) — the DSIR selection itself
@@ -2135,6 +2137,7 @@ object SparkEntry {
         s"SELECT * FROM (${TextOps.weightedSampleSql(k = 100)}) ORDER BY doc_id",
       "doc_weighted_sample_grouped" ->
         (TextOps.weightedSampleGroupedSql(kPerGroup = 10) + "\nORDER BY source, rank"),
+      "text_gopher_rules" -> (TextOps.gopherRulesSql() + "\nORDER BY doc_id"),
       "doc_dsir_weights" -> (TextOps.dsirWeightsSql() + "\nORDER BY doc_id"),
       "doc_dsir_select" -> TextOps.dsirSelectSql(),
       // apply-on-train reproduces the self-trained weights exactly

@@ -1346,6 +1346,101 @@ object TextOps {
        |FROM cum""".stripMargin
   }
 
+  // ---- Gopher quality-rule battery -----------------------------------------
+
+  /** The Gopher pre-training quality filters (Rae et al. 2021,
+    * arXiv:2112.11446 §A.1.1), as per-document boolean rules plus the
+    * conjunction — the standard heuristic filter stack that runs BEFORE
+    * any learned quality model:
+    *
+    *  - `wc_ok`    50 ≤ word count ≤ 100 000
+    *  - `mwl_ok`   mean word length in [3, 10] characters
+    *  - `sym_ok`   symbol-to-word ratio (`#`, `…`, `...`) ≤ 0.1
+    *  - `bullet_ok` ≤ 90 % of lines start with a bullet
+    *  - `ell_ok`   ≤ 30 % of lines end with an ellipsis
+    *  - `alpha_ok` ≥ 80 % of words contain an alphabetic character
+    *  - `stop_ok`  ≥ 2 distinct stopwords present
+    *
+    * Every rule is an INTEGER comparison (ratio thresholds spelled as
+    * cross-multiplication, e.g. `10·n_sym ≤ n_words`), so both engines
+    * agree exactly with no float grid at all. One narrow projection per
+    * document — no shuffle, no state; at 100 TB this is a pure map
+    * stage fused into the scan.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val ts = toks(text)
+    val n = size(ts).cast("long")
+    val sumLen = aggregate(ts, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    val nAlpha = size(filter(ts, t => t.rlike("[a-z]"))).cast("long")
+    val nStop = size(
+      filter(
+        array(Stopwords.map(lit): _*),
+        sw => array_contains(ts, sw))).cast("long")
+    val nSym =
+      (regexp_count(text, lit("[#…]")) + regexp_count(text, lit("\\.\\.\\."))).cast("long")
+    val lines = split(text, "\n", -1)
+    val nLines = size(lines).cast("long")
+    val nBullet = size(
+      filter(lines, l =>
+        l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• "))).cast("long")
+    val nEll = size(filter(lines, l => l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val wcOk = n >= 50L && n <= 100000L
+    val mwlOk = n > 0L && sumLen >= n * 3L && sumLen <= n * 10L
+    val symOk = nSym * 10L <= n
+    val bulletOk = nBullet * 10L <= nLines * 9L
+    val ellOk = nEll * 10L <= nLines * 3L
+    val alphaOk = nAlpha * 5L >= n * 4L
+    val stopOk = nStop >= 2L
+    docs.select(
+      col("doc_id"),
+      n.as("n_words"),
+      wcOk.as("wc_ok"),
+      mwlOk.as("mwl_ok"),
+      symOk.as("sym_ok"),
+      bulletOk.as("bullet_ok"),
+      ellOk.as("ell_ok"),
+      alphaOk.as("alpha_ok"),
+      stopOk.as("stop_ok"),
+      (wcOk && mwlOk && symOk && bulletOk && ellOk && alphaOk && stopOk).as("pass"))
+  }
+
+  /** [[gopherRules]] mirrored — the same integer cross-multiplications. */
+  def gopherRulesSql(): String = {
+    val toksSql = Parity.tokensSql("text")
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         CAST(len(ts) AS BIGINT) AS n,
+       |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |              list_transform(ts, t -> CAST(len(t) AS BIGINT))), (a, x) -> a + x)
+       |           AS BIGINT) AS sum_len,
+       |         CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |         CAST(len(list_filter([$stopList], sw -> list_contains(ts, sw))) AS BIGINT) AS n_stop,
+       |         CAST(len(regexp_extract_all(text, '[#…]')) +
+       |              len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+       |         CAST(len(lines) AS BIGINT) AS n_lines,
+       |         CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+       |              OR starts_with(l, '• '))) AS BIGINT) AS n_bullet,
+       |         CAST(len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…')))
+       |           AS BIGINT) AS n_ell
+       |  FROM (SELECT doc_id, text, $toksSql AS ts, string_split(text, chr(10)) AS lines
+       |        FROM documents)),
+       |r AS (
+       |  SELECT doc_id, n AS n_words,
+       |         (n >= 50 AND n <= 100000) AS wc_ok,
+       |         (n > 0 AND sum_len >= n * 3 AND sum_len <= n * 10) AS mwl_ok,
+       |         (n_sym * 10 <= n) AS sym_ok,
+       |         (n_bullet * 10 <= n_lines * 9) AS bullet_ok,
+       |         (n_ell * 10 <= n_lines * 3) AS ell_ok,
+       |         (n_alpha * 5 >= n * 4) AS alpha_ok,
+       |         (n_stop >= 2) AS stop_ok
+       |  FROM f)
+       |SELECT doc_id, n_words, wc_ok, mwl_ok, sym_ok, bullet_ok, ell_ok, alpha_ok, stop_ok,
+       |       (wc_ok AND mwl_ok AND sym_ok AND bullet_ok AND ell_ok AND alpha_ok AND stop_ok) AS pass
+       |FROM r""".stripMargin
+  }
+
   // ---- DSIR importance resampling ------------------------------------------
 
   /** Hashed feature width for DSIR (Xie et al. 2023, NeurIPS, "Data

@@ -100,6 +100,30 @@ class ExtensionOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("gopherRules: each rule trips on its crafted violator and only that rule") {
+    val longOk = ("the of " + Seq.fill(60)("word").mkString(" ")) // 62 words, 2 stopwords
+    val d = docsDf(Seq(
+      (1L, longOk, "en"), // passes everything
+      (2L, "the of short doc", "en"), // wc_ok fails (4 words)
+      (3L, ("the of " + Seq.fill(60)("a").mkString(" ")), "en"), // mean word len < 3
+      (4L, ("the of # # # # # # # # # # " + Seq.fill(55)("word").mkString(" ")), "en"), // sym ratio > 0.1
+      (5L, (Seq.fill(10)("- the of " + Seq.fill(10)("word").mkString(" ")).mkString("\n")), "en"), // all lines bullets
+      (6L, (Seq.fill(10)("the of " + Seq.fill(10)("word").mkString(" ") + " ...").mkString("\n")), "en"), // all lines ellipsis-ended
+      (7L, ("the of " + Seq.fill(60)("1234").mkString(" ")), "en"), // alpha ratio < 0.8
+      (8L, Seq.fill(60)("word").mkString(" "), "en"))) // no stopwords
+    val out = TextOps.gopherRules(d).collect()
+      .map(r => r.getLong(0) -> (2 to 8).map(r.getBoolean).toVector).toMap
+    // columns: wc, mwl, sym, bullet, ell, alpha, stop
+    assert(out(1L) === Vector(true, true, true, true, true, true, true))
+    assert(!out(2L)(0) && out(2L).drop(1).take(5).forall(identity)) // only wc trips
+    assert(!out(3L)(1) && out(3L)(0)) // mwl trips
+    assert(!out(4L)(2) && out(4L)(0)) // sym trips
+    assert(!out(5L)(3) && out(5L)(2)) // bullet trips
+    assert(!out(6L)(4) && out(6L)(3)) // ellipsis trips
+    assert(!out(7L)(5) && out(7L)(0)) // alpha trips
+    assert(!out(8L)(6) && out(8L)(5)) // stopword trips
+  }
+
   test("dsirWeights: stopword-dense prose outscores gibberish; select is the top of that order") {
     val d = docsDf(Seq(
       (1L, "the of and to in is on for the of", "en"), // target-slice prose
