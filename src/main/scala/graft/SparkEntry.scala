@@ -437,6 +437,10 @@ object SparkEntry {
       Dedup.incremental(docs(s, d), firstNewId = 400L).orderBy(col("doc_id"))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d)).orderBy(col("doc_a"), col("doc_b"))),
+    // asymmetric near-dup: directional containment over the capped
+    // shingle sets — catches a short doc quoted inside a long one
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(docs(s, d)).orderBy(col("doc_a"), col("doc_b"))),
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingNearDups(embs(s, d), minCosine = 0.3).orderBy(col("vec_a"), col("vec_b"))),
     "dedup_clusters" -> ((s, d) =>
@@ -2024,6 +2028,26 @@ object SparkEntry {
            |             CAST(sa.n_sh + sb.n_sh - i.inter AS BIGINT) AS uni
            |      FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
            |                   JOIN sizes sb ON sb.doc_id = i.doc_b)
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_containment" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, lang, $shingleSql AS s
+           |  FROM (SELECT doc_id, lang, $toks AS t FROM documents)),
+           |inv AS (SELECT doc_id, lang, unnest(s) AS g FROM sh),
+           |keep AS (SELECT lang, g FROM inv GROUP BY lang, g
+           |         HAVING count(*) <= ${Dedup.MaxShingleDf}),
+           |cap AS (SELECT i.doc_id, i.lang, i.g FROM inv i JOIN keep k USING (lang, g)),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM cap GROUP BY doc_id),
+           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+           |          FROM cap a JOIN cap b
+           |            ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2),
+           |sc AS (SELECT i.doc_a, i.doc_b, i.inter,
+           |              round(CAST(i.inter AS DOUBLE) / sa.n_sh, 6) AS cont_a,
+           |              round(CAST(i.inter AS DOUBLE) / sb.n_sh, 6) AS cont_b
+           |       FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+           |                    JOIN sizes sb ON sb.doc_id = i.doc_b)
+           |SELECT * FROM sc WHERE greatest(cont_a, cont_b) >= ${Dedup.ContainmentT}
            |ORDER BY doc_a, doc_b""".stripMargin,
       "dedup_embedding_cosine" ->
         s"""WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

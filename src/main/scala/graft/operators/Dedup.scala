@@ -369,6 +369,56 @@ object Dedup {
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
   }
 
+  /** Minimum max-side containment for [[containmentPairs]]. */
+  val ContainmentT = 0.2
+
+  /** Directional shingle-containment pairs (Broder 1997's containment,
+    * the asymmetric companion of [[ngramJaccardPairs]]): for pairs
+    * sharing a sub-ubiquitous shingle, `cont_a = |A∩B|/|A|` and
+    * `cont_b = |A∩B|/|B|` over the DF-capped shingle sets, kept when
+    * either side ≥ [[ContainmentT]]. Catches what Jaccard misses — a
+    * short document quoted inside a long one scores
+    * `cont_short ≈ 1` while its Jaccard `≈ |short|/|long|` stays
+    * under any symmetric threshold.
+    *
+    * Same physical shape as the Jaccard pairs (capped inverted index,
+    * bucket-keyed self-join, per-pair count aggregate — never an
+    * all-pairs product, every bucket ≤ maxDf rows).
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      maxDf: Long = MaxShingleDf,
+      minCont: Double = ContainmentT): DataFrame = {
+    val inv0 = Phys.materialized(
+      docs.select(col("doc_id"), col("lang"), explode(shingles(col("text"))).as("g")))
+    val keep = inv0
+      .groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("lang"), col("g"))
+    val inv = Phys.materialized(inv0.join(keep, Seq("lang", "g"), "left_semi"))
+    val a = inv.alias("a")
+    val b = inv.alias("b")
+    val inter = a
+      .join(
+        b,
+        col("a.lang") === col("b.lang") && col("a.g") === col("b.g") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("inter"),
+        round(col("inter").cast("double") / col("na"), 6).as("cont_a"),
+        round(col("inter").cast("double") / col("nb"), 6).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minCont)
+  }
+
   /** Candidate pairs → deduplication clusters → canonical-doc selection:
     * the step that turns "find near-duplicate pairs" into "deduplicate
     * the corpus" (what a training-data pipeline actually runs).

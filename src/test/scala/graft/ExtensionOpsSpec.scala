@@ -100,6 +100,20 @@ class ExtensionOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("containmentPairs: a quoted short doc hits cont 1.0 while its Jaccard stays low") {
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " " + (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = docsDf(Seq((1L, short, "en"), (2L, long, "en"), (3L, "x y z q r s t", "en")))
+    val cont = Dedup.containmentPairs(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(3), r.getDouble(4)))).toMap
+    // doc 1's 3 shingles all occur in doc 2 → containment of A is exact 1.0
+    assert(cont((1L, 2L))._1 === 1.0)
+    assert(cont((1L, 2L))._2 < 0.2, "long side must not look contained")
+    val jac = Dedup.ngramJaccardPairs(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    assert(jac((1L, 2L)) < 0.2, "the symmetric score misses this pair by design")
+  }
+
   test("gopherRules: each rule trips on its crafted violator and only that rule") {
     val longOk = ("the of " + Seq.fill(60)("word").mkString(" ")) // 62 words, 2 stopwords
     val d = docsDf(Seq(
