@@ -882,6 +882,11 @@ object SparkEntry {
     "docs_stream_quality_static" -> ((s, d) =>
       streaming.StreamOps.docQualityGateOverParquet(s, d, firstNewId = 400L)
         .orderBy(col("source"))),
+    // importance sampling at ingest: static DSIR model, stateless fold,
+    // per-source selected-count rollup
+    "docs_stream_dsir_static" -> ((s, d) =>
+      streaming.StreamOps.docDsirGateOverParquet(s, d, firstNewId = 400L)
+        .orderBy(col("source"))),
     // decontamination-on-arrival: arriving docs' shingles semi-joined
     // (stateless stream-static) to the static benchmark-shingle store;
     // output = contaminated arrivals with benchmark-overlap counts
@@ -2376,6 +2381,7 @@ object SparkEntry {
            |GROUP BY source ORDER BY source""".stripMargin
       },
       "docs_stream_quality_static" -> operators.Training.fasttextGateSql(firstNewId = 400L),
+      "docs_stream_dsir_static" -> TextOps.dsirGateSql(firstNewId = 400L),
       "docs_stream_bm25_static" -> TextOps.bm25GateSql(firstNewId = 400L),
       "docs_stream_decontam_static" -> {
         val t = Parity.tokensSql("text")

@@ -1604,15 +1604,15 @@ object TextOps {
         6).as("llr"))
   }
 
-  /** Shared oracle CTE chain: tokenize → target label → bucket counts
-    * over a [[DsirDim]]-row spine → smoothed llr → position-ordered
-    * per-doc fold → `wts(doc_id, n_tokens, llr)`.
+  /** Model-build oracle CTEs (through `llr`), trainable on a corpus
+    * slice via `srcWhere` — shared by the self-trained, stored, and
+    * streaming-gate oracles.
     */
-  private def dsirCtes(): String = {
+  private def dsirModelCtes(srcWhere: String): String = {
     val toksSql = Parity.tokensSql("text")
     val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
     val h = Parity.tokenH40Sql("t")
-    s"""tk AS (SELECT doc_id, $toksSql AS ts FROM documents),
+    s"""tk AS (SELECT doc_id, $toksSql AS ts FROM documents$srcWhere),
        |tgt AS (SELECT doc_id, ts,
        |               (len(ts) > 0 AND
        |                14 * len(list_filter(ts, t -> t IN ($stopList))) >= len(ts)) AS is_t
@@ -1629,7 +1629,15 @@ object TextOps {
        |llr AS (SELECT b,
        |               round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + $DsirDim AS DOUBLE)), 9) -
        |               round(ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + $DsirDim AS DOUBLE)), 9) AS llr
-       |        FROM cnt2 CROSS JOIN tot),
+       |        FROM cnt2 CROSS JOIN tot)""".stripMargin
+  }
+
+  /** Shared oracle CTE chain: the model CTEs plus the position-ordered
+    * per-doc fold → `wts(doc_id, n_tokens, llr)`.
+    */
+  private def dsirCtes(): String = {
+    val h = Parity.tokenH40Sql("t")
+    s"""${dsirModelCtes("")},
        |term AS (SELECT doc_id, pos, $h % $DsirDim AS b
        |         FROM (SELECT doc_id, ts[CAST(pos AS INT)] AS t, pos
        |               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos FROM tk))),
@@ -1640,6 +1648,32 @@ object TextOps {
        |wts AS (SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
        |               round(coalesce(p.sum_llr, 0.0), 6) AS llr
        |        FROM documents d LEFT JOIN per p USING (doc_id))""".stripMargin
+  }
+
+  /** Oracle for the STREAMING DSIR gate
+    * ([[graft.streaming.StreamOps.docDsirGateOverParquet]]): model
+    * trained on the static slice, arrivals scored by the same
+    * position-ordered fold, rolled up per source.
+    */
+  def dsirGateSql(firstNewId: Long): String = {
+    val toksSql = Parity.tokensSql("text")
+    val h = Parity.tokenH40Sql("t")
+    s"""WITH ${dsirModelCtes(s" WHERE doc_id < $firstNewId")},
+       |arr AS (SELECT doc_id, source, $toksSql AS ts
+       |        FROM documents WHERE doc_id >= $firstNewId),
+       |aterm AS (SELECT doc_id, pos, $h % $DsirDim AS b
+       |          FROM (SELECT doc_id, ts[CAST(pos AS INT)] AS t, pos
+       |                FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos FROM arr))),
+       |aper AS (SELECT t.doc_id,
+       |                list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.llr ORDER BY t.pos)),
+       |                            (a, x) -> a + x) AS sum_llr
+       |         FROM aterm t JOIN llr l USING (b) GROUP BY t.doc_id),
+       |sc AS (SELECT a.doc_id, a.source, round(coalesce(p.sum_llr, 0.0), 6) AS llr
+       |       FROM arr a LEFT JOIN aper p USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN llr > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |       min(doc_id) AS first_id
+       |FROM sc GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** [[dsirWeights]] mirrored (also the [[dsirApplyStored]] oracle). */

@@ -461,6 +461,56 @@ object StreamOps {
       "complete")
   }
 
+  /** STREAMING DSIR GATE: the stored DSIR bucket-llr model
+    * ([[graft.operators.TextOps.writeDsirModel]], trained on the STATIC
+    * corpus slice) scores arriving documents as ONE stateless in-order
+    * array fold over the literal-folded llr table — algebraically the
+    * batch serving score of `dsirApplyStored` — and the stream keeps a
+    * single per-source rollup (arrivals, importance-selected count,
+    * first id). Train-nightly / gate-arrivals: the importance-sampling
+    * selection applied at ingest, next to the quality / decontamination
+    * / near-dup gates.
+    */
+  def docDsirGateOverParquet(
+      spark: SparkSession,
+      sfDir: String,
+      firstNewId: Long): DataFrame = {
+    import graft.functions.Parity
+    import graft.operators.TextOps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val modelDir = TextOps.writeDsirModel(spark, docs.filter(col("doc_id") < firstNewId))
+    val m = spark.read.parquet(modelDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val llrArr = array((0 until TextOps.DsirDim).map(b => lit(m(b.toLong))): _*)
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-docs-dsir"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    runStream(
+      spark,
+      readDocStream(spark, staged.toString)
+        .filter(col("doc_id") >= firstNewId)
+        .select(
+          col("doc_id"),
+          col("source"),
+          round(
+            aggregate(
+              transform(Parity.tokens(col("text")), t =>
+                element_at(
+                  llrArr,
+                  (pmod(Parity.tokenH40(t), lit(TextOps.DsirDim.toLong)) + 1L).cast("int"))),
+              lit(0.0d),
+              (acc, v) => acc + v),
+            6).as("llr"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("llr") > 0.0d, 1L).otherwise(0L)).as("n_selected"),
+          min(col("doc_id")).as("first_id")),
+      graft.sources.Staging.freshTable("graft_stream_dsirgate"),
+      "complete")
+  }
+
   /** STREAMING DECONTAMINATION GATE: the benchmark-shingle store (built
     * from the STATIC corpus slice — distinct word-3-gram shingles of
     * benchmark docs, minus boilerplate grams whose static DF among

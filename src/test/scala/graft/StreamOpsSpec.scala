@@ -239,6 +239,28 @@ class StreamOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("streaming DSIR gate equals the batch stored-model selection rollup at sf0.001") {
+    import graft.operators.TextOps
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // batch formulation: train on the static slice, serve the arrivals
+    // from the stored artifact, count llr>0 selections
+    val modelDir = TextOps.writeDsirModel(spark, docs.filter(col("doc_id") < 400L))
+    val batch = TextOps
+      .dsirApplyStored(spark, docs.filter(col("doc_id") >= 400L), modelDir)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("llr") > 0.0d, 1L).otherwise(0L)).as("sel"))
+      .head()
+    val streamed = StreamOps
+      .docDsirGateOverParquet(spark, dir, firstNewId = 400L)
+      .agg(sum(col("n_docs")), sum(col("n_selected")))
+      .head()
+    assert(streamed.getLong(0) === batch.getLong(0))
+    assert(streamed.getLong(1) === batch.getLong(1))
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("streaming anomaly gate equals the batch fence-count at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val out = StreamOps.anomalyIngestOverParquet(spark, dir, firstNewId = 800L).collect()
