@@ -215,6 +215,24 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** k-anonymity audit over the customer quasi-identifiers
+    * (nation, market segment, account-balance band): group size k per
+    * QI combination and the k<5 re-identification-risk flag — the
+    * privacy check a curation pipeline runs BEFORE releasing
+    * structured data, next to [[graft.operators.TextOps.piiRedact]].
+    * One hash aggregate (map-side partial); group count is bounded by
+    * the QI domain product, never by |customers|.
+    */
+  private def piiKAnonymity(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .groupBy(
+        col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0d).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("at_risk", col("k") < 5)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+
   private def joinRevenue(s: SparkSession, dir: String): DataFrame = {
     val orders = table(s, dir, "orders")
     val customer = table(s, dir, "customer")
@@ -411,6 +429,7 @@ object SparkEntry {
     "multimodal_decode" -> (multimodalDecode _),
     "q1_agg" -> (q1Agg _),
     "join_revenue" -> (joinRevenue _),
+    "pii_k_anonymity" -> (piiKAnonymity _),
     "topk_orders" -> (topkOrders _),
     "window_rank" -> (windowRank _),
     "rollup_agg" -> (rollupAgg _),
@@ -2561,6 +2580,11 @@ object SparkEntry {
            |             (CAST(total_tokens AS DOUBLE) /
            |              CAST(greatest(n_tokens, 1) AS DOUBLE)), 6) AS epochs
            |FROM per CROSS JOIN t ORDER BY lang""".stripMargin,
+      "pii_k_anonymity" ->
+        s"""SELECT c_nationkey, c_mktsegment,
+           |       CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bal_band,
+           |       CAST(count(*) AS BIGINT) AS k, (count(*) < 5) AS at_risk
+           |FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
       "pii_redact" -> {
         val email = "[a-z0-9.]+@[a-z0-9.]+"
         val phone = "555-[0-9]{4}"
