@@ -393,6 +393,10 @@ object SparkEntry {
     // next to the exact ball-size sum (Palmer et al. KDD'02)
     "graph_anf" -> ((s, d) =>
       GraphOps.anf(GraphSource.lineitemEdges(s, d), nSketches = 8, rounds = 2)),
+    // HyperBall harmonic centrality: per-node FM in-ball deltas weighted
+    // 1/h, exact first-reach sum as the verification column
+    "graph_harmonic" -> ((s, d) =>
+      GraphOps.harmonicCentrality(GraphSource.lineitemEdges(s, d), nSketches = 8, rounds = 2)),
     // landmark embeddings: K batched traversals recording first-arrival
     // rounds — hop distance from every landmark, one edge join per round
     "graph_landmark_dist" -> ((s, d) =>
@@ -1413,6 +1417,8 @@ object SparkEntry {
     // FM-bitmask neighborhood function, rounds unrolled on the same edges
     "graph_anf" ->
       GraphOps.anfSql(GraphSource.lineitemEdgesSql, nSketches = 8, rounds = 2),
+    "graph_harmonic" ->
+      GraphOps.harmonicCentralitySql(GraphSource.lineitemEdgesSql, nSketches = 8, rounds = 2),
     // first-arrival rounds of the batched landmark wave, unrolled
     "graph_landmark_dist" ->
       GraphOps.landmarkDistancesSql(GraphSource.lineitemEdgesSql, nLandmarks = 8, rounds = 4),

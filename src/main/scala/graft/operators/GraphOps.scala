@@ -1486,6 +1486,194 @@ object GraphOps {
        |ORDER BY h""".stripMargin
   }
 
+  /** Harmonic centrality, estimated per node from the [[anf]] FM
+    * sketches (the HyperBall read — Boldi & Vigna 2013, "In-Core
+    * Computation of Geometric Centralities with HyperBall"):
+    * `H(u) = Σ_{v≠u} 1/d(v→u) = Σ_h (|B(u,h)| − |B(u,h−1)|) / h`,
+    * where B(u,h) is the h-hop IN-ball (nodes that reach u — the
+    * natural direction of the mask propagation, and the "how findable
+    * is this node" reading of centrality). Per round, each node's ball
+    * estimate is the same fixed-point [[anfLut]] readout as [[anf]];
+    * the per-node harmonic sum accumulates the ball DELTA weighted
+    * 1/h in exact micro-unit integer arithmetic (`(est_h − est_{h−1})
+    * · 1000 div h` over milli-unit ball estimates), so every value is
+    * bit-identical cross-engine. The EXACT harmonic sum rides along
+    * from the frontier-advanced reach table (first-reach counts per u
+    * and h) as the verification column, [[anf]]-style — it bounds the
+    * harness `rounds`; at scale you run only the sketch side, to
+    * h = diameter, with K longs per node.
+    *
+    * Output: the [[topK]] most central nodes —
+    * `(id, harm_est_micro, harm_exact_micro)`, ties by id.
+    */
+  def harmonicCentrality(
+      edges: DataFrame,
+      nSketches: Int = 8,
+      rounds: Int = 2,
+      topK: Int = 100): DataFrame = {
+    require(nSketches >= 1 && nSketches <= 16, s"nSketches in [1,16], got $nSketches")
+    val session = edges.sparkSession
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      val e = edges
+        .select(col("src"), col("dst"))
+        .distinct()
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      def ckpt(df: DataFrame): DataFrame =
+        org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+      val nodes = e
+        .select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+        .distinct()
+      import graft.functions.Parity
+      val ss = 0 until nSketches
+      val hashCols = ss.map { s =>
+        ((lit(Parity.permA(AnfPermOff + s)) * (col("id") % lit(Parity.BigP)) +
+          lit(Parity.permB(AnfPermOff + s))) % lit(Parity.BigP)).as(s"h$s")
+      }
+      val rhoCols = ss.map { s =>
+        when(col(s"h$s") === 0L, lit(31L))
+          .otherwise(length(bin(col(s"h$s"))) - length(rtrim(bin(col(s"h$s")), "0")))
+          .cast("long")
+          .as(s"rho$s")
+      }
+      val maskInit = ss.map(s =>
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(rho$s AS INT))").as(s"m$s"))
+      val seed = nodes
+        .select(col("id") +: hashCols: _*)
+        .select(col("id") +: rhoCols: _*)
+        .select(col("id") +: maskInit: _*)
+      // milli-unit FM ball estimate of the node's current mask set
+      val rSum = ss
+        .map(s => expr(s"CAST(length(bin(m$s ^ (m$s + 1))) - 1 AS BIGINT)"))
+        .reduce(_ + _)
+      val lutArr = array(anfLut(nSketches).map(lit(_)): _*)
+      val estCol = element_at(lutArr, (rSum + 1L).cast("int"))
+      var harm: DataFrame = null
+      // exact first-reach state, [[anf]]'s frontier/anti-join form
+      var reach = ckpt(nodes.select(col("id").as("u"), col("id").as("v")))
+      var frontier = reach
+      var harmEx = ckpt(nodes.select(col("id"), lit(0L).as("ex_u")))
+      maskLoop(e, seed, nSketches, rounds, earlyExit = false, freeSuperseded = true)(
+        st => harm = ckpt(st.select(col("id"), estCol.as("prev"), lit(0L).as("est_u"))),
+        (h, state, _, _) => {
+          // sketch side: ball delta, 1/h-weighted, exact integer micro
+          harm = ckpt(
+            harm
+              .join(state.select(col("id"), estCol.as("cur")), Seq("id"))
+              .select(
+                col("id"),
+                col("cur").as("prev"),
+                (col("est_u") + expr(s"(cur - prev) * 1000 div $h")).as("est_u")))
+          // exact side: nodes first reaching u this round contribute 1/h
+          val newPairs = ckpt(
+            frontier
+              .join(e, frontier("v") === e("src"))
+              .select(frontier("u"), e("dst").as("v"))
+              .distinct()
+              .join(reach, Seq("u", "v"), "left_anti"))
+          val cnts = newPairs.groupBy(col("v").as("id")).agg(count(lit(1)).as("c"))
+          harmEx = ckpt(
+            harmEx
+              .join(cnts, Seq("id"), "left_outer")
+              .select(
+                col("id"),
+                (col("ex_u") + expr(s"coalesce(c, 0) * 1000000 div $h")).as("ex_u")))
+          reach = reach.unionByName(newPairs)
+          frontier = newPairs
+        })
+      e.unpersist()
+      harm
+        .join(harmEx, Seq("id"))
+        .select(col("id"), col("est_u").as("harm_est_micro"), col("ex_u").as("harm_exact_micro"))
+        .orderBy(col("harm_est_micro").desc, col("id"))
+        .limit(topK)
+    }
+  }
+
+  /** [[harmonicCentrality]] mirrored: the [[anfSql]] mask/reach round
+    * CTEs with per-node readouts — per-h ball-estimate tables joined on
+    * id for the sketch sum, per-h first-reach counts (EXCEPT of
+    * consecutive reach sets) for the exact sum, the same integer
+    * micro-unit weighting.
+    */
+  def harmonicCentralitySql(
+      edgesSql: String,
+      nSketches: Int = 8,
+      rounds: Int = 2,
+      topK: Int = 100): String = {
+    import graft.functions.Parity
+    val ss = 0 until nSketches
+    val hashes = ss
+      .map(s =>
+        s"(${Parity.permA(AnfPermOff + s)} * (id % ${Parity.BigP}) + " +
+          s"${Parity.permB(AnfPermOff + s)}) % ${Parity.BigP} AS h$s")
+      .mkString(", ")
+    val seedMasks = ss
+      .map(s =>
+        s"CAST(1 AS BIGINT) << (CASE WHEN h$s = 0 THEN 31 " +
+          s"ELSE length(bin(h$s)) - length(rtrim(bin(h$s), '0')) END) AS m$s")
+      .mkString(", ")
+    val mCols = ss.map(s => s"m$s").mkString(", ")
+    val orAgg = ss.map(s => s"bit_or(m$s) AS m$s").mkString(", ")
+    val maskRounds = (1 to rounds)
+      .map { k =>
+        s"""b$k AS (
+           |  SELECT id, $orAgg FROM (
+           |    SELECT id, $mCols FROM b${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS id, $mCols FROM b${k - 1} m JOIN e ON m.id = e.src)
+           |  GROUP BY id)""".stripMargin
+      }
+      .mkString(",\n")
+    val reachRounds = (1 to rounds)
+      .map { k =>
+        s"""r$k AS (
+           |  SELECT u, v FROM r${k - 1}
+           |  UNION
+           |  SELECT r.u, e.dst AS v FROM r${k - 1} r JOIN e ON e.src = r.v)""".stripMargin
+      }
+      .mkString(",\n")
+    val rSumSql = ss
+      .map(s => s"(length(bin(xor(m$s, m$s + 1))) - 1)")
+      .mkString(" + ")
+    val lutSql = anfLut(nSketches).mkString("[", ", ", "]")
+    val estTables = (0 to rounds)
+      .map(k =>
+        s"eh$k AS (SELECT id, CAST($lutSql[($rSumSql) + 1] AS BIGINT) AS est FROM b$k)")
+      .mkString(",\n")
+    val firstReach = (1 to rounds)
+      .map { k =>
+        s"""c$k AS (SELECT v AS id, CAST(count(*) AS BIGINT) AS c
+           |        FROM (SELECT u, v FROM r$k EXCEPT SELECT u, v FROM r${k - 1})
+           |        GROUP BY v)""".stripMargin
+      }
+      .mkString(",\n")
+    val estSum = (1 to rounds)
+      .map(k => s"(eh$k.est - eh${k - 1}.est) * 1000 // $k")
+      .mkString(" + ")
+    val estJoins = (0 to rounds).map(k => s"JOIN eh$k USING (id)").mkString(" ")
+    val exSum = (1 to rounds)
+      .map(k => s"coalesce(c$k.c, 0) * 1000000 // $k")
+      .mkString(" + ")
+    val exJoins = (1 to rounds).map(k => s"LEFT JOIN c$k USING (id)").mkString(" ")
+    s"""WITH raw AS ($edgesSql),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT id, $hashes FROM nodes),
+       |b0 AS (SELECT id, $seedMasks FROM h0),
+       |$maskRounds,
+       |r0 AS (SELECT id AS u, id AS v FROM nodes),
+       |$reachRounds,
+       |$estTables,
+       |$firstReach
+       |SELECT id, $estSum AS harm_est_micro, $exSum AS harm_exact_micro
+       |FROM nodes $estJoins $exJoins
+       |ORDER BY harm_est_micro DESC, id LIMIT $topK""".stripMargin
+  }
+
   /** Effective diameter — [[anf]]'s PRODUCTION read (Palmer et al., KDD
     * 2002 §4): run ONLY the sketch side to saturation and report the
     * smallest h with `N(h) ≥ 0.9 · N(∞)` — the hop count within which

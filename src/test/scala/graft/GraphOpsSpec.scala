@@ -260,6 +260,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Map(7L -> 64L, 8L -> 64L, 9L -> 64L))
   }
 
+  test("harmonicCentrality: the star hub ranks first; exact sum matches 1/h by hand") {
+    // leaves 1..6 all point at hub 10; a 2-hop tail 7→1→10
+    val edges = (1L to 6L).map(i => (i, 10L, 1.0)) :+ ((7L, 1L, 1.0))
+    val out = GraphOps.harmonicCentrality(edgesDf(edges), nSketches = 8, rounds = 2, topK = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // hub: 6 in-neighbors at h=1, node 7 at h=2 → 6/1 + 1/2 = 6.5
+    assert(out.head._1 === 10L, s"hub must rank first, got ${out.toSeq}")
+    val exact = out.map(r => r._1 -> r._3).toMap
+    assert(exact(10L) === 6500000L)
+    assert(exact(1L) === 1000000L) // 7→1 only
+    assert(exact(7L) === 0L) // nothing reaches 7
+    // estimates are nonneg and the hub's dominates every leaf's
+    assert(out.forall(_._2 >= 0L))
+  }
+
   test("triangleCount counts each triangle once, ignores dups and self-loops") {
     // K4 on {1,2,3,4} = 4 triangles; plus a self-loop and a parallel edge
     val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b, 1.0)
