@@ -756,6 +756,20 @@ object SparkEntry {
     // SEQUENTIAL loop in SQL and must hash-match; see Tokenization),
     // and the trained tokenizer APPLIED back to the corpus
     // (train→encode — the highest-traffic path of a real pipeline)
+    // SentencePiece-style unigram tokenizer: histogram-trained piece
+    // scores, exact Viterbi segmentation (fewest-pieces tie-break)
+    "tok_unigram" -> ((s, d) =>
+      operators.Tokenization.unigramSegments(docs(s, d)).orderBy(col("w"))),
+    // per-lang fertility under the trained segmentation, char fallback
+    "tok_unigram_fertility" -> ((s, d) =>
+      operators.Tokenization
+        .unigramFertility(docs(s, d), operators.Tokenization.unigramSegments(docs(s, d)))
+        .orderBy(col("lang"))),
+    // stored-artifact serving: broadcast word→pieces map, no training
+    "tok_unigram_stored" -> ((s, d) => {
+      val model = operators.Tokenization.writeUnigramModel(s, docs(s, d))
+      operators.Tokenization.unigramFertilityStored(s, docs(s, d), model).orderBy(col("lang"))
+    }),
     "bpe_pair_counts" -> ((s, d) =>
       operators.Tokenization
         .pairCounts(operators.Tokenization.initialStates(docs(s, d)))
@@ -817,6 +831,8 @@ object SparkEntry {
     "doc_budget_select" -> ((s, d) => TextOps.budgetSelect(docs(s, d)).orderBy(col("doc_id"))),
     // conditional fluency score: add-1-smoothed bigram LM, self-trained
     "text_bigram_lm" -> ((s, d) => TextOps.bigramScore(docs(s, d)).orderBy(col("doc_id"))),
+    // RHO-style learnability: bigram-vs-unigram loss gap per doc
+    "doc_excess_loss" -> ((s, d) => TextOps.excessLoss(docs(s, d)).orderBy(col("doc_id"))),
     // per-source distribution drift vs the corpus (KL over observed terms)
     "source_kl_drift" -> ((s, d) => TextOps.sourceKlDrift(docs(s, d)).orderBy(col("source"))),
     // deterministic size-weighted corpus subsample (A-Res exponential
@@ -2186,6 +2202,7 @@ object SparkEntry {
       // stored-model query shares the oracle
       "lm_apply_stored" -> (TextOps.unigramScoreSql() + "\nORDER BY doc_id"),
       "text_bigram_lm" -> (TextOps.bigramScoreSql() + "\nORDER BY doc_id"),
+      "doc_excess_loss" -> (TextOps.excessLossSql() + "\nORDER BY doc_id"),
       "source_kl_drift" -> (TextOps.sourceKlDriftSql() + "\nORDER BY source"),
       "doc_weighted_sample" ->
         s"SELECT * FROM (${TextOps.weightedSampleSql(k = 100)}) ORDER BY doc_id",
@@ -2620,6 +2637,10 @@ object SparkEntry {
            |       CAST(sum(CAST(len($toks) AS BIGINT)) AS BIGINT) AS sum_tokens,
            |       round(CAST(sum(CAST(len($toks) AS BIGINT)) AS DOUBLE) / count(*), 6) AS mean_tokens
            |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      "tok_unigram" -> operators.Tokenization.unigramSegmentsSql(),
+      "tok_unigram_fertility" -> operators.Tokenization.unigramFertilitySql(),
+      // stored-artifact serving on the training corpus is result-identical
+      "tok_unigram_stored" -> operators.Tokenization.unigramFertilitySql(),
       "bpe_pair_counts" -> operators.Tokenization.pairCountsOracleSql,
       "bpe_merges" -> operators.Tokenization.bpeMergesSql(8, minFreq = 2L),
       "bpe_encode" -> operators.Tokenization.bpeEncodeSql(8, minFreq = 2L),

@@ -1346,6 +1346,44 @@ object TextOps {
        |FROM cum""".stripMargin
   }
 
+  // ---- excess-loss (learnability) selection --------------------------------
+
+  /** Excess-loss data selection (the RHO-loss shape — Mindermann et al.
+    * 2022, "Prioritized Training on Points that are Learnable, Worth
+    * Learning, and Not Yet Learnt": score each example by the loss gap
+    * between a weak reference model and a stronger one). Here the weak
+    * model is the self-trained unigram LM and the strong one the bigram
+    * LM, so `excess = mean_lnp2 − mean_lnp` — how much CONTEXT improves
+    * the fit. High excess = structured, learnable prose; near-zero =
+    * order-free token soup (a shuffled bag scores the same under both);
+    * the ranking a selection pipeline spends its budget down.
+    *
+    * Both operands are the engines' bit-identical 6 dp means, so the
+    * difference needs no extra grid; docs too short for a bigram (< 2
+    * tokens) carry NULL excess on both engines. Cost is the two
+    * scorers' corpus crossings plus one doc_id join — each component
+    * already scale-shaped ([[unigramScore]], [[bigramScore]]).
+    */
+  def excessLoss(docs: DataFrame): DataFrame = {
+    val u = unigramScore(docs)
+    val b = bigramScore(docs)
+    u.join(b, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("mean_lnp"),
+        col("mean_lnp2"),
+        round(col("mean_lnp2") - col("mean_lnp"), 6).as("excess"))
+  }
+
+  /** [[excessLoss]] mirrored: the two scorer CTE chains joined. */
+  def excessLossSql(): String =
+    s"""WITH u AS (${unigramScoreSql().replace("\n", "\n  ")}),
+       |b AS (${bigramScoreSql().replace("\n", "\n  ")})
+       |SELECT doc_id, u.n_tokens, u.mean_lnp, b.mean_lnp2,
+       |       round(b.mean_lnp2 - u.mean_lnp, 6) AS excess
+       |FROM u JOIN b USING (doc_id)""".stripMargin
+
   // ---- Gopher quality-rule battery -----------------------------------------
 
   /** The Gopher pre-training quality filters (Rae et al. 2021,

@@ -517,4 +517,213 @@ object Tokenization {
        |FROM idtab
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ---- unigram (SentencePiece-style) tokenizer -----------------------------
+
+  /** Trainer vocabulary cap: the unigram model trains on the TOP
+    * words of the histogram by (freq, word) — the bounded-collect
+    * discipline (SentencePiece itself caps its seed corpus); words
+    * outside the cap are served by character fallback.
+    */
+  val UniMaxWords = 200
+
+  /** Maximum candidate piece length (substring span). */
+  val UniMaxPieceLen = 4
+
+  /** Words longer than this are excluded from the trainer (fallback
+    * serves them); also the Viterbi DP unroll depth.
+    */
+  val UniMaxWordLen = 16
+
+  /** Sentinel for an impossible piece lookup inside the DP `greatest`
+    * — far below any real 16-piece path score, far above overflow.
+    */
+  private val UniMissing = -1000000000000L
+
+  /** Unigram-LM tokenizer (Kudo 2018, "Subword Regularization", the
+    * SentencePiece unigram model), seed-vocabulary form: candidate
+    * pieces are all substrings (length ≤ [[UniMaxPieceLen]]) of the
+    * top-[[UniMaxWords]] histogram words, scored by occurrence-weighted
+    * relative frequency (micro-unit integer log-probs on the shared
+    * 9 dp ln grid), and each word is segmented by an exact VITERBI
+    * dynamic program maximizing total piece log-prob, fewest-pieces
+    * tie-break. The DP is pure column arithmetic — the per-position
+    * values `v_e` maximize the lexicographic pair (score, −pieces)
+    * packed into one integer (`score_micro · 32 − n_pieces`; a
+    * ≤ [[UniMaxWordLen]]-char word has ≤ 16 < 32 pieces, so the pack
+    * is injective and unpacks exactly).
+    *
+    * Scale shape: like BPE, the trainer NEVER touches the corpus —
+    * one word-histogram aggregate, then a TakeOrdered cap; everything
+    * after operates on ≤ [[UniMaxWords]] rows (substring explode,
+    * piece histogram, 16-step DP as withColumn chain — no loop, no
+    * shuffle beyond the two tiny aggregates).
+    *
+    * Output: `(w, freq, n_pieces, score_micro)` per trained word.
+    */
+  def unigramSegments(docs: DataFrame): DataFrame = {
+    val top = wordHistogram(docs)
+      .filter(length(col("w")) <= UniMaxWordLen)
+      .orderBy(col("freq").desc, col("w"))
+      .limit(UniMaxWords)
+    // (start, len) grid per word — every candidate piece occurrence
+    val grid = flatten(
+      transform(
+        sequence(lit(1), length(col("w"))),
+        i =>
+          transform(
+            sequence(lit(1), least(lit(UniMaxPieceLen), length(col("w")) - i + 1)),
+            l => struct(i.cast("long").as("i"), l.cast("long").as("l")))))
+    val subs = top
+      .select(col("w"), col("freq"), explode(grid).as("il"))
+      .select(
+        col("w"),
+        col("freq"),
+        col("il.i").as("i"),
+        col("il.l").as("l"),
+        expr("substr(w, CAST(i AS INT), CAST(l AS INT))").as("p"))
+    val cnt = subs.groupBy(col("p")).agg(sum(col("freq")).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("t"))
+    val sc = cnt
+      .crossJoin(broadcast(tot))
+      .select(
+        col("p"),
+        expr(
+          "CAST(round(round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 9) * 1000000.0) AS BIGINT)")
+          .as("s"))
+    // pivot scores to one row per word: s_e_l = score of the piece
+    // ENDING at position e with length l
+    val scored = subs
+      .join(sc, Seq("p"))
+      .select(col("w"), col("freq"), (col("i") + col("l") - 1).as("e"), col("l"), col("s"))
+    val aggCols = for {
+      e <- 1 to UniMaxWordLen
+      l <- 1 to math.min(UniMaxPieceLen, e)
+    } yield max(when(col("e") === e && col("l") === l, col("s"))).as(s"s_${e}_$l")
+    var dp = scored
+      .groupBy(col("w"), col("freq"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("n", length(col("w")).cast("long"))
+    (1 to UniMaxWordLen).foreach { e =>
+      val cands = (1 to math.min(UniMaxPieceLen, e)).map { l =>
+        val prev = if (e - l == 0) lit(0L) else col(s"v_${e - l}")
+        prev + coalesce(col(s"s_${e}_$l"), lit(UniMissing)) * 32L - 1L
+      }
+      dp = dp.withColumn(s"v_$e", if (cands.size == 1) cands.head else greatest(cands: _*))
+    }
+    val cArr = array((1 to UniMaxWordLen).map(e => col(s"v_$e")): _*)
+    dp.select(col("w"), col("freq"), element_at(cArr, col("n").cast("int")).as("c"))
+      .select(
+        col("w"),
+        col("freq"),
+        expr("(-c) % 32").as("n_pieces"),
+        expr("(c + ((-c) % 32)) div 32").as("score_micro"))
+  }
+
+  /** Serve the tokenizer over the corpus: per-language fertility
+    * (pieces per word) under the trained segmentation, with CHARACTER
+    * FALLBACK for out-of-vocabulary words (`n_pieces = len(word)` —
+    * the byte-fallback discipline that makes the tokenizer total).
+    * One corpus explode + a broadcast join against the
+    * ≤ [[UniMaxWords]]-row segment table + one hash aggregate.
+    */
+  def unigramFertility(docs: DataFrame, segments: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), explode(Parity.tokens(col("text"))).as("t"))
+      .join(
+        broadcast(segments.select(col("w"), col("n_pieces"))),
+        col("t") === col("w"),
+        "left_outer")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_pieces"), length(col("t")).cast("long"))).as("n_pieces"))
+      .select(
+        col("lang"),
+        col("n_words"),
+        col("n_pieces"),
+        expr("n_pieces * 1000 div n_words").as("fert_milli"))
+
+  /** Persist the trained segment table as a parquet artifact. */
+  def writeUnigramModel(spark: SparkSession, docs: DataFrame): String = {
+    val dir = graft.sources.Staging.freshDir("unigram-model")
+    unigramSegments(docs).coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** [[unigramFertility]] over the STORED artifact — train-once /
+    * apply-many; applied to the training corpus it reproduces the
+    * in-query fertility exactly, so the two share an oracle.
+    */
+  def unigramFertilityStored(
+      spark: SparkSession,
+      docs: DataFrame,
+      modelDir: String): DataFrame =
+    unigramFertility(docs, spark.read.parquet(modelDir))
+
+  /** CTE chain mirroring [[unigramSegments]] through `ures`. */
+  private def unigramCtes(): String = {
+    val toksSql = Parity.tokensSql("text")
+    val sCols = (for {
+      e <- 1 to UniMaxWordLen
+      l <- 1 to math.min(UniMaxPieceLen, e)
+    } yield s"max(CASE WHEN i + l - 1 = $e AND l = $l THEN s END) AS s_${e}_$l")
+      .mkString(",\n                 ")
+    val dpCtes = (1 to UniMaxWordLen)
+      .map { e =>
+        val cands = (1 to math.min(UniMaxPieceLen, e)).map { l =>
+          val prev = if (e - l == 0) "CAST(0 AS BIGINT)" else s"v_${e - l}"
+          s"($prev + coalesce(s_${e}_$l, $UniMissing) * 32 - 1)"
+        }
+        val v = if (cands.size == 1) cands.head else cands.mkString("greatest(", ", ", ")")
+        val from = if (e == 1) "uwide" else s"udp${e - 1}"
+        s"udp$e AS (SELECT *, $v AS v_$e FROM $from)"
+      }
+      .mkString(",\n")
+    val cCase = (1 to UniMaxWordLen).map(e => s"WHEN $e THEN v_$e").mkString(" ")
+    s"""uh AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+       |  WHERE NOT contains(w, chr(1)) AND NOT contains(w, chr(2)) AND NOT contains(w, chr(3))
+       |  GROUP BY w),
+       |utop AS (SELECT w, freq FROM uh WHERE length(w) <= $UniMaxWordLen
+       |         ORDER BY freq DESC, w LIMIT $UniMaxWords),
+       |usubs AS (SELECT w, freq, CAST(i AS BIGINT) AS i, CAST(l AS BIGINT) AS l,
+       |                 substr(w, CAST(i AS INT), CAST(l AS INT)) AS p
+       |          FROM utop, range(1, ${UniMaxWordLen + 1}) r1(i),
+       |               range(1, ${UniMaxPieceLen + 1}) r2(l)
+       |          WHERE i + l - 1 <= length(w)),
+       |ucnt AS (SELECT p, CAST(sum(freq) AS BIGINT) AS c FROM usubs GROUP BY p),
+       |utot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ucnt),
+       |usc AS (SELECT p,
+       |               CAST(round(round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 9)
+       |                          * 1000000.0) AS BIGINT) AS s
+       |        FROM ucnt CROSS JOIN utot),
+       |uwide AS (SELECT w, freq, CAST(length(w) AS BIGINT) AS n,
+       |                 $sCols
+       |          FROM usubs JOIN usc USING (p) GROUP BY w, freq),
+       |$dpCtes,
+       |useg AS (SELECT w, freq, CASE n $cCase END AS c FROM udp$UniMaxWordLen),
+       |ures AS (SELECT w, freq, (-c) % 32 AS n_pieces,
+       |                (c + ((-c) % 32)) // 32 AS score_micro
+       |         FROM useg)""".stripMargin
+  }
+
+  /** [[unigramSegments]] mirrored. */
+  def unigramSegmentsSql(): String =
+    s"""WITH ${unigramCtes()}
+       |SELECT w, freq, n_pieces, score_micro FROM ures ORDER BY w""".stripMargin
+
+  /** [[unigramFertility]] mirrored (also the stored-serving oracle). */
+  def unigramFertilitySql(): String = {
+    val toksSql = Parity.tokensSql("text")
+    s"""WITH ${unigramCtes()},
+       |utok AS (SELECT lang, unnest($toksSql) AS t FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(coalesce(r.n_pieces, length(t.t))) AS BIGINT) AS n_pieces,
+       |       CAST(sum(coalesce(r.n_pieces, length(t.t))) * 1000 // count(*) AS BIGINT)
+       |         AS fert_milli
+       |FROM utok t LEFT JOIN ures r ON r.w = t.t
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
 }

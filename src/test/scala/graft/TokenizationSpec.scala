@@ -12,6 +12,54 @@ import graft.operators.Tokenization
   */
 class TokenizationSpec extends SparkSpec {
 
+  test("unigramSegments: Viterbi DP matches a brute-force enumeration of every segmentation") {
+    import spark.implicits._
+    val words = Seq.fill(6)("abab") ++ Seq.fill(4)("aba") ++ Seq.fill(3)("bb") ++
+      Seq.fill(2)("cab") ++ Seq("dcba")
+    val docs = Seq((1L, words.mkString(" "), "en")).toDF("doc_id", "text", "lang")
+    // driver-side reference: identical seed-score arithmetic, then an
+    // exhaustive max over all 2^(n-1) segmentations
+    val freq = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val occ = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, f) <- freq; i <- 1 to w.length; l <- 1 to math.min(4, w.length - i + 1))
+      occ(w.substring(i - 1, i - 1 + l)) += f
+    val totalCnt = occ.values.sum
+    def sMicro(p: String): Long = {
+      val lnp = BigDecimal(math.log(occ(p).toDouble / totalCnt))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      BigDecimal(lnp * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    def best(w: String): (Long, Long) = { // (n_pieces, score_micro), packed-max order
+      def segs(s: String): Seq[Seq[String]] =
+        if (s.isEmpty) Seq(Seq.empty)
+        else (1 to math.min(4, s.length)).flatMap(l =>
+          segs(s.substring(l)).map(s.substring(0, l) +: _))
+      val packed = segs(w).map(ps => (ps.map(sMicro).sum * 32 - ps.size, ps.size.toLong))
+      val (c, np) = packed.maxBy(_._1)
+      (np, (c + np) / 32)
+    }
+    val got = Tokenization.unigramSegments(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === freq.keySet)
+    freq.keys.foreach { w =>
+      assert(got(w) === best(w), s"word $w: got ${got(w)}, brute force says ${best(w)}")
+    }
+  }
+
+  test("unigramFertility: OOV words fall back to one piece per character") {
+    import spark.implicits._
+    val train = Seq((1L, "abab abab cd cd cd", "en")).toDF("doc_id", "text", "lang")
+    val segs = Tokenization.unigramSegments(train)
+    val serve = Seq((2L, "abab zzzzz", "en")).toDF("doc_id", "text", "lang")
+    val out = Tokenization.unigramFertility(serve, segs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val seg = segs.collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    // trained word uses its Viterbi count; "zzzzz" is OOV → 5 char pieces
+    assert(r.getLong(1) === 2L)
+    assert(r.getLong(2) === seg("abab") + 5L)
+  }
+
   test("trainMerges batches disjoint top pairs: one driver round for many merges") {
     import spark.implicits._
     // top-4 pairs are pairwise symbol-disjoint with distinct counts:
