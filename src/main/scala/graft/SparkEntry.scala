@@ -430,6 +430,10 @@ object SparkEntry {
         .orderBy(col("id"))),
     "kcore_4" -> ((s, d) =>
       GraphOps.kCore(GraphSource.lineitemEdges(s, d), k = 4).orderBy(col("id"))),
+    // edge-level cohesion: peel edges below k−2 triangle support to a
+    // fixpoint; strictly stronger than the k-core filter
+    "ktruss_3" -> ((s, d) =>
+      GraphOps.kTruss(GraphSource.lineitemEdges(s, d), k = 3).orderBy(col("a"), col("b"))),
     "multimodal_decode" -> (multimodalDecode _),
     "q1_agg" -> (q1Agg _),
     "join_revenue" -> (joinRevenue _),
@@ -1340,6 +1344,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "kcore_4" -> kcoreUnrolledSql(k = 4, rounds = 6),
+    "ktruss_3" -> GraphOps.kTrussSql(GraphSource.lineitemEdgesSql, k = 3, rounds = 4),
     "reverse_graph" -> reverseGraphOracleSql,
     // the tab-format round-trip must reproduce the transposition exactly
     "reverse_graph_text" -> reverseGraphOracleSql,

@@ -1942,6 +1942,120 @@ object GraphOps {
     o.agg(count(lit(1)).as("n_und_edges")).crossJoin(tri)
   }
 
+  /** Per-edge triangle support over an undirected simple graph
+    * `(a < b)`: the [[triangleCount]] degree-ordered wedge enumeration
+    * (each triangle once, O(arboricity²) per node), each triangle
+    * credited to its three undirected edges, counts joined back — the
+    * building block of truss decomposition.
+    */
+  private def triangleSupport(simple: DataFrame): DataFrame = {
+    val o = Phys.materializedHashedBy(orientByDegree(simple), Seq("lo"))
+    val wedgeOrder =
+      col("e1.hdeg") < col("e2.hdeg") ||
+        (col("e1.hdeg") === col("e2.hdeg") && col("e1.hi") < col("e2.hi"))
+    val triEdges = o.alias("e1")
+      .join(o.alias("e2"), col("e1.lo") === col("e2.lo") && wedgeOrder)
+      .join(o.alias("e3"), col("e3.lo") === col("e1.hi") && col("e3.hi") === col("e2.hi"))
+      .select(
+        explode(
+          array(
+            struct(
+              least(col("e1.lo"), col("e1.hi")).as("a"),
+              greatest(col("e1.lo"), col("e1.hi")).as("b")),
+            struct(
+              least(col("e1.lo"), col("e2.hi")).as("a"),
+              greatest(col("e1.lo"), col("e2.hi")).as("b")),
+            struct(
+              least(col("e1.hi"), col("e2.hi")).as("a"),
+              greatest(col("e1.hi"), col("e2.hi")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("tsup"))
+    simple
+      .join(triEdges, Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"), coalesce(col("tsup"), lit(0L)).as("sup"))
+  }
+
+  /** k-truss decomposition (Cohen 2008, "Trusses: cohesive subgraphs
+    * for social network analysis"): iteratively peel edges whose
+    * triangle SUPPORT in the surviving subgraph is below k−2, to a
+    * fixpoint — the edge-level analogue of [[kCore]], a strictly
+    * stronger cohesion filter (every k-truss edge sits in a (k−1)-core).
+    * Each round recomputes support with the degree-ordered enumeration
+    * and drops light edges; convergence is `kept == current` read from
+    * the two counts the round already materializes.
+    *
+    * Scale shape: per round, one wedge join co-partitioned on the low
+    * corner + one per-edge count — no all-pairs anywhere; rounds to
+    * fixpoint are few (peeling cascades die fast — 2 on the harness
+    * graph), and the oracle's fixed unroll is a no-op past the
+    * fixpoint, which is why the converged loop hash-matches it.
+    *
+    * Output: the surviving edges with their in-truss support
+    * `(a, b, sup)`.
+    */
+  def kTruss(edges: DataFrame, k: Int = 3, maxRounds: Int = 30): DataFrame = {
+    val session = edges.sparkSession
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      var cur = ckpt(
+        edges
+          .filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+          .distinct())
+      var nCur = cur.count()
+      var out: DataFrame = null
+      var round = 0
+      while (out == null && round < maxRounds) {
+        round += 1
+        val sup = ckpt(triangleSupport(cur))
+        val kept = ckpt(sup.filter(col("sup") >= (k - 2).toLong))
+        val nKept = kept.count()
+        if (nKept == nCur) out = kept // converged: sup was computed on the final set
+        else {
+          cur = ckpt(kept.select(col("a"), col("b")))
+          nCur = nKept
+        }
+      }
+      require(out != null, s"k-truss did not converge within $maxRounds rounds")
+      out
+    }
+  }
+
+  /** [[kTruss]] mirrored: `rounds` unrolled peel CTEs (sorted-id
+    * triangle enumeration — support is orientation-independent), final
+    * support recomputed on the last surviving set. Any unroll count at
+    * or past the fixpoint produces the identical table.
+    */
+  def kTrussSql(edgesSql: String, k: Int = 3, rounds: Int = 4): String = {
+    def supCte(prev: String, name: String): String =
+      s"""${name}_tri AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM $prev e1 JOIN $prev e2 ON e2.a = e1.b
+         |  JOIN $prev e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |$name AS MATERIALIZED (
+         |  SELECT e.a, e.b, coalesce(s.sup, 0) AS sup
+         |  FROM $prev e LEFT JOIN (
+         |    SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+         |      SELECT x AS a, y AS b FROM ${name}_tri UNION ALL
+         |      SELECT x, z FROM ${name}_tri UNION ALL
+         |      SELECT y, z FROM ${name}_tri) GROUP BY a, b) s USING (a, b))""".stripMargin
+    val peels = (1 to rounds)
+      .map { r =>
+        s"""${supCte(s"s${r - 1}", s"p$r")},
+           |s$r AS MATERIALIZED (SELECT a, b FROM p$r WHERE sup >= ${k - 2})""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH raw AS ($edgesSql),
+       |s0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM raw WHERE src <> dst),
+       |$peels,
+       |${supCte(s"s$rounds", "fin")}
+       |SELECT a, b, sup FROM fin ORDER BY a, b""".stripMargin
+  }
+
   /** One peeling round of [[kCore]], in delta form: dead frontier nodes
     * send a decrement per incident edge; an ALIVE neighbor's degree drops
     * by its dead-neighbor count, and it dies in turn (p_val −1) when the

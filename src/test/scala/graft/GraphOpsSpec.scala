@@ -260,6 +260,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Map(7L -> 64L, 8L -> 64L, 9L -> 64L))
   }
 
+  test("kTruss: K4 survives a 4-truss peel, the attached triangle is cascaded away") {
+    // complete graph on 1..4 (every edge in 2 triangles) plus a pendant
+    // triangle {3,4,5} whose new edges sit in only 1 triangle each
+    val k4 = for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j, 1.0)
+    val pendant = Seq((3L, 5L, 1.0), (4L, 5L, 1.0))
+    val out = GraphOps.kTruss(edgesDf(k4 ++ pendant), k = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out.keySet === k4.map(e => (e._1, e._2)).toSet, s"got ${out.keySet}")
+    assert(out.values.forall(_ === 2L), "every K4 edge sits in exactly 2 surviving triangles")
+  }
+
   test("harmonicCentrality: the star hub ranks first; exact sum matches 1/h by hand") {
     // leaves 1..6 all point at hub 10; a 2-hop tail 7→1→10
     val edges = (1L to 6L).map(i => (i, 10L, 1.0)) :+ ((7L, 1L, 1.0))
