@@ -1009,6 +1009,9 @@ object SparkEntry {
     // deterministic KMV cardinality sketch next to its exact answer
     "sketch_kmv_shingles" -> ((s, d) =>
       operators.Sketches.kmvDistinctShingles(docs(s, d))),
+    // one-scan Poisson-bootstrap CI for mean tokens/doc (B=32 resamples)
+    "metric_bootstrap_ci" -> ((s, d) =>
+      operators.Sketches.bootstrapTokensCi(docs(s, d))),
     // grouped KMV: per-source distinct-token estimate next to exact
     "sketch_kmv_per_source" -> ((s, d) =>
       operators.Sketches.kmvPerSource(docs(s, d)).orderBy(col("source"))),
@@ -2499,6 +2502,7 @@ object SparkEntry {
       "train_fasttext_stored" -> operators.Training.fasttextApplyStoredSql(),
       "train_nb" -> operators.Training.naiveBayesSql(),
       "train_nb_stored" -> operators.Training.naiveBayesStoredSql(),
+      "metric_bootstrap_ci" -> operators.Sketches.bootstrapTokensCiSql(),
       "sketch_kmv_shingles" -> {
         val k = operators.Sketches.KmvK
         s"""WITH g AS (SELECT DISTINCT unnest($shingleSql) AS g FROM $fromToks),

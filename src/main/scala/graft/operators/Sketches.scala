@@ -465,4 +465,99 @@ object Sketches {
        |            ELSE (${k - 1} * $space) // kth_hash END AS kmv_estimate
        |FROM mins JOIN ex USING (source)""".stripMargin
   }
+
+  // ---- Poisson-bootstrap confidence intervals ------------------------------
+
+  /** Bootstrap resample count. */
+  val BootB = 32
+
+  /** Cumulative Poisson(1) probabilities P(X ≤ k), k = 0..7 — the
+    * inverse-CDF thresholds of the Poisson bootstrap (weight = number
+    * of thresholds at or below the draw; mass beyond 8 is < 1e-9).
+    * Computed once; the IDENTICAL doubles are embedded as literals in
+    * both engines (shortest-round-trip formatting), so the weights are
+    * bit-deterministic.
+    */
+  private[operators] val PoissonCum: Seq[Double] = {
+    var fact = 1.0
+    var sum = 0.0
+    (0 to 7).map { k =>
+      if (k > 0) fact *= k
+      sum += 1.0 / fact
+      sum * math.exp(-1.0)
+    }
+  }
+
+  /** Poisson-bootstrap CI for the corpus mean tokens-per-document
+    * (Chamandy et al. 2012, "Estimating uncertainty for massive data
+    * streams" — the bootstrap that needs NO resampled copies of the
+    * data): every document draws [[BootB]] independent Poisson(1)
+    * weights from salted hash-grid uniforms, giving B simultaneous
+    * resample means from ONE corpus scan — 2B+2 integer sums, all
+    * map-side partial, one output row. The CI is the 2nd-smallest /
+    * 2nd-largest resample mean (≈ 94% coverage at B = 32), read by
+    * sorting the 32-element mean array inside the projection.
+    *
+    * This is how a curation pipeline reports corpus metrics with
+    * uncertainty at 100 TB: no shuffle of the data, no second pass, no
+    * driver-side resampling.
+    */
+  def bootstrapTokensCi(docs: DataFrame, b: Int = BootB): DataFrame = {
+    require(b >= 4 && b <= 64, s"resamples in [4, 64], got $b")
+    val nt = size(Parity.tokens(col("text"))).cast("long").as("nt")
+    val weightCols = (0 until b).map { i =>
+      val seed = 100L + i
+      val u = (pmod(
+        (pmod(col("doc_id"), lit(2147483648L)) + lit(seed)) * lit(2654435761L),
+        lit(1000000007L)) + 1L).cast("double") / lit(1000000008.0d)
+      PoissonCum.map(c => when(u >= lit(c), 1L).otherwise(0L)).reduce(_ + _).as(s"w$i")
+    }
+    val base = docs.select(nt +: weightCols: _*)
+    val aggs = count(lit(1)).as("n_docs") +: sum(col("nt")).as("tot") +:
+      (0 until b).flatMap(i =>
+        Seq(sum(col(s"w$i") * col("nt")).as(s"s$i"), sum(col(s"w$i")).as(s"c$i")))
+    val means = array((0 until b).map(i =>
+      round(col(s"s$i").cast("double") / greatest(col(s"c$i"), lit(1L)).cast("double"), 6)): _*)
+    base
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("n_docs"),
+        round(col("tot").cast("double") / col("n_docs").cast("double"), 6).as("mean_tokens"),
+        element_at(array_sort(means), 2).as("ci_lo"),
+        element_at(array_sort(means), b - 1).as("ci_hi"))
+  }
+
+  /** [[bootstrapTokensCi]] mirrored — same thresholds, same hash grid,
+    * same sorted-array CI read.
+    */
+  def bootstrapTokensCiSql(b: Int = BootB): String = {
+    val toksSql = Parity.tokensSql("text")
+    val ws = (0 until b)
+      .map { i =>
+        val seed = 100L + i
+        val u = s"((((doc_id % 2147483648 + 2147483648) % 2147483648 + $seed) " +
+          s"* 2654435761) % 1000000007 + 1) / 1000000008.0"
+        PoissonCum
+          .map(c => s"(CASE WHEN $u >= $c THEN 1 ELSE 0 END)")
+          .mkString("(", " + ", s") AS w$i")
+      }
+      .mkString(",\n         ")
+    val sums = (0 until b)
+      .map(i => s"CAST(sum(w$i * nt) AS BIGINT) AS s$i, CAST(sum(w$i) AS BIGINT) AS c$i")
+      .mkString(",\n         ")
+    val meanList = (0 until b)
+      .map(i => s"round(CAST(s$i AS DOUBLE) / CAST(greatest(c$i, 1) AS DOUBLE), 6)")
+      .mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
+       |w AS (SELECT nt,
+       |         $ws
+       |      FROM d),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS tot,
+       |         $sums
+       |      FROM w),
+       |m AS (SELECT n_docs, tot, list_sort($meanList) AS ms FROM a)
+       |SELECT n_docs, round(CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_tokens,
+       |       ms[2] AS ci_lo, ms[${b - 1}] AS ci_hi
+       |FROM m""".stripMargin
+  }
 }

@@ -100,6 +100,16 @@ class ExtensionOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("bootstrapTokensCi: the interval brackets the point estimate and is deterministic") {
+    val docs = model.table(spark, "/root/testdata/sf0.001", "documents")
+    val r1 = operators.Sketches.bootstrapTokensCi(docs).head()
+    val r2 = operators.Sketches.bootstrapTokensCi(docs).head()
+    assert(r1 === r2, "hash-grid bootstrap must be bit-deterministic")
+    val (mean, lo, hi) = (r1.getDouble(1), r1.getDouble(2), r1.getDouble(3))
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] must bracket mean $mean")
+    assert(hi - lo < mean, "a 500-doc corpus cannot have a degenerate-wide interval")
+  }
+
   test("containmentPairs: a quoted short doc hits cont 1.0 while its Jaccard stays low") {
     val short = "alpha beta gamma delta epsilon"
     val long = short + " " + (1 to 20).map(i => s"w$i").mkString(" ")
