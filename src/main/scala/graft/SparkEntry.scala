@@ -630,6 +630,10 @@ object SparkEntry {
     // ordered-sequence analytics: strict view→click→purchase progression
     "events_funnel" -> ((s, d) =>
       EventOps.funnel(events(s, d), Seq("view", "click", "purchase")).orderBy(col("step"))),
+    // first-order behavior model: per-user consecutive-event transition
+    // counts, row-normalized in exact micro-units
+    "events_markov" -> ((s, d) =>
+      EventOps.markovTransitions(events(s, d)).orderBy(col("prev_type"), col("next_type"))),
     // weekly cohort retention matrix off each user's first-event week
     "events_retention" -> ((s, d) =>
       EventOps.retentionCohorts(events(s, d))
@@ -2810,6 +2814,8 @@ object SparkEntry {
           |FROM events e JOIN ff ON e.event_type = ff.ft
           |GROUP BY e.event_type, ff.n, ff.lo_fence, ff.hi_fence
           |ORDER BY e.event_type""".stripMargin,
+      "events_markov" ->
+        (EventOps.markovTransitionsSql() + "\nORDER BY prev_type, next_type"),
       "events_funnel" ->
         """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
           |            WHERE event_type = 'view' GROUP BY user_id),

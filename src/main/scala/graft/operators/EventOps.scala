@@ -318,4 +318,50 @@ object EventOps {
         sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
+
+  /** First-order Markov transition matrix of user behavior: for every
+    * consecutive event pair within a user's timeline (ts order,
+    * event_id tiebreak), count `prev_type → event_type` and report the
+    * row-normalized probability in exact micro-units
+    * (`n · 10⁶ div row_total` — integer on both engines). The behavior
+    * model behind next-event prediction and funnel design; also the
+    * production smoke test for session integrity (an impossible
+    * transition shows up as nonzero mass).
+    *
+    * Scale shape: one window (lag) keyed on user_id, one hash
+    * aggregate on the (prev, next) pair — |types|² output rows no
+    * matter the event volume.
+    */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val cnt = pairs
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt
+      .groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("row_total"))
+    cnt
+      .join(tot, Seq("prev_type"))
+      .select(
+        col("prev_type"),
+        col("next_type"),
+        col("n"),
+        expr("n * 1000000 div row_total").as("p_micro"))
+  }
+
+  /** [[markovTransitions]] mirrored. */
+  def markovTransitionsSql(): String =
+    s"""WITH p AS (
+       |  SELECT user_id, event_type,
+       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+       |  FROM events),
+       |c AS (SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+       |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total FROM c GROUP BY 1)
+       |SELECT c.prev_type, c.next_type, c.n, c.n * 1000000 // t.row_total AS p_micro
+       |FROM c JOIN t USING (prev_type)""".stripMargin
 }
