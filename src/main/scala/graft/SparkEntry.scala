@@ -670,6 +670,10 @@ object SparkEntry {
         .orderBy(col("key"))),
     "text_tfidf" -> ((s, d) =>
       TextOps.tfidf(docs(s, d)).orderBy(col("doc_id"), col("term"))),
+    // keyword extraction: per-doc top-3 tf-idf terms via a bounded
+    // per-doc sort — no corpus-wide window
+    "text_top_terms" -> ((s, d) =>
+      TextOps.topTerms(docs(s, d)).orderBy(col("doc_id"), col("rank"))),
     // BM25 top-k retrieval — tf-idf's production successor; query terms
     // self-derived (top-df) for determinism, per-doc ordered score fold
     "text_bm25_topk" -> ((s, d) => TextOps.bm25TopK(docs(s, d), nTerms = 3, k = 20)),
@@ -970,6 +974,10 @@ object SparkEntry {
     "emb_covariance" -> ((s, d) =>
       operators.LinAlg.covariance(model.table(s, d, "embeddings"))
         .orderBy(col("i"), col("j"))),
+    // per-dim μ/σ standardization table: one scan, 129 integer sums,
+    // no explode
+    "emb_dim_stats" -> ((s, d) =>
+      operators.LinAlg.dimStats(model.table(s, d, "embeddings")).orderBy(col("dim"))),
     // top principal component by power iteration on the same one-pass
     // statistics; the 64×64 eigensolve is driver-side by design
     "emb_pca_power" -> ((s, d) =>
@@ -2497,6 +2505,8 @@ object SparkEntry {
           |LEFT JOIN s3 ON s3.user_id = s1.user_id
           |ORDER BY s1.user_id""".stripMargin,
       "emb_covariance" -> operators.LinAlg.covarianceSql(),
+      "emb_dim_stats" -> operators.LinAlg.dimStatsSql(),
+      "text_top_terms" -> (TextOps.topTermsSql() + "\nORDER BY doc_id, rank"),
       "emb_pca_power" -> operators.LinAlg.pcaPowerSql(),
       "emb_pca_project" -> operators.LinAlg.pcaProjectSql(),
       "train_linreg" -> operators.Training.linregNormalSql,

@@ -98,6 +98,67 @@ object LinAlg {
     "(CAST(n AS DOUBLE) * CAST(p AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE)) / " +
       "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1000000.0)"
 
+  /** Per-dimension standardization statistics — the μ/σ table a
+    * whitening / feature-scaling stage broadcasts before training:
+    * for each of the [[Dim]] components, the vector count, integer
+    * milli-unit mean (`Σx div n`, exact and engine-identical — both
+    * engines truncate integer division toward zero), and the
+    * population standard deviation
+    * `σ = √(n·Σx² − (Σx)²) / (n · 1000)` on the 9 dp grid.
+    *
+    * Scale shape: ONE corpus scan with 2·[[Dim]]+1 integer sums
+    * (map-side partial, no explode — the per-dim row multiplication a
+    * posexplode would cost at 100 TB is avoided); the 64-row output is
+    * unpivoted from the single aggregate row.
+    */
+  def dimStats(embs: DataFrame): DataFrame = {
+    val d = Dim
+    val base = embs.select(
+      graft.functions.MicroInts(col("embedding").cast("array<double>"), 1000L).as("m"))
+    val aggs = count(lit(1)).as("n") +:
+      ((0 until d).map(i => sum(element_at(col("m"), i + 1)).as(s"s$i")) ++
+        (0 until d).map(i =>
+          sum(element_at(col("m"), i + 1) * element_at(col("m"), i + 1)).as(s"q$i")))
+    val packed = array((0 until d).map(i =>
+      struct(lit((i + 1).toLong).as("dim"), col(s"s$i").as("s"), col(s"q$i").as("q"))): _*)
+    base
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n"), explode(packed).as("e"))
+      .select(
+        col("e.dim").as("dim"),
+        col("n").as("n_vecs"),
+        expr("e.s div n").as("mean_milli"),
+        round(
+          sqrt((col("e.q") * col("n") - col("e.s") * col("e.s")).cast("double")) /
+            col("n").cast("double") / lit(1000.0d),
+          9).as("std"))
+  }
+
+  /** [[dimStats]] mirrored: the same 129 sums off the same milli grid,
+    * unpivoted by a generated per-dimension UNION ALL.
+    */
+  def dimStatsSql(): String = {
+    val d = Dim
+    val milli =
+      "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000) AS BIGINT))"
+    val sums = ((0 until d).map(i => s"CAST(sum(m[${i + 1}]) AS BIGINT) AS s$i") ++
+      (0 until d).map(i => s"CAST(sum(m[${i + 1}] * m[${i + 1}]) AS BIGINT) AS q$i"))
+      .mkString(",\n         ")
+    val branches = (0 until d)
+      .map(i => s"SELECT CAST(${i + 1} AS BIGINT) AS dim, n, s$i AS s, q$i AS q FROM a")
+      .mkString("\n  UNION ALL ")
+    s"""WITH m AS (SELECT $milli AS m FROM embeddings),
+       |a AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         $sums
+       |  FROM m),
+       |u AS (
+       |  $branches)
+       |SELECT dim, n AS n_vecs, s // n AS mean_milli,
+       |       round(sqrt(CAST(q * n - s * s AS DOUBLE)) / CAST(n AS DOUBLE) / 1000.0, 9) AS std
+       |FROM u ORDER BY dim""".stripMargin
+  }
+
   /** Upper-triangular covariance of the embedding components:
     * `cov(i, j) = (n·Σc_i c_j − Σc_i · Σc_j) / (n² · 10⁶)` (milli² →
     * unit scale), one row per 1-based (i ≤ j) pair next to the raw

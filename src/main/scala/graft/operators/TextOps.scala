@@ -1346,6 +1346,47 @@ object TextOps {
        |FROM cum""".stripMargin
   }
 
+  // ---- keyword extraction --------------------------------------------------
+
+  /** Top-k tf-idf terms per document — the keyword-extraction read of
+    * [[tfidf]] (per-doc topical labels for routing, mixing, and search
+    * indexing). The per-doc top-k comes from sorting the doc's OWN
+    * (−tfidf, term) structs and slicing — state bounded by the
+    * document's vocabulary, never a corpus-wide window/sort; ties
+    * break toward the lexicographically smaller term.
+    */
+  def topTerms(docs: DataFrame, k: Int = 3): DataFrame =
+    tfidf(docs)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_sort(collect_list(struct((-col("tfidf")).as("nt"), col("term")))).as("sorted"))
+      .select(col("doc_id"), posexplode(slice(col("sorted"), 1, k)).as(Seq("p", "e")))
+      .select(
+        col("doc_id"),
+        (col("p") + 1).cast("long").as("rank"),
+        col("e.term").as("term"),
+        (-col("e.nt")).as("tfidf"))
+
+  /** [[topTerms]] mirrored — the oracle spells the same top-k as a
+    * per-doc window rank (correct at oracle scale; the engine's
+    * bounded per-doc sort is what survives 100 TB).
+    */
+  def topTermsSql(k: Int = 3): String = {
+    val toksSql = Parity.tokensSql("text")
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |sc AS (SELECT doc_id, term,
+       |              round(tf * ln(CAST(nn.n AS DOUBLE) / df), 6) AS tfidf
+       |       FROM tf JOIN dfx USING (term) CROSS JOIN nn),
+       |r AS (SELECT doc_id, term, tfidf,
+       |             CAST(row_number() OVER (PARTITION BY doc_id
+       |                                     ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+       |      FROM sc)
+       |SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= $k""".stripMargin
+  }
+
   // ---- excess-loss (learnability) selection --------------------------------
 
   /** Excess-loss data selection (the RHO-loss shape — Mindermann et al.

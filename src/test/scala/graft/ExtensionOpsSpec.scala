@@ -100,6 +100,37 @@ class ExtensionOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("topTerms: the doc-unique term wins rank 1; shared terms rank below") {
+    val d = docsDf(Seq(
+      (1L, "shared shared unique1", "en"),
+      (2L, "shared shared unique2", "en"),
+      (3L, "shared other other", "en")))
+    val out = TextOps.topTerms(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // "shared" has df=3 → idf=0 → tfidf 0; the unique term (df=1) wins
+    assert(out((1L, 1L)) === "unique1")
+    assert(out((2L, 1L)) === "unique2")
+    assert(out((3L, 1L)) === "other")
+  }
+
+  test("dimStats: per-dim mean/std match a driver-side recomputation on the milli grid") {
+    val embs = model.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val vecs = embs.select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    def milli(x: Double): Long =
+      BigDecimal(x * 1000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val n = vecs.length.toLong
+    val out = operators.LinAlg.dimStats(embs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    Seq(1, 17, 64).foreach { dim =>
+      val xs = vecs.map(v => milli(v(dim - 1)))
+      val (s, q) = (xs.sum, xs.map(x => x * x).sum)
+      val expStd = BigDecimal(math.sqrt((q * n - s * s).toDouble) / n / 1000.0)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(dim.toLong) === ((n, s / n, expStd)), s"dim $dim mismatch")
+    }
+  }
+
   test("bootstrapTokensCi: the interval brackets the point estimate and is deterministic") {
     val docs = model.table(spark, "/root/testdata/sf0.001", "documents")
     val r1 = operators.Sketches.bootstrapTokensCi(docs).head()
