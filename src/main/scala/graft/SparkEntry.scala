@@ -434,6 +434,13 @@ object SparkEntry {
     // fixpoint; strictly stronger than the k-core filter
     "ktruss_3" -> ((s, d) =>
       GraphOps.kTruss(GraphSource.lineitemEdges(s, d), k = 3).orderBy(col("a"), col("b"))),
+    // per-node neighborhood density in exact micro-units
+    "graph_clustering_coef" -> ((s, d) =>
+      GraphOps.clusteringCoefficient(GraphSource.lineitemEdges(s, d)).orderBy(col("id"))),
+    // Rocchio read of the label centroids: per-vector nearest-centroid
+    // assignment folded to the label confusion matrix
+    "emb_centroid_confusion" -> ((s, d) =>
+      Similarity.nearestCentroidConfusion(embs(s, d)).orderBy(col("label"), col("pred"))),
     "multimodal_decode" -> (multimodalDecode _),
     "q1_agg" -> (q1Agg _),
     "join_revenue" -> (joinRevenue _),
@@ -562,6 +569,9 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))),
     // text analysis
     "text_lang_id" -> ((s, d) => TextOps.langId(docs(s, d)).orderBy(col("doc_id"))),
+    // classifier eval: predicted vs stored language, ≤|langs|² rows
+    "text_langid_confusion" -> ((s, d) =>
+      TextOps.langIdConfusion(docs(s, d)).orderBy(col("actual"), col("pred_lang"))),
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
     "text_token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(docs(s, d)).orderBy(col("doc_id"))),
@@ -1360,6 +1370,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "kcore_4" -> kcoreUnrolledSql(k = 4, rounds = 6),
     "ktruss_3" -> GraphOps.kTrussSql(GraphSource.lineitemEdgesSql, k = 3, rounds = 4),
+    "graph_clustering_coef" ->
+      GraphOps.clusteringCoefficientSql(GraphSource.lineitemEdgesSql),
+    "emb_centroid_confusion" ->
+      (Similarity.nearestCentroidConfusionSql() + "\nORDER BY label, pred"),
     "reverse_graph" -> reverseGraphOracleSql,
     // the tab-format round-trip must reproduce the transposition exactly
     "reverse_graph_text" -> reverseGraphOracleSql,
@@ -2384,6 +2398,8 @@ object SparkEntry {
            |ORDER BY n_probe, q_id""".stripMargin
       },
       "text_lang_id" -> s"$langIdSql ORDER BY doc_id",
+      "text_langid_confusion" ->
+        (TextOps.langIdConfusionSql() + "\nORDER BY actual, pred_lang"),
       "text_quality" -> s"$qualitySql ORDER BY doc_id",
       "split_leakage" ->
         s"SELECT * FROM (${TextOps.splitLeakageSql()}) ORDER BY doc_id",

@@ -1976,6 +1976,68 @@ object GraphOps {
       .select(col("a"), col("b"), coalesce(col("tsup"), lit(0L)).as("sup"))
   }
 
+  /** Local clustering coefficient per node: `2·T(v) / (deg(v)·(deg(v)−1))`
+    * over the undirected simple graph, in exact micro-units — how close
+    * each node's neighborhood is to a clique, the standard local
+    * community-structure metric next to the global [[triangleCount]].
+    * Triangles come from the same degree-ordered enumeration (each
+    * triangle credits its three corners); degree is one hash aggregate.
+    * Only nodes with deg ≥ 2 have a defined coefficient and are
+    * emitted.
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val simple = Phys.materialized(
+      edges
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+        .distinct())
+    val o = Phys.materializedHashedBy(orientByDegree(simple), Seq("lo"))
+    val wedgeOrder =
+      col("e1.hdeg") < col("e2.hdeg") ||
+        (col("e1.hdeg") === col("e2.hdeg") && col("e1.hi") < col("e2.hi"))
+    val triPerNode = o.alias("e1")
+      .join(o.alias("e2"), col("e1.lo") === col("e2.lo") && wedgeOrder)
+      .join(o.alias("e3"), col("e3.lo") === col("e1.hi") && col("e3.hi") === col("e2.hi"))
+      .select(explode(array(col("e1.lo"), col("e1.hi"), col("e2.hi"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("tri"))
+    val deg = simple
+      .select(col("a").as("id"))
+      .unionAll(simple.select(col("b").as("id")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("deg"))
+    deg
+      .filter(col("deg") >= 2)
+      .join(triPerNode, Seq("id"), "left_outer")
+      .select(
+        col("id"),
+        col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        expr("coalesce(tri, 0) * 2000000 div (deg * (deg - 1))").as("coef_micro"))
+  }
+
+  /** [[clusteringCoefficient]] mirrored (sorted-id enumeration —
+    * per-node triangle counts are orientation-independent).
+    */
+  def clusteringCoefficientSql(edgesSql: String): String =
+    s"""WITH raw AS ($edgesSql),
+       |s AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM raw WHERE src <> dst),
+       |tri AS MATERIALIZED (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM s e1 JOIN s e2 ON e2.a = e1.b
+       |  JOIN s e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |tpn AS (SELECT id, CAST(count(*) AS BIGINT) AS tri FROM (
+       |          SELECT x AS id FROM tri UNION ALL
+       |          SELECT y FROM tri UNION ALL
+       |          SELECT z FROM tri) GROUP BY id),
+       |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+       |          SELECT a AS id FROM s UNION ALL SELECT b FROM s) GROUP BY id)
+       |SELECT d.id, d.deg, coalesce(t.tri, 0) AS tri,
+       |       coalesce(t.tri, 0) * 2000000 // (d.deg * (d.deg - 1)) AS coef_micro
+       |FROM deg d LEFT JOIN tpn t USING (id)
+       |WHERE d.deg >= 2 ORDER BY d.id""".stripMargin
+
   /** k-truss decomposition (Cohen 2008, "Trusses: cohesive subgraphs
     * for social network analysis"): iteratively peel edges whose
     * triangle SUPPORT in the surviving subgraph is below k−2, to a

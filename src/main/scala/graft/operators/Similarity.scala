@@ -1032,6 +1032,55 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Nearest-centroid classification eval: every vector is assigned to
+    * the label whose centroid it is most cosine-similar to (ties →
+    * smaller label), and the result is the CONFUSION MATRIX
+    * `(label, pred, n)` — the label-quality audit of an embedding
+    * corpus (off-diagonal mass = label noise or entangled classes; the
+    * Rocchio-classifier read of [[labelCentroids]]).
+    *
+    * Scale shape: centroids are one hash aggregate; scoring crosses
+    * the corpus with the broadcast |labels|-row table; the per-vector
+    * argmax is a `max(struct(cos, −label))` hash aggregate — no
+    * window, one exchange on vec_id; the matrix is ≤ |labels|² rows.
+    */
+  def nearestCentroidConfusion(embs: DataFrame): DataFrame = {
+    val cents = broadcast(
+      centroidVectors(embs).select(col("cid").as("clabel"), col("c")))
+    asDoubleWithLabel(embs)
+      .crossJoin(cents)
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("clabel"),
+        round(Parity.cosine(col("e"), col("c")), 6).as("ccos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("ccos"), (-col("clabel")).cast("long").as("nc"))).as("sel"))
+      .select(col("label"), (-col("sel.nc")).as("pred"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** [[nearestCentroidConfusion]] mirrored (oracle argmax as a window
+    * rank — fine at oracle scale).
+    */
+  def nearestCentroidConfusionSql(): String =
+    s"""WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cent AS (
+       |  SELECT label, t.i AS dim, round(avg(e[t.i]), 6) AS centroid
+       |  FROM d CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+       |cv AS (SELECT label AS clabel, list(centroid ORDER BY dim) AS c FROM cent GROUP BY label),
+       |scored AS (
+       |  SELECT d.vec_id, d.label, cv.clabel,
+       |         round(${Parity.cosineSql("d.e", "cv.c")}, 6) AS ccos
+       |  FROM d CROSS JOIN cv),
+       |rk AS (
+       |  SELECT vec_id, label, clabel,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, clabel) AS rn
+       |  FROM scored)
+       |SELECT label, CAST(clabel AS BIGINT) AS pred, CAST(count(*) AS BIGINT) AS n
+       |FROM rk WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+
   /** DuckDB oracle for [[labelOutliers]] (the emb_centroids fold feeds
     * the centroid arrays). */
   def labelOutliersSql(k: Int): String =

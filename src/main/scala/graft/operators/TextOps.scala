@@ -1346,6 +1346,35 @@ object TextOps {
        |FROM cum""".stripMargin
   }
 
+  /** Language-ID confusion matrix: [[langId]]'s prediction against the
+    * stored `lang` label, `(actual, pred_lang, n)` — the eval read of
+    * the classifier (off-diagonal mass = where the heuristic profile
+    * fails). One narrow map + one hash aggregate; ≤ |langs|² rows.
+    */
+  def langIdConfusion(docs: DataFrame): DataFrame =
+    langId(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang").as("actual"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  /** [[langIdConfusion]] mirrored. */
+  def langIdConfusionSql(): String = {
+    val toksSql = Parity.tokensSql("text")
+    val stopList = Stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+    s"""WITH f AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(list_filter($toksSql, t -> t IN $stopList)) AS BIGINT) AS n_stop,
+       |         CAST(len(list_filter($toksSql, t -> regexp_matches(t, '[aeiou]$$'))) AS DOUBLE) /
+       |           greatest(CAST(len($toksSql) AS DOUBLE), 1.0) AS vr
+       |  FROM documents),
+       |p AS (SELECT lang,
+       |             CASE WHEN n_stop >= 2 THEN 'en' WHEN vr > 0.5 THEN 'es'
+       |                  ELSE 'other' END AS pred_lang
+       |      FROM f)
+       |SELECT lang AS actual, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |FROM p GROUP BY 1, 2""".stripMargin
+  }
+
   // ---- keyword extraction --------------------------------------------------
 
   /** Top-k tf-idf terms per document — the keyword-extraction read of
