@@ -437,6 +437,9 @@ object SparkEntry {
     // per-node neighborhood density in exact micro-units
     "graph_clustering_coef" -> ((s, d) =>
       GraphOps.clusteringCoefficient(GraphSource.lineitemEdges(s, d)).orderBy(col("id"))),
+    // hubs & authorities in exact integer micro-units (L1-normalized)
+    "graph_hits" -> ((s, d) =>
+      GraphOps.hits(GraphSource.lineitemEdges(s, d), iters = 3).orderBy(col("id"))),
     // Rocchio read of the label centroids: per-vector nearest-centroid
     // assignment folded to the label confusion matrix
     "emb_centroid_confusion" -> ((s, d) =>
@@ -607,6 +610,33 @@ object SparkEntry {
       sources.TabularIO.jsonRoundTrip(s, cust)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    // gzip JSON-lines round-trip — the crawl-shard arrival format;
+    // gzip is unsplittable, so parallelism = file count (doc'd)
+    "gz_source_agg" -> ((s, d) => {
+      val docsSlim = docs(s, d).select(col("doc_id"), col("lang"), col("text"))
+      sources.TabularIO.gzipJsonRoundTrip(s, docsSlim)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .orderBy(col("lang"))
+    }),
+    // schema-evolution read: old files lack the new column, mergeSchema
+    // serves NULLs for them — the column-addition contract of a lake
+    "evolve_source_agg" -> ((s, d) => {
+      val cust = table(s, d, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_mktsegment"),
+        col("c_acctbal").cast("double").as("c_acctbal"))
+      sources.TabularIO
+        .schemaEvolutionRead(s, cust, "c_acctbal", "c_custkey", splitAt = 1000L)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          round(sum(coalesce(col("c_acctbal"), lit(0.0d))), 2).as("sum_bal_new"))
         .orderBy(col("c_mktsegment"))
     }),
     // ORC staging round-trip — the second big columnar container a lake
@@ -1372,6 +1402,7 @@ object SparkEntry {
     "ktruss_3" -> GraphOps.kTrussSql(GraphSource.lineitemEdgesSql, k = 3, rounds = 4),
     "graph_clustering_coef" ->
       GraphOps.clusteringCoefficientSql(GraphSource.lineitemEdgesSql),
+    "graph_hits" -> GraphOps.hitsSql(GraphSource.lineitemEdgesSql, iters = 3),
     "emb_centroid_confusion" ->
       (Similarity.nearestCentroidConfusionSql() + "\nORDER BY label, pred"),
     "reverse_graph" -> reverseGraphOracleSql,
@@ -2225,6 +2256,16 @@ object SparkEntry {
         """SELECT c_mktsegment, count(*) AS n,
           |       round(sum(CAST(c_acctbal AS DOUBLE)), 2) AS sum_bal
           |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+      "gz_source_agg" ->
+        s"""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(length(text)) AS BIGINT) AS n_chars
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      "evolve_source_agg" ->
+        s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(CASE WHEN c_custkey < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+           |       round(sum(CASE WHEN c_custkey >= 1000
+           |                      THEN CAST(c_acctbal AS DOUBLE) ELSE 0.0 END), 2) AS sum_bal_new
+           |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
       "orc_source_agg" ->
         """SELECT p_brand, count(*) AS n,
           |       round(sum(CAST(p_retailprice AS DOUBLE)), 2) AS sum_price

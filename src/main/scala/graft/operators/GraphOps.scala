@@ -1976,6 +1976,90 @@ object GraphOps {
       .select(col("a"), col("b"), coalesce(col("tsup"), lit(0L)).as("sup"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999), in exact micro-unit
+    * integer arithmetic: per round, authority = Σ of in-neighbors'
+    * hub scores and hub = Σ of out-neighbors' authorities, each
+    * L1-normalized to 10⁶ total mass by integer division (`x·10⁶ div
+    * Σx` — truncation is part of the cross-engine contract, like
+    * [[pagerankFixed]]). On a bipartite-leaning graph (orders → parts)
+    * the two sides are genuinely different readings: hubs = diverse
+    * orders, authorities = popular parts.
+    *
+    * Scale shape: each half-round is ONE edge join + a hash aggregate
+    * keyed on a node id, plus a 1-row total broadcast back — the same
+    * class as a PageRank round; per-round checkpoint keeps plan depth
+    * constant.
+    *
+    * Output: every node with `(id, hub_micro, auth_micro)` (0 where a
+    * side never receives mass).
+    */
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val session = edges.sparkSession
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      val e = ckpt(edges.select(col("src"), col("dst")).distinct())
+      val nodes = ckpt(
+        e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id"))).distinct())
+      def normalized(raw: DataFrame, vCol: String): DataFrame = {
+        val tot = raw.agg(sum(col("raw")).as("tot"))
+        ckpt(
+          nodes
+            .join(raw, Seq("id"), "left_outer")
+            .crossJoin(broadcast(tot))
+            .select(
+              col("id"),
+              expr(s"coalesce(raw, 0) * 1000000 div tot").as(vCol)))
+      }
+      var h = ckpt(nodes.select(col("id"), lit(1000000L).as("h")))
+      var a: DataFrame = null
+      (1 to iters).foreach { _ =>
+        a = normalized(
+          e.join(h, e("src") === h("id"))
+            .groupBy(e("dst").as("id"))
+            .agg(sum(col("h")).as("raw")),
+          "a")
+        h = normalized(
+          e.join(a, e("dst") === a("id"))
+            .groupBy(e("src").as("id"))
+            .agg(sum(col("a")).as("raw")),
+          "h")
+      }
+      h.join(a, Seq("id"))
+        .select(col("id"), col("h").as("hub_micro"), col("a").as("auth_micro"))
+    }
+  }
+
+  /** [[hits]] mirrored: the identical integer half-rounds unrolled. */
+  def hitsSql(edgesSql: String, iters: Int = 3): String = {
+    val rounds = (1 to iters)
+      .map { i =>
+        s"""a${i}r AS MATERIALIZED (
+           |  SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS raw
+           |  FROM e JOIN h${i - 1} h ON h.id = e.src GROUP BY e.dst),
+           |a$i AS MATERIALIZED (
+           |  SELECT n.id, CAST(coalesce(r.raw, 0) * 1000000 //
+           |         (SELECT CAST(sum(raw) AS BIGINT) FROM a${i}r) AS BIGINT) AS a
+           |  FROM nodes n LEFT JOIN a${i}r r USING (id)),
+           |h${i}r AS MATERIALIZED (
+           |  SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS raw
+           |  FROM e JOIN a$i a ON a.id = e.dst GROUP BY e.src),
+           |h$i AS MATERIALIZED (
+           |  SELECT n.id, CAST(coalesce(r.raw, 0) * 1000000 //
+           |         (SELECT CAST(sum(raw) AS BIGINT) FROM h${i}r) AS BIGINT) AS h
+           |  FROM nodes n LEFT JOIN h${i}r r USING (id))""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH raw AS ($edgesSql),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+       |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes),
+       |$rounds
+       |SELECT h.id, h.h AS hub_micro, a.a AS auth_micro
+       |FROM h$iters h JOIN a$iters a USING (id) ORDER BY id""".stripMargin
+  }
+
   /** Local clustering coefficient per node: `2·T(v) / (deg(v)·(deg(v)−1))`
     * over the undirected simple graph, in exact micro-units — how close
     * each node's neighborhood is to a clique, the standard local

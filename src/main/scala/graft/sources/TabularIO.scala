@@ -49,6 +49,44 @@ object TabularIO {
     spark.read.schema(df.schema).orc(dir)
   }
 
+  /** Write `df` as GZIP-COMPRESSED JSON lines and read it back —
+    * the shape a web-scale text corpus actually arrives in (WARC/WET
+    * derivatives ship as .gz line files). Spark's text/JSON readers
+    * decompress transparently by extension; the cost contract to know
+    * is that gzip is NOT splittable — one file = one task — so at
+    * 100 TB the corpus must arrive as MANY .gz files (it does: crawl
+    * shards), and per-file parallelism is the file count.
+    */
+  def gzipJsonRoundTrip(spark: SparkSession, df: DataFrame): DataFrame = {
+    val dir = Staging.freshDir("gzjson")
+    df.write.mode("overwrite").option("compression", "gzip").json(dir)
+    spark.read.schema(df.schema).json(dir)
+  }
+
+  /** Stage `df` as TWO parquet writes with EVOLVED schemas — the first
+    * without `evolvedCol`, the second with it — and read them back
+    * merged (`mergeSchema`): rows from the old files carry NULL for
+    * the new column. The lakehouse schema-evolution contract: readers
+    * must keep working across a column addition without rewriting old
+    * files. `mergeSchema` costs a footer read per file at planning
+    * time — fine for an explicit evolution read, not a default.
+    */
+  def schemaEvolutionRead(
+      spark: SparkSession,
+      df: DataFrame,
+      evolvedCol: String,
+      splitKey: String,
+      splitAt: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dir = Staging.freshDir("evolve")
+    df.filter(col(splitKey) < splitAt)
+      .drop(evolvedCol)
+      .write.mode("overwrite").parquet(s"$dir/v1")
+    df.filter(col(splitKey) >= splitAt)
+      .write.mode("overwrite").parquet(s"$dir/v2")
+    spark.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+  }
+
   /** Write `df` hive-partitioned on `partCol` into a fresh directory and
     * read it back. Downstream filters on the partition column prune at
     * the DIRECTORY level (PartitionFilters in the scan, asserted in

@@ -34,6 +34,31 @@ class SourcesSpec extends SparkSpec {
       Set((1L, 2L, 1.5), (2L, 3L, 2.0)))
   }
 
+  test("gzip json round-trip writes real .gz files and preserves content") {
+    import spark.implicits._
+    val df = Seq((1L, "en", "alpha beta"), (2L, "fr", "gamma")).toDF("doc_id", "lang", "text")
+    val back = sources.TabularIO.gzipJsonRoundTrip(spark, df)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ===
+      Set((1L, "en", "alpha beta"), (2L, "fr", "gamma")))
+    // the staged files must actually be gzip-compressed
+    val staged = back.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(staged.nonEmpty && staged.forall(_.endsWith(".gz")), s"not gzip: ${staged.toSeq}")
+    sources.Staging.cleanup(spark)
+  }
+
+  test("schema-evolution read serves NULL for the added column on legacy files") {
+    import spark.implicits._
+    val df = Seq((1L, "A", 10.0), (2L, "B", 20.0), (5L, "A", 50.0))
+      .toDF("k", "seg", "bal")
+    val merged = sources.TabularIO.schemaEvolutionRead(spark, df, "bal", "k", splitAt = 3L)
+    val got = merged.collect().map(r =>
+      (r.getLong(r.fieldIndex("k")),
+        if (r.isNullAt(r.fieldIndex("bal"))) None else Some(r.getDouble(r.fieldIndex("bal")))))
+      .toSet
+    assert(got === Set((1L, None), (2L, None), (5L, Some(50.0))))
+    sources.Staging.cleanup(spark)
+  }
+
   test("csv read pushes the filter and prunes columns") {
     val dir = Files.createTempDirectory("graft-csv2").toString + "/edges"
     edgesDf(Seq((1L, 2L, 1.5), (5L, 6L, 2.0))).write.mode("overwrite").csv(dir)
