@@ -772,6 +772,9 @@ object SparkEntry {
     "doc_sample" -> ((s, d) => TextOps.stratifiedSample(docs(s, d)).orderBy(col("doc_id"))),
     // domain-mixing repeat factors: the step between curation and training
     "doc_mixture" -> ((s, d) => TextOps.mixtureWeights(docs(s, d)).orderBy(col("lang"))),
+    // temperature-scaled (α=0.5) sampling shares — sqrt keeps it
+    // bit-exact cross-engine with no transcendental grid
+    "doc_mixture_alpha" -> ((s, d) => TextOps.mixtureAlpha(docs(s, d)).orderBy(col("lang"))),
     "pii_redact" -> ((s, d) => TextOps.piiRedact(docs(s, d)).orderBy(col("doc_id"))),
     // doc → overlapping training-window fan-out (pure narrow map)
     "doc_chunk" -> ((s, d) =>
@@ -2669,6 +2672,7 @@ object SparkEntry {
            |       (${Parity.fp40Sql("text")} % 1000) <
            |         (CASE WHEN lang = 'en' THEN 500 WHEN lang = 'es' THEN 250 ELSE 125 END) AS kept
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "doc_mixture_alpha" -> (TextOps.mixtureAlphaSql() + "\nORDER BY lang"),
       "doc_mixture" ->
         s"""WITH per AS (
            |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

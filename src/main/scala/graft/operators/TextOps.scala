@@ -1205,6 +1205,63 @@ object TextOps {
           6).as("epochs"))
   }
 
+  /** Temperature-scaled mixture weights (the multilingual sampling
+    * trick of Conneau & Lample 2019: upsample tails with
+    * `q_l ∝ p_l^α`), at α = 0.5 — deliberately, because `sqrt` is
+    * CORRECTLY-ROUNDED IEEE on every engine, so the scaled shares are
+    * bit-identical with no transcendental grid at all. The ≤|langs|
+    * normalizing sum folds in sorted-lang order (the ordered-fold
+    * discipline), and the raw share stays an exact integer ppm.
+    * Output: `(lang, n_docs, n_tokens, share_ppm, alpha_share)`.
+    */
+  def mixtureAlpha(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("lang"), size(toks(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val total = per.agg(sum(col("n_tokens")).as("total_tokens"))
+    val base = per
+      .crossJoin(broadcast(total))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_tokens"),
+        expr("n_tokens * 1000000 div total_tokens").as("share_ppm"),
+        sqrt(col("n_tokens").cast("double") / col("total_tokens").cast("double")).as("pa"))
+    val norm = base.agg(
+      aggregate(
+        transform(array_sort(collect_list(struct(col("lang"), col("pa")))), s => s("pa")),
+        lit(0.0d),
+        (acc, v) => acc + v).as("z"))
+    base
+      .crossJoin(broadcast(norm))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_tokens"),
+        col("share_ppm"),
+        round(col("pa") / col("z"), 6).as("alpha_share"))
+  }
+
+  /** [[mixtureAlpha]] mirrored. */
+  def mixtureAlphaSql(): String = {
+    val toksSql = Parity.tokensSql("text")
+    s"""WITH per AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per),
+       |base AS (
+       |  SELECT lang, n_docs, n_tokens,
+       |         n_tokens * 1000000 // total_tokens AS share_ppm,
+       |         sqrt(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS pa
+       |  FROM per CROSS JOIN tot),
+       |norm AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |                 list(pa ORDER BY lang)), (a, x) -> a + x) AS z FROM base)
+       |SELECT lang, n_docs, n_tokens, share_ppm, round(pa / z, 6) AS alpha_share
+       |FROM base CROSS JOIN norm""".stripMargin
+  }
+
   /** Repetition detection: the share of a doc's word trigrams taken by
     * its single most frequent trigram — near 1.0 for degenerate
     * loop/boilerplate docs, near 1/n for healthy prose. Uses the
