@@ -957,6 +957,10 @@ object SparkEntry {
     // v2: typed ValueState in the RocksDB store, declarative TTL)
     "events_stream_user_totals" -> ((s, d) =>
       streaming.StreamOps.userTotalsOverParquet(s, d).orderBy(col("user_id"))),
+    // recency-weighted engagement: halve per elapsed day (exact powers
+    // of two), fold in event-time order — custom decayed state
+    "events_stream_decay" -> ((s, d) =>
+      streaming.StreamOps.userDecayOverParquet(s, d).orderBy(col("user_id"))),
     // streaming quantiles: the additive bin histogram IS the bounded
     // stream state; p50/p95 extracted from the sink
     "events_stream_quantiles" -> ((s, d) =>
@@ -2547,6 +2551,7 @@ object SparkEntry {
         """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
           |       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "events_stream_decay" -> streaming.StreamOps.userDecaySql(),
       "events_stream_funnel" ->
         """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
           |            WHERE event_type = 'view' GROUP BY user_id),

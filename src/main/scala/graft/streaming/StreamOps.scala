@@ -932,6 +932,80 @@ object StreamOps {
     } finally spark.conf.set(key, prev)
   }
 
+  /** Time-decayed per-user engagement score via `transformWithState`:
+    * state = (last event-time, score); each event first HALVES the
+    * score once per whole elapsed day, then adds the event's milli
+    * value — `s ← s · 2^(−Δdays) + v`. The decay factor is a power of
+    * two ON PURPOSE: multiplying a double by 2^(−k) is exact (exponent
+    * arithmetic only), so the fold is bit-identical to the batch
+    * oracle's ordered `list_reduce` replay with NO rounding grid —
+    * recency weighting without giving up the engine's determinism
+    * contract. Events are folded in (event-time, event_id) order
+    * within the batch; on a real firehose a watermark reorder buffer
+    * fronts the same processor.
+    *
+    * Output per user: `(user_id, n_events, score)` (score rounded
+    * 6 dp at EMISSION only).
+    */
+  def userDecayOverParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf
+      .set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      overParquet(
+        spark,
+        sfDir,
+        "userdecay",
+        ev =>
+          ev.select(
+              col("user_id"),
+              unix_micros(col("ts")).as("tus"),
+              col("event_id"),
+              expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+            .as[(Long, Long, Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(
+              new UserDecayProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              OutputMode.Update())
+            .toDF("user_id", "n_events", "score_raw")
+            .select(
+              col("user_id"),
+              col("n_events"),
+              round(col("score_raw"), 6).as("score")),
+        mode = "update")
+    } finally spark.conf.set(key, prev)
+  }
+
+  /** [[userDecayOverParquet]]'s batch oracle: the identical fold,
+    * replayed per user in (ts, event_id) order. DuckDB's `list_reduce`
+    * takes no initial accumulator and a prepended zero must share the
+    * list's element type, so the (Δdays, value) pair rides ONE double
+    * `vm·64 + Δ` (both components integers ≪ 2^52 — exact) and the
+    * lambda decodes it; Δ is capped at 63 on both engines (2⁻⁶³ is
+    * zero engagement anyway).
+    */
+  def userDecaySql(): String =
+    s"""WITH o AS (
+       |  SELECT user_id, ts, event_id,
+       |         CAST(round(value * 1000) AS BIGINT) AS vm,
+       |         epoch_us(ts) AS tus,
+       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |                                 ORDER BY ts, event_id) AS pts
+       |  FROM events),
+       |d AS (
+       |  SELECT user_id, ts, event_id, vm,
+       |         least(CAST(coalesce((tus - pts) // 86400000000, 0) AS BIGINT), 63) AS dd
+       |  FROM o)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |               list(CAST(vm * 64 + dd AS DOUBLE) ORDER BY ts, event_id)),
+       |             (acc, c) -> acc / pow(2.0, c - floor(c / 64) * 64) + floor(c / 64)),
+       |             6) AS score
+       |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** STREAMING quantile sketch: the fixed-bin histogram is maintained
     * AS the streaming aggregation (additive counts — per-type state
     * bounded by the bin count, the property an exact percentile can
@@ -1151,6 +1225,49 @@ class FunnelProcessor
     val t3 = t2.flatMap(minAfter("purchase", _))
     val step = if (t3.isDefined) 3L else if (t2.isDefined) 2L else if (t1.isDefined) 1L else 0L
     Iterator.single((key, step))
+  }
+}
+
+/** transformWithState processor for [[StreamOps.userDecayOverParquet]]:
+  * one ValueState (last event-time micros, score) per user; each batch
+  * folds its rows in (event-time, event_id) order — halve per whole
+  * elapsed day (capped at 63), add the milli value. The halving is a
+  * multiplication by an exact power of two, so the running double is
+  * bit-deterministic.
+  */
+class UserDecayProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long,
+      (Long, Long, Long, Long),
+      (Long, Long, Double)] {
+
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long, Double)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Double)](
+      "decay",
+      org.apache.spark.sql.Encoders.product[(Long, Long, Double)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long, Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
+    var (n, lastTs, s) =
+      if (st.exists()) st.get() match { case (a, b, c) => (a, b, c) }
+      else (0L, Long.MinValue, 0.0d)
+    rows.toSeq.sortBy { case (_, tus, eid, _) => (tus, eid) }.foreach {
+      case (_, tus, _, vm) =>
+        val dd = if (lastTs == Long.MinValue) 0L
+        else math.min((tus - lastTs) / 86400000000L, 63L)
+        s = s / math.pow(2.0, dd.toDouble) + vm.toDouble
+        lastTs = tus
+        n += 1L
+    }
+    st.update((n, lastTs, s))
+    Iterator.single((key, n, s))
   }
 }
 

@@ -239,6 +239,30 @@ class StreamOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("streaming decay state halves per elapsed day: hand-computed fold on crafted events") {
+    import spark.implicits._
+    val day = 86400L * 1000000L // micros
+    val base = 1700000000000000L
+    val events = Seq(
+      // user 1: v=8 at t0, v=2 one day later, v=4 two more days later
+      (1L, new java.sql.Timestamp(base / 1000), 1L, "view", 0.008, "{}"),
+      (2L, new java.sql.Timestamp((base + day) / 1000), 1L, "view", 0.002, "{}"),
+      (3L, new java.sql.Timestamp((base + 3 * day) / 1000), 1L, "view", 0.004, "{}"),
+      // user 2: single event
+      (4L, new java.sql.Timestamp(base / 1000), 2L, "view", 0.005, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-decay").toString
+    events.coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp")
+    val f = new java.io.File(s"$dir/tmp").listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val out = StreamOps.userDecayOverParquet(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // user 1: ((8/1 → 8)/2 + 2 = 6) / 4 + 4 = 5.5 ; user 2: 5
+    assert(out(1L) === ((3L, 5.5)))
+    assert(out(2L) === ((1L, 5.0)))
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("streaming DSIR gate equals the batch stored-model selection rollup at sf0.001") {
     import graft.operators.TextOps
     val dir = "/root/testdata/sf0.001"
