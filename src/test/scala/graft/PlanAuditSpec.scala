@@ -501,4 +501,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Scan parquet"), s"serving must read the stored landmark table:\n$plan")
     graft.sources.Staging.cleanup(spark)
   }
+
+  test("round-9 operators: no cartesians, bounded state, single-scan where promised") {
+    // containment shares the capped-inverted-index shape — never all-pairs
+    val contPlan = planOf(SparkEntry.queries("dedup_containment")(spark, dir))
+    assert(!contPlan.contains("CartesianProduct"), s"cartesian in containment:\n$contPlan")
+    // per-doc top terms: bounded per-doc sort, NO corpus window rank
+    val ttPlan = planOf(SparkEntry.queries("text_top_terms")(spark, dir))
+    assert(!ttPlan.contains("Window"), s"corpus window crept into top-terms:\n$ttPlan")
+    // bootstrap CI: ONE corpus scan, no per-resample explode
+    val bootPlan = planOf(SparkEntry.queries("metric_bootstrap_ci")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(bootPlan).length === 1,
+      s"bootstrap must read the corpus once:\n$bootPlan")
+    assert(!bootPlan.contains("Generate"), s"per-resample explode in bootstrap:\n$bootPlan")
+    // dim stats: one embeddings scan; the only Generate is the 1-row
+    // unpivot AFTER the aggregate
+    val dsPlan = planOf(SparkEntry.queries("emb_dim_stats")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(dsPlan).length === 1,
+      s"dim stats must read embeddings once:\n$dsPlan")
+    // HITS rounds: edge joins + hash aggregates, never a cartesian
+    val hitsPlan = planOf(SparkEntry.queries("graph_hits")(spark, dir))
+    assert(!hitsPlan.contains("CartesianProduct"), s"cartesian in HITS:\n$hitsPlan")
+    graft.sources.Staging.cleanup(spark)
+  }
+
+  test("tok_unigram_stored serving joins the broadcast artifact — no DP columns in the plan") {
+    val docsDf = model.table(spark, dir, "documents")
+    val modelDir = graft.operators.Tokenization.writeUnigramModel(spark, docsDf)
+    val plan = planOf(
+      graft.operators.Tokenization.unigramFertilityStored(spark, docsDf, modelDir))
+    assert(plan.contains("BroadcastHashJoin"), s"segment map lost its broadcast:\n$plan")
+    assert(!plan.contains("v_16") && !plan.contains("s_16_4"),
+      s"trainer DP columns leaked into the serving plan:\n$plan")
+    graft.sources.Staging.cleanup(spark)
+  }
 }
