@@ -448,6 +448,10 @@ object SparkEntry {
     "q1_agg" -> (q1Agg _),
     "join_revenue" -> (joinRevenue _),
     "pii_k_anonymity" -> (piiKAnonymity _),
+    // histogram-method boosted stumps: one bounded aggregate per round,
+    // driver argmin over ≤50 rows, exact integer residuals
+    "train_gbm_stumps" -> ((s, d) =>
+      operators.Training.gbmStumps(table(s, d, "lineitem")).orderBy(col("round"))),
     "topk_orders" -> (topkOrders _),
     "window_rank" -> (windowRank _),
     "rollup_agg" -> (rollupAgg _),
@@ -2582,6 +2586,7 @@ object SparkEntry {
       "train_nb" -> operators.Training.naiveBayesSql(),
       "train_nb_stored" -> operators.Training.naiveBayesStoredSql(),
       "metric_bootstrap_ci" -> operators.Sketches.bootstrapTokensCiSql(),
+      "train_gbm_stumps" -> operators.Training.gbmStumpsSql(),
       "sketch_kmv_shingles" -> {
         val k = operators.Sketches.KmvK
         s"""WITH g AS (SELECT DISTINCT unnest($shingleSql) AS g FROM $fromToks),

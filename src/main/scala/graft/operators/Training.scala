@@ -817,4 +817,112 @@ object Training {
     * EQUAL the inline training tables by the planted-model spec; the
     * oracle proves the scores). */
   def naiveBayesStoredSql(): String = naiveBayesSql()
+
+  // ---- gradient-boosted decision stumps ------------------------------------
+
+  /** Boosting rounds for [[gbmStumps]]. */
+  val GbmRounds = 3
+
+  /** Gradient-boosted depth-1 regression trees over the quantity →
+    * price relation, by the HISTOGRAM method every production GBM
+    * (LightGBM/XGBoost hist) uses: per round, ONE hash aggregate
+    * builds the per-feature-value residual histogram (≤ 50 groups),
+    * the split search runs driver-side over that bounded table
+    * (prefix sums in value order; score = L²/n_L + R²/n_R maximized,
+    * IEEE-identical in both engines, ties → smaller threshold), and
+    * the chosen stump's truncated-integer-mean predictions are
+    * subtracted to form the next round's residuals — everything the
+    * data touches is exact 64-bit integer milli-units, so the model
+    * is bit-identical cross-engine. The fourth trainer shape (trees)
+    * next to GD (logreg/fastText), closed-form (linreg, NB), and
+    * Lloyd (k-means).
+    *
+    * Scale shape: per round one map-side-partial aggregate over the
+    * fact table + a ≤ 50-row driver argmin + one narrow residual map
+    * (checkpointed) — row count never touches driver memory.
+    *
+    * Output: one row per round —
+    * `(round, split_q, n_left, n_right, left_milli, right_milli)`.
+    */
+  def gbmStumps(lineitem: DataFrame, rounds: Int = GbmRounds): DataFrame = {
+    val spark = lineitem.sparkSession
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+    var resid = ckpt(
+      lineitem.select(
+        col("l_quantity").cast("long").as("q"),
+        expr("CAST(round(l_extendedprice * 1000) AS BIGINT)").as("y")))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+    (1 to rounds).foreach { r =>
+      val hist = resid
+        .groupBy(col("q"))
+        .agg(sum(col("y")).as("s"), count(lit(1)).as("n"))
+        .orderBy(col("q"))
+        .collect()
+        .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+      val ts = hist.map(_._2).sum
+      val tn = hist.map(_._3).sum
+      var ls = 0L
+      var ln = 0L
+      var best: Option[(Double, Long, Long, Long, Long, Long)] = None
+      hist.dropRight(1).foreach { case (t, s, n) =>
+        ls += s; ln += n
+        val (rs, rn) = (ts - ls, tn - ln)
+        if (ln > 0 && rn > 0) {
+          val score = ls.toDouble * ls.toDouble / ln.toDouble +
+            rs.toDouble * rs.toDouble / rn.toDouble
+          if (best.isEmpty || score > best.get._1) best = Some((score, t, ls, ln, rs, rn))
+        }
+      }
+      val (_, t, bls, bln, brs, brn) = best.get
+      val (lm, rm) = (bls / bln, brs / brn) // trunc toward zero ≡ SQL div
+      out += ((r.toLong, t, bln, brn, lm, rm))
+      resid = ckpt(
+        resid.select(
+          col("q"),
+          (col("y") - when(col("q") <= t, lit(lm)).otherwise(lit(rm))).as("y")))
+    }
+    import spark.implicits._
+    out.toSeq.toDF("round", "split_q", "n_left", "n_right", "left_milli", "right_milli")
+  }
+
+  /** [[gbmStumps]] mirrored: unrolled per-round CTEs — histogram,
+    * window prefix in value order, the same double split score, the
+    * same truncated-integer means, residual update via CASE.
+    */
+  def gbmStumpsSql(rounds: Int = GbmRounds): String = {
+    def roundCtes(r: Int): String =
+      s"""h$r AS (SELECT q, CAST(sum(y) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+         |        FROM r${r - 1} GROUP BY q),
+         |tot$r AS (SELECT CAST(sum(s) AS BIGINT) AS ts, CAST(sum(n) AS BIGINT) AS tn FROM h$r),
+         |c$r AS (SELECT q AS t,
+         |               CAST(sum(s) OVER (ORDER BY q) AS BIGINT) AS ls,
+         |               CAST(sum(n) OVER (ORDER BY q) AS BIGINT) AS ln,
+         |               ts, tn
+         |        FROM h$r CROSS JOIN tot$r),
+         |sc$r AS (SELECT t, ls, ln, ts - ls AS rs, tn - ln AS rn,
+         |                (CAST(ls AS DOUBLE) * CAST(ls AS DOUBLE)) / CAST(ln AS DOUBLE) +
+         |                (CAST(ts - ls AS DOUBLE) * CAST(ts - ls AS DOUBLE)) /
+         |                  CAST(tn - ln AS DOUBLE) AS score
+         |         FROM c$r WHERE ln > 0 AND tn - ln > 0),
+         |b$r AS MATERIALIZED (
+         |  SELECT t, ls // ln AS lm, rs // rn AS rm, ln AS nl, rn AS nr
+         |  FROM sc$r ORDER BY score DESC, t LIMIT 1),
+         |r$r AS MATERIALIZED (
+         |  SELECT q, y - (CASE WHEN q <= b$r.t THEN b$r.lm ELSE b$r.rm END) AS y
+         |  FROM r${r - 1} CROSS JOIN b$r)""".stripMargin
+    val ctes = (1 to rounds).map(roundCtes).mkString(",\n")
+    val rows = (1 to rounds)
+      .map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, t AS split_q, nl AS n_left, nr AS n_right, " +
+          s"lm AS left_milli, rm AS right_milli FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH r0 AS MATERIALIZED (
+       |  SELECT CAST(l_quantity AS BIGINT) AS q,
+       |         CAST(round(CAST(l_extendedprice AS DOUBLE) * 1000) AS BIGINT) AS y
+       |  FROM lineitem),
+       |$ctes
+       |$rows
+       |ORDER BY round""".stripMargin
+  }
 }

@@ -8,6 +8,23 @@ import graft.operators.{GraphOps, LinAlg, Training}
 /** Distributed training + neighborhood-function + linear-algebra ops. */
 class TrainingSpec extends SparkSpec {
 
+  test("gbmStumps recovers an exact two-level step in round 1; later rounds fit zero") {
+    import spark.implicits._
+    val rows = (1 to 40).map { i =>
+      val q = (i % 10) + 1L // quantities 1..10
+      val price = if (q <= 5) 10.0 else 20.0
+      (q.toDouble, price)
+    }
+    val df = rows.toDF("l_quantity", "l_extendedprice")
+    val out = operators.Training.gbmStumps(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4), r.getLong(5)))).toMap
+    // the true split is q <= 5: means exactly 10.0 / 20.0 (milli ints)
+    assert(out(1L) === ((5L, 10000L, 20000L)), s"round 1 got ${out(1L)}")
+    // residuals after a perfect fit are all zero — later stumps predict 0
+    assert(out(2L)._2 === 0L && out(2L)._3 === 0L)
+    assert(out(3L)._2 === 0L && out(3L)._3 === 0L)
+  }
+
   import spark.implicits._
 
   test("linreg recovers exact coefficients from exactly linear data") {
