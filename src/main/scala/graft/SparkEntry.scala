@@ -452,6 +452,11 @@ object SparkEntry {
     // driver argmin over ≤50 rows, exact integer residuals
     "train_gbm_stumps" -> ((s, d) =>
       operators.Training.gbmStumps(table(s, d, "lineitem")).orderBy(col("round"))),
+    // stored-stump serving: literal CASE chain, one scan, no training
+    "train_gbm_stored" -> ((s, d) => {
+      val m = operators.Training.writeGbmModel(s, table(s, d, "lineitem"))
+      operators.Training.gbmApplyStored(s, table(s, d, "lineitem"), m)
+    }),
     "topk_orders" -> (topkOrders _),
     "window_rank" -> (windowRank _),
     "rollup_agg" -> (rollupAgg _),
@@ -2587,6 +2592,7 @@ object SparkEntry {
       "train_nb_stored" -> operators.Training.naiveBayesStoredSql(),
       "metric_bootstrap_ci" -> operators.Sketches.bootstrapTokensCiSql(),
       "train_gbm_stumps" -> operators.Training.gbmStumpsSql(),
+      "train_gbm_stored" -> operators.Training.gbmApplyStoredSql(),
       "sketch_kmv_shingles" -> {
         val k = operators.Sketches.KmvK
         s"""WITH g AS (SELECT DISTINCT unnest($shingleSql) AS g FROM $fromToks),

@@ -886,6 +886,54 @@ object Training {
     out.toSeq.toDF("round", "split_q", "n_left", "n_right", "left_milli", "right_milli")
   }
 
+  /** Persist the trained stump table as a parquet artifact. */
+  def writeGbmModel(
+      spark: org.apache.spark.sql.SparkSession,
+      lineitem: DataFrame): String = {
+    val dir = graft.sources.Staging.freshDir("gbm-model")
+    gbmStumps(lineitem).coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Serve the STORED stump ensemble: the ≤ [[GbmRounds]]-row artifact
+    * folds into one literal CASE chain (`pred(q) = Σ_r stump_r(q)`), so
+    * scoring is a single narrow projection over one fact-table scan —
+    * no training stage, no join (the scalar-artifact discipline).
+    * Output: the model's fit on the corpus —
+    * `(n_rows, sum_abs_resid_milli)`.
+    */
+  def gbmApplyStored(
+      spark: org.apache.spark.sql.SparkSession,
+      lineitem: DataFrame,
+      modelDir: String): DataFrame = {
+    val stumps = spark.read.parquet(modelDir).orderBy(col("round")).collect()
+      .map(r => (r.getLong(1), r.getLong(4), r.getLong(5))) // (t, lm, rm)
+    val pred = stumps
+      .map { case (t, lm, rm) => when(col("q") <= t, lit(lm)).otherwise(lit(rm)) }
+      .reduce(_ + _)
+    lineitem
+      .select(
+        col("l_quantity").cast("long").as("q"),
+        expr("CAST(round(l_extendedprice * 1000) AS BIGINT)").as("y"))
+      .select(abs(col("y") - pred).as("ar"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("ar")).as("sum_abs_resid_milli"))
+  }
+
+  /** [[gbmApplyStored]]'s oracle: retrain via the [[gbmStumpsSql]] CTEs
+    * and score with the same summed CASE chain.
+    */
+  def gbmApplyStoredSql(rounds: Int = GbmRounds): String = {
+    val inner = gbmStumpsSql(rounds)
+    // reuse the training CTE chain; the final residual table r{rounds}
+    // already IS y − pred, so the fit readout is one aggregate over it
+    val upToCtes = inner.substring(0, inner.lastIndexOf("SELECT CAST(1 AS BIGINT)"))
+      .stripSuffix("\n")
+    s"""$upToCtes
+       |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(sum(abs(y)) AS BIGINT) AS sum_abs_resid_milli
+       |FROM r$rounds""".stripMargin
+  }
+
   /** [[gbmStumps]] mirrored: unrolled per-round CTEs — histogram,
     * window prefix in value order, the same double split score, the
     * same truncated-integer means, residual update via CASE.
