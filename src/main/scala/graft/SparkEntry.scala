@@ -860,6 +860,33 @@ object SparkEntry {
         .orderBy(col("lang"))),
     // latest-wins MERGE of an update batch into the keyed corpus; the
     // partial-aggregating max_by shape, not a window (see Snapshot)
+    // group-aware split: the whole source lands in one split (near-dup
+    // leakage guard the per-doc content hash can't give)
+    "doc_split_grouped" -> ((s, d) =>
+      TextOps.splitAssignGrouped(docs(s, d)).orderBy(col("doc_id"))),
+    // Zipf rank-frequency slope over the top-40 terms — corpus health
+    "text_zipf" -> ((s, d) => TextOps.zipfFit(docs(s, d))),
+    // version-to-version change audit: added/updated/unchanged counts
+    // from a null-safe full-outer compare of the two logical states
+    "corpus_diff" -> ((s, d) => {
+      val (base, updates) = corpusVersionLog(s, d)
+      val v2 = base
+        .join(updates.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(updates)
+        .select(col("doc_id"), col("text"))
+      val b = base.select(col("doc_id"), col("text")).alias("b")
+      val v = v2.alias("v")
+      b.join(v, col("b.doc_id") === col("v.doc_id"), "full_outer")
+        .select(
+          when(col("b.doc_id").isNull, "added")
+            .when(col("v.doc_id").isNull, "removed")
+            .when(!(col("b.text") <=> col("v.text")), "updated")
+            .otherwise("unchanged")
+            .as("change"))
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("change"))
+    }),
     "corpus_upsert" -> ((s, d) => {
       val (base, updates) = corpusVersionLog(s, d)
       operators.Snapshot
@@ -2752,6 +2779,28 @@ object SparkEntry {
         (TextOps.chunkSql() + "\nORDER BY doc_id, chunk_idx"),
       "doc_shuffle" ->
         (TextOps.shuffleShardsSql() + "\nORDER BY shard, pos"),
+      "doc_split_grouped" -> (TextOps.splitAssignGroupedSql() + "\nORDER BY doc_id"),
+      "text_zipf" -> TextOps.zipfFitSql(),
+      "corpus_diff" ->
+        """WITH base AS (
+          |  SELECT doc_id, text FROM documents),
+          |revised AS (
+          |  SELECT doc_id, 'UPDATED: ' || coalesce(text, '') AS text
+          |  FROM documents WHERE doc_id % 7 = 0),
+          |fresh AS (
+          |  SELECT -doc_id - 1 AS doc_id, 'NEW ' || CAST(doc_id AS VARCHAR) AS text
+          |  FROM documents WHERE doc_id % 97 = 0),
+          |ups AS (SELECT * FROM revised UNION ALL SELECT * FROM fresh),
+          |v2 AS (SELECT b.doc_id, b.text FROM base b
+          |       WHERE b.doc_id NOT IN (SELECT doc_id FROM ups)
+          |       UNION ALL SELECT * FROM ups)
+          |SELECT CASE WHEN b.doc_id IS NULL THEN 'added'
+          |            WHEN v.doc_id IS NULL THEN 'removed'
+          |            WHEN b.text IS DISTINCT FROM v.text THEN 'updated'
+          |            ELSE 'unchanged' END AS change,
+          |       CAST(count(*) AS BIGINT) AS n
+          |FROM base b FULL OUTER JOIN v2 v ON b.doc_id = v.doc_id
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "corpus_upsert" ->
         """WITH base AS (
           |  SELECT doc_id, text, lang, CAST(1 AS BIGINT) AS version FROM documents),

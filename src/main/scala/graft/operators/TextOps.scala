@@ -904,6 +904,115 @@ object TextOps {
       when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
   }
 
+  /** GROUP-AWARE split assignment: the split is a function of the
+    * SOURCE, so every document of a crawl domain lands in the same
+    * split — the standard guard against near-duplicate leakage that a
+    * per-document split ([[splitAssign]], which only pins exact dups
+    * via the content hash) cannot give. Same 80/10/10 hash buckets,
+    * keyed on the source's character fold. Pure narrow map.
+    */
+  def splitAssignGrouped(docs: DataFrame): DataFrame = {
+    val bucket = pmod(Parity.charFold(col("source"), 31L, Parity.TokP), lit(100L))
+    docs.select(
+      col("doc_id"),
+      col("source"),
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+  }
+
+  /** [[splitAssignGrouped]] mirrored. */
+  def splitAssignGroupedSql(): String = {
+    val fold = Parity.charFoldSql("source", 31L, Parity.TokP)
+    s"""SELECT doc_id, source,
+       |       CASE WHEN ($fold) % 100 < 80 THEN 'train'
+       |            WHEN ($fold) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+
+  /** Terms entering the Zipf regression. */
+  val ZipfTopK = 40
+
+  /** Zipf rank-frequency fit: least-squares slope/intercept of
+    * `ln freq ~ ln rank` over the top-[[ZipfTopK]] terms by total
+    * frequency (ties → term) — the corpus-health diagnostic (natural
+    * language sits near slope −1; a flat or cliffy curve flags
+    * boilerplate or truncation). Both logs ride the 9 dp grid; the
+    * four regression sums fold in rank order (bit-identical), and the
+    * rank itself comes from a 40-row bounded sort.
+    *
+    * Output: one row `(n_terms, slope, intercept)`.
+    */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    val top = docs
+      .select(explode(toks(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(ZipfTopK)
+    val ranked = top
+      .withColumn(
+        "rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("freq").desc, col("term"))).cast("long"))
+      .select(
+        col("rank"),
+        round(log(col("rank").cast("double")), 9).as("x"),
+        round(log(col("freq").cast("double")), 9).as("y"))
+    def fold(f: Column): Column =
+      aggregate(
+        transform(array_sort(collect_list(struct(col("rank"), f.as("v")))), s => s("v")),
+        lit(0.0d),
+        (acc, v) => acc + v)
+    ranked
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        fold(col("x")).as("sx"),
+        fold(col("y")).as("sy"),
+        fold(col("x") * col("y")).as("sxy"),
+        fold(col("x") * col("x")).as("sxx"))
+      .select(
+        col("n").cast("long").as("n_terms"),
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")),
+          6).as("slope"),
+        round(
+          (col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"),
+          6).as("intercept"))
+  }
+
+  /** [[zipfFit]] mirrored — same rank order, same fold order, same
+    * expression shapes.
+    */
+  def zipfFitSql(): String = {
+    val toksSql = Parity.tokensSql("text")
+    s"""WITH hist AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($toksSql) AS term FROM documents) GROUP BY term),
+       |top AS (SELECT term, freq FROM hist ORDER BY freq DESC, term LIMIT $ZipfTopK),
+       |ranked AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank,
+       |         round(ln(CAST(row_number() OVER (ORDER BY freq DESC, term) AS DOUBLE)), 9) AS x,
+       |         round(ln(CAST(freq AS DOUBLE)), 9) AS y
+       |  FROM top),
+       |s AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x ORDER BY rank)),
+       |                     (a, v) -> a + v) AS sx,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(y ORDER BY rank)),
+       |                     (a, v) -> a + v) AS sy,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x * y ORDER BY rank)),
+       |                     (a, v) -> a + v) AS sxy,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x * x ORDER BY rank)),
+       |                     (a, v) -> a + v) AS sxx
+       |  FROM ranked)
+       |SELECT CAST(n AS BIGINT) AS n_terms,
+       |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+       |FROM s""".stripMargin
+  }
+
   /** Split sizes per language — the stratification report for
     * [[splitAssign]]. */
   def splitStats(docs: DataFrame): DataFrame =

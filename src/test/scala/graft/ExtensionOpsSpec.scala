@@ -100,6 +100,14 @@ class ExtensionOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("splitAssignGrouped: every source lands wholly in one split") {
+    val docs = model.table(spark, "/root/testdata/sf0.001", "documents")
+    val purity = TextOps.splitAssignGrouped(docs)
+      .groupBy(col("source")).agg(countDistinct(col("split")).as("k")).collect()
+    assert(purity.nonEmpty && purity.forall(_.getLong(1) === 1L),
+      "a source split across partitions would leak near-dups between splits")
+  }
+
   test("topTerms: the doc-unique term wins rank 1; shared terms rank below") {
     val d = docsDf(Seq(
       (1L, "shared shared unique1", "en"),
