@@ -452,6 +452,10 @@ object SparkEntry {
     // driver argmin over ≤50 rows, exact integer residuals
     "train_gbm_stumps" -> ((s, d) =>
       operators.Training.gbmStumps(table(s, d, "lineitem")).orderBy(col("round"))),
+    // reliability read of the stored quality classifier: score-decile
+    // bins vs observed positive rate
+    "train_fasttext_calibration" -> ((s, d) =>
+      operators.Training.fasttextCalibration(s, docs(s, d)).orderBy(col("bin"))),
     // stored-stump serving: literal CASE chain, one scan, no training
     "train_gbm_stored" -> ((s, d) => {
       val m = operators.Training.writeGbmModel(s, table(s, d, "lineitem"))
@@ -1020,6 +1024,11 @@ object SparkEntry {
     // per-source selected-count rollup
     "docs_stream_dsir_static" -> ((s, d) =>
       streaming.StreamOps.docDsirGateOverParquet(s, d, firstNewId = 400L)
+        .orderBy(col("source"))),
+    // rule-battery ingest gate: stateless integer predicates, the
+    // first stage of the gate stack (no model at all)
+    "docs_stream_gopher_static" -> ((s, d) =>
+      streaming.StreamOps.docGopherGateOverParquet(s, d, firstNewId = 400L)
         .orderBy(col("source"))),
     // decontamination-on-arrival: arriving docs' shingles semi-joined
     // (stateless stream-static) to the static benchmark-shingle store;
@@ -2544,6 +2553,14 @@ object SparkEntry {
       },
       "docs_stream_quality_static" -> operators.Training.fasttextGateSql(firstNewId = 400L),
       "docs_stream_dsir_static" -> TextOps.dsirGateSql(firstNewId = 400L),
+      "docs_stream_gopher_static" ->
+        s"""WITH g AS (${TextOps.gopherRulesSql().replace("\n", "\n  ")})
+           |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(CASE WHEN g.pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           |       CAST(sum(CASE WHEN g.wc_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_wc_ok,
+           |       min(g.doc_id) AS first_id
+           |FROM g JOIN documents d USING (doc_id)
+           |WHERE doc_id >= 400 GROUP BY d.source ORDER BY d.source""".stripMargin,
       "docs_stream_bm25_static" -> TextOps.bm25GateSql(firstNewId = 400L),
       "docs_stream_decontam_static" -> {
         val t = Parity.tokensSql("text")
@@ -2620,6 +2637,7 @@ object SparkEntry {
       "metric_bootstrap_ci" -> operators.Sketches.bootstrapTokensCiSql(),
       "train_gbm_stumps" -> operators.Training.gbmStumpsSql(),
       "train_gbm_stored" -> operators.Training.gbmApplyStoredSql(),
+      "train_fasttext_calibration" -> operators.Training.fasttextCalibrationSql(),
       "sketch_kmv_shingles" -> {
         val k = operators.Sketches.KmvK
         s"""WITH g AS (SELECT DISTINCT unnest($shingleSql) AS g FROM $fromToks),

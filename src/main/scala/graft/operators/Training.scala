@@ -818,6 +818,51 @@ object Training {
     * oracle proves the scores). */
   def naiveBayesStoredSql(): String = naiveBayesSql()
 
+  /** Calibration table for the stored quality classifier: equal-count
+    * score deciles (ties broken by doc_id) with the observed positive
+    * rate per bin — the reliability read that decides whether the
+    * score can be THRESHOLDED at a target precision. Monotone rate ≈
+    * well-calibrated ranking; a flat stretch = the score carries no
+    * signal there. The decile rank is the exact ntile form (corpus
+    * sort); at 100 TB the same bins come from quantile THRESHOLDS
+    * (the binned-quantile pattern) applied as a broadcast compare.
+    *
+    * Output: `(bin, n, n_pos, lo_micro, hi_micro, rate_ppm)`.
+    */
+  def fasttextCalibration(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      bins: Int = 10): DataFrame = {
+    val served = fasttextApplyStored(spark, docs, writeFasttextModel(spark, docs))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_micro"), col("doc_id"))
+    served
+      .withColumn("bin", org.apache.spark.sql.functions.ntile(bins).over(w).cast("long"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("label")).as("n_pos"),
+        min(col("score_micro")).as("lo_micro"),
+        max(col("score_micro")).as("hi_micro"))
+      .withColumn("rate_ppm", expr("n_pos * 1000000 div n"))
+  }
+
+  /** [[fasttextCalibration]] mirrored over the training CTEs. */
+  def fasttextCalibrationSql(bins: Int = 10, iters: Int = FtIters): String = {
+    val score = "w.w0" + (1 to FtDim).map(j => s" + w.w$j * (r.x${j}r - mm.m$j)").mkString
+    s"""${ftCtes(iters)},
+       |sc AS (SELECT r.doc_id, r.y AS label, $score AS s
+       |       FROM raw r CROSS JOIN w$iters w CROSS JOIN mm),
+       |b AS (SELECT label, s,
+       |             CAST(ntile($bins) OVER (ORDER BY s, doc_id) AS BIGINT) AS bin
+       |      FROM sc)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(label) AS BIGINT) AS n_pos,
+       |       CAST(min(s) AS BIGINT) AS lo_micro, CAST(max(s) AS BIGINT) AS hi_micro,
+       |       CAST(sum(label) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS rate_ppm
+       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   // ---- gradient-boosted decision stumps ------------------------------------
 
   /** Boosting rounds for [[gbmStumps]]. */

@@ -461,6 +461,41 @@ object StreamOps {
       "complete")
   }
 
+  /** STREAMING GOPHER GATE: the heuristic rule battery
+    * ([[graft.operators.TextOps.gopherRules]]) applied to arriving
+    * documents — all seven rules are stateless integer per-row
+    * predicates, so the streaming plan is a pure projection feeding
+    * one per-source rollup (arrivals, rule-pass count, full-pass
+    * count). The first gate of the ingest stack: no model, no state,
+    * drops the obvious garbage before anything learned runs.
+    */
+  def docGopherGateOverParquet(
+      spark: SparkSession,
+      sfDir: String,
+      firstNewId: Long): DataFrame = {
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-docs-gopher"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    runStream(
+      spark,
+      graft.operators.TextOps
+        .gopherRules(readDocStream(spark, staged.toString).filter(col("doc_id") >= firstNewId))
+        .join(
+          spark.read.parquet(s"$sfDir/documents.parquet")
+            .filter(col("doc_id") >= firstNewId)
+            .select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("wc_ok"), 1L).otherwise(0L)).as("n_wc_ok"),
+          min(col("doc_id")).as("first_id")),
+      graft.sources.Staging.freshTable("graft_stream_gophergate"),
+      "complete")
+  }
+
   /** STREAMING DSIR GATE: the stored DSIR bucket-llr model
     * ([[graft.operators.TextOps.writeDsirModel]], trained on the STATIC
     * corpus slice) scores arriving documents as ONE stateless in-order
