@@ -485,6 +485,12 @@ object SparkEntry {
     // the existing store, never a corpus self-join
     "dedup_incremental" -> ((s, d) =>
       Dedup.incremental(docs(s, d), firstNewId = 400L).orderBy(col("doc_id"))),
+    // index-once/probe-many: arrivals vs the STORED band index, best
+    // match by exact signature agreement (no re-sign of the corpus)
+    "dedup_minhash_stored" -> ((s, d) => {
+      val idx = Dedup.writeMinhashIndex(s, docs(s, d).filter(col("doc_id") < 400L))
+      Dedup.minhashProbeStored(s, docs(s, d), idx, firstNewId = 400L).orderBy(col("doc_id"))
+    }),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d)).orderBy(col("doc_a"), col("doc_b"))),
     // asymmetric near-dup: directional containment over the capped
@@ -687,6 +693,9 @@ object SparkEntry {
     // counts, row-normalized in exact micro-units
     "events_markov" -> ((s, d) =>
       EventOps.markovTransitions(events(s, d)).orderBy(col("prev_type"), col("next_type"))),
+    // robust-z outliers off median/MAD — the fence family's other half
+    "events_mad" -> ((s, d) =>
+      EventOps.madOutliers(events(s, d)).orderBy(col("event_type"))),
     // weekly cohort retention matrix off each user's first-event week
     "events_retention" -> ((s, d) =>
       EventOps.retentionCohorts(events(s, d))
@@ -2105,6 +2114,32 @@ object SparkEntry {
            |  FROM chunked a JOIN chunked b
            |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
            |WHERE hamming <= ${Dedup.SimhashMaxHamming} ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_minhash_stored" -> {
+        val mInt = "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(list_zip(n.sig, o.sig), " +
+          "s -> CASE WHEN s[1] = s[2] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
+          "(acc, x) -> acc + x) AS BIGINT)"
+        s"""WITH sigs AS (
+           |  SELECT doc_id, ${Parity.minhashSigSql(codes, Dedup.MinhashK)} AS sig FROM documents),
+           |banded AS (
+           |  $bandedUnion),
+           |cand AS (
+           |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id, $mInt AS m
+           |  FROM banded n JOIN banded o
+           |    ON n.band_idx = o.band_idx AND n.band_val = o.band_val
+           |   AND n.doc_id >= 400 AND o.doc_id < 400),
+           |best AS (
+           |  SELECT new_id, m, old_id, n_cand FROM (
+           |    SELECT new_id, m, old_id,
+           |           CAST(count(*) OVER (PARTITION BY new_id) AS BIGINT) AS n_cand,
+           |           row_number() OVER (PARTITION BY new_id ORDER BY m DESC, old_id) AS rn
+           |    FROM cand) WHERE rn = 1)
+           |SELECT d.doc_id, coalesce(b.n_cand, 0) AS n_cand, b.old_id AS best_old,
+           |       coalesce(b.m, 0) AS match_k
+           |FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+           |LEFT JOIN best b ON b.new_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      },
       "dedup_incremental" ->
         s"""WITH sigs AS (
            |  SELECT doc_id, ${Parity.minhashSigSql(codes, Dedup.MinhashK)} AS sig FROM documents),
@@ -2970,6 +3005,7 @@ object SparkEntry {
           |ORDER BY e.event_type""".stripMargin,
       "events_markov" ->
         (EventOps.markovTransitionsSql() + "\nORDER BY prev_type, next_type"),
+      "events_mad" -> (EventOps.madOutliersSql() + "\nORDER BY event_type"),
       "events_funnel" ->
         """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
           |            WHERE event_type = 'view' GROUP BY user_id),

@@ -216,6 +216,76 @@ object Dedup {
         col("near_canon"))
   }
 
+  /** Persist the banded MinHash signature index — the text-side
+    * index-once/probe-many artifact (the BM25/pHash stored-index
+    * discipline applied to near-dup candidates): one row per
+    * (doc, band) with the full signature attached, written
+    * band-bucket-joinable as-is.
+    */
+  def writeMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame): String = {
+    val dir = graft.sources.Staging.freshDir("minhash-index")
+    bandRows(minhashSignatures(docs)).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Probe arriving documents against the STORED band index: signature
+    * + bands for the probes only (one narrow map over the arrivals),
+    * candidates from band-bucket collisions against the artifact scan,
+    * each candidate scored by exact signature agreement (matching
+    * minhash components out of [[MinhashK]] — the unbiased Jaccard
+    * estimate), best match per probe by `max(struct(m, −old))` — no
+    * window. Probes with no collision keep a zero row. The plan never
+    * re-signs or re-bands the indexed corpus — only the artifact scan.
+    */
+  def minhashProbeStored(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      indexDir: String,
+      firstNewId: Long): DataFrame = {
+    val idx = spark.read.parquet(indexDir)
+    val probes = Phys.materialized(
+      bandRows(minhashSignatures(docs.filter(col("doc_id") >= firstNewId))))
+    val m = aggregate(
+      zip_with(col("sig_n"), col("sig_o"), (a, b) => when(a === b, 1L).otherwise(0L)),
+      lit(0L),
+      (acc, x) => acc + x)
+    val best = probes
+      .select(
+        col("doc_id").as("new_id"),
+        col("sig").as("sig_n"),
+        col("band_idx"),
+        col("band_val"))
+      .join(
+        idx.select(
+          col("doc_id").as("old_id"),
+          col("sig").as("sig_o"),
+          col("band_idx"),
+          col("band_val")),
+        Seq("band_idx", "band_val"))
+      .select(col("new_id"), col("old_id"), m.as("m"))
+      .distinct()
+      .groupBy(col("new_id"))
+      .agg(
+        count(lit(1)).as("n_cand"),
+        max(struct(col("m"), (-col("old_id")).as("no"))).as("sel"))
+      .select(
+        col("new_id"),
+        col("n_cand"),
+        (-col("sel.no")).as("best_old"),
+        col("sel.m").as("match_k"))
+    docs
+      .filter(col("doc_id") >= firstNewId)
+      .select(col("doc_id").as("new_id"))
+      .join(best, Seq("new_id"), "left_outer")
+      .select(
+        col("new_id").as("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("best_old"),
+        coalesce(col("match_k"), lit(0L)).as("match_k"))
+  }
+
   /** One row per (doc, band): `(doc_id, sig, band_idx, band_val)`. */
   private def bandRows(sigs: DataFrame): DataFrame =
     sigs.select(

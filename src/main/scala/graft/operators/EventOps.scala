@@ -319,6 +319,59 @@ object EventOps {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
 
+  /** MAD robust outliers — the median-based companion of the Tukey
+    * fences ([[anomalies]]): per event type, median, median absolute
+    * deviation, and the count of events whose deviation exceeds
+    * `3.5 · 1.4826 · MAD` (the classic robust z cutoff; 1.4826 scales
+    * MAD to σ under normality). Order statistics + one broadcast
+    * counting pass — deterministic where mean/stddev is not, and the
+    * 6 dp rounding contract is [[quantiles]]'s. Same 100 TB note: the
+    * exact percentiles swap for the binned histogram, the outlier
+    * logic unchanged.
+    *
+    * Output: `(event_type, n, med, mad, n_outliers)`.
+    */
+  def madOutliers(events: DataFrame): DataFrame = {
+    val med = events
+      .groupBy(col("event_type").as("mt"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val dev = events
+      .join(broadcast(med), col("event_type") === col("mt"))
+      .select(col("event_type"), col("value"), col("med"))
+    val stats = dev
+      .groupBy(col("event_type").as("st"), col("med"))
+      .agg(
+        round(expr("percentile(round(abs(value - med), 6), 0.5)"), 6).as("mad"),
+        count(lit(1)).as("n"))
+    events
+      .join(broadcast(stats), col("event_type") === col("st"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(
+          when(round(abs(col("value") - col("med")), 6) > round(lit(5.1891d) * col("mad"), 6), 1L)
+            .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** [[madOutliers]] mirrored. */
+  def madOutliersSql(): String =
+    s"""WITH med AS (
+       |  SELECT event_type AS mt, round(quantile_cont(value, 0.5), 6) AS med
+       |  FROM events GROUP BY 1),
+       |stats AS (
+       |  SELECT e.event_type AS st, m.med,
+       |         round(quantile_cont(round(abs(e.value - m.med), 6), 0.5), 6) AS mad,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM events e JOIN med m ON e.event_type = m.mt GROUP BY 1, 2)
+       |SELECT e.event_type, max(s.n) AS n, max(s.med) AS med, max(s.mad) AS mad,
+       |       CAST(sum(CASE WHEN round(abs(e.value - s.med), 6) >
+       |                          round(5.1891 * s.mad, 6)
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |FROM events e JOIN stats s ON e.event_type = s.st
+       |GROUP BY e.event_type""".stripMargin
+
   /** First-order Markov transition matrix of user behavior: for every
     * consecutive event pair within a user's timeline (ts order,
     * event_id tiebreak), count `prev_type → event_type` and report the
