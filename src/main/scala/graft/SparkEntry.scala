@@ -485,6 +485,9 @@ object SparkEntry {
     // the existing store, never a corpus self-join
     "dedup_incremental" -> ((s, d) =>
       Dedup.incremental(docs(s, d), firstNewId = 400L).orderBy(col("doc_id"))),
+    // per-doc ensemble verdict across the whole near-dup stack — the
+    // which-detector-fires audit before clustering
+    "dedup_verdict" -> ((s, d) => Dedup.verdict(docs(s, d)).orderBy(col("doc_id"))),
     // index-once/probe-many: arrivals vs the STORED band index, best
     // match by exact signature agreement (no re-sign of the corpus)
     "dedup_minhash_stored" -> ((s, d) => {
@@ -696,6 +699,9 @@ object SparkEntry {
     // robust-z outliers off median/MAD — the fence family's other half
     "events_mad" -> ((s, d) =>
       EventOps.madOutliers(events(s, d)).orderBy(col("event_type"))),
+    // DAU / trailing-7d WAU per day, window on the day-grain table only
+    "events_stickiness" -> ((s, d) =>
+      EventOps.stickiness(events(s, d)).orderBy(col("day"))),
     // weekly cohort retention matrix off each user's first-event week
     "events_retention" -> ((s, d) =>
       EventOps.retentionCohorts(events(s, d))
@@ -2114,6 +2120,58 @@ object SparkEntry {
            |  FROM chunked a JOIN chunked b
            |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
            |WHERE hamming <= ${Dedup.SimhashMaxHamming} ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_verdict" ->
+        s"""WITH mt AS (SELECT text AS t, min(doc_id) AS min_id FROM documents GROUP BY text),
+           |ex AS (SELECT d.doc_id FROM documents d
+           |       JOIN mt ON d.text IS NOT DISTINCT FROM mt.t
+           |       WHERE d.doc_id <> mt.min_id),
+           |sigs AS (
+           |  SELECT doc_id, ${Parity.minhashSigSql(codes, Dedup.MinhashK)} AS sig FROM documents),
+           |banded AS (
+           |  $bandedUnion),
+           |mh AS (SELECT DISTINCT b.doc_id
+           |       FROM banded a JOIN banded b
+           |         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           |        AND a.doc_id < b.doc_id
+           |       WHERE $sigMatch >= 0.5),
+           |sims AS (
+           |  SELECT doc_id, ${Parity.simhashSql(h40s)} AS simhash FROM documents),
+           |chunked AS (
+           |  $chunkedUnion),
+           |sh AS (SELECT DISTINCT b.doc_id
+           |       FROM chunked a JOIN chunked b
+           |         ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+           |        AND a.doc_id < b.doc_id
+           |       WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimhashMaxHamming}),
+           |ngsh AS (SELECT doc_id, lang, $shingleSql AS s
+           |         FROM (SELECT doc_id, lang, $toks AS t FROM documents)),
+           |nginv AS (SELECT doc_id, lang, unnest(s) AS g FROM ngsh),
+           |ngkeep AS (SELECT lang, g FROM nginv GROUP BY lang, g
+           |           HAVING count(*) <= ${Dedup.MaxShingleDf}),
+           |ngcap AS (SELECT i.doc_id, i.lang, i.g FROM nginv i JOIN ngkeep k USING (lang, g)),
+           |ngsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM ngcap GROUP BY doc_id),
+           |nginter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |                   CAST(count(*) AS BIGINT) AS inter
+           |            FROM ngcap a JOIN ngcap b
+           |              ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+           |            GROUP BY 1, 2),
+           |ng AS (SELECT doc_b AS doc_id FROM (
+           |         SELECT i.doc_a, i.doc_b,
+           |                round(CAST(i.inter AS DOUBLE) /
+           |                      (sa.n_sh + sb.n_sh - i.inter), 6) AS jac
+           |         FROM nginter i JOIN ngsizes sa ON sa.doc_id = i.doc_a
+           |                        JOIN ngsizes sb ON sb.doc_id = i.doc_b)
+           |       WHERE jac >= 0.5)
+           |SELECT d.doc_id,
+           |       d.doc_id IN (SELECT doc_id FROM ex) AS exact_dup,
+           |       d.doc_id IN (SELECT doc_id FROM mh) AS minhash_dup,
+           |       d.doc_id IN (SELECT doc_id FROM sh) AS simhash_dup,
+           |       d.doc_id IN (SELECT doc_id FROM ng) AS ngram_dup,
+           |       NOT (d.doc_id IN (SELECT doc_id FROM ex) OR
+           |            d.doc_id IN (SELECT doc_id FROM mh) OR
+           |            d.doc_id IN (SELECT doc_id FROM sh) OR
+           |            d.doc_id IN (SELECT doc_id FROM ng)) AS keep
+           |FROM documents d ORDER BY d.doc_id""".stripMargin,
       "dedup_minhash_stored" -> {
         val mInt = "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
           "list_transform(list_zip(n.sig, o.sig), " +
@@ -3006,6 +3064,7 @@ object SparkEntry {
       "events_markov" ->
         (EventOps.markovTransitionsSql() + "\nORDER BY prev_type, next_type"),
       "events_mad" -> (EventOps.madOutliersSql() + "\nORDER BY event_type"),
+      "events_stickiness" -> (EventOps.stickinessSql() + "\nORDER BY day"),
       "events_funnel" ->
         """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
           |            WHERE event_type = 'view' GROUP BY user_id),

@@ -216,6 +216,59 @@ object Dedup {
         col("near_canon"))
   }
 
+  /** Ensemble dedup verdict — the per-document read of the whole
+    * near-dup stack BEFORE clustering: each family flags the
+    * HIGHER-id side of its qualifying pairs (the smaller id is the
+    * canonical survivor, the [[clusters]] convention), and `keep` is
+    * the conjunction. One row per document:
+    * `(doc_id, exact_dup, minhash_dup, simhash_dup, ngram_dup, keep)`
+    * — the audit that shows WHICH detector fires where the families
+    * disagree (exact misses paraphrase, MinHash misses short docs,
+    * SimHash misses re-orderings), which is the reason pipelines run
+    * several.
+    *
+    * Thresholds: minhash est-Jaccard ≥ 0.5 (as the integer compare
+    * `2·matches ≥ K` — grid-free), simhash Hamming ≤
+    * [[SimhashMaxHamming]], n-gram Jaccard ≥ 0.5. Each family keeps
+    * its own bucketed physical shape; the verdict adds three left-semi
+    * probes and a narrow projection.
+    */
+  def verdict(docs: DataFrame): DataFrame = {
+    val exactDup = docs
+      .select(col("doc_id"), col("text"))
+      .join(
+        docs.groupBy(col("text").as("t")).agg(min(col("doc_id")).as("min_id")),
+        col("text") <=> col("t"))
+      .filter(col("doc_id") =!= col("min_id"))
+      .select(col("doc_id"))
+    val mhDup = minhashCandidates(docs)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_b").as("doc_id"))
+    val shDup = simhashCandidates(docs, SimhashMaxHamming)
+      .select(col("doc_b").as("doc_id"))
+    val ngDup = ngramJaccardPairs(docs)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_b").as("doc_id"))
+    def flag(dups: DataFrame, name: String): DataFrame =
+      dups.distinct().select(col("doc_id"), lit(true).as(name))
+    docs
+      .select(col("doc_id"))
+      .join(flag(exactDup, "exact_dup"), Seq("doc_id"), "left_outer")
+      .join(flag(mhDup, "minhash_dup"), Seq("doc_id"), "left_outer")
+      .join(flag(shDup, "simhash_dup"), Seq("doc_id"), "left_outer")
+      .join(flag(ngDup, "ngram_dup"), Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("minhash_dup"), lit(false)).as("minhash_dup"),
+        coalesce(col("simhash_dup"), lit(false)).as("simhash_dup"),
+        coalesce(col("ngram_dup"), lit(false)).as("ngram_dup"),
+        (!(coalesce(col("exact_dup"), lit(false)) ||
+          coalesce(col("minhash_dup"), lit(false)) ||
+          coalesce(col("simhash_dup"), lit(false)) ||
+          coalesce(col("ngram_dup"), lit(false)))).as("keep"))
+  }
+
   /** Persist the banded MinHash signature index — the text-side
     * index-once/probe-many artifact (the BM25/pHash stored-index
     * discipline applied to near-dup candidates): one row per

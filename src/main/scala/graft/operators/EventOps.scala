@@ -319,6 +319,48 @@ object EventOps {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
 
+  /** Product stickiness (DAU / trailing-7-day WAU) per day, in exact
+    * ppm: the engagement time-series a product team reads daily. The
+    * per-day distinct (day, user) pairs are ONE distinct aggregate
+    * over the events; the trailing window is a bounded self-join of
+    * that tiny day-grain table (days × 7 rows) — the events are never
+    * rescanned or re-shuffled for the window.
+    *
+    * Output: `(day, dau, wau, stickiness_ppm)`.
+    */
+  def stickiness(events: DataFrame): DataFrame = {
+    val dayUsers = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val du = dayUsers.alias("du")
+    val w = dayUsers.select(col("day").as("wday"), col("user_id")).alias("w")
+    val wau = du
+      .select(col("day")).distinct()
+      .join(w, col("wday") >= date_sub(col("day"), 6) && col("wday") <= col("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val dau = dayUsers.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    dau
+      .join(wau, Seq("day"))
+      .select(
+        col("day").cast("string").as("day"),
+        col("dau"),
+        col("wau"),
+        expr("dau * 1000000 div wau").as("stickiness_ppm"))
+  }
+
+  /** [[stickiness]] mirrored. */
+  def stickinessSql(): String =
+    s"""WITH dayu AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM dayu GROUP BY day),
+       |wau AS (SELECT d.day, CAST(count(DISTINCT w.user_id) AS BIGINT) AS wau
+       |        FROM (SELECT DISTINCT day FROM dayu) d
+       |        JOIN dayu w ON w.day >= d.day - INTERVAL 6 DAY AND w.day <= d.day
+       |        GROUP BY d.day)
+       |SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau,
+       |       dau.dau * 1000000 // wau.wau AS stickiness_ppm
+       |FROM dau JOIN wau USING (day)""".stripMargin
+
   /** MAD robust outliers — the median-based companion of the Tukey
     * fences ([[anomalies]]): per event type, median, median absolute
     * deviation, and the count of events whose deviation exceeds
