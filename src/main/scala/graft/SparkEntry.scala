@@ -597,6 +597,14 @@ object SparkEntry {
     // classifier eval: predicted vs stored language, ≤|langs|² rows
     "text_langid_confusion" -> ((s, d) =>
       TextOps.langIdConfusion(docs(s, d)).orderBy(col("actual"), col("pred_lang"))),
+    // redundancy-growth audit: share of never-seen-before shingles per doc
+    "text_novelty" -> ((s, d) => TextOps.noveltyCurve(docs(s, d)).orderBy(col("doc_id"))),
+    // nibble-entropy screen for compressed/encrypted/corrupt payloads
+    "multimodal_entropy" -> ((s, d) =>
+      Multimodal.payloadEntropy(docs(s, d)).orderBy(col("doc_id"))),
+    // hub-hub vs hub-leaf attachment in one Pearson coefficient
+    "graph_assortativity" -> ((s, d) =>
+      GraphOps.assortativity(GraphSource.lineitemEdges(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
     "text_token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(docs(s, d)).orderBy(col("doc_id"))),
@@ -2586,6 +2594,9 @@ object SparkEntry {
       "text_lang_id" -> s"$langIdSql ORDER BY doc_id",
       "text_langid_confusion" ->
         (TextOps.langIdConfusionSql() + "\nORDER BY actual, pred_lang"),
+      "text_novelty" -> (TextOps.noveltyCurveSql() + "\nORDER BY doc_id"),
+      "multimodal_entropy" -> (Multimodal.payloadEntropySql() + "\nORDER BY doc_id"),
+      "graph_assortativity" -> GraphOps.assortativitySql(GraphSource.lineitemEdgesSql),
       "text_quality" -> s"$qualitySql ORDER BY doc_id",
       "split_leakage" ->
         s"SELECT * FROM (${TextOps.splitLeakageSql()}) ORDER BY doc_id",

@@ -1976,6 +1976,67 @@ object GraphOps {
       .select(col("a"), col("b"), coalesce(col("tsup"), lit(0L)).as("sup"))
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the symmetrized undirected edge list — one
+    * number summarizing whether hubs attach to hubs (r > 0, social
+    * graphs) or to leaves (r < 0, technological/bipartite-leaning
+    * graphs). Every sum is an exact 64-bit integer off the degree
+    * join; only the final Pearson expression touches doubles, in one
+    * fixed form both engines evaluate identically.
+    *
+    * Output: one row `(m_ends, r)` (m_ends = 2·|E|, the directed
+    * endpoint count the sums run over).
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val simple = Phys.materialized(
+      edges
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+        .distinct())
+    val und = simple
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(simple.select(col("b").as("src"), col("a").as("dst")))
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    und
+      .join(deg.select(col("id").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("dy")), Seq("dst"))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"),
+        sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(
+        col("m").as("m_ends"),
+        round(
+          (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("r"))
+  }
+
+  /** [[assortativity]] mirrored. */
+  def assortativitySql(edgesSql: String): String =
+    s"""WITH raw AS ($edgesSql),
+       |s AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM raw WHERE src <> dst),
+       |und AS (SELECT a AS src, b AS dst FROM s UNION ALL SELECT b, a FROM s),
+       |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src),
+       |j AS (SELECT dx.deg AS dx, dy.deg AS dy
+       |      FROM und u JOIN deg dx ON dx.id = u.src JOIN deg dy ON dy.id = u.dst),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS m,
+       |             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+       |             CAST(sum(dx * dy) AS BIGINT) AS sxy,
+       |             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+       |             CAST(sum(dy * dy) AS BIGINT) AS syy
+       |      FROM j)
+       |SELECT m AS m_ends,
+       |       round(CAST(m * sxy - sx * sy AS DOUBLE) /
+       |             (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+       |              sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6) AS r
+       |FROM a""".stripMargin
+
   /** HITS hubs & authorities (Kleinberg 1999), in exact micro-unit
     * integer arithmetic: per round, authority = Σ of in-neighbors'
     * hub scores and hub = Σ of out-neighbors' authorities, each

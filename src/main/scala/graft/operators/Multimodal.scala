@@ -451,4 +451,61 @@ object Multimodal {
        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Uniform-nibble entropy threshold for [[payloadEntropy]]'s flag:
+    * 0.9 · ln 16 — a payload above it is nibble-uniform enough to be
+    * compressed/encrypted/corrupt rather than structured media.
+    */
+  val EntropySuspicious = 2.495338
+
+  /** Payload byte-entropy screen — the corrupt/encrypted-blob detector
+    * a media-ingest pipeline runs before any decode attempt (encrypted
+    * or already-compressed payloads are near byte-uniform; structured
+    * media is not). Computed at NIBBLE granularity over the payload's
+    * hex form so the whole histogram is 16 fixed `replace` counts in
+    * one narrow map — no per-byte explode, no shuffle; the Shannon sum
+    * folds the 16 terms in fixed textual order on the 9 dp ln grid.
+    *
+    * Output: `(doc_id, n_nibbles, entropy, suspicious)` (entropy in
+    * nats; uniform = ln 16 ≈ 2.7726).
+    */
+  def payloadEntropy(docs: DataFrame): DataFrame = {
+    val h = upper(hex(encode(col("text"), "utf-8")))
+    val len = length(h).cast("double")
+    val terms = "0123456789ABCDEF".map { c =>
+      val cnt = (length(h) - length(regexp_replace(h, c.toString, ""))).cast("double")
+      when(
+        cnt > 0,
+        -(cnt / len) * round(log(cnt / len), 9)).otherwise(lit(0.0d))
+    }
+    val entropy = terms.reduce(_ + _)
+    docs
+      .select(
+        col("doc_id"),
+        length(h).cast("long").as("n_nibbles"),
+        round(entropy, 6).as("entropy"))
+      .select(
+        col("doc_id"),
+        col("n_nibbles"),
+        col("entropy"),
+        (col("entropy") >= EntropySuspicious).as("suspicious"))
+  }
+
+  /** [[payloadEntropy]] mirrored (DuckDB hexes the utf-8 blob the same
+    * way; replace-count histogram, same fold order).
+    */
+  def payloadEntropySql(): String = {
+    val h = "upper(hex(encode(text)))"
+    val terms = "0123456789ABCDEF"
+      .map { c =>
+        val cnt = s"CAST(length($h) - length(replace($h, '$c', '')) AS DOUBLE)"
+        s"(CASE WHEN $cnt > 0 THEN -($cnt / CAST(length($h) AS DOUBLE)) * " +
+          s"round(ln($cnt / CAST(length($h) AS DOUBLE)), 9) ELSE 0.0 END)"
+      }
+      .mkString("(", " + ", ")")
+    s"""SELECT doc_id, CAST(length($h) AS BIGINT) AS n_nibbles,
+       |       round($terms, 6) AS entropy,
+       |       (round($terms, 6) >= $EntropySuspicious) AS suspicious
+       |FROM documents""".stripMargin
+  }
 }

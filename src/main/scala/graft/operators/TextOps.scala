@@ -1512,6 +1512,57 @@ object TextOps {
        |FROM cum""".stripMargin
   }
 
+  /** Corpus novelty curve: for each document (in doc_id ≅ ingest
+    * order), the share of its distinct word-3-gram shingles never seen
+    * in any EARLIER document — the redundancy-growth audit that tells
+    * a crawl when marginal data stops adding information. First
+    * occurrence per shingle is one min-aggregate; the per-doc novel
+    * count is one join back on the shingle — no pairwise anything.
+    *
+    * Output: `(doc_id, n_shingles, n_novel, novelty_ppm)`; shingle-less
+    * docs carry 0/0/0.
+    */
+  def noveltyCurve(docs: DataFrame): DataFrame = {
+    val inv = Phys.materialized(
+      docs.select(col("doc_id"), explode(Parity.shingles(toks(col("text")))).as("g")))
+    val first = inv.groupBy(col("g")).agg(min(col("doc_id")).as("first_id"))
+    val per = inv
+      .join(first, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    docs
+      .select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("coalesce(n_novel, 0) * 1000000 div greatest(coalesce(n_shingles, 0), 1)")
+          .as("novelty_ppm"))
+  }
+
+  /** [[noveltyCurve]] mirrored. */
+  def noveltyCurveSql(): String = {
+    val toksSql = Parity.tokensSql("text")
+    val sh = Parity.shinglesSql("t")
+    s"""WITH inv AS (
+       |  SELECT doc_id, unnest(s) AS g
+       |  FROM (SELECT doc_id, $sh AS s
+       |        FROM (SELECT doc_id, $toksSql AS t FROM documents))),
+       |first AS (SELECT g, min(doc_id) AS first_id FROM inv GROUP BY g),
+       |per AS (SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |               CAST(sum(CASE WHEN f.first_id = i.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |                 AS n_novel
+       |        FROM inv i JOIN first f USING (g) GROUP BY i.doc_id)
+       |SELECT d.doc_id, coalesce(p.n_shingles, 0) AS n_shingles,
+       |       coalesce(p.n_novel, 0) AS n_novel,
+       |       coalesce(p.n_novel, 0) * 1000000 //
+       |         greatest(coalesce(p.n_shingles, 0), 1) AS novelty_ppm
+       |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+  }
+
   /** Language-ID confusion matrix: [[langId]]'s prediction against the
     * stored `lang` label, `(actual, pred_lang, n)` — the eval read of
     * the classifier (off-diagonal mass = where the heuristic profile
