@@ -605,6 +605,10 @@ object SparkEntry {
     // hub-hub vs hub-leaf attachment in one Pearson coefficient
     "graph_assortativity" -> ((s, d) =>
       GraphOps.assortativity(GraphSource.lineitemEdges(s, d))),
+    // common-neighbor link prediction, hub-capped wedges, TakeOrdered
+    "graph_link_pred" -> ((s, d) =>
+      GraphOps.linkPrediction(GraphSource.lineitemEdges(s, d))
+        .orderBy(col("common").desc, col("a"), col("b"))),
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
     "text_token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(docs(s, d)).orderBy(col("doc_id"))),
@@ -2597,6 +2601,9 @@ object SparkEntry {
       "text_novelty" -> (TextOps.noveltyCurveSql() + "\nORDER BY doc_id"),
       "multimodal_entropy" -> (Multimodal.payloadEntropySql() + "\nORDER BY doc_id"),
       "graph_assortativity" -> GraphOps.assortativitySql(GraphSource.lineitemEdgesSql),
+      "graph_link_pred" ->
+        (s"SELECT * FROM (${GraphOps.linkPredictionSql(GraphSource.lineitemEdgesSql)})\n" +
+          "ORDER BY common DESC, a, b"),
       "text_quality" -> s"$qualitySql ORDER BY doc_id",
       "split_leakage" ->
         s"SELECT * FROM (${TextOps.splitLeakageSql()}) ORDER BY doc_id",

@@ -1976,6 +1976,63 @@ object GraphOps {
       .select(col("a"), col("b"), coalesce(col("tsup"), lit(0L)).as("sup"))
   }
 
+  /** Degree cap for [[linkPrediction]]'s wedge generation: wedges
+    * through a hub are uninformative for link prediction (everyone
+    * shares the hub) and cost deg² — the cap bounds per-node work the
+    * same way the shingle DF cap bounds bucket joins.
+    */
+  val LinkPredMaxDeg = 64L
+
+  /** Common-neighbor link prediction (the classic baseline): the top
+    * NON-adjacent node pairs ranked by shared-neighbor count, wedges
+    * generated only through nodes with degree ≤ [[LinkPredMaxDeg]].
+    * One wedge self-join keyed on the common neighbor + one anti-join
+    * against the edge set + TakeOrdered — never an all-pairs product,
+    * and every wedge center contributes ≤ cap² pairs.
+    *
+    * Output: top `k` rows `(a, b, common)`, ties by (a, b).
+    */
+  def linkPrediction(edges: DataFrame, k: Int = 50): DataFrame = {
+    val simple = Phys.materialized(
+      edges
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+        .distinct())
+    val und = simple
+      .select(col("a").as("id"), col("b").as("nb"))
+      .unionAll(simple.select(col("b").as("id"), col("a").as("nb")))
+    val deg = und.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val capped = und.join(deg.filter(col("deg") <= LinkPredMaxDeg), Seq("id"), "left_semi")
+    val l = capped.select(col("id"), col("nb").as("x")).alias("l")
+    val r = capped.select(col("id"), col("nb").as("y")).alias("r")
+    val wedges = l
+      .join(r, col("l.id") === col("r.id") && col("l.x") < col("r.y"))
+      .groupBy(col("l.x").as("a"), col("r.y").as("b"))
+      .agg(count(lit(1)).as("common"))
+    wedges
+      .join(simple, Seq("a", "b"), "left_anti")
+      .orderBy(col("common").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** [[linkPrediction]] mirrored. */
+  def linkPredictionSql(edgesSql: String, k: Int = 50): String =
+    s"""WITH raw AS ($edgesSql),
+       |s AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM raw WHERE src <> dst),
+       |und AS (SELECT a AS id, b AS nb FROM s UNION ALL SELECT b, a FROM s),
+       |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY id),
+       |capped AS (SELECT u.id, u.nb FROM und u JOIN deg d ON d.id = u.id
+       |           WHERE d.deg <= $LinkPredMaxDeg),
+       |wedges AS (
+       |  SELECT l.nb AS a, r.nb AS b, CAST(count(*) AS BIGINT) AS common
+       |  FROM capped l JOIN capped r ON l.id = r.id AND l.nb < r.nb
+       |  GROUP BY 1, 2)
+       |SELECT w.a, w.b, w.common
+       |FROM wedges w LEFT JOIN s ON s.a = w.a AND s.b = w.b
+       |WHERE s.a IS NULL
+       |ORDER BY w.common DESC, w.a, w.b LIMIT $k""".stripMargin
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over the symmetrized undirected edge list — one
     * number summarizing whether hubs attach to hubs (r > 0, social
