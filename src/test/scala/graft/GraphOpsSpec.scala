@@ -260,6 +260,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Map(7L -> 64L, 8L -> 64L, 9L -> 64L))
   }
 
+  test("kTruss on a triangle-free graph converges to the empty truss") {
+    val path = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0))
+    assert(GraphOps.kTruss(edgesDf(path), k = 3).collect().isEmpty)
+  }
+
+  test("hits: a single edge puts all authority on the head and all hubness on the tail") {
+    val out = GraphOps.hits(edgesDf(Seq((1L, 2L, 1.0))), iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((1000000L, 0L))) // the only hub
+    assert(out(2L) === ((0L, 1000000L))) // the only authority
+  }
+
+  test("linkPrediction: wedges through a capped hub vanish; the shared-neighbor pair ranks") {
+    // c is a normal wedge center: a-c, b-c → predict (a, b).
+    val edges = Seq((10L, 30L, 1.0), (20L, 30L, 1.0))
+    val out = GraphOps.linkPrediction(edgesDf(edges), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((10L, 20L, 1L)))
+    // a hub with deg > cap generates nothing: star of 70 leaves
+    val star = (1L to 70L).map(i => (i, 1000L, 1.0))
+    assert(GraphOps.linkPrediction(edgesDf(star), k = 10).collect().isEmpty)
+  }
+
   test("kTruss: K4 survives a 4-truss peel, the attached triangle is cascaded away") {
     // complete graph on 1..4 (every edge in 2 triangles) plus a pendant
     // triangle {3,4,5} whose new edges sit in only 1 triangle each
