@@ -2046,6 +2046,51 @@ object SparkEntry {
         "s -> CASE WHEN s[1] = s[2] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
         s"(acc, x) -> acc + x) AS DOUBLE) / ${Dedup.MinhashK}.0, 6)"
     val shingleSql = Parity.shinglesSql("t")
+    // per-doc keep verdict CTE body (shared by dedup_verdict and the
+    // pipeline_modern composition — one source of truth for the stack)
+    val verdictDupCtes =
+      s"""mt AS (SELECT text AS t, min(doc_id) AS min_id FROM documents GROUP BY text),
+         |ex AS (SELECT d.doc_id FROM documents d
+         |       JOIN mt ON d.text IS NOT DISTINCT FROM mt.t
+         |       WHERE d.doc_id <> mt.min_id),
+         |sigs AS (
+         |  SELECT doc_id, ${Parity.minhashSigSql(Parity.tokenCodesSql("text"), Dedup.MinhashK)} AS sig FROM documents),
+         |banded AS (
+         |  $bandedUnion),
+         |mh AS (SELECT DISTINCT b.doc_id
+         |       FROM banded a JOIN banded b
+         |         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |        AND a.doc_id < b.doc_id
+         |       WHERE $sigMatch >= 0.5),
+         |sims AS (
+         |  SELECT doc_id, ${Parity.simhashSql(h40s)} AS simhash FROM documents),
+         |chunked AS (
+         |  $chunkedUnion),
+         |sh AS (SELECT DISTINCT b.doc_id
+         |       FROM chunked a JOIN chunked b
+         |         ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+         |        AND a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimhashMaxHamming}),
+         |ngsh AS (SELECT doc_id, lang, ${Parity.shinglesSql("t")} AS s
+         |         FROM (SELECT doc_id, lang, ${Parity.tokensSql("text")} AS t FROM documents)),
+         |nginv AS (SELECT doc_id, lang, unnest(s) AS g FROM ngsh),
+         |ngkeep AS (SELECT lang, g FROM nginv GROUP BY lang, g
+         |           HAVING count(*) <= ${Dedup.MaxShingleDf}),
+         |ngcap AS (SELECT i.doc_id, i.lang, i.g FROM nginv i JOIN ngkeep k USING (lang, g)),
+         |ngsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+         |            FROM ngcap GROUP BY doc_id),
+         |nginter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                   CAST(count(*) AS BIGINT) AS inter
+         |            FROM ngcap a JOIN ngcap b
+         |              ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+         |            GROUP BY 1, 2),
+         |ng AS (SELECT doc_b AS doc_id FROM (
+         |         SELECT i.doc_a, i.doc_b,
+         |                round(CAST(i.inter AS DOUBLE) /
+         |                      (sa.n_sh + sb.n_sh - i.inter), 6) AS jac
+         |         FROM nginter i JOIN ngsizes sa ON sa.doc_id = i.doc_a
+         |                        JOIN ngsizes sb ON sb.doc_id = i.doc_b)
+         |       WHERE jac >= 0.5)""".stripMargin
     val fmt = "'%Y-%m-%d %H:%M:%S'"
     val tumblingSql =
       s"""SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), $fmt) AS ws,
@@ -2156,58 +2201,15 @@ object SparkEntry {
            |  FROM chunked a JOIN chunked b
            |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
            |WHERE hamming <= ${Dedup.SimhashMaxHamming} ORDER BY doc_a, doc_b""".stripMargin,
-      "pipeline_modern" -> {
-        val verdictBody =
-          s"""WITH mt AS (SELECT text AS t, min(doc_id) AS min_id FROM documents GROUP BY text),
-             |ex AS (SELECT d.doc_id FROM documents d
-             |       JOIN mt ON d.text IS NOT DISTINCT FROM mt.t
-             |       WHERE d.doc_id <> mt.min_id),
-             |sigs AS (
-             |  SELECT doc_id, ${Parity.minhashSigSql(codes, Dedup.MinhashK)} AS sig FROM documents),
-             |banded AS (
-             |  $bandedUnion),
-             |mh AS (SELECT DISTINCT b.doc_id
-             |       FROM banded a JOIN banded b
-             |         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-             |        AND a.doc_id < b.doc_id
-             |       WHERE $sigMatch >= 0.5),
-             |sims AS (
-             |  SELECT doc_id, ${Parity.simhashSql(h40s)} AS simhash FROM documents),
-             |chunked AS (
-             |  $chunkedUnion),
-             |sh AS (SELECT DISTINCT b.doc_id
-             |       FROM chunked a JOIN chunked b
-             |         ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
-             |        AND a.doc_id < b.doc_id
-             |       WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimhashMaxHamming}),
-             |ngsh AS (SELECT doc_id, lang, $shingleSql AS s
-             |         FROM (SELECT doc_id, lang, $toks AS t FROM documents)),
-             |nginv AS (SELECT doc_id, lang, unnest(s) AS g FROM ngsh),
-             |ngkeep AS (SELECT lang, g FROM nginv GROUP BY lang, g
-             |           HAVING count(*) <= ${Dedup.MaxShingleDf}),
-             |ngcap AS (SELECT i.doc_id, i.lang, i.g FROM nginv i JOIN ngkeep k USING (lang, g)),
-             |ngsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
-             |            FROM ngcap GROUP BY doc_id),
-             |nginter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |                   CAST(count(*) AS BIGINT) AS inter
-             |            FROM ngcap a JOIN ngcap b
-             |              ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
-             |            GROUP BY 1, 2),
-             |ng AS (SELECT doc_b AS doc_id FROM (
-             |         SELECT i.doc_a, i.doc_b,
-             |                round(CAST(i.inter AS DOUBLE) /
-             |                      (sa.n_sh + sb.n_sh - i.inter), 6) AS jac
-             |         FROM nginter i JOIN ngsizes sa ON sa.doc_id = i.doc_a
-             |                        JOIN ngsizes sb ON sb.doc_id = i.doc_b)
-             |       WHERE jac >= 0.5)
-             |SELECT d.doc_id,
-             |       NOT (d.doc_id IN (SELECT doc_id FROM ex) OR
-             |            d.doc_id IN (SELECT doc_id FROM mh) OR
-             |            d.doc_id IN (SELECT doc_id FROM sh) OR
-             |            d.doc_id IN (SELECT doc_id FROM ng)) AS keep
-             |FROM documents d""".stripMargin
+      "pipeline_modern" ->
         s"""WITH gop AS (${TextOps.gopherRulesSql().replace("\n", "\n  ")}),
-           |vd AS (${verdictBody.replace("\n", "\n  ")}),
+           |vd AS (WITH ${verdictDupCtes.replace("\n", "\n  ")}
+           |  SELECT d.doc_id,
+           |         NOT (d.doc_id IN (SELECT doc_id FROM ex) OR
+           |              d.doc_id IN (SELECT doc_id FROM mh) OR
+           |              d.doc_id IN (SELECT doc_id FROM sh) OR
+           |              d.doc_id IN (SELECT doc_id FROM ng)) AS keep
+           |  FROM documents d),
            |wt AS (${TextOps.dsirWeightsSql().replace("\n", "\n  ")})
            |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
            |       CAST(sum(CASE WHEN gop.pass AND vd.keep AND wt.llr > 0.0
@@ -2216,50 +2218,9 @@ object SparkEntry {
            |                     THEN wt.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
            |FROM documents d JOIN gop USING (doc_id) JOIN vd USING (doc_id)
            |JOIN wt USING (doc_id)
-           |GROUP BY d.lang ORDER BY d.lang""".stripMargin
-      },
+           |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
       "dedup_verdict" ->
-        s"""WITH mt AS (SELECT text AS t, min(doc_id) AS min_id FROM documents GROUP BY text),
-           |ex AS (SELECT d.doc_id FROM documents d
-           |       JOIN mt ON d.text IS NOT DISTINCT FROM mt.t
-           |       WHERE d.doc_id <> mt.min_id),
-           |sigs AS (
-           |  SELECT doc_id, ${Parity.minhashSigSql(codes, Dedup.MinhashK)} AS sig FROM documents),
-           |banded AS (
-           |  $bandedUnion),
-           |mh AS (SELECT DISTINCT b.doc_id
-           |       FROM banded a JOIN banded b
-           |         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-           |        AND a.doc_id < b.doc_id
-           |       WHERE $sigMatch >= 0.5),
-           |sims AS (
-           |  SELECT doc_id, ${Parity.simhashSql(h40s)} AS simhash FROM documents),
-           |chunked AS (
-           |  $chunkedUnion),
-           |sh AS (SELECT DISTINCT b.doc_id
-           |       FROM chunked a JOIN chunked b
-           |         ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
-           |        AND a.doc_id < b.doc_id
-           |       WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimhashMaxHamming}),
-           |ngsh AS (SELECT doc_id, lang, $shingleSql AS s
-           |         FROM (SELECT doc_id, lang, $toks AS t FROM documents)),
-           |nginv AS (SELECT doc_id, lang, unnest(s) AS g FROM ngsh),
-           |ngkeep AS (SELECT lang, g FROM nginv GROUP BY lang, g
-           |           HAVING count(*) <= ${Dedup.MaxShingleDf}),
-           |ngcap AS (SELECT i.doc_id, i.lang, i.g FROM nginv i JOIN ngkeep k USING (lang, g)),
-           |ngsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM ngcap GROUP BY doc_id),
-           |nginter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |                   CAST(count(*) AS BIGINT) AS inter
-           |            FROM ngcap a JOIN ngcap b
-           |              ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
-           |            GROUP BY 1, 2),
-           |ng AS (SELECT doc_b AS doc_id FROM (
-           |         SELECT i.doc_a, i.doc_b,
-           |                round(CAST(i.inter AS DOUBLE) /
-           |                      (sa.n_sh + sb.n_sh - i.inter), 6) AS jac
-           |         FROM nginter i JOIN ngsizes sa ON sa.doc_id = i.doc_a
-           |                        JOIN ngsizes sb ON sb.doc_id = i.doc_b)
-           |       WHERE jac >= 0.5)
+        s"""WITH $verdictDupCtes
            |SELECT d.doc_id,
            |       d.doc_id IN (SELECT doc_id FROM ex) AS exact_dup,
            |       d.doc_id IN (SELECT doc_id FROM mh) AS minhash_dup,
