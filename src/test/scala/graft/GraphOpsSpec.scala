@@ -260,6 +260,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Map(7L -> 64L, 8L -> 64L, 9L -> 64L))
   }
 
+  test("hits: L1 mass is conserved up to per-node truncation on the harness graph") {
+    val edges = Seq(
+      (1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0), (4L, 3L, 1.0), (3L, 5L, 1.0))
+    val rows = GraphOps.hits(edgesDf(edges), iters = 3).collect()
+    val n = rows.length.toLong
+    val hubSum = rows.map(_.getLong(1)).sum
+    val authSum = rows.map(_.getLong(2)).sum
+    // integer division truncates at most 1 micro-unit per node and the
+    // normalizer divides by the exact total, so each side's mass sits in
+    // (1e6 − n, 1e6]
+    assert(hubSum <= 1000000L && hubSum > 1000000L - n, s"hub mass $hubSum")
+    assert(authSum <= 1000000L && authSum > 1000000L - n, s"auth mass $authSum")
+  }
+
   test("kTruss on a triangle-free graph converges to the empty truss") {
     val path = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0))
     assert(GraphOps.kTruss(edgesDf(path), k = 3).collect().isEmpty)

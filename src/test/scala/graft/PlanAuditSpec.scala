@@ -524,6 +524,14 @@ class PlanAuditSpec extends SparkSpec {
     // HITS rounds: edge joins + hash aggregates, never a cartesian
     val hitsPlan = planOf(SparkEntry.queries("graph_hits")(spark, dir))
     assert(!hitsPlan.contains("CartesianProduct"), s"cartesian in HITS:\n$hitsPlan")
+    // the composed modern pipeline inherits every stage's shape —
+    // in particular no stage degrades to an all-pairs product
+    val pmPlan = planOf(SparkEntry.queries("pipeline_modern")(spark, dir))
+    assert(!pmPlan.contains("CartesianProduct"), s"cartesian in pipeline_modern:\n$pmPlan")
+    // link prediction: wedge join keys on the shared neighbor
+    val lpPlan = planOf(SparkEntry.queries("graph_link_pred")(spark, dir))
+    assert(!lpPlan.contains("CartesianProduct"), s"cartesian in link prediction:\n$lpPlan")
+    assert(lpPlan.contains("TakeOrdered"), s"top-k lost its TakeOrdered:\n$lpPlan")
     graft.sources.Staging.cleanup(spark)
   }
 
