@@ -512,6 +512,12 @@ object SparkEntry {
               .otherwise(0L)).as("kept_tokens"))
         .orderBy(col("lang"))
     }),
+    // Hamming-ball index-once/probe-many: arrivals vs the STORED
+    // SimHash chunk index, exact-distance verify, best match per probe
+    "dedup_simhash_stored" -> ((s, d) => {
+      val idx = Dedup.writeSimhashIndex(s, docs(s, d).filter(col("doc_id") < 400L))
+      Dedup.simhashProbeStored(s, docs(s, d), idx, firstNewId = 400L).orderBy(col("doc_id"))
+    }),
     // index-once/probe-many: arrivals vs the STORED band index, best
     // match by exact signature agreement (no re-sign of the corpus)
     "dedup_minhash_stored" -> ((s, d) => {
@@ -2231,6 +2237,27 @@ object SparkEntry {
            |            d.doc_id IN (SELECT doc_id FROM sh) OR
            |            d.doc_id IN (SELECT doc_id FROM ng)) AS keep
            |FROM documents d ORDER BY d.doc_id""".stripMargin,
+      "dedup_simhash_stored" ->
+        s"""WITH sims AS (
+           |  SELECT doc_id, ${Parity.simhashSql(h40s)} AS simhash FROM documents),
+           |chunked AS (
+           |  $chunkedUnion),
+           |cand AS (
+           |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id,
+           |         CAST(bit_count(xor(n.simhash, o.simhash)) AS BIGINT) AS hamming
+           |  FROM chunked n JOIN chunked o
+           |    ON n.chunk_idx = o.chunk_idx AND n.chunk_val = o.chunk_val
+           |   AND n.doc_id >= 400 AND o.doc_id < 400),
+           |best AS (
+           |  SELECT new_id, old_id, hamming FROM (
+           |    SELECT new_id, old_id, hamming,
+           |           row_number() OVER (PARTITION BY new_id
+           |                              ORDER BY hamming, old_id) AS rn
+           |    FROM cand WHERE hamming <= ${Dedup.SimhashMaxHamming}) WHERE rn = 1)
+           |SELECT d.doc_id, b.old_id AS best_old, coalesce(b.hamming, -1) AS hamming
+           |FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+           |LEFT JOIN best b ON b.new_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
       "dedup_minhash_stored" -> {
         val mInt = "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
           "list_transform(list_zip(n.sig, o.sig), " +

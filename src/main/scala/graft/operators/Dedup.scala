@@ -377,6 +377,84 @@ object Dedup {
   /** Default near-dup Hamming cutoff (out of [[graft.functions.Parity.SimBits]]). */
   val SimhashMaxHamming = 10
 
+  /** Persist the chunked SimHash index — the Hamming-ball counterpart
+    * of [[writeMinhashIndex]]: one row per (doc, chunk) with the full
+    * 40-bit fingerprint attached (pigeonhole: any pair within
+    * [[SimhashMaxHamming]] ≤ bits/chunks · (chunks−1) shares at least
+    * one exact chunk, so the bucket join is recall-complete for the
+    * cutoff).
+    */
+  def writeSimhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame): String = {
+    val dir = graft.sources.Staging.freshDir("simhash-index")
+    simhashes(docs)
+      .select(
+        col("doc_id"),
+        col("simhash"),
+        posexplode(array((0 until SimhashChunks).map { i =>
+          shiftright(col("simhash"), i * SimhashChunkBits)
+            .bitwiseAND(lit((1L << SimhashChunkBits) - 1))
+        }: _*)).as(Seq("chunk_idx", "chunk_val")))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Probe arrivals against the STORED SimHash chunk index: fingerprint
+    * + chunks for the probes only, candidates from exact-chunk bucket
+    * collisions against the artifact, exact Hamming verification, best
+    * (lowest-distance, then lowest-id) match per probe as a min-struct
+    * hash aggregate. Probes with no near match keep a sentinel row
+    * (hamming −1).
+    */
+  def simhashProbeStored(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      indexDir: String,
+      firstNewId: Long,
+      maxHamming: Int = SimhashMaxHamming): DataFrame = {
+    val idx = spark.read.parquet(indexDir)
+    val probes = Phys.materialized(
+      simhashes(docs.filter(col("doc_id") >= firstNewId))
+        .select(
+          col("doc_id"),
+          col("simhash"),
+          posexplode(array((0 until SimhashChunks).map { i =>
+            shiftright(col("simhash"), i * SimhashChunkBits)
+              .bitwiseAND(lit((1L << SimhashChunkBits) - 1))
+          }: _*)).as(Seq("chunk_idx", "chunk_val"))))
+    val best = probes
+      .select(
+        col("doc_id").as("new_id"),
+        col("simhash").as("sh_n"),
+        col("chunk_idx"),
+        col("chunk_val"))
+      .join(
+        idx.select(
+          col("doc_id").as("old_id"),
+          col("simhash").as("sh_o"),
+          col("chunk_idx"),
+          col("chunk_val")),
+        Seq("chunk_idx", "chunk_val"))
+      .select(
+        col("new_id"),
+        col("old_id"),
+        bit_count(col("sh_n").bitwiseXOR(col("sh_o"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("new_id"))
+      .agg(min(struct(col("hamming"), col("old_id"))).as("sel"))
+      .select(col("new_id"), col("sel.old_id").as("best_old"), col("sel.hamming").as("hamming"))
+    docs
+      .filter(col("doc_id") >= firstNewId)
+      .select(col("doc_id").as("new_id"))
+      .join(best, Seq("new_id"), "left_outer")
+      .select(
+        col("new_id").as("doc_id"),
+        col("best_old"),
+        coalesce(col("hamming"), lit(-1L)).as("hamming"))
+  }
+
   /** Per-doc 40-bit SimHash fingerprint over 3-gram shingle features.
     * Shingles, not single tokens: token-level features of a small shared
     * vocabulary are nearly identical across documents, which makes every
