@@ -382,6 +382,10 @@ object SparkEntry {
     // fixed-round synchronous label-propagation community detection
     "graph_communities" -> ((s, d) =>
       GraphOps.labelPropagation(GraphSource.layeredEdges(s, d), rounds = 4).orderBy(col("id"))),
+    // the community family's evaluation row: Newman Q from two
+    // order-free integer sums
+    "graph_modularity" -> ((s, d) =>
+      GraphOps.modularity(GraphSource.layeredEdges(s, d))),
     // 48 BFS traversals batched into one bitmask loop (Then et al. VLDB'15)
     "graph_msbfs" -> ((s, d) =>
       GraphOps
@@ -1503,6 +1507,23 @@ object SparkEntry {
        |)
        |SELECT id, min(lab) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Unrolled label-propagation rounds `l0..l4` over a `ud` CTE —
+    * shared by the communities oracle and the modularity oracle (one
+    * source of truth for the partition both score).
+    */
+  private lazy val lpRoundsSql: String = {
+    def round(prev: String, k: Int): String =
+      s"""l$k AS (
+         |  SELECT id, lbl FROM (
+         |    SELECT u.dst AS id, l.lbl,
+         |           row_number() OVER (PARTITION BY u.dst
+         |                              ORDER BY count(*) DESC, l.lbl) AS rn
+         |    FROM ud u JOIN $prev l ON l.id = u.src
+         |    GROUP BY u.dst, l.lbl) WHERE rn = 1)""".stripMargin
+    "l0 AS (SELECT id, id AS lbl FROM (SELECT DISTINCT src AS id FROM ud)),\n" +
+      (1 to 4).map(k => round(s"l${k - 1}", k)).mkString(",\n")
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -1582,25 +1603,16 @@ object SparkEntry {
     // identical answer demanded from the star-contraction variant
     "cc_bigstar" -> ccOracleSql,
     // synchronous LPA, rounds unrolled; argmax via (count desc, label)
-    "graph_communities" -> {
-      def round(prev: String, k: Int): String =
-        s"""l$k AS (
-           |  SELECT id, lbl FROM (
-           |    SELECT u.dst AS id, l.lbl,
-           |           row_number() OVER (PARTITION BY u.dst
-           |                              ORDER BY count(*) DESC, l.lbl) AS rn
-           |    FROM ud u JOIN $prev l ON l.id = u.src
-           |    GROUP BY u.dst, l.lbl) WHERE rn = 1)""".stripMargin
-      val rounds = (1 to 4).map(k => round(s"l${k - 1}", k)).mkString(",\n")
+    "graph_communities" ->
       s"""WITH edges AS (${GraphSource.layeredEdgesSql}),
          |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
          |        FROM edges WHERE src <> dst),
          |ud AS (SELECT a AS src, b AS dst FROM und
          |       UNION ALL SELECT b, a FROM und),
-         |l0 AS (SELECT id, id AS lbl FROM (SELECT DISTINCT src AS id FROM ud)),
-         |$rounds
-         |SELECT id, lbl AS community FROM l4 ORDER BY id""".stripMargin
-    },
+         |$lpRoundsSql
+         |SELECT id, lbl AS community FROM l4 ORDER BY id""".stripMargin,
+    "graph_modularity" ->
+      GraphOps.modularitySql(GraphSource.layeredEdgesSql, lpRoundsSql),
     // bitmask OR-propagation, rounds unrolled on the same distinct edges
     "graph_msbfs" ->
       GraphOps.multiSourceBfsSql(GraphSource.lineitemEdgesSql, nSources = 48, rounds = 4),
