@@ -139,9 +139,21 @@ object Bench {
     val env = s""""sf":"$sfDir","load_start":${r3(loadStart)},"load_end":$loadEnd""" +
       s""","load_max":${r3(loadMax)},"load_wait_sec":$loadWaitSec""" +
       s""","sweep_mode":"$sweepMode","errors":$errors"""
-    println(
+    val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec",$env,"arbiter":${qmap(
-          arbiter)},"queries":${qmap(results)}}""")
+          arbiter)},"queries":${qmap(results)}}"""
+    println(fullLine)
+    // the driver tail-captures only ~2 KB of stdout, so every round's
+    // BENCH_r*.json has "parsed": null and the per-query map survives
+    // only in truncated form — the full machine-parseable artifact is
+    // ALSO written to a repo file (committed per round) so the map is
+    // never lost to the tail window
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
+    try
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
     // the harness tail-captures ~2 KB of output and the full per-query
     // line now exceeds that (r3/r4 records were truncated mid-JSON; r7
     // lost the arbiter map the same way) — everything that must survive

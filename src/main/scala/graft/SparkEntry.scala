@@ -1529,7 +1529,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "kcore_4" -> kcoreUnrolledSql(k = 4, rounds = 6),
-    "ktruss_3" -> GraphOps.kTrussSql(GraphSource.lineitemEdgesSql, k = 3, rounds = 4),
+    "ktruss_3" -> GraphOps.kTrussSql(GraphSource.lineitemEdgesSql, k = 3),
     "graph_clustering_coef" ->
       GraphOps.clusteringCoefficientSql(GraphSource.lineitemEdgesSql),
     "graph_hits" -> GraphOps.hitsSql(GraphSource.lineitemEdgesSql, iters = 3),

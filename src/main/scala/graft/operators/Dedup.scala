@@ -227,8 +227,12 @@ object Dedup {
     * SimHash misses re-orderings), which is the reason pipelines run
     * several.
     *
-    * Thresholds: minhash est-Jaccard ≥ 0.5 (as the integer compare
-    * `2·matches ≥ K` — grid-free), simhash Hamming ≤
+    * Thresholds: minhash est-Jaccard ≥ 0.5 (the rounded
+    * matching-position fraction `round(matches/K, 6)` compared against
+    * 0.5 in both engines — with K = [[MinhashK]] the fraction is a
+    * multiple of 1/K, so the 6-dp rounding can never straddle the
+    * threshold and the compare is equivalent to the integer
+    * `2·matches ≥ K`), simhash Hamming ≤
     * [[SimhashMaxHamming]], n-gram Jaccard ≥ 0.5. Each family keeps
     * its own bucketed physical shape; the verdict adds three left-semi
     * probes and a narrow projection.

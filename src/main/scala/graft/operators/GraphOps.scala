@@ -2142,11 +2142,19 @@ object GraphOps {
         sum(col("dy") * col("dy")).as("syy"))
       .select(
         col("m").as("m_ends"),
-        round(
-          (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-              sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))),
-          6).as("r"))
+        // NULL on a regular graph (all degrees equal ⇒ a variance term
+        // is 0 ⇒ 0/0): a defined sentinel instead of NaN, which Spark
+        // and DuckDB serialize/compare differently in the harness hash
+        when(
+          col("m") * col("sxx") - col("sx") * col("sx") === 0L ||
+            col("m") * col("syy") - col("sy") * col("sy") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))),
+            6))
+          .as("r"))
   }
 
   /** [[assortativity]] mirrored. */
@@ -2165,9 +2173,10 @@ object GraphOps {
        |             CAST(sum(dy * dy) AS BIGINT) AS syy
        |      FROM j)
        |SELECT m AS m_ends,
-       |       round(CAST(m * sxy - sx * sy AS DOUBLE) /
-       |             (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
-       |              sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6) AS r
+       |       CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0 THEN NULL
+       |            ELSE round(CAST(m * sxy - sx * sy AS DOUBLE) /
+       |                       (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+       |                        sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6) END AS r
        |FROM a""".stripMargin
 
   /** HITS hubs & authorities (Kleinberg 1999), in exact micro-unit
@@ -2367,9 +2376,14 @@ object GraphOps {
   /** [[kTruss]] mirrored: `rounds` unrolled peel CTEs (sorted-id
     * triangle enumeration — support is orientation-independent), final
     * support recomputed on the last surviving set. Any unroll count at
-    * or past the fixpoint produces the identical table.
+    * or past the fixpoint produces the identical table — so the default
+    * is 8, comfortably past the harness graphs' ≤ 2-round cascades,
+    * rather than matching the engine's `maxRounds = 30` fixpoint cap
+    * (each unrolled round re-enumerates triangles in DuckDB; a peel
+    * cascade deeper than 8 on new data means raising this constant, and
+    * the parity gate failing loudly is the designed signal for that).
     */
-  def kTrussSql(edgesSql: String, k: Int = 3, rounds: Int = 4): String = {
+  def kTrussSql(edgesSql: String, k: Int = 3, rounds: Int = 8): String = {
     def supCte(prev: String, name: String): String =
       s"""${name}_tri AS MATERIALIZED (
          |  SELECT e1.a AS x, e1.b AS y, e2.b AS z

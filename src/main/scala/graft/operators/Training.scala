@@ -888,6 +888,9 @@ object Training {
     *
     * Output: one row per round —
     * `(round, split_q, n_left, n_right, left_milli, right_milli)`.
+    * A round with no valid split (≤ 1 distinct quantity) stops
+    * boosting; the output then holds only the rounds produced so far,
+    * which is also what the SQL mirror's cascading empty CTEs emit.
     */
   def gbmStumps(lineitem: DataFrame, rounds: Int = GbmRounds): DataFrame = {
     val spark = lineitem.sparkSession
@@ -898,7 +901,10 @@ object Training {
         col("l_quantity").cast("long").as("q"),
         expr("CAST(round(l_extendedprice * 1000) AS BIGINT)").as("y")))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
-    (1 to rounds).foreach { r =>
+    var r = 0
+    var halted = false
+    while (r < rounds && !halted) {
+      r += 1
       val hist = resid
         .groupBy(col("q"))
         .agg(sum(col("y")).as("s"), count(lit(1)).as("n"))
@@ -919,13 +925,20 @@ object Training {
           if (best.isEmpty || score > best.get._1) best = Some((score, t, ls, ln, rs, rn))
         }
       }
-      val (_, t, bls, bln, brs, brn) = best.get
-      val (lm, rm) = (bls / bln, brs / brn) // trunc toward zero ≡ SQL div
-      out += ((r.toLong, t, bln, brn, lm, rm))
-      resid = ckpt(
-        resid.select(
-          col("q"),
-          (col("y") - when(col("q") <= t, lit(lm)).otherwise(lit(rm))).as("y")))
+      best match {
+        // no valid split (≤ 1 distinct quantity, or empty input): stop
+        // boosting and emit the rounds produced so far — the SQL
+        // mirror's empty-b$r CTE cascades to the same prefix, so both
+        // engines agree on degenerate input
+        case None => halted = true
+        case Some((_, t, bls, bln, brs, brn)) =>
+          val (lm, rm) = (bls / bln, brs / brn) // trunc toward zero ≡ SQL div
+          out += ((r.toLong, t, bln, brn, lm, rm))
+          resid = ckpt(
+            resid.select(
+              col("q"),
+              (col("y") - when(col("q") <= t, lit(lm)).otherwise(lit(rm))).as("y")))
+      }
     }
     import spark.implicits._
     out.toSeq.toDF("round", "split_q", "n_left", "n_right", "left_milli", "right_milli")
@@ -953,9 +966,14 @@ object Training {
       modelDir: String): DataFrame = {
     val stumps = spark.read.parquet(modelDir).orderBy(col("round")).collect()
       .map(r => (r.getLong(1), r.getLong(4), r.getLong(5))) // (t, lm, rm)
-    val pred = stumps
-      .map { case (t, lm, rm) => when(col("q") <= t, lit(lm)).otherwise(lit(rm)) }
-      .reduce(_ + _)
+    // an empty artifact (boosting halted before round 1 on degenerate
+    // input) serves the zero model — matches the SQL mirror's empty CTEs
+    val pred =
+      if (stumps.isEmpty) lit(0L)
+      else
+        stumps
+          .map { case (t, lm, rm) => when(col("q") <= t, lit(lm)).otherwise(lit(rm)) }
+          .reduce(_ + _)
     lineitem
       .select(
         col("l_quantity").cast("long").as("q"),

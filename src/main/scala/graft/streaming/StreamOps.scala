@@ -1295,8 +1295,13 @@ class UserDecayProcessor
       else (0L, Long.MinValue, 0.0d)
     rows.toSeq.sortBy { case (_, tus, eid, _) => (tus, eid) }.foreach {
       case (_, tus, _, vm) =>
+        // clamped to [0, 63]: an out-of-order event arriving in a later
+        // micro-batch would otherwise make Δ negative and 2^(−Δ) AMPLIFY
+        // the score instead of decaying it — a late event now folds in
+        // undecayed (dd = 0), the conservative reading until a watermark
+        // reorder buffer fronts this processor
         val dd = if (lastTs == Long.MinValue) 0L
-        else math.min((tus - lastTs) / 86400000000L, 63L)
+        else math.min(math.max(0L, (tus - lastTs) / 86400000000L), 63L)
         s = s / math.pow(2.0, dd.toDouble) + vm.toDouble
         lastTs = tus
         n += 1L
