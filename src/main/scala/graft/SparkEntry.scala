@@ -397,10 +397,16 @@ object SparkEntry {
     // next to the exact ball-size sum (Palmer et al. KDD'02)
     "graph_anf" -> ((s, d) =>
       GraphOps.anf(GraphSource.lineitemEdges(s, d), nSketches = 8, rounds = 2)),
-    // HyperBall harmonic centrality: per-node FM in-ball deltas weighted
-    // 1/h, exact first-reach sum as the verification column
+    // HyperBall harmonic centrality, PRODUCTION read: per-node FM
+    // in-ball deltas weighted 1/h, sketch side only — no (u,v) pair
+    // table anywhere (the exact first-reach verification column is
+    // spec-level, GraphOpsSpec "harmonicCentrality")
     "graph_harmonic" -> ((s, d) =>
       GraphOps.harmonicCentrality(GraphSource.lineitemEdges(s, d), nSketches = 8, rounds = 2)),
+    // ANF's production per-h table: sketch-only N(h) with early exit,
+    // the neighborhood-function read that runs to h = diameter at 100 TB
+    "graph_anf_est" -> ((s, d) =>
+      GraphOps.anfEstimate(GraphSource.lineitemEdges(s, d), nSketches = 8, maxRounds = 8)),
     // landmark embeddings: K batched traversals recording first-arrival
     // rounds — hop distance from every landmark, one edge join per round
     "graph_landmark_dist" -> ((s, d) =>
@@ -1621,6 +1627,10 @@ object SparkEntry {
       GraphOps.anfSql(GraphSource.lineitemEdgesSql, nSketches = 8, rounds = 2),
     "graph_harmonic" ->
       GraphOps.harmonicCentralitySql(GraphSource.lineitemEdgesSql, nSketches = 8, rounds = 2),
+    // sketch-only per-h rows; the engine's early exit mirrored as a
+    // changed-count row condition
+    "graph_anf_est" ->
+      GraphOps.anfEstimateSql(GraphSource.lineitemEdgesSql, nSketches = 8, maxRounds = 8),
     // first-arrival rounds of the batched landmark wave, unrolled
     "graph_landmark_dist" ->
       GraphOps.landmarkDistancesSql(GraphSource.lineitemEdgesSql, nLandmarks = 8, rounds = 4),

@@ -1486,6 +1486,131 @@ object GraphOps {
        |ORDER BY h""".stripMargin
   }
 
+  /** [[anf]]'s PRODUCTION per-h table — sketch side ONLY, the form a
+    * 100 TB user actually runs (Palmer et al. KDD'02 §4): one row per
+    * executed hop `(h, n_pairs_est)`, no exact reach expansion
+    * anywhere (the Σ_u |B(u,h)| pair table that bounds [[anf]]'s
+    * harness rounds is exactly what this entry point avoids — [[anf]]
+    * keeps it as the spec-level verification column). The loop is the
+    * shared adaptive [[maskLoop]] with early exit: round h runs only
+    * while the previous round changed some mask, so on a
+    * small-diameter graph the table stops at saturation instead of
+    * paying `maxRounds` no-op rounds. Per-round cost: one edge join +
+    * one hash aggregate, the estimator sum riding the round
+    * checkpoint as an observed metric (zero per-round actions).
+    */
+  def anfEstimate(edges: DataFrame, nSketches: Int = 8, maxRounds: Int = 8): DataFrame = {
+    require(nSketches >= 1 && nSketches <= 16, s"nSketches in [1,16], got $nSketches")
+    val session = edges.sparkSession
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      val e = edges
+        .select(col("src"), col("dst"))
+        .distinct()
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      val nodes = e
+        .select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+        .distinct()
+      import graft.functions.Parity
+      val hashCols = (0 until nSketches).map { s =>
+        ((lit(Parity.permA(AnfPermOff + s)) * (col("id") % lit(Parity.BigP)) +
+          lit(Parity.permB(AnfPermOff + s))) % lit(Parity.BigP)).as(s"h$s")
+      }
+      val rhoCols = (0 until nSketches).map { s =>
+        when(col(s"h$s") === 0L, lit(31L))
+          .otherwise(length(bin(col(s"h$s"))) - length(rtrim(bin(col(s"h$s")), "0")))
+          .cast("long")
+          .as(s"rho$s")
+      }
+      val maskInit = (0 until nSketches).map(s =>
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(rho$s AS INT))").as(s"m$s"))
+      val seed = nodes
+        .select(col("id") +: hashCols: _*)
+        .select(col("id") +: rhoCols: _*)
+        .select(col("id") +: maskInit: _*)
+      val rSumNew = (0 until nSketches)
+        .map(s => expr(s"CAST(length(bin(n$s ^ (n$s + 1))) - 1 AS BIGINT)"))
+        .reduce(_ + _)
+      val lutArr = array(anfLut(nSketches).map(lit(_)): _*)
+      val estObs = Seq(sum(element_at(lutArr, (rSumNew + 1L).cast("int"))).as("est_s"))
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      maskLoop(e, seed, nSketches, maxRounds, earlyExit = true, freeSuperseded = true, estObs)(
+        _ => (),
+        (h, _, _, metrics) => {
+          val s = metrics("est_s").asInstanceOf[Long]
+          rows += ((h.toLong, (s / 77351L) * 100L + ((s % 77351L) * 100L) / 77351L))
+        })
+      e.unpersist()
+      import session.implicits._
+      rows.toSeq.toDF("h", "n_pairs_est").orderBy(col("h"))
+    }
+  }
+
+  /** [[anfEstimate]] mirrored, with the engine's EARLY EXIT mirrored
+    * as a row condition: the engine emits row h only while the
+    * previous round changed some mask (the changed set is absorbing —
+    * once empty it stays empty), so the oracle emits row h iff h = 1
+    * or `changed(h−1) > 0`, where changed(k) counts ids whose mask
+    * tuple differs between rounds k and k−1.
+    */
+  def anfEstimateSql(edgesSql: String, nSketches: Int = 8, maxRounds: Int = 8): String = {
+    import graft.functions.Parity
+    val ss = 0 until nSketches
+    val hashes = ss
+      .map(s =>
+        s"(${Parity.permA(AnfPermOff + s)} * (id % ${Parity.BigP}) + " +
+          s"${Parity.permB(AnfPermOff + s)}) % ${Parity.BigP} AS h$s")
+      .mkString(", ")
+    val seedMasks = ss
+      .map(s =>
+        s"CAST(1 AS BIGINT) << (CASE WHEN h$s = 0 THEN 31 " +
+          s"ELSE length(bin(h$s)) - length(rtrim(bin(h$s), '0')) END) AS m$s")
+      .mkString(", ")
+    val mCols = ss.map(s => s"m$s").mkString(", ")
+    val orAgg = ss.map(s => s"bit_or(m$s) AS m$s").mkString(", ")
+    val maskRounds = (1 to maxRounds)
+      .map { k =>
+        s"""b$k AS MATERIALIZED (
+           |  SELECT id, $orAgg FROM (
+           |    SELECT id, $mCols FROM b${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS id, $mCols FROM b${k - 1} m JOIN e ON m.id = e.src)
+           |  GROUP BY id)""".stripMargin
+      }
+      .mkString(",\n")
+    val anyDiff = ss.map(s => s"x.m$s <> y.m$s").mkString(" OR ")
+    val changedCtes = (1 until maxRounds)
+      .map(k =>
+        s"""ch$k AS (SELECT count(*) AS c
+           |         FROM b$k x JOIN b${k - 1} y ON x.id = y.id WHERE $anyDiff)""".stripMargin)
+      .mkString(",\n")
+    val rSumSql = ss
+      .map(s => s"(length(bin(xor(m$s, m$s + 1))) - 1)")
+      .mkString(" + ")
+    val lutSql = anfLut(nSketches).mkString("[", ", ", "]")
+    val sumSql = s"CAST(sum($lutSql[($rSumSql) + 1]) AS BIGINT)"
+    val hRows = (1 to maxRounds)
+      .map { h =>
+        val cond = if (h == 1) "" else s" WHERE (SELECT c FROM ch${h - 1}) > 0"
+        s"""SELECT CAST($h AS BIGINT) AS h,
+           |       (SELECT ($sumSql // 77351) * 100 +
+           |               (($sumSql % 77351) * 100) // 77351 FROM b$h) AS n_pairs_est$cond""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH raw AS ($edgesSql),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT id, $hashes FROM nodes),
+       |b0 AS (SELECT id, $seedMasks FROM h0),
+       |$maskRounds,
+       |$changedCtes
+       |$hRows
+       |ORDER BY h""".stripMargin
+  }
+
   /** Harmonic centrality, estimated per node from the [[anf]] FM
     * sketches (the HyperBall read — Boldi & Vigna 2013, "In-Core
     * Computation of Geometric Centralities with HyperBall"):
@@ -1497,20 +1622,33 @@ object GraphOps {
     * the per-node harmonic sum accumulates the ball DELTA weighted
     * 1/h in exact micro-unit integer arithmetic (`(est_h − est_{h−1})
     * · 1000 div h` over milli-unit ball estimates), so every value is
-    * bit-identical cross-engine. The EXACT harmonic sum rides along
-    * from the frontier-advanced reach table (first-reach counts per u
-    * and h) as the verification column, [[anf]]-style — it bounds the
-    * harness `rounds`; at scale you run only the sketch side, to
-    * h = diameter, with K longs per node.
+    * bit-identical cross-engine.
+    *
+    * PRODUCTION mode (`exact = false`, the shipped `graph_harmonic`
+    * query): sketch side ONLY — K longs per node, one edge join + one
+    * |V|-row accumulation join per round, early exit once the wave
+    * passes (result-identical: frozen masks contribute zero delta, so
+    * the fixed-unroll oracle still hash-matches wherever the loop
+    * stops). Run to h = diameter at any corpus size; no (u, v) pair
+    * table exists anywhere in the execution.
+    *
+    * VERIFY mode (`exact = true`, spec-level only — the
+    * `ann_*_recall` discipline): the EXACT harmonic sum rides along
+    * from a frontier-advanced first-reach pair table as a
+    * verification column. That table is Σ_u |B(u,h)| pairs — the
+    * scale-killer the production mode exists to avoid — so it is
+    * exercised in `GraphOpsSpec` on toy graphs, never shipped in a
+    * query.
     *
     * Output: the [[topK]] most central nodes —
-    * `(id, harm_est_micro, harm_exact_micro)`, ties by id.
+    * `(id, harm_est_micro[, harm_exact_micro])`, ties by id.
     */
   def harmonicCentrality(
       edges: DataFrame,
       nSketches: Int = 8,
       rounds: Int = 2,
-      topK: Int = 100): DataFrame = {
+      topK: Int = 100,
+      exact: Boolean = false): DataFrame = {
     require(nSketches >= 1 && nSketches <= 16, s"nSketches in [1,16], got $nSketches")
     val session = edges.sparkSession
     val parts = loopPartitions(session, edges.count())
@@ -1552,11 +1690,18 @@ object GraphOps {
       val lutArr = array(anfLut(nSketches).map(lit(_)): _*)
       val estCol = element_at(lutArr, (rSum + 1L).cast("int"))
       var harm: DataFrame = null
-      // exact first-reach state, [[anf]]'s frontier/anti-join form
-      var reach = ckpt(nodes.select(col("id").as("u"), col("id").as("v")))
-      var frontier = reach
-      var harmEx = ckpt(nodes.select(col("id"), lit(0L).as("ex_u")))
-      maskLoop(e, seed, nSketches, rounds, earlyExit = false, freeSuperseded = true)(
+      // exact first-reach state, [[anf]]'s frontier/anti-join form —
+      // built ONLY in verify mode (the pair table is the quadratic term
+      // production must never pay)
+      var reach: DataFrame = null
+      var frontier: DataFrame = null
+      var harmEx: DataFrame = null
+      if (exact) {
+        reach = ckpt(nodes.select(col("id").as("u"), col("id").as("v")))
+        frontier = reach
+        harmEx = ckpt(nodes.select(col("id"), lit(0L).as("ex_u")))
+      }
+      maskLoop(e, seed, nSketches, rounds, earlyExit = !exact, freeSuperseded = true)(
         st => harm = ckpt(st.select(col("id"), estCol.as("prev"), lit(0L).as("est_u"))),
         (h, state, _, _) => {
           // sketch side: ball delta, 1/h-weighted, exact integer micro
@@ -1567,43 +1712,55 @@ object GraphOps {
                 col("id"),
                 col("cur").as("prev"),
                 (col("est_u") + expr(s"(cur - prev) * 1000 div $h")).as("est_u")))
-          // exact side: nodes first reaching u this round contribute 1/h
-          val newPairs = ckpt(
-            frontier
-              .join(e, frontier("v") === e("src"))
-              .select(frontier("u"), e("dst").as("v"))
-              .distinct()
-              .join(reach, Seq("u", "v"), "left_anti"))
-          val cnts = newPairs.groupBy(col("v").as("id")).agg(count(lit(1)).as("c"))
-          harmEx = ckpt(
-            harmEx
-              .join(cnts, Seq("id"), "left_outer")
-              .select(
-                col("id"),
-                (col("ex_u") + expr(s"coalesce(c, 0) * 1000000 div $h")).as("ex_u")))
-          reach = reach.unionByName(newPairs)
-          frontier = newPairs
+          if (exact) {
+            // exact side: nodes first reaching u this round contribute 1/h
+            val newPairs = ckpt(
+              frontier
+                .join(e, frontier("v") === e("src"))
+                .select(frontier("u"), e("dst").as("v"))
+                .distinct()
+                .join(reach, Seq("u", "v"), "left_anti"))
+            val cnts = newPairs.groupBy(col("v").as("id")).agg(count(lit(1)).as("c"))
+            harmEx = ckpt(
+              harmEx
+                .join(cnts, Seq("id"), "left_outer")
+                .select(
+                  col("id"),
+                  (col("ex_u") + expr(s"coalesce(c, 0) * 1000000 div $h")).as("ex_u")))
+            reach = reach.unionByName(newPairs)
+            frontier = newPairs
+          }
         })
       e.unpersist()
-      harm
-        .join(harmEx, Seq("id"))
-        .select(col("id"), col("est_u").as("harm_est_micro"), col("ex_u").as("harm_exact_micro"))
+      val base =
+        if (exact)
+          harm
+            .join(harmEx, Seq("id"))
+            .select(
+              col("id"),
+              col("est_u").as("harm_est_micro"),
+              col("ex_u").as("harm_exact_micro"))
+        else harm.select(col("id"), col("est_u").as("harm_est_micro"))
+      base
         .orderBy(col("harm_est_micro").desc, col("id"))
         .limit(topK)
     }
   }
 
-  /** [[harmonicCentrality]] mirrored: the [[anfSql]] mask/reach round
-    * CTEs with per-node readouts — per-h ball-estimate tables joined on
-    * id for the sketch sum, per-h first-reach counts (EXCEPT of
-    * consecutive reach sets) for the exact sum, the same integer
-    * micro-unit weighting.
+  /** [[harmonicCentrality]] mirrored: the [[anfSql]] mask round CTEs
+    * with per-node readouts — per-h ball-estimate tables joined on id
+    * for the sketch sum, the same integer micro-unit weighting. In
+    * verify mode (`exact = true`) per-h first-reach counts (EXCEPT of
+    * consecutive reach sets) additionally mirror the exact sum. The
+    * fixed unroll agrees with the engine's early exit: a frozen mask
+    * round contributes a zero delta.
     */
   def harmonicCentralitySql(
       edgesSql: String,
       nSketches: Int = 8,
       rounds: Int = 2,
-      topK: Int = 100): String = {
+      topK: Int = 100,
+      exact: Boolean = false): String = {
     import graft.functions.Parity
     val ss = 0 until nSketches
     val hashes = ss
@@ -1659,18 +1816,26 @@ object GraphOps {
       .map(k => s"coalesce(c$k.c, 0) * 1000000 // $k")
       .mkString(" + ")
     val exJoins = (1 to rounds).map(k => s"LEFT JOIN c$k USING (id)").mkString(" ")
+    val exactCtes =
+      if (exact)
+        s""",
+           |r0 AS (SELECT id AS u, id AS v FROM nodes),
+           |$reachRounds,
+           |$firstReach""".stripMargin
+      else ""
+    val selectCols =
+      if (exact) s"id, $estSum AS harm_est_micro, $exSum AS harm_exact_micro"
+      else s"id, $estSum AS harm_est_micro"
+    val fromJoins = if (exact) s"nodes $estJoins $exJoins" else s"nodes $estJoins"
     s"""WITH raw AS ($edgesSql),
        |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
        |h0 AS (SELECT id, $hashes FROM nodes),
        |b0 AS (SELECT id, $seedMasks FROM h0),
        |$maskRounds,
-       |r0 AS (SELECT id AS u, id AS v FROM nodes),
-       |$reachRounds,
-       |$estTables,
-       |$firstReach
-       |SELECT id, $estSum AS harm_est_micro, $exSum AS harm_exact_micro
-       |FROM nodes $estJoins $exJoins
+       |$estTables$exactCtes
+       |SELECT $selectCols
+       |FROM $fromJoins
        |ORDER BY harm_est_micro DESC, id LIMIT $topK""".stripMargin
   }
 

@@ -309,9 +309,13 @@ class GraphOpsSpec extends SparkSpec {
   }
 
   test("harmonicCentrality: the star hub ranks first; exact sum matches 1/h by hand") {
-    // leaves 1..6 all point at hub 10; a 2-hop tail 7→1→10
+    // leaves 1..6 all point at hub 10; a 2-hop tail 7→1→10.
+    // exact = true is the VERIFY mode: the first-reach pair table rides
+    // along as the verification column — spec-level only, the shipped
+    // graph_harmonic query runs the sketch side alone
     val edges = (1L to 6L).map(i => (i, 10L, 1.0)) :+ ((7L, 1L, 1.0))
-    val out = GraphOps.harmonicCentrality(edgesDf(edges), nSketches = 8, rounds = 2, topK = 8)
+    val out = GraphOps
+      .harmonicCentrality(edgesDf(edges), nSketches = 8, rounds = 2, topK = 8, exact = true)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // hub: 6 in-neighbors at h=1, node 7 at h=2 → 6/1 + 1/2 = 6.5
@@ -322,6 +326,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(exact(7L) === 0L) // nothing reaches 7
     // estimates are nonneg and the hub's dominates every leaf's
     assert(out.forall(_._2 >= 0L))
+    // the PRODUCTION (sketch-only) mode returns the identical estimate
+    // column — dropping the exact side-car changes no published value
+    val prod = GraphOps
+      .harmonicCentrality(edgesDf(edges), nSketches = 8, rounds = 2, topK = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(prod.toSeq === out.map(r => (r._1, r._2)).toSeq)
+  }
+
+  test("anfEstimate: sketch-only per-h rows equal anf's estimate column; early exit caps rows") {
+    // 3-chain 1→2→3 plus 4→2: diameter 2, so the changed set empties
+    // and the loop must stop well before maxRounds = 8
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (4L, 2L, 1.0))
+    val est = GraphOps.anfEstimate(edgesDf(edges), nSketches = 8, maxRounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val full = GraphOps.anf(edgesDf(edges), nSketches = 8, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(est.length <= 3, s"early exit did not fire: ${est.toSeq}")
+    // on the rounds both ran, the estimates are bit-identical
+    full.foreach { case (h, n) =>
+      assert(est.toMap.apply(h) === n, s"h=$h diverged: est=${est.toSeq} full=${full.toSeq}")
+    }
   }
 
   test("triangleCount counts each triangle once, ignores dups and self-loops") {

@@ -535,6 +535,44 @@ class PlanAuditSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("graph_harmonic / graph_anf_est ship sketch-only: no (u,v) pair join in ANY executed plan") {
+    // the exact first-reach side-car advances by a LeftAnti join of the
+    // frontier expansion against the reach pair table — the quadratic
+    // term the production queries must never execute. Every plan the
+    // query runs (the loop's per-round checkpoints included) is captured
+    // via a QueryExecutionListener and checked.
+    val plans = new scala.collection.mutable.ArrayBuffer[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Seq("graph_harmonic", "graph_anf_est").foreach { q =>
+        plans.synchronized(plans.clear())
+        val out = SparkEntry.queries(q)(spark, dir)
+        out.collect()
+        // the listener bus is async — give in-flight callbacks a moment
+        Thread.sleep(2000)
+        val all = plans.synchronized(plans.toSeq)
+        assert(all.nonEmpty, s"$q: listener captured no plans")
+        all.foreach { p =>
+          assert(!p.contains("LeftAnti"), s"$q executed a pair-table anti join:\n$p")
+          assert(!p.contains("CartesianProduct"), s"$q executed a cartesian:\n$p")
+        }
+        // and the published schema carries no exact column
+        assert(!out.columns.contains("harm_exact_micro") && !out.columns.contains("n_pairs_exact"))
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("tok_unigram_stored serving joins the broadcast artifact — no DP columns in the plan") {
     val docsDf = model.table(spark, dir, "documents")
     val modelDir = graft.operators.Tokenization.writeUnigramModel(spark, docsDf)
