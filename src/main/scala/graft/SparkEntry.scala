@@ -804,6 +804,13 @@ object SparkEntry {
       val model = TextOps.writeBm25Model(s, docs(s, d))
       TextOps.bm25ApplyStored(s, docs(s, d), model, nTerms = 3, k = 20)
     }),
+    // EXTERNAL-query BM25: the user's search terms as a runtime
+    // parameter against the same stored artifact (one unseen term
+    // drops out via the vocabulary join) — one corpus crossing
+    "text_bm25_query" -> ((s, d) => {
+      val model = TextOps.writeBm25Model(s, docs(s, d))
+      TextOps.bm25QueryStored(s, docs(s, d), model, Bm25QueryTerms, k = 20)
+    }),
     "emb_centroids" -> ((s, d) =>
       Similarity.labelCentroids(embs(s, d)).orderBy(col("label"), col("dim"))),
     // contrastive hard-negative mining: per query, the most-similar
@@ -1960,6 +1967,12 @@ object SparkEntry {
     * arriving stream. 400 of 500 harness vectors are static at every SF.
     */
   private val EmbStreamFirstNew = 400L
+
+  /** The external BM25 search: two in-vocabulary terms plus one the
+    * index has never seen (drops out via the vocabulary join — the
+    * OOV path exercised on every run).
+    */
+  private val Bm25QueryTerms = Seq("hash", "scan", "zzznosuchterm")
 
   /** First streaming-ingest event id for the anomaly gate: events below
     * are the historical slice the Tukey fences are computed over; at-or-
@@ -3240,6 +3253,7 @@ object SparkEntry {
       // the stored model reproduces the training tables (pinned by the
       // planted-model spec); the oracle proves the scores
       "text_bm25_stored" -> TextOps.bm25TopKSql(nTerms = 3, k = 20),
+      "text_bm25_query" -> TextOps.bm25QueryStoredSql(Bm25QueryTerms, k = 20),
       "text_tfidf" ->
         s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
            |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),

@@ -281,6 +281,71 @@ object TextOps {
     bm25Fold(scored, k)
   }
 
+  /** EXTERNAL-QUERY BM25 over the STORED model — the actual retrieval
+    * entry point: query terms arrive as a runtime parameter (a user's
+    * search), df comes from the artifact's vocabulary (terms the index
+    * has never seen drop out — they would contribute idf of the whole
+    * corpus for tf 0 anyway), corpus stats from the artifact's stats
+    * row. The plan is strictly cheaper than [[bm25TopK]]'s
+    * self-derived query: the corpus's exploded terms semi-reduce to
+    * the ≤ |terms| broadcast list BEFORE the tf aggregate, there is no
+    * vocabulary-wide df aggregate, and the corpus is crossed exactly
+    * once. At 100 TB this is the per-query cost of serving search over
+    * an indexed corpus: one filtered scan + one bounded aggregate.
+    */
+  def bm25QueryStored(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      modelDir: String,
+      queryTerms: Seq[String],
+      k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25QueryStored needs at least one query term")
+    val m = spark.read.parquet(modelDir)
+    val q = m
+      .filter(col("term").isInCollection(queryTerms))
+      .select(col("term"), col("df"))
+    val stats = m
+      .filter(col("term").isNull)
+      .select(col("n_docs").cast("double").as("n"), col("tot_tokens").cast("double").as("tot"))
+    val scored = docs
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).cast("long").as("dl"),
+        explode(toks(col("text"))).as("term"))
+      .join(broadcast(q), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"), first(col("df")).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), bm25ScoreCol.as("s"))
+    bm25Fold(scored, k)
+  }
+
+  /** [[bm25QueryStored]]'s oracle: the same retrieval with the model
+    * retrained inline (vocabulary df + stats CTEs) and the query list
+    * as literals — unseen terms drop out via the vocabulary join.
+    */
+  def bm25QueryStoredSql(queryTerms: Seq[String], k: Int = 20): String = {
+    val toks = Parity.tokensSql("text")
+    val termList = queryTerms.map(t => s"'${t.replace("'", "''")}'").mkString("(", ", ", ")")
+    s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl,
+       |                  unnest($toks) AS term FROM documents),
+       |tf0 AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM t GROUP BY 1, 2),
+       |dfx AS (SELECT term, count(*) AS df FROM tf0 GROUP BY 1),
+       |q AS (SELECT term, df FROM dfx WHERE term IN $termList),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |              CAST(sum(len($toks)) AS DOUBLE) AS tot FROM documents),
+       |sc AS (SELECT doc_id, term,
+       |              round(ln(1.0 + (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |                    * (CAST(tf AS DOUBLE) * $Bm25K1Plus1)
+       |                    / (CAST(tf AS DOUBLE) + $Bm25K1 * ($Bm25OneMinusB + $Bm25B * CAST(dl AS DOUBLE) / (tot / n))), 9) AS s
+       |       FROM tf0 JOIN q USING (term) CROSS JOIN st)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+       |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY term)),
+       |                         (acc, x) -> acc + x), 6) AS bm25
+       |FROM sc GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** DuckDB oracle for [[bm25TopK]] — same literals, same operation tree,
     * same ordered per-doc fold.
     */

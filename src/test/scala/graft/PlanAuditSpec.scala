@@ -489,6 +489,13 @@ class PlanAuditSpec extends SparkSpec {
       .split("== Initial Plan ==")(0)
     val generates = bmsPlan.split("\n").count(_.contains("Generate"))
     assert(generates === 1, s"stored-BM25 serving must explode the corpus once, saw $generates:\n$bmsPlan")
+    // external-query BM25: same single-crossing serving shape — one
+    // Generate, the ≤|terms| query list broadcast, top-k a TakeOrdered
+    val bmqPlan = planOf(SparkEntry.queries("text_bm25_query")(spark, dir))
+      .split("== Initial Plan ==")(0)
+    val qGenerates = bmqPlan.split("\n").count(_.contains("Generate"))
+    assert(qGenerates === 1, s"query-BM25 serving must explode the corpus once, saw $qGenerates:\n$bmqPlan")
+    assert(bmqPlan.contains("TakeOrderedAndProject"), s"query-BM25 top-k is a full sort:\n$bmqPlan")
     graft.sources.Staging.cleanup(spark)
   }
 
