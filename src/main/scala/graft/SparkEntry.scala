@@ -498,6 +498,11 @@ object SparkEntry {
     // per-doc ensemble verdict across the whole near-dup stack — the
     // which-detector-fires audit before clustering
     "dedup_verdict" -> ((s, d) => Dedup.verdict(docs(s, d)).orderBy(col("doc_id"))),
+    // the SIX-detector cross-modality audit: the four text families
+    // plus the pHash media detector and the SemDeDup embedding
+    // detector, one keep conjunction per document
+    "dedup_verdict_multimodal" -> ((s, d) =>
+      Dedup.verdictMultimodal(docs(s, d), embs(s, d)).orderBy(col("doc_id"))),
     // the MODERN curation recipe composed end-to-end: heuristic rules
     // (Gopher) ∧ ensemble dedup keep ∧ DSIR importance (llr > 0), per
     // lang — each stage the already-verified operator; the composition
@@ -2260,6 +2265,24 @@ object SparkEntry {
            |FROM documents d JOIN gop USING (doc_id) JOIN vd USING (doc_id)
            |JOIN wt USING (doc_id)
            |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+      "dedup_verdict_multimodal" ->
+        s"""WITH vd AS (WITH ${verdictDupCtes.replace("\n", "\n  ")}
+           |  SELECT d.doc_id,
+           |         d.doc_id IN (SELECT doc_id FROM ex) AS exact_dup,
+           |         d.doc_id IN (SELECT doc_id FROM mh) AS minhash_dup,
+           |         d.doc_id IN (SELECT doc_id FROM sh) AS simhash_dup,
+           |         d.doc_id IN (SELECT doc_id FROM ng) AS ngram_dup
+           |  FROM documents d),
+           |ph AS (${Multimodal.phashDupDocIdsSql.replace("\n", "\n  ")}),
+           |sem AS (${semanticDedupOracleSql.replace("\n", "\n  ")})
+           |SELECT v.doc_id, v.exact_dup, v.minhash_dup, v.simhash_dup, v.ngram_dup,
+           |       v.doc_id IN (SELECT doc_id FROM ph) AS phash_dup,
+           |       coalesce(s.is_dup, false) AS semantic_dup,
+           |       NOT (v.exact_dup OR v.minhash_dup OR v.simhash_dup OR v.ngram_dup OR
+           |            v.doc_id IN (SELECT doc_id FROM ph) OR
+           |            coalesce(s.is_dup, false)) AS keep
+           |FROM vd v LEFT JOIN sem s ON s.vec_id = v.doc_id
+           |ORDER BY v.doc_id""".stripMargin,
       "dedup_verdict" ->
         s"""WITH $verdictDupCtes
            |SELECT d.doc_id,

@@ -273,6 +273,52 @@ object Dedup {
           coalesce(col("ngram_dup"), lit(false)))).as("keep"))
   }
 
+  /** Cross-MODALITY ensemble verdict — [[verdict]] extended with the
+    * media and embedding detectors: per document, which of SIX
+    * families flags it as the higher-id side of a qualifying pair —
+    * the four text detectors (exact / MinHash / SimHash / n-gram),
+    * the perceptual-hash media detector
+    * ([[Multimodal.phashDedup]] over the binary-payload stand-in), and
+    * the SemDeDup embedding detector ([[semanticDedup]], which
+    * catches paraphrases sharing no shingle at all). `keep` is the
+    * conjunction. This is the full which-detector-fires audit a
+    * curation team reads: exact misses paraphrase, MinHash misses
+    * short docs, SimHash misses re-orderings, pHash only sees the
+    * media column, semantic only the embedding geometry.
+    *
+    * The harness embedding table is document-aligned (`vec_id` =
+    * `doc_id` row-for-row), so the semantic flag joins straight on
+    * the id; a corpus with its own vector-id space would pass the
+    * (doc_id, vec_id) bridge table through the same join.
+    *
+    * Scale shape: each family keeps its own bucketed/cell-blocked
+    * physical plan (nothing here adds an all-pairs term); the verdict
+    * itself is six narrow left joins on doc_id.
+    */
+  def verdictMultimodal(
+      docs: DataFrame,
+      embs: DataFrame,
+      minCosine: Double = 0.4): DataFrame = {
+    val text = verdict(docs).drop("keep")
+    val phDup = Multimodal
+      .phashDedup(docs)
+      .select(col("b_id").as("doc_id"))
+      .distinct()
+      .select(col("doc_id"), lit(true).as("phash_dup"))
+    val semDup = semanticDedup(embs, minCosine)
+      .filter(col("is_dup"))
+      .select(col("vec_id").as("doc_id"), lit(true).as("semantic_dup"))
+    val flags = Seq("exact_dup", "minhash_dup", "simhash_dup", "ngram_dup",
+      "phash_dup", "semantic_dup")
+    text
+      .join(phDup, Seq("doc_id"), "left_outer")
+      .join(semDup, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id") +:
+          flags.map(f => coalesce(col(f), lit(false)).as(f)) :+
+          (!flags.map(f => coalesce(col(f), lit(false))).reduce(_ || _)).as("keep"): _*)
+  }
+
   /** Persist the banded MinHash signature index — the text-side
     * index-once/probe-many artifact (the BM25/pHash stored-index
     * discipline applied to near-dup candidates): one row per

@@ -410,6 +410,19 @@ object Multimodal {
   private def phashHammingSql(a: String, b: String): String =
     (0 until PhashBands).map(j => s"bit_count(xor($a.b$j, $b.b$j))").mkString(" + ")
 
+  /** The HIGHER-id side of every [[phashDedup]] pair as a standalone
+    * SELECT (own WITH chain — nestable as a CTE body without name
+    * collisions): the media detector's per-document dup flag for the
+    * cross-modality ensemble verdict.
+    */
+  def phashDupDocIdsSql: String =
+    s"""WITH $phashCoreCtes
+       |SELECT DISTINCT b.doc_id
+       |FROM keep a JOIN keep b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       | AND a.doc_id < b.doc_id
+       |WHERE ${phashHammingSql("a", "b")} <= $PhashMaxHamming""".stripMargin
+
   /** DuckDB oracle for [[phashDedup]] — same pixels, bits, bands,
     * bucket cap, and Hamming verification.
     */

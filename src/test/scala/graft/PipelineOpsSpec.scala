@@ -284,6 +284,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m2(0).getDouble(3) === 1.0, "identical docs match on every signature position")
   }
 
+  test("multimodal verdict: six flags agree with their family detectors; keep is the conjunction") {
+    import graft.operators.Multimodal
+    val docs = model.table(spark, dir, "documents")
+    val embs = model.table(spark, dir, "embeddings")
+    val out = Dedup.verdictMultimodal(docs, embs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
+      .toMap
+    assert(out.size === docs.count(), "one row per document")
+    // each modality column is exactly its family detector's flag set
+    val phExpected = Multimodal.phashDedup(docs)
+      .select(col("b_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(out.filter(_._2._5).keySet === phExpected, "phash_dup mismatch")
+    val semExpected = Dedup.semanticDedup(embs, minCosine = 0.4)
+      .filter(col("is_dup")).collect().map(_.getLong(0)).toSet
+    assert(out.filter(_._2._6).keySet === semExpected, "semantic_dup mismatch")
+    // the text flags match the text-only verdict, and keep is the NOR
+    val textV = Dedup.verdict(docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+    out.foreach { case (id, (ex, mh, sh, ng, ph, sem, keep)) =>
+      assert((ex, mh, sh, ng) === textV(id), s"text flags diverged for doc $id")
+      assert(keep === !(ex || mh || sh || ng || ph || sem), s"keep wrong for doc $id")
+    }
+    // the extra modalities must add information on the harness corpus:
+    // some doc is flagged ONLY by phash or semantic
+    assert(out.values.exists { case (ex, mh, sh, ng, ph, sem, _) =>
+      !(ex || mh || sh || ng) && (ph || sem)
+    }, "no document flagged by media/embedding detectors alone — ensemble adds nothing")
+  }
+
   test("incremental dedup: verbatim re-ingest flags exact + near; fresh content flags neither") {
     import spark.implicits._
     val stored = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
