@@ -557,24 +557,24 @@ object StreamOps {
     * (build-nightly / gate-arrivals, like [[docQualityGateOverParquet]]).
     *
     * Exact, not sketch-based: the static side IS the exact shingle set,
-    * so there are no false positives to remove. At 100 TB the same plan
-    * takes a Bloom prefilter in front of the semi join (the
-    * [[graft.operators.BloomJoin]] pattern) — the sketch trims the
-    * exploded shingle stream before the exchange; the exact join after it
-    * keeps the gate exact.
+    * so there are no false positives to remove — a BLOOM PREFILTER of
+    * the store fronts the semi join (the [[graft.operators.BloomJoin]]
+    * pattern): the sketch is built once from the materialized store
+    * (O(bits), a literal in the streaming plan — no broadcast exchange,
+    * no state) and trims each arrival's exploded shingles BEFORE
+    * anything else touches them; the exact join after it removes the
+    * sketch's false positives, so the published rows are unchanged and
+    * the oracle needs no Bloom mirror. At 100 TB the store outgrows the
+    * broadcast join but the sketch stays a few MB — the prefilter is
+    * what keeps the per-arrival work sublinear in the store.
     */
   def docDecontamGateOverParquet(
       spark: SparkSession,
       sfDir: String,
       firstNewId: Long): DataFrame = {
-    import graft.operators.TextOps
+    import graft.operators.{Phys, TextOps}
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    def sh(d: DataFrame): DataFrame = d.select(
-      col("doc_id"),
-      col("source"),
-      explode(graft.functions.ShingleStrings(split(col("text"), "\\s+"), distinct = true))
-        .as("g"))
-    val staticSh = sh(docs.filter(col("doc_id") < firstNewId))
+    val staticSh = decontamShingles(docs.filter(col("doc_id") < firstNewId))
     val bench = staticSh
       .filter(pmod(col("doc_id"), lit(TextOps.BenchmarkMod)) === 0)
       .select(col("g"))
@@ -586,23 +586,62 @@ object StreamOps {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > TextOps.DecontamMaxDf)
       .select(col("g"))
-    val store = broadcast(bench.join(hot, Seq("g"), "left_anti"))
+    // materialized ONCE: the store feeds both the Bloom build pass and
+    // the per-batch exact join
+    val store = Phys.materialized(bench.join(hot, Seq("g"), "left_anti"))
+    val bloom =
+      graft.operators.BloomJoin.bloomBytes(store, col("g"), DecontamBloomExpectedItems)
     val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-docs-decon"))
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
       staged.resolve("documents.parquet"))
     runStream(
       spark,
-      sh(
-        readDocStream(spark, staged.toString)
-          .filter(
-            col("doc_id") >= firstNewId &&
-              pmod(col("doc_id"), lit(TextOps.BenchmarkMod)) =!= 0))
-        .join(store, Seq("g"), "left_semi")
-        .groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("n_hits")),
+      decontamArrivalPlan(
+        readDocStream(spark, staged.toString),
+        store,
+        bloom,
+        firstNewId),
       graft.sources.Staging.freshTable("graft_stream_docdecon"),
       "complete")
+  }
+
+  /** Expected distinct benchmark shingles for the decontamination
+    * Bloom's sizing (~1.2 MB of bits at fpp 0.03 — Bloom size is a
+    * function of the BENCHMARK suite, which does not grow with the
+    * corpus).
+    */
+  val DecontamBloomExpectedItems = 1000000L
+
+  /** Word-3-gram distinct shingles per document, the decontamination
+    * gate's shared explode. */
+  def decontamShingles(d: DataFrame): DataFrame = d.select(
+    col("doc_id"),
+    col("source"),
+    explode(graft.functions.ShingleStrings(split(col("text"), "\\s+"), distinct = true))
+      .as("g"))
+
+  /** The ARRIVAL side of the decontamination gate, input-agnostic
+    * (streaming or batch — which is how the spec pins the plan shape
+    * the micro-batches execute): explode shingles, BLOOM-prefilter
+    * against the store sketch (a codegen'd literal predicate — before
+    * any join or exchange), exact semi join against the store, per-doc
+    * overlap count.
+    */
+  def decontamArrivalPlan(
+      arrivals: DataFrame,
+      store: DataFrame,
+      bloom: Array[Byte],
+      firstNewId: Long): DataFrame = {
+    import graft.operators.TextOps
+    decontamShingles(
+      arrivals.filter(
+        col("doc_id") >= firstNewId &&
+          pmod(col("doc_id"), lit(TextOps.BenchmarkMod)) =!= 0))
+      .filter(graft.operators.BloomJoin.mightContain(bloom, col("g")))
+      .join(broadcast(store), Seq("g"), "left_semi")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_hits"))
   }
 
   /** STREAMING PERCEPTUAL-HASH GATE: arriving media payloads near-dup-

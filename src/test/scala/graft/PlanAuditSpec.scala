@@ -542,6 +542,47 @@ class PlanAuditSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("decontam gate: arrival shingles hit the Bloom literal predicate before any join/exchange") {
+    import graft.operators.{Phys, TextOps}
+    import graft.streaming.StreamOps
+    val docs = model.table(spark, dir, "documents")
+    val firstNewId = 400L
+    val staticSh = StreamOps.decontamShingles(docs.filter(col("doc_id") < firstNewId))
+    val bench = staticSh
+      .filter(pmod(col("doc_id"), lit(TextOps.BenchmarkMod)) === 0)
+      .select(col("g")).distinct()
+    val hot = staticSh
+      .filter(pmod(col("doc_id"), lit(TextOps.BenchmarkMod)) =!= 0)
+      .join(bench, Seq("g"), "left_semi")
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > TextOps.DecontamMaxDf).select(col("g"))
+    val store = Phys.materialized(bench.join(hot, Seq("g"), "left_anti"))
+    val bloom = graft.operators.BloomJoin.bloomBytes(store, col("g"), 100000L)
+    // the same arrival-side builder the streaming micro-batches execute,
+    // driven by a batch input so the executed plan is inspectable
+    val gated = StreamOps.decontamArrivalPlan(docs, store, bloom, firstNewId)
+    val plan = planOf(gated)
+    assert(plan.contains("might_contain"), s"Bloom prefilter missing from the plan:\n$plan")
+    // printed top-down: the join appears above (before) its child filter,
+    // so execution applies might_contain BEFORE the join — and the filter
+    // is a literal predicate, never an exchange or a state store
+    val joinAt = plan.indexOf("LeftSemi")
+    val bloomAt = plan.indexOf("might_contain")
+    assert(joinAt >= 0 && bloomAt > joinAt,
+      s"prefilter is not below the semi join:\n$plan")
+    // exactness: the Bloom-prefiltered gate publishes the identical rows
+    // as the plain exact semi join (no false negatives by construction)
+    val plain = StreamOps
+      .decontamShingles(docs.filter(
+        col("doc_id") >= firstNewId && pmod(col("doc_id"), lit(TextOps.BenchmarkMod)) =!= 0))
+      .join(store, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"), col("source")).agg(count(lit(1)).as("n_hits"))
+    val a = gated.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val b = plain.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a === b, "Bloom prefilter changed the published rows")
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("graph_harmonic / graph_anf_est ship sketch-only: no (u,v) pair join in ANY executed plan") {
     // the exact first-reach side-car advances by a LeftAnti join of the
     // frontier expansion against the reach pair table — the quadratic
