@@ -1121,6 +1121,13 @@ object SparkEntry {
     "docs_stream_phash_static" -> ((s, d) =>
       streaming.StreamOps.docPhashGateOverParquet(s, d, firstNewId = 400L)
         .orderBy(col("doc_id"))),
+    // index-maintenance-on-arrival: arrivals extend the stored MinHash
+    // band index — stateless signature + band map per arrival, store
+    // bucket-occupancy annotated via one broadcast probe; output = the
+    // delta a maintainer unions into the served index
+    "docs_stream_minhash_upsert" -> ((s, d) =>
+      streaming.StreamOps.minhashUpsertOverParquet(s, d, firstNewId = 400L)
+        .orderBy(col("doc_id"), col("band_idx"))),
     // relevance-on-arrival: the stored BM25 index scores arriving docs
     // as one stateless projection (model folded in as literals)
     "docs_stream_bm25_static" -> ((s, d) =>
@@ -2805,6 +2812,26 @@ object SparkEntry {
            |FROM g JOIN documents d USING (doc_id)
            |WHERE doc_id >= 400 GROUP BY d.source ORDER BY d.source""".stripMargin,
       "docs_stream_bm25_static" -> TextOps.bm25GateSql(firstNewId = 400L),
+      "docs_stream_minhash_upsert" -> {
+        val codes = Parity.tokenCodesSql("text")
+        val bandedUnion = (0 until Dedup.MinhashBands)
+          .map(i =>
+            s"SELECT doc_id, $i AS band_idx, " +
+              s"${Parity.bandValSql("sig", i, Dedup.MinhashR)} AS band_val FROM sigs")
+          .mkString("\n  UNION ALL ")
+        s"""WITH sigs AS (
+           |  SELECT doc_id, ${Parity.minhashSigSql(codes, Dedup.MinhashK)} AS sig FROM documents),
+           |banded AS (
+           |  $bandedUnion),
+           |store AS (
+           |  SELECT band_idx, band_val, CAST(count(*) AS BIGINT) AS n_store_hits
+           |  FROM banded WHERE doc_id < 400 GROUP BY 1, 2)
+           |SELECT n.doc_id, n.band_idx, n.band_val,
+           |       coalesce(s.n_store_hits, 0) AS n_store_hits
+           |FROM banded n LEFT JOIN store s USING (band_idx, band_val)
+           |WHERE n.doc_id >= 400
+           |ORDER BY n.doc_id, n.band_idx""".stripMargin
+      },
       "docs_stream_decontam_static" -> {
         val t = Parity.tokensSql("text")
         val shingle = Parity.shinglesSql("t")

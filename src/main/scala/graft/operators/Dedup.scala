@@ -389,6 +389,14 @@ object Dedup {
         coalesce(col("match_k"), lit(0L)).as("match_k"))
   }
 
+  /** [[bandRows]] over fresh signatures with the signature column
+    * dropped — the narrow `(doc_id, band_idx, band_val)` map a
+    * streaming index maintainer computes per arrival (pure column
+    * expressions, no shuffle).
+    */
+  def minhashBandRows(docs: DataFrame): DataFrame =
+    bandRows(minhashSignatures(docs)).drop("sig")
+
   /** One row per (doc, band): `(doc_id, sig, band_idx, band_val)`. */
   private def bandRows(sigs: DataFrame): DataFrame =
     sigs.select(

@@ -908,6 +908,59 @@ object StreamOps {
       "complete")
   }
 
+  /** STREAMING MINHASH INDEX UPSERT — arriving documents incrementally
+    * EXTENDING the stored band index
+    * ([[graft.operators.Dedup.writeMinhashIndex]]), the way
+    * [[landmarkExtendOverParquet]] extends the landmark table: the
+    * index is built ONCE over the static corpus slice; each arrival
+    * computes its signature + band rows STATELESSLY (the single-pass
+    * MinHashSig kernel — pure column expressions, no shuffle, no
+    * stream state) and emits its `(doc_id, band_idx, band_val)`
+    * extension rows, annotated with `n_store_hits` — how many indexed
+    * documents already occupy that bucket (a broadcast probe of the
+    * store's per-bucket counts; a nonzero value is the
+    * near-dup-on-arrival signal, a zero row grows a fresh bucket).
+    * The output IS the incremental delta a maintainer unions into the
+    * served index — batch parity: static index rows ∪ these rows =
+    * re-indexing the full corpus from scratch (pinned in
+    * StreamOpsSpec).
+    *
+    * Scale shape: per arrival one narrow map + one broadcast join —
+    * the indexed corpus is never re-signed, never shuffled
+    * stream-side; the only store-derived operand is the per-bucket
+    * count table (≤ |buckets| rows, itself an artifact-side
+    * aggregate). Stateless append stream — an unbounded firehose
+    * needs no watermark because nothing is held.
+    */
+  def minhashUpsertOverParquet(
+      spark: SparkSession,
+      sfDir: String,
+      firstNewId: Long): DataFrame = {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idxDir = Dedup.writeMinhashIndex(spark, docs.filter(col("doc_id") < firstNewId))
+    val storeBuckets = spark.read
+      .parquet(idxDir)
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("n_store_hits"))
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-docs-mhup"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    runStream(
+      spark,
+      Dedup
+        .minhashBandRows(readDocStream(spark, staged.toString).filter(col("doc_id") >= firstNewId))
+        .join(broadcast(storeBuckets), Seq("band_idx", "band_val"), "left_outer")
+        .select(
+          col("doc_id"),
+          col("band_idx").cast("int").as("band_idx"),
+          col("band_val"),
+          coalesce(col("n_store_hits"), lit(0L)).as("n_store_hits")),
+      graft.sources.Staging.freshTable("graft_stream_mhupsert"),
+      "append")
+  }
+
   /** STREAMING ANOMALY GATE against STATIC fences — the online half of
     * [[graft.operators.EventOps.anomalies]], the same split pattern as
     * [[docDedupOverParquet]]/[[embIvfIngestOverParquet]]: Tukey fences

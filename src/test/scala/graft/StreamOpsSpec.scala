@@ -417,6 +417,33 @@ class StreamOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("streaming minhash upsert: static index + extension = re-indexing from scratch") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ext = StreamOps.minhashUpsertOverParquet(spark, dir, firstNewId = 400L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(ext.forall(_._1 >= 400L), "extension rows must be arrivals only")
+    // BATCH PARITY: the static index rows plus the streamed extension
+    // rows are exactly what re-indexing the whole corpus produces
+    def keyRows(d: org.apache.spark.sql.DataFrame) = Dedup.minhashBandRows(d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val staticRows = keyRows(docs.filter(col("doc_id") < 400L))
+    val fullRows = keyRows(docs)
+    assert(staticRows ++ ext.map(e => (e._1, e._2, e._3)).toSet === fullRows,
+      "index ∪ extension must equal the from-scratch re-index")
+    // bucket-occupancy annotation: n_store_hits counts the static docs
+    // in the arrival's bucket
+    val occupancy = staticRows.toSeq.groupBy(e => (e._2, e._3)).view.mapValues(_.size.toLong).toMap
+    ext.foreach { case (id, bi, bv, hits) =>
+      assert(hits === occupancy.getOrElse((bi, bv), 0L), s"occupancy wrong for ($id, $bi)")
+    }
+    // the harness corpus has near-dups across the split: some arrival
+    // must land in an occupied bucket
+    assert(ext.exists(_._4 > 0L), "no arrival hit an existing bucket")
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("streaming pHash gate equals the batch banded near-dup probe at sf0.001") {
     import graft.operators.Multimodal
     val dir = "/root/testdata/sf0.001"
