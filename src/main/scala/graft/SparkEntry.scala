@@ -593,6 +593,13 @@ object SparkEntry {
       Similarity.ivfStoredTopK(s, embs(s, d), model, nQueries = 50, k = 3, nProbe = 2)
         .orderBy(col("q_id"), col("rank"))
     }),
+    // EXTERNAL-query ANN: a runtime query vector served against the
+    // stored quantizer — probe cells picked driver-side over the k-row
+    // artifact, the data plan is a cell-pruned list scan + TakeOrdered
+    "ann_ivf_query" -> ((s, d) => {
+      val model = Similarity.writeIvfModel(s, embs(s, d))
+      Similarity.ivfQueryStored(s, embs(s, d), model, AnnQueryVec, k = 10, nProbe = 2)
+    }),
     // product quantization: per-subspace codebooks + LUT-based ADC scan
     "ann_pq_topk" -> ((s, d) =>
       Similarity.pqTopK(embs(s, d), nQueries = 50, k = 3)
@@ -1825,6 +1832,30 @@ object SparkEntry {
 
   private def kmeansCtes: String = kmeansCtesSliced("", 0, Similarity.Dim)
 
+  /** External-query ANN oracle: retrain the deterministic quantizer
+    * inline, pick the literal query's probe cells by the same
+    * (score DESC, cid) rank, scan only those cells' lists.
+    */
+  private def ivfQueryOracleSql(query: Seq[Double], k: Int, nProbe: Int): String = {
+    val qe = query.mkString("[", ", ", "]")
+    val qi = query.map(v => math.round(v * Similarity.KmeansScale)).mkString("[", ", ", "]")
+    val last = s"c${Similarity.KmeansIters}"
+    s"""WITH ${kmeansCtesSliced("", 0, Similarity.Dim)},
+       |cs AS (SELECT v.vec_id, c.cid, ${kmeansScoreSql("v.ei", "c.c")} AS ccos
+       |       FROM d v CROSS JOIN $last c),
+       |rc AS (SELECT vec_id, cid,
+       |              row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |       FROM cs),
+       |asg AS (SELECT vec_id, cid FROM rc WHERE rn = 1),
+       |qp AS (SELECT cid FROM (
+       |         SELECT c.cid, ${kmeansScoreSql(qi, "c.c")} AS s FROM $last c)
+       |       ORDER BY s DESC, cid LIMIT $nProbe)
+       |SELECT g.vec_id AS n_id, round(${Parity.cosineSql(qe, "v.e")}, 6) AS cos
+       |FROM asg g JOIN d v USING (vec_id)
+       |WHERE g.cid IN (SELECT cid FROM qp)
+       |ORDER BY cos DESC, n_id LIMIT $k""".stripMargin
+  }
+
   /** Trained-IVF probe oracle (nQueries=50, k=3, nProbe=2) — shared by
     * `ann_ivf_trained` and `ann_ivf_stored`: the stored model is the same
     * deterministic k-means, persisted and read back, so both queries must
@@ -1985,6 +2016,12 @@ object SparkEntry {
     * OOV path exercised on every run).
     */
   private val Bm25QueryTerms = Seq("hash", "scan", "zzznosuchterm")
+
+  /** The external ANN search vector: a deterministic 64-dim literal
+    * that is NOT a corpus row (the runtime-parameter serving path).
+    */
+  private val AnnQueryVec: Seq[Double] =
+    (0 until Similarity.Dim).map(i => ((i * 37 + 11) % 200 - 100) / 100.0)
 
   /** First streaming-ingest event id for the anomaly gate: events below
     * are the historical slice the Tukey fences are computed over; at-or-
@@ -2688,6 +2725,7 @@ object SparkEntry {
       // the stored-model probe is result-identical to the trained path:
       // the artifact is the SAME deterministic k-means, written then read
       "ann_ivf_stored" -> ivfTrainedOracleSql,
+      "ann_ivf_query" -> ivfQueryOracleSql(AnnQueryVec, k = 10, nProbe = 2),
       "ann_sq_stored" -> Similarity.sqStoredTopKSql(nQueries = 10, k = 5),
       "ann_sq_recall" -> Similarity.sqRecallSql(nQueries = 20, k = 5),
       "ann_ivf_recall" -> {

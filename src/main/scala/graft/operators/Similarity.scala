@@ -344,6 +344,56 @@ object Similarity {
       nProbe: Int): DataFrame =
     ivfWithCentroids(embs, spark.read.parquet(modelDir), nQueries, k, nProbe)
 
+  /** EXTERNAL-query ANN over the stored quantizer — the vector
+    * counterpart of the external BM25 search: the query embedding
+    * arrives as a runtime parameter (not a corpus row), its probe
+    * cells are selected DRIVER-side over the k-row centroid artifact
+    * (the bounded-artifact discipline — the same exact long-dot /
+    * IEEE-sqrt score as [[cellScore]], ties to the lower cid), and
+    * the plan that touches data is: inverted-list scan FILTERED to
+    * the probe cells → one narrow cosine map against the literal
+    * query → TakeOrdered k. At 100 TB the lists are a table
+    * partitioned by cid, so the cell filter prunes the scan to
+    * nProbe/cells of the corpus — this is the per-query serving cost
+    * of vector search over an indexed corpus.
+    *
+    * Output: `(n_id, cos)`, the k best matches (ties to the lower
+    * id). Exact within the probed cells; recall vs brute force is the
+    * indexed trade measured by `ann_ivf_recall`.
+    */
+  def ivfQueryStored(
+      spark: org.apache.spark.sql.SparkSession,
+      embs: DataFrame,
+      modelDir: String,
+      query: Seq[Double],
+      k: Int,
+      nProbe: Int): DataFrame = {
+    require(query.length == Dim, s"query must have dim $Dim, got ${query.length}")
+    val qi = query.map(v => math.round(v * KmeansScale))
+    val cents = spark.read
+      .parquet(modelDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    // probe-cell argmax over ≤ KmeansCells rows: exact integer dots,
+    // the same IEEE division/sqrt as cellScore, ties to the lower cid
+    val probeCids = cents
+      .map { case (cid, c) =>
+        val d = c.zip(qi).map { case (x, y) => x * y }.sum
+        val cc = c.map(x => x * x).sum
+        (-(d.toDouble / math.sqrt(cc.toDouble)), cid)
+      }
+      .sorted
+      .take(nProbe)
+      .map(_._2)
+    invertedLists(embs, spark.read.parquet(modelDir))
+      .filter(col("cid").isin(probeCids: _*))
+      .select(
+        col("n_id"),
+        round(Parity.cosine(typedLit(query), col("ne")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("n_id"))
+      .limit(k)
+  }
+
   /** Multi-table LSH ANN: candidates share the query's bucket in ANY of
     * the [[NTables]] tables; exact cosine re-rank over the deduplicated
     * candidate set. The join is keyed on (table, bucket) only — per-bucket
