@@ -407,6 +407,10 @@ object SparkEntry {
     // the neighborhood-function read that runs to h = diameter at 100 TB
     "graph_anf_est" -> ((s, d) =>
       GraphOps.anfEstimate(GraphSource.lineitemEdges(s, d), nSketches = 8, maxRounds = 8)),
+    // closeness (Lin's index) off the same HyperBall sketches: integer
+    // (r−1)²/S readout with the S=0 guard, sketch-only, early exit
+    "graph_closeness_est" -> ((s, d) =>
+      GraphOps.closenessCentrality(GraphSource.lineitemEdges(s, d), nSketches = 8, rounds = 4)),
     // landmark embeddings: K batched traversals recording first-arrival
     // rounds — hop distance from every landmark, one edge join per round
     "graph_landmark_dist" -> ((s, d) =>
@@ -1657,6 +1661,8 @@ object SparkEntry {
     // changed-count row condition
     "graph_anf_est" ->
       GraphOps.anfEstimateSql(GraphSource.lineitemEdgesSql, nSketches = 8, maxRounds = 8),
+    "graph_closeness_est" ->
+      GraphOps.closenessCentralitySql(GraphSource.lineitemEdgesSql, nSketches = 8, rounds = 4),
     // first-arrival rounds of the batched landmark wave, unrolled
     "graph_landmark_dist" ->
       GraphOps.landmarkDistancesSql(GraphSource.lineitemEdgesSql, nLandmarks = 8, rounds = 4),

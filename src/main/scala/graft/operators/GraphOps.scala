@@ -1839,6 +1839,157 @@ object GraphOps {
        |ORDER BY harm_est_micro DESC, id LIMIT $topK""".stripMargin
   }
 
+  /** Closeness centrality (Lin's index), estimated per node from the
+    * same HyperBall in-ball sketches as [[harmonicCentrality]] (Boldi
+    * & Vigna 2013 §2 list closeness/Lin next to harmonic as the
+    * geometric centralities the sketch serves): per node,
+    * `S(u) = Σ_h h · (|B(u,h)| − |B(u,h−1)|)` is the estimated total
+    * distance from the nodes that reach u, `r(u) = |B(u,rounds)|` the
+    * reachable-set estimate, and Lin's index
+    * `(r − 1)² / S` handles disconnected graphs without the 1/0 of
+    * classic closeness (nodes nothing reaches get 0 by the S = 0
+    * guard — both engines, no NULL/NaN divergence). All arithmetic is
+    * exact 64-bit integer on the milli-unit LUT estimates
+    * (`(b − 1000)² div S` — at a true 10⁹-node scale the square
+    * outgrows a long and this readout switches to the double form;
+    * the harness contract keeps the integer grid), so every value is
+    * bit-identical cross-engine. Sketch-only by construction — no
+    * pair table, early exit once the wave passes (frozen masks add
+    * zero delta, so the fixed-unroll oracle agrees).
+    *
+    * Output: the [[topK]] nodes by Lin's index —
+    * `(id, ball_est_milli, sumdist_est_milli, lin_milli)`, ties by id.
+    */
+  def closenessCentrality(
+      edges: DataFrame,
+      nSketches: Int = 8,
+      rounds: Int = 4,
+      topK: Int = 100): DataFrame = {
+    require(nSketches >= 1 && nSketches <= 16, s"nSketches in [1,16], got $nSketches")
+    val session = edges.sparkSession
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      val e = edges
+        .select(col("src"), col("dst"))
+        .distinct()
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      def ckpt(df: DataFrame): DataFrame =
+        org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+      val nodes = e
+        .select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+        .distinct()
+      import graft.functions.Parity
+      val ss = 0 until nSketches
+      val hashCols = ss.map { s =>
+        ((lit(Parity.permA(AnfPermOff + s)) * (col("id") % lit(Parity.BigP)) +
+          lit(Parity.permB(AnfPermOff + s))) % lit(Parity.BigP)).as(s"h$s")
+      }
+      val rhoCols = ss.map { s =>
+        when(col(s"h$s") === 0L, lit(31L))
+          .otherwise(length(bin(col(s"h$s"))) - length(rtrim(bin(col(s"h$s")), "0")))
+          .cast("long")
+          .as(s"rho$s")
+      }
+      val maskInit = ss.map(s =>
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(rho$s AS INT))").as(s"m$s"))
+      val seed = nodes
+        .select(col("id") +: hashCols: _*)
+        .select(col("id") +: rhoCols: _*)
+        .select(col("id") +: maskInit: _*)
+      val rSum = ss
+        .map(s => expr(s"CAST(length(bin(m$s ^ (m$s + 1))) - 1 AS BIGINT)"))
+        .reduce(_ + _)
+      val lutArr = array(anfLut(nSketches).map(lit(_)): _*)
+      val estCol = element_at(lutArr, (rSum + 1L).cast("int"))
+      var acc: DataFrame = null
+      maskLoop(e, seed, nSketches, rounds, earlyExit = true, freeSuperseded = true)(
+        st => acc = ckpt(st.select(col("id"), estCol.as("prev"), lit(0L).as("sumd"))),
+        (h, state, _, _) =>
+          acc = ckpt(
+            acc
+              .join(state.select(col("id"), estCol.as("cur")), Seq("id"))
+              .select(
+                col("id"),
+                col("cur").as("prev"),
+                (col("sumd") + (col("cur") - col("prev")) * h.toLong).as("sumd"))))
+      e.unpersist()
+      acc
+        .select(
+          col("id"),
+          col("prev").as("ball_est_milli"),
+          col("sumd").as("sumdist_est_milli"),
+          when(col("sumd") === 0L, lit(0L))
+            .otherwise(expr("(prev - 1000) * (prev - 1000) div sumd"))
+            .as("lin_milli"))
+        .orderBy(col("lin_milli").desc, col("id"))
+        .limit(topK)
+    }
+  }
+
+  /** [[closenessCentrality]] mirrored: the [[anfSql]] mask CTEs with
+    * per-h ball tables joined on id, the same integer Lin readout and
+    * S = 0 guard; the fixed unroll agrees with the engine's early exit
+    * (frozen rounds contribute zero delta).
+    */
+  def closenessCentralitySql(
+      edgesSql: String,
+      nSketches: Int = 8,
+      rounds: Int = 4,
+      topK: Int = 100): String = {
+    import graft.functions.Parity
+    val ss = 0 until nSketches
+    val hashes = ss
+      .map(s =>
+        s"(${Parity.permA(AnfPermOff + s)} * (id % ${Parity.BigP}) + " +
+          s"${Parity.permB(AnfPermOff + s)}) % ${Parity.BigP} AS h$s")
+      .mkString(", ")
+    val seedMasks = ss
+      .map(s =>
+        s"CAST(1 AS BIGINT) << (CASE WHEN h$s = 0 THEN 31 " +
+          s"ELSE length(bin(h$s)) - length(rtrim(bin(h$s), '0')) END) AS m$s")
+      .mkString(", ")
+    val mCols = ss.map(s => s"m$s").mkString(", ")
+    val orAgg = ss.map(s => s"bit_or(m$s) AS m$s").mkString(", ")
+    val maskRounds = (1 to rounds)
+      .map { k =>
+        s"""b$k AS MATERIALIZED (
+           |  SELECT id, $orAgg FROM (
+           |    SELECT id, $mCols FROM b${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS id, $mCols FROM b${k - 1} m JOIN e ON m.id = e.src)
+           |  GROUP BY id)""".stripMargin
+      }
+      .mkString(",\n")
+    val rSumSql = ss
+      .map(s => s"(length(bin(xor(m$s, m$s + 1))) - 1)")
+      .mkString(" + ")
+    val lutSql = anfLut(nSketches).mkString("[", ", ", "]")
+    val estTables = (0 to rounds)
+      .map(k =>
+        s"eh$k AS (SELECT id, CAST($lutSql[($rSumSql) + 1] AS BIGINT) AS est FROM b$k)")
+      .mkString(",\n")
+    val sumd = (1 to rounds)
+      .map(k => s"(eh$k.est - eh${k - 1}.est) * $k")
+      .mkString(" + ")
+    val estJoins = (0 to rounds).map(k => s"JOIN eh$k USING (id)").mkString(" ")
+    s"""WITH raw AS ($edgesSql),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT id, $hashes FROM nodes),
+       |b0 AS (SELECT id, $seedMasks FROM h0),
+       |$maskRounds,
+       |$estTables,
+       |rd AS (SELECT id, eh$rounds.est AS b, $sumd AS s
+       |       FROM nodes $estJoins)
+       |SELECT id, b AS ball_est_milli, s AS sumdist_est_milli,
+       |       CASE WHEN s = 0 THEN 0 ELSE (b - 1000) * (b - 1000) // s END AS lin_milli
+       |FROM rd
+       |ORDER BY lin_milli DESC, id LIMIT $topK""".stripMargin
+  }
+
   /** Effective diameter — [[anf]]'s PRODUCTION read (Palmer et al., KDD
     * 2002 §4): run ONLY the sketch side to saturation and report the
     * smallest h with `N(h) ≥ 0.9 · N(∞)` — the hop count within which

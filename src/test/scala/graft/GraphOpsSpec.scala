@@ -335,6 +335,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(prod.toSeq === out.map(r => (r._1, r._2)).toSeq)
   }
 
+  test("closenessCentrality: hub leads by Lin's index; unreached nodes guard to 0") {
+    // leaves 1..6 all point at hub 10; 7→1→10 gives the hub a 2-hop term
+    val edges = (1L to 6L).map(i => (i, 10L, 1.0)) :+ ((7L, 1L, 1.0))
+    val out = GraphOps.closenessCentrality(edgesDf(edges), nSketches = 8, rounds = 4, topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.head._1 === 10L, s"hub must lead, got ${out.toSeq}")
+    val byId = out.map(r => r._1 -> r).toMap
+    // leaves 2..6: nothing reaches them → zero delta → S = 0 → lin 0
+    (2L to 6L).foreach { l =>
+      assert(byId(l)._3 === 0L && byId(l)._4 === 0L, s"leaf $l must guard to 0")
+    }
+    // every ball estimate ≥ the 1-node self ball; S and lin nonnegative
+    assert(out.forall(r => r._2 >= 1000L && r._3 >= 0L && r._4 >= 0L))
+  }
+
   test("anfEstimate: sketch-only per-h rows equal anf's estimate column; early exit caps rows") {
     // 3-chain 1→2→3 plus 4→2: diameter 2, so the changed set empties
     // and the loop must stop well before maxRounds = 8
