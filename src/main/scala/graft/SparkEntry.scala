@@ -553,6 +553,11 @@ object SparkEntry {
       Dedup.embeddingNearDups(embs(s, d), minCosine = 0.3).orderBy(col("vec_a"), col("vec_b"))),
     "dedup_clusters" -> ((s, d) =>
       Dedup.clusters(docs(s, d), Dedup.minhashCandidatePairs(docs(s, d))).orderBy(col("doc_id"))),
+    // ONE transitive closure over the union of the text, media, and
+    // embedding pair families — the canonical-survivor table across
+    // re-encodes, quotes, and paraphrases
+    "dedup_clusters_multimodal" -> ((s, d) =>
+      Dedup.clustersMultimodal(docs(s, d), embs(s, d)).orderBy(col("doc_id"))),
     // threshold tuning table: pair/flagged counts at each candidate
     // cosine cut, one pass over the materialized scored pairs
     "dedup_threshold_sweep" -> ((s, d) =>
@@ -2450,6 +2455,45 @@ object SparkEntry {
            |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
            |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
            |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach(id, lab) AS (
+           |  SELECT DISTINCT src AS id, src AS lab FROM und
+           |  UNION
+           |  SELECT u.dst, r.lab FROM reach r JOIN und u ON u.src = r.id
+           |),
+           |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+           |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
+           |       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+           |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+           |ORDER BY doc_id""".stripMargin,
+      "dedup_clusters_multimodal" ->
+        s"""WITH RECURSIVE mhp AS (
+           |  WITH sigs AS (
+           |    SELECT doc_id, ${Parity.minhashSigSql(codes, Dedup.MinhashK)} AS sig FROM documents),
+           |  banded AS (
+           |    $bandedUnion)
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+           |php AS (${Multimodal.phashDedupSql.replace("\n", "\n  ")}),
+           |semp AS (
+           |  WITH ${kmeansCtesSliced("", 0, Similarity.Dim, Dedup.SemanticCells).replace("\n", "\n  ")},
+           |  cs AS (SELECT v.vec_id, c.cid, ${kmeansScoreSql("v.ei", "c.c")} AS ccos
+           |         FROM d v CROSS JOIN c${Similarity.KmeansIters} c),
+           |  rc AS (SELECT vec_id, cid,
+           |                row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+           |         FROM cs),
+           |  asg AS (SELECT vec_id, cid FROM rc WHERE rn = 1)
+           |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+           |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |  JOIN d da ON da.vec_id = a.vec_id
+           |  JOIN d db ON db.vec_id = b.vec_id
+           |  WHERE round(${Parity.cosineSql("da.e", "db.e")}, 6) >= 0.4),
+           |allp AS (
+           |  SELECT doc_a, doc_b FROM mhp
+           |  UNION SELECT a_id, b_id FROM php
+           |  UNION SELECT doc_a, doc_b FROM semp),
+           |und AS (SELECT doc_a AS src, doc_b AS dst FROM allp
+           |        UNION ALL SELECT doc_b, doc_a FROM allp),
            |reach(id, lab) AS (
            |  SELECT DISTINCT src AS id, src AS lab FROM und
            |  UNION

@@ -935,6 +935,55 @@ object Dedup {
     * cells with the corpus to hold the block size constant. No
     * all-pairs term anywhere.
     */
+  /** The PAIR form of [[semanticDedup]]'s evidence — within-cell
+    * qualifying cosine pairs `(doc_a, doc_b)` with a < b — so the
+    * embedding detector can feed transitive clustering next to the
+    * shingle- and media-keyed pair families. Same cell blocking, same
+    * threshold semantics; per-cell quadratic, never all-pairs.
+    */
+  def semanticDedupPairs(embs: DataFrame, minCosine: Double): DataFrame = {
+    val assigned =
+      Similarity.invertedLists(embs, Similarity.kmeansFixed(embs, Dedup.SemanticCells))
+    val a = assigned.alias("a")
+    val b = assigned.alias("b")
+    a.join(b, col("a.cid") === col("b.cid") && col("a.n_id") < col("b.n_id"))
+      .select(
+        col("a.n_id").as("doc_a"),
+        col("b.n_id").as("doc_b"),
+        round(Parity.cosine(col("a.ne"), col("b.ne")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Cross-MODALITY dedup clusters: ONE transitive closure over the
+    * union of all three pair families — MinHash star pairs (text),
+    * pHash banded pairs (media), and semantic within-cell pairs
+    * (embedding geometry) — so a chain A~B (text) ~ C (media) ~ D
+    * (paraphrase) collapses to one canonical survivor, which is what
+    * a curation pipeline actually deduplicates on when the same
+    * content re-enters as a re-encode, a quote, and a paraphrase.
+    * Every corpus doc appears (singletons are their own cluster);
+    * `is_canonical` is the keep filter.
+    *
+    * Scale shape: each family keeps its bucketed/cell-blocked
+    * candidate generation; the union is a narrow distinct on the pair
+    * key; the closure is [[GraphOps.connectedComponentsStars]]' s
+    * incremental min-label loop.
+    */
+  def clustersMultimodal(
+      docs: DataFrame,
+      embs: DataFrame,
+      minCosine: Double = 0.4): DataFrame = {
+    val pairs = minhashCandidatePairs(docs)
+      .unionByName(
+        Multimodal
+          .phashDedup(docs)
+          .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
+      .unionByName(semanticDedupPairs(embs, minCosine))
+      .distinct()
+    clusters(docs, pairs)
+  }
+
   def semanticDedup(embs: DataFrame, minCosine: Double): DataFrame = {
     val assigned = Similarity.invertedLists(embs, Similarity.kmeansFixed(embs, Dedup.SemanticCells))
     val a = assigned.alias("a")
