@@ -1701,11 +1701,15 @@ object GraphOps {
         frontier = reach
         harmEx = ckpt(nodes.select(col("id"), lit(0L).as("ex_u")))
       }
+      // accumulator hash-declared on id: the per-round accumulation
+      // join exchanges only the round's estimate side (see
+      // closenessCentrality — same shape)
+      def ckptById(df: DataFrame): DataFrame = Phys.materializedHashedBy(df, Seq("id"))
       maskLoop(e, seed, nSketches, rounds, earlyExit = !exact, freeSuperseded = true)(
-        st => harm = ckpt(st.select(col("id"), estCol.as("prev"), lit(0L).as("est_u"))),
+        st => harm = ckptById(st.select(col("id"), estCol.as("prev"), lit(0L).as("est_u"))),
         (h, state, _, _) => {
           // sketch side: ball delta, 1/h-weighted, exact integer micro
-          harm = ckpt(
+          harm = ckptById(
             harm
               .join(state.select(col("id"), estCol.as("cur")), Seq("id"))
               .select(
@@ -1875,8 +1879,6 @@ object GraphOps {
         .repartition(parts, col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       e.count()
-      def ckpt(df: DataFrame): DataFrame =
-        org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
       val nodes = e
         .select(col("src").as("id"))
         .unionAll(e.select(col("dst").as("id")))
@@ -1904,11 +1906,15 @@ object GraphOps {
         .reduce(_ + _)
       val lutArr = array(anfLut(nSketches).map(lit(_)): _*)
       val estCol = element_at(lutArr, (rSum + 1L).cast("int"))
+      // the accumulator is checkpointed HASH-DECLARED on id: the
+      // per-round accumulation join then exchanges only the round's
+      // estimate side, never the |V|-row running state
+      def ckptById(df: DataFrame): DataFrame = Phys.materializedHashedBy(df, Seq("id"))
       var acc: DataFrame = null
       maskLoop(e, seed, nSketches, rounds, earlyExit = true, freeSuperseded = true)(
-        st => acc = ckpt(st.select(col("id"), estCol.as("prev"), lit(0L).as("sumd"))),
+        st => acc = ckptById(st.select(col("id"), estCol.as("prev"), lit(0L).as("sumd"))),
         (h, state, _, _) =>
-          acc = ckpt(
+          acc = ckptById(
             acc
               .join(state.select(col("id"), estCol.as("cur")), Seq("id"))
               .select(
