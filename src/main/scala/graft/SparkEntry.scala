@@ -1144,6 +1144,11 @@ object SparkEntry {
     "docs_stream_minhash_upsert" -> ((s, d) =>
       streaming.StreamOps.minhashUpsertOverParquet(s, d, firstNewId = 400L)
         .orderBy(col("doc_id"), col("band_idx"))),
+    // the Hamming-family twin: arrivals extend the stored SimHash
+    // chunk index, same stateless map + broadcast occupancy probe
+    "docs_stream_simhash_upsert" -> ((s, d) =>
+      streaming.StreamOps.simhashUpsertOverParquet(s, d, firstNewId = 400L)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
     // relevance-on-arrival: the stored BM25 index scores arriving docs
     // as one stateless projection (model folded in as literals)
     "docs_stream_bm25_static" -> ((s, d) =>
@@ -2919,6 +2924,27 @@ object SparkEntry {
            |FROM banded n LEFT JOIN store s USING (band_idx, band_val)
            |WHERE n.doc_id >= 400
            |ORDER BY n.doc_id, n.band_idx""".stripMargin
+      },
+      "docs_stream_simhash_upsert" -> {
+        val h40 =
+          s"list_transform(${Parity.shinglesSql(Parity.tokensSql("text"))}, tok -> ${Parity.tokenH40Sql("tok")})"
+        val chunkedUnion = (0 until Dedup.SimhashChunks)
+          .map(i =>
+            s"SELECT doc_id, $i AS chunk_idx, " +
+              s"((simhash >> ${i * Dedup.SimhashChunkBits}) & ${(1L << Dedup.SimhashChunkBits) - 1}) AS chunk_val FROM sims")
+          .mkString("\n  UNION ALL ")
+        s"""WITH sims AS (
+           |  SELECT doc_id, ${Parity.simhashSql(h40)} AS simhash FROM documents),
+           |chunked AS (
+           |  $chunkedUnion),
+           |store AS (
+           |  SELECT chunk_idx, chunk_val, CAST(count(*) AS BIGINT) AS n_store_hits
+           |  FROM chunked WHERE doc_id < 400 GROUP BY 1, 2)
+           |SELECT n.doc_id, n.chunk_idx, n.chunk_val,
+           |       coalesce(s.n_store_hits, 0) AS n_store_hits
+           |FROM chunked n LEFT JOIN store s USING (chunk_idx, chunk_val)
+           |WHERE n.doc_id >= 400
+           |ORDER BY n.doc_id, n.chunk_idx""".stripMargin
       },
       "docs_stream_decontam_static" -> {
         val t = Parity.tokensSql("text")

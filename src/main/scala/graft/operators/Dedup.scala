@@ -442,6 +442,19 @@ object Dedup {
     * one exact chunk, so the bucket join is recall-complete for the
     * cutoff).
     */
+  /** Per-doc SimHash chunk rows `(doc_id, chunk_idx, chunk_val)` — the
+    * narrow stateless map a streaming index maintainer computes per
+    * arrival ([[minhashBandRows]]' Hamming-family counterpart).
+    */
+  def simhashChunkRows(docs: DataFrame): DataFrame =
+    simhashes(docs)
+      .select(
+        col("doc_id"),
+        posexplode(array((0 until SimhashChunks).map { i =>
+          shiftright(col("simhash"), i * SimhashChunkBits)
+            .bitwiseAND(lit((1L << SimhashChunkBits) - 1))
+        }: _*)).as(Seq("chunk_idx", "chunk_val")))
+
   def writeSimhashIndex(
       spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame): String = {

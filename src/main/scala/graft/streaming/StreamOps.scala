@@ -644,6 +644,45 @@ object StreamOps {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** STREAMING SIMHASH INDEX UPSERT — [[minhashUpsertOverParquet]]'s
+    * Hamming-family counterpart: the chunk index is built once over
+    * the static slice ([[graft.operators.Dedup.writeSimhashIndex]]);
+    * each arrival computes its 40-bit fingerprint + chunk rows
+    * statelessly and emits its `(doc_id, chunk_idx, chunk_val)`
+    * extension rows with the store's bucket occupancy from one
+    * broadcast probe. Same batch-parity contract: static index ∪
+    * extension = re-indexing from scratch.
+    */
+  def simhashUpsertOverParquet(
+      spark: SparkSession,
+      sfDir: String,
+      firstNewId: Long): DataFrame = {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idxDir = Dedup.writeSimhashIndex(spark, docs.filter(col("doc_id") < firstNewId))
+    val storeBuckets = spark.read
+      .parquet(idxDir)
+      .groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(count(lit(1)).as("n_store_hits"))
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-docs-shup"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    runStream(
+      spark,
+      Dedup
+        .simhashChunkRows(
+          readDocStream(spark, staged.toString).filter(col("doc_id") >= firstNewId))
+        .join(broadcast(storeBuckets), Seq("chunk_idx", "chunk_val"), "left_outer")
+        .select(
+          col("doc_id"),
+          col("chunk_idx").cast("int").as("chunk_idx"),
+          col("chunk_val"),
+          coalesce(col("n_store_hits"), lit(0L)).as("n_store_hits")),
+      graft.sources.Staging.freshTable("graft_stream_shupsert"),
+      "append")
+  }
+
   /** STREAMING PERCEPTUAL-HASH GATE: arriving media payloads near-dup-
     * checked against the static corpus's banded pHash store — the
     * multimodal counterpart of [[docDedupOverParquet]]'s exact-hash

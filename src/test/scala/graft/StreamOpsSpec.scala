@@ -444,6 +444,26 @@ class StreamOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("streaming simhash upsert: static index + extension = re-indexing from scratch") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ext = StreamOps.simhashUpsertOverParquet(spark, dir, firstNewId = 400L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(ext.forall(_._1 >= 400L))
+    def keyRows(d: org.apache.spark.sql.DataFrame) = Dedup.simhashChunkRows(d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val staticRows = keyRows(docs.filter(col("doc_id") < 400L))
+    assert(staticRows ++ ext.map(e => (e._1, e._2, e._3)).toSet === keyRows(docs),
+      "index ∪ extension must equal the from-scratch re-index")
+    val occupancy = staticRows.toSeq.groupBy(e => (e._2, e._3)).view.mapValues(_.size.toLong).toMap
+    ext.foreach { case (id, ci, cv, hits) =>
+      assert(hits === occupancy.getOrElse((ci, cv), 0L), s"occupancy wrong for ($id, $ci)")
+    }
+    assert(ext.exists(_._4 > 0L), "no arrival hit an existing chunk bucket")
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("streaming pHash gate equals the batch banded near-dup probe at sf0.001") {
     import graft.operators.Multimodal
     val dir = "/root/testdata/sf0.001"
