@@ -502,6 +502,12 @@ object SparkEntry {
     // per-doc ensemble verdict across the whole near-dup stack — the
     // which-detector-fires audit before clustering
     "dedup_verdict" -> ((s, d) => Dedup.verdict(docs(s, d)).orderBy(col("doc_id"))),
+    // canonical survivor per cluster by QUALITY argmax (ties to the
+    // lower id) — the keep-table a curation sweep actually consumes
+    "dedup_survivors" -> ((s, d) => Dedup.survivors(docs(s, d)).orderBy(col("doc_id"))),
+    // CCNet-shape paragraph-level exact dedup: first global occurrence
+    // of each fixed-width paragraph survives; per-doc dup audit
+    "dedup_paragraph" -> ((s, d) => Dedup.paragraphDedup(docs(s, d)).orderBy(col("doc_id"))),
     // the SIX-detector cross-modality audit: the four text families
     // plus the pHash media detector and the SemDeDup embedding
     // detector, one keep conjunction per document
@@ -2470,6 +2476,51 @@ object SparkEntry {
            |       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
            |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
            |ORDER BY doc_id""".stripMargin,
+      "dedup_survivors" ->
+        s"""WITH RECURSIVE sigs AS (
+           |  SELECT doc_id, ${Parity.minhashSigSql(codes, Dedup.MinhashK)} AS sig FROM documents),
+           |banded AS (
+           |  $bandedUnion),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+           |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach(id, lab) AS (
+           |  SELECT DISTINCT src AS id, src AS lab FROM und
+           |  UNION
+           |  SELECT u.dst, r.lab FROM reach r JOIN und u ON u.src = r.id
+           |),
+           |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+           |cl AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+           |       FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+           |q AS (SELECT doc_id, quality FROM ($qualitySql)),
+           |j AS (SELECT cl.doc_id, cl.cluster, q.quality FROM cl JOIN q ON q.doc_id = cl.doc_id),
+           |best AS (SELECT cluster, max(quality) AS mq FROM j GROUP BY cluster),
+           |surv AS (SELECT j.cluster, min(j.doc_id) AS survivor_id
+           |         FROM j JOIN best b ON b.cluster = j.cluster AND j.quality = b.mq
+           |         GROUP BY j.cluster)
+           |SELECT j.doc_id, j.cluster, s.survivor_id,
+           |       j.doc_id = s.survivor_id AS is_survivor, j.quality
+           |FROM j JOIN surv s ON s.cluster = j.cluster
+           |ORDER BY j.doc_id""".stripMargin,
+      "dedup_paragraph" ->
+        s"""WITH paras AS (
+           |  ${TextOps.chunkSql(Dedup.ParaChars, Dedup.ParaChars)}),
+           |own AS (SELECT chunk, min(doc_id) AS odoc FROM paras GROUP BY chunk),
+           |own2 AS (SELECT p.chunk, o.odoc, min(p.chunk_idx) AS oidx
+           |         FROM paras p JOIN own o ON p.chunk = o.chunk AND p.doc_id = o.odoc
+           |         GROUP BY p.chunk, o.odoc),
+           |m AS (SELECT p.doc_id, p.chunk_chars,
+           |             (p.doc_id = o.odoc AND p.chunk_idx = o.oidx) AS kept
+           |      FROM paras p JOIN own2 o ON o.chunk = p.chunk)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+           |       CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+           |       CAST(sum(CASE WHEN kept THEN chunk_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+           |       round(CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS DOUBLE)
+           |             / CAST(count(*) AS DOUBLE), 6) AS dup_para_ratio
+           |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "dedup_clusters_multimodal" ->
         s"""WITH RECURSIVE mhp AS (
            |  WITH sigs AS (

@@ -997,6 +997,85 @@ object Dedup {
     clusters(docs, pairs)
   }
 
+  /** Canonical-SURVIVOR selection per near-dup cluster: [[clusters]]'
+    * transitive closure picks the component, but a curation pipeline
+    * keeps the BEST document of each component, not the lowest id —
+    * here the [[TextOps.quality]] argmax (ties broken toward the lower
+    * doc id, so the choice is total and deterministic). This is the
+    * table the keep-filter actually consumes: every doc annotated with
+    * its cluster, the cluster's survivor, and whether it IS the
+    * survivor.
+    *
+    * Scale shape: the cluster∞quality join is doc_id-keyed; the argmax
+    * is one hash aggregate on the cluster key — `max(struct(quality,
+    * −doc_id))`, map-side partial, no window over the corpus — and the
+    * survivor table (one row per cluster) joins back on the same
+    * cluster key, reusing the exchange. Nothing here is quadratic in
+    * cluster size.
+    */
+  def survivors(docs: DataFrame): DataFrame = {
+    val cl = clusters(docs, minhashCandidatePairs(docs))
+      .select(col("doc_id"), col("cluster"))
+    val q = graft.operators.TextOps.quality(docs).select(col("doc_id"), col("quality"))
+    val j = Phys.materialized(cl.join(q, Seq("doc_id")))
+    val surv = j
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster"), (-col("b.nid")).as("survivor_id"))
+    j.join(surv, Seq("cluster"))
+      .select(
+        col("doc_id"),
+        col("cluster"),
+        col("survivor_id"),
+        (col("doc_id") === col("survivor_id")).as("is_survivor"),
+        col("quality"))
+  }
+
+  /** Paragraph granularity for [[paragraphDedup]]: non-overlapping
+    * character windows (the harness corpus has no newline structure; a
+    * real corpus splits on blank lines and feeds the same shape). */
+  val ParaChars = 64
+
+  /** Paragraph-level exact dedup, the CCNet shape (Wenzek 2020: dedup at
+    * paragraph granularity removes boilerplate that document-level
+    * hashing can't see): every document is split into fixed
+    * [[ParaChars]]-char paragraphs, and a paragraph INSTANCE survives
+    * iff it is the globally FIRST occurrence of its content — first in
+    * (doc_id, chunk_idx) order, one `min(struct(..))` per distinct
+    * paragraph. Output is the per-document audit: paragraph count,
+    * duplicated-paragraph count and ratio, and the characters a
+    * paragraph-dedup'd rewrite would keep.
+    *
+    * Scale shape: one hash aggregate keyed by paragraph content
+    * (map-side partial min — duplicate-heavy corpora collapse before
+    * the exchange), one equi-join back on the same content key, one
+    * doc-keyed rollup. At 100 TB the content key would be a 128-bit
+    * content hash instead of the raw string (CCNet uses the hash too);
+    * the plan shape is identical.
+    */
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val paras = Phys.materialized(
+      graft.operators.TextOps.chunk(docs, ParaChars, ParaChars))
+    val owners = paras
+      .groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("o"))
+    paras
+      .join(owners, Seq("chunk"))
+      .select(
+        col("doc_id"),
+        col("chunk_chars"),
+        (col("doc_id") === col("o.doc_id") && col("chunk_idx") === col("o.chunk_idx"))
+          .as("kept"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dup_paras"),
+        sum(when(col("kept"), col("chunk_chars")).otherwise(0L)).as("chars_kept"))
+      .withColumn(
+        "dup_para_ratio",
+        round(col("n_dup_paras").cast("double") / col("n_paras").cast("double"), 6))
+  }
+
   def semanticDedup(embs: DataFrame, minCosine: Double): DataFrame = {
     val assigned = Similarity.invertedLists(embs, Similarity.kmeansFixed(embs, Dedup.SemanticCells))
     val a = assigned.alias("a")

@@ -445,4 +445,57 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(again.toSet === out.toSet)
   }
+
+  test("survivors: one per cluster, quality-argmax with min-id tie-break") {
+    val docs = model.table(spark, dir, "documents")
+    val out = Dedup.survivors(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getDouble(4)))
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cl, rows) =>
+      val survs = rows.filter(_._4)
+      assert(survs.length === 1, s"cluster $cl has ${survs.length} survivors")
+      val s = survs.head
+      assert(rows.forall(_._3 == s._1), s"cluster $cl disagrees on survivor_id")
+      val maxQ = rows.map(_._5).max
+      assert(s._5 === maxQ, s"cluster $cl survivor not max-quality")
+      assert(
+        s._1 === rows.filter(_._5 == maxQ).map(_._1).min,
+        s"cluster $cl tie not broken toward the lower id")
+    }
+    // cluster assignment is exactly Dedup.clusters' closure
+    val cl = Dedup.clusters(docs, Dedup.minhashCandidatePairs(docs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, c, _, _, _) => assert(cl(id) === c) }
+  }
+
+  test("paragraph dedup: planted shared paragraph flags only the later doc") {
+    import spark.implicits._
+    val p1 = "a" * Dedup.ParaChars
+    val p2 = "b" * Dedup.ParaChars
+    val p3 = "c" * Dedup.ParaChars
+    val docs = Seq(
+      (1L, p1 + p2), // both paragraphs first occurrences
+      (2L, p1 + p3), // p1 is a dup of doc 1's copy; p3 fresh
+      (3L, p3)       // dup of doc 2's p3
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((2L, 0L, 2L * Dedup.ParaChars)))
+    assert(got(2L) === ((2L, 1L, Dedup.ParaChars.toLong)))
+    assert(got(3L) === ((1L, 1L, 0L)))
+  }
+
+  test("paragraph dedup conservation: kept chars + dup'd paragraph chars cover the corpus") {
+    val docs = model.table(spark, dir, "documents")
+    val out = Dedup.paragraphDedup(docs)
+    // every doc appears; total paragraphs reconstruct the per-doc count
+    assert(out.count() === docs.count())
+    val chars = out.agg(sum(col("chars_kept"))).collect()(0).getLong(0)
+    val total = docs
+      .agg(sum(length(coalesce(col("text"), lit(""))))).collect()(0).getLong(0)
+    assert(chars <= total)
+    // a corpus with duplicated docs must drop a strictly positive share
+    val dups = out.agg(sum(col("n_dup_paras"))).collect()(0).getLong(0)
+    assert(dups > 0)
+  }
 }
