@@ -508,6 +508,11 @@ object SparkEntry {
     // CCNet-shape paragraph-level exact dedup: first global occurrence
     // of each fixed-width paragraph survives; per-doc dup audit
     "dedup_paragraph" -> ((s, d) => Dedup.paragraphDedup(docs(s, d)).orderBy(col("doc_id"))),
+    // index-lifecycle close: base index ∪ arrival delta re-capped —
+    // hot buckets retired, compacted artifact rewritten in-plan
+    "dedup_minhash_compact" -> ((s, d) =>
+      Dedup.minhashCompact(s, docs(s, d), firstNewId = 400L)
+        .orderBy(col("band_idx"), col("band_val"))),
     // the SIX-detector cross-modality audit: the four text families
     // plus the pHash media detector and the SemDeDup embedding
     // detector, one keep conjunction per document
@@ -2476,6 +2481,16 @@ object SparkEntry {
            |       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
            |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
            |ORDER BY doc_id""".stripMargin,
+      "dedup_minhash_compact" ->
+        s"""WITH sigs AS (
+           |  SELECT doc_id, ${Parity.minhashSigSql(codes, Dedup.MinhashK)} AS sig FROM documents),
+           |banded AS (
+           |  $bandedUnion)
+           |SELECT band_idx, band_val, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(CASE WHEN doc_id >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           |       count(*) <= ${Dedup.CompactBucketCap} AS kept
+           |FROM banded GROUP BY band_idx, band_val
+           |ORDER BY band_idx, band_val""".stripMargin,
       "dedup_survivors" ->
         s"""WITH RECURSIVE sigs AS (
            |  SELECT doc_id, ${Parity.minhashSigSql(codes, Dedup.MinhashK)} AS sig FROM documents),

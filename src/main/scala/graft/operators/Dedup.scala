@@ -1076,6 +1076,56 @@ object Dedup {
         round(col("n_dup_paras").cast("double") / col("n_paras").cast("double"), 6))
   }
 
+  /** Bucket-occupancy cap for [[minhashCompact]]: buckets past this are
+    * retired from candidate generation — the [[MaxShingleDf]] /
+    * [[Multimodal.PhashBucketCap]] discipline applied to the served
+    * index itself. */
+  val CompactBucketCap = 50L
+
+  /** INDEX COMPACTION — the maintenance step that closes the stored-index
+    * lifecycle (write → streaming upsert → compact): the base band index
+    * ([[writeMinhashIndex]], corpus slice `doc_id < firstNewId`) merges
+    * with the arrival delta (`doc_id >= firstNewId`, signed with the
+    * same stateless narrow map the streaming upsert uses), per-bucket
+    * occupancy is recomputed over the union, and buckets past
+    * [[CompactBucketCap]] are RETIRED — a bucket that keeps growing is
+    * boilerplate, not a duplicate family, and at candidate-generation
+    * time it only adds fan-out. The compacted artifact is rewritten
+    * inside the query (the stored-family pattern of paying the write
+    * in-plan); the RESULT is the per-bucket audit a maintainer reads:
+    * occupancy, arrival share, kept/retired.
+    *
+    * Scale shape: the base rows come from the artifact scan (the corpus
+    * is never re-signed); the delta is one narrow map over the ingest
+    * slice; occupancy is one hash aggregate on the bucket key
+    * (map-side partial) and the artifact rewrite reuses the same key
+    * for its equi-join — no all-pairs term anywhere.
+    */
+  def minhashCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      firstNewId: Long): DataFrame = {
+    val idxDir = writeMinhashIndex(spark, docs.filter(col("doc_id") < firstNewId))
+    val base = spark.read
+      .parquet(idxDir)
+      .select(col("doc_id"), col("band_idx").cast("int").as("band_idx"), col("band_val"))
+    val delta = minhashBandRows(docs.filter(col("doc_id") >= firstNewId))
+      .select(col("doc_id"), col("band_idx").cast("int").as("band_idx"), col("band_val"))
+    val merged = Phys.materialized(base.unionByName(delta))
+    val audit = merged
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") >= firstNewId, 1L).otherwise(0L)).as("n_new"))
+      .withColumn("kept", col("n_docs") <= lit(CompactBucketCap))
+    val outDir = graft.sources.Staging.freshDir("minhash-compact")
+    merged
+      .join(audit.filter(col("kept")).select(col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
+      .write.mode("overwrite").parquet(outDir)
+    audit.select(col("band_idx"), col("band_val"), col("n_docs"), col("n_new"), col("kept"))
+  }
+
   def semanticDedup(embs: DataFrame, minCosine: Double): DataFrame = {
     val assigned = Similarity.invertedLists(embs, Similarity.kmeansFixed(embs, Dedup.SemanticCells))
     val a = assigned.alias("a")

@@ -485,6 +485,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(3L) === ((1L, 1L, 0L)))
   }
 
+  test("minhash compact: base ∪ delta audit equals a from-scratch re-index of the full corpus") {
+    val docs = model.table(spark, dir, "documents")
+    val audit = Dedup.minhashCompact(spark, docs, firstNewId = 400L).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    // from-scratch: sign the WHOLE corpus once, group the band rows
+    val scratch = Dedup.minhashBandRows(docs)
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("doc_id") >= 400L, 1L).otherwise(0L)).as("nn"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(audit.keySet === scratch.keySet)
+    audit.foreach { case (k, (n, nn, kept)) =>
+      assert(scratch(k) === ((n, nn)), s"bucket $k occupancy drifted")
+      assert(kept === (n <= Dedup.CompactBucketCap))
+    }
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("paragraph dedup conservation: kept chars + dup'd paragraph chars cover the corpus") {
     val docs = model.table(spark, dir, "documents")
     val out = Dedup.paragraphDedup(docs)
