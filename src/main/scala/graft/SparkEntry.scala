@@ -1160,6 +1160,11 @@ object SparkEntry {
     "docs_stream_simhash_upsert" -> ((s, d) =>
       streaming.StreamOps.simhashUpsertOverParquet(s, d, firstNewId = 400L)
         .orderBy(col("doc_id"), col("chunk_idx"))),
+    // the media-column member: arrivals extend the stored banded
+    // pHash index; occupancy probed against the capped store
+    "docs_stream_phash_upsert" -> ((s, d) =>
+      streaming.StreamOps.phashUpsertOverParquet(s, d, firstNewId = 400L)
+        .orderBy(col("doc_id"), col("band_idx"))),
     // relevance-on-arrival: the stored BM25 index scores arriving docs
     // as one stateless projection (model folded in as literals)
     "docs_stream_bm25_static" -> ((s, d) =>
@@ -3513,6 +3518,7 @@ object SparkEntry {
       // parity + the stored-probe spec); the oracle proves the matches
       "multimodal_phash_stored" -> Multimodal.phashGateSql(firstNewId = 400L),
       "docs_stream_phash_static" -> Multimodal.phashGateSql(firstNewId = 400L),
+      "docs_stream_phash_upsert" -> Multimodal.phashUpsertSql(firstNewId = 400L),
       "multimodal_frames" ->
         s"""WITH f AS (
            |  SELECT doc_id, text, CAST(length(text) // 64 AS BIGINT) AS n_frames

@@ -252,7 +252,10 @@ object Multimodal {
     * (doc_id < `firstNewId`, cap computed on static buckets only); per
     * flagged arrival, the lexicographically best (hamming, static id).
     */
-  def phashGateSql(firstNewId: Long): String = {
+  /** Shared DuckDB CTE prefix (`p`/`ps`/`sig`/`bands`): the corpus's
+    * pHash signatures exploded to (band_idx, band_val) rows — the SQL
+    * mirror of [[phashBands]] + the band explode. */
+  private def phashBandsCteSql: String = {
     val pxSql = "list_transform(list_filter(string_split(substring(text, 1, " +
       s"$PhashPixels), ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))"
     val powList = PhashPow2.mkString("[", ", ", "]")
@@ -265,10 +268,7 @@ object Multimodal {
           s"(acc, x) -> acc + x) AS b$j"
       }
       .mkString(",\n       ")
-    val hammingSql = (0 until PhashBands)
-      .map(j => s"bit_count(xor(a.b$j, st.b$j))")
-      .mkString(" + ")
-    s"""WITH p AS (
+    s"""p AS (
        |  SELECT doc_id, $pxSql AS px
        |  FROM documents WHERE length(text) >= $PhashPixels),
        |ps AS (
@@ -282,7 +282,37 @@ object Multimodal {
        |bands AS (
        |  SELECT doc_id, b0, b1, b2, b3, t.i AS band_idx,
        |         CASE t.i WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS band_val
-       |  FROM sig CROSS JOIN range(0, $PhashBands) t(i)),
+       |  FROM sig CROSS JOIN range(0, $PhashBands) t(i))""".stripMargin
+  }
+
+  /** DuckDB oracle for the STREAMING pHash index upsert
+    * ([[graft.streaming.StreamOps.phashUpsertOverParquet]]): arrival
+    * band rows annotated with the CAPPED static store's bucket
+    * occupancy (hot buckets were retired at index-build time → 0). */
+  def phashUpsertSql(firstNewId: Long): String =
+    s"""WITH $phashBandsCteSql,
+       |sbands AS (SELECT * FROM bands WHERE doc_id < $firstNewId),
+       |hot AS (
+       |  SELECT band_idx, band_val FROM sbands
+       |  GROUP BY 1, 2 HAVING count(*) > $PhashBucketCap),
+       |store AS (
+       |  SELECT k.* FROM sbands k
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+       |                    WHERE h.band_idx = k.band_idx AND h.band_val = k.band_val)),
+       |cnt AS (
+       |  SELECT band_idx, band_val, CAST(count(*) AS BIGINT) AS n_store_hits
+       |  FROM store GROUP BY 1, 2)
+       |SELECT a.doc_id, CAST(a.band_idx AS INTEGER) AS band_idx, a.band_val,
+       |       coalesce(c.n_store_hits, 0) AS n_store_hits
+       |FROM (SELECT * FROM bands WHERE doc_id >= $firstNewId) a
+       |LEFT JOIN cnt c ON c.band_idx = a.band_idx AND c.band_val = a.band_val
+       |ORDER BY a.doc_id, a.band_idx""".stripMargin
+
+  def phashGateSql(firstNewId: Long): String = {
+    val hammingSql = (0 until PhashBands)
+      .map(j => s"bit_count(xor(a.b$j, st.b$j))")
+      .mkString(" + ")
+    s"""WITH $phashBandsCteSql,
        |sbands AS (SELECT * FROM bands WHERE doc_id < $firstNewId),
        |hot AS (
        |  SELECT band_idx, band_val FROM sbands

@@ -683,6 +683,59 @@ object StreamOps {
       "append")
   }
 
+  /** STREAMING pHASH INDEX UPSERT — the media-column member of the
+    * index-upsert family ([[minhashUpsertOverParquet]] is the
+    * MinHash-text twin, [[simhashUpsertOverParquet]] the Hamming-text
+    * one): arriving payloads EXTEND the stored banded pHash index
+    * ([[graft.operators.Multimodal.writePhashIndex]], built once over
+    * the static slice with its hot-bucket cap applied). Each arrival
+    * computes its average-hash signature STATELESSLY (integer-exact
+    * narrow map — no shuffle, no stream state), explodes to
+    * `(band_idx, band_val)` rows, and is annotated with
+    * `n_store_hits` — the CAPPED store's occupancy of that bucket via
+    * one broadcast probe (hot buckets were retired at index-build
+    * time, so they read as 0 — fresh growth, which the next
+    * compaction pass re-caps). Arrivals shorter than
+    * [[graft.operators.Multimodal.PhashPixels]] bytes have no
+    * signature and emit nothing, same as the batch index.
+    *
+    * Scale shape: per arrival one narrow map + one broadcast join;
+    * the indexed corpus is never re-hashed or shuffled stream-side.
+    * Stateless append stream — no watermark because nothing is held.
+    */
+  def phashUpsertOverParquet(
+      spark: SparkSession,
+      sfDir: String,
+      firstNewId: Long): DataFrame = {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idxDir = Multimodal.writePhashIndex(docs.filter(col("doc_id") < firstNewId))
+    val storeBuckets = spark.read
+      .parquet(idxDir)
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("n_store_hits"))
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-docs-phup"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val bandCols = (0 until Multimodal.PhashBands).map(j => col(s"b$j"))
+    runStream(
+      spark,
+      Multimodal
+        .phashBands(readDocStream(spark, staged.toString).filter(col("doc_id") >= firstNewId))
+        .select(
+          col("doc_id") +: bandCols :+
+            posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")): _*)
+        .join(broadcast(storeBuckets), Seq("band_idx", "band_val"), "left_outer")
+        .select(
+          col("doc_id"),
+          col("band_idx").cast("int").as("band_idx"),
+          col("band_val"),
+          coalesce(col("n_store_hits"), lit(0L)).as("n_store_hits")),
+      graft.sources.Staging.freshTable("graft_stream_phupsert"),
+      "append")
+  }
+
   /** STREAMING PERCEPTUAL-HASH GATE: arriving media payloads near-dup-
     * checked against the static corpus's banded pHash store — the
     * multimodal counterpart of [[docDedupOverParquet]]'s exact-hash

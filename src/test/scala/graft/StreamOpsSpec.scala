@@ -464,6 +464,34 @@ class StreamOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("streaming pHash upsert: capped static index + extension = re-indexing from scratch") {
+    import graft.operators.Multimodal
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bandCols = (0 until Multimodal.PhashBands).map(j => col(s"b$j"))
+    def bandRows(d: org.apache.spark.sql.DataFrame) =
+      Multimodal.phashBands(d).select(
+        col("doc_id") +: bandCols :+
+          posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")): _*)
+        .collect().map(r => (r.getLong(0), r.getInt(5), r.getLong(6))).toSet
+    val ext = StreamOps.phashUpsertOverParquet(spark, dir, firstNewId = 400L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(ext.forall(_._1 >= 400L), "extension rows must be arrivals only")
+    // BATCH PARITY on the uncapped row space: static band rows plus the
+    // streamed extension equal the from-scratch explode of the corpus
+    val staticRows = bandRows(docs.filter(col("doc_id") < 400L))
+    assert(staticRows ++ ext.map(e => (e._1, e._2, e._3)).toSet === bandRows(docs),
+      "index ∪ extension must equal the from-scratch re-index")
+    // occupancy is measured against the CAPPED store: hot buckets read 0
+    val occ = staticRows.toSeq.groupBy(e => (e._2, e._3)).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 <= Multimodal.PhashBucketCap)
+    ext.foreach { case (id, bi, bv, hits) =>
+      assert(hits === occ.getOrElse((bi, bv), 0L), s"occupancy wrong for ($id, $bi)")
+    }
+    assert(ext.exists(_._4 > 0L), "no arrival hit an existing bucket")
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("streaming pHash gate equals the batch banded near-dup probe at sf0.001") {
     import graft.operators.Multimodal
     val dir = "/root/testdata/sf0.001"
