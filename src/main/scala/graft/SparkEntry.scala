@@ -845,6 +845,10 @@ object SparkEntry {
     }),
     "emb_centroids" -> ((s, d) =>
       Similarity.labelCentroids(embs(s, d)).orderBy(col("label"), col("dim"))),
+    // drift dashboard: per-label centroid shift (L2 + cosine) between
+    // the baseline and current snapshot slices — the retrain trigger
+    "emb_drift" -> ((s, d) =>
+      Similarity.labelDrift(embs(s, d)).orderBy(col("label"))),
     // contrastive hard-negative mining: per query, the most-similar
     // vectors of a DIFFERENT label (exact baseline; composes with ANN)
     "emb_hard_negatives" -> ((s, d) =>
@@ -3506,6 +3510,27 @@ object SparkEntry {
           |       round(avg(e[t.i]), 6) AS centroid, count(*) AS n
           |FROM d CROSS JOIN range(1, 65) t(i)
           |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+      "emb_drift" ->
+        """WITH d AS (
+          |  SELECT label, vec_id % 2 = 0 AS base, CAST(embedding AS DOUBLE[]) AS e
+          |  FROM embeddings),
+          |per AS (
+          |  SELECT label, t.i AS pos, base,
+          |         round(avg(e[t.i]), 6) AS c, CAST(count(*) AS BIGINT) AS n
+          |  FROM d CROSS JOIN range(1, 65) t(i)
+          |  GROUP BY 1, 2, 3),
+          |ab AS (
+          |  SELECT label, pos,
+          |         max(CASE WHEN base THEN c END) AS ca,
+          |         max(CASE WHEN NOT base THEN c END) AS cb,
+          |         max(CASE WHEN base THEN n END) AS na,
+          |         max(CASE WHEN NOT base THEN n END) AS nb
+          |  FROM per GROUP BY 1, 2)
+          |SELECT label, max(na) AS n_base, max(nb) AS n_curr,
+          |       round(sqrt(sum((ca - cb) * (ca - cb))), 6) AS l2_shift,
+          |       round(sum(ca * cb) /
+          |             (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))), 6) AS cos_sim
+          |FROM ab GROUP BY label ORDER BY label""".stripMargin,
       "multimodal_features" ->
         s"""SELECT doc_id,
            |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

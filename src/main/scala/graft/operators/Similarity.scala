@@ -106,6 +106,51 @@ object Similarity {
   private def asDoubleWithLabel(embs: DataFrame): DataFrame =
     embs.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
 
+  /** EMBEDDING-DRIFT monitor between two corpus snapshots: per label,
+    * the per-dim centroid of the BASELINE slice (even vec_id — the
+    * harness stand-in for "last ingest window") vs the CURRENT slice
+    * (odd vec_id), reduced to the two numbers a drift dashboard plots:
+    * the L2 shift between the centroids and their cosine. A retrain
+    * trigger reads this table — embedding drift is the vector-side
+    * analog of the text-side [[TextOps]] KL source drift.
+    *
+    * Determinism: per-dim centroids are 6-decimal-rounded BEFORE the
+    * distance/cosine fold (the [[labelCentroids]] cross-engine
+    * identity), so the final metrics are computed from identical
+    * inputs in both engines.
+    *
+    * Scale shape: one narrow explode + two hash aggregates — (label,
+    * dim, slice) then (label) — both map-side partial; no join, no
+    * window, nothing quadratic. At 100 TB the snapshot flag comes off
+    * a partition column instead of the id parity and the plan is
+    * unchanged.
+    */
+  def labelDrift(embs: DataFrame): DataFrame = {
+    val per = asDoubleWithLabel(embs)
+      .select(
+        col("label"),
+        (col("vec_id") % 2 === 0).as("base"),
+        posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"), col("base"))
+      .agg(round(avg(col("v")), 6).as("c"), count(lit(1)).as("n"))
+    val ab = per
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        max(when(col("base"), col("c"))).as("ca"),
+        max(when(!col("base"), col("c"))).as("cb"),
+        max(when(col("base"), col("n"))).as("na"),
+        max(when(!col("base"), col("n"))).as("nb"))
+    ab.groupBy(col("label"))
+      .agg(
+        max(col("na")).as("n_base"),
+        max(col("nb")).as("n_curr"),
+        round(sqrt(sum(pow(col("ca") - col("cb"), 2))), 6).as("l2_shift"),
+        round(
+          sum(col("ca") * col("cb")) /
+            (sqrt(sum(col("ca") * col("ca"))) * sqrt(sum(col("cb") * col("cb")))),
+          6).as("cos_sim"))
+  }
+
   /** Corpus bucketing, one row per (vector, table): sign-of-projection
     * bucket of [[PlanesPerTable]] bits per hash table. A narrow map — at
     * 100 TB this is the only pass over the corpus the index build needs.

@@ -1186,4 +1186,24 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(planted.forall(!_.getBoolean(3)), "planted labels are disjoint from real langs")
     graft.sources.Staging.cleanup(spark)
   }
+
+  test("label drift: metrics bounded on real data; identical snapshots read zero drift") {
+    import spark.implicits._
+    val embs = model.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Similarity.labelDrift(embs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0, "both slices populated per label")
+      assert(r.getDouble(3) >= 0.0, "L2 shift is a distance")
+      assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-9, "cosine bounded")
+    }
+    // planted: the same vectors mirrored into both slices → exactly no drift
+    val v = Seq(0.5, -0.25, 1.0) ++ Seq.fill(61)(0.0)
+    val twin = Seq((0L, v.map(_.toFloat), 7), (1L, v.map(_.toFloat), 7))
+      .toDF("vec_id", "embedding", "label")
+    val z = Similarity.labelDrift(twin).collect()
+    assert(z.length === 1)
+    assert(z(0).getDouble(3) === 0.0)
+    assert(z(0).getDouble(4) === 1.0)
+  }
 }
