@@ -1181,6 +1181,12 @@ object SparkEntry {
       streaming.StreamOps
         .embIvfIngestOverParquet(s, d, firstNewId = EmbStreamFirstNew, nProbe = 2)
         .orderBy(col("q_id"))),
+    // the vector-side index upsert: arrivals extend the stored
+    // inverted lists, quantizer never re-trained stream-side
+    "emb_stream_ivf_upsert" -> ((s, d) =>
+      streaming.StreamOps
+        .embIvfUpsertOverParquet(s, d, firstNewId = EmbStreamFirstNew)
+        .orderBy(col("vec_id"))),
     // streaming landmark maintenance: arriving edges extend the static
     // landmark table one hop (new node u gets min over its arriving
     // edges of d(L, v) + 1) — stream-static anti probe + table probe
@@ -2101,6 +2107,34 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
        |  FROM scored)
        |SELECT q_id, n_id, cos FROM best WHERE rn = 1 ORDER BY q_id""".stripMargin
+  }
+
+  /** Oracle for the streaming IVF list upsert: static-slice Lloyd
+    * chain, static assignments (the lists), arrival assignments with
+    * the SAME centroids, occupancy via a left join on the cell id. */
+  private def embStreamIvfUpsertOracleSql: String = {
+    val last = s"c${Similarity.KmeansIters}_s"
+    val intE =
+      s"list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * ${Similarity.KmeansScale}) AS BIGINT))"
+    s"""WITH ${kmeansCtesSliced("_s", 0, Similarity.Dim, srcWhere = s" WHERE vec_id < $EmbStreamFirstNew")},
+       |dn AS (SELECT vec_id, $intE AS ei
+       |       FROM embeddings WHERE vec_id >= $EmbStreamFirstNew),
+       |sl AS (SELECT v.vec_id, c.cid, ${kmeansScoreSql("v.ei", "c.c")} AS ccos
+       |       FROM d_s v CROSS JOIN $last c),
+       |lists AS (SELECT vec_id, cid FROM (
+       |            SELECT vec_id, cid,
+       |                   row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |            FROM sl) WHERE rn = 1),
+       |cnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_list FROM lists GROUP BY cid),
+       |sq AS (SELECT v.vec_id, c.cid, ${kmeansScoreSql("v.ei", "c.c")} AS ccos
+       |       FROM dn v CROSS JOIN $last c),
+       |asn AS (SELECT vec_id, cid FROM (
+       |          SELECT vec_id, cid,
+       |                 row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |          FROM sq) WHERE rn = 1)
+       |SELECT a.vec_id, a.cid, coalesce(c.n_list, 0) AS n_list
+       |FROM asn a LEFT JOIN cnt c ON c.cid = a.cid
+       |ORDER BY a.vec_id""".stripMargin
   }
 
   /** The PQ oracle's CTE bundle: one sliced Lloyd chain per subspace,
@@ -3040,6 +3074,7 @@ object SparkEntry {
            |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
       },
       "emb_stream_ivf_static" -> embStreamIvfOracleSql(nProbe = 2),
+      "emb_stream_ivf_upsert" -> embStreamIvfUpsertOracleSql,
       "events_stream_anomaly" ->
         s"""WITH f AS (
            |  SELECT event_type AS ft,

@@ -863,6 +863,65 @@ object StreamOps {
   def readEmbStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(embSchema).parquet(dir)
 
+  /** STREAMING IVF INDEX UPSERT — the vector-side member of the
+    * index-upsert family ([[minhashUpsertOverParquet]] /
+    * [[simhashUpsertOverParquet]] / [[phashUpsertOverParquet]]):
+    * arriving vectors EXTEND the stored inverted lists. The coarse
+    * quantizer is trained ONCE over the static slice
+    * ([[graft.operators.Similarity.kmeansFixed]]); each arrival is
+    * assigned to its nearest cell as a PURE EXPRESSION over the
+    * driver-collected k-row centroid table
+    * ([[graft.operators.Similarity.probeCellsExpr]], nProbe=1 — no
+    * stream state, no shuffle) and emits its `(vec_id, cid)`
+    * list-extension row annotated with `n_list`, the static list's
+    * current occupancy (one broadcast probe — the signal a maintainer
+    * watches for cells that need a re-train/split). Batch parity:
+    * static lists ∪ these rows = assigning the full corpus with the
+    * SAME static-trained quantizer (pinned in StreamOpsSpec).
+    *
+    * Scale shape: per arrival one narrow expression + one broadcast
+    * join; the indexed corpus is never re-assigned, the quantizer
+    * never re-trained stream-side. Stateless append stream.
+    */
+  def embIvfUpsertOverParquet(
+      spark: SparkSession,
+      sfDir: String,
+      firstNewId: Long): DataFrame = {
+    import graft.operators.{Phys, Similarity}
+    val static = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < firstNewId)
+    val centsDf = Phys.materialized(Similarity.kmeansFixed(static))
+    val listCounts = Similarity
+      .invertedLists(static, centsDf)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_list"))
+    val cents = centsDf
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+      .toSeq
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-embs-ivfup"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/embeddings.parquet"),
+      staged.resolve("embeddings.parquet"))
+    runStream(
+      spark,
+      readEmbStream(spark, staged.toString)
+        .filter(col("vec_id") >= firstNewId)
+        .select(
+          col("vec_id"),
+          explode(Similarity.probeCellsExpr(col("embedding"), cents, 1)).as("pc"))
+        .select(col("vec_id"), col("pc.cid").as("cid"))
+        .join(broadcast(listCounts), Seq("cid"), "left_outer")
+        .select(
+          col("vec_id"),
+          col("cid"),
+          coalesce(col("n_list"), lit(0L)).as("n_list")),
+      graft.sources.Staging.freshTable("graft_stream_ivfupsert"),
+      "append")
+  }
+
   /** STREAMING EMBEDDING INGEST against a STATIC IVF index — the online
     * half of the ANN story at 100 TB: the index (coarse centroids +
     * inverted lists) is trained/built ONCE over the existing corpus

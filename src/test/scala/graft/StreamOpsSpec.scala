@@ -492,6 +492,30 @@ class StreamOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("streaming IVF upsert: static lists + extension = assigning the corpus with the static quantizer") {
+    import graft.operators.{Phys, Similarity}
+    val dir = "/root/testdata/sf0.001"
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val static = embs.filter(col("vec_id") < 400L)
+    val cents = Phys.materialized(Similarity.kmeansFixed(static))
+    def assigns(d: org.apache.spark.sql.DataFrame) =
+      Similarity.invertedLists(d, cents).select(col("n_id"), col("cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ext = StreamOps.embIvfUpsertOverParquet(spark, dir, firstNewId = 400L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ext.forall(_._1 >= 400L), "extension rows must be arrivals only")
+    val staticAsn = assigns(static)
+    assert(staticAsn ++ ext.map(e => (e._1, e._2)).toSet === assigns(embs),
+      "lists ∪ extension must equal the from-scratch assignment under the SAME quantizer")
+    // occupancy annotation counts the static list the arrival extends
+    val occ = staticAsn.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    ext.foreach { case (id, cid, n) =>
+      assert(n === occ.getOrElse(cid, 0L), s"occupancy wrong for ($id, $cid)")
+    }
+    assert(ext.exists(_._3 > 0L), "no arrival landed in an occupied cell")
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("streaming pHash gate equals the batch banded near-dup probe at sf0.001") {
     import graft.operators.Multimodal
     val dir = "/root/testdata/sf0.001"
