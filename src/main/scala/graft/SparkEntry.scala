@@ -1252,6 +1252,11 @@ object SparkEntry {
     // grouped KMV: per-source distinct-token estimate next to exact
     "sketch_kmv_per_source" -> ((s, d) =>
       operators.Sketches.kmvPerSource(docs(s, d)).orderBy(col("source"))),
+    // cross-source Jaccard from mergeable KMV sketches (pairwise from
+    // k-row sketches only; exact column rides along for eval)
+    "sketch_kmv_jaccard" -> ((s, d) =>
+      operators.Sketches.kmvJaccardMatrix(docs(s, d))
+        .orderBy(col("source_a"), col("source_b"))),
     // HLL registers: m-cell max-merge distinct estimate, no pre-distinct
     "sketch_hll_per_source" -> ((s, d) =>
       operators.Sketches.hllPerSource(docs(s, d)).orderBy(col("source"))),
@@ -3146,6 +3151,7 @@ object SparkEntry {
       },
       "sketch_kmv_per_source" ->
         (operators.Sketches.kmvPerSourceSql() + "\nORDER BY source"),
+      "sketch_kmv_jaccard" -> operators.Sketches.kmvJaccardMatrixSql(),
       "sketch_hll_per_source" ->
         (operators.Sketches.hllPerSourceSql(
           shingleSql,

@@ -49,3 +49,28 @@ class KMinAggregator(k: Int)
   override def outputEncoder: Encoder[(Long, Long, Long)] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Long)]()
 }
+
+/** [[KMinAggregator]] finishing with the k-minima SET itself (ascending)
+  * instead of its summary — the mergeable-sketch row that set-operation
+  * estimators (KMV union/Jaccard, Beyer et al. 2007) consume. Same
+  * bounded buffer, same map-side partial fold: at most k hashes per
+  * group cross the exchange however hot the group.
+  */
+class KMinSetAggregator(k: Int)
+    extends Aggregator[Long, (Long, List[Long]), (Long, Seq[Long])] {
+
+  private val inner = new KMinAggregator(k)
+
+  override def zero: (Long, List[Long]) = inner.zero
+  override def reduce(b: (Long, List[Long]), h: Long): (Long, List[Long]) = inner.reduce(b, h)
+  override def merge(a: (Long, List[Long]), b: (Long, List[Long])): (Long, List[Long]) =
+    inner.merge(a, b)
+
+  override def finish(b: (Long, List[Long])): (Long, Seq[Long]) = (b._1, b._2)
+
+  override def bufferEncoder: Encoder[(Long, List[Long])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, List[Long])]()
+
+  override def outputEncoder: Encoder[(Long, Seq[Long])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Long])]()
+}

@@ -97,6 +97,127 @@ object Sketches {
           .as("kmv_estimate"))
   }
 
+  /** CROSS-SOURCE Jaccard from MERGEABLE KMV sketches (Beyer et al.
+    * 2007, "On synopses for distinct-value estimation under multiset
+    * operations"): each source keeps its k-min token-hash SET (one
+    * bounded aggregate — the [[kmvPerSource]] sketch with the minima
+    * kept); a source PAIR is then estimated entirely from the two
+    * k-row sketches — union sketch U = k smallest of minsA ∪ minsB,
+    * |A∪B| from U's kth hash, J ≈ |{h ∈ U : h ∈ A ∧ h ∈ B}| / |U|.
+    * `exact_jaccard` rides along as the eval column (the recall-column
+    * discipline of `ann_*_recall`).
+    *
+    * This is THE 100 TB shape for cross-corpus overlap: the corpus is
+    * scanned once per source to build k-long sketches, and every
+    * pairwise comparison after that touches only sketch rows —
+    * |sources|² array intersections of ≤ k elements, no re-scan, no
+    * hash self-join. (The exact eval column does pay one bounded
+    * self-join on the hash key — per-hash fan-out ≤ |sources| — and is
+    * what a production run drops.)
+    */
+  def kmvJaccardMatrix(docs: DataFrame, k: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val space = Parity.TokP * Parity.TokP2
+    val pairs = Phys.materialized(
+      docs
+        .select(col("source"), explode(Parity.tokens(col("text"))).as("t"))
+        .select(col("source"), Parity.tokenH40(col("t")).as("h"))
+        .distinct())
+    val agg = new graft.functions.KMinSetAggregator(k)
+    val sketches = pairs
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn)
+      .map { case (source, (nExact, mins)) => (source, nExact, mins) }
+      .toDF("source", "n_exact", "mins")
+    val a = sketches.select(
+      col("source").as("source_a"), col("n_exact").as("n_a"), col("mins").as("mins_a"))
+    val b = sketches.select(
+      col("source").as("source_b"), col("n_exact").as("n_b"), col("mins").as("mins_b"))
+    val u = slice(array_sort(array_union(col("mins_a"), col("mins_b"))), 1, k)
+    val est = broadcast(a)
+      .crossJoin(broadcast(b))
+      .filter(col("source_a") < col("source_b"))
+      .withColumn("u", u)
+      .withColumn("n_u", size(col("u")).cast("long"))
+      .withColumn(
+        "n_both",
+        size(filter(
+          col("u"),
+          h => array_contains(col("mins_a"), h) && array_contains(col("mins_b"), h)))
+          .cast("long"))
+      .select(
+        col("source_a"),
+        col("source_b"),
+        when(col("n_u") < k, col("n_u"))
+          .otherwise(expr(s"(${k - 1} * ${space}L) div element_at(u, cast(n_u as int))"))
+          .as("union_est"),
+        round(col("n_both").cast("double") / col("n_u").cast("double"), 6).as("est_jaccard"))
+    val inter = pairs.alias("x")
+      .join(pairs.alias("y"), col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val ex = a.select(col("source_a"), col("n_a"))
+      .crossJoin(b.select(col("source_b"), col("n_b")))
+      .filter(col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left_outer")
+      .select(
+        col("source_a"),
+        col("source_b"),
+        round(
+          coalesce(col("n_inter"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))).cast("double"),
+          6).as("exact_jaccard"))
+    est.join(ex, Seq("source_a", "source_b"))
+  }
+
+  /** DuckDB mirror of [[kmvJaccardMatrix]] (rank formulation of the
+    * per-source minima — the k smallest of a set are the same set
+    * however found). */
+  def kmvJaccardMatrixSql(k: Int = 64): String = {
+    val space = Parity.TokP * Parity.TokP2
+    val h = Parity.tokenH40Sql("t")
+    s"""WITH tok AS (
+       |  SELECT source, unnest(${Parity.tokensSql("text")}) AS t FROM documents),
+       |pair AS (SELECT DISTINCT source, $h AS h FROM tok),
+       |ranked AS (
+       |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM pair),
+       |mins AS (
+       |  SELECT source, list(h ORDER BY h) AS mins
+       |  FROM ranked WHERE rn <= $k GROUP BY source),
+       |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM pair GROUP BY source),
+       |est AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         a.mins AS mins_a, b.mins AS mins_b,
+       |         list_sort(list_distinct(a.mins || b.mins))[1:$k] AS u
+       |  FROM mins a JOIN mins b ON a.source < b.source),
+       |est2 AS (
+       |  SELECT source_a, source_b,
+       |         CAST(len(u) AS BIGINT) AS n_u, u[len(u)] AS kth,
+       |         CAST(len(list_filter(u, x ->
+       |           list_contains(mins_a, x) AND list_contains(mins_b, x))) AS BIGINT) AS n_both
+       |  FROM est),
+       |inter AS (
+       |  SELECT x.source AS source_a, y.source AS source_b, CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM pair x JOIN pair y ON x.h = y.h AND x.source < y.source
+       |  GROUP BY 1, 2)
+       |SELECT e.source_a, e.source_b,
+       |       CASE WHEN e.n_u < $k THEN e.n_u
+       |            ELSE (${k - 1} * $space) // e.kth END AS union_est,
+       |       round(CAST(e.n_both AS DOUBLE) / CAST(e.n_u AS DOUBLE), 6) AS est_jaccard,
+       |       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+       |             CAST(ea.n_exact + eb.n_exact - coalesce(i.n_inter, 0) AS DOUBLE), 6)
+       |         AS exact_jaccard
+       |FROM est2 e
+       |JOIN ex ea ON ea.source = e.source_a
+       |JOIN ex eb ON eb.source = e.source_b
+       |LEFT JOIN inter i ON i.source_a = e.source_a AND i.source_b = e.source_b
+       |ORDER BY e.source_a, e.source_b""".stripMargin
+  }
+
   // ---- Count-min sketch ----------------------------------------------------
 
   /** CMS geometry: depth 4 × width 512 = 2048 counter cells. Width sets

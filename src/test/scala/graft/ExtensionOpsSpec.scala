@@ -914,6 +914,33 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("kmv jaccard matrix: small universes exact; estimate tracks exact on corpus") {
+    // universes below k → the sketch IS the set, so est_jaccard == exact
+    val d = Seq(
+      (1L, "a b c d", "en", "s1"),
+      (2L, "a b x y", "en", "s2"),
+      (3L, "p q", "en", "s3")).toDF("doc_id", "text", "lang", "source")
+    val out = Sketches.kmvJaccardMatrix(d, k = 64).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.keySet === Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    out.foreach { case (pair, (est, exact)) =>
+      assert(est === exact, s"$pair: est=$est exact=$exact (sub-k regime must be exact)")
+    }
+    assert(out(("s1", "s2"))._2 === 0.333333) // |{a,b}| / |{a,b,c,d,x,y}|
+    assert(out(("s1", "s3"))._2 === 0.0)
+    // corpus: estimator bounded-error vs the exact eval column
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val big = Sketches.kmvJaccardMatrix(docs, k = 64).collect()
+    assert(big.nonEmpty)
+    big.foreach { r =>
+      val (est, exact) = (r.getDouble(3), r.getDouble(4))
+      assert(math.abs(est - exact) < 0.25,
+        s"${r.getString(0)}/${r.getString(1)}: est=$est exact=$exact")
+    }
+    val again = Sketches.kmvJaccardMatrix(docs, k = 64).collect()
+    assert(again.map(_.getDouble(3)).toSeq === big.map(_.getDouble(3)).toSeq)
+  }
+
   test("hll per source: max-merge registers, deterministic, sane error") {
     // tiny corpus: registers still deterministic, zero-register column
     // exposes the small-range regime instead of hiding it
