@@ -783,6 +783,14 @@ object SparkEntry {
     // robust-z outliers off median/MAD — the fence family's other half
     "events_mad" -> ((s, d) =>
       EventOps.madOutliers(events(s, d)).orderBy(col("event_type"))),
+    // PSI drift alarm between the stream's ref/cur halves, integer
+    // micro-unit bin terms so the cross-bin sum is order-free
+    "events_psi" -> ((s, d) =>
+      EventOps.psiDrift(events(s, d)).orderBy(col("event_type"))),
+    // two-sample KS drift: integer-exact max CDF gap off the
+    // distinct-value histogram
+    "events_ks_drift" -> ((s, d) =>
+      EventOps.ksDrift(events(s, d)).orderBy(col("event_type"))),
     // DAU / trailing-7d WAU per day, window on the day-grain table only
     "events_stickiness" -> ((s, d) =>
       EventOps.stickiness(events(s, d)).orderBy(col("day"))),
@@ -3471,6 +3479,8 @@ object SparkEntry {
       "events_markov" ->
         (EventOps.markovTransitionsSql() + "\nORDER BY prev_type, next_type"),
       "events_mad" -> (EventOps.madOutliersSql() + "\nORDER BY event_type"),
+      "events_psi" -> (EventOps.psiDriftSql() + "\nORDER BY event_type"),
+      "events_ks_drift" -> (EventOps.ksDriftSql() + "\nORDER BY event_type"),
       "events_stickiness" -> (EventOps.stickinessSql() + "\nORDER BY day"),
       "events_funnel" ->
         """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events

@@ -459,4 +459,177 @@ object EventOps {
        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total FROM c GROUP BY 1)
        |SELECT c.prev_type, c.next_type, c.n, c.n * 1000000 // t.row_total AS p_micro
        |FROM c JOIN t USING (prev_type)""".stripMargin
+
+  // ---- distribution-drift monitors ----------------------------------------
+
+  /** PSI bin width for [[psiDrift]] (value units per bin — ~20 bins
+    * over the harness value range, the 10–25 the PSI literature
+    * prescribes). */
+  val PsiBinWidth = 25.0d
+
+  /** The reference/current split both drift monitors share: the event
+    * time range's integer midpoint (`lo + (hi − lo) div 2` in epoch
+    * micros — exact on both engines), events at or before it are the
+    * REFERENCE window, after it the CURRENT window. A production run
+    * feeds two explicit snapshots; the midpoint split makes the
+    * harness query self-contained and deterministic.
+    */
+  private def windowed(events: DataFrame): DataFrame = {
+    val bounds = events.agg(
+      min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"))
+    events
+      .join(broadcast(bounds))
+      .withColumn(
+        "win",
+        when(unix_micros(col("ts")) <= expr("lo + (hi - lo) div 2"), lit("ref"))
+          .otherwise(lit("cur")))
+  }
+
+  private val windowedSql: String =
+    s"""b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+       |w AS (SELECT e.*, CASE WHEN epoch_us(ts) <= b.lo + (b.hi - b.lo) // 2
+       |                       THEN 'ref' ELSE 'cur' END AS win
+       |      FROM events e CROSS JOIN b)""".stripMargin
+
+  /** Population Stability Index per event type between the reference
+    * and current halves of the stream — THE production drift alarm for
+    * feature distributions (PSI < 0.1 stable, 0.1–0.25 shifting,
+    * > 0.25 drifted). Values bin at fixed width [[PsiBinWidth]];
+    * Laplace-smoothed shares `p = (n + 1) / (N + B)` (B = bins the
+    * type hits in either window) keep empty bins finite with no
+    * epsilon grid; each bin's `(p_cur − p_ref)·ln(p_cur/p_ref)` is
+    * rounded to integer micro-units BEFORE the sum (the [[TextOps]]
+    * KL discipline) so the cross-bin total is order-free integer
+    * addition, identical however Spark partitions it.
+    *
+    * Scale shape: one scan → hash aggregate on (type, bin) with
+    * map-side partials; everything after runs on ≤ |types|·|bins|
+    * rows. The 1-row bounds aggregate broadcasts — no driver collect.
+    *
+    * Output: `(event_type, n_ref, n_cur, n_bins, psi_micro)`.
+    */
+  def psiDrift(events: DataFrame): DataFrame = {
+    val cnt = windowed(events)
+      .select(
+        col("event_type"),
+        col("win"),
+        floor(col("value") / lit(PsiBinWidth)).cast("long").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(
+        sum(when(col("win") === "ref", 1L).otherwise(0L)).as("nr"),
+        sum(when(col("win") === "cur", 1L).otherwise(0L)).as("nc"))
+    val tot = cnt
+      .groupBy(col("event_type").as("tt"))
+      .agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"), count(lit(1)).as("nb"))
+    cnt
+      .join(broadcast(tot), col("event_type") === col("tt"))
+      .withColumn("pr", (col("nr") + 1).cast("double") / (col("tr") + col("nb")).cast("double"))
+      .withColumn("pc", (col("nc") + 1).cast("double") / (col("tc") + col("nb")).cast("double"))
+      .withColumn(
+        "term_micro",
+        round((col("pc") - col("pr")) * log(col("pc") / col("pr")) * 1000000.0d).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("tr")).as("n_ref"),
+        max(col("tc")).as("n_cur"),
+        max(col("nb")).as("n_bins"),
+        sum(col("term_micro")).as("psi_micro"))
+  }
+
+  /** [[psiDrift]] mirrored. */
+  def psiDriftSql(): String =
+    s"""WITH $windowedSql,
+       |c AS (
+       |  SELECT event_type, CAST(floor(value / $PsiBinWidth) AS BIGINT) AS bin,
+       |         CAST(sum(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+       |         CAST(sum(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS nc
+       |  FROM w GROUP BY 1, 2),
+       |t AS (SELECT event_type AS tt, CAST(sum(nr) AS BIGINT) AS tr,
+       |             CAST(sum(nc) AS BIGINT) AS tc, CAST(count(*) AS BIGINT) AS nb
+       |      FROM c GROUP BY 1),
+       |x AS (
+       |  SELECT c.event_type, t.tr, t.tc, t.nb,
+       |         CAST(c.nr + 1 AS DOUBLE) / CAST(t.tr + t.nb AS DOUBLE) AS pr,
+       |         CAST(c.nc + 1 AS DOUBLE) / CAST(t.tc + t.nb AS DOUBLE) AS pc
+       |  FROM c JOIN t ON c.event_type = t.tt)
+       |SELECT event_type, max(tr) AS n_ref, max(tc) AS n_cur, max(nb) AS n_bins,
+       |       CAST(sum(CAST(round((pc - pr) * ln(pc / pr) * 1000000.0) AS BIGINT)) AS BIGINT)
+       |         AS psi_micro
+       |FROM x GROUP BY event_type""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov drift per event type between the
+    * same reference/current halves: `D = max_x |F_ref(x) − F_cur(x)|`,
+    * computed ENTIRELY in integers — cumulative counts over the
+    * distinct-value histogram, `D_num = max |cr·tc − cc·tr|`,
+    * `d_ppm = D_num · 10⁶ div (tr·tc)` — so the statistic is
+    * bit-identical cross-engine with no floating ECDF anywhere.
+    * The nonparametric companion of [[psiDrift]]: PSI sees binned
+    * mass shifts, KS sees any CDF separation at full resolution.
+    *
+    * Scale shape: the scan compresses to a (type, value) histogram
+    * first (hash aggregate, map-side partials); the running sums
+    * window over that COMPRESSED table, |distinct values| rows per
+    * type, not |events|. At 100 TB the same query runs over the
+    * binned histogram ([[quantilesBinned]]'s table) — D then carries
+    * the bin-width resolution bound, the standard trade. Counts are
+    * ≤ 10⁶-scaled 64-bit products; a corpus past ~3·10⁹ rows per type
+    * first scales counts to ppm (the statistic is scale-free).
+    *
+    * Output: `(event_type, n_ref, n_cur, d_ppm)`.
+    */
+  def ksDrift(events: DataFrame): DataFrame = {
+    val h = windowed(events)
+      .groupBy(col("event_type"), col("value").as("v"))
+      .agg(
+        sum(when(col("win") === "ref", 1L).otherwise(0L)).as("nr"),
+        sum(when(col("win") === "cur", 1L).otherwise(0L)).as("nc"))
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h
+      .groupBy(col("event_type").as("tt"))
+      .agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"))
+    h
+      .withColumn("cr", sum(col("nr")).over(w))
+      .withColumn("cc", sum(col("nc")).over(w))
+      .join(broadcast(tot), col("event_type") === col("tt"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("tr")).as("n_ref"),
+        max(col("tc")).as("n_cur"),
+        max(abs(col("cr") * col("tc") - col("cc") * col("tr"))).as("d_num"))
+      .select(
+        col("event_type"),
+        col("n_ref"),
+        col("n_cur"),
+        when(col("n_ref") * col("n_cur") === 0L, lit(null).cast("long"))
+          .otherwise(expr("d_num * 1000000 div (n_ref * n_cur)"))
+          .as("d_ppm"))
+  }
+
+  /** [[ksDrift]] mirrored. */
+  def ksDriftSql(): String =
+    s"""WITH $windowedSql,
+       |h AS (
+       |  SELECT event_type, value AS v,
+       |         CAST(sum(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+       |         CAST(sum(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS nc
+       |  FROM w GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, nr, nc,
+       |         sum(nr) OVER (PARTITION BY event_type ORDER BY v
+       |                       ROWS UNBOUNDED PRECEDING) AS cr,
+       |         sum(nc) OVER (PARTITION BY event_type ORDER BY v
+       |                       ROWS UNBOUNDED PRECEDING) AS cc
+       |  FROM h),
+       |t AS (SELECT event_type, CAST(sum(nr) AS BIGINT) AS tr, CAST(sum(nc) AS BIGINT) AS tc
+       |      FROM h GROUP BY 1)
+       |SELECT c.event_type, t.tr AS n_ref, t.tc AS n_cur,
+       |       CASE WHEN t.tr * t.tc = 0 THEN NULL
+       |            ELSE CAST(max(abs(c.cr * t.tc - c.cc * t.tr)) * 1000000 // (t.tr * t.tc)
+       |                 AS BIGINT) END AS d_ppm
+       |FROM cum c JOIN t USING (event_type)
+       |GROUP BY c.event_type, t.tr, t.tc""".stripMargin
 }

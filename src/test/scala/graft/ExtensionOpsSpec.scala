@@ -299,6 +299,44 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out === Map((7L, 1L) -> 2L, (7L, 2L) -> 1L, (8L, 1L) -> 1L))
   }
 
+  test("psi drift: identical halves score ~0; a shifted current half alarms") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // 'click': both halves uniform over the same bin → psi 0
+    // 'error': ref mass in bin 0, cur mass in bin 4 → large psi
+    val e = (
+      (1 to 8).map(i => (i.toLong, at(if (i <= 4) 0 else 100), 1L, "click", 10.0, "{}")) ++
+        (1 to 4).map(i => (100L + i, at(0), 2L, "error", 10.0, "{}")) ++
+        (1 to 4).map(i => (200L + i, at(100), 2L, "error", 110.0, "{}"))
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.psiDrift(e).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val (cn, en) = (out("click"), out("error"))
+    assert(cn === ((4L, 4L, 1L, 0L)))
+    assert(en._1 === 4L && en._2 === 4L && en._3 === 2L)
+    assert(en._4 > 1000000L, s"shifted distribution must alarm, psi_micro=${en._4}")
+  }
+
+  test("ks drift: integer-exact D, zero on identical halves, full separation = 1e6 ppm") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val e = (
+      // 'click': same values both halves → D = 0
+      Seq(1.0, 2.0, 3.0).zipWithIndex.flatMap { case (v, i) =>
+        Seq((i.toLong, at(0), 1L, "click", v, "{}"),
+          (10L + i, at(100), 1L, "click", v, "{}"))
+      } ++
+        // 'error': ref all below cur → D = 1
+        Seq((20L, at(0), 2L, "error", 1.0, "{}"), (21L, at(0), 2L, "error", 2.0, "{}"),
+          (22L, at(100), 2L, "error", 5.0, "{}"), (23L, at(100), 2L, "error", 6.0, "{}"))
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.ksDrift(e).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("click") === ((3L, 3L, 0L)))
+    assert(out("error") === ((2L, 2L, 1000000L)))
+  }
+
   test("funnel requires strict in-order progression; ties and reversals don't count") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
