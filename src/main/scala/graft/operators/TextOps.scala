@@ -2082,4 +2082,89 @@ object TextOps {
        |SELECT doc_id, n_tokens, llr
        |FROM (SELECT doc_id, n_tokens, llr FROM sel ORDER BY gkey DESC, doc_id LIMIT $k)
        |ORDER BY doc_id""".stripMargin
+
+  // ---- PMI collocations ----------------------------------------------------
+
+  /** Minimum bigram count for [[pmiBigrams]] — rare pairs have
+    * unreliably high PMI (the classic PMI-favors-hapax pathology), so
+    * the standard floor applies before scoring. */
+  val PmiMinCount = 5L
+
+  /** Pointwise mutual information over ADJACENT token pairs — the
+    * collocation/phrase detector (Church & Hanks 1990; the word2phrase
+    * pass of word2vec): `pmi = ln(p(ab) / (p(a)·p(b)))` with unigram
+    * probabilities over token positions and bigram probability over
+    * bigram positions, only pairs seen ≥ [[PmiMinCount]] times scored.
+    * High-PMI pairs are the multi-word expressions a tokenizer should
+    * learn as single pieces — the diagnostic feeding BPE/unigram vocab
+    * review. The log's operand is built in ONE fixed double expression
+    * (products then one divide) evaluated identically by both engines,
+    * avoiding the 64-bit overflow an integer `n_ab·N_u²` hits at scale.
+    *
+    * Scale shape: bigram extraction is a narrow per-row map (slice +
+    * zip_with — no self-join, no window); then two hash aggregates
+    * (bigram counts, unigram counts) with map-side partials and two
+    * joins keyed on the words, each side bounded by vocabulary not
+    * corpus size. The 1-row totals broadcast.
+    *
+    * Output: `(w1, w2, n_ab, n_a, n_b, pmi)` per surviving pair.
+    */
+  def pmiBigrams(docs: DataFrame): DataFrame = {
+    val toks = docs.select(Parity.tokens(col("text")).as("t"))
+    val n = size(col("t"))
+    val bigs = toks
+      .filter(n >= 2)
+      .select(
+        explode(
+          zip_with(slice(col("t"), lit(1), n - 1), slice(col("t"), lit(2), n - 1), (x, y) =>
+            concat_ws(" ", x, y))).as("bg"))
+    val bCnt = bigs.groupBy(col("bg")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= PmiMinCount)
+      .select(
+        split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"),
+        col("n_ab"))
+    val uni = toks.select(explode(col("t")).as("w"))
+    val uCnt = uni.groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val totals = uni.agg(count(lit(1)).as("n_u"))
+      .crossJoin(bigs.agg(count(lit(1)).as("n_b_tot")))
+    bCnt
+      .join(uCnt.select(col("w").as("w1"), col("n").as("n_a")), Seq("w1"))
+      .join(uCnt.select(col("w").as("w2"), col("n").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("w1"),
+        col("w2"),
+        col("n_ab"),
+        col("n_a"),
+        col("n_b"),
+        round(
+          log(
+            (col("n_ab").cast("double") * col("n_u").cast("double") *
+              col("n_u").cast("double")) /
+              (col("n_b_tot").cast("double") * col("n_a").cast("double") *
+                col("n_b").cast("double"))),
+          6).as("pmi"))
+  }
+
+  /** [[pmiBigrams]] mirrored. */
+  def pmiBigramsSql(): String =
+    s"""WITH toks AS (SELECT ${Parity.tokensSql("text")} AS t FROM documents),
+       |big AS (SELECT unnest([array_to_string(list_slice(t, i, i + 1), ' ')
+       |                      FOR i IN range(1, len(t))]) AS bg
+       |        FROM toks WHERE len(t) >= 2),
+       |bcnt AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+       |                CAST(count(*) AS BIGINT) AS n_ab
+       |         FROM big GROUP BY bg HAVING count(*) >= $PmiMinCount),
+       |uni AS (SELECT unnest(t) AS w FROM toks),
+       |ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY w),
+       |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM uni) AS n_u,
+       |               (SELECT CAST(count(*) AS BIGINT) FROM big) AS n_b_tot)
+       |SELECT b.w1, b.w2, b.n_ab, ua.n AS n_a, ub.n AS n_b,
+       |       round(ln((CAST(b.n_ab AS DOUBLE) * CAST(t.n_u AS DOUBLE)
+       |                 * CAST(t.n_u AS DOUBLE)) /
+       |                (CAST(t.n_b_tot AS DOUBLE) * CAST(ua.n AS DOUBLE)
+       |                 * CAST(ub.n AS DOUBLE))), 6) AS pmi
+       |FROM bcnt b JOIN ucnt ua ON ua.w = b.w1 JOIN ucnt ub ON ub.w = b.w2
+       |CROSS JOIN tot t""".stripMargin
 }

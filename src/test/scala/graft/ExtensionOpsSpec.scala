@@ -299,6 +299,19 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out === Map((7L, 1L) -> 2L, (7L, 2L) -> 1L, (8L, 1L) -> 1L))
   }
 
+  test("er blocking: only within-block pairs compared, levenshtein verify exact") {
+    val c = Seq(
+      (1L, "Customer#000000001", 1, 0.0, "AUTO"),
+      (2L, "Customer#000000002", 1, 0.0, "AUTO"), // dist 1 to #1 → match
+      (3L, "Customer#000000999", 1, 0.0, "AUTO"), // dist 3 to both → no match
+      (4L, "Customer#000000001", 2, 0.0, "AUTO"), // other block: never compared to #1
+      (5L, "Customer#000000011", 1, 0.0, "BUILDING")) // other segment
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val out = Dedup.erBlockedPairs(c).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 1L)))
+  }
+
   test("psi drift: identical halves score ~0; a shifted current half alarms") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
@@ -316,6 +329,25 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(cn === ((4L, 4L, 1L, 0L)))
     assert(en._1 === 4L && en._2 === 4L && en._3 === 2L)
     assert(en._4 > 1000000L, s"shifted distribution must alarm, psi_micro=${en._4}")
+  }
+
+  test("pmi bigrams: min-count floor applies; collocation outranks chance pair") {
+    // "new york" always adjacent (6×); "the cat"/"the dog" split "the"'s
+    // mass so each pair's pmi is lower than the pure collocation's
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "new york", "en", "s1")) ++
+        (1 to 3).map(i => (10L + i, "the cat", "en", "s1")) ++
+        (1 to 3).map(i => (20L + i, "the dog", "en", "s1")) ++
+        Seq((30L, "rare pair", "en", "s1")) // below min count → dropped
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.pmiBigrams(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(5)))).toMap
+    assert(out.keySet === Set(("new", "york")))
+    val (nAb, pmi) = out(("new", "york"))
+    assert(nAb === 6L)
+    // p(ab)=6/13 bigram positions, p(a)=p(b)=6/26 token positions
+    val expected = math.log(6.0 / 13.0 / ((6.0 / 26.0) * (6.0 / 26.0)))
+    assert(math.abs(pmi - expected) < 1e-6)
   }
 
   test("ks drift: integer-exact D, zero on identical halves, full separation = 1e6 ppm") {
