@@ -1127,6 +1127,10 @@ object SparkEntry {
     // stream state; p50/p95 extracted from the sink
     "events_stream_quantiles" -> ((s, d) =>
       streaming.StreamOps.quantilesBinnedOverParquet(s, d).orderBy(col("event_type"))),
+    // streaming PSI gate: stored reference histogram vs the arrivals'
+    // streaming bin counts; shares the batch events_psi oracle
+    "events_stream_psi" -> ((s, d) =>
+      streaming.StreamOps.psiGateOverParquet(s, d).orderBy(col("event_type"))),
     // per-user strict funnel via transformWithState ListState: the event
     // log IS the state (incremental min-tuples are wrong under
     // out-of-order arrival), recomputed per batch
@@ -3540,6 +3544,7 @@ object SparkEntry {
       // the streaming histogram converges to the batch histogram, so the
       // sketch-quantile oracle is shared verbatim
       "events_stream_quantiles" -> quantilesBinnedOracleSql,
+      "events_stream_psi" -> (EventOps.psiDriftSql() + "\nORDER BY event_type"),
       "events_asof" ->
         s"""WITH c AS (SELECT user_id, ts, arg_max(value, event_id) AS click_value
            |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),

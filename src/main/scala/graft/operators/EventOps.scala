@@ -519,6 +519,15 @@ object EventOps {
       .agg(
         sum(when(col("win") === "ref", 1L).otherwise(0L)).as("nr"),
         sum(when(col("win") === "cur", 1L).otherwise(0L)).as("nc"))
+    psiFromCounts(cnt)
+  }
+
+  /** [[psiDrift]]'s scoring tail over a prepared per-(type, bin) count
+    * table `(event_type, bin, nr, nc)` — shared with the STREAMING psi
+    * gate, whose `nc` side comes out of a streaming aggregation while
+    * `nr` is the stored reference histogram.
+    */
+  private[graft] def psiFromCounts(cnt: DataFrame): DataFrame = {
     val tot = cnt
       .groupBy(col("event_type").as("tt"))
       .agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"), count(lit(1)).as("nb"))

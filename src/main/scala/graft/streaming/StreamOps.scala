@@ -1284,6 +1284,49 @@ object StreamOps {
        |             6) AS score
        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** STREAMING PSI DRIFT GATE: the reference histogram is built ONCE
+    * from the static corpus half (events at or before the stored
+    * cutoff — what a nightly job persists next to a trained model) as a
+    * bounded (type, bin) count table; arrivals past the cutoff flow
+    * through a stateless narrow bin map into a streaming count
+    * aggregate whose state is |types|·|bins| additive cells — the same
+    * boundedness argument as the streaming quantile histogram, and the
+    * reason PSI (not raw ECDF drift) is what production monitors run on
+    * firehoses. The sink full-outer-joins the two histograms and scores
+    * with the batch operator's integer micro-unit terms, so the output
+    * equals [[EventOps.psiDrift]] row-for-row and the ORACLE IS SHARED.
+    */
+  def psiGateOverParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.model.eventsTable(spark, sfDir)
+    val b = ev
+      .agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
+      .head()
+    val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    def bin = floor(col("value") / lit(EventOps.PsiBinWidth)).cast("long").as("bin")
+    val ref = ev
+      .filter(unix_micros(col("ts")) <= mid)
+      .select(col("event_type"), bin)
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("nr"))
+    val cur = overParquet(
+      spark,
+      sfDir,
+      "psigate",
+      st =>
+        st.filter(unix_micros(col("ts")) > mid)
+          .select(col("event_type"), bin)
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("nc")))
+    val cnt = ref
+      .join(cur, Seq("event_type", "bin"), "full_outer")
+      .select(
+        col("event_type"),
+        col("bin"),
+        coalesce(col("nr"), lit(0L)).as("nr"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    EventOps.psiFromCounts(cnt)
+  }
+
   /** STREAMING quantile sketch: the fixed-bin histogram is maintained
     * AS the streaming aggregation (additive counts — per-type state
     * bounded by the bin count, the property an exact percentile can

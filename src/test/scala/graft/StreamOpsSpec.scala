@@ -361,6 +361,22 @@ class StreamOpsSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("streaming PSI gate equals the batch drift monitor at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = EventOps
+      .psiDrift(model.eventsTable(spark, dir))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val streamed = StreamOps
+      .psiGateOverParquet(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming tumbling agg equals batch tumbling agg at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventOps
