@@ -956,6 +956,10 @@ object SparkEntry {
       val model = operators.Tokenization.writeUnigramModel(s, docs(s, d))
       operators.Tokenization.unigramFertilityStored(s, docs(s, d), model).orderBy(col("lang"))
     }),
+    // context-length capacity planning: padded vs packed chunk counts
+    // and exact ppm padding waste per candidate sequence length
+    "tok_context_fit" -> ((s, d) =>
+      operators.Tokenization.contextFit(docs(s, d)).orderBy(col("ctx_len"))),
     "bpe_pair_counts" -> ((s, d) =>
       operators.Tokenization
         .pairCounts(operators.Tokenization.initialStates(docs(s, d)))
@@ -3309,6 +3313,8 @@ object SparkEntry {
       "tok_unigram_fertility" -> operators.Tokenization.unigramFertilitySql(),
       // stored-artifact serving on the training corpus is result-identical
       "tok_unigram_stored" -> operators.Tokenization.unigramFertilitySql(),
+      "tok_context_fit" ->
+        s"SELECT * FROM (${operators.Tokenization.contextFitSql()}) ORDER BY ctx_len",
       "bpe_pair_counts" -> operators.Tokenization.pairCountsOracleSql,
       "bpe_merges" -> operators.Tokenization.bpeMergesSql(8, minFreq = 2L),
       "bpe_encode" -> operators.Tokenization.bpeEncodeSql(8, minFreq = 2L),

@@ -714,6 +714,67 @@ object Tokenization {
     s"""WITH ${unigramCtes()}
        |SELECT w, freq, n_pieces, score_micro FROM ures ORDER BY w""".stripMargin
 
+  /** Context lengths [[contextFit]] reports on — the capacity-planning
+    * grid a training run sizes its sequence length against. */
+  val ContextLengths = Seq(128L, 512L, 2048L)
+
+  /** Context-length fit report: for each candidate sequence length C,
+    * how the corpus packs — `n_chunks_padded = Σ_doc ceil(tok/C)` (the
+    * one-doc-per-sequence regime, each doc padded to a multiple of C)
+    * vs `n_chunks_packed = ceil(Σ tok / C)` (the concat-and-chunk
+    * regime), with the padding waste `(padded·C − Σtok)·10⁶ div
+    * (padded·C)` in exact ppm. The table that decides both the training
+    * sequence length and whether sequence packing is worth its
+    * attention-mask complexity — at short C long docs split cleanly
+    * (low waste), at long C short docs drown in padding.
+    *
+    * Scale shape: ONE corpus scan to per-doc token counts (narrow map,
+    * no explode of tokens), a 3× constant fan-out on the counts only,
+    * one hash aggregate. All integer arithmetic.
+    *
+    * Output: one row per C —
+    * `(ctx_len, n_docs, n_tokens, n_chunks_padded, waste_ppm,
+    * n_chunks_packed)`.
+    */
+  def contextFit(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(size(Parity.tokens(col("text"))).cast("long").as("tok"))
+    perDoc
+      .select(
+        explode(array(ContextLengths.map(lit): _*)).as("ctx_len"),
+        col("tok"))
+      .groupBy(col("ctx_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        sum(expr("(tok + ctx_len - 1) div ctx_len")).as("n_chunks_padded"))
+      .select(
+        col("ctx_len"),
+        col("n_docs"),
+        col("n_tokens"),
+        col("n_chunks_padded"),
+        expr("(n_chunks_padded * ctx_len - n_tokens) * 1000000" +
+          " div (n_chunks_padded * ctx_len)").as("waste_ppm"),
+        expr("(n_tokens + ctx_len - 1) div ctx_len").as("n_chunks_packed"))
+  }
+
+  /** [[contextFit]] mirrored. */
+  def contextFitSql(): String = {
+    val cs = ContextLengths.mkString("[", ", ", "]")
+    s"""WITH pd AS (SELECT CAST(len(${Parity.tokensSql("text")}) AS BIGINT) AS tok
+       |            FROM documents),
+       |x AS (SELECT unnest($cs) AS ctx_len, tok FROM pd),
+       |a AS (SELECT CAST(ctx_len AS BIGINT) AS ctx_len,
+       |             CAST(count(*) AS BIGINT) AS n_docs,
+       |             CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |             CAST(sum((tok + ctx_len - 1) // ctx_len) AS BIGINT) AS n_chunks_padded
+       |      FROM x GROUP BY 1)
+       |SELECT ctx_len, n_docs, n_tokens, n_chunks_padded,
+       |       (n_chunks_padded * ctx_len - n_tokens) * 1000000
+       |         // (n_chunks_padded * ctx_len) AS waste_ppm,
+       |       (n_tokens + ctx_len - 1) // ctx_len AS n_chunks_packed
+       |FROM a""".stripMargin
+  }
+
   /** [[unigramFertility]] mirrored (also the stored-serving oracle). */
   def unigramFertilitySql(): String = {
     val toksSql = Parity.tokensSql("text")

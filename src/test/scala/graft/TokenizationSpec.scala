@@ -176,4 +176,20 @@ class TokenizationSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate"), s"training stage leaked into apply plan:\n$plan")
     graft.sources.Staging.cleanup(spark)
   }
+
+  test("contextFit: exact ceil chunking, padding waste, packed lower bound") {
+    import spark.implicits._
+    // 130 tokens + 10 tokens at C=128: padded = 2 + 1 = 3 chunks
+    // (384 slots, 140 used → waste 635416 ppm), packed = ceil(140/128) = 2
+    val docs = Seq(
+      (1L, (1 to 130).map(i => s"w$i").mkString(" "), "en", "s1"),
+      (2L, (1 to 10).map(i => s"v$i").mkString(" "), "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.operators.Tokenization.contextFit(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out(128L) === ((2L, 140L, 3L, (384L - 140L) * 1000000L / 384L, 2L)))
+    assert(out(512L) === ((2L, 140L, 2L, (1024L - 140L) * 1000000L / 1024L, 1L)))
+    assert(out(2048L) === ((2L, 140L, 2L, (4096L - 140L) * 1000000L / 4096L, 1L)))
+  }
 }
