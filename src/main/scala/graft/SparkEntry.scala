@@ -613,6 +613,12 @@ object SparkEntry {
       Similarity.ivfStoredTopK(s, embs(s, d), model, nQueries = 50, k = 3, nProbe = 2)
         .orderBy(col("q_id"), col("rank"))
     }),
+    // IVF index health: per-cell occupancy ppm + micro-unit assignment
+    // scores off the stored quantizer — the skew/drift/dead-cell alarm
+    "ann_ivf_health" -> ((s, d) => {
+      val model = Similarity.writeIvfModel(s, embs(s, d))
+      Similarity.ivfHealth(s, embs(s, d), model).orderBy(col("cid"))
+    }),
     // EXTERNAL-query ANN: a runtime query vector served against the
     // stored quantizer — probe cells picked driver-side over the k-row
     // artifact, the data plan is a cell-pruned list scan + TakeOrdered
@@ -1956,6 +1962,33 @@ object SparkEntry {
        |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** IVF health oracle: retrain the deterministic quantizer inline,
+    * assign by the same (score DESC, cid) argmax, aggregate per cell
+    * with the per-vector micro-rounding applied BEFORE the sum.
+    */
+  private def ivfHealthOracleSql: String = {
+    val last = s"c${Similarity.KmeansIters}"
+    s"""WITH $kmeansCtes,
+       |cs AS (SELECT v.vec_id, c.cid, ${kmeansScoreSql("v.ei", "c.c")} AS ccos
+       |       FROM d v CROSS JOIN $last c),
+       |rc AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |       FROM cs),
+       |asg AS (SELECT vec_id, cid, CAST(round(ccos * 1000000) AS BIGINT) AS sm
+       |        FROM rc WHERE rn = 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM asg),
+       |pc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+       |              CAST(sum(sm) AS BIGINT) AS ssum,
+       |              CAST(min(sm) AS BIGINT) AS min_score_micro
+       |       FROM asg GROUP BY cid)
+       |SELECT c.cid, coalesce(pc.n_vecs, 0) AS n_vecs,
+       |       coalesce(pc.n_vecs, 0) * 1000000 // t.n_total AS occ_ppm,
+       |       CASE WHEN pc.n_vecs IS NULL THEN NULL
+       |            ELSE pc.ssum // pc.n_vecs END AS mean_score_micro,
+       |       pc.min_score_micro
+       |FROM $last c LEFT JOIN pc USING (cid) CROSS JOIN tot t
+       |ORDER BY c.cid""".stripMargin
+  }
+
   /** The shared IVF-PQ CTE chain up to `ivfpq_ranked` (nQueries=50,
     * nProbe=3, ranks unfiltered) — the common prefix of the plain,
     * stored, and re-ranked IVF-PQ oracles.
@@ -2919,6 +2952,7 @@ object SparkEntry {
       // the stored-model probe is result-identical to the trained path:
       // the artifact is the SAME deterministic k-means, written then read
       "ann_ivf_stored" -> ivfTrainedOracleSql,
+      "ann_ivf_health" -> ivfHealthOracleSql,
       "ann_ivf_query" -> ivfQueryOracleSql(AnnQueryVec, k = 10, nProbe = 2),
       "ann_sq_stored" -> Similarity.sqStoredTopKSql(nQueries = 10, k = 5),
       "ann_sq_recall" -> Similarity.sqRecallSql(nQueries = 20, k = 5),

@@ -439,6 +439,58 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF INDEX HEALTH REPORT over a stored quantizer — the ops-side
+    * companion of the upsert/compaction family: per cell, its vector
+    * count, occupancy share in exact ppm, and the mean/min assignment
+    * score in micro-units (each vector's score rounded to integer
+    * micros BEFORE the per-cell sum, so the aggregate is order-free).
+    * The two production alarms this feeds: OCCUPANCY SKEW (a hot cell
+    * degrades probe latency and recall — time to re-train or split)
+    * and LOW MEAN SCORE (a cell whose members sit far from their
+    * centroid — the quantizer no longer fits the drifted corpus;
+    * [[graft.operators.Multimodal]]'s drift monitor says the same
+    * thing from the label side). Empty cells surface as n_vecs = 0
+    * with NULL scores — dead centroids, the classic Lloyd pathology.
+    *
+    * Scale shape: one broadcast of the k-row centroid artifact, one
+    * narrow assignment pass over the corpus (hash-agg argmax, no
+    * window), one ≤ k-row aggregate. The 1-row total broadcasts back.
+    */
+  def ivfHealth(
+      spark: org.apache.spark.sql.SparkSession,
+      embs: DataFrame,
+      modelDir: String): DataFrame = {
+    val cents = spark.read.parquet(modelDir)
+    val asg = intEmb(embs)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), cellScore(col("ei"), col("c")).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("sel"))
+      .select(
+        col("vec_id"),
+        (-col("sel.ncid")).as("cid"),
+        expr("CAST(round(sel.ccos * 1000000) AS BIGINT)").as("sm"))
+    val tot = asg.agg(count(lit(1)).as("n_total"))
+    val perCell = asg
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("sm")).as("ssum"),
+        min(col("sm")).as("min_score_micro"))
+    cents
+      .select(col("cid"))
+      .join(perCell, Seq("cid"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("cid"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        expr("coalesce(n_vecs, 0) * 1000000 div n_total").as("occ_ppm"),
+        when(col("n_vecs").isNull, lit(null).cast("long"))
+          .otherwise(expr("ssum div n_vecs"))
+          .as("mean_score_micro"),
+        col("min_score_micro"))
+  }
+
   /** Multi-table LSH ANN: candidates share the query's bucket in ANY of
     * the [[NTables]] tables; exact cosine re-rank over the deduplicated
     * candidate set. The join is keyed on (table, bucket) only — per-bucket

@@ -621,6 +621,48 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("round-10 operators: blocked/bucketed joins only, no cartesians") {
+    // er_blocked_pairs: the pair join must key on the blocking columns
+    // (a cartesian would be the |R|² compare blocking exists to avoid);
+    // text_pmi_bigrams: word-keyed joins + a broadcast of the 1-row
+    // totals — no raw cartesian; events_ks_drift/events_psi: bounded
+    // histogram pipelines, no all-pairs anything
+    Seq("er_blocked_pairs", "text_pmi_bigrams", "events_psi", "events_ks_drift")
+      .foreach { q =>
+        val plan = planOf(SparkEntry.queries(q)(spark, dir))
+        assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
+      }
+    val er = planOf(SparkEntry.queries("er_blocked_pairs")(spark, dir))
+    assert(
+      er.contains("SortMergeJoin") || er.contains("BroadcastHashJoin") ||
+        er.contains("ShuffledHashJoin"),
+      s"er pair join is not an equi-join:\n$er")
+  }
+
+  test("ks drift windows over the compressed histogram, not raw events") {
+    // the running-sum window must consume the (type, value) hash
+    // aggregate's output — an event-grain window would sort the corpus
+    val df = SparkEntry.queries("events_ks_drift")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, s"no window in ks plan:\n$plan")
+    // at least one HashAggregate must appear BELOW the window operator
+    // in the plan tree (printed after it in the string form)
+    assert(
+      plan.indexOf("HashAggregate", winIdx) > winIdx,
+      s"window not fed by the histogram aggregate:\n$plan")
+  }
+
+  test("ivf health: centroid artifact broadcast, no window in the argmax") {
+    val embsDf = model.table(spark, dir, "embeddings")
+    val modelDir = graft.operators.Similarity.writeIvfModel(spark, embsDf)
+    val plan = planOf(graft.operators.Similarity.ivfHealth(spark, embsDf, modelDir))
+    assert(!plan.contains("CartesianProduct"), s"raw cartesian in health scan:\n$plan")
+    assert(!plan.contains("Window"), s"argmax regressed to a window:\n$plan")
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("tok_unigram_stored serving joins the broadcast artifact — no DP columns in the plan") {
     val docsDf = model.table(spark, dir, "documents")
     val modelDir = graft.operators.Tokenization.writeUnigramModel(spark, docsDf)
