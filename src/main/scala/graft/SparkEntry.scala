@@ -797,6 +797,10 @@ object SparkEntry {
     // distinct-value histogram
     "events_ks_drift" -> ((s, d) =>
       EventOps.ksDrift(events(s, d)).orderBy(col("event_type"))),
+    // sequential CUSUM changepoint: max-reset recursion computed exactly
+    // as prefix-sum minus running-min, localizes WHEN the shift happened
+    "events_cusum" -> ((s, d) =>
+      EventOps.cusumDrift(events(s, d)).orderBy(col("event_type"))),
     // DAU / trailing-7d WAU per day, window on the day-grain table only
     "events_stickiness" -> ((s, d) =>
       EventOps.stickiness(events(s, d)).orderBy(col("day"))),
@@ -1141,6 +1145,10 @@ object SparkEntry {
     // streaming bin counts; shares the batch events_psi oracle
     "events_stream_psi" -> ((s, d) =>
       streaming.StreamOps.psiGateOverParquet(s, d).orderBy(col("event_type"))),
+    // streaming CUSUM: O(1)-state per-type changepoint fold over
+    // arrivals; shares the batch events_cusum oracle
+    "events_stream_cusum" -> ((s, d) =>
+      streaming.StreamOps.cusumGateOverParquet(s, d).orderBy(col("event_type"))),
     // per-user strict funnel via transformWithState ListState: the event
     // log IS the state (incremental min-tuples are wrong under
     // out-of-order arrival), recomputed per batch
@@ -3538,6 +3546,7 @@ object SparkEntry {
       "events_mad" -> (EventOps.madOutliersSql() + "\nORDER BY event_type"),
       "events_psi" -> (EventOps.psiDriftSql() + "\nORDER BY event_type"),
       "events_ks_drift" -> (EventOps.ksDriftSql() + "\nORDER BY event_type"),
+      "events_cusum" -> (EventOps.cusumDriftSql() + "\nORDER BY event_type"),
       "events_stickiness" -> (EventOps.stickinessSql() + "\nORDER BY day"),
       "events_funnel" ->
         """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
@@ -3585,6 +3594,7 @@ object SparkEntry {
       // sketch-quantile oracle is shared verbatim
       "events_stream_quantiles" -> quantilesBinnedOracleSql,
       "events_stream_psi" -> (EventOps.psiDriftSql() + "\nORDER BY event_type"),
+      "events_stream_cusum" -> (EventOps.cusumDriftSql() + "\nORDER BY event_type"),
       "events_asof" ->
         s"""WITH c AS (SELECT user_id, ts, arg_max(value, event_id) AS click_value
            |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),

@@ -567,6 +567,89 @@ object EventOps {
        |         AS psi_micro
        |FROM x GROUP BY event_type""".stripMargin
 
+  /** One-sided CUSUM decision threshold in value-milli units: the
+    * cumulative positive excursion above the reference mean that
+    * triggers a changepoint alarm. */
+  val CusumH = 2000000L
+
+  /** One-sided CUSUM changepoint monitor (Page 1954) per event type:
+    * the reference half sets the in-control target (its integer-milli
+    * mean, `sum div n`); the current half is then scanned in event
+    * order and the classic recursion `S_i = max(0, S_{i-1} + (x_i −
+    * target))` flags a changepoint when S crosses [[CusumH]]. The
+    * recursion's max-reset is non-associative, so it is computed by the
+    * EXACT equivalent `S_i = P_i − min(0, min_{j≤i} P_j)` — a prefix
+    * sum and a running minimum, both plain window cumulatives over
+    * integers, bit-identical cross-engine. Where [[psiDrift]]/[[ksDrift]]
+    * compare two closed windows, CUSUM is the SEQUENTIAL monitor — it
+    * localizes WHEN the shift happened (first_cross_id), which is what
+    * an on-call engineer actually asks.
+    *
+    * Scale shape: one scan, one broadcast of the per-type targets, one
+    * ordered window per type. CUSUM is inherently sequential per
+    * monitored series; production shards by (type, stream partition)
+    * and each shard's window is independent — the per-type window here
+    * is that shard. All arithmetic in 64-bit milli units.
+    *
+    * Output: `(event_type, n_cur, target_milli, max_s_milli,
+    * n_crossings, first_cross_id)` (NULL id when never crossed).
+    */
+  def cusumDrift(events: DataFrame): DataFrame = {
+    val w = windowed(events).select(
+      col("event_type"),
+      col("win"),
+      col("ts"),
+      col("event_id"),
+      expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+    val ref = w
+      .filter(col("win") === "ref")
+      .groupBy(col("event_type").as("rt"))
+      .agg(expr("sum(vm) div count(1)").as("target_milli"))
+    val ord = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = w
+      .filter(col("win") === "cur")
+      .join(broadcast(ref), col("event_type") === col("rt"))
+      .withColumn("p", sum(col("vm") - col("target_milli")).over(ord))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(ord)))
+    s.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_cur"),
+        max(col("target_milli")).as("target_milli"),
+        max(col("s")).as("max_s_milli"),
+        sum(when(col("s") > CusumH, 1L).otherwise(0L)).as("n_crossings"),
+        min(when(col("s") > CusumH, struct(col("ts"), col("event_id")))).getField("event_id")
+          .as("first_cross_id"))
+  }
+
+  /** [[cusumDrift]] mirrored. */
+  def cusumDriftSql(): String =
+    s"""WITH $windowedSql,
+       |v AS (SELECT event_type, win, ts, event_id,
+       |             CAST(round(value * 1000) AS BIGINT) AS vm FROM w),
+       |ref AS (SELECT event_type, CAST(sum(vm) AS BIGINT) // CAST(count(*) AS BIGINT)
+       |               AS target_milli
+       |        FROM v WHERE win = 'ref' GROUP BY 1),
+       |cur AS (SELECT v.event_type, v.ts, v.event_id, v.vm, r.target_milli
+       |        FROM v JOIN ref r USING (event_type) WHERE v.win = 'cur'),
+       |ps AS (SELECT event_type, ts, event_id, target_milli,
+       |              CAST(sum(vm - target_milli) OVER (PARTITION BY event_type
+       |                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+       |       FROM cur),
+       |ss AS (SELECT *, CAST(p - least(CAST(0 AS BIGINT),
+       |                min(p) OVER (PARTITION BY event_type
+       |                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS s
+       |       FROM ps)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_cur,
+       |       CAST(max(target_milli) AS BIGINT) AS target_milli,
+       |       CAST(max(s) AS BIGINT) AS max_s_milli,
+       |       CAST(sum(CASE WHEN s > $CusumH THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings,
+       |       CAST(min(CASE WHEN s > $CusumH THEN {'ts': ts, 'event_id': event_id} END)
+       |            .event_id AS BIGINT) AS first_cross_id
+       |FROM ss GROUP BY event_type""".stripMargin
+
   /** Two-sample Kolmogorov–Smirnov drift per event type between the
     * same reference/current halves: `D = max_x |F_ref(x) − F_cur(x)|`,
     * computed ENTIRELY in integers — cumulative counts over the

@@ -1327,6 +1327,68 @@ object StreamOps {
     EventOps.psiFromCounts(cnt)
   }
 
+  /** STREAMING CUSUM changepoint monitor: the per-type in-control
+    * targets are computed ONCE from the static reference half (a
+    * ≤ |types|-row artifact folded into the processor as literals —
+    * the stored-model discipline), and arrivals past the cutoff fold
+    * through a per-type `transformWithState` ValueState carrying the
+    * CUSUM recursion's exact integer state `(n, P, min P, max S,
+    * crossings, first id)` — O(1) per type however long the stream,
+    * which is why CUSUM (not a two-window replay) is what runs on a
+    * firehose. Emits one row per type in Update mode; equals
+    * [[EventOps.cusumDrift]] row-for-row on the bounded harness file,
+    * so the ORACLE IS SHARED.
+    */
+  def cusumGateOverParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.model.eventsTable(spark, sfDir)
+    val b = ev
+      .agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
+      .head()
+    val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    val targets = ev
+      .filter(unix_micros(col("ts")) <= mid)
+      .select(col("event_type"), expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+      .groupBy(col("event_type"))
+      .agg(expr("sum(vm) div count(1)").as("t"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf
+      .set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      overParquet(
+        spark,
+        sfDir,
+        "cusumgate",
+        ev =>
+          ev.filter(unix_micros(col("ts")) > mid)
+            .select(
+              col("event_type"),
+              unix_micros(col("ts")).as("tus"),
+              col("event_id"),
+              expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+            .as[(String, Long, Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(
+              new CusumProcessor(targets, EventOps.CusumH),
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              OutputMode.Update())
+            .toDF("event_type", "n_cur", "target_milli", "max_s_milli", "n_crossings", "fid")
+            .select(
+              col("event_type"),
+              col("n_cur"),
+              col("target_milli"),
+              col("max_s_milli"),
+              col("n_crossings"),
+              when(col("fid") < 0L, lit(null).cast("long")).otherwise(col("fid"))
+                .as("first_cross_id")),
+        mode = "update")
+    } finally spark.conf.set(key, prev)
+  }
+
   /** STREAMING quantile sketch: the fixed-bin histogram is maintained
     * AS the streaming aggregation (additive counts — per-type state
     * bounded by the bin count, the property an exact percentile can
@@ -1624,5 +1686,59 @@ class UserTotalsProcessor
     rows.foreach { case (_, m) => n += 1L; s += m }
     totals.update((n, s))
     Iterator.single((key, n, s))
+  }
+}
+
+/** transformWithState processor for [[StreamOps.cusumGateOverParquet]]:
+  * one ValueState per event type carrying the CUSUM recursion's exact
+  * integer state `(n, P, min P, max S, crossings, first id)` — the
+  * prefix-sum-minus-running-min identity's two cumulatives plus the
+  * alarm bookkeeping, all 64-bit milli units, O(1) per type. `targets`
+  * is the per-type in-control mean from the static reference half
+  * (≤ |types| entries — a scalar artifact, serialized with the task);
+  * first_cross_id rides −1 until the first crossing (mapped to NULL at
+  * the sink). Rows within a batch fold in (ts, event_id) order — the
+  * same order the batch oracle replays.
+  */
+class CusumProcessor(targets: Map[String, Long], h: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String,
+      (String, Long, Long, Long),
+      (String, Long, Long, Long, Long, Long)] {
+
+  @transient private var st
+      : org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long, Long, Long)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Long, Long, Long, Long)](
+      "cusum",
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long, Long, Long)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[(String, Long, Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(String, Long, Long, Long, Long, Long)] = {
+    val target = targets.getOrElse(key, 0L)
+    var (n, p, runMin, maxS, nCross, firstId) =
+      if (st.exists()) st.get() match { case (a, b, c, d, e, f) => (a, b, c, d, e, f) }
+      else (0L, 0L, 0L, 0L, 0L, -1L)
+    rows.toSeq.sortBy { case (_, tus, eid, _) => (tus, eid) }.foreach {
+      case (_, _, eid, vm) =>
+        p += vm - target
+        runMin = math.min(runMin, p)
+        val s = p - math.min(0L, runMin)
+        maxS = math.max(maxS, s)
+        if (s > h) {
+          nCross += 1L
+          if (firstId < 0L) firstId = eid
+        }
+        n += 1L
+    }
+    st.update((n, p, runMin, maxS, nCross, firstId))
+    Iterator.single((key, n, target, maxS, nCross, firstId))
   }
 }

@@ -350,6 +350,37 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(math.abs(pmi - expected) < 1e-6)
   }
 
+  test("cusum: reset identity holds — negative excursions clear, positives accumulate") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // all types share ref mean 10.0 (target 10000 milli); range 0..100min
+    def ref(tpe: String, idBase: Long) =
+      Seq((idBase, at(0), 1L, tpe, 10.0, "{}"), (idBase + 1, at(10), 1L, tpe, 10.0, "{}"))
+    val e = (
+      ref("flat", 1L) ++ Seq( // cur deviations 0 → S pinned at 0
+        (3L, at(60), 1L, "flat", 10.0, "{}"),
+        (4L, at(100), 1L, "flat", 10.0, "{}")) ++
+        ref("shift", 10L) ++ Seq( // +1e6 per event → S = 1e6, 2e6, 3e6
+          (13L, at(60), 1L, "shift", 1010.0, "{}"),
+          (14L, at(70), 1L, "shift", 1010.0, "{}"),
+          (15L, at(100), 1L, "shift", 1010.0, "{}")) ++
+        ref("reset", 20L) ++ Seq( // +1.5e6, −3e6, +2.5e6 → S = 1.5e6, 0, 2.5e6
+          (23L, at(60), 1L, "reset", 1510.0, "{}"),
+          (24L, at(70), 1L, "reset", -2990.0, "{}"),
+          (25L, at(100), 1L, "reset", 2510.0, "{}"))
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.cusumDrift(e).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(out("flat") === ((2L, 10000L, 0L, 0L, -1L)))
+    // S2 = 2e6 is NOT > H; only S3 crosses
+    assert(out("shift") === ((3L, 10000L, 3000000L, 1L, 15L)))
+    // without the reset the third prefix would be 1e6 and never cross —
+    // the reset identity is what makes S3 = 2.5e6
+    assert(out("reset") === ((3L, 10000L, 2500000L, 1L, 25L)))
+  }
+
   test("ks drift: integer-exact D, zero on identical halves, full separation = 1e6 ppm") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)

@@ -377,6 +377,17 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming CUSUM gate equals the batch changepoint monitor at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5))
+    val batch = EventOps.cusumDrift(model.eventsTable(spark, dir)).collect().map(canon).toSet
+    val streamed = StreamOps.cusumGateOverParquet(spark, dir).collect().map(canon).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming tumbling agg equals batch tumbling agg at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventOps
