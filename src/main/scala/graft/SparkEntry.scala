@@ -1312,6 +1312,15 @@ object SparkEntry {
     "er_blocked_pairs" -> ((s, d) =>
       Dedup.erBlockedPairs(model.table(s, d, "customer"))
         .orderBy(col("cust_a"), col("cust_b"))),
+    // chi-squared independence of segment × nation, micro-unit cell terms
+    "stats_chi2" -> ((s, d) =>
+      operators.Stats.chi2Independence(model.table(s, d, "customer"))),
+    // Pearson matrix in exact decimal/HUGEINT sums — no float accumulation
+    "stats_corr_matrix" -> ((s, d) =>
+      operators.Stats.corrMatrix(model.table(s, d, "lineitem")).orderBy(col("pair"))),
+    // Benford first-digit conformance in exact ppm
+    "audit_benford" -> ((s, d) =>
+      operators.Stats.benfordAudit(model.table(s, d, "orders")).orderBy(col("digit"))),
     // co-located join: both sides staged through bucketed managed tables
     // on the join key — the executed plan has no shuffle exchange before
     // the sort-merge join (asserted in BucketingSpec); the oracle reads
@@ -3231,6 +3240,11 @@ object SparkEntry {
         s"SELECT * FROM (${Dedup.dupTokenRatioSql()}) ORDER BY doc_id",
       "er_blocked_pairs" ->
         s"SELECT * FROM (${Dedup.erBlockedPairsSql()}) ORDER BY cust_a, cust_b",
+      "stats_chi2" -> operators.Stats.chi2IndependenceSql(),
+      "stats_corr_matrix" ->
+        s"SELECT * FROM (${operators.Stats.corrMatrixSql()}) ORDER BY pair",
+      "audit_benford" ->
+        s"SELECT * FROM (${operators.Stats.benfordAuditSql()}) ORDER BY digit",
       "bucketed_join" ->
         """SELECT c_mktsegment, count(*) AS n,
           |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS revenue

@@ -350,6 +350,52 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(math.abs(pmi - expected) < 1e-6)
   }
 
+  test("chi2 independence: hand-computed 2x2 table, micro-unit exact") {
+    import graft.operators.Stats
+    val rows =
+      Seq.fill(10)(("A", 0)) ++ Seq.fill(20)(("A", 1)) ++
+        Seq.fill(20)(("B", 0)) ++ Seq.fill(10)(("B", 1))
+    val c = rows.zipWithIndex
+      .map { case ((seg, nat), i) => (i.toLong, s"c$i", nat, 0.0, seg) }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val r = Stats.chi2Independence(c).collect()(0)
+    // e = 15 per cell; each term (o-e)^2/e = 25/15 → 1666667 micro; 4 cells
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((60L, 4L, 1L, 6666668L)))
+  }
+
+  test("corr matrix: exact ±1 on linear columns, NULL on zero variance") {
+    import graft.operators.Stats
+    val li = (1 to 50).map { i =>
+      // p_cents = 2q+1 (r=+1 with q), d_bp = -q (r=-1), t_bp constant (NULL)
+      (i.toLong, (2.0 * i + 1) / 100.0, -i / 100.0, 0.07)
+    }.toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val out = Stats.corrMatrix(li).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(out("q_p") === 1.0)
+    assert(out("q_d") === -1.0)
+    assert(out("p_d") === -1.0)
+    assert(out("q_t").isNaN && out("p_t").isNaN && out("d_t").isNaN)
+  }
+
+  test("benford audit: exact ppm shares and Benford expectation constants") {
+    import graft.operators.Stats
+    val o = Seq(
+      (1L, 1L, "O", 1.5, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"),
+      (2L, 1L, "O", 19.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"),
+      (3L, 1L, "O", 99.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"),
+      (4L, 1L, "O", 100.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"),
+      (5L, 1L, "O", 0.5, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority")
+    val out = Stats.benfordAudit(o).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // sub-1 amount excluded; digits: 1,1,1 (1.5, 19.0, 100.0), 9 (99.0)
+    assert(out.keySet === Set(1L, 9L))
+    assert(out(1L) === ((3L, 750000L, 301030L)))
+    assert(out(9L) === ((1L, 250000L, 45757L)))
+  }
+
   test("cusum: reset identity holds — negative excursions clear, positives accumulate") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
