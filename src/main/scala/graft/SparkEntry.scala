@@ -502,6 +502,10 @@ object SparkEntry {
     // per-doc ensemble verdict across the whole near-dup stack — the
     // which-detector-fires audit before clustering
     "dedup_verdict" -> ((s, d) => Dedup.verdict(docs(s, d)).orderBy(col("doc_id"))),
+    // chance-corrected pairwise agreement of the four text detectors —
+    // the redundant-vs-complementary ensemble diagnostic
+    "dedup_detector_kappa" -> ((s, d) =>
+      Dedup.detectorKappa(Dedup.verdict(docs(s, d))).orderBy(col("det_a"), col("det_b"))),
     // canonical survivor per cluster by QUALITY argmax (ties to the
     // lower id) — the keep-table a curation sweep actually consumes
     "dedup_survivors" -> ((s, d) => Dedup.survivors(docs(s, d)).orderBy(col("doc_id"))),
@@ -801,6 +805,10 @@ object SparkEntry {
     // as prefix-sum minus running-min, localizes WHEN the shift happened
     "events_cusum" -> ((s, d) =>
       EventOps.cusumDrift(events(s, d)).orderBy(col("event_type"))),
+    // rank-based Mann–Whitney drift: doubled midranks keep U and the
+    // window-separation AUC exact integers
+    "events_mwu_drift" -> ((s, d) =>
+      EventOps.mwuDrift(events(s, d)).orderBy(col("event_type"))),
     // DAU / trailing-7d WAU per day, window on the day-grain table only
     "events_stickiness" -> ((s, d) =>
       EventOps.stickiness(events(s, d)).orderBy(col("day"))),
@@ -2489,6 +2497,37 @@ object SparkEntry {
            |            d.doc_id IN (SELECT doc_id FROM sh) OR
            |            d.doc_id IN (SELECT doc_id FROM ng)) AS keep
            |FROM documents d ORDER BY d.doc_id""".stripMargin,
+      "dedup_detector_kappa" ->
+        s"""WITH $verdictDupCtes,
+           |vt AS (
+           |  SELECT d.doc_id,
+           |         CAST(d.doc_id IN (SELECT doc_id FROM ex) AS BIGINT) AS ex_f,
+           |         CAST(d.doc_id IN (SELECT doc_id FROM mh) AS BIGINT) AS mh_f,
+           |         CAST(d.doc_id IN (SELECT doc_id FROM sh) AS BIGINT) AS sh_f,
+           |         CAST(d.doc_id IN (SELECT doc_id FROM ng) AS BIGINT) AS ng_f
+           |  FROM documents d),
+           |lf AS (
+           |  SELECT unnest([
+           |    {'det_a': 'exact', 'det_b': 'minhash', 'a': ex_f, 'b': mh_f},
+           |    {'det_a': 'exact', 'det_b': 'ngram', 'a': ex_f, 'b': ng_f},
+           |    {'det_a': 'exact', 'det_b': 'simhash', 'a': ex_f, 'b': sh_f},
+           |    {'det_a': 'minhash', 'det_b': 'ngram', 'a': mh_f, 'b': ng_f},
+           |    {'det_a': 'minhash', 'det_b': 'simhash', 'a': mh_f, 'b': sh_f},
+           |    {'det_a': 'ngram', 'det_b': 'simhash', 'a': ng_f, 'b': sh_f}],
+           |    recursive := true)
+           |  FROM vt),
+           |agg AS (
+           |  SELECT det_a, det_b, CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           |         CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+           |  FROM lf GROUP BY 1, 2)
+           |SELECT det_a, det_b, n, n_agree,
+           |       CASE WHEN n * n - (na * nb + (n - na) * (n - nb)) = 0 THEN NULL
+           |            ELSE CAST(round(
+           |              CAST(n * n_agree - (na * nb + (n - na) * (n - nb)) AS DOUBLE)
+           |              / CAST(n * n - (na * nb + (n - na) * (n - nb)) AS DOUBLE)
+           |              * 1000000) AS BIGINT) END AS kappa_micro
+           |FROM agg ORDER BY det_a, det_b""".stripMargin,
       "dedup_simhash_stored" ->
         s"""WITH sims AS (
            |  SELECT doc_id, ${Parity.simhashSql(h40s)} AS simhash FROM documents),
@@ -3561,6 +3600,7 @@ object SparkEntry {
       "events_psi" -> (EventOps.psiDriftSql() + "\nORDER BY event_type"),
       "events_ks_drift" -> (EventOps.ksDriftSql() + "\nORDER BY event_type"),
       "events_cusum" -> (EventOps.cusumDriftSql() + "\nORDER BY event_type"),
+      "events_mwu_drift" -> (EventOps.mwuDriftSql() + "\nORDER BY event_type"),
       "events_stickiness" -> (EventOps.stickinessSql() + "\nORDER BY day"),
       "events_funnel" ->
         """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events

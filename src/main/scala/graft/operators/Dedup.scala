@@ -1184,6 +1184,60 @@ object Dedup {
        |FROM ok a JOIN ok b ON a.nat = b.nat AND a.seg = b.seg AND a.id < b.id
        |WHERE levenshtein(a.name, b.name) <= $maxDist""".stripMargin
 
+  /** Cohen's kappa between each pair of the four text dedup detectors,
+    * over [[verdict]]'s per-doc flags — chance-corrected agreement, the
+    * standard answer to "are two detectors redundant or complementary?"
+    * (raw agreement is inflated when both mostly say 'not dup'; kappa
+    * subtracts that chance floor). Computed as the EXACT RATIONAL
+    * `(n·n_agree − pe_num) / (n² − pe_num)` with `pe_num = na·nb +
+    * (n−na)(n−nb)` — integer numerator and denominator, one final
+    * micro-rounding; NULL when a detector pair is degenerate (both
+    * constant ⇒ denominator 0). High kappa (≈1) ⇒ the cheaper detector
+    * can gate for the dearer one; low kappa ⇒ keep both in the
+    * ensemble.
+    *
+    * Scale shape: the verdict table fans out 6 pair-rows per doc (a
+    * narrow in-row explode), then one 6-group hash aggregate with
+    * map-side partials.
+    *
+    * Output: 6 rows `(det_a, det_b, n, n_agree, kappa_micro)`.
+    */
+  def detectorKappa(verdict: DataFrame): DataFrame = {
+    val v = verdict.select(
+      col("exact_dup").cast("long").as("ex_f"),
+      col("minhash_dup").cast("long").as("mh_f"),
+      col("simhash_dup").cast("long").as("sh_f"),
+      col("ngram_dup").cast("long").as("ng_f"))
+    val pairs = Seq(
+      ("exact", "minhash", "ex_f", "mh_f"),
+      ("exact", "ngram", "ex_f", "ng_f"),
+      ("exact", "simhash", "ex_f", "sh_f"),
+      ("minhash", "ngram", "mh_f", "ng_f"),
+      ("minhash", "simhash", "mh_f", "sh_f"),
+      ("ngram", "simhash", "ng_f", "sh_f"))
+    v.select(
+        explode(array(pairs.map { case (a, b, x, y) =>
+          struct(lit(a).as("det_a"), lit(b).as("det_b"), col(x).as("a"), col(y).as("b"))
+        }: _*)).as("s"))
+      .select(col("s.det_a"), col("s.det_b"), col("s.a"), col("s.b"))
+      .groupBy(col("det_a"), col("det_b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"),
+        sum(col("a")).as("na"),
+        sum(col("b")).as("nb"))
+      .select(
+        col("det_a"),
+        col("det_b"),
+        col("n"),
+        col("n_agree"),
+        expr("""CASE WHEN n * n - (na * nb + (n - na) * (n - nb)) = 0 THEN NULL
+                |     ELSE CAST(round(
+                |       CAST(n * n_agree - (na * nb + (n - na) * (n - nb)) AS DOUBLE)
+                |       / CAST(n * n - (na * nb + (n - na) * (n - nb)) AS DOUBLE)
+                |       * 1000000) AS BIGINT) END""".stripMargin).as("kappa_micro"))
+  }
+
   def semanticDedup(embs: DataFrame, minCosine: Double): DataFrame = {
     val assigned = Similarity.invertedLists(embs, Similarity.kmeansFixed(embs, Dedup.SemanticCells))
     val a = assigned.alias("a")

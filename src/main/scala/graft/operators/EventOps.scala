@@ -567,6 +567,83 @@ object EventOps {
        |         AS psi_micro
        |FROM x GROUP BY event_type""".stripMargin
 
+  /** Mann–Whitney U drift per event type between the same reference/
+    * current halves — the RANK-based member of the two-sample battery
+    * ([[psiDrift]] sees binned mass, [[ksDrift]] the sup-norm CDF gap,
+    * MWU the stochastic ordering): `U/(n₁n₂) = P(ref < cur) +
+    * ½P(ref = cur)`, i.e. the ROC-AUC of "which window is this value
+    * from" — 500000 ppm means no shift, 1e6 means total separation.
+    * Tie-corrected midranks are kept DOUBLED (`2·cum_before + c + 1` —
+    * always integer), so U and the AUC are exact 64-bit rationals,
+    * bit-identical cross-engine with no floating rank anywhere.
+    *
+    * Scale shape: identical to [[ksDrift]] — the scan compresses to the
+    * per-(type, value) histogram first; ranks come from running sums
+    * over that compressed table. Doubled rank sums stay under 2·n²
+    * (≈ 2·10¹⁰ at sf0.1); past ~10⁹ rows per type the same statistic
+    * runs on the binned histogram.
+    *
+    * Output: `(event_type, n_ref, n_cur, u2_ref, auc_cur_ppm)`.
+    */
+  def mwuDrift(events: DataFrame): DataFrame = {
+    val h = windowed(events)
+      .groupBy(col("event_type"), col("value").as("v"))
+      .agg(
+        sum(when(col("win") === "ref", 1L).otherwise(0L)).as("nr"),
+        sum(when(col("win") === "cur", 1L).otherwise(0L)).as("nc"))
+    val ord = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = h
+      .withColumn("cumt", sum(col("nr") + col("nc")).over(ord))
+      // doubled midrank of the tie group at v: 2·cum_before + c + 1
+      .withColumn("mr2", lit(2L) * col("cumt") - (col("nr") + col("nc")) + 1L)
+    val tot = ranked
+      .groupBy(col("event_type").as("tt"))
+      .agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"))
+    ranked
+      .groupBy(col("event_type"))
+      .agg(sum(col("nr") * col("mr2")).as("r1_2"))
+      .join(broadcast(tot), col("event_type") === col("tt"))
+      .select(
+        col("event_type"),
+        col("tr").as("n_ref"),
+        col("tc").as("n_cur"),
+        // doubled U of the REF sample: 2·R1 − n1(n1+1)
+        (col("r1_2") - col("tr") * (col("tr") + 1L)).as("u2_ref"),
+        // AUC of "cur tends larger": 1 − U_ref/(n1·n2), in exact ppm
+        when(col("tr") * col("tc") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "(2 * tr * tc - (r1_2 - tr * (tr + 1))) * 1000000 div (2 * tr * tc)"))
+          .as("auc_cur_ppm"))
+  }
+
+  /** [[mwuDrift]] mirrored. */
+  def mwuDriftSql(): String =
+    s"""WITH $windowedSql,
+       |h AS (
+       |  SELECT event_type, value AS v,
+       |         CAST(sum(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+       |         CAST(sum(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS nc
+       |  FROM w GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT event_type, nr, nc,
+       |         2 * CAST(sum(nr + nc) OVER (PARTITION BY event_type ORDER BY v
+       |                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |           - (nr + nc) + 1 AS mr2
+       |  FROM h),
+       |t AS (SELECT event_type, CAST(sum(nr) AS BIGINT) AS tr, CAST(sum(nc) AS BIGINT) AS tc
+       |      FROM h GROUP BY 1),
+       |r AS (SELECT event_type, CAST(sum(nr * mr2) AS BIGINT) AS r1_2
+       |      FROM rk GROUP BY 1)
+       |SELECT r.event_type, t.tr AS n_ref, t.tc AS n_cur,
+       |       r.r1_2 - t.tr * (t.tr + 1) AS u2_ref,
+       |       CASE WHEN t.tr * t.tc = 0 THEN NULL
+       |            ELSE (2 * t.tr * t.tc - (r.r1_2 - t.tr * (t.tr + 1))) * 1000000
+       |                 // (2 * t.tr * t.tc) END AS auc_cur_ppm
+       |FROM r JOIN t USING (event_type)""".stripMargin
+
   /** One-sided CUSUM decision threshold in value-milli units: the
     * cumulative positive excursion above the reference mean that
     * triggers a changepoint alarm. */

@@ -350,6 +350,38 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(math.abs(pmi - expected) < 1e-6)
   }
 
+  test("mwu drift: doubled midranks exact — separation 1e6, pure tie 500000") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val e = Seq(
+      // 'sep': ref {1,2} all below cur {5,6} → AUC(cur larger) = 1
+      (1L, at(0), 1L, "sep", 1.0, "{}"), (2L, at(10), 1L, "sep", 2.0, "{}"),
+      (3L, at(60), 1L, "sep", 5.0, "{}"), (4L, at(100), 1L, "sep", 6.0, "{}"),
+      // 'tie': identical single values → midrank 1.5 doubled = 3, AUC ½
+      (10L, at(0), 1L, "tie", 7.0, "{}"), (11L, at(100), 1L, "tie", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.mwuDrift(e).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out("sep") === ((2L, 2L, 0L, 1000000L)))
+    assert(out("tie") === ((1L, 1L, 1L, 500000L)))
+  }
+
+  test("detector kappa: identical flags = 1e6, chance-level = 0, inverted = -1e6") {
+    val v = Seq(
+      (1L, true, true, true, false),
+      (2L, false, false, true, false),
+      (3L, true, true, false, true),
+      (4L, false, false, false, true))
+      .toDF("doc_id", "exact_dup", "minhash_dup", "simhash_dup", "ngram_dup")
+    val out = Dedup.detectorKappa(v).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(4))).toMap
+    assert(out(("exact", "minhash")) === 1000000L)
+    assert(out(("exact", "simhash")) === 0L)
+    assert(out(("exact", "ngram")) === 0L)
+    assert(out(("ngram", "simhash")) === -1000000L)
+  }
+
   test("chi2 independence: hand-computed 2x2 table, micro-unit exact") {
     import graft.operators.Stats
     val rows =
