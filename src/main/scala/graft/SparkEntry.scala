@@ -809,6 +809,10 @@ object SparkEntry {
     // window-separation AUC exact integers
     "events_mwu_drift" -> ((s, d) =>
       EventOps.mwuDrift(events(s, d)).orderBy(col("event_type"))),
+    // Kaplan–Meier time-to-first-purchase with right-censoring, carried
+    // in log domain as integer micro cumsums
+    "events_survival_km" -> ((s, d) =>
+      EventOps.survivalKm(events(s, d)).orderBy(col("t_hr"))),
     // DAU / trailing-7d WAU per day, window on the day-grain table only
     "events_stickiness" -> ((s, d) =>
       EventOps.stickiness(events(s, d)).orderBy(col("day"))),
@@ -1329,6 +1333,13 @@ object SparkEntry {
     // Benford first-digit conformance in exact ppm
     "audit_benford" -> ((s, d) =>
       operators.Stats.benfordAudit(model.table(s, d, "orders")).orderBy(col("digit"))),
+    // RFM quintile segmentation rolled to the segment cube
+    "orders_rfm_segments" -> ((s, d) =>
+      operators.Stats.rfmSegments(model.table(s, d, "orders"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))),
+    // ABC/Pareto revenue classes off the deterministic running share
+    "lineitem_abc" -> ((s, d) =>
+      operators.Stats.abcAnalysis(model.table(s, d, "lineitem")).orderBy(col("cls"))),
     // co-located join: both sides staged through bucketed managed tables
     // on the join key — the executed plan has no shuffle exchange before
     // the sort-merge join (asserted in BucketingSpec); the oracle reads
@@ -3284,6 +3295,10 @@ object SparkEntry {
         s"SELECT * FROM (${operators.Stats.corrMatrixSql()}) ORDER BY pair",
       "audit_benford" ->
         s"SELECT * FROM (${operators.Stats.benfordAuditSql()}) ORDER BY digit",
+      "orders_rfm_segments" ->
+        s"SELECT * FROM (${operators.Stats.rfmSegmentsSql()}) ORDER BY 1, 2, 3",
+      "lineitem_abc" ->
+        s"SELECT * FROM (${operators.Stats.abcAnalysisSql()}) ORDER BY cls",
       "bucketed_join" ->
         """SELECT c_mktsegment, count(*) AS n,
           |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS revenue
@@ -3601,6 +3616,7 @@ object SparkEntry {
       "events_ks_drift" -> (EventOps.ksDriftSql() + "\nORDER BY event_type"),
       "events_cusum" -> (EventOps.cusumDriftSql() + "\nORDER BY event_type"),
       "events_mwu_drift" -> (EventOps.mwuDriftSql() + "\nORDER BY event_type"),
+      "events_survival_km" -> (EventOps.survivalKmSql() + "\nORDER BY t_hr"),
       "events_stickiness" -> (EventOps.stickinessSql() + "\nORDER BY day"),
       "events_funnel" ->
         """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events

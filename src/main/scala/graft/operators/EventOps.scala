@@ -567,6 +567,98 @@ object EventOps {
        |         AS psi_micro
        |FROM x GROUP BY event_type""".stripMargin
 
+  /** Kaplan–Meier estimator of time-to-first-purchase — survival
+    * analysis over the event stream, the curve behind conversion-lag
+    * and churn dashboards: per user, the duration (hours) from first
+    * event to first purchase, RIGHT-CENSORED at observation end for
+    * users who never purchase (they leave the risk set without an
+    * event — dropping them instead would bias survival down, the
+    * classic mistake KM exists to fix). The curve is carried in LOG
+    * domain: each event-time's `ln(1 − d/n)` factor is rounded to
+    * integer micro-units and the cross-time product becomes an integer
+    * cumulative sum — order-free, no floating product chain. `s_ppm`
+    * re-exponentiates in one fixed expression. A time where every
+    * remaining at-risk user converts (S hits exactly 0) has no finite
+    * log and ends the curve's support — the row guard, not a data
+    * loss.
+    *
+    * Scale shape: two per-user aggregates and a 1-row broadcast, then
+    * everything runs on the DURATION HISTOGRAM (≤ distinct durations,
+    * not users); the single-series cumulative windows over that
+    * compressed table only.
+    *
+    * Output: one row per conversion time
+    * `(t_hr, n_risk, n_events, ln_s_micro, s_ppm)`.
+    */
+  def survivalKm(events: DataFrame): DataFrame = {
+    val u = events.groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("f"))
+    val p = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("fp"))
+    val oe = events.agg(max(unix_micros(col("ts"))).as("e"))
+    val d = u
+      .join(p, Seq("user_id"), "left_outer")
+      .crossJoin(broadcast(oe))
+      .select(
+        when(col("fp").isNull, expr("(e - f) div 3600000000"))
+          .otherwise(expr("(fp - f) div 3600000000"))
+          .as("t_hr"),
+        when(col("fp").isNull, 0L).otherwise(1L).as("ev"))
+    val h = d
+      .groupBy(col("t_hr"))
+      .agg(count(lit(1)).as("n_exit"), sum(col("ev")).as("n_events"))
+    val tot = h.agg(sum(col("n_exit")).as("n_total"))
+    val ord = Window.orderBy(col("t_hr")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("n_total") - sum(col("n_exit")).over(ord) + col("n_exit"))
+      .filter(col("n_events") > 0L && col("n_risk") > col("n_events"))
+      .withColumn(
+        "term",
+        expr("CAST(round(ln(CAST(n_risk - n_events AS DOUBLE) / CAST(n_risk AS DOUBLE))" +
+          " * 1000000) AS BIGINT)"))
+      .withColumn("ln_s_micro", sum(col("term")).over(ord))
+      .select(
+        col("t_hr"),
+        col("n_risk"),
+        col("n_events"),
+        col("ln_s_micro"),
+        expr("CAST(round(exp(CAST(ln_s_micro AS DOUBLE) / 1000000.0) * 1000000) AS BIGINT)")
+          .as("s_ppm"))
+  }
+
+  /** [[survivalKm]] mirrored. */
+  def survivalKmSql(): String =
+    s"""WITH u AS (SELECT user_id, min(ts) AS f FROM events GROUP BY 1),
+       |p AS (SELECT user_id, min(ts) AS fp FROM events WHERE event_type = 'purchase'
+       |      GROUP BY 1),
+       |oe AS (SELECT max(ts) AS e FROM events),
+       |d AS (
+       |  SELECT CASE WHEN p.fp IS NULL
+       |              THEN (epoch_us(oe.e) - epoch_us(u.f)) // 3600000000
+       |              ELSE (epoch_us(p.fp) - epoch_us(u.f)) // 3600000000 END AS t_hr,
+       |         CASE WHEN p.fp IS NULL THEN 0 ELSE 1 END AS ev
+       |  FROM u LEFT JOIN p USING (user_id) CROSS JOIN oe),
+       |h AS (SELECT t_hr, CAST(count(*) AS BIGINT) AS n_exit,
+       |             CAST(sum(ev) AS BIGINT) AS n_events
+       |      FROM d GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_exit) AS BIGINT) AS n_total FROM h),
+       |rk AS (
+       |  SELECT h.t_hr, h.n_exit, h.n_events,
+       |         t.n_total - CAST(sum(h.n_exit) OVER (ORDER BY h.t_hr
+       |             ROWS UNBOUNDED PRECEDING) AS BIGINT) + h.n_exit AS n_risk
+       |  FROM h CROSS JOIN t),
+       |km AS (
+       |  SELECT t_hr, n_risk, n_events,
+       |         CAST(sum(CAST(round(ln(CAST(n_risk - n_events AS DOUBLE)
+       |                 / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT))
+       |             OVER (ORDER BY t_hr ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ln_s_micro
+       |  FROM rk WHERE n_events > 0 AND n_risk > n_events)
+       |SELECT t_hr, n_risk, n_events, ln_s_micro,
+       |       CAST(round(exp(CAST(ln_s_micro AS DOUBLE) / 1000000.0) * 1000000) AS BIGINT)
+       |         AS s_ppm
+       |FROM km""".stripMargin
+
   /** Mann–Whitney U drift per event type between the same reference/
     * current halves — the RANK-based member of the two-sample battery
     * ([[psiDrift]] sees binned mass, [[ksDrift]] the sup-norm CDF gap,

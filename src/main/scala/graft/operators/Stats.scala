@@ -157,6 +157,125 @@ object Stats {
        |       END AS r
        |FROM a""".stripMargin
 
+  /** RFM customer segmentation (recency / frequency / monetary — the
+    * classic CRM cube): per customer, days since last order, order
+    * count, and lifetime cents (all exact integers), each scored into
+    * quintiles by `ntile(5)` with the customer key as the
+    * deterministic tiebreak (both engines distribute ntile remainders
+    * to the leading buckets — standard SQL), rolled up to segment
+    * counts. Recency ranks DESC so score 5 = most recent, matching F
+    * and M where 5 = best.
+    *
+    * Scale shape: the fact table compresses to one row per customer
+    * first (hash aggregate, map-side partials); the ntile windows run
+    * over that compressed table. At 100 TB the global ntile swaps for
+    * quantile boundaries off [[EventOps.quantilesBinned]]'s histogram
+    * — the scores are unchanged up to boundary ties.
+    *
+    * Output: `(r_score, f_score, m_score, n_customers)` per non-empty
+    * segment.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val oe = orders.agg(max(col("o_orderdate")).as("e"))
+    val rfm = orders
+      .crossJoin(broadcast(oe))
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(
+        // CAST TIMESTAMP: the parquet ships NTZ micros; value-identical
+        // under the pinned UTC session (the eventsTable discipline)
+        expr("(unix_micros(max(CAST(e AS TIMESTAMP)))" +
+          " - unix_micros(max(CAST(o_orderdate AS TIMESTAMP)))) div 86400000000")
+          .as("rec_days"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("mon_cents"))
+    rfm
+      .select(
+        ntile(5).over(Window.orderBy(col("rec_days").desc, col("cust"))).as("r_score"),
+        ntile(5).over(Window.orderBy(col("freq"), col("cust"))).as("f_score"),
+        ntile(5).over(Window.orderBy(col("mon_cents"), col("cust"))).as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** [[rfmSegments]] mirrored. */
+  def rfmSegmentsSql(): String =
+    s"""WITH oe AS (SELECT max(o_orderdate) AS e FROM orders),
+       |rfm AS (
+       |  SELECT o_custkey AS cust,
+       |         (epoch_us(oe.e) - epoch_us(max(o_orderdate))) // 86400000000 AS rec_days,
+       |         CAST(count(*) AS BIGINT) AS freq,
+       |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon_cents
+       |  FROM orders CROSS JOIN oe GROUP BY o_custkey, oe.e),
+       |sc AS (
+       |  SELECT CAST(ntile(5) OVER (ORDER BY rec_days DESC, cust) AS INT) AS r_score,
+       |         CAST(ntile(5) OVER (ORDER BY freq, cust) AS INT) AS f_score,
+       |         CAST(ntile(5) OVER (ORDER BY mon_cents, cust) AS INT) AS m_score
+       |  FROM rfm)
+       |SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers
+       |FROM sc GROUP BY 1, 2, 3""".stripMargin
+
+  /** ABC (Pareto) revenue classification of parts: parts ranked by
+    * exact-cents revenue, classified by CUMULATIVE share — A carries
+    * the first 80% of revenue, B to 95%, C the tail (the 80/20 rule
+    * as a query). Ties break on the part key so the running sum, and
+    * therefore the class boundary, is fully deterministic; shares are
+    * exact integer ppm of exact integer cents.
+    *
+    * Scale shape: the fact table compresses to one row per part; the
+    * single-series running sum windows over that compressed table
+    * (|parts| rows, not |lineitems|).
+    *
+    * Output: 3 rows `(cls, n_parts, cents, share_ppm)`.
+    */
+  def abcAnalysis(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pr = lineitem
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+    val tot = pr.agg(sum(col("cents")).as("tot"))
+    val ord = Window
+      .orderBy(col("cents").desc, col("pk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pr.withColumn("cum", sum(col("cents")).over(ord))
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "cls",
+        when(expr("cum * 1000000 div tot") <= 800000L, "A")
+          .when(expr("cum * 1000000 div tot") <= 950000L, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("cls"),
+        col("n_parts"),
+        col("cents"),
+        expr("cents * 1000000 div tot").as("share_ppm"))
+  }
+
+  /** [[abcAnalysis]] mirrored. */
+  def abcAnalysisSql(): String =
+    s"""WITH pr AS (
+       |  SELECT l_partkey AS pk,
+       |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM lineitem GROUP BY 1),
+       |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM pr),
+       |c AS (SELECT pk, cents,
+       |             CAST(sum(cents) OVER (ORDER BY cents DESC, pk
+       |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |      FROM pr),
+       |cl AS (SELECT pk, cents,
+       |              CASE WHEN cum * 1000000 // t.tot <= 800000 THEN 'A'
+       |                   WHEN cum * 1000000 // t.tot <= 950000 THEN 'B'
+       |                   ELSE 'C' END AS cls
+       |       FROM c CROSS JOIN t),
+       |agg AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+       |               CAST(sum(cents) AS BIGINT) AS cents
+       |        FROM cl GROUP BY 1)
+       |SELECT a.cls, a.n_parts, a.cents, a.cents * 1000000 // t.tot AS share_ppm
+       |FROM agg a CROSS JOIN t""".stripMargin
+
   /** Benford first-digit conformance audit over order totals — the
     * fraud/data-quality screen: observed first-digit shares vs the
     * Benford expectation `log10(1 + 1/d)`, both in exact ppm. Synthetic

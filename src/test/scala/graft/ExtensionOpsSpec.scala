@@ -350,6 +350,27 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(math.abs(pmi - expected) < 1e-6)
   }
 
+  test("kaplan-meier: censored users leave the risk set without an event") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(hr: Int) = new java.sql.Timestamp(base.getTime + hr * 3600000L)
+    val e = Seq(
+      // u1, u2 purchase at +1h; u4 at +5h; u3 never (censored at +10h end)
+      (1L, at(0), 1L, "view", 1.0, "{}"), (2L, at(1), 1L, "purchase", 1.0, "{}"),
+      (3L, at(0), 2L, "view", 1.0, "{}"), (4L, at(1), 2L, "purchase", 1.0, "{}"),
+      (5L, at(0), 4L, "view", 1.0, "{}"), (6L, at(5), 4L, "purchase", 1.0, "{}"),
+      (7L, at(0), 3L, "view", 1.0, "{}"), (8L, at(10), 3L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.survivalKm(e).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // t=1: 4 at risk, 2 convert → S = 1/2; t=5: u3 still AT RISK (not
+    // yet censored) so n=2, 1 converts → S = 1/4. Without censoring
+    // handling u3 would either vanish (n=1) or count as an event.
+    assert(out.keySet === Set(1L, 5L))
+    assert(out(1L) === ((4L, 2L, -693147L, 500000L)))
+    assert(out(5L) === ((2L, 1L, -1386294L, 250000L)))
+  }
+
   test("mwu drift: doubled midranks exact — separation 1e6, pure tie 500000") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
