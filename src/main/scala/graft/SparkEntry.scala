@@ -982,6 +982,9 @@ object SparkEntry {
     // and exact ppm padding waste per candidate sequence length
     "tok_context_fit" -> ((s, d) =>
       operators.Tokenization.contextFit(docs(s, d)).orderBy(col("ctx_len"))),
+    // vocab sizing curve: exact ppm occurrence coverage of the top-k types
+    "tok_vocab_coverage" -> ((s, d) =>
+      operators.Tokenization.vocabCoverage(docs(s, d)).orderBy(col("k"))),
     "bpe_pair_counts" -> ((s, d) =>
       operators.Tokenization
         .pairCounts(operators.Tokenization.initialStates(docs(s, d)))
@@ -3425,6 +3428,8 @@ object SparkEntry {
       "tok_unigram_stored" -> operators.Tokenization.unigramFertilitySql(),
       "tok_context_fit" ->
         s"SELECT * FROM (${operators.Tokenization.contextFitSql()}) ORDER BY ctx_len",
+      "tok_vocab_coverage" ->
+        s"SELECT * FROM (${operators.Tokenization.vocabCoverageSql()}) ORDER BY k",
       "bpe_pair_counts" -> operators.Tokenization.pairCountsOracleSql,
       "bpe_merges" -> operators.Tokenization.bpeMergesSql(8, minFreq = 2L),
       "bpe_encode" -> operators.Tokenization.bpeEncodeSql(8, minFreq = 2L),

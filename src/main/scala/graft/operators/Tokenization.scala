@@ -775,6 +775,76 @@ object Tokenization {
        |FROM a""".stripMargin
   }
 
+  /** Vocabulary ranks [[vocabCoverage]] reports at — the candidate
+    * vocab sizes a tokenizer budget weighs. */
+  val CoverageRanks = Seq(100L, 1000L, 10000L)
+
+  /** Vocabulary coverage curve: what share of all token OCCURRENCES the
+    * top-k most frequent word types cover, at each candidate vocab
+    * size — the sizing table read before training a tokenizer (the
+    * complement of the Zipf fit: Zipf says how the tail decays,
+    * coverage says where to cut it). Ranks tie-break on the token
+    * string so the running sum is fully deterministic; shares are
+    * exact integer ppm. A k past the vocabulary reports full coverage
+    * with the true type count.
+    *
+    * Scale shape: the corpus compresses to one row per word type
+    * (hash aggregate, map-side partials); the single-series running
+    * sum windows over the |vocab|-row table, and only ≤ 3 rows leave.
+    *
+    * Output: one row per k —
+    * `(k, n_types, n_tokens_total, covered, coverage_ppm)`.
+    */
+  def vocabCoverage(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs
+      .select(explode(Parity.tokens(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("f"))
+    val tot = freq.agg(sum(col("f")).as("n_tokens_total"), count(lit(1)).as("n_types"))
+    val ord = Window
+      .orderBy(col("f").desc, col("w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = freq
+      .withColumn("rk", row_number().over(Window.orderBy(col("f").desc, col("w"))))
+      .withColumn("cum", sum(col("f")).over(ord))
+    ranked
+      .crossJoin(broadcast(tot))
+      .select(
+        explode(array(CoverageRanks.map(lit): _*)).as("k"),
+        col("rk"),
+        col("cum"),
+        col("n_types"),
+        col("n_tokens_total"))
+      .filter(col("rk") === least(col("k"), col("n_types")))
+      .select(
+        col("k"),
+        col("n_types"),
+        col("n_tokens_total"),
+        col("cum").as("covered"),
+        expr("cum * 1000000 div n_tokens_total").as("coverage_ppm"))
+  }
+
+  /** [[vocabCoverage]] mirrored. */
+  def vocabCoverageSql(): String = {
+    val ks = CoverageRanks.mkString("[", ", ", "]")
+    s"""WITH freq AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(${Parity.tokensSql("text")}) AS w FROM documents)
+       |  GROUP BY w),
+       |t AS (SELECT CAST(sum(f) AS BIGINT) AS n_tokens_total,
+       |             CAST(count(*) AS BIGINT) AS n_types FROM freq),
+       |rk AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY f DESC, w) AS BIGINT) AS rk,
+       |         CAST(sum(f) OVER (ORDER BY f DESC, w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |           AS cum
+       |  FROM freq),
+       |ks AS (SELECT CAST(unnest($ks) AS BIGINT) AS k)
+       |SELECT ks.k, t.n_types, t.n_tokens_total, rk.cum AS covered,
+       |       rk.cum * 1000000 // t.n_tokens_total AS coverage_ppm
+       |FROM ks CROSS JOIN t JOIN rk ON rk.rk = least(ks.k, t.n_types)""".stripMargin
+  }
+
   /** [[unigramFertility]] mirrored (also the stored-serving oracle). */
   def unigramFertilitySql(): String = {
     val toksSql = Parity.tokensSql("text")

@@ -177,6 +177,20 @@ class TokenizationSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("vocabCoverage: over-vocab k clamps to full coverage; ties break on token") {
+    import spark.implicits._
+    // freq: a×4, b×2, c×1, d×1 → 8 tokens, 4 types
+    val docs = Seq((1L, "a a b c", "en", "s1"), (2L, "a a b d", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.operators.Tokenization.vocabCoverage(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // every k ≥ 4 types → full coverage at the clamped rank 4
+    assert(out(100L) === ((4L, 8L, 8L, 1000000L)))
+    assert(out(1000L) === ((4L, 8L, 8L, 1000000L)))
+    assert(out(10000L) === ((4L, 8L, 8L, 1000000L)))
+  }
+
   test("contextFit: exact ceil chunking, padding waste, packed lower bound") {
     import spark.implicits._
     // 130 tokens + 10 tokens at C=128: padded = 2 + 1 = 3 chunks
