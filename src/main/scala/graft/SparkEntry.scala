@@ -1343,6 +1343,11 @@ object SparkEntry {
     // ABC/Pareto revenue classes off the deterministic running share
     "lineitem_abc" -> ((s, d) =>
       operators.Stats.abcAnalysis(model.table(s, d, "lineitem")).orderBy(col("cls"))),
+    // market-basket pair rules: support/confidence/lift in exact ppm,
+    // pair join keyed on the order — never all-pairs over parts
+    "orders_basket_rules" -> ((s, d) =>
+      operators.Stats.basketRules(model.table(s, d, "lineitem"))
+        .orderBy(col("part_a"), col("part_b"))),
     // co-located join: both sides staged through bucketed managed tables
     // on the join key — the executed plan has no shuffle exchange before
     // the sort-merge join (asserted in BucketingSpec); the oracle reads
@@ -3302,6 +3307,8 @@ object SparkEntry {
         s"SELECT * FROM (${operators.Stats.rfmSegmentsSql()}) ORDER BY 1, 2, 3",
       "lineitem_abc" ->
         s"SELECT * FROM (${operators.Stats.abcAnalysisSql()}) ORDER BY cls",
+      "orders_basket_rules" ->
+        s"SELECT * FROM (${operators.Stats.basketRulesSql()}) ORDER BY part_a, part_b",
       "bucketed_join" ->
         """SELECT c_mktsegment, count(*) AS n,
           |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS revenue

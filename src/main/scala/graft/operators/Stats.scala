@@ -276,6 +276,84 @@ object Stats {
        |SELECT a.cls, a.n_parts, a.cents, a.cents * 1000000 // t.tot AS share_ppm
        |FROM agg a CROSS JOIN t""".stripMargin
 
+  /** Minimum pair support for [[basketRules]] — pairs seen fewer times
+    * are coincidence, the classic Apriori floor. */
+  val BasketMinSup = 3L
+
+  /** Basket-size cap for [[basketRules]]: an order with more distinct
+    * items than this is dropped before pair generation (its pairs cost
+    * |items|² and carry no signal — the ER-block-cap discipline). */
+  val BasketCap = 64L
+
+  /** Market-basket association rules over order line items (Agrawal &
+    * Srikant's Apriori at the pair level): for every part pair
+    * co-bought in ≥ [[BasketMinSup]] orders — support, both
+    * directional confidences, and lift, all exact integer ppm/micro
+    * rationals (`lift = n_ab·N / (n_a·n_b)` — lift > 1 means the pair
+    * attracts, < 1 repels). The cross-sell / co-retrieval primitive.
+    *
+    * Scale shape: baskets dedup to (order, part) first; pair
+    * generation is an equi-join ON THE ORDER KEY (per-order fan-out ≤
+    * [[BasketCap]]², orders above the cap dropped) — never an
+    * all-pairs product over parts; then one hash aggregate per pair,
+    * two bounded support joins, a 1-row total broadcast.
+    *
+    * Output: `(part_a, part_b, n_a, n_b, n_ab, support_ppm,
+    * conf_ab_ppm, conf_ba_ppm, lift_micro)`.
+    */
+  def basketRules(lineitem: DataFrame, minSup: Long = BasketMinSup): DataFrame = {
+    val i = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val ok = i
+      .join(
+        broadcast(
+          i.groupBy(col("o")).agg(count(lit(1)).as("sz"))
+            .filter(col("sz") <= BasketCap)
+            .select(col("o"))),
+        Seq("o"))
+    val tot = ok.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
+    val sup = ok.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val a = ok.alias("a")
+    val b = ok.alias("b")
+    a.join(b, col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSup)
+      .join(sup.select(col("p").as("part_a"), col("n").as("n_a")), Seq("part_a"))
+      .join(sup.select(col("p").as("part_b"), col("n").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("part_a"),
+        col("part_b"),
+        col("n_a"),
+        col("n_b"),
+        col("n_ab"),
+        expr("n_ab * 1000000 div n_orders").as("support_ppm"),
+        expr("n_ab * 1000000 div n_a").as("conf_ab_ppm"),
+        expr("n_ab * 1000000 div n_b").as("conf_ba_ppm"),
+        expr("n_ab * n_orders * 1000000 div (n_a * n_b)").as("lift_micro"))
+  }
+
+  /** [[basketRules]] mirrored. */
+  def basketRulesSql(minSup: Long = BasketMinSup): String =
+    s"""WITH i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |okk AS (SELECT i.* FROM i
+       |        JOIN (SELECT o FROM i GROUP BY o HAVING count(*) <= $BasketCap) g
+       |        USING (o)),
+       |t AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM okk),
+       |sup AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM okk GROUP BY p),
+       |pc AS (SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+       |       FROM okk a JOIN okk b ON a.o = b.o AND a.p < b.p
+       |       GROUP BY 1, 2 HAVING count(*) >= $minSup)
+       |SELECT pc.part_a, pc.part_b, sa.n AS n_a, sb.n AS n_b, pc.n_ab,
+       |       pc.n_ab * 1000000 // t.n_orders AS support_ppm,
+       |       pc.n_ab * 1000000 // sa.n AS conf_ab_ppm,
+       |       pc.n_ab * 1000000 // sb.n AS conf_ba_ppm,
+       |       pc.n_ab * t.n_orders * 1000000 // (sa.n * sb.n) AS lift_micro
+       |FROM pc JOIN sup sa ON sa.p = pc.part_a JOIN sup sb ON sb.p = pc.part_b
+       |CROSS JOIN t""".stripMargin
+
   /** Benford first-digit conformance audit over order totals — the
     * fraud/data-quality screen: observed first-digit shares vs the
     * Benford expectation `log10(1 + 1/d)`, both in exact ppm. Synthetic

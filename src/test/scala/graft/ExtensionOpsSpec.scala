@@ -1137,8 +1137,12 @@ class ExtensionOpsSpec extends SparkSpec {
       assert(math.abs(est - exact) < 0.25,
         s"${r.getString(0)}/${r.getString(1)}: est=$est exact=$exact")
     }
+    // determinism: compare keyed by pair — collect order is not part
+    // of the contract (the registered query orders explicitly)
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
     val again = Sketches.kmvJaccardMatrix(docs, k = 64).collect()
-    assert(again.map(_.getDouble(3)).toSeq === big.map(_.getDouble(3)).toSeq)
+    assert(keyed(again) === keyed(big))
   }
 
   test("hll per source: max-merge registers, deterministic, sane error") {
