@@ -1478,6 +1478,10 @@ object SparkEntry {
     "degree_hist" -> ((s, d) =>
       GraphOps.degreeHistogram(GraphSource.lineitemEdges(s, d))
         .orderBy(col("side"), col("deg"))),
+    // power-law MLE over the undirected degree histogram: the one-number
+    // scale-free-tail diagnostic (salting territory vs thin tails)
+    "graph_powerlaw_fit" -> ((s, d) =>
+      GraphOps.powerlawFit(GraphSource.lineitemEdges(s, d))),
     // the end-to-end curation decision: exact-dedup canonical ∧ quality
     // floor ∧ predicted language — the keep/drop table a training-data
     // pipeline materializes, composed purely from the operators above
@@ -3787,7 +3791,8 @@ object SparkEntry {
            |        SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src) GROUP BY deg),
            |i AS (SELECT 'in' AS side, deg, CAST(count(*) AS BIGINT) AS n_nodes FROM (
            |        SELECT dst, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY dst) GROUP BY deg)
-           |SELECT * FROM o UNION ALL SELECT * FROM i ORDER BY side, deg""".stripMargin
+           |SELECT * FROM o UNION ALL SELECT * FROM i ORDER BY side, deg""".stripMargin,
+      "graph_powerlaw_fit" -> GraphOps.powerlawFitSql(GraphSource.lineitemEdgesSql)
     )
   }
 }

@@ -2819,6 +2819,63 @@ object GraphOps {
     side("src", "out").unionAll(side("dst", "in"))
   }
 
+  /** Continuous-approximation power-law MLE over the undirected degree
+    * sequence (Clauset, Shalizi & Newman 2009, eq. 3.1 with
+    * `d_min = 1`): `α = 1 + n / Σ ln(d / (d_min − ½))`. The per-degree
+    * log factor is rounded to integer micro-units and weighted by the
+    * DISTINCT-degree histogram count, so the cross-node sum is an
+    * order-free integer total (the KL/PSI discipline) — no floating
+    * accumulation. The one-number tail diagnostic next to
+    * [[degreeHistogram]]: α ≈ 2–3 says scale-free hubs (salting
+    * territory), large α says thin tails (plain hash joins are fine).
+    *
+    * Scale shape: degree aggregate → |distinct degrees|-row histogram;
+    * everything after runs on that bounded table.
+    *
+    * Output: one row `(n_nodes, d_min, d_max, alpha_micro)`.
+    */
+  def powerlawFit(edges: DataFrame): DataFrame = {
+    val und = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und
+      .select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("deg"))
+    val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_d"))
+    hist
+      .agg(
+        sum(col("n_d")).as("n_nodes"),
+        min(col("deg")).as("d_min_obs"),
+        max(col("deg")).as("d_max"),
+        sum(col("n_d") *
+          expr("CAST(round(ln(CAST(deg AS DOUBLE) / 0.5) * 1000000) AS BIGINT)")).as("s"))
+      .select(
+        col("n_nodes"),
+        lit(1L).as("d_min"),
+        col("d_max"),
+        (lit(1000000L) + expr("n_nodes * 1000000 * 1000000 div s")).as("alpha_micro"))
+  }
+
+  /** [[powerlawFit]] mirrored. */
+  def powerlawFitSql(edgesSql: String): String =
+    s"""WITH raw AS ($edgesSql),
+       |s AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |      FROM raw WHERE src <> dst),
+       |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+       |          SELECT a AS id FROM s UNION ALL SELECT b FROM s) GROUP BY id),
+       |h AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_d FROM deg GROUP BY deg),
+       |a AS (SELECT CAST(sum(n_d) AS BIGINT) AS n_nodes,
+       |             CAST(max(deg) AS BIGINT) AS d_max,
+       |             CAST(sum(n_d * CAST(round(ln(CAST(deg AS DOUBLE) / 0.5) * 1000000)
+       |                 AS BIGINT)) AS BIGINT) AS s
+       |      FROM h)
+       |SELECT n_nodes, CAST(1 AS BIGINT) AS d_min, d_max,
+       |       1000000 + n_nodes * 1000000 * 1000000 // s AS alpha_micro
+       |FROM a""".stripMargin
+
   /** Parse whitespace-delimited edge lines `"id from to w"` into the edge
     * schema, dropping the edge-id column and non-digit-initial header
     * lines.

@@ -450,4 +450,19 @@ class GraphOpsSpec extends SparkSpec {
       .toSet
     assert(out === Set((1L, 2L, 3.5), (2L, 3L, 1.0)))
   }
+
+  test("powerlawFit: hand-computed MLE on a 3-node path, hub graph skews alpha down") {
+    import spark.implicits._
+    // path 1-2-3: degrees 1,2,1 → S = 2·ln(2) + ln(4) in micro,
+    // α = 1 + 3e12 div S
+    val path = Seq((1L, 2L, 1.0), (2L, 3L, 1.0)).toDF("src", "dst", "w")
+    val r = GraphOps.powerlawFit(path).collect()(0)
+    val s = 2L * math.round(math.log(2.0) * 1e6) + math.round(math.log(4.0) * 1e6)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 1L, 2L, 1000000L + 3000000L * 1000000L / s)))
+    // star with 6 leaves (heavier tail) fits a SMALLER alpha than the path
+    val star = (2L to 7L).map(i => (1L, i, 1.0)).toDF("src", "dst", "w")
+    val alphaStar = GraphOps.powerlawFit(star).collect()(0).getLong(3)
+    assert(alphaStar < r.getLong(3))
+  }
 }
