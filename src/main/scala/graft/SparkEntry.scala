@@ -1081,6 +1081,10 @@ object SparkEntry {
     "doc_excess_loss" -> ((s, d) => TextOps.excessLoss(docs(s, d)).orderBy(col("doc_id"))),
     // per-source distribution drift vs the corpus (KL over observed terms)
     "source_kl_drift" -> ((s, d) => TextOps.sourceKlDrift(docs(s, d)).orderBy(col("source"))),
+    // symmetric pairwise JSD between source token distributions — the
+    // lexical counterpart of the KMV set-overlap matrix
+    "text_jsd_sources" -> ((s, d) =>
+      TextOps.jsdSourceMatrix(docs(s, d)).orderBy(col("source_a"), col("source_b"))),
     // deterministic size-weighted corpus subsample (A-Res exponential
     // keys on the shared hash grid); TakeOrdered, never a full sort
     "doc_weighted_sample" -> ((s, d) =>
@@ -2918,6 +2922,8 @@ object SparkEntry {
       "text_bigram_lm" -> (TextOps.bigramScoreSql() + "\nORDER BY doc_id"),
       "doc_excess_loss" -> (TextOps.excessLossSql() + "\nORDER BY doc_id"),
       "source_kl_drift" -> (TextOps.sourceKlDriftSql() + "\nORDER BY source"),
+      "text_jsd_sources" ->
+        (TextOps.jsdSourceMatrixSql() + "\nORDER BY source_a, source_b"),
       "doc_weighted_sample" ->
         s"SELECT * FROM (${TextOps.weightedSampleSql(k = 100)}) ORDER BY doc_id",
       "doc_weighted_sample_grouped" ->

@@ -672,6 +672,115 @@ object TextOps {
         round(col("s_micro").cast("double") / KlMicroScale, 6).as("kl"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between source token
+    * distributions — the SYMMETRIC, bounded (≤ ln 2) companion of
+    * [[sourceKlDrift]]: where KL ranks each source against the corpus,
+    * the JSD matrix says which sources are interchangeable and which
+    * are genuinely distinct content — the distance a mixture designer
+    * clusters domains by, and the lexical-distribution counterpart of
+    * the KMV set-overlap matrix ([[Sketches.kmvJaccardMatrix]]).
+    * Split exactly: shared terms contribute
+    * `½[p·ln(2p/(p+q)) + q·ln(2q/(p+q))]` (each term micro-rounded,
+    * order-free integer sum); each side's UNSHARED mass contributes
+    * `½·ln2·mass` in ONE closed-form rounding per pair — absent terms
+    * never need materializing, which is what keeps the pair join
+    * INNER (no per-pair full-outer vocab union).
+    *
+    * Scale shape: one corpus explode → the (source, term) histogram;
+    * the pair join keys on the term (per-term fan-out ≤ |sources|²,
+    * vocabulary-bounded); per-pair reduction is an integer sum.
+    *
+    * Output: one row per source pair
+    * `(source_a, source_b, n_shared_terms, jsd)`.
+    */
+  def jsdSourceMatrix(docs: DataFrame): DataFrame = {
+    val st = Phys.materialized(
+      docs.select(col("source"), explode(toks(col("text"))).as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("c")))
+    val ns = st.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val a = st.join(ns, Seq("source")).select(
+      col("source").as("source_a"), col("term"),
+      col("c").as("ca"), col("n").as("na"))
+    val b = st.join(ns, Seq("source")).select(
+      col("source").as("source_b"), col("term"),
+      col("c").as("cb"), col("n").as("nb"))
+    val pa = col("ca").cast("double") / col("na").cast("double")
+    val pb = col("cb").cast("double") / col("nb").cast("double")
+    val shared = a
+      .join(b, Seq("term"))
+      .filter(col("source_a") < col("source_b"))
+      .select(
+        col("source_a"),
+        col("source_b"),
+        col("ca"),
+        col("cb"),
+        round(lit(0.5d) * (pa * log(lit(2.0d) * pa / (pa + pb)) +
+          pb * log(lit(2.0d) * pb / (pa + pb))) * KlMicroScale).cast("long").as("t_micro"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        count(lit(1)).as("n_shared_terms"),
+        sum(col("ca")).as("ca_sh"),
+        sum(col("cb")).as("cb_sh"),
+        sum(col("t_micro")).as("s_micro"))
+    val na2 = ns.select(col("source").as("source_a"), col("n").as("na"))
+    val nb2 = ns.select(col("source").as("source_b"), col("n").as("nb"))
+    na2
+      .crossJoin(nb2)
+      .filter(col("source_a") < col("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left_outer")
+      .select(
+        col("source_a"),
+        col("source_b"),
+        coalesce(col("n_shared_terms"), lit(0L)).as("n_shared_terms"),
+        round(
+          (coalesce(col("s_micro"), lit(0L)).cast("double") +
+            round(lit(0.5d) * lit(math.log(2.0d)) *
+              ((col("na") - coalesce(col("ca_sh"), lit(0L))).cast("double") /
+                col("na").cast("double") +
+                (col("nb") - coalesce(col("cb_sh"), lit(0L))).cast("double") /
+                col("nb").cast("double")) * KlMicroScale).cast("long").cast("double")) /
+            KlMicroScale,
+          6).as("jsd"))
+  }
+
+  /** [[jsdSourceMatrix]] mirrored. */
+  def jsdSourceMatrixSql(): String = {
+    val toksSql = Parity.tokensSql("text")
+    s"""WITH tok AS (SELECT source, unnest($toksSql) AS term FROM documents),
+       |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM tok
+       |       GROUP BY source, term),
+       |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY source),
+       |sh AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         CAST(count(*) AS BIGINT) AS n_shared_terms,
+       |         CAST(sum(a.c) AS BIGINT) AS ca_sh, CAST(sum(b.c) AS BIGINT) AS cb_sh,
+       |         CAST(sum(CAST(round(0.5 * (
+       |             (CAST(a.c AS DOUBLE) / CAST(na.n AS DOUBLE))
+       |               * ln(2.0 * (CAST(a.c AS DOUBLE) / CAST(na.n AS DOUBLE))
+       |                    / ((CAST(a.c AS DOUBLE) / CAST(na.n AS DOUBLE))
+       |                       + (CAST(b.c AS DOUBLE) / CAST(nb.n AS DOUBLE))))
+       |             + (CAST(b.c AS DOUBLE) / CAST(nb.n AS DOUBLE))
+       |               * ln(2.0 * (CAST(b.c AS DOUBLE) / CAST(nb.n AS DOUBLE))
+       |                    / ((CAST(a.c AS DOUBLE) / CAST(na.n AS DOUBLE))
+       |                       + (CAST(b.c AS DOUBLE) / CAST(nb.n AS DOUBLE)))))
+       |             * $KlMicroScale) AS BIGINT)) AS BIGINT) AS s_micro
+       |  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+       |  JOIN ns na ON na.source = a.source JOIN ns nb ON nb.source = b.source
+       |  GROUP BY 1, 2)
+       |SELECT pa.source AS source_a, pb.source AS source_b,
+       |       coalesce(sh.n_shared_terms, 0) AS n_shared_terms,
+       |       round((CAST(coalesce(sh.s_micro, 0) AS DOUBLE)
+       |              + CAST(CAST(round(0.5 * ln(2.0) * (
+       |                  CAST(pa.n - coalesce(sh.ca_sh, 0) AS DOUBLE) / CAST(pa.n AS DOUBLE)
+       |                  + CAST(pb.n - coalesce(sh.cb_sh, 0) AS DOUBLE) / CAST(pb.n AS DOUBLE))
+       |                  * $KlMicroScale) AS BIGINT) AS DOUBLE))
+       |             / $KlMicroScale, 6) AS jsd
+       |FROM ns pa CROSS JOIN ns pb
+       |LEFT JOIN sh ON sh.source_a = pa.source AND sh.source_b = pb.source
+       |WHERE pa.source < pb.source""".stripMargin
+  }
+
   /** [[sourceKlDrift]], mirrored: same histograms, same 10⁻⁹-unit
     * integer contributions, same order-free integer sum.
     */

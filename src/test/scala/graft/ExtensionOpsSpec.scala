@@ -388,6 +388,19 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out("tie") === ((1L, 1L, 1L, 500000L)))
   }
 
+  test("jsd matrix: 0 on identical distributions, ln2 on disjoint vocabularies") {
+    val docs = Seq(
+      (1L, "a a b", "en", "s1"),
+      (2L, "a a b", "en", "s2"), // identical distribution to s1
+      (3L, "x y z", "en", "s3")) // disjoint from both
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.jsdSourceMatrix(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("s1", "s2")) === ((2L, 0.0)))
+    assert(out(("s1", "s3")) === ((0L, 0.693147)))
+    assert(out(("s2", "s3")) === ((0L, 0.693147)))
+  }
+
   test("detector kappa: identical flags = 1e6, chance-level = 0, inverted = -1e6") {
     val v = Seq(
       (1L, true, true, true, false),
