@@ -623,6 +623,12 @@ object SparkEntry {
       val model = Similarity.writeIvfModel(s, embs(s, d))
       Similarity.ivfHealth(s, embs(s, d), model).orderBy(col("cid"))
     }),
+    // centroid-based silhouette per cluster: quality beside occupancy,
+    // against k centroids only — never the |V|² pairwise silhouette
+    "emb_silhouette" -> ((s, d) => {
+      val model = Similarity.writeIvfModel(s, embs(s, d))
+      Similarity.silhouette(s, embs(s, d), model).orderBy(col("cid"))
+    }),
     // EXTERNAL-query ANN: a runtime query vector served against the
     // stored quantizer — probe cells picked driver-side over the k-row
     // artifact, the data plan is a cell-pruned list scan + TakeOrdered
@@ -1352,6 +1358,9 @@ object SparkEntry {
     "orders_basket_rules" -> ((s, d) =>
       operators.Stats.basketRules(model.table(s, d, "lineitem"))
         .orderBy(col("part_a"), col("part_b"))),
+    // Gini concentration of part revenue — the exact-integer rank formula
+    "lineitem_gini" -> ((s, d) =>
+      operators.Stats.giniRevenue(model.table(s, d, "lineitem"))),
     // co-located join: both sides staged through bucketed managed tables
     // on the join key — the executed plan has no shuffle exchange before
     // the sort-merge join (asserted in BucketingSpec); the oracle reads
@@ -2039,6 +2048,32 @@ object SparkEntry {
        |       pc.min_score_micro
        |FROM $last c LEFT JOIN pc USING (cid) CROSS JOIN tot t
        |ORDER BY c.cid""".stripMargin
+  }
+
+  /** Silhouette oracle: retrain the quantizer inline, rank cells per
+    * vector by FULL cosine (same order as cellScore — |v| is constant
+    * within a vector), rn=1 = own cell, rn=2 = nearest other.
+    */
+  private def silhouetteOracleSql: String = {
+    val last = s"c${Similarity.KmeansIters}"
+    val cos = s"(${Parity.dotSql("CAST(v.ei AS DOUBLE[])", "CAST(c.c AS DOUBLE[])")} / " +
+      s"(sqrt(${Parity.dotSql("CAST(v.ei AS DOUBLE[])", "CAST(v.ei AS DOUBLE[])")}) * " +
+      s"sqrt(${Parity.dotSql("CAST(c.c AS DOUBLE[])", "CAST(c.c AS DOUBLE[])")})))"
+    s"""WITH $kmeansCtes,
+       |cs AS (SELECT v.vec_id, c.cid, $cos AS cos FROM d v CROSS JOIN $last c),
+       |rc AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+       |       FROM cs),
+       |own AS (SELECT vec_id, cid AS own_cid, cos AS cos1 FROM rc WHERE rn = 1),
+       |oth AS (SELECT vec_id, cos AS cos2 FROM rc WHERE rn = 2),
+       |sv AS (
+       |  SELECT o.own_cid AS cid,
+       |         CASE WHEN 1.0 - t.cos2 = 0 THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(round((o.cos1 - t.cos2) / (1.0 - t.cos2) * 1000000.0)
+       |                   AS BIGINT) END AS sil_micro
+       |  FROM own o JOIN oth t USING (vec_id))
+       |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(sum(sil_micro) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_sil_micro
+       |FROM sv GROUP BY cid ORDER BY cid""".stripMargin
   }
 
   /** The shared IVF-PQ CTE chain up to `ivfpq_ranked` (nQueries=50,
@@ -3038,6 +3073,7 @@ object SparkEntry {
       // the artifact is the SAME deterministic k-means, written then read
       "ann_ivf_stored" -> ivfTrainedOracleSql,
       "ann_ivf_health" -> ivfHealthOracleSql,
+      "emb_silhouette" -> silhouetteOracleSql,
       "ann_ivf_query" -> ivfQueryOracleSql(AnnQueryVec, k = 10, nProbe = 2),
       "ann_sq_stored" -> Similarity.sqStoredTopKSql(nQueries = 10, k = 5),
       "ann_sq_recall" -> Similarity.sqRecallSql(nQueries = 20, k = 5),
@@ -3319,6 +3355,7 @@ object SparkEntry {
         s"SELECT * FROM (${operators.Stats.abcAnalysisSql()}) ORDER BY cls",
       "orders_basket_rules" ->
         s"SELECT * FROM (${operators.Stats.basketRulesSql()}) ORDER BY part_a, part_b",
+      "lineitem_gini" -> operators.Stats.giniRevenueSql(),
       "bucketed_join" ->
         """SELECT c_mktsegment, count(*) AS n,
           |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS revenue

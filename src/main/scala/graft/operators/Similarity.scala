@@ -491,6 +491,62 @@ object Similarity {
         col("min_score_micro"))
   }
 
+  /** Simplified (centroid-based) silhouette per cluster over the stored
+    * quantizer — the clustering-QUALITY readout beside [[ivfHealth]]'s
+    * occupancy: for each vector, `a = 1 − cos(v, own centroid)`,
+    * `b = 1 − cos(v, nearest OTHER centroid)`, silhouette
+    * `(b − a)/max(a, b)` (≈1 tight and separated, ≈0 on a boundary,
+    * < 0 likely mis-assigned), micro-rounded per vector and averaged
+    * per cluster as an integer mean. Centroid-based (not pairwise) on
+    * purpose: the classic silhouette's |V|² distances are exactly what
+    * can't run at 100 TB — against k centroids the cost is the same
+    * broadcast pass the assignment already does. Ranking by
+    * [[cellScore]] and by full cosine agree (|v| is constant within a
+    * vector's candidates), so "own" is the IVF assignment cell.
+    *
+    * Scale shape: one broadcast of the k-row artifact, one narrow
+    * scoring pass, TWO hash-agg argmax reductions (own, then best
+    * other — no window), one ≤ k-row aggregate.
+    *
+    * Output: `(cid, n_vecs, mean_sil_micro)` per non-empty cell.
+    */
+  def silhouette(
+      spark: org.apache.spark.sql.SparkSession,
+      embs: DataFrame,
+      modelDir: String): DataFrame = {
+    val cents = spark.read.parquet(modelDir)
+    val scored = Phys.materialized(
+      intEmb(embs)
+        .crossJoin(broadcast(cents))
+        .select(
+          col("vec_id"),
+          col("cid"),
+          (graft.functions.DotLongs(col("ei"), col("c")) /
+            (sqrt(graft.functions.DotLongs(col("ei"), col("ei"))) *
+              sqrt(graft.functions.DotLongs(col("c"), col("c"))))).as("cos")))
+    val own = scored
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("s1"))
+      .select(col("vec_id"), (-col("s1.ncid")).as("own_cid"), col("s1.cos").as("cos1"))
+    val other = scored
+      .join(own, Seq("vec_id"))
+      .filter(col("cid") =!= col("own_cid"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("s2"))
+      .select(col("vec_id"), col("s2.cos").as("cos2"))
+    own
+      .join(other, Seq("vec_id"))
+      .select(
+        col("own_cid").as("cid"),
+        when(lit(1.0d) - col("cos2") === 0.0d, lit(0L))
+          .otherwise(
+            round((col("cos1") - col("cos2")) / (lit(1.0d) - col("cos2")) * 1000000.0d)
+              .cast("long"))
+          .as("sil_micro"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), expr("sum(sil_micro) div count(1)").as("mean_sil_micro"))
+  }
+
   /** Multi-table LSH ANN: candidates share the query's bucket in ANY of
     * the [[NTables]] tables; exact cosine re-rank over the deduplicated
     * candidate set. The join is keyed on (table, bucket) only — per-bucket

@@ -276,6 +276,65 @@ object Stats {
        |SELECT a.cls, a.n_parts, a.cents, a.cents * 1000000 // t.tot AS share_ppm
        |FROM agg a CROSS JOIN t""".stripMargin
 
+  /** Gini concentration coefficient of per-part revenue — the scalar
+    * companion of [[abcAnalysis]]'s three classes: 0 = perfectly even,
+    * → 1 = all revenue on one part. Computed by the exact rank formula
+    * `G = Σ (2i − n − 1)·xᵢ / (n·Σx)` over parts ranked ascending by
+    * (cents, part key) — every term a 64-bit integer, the result one
+    * integer ppm division. What a mixture/curation planner reads to
+    * decide whether a head-heavy source needs reweighting.
+    *
+    * Scale shape: fact table → per-part aggregate; the rank window
+    * runs on the |parts|-row compressed table; one 1-row output.
+    *
+    * Output: one row `(n_parts, total_cents, gini_ppm)`.
+    */
+  def giniRevenue(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pr = lineitem
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+    pr.withColumn("i", row_number().over(Window.orderBy(col("cents"), col("pk"))).cast("long"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("cents")).as("total_cents"),
+        sum((lit(2L) * col("i") - lit(1L)) * col("cents")).as("wsum"))
+      .select(
+        col("n_parts"),
+        col("total_cents"),
+        // Σ(2i−n−1)x = wsum − n·Σx ; G in ppm. The numerator × 10⁶
+        // overflows int64 once n·Σx passes ~9.2·10¹², so past 4·10¹²
+        // the 10⁶ moves to the denominator — same branch, same integer
+        // ops, both engines
+        expr("""CASE WHEN n_parts * total_cents <= 4000000000000
+                |     THEN (wsum - n_parts * total_cents) * 1000000
+                |          div (n_parts * total_cents)
+                |     ELSE (wsum - n_parts * total_cents)
+                |          div ((n_parts * total_cents) div 1000000) END""".stripMargin)
+          .as("gini_ppm"))
+  }
+
+  /** [[giniRevenue]] mirrored. */
+  def giniRevenueSql(): String =
+    s"""WITH pr AS (
+       |  SELECT l_partkey AS pk,
+       |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM lineitem GROUP BY 1),
+       |r AS (SELECT cents,
+       |             CAST(row_number() OVER (ORDER BY cents, pk) AS BIGINT) AS i
+       |      FROM pr),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_parts,
+       |             CAST(sum(cents) AS BIGINT) AS total_cents,
+       |             CAST(sum((2 * i - 1) * cents) AS BIGINT) AS wsum
+       |      FROM r)
+       |SELECT n_parts, total_cents,
+       |       CASE WHEN n_parts * total_cents <= 4000000000000
+       |            THEN (wsum - n_parts * total_cents) * 1000000
+       |                 // (n_parts * total_cents)
+       |            ELSE (wsum - n_parts * total_cents)
+       |                 // ((n_parts * total_cents) // 1000000) END AS gini_ppm
+       |FROM a""".stripMargin
+
   /** Minimum pair support for [[basketRules]] — pairs seen fewer times
     * are coincidence, the classic Apriori floor. */
   val BasketMinSup = 3L

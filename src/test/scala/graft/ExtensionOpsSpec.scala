@@ -388,6 +388,41 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out("tie") === ((1L, 1L, 1L, 500000L)))
   }
 
+  test("gini: 0 on perfectly even revenue, near 1 when one part has everything") {
+    import graft.operators.Stats
+    def li(rows: Seq[(Long, Double)]) = rows.zipWithIndex.map { case ((pk, price), i) =>
+      (i.toLong, pk, 1L, 1, 1.0, price, 0.0, 0.0)
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax")
+    val even = Stats.giniRevenue(li(Seq((1L, 10.0), (2L, 10.0), (3L, 10.0), (4L, 10.0))))
+      .collect()(0)
+    assert((even.getLong(0), even.getLong(1), even.getLong(2)) === ((4L, 4000L, 0L)))
+    // one of n parts holds all revenue → G = (n−1)/n = 0.75
+    val conc = Stats.giniRevenue(li(Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 40.0))))
+      .collect()(0)
+    assert(conc.getLong(2) === 750000L)
+  }
+
+  test("silhouette: two tight far clusters score near 1; cell ids are the IVF assignment") {
+    import graft.operators.Similarity
+    // 8-dim vectors in two orthogonal tight bundles; vec_id < 8 seeds
+    // the quantizer so cells 0..7 exist, clusters land on cells
+    val mk = (base: Array[Double], eps: Double) => base.map(_ + eps)
+    val a = Array(1.0, 0, 0, 0, 1.0, 0, 0, 0)
+    val b = Array(0, 1.0, 0, 0, 0, 1.0, 0, 0)
+    val rows = (0 until 8).map { i =>
+      (i.toLong, (if (i % 2 == 0) mk(a, 0.01 * i) else mk(b, 0.01 * i)).toSeq, i % 2)
+    }
+    val embs = rows.toDF("vec_id", "embedding", "label")
+    val dir = Similarity.writeIvfModel(spark, embs)
+    val out = Similarity.silhouette(spark, embs, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out.values.map(_._1).sum === 8L)
+    // every cluster is tight and far from the others → strongly positive
+    out.values.foreach { case (_, sil) => assert(sil > 500000L, s"sil=$sil") }
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("jsd matrix: 0 on identical distributions, ln2 on disjoint vocabularies") {
     val docs = Seq(
       (1L, "a a b", "en", "s1"),
