@@ -819,6 +819,9 @@ object SparkEntry {
     // in log domain as integer micro cumsums
     "events_survival_km" -> ((s, d) =>
       EventOps.survivalKm(events(s, d)).orderBy(col("t_hr"))),
+    // the composed monitoring report: all four drift alarms per type
+    "events_drift_report" -> ((s, d) =>
+      EventOps.driftReport(events(s, d)).orderBy(col("event_type"))),
     // DAU / trailing-7d WAU per day, window on the day-grain table only
     "events_stickiness" -> ((s, d) =>
       EventOps.stickiness(events(s, d)).orderBy(col("day"))),
@@ -3676,6 +3679,7 @@ object SparkEntry {
       "events_cusum" -> (EventOps.cusumDriftSql() + "\nORDER BY event_type"),
       "events_mwu_drift" -> (EventOps.mwuDriftSql() + "\nORDER BY event_type"),
       "events_survival_km" -> (EventOps.survivalKmSql() + "\nORDER BY t_hr"),
+      "events_drift_report" -> (EventOps.driftReportSql() + "\nORDER BY event_type"),
       "events_stickiness" -> (EventOps.stickinessSql() + "\nORDER BY day"),
       "events_funnel" ->
         """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events

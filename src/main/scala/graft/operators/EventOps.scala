@@ -736,6 +736,46 @@ object EventOps {
        |                 // (2 * t.tr * t.tc) END AS auc_cur_ppm
        |FROM r JOIN t USING (event_type)""".stripMargin
 
+  /** The composed drift MONITORING REPORT — one row per event type
+    * with all four alarms side by side ([[psiDrift]] binned mass,
+    * [[ksDrift]] sup-norm CDF gap, [[mwuDrift]] stochastic ordering,
+    * [[cusumDrift]] sequential localization): the table an on-call
+    * dashboard actually renders, and the drift-side sibling of the
+    * composed curation recipe (`pipeline_modern`). Pure composition —
+    * each column family keeps its own operator's exact-integer
+    * contract; the report is four bounded per-type tables joined on
+    * the type key.
+    *
+    * Output: `(event_type, n_ref, n_cur, psi_micro, ks_ppm,
+    * auc_cur_ppm, cusum_max_milli, cusum_crossings)`.
+    */
+  def driftReport(events: DataFrame): DataFrame =
+    psiDrift(events)
+      .select(col("event_type"), col("n_ref"), col("n_cur"), col("psi_micro"))
+      .join(
+        ksDrift(events).select(col("event_type"), col("d_ppm").as("ks_ppm")),
+        Seq("event_type"))
+      .join(
+        mwuDrift(events).select(col("event_type"), col("auc_cur_ppm")),
+        Seq("event_type"))
+      .join(
+        cusumDrift(events).select(
+          col("event_type"),
+          col("max_s_milli").as("cusum_max_milli"),
+          col("n_crossings").as("cusum_crossings")),
+        Seq("event_type"))
+
+  /** [[driftReport]] mirrored: the four oracle bodies as subqueries
+    * joined on the type key. */
+  def driftReportSql(): String =
+    s"""SELECT p.event_type, p.n_ref, p.n_cur, p.psi_micro,
+       |       k.d_ppm AS ks_ppm, m.auc_cur_ppm,
+       |       c.max_s_milli AS cusum_max_milli, c.n_crossings AS cusum_crossings
+       |FROM (${psiDriftSql()}) p
+       |JOIN (${ksDriftSql()}) k USING (event_type)
+       |JOIN (${mwuDriftSql()}) m USING (event_type)
+       |JOIN (${cusumDriftSql()}) c USING (event_type)""".stripMargin
+
   /** One-sided CUSUM decision threshold in value-milli units: the
     * cumulative positive excursion above the reference mean that
     * triggers a changepoint alarm. */
