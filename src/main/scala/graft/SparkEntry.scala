@@ -1364,6 +1364,13 @@ object SparkEntry {
     // Gini concentration of part revenue — the exact-integer rank formula
     "lineitem_gini" -> ((s, d) =>
       operators.Stats.giniRevenue(model.table(s, d, "lineitem"))),
+    // cohort LTV triangle: first-order-month cohorts x month offsets
+    "orders_cohort_ltv" -> ((s, d) =>
+      operators.Stats.cohortLtv(model.table(s, d, "orders"))
+        .orderBy(col("cohort_month"), col("month_offset"))),
+    // hour-of-day traffic fingerprint per type, exact ppm shares
+    "events_seasonality" -> ((s, d) =>
+      EventOps.seasonality(events(s, d)).orderBy(col("event_type"), col("hour"))),
     // co-located join: both sides staged through bucketed managed tables
     // on the join key — the executed plan has no shuffle exchange before
     // the sort-merge join (asserted in BucketingSpec); the oracle reads
@@ -3359,6 +3366,10 @@ object SparkEntry {
       "orders_basket_rules" ->
         s"SELECT * FROM (${operators.Stats.basketRulesSql()}) ORDER BY part_a, part_b",
       "lineitem_gini" -> operators.Stats.giniRevenueSql(),
+      "orders_cohort_ltv" ->
+        s"SELECT * FROM (${operators.Stats.cohortLtvSql()}) ORDER BY cohort_month, month_offset",
+      "events_seasonality" ->
+        (EventOps.seasonalitySql() + "\nORDER BY event_type, hour"),
       "bucketed_join" ->
         """SELECT c_mktsegment, count(*) AS n,
           |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS revenue

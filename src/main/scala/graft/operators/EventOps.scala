@@ -736,6 +736,46 @@ object EventOps {
        |                 // (2 * t.tr * t.tc) END AS auc_cur_ppm
        |FROM r JOIN t USING (event_type)""".stripMargin
 
+  /** Hour-of-day seasonality profile per event type — the temporal
+    * fingerprint behind capacity planning and anomaly baselining (a
+    * fence tuned on the daily average false-alarms every rush hour):
+    * per (type, hour-of-day) the event count and its exact ppm share
+    * of the type's traffic. The hour comes from integer epoch
+    * arithmetic (`(µs div 3600·10⁶) mod 24` — UTC by construction,
+    * no timezone function on either engine).
+    *
+    * Scale shape: one narrow map + one ≤ |types|·24-row hash
+    * aggregate with map-side partials; totals join back bounded.
+    *
+    * Output: `(event_type, hour, n, share_ppm)`.
+    */
+  def seasonality(events: DataFrame): DataFrame = {
+    val h = events
+      .select(
+        col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val tot = h.groupBy(col("event_type").as("tt")).agg(sum(col("n")).as("total"))
+    h.join(broadcast(tot), col("event_type") === col("tt"))
+      .select(
+        col("event_type"),
+        col("hour"),
+        col("n"),
+        expr("n * 1000000 div total").as("share_ppm"))
+  }
+
+  /** [[seasonality]] mirrored. */
+  def seasonalitySql(): String =
+    s"""WITH h AS (
+       |  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM h GROUP BY 1)
+       |SELECT h.event_type, CAST(h.hour AS BIGINT) AS hour, h.n,
+       |       h.n * 1000000 // t.total AS share_ppm
+       |FROM h JOIN t USING (event_type)""".stripMargin
+
   /** The composed drift MONITORING REPORT — one row per event type
     * with all four alarms side by side ([[psiDrift]] binned mass,
     * [[ksDrift]] sup-norm CDF gap, [[mwuDrift]] stochastic ordering,

@@ -276,6 +276,49 @@ object Stats {
        |SELECT a.cls, a.n_parts, a.cents, a.cents * 1000000 // t.tot AS share_ppm
        |FROM agg a CROSS JOIN t""".stripMargin
 
+  /** Cohort lifetime-value matrix over orders: customers cohorted by
+    * the month of their FIRST order, revenue accumulated per
+    * (cohort, month offset) in exact cents with the active-customer
+    * count alongside — the LTV triangle every subscription/commerce
+    * dashboard renders (read down a column for "how do cohorts age",
+    * across a row for "is the new cohort better"). Months are integer
+    * `year·12 + month` indices under the pinned UTC session — no
+    * date formatting or interval arithmetic to diverge on.
+    *
+    * Scale shape: one per-customer first-order aggregate joined back
+    * (broadcast-sized relative to the fact side at any scale where
+    * customers ≪ orders), one hash aggregate to the ≤
+    * |cohorts|·|offsets| matrix.
+    *
+    * Output: `(cohort_month, month_offset, n_customers, cents)`.
+    */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    val o = orders.select(
+      col("o_custkey").as("cust"),
+      expr("CAST(year(CAST(o_orderdate AS TIMESTAMP)) * 12" +
+        " + month(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)").as("midx"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val first = o.groupBy(col("cust")).agg(min(col("midx")).as("cohort"))
+    o.join(first, Seq("cust"))
+      .groupBy(col("cohort").as("cohort_month"), (col("midx") - col("cohort")).as("month_offset"))
+      .agg(countDistinct(col("cust")).as("n_customers"), sum(col("cents")).as("cents"))
+  }
+
+  /** [[cohortLtv]] mirrored. */
+  def cohortLtvSql(): String =
+    s"""WITH o AS (
+       |  SELECT o_custkey AS cust,
+       |         year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+       |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders),
+       |f AS (SELECT cust, min(midx) AS cohort FROM o GROUP BY 1)
+       |SELECT CAST(f.cohort AS BIGINT) AS cohort_month,
+       |       CAST(o.midx - f.cohort AS BIGINT) AS month_offset,
+       |       CAST(count(DISTINCT o.cust) AS BIGINT) AS n_customers,
+       |       CAST(sum(o.cents) AS BIGINT) AS cents
+       |FROM o JOIN f USING (cust)
+       |GROUP BY 1, 2""".stripMargin
+
   /** Gini concentration coefficient of per-part revenue — the scalar
     * companion of [[abcAnalysis]]'s three classes: 0 = perfectly even,
     * → 1 = all revenue on one part. Computed by the exact rank formula

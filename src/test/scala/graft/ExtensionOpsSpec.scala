@@ -388,6 +388,41 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out("tie") === ((1L, 1L, 1L, 500000L)))
   }
 
+  test("seasonality: exact ppm hour shares from integer epoch arithmetic") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(hr: Int, m: Int) = new java.sql.Timestamp(base.getTime + hr * 3600000L + m * 60000L)
+    val e = Seq(
+      (1L, at(0, 5), 1L, "x", 1.0, "{}"),
+      (2L, at(0, 10), 1L, "x", 1.0, "{}"),
+      (3L, at(24, 0), 1L, "x", 1.0, "{}"), // next day, hour 0 again
+      (4L, at(1, 0), 1L, "x", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.seasonality(e).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("x", 0L)) === ((3L, 750000L)))
+    assert(out(("x", 1L)) === ((1L, 250000L)))
+  }
+
+  test("cohort ltv: offsets from the first-order month, revenue in exact cents") {
+    import graft.operators.Stats
+    def o(id: Long, cust: Long, date: String, price: Double) =
+      (id, cust, "O", price, java.sql.Timestamp.valueOf(s"$date 00:00:00"), "1-URGENT")
+    val orders = Seq(
+      o(1L, 1L, "2024-01-05", 10.0), o(2L, 1L, "2024-01-20", 20.0),
+      o(3L, 1L, "2024-03-02", 5.0),
+      o(4L, 2L, "2024-02-10", 7.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority")
+    val jan = 2024L * 12 + 1
+    val feb = jan + 1
+    val out = Stats.cohortLtv(orders).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(out((jan, 0L)) === ((1L, 3000L)))
+    assert(out((jan, 2L)) === ((1L, 500L)))
+    assert(out((feb, 0L)) === ((1L, 700L)))
+    assert(out.size === 3)
+  }
+
   test("gini: 0 on perfectly even revenue, near 1 when one part has everything") {
     import graft.operators.Stats
     def li(rows: Seq[(Long, Double)]) = rows.zipWithIndex.map { case ((pk, price), i) =>
