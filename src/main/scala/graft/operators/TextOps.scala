@@ -726,7 +726,10 @@ object TextOps {
     val na2 = ns.select(col("source").as("source_a"), col("n").as("na"))
     val nb2 = ns.select(col("source").as("source_b"), col("n").as("nb"))
     na2
-      .crossJoin(nb2)
+      // |sources|-row square: broadcast so the pair frame is a
+      // BroadcastNestedLoopJoin of two tiny aggregates, never a raw
+      // cartesian exchange
+      .crossJoin(broadcast(nb2))
       .filter(col("source_a") < col("source_b"))
       .join(shared, Seq("source_a", "source_b"), "left_outer")
       .select(

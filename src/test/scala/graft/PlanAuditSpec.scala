@@ -663,6 +663,24 @@ class PlanAuditSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("late-wave operators: no cartesians; basket pairs join on the order key") {
+    Seq(
+      "orders_basket_rules", "orders_rfm_segments", "lineitem_abc", "lineitem_gini",
+      "orders_cohort_ltv", "events_seasonality", "events_survival_km",
+      "events_drift_report", "text_jsd_sources", "tok_vocab_coverage")
+      .foreach { q =>
+        val plan = planOf(SparkEntry.queries(q)(spark, dir))
+        assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
+      }
+    // the basket pair join must be an equi-join (keyed on the order),
+    // not a nested-loop over parts
+    val basket = planOf(SparkEntry.queries("orders_basket_rules")(spark, dir))
+    assert(
+      basket.contains("SortMergeJoin") || basket.contains("ShuffledHashJoin") ||
+        basket.contains("BroadcastHashJoin"),
+      s"basket pair join is not an equi-join:\n$basket")
+  }
+
   test("tok_unigram_stored serving joins the broadcast artifact — no DP columns in the plan") {
     val docsDf = model.table(spark, dir, "documents")
     val modelDir = graft.operators.Tokenization.writeUnigramModel(spark, docsDf)
