@@ -1371,6 +1371,12 @@ object SparkEntry {
     // hour-of-day traffic fingerprint per type, exact ppm shares
     "events_seasonality" -> ((s, d) =>
       EventOps.seasonality(events(s, d)).orderBy(col("event_type"), col("hour"))),
+    // inter-arrival burstiness B = (sigma-mu)/(sigma+mu) per type
+    "events_burstiness" -> ((s, d) =>
+      EventOps.burstiness(events(s, d)).orderBy(col("event_type"))),
+    // Heaps vocabulary-growth curve over doc_id-ordered deciles
+    "text_heaps_curve" -> ((s, d) =>
+      TextOps.heapsCurve(docs(s, d)).orderBy(col("bucket"))),
     // co-located join: both sides staged through bucketed managed tables
     // on the join key — the executed plan has no shuffle exchange before
     // the sort-merge join (asserted in BucketingSpec); the oracle reads
@@ -3370,6 +3376,9 @@ object SparkEntry {
         s"SELECT * FROM (${operators.Stats.cohortLtvSql()}) ORDER BY cohort_month, month_offset",
       "events_seasonality" ->
         (EventOps.seasonalitySql() + "\nORDER BY event_type, hour"),
+      "events_burstiness" -> (EventOps.burstinessSql() + "\nORDER BY event_type"),
+      "text_heaps_curve" ->
+        s"SELECT * FROM (${TextOps.heapsCurveSql()}) ORDER BY bucket",
       "bucketed_join" ->
         """SELECT c_mktsegment, count(*) AS n,
           |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS revenue

@@ -736,6 +736,80 @@ object EventOps {
        |                 // (2 * t.tr * t.tc) END AS auc_cur_ppm
        |FROM r JOIN t USING (event_type)""".stripMargin
 
+  /** Inter-arrival burstiness per event type (Goh & Barabási 2008):
+    * over consecutive same-type arrival gaps (integer seconds),
+    * `B = (σ − μ)/(σ + μ)` — −1 perfectly periodic, 0 Poisson, → 1
+    * bursty. THE temporal texture statistic behind rate-limit sizing
+    * and anomaly baselining (a Poisson assumption on bursty traffic
+    * under-provisions every burst). Gap sums are exact 64-bit
+    * integers; mean/σ/B evaluate in ONE fixed double expression
+    * (sums cast first — `n·Σd²` would pass 2⁶³ as integers, the
+    * [[Stats.corrMatrix]] discipline); NULL when σ + μ = 0 (a single
+    * gap or all-zero gaps).
+    *
+    * Scale shape: one lag window per type over (ts, event_id) —
+    * event-grain like the sessionizer, sharded per monitored series
+    * in production — then a 5-row aggregate.
+    *
+    * Output: `(event_type, n_gaps, mean_gap_milli, b_micro)`.
+    */
+  def burstiness(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .select(col("event_type"), col("ts"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("ptus", lag(col("tus"), 1).over(w))
+      .filter(col("ptus").isNotNull)
+      .select(col("event_type"), expr("(tus - ptus) div 1000000").as("d"))
+    gaps
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("d")).as("sd"), sum(col("d") * col("d")).as("sd2"))
+      .select(
+        col("event_type"),
+        col("n_gaps"),
+        expr("sd * 1000 div n_gaps").as("mean_gap_milli"),
+        expr("""CASE WHEN sqrt((CAST(n_gaps AS DOUBLE) * CAST(sd2 AS DOUBLE)
+                |               - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                |              / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+                |          + CAST(sd AS DOUBLE) / CAST(n_gaps AS DOUBLE) = 0 THEN NULL
+                |     ELSE CAST(round(
+                |       (sqrt((CAST(n_gaps AS DOUBLE) * CAST(sd2 AS DOUBLE)
+                |              - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                |             / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+                |        - CAST(sd AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                |       / (sqrt((CAST(n_gaps AS DOUBLE) * CAST(sd2 AS DOUBLE)
+                |                - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                |               / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+                |          + CAST(sd AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                |       * 1000000) AS BIGINT) END""".stripMargin).as("b_micro"))
+  }
+
+  /** [[burstiness]] mirrored. */
+  def burstinessSql(): String =
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |         (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+       |             ORDER BY ts, event_id)) // 1000000 AS d
+       |  FROM events),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       |             CAST(sum(d) AS BIGINT) AS sd, CAST(sum(d * d) AS BIGINT) AS sd2
+       |      FROM g WHERE d IS NOT NULL GROUP BY 1)
+       |SELECT event_type, n_gaps, sd * 1000 // n_gaps AS mean_gap_milli,
+       |       CASE WHEN sqrt((CAST(n_gaps AS DOUBLE) * CAST(sd2 AS DOUBLE)
+       |                       - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+       |                      / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+       |                  + CAST(sd AS DOUBLE) / CAST(n_gaps AS DOUBLE) = 0 THEN NULL
+       |            ELSE CAST(round(
+       |              (sqrt((CAST(n_gaps AS DOUBLE) * CAST(sd2 AS DOUBLE)
+       |                     - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+       |                    / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+       |               - CAST(sd AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+       |              / (sqrt((CAST(n_gaps AS DOUBLE) * CAST(sd2 AS DOUBLE)
+       |                       - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+       |                      / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+       |                 + CAST(sd AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+       |              * 1000000) AS BIGINT) END AS b_micro
+       |FROM a""".stripMargin
+
   /** Hour-of-day seasonality profile per event type — the temporal
     * fingerprint behind capacity planning and anomaly baselining (a
     * fence tuned on the daily average false-alarms every rush hour):

@@ -2195,6 +2195,78 @@ object TextOps {
        |FROM (SELECT doc_id, n_tokens, llr FROM sel ORDER BY gkey DESC, doc_id LIMIT $k)
        |ORDER BY doc_id""".stripMargin
 
+  /** Decile count for [[heapsCurve]]. */
+  val HeapsBuckets = 10
+
+  /** Heaps'-law vocabulary growth curve: the corpus in doc_id order is
+    * cut into [[HeapsBuckets]] deciles and each row reports the
+    * CUMULATIVE token count and distinct-vocabulary size up to that
+    * decile — the V(N) curve whose flattening (or not) answers "will
+    * more data keep buying new vocabulary", the empirical basis for
+    * tokenizer vocab sizing next to [[Tokenization.vocabCoverage]]'s
+    * frequency view. The cumulative distinct is computed WITHOUT any
+    * cumulative-distinct operator: a token's FIRST-SEEN decile is one
+    * min-aggregate, and V(b) is the running sum of first-seen counts —
+    * two hash aggregates and a 10-row window.
+    *
+    * Scale shape: one explode → (token, decile) min-aggregate
+    * (map-side partials, vocabulary-bounded), token totals per decile
+    * from the same explode; the cumulative windows run on 10 rows.
+    *
+    * Output: rows `(bucket, n_docs_cum, n_tokens_cum, vocab_cum)`.
+    */
+  def heapsCurve(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val bucketed = docs
+      .withColumn("rk", row_number().over(Window.orderBy(col("doc_id"))).cast("long"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("bucket", expr(s"((rk - 1) * $HeapsBuckets) div nd + 1"))
+    val tok = bucketed.select(col("bucket"), explode(toks(col("text"))).as("term"))
+    val perB = tok.groupBy(col("bucket")).agg(count(lit(1)).as("n_tok"))
+      .join(
+        bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs")),
+        Seq("bucket"))
+    val firstSeen = tok
+      .groupBy(col("term"))
+      .agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb").as("bucket"))
+      .agg(count(lit(1)).as("n_new"))
+    val ord = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perB
+      .join(firstSeen, Seq("bucket"), "left_outer")
+      .select(
+        col("bucket"),
+        sum(col("n_docs")).over(ord).as("n_docs_cum"),
+        sum(col("n_tok")).over(ord).as("n_tokens_cum"),
+        sum(coalesce(col("n_new"), lit(0L))).over(ord).as("vocab_cum"))
+  }
+
+  /** [[heapsCurve]] mirrored. */
+  def heapsCurveSql(): String = {
+    val toksSql = Parity.tokensSql("text")
+    s"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+       |b AS (SELECT doc_id, text,
+       |             ((CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1)
+       |              * $HeapsBuckets) // nd.nd + 1 AS bucket
+       |      FROM documents CROSS JOIN nd),
+       |tok AS (SELECT bucket, unnest($toksSql) AS term FROM b),
+       |pb AS (SELECT t.bucket, t.n_tok, d.n_docs FROM
+       |         (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1) t
+       |       JOIN (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs FROM b GROUP BY 1) d
+       |       USING (bucket)),
+       |fs AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS n_new FROM
+       |         (SELECT term, min(bucket) AS fb FROM tok GROUP BY term) GROUP BY 1)
+       |SELECT pb.bucket,
+       |       CAST(sum(pb.n_docs) OVER (ORDER BY pb.bucket
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_docs_cum,
+       |       CAST(sum(pb.n_tok) OVER (ORDER BY pb.bucket
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tokens_cum,
+       |       CAST(sum(coalesce(fs.n_new, 0)) OVER (ORDER BY pb.bucket
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+       |FROM pb LEFT JOIN fs USING (bucket)""".stripMargin
+  }
+
   // ---- PMI collocations ----------------------------------------------------
 
   /** Minimum bigram count for [[pmiBigrams]] — rare pairs have

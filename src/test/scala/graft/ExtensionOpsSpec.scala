@@ -388,6 +388,38 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out("tie") === ((1L, 1L, 1L, 500000L)))
   }
 
+  test("burstiness: periodic gaps score -1e6, a single spike pair scores positive") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    val e = (
+      // 'per': gaps all exactly 60 s → sigma 0 → B = -1e6
+      (0 to 4).map(i => (i.toLong, at(i * 60), 1L, "per", 1.0, "{}")) ++
+        // 'bur': gaps 1, 1, 598 s → heavy dispersion → B > 0
+        Seq(0, 1, 2, 600).zipWithIndex.map { case (s, i) =>
+          (10L + i, at(s), 1L, "bur", 1.0, "{}")
+        }
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.burstiness(e).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("per")) === ((4L, 60000L, -1000000L)))
+    val (ng, mean, b) = out("bur")
+    assert(ng === 3L && mean === 200000L && b > 0L)
+  }
+
+  test("heaps curve: cumulative vocab via first-seen deciles equals a direct scan") {
+    val docs = (1 to 10).map { i =>
+      // doc i introduces token t$i and repeats t1 → vocab grows by 1
+      // per decile, tokens by 2
+      (i.toLong, s"t$i t1", "en", "s1")
+    }.toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.heapsCurve(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    (1 to 10).foreach { b =>
+      assert(out(b.toLong) === ((b.toLong, 2L * b, b.toLong)),
+        s"bucket $b: ${out(b.toLong)}")
+    }
+  }
+
   test("seasonality: exact ppm hour shares from integer epoch arithmetic") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(hr: Int, m: Int) = new java.sql.Timestamp(base.getTime + hr * 3600000L + m * 60000L)
