@@ -1374,6 +1374,8 @@ object SparkEntry {
     // inter-arrival burstiness B = (sigma-mu)/(sigma+mu) per type
     "events_burstiness" -> ((s, d) =>
       EventOps.burstiness(events(s, d)).orderBy(col("event_type"))),
+    // categorical mix drift: exact-ppm TV distance + chi2 homogeneity
+    "events_type_mix_drift" -> ((s, d) => EventOps.typeMixDrift(events(s, d))),
     // Heaps vocabulary-growth curve over doc_id-ordered deciles
     "text_heaps_curve" -> ((s, d) =>
       TextOps.heapsCurve(docs(s, d)).orderBy(col("bucket"))),
@@ -3377,6 +3379,7 @@ object SparkEntry {
       "events_seasonality" ->
         (EventOps.seasonalitySql() + "\nORDER BY event_type, hour"),
       "events_burstiness" -> (EventOps.burstinessSql() + "\nORDER BY event_type"),
+      "events_type_mix_drift" -> EventOps.typeMixDriftSql(),
       "text_heaps_curve" ->
         s"SELECT * FROM (${TextOps.heapsCurveSql()}) ORDER BY bucket",
       "bucketed_join" ->

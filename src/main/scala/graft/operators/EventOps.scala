@@ -736,6 +736,89 @@ object EventOps {
        |                 // (2 * t.tr * t.tc) END AS auc_cur_ppm
        |FROM r JOIN t USING (event_type)""".stripMargin
 
+  /** CATEGORICAL mix drift between the reference/current halves — the
+    * drift battery's missing axis (PSI/KS/MWU watch a numeric column;
+    * this watches the event-TYPE composition): total-variation
+    * distance `½ Σ|p_ref − p_cur|` as an EXACT integer ppm (common
+    * denominator `tr·tc`, no floating shares), plus the chi-squared
+    * homogeneity statistic with micro-rounded cell terms. A traffic
+    * mix that shifts (more errors, fewer purchases) moves TV even
+    * when every numeric distribution is stable.
+    *
+    * Scale shape: one hash aggregate to the |types|-row two-window
+    * count table; everything after runs on that bounded table.
+    *
+    * Output: one row `(n_ref, n_cur, n_types, tv_ppm, chi2_micro)`.
+    */
+  def typeMixDrift(events: DataFrame): DataFrame = {
+    val cnt = windowed(events)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("win") === "ref", 1L).otherwise(0L)).as("nr"),
+        sum(when(col("win") === "cur", 1L).otherwise(0L)).as("nc"))
+    val tot = cnt.agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"))
+    cnt
+      .crossJoin(broadcast(tot))
+      .select(
+        col("nr"),
+        col("nc"),
+        col("tr"),
+        col("tc"),
+        abs(col("nr") * col("tc") - col("nc") * col("tr")).as("tvn"),
+        // chi2 homogeneity: two cells per type, e = rowtot·coltot/N
+        expr("""CAST(round((
+                |  (nr - CAST((nr + nc) AS DOUBLE) * CAST(tr AS DOUBLE)
+                |        / CAST(tr + tc AS DOUBLE))
+                |  * (nr - CAST((nr + nc) AS DOUBLE) * CAST(tr AS DOUBLE)
+                |        / CAST(tr + tc AS DOUBLE))
+                |  / (CAST((nr + nc) AS DOUBLE) * CAST(tr AS DOUBLE)
+                |     / CAST(tr + tc AS DOUBLE))
+                |  + (nc - CAST((nr + nc) AS DOUBLE) * CAST(tc AS DOUBLE)
+                |        / CAST(tr + tc AS DOUBLE))
+                |  * (nc - CAST((nr + nc) AS DOUBLE) * CAST(tc AS DOUBLE)
+                |        / CAST(tr + tc AS DOUBLE))
+                |  / (CAST((nr + nc) AS DOUBLE) * CAST(tc AS DOUBLE)
+                |     / CAST(tr + tc AS DOUBLE))
+                |  ) * 1000000) AS BIGINT)""".stripMargin).as("cell_micro"))
+      .agg(
+        max(col("tr")).as("n_ref"),
+        max(col("tc")).as("n_cur"),
+        count(lit(1)).as("n_types"),
+        expr("sum(tvn) * 1000000 div (2 * max(tr) * max(tc))").as("tv_ppm"),
+        sum(col("cell_micro")).as("chi2_micro"))
+  }
+
+  /** [[typeMixDrift]] mirrored. */
+  def typeMixDriftSql(): String =
+    s"""WITH $windowedSql,
+       |c AS (SELECT event_type,
+       |             CAST(sum(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+       |             CAST(sum(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS nc
+       |      FROM w GROUP BY 1),
+       |t AS (SELECT CAST(sum(nr) AS BIGINT) AS tr, CAST(sum(nc) AS BIGINT) AS tc FROM c),
+       |x AS (
+       |  SELECT c.nr, c.nc, t.tr, t.tc,
+       |         abs(c.nr * t.tc - c.nc * t.tr) AS tvn,
+       |         CAST(round((
+       |           (c.nr - CAST(c.nr + c.nc AS DOUBLE) * CAST(t.tr AS DOUBLE)
+       |                 / CAST(t.tr + t.tc AS DOUBLE))
+       |           * (c.nr - CAST(c.nr + c.nc AS DOUBLE) * CAST(t.tr AS DOUBLE)
+       |                 / CAST(t.tr + t.tc AS DOUBLE))
+       |           / (CAST(c.nr + c.nc AS DOUBLE) * CAST(t.tr AS DOUBLE)
+       |              / CAST(t.tr + t.tc AS DOUBLE))
+       |           + (c.nc - CAST(c.nr + c.nc AS DOUBLE) * CAST(t.tc AS DOUBLE)
+       |                 / CAST(t.tr + t.tc AS DOUBLE))
+       |           * (c.nc - CAST(c.nr + c.nc AS DOUBLE) * CAST(t.tc AS DOUBLE)
+       |                 / CAST(t.tr + t.tc AS DOUBLE))
+       |           / (CAST(c.nr + c.nc AS DOUBLE) * CAST(t.tc AS DOUBLE)
+       |              / CAST(t.tr + t.tc AS DOUBLE))
+       |           ) * 1000000) AS BIGINT) AS cell_micro
+       |  FROM c CROSS JOIN t)
+       |SELECT max(tr) AS n_ref, max(tc) AS n_cur, CAST(count(*) AS BIGINT) AS n_types,
+       |       CAST(sum(tvn) AS BIGINT) * 1000000 // (2 * max(tr) * max(tc)) AS tv_ppm,
+       |       CAST(sum(cell_micro) AS BIGINT) AS chi2_micro
+       |FROM x""".stripMargin
+
   /** Inter-arrival burstiness per event type (Goh & Barabási 2008):
     * over consecutive same-type arrival gaps (integer seconds),
     * `B = (σ − μ)/(σ + μ)` — −1 perfectly periodic, 0 Poisson, → 1

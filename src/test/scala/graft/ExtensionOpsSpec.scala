@@ -388,6 +388,24 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out("tie") === ((1L, 1L, 1L, 500000L)))
   }
 
+  test("type mix drift: identical mixes score TV 0; a swapped mix is exact") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // ref: 3 a + 1 b; cur: 1 a + 3 b → TV = ½(|¾−¼| + |¼−¾|) = ½
+    val e = (
+      (1 to 3).map(i => (i.toLong, at(0), 1L, "a", 1.0, "{}")) ++
+        Seq((4L, at(0), 1L, "b", 1.0, "{}")) ++
+        Seq((5L, at(100), 1L, "a", 1.0, "{}")) ++
+        (6 to 8).map(i => (i.toLong, at(100), 1L, "b", 1.0, "{}"))
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.typeMixDrift(e).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 4L, 2L, 500000L)))
+    // chi2 for the 2×2-per-type homogeneity: each of 4 cells has e = 2,
+    // (o−e)² = 1 → 4·(1/2) = 2.0 exactly
+    assert(r.getLong(4) === 2000000L)
+  }
+
   test("burstiness: periodic gaps score -1e6, a single spike pair scores positive") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
