@@ -1177,6 +1177,11 @@ object SparkEntry {
     // arrivals; shares the batch events_cusum oracle
     "events_stream_cusum" -> ((s, d) =>
       streaming.StreamOps.cusumGateOverParquet(s, d).orderBy(col("event_type"))),
+    // streaming seasonality: the additive (type, hour) histogram IS the
+    // bounded stream state; shares the batch oracle
+    "events_stream_seasonality" -> ((s, d) =>
+      streaming.StreamOps.seasonalityOverParquet(s, d)
+        .orderBy(col("event_type"), col("hour"))),
     // per-user strict funnel via transformWithState ListState: the event
     // log IS the state (incremental min-tuples are wrong under
     // out-of-order arrival), recomputed per batch
@@ -3751,6 +3756,8 @@ object SparkEntry {
       "events_stream_quantiles" -> quantilesBinnedOracleSql,
       "events_stream_psi" -> (EventOps.psiDriftSql() + "\nORDER BY event_type"),
       "events_stream_cusum" -> (EventOps.cusumDriftSql() + "\nORDER BY event_type"),
+      "events_stream_seasonality" ->
+        (EventOps.seasonalitySql() + "\nORDER BY event_type, hour"),
       "events_asof" ->
         s"""WITH c AS (SELECT user_id, ts, arg_max(value, event_id) AS click_value
            |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),

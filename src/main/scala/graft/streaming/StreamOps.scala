@@ -1284,6 +1284,33 @@ object StreamOps {
        |             6) AS score
        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** STREAMING hour-of-day seasonality: the (type, hour) count table
+    * is maintained AS the streaming aggregation — |types|·24 additive
+    * state cells, the same boundedness as the quantile histogram — and
+    * the exact ppm shares are read off the sink. Equals the batch
+    * [[EventOps.seasonality]] row-for-row, ORACLE SHARED.
+    */
+  def seasonalityOverParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = overParquet(
+      spark,
+      sfDir,
+      "seasonality",
+      ev =>
+        ev.select(
+            col("event_type"),
+            expr("(unix_micros(ts) div 3600000000) % 24").as("hour"))
+          .groupBy(col("event_type"), col("hour"))
+          .agg(count(lit(1)).as("n")))
+    val tot = hist.groupBy(col("event_type").as("tt")).agg(sum(col("n")).as("total"))
+    hist
+      .join(broadcast(tot), col("event_type") === col("tt"))
+      .select(
+        col("event_type"),
+        col("hour"),
+        col("n"),
+        expr("n * 1000000 div total").as("share_ppm"))
+  }
+
   /** STREAMING PSI DRIFT GATE: the reference histogram is built ONCE
     * from the static corpus half (events at or before the stored
     * cutoff — what a nightly job persists next to a trained model) as a

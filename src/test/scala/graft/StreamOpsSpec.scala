@@ -377,6 +377,16 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming seasonality equals the batch hour profile at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val batch = EventOps.seasonality(model.eventsTable(spark, dir)).collect().map(canon).toSet
+    val streamed = StreamOps.seasonalityOverParquet(spark, dir).collect().map(canon).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming CUSUM gate equals the batch changepoint monitor at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     def canon(r: org.apache.spark.sql.Row) =
