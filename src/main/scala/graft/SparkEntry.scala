@@ -967,6 +967,36 @@ object SparkEntry {
           col("sum_tokens"),
           round(col("sum_tokens").cast("double") / col("n_docs"), 6).as("mean_tokens"))
         .orderBy(col("source"))),
+    // the composed per-source CORPUS HEALTH report: volume/dup-rate +
+    // lexical KL-vs-corpus + sketched distinct vocabulary, one row per
+    // source — the curation-side sibling of events_drift_report
+    "corpus_source_report" -> ((s, d) => {
+      val dd = docs(s, d)
+      val stats = dd
+        .select(
+          col("source"),
+          col("text"),
+          size(graft.functions.Parity.tokens(col("text"))).cast("long").as("n_toks"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct"),
+          sum(col("n_toks")).as("sum_tokens"))
+        .select(
+          col("source"),
+          col("n_docs"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6).as("dup_rate"),
+          col("sum_tokens"))
+      stats
+        .join(
+          TextOps.sourceKlDrift(dd).select(col("source"), col("n_terms"), col("kl")),
+          Seq("source"))
+        .join(
+          operators.Sketches.kmvPerSource(dd)
+            .select(col("source"), col("kmv_estimate").as("distinct_tok_est")),
+          Seq("source"))
+        .orderBy(col("source"))
+    }),
     // BPE tokenizer training over the word histogram: the iteration-1
     // pair histogram (exact), the real 8-merge training loop (batched
     // on the Spark side, sequential-equivalent — the oracle unrolls the
@@ -3507,6 +3537,17 @@ object SparkEntry {
            |       CAST(sum(CAST(len($toks) AS BIGINT)) AS BIGINT) AS sum_tokens,
            |       round(CAST(sum(CAST(len($toks) AS BIGINT)) AS DOUBLE) / count(*), 6) AS mean_tokens
            |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      "corpus_source_report" ->
+        s"""SELECT s.source, s.n_docs, s.dup_rate, s.sum_tokens,
+           |       k.n_terms, k.kl, v.kmv_estimate AS distinct_tok_est
+           |FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |             round(1.0 - CAST(count(DISTINCT text) AS DOUBLE) / count(*), 6)
+           |               AS dup_rate,
+           |             CAST(sum(CAST(len($toks) AS BIGINT)) AS BIGINT) AS sum_tokens
+           |      FROM documents GROUP BY source) s
+           |JOIN (${TextOps.sourceKlDriftSql()}) k USING (source)
+           |JOIN (${operators.Sketches.kmvPerSourceSql()}) v USING (source)
+           |ORDER BY s.source""".stripMargin,
       "tok_unigram" -> operators.Tokenization.unigramSegmentsSql(),
       "tok_unigram_fertility" -> operators.Tokenization.unigramFertilitySql(),
       // stored-artifact serving on the training corpus is result-identical
