@@ -444,6 +444,10 @@ object SparkEntry {
         .orderBy(col("id"))),
     "kcore_4" -> ((s, d) =>
       GraphOps.kCore(GraphSource.lineitemEdges(s, d), k = 4).orderBy(col("id"))),
+    // full core decomposition: per-node core number via the nesting
+    // identity over independent peel loops; cap-core must be empty
+    "graph_coreness" -> ((s, d) =>
+      GraphOps.corenessTable(GraphSource.lineitemEdges(s, d)).orderBy(col("id"))),
     // edge-level cohesion: peel edges below k−2 triangle support to a
     // fixpoint; strictly stronger than the k-core filter
     "ktruss_3" -> ((s, d) =>
@@ -1708,6 +1712,41 @@ object SparkEntry {
          |FROM a0 n LEFT JOIN a$rounds c ON c.id = n.id ORDER BY n.id""".stripMargin
   }
 
+  /** Coreness oracle: per k ∈ [2, CorenessMaxK], `rounds` unrolled
+    * peels (12 — the measured deepest cascade is 8, at k = max+1);
+    * coreness = 1 + Σ survive-flags via left joins, the same nesting
+    * identity the engine uses. The engine's empty-cap guard plus this
+    * parity gate make a silent truncation impossible.
+    */
+  private def corenessOracleSql(rounds: Int = 12): String = {
+    val maxK = GraphOps.CorenessMaxK
+    val head = Seq(
+      s"e AS MATERIALIZED (${GraphSource.lineitemEdgesSql})",
+      """s AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |       FROM e WHERE src <> dst)""".stripMargin,
+      "und AS MATERIALIZED (SELECT a AS src, b AS dst FROM s UNION ALL SELECT b, a FROM s)",
+      "a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)")
+    val perK = (2 to maxK).flatMap { k =>
+      (1 to rounds).map { r =>
+        val prev = if (r == 1) "a0" else s"k${k}_a${r - 1}"
+        s"""k${k}_a$r AS MATERIALIZED (SELECT u.src AS id FROM und u
+           |       JOIN $prev x ON x.id = u.src JOIN $prev y ON y.id = u.dst
+           |       GROUP BY u.src HAVING count(*) >= $k)""".stripMargin
+      }
+    }
+    val flags = (2 to maxK)
+      .map(k => s"CASE WHEN k${k}_a$rounds.id IS NOT NULL THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val joins = (2 to maxK)
+      .map(k => s"LEFT JOIN k${k}_a$rounds ON k${k}_a$rounds.id = a0.id")
+      .mkString("\n")
+    (head ++ perK).mkString("WITH ", ",\n", "\n") +
+      s"""SELECT a0.id, CAST(1 + $flags AS BIGINT) AS coreness
+         |FROM a0
+         |$joins
+         |ORDER BY a0.id""".stripMargin
+  }
+
   /** Transposition oracle — shared by reverse_graph and its tab-format
     * round-trip (they must agree exactly).
     */
@@ -1751,6 +1790,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "kcore_4" -> kcoreUnrolledSql(k = 4, rounds = 6),
+    "graph_coreness" -> corenessOracleSql(),
     "ktruss_3" -> GraphOps.kTrussSql(GraphSource.lineitemEdgesSql, k = 3),
     "graph_clustering_coef" ->
       GraphOps.clusteringCoefficientSql(GraphSource.lineitemEdgesSql),

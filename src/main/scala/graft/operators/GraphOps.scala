@@ -2819,6 +2819,44 @@ object GraphOps {
     side("src", "out").unionAll(side("dst", "in"))
   }
 
+  /** Core-number cap for [[corenessTable]] — one past the harness
+    * graph's max coreness (7 at every tested sf). The operator
+    * REQUIRES the cap-core to be empty, so data whose degeneracy
+    * outgrows the cap fails loudly instead of silently truncating. */
+  val CorenessMaxK = 8
+
+  /** Full k-core DECOMPOSITION: every node's core number (degeneracy
+    * rank — the strongest cohesion measure cheaper than truss), not
+    * just membership at one k ([[kCore]]). Uses the nesting property
+    * (the (k+1)-core ⊆ k-core): `coreness(v) = 1 + Σ_{k=2..K}
+    * [v ∈ k-core]`, so the table is a join of the [[kCore]] runs —
+    * each an independent deletion-cascade loop over the shared
+    * incremental patchLoop, integer-exact and engine-deterministic.
+    *
+    * Scale shape: K−1 independent peel loops (each the [[kCore]]
+    * shape: per-round one frontier join + hash aggregate on the
+    * surviving degree), then K−1 id-keyed joins of |V|-row flag
+    * tables. The sequential bucket-peel (Matula–Beck) is O(E) on one
+    * machine but inherently serial; the per-k cascade form is what
+    * distributes.
+    *
+    * Output: `(id, coreness)` for every node of the undirected simple
+    * graph.
+    */
+  def corenessTable(edges: DataFrame, maxK: Int = CorenessMaxK): DataFrame = {
+    val cores = (2 to maxK).map { k =>
+      kCore(edges, k).select(col("id"), col("in_core").cast("long").as(s"c$k"))
+    }
+    require(
+      cores.last.filter(col(s"c$maxK") === 1L).limit(1).count() == 0L,
+      s"non-empty $maxK-core: the graph's degeneracy outgrew CorenessMaxK — raise the cap")
+    cores
+      .reduce((a, b) => a.join(b, Seq("id")))
+      .select(
+        col("id"),
+        (2 to maxK).map(k => col(s"c$k")).foldLeft(lit(1L))(_ + _).as("coreness"))
+  }
+
   /** Continuous-approximation power-law MLE over the undirected degree
     * sequence (Clauset, Shalizi & Newman 2009, eq. 3.1 with
     * `d_min = 1`): `α = 1 + n / Σ ln(d / (d_min − ½))`. The per-degree

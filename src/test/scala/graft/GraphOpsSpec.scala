@@ -451,6 +451,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(out === Set((1L, 2L, 3.5), (2L, 3L, 1.0)))
   }
 
+  test("coreness: triangle with a tail, and K4 — exact core numbers") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4–1: coreness 2,2,2,1
+    val tri = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0), (1L, 4L, 1.0))
+      .toDF("src", "dst", "w")
+    val out = GraphOps.corenessTable(tri).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    // K4: everyone coreness 3
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b, 1.0))
+      .toDF("src", "dst", "w")
+    val out4 = GraphOps.corenessTable(k4).collect().map(_.getLong(1)).toSet
+    assert(out4 === Set(3L))
+  }
+
   test("powerlawFit: hand-computed MLE on a 3-node path, hub graph skews alpha down") {
     import spark.implicits._
     // path 1-2-3: degrees 1,2,1 → S = 2·ln(2) + ln(4) in micro,
