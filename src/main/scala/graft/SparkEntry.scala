@@ -1028,6 +1028,9 @@ object SparkEntry {
     // vocab sizing curve: exact ppm occurrence coverage of the top-k types
     "tok_vocab_coverage" -> ((s, d) =>
       operators.Tokenization.vocabCoverage(docs(s, d)).orderBy(col("k"))),
+    // BPE compression ROI: corpus fertility at each merge budget
+    "tok_compression_curve" -> ((s, d) =>
+      operators.Tokenization.compressionCurve(s, docs(s, d)).orderBy(col("n_merges"))),
     "bpe_pair_counts" -> ((s, d) =>
       operators.Tokenization
         .pairCounts(operators.Tokenization.initialStates(docs(s, d)))
@@ -3596,6 +3599,8 @@ object SparkEntry {
         s"SELECT * FROM (${operators.Tokenization.contextFitSql()}) ORDER BY ctx_len",
       "tok_vocab_coverage" ->
         s"SELECT * FROM (${operators.Tokenization.vocabCoverageSql()}) ORDER BY k",
+      "tok_compression_curve" ->
+        s"SELECT * FROM (${operators.Tokenization.compressionCurveSql()}) ORDER BY n_merges",
       "bpe_pair_counts" -> operators.Tokenization.pairCountsOracleSql,
       "bpe_merges" -> operators.Tokenization.bpeMergesSql(8, minFreq = 2L),
       "bpe_encode" -> operators.Tokenization.bpeEncodeSql(8, minFreq = 2L),

@@ -714,6 +714,68 @@ object Tokenization {
     s"""WITH ${unigramCtes()}
        |SELECT w, freq, n_pieces, score_micro FROM ures ORDER BY w""".stripMargin
 
+  /** Merge-count grid for [[compressionCurve]]. */
+  val CurveMergeCounts = Seq(2, 4, 8)
+
+  /** BPE compression-ROI curve: corpus-total pieces and fertility at
+    * each candidate merge-table size — the marginal-return table that
+    * decides when to stop growing the vocabulary (each row answers
+    * "what did the next merges buy"). Each point is a REAL training at
+    * that budget (not a prefix of the largest run — batched training's
+    * round grouping differs per budget, and the per-budget oracle
+    * replays the sequential loop exactly).
+    *
+    * Scale shape: per point, the histogram-based trainer (corpus never
+    * scanned per merge round) plus one encode pass; the curve is
+    * |grid| such runs unioned.
+    *
+    * Output: one row per budget
+    * `(n_merges, n_words, n_pieces, fert_milli)`.
+    */
+  def compressionCurve(
+      spark: SparkSession,
+      docs: DataFrame,
+      ks: Seq[Int] = CurveMergeCounts): DataFrame = {
+    import spark.implicits._
+    val words = docs
+      .select(
+        size(
+          filter(
+            Parity.tokens(col("text")),
+            w => !w.contains(SepL) && !w.contains(SepR) && !w.contains(WordSep)))
+          .cast("long")
+          .as("w"))
+      .agg(sum(col("w")))
+      .head()
+      .getLong(0)
+    ks.map { k =>
+        val (merges, _) = trainMerges(spark, docs, k)
+        val pieces = encodeWithMerges(docs, merges)
+          .agg(sum(col("n_tokens")))
+          .head()
+          .getLong(0)
+        (k.toLong, words, pieces, pieces * 1000L / words)
+      }
+      .toDF("n_merges", "n_words", "n_pieces", "fert_milli")
+  }
+
+  /** [[compressionCurve]] mirrored: one encode-CTE subquery per budget,
+    * unioned. */
+  def compressionCurveSql(ks: Seq[Int] = CurveMergeCounts): String = {
+    val wordsSql =
+      s"len(list_filter(${Parity.tokensSql("text")}, " +
+        "w -> NOT contains(w, chr(1)) AND NOT contains(w, chr(2)) AND NOT contains(w, chr(3))))"
+    ks.map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS n_merges,
+           |       (SELECT CAST(sum($wordsSql) AS BIGINT) FROM documents) AS n_words,
+           |       CAST(sum(e.n_tokens) AS BIGINT) AS n_pieces,
+           |       CAST(sum(e.n_tokens) AS BIGINT) * 1000
+           |         // (SELECT CAST(sum($wordsSql) AS BIGINT) FROM documents) AS fert_milli
+           |FROM (${bpeEncodeSql(k)}) e""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+  }
+
   /** Context lengths [[contextFit]] reports on — the capacity-planning
     * grid a training run sizes its sequence length against. */
   val ContextLengths = Seq(128L, 512L, 2048L)

@@ -177,6 +177,25 @@ class TokenizationSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("compressionCurve: monotone non-increasing pieces as the merge budget grows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaab aaab abab", "en", "s1"),
+      (2L, "aaab abab bbbb", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.operators.Tokenization.compressionCurve(spark, docs)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(2L, 4L, 8L))
+    val pieces = out.map(_._2._2)
+    // more merges can only merge more: pieces never increase
+    assert(pieces.zip(pieces.tail).forall { case (a, b) => b <= a }, pieces.toSeq)
+    // 6 words of 4 chars each → 24 pieces at zero merges; 2 merges must
+    // already compress below that
+    assert(out.head._2._1 === 6L && pieces.head < 24L)
+  }
+
   test("vocabCoverage: over-vocab k clamps to full coverage; ties break on token") {
     import spark.implicits._
     // freq: a×4, b×2, c×1, d×1 → 8 tokens, 4 types
