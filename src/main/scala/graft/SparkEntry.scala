@@ -924,6 +924,9 @@ object SparkEntry {
     }),
     // pairs -> transitive near-dup clusters -> canonical keep list (the
     // dedup_clusters step for the media column; shares the min-label CC)
+    // pHash threshold-tuning histogram: within-bucket Hamming spectrum
+    "multimodal_phash_hist" -> ((s, d) =>
+      operators.Multimodal.phashHammingHist(docs(s, d)).orderBy(col("hamming"))),
     "multimodal_phash_clusters" -> ((s, d) =>
       Dedup
         .clusters(
@@ -3907,6 +3910,8 @@ object SparkEntry {
            |FROM documents ORDER BY doc_id""".stripMargin,
       "multimodal_phash_dedup" -> Multimodal.phashDedupSql,
       "multimodal_phash_clusters" -> Multimodal.phashClustersSql,
+      "multimodal_phash_hist" ->
+        (Multimodal.phashHammingHistSql + "\nORDER BY hamming"),
       // the artifact reproduces the static store (pinned by batch/stream
       // parity + the stored-probe spec); the oracle proves the matches
       "multimodal_phash_stored" -> Multimodal.phashGateSql(firstNewId = 400L),

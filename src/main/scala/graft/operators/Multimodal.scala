@@ -210,7 +210,44 @@ object Multimodal {
     * exact 64-bit Hamming distance (`Σ_j bit_count(a_j XOR b_j)`) ≤
     * [[PhashMaxHamming]]. Output: (a_id, b_id, hamming) with a < b.
     */
-  def phashDedup(docs: DataFrame): DataFrame = {
+  def phashDedup(docs: DataFrame): DataFrame =
+    phashCandidatePairs(docs)
+      .filter(col("hamming") <= PhashMaxHamming)
+      .distinct()
+
+  /** Within-bucket Hamming-distance HISTOGRAM over the distinct pHash
+    * candidate pairs — the tuning table behind [[PhashMaxHamming]]: a
+    * bimodal histogram (near-dup mass at low distance, background mass
+    * near 32) says the threshold separates cleanly; a filled valley
+    * says the bands are recalling noise. Same bucket-capped candidate
+    * generation as [[phashDedup]], no verify filter — so the cost
+    * bound is identical and the table shows EVERYTHING the index would
+    * ever surface.
+    *
+    * Output: `(hamming, n_pairs)`.
+    */
+  def phashHammingHist(docs: DataFrame): DataFrame =
+    phashCandidatePairs(docs)
+      .distinct()
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+
+  /** [[phashHammingHist]] mirrored. */
+  def phashHammingHistSql: String =
+    s"""WITH $phashCoreCtes,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         CAST(${phashHammingSql("a", "b")} AS BIGINT) AS hamming
+       |  FROM keep a JOIN keep b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id)
+       |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM pairs GROUP BY hamming""".stripMargin
+
+  /** The bucket-capped candidate pair table both [[phashDedup]] and
+    * [[phashHammingHist]] consume: (a_id, b_id, hamming), NOT
+    * deduplicated across shared bands. */
+  private def phashCandidatePairs(docs: DataFrame): DataFrame = {
     val sigs = phashBands(docs)
     val bandCols = (0 until PhashBands).map(j => col(s"b$j"))
     // materialized + hash-laid-out on the bucket key: the signature
@@ -242,8 +279,6 @@ object Multimodal {
         col("a.doc_id").as("a_id"),
         col("b.doc_id").as("b_id"),
         hamming.as("hamming"))
-      .filter(col("hamming") <= PhashMaxHamming)
-      .distinct()
   }
 
   /** DuckDB oracle for the STREAMING pHash gate

@@ -508,6 +508,16 @@ class ExtensionOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("phash hamming hist: mass at or below the threshold equals the dedup pair count") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hist = Multimodal.phashHammingHist(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nDedup = Multimodal.phashDedup(docs).count()
+    val below = hist.filter(_._1 <= Multimodal.PhashMaxHamming).values.sum
+    assert(below === nDedup)
+    assert(hist.values.sum > below, "histogram must also show the rejected tail")
+  }
+
   test("jsd matrix: 0 on identical distributions, ln2 on disjoint vocabularies") {
     val docs = Seq(
       (1L, "a a b", "en", "s1"),
