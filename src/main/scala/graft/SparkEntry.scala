@@ -629,6 +629,9 @@ object SparkEntry {
     }),
     // centroid-based silhouette per cluster: quality beside occupancy,
     // against k centroids only — never the |V|² pairwise silhouette
+    // per-subspace PQ distortion: exact integer codebook-quality table
+    "ann_pq_distortion" -> ((s, d) =>
+      Similarity.pqDistortion(embs(s, d)).orderBy(col("m"))),
     "emb_silhouette" -> ((s, d) => {
       val model = Similarity.writeIvfModel(s, embs(s, d))
       Similarity.silhouette(s, embs(s, d), model).orderBy(col("cid"))
@@ -2430,6 +2433,26 @@ object SparkEntry {
        |  FROM pq_scored)""".stripMargin
   }
 
+  /** PQ distortion oracle: the same per-subspace kmeans + encode CTEs,
+    * exact integer Σ(x−c)² per vector, 8-row rollup. */
+  private def pqDistortionOracleSql: String = {
+    val per = (0 until Similarity.PqM)
+      .map { m =>
+        val sfx = s"_p$m"
+        val last = s"c${Similarity.KmeansIters}$sfx"
+        s"""SELECT CAST($m AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n_vecs,
+           |       CAST(sum(sq) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_sqerr
+           |FROM (
+           |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |           list_transform(list_zip(v.ei, c.c),
+           |             s -> (s[1] - s[2]) * (s[1] - s[2]))), (a, x) -> a + x) AS sq
+           |  FROM enc$sfx e JOIN d$sfx v ON v.vec_id = e.vec_id
+           |  JOIN $last c ON c.cid = e.code)""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"WITH $pqCtes\nSELECT * FROM (\n$per\n) ORDER BY m"
+  }
+
   /** Oracles for the north-star extension queries; hash/vector fragments
     * are generated by the same [[Parity]] constants the Spark side uses.
     */
@@ -3173,6 +3196,7 @@ object SparkEntry {
       "ann_ivf_stored" -> ivfTrainedOracleSql,
       "ann_ivf_health" -> ivfHealthOracleSql,
       "emb_silhouette" -> silhouetteOracleSql,
+      "ann_pq_distortion" -> pqDistortionOracleSql,
       "ann_ivf_query" -> ivfQueryOracleSql(AnnQueryVec, k = 10, nProbe = 2),
       "ann_sq_stored" -> Similarity.sqStoredTopKSql(nQueries = 10, k = 5),
       "ann_sq_recall" -> Similarity.sqRecallSql(nQueries = 20, k = 5),

@@ -760,6 +760,45 @@ object Similarity {
     cent
   }
 
+  /** Per-subspace PQ quantization distortion — the codebook-quality
+    * table beside [[ivfHealth]]'s coarse-cell view: for each of the
+    * [[PqM]] subspaces, the mean squared L2 error between vectors and
+    * their assigned centroid, in EXACT integer micro² units (vectors
+    * and centroids are both integer micro-unit arrays, so `Σ(x−c)²`
+    * is a plain 64-bit sum — no floating distance anywhere). A
+    * subspace whose distortion is an outlier dominates the ADC error
+    * budget — the signal to re-train or re-slice before recall decays.
+    *
+    * Scale shape: the same one-frame subspace explode and broadcast
+    * codebook join the encoder uses, then an 8-row aggregate.
+    *
+    * Output: `(m, n_vecs, mean_sqerr)`.
+    */
+  def pqDistortion(embs: DataFrame): DataFrame = {
+    val dsub = Phys.materialized(subspaced(intEmb(embs).select(col("vec_id"), col("ei"))))
+    val cent = Phys.materialized(kmeansFixedKeyed(dsub, PqCells, KmeansIters))
+    val assigned = argmaxCell(
+      dsub
+        .join(broadcast(cent), Seq("m"))
+        .select(
+          col("m"),
+          col("vec_id"),
+          col("cid"),
+          col("ei_m"),
+          cellScore(col("ei_m"), col("c")).as("score")),
+      Seq("m", "vec_id"))
+    assigned
+      .join(broadcast(cent), Seq("m", "cid"))
+      .select(
+        col("m"),
+        aggregate(
+          zip_with(col("ei_m"), col("c"), (x, y) => (x - y) * (x - y)),
+          lit(0L),
+          (acc, v) => acc + v).as("sqerr"))
+      .groupBy(col("m").cast("long").as("m"))
+      .agg(count(lit(1)).as("n_vecs"), expr("sum(sqerr) div count(1)").as("mean_sqerr"))
+  }
+
   /** The PQ index pair: per-vector codes (n_id, m, code) and the query
     * LUT (q_id, m, code, qdot, cnorm). The LUT carries BOTH the
     * query-centroid dot and the centroid's own squared norm: the ADC
