@@ -488,6 +488,24 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(conc.getLong(2) === 750000L)
   }
 
+  test("ivf health: occupancy sums to 1e6-ish and dead cells surface with NULL scores") {
+    import graft.operators.Similarity
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Similarity.writeIvfModel(spark, embs)
+    val out = Similarity.ivfHealth(spark, embs, dir).collect()
+    val n = embs.count()
+    assert(out.map(_.getLong(1)).sum === n, "every vector assigned exactly once")
+    val occ = out.map(_.getLong(2)).sum
+    // integer div floors each cell's ppm: within n_cells of 1e6
+    assert(occ <= 1000000L && occ >= 1000000L - out.length)
+    out.foreach { r =>
+      if (r.getLong(1) == 0L) assert(r.isNullAt(3) && r.isNullAt(4), "dead cell must be NULL")
+      else assert(!r.isNullAt(3) && r.getLong(3) >= r.getLong(4),
+        "mean must dominate min within a cell")
+    }
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("silhouette: two tight far clusters score near 1; cell ids are the IVF assignment") {
     import graft.operators.Similarity
     // 8-dim vectors in two orthogonal tight bundles; vec_id < 8 seeds
