@@ -632,6 +632,11 @@ object SparkEntry {
     // per-subspace PQ distortion: exact integer codebook-quality table
     "ann_pq_distortion" -> ((s, d) =>
       Similarity.pqDistortion(embs(s, d)).orderBy(col("m"))),
+    // per-dim SQ8 reconstruction error off the stored scalar quantizer
+    "ann_sq_distortion" -> ((s, d) => {
+      val model = Similarity.writeSqModel(s, embs(s, d))
+      Similarity.sqDistortion(s, embs(s, d), model).orderBy(col("dim"))
+    }),
     "emb_silhouette" -> ((s, d) => {
       val model = Similarity.writeIvfModel(s, embs(s, d))
       Similarity.silhouette(s, embs(s, d), model).orderBy(col("cid"))
@@ -3197,6 +3202,8 @@ object SparkEntry {
       "ann_ivf_health" -> ivfHealthOracleSql,
       "emb_silhouette" -> silhouetteOracleSql,
       "ann_pq_distortion" -> pqDistortionOracleSql,
+      "ann_sq_distortion" ->
+        s"SELECT * FROM (${Similarity.sqDistortionSql()}) ORDER BY dim",
       "ann_ivf_query" -> ivfQueryOracleSql(AnnQueryVec, k = 10, nProbe = 2),
       "ann_sq_stored" -> Similarity.sqStoredTopKSql(nQueries = 10, k = 5),
       "ann_sq_recall" -> Similarity.sqRecallSql(nQueries = 20, k = 5),

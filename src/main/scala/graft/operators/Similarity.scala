@@ -935,6 +935,70 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("score"), col("rank"))
   }
 
+  /** Per-dimension SQ8 quantization distortion over the stored scalar
+    * quantizer — completes the index-health triple ([[ivfHealth]]
+    * occupancy, [[pqDistortion]] codebook error, this): for each of
+    * the 64 dimensions, the mean and max absolute reconstruction error
+    * `|x − (lo + code·step)|` in nano units (each element's error
+    * micro-rounded at 10⁻⁹ BEFORE the per-dim integer mean — order
+    * free). A dimension whose max error spikes has outliers stretching
+    * its [lo, hi] range — the signal to clip or re-scale before
+    * recall decays; degenerate dims reconstruct exactly (error 0).
+    *
+    * Scale shape: the 64-row artifact folds to one broadcast row; one
+    * narrow encode-reconstruct pass; a 64-row aggregate.
+    *
+    * Output: `(dim, n_vecs, mean_err_nano, max_err_nano)`.
+    */
+  def sqDistortion(
+      spark: org.apache.spark.sql.SparkSession,
+      embs: DataFrame,
+      modelDir: String): DataFrame = {
+    val m = broadcast(
+      spark.read.parquet(modelDir).agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("lo")))), s => s("lo"))
+          .as("lo"),
+        transform(array_sort(collect_list(struct(col("dim"), col("hi")))), s => s("hi"))
+          .as("hi")))
+    asDouble(embs)
+      .crossJoin(m)
+      .select(posexplode(col("e")).as(Seq("pos", "x")), col("lo"), col("hi"))
+      .select(
+        (col("pos") + 1).cast("long").as("dim"),
+        col("x"),
+        element_at(col("lo"), col("pos").cast("int") + 1).as("l"),
+        element_at(col("hi"), col("pos").cast("int") + 1).as("h"))
+      .withColumn(
+        "err_nano",
+        expr("""CAST(round(abs(x - (l + CASE WHEN (h - l) > 0.0
+                |  THEN least(greatest(floor((x - l) / (h - l) * 255.0), 0.0), 255.0)
+                |       * ((h - l) / 255.0)
+                |  ELSE 0.0 END)) * 1000000000.0) AS BIGINT)""".stripMargin))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        expr("sum(err_nano) div count(1)").as("mean_err_nano"),
+        max(col("err_nano")).as("max_err_nano"))
+  }
+
+  /** [[sqDistortion]] mirrored. */
+  def sqDistortionSql(): String = {
+    val dims = 64
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |mm AS (SELECT t.i AS dim, min(e[t.i]) AS lo, max(e[t.i]) AS hi
+       |       FROM d CROSS JOIN range(1, ${dims + 1}) t(i) GROUP BY 1),
+       |x AS (
+       |  SELECT mm.dim, CAST(round(abs(e[mm.dim] - (mm.lo + CASE WHEN (mm.hi - mm.lo) > 0.0
+       |    THEN least(greatest(floor((e[mm.dim] - mm.lo) / (mm.hi - mm.lo) * 255.0), 0.0),
+       |               255.0) * ((mm.hi - mm.lo) / 255.0)
+       |    ELSE 0.0 END)) * 1000000000.0) AS BIGINT) AS err_nano
+       |  FROM d CROSS JOIN mm)
+       |SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(sum(err_nano) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_err_nano,
+       |       CAST(max(err_nano) AS BIGINT) AS max_err_nano
+       |FROM x GROUP BY dim""".stripMargin
+  }
+
   /** Shared oracle CTEs for the SQ8 path: min/max train, encode, and the
     * decomposed dot, operation for operation (ends with ranked `r`). */
   private def sqCtes(nQueries: Int): String = {

@@ -488,6 +488,25 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(conc.getLong(2) === 750000L)
   }
 
+  test("sq distortion: bounded by half a step; degenerate dims reconstruct exactly") {
+    import graft.operators.Similarity
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Similarity.writeSqModel(spark, embs)
+    val out = Similarity.sqDistortion(spark, embs, dir).collect()
+    assert(out.length === 64)
+    // per-dim [lo, hi] from the same data to bound the step
+    val ranges = spark.read.parquet(dir).collect()
+      .map(r => (r.getInt(0).toLong, r.getDouble(2) - r.getDouble(1))).toMap
+    out.foreach { r =>
+      val (dim, maxErr) = (r.getLong(0), r.getLong(3))
+      val stepNano = ranges(dim) / 255.0 * 1e9
+      // code = floor (not nearest), so the error bound is one full step
+      assert(maxErr <= math.ceil(stepNano) + 1, s"dim $dim: $maxErr vs step $stepNano")
+      if (ranges(dim) == 0.0) assert(maxErr === 0L)
+    }
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("ivf health: occupancy sums to 1e6-ish and dead cells surface with NULL scores") {
     import graft.operators.Similarity
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
