@@ -765,8 +765,11 @@ object EventOps {
         col("tr"),
         col("tc"),
         abs(col("nr") * col("tc") - col("nc") * col("tr")).as("tvn"),
-        // chi2 homogeneity: two cells per type, e = rowtot·coltot/N
-        expr("""CAST(round((
+        // chi2 homogeneity: two cells per type, e = rowtot·coltot/N;
+        // an EMPTY window (tr or tc = 0) has zero expectations — the
+        // statistic is undefined, guarded to 0 here and NULL at the top
+        expr("""CASE WHEN tr = 0 OR tc = 0 THEN CAST(0 AS BIGINT)
+                |ELSE CAST(round((
                 |  (nr - CAST((nr + nc) AS DOUBLE) * CAST(tr AS DOUBLE)
                 |        / CAST(tr + tc AS DOUBLE))
                 |  * (nr - CAST((nr + nc) AS DOUBLE) * CAST(tr AS DOUBLE)
@@ -779,13 +782,16 @@ object EventOps {
                 |        / CAST(tr + tc AS DOUBLE))
                 |  / (CAST((nr + nc) AS DOUBLE) * CAST(tc AS DOUBLE)
                 |     / CAST(tr + tc AS DOUBLE))
-                |  ) * 1000000) AS BIGINT)""".stripMargin).as("cell_micro"))
+                |  ) * 1000000) AS BIGINT) END""".stripMargin).as("cell_micro"))
       .agg(
         max(col("tr")).as("n_ref"),
         max(col("tc")).as("n_cur"),
         count(lit(1)).as("n_types"),
-        expr("sum(tvn) * 1000000 div (2 * max(tr) * max(tc))").as("tv_ppm"),
-        sum(col("cell_micro")).as("chi2_micro"))
+        expr("""CASE WHEN max(tr) * max(tc) = 0 THEN NULL
+                |ELSE sum(tvn) * 1000000 div (2 * max(tr) * max(tc)) END""".stripMargin)
+          .as("tv_ppm"),
+        expr("CASE WHEN max(tr) * max(tc) = 0 THEN NULL ELSE sum(cell_micro) END")
+          .as("chi2_micro"))
   }
 
   /** [[typeMixDrift]] mirrored. */
@@ -799,7 +805,8 @@ object EventOps {
        |x AS (
        |  SELECT c.nr, c.nc, t.tr, t.tc,
        |         abs(c.nr * t.tc - c.nc * t.tr) AS tvn,
-       |         CAST(round((
+       |         CASE WHEN t.tr = 0 OR t.tc = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(round((
        |           (c.nr - CAST(c.nr + c.nc AS DOUBLE) * CAST(t.tr AS DOUBLE)
        |                 / CAST(t.tr + t.tc AS DOUBLE))
        |           * (c.nr - CAST(c.nr + c.nc AS DOUBLE) * CAST(t.tr AS DOUBLE)
@@ -812,11 +819,14 @@ object EventOps {
        |                 / CAST(t.tr + t.tc AS DOUBLE))
        |           / (CAST(c.nr + c.nc AS DOUBLE) * CAST(t.tc AS DOUBLE)
        |              / CAST(t.tr + t.tc AS DOUBLE))
-       |           ) * 1000000) AS BIGINT) AS cell_micro
+       |           ) * 1000000) AS BIGINT) END AS cell_micro
        |  FROM c CROSS JOIN t)
        |SELECT max(tr) AS n_ref, max(tc) AS n_cur, CAST(count(*) AS BIGINT) AS n_types,
-       |       CAST(sum(tvn) AS BIGINT) * 1000000 // (2 * max(tr) * max(tc)) AS tv_ppm,
-       |       CAST(sum(cell_micro) AS BIGINT) AS chi2_micro
+       |       CASE WHEN max(tr) * max(tc) = 0 THEN NULL
+       |            ELSE CAST(sum(tvn) AS BIGINT) * 1000000
+       |                 // (2 * max(tr) * max(tc)) END AS tv_ppm,
+       |       CASE WHEN max(tr) * max(tc) = 0 THEN NULL
+       |            ELSE CAST(sum(cell_micro) AS BIGINT) END AS chi2_micro
        |FROM x""".stripMargin
 
   /** Inter-arrival burstiness per event type (Goh & Barabási 2008):

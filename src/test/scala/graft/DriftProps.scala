@@ -86,6 +86,40 @@ object DriftProps extends Properties("drift") {
       }
     }
 
+  property("type mix drift: TV in [0, 1e6]; chi2 non-negative; NULL on an empty window") =
+    forAll(genEvents) { rows =>
+      EventOps.typeMixDrift(toDf(rows)).collect().forall { r =>
+        val (nr, nc, nTypes) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        if (nr == 0L || nc == 0L) r.isNullAt(3) && r.isNullAt(4)
+        else {
+          val (tv, chi2) = (r.getLong(3), r.getLong(4))
+          tv >= 0L && tv <= 1000000L && chi2 >= -2L * nTypes
+        }
+      }
+    }
+
+  private val genBaskets: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      o <- Gen.chooseNum(1L, 30L)
+      p <- Gen.chooseNum(1L, 12L)
+    } yield (o, p))
+
+  property("basket rules: confidences bounded, support ≤ either confidence, n_ab ≤ min(n)") =
+    forAll(genBaskets) { rows =>
+      import spark.implicits._
+      val li = rows.zipWithIndex.map { case ((o, p), i) =>
+        (o, p, 1L, i, 1.0, 1.0, 0.0, 0.0)
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      Stats.basketRules(li, minSup = 1L).collect().forall { r =>
+        val (na, nb, nab) = (r.getLong(2), r.getLong(3), r.getLong(4))
+        val (sup, cab, cba) = (r.getLong(5), r.getLong(6), r.getLong(7))
+        nab <= math.min(na, nb) &&
+        cab >= 0L && cab <= 1000000L && cba >= 0L && cba <= 1000000L &&
+        sup <= cab && sup <= cba
+      }
+    }
+
   private val genPrices: Gen[List[(Long, Double)]] =
     Gen.nonEmptyListOf(for {
       pk <- Gen.chooseNum(1L, 40L)
