@@ -1566,6 +1566,9 @@ object SparkEntry {
     // scale-free-tail diagnostic (salting territory vs thin tails)
     "graph_powerlaw_fit" -> ((s, d) =>
       GraphOps.powerlawFit(GraphSource.lineitemEdges(s, d))),
+    // directed reciprocity in exact ppm: symmetrize-or-not diagnostic
+    "graph_reciprocity" -> ((s, d) =>
+      GraphOps.reciprocity(GraphSource.lineitemEdges(s, d))),
     // the end-to-end curation decision: exact-dedup canonical ∧ quality
     // floor ∧ predicted language — the keep/drop table a training-data
     // pipeline materializes, composed purely from the operators above
@@ -3991,7 +3994,8 @@ object SparkEntry {
            |i AS (SELECT 'in' AS side, deg, CAST(count(*) AS BIGINT) AS n_nodes FROM (
            |        SELECT dst, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY dst) GROUP BY deg)
            |SELECT * FROM o UNION ALL SELECT * FROM i ORDER BY side, deg""".stripMargin,
-      "graph_powerlaw_fit" -> GraphOps.powerlawFitSql(GraphSource.lineitemEdgesSql)
+      "graph_powerlaw_fit" -> GraphOps.powerlawFitSql(GraphSource.lineitemEdgesSql),
+      "graph_reciprocity" -> GraphOps.reciprocitySql(GraphSource.lineitemEdgesSql)
     )
   }
 }

@@ -2819,6 +2819,43 @@ object GraphOps {
     side("src", "out").unionAll(side("dst", "in"))
   }
 
+  /** Directed-graph reciprocity: the share of directed edges whose
+    * reverse edge also exists, in exact ppm — near 0 on hierarchies
+    * and bipartite-leaning graphs (this harness's order→part edges),
+    * near 1 on mutual-follow social graphs. The one-number direction
+    * diagnostic beside [[degreeHistogram]]: it decides whether
+    * symmetrizing before the undirected algorithms loses real
+    * structure. One distinct edge set, one self-semi-join on the
+    * swapped key — never a cross product.
+    *
+    * Output: one row `(n_edges, n_reciprocal, reciprocity_ppm)`.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = Phys.materialized(
+      edges.filter(col("src") =!= col("dst")).select(col("src"), col("dst")).distinct())
+    val rec = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"),
+      "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(rec.agg(count(lit(1)).as("n_reciprocal"))))
+      .select(
+        col("n_edges"),
+        col("n_reciprocal"),
+        expr("n_reciprocal * 1000000 div n_edges").as("reciprocity_ppm"))
+  }
+
+  /** [[reciprocity]] mirrored. */
+  def reciprocitySql(edgesSql: String): String =
+    s"""WITH raw AS ($edgesSql),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+       |r AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal FROM e
+       |      WHERE EXISTS (SELECT 1 FROM e x WHERE x.src = e.dst AND x.dst = e.src)),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+       |SELECT t.n_edges, r.n_reciprocal,
+       |       r.n_reciprocal * 1000000 // t.n_edges AS reciprocity_ppm
+       |FROM t CROSS JOIN r""".stripMargin
+
   /** Core-number cap for [[corenessTable]] — one past the harness
     * graph's max coreness (7 at every tested sf). The operator
     * REQUIRES the cap-core to be empty, so data whose degeneracy

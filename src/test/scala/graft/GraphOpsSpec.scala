@@ -451,6 +451,15 @@ class GraphOpsSpec extends SparkSpec {
     assert(out === Set((1L, 2L, 3.5), (2L, 3L, 1.0)))
   }
 
+  test("reciprocity: mutual pair counts both directions, one-way edges none") {
+    import spark.implicits._
+    // 1↔2 mutual, 1→3 one-way, self-loop dropped
+    val e = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (1L, 3L, 1.0), (4L, 4L, 1.0))
+      .toDF("src", "dst", "w")
+    val r = GraphOps.reciprocity(e).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 2L, 666666L)))
+  }
+
   test("coreness: triangle with a tail, and K4 — exact core numbers") {
     import spark.implicits._
     // triangle {1,2,3} + pendant 4–1: coreness 2,2,2,1
