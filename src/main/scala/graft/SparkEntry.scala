@@ -1429,6 +1429,9 @@ object SparkEntry {
       EventOps.burstiness(events(s, d)).orderBy(col("event_type"))),
     // categorical mix drift: exact-ppm TV distance + chi2 homogeneity
     "events_type_mix_drift" -> ((s, d) => EventOps.typeMixDrift(events(s, d))),
+    // behavioral diversity: per-user type-entropy, quarter-nat buckets
+    "events_user_entropy" -> ((s, d) =>
+      EventOps.userEntropyProfile(events(s, d)).orderBy(col("ent_bucket"))),
     // Heaps vocabulary-growth curve over doc_id-ordered deciles
     "text_heaps_curve" -> ((s, d) =>
       TextOps.heapsCurve(docs(s, d)).orderBy(col("bucket"))),
@@ -3495,6 +3498,8 @@ object SparkEntry {
         (EventOps.seasonalitySql() + "\nORDER BY event_type, hour"),
       "events_burstiness" -> (EventOps.burstinessSql() + "\nORDER BY event_type"),
       "events_type_mix_drift" -> EventOps.typeMixDriftSql(),
+      "events_user_entropy" ->
+        (EventOps.userEntropyProfileSql() + "\nORDER BY ent_bucket"),
       "text_heaps_curve" ->
         s"SELECT * FROM (${TextOps.heapsCurveSql()}) ORDER BY bucket",
       "bucketed_join" ->

@@ -736,6 +736,59 @@ object EventOps {
        |                 // (2 * t.tr * t.tc) END AS auc_cur_ppm
        |FROM r JOIN t USING (event_type)""".stripMargin
 
+  /** Behavioral-diversity profile: per-user Shannon entropy of the
+    * event-TYPE distribution (0 = single-behavior, ln|types| =
+    * uniform), rolled into quarter-nat buckets — the engagement-mix
+    * histogram behind persona segmentation and bot screening (a scripted
+    * client sits at entropy ≈ 0; organic users spread). Per-(user, type)
+    * shares are exact rationals; each `−p·ln p` term is micro-rounded
+    * before the per-user integer sum (the KL discipline); the bucket is
+    * an integer division of the micro entropy.
+    *
+    * Scale shape: one (user, type) hash aggregate (map-side partials),
+    * a user-keyed totals join, a per-user integer sum, a ≤ ~10-row
+    * bucket rollup.
+    *
+    * Output: `(ent_bucket, n_users, min_ent_micro, max_ent_micro)`.
+    */
+  def userEntropyProfile(events: DataFrame): DataFrame = {
+    val ut = events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val tot = ut.groupBy(col("user_id")).agg(sum(col("c")).as("n"))
+    val ent = ut
+      .join(tot, Seq("user_id"))
+      .withColumn(
+        "term_micro",
+        expr("""CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                |  * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)""".stripMargin))
+      .groupBy(col("user_id"))
+      .agg(sum(col("term_micro")).as("ent_micro"))
+    ent
+      .groupBy(expr("ent_micro div 250000").as("ent_bucket"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        min(col("ent_micro")).as("min_ent_micro"),
+        max(col("ent_micro")).as("max_ent_micro"))
+  }
+
+  /** [[userEntropyProfile]] mirrored. */
+  def userEntropyProfileSql(): String =
+    s"""WITH ut AS (
+       |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |t AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM ut GROUP BY 1),
+       |e AS (
+       |  SELECT ut.user_id,
+       |         CAST(sum(CAST(round(-(CAST(ut.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+       |             * ln(CAST(ut.c AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1000000) AS BIGINT))
+       |           AS BIGINT) AS ent_micro
+       |  FROM ut JOIN t USING (user_id) GROUP BY 1)
+       |SELECT ent_micro // 250000 AS ent_bucket, CAST(count(*) AS BIGINT) AS n_users,
+       |       CAST(min(ent_micro) AS BIGINT) AS min_ent_micro,
+       |       CAST(max(ent_micro) AS BIGINT) AS max_ent_micro
+       |FROM e GROUP BY 1""".stripMargin
+
   /** CATEGORICAL mix drift between the reference/current halves — the
     * drift battery's missing axis (PSI/KS/MWU watch a numeric column;
     * this watches the event-TYPE composition): total-variation

@@ -388,6 +388,20 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out("tie") === ((1L, 1L, 1L, 500000L)))
   }
 
+  test("user entropy: single-behavior scores 0, a 50/50 user scores ln 2") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val e = Seq(
+      (1L, base, 1L, "view", 1.0, "{}"), (2L, base, 1L, "view", 1.0, "{}"), // bot-like
+      (3L, base, 2L, "view", 1.0, "{}"), (4L, base, 2L, "click", 1.0, "{}")) // diverse
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.userEntropyProfile(e).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // user 1: entropy 0 → bucket 0; user 2: ln2 = 0.693147 → each of
+    // two terms round(½·ln2·1e6) = 346574 → 693148 micro → bucket 2
+    assert(out(0L) === ((1L, 0L, 0L)))
+    assert(out(2L) === ((1L, 693148L, 693148L)))
+  }
+
   test("type mix drift: identical mixes score TV 0; a swapped mix is exact") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
