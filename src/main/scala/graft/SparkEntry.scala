@@ -1417,6 +1417,10 @@ object SparkEntry {
     // Gini concentration of part revenue — the exact-integer rank formula
     "lineitem_gini" -> ((s, d) =>
       operators.Stats.giniRevenue(model.table(s, d, "lineitem"))),
+    // basket-size histogram: the |items|^2 cost table behind BasketCap
+    "orders_basket_sizes" -> ((s, d) =>
+      operators.Stats.basketSizeDist(model.table(s, d, "lineitem"))
+        .orderBy(col("basket_size"))),
     // cohort LTV triangle: first-order-month cohorts x month offsets
     "orders_cohort_ltv" -> ((s, d) =>
       operators.Stats.cohortLtv(model.table(s, d, "orders"))
@@ -3492,6 +3496,8 @@ object SparkEntry {
       "orders_basket_rules" ->
         s"SELECT * FROM (${operators.Stats.basketRulesSql()}) ORDER BY part_a, part_b",
       "lineitem_gini" -> operators.Stats.giniRevenueSql(),
+      "orders_basket_sizes" ->
+        s"SELECT * FROM (${operators.Stats.basketSizeDistSql()}) ORDER BY basket_size",
       "orders_cohort_ltv" ->
         s"SELECT * FROM (${operators.Stats.cohortLtvSql()}) ORDER BY cohort_month, month_offset",
       "events_seasonality" ->

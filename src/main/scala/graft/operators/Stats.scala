@@ -276,6 +276,40 @@ object Stats {
        |SELECT a.cls, a.n_parts, a.cents, a.cents * 1000000 // t.tot AS share_ppm
        |FROM agg a CROSS JOIN t""".stripMargin
 
+  /** Basket-size distribution: distinct items per order → how many
+    * orders have that size, with exact ppm share — the table that
+    * justifies (or retunes) [[BasketCap]] and sizes the pair
+    * generation's |items|² cost before [[basketRules]] runs. One
+    * (order, part) dedup, one size aggregate, one ≤ |sizes|-row
+    * rollup.
+    *
+    * Output: `(basket_size, n_orders, share_ppm)`.
+    */
+  def basketSizeDist(lineitem: DataFrame): DataFrame = {
+    val sizes = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .groupBy(col("o"))
+      .agg(count(lit(1)).as("basket_size"))
+      .groupBy(col("basket_size"))
+      .agg(count(lit(1)).as("n_orders"))
+    sizes
+      .crossJoin(broadcast(sizes.agg(sum(col("n_orders")).as("t"))))
+      .select(
+        col("basket_size"),
+        col("n_orders"),
+        expr("n_orders * 1000000 div t").as("share_ppm"))
+  }
+
+  /** [[basketSizeDist]] mirrored. */
+  def basketSizeDistSql(): String =
+    s"""WITH i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |sz AS (SELECT o, CAST(count(*) AS BIGINT) AS basket_size FROM i GROUP BY 1),
+       |h AS (SELECT basket_size, CAST(count(*) AS BIGINT) AS n_orders FROM sz GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS t FROM h)
+       |SELECT h.basket_size, h.n_orders, h.n_orders * 1000000 // t.t AS share_ppm
+       |FROM h CROSS JOIN t""".stripMargin
+
   /** Cohort lifetime-value matrix over orders: customers cohorted by
     * the month of their FIRST order, revenue accumulated per
     * (cohort, month offset) in exact cents with the active-customer
