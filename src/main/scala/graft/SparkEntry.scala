@@ -789,6 +789,19 @@ object SparkEntry {
       EventOps.sliding(events(s, d)).orderBy(col("ws"), col("event_type"))),
     "events_sessionize" -> ((s, d) =>
       EventOps.sessionize(events(s, d), gapMinutes = 30).orderBy(col("user_id"), col("session_id"))),
+    // session-length histogram off the same sessionizer: the engagement
+    // depth profile (exact ppm shares over session counts)
+    "events_session_lengths" -> ((s, d) => {
+      val h = EventOps.sessionize(events(s, d), gapMinutes = 30)
+        .groupBy(col("n_events").as("session_len"))
+        .agg(count(lit(1)).as("n_sessions"))
+      h.crossJoin(broadcast(h.agg(sum(col("n_sessions")).as("t"))))
+        .select(
+          col("session_len"),
+          col("n_sessions"),
+          expr("n_sessions * 1000000 div t").as("share_ppm"))
+        .orderBy(col("session_len"))
+    }),
     "events_json_agg" -> ((s, d) => EventOps.jsonAgg(events(s, d)).orderBy(col("event_type"))),
     "events_quantiles" -> ((s, d) =>
       EventOps.quantiles(events(s, d)).orderBy(col("event_type"))),
@@ -3295,6 +3308,13 @@ object SparkEntry {
       "events_sliding" -> slidingSql,
       "events_stream_sliding" -> slidingSql,
       "events_sessionize" -> sessionizeSql,
+      "events_session_lengths" ->
+        s"""WITH h AS (
+           |  SELECT n_events AS session_len, CAST(count(*) AS BIGINT) AS n_sessions
+           |  FROM (${sessionizeSql.replace("\n", "\n   ")}) sess GROUP BY 1),
+           |t AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS t FROM h)
+           |SELECT h.session_len, h.n_sessions, h.n_sessions * 1000000 // t.t AS share_ppm
+           |FROM h CROSS JOIN t ORDER BY session_len""".stripMargin,
       "events_stream_dedup" ->
         """SELECT event_type, CAST(count(DISTINCT (user_id, ts, value)) AS BIGINT) AS n_distinct
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
