@@ -1669,7 +1669,30 @@ object SparkEntry {
           col("shard"),
           col("pos"))
         .orderBy(col("shard"), col("pos"))
-    })
+    }),
+    // referential-integrity audit over every FK edge of the star schema
+    "dq_referential" -> ((s, d) =>
+      operators.Quality.referentialAudit(
+        Map(
+          "lineitem" -> table(s, d, "lineitem"),
+          "orders" -> table(s, d, "orders"),
+          "part" -> table(s, d, "part"),
+          "supplier" -> table(s, d, "supplier"),
+          "customer" -> table(s, d, "customer"),
+          "nation" -> table(s, d, "nation"),
+          "region" -> table(s, d, "region"))).orderBy(col("rel"))),
+    // declarative expectation suite: null/domain/range/uniqueness per ppm
+    "dq_expectations" -> ((s, d) =>
+      operators.Quality.expectationsAudit(table(s, d, "orders"), table(s, d, "lineitem"))
+        .orderBy(col("expectation"))),
+    // l-diversity over the k-anonymity QI groups (homogeneity-attack flag)
+    "pii_l_diversity" -> ((s, d) =>
+      operators.Quality.lDiversity(table(s, d, "customer"))
+        .orderBy(col("c_nationkey"), col("bal_band"))),
+    // incremental-maintenance identity: stored base partials + delta merge
+    // ≡ full rollup (the oracle computes the full side)
+    "corpus_agg_incremental" -> ((s, d) =>
+      operators.Quality.aggIncremental(s, docs(s, d)).orderBy(col("source")))
   )
 
   /** Fully-unrolled Bellman-Ford oracle for the CONVERGED lineitem-graph
@@ -4026,7 +4049,15 @@ object SparkEntry {
            |        SELECT dst, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY dst) GROUP BY deg)
            |SELECT * FROM o UNION ALL SELECT * FROM i ORDER BY side, deg""".stripMargin,
       "graph_powerlaw_fit" -> GraphOps.powerlawFitSql(GraphSource.lineitemEdgesSql),
-      "graph_reciprocity" -> GraphOps.reciprocitySql(GraphSource.lineitemEdgesSql)
+      "graph_reciprocity" -> GraphOps.reciprocitySql(GraphSource.lineitemEdgesSql),
+      "dq_referential" ->
+        s"SELECT * FROM (${operators.Quality.referentialAuditSql()}) ORDER BY rel",
+      "dq_expectations" ->
+        s"SELECT * FROM (${operators.Quality.expectationsAuditSql()}) ORDER BY expectation",
+      "pii_l_diversity" ->
+        s"SELECT * FROM (${operators.Quality.lDiversitySql()}) ORDER BY c_nationkey, bal_band",
+      "corpus_agg_incremental" ->
+        s"SELECT * FROM (${operators.Quality.aggIncrementalSql()}) ORDER BY source"
     )
   }
 }

@@ -1,0 +1,290 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality audit layer — the checks a warehouse or curation
+  * pipeline runs on every snapshot BEFORE anything downstream trusts
+  * it: referential integrity across the star-schema foreign keys, a
+  * declarative expectation suite (null / range / domain / uniqueness),
+  * l-diversity next to the k-anonymity re-identification screen, and
+  * the incremental-maintenance identity for the partial-aggregate
+  * artifacts the other reports are built from.
+  *
+  * Determinism discipline (shared with [[Stats]]): all counts are exact
+  * 64-bit integers; every rate is an exact integer ppm
+  * (`viol·1 000 000 div n`), never a float division.
+  */
+object Quality {
+
+  /** One foreign-key edge of the star schema. */
+  private case class FkRel(
+      rel: String,
+      child: String, fk: String,
+      parent: String, pk: String,
+      broadcastParent: Boolean)
+
+  /** The seven FK edges of the TPC-H-ish schema. `broadcastParent`
+    * marks the dims that stay broadcast-sized at ANY corpus scale
+    * (nation/region are fixed-cardinality); the big-big edges
+    * (lineitem→orders, orders→customer) shuffle on the key — the
+    * unavoidable cost of verifying a fact-to-fact reference.
+    */
+  private val fkRels = Seq(
+    FkRel("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", broadcastParent = false),
+    FkRel("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey", broadcastParent = false),
+    FkRel("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", broadcastParent = false),
+    FkRel("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey", broadcastParent = false),
+    FkRel("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey", broadcastParent = true),
+    FkRel("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey", broadcastParent = true),
+    FkRel("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey", broadcastParent = true))
+
+  /** Referential-integrity audit over every FK edge of the schema:
+    * per relationship, the child cardinality, the orphan count (child
+    * rows whose key matches NO parent — the dangling references that
+    * silently drop rows from every inner join downstream), and the
+    * orphan rate in exact ppm. The "can I inner-join without losing
+    * data" certificate.
+    *
+    * Scale shape: one left join + one ONE-ROW aggregate per edge —
+    * the parent side is first collapsed to its DISTINCT keys (a
+    * key-only aggregate, so the join build side carries one bigint
+    * column, never the parent payload), fixed dims broadcast, fact
+    * edges shuffle on the key with map-side-partial counting. The
+    * seven one-row results union to a 7-row report.
+    *
+    * Output: `(rel, n_child, n_orphan, orphan_ppm)`, one row per edge.
+    */
+  def referentialAudit(tables: Map[String, DataFrame]): DataFrame = {
+    val perRel = fkRels.map { r =>
+      val parentKeys = tables(r.parent).select(col(r.pk).cast("long").as("__pk")).distinct()
+      val build = if (r.broadcastParent) broadcast(parentKeys) else parentKeys
+      tables(r.child)
+        .select(col(r.fk).cast("long").as("__fk"))
+        .join(build, col("__fk") === col("__pk"), "left")
+        .agg(
+          count(lit(1)).as("n_child"),
+          sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphan"))
+        .select(
+          lit(r.rel).as("rel"),
+          col("n_child"),
+          col("n_orphan"),
+          expr("n_orphan * 1000000 div n_child").as("orphan_ppm"))
+    }
+    perRel.reduce(_.unionByName(_))
+  }
+
+  /** [[referentialAudit]] mirrored. */
+  def referentialAuditSql(): String =
+    fkRels.map { r =>
+      s"""SELECT '${r.rel}' AS rel,
+         |       CAST(count(*) AS BIGINT) AS n_child,
+         |       CAST(count(*) FILTER (p.__pk IS NULL) AS BIGINT) AS n_orphan,
+         |       CAST(count(*) FILTER (p.__pk IS NULL) AS BIGINT) * 1000000
+         |         // CAST(count(*) AS BIGINT) AS orphan_ppm
+         |FROM ${r.child} c
+         |LEFT JOIN (SELECT DISTINCT CAST(${r.pk} AS BIGINT) AS __pk FROM ${r.parent}) p
+         |  ON CAST(c.${r.fk} AS BIGINT) = p.__pk""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** One declarative expectation over a table scan: a name and the
+    * violation predicate (true = this row violates).
+    */
+  private case class Expectation(name: String, viol: Column)
+
+  /** Declarative expectation suite — the Great-Expectations-shape
+    * contract check: per expectation, rows checked, rows violating,
+    * violation rate in exact ppm. Null / domain / range expectations
+    * are per-row predicates; key-uniqueness rides a window count over
+    * the key (every row of a duplicated key is a violation, so the
+    * count is stable under re-ordering).
+    *
+    * Scale shape: ONE scan per table for all its per-row expectations
+    * (the violation flags fan out in-row via an explode of a literal
+    * struct array, then one ≤|expectations|-group aggregate with
+    * map-side partials); the uniqueness expectation adds one hash
+    * aggregate on the key. Nothing is driver-side; the report is
+    * ≤ 11 rows.
+    *
+    * Output: `(expectation, n_checked, n_viol, viol_ppm)`.
+    */
+  def expectationsAudit(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    def suite(df: DataFrame, exps: Seq[Expectation]): DataFrame =
+      df.select(explode(array(exps.map { e =>
+          struct(lit(e.name).as("expectation"),
+            when(e.viol, 1L).otherwise(0L).as("v"))
+        }: _*)).as("s"))
+        .groupBy(col("s.expectation").as("expectation"))
+        .agg(count(lit(1)).as("n_checked"), sum(col("s.v")).as("n_viol"))
+
+    val ordersExps = Seq(
+      Expectation("orders.o_custkey_not_null", col("o_custkey").isNull),
+      Expectation("orders.o_orderstatus_domain", !col("o_orderstatus").isin("O", "F", "P")),
+      Expectation("orders.o_totalprice_range",
+        col("o_totalprice") <= 0.0d || col("o_totalprice") > 600000.0d),
+      Expectation("orders.o_orderdate_range",
+        col("o_orderdate") < to_timestamp(lit("1992-01-01 00:00:00")) ||
+          col("o_orderdate") >= to_timestamp(lit("1999-01-01 00:00:00"))))
+    val lineExps = Seq(
+      Expectation("lineitem.l_quantity_range",
+        col("l_quantity") < 1.0d || col("l_quantity") > 50.0d),
+      Expectation("lineitem.l_discount_range",
+        col("l_discount") < 0.0d || col("l_discount") > 0.1d),
+      Expectation("lineitem.l_tax_range", col("l_tax") < 0.0d || col("l_tax") > 0.1d),
+      Expectation("lineitem.l_extendedprice_positive", col("l_extendedprice") <= 0.0d))
+
+    // key-uniqueness: every row of a key that occurs >1 times violates
+    val orderKeyUnique = orders
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+      .agg(
+        lit("orders.o_orderkey_unique").as("expectation"),
+        sum(col("c")).as("n_checked"),
+        sum(when(col("c") > 1L, col("c")).otherwise(0L)).as("n_viol"))
+    val lineKeyUnique = lineitem
+      .groupBy(col("l_orderkey"), col("l_linenumber")).agg(count(lit(1)).as("c"))
+      .agg(
+        lit("lineitem.pk_unique").as("expectation"),
+        sum(col("c")).as("n_checked"),
+        sum(when(col("c") > 1L, col("c")).otherwise(0L)).as("n_viol"))
+
+    suite(orders, ordersExps)
+      .unionByName(suite(lineitem, lineExps))
+      .unionByName(orderKeyUnique)
+      .unionByName(lineKeyUnique)
+      .withColumn("viol_ppm", expr("n_viol * 1000000 div n_checked"))
+  }
+
+  /** [[expectationsAudit]] mirrored. */
+  def expectationsAuditSql(): String =
+    s"""WITH raw AS (
+       |  SELECT 'orders.o_custkey_not_null' AS expectation,
+       |         CAST(count(*) AS BIGINT) AS n_checked,
+       |         CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS n_viol
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT 'orders.o_orderstatus_domain', CAST(count(*) AS BIGINT),
+       |         CAST(count(*) FILTER (o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT 'orders.o_totalprice_range', CAST(count(*) AS BIGINT),
+       |         CAST(count(*) FILTER (o_totalprice <= 0 OR o_totalprice > 600000) AS BIGINT)
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT 'orders.o_orderdate_range', CAST(count(*) AS BIGINT),
+       |         CAST(count(*) FILTER (o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
+       |                OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') AS BIGINT)
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT 'lineitem.l_quantity_range', CAST(count(*) AS BIGINT),
+       |         CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'lineitem.l_discount_range', CAST(count(*) AS BIGINT),
+       |         CAST(count(*) FILTER (l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'lineitem.l_tax_range', CAST(count(*) AS BIGINT),
+       |         CAST(count(*) FILTER (l_tax < 0 OR l_tax > 0.1) AS BIGINT)
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'lineitem.l_extendedprice_positive', CAST(count(*) AS BIGINT),
+       |         CAST(count(*) FILTER (l_extendedprice <= 0) AS BIGINT)
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'orders.o_orderkey_unique', CAST(sum(c) AS BIGINT),
+       |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+       |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+       |  UNION ALL
+       |  SELECT 'lineitem.pk_unique', CAST(sum(c) AS BIGINT),
+       |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+       |  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber))
+       |SELECT expectation, n_checked, n_viol,
+       |       n_viol * 1000000 // n_checked AS viol_ppm
+       |FROM raw""".stripMargin
+
+  /** l-diversity audit — the companion to the k-anonymity screen
+    * (`pii_k_anonymity`): a QI group can be large (k-anonymous) yet
+    * still leak if every member shares the SAME sensitive value, so
+    * per quasi-identifier group (nation × account-balance band) we
+    * report the group size k, the number of DISTINCT sensitive values
+    * l (market segment as the sensitive attribute), and the l < 2
+    * homogeneity-attack flag. A releasable table needs both k ≥ t AND
+    * l ≥ 2.
+    *
+    * Scale shape: one (QI, sensitive) hash aggregate, then one QI
+    * rollup — output bounded by the QI domain product, never |rows|.
+    *
+    * Output: `(c_nationkey, bal_band, k, l, at_risk)`.
+    */
+  def lDiversity(customer: DataFrame): DataFrame =
+    customer
+      .groupBy(
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0d).cast("long").as("bal_band"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(sum(col("n")).as("k"), count(lit(1)).as("l"))
+      .withColumn("at_risk", col("l") < 2L)
+
+  /** [[lDiversity]] mirrored. */
+  def lDiversitySql(): String =
+    s"""WITH g AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       |         c_mktsegment, CAST(count(*) AS BIGINT) AS n
+       |  FROM customer GROUP BY 1, 2, 3)
+       |SELECT c_nationkey, bal_band, CAST(sum(n) AS BIGINT) AS k,
+       |       CAST(count(*) AS BIGINT) AS l,
+       |       count(*) < 2 AS at_risk
+       |FROM g GROUP BY 1, 2""".stripMargin
+
+  /** Incremental aggregate maintenance — the identity every
+    * materialized per-source rollup relies on at 100 TB: the corpus
+    * splits into a BASE (already summarized into a stored
+    * partial-aggregate artifact; here `doc_id % 10 != 0`) and an
+    * arriving DELTA, and the maintained view is
+    * `merge(stored_partials, partials(delta))` — sum merges with sum,
+    * min with min, max with max — WITHOUT rescanning the base. The
+    * oracle computes the same rollup over the FULL corpus directly,
+    * so parity proves the maintenance identity, not just the
+    * aggregate.
+    *
+    * Scale shape: the base is touched once ever (artifact build); each
+    * maintenance tick costs one delta-sized aggregate plus a merge
+    * over |sources| stored rows. This is the batch twin of the
+    * streaming upsert family (`docs_stream_minhash_upsert` et al.).
+    *
+    * Output: `(source, n_docs, sum_chars, min_doc, max_doc)`.
+    */
+  def aggIncremental(spark: SparkSession, docs: DataFrame): DataFrame = {
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    val dir = graft.sources.Staging.freshDir("agg-partials")
+    partials(docs.filter(col("doc_id") % 10 =!= 0L)).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    stored.unionByName(partials(docs.filter(col("doc_id") % 10 === 0L)))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_chars")).as("sum_chars"),
+        min(col("min_doc")).as("min_doc"),
+        max(col("max_doc")).as("max_doc"))
+  }
+
+  /** [[aggIncremental]]'s oracle: the FULL-corpus rollup the
+    * maintained view must equal.
+    */
+  def aggIncrementalSql(): String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       |       CAST(max(doc_id) AS BIGINT) AS max_doc
+       |FROM documents GROUP BY source""".stripMargin
+}

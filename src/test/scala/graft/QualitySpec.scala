@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quality
+
+class QualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tables = Map(
+    "lineitem" -> model.table(spark, dir, "lineitem"),
+    "orders" -> model.table(spark, dir, "orders"),
+    "part" -> model.table(spark, dir, "part"),
+    "supplier" -> model.table(spark, dir, "supplier"),
+    "customer" -> model.table(spark, dir, "customer"),
+    "nation" -> model.table(spark, dir, "nation"),
+    "region" -> model.table(spark, dir, "region"))
+
+  test("referential audit covers all 7 edges and counts injected orphans") {
+    val clean = Quality.referentialAudit(tables).collect()
+    assert(clean.length === 7)
+    assert(clean.forall(_.getAs[Long]("n_orphan") === 0L))
+    // inject 3 dangling customer references into orders
+    val orders = tables("orders")
+    val orphaned = orders.unionByName(
+      orders.limit(3).withColumn("o_custkey", lit(-999L)))
+    val audited = Quality
+      .referentialAudit(tables + ("orders" -> orphaned))
+      .filter(col("rel") === "orders.o_custkey->customer")
+      .head()
+    assert(audited.getAs[Long]("n_orphan") === 3L)
+    // ppm is the exact integer floor of the rate
+    assert(
+      audited.getAs[Long]("orphan_ppm") ===
+        3L * 1000000L / audited.getAs[Long]("n_child"))
+  }
+
+  test("expectation suite: clean checks report 0, duplicated keys all count") {
+    val rep = Quality
+      .expectationsAudit(tables("orders"), tables("lineitem"))
+      .collect()
+      .map(r => r.getAs[String]("expectation") -> r.getAs[Long]("n_viol"))
+      .toMap
+    assert(rep.size === 10)
+    assert(rep("orders.o_custkey_not_null") === 0L)
+    assert(rep("orders.o_orderkey_unique") === 0L)
+    // doubling the orders table makes EVERY row a uniqueness violation
+    val doubled = tables("orders").unionByName(tables("orders"))
+    val dup = Quality
+      .expectationsAudit(doubled, tables("lineitem"))
+      .filter(col("expectation") === "orders.o_orderkey_unique")
+      .head()
+    assert(dup.getAs[Long]("n_viol") === dup.getAs[Long]("n_checked"))
+    assert(dup.getAs[Long]("viol_ppm") === 1000000L)
+  }
+
+  test("l-diversity: l never exceeds k, and a homogeneous group is flagged") {
+    import spark.implicits._
+    val rows = Quality.lDiversity(tables("customer"))
+    assert(rows.filter(col("l") > col("k")).count() === 0)
+    // a synthetic group where every member shares one segment → l=1, at_risk
+    val homog = Seq(
+      (99, 5000.0, "BUILDING"), (99, 5100.0, "BUILDING"), (99, 5200.0, "BUILDING"))
+      .toDF("c_nationkey", "c_acctbal", "c_mktsegment")
+    val r = Quality.lDiversity(homog).head()
+    assert(r.getAs[Long]("k") === 3L && r.getAs[Long]("l") === 1L)
+    assert(r.getAs[Boolean]("at_risk"))
+  }
+
+  test("incremental maintenance equals the full rollup") {
+    val docs = model.table(spark, dir, "documents")
+    val full = docs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+      .collect()
+    val maintained =
+      Quality.aggIncremental(spark, docs).orderBy(col("source")).collect()
+    assert(maintained.toSeq === full.toSeq)
+  }
+}
