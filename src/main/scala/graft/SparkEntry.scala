@@ -1692,7 +1692,34 @@ object SparkEntry {
     // incremental-maintenance identity: stored base partials + delta merge
     // ≡ full rollup (the oracle computes the full side)
     "corpus_agg_incremental" -> ((s, d) =>
-      operators.Quality.aggIncremental(s, docs(s, d)).orderBy(col("source")))
+      operators.Quality.aggIncremental(s, docs(s, d)).orderBy(col("source"))),
+    // t-closeness: per-QI-group TV distance to the global sensitive
+    // distribution, exact integer ppm (completes the privacy triple)
+    "pii_t_closeness" -> ((s, d) =>
+      operators.Quality.tCloseness(table(s, d, "customer"))
+        .orderBy(col("c_nationkey"), col("bal_band"))),
+    // exact AUC of the trained logreg scorer: Mann-Whitney over the
+    // integer-score histogram, tie-corrected, no pair enumeration
+    "train_logreg_auc" -> ((s, d) => operators.Training.logregAuc(docs(s, d))),
+    // sample ACF of the gap-filled hourly count series, lags 1..6
+    "events_acf" -> ((s, d) => EventOps.acf(events(s, d)).orderBy(col("lag"))),
+    // retrospective single changepoint: max scaled CUSUM deviation
+    "events_changepoint" -> ((s, d) => EventOps.changepoint(events(s, d))),
+    // small-file compaction planner: next-fit bin-pack over the file
+    // listing, per-source bins (metadata-only at any scale)
+    "layout_compaction_plan" -> ((s, d) =>
+      operators.Layout.compactionPlan(docs(s, d)).orderBy(col("source"), col("bin"))),
+    // zone-map prune report: 1-D clustered vs Z-order layouts scored
+    // by zones/rows scanned per probe predicate
+    "layout_prune_report" -> ((s, d) =>
+      operators.Layout.zoneMapPruneReport(table(s, d, "lineitem"))
+        .orderBy(col("layout"), col("probe"))),
+    // per-domain frequency cap: best-K-by-quality-proxy per source
+    "docs_domain_cap" -> ((s, d) =>
+      TextOps.domainCap(docs(s, d)).orderBy(col("source"))),
+    // Neyman vs proportional allocation of a fixed sample budget
+    "sample_neyman_alloc" -> ((s, d) =>
+      TextOps.neymanAllocation(docs(s, d)).orderBy(col("source")))
   )
 
   /** Fully-unrolled Bellman-Ford oracle for the CONVERGED lineitem-graph
@@ -4057,7 +4084,20 @@ object SparkEntry {
       "pii_l_diversity" ->
         s"SELECT * FROM (${operators.Quality.lDiversitySql()}) ORDER BY c_nationkey, bal_band",
       "corpus_agg_incremental" ->
-        s"SELECT * FROM (${operators.Quality.aggIncrementalSql()}) ORDER BY source"
+        s"SELECT * FROM (${operators.Quality.aggIncrementalSql()}) ORDER BY source",
+      "pii_t_closeness" ->
+        s"SELECT * FROM (${operators.Quality.tClosenessSql()}) ORDER BY c_nationkey, bal_band",
+      "train_logreg_auc" -> operators.Training.logregAucSql(toks),
+      "events_acf" -> s"SELECT * FROM (${EventOps.acfSql()}) ORDER BY lag",
+      "events_changepoint" -> EventOps.changepointSql(),
+      "layout_compaction_plan" ->
+        s"SELECT * FROM (${operators.Layout.compactionPlanSql()}) ORDER BY source, bin",
+      "layout_prune_report" ->
+        s"SELECT * FROM (${operators.Layout.zoneMapPruneReportSql()}) ORDER BY layout, probe",
+      "docs_domain_cap" ->
+        s"SELECT * FROM (${TextOps.domainCapSql()}) ORDER BY source",
+      "sample_neyman_alloc" ->
+        s"SELECT * FROM (${TextOps.neymanAllocationSql()}) ORDER BY source"
     )
   }
 }

@@ -1193,4 +1193,145 @@ object EventOps {
        |                 AS BIGINT) END AS d_ppm
        |FROM cum c JOIN t USING (event_type)
        |GROUP BY c.event_type, t.tr, t.tc""".stripMargin
+
+  /** The gap-filled hourly count series both time-series diagnostics
+    * ([[acf]], [[changepoint]]) run on: epoch-hour buckets from the
+    * stream's min to max hour, missing hours as explicit zero counts
+    * (an ACF over only-observed buckets silently shortens every lag
+    * that crosses a gap). The spine is `sequence(min_h, max_h)` — its
+    * length is the TIME RANGE, not the event count, so at 100 TB it is
+    * a few-thousand-row table regardless of corpus size; the per-hour
+    * aggregate is the only full scan.
+    */
+  private def hourlySeries(events: DataFrame): DataFrame = {
+    val counts = events
+      .select(expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("x"))
+    val spine = events
+      .agg(
+        expr("min(unix_micros(ts) div 3600000000)").as("lo"),
+        expr("max(unix_micros(ts) div 3600000000)").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("h"))
+    spine
+      .join(counts, Seq("h"), "left_outer")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  private val hourlySeriesSql: String =
+    """b AS (SELECT min(epoch_us(ts) // 3600000000) AS lo,
+      |             max(epoch_us(ts) // 3600000000) AS hi FROM events),
+      |spine AS (SELECT unnest(range(b.lo, b.hi + 1)) AS h FROM b),
+      |cnt AS (SELECT epoch_us(ts) // 3600000000 AS h, CAST(count(*) AS BIGINT) AS x
+      |        FROM events GROUP BY 1),
+      |ser AS (SELECT spine.h, coalesce(cnt.x, 0) AS x
+      |        FROM spine LEFT JOIN cnt ON cnt.h = spine.h)""".stripMargin
+
+  /** Sample autocorrelation of the hourly event-count series at lags
+    * 1..`maxLag` — the periodicity diagnostic behind every seasonality
+    * model (a daily cycle shows as a ridge at lag 24). The standard
+    * estimator r_k = Σ_{t≤T−k}(x_t−x̄)(x_{t+k}−x̄) / Σ_t(x_t−x̄)² is
+    * computed on integers by scaling through by T²: with S = Σx and
+    * d_t = T·x_t − S, r_k = Σ d_t·d_{t+k} / Σ d_t² — both sums exact
+    * int64, so the single final double division is bit-identical
+    * across engines (same two integer operands).
+    *
+    * Scale shape: the lag join runs on the bounded hour spine (lead
+    * window over a few thousand rows), never on the event stream.
+    *
+    * Output: `(lag, n_pairs, acf)` — acf rounded to 6 dp.
+    */
+  def acf(events: DataFrame, maxLag: Int = 6): DataFrame = {
+    val ser = hourlySeries(events)
+    val tot = ser.agg(count(lit(1)).as("t"), sum(col("x")).as("s"))
+    val d = ser
+      .crossJoin(broadcast(tot))
+      .select(col("h"), (col("t") * col("x") - col("s")).as("d"))
+    val den = d.agg(sum(col("d") * col("d")).as("den"))
+    val lags = (1 to maxLag).map { k =>
+      d.alias("a")
+        .join(d.alias("b"), col("b.h") === col("a.h") + k)
+        .agg(count(lit(1)).as("n_pairs"), sum(col("a.d") * col("b.d")).as("num"))
+        .select(lit(k.toLong).as("lag"), col("n_pairs"), col("num"))
+    }.reduce(_ unionAll _)
+    lags
+      .crossJoin(broadcast(den))
+      .select(
+        col("lag"),
+        col("n_pairs"),
+        when(col("den") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") / col("den").cast("double"), 6))
+          .as("acf"))
+  }
+
+  /** [[acf]] mirrored. */
+  def acfSql(maxLag: Int = 6): String =
+    s"""WITH $hourlySeriesSql,
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS t, CAST(sum(x) AS BIGINT) AS s FROM ser),
+       |d AS (SELECT h, tot.t * x - tot.s AS d FROM ser CROSS JOIN tot),
+       |den AS (SELECT CAST(sum(d * d) AS BIGINT) AS den FROM d),
+       |lags AS (SELECT unnest(range(1, ${maxLag + 1})) AS lag)
+       |SELECT CAST(l.lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CASE WHEN den.den = 0 THEN NULL
+       |            ELSE round(CAST(sum(a.d * b.d) AS DOUBLE) / CAST(den.den AS DOUBLE), 6)
+       |       END AS acf
+       |FROM lags l
+       |JOIN d a ON true
+       |JOIN d b ON b.h = a.h + l.lag
+       |CROSS JOIN den
+       |GROUP BY l.lag, den.den""".stripMargin
+
+  /** Retrospective single-changepoint localization on the hourly count
+    * series — the offline companion to the online [[cusum]] alarm: the
+    * level-shift point is the hour maximizing the scaled deviation of
+    * the prefix sum from the global linear trend,
+    * |t·S_T − T·S_t| (the CUSUM statistic cleared of its float mean —
+    * multiply through by T), an exact int64 per hour. Deterministic
+    * tie-break: earliest hour. Also reports the left/right mean levels
+    * in micro-events/hour (exact integer division of exact sums) so the
+    * magnitude of the shift is read off the same row.
+    *
+    * Scale shape: one cumulative window over the bounded hour spine;
+    * the argmax is an ORDER BY ... LIMIT 1 over the same spine.
+    *
+    * Output: one row `(t_star, dev, n_hours, left_mean_micro,
+    * right_mean_micro)`.
+    */
+  def changepoint(events: DataFrame): DataFrame = {
+    val ser = hourlySeries(events)
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("h"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val rn = org.apache.spark.sql.expressions.Window.orderBy(col("h"))
+    val tot = ser.agg(count(lit(1)).as("tt"), sum(col("x")).as("st"))
+    ser
+      .withColumn("ct", sum(col("x")).over(win))
+      .withColumn("t", row_number().over(rn).cast("long"))
+      .crossJoin(broadcast(tot))
+      .filter(col("t") < col("tt")) // a split needs a non-empty right side
+      .select(
+        col("h").as("t_star"),
+        abs(col("t") * col("st") - col("tt") * col("ct")).as("dev"),
+        col("tt").as("n_hours"),
+        expr("ct * 1000000 div t").as("left_mean_micro"),
+        expr("(st - ct) * 1000000 div (tt - t)").as("right_mean_micro"))
+      .orderBy(col("dev").desc, col("t_star"))
+      .limit(1)
+  }
+
+  /** [[changepoint]] mirrored. */
+  def changepointSql(): String =
+    s"""WITH $hourlySeriesSql,
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS tt, CAST(sum(x) AS BIGINT) AS st FROM ser),
+       |cum AS (
+       |  SELECT h, sum(x) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS ct,
+       |         CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS t
+       |  FROM ser)
+       |SELECT h AS t_star, CAST(abs(t * tot.st - tot.tt * ct) AS BIGINT) AS dev,
+       |       tot.tt AS n_hours,
+       |       CAST(ct * 1000000 // t AS BIGINT) AS left_mean_micro,
+       |       CAST((tot.st - ct) * 1000000 // (tot.tt - t) AS BIGINT) AS right_mean_micro
+       |FROM cum CROSS JOIN tot
+       |WHERE t < tot.tt
+       |ORDER BY dev DESC, t_star LIMIT 1""".stripMargin
 }

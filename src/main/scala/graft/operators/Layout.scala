@@ -141,4 +141,193 @@ object Layout {
        |FROM (SELECT l_orderkey & 65535 AS x, l_partkey & 65535 AS y FROM lineitem)
        |GROUP BY 1""".stripMargin
   }
+
+  // ---- small-file compaction planning --------------------------------------
+
+  /** Docs per pseudo-file and the compaction target size (chars stand
+    * in for bytes on the synthetic corpus). Deliberately small so the
+    * sf0.01 corpus yields a multi-bin plan worth auditing.
+    */
+  val CompactionDocsPerFile = 10L
+  val CompactionTargetBytes = 16384L
+
+  /** Small-file compaction planner — the metadata-only operator every
+    * lakehouse table needs at 100 TB: streaming ingest leaves thousands
+    * of under-sized files per partition, and the planner groups them
+    * into target-sized rewrite bins (the Iceberg/Delta "bin-pack
+    * compaction" shape). Files are the unit of work: per partition
+    * (source), files ordered by id are coalesced next-fit by running
+    * size — `bin = cum_bytes_before div target` — so the plan is a pure
+    * window cumulative over the FILE LISTING, a table ~6 orders of
+    * magnitude smaller than the data it reorganizes. Compaction never
+    * crosses a partition boundary (bins are per-source), matching how
+    * real table formats scope rewrites.
+    *
+    * Output per planned bin: `(source, bin, n_files, n_docs, bytes,
+    * fill_ppm)` — fill_ppm = bytes·10⁶ div target exposes the
+    * under-full tail bin per source.
+    */
+  def compactionPlan(docs: DataFrame): DataFrame = {
+    val files = docs
+      .groupBy(
+        col("source"),
+        expr(s"doc_id div $CompactionDocsPerFile").as("file_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("file_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum(col("bytes")).over(win), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $CompactionTargetBytes"))
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("bytes")).as("bytes"),
+        expr(s"sum(bytes) * 1000000 div $CompactionTargetBytes").as("fill_ppm"))
+  }
+
+  /** [[compactionPlan]] mirrored. */
+  def compactionPlanSql(): String =
+    s"""WITH files AS (
+       |  SELECT source, CAST(doc_id // $CompactionDocsPerFile AS BIGINT) AS file_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS bytes
+       |  FROM documents GROUP BY 1, 2),
+       |planned AS (
+       |  SELECT source, n_docs, bytes,
+       |         CAST(coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           // $CompactionTargetBytes AS BIGINT) AS bin
+       |  FROM files)
+       |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_files,
+       |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |       CAST(sum(bytes) AS BIGINT) AS bytes,
+       |       CAST(sum(bytes) * 1000000 // $CompactionTargetBytes AS BIGINT) AS fill_ppm
+       |FROM planned GROUP BY 1, 2""".stripMargin
+
+  // ---- zone-map prune effectiveness ----------------------------------------
+
+  /** Rows per zone (row-group stand-in) for the 1-D clustered layout. */
+  val ZoneKeyRange = 512L
+
+  /** Zone-map prune report — measures the thing Z-ordering exists FOR:
+    * for each candidate layout, synthetic zones (row-group stand-ins)
+    * carry per-zone [min,max] key boxes, and each probe predicate is
+    * tested against every zone's box exactly as a parquet reader tests
+    * row-group statistics. Layouts compared on identical data:
+    * `orderkey_range` (1-D clustered: zone = x div ${"ZoneKeyRange"}) vs
+    * `zorder` (zone = top byte of the Morton code — the [[zvalue]]
+    * tiling [[zorderWrite]] produces). Probes: the 2-D box, and each
+    * 1-D slice alone — the case where Z-order pays on both dimensions
+    * while 1-D clustering prunes only its own key.
+    *
+    * `rows_matched` is layout-independent (proven by parity: both
+    * layouts show the same value); `rows_scanned` and `read_amp_ppm =
+    * rows_scanned·10⁶ div rows_matched` are the layout's score. The
+    * whole report costs two zone aggregates plus work bounded by
+    * |zones|·|probes| — metadata scale, never data scale.
+    *
+    * Output: `(layout, probe, zones_total, zones_scanned, rows_scanned,
+    * rows_matched, read_amp_ppm)`.
+    */
+  def zoneMapPruneReport(lineitem: DataFrame): DataFrame = {
+    val mask = (1L << ZBits) - 1
+    val keyed = lineitem.select(
+      col("l_orderkey").bitwiseAND(lit(mask)).as("x"),
+      col("l_partkey").bitwiseAND(lit(mask)).as("y"))
+    def zones(zoneId: Column, layout: String): DataFrame =
+      keyed
+        .groupBy(zoneId.as("zone"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_x"),
+          max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"),
+          max(col("y")).as("max_y"))
+        .select(lit(layout).as("layout"), col("*"))
+    val allZones = zones(expr(s"x div $ZoneKeyRange"), "orderkey_range")
+      .unionAll(zones(shiftright(zvalue(col("x"), col("y")), 2 * ZBits - 8), "zorder"))
+    val probes = Seq(
+      ("box_xy", 1000L, 9000L, 2000L, 12000L),
+      ("slice_x", 1000L, 9000L, 0L, mask),
+      ("slice_y", 0L, mask, 2000L, 12000L))
+    val probeDf = broadcast(
+      allZones.sparkSession
+        .createDataFrame(probes)
+        .toDF("probe", "x_lo", "x_hi", "y_lo", "y_hi"))
+    val matchCols = probes.map { case (p, xl, xh, yl, yh) =>
+      sum(
+        when(col("x").between(xl, xh) && col("y").between(yl, yh), 1L)
+          .otherwise(0L)).as(p)
+    }
+    val matched = keyed
+      .agg(matchCols.head, matchCols.tail: _*)
+      .select(
+        explode(
+          map(
+            probes.flatMap { case (p, _, _, _, _) => Seq(lit(p), col(p)) }: _*))
+          .as(Seq("probe", "rows_matched")))
+    allZones
+      .crossJoin(probeDf)
+      .withColumn(
+        "scanned",
+        !(col("max_x") < col("x_lo") || col("min_x") > col("x_hi") ||
+          col("max_y") < col("y_lo") || col("min_y") > col("y_hi")))
+      .groupBy(col("layout"), col("probe"))
+      .agg(
+        count(lit(1)).as("zones_total"),
+        sum(when(col("scanned"), 1L).otherwise(0L)).as("zones_scanned"),
+        sum(when(col("scanned"), col("n_rows")).otherwise(0L)).as("rows_scanned"))
+      .join(broadcast(matched), Seq("probe"))
+      .select(
+        col("layout"),
+        col("probe"),
+        col("zones_total"),
+        col("zones_scanned"),
+        col("rows_scanned"),
+        col("rows_matched"),
+        expr("rows_scanned * 1000000 div greatest(rows_matched, 1)").as("read_amp_ppm"))
+  }
+
+  /** [[zoneMapPruneReport]] mirrored. */
+  def zoneMapPruneReportSql(): String = {
+    val mask = (1L << ZBits) - 1
+    val z = zvalueSql("x", "y")
+    s"""WITH keyed AS (
+       |  SELECT l_orderkey & $mask AS x, l_partkey & $mask AS y FROM lineitem),
+       |zones AS (
+       |  SELECT 'orderkey_range' AS layout, x // $ZoneKeyRange AS zone,
+       |         CAST(count(*) AS BIGINT) AS n_rows,
+       |         min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+       |  FROM keyed GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'zorder', $z >> ${2 * ZBits - 8},
+       |         CAST(count(*) AS BIGINT),
+       |         min(x), max(x), min(y), max(y)
+       |  FROM keyed GROUP BY 2),
+       |probes(probe, x_lo, x_hi, y_lo, y_hi) AS (VALUES
+       |  ('box_xy', 1000, 9000, 2000, 12000),
+       |  ('slice_x', 1000, 9000, 0, $mask),
+       |  ('slice_y', 0, $mask, 2000, 12000)),
+       |matched AS (
+       |  SELECT p.probe, CAST(count(*) FILTER (
+       |           k.x BETWEEN p.x_lo AND p.x_hi AND k.y BETWEEN p.y_lo AND p.y_hi)
+       |         AS BIGINT) AS rows_matched
+       |  FROM keyed k CROSS JOIN probes p GROUP BY p.probe)
+       |SELECT z.layout, p.probe,
+       |       CAST(count(*) AS BIGINT) AS zones_total,
+       |       CAST(count(*) FILTER (NOT (z.max_x < p.x_lo OR z.min_x > p.x_hi
+       |         OR z.max_y < p.y_lo OR z.min_y > p.y_hi)) AS BIGINT) AS zones_scanned,
+       |       CAST(coalesce(sum(z.n_rows) FILTER (NOT (z.max_x < p.x_lo
+       |         OR z.min_x > p.x_hi OR z.max_y < p.y_lo OR z.min_y > p.y_hi)), 0)
+       |         AS BIGINT) AS rows_scanned,
+       |       m.rows_matched,
+       |       CAST(coalesce(sum(z.n_rows) FILTER (NOT (z.max_x < p.x_lo OR z.min_x > p.x_hi
+       |         OR z.max_y < p.y_lo OR z.min_y > p.y_hi)), 0) * 1000000
+       |         // greatest(m.rows_matched, 1) AS BIGINT) AS read_amp_ppm
+       |FROM zones z CROSS JOIN probes p JOIN matched m ON m.probe = p.probe
+       |GROUP BY z.layout, p.probe, m.rows_matched""".stripMargin
+  }
 }

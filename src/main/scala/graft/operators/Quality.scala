@@ -239,6 +239,80 @@ object Quality {
        |       count(*) < 2 AS at_risk
        |FROM g GROUP BY 1, 2""".stripMargin
 
+  /** t-closeness audit — the third privacy screen after k-anonymity
+    * (group size) and l-diversity (distinct sensitive values): a group
+    * can be large AND diverse yet still leak if its sensitive-value
+    * DISTRIBUTION differs sharply from the table's global distribution
+    * (skewness attack — Li, Li & Venkatasubramanian, ICDE 2007). Per
+    * quasi-identifier group we report the total-variation distance
+    * between the group's market-segment distribution and the global
+    * one, in exact integer ppm:
+    *
+    *   tvd_ppm = floor( Σ_s |n_gs·N − n_s·k_g| · 500000 / (k_g·N) )
+    *
+    * computed entirely in 64-bit integer cross-multiplication — no
+    * float division anywhere, so both engines agree bit-for-bit.
+    * Segments ABSENT from a group still contribute (|0 − n_s·k_g|),
+    * which is why the group list is crossed with the (bounded,
+    * broadcast) global segment histogram before the left join.
+    *
+    * Scale shape: one (QI, sensitive) hash aggregate over the table,
+    * then all further work is on tables bounded by |QI domain| ×
+    * |sensitive domain| — never |rows|. At 100 TB the integer products
+    * would move to decimal(38); at any test sf they fit int64 with
+    * >10^4 headroom.
+    *
+    * Output: `(c_nationkey, bal_band, k, tvd_ppm, at_risk)` with
+    * `at_risk = tvd_ppm > 300000` (t = 0.3).
+    */
+  def tCloseness(customer: DataFrame): DataFrame = {
+    val qi = Seq(
+      col("c_nationkey").cast("long").as("c_nationkey"),
+      floor(col("c_acctbal") / 1000.0d).cast("long").as("bal_band"))
+    val gs = customer
+      .groupBy(qi :+ col("c_mktsegment").as("seg"): _*)
+      .agg(count(lit(1)).as("n_gs"))
+    val g = gs.groupBy(col("c_nationkey"), col("bal_band")).agg(sum(col("n_gs")).as("k"))
+    val segTotals = customer.groupBy(col("c_mktsegment").as("seg")).agg(count(lit(1)).as("n_s"))
+    val globalN = customer.agg(count(lit(1)).as("n_total"))
+    val grid = g
+      .crossJoin(broadcast(segTotals))
+      .crossJoin(broadcast(globalN))
+      .join(gs, Seq("c_nationkey", "bal_band", "seg"), "left_outer")
+      .withColumn("n_gs", coalesce(col("n_gs"), lit(0L)))
+    grid
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(
+        first(col("k")).as("k"),
+        expr("sum(abs(n_gs * n_total - n_s * k)) * 500000 div (first(k) * first(n_total))")
+          .as("tvd_ppm"))
+      .withColumn("at_risk", col("tvd_ppm") > 300000L)
+  }
+
+  /** [[tCloseness]] mirrored. */
+  def tClosenessSql(): String =
+    s"""WITH gs AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       |         c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n_gs
+       |  FROM customer GROUP BY 1, 2, 3),
+       |g AS (SELECT c_nationkey, bal_band, CAST(sum(n_gs) AS BIGINT) AS k
+       |      FROM gs GROUP BY 1, 2),
+       |st AS (SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n_s
+       |       FROM customer GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM customer),
+       |grid AS (
+       |  SELECT g.c_nationkey, g.bal_band, g.k, st.seg, st.n_s, nn.n_total,
+       |         coalesce(gs.n_gs, 0) AS n_gs
+       |  FROM g CROSS JOIN st CROSS JOIN nn
+       |  LEFT JOIN gs ON gs.c_nationkey = g.c_nationkey
+       |             AND gs.bal_band = g.bal_band AND gs.seg = st.seg)
+       |SELECT c_nationkey, bal_band, k,
+       |       CAST(sum(abs(n_gs * n_total - n_s * k)) * 500000 // (k * n_total)
+       |            AS BIGINT) AS tvd_ppm,
+       |       (sum(abs(n_gs * n_total - n_s * k)) * 500000 // (k * n_total)) > 300000 AS at_risk
+       |FROM grid GROUP BY c_nationkey, bal_band, k, n_total""".stripMargin
+
   /** Incremental aggregate maintenance — the identity every
     * materialized per-source rollup relies on at 100 TB: the corpus
     * splits into a BASE (already summarized into a stored

@@ -2351,4 +2351,121 @@ object TextOps {
        |                 * CAST(ub.n AS DOUBLE))), 6) AS pmi
        |FROM bcnt b JOIN ucnt ua ON ua.w = b.w1 JOIN ucnt ub ON ub.w = b.w2
        |CROSS JOIN tot t""".stripMargin
+
+  // ---- per-domain frequency cap --------------------------------------------
+
+  /** Max documents admitted per source under the domain cap. */
+  val DomainCapK = 20
+
+  /** Per-domain frequency cap — the anti-monoculture curation rule
+    * (CCNet / Common Crawl practice): no single domain may contribute
+    * more than K documents, and when a domain exceeds its budget the
+    * KEPT ones are its best K by a deterministic quality proxy
+    * (longest first; doc_id breaks ties). One hash partition per
+    * source and a per-source top-K — at 100 TB this is the rank-
+    * within-partition shape (no global sort), and a skew-heavy domain
+    * costs only its own partition. Integer rank keys keep the kept-set
+    * reproducible run-over-run — a float quality score with ties would
+    * not be.
+    *
+    * Output per source: `(source, n_docs, n_kept, n_dropped,
+    * kept_chars, dropped_chars)` — the audit row a curation run logs
+    * per domain.
+    */
+  def domainCap(docs: DataFrame): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("kept", row_number().over(win) <= DomainCapK)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"),
+        sum(when(col("kept"), 0L).otherwise(col("n_chars"))).as("dropped_chars"))
+  }
+
+  /** [[domainCap]] mirrored. */
+  def domainCapSql(): String =
+    s"""WITH ranked AS (
+       |  SELECT source, n_chars,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY n_chars DESC, doc_id) <= $DomainCapK AS kept
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+       |       CAST(count(*) FILTER (NOT kept) AS BIGINT) AS n_dropped,
+       |       CAST(coalesce(sum(n_chars) FILTER (kept), 0) AS BIGINT) AS kept_chars,
+       |       CAST(coalesce(sum(n_chars) FILTER (NOT kept), 0) AS BIGINT) AS dropped_chars
+       |FROM ranked GROUP BY source""".stripMargin
+
+  // ---- Neyman-allocation stratified sampling design ------------------------
+
+  /** Total sample budget the allocation distributes. */
+  val NeymanBudget = 200L
+
+  /** Neyman-allocation design for a stratified corpus sample — the
+    * variance-optimal way to spend a fixed labeling/eval budget across
+    * strata: allocate n_h ∝ N_h·S_h (stratum size × stratum standard
+    * deviation of the measured variable, here n_chars), versus the
+    * naive proportional n_h ∝ N_h. The neat identity that keeps this
+    * exact: N_h·S_h = sqrt(N_h·Σy² − (Σy)²), so the allocation weight
+    * is the INTEGER square root of an exactly-summed int64 — computed
+    * as floor(sqrt(x)) with an explicit off-by-one correction
+    * (`s − (s·s > x)`), because bare floating sqrt can round up past a
+    * near-square and the two engines would disagree by one.
+    *
+    * Scale shape: one pass of map-side-partial moments per stratum;
+    * everything after runs on |strata| rows.
+    *
+    * Output: `(source, n_rows, sd_weight, alloc_neyman, alloc_prop)`.
+    */
+  def neymanAllocation(docs: DataFrame): DataFrame = {
+    val m = docs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sy"),
+        sum(col("n_chars") * col("n_chars")).as("syy"))
+      .withColumn("xv", col("n_rows") * col("syy") - col("sy") * col("sy"))
+      .withColumn("s0", floor(sqrt(col("xv").cast("double"))).cast("long"))
+      .withColumn(
+        "sd_weight",
+        col("s0") - when(col("s0") * col("s0") > col("xv"), 1L).otherwise(0L))
+    val tot = m.agg(
+      sum(col("sd_weight")).as("tot_w"),
+      sum(col("n_rows")).as("tot_n"))
+    m.crossJoin(broadcast(tot))
+      .select(
+        col("source"),
+        col("n_rows"),
+        col("sd_weight"),
+        expr(s"$NeymanBudget * sd_weight div tot_w").as("alloc_neyman"),
+        expr(s"$NeymanBudget * n_rows div tot_n").as("alloc_prop"))
+  }
+
+  /** [[neymanAllocation]] mirrored. */
+  def neymanAllocationSql(): String =
+    s"""WITH m AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       |         CAST(sum(n_chars) AS BIGINT) AS sy,
+       |         CAST(sum(n_chars * n_chars) AS BIGINT) AS syy
+       |  FROM documents GROUP BY source),
+       |w0 AS (
+       |  SELECT source, n_rows, n_rows * syy - sy * sy AS xv,
+       |         CAST(floor(sqrt(CAST(n_rows * syy - sy * sy AS DOUBLE))) AS BIGINT) AS s0
+       |  FROM m),
+       |w AS (
+       |  SELECT source, n_rows,
+       |         s0 - CASE WHEN s0 * s0 > xv THEN 1 ELSE 0 END AS sd_weight
+       |  FROM w0),
+       |tot AS (SELECT CAST(sum(sd_weight) AS BIGINT) AS tot_w,
+       |               CAST(sum(n_rows) AS BIGINT) AS tot_n FROM w)
+       |SELECT source, n_rows, sd_weight,
+       |       $NeymanBudget * sd_weight // tot.tot_w AS alloc_neyman,
+       |       $NeymanBudget * n_rows // tot.tot_n AS alloc_prop
+       |FROM w CROSS JOIN tot""".stripMargin
 }

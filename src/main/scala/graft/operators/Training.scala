@@ -1036,4 +1036,80 @@ object Training {
        |$rows
        |ORDER BY round""".stripMargin
   }
+
+  // ---- ranking evaluation: exact AUC ---------------------------------------
+
+  /** AUC (area under the ROC curve) of the trained logreg scorer,
+    * computed EXACTLY as the Mann-Whitney rank statistic with the
+    * standard tie correction — no trapezoid sweep, no float ranks:
+    *
+    *   2U = 2·#(score_pos > score_neg) + #(score_pos = score_neg)
+    *   auc_ppm = 2U · 500000 div (P·N)
+    *
+    * The pair counts are NEVER enumerated pairwise: scores collapse to
+    * a per-distinct-score histogram `(score, p_s, n_s)` first, then one
+    * ordered cumulative over that bounded histogram gives
+    * #(pos > neg) = Σ_s p_s · cumneg(<s). The model's scores are exact
+    * 64-bit integers (micro-units), so tie groups are well-defined —
+    * the reason float-scoring engines can't do exact AUC.
+    *
+    * Scale shape: one corpus scan (scoring) + one hash aggregate to
+    * |distinct scores| rows; the window runs over the bounded
+    * histogram, not the corpus. The training pass is the same 3-round
+    * GD proven bit-identical by `train_logreg`.
+    *
+    * Output: one row `(n_pos, n_neg, n_tie_pairs, auc_ppm)`.
+    */
+  def logregAuc(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val raw = logregRaw(docs).persist()
+    val (m1, m2) = logregMeans(raw)
+    val f = raw.select(col("y"), (col("x1r") - lit(m1)).as("x1"), (col("x2r") - lit(m2)).as("x2"))
+    val n = raw.count()
+    val w = trainWeights(f, n, iters)
+    val scored = raw.select(
+      col("y"),
+      (lit(w(0)) + lit(w(1)) * (col("x1r") - lit(m1)) + lit(w(2)) * (col("x2r") - lit(m2)))
+        .as("score"))
+    raw.unpersist()
+    val hist = scored
+      .groupBy(col("score"))
+      .agg(
+        sum(col("y")).as("p_s"),
+        sum(lit(1L) - col("y")).as("n_s"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cumneg", coalesce(sum(col("n_s")).over(win), lit(0L)))
+      .agg(
+        sum(col("p_s")).as("n_pos"),
+        sum(col("n_s")).as("n_neg"),
+        sum(col("p_s") * col("n_s")).as("n_tie_pairs"),
+        expr("(2 * sum(p_s * cumneg) + sum(p_s * n_s)) * 500000 div (sum(p_s) * sum(n_s))")
+          .as("auc_ppm"))
+  }
+
+  /** [[logregAuc]] mirrored: the shared training CTEs reproduce the
+    * weights, then the identical histogram-cumulative rank statistic.
+    */
+  def logregAucSql(toksSql: String, iters: Int = 3): String =
+    s"""${logregCtes(toksSql, iters)},
+       |scored AS (
+       |  SELECT r.y,
+       |         w.w0 + w.w1 * (r.x1r - mm.m1) + w.w2 * (r.x2r - mm.m2) AS score
+       |  FROM raw r CROSS JOIN w$iters w CROSS JOIN mm),
+       |hist AS (
+       |  SELECT score, CAST(sum(y) AS BIGINT) AS p_s,
+       |         CAST(sum(1 - y) AS BIGINT) AS n_s
+       |  FROM scored GROUP BY score),
+       |cum AS (
+       |  SELECT p_s, n_s,
+       |         coalesce(sum(n_s) OVER (ORDER BY score
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+       |  FROM hist)
+       |SELECT CAST(sum(p_s) AS BIGINT) AS n_pos, CAST(sum(n_s) AS BIGINT) AS n_neg,
+       |       CAST(sum(p_s * n_s) AS BIGINT) AS n_tie_pairs,
+       |       CAST((2 * sum(p_s * cumneg) + sum(p_s * n_s)) * 500000
+       |         // (sum(p_s) * sum(n_s)) AS BIGINT) AS auc_ppm
+       |FROM cum""".stripMargin
 }
