@@ -598,6 +598,15 @@ object SparkEntry {
       Similarity.bruteForceTopKAgg(s, embs(s, d), nQueries = 10, k = 5)
         .withColumn("rank", col("rank").cast("int"))
         .orderBy(col("q_id"), col("rank"))),
+    // Matryoshka ablation: recall@k of dim-truncated exact search vs
+    // the full-dim baseline, one row per truncation width
+    "ann_matryoshka_recall" -> ((s, d) =>
+      Similarity.matryoshkaRecall(embs(s, d), nQueries = 10, k = 5)
+        .orderBy(col("dim"))),
+    // k-NN classifier confusion matrix over the held-out 20% split
+    "ann_knn_eval" -> ((s, d) =>
+      Similarity.knnEval(embs(s, d), k = 5)
+        .orderBy(col("label_true"), col("label_pred"))),
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(embs(s, d), nQueries = 50, k = 3, nProbe = 3)
         .orderBy(col("q_id"), col("rank"))),
@@ -3178,6 +3187,10 @@ object SparkEntry {
            |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
            |  FROM scored)
            |SELECT * FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+      "ann_matryoshka_recall" ->
+        s"SELECT * FROM (${Similarity.matryoshkaRecallSql(nQueries = 10, k = 5)}) ORDER BY dim",
+      "ann_knn_eval" ->
+        s"SELECT * FROM (${Similarity.knnEvalSql(k = 5)}) ORDER BY label_true, label_pred",
       "ann_lsh_topk" -> {
         s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
            |b AS (

@@ -1403,4 +1403,132 @@ object Similarity {
        |  SELECT *, CAST(row_number() OVER (PARTITION BY label ORDER BY ccos ASC, vec_id) AS INT) AS rank
        |  FROM scored)
        |SELECT * FROM ranked WHERE rank <= $k ORDER BY label, rank""".stripMargin
+
+  // ---- Matryoshka truncation recall ----------------------------------------
+
+  /** Recall@k of TRUNCATED-dimension exact search against the full-dim
+    * exact top-k — the ablation behind Matryoshka-style embeddings
+    * (Kusupati et al. 2022): if the first m dims alone rank well, the
+    * index stores m/D of the bytes and every scan gets D/m faster. One
+    * row per truncation width: `(dim, n_queries, sum_hits,
+    * recall_ppm)` with recall_ppm = Σhits·10⁶ div (nq·k) exact.
+    *
+    * Scale shape: the scored join is the [[bruteForceTopK]] shape per
+    * width (queries broadcast against the corpus); the full-dim
+    * baseline is computed once and reused across widths.
+    */
+  def matryoshkaRecall(
+      embs: DataFrame,
+      nQueries: Int,
+      k: Int,
+      dims: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val exact = Phys.materialized(
+      bruteForceTopK(embs, nQueries, k).select(col("q_id"), col("n_id")))
+    dims.map { m =>
+      val truncated = embs.select(col("vec_id"), slice(col("embedding"), 1, m).as("embedding"))
+      recallVsExact(exact, bruteForceTopK(truncated, nQueries, k), k)
+        .agg(
+          count(lit(1)).as("n_queries"),
+          sum(col("n_hits")).as("sum_hits"),
+          expr(s"sum(n_hits) * 1000000 div (count(*) * $k)").as("recall_ppm"))
+        .select(lit(m.toLong).as("dim"), col("n_queries"), col("sum_hits"), col("recall_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** [[matryoshkaRecall]] mirrored. */
+  def matryoshkaRecallSql(nQueries: Int, k: Int, dims: Seq[Int] = Seq(8, 16, 32)): String = {
+    def ranked(eExpr: String, name: String): String =
+      s"""${name}_scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         round(${Parity.cosineSql(s"q.$eExpr", s"c.$eExpr")}, 6) AS cos
+         |  FROM d q JOIN d c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+         |$name AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |    FROM ${name}_scored) WHERE rank <= $k)""".stripMargin
+    val per = dims.map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS dim, CAST(count(DISTINCT e.q_id) AS BIGINT) AS n_queries,
+         |       CAST(count(a.n_id) AS BIGINT) AS sum_hits,
+         |       CAST(count(a.n_id) * 1000000 // (count(DISTINCT e.q_id) * $k) AS BIGINT)
+         |         AS recall_ppm
+         |FROM exact e LEFT JOIN approx_$m a ON a.q_id = e.q_id AND a.n_id = e.n_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val truncCtes = dims
+      .map(m =>
+        s"""d$m AS (SELECT vec_id, e[1:$m] AS et FROM d),
+           |${ranked("et", s"approx_$m").replace("FROM d q JOIN d c", s"FROM d$m q JOIN d$m c")}""".stripMargin)
+      .mkString(",\n")
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |${ranked("e", "exact")},
+       |$truncCtes
+       |$per""".stripMargin
+  }
+
+  // ---- k-NN classifier evaluation ------------------------------------------
+
+  /** k-NN classification evaluated as a confusion matrix — the standard
+    * "is this embedding space any good" probe: hold out every 5th
+    * vector, predict its label by majority vote of its k nearest
+    * training vectors (exact cosine; vote ties break to the smaller
+    * label, rank ties to the smaller vec_id — fully deterministic), and
+    * tabulate (true label × predicted label). At corpus scale the
+    * held-out probe set is small and broadcast; the per-query cost is
+    * one corpus scan — and the IVF/PQ serving paths drop in unchanged
+    * because the vote only needs the top-k ids.
+    *
+    * Output: `(label_true, label_pred, n)` — bounded by |labels|².
+    */
+  def knnEval(embs: DataFrame, k: Int = 5): DataFrame = {
+    val d = embs.select(
+      col("vec_id"),
+      col("label").cast("long").as("label"),
+      col("embedding").cast("array<double>").as("e"))
+    val test = d.filter(col("vec_id") % 5 === 0L).alias("q")
+    val train = d.filter(col("vec_id") % 5 =!= 0L).alias("c")
+    val scored = test
+      .join(train, col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("q_id"),
+        col("q.label").as("label_true"),
+        col("c.label").as("cand_label"),
+        col("c.vec_id").as("n_id"),
+        round(Parity.cosine(col("q.e"), col("c.e")), 6).as("cos"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    val votes = scored
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .groupBy(col("q_id"), col("label_true"), col("cand_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote =
+      Window.partitionBy(col("q_id")).orderBy(col("n_votes").desc, col("cand_label"))
+    votes
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .groupBy(col("label_true"), col("cand_label").as("label_pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** [[knnEval]] mirrored. */
+  def knnEvalSql(k: Int = 5): String =
+    s"""WITH d AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |                  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.label AS label_true, c.label AS cand_label,
+       |         c.vec_id AS n_id, round(${Parity.cosineSql("q.e", "c.e")}, 6) AS cos
+       |  FROM d q JOIN d c ON q.vec_id % 5 = 0 AND c.vec_id % 5 <> 0
+       |    AND q.vec_id <> c.vec_id),
+       |topk AS (
+       |  SELECT q_id, label_true, cand_label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |    FROM scored) WHERE rank <= $k),
+       |votes AS (
+       |  SELECT q_id, label_true, cand_label, CAST(count(*) AS BIGINT) AS n_votes
+       |  FROM topk GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT q_id, label_true, cand_label AS label_pred FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY n_votes DESC, cand_label) AS vr
+       |    FROM votes) WHERE vr = 1)
+       |SELECT label_true, label_pred, CAST(count(*) AS BIGINT) AS n
+       |FROM pred GROUP BY 1, 2""".stripMargin
 }
