@@ -397,6 +397,23 @@ object SparkEntry {
     // next to the exact ball-size sum (Palmer et al. KDD'02)
     "graph_anf" -> ((s, d) =>
       GraphOps.anf(GraphSource.lineitemEdges(s, d), nSketches = 8, rounds = 2)),
+    // sampled stress centrality: integer-exact Brandes (σ·g identity),
+    // forward σ levels + backward DAG-path counts, no pair table
+    "graph_stress" -> ((s, d) =>
+      GraphOps
+        .stressCentrality(GraphSource.lineitemEdges(s, d), nSources = 4, rounds = 3)
+        .orderBy(col("id"))),
+    // minimum spanning forest by distributed Borůvka: per-component
+    // argmin edge + CC contraction per round, unique under (wn, a, b)
+    "graph_msf" -> ((s, d) =>
+      GraphOps
+        .msf(GraphSource
+          .layeredEdges(s, d)
+          .select(
+            col("src"),
+            col("dst"),
+            expr("(least(src, dst) * 7 + greatest(src, dst) * 13) % 101").as("wn")))
+        .orderBy(col("a"), col("b"))),
     // HyperBall harmonic centrality, PRODUCTION read: per-node FM
     // in-ball deltas weighted 1/h, sketch side only — no (u,v) pair
     // table anywhere (the exact first-reach verification column is
@@ -1977,6 +1994,12 @@ object SparkEntry {
     // FM-bitmask neighborhood function, rounds unrolled on the same edges
     "graph_anf" ->
       GraphOps.anfSql(GraphSource.lineitemEdgesSql, nSketches = 8, rounds = 2),
+    "graph_msf" ->
+      (GraphOps.msfSql(GraphSource.layeredEdgesSql, "(a * 7 + b * 13) % 101") +
+        "\nORDER BY a, b"),
+    "graph_stress" ->
+      (GraphOps.stressCentralitySql(GraphSource.lineitemEdgesSql, nSources = 4, rounds = 3) +
+        "\nORDER BY id"),
     "graph_harmonic" ->
       GraphOps.harmonicCentralitySql(GraphSource.lineitemEdgesSql, nSketches = 8, rounds = 2),
     // sketch-only per-h rows; the engine's early exit mirrored as a

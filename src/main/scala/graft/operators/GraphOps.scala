@@ -2969,4 +2969,259 @@ object GraphOps {
         toks.getItem(2).cast("long").as("dst"),
         toks.getItem(3).cast("double").as("w"))
   }
+
+  // ---- minimum spanning forest (Borůvka) -----------------------------------
+
+  /** Minimum spanning forest by distributed Borůvka (the MST algorithm
+    * that parallelizes: Kruskal and Prim are inherently sequential) —
+    * the backbone operator for single-linkage clustering, network
+    * design, and HDBSCAN-style pipelines. Each round every component
+    * picks its minimum incident crossing edge under the TOTAL order
+    * (wn, a, b) — the lexicographic tie-break makes the forest unique,
+    * so both engines converge to the identical edge set — the picked
+    * pseudo-forest is contracted with [[connectedComponents]] (its
+    * edge count is ≤ the component count, so the contraction input
+    * shrinks geometrically), and labels re-map through the contraction.
+    * Components at least halve per round ⇒ ≤ log₂|V| rounds.
+    *
+    * Scale shape: per round one labels⋈edges join (hash-partitioned on
+    * node id), one per-component window argmin (never a global sort or
+    * global rank), and a contraction whose input is one edge per
+    * component. The convergence read is `isEmpty` on the checkpointed
+    * crossing-edge set — the same scalar-control pattern as [[kTruss]].
+    *
+    * Input: `(src, dst, wn)` with integer weights (callers carrying
+    * float costs scale to micro-units first; exactness of the result
+    * then needs no float comparison anywhere). Parallel edges collapse
+    * to their minimum weight. Output: the forest edges `(a, b, wn)`.
+    */
+  def msf(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val session = edges.sparkSession
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      val we = ckpt(
+        edges
+          .filter(col("src") =!= col("dst"))
+          .select(
+            least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"),
+            col("wn"))
+          .groupBy(col("a"), col("b"))
+          .agg(min(col("wn")).as("wn")))
+      var labels = ckpt(
+        we.select(col("a").as("id"))
+          .unionAll(we.select(col("b").as("id")))
+          .distinct()
+          .withColumn("lbl", col("id")))
+      var forest: DataFrame = null
+      var done = false
+      var round = 0
+      while (!done && round < maxRounds) {
+        round += 1
+        val crossing = ckpt(
+          we.join(labels.select(col("id").as("a"), col("lbl").as("la")), Seq("a"))
+            .join(labels.select(col("id").as("b"), col("lbl").as("lb")), Seq("b"))
+            .filter(col("la") =!= col("lb")))
+        if (crossing.isEmpty) done = true
+        else {
+          val cand = crossing
+            .select(col("la").as("c"), col("wn"), col("a"), col("b"), col("la"), col("lb"))
+            .unionAll(
+              crossing
+                .select(col("lb").as("c"), col("wn"), col("a"), col("b"), col("la"), col("lb")))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("c"))
+            .orderBy(col("wn"), col("a"), col("b"))
+          val chosen = ckpt(
+            cand
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1)
+              .select(col("a"), col("b"), col("wn"), col("la"), col("lb"))
+              .distinct())
+          val picked = chosen.select(col("a"), col("b"), col("wn"))
+          forest = if (forest == null) ckpt(picked) else ckpt(forest.unionAll(picked))
+          val comp =
+            connectedComponents(chosen.select(col("la").as("src"), col("lb").as("dst")))
+          labels = ckpt(
+            labels
+              .join(
+                comp.select(col("id").as("j_lbl"), col("component")),
+                col("lbl") === col("j_lbl"),
+                "left_outer")
+              .select(col("id"), coalesce(col("component"), col("lbl")).as("lbl")))
+        }
+      }
+      require(done, s"msf did not converge within $maxRounds rounds")
+      if (forest == null) we.select(col("a"), col("b"), col("wn")).limit(0)
+      else forest.distinct()
+    }
+  }
+
+  /** [[msf]] mirrored: `rounds` unrolled Borůvka rounds, each with its
+    * own recursive min-label closure over the (component-count-bounded)
+    * chosen edge set for the contraction. Any unroll at or past the
+    * fixpoint yields the identical forest (a converged round chooses
+    * zero edges and the label CTE is a no-op) — rounds defaults past
+    * the harness graphs' 3-round cascades with the same loud-failure
+    * contract as [[kTrussSql]].
+    */
+  def msfSql(edgesSql: String, wnSql: String, rounds: Int = 6): String = {
+    def roundCtes(r: Int): String =
+      s"""e$r AS MATERIALIZED (
+         |  SELECT w.a, w.b, w.wn, la.lbl AS la, lb.lbl AS lb
+         |  FROM we w JOIN l${r - 1} la ON la.id = w.a JOIN l${r - 1} lb ON lb.id = w.b
+         |  WHERE la.lbl <> lb.lbl),
+         |chosen$r AS MATERIALIZED (
+         |  SELECT DISTINCT a, b, wn, la, lb FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY c ORDER BY wn, a, b) AS rn FROM (
+         |      SELECT la AS c, wn, a, b, la, lb FROM e$r
+         |      UNION ALL SELECT lb, wn, a, b, la, lb FROM e$r))
+         |  WHERE rn = 1),
+         |und$r AS MATERIALIZED (
+         |  SELECT la AS s, lb AS d FROM chosen$r UNION SELECT lb, la FROM chosen$r),
+         |reach$r(id, lab) AS (
+         |  SELECT s, s FROM und$r
+         |  UNION
+         |  SELECT u.d, r.lab FROM reach$r r JOIN und$r u ON u.s = r.id),
+         |comp$r AS MATERIALIZED (SELECT id, min(lab) AS c FROM reach$r GROUP BY id),
+         |l$r AS MATERIALIZED (
+         |  SELECT l.id, coalesce(c.c, l.lbl) AS lbl
+         |  FROM l${r - 1} l LEFT JOIN comp$r c ON c.id = l.lbl)""".stripMargin
+    val all = (1 to rounds).map(roundCtes).mkString(",\n")
+    val unions =
+      (1 to rounds).map(r => s"SELECT a, b, wn FROM chosen$r").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE we AS MATERIALIZED (
+       |  SELECT a, b, min($wnSql) AS wn FROM (
+       |    SELECT least(src, dst) AS a, greatest(src, dst) AS b
+       |    FROM ($edgesSql) WHERE src <> dst)
+       |  GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (SELECT a AS id FROM we UNION SELECT b FROM we),
+       |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
+       |$all
+       |SELECT a, b, wn FROM ($unions) GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  // ---- sampled stress centrality (integer-exact Brandes) --------------------
+
+  /** Stress centrality sampled from sources `1..nSources`, horizon
+    * `rounds` — the INTEGER-exact member of the Brandes (2001)
+    * centrality family: stress(v) = Σ_{s,t} σ_st(v) counts the shortest
+    * paths THROUGH v, and unlike betweenness (whose backward pass
+    * accumulates rational σ-ratios that can never hash-match across
+    * engines) it stays in 64-bit integers end to end via the identity
+    * σ_st(v) summed over t = σ_sv · g_s(v), where g(v) =
+    * Σ_{w ∈ DAG-succ(v)} (1 + g(w)) counts the BFS-DAG paths leaving v.
+    * Verified against explicit path enumeration in GraphOpsSpec.
+    *
+    * Scale shape: the forward pass is `rounds` frontier⋈edges joins
+    * with map-side σ-combine (the msbfs shape carrying a count instead
+    * of a bitmask); the backward pass is `rounds` level⋈edges joins
+    * (levels only shrink backward). No pair table, no global window;
+    * sources are a fixed sample, the standard Brandes-sampling
+    * estimator at 100 TB.
+    *
+    * Output: `(id, n_paths, stress)` for nodes with positive stress —
+    * n_paths = Σ_s σ_sv over the same horizon.
+    */
+  def stressCentrality(edges: DataFrame, nSources: Int = 4, rounds: Int = 3): DataFrame = {
+    val session = edges.sparkSession
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      val e = edges
+        .select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      val nodes = e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id"))).distinct()
+      val f0 = ckpt(
+        nodes
+          .filter(col("id").between(1L, nSources.toLong))
+          .select(col("id").as("s"), col("id"), lit(1L).as("sigma")))
+      val levels = new Array[DataFrame](rounds + 1)
+      levels(0) = f0
+      var cum = f0.select(col("s"), col("id"))
+      (1 to rounds).foreach { h =>
+        val cand = levels(h - 1)
+          .select(col("s"), col("id").as("u"), col("sigma"))
+          .join(e.select(col("src").as("u"), col("dst")), Seq("u"))
+          .groupBy(col("s"), col("dst"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .withColumnRenamed("dst", "id")
+        levels(h) = ckpt(cand.join(cum, Seq("s", "id"), "left_anti"))
+        cum = ckpt(cum.unionAll(levels(h).select(col("s"), col("id"))))
+      }
+      val gs = new Array[DataFrame](rounds + 1)
+      gs(rounds) = ckpt(levels(rounds).select(col("s"), col("id"), lit(0L).as("g")))
+      ((rounds - 1) to 1 by -1).foreach { h =>
+        val gnext = gs(h + 1).select(col("s"), col("id").as("w"), col("g"))
+        gs(h) = ckpt(
+          levels(h)
+            .select(col("s"), col("id"))
+            .join(e.select(col("src").as("id"), col("dst").as("w")), Seq("id"), "left_outer")
+            .join(gnext, Seq("s", "w"), "left_outer")
+            .groupBy(col("s"), col("id"))
+            .agg(
+              coalesce(sum(when(col("g").isNotNull, col("g") + 1L)), lit(0L)).as("g")))
+      }
+      val perLevel = (1 to rounds)
+        .map(h =>
+          levels(h)
+            .select(col("s"), col("id"), col("sigma"))
+            .join(gs(h), Seq("s", "id")))
+        .reduce(_ unionAll _)
+      val out = perLevel
+        .groupBy(col("id"))
+        .agg(sum(col("sigma")).as("n_paths"), sum(col("sigma") * col("g")).as("stress"))
+        .filter(col("stress") > 0L)
+      e.unpersist()
+      out
+    }
+  }
+
+  /** [[stressCentrality]] mirrored: forward σ levels f1..fR with a
+    * NOT-EXISTS visited guard, backward DAG-path counts gR..g1, readout
+    * Σ σ·g per node.
+    */
+  def stressCentralitySql(edgesSql: String, nSources: Int = 4, rounds: Int = 3): String = {
+    val fwd = (1 to rounds).map { h =>
+      s"""f$h AS MATERIALIZED (
+         |  SELECT p.s, e.dst AS id, CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM f${h - 1} p JOIN d e ON e.src = p.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM cum${h - 1} c WHERE c.s = p.s AND c.id = e.dst)
+         |  GROUP BY 1, 2),
+         |cum$h AS MATERIALIZED (
+         |  SELECT s, id FROM cum${h - 1} UNION ALL SELECT s, id FROM f$h)""".stripMargin
+    }
+    val bwd = ((rounds - 1) to 1 by -1).map { h =>
+      s"""g$h AS MATERIALIZED (
+         |  SELECT f.s, f.id,
+         |         CAST(coalesce(sum(CASE WHEN gn.id IS NOT NULL THEN 1 + gn.g END), 0)
+         |              AS BIGINT) AS g
+         |  FROM f$h f LEFT JOIN d e ON e.src = f.id
+         |  LEFT JOIN g${h + 1} gn ON gn.s = f.s AND gn.id = e.dst
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    val levUnion = (1 to rounds)
+      .map(h => s"SELECT f.id, f.sigma, g.g FROM f$h f JOIN g$h g ON g.s = f.s AND g.id = f.id")
+      .mkString(" UNION ALL ")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM ($edgesSql) WHERE src <> dst),
+       |nodes AS MATERIALIZED (SELECT src AS id FROM d UNION SELECT dst FROM d),
+       |f0 AS MATERIALIZED (
+       |  SELECT id AS s, id, CAST(1 AS BIGINT) AS sigma
+       |  FROM nodes WHERE id BETWEEN 1 AND $nSources),
+       |cum0 AS MATERIALIZED (SELECT s, id FROM f0),
+       |${fwd.mkString(",\n")},
+       |g$rounds AS MATERIALIZED (SELECT s, id, CAST(0 AS BIGINT) AS g FROM f$rounds),
+       |${bwd.mkString(",\n")}
+       |SELECT id, CAST(sum(sigma) AS BIGINT) AS n_paths,
+       |       CAST(sum(sigma * g) AS BIGINT) AS stress
+       |FROM ($levUnion) GROUP BY id HAVING sum(sigma * g) > 0""".stripMargin
+  }
 }

@@ -489,4 +489,60 @@ class GraphOpsSpec extends SparkSpec {
     val alphaStar = GraphOps.powerlawFit(star).collect()(0).getLong(3)
     assert(alphaStar < r.getLong(3))
   }
+
+  test("msf equals Kruskal on a weighted fixture; forest size is |V| - #components") {
+    import spark.implicits._
+    // two components: a 4-cycle with one heavy chord, plus a disjoint edge.
+    // under (wn, a, b) the forest is unique and hand-computable:
+    // cycle 1-2-3-4-1 weights: (1,2)=5, (2,3)=1, (3,4)=2, (1,4)=9, chord (1,3)=7
+    // MSF keeps (2,3), (3,4), then (1,2) [5 < 7 < 9]; drops (1,3), (1,4).
+    val e = Seq(
+      (1L, 2L, 5L), (2L, 3L, 1L), (3L, 4L, 2L), (4L, 1L, 9L), (1L, 3L, 7L),
+      (10L, 11L, 4L))
+      .toDF("src", "dst", "wn")
+    val out = GraphOps.msf(e).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 2L, 5L), (2L, 3L, 1L), (3L, 4L, 2L), (10L, 11L, 4L)))
+    // 6 nodes, 2 components -> 4 forest edges
+    assert(out.size === 6 - 2)
+  }
+
+  test("msf collapses parallel edges to the min weight and survives weight ties") {
+    import spark.implicits._
+    // all weights equal: tie-break (wn, a, b) keeps the lexicographically
+    // smallest spanning edges; parallel (1,2) keeps wn=1
+    val e = Seq((1L, 2L, 3L), (2L, 1L, 1L), (2L, 3L, 3L), (1L, 3L, 3L))
+      .toDF("src", "dst", "wn")
+    val out = GraphOps.msf(e).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 2L, 1L), (1L, 3L, 3L)))
+  }
+
+  test("stressCentrality matches explicit path enumeration on a diamond DAG") {
+    import spark.implicits._
+    // source 1; diamond 1->2->4, 1->3->4, then 4->5:
+    // sigma(2)=sigma(3)=1, sigma(4)=2, sigma(5)=2
+    // g(5)=0, g(4)=1, g(2)=g(3)=1+g(4)=2, stress: 2,3 -> 1*2=2; 4 -> 2*1=2; 5 -> 0
+    val e = Seq((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 4L, 1.0), (3L, 4L, 1.0), (4L, 5L, 1.0))
+      .toDF("src", "dst", "w")
+    val out = GraphOps
+      .stressCentrality(e, nSources = 1, rounds = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(out === Set((2L, 1L, 2L), (3L, 1L, 2L), (4L, 2L, 2L)))
+  }
+
+  test("stressCentrality horizon bounds the DAG; shorter-path wins over longer") {
+    import spark.implicits._
+    // 1->2->3 and direct 1->3: dist(3)=1, so 2 is NOT on any shortest path
+    val e = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0), (3L, 4L, 1.0))
+      .toDF("src", "dst", "w")
+    val out = GraphOps
+      .stressCentrality(e, nSources = 1, rounds = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toMap
+    // only 3 is internal (1->3->4); 2's only continuation 2->3 is not
+    // a shortest-path DAG edge (dist(3)=1 != dist(2)+1)
+    assert(out === Map(3L -> 1L))
+  }
 }
