@@ -1279,6 +1279,10 @@ object SparkEntry {
     "docs_stream_dedup_static" -> ((s, d) =>
       streaming.StreamOps.docDedupOverParquet(s, d, firstNewId = 400L)
         .orderBy(col("source"))),
+    // per-source admission quota at ingest: stateful counter admits the
+    // first K per source, O(|sources|) state
+    "docs_stream_domain_cap" -> ((s, d) =>
+      streaming.StreamOps.domainCapGateOverParquet(s, d).orderBy(col("source"))),
     // quality-gate-on-arrival: the stored hashed-feature classifier
     // scores each arriving doc as one stateless array fold
     "docs_stream_quality_static" -> ((s, d) =>
@@ -3423,6 +3427,8 @@ object SparkEntry {
            |       c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
            |FROM events JOIN customer ON user_id = CAST(c_custkey AS BIGINT)
            |GROUP BY 1, 2 ORDER BY ws, c_mktsegment""".stripMargin,
+      "docs_stream_domain_cap" ->
+        s"SELECT * FROM (${streaming.StreamOps.domainCapGateSql()}) ORDER BY source",
       "docs_stream_dedup_static" -> {
         val fp = Parity.fp40Sql("text")
         s"""WITH store AS (

@@ -1225,6 +1225,67 @@ object StreamOps {
     * Output per user: `(user_id, n_events, score)` (score rounded
     * 6 dp at EMISSION only).
     */
+  /** STREAMING DOMAIN-CAP ADMISSION — the quota counterpart of the
+    * batch [[graft.operators.TextOps.domainCap]]: per source, a
+    * ValueState admission counter admits the first
+    * [[DomainCapStreamK]] documents in arrival order and drops the
+    * rest — the anti-monoculture quota enforced AT INGEST instead of
+    * in a nightly sweep (the batch op picks the best K by quality;
+    * the stream can't see the future, so its quota is first-come).
+    * Rows fold in doc_id order within the batch — the deterministic
+    * arrival order of the staged bounded file; on a real firehose a
+    * watermark reorder buffer fronts the same processor. State is 4
+    * longs per source, O(|sources|) total — bounded at any corpus
+    * scale.
+    *
+    * Output per source: `(source, n_seen, n_admitted, last_admitted,
+    * admitted_chars)`.
+    */
+  def domainCapGateOverParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf
+      .set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-docs"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+        staged.resolve("documents.parquet"))
+      runStream(
+        spark,
+        readDocStream(spark, staged.toString)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new DomainCapProcessor(DomainCapStreamK),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+          .toDF("source", "n_seen", "n_admitted", "last_admitted", "admitted_chars"),
+        graft.sources.Staging.freshTable("graft_stream_domaincap"),
+        "update")
+    } finally spark.conf.set(key, prev)
+  }
+
+  /** Per-source admission quota for [[domainCapGateOverParquet]]. */
+  val DomainCapStreamK = 15L
+
+  /** [[domainCapGateOverParquet]]'s batch oracle: first-K-by-doc_id per
+    * source (the stream's arrival order is doc_id order on the bounded
+    * staged file).
+    */
+  def domainCapGateSql(): String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id, n_chars,
+       |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_seen,
+       |       CAST(count(*) FILTER (rn <= $DomainCapStreamK) AS BIGINT) AS n_admitted,
+       |       CAST(max(doc_id) FILTER (rn <= $DomainCapStreamK) AS BIGINT) AS last_admitted,
+       |       CAST(sum(n_chars) FILTER (rn <= $DomainCapStreamK) AS BIGINT) AS admitted_chars
+       |FROM r GROUP BY source""".stripMargin
+
   def userDecayOverParquet(spark: SparkSession, sfDir: String): DataFrame = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
@@ -1767,5 +1828,49 @@ class CusumProcessor(targets: Map[String, Long], h: Long)
     }
     st.update((n, p, runMin, maxS, nCross, firstId))
     Iterator.single((key, n, target, maxS, nCross, firstId))
+  }
+}
+
+/** transformWithState processor for [[StreamOps.domainCapGateOverParquet]]:
+  * one ValueState per source carrying `(n_seen, n_admitted,
+  * last_admitted, admitted_chars)`; rows fold in doc_id order within the
+  * batch and admission stops at the quota `k` — the cross-batch counter
+  * is exactly what a stateless gate cannot express.
+  */
+class DomainCapProcessor(k: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String,
+      (String, Long, Long),
+      (String, Long, Long, Long, Long)] {
+
+  @transient private var st
+      : org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Long, Long)](
+      "domaincap",
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[(String, Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(String, Long, Long, Long, Long)] = {
+    var (seen, adm, last, chars) =
+      if (st.exists()) st.get() match { case (a, b, c, d) => (a, b, c, d) }
+      else (0L, 0L, -1L, 0L)
+    rows.toSeq.sortBy { case (_, docId, _) => docId }.foreach { case (_, docId, nChars) =>
+      seen += 1L
+      if (adm < k) {
+        adm += 1L
+        last = docId
+        chars += nChars
+      }
+    }
+    st.update((seen, adm, last, chars))
+    Iterator.single((key, seen, adm, last, chars))
   }
 }
