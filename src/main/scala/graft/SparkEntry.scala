@@ -1723,6 +1723,22 @@ object SparkEntry {
     // ≡ full rollup (the oracle computes the full side)
     "corpus_agg_incremental" -> ((s, d) =>
       operators.Quality.aggIncremental(s, docs(s, d)).orderBy(col("source"))),
+    // session-concurrency profile: time spent at each live-session level
+    "events_concurrency" -> ((s, d) =>
+      EventOps.concurrency(events(s, d)).orderBy(col("concurrency"))),
+    // winsorized robust mean per type: exact order-statistic fences
+    "events_winsorized" -> ((s, d) =>
+      EventOps.winsorized(events(s, d)).orderBy(col("event_type"))),
+    // Markov next-event predictor trained on ref half, scored on cur half
+    "events_markov_eval" -> ((s, d) =>
+      EventOps.markovEval(events(s, d)).orderBy(col("prev_type"))),
+    // functional-dependency audit: violating-group counts per candidate
+    "dq_functional_deps" -> ((s, d) =>
+      operators.Quality.functionalDeps(Map(
+        "orders" -> table(s, d, "orders"),
+        "nation" -> table(s, d, "nation"),
+        "customer" -> table(s, d, "customer"),
+        "lineitem" -> table(s, d, "lineitem"))).orderBy(col("fd"))),
     // t-closeness: per-QI-group TV distance to the global sensitive
     // distribution, exact integer ppm (completes the privacy triple)
     "pii_t_closeness" -> ((s, d) =>
@@ -4127,6 +4143,14 @@ object SparkEntry {
         s"SELECT * FROM (${operators.Quality.lDiversitySql()}) ORDER BY c_nationkey, bal_band",
       "corpus_agg_incremental" ->
         s"SELECT * FROM (${operators.Quality.aggIncrementalSql()}) ORDER BY source",
+      "events_concurrency" ->
+        s"SELECT * FROM (${EventOps.concurrencySql()}) ORDER BY concurrency",
+      "events_winsorized" ->
+        s"SELECT * FROM (${EventOps.winsorizedSql()}) ORDER BY event_type",
+      "events_markov_eval" ->
+        s"SELECT * FROM (${EventOps.markovEvalSql()}) ORDER BY prev_type",
+      "dq_functional_deps" ->
+        s"SELECT * FROM (${operators.Quality.functionalDepsSql()}) ORDER BY fd",
       "pii_t_closeness" ->
         s"SELECT * FROM (${operators.Quality.tClosenessSql()}) ORDER BY c_nationkey, bal_band",
       "train_logreg_auc" -> operators.Training.logregAucSql(toks),

@@ -1319,6 +1319,219 @@ object EventOps {
       .limit(1)
   }
 
+  /** Session-concurrency profile — the capacity question every ops
+    * dashboard answers ("how many sessions were live at once, for how
+    * long"): sessions (gap-based, the shared sessionizer's rule) become
+    * +1/−1 boundary events, an ordered prefix sum over the boundaries
+    * is the live-session count, and each count level is weighted by the
+    * time spent at it. Zero-duration segments (ties at one timestamp)
+    * are dropped — which also makes the output independent of tie
+    * order, since only the last row of each distinct timestamp carries
+    * its full delta sum. The boundary table is 2·|sessions| rows, not
+    * |events|; the single ordered prefix sum over it is the one
+    * sequential term (at 100 TB: range-partition boundaries + two-phase
+    * prefix sums — the textbook distributed scan).
+    *
+    * Output: `(concurrency, micros)` — total stream-time spent at each
+    * live-session level.
+    */
+  def concurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "is_new",
+        when(
+          col("prev_ts").isNull ||
+            col("ts").cast("double") - col("prev_ts").cast("double") > gapMinutes * 60.0,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(unix_micros(col("ts"))).as("s"),
+        max(unix_micros(col("ts"))).as("e"))
+    val bounds = sessions
+      .select(col("s").as("t"), lit(1L).as("delta"))
+      .unionAll(sessions.select(col("e").as("t"), lit(-1L).as("delta")))
+    val ord = Window.orderBy(col("t"), col("delta").desc)
+    bounds
+      .withColumn(
+        "conc",
+        sum(col("delta")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("next_t", lead(col("t"), 1).over(ord))
+      .filter(col("next_t").isNotNull && col("next_t") > col("t"))
+      .groupBy(col("conc").as("concurrency"))
+      .agg(sum(col("next_t") - col("t")).as("micros"))
+  }
+
+  /** [[concurrency]] mirrored. */
+  def concurrencySql(gapMinutes: Int = 30): String =
+    s"""WITH m AS (
+       |  SELECT user_id, ts, event_id,
+       |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |  FROM events),
+       |sess AS (
+       |  SELECT user_id,
+       |         sum(CASE WHEN prev_ts IS NULL
+       |                    OR CAST(epoch_us(ts) AS DOUBLE) / 1000000.0
+       |                       - CAST(epoch_us(prev_ts) AS DOUBLE) / 1000000.0
+       |                       > ${gapMinutes * 60.0} THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS UNBOUNDED PRECEDING) AS session_id,
+       |         ts FROM m),
+       |iv AS (SELECT user_id, session_id, min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+       |       FROM sess GROUP BY 1, 2),
+       |bounds AS (SELECT s AS t, CAST(1 AS BIGINT) AS delta FROM iv
+       |           UNION ALL SELECT e, CAST(-1 AS BIGINT) FROM iv),
+       |seg AS (
+       |  SELECT sum(delta) OVER (ORDER BY t, delta DESC
+       |                          ROWS UNBOUNDED PRECEDING) AS conc,
+       |         t, lead(t) OVER (ORDER BY t, delta DESC) AS next_t
+       |  FROM bounds)
+       |SELECT CAST(conc AS BIGINT) AS concurrency,
+       |       CAST(sum(next_t - t) AS BIGINT) AS micros
+       |FROM seg WHERE next_t IS NOT NULL AND next_t > t
+       |GROUP BY conc""".stripMargin
+
+  /** Winsorized robust statistics per event type — the outlier-immune
+    * mean every metrics pipeline reports next to the raw one: clip
+    * values at the exact 5th/95th ORDER-STATISTIC fences (type-1
+    * quantiles over integer milli values — no interpolation, so the
+    * fences are exact integers on both engines; the interpolated-exact
+    * family is [[quantiles]]) and report the clipped counts and the
+    * winsorized mean in micro units. The per-(type, milli) histogram
+    * compresses the stream before any window touches it — the
+    * [[ksDrift]] shape.
+    *
+    * Output: `(event_type, n, lo_milli, hi_milli, n_clip_lo,
+    * n_clip_hi, wins_mean_micro)`.
+    */
+  def winsorized(events: DataFrame): DataFrame = {
+    val h = events
+      .select(col("event_type"), expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+      .groupBy(col("event_type"), col("vm"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("vm"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = h
+      .withColumn("cumc", sum(col("c")).over(wc))
+      .join(
+        h.groupBy(col("event_type")).agg(sum(col("c")).as("n")),
+        Seq("event_type"))
+    val fences = cum
+      .groupBy(col("event_type"))
+      .agg(
+        first(col("n")).as("n"),
+        min(when(col("cumc") * 20L >= col("n"), col("vm"))).as("lo"),
+        min(when(col("cumc") * 20L >= col("n") * 19L, col("vm"))).as("hi"))
+    cum
+      .join(fences.select(col("event_type"), col("lo"), col("hi")), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("c")).as("n"),
+        first(col("lo")).as("lo_milli"),
+        first(col("hi")).as("hi_milli"),
+        sum(when(col("vm") < col("lo"), col("c")).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("vm") > col("hi"), col("c")).otherwise(0L)).as("n_clip_hi"),
+        expr("sum(greatest(least(vm, hi), lo) * c) * 1000 div sum(c)").as("wins_mean_micro"))
+  }
+
+  /** [[winsorized]] mirrored. */
+  def winsorizedSql(): String =
+    s"""WITH h AS (
+       |  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vm,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, vm, c,
+       |         sum(c) OVER (PARTITION BY event_type ORDER BY vm
+       |                      ROWS UNBOUNDED PRECEDING) AS cumc,
+       |         sum(c) OVER (PARTITION BY event_type) AS n
+       |  FROM h),
+       |fences AS (
+       |  SELECT event_type,
+       |         min(CASE WHEN cumc * 20 >= n THEN vm END) AS lo,
+       |         min(CASE WHEN cumc * 20 >= n * 19 THEN vm END) AS hi
+       |  FROM cum GROUP BY 1)
+       |SELECT c.event_type, CAST(sum(c.c) AS BIGINT) AS n,
+       |       f.lo AS lo_milli, f.hi AS hi_milli,
+       |       CAST(coalesce(sum(c.c) FILTER (c.vm < f.lo), 0) AS BIGINT) AS n_clip_lo,
+       |       CAST(coalesce(sum(c.c) FILTER (c.vm > f.hi), 0) AS BIGINT) AS n_clip_hi,
+       |       CAST(sum(greatest(least(c.vm, f.hi), f.lo) * c.c) * 1000 // sum(c.c)
+       |            AS BIGINT) AS wins_mean_micro
+       |FROM cum c JOIN fences f USING (event_type)
+       |GROUP BY c.event_type, f.lo, f.hi""".stripMargin
+
+  /** Next-event predictor evaluation — the train/serve split for the
+    * [[markovTransitions]] model: transition counts from the REFERENCE
+    * half of the stream (the shared midpoint split) build an argmax
+    * predictor (ties to the lexicographically smallest next type), and
+    * it is scored on the consecutive pairs that lie wholly in the
+    * CURRENT half. Per previous-type accuracy in exact ppm — the
+    * honest per-state readout (a global number hides that rare states
+    * predict at chance). Unseen states get NULL accuracy, not a
+    * silent drop.
+    *
+    * Output: `(prev_type, predicted, n_pairs, n_correct, acc_ppm)`.
+    */
+  def markovEval(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = windowed(events)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("win"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_win", lag(col("win"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val trained = pairs
+      .filter(col("win") === "ref") // pair is train iff its LATER event is in ref
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val wArg = Window.partitionBy(col("prev_type")).orderBy(col("n").desc, col("next_type"))
+    val model = trained
+      .withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .select(col("prev_type"), col("next_type").as("predicted"))
+    pairs
+      .filter(col("prev_win") === "cur" && col("win") === "cur")
+      .join(broadcast(model), Seq("prev_type"), "left_outer")
+      .groupBy(col("prev_type"), col("predicted"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("event_type") === col("predicted"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn(
+        "acc_ppm",
+        when(col("predicted").isNull, lit(null).cast("long"))
+          .otherwise(expr("n_correct * 1000000 div n_pairs")))
+  }
+
+  /** [[markovEval]] mirrored. */
+  def markovEvalSql(): String =
+    s"""WITH $windowedSql,
+       |p AS (
+       |  SELECT user_id, event_type, win,
+       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |           AS prev_type,
+       |         lag(win) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_win
+       |  FROM w),
+       |trained AS (
+       |  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM p WHERE prev_type IS NOT NULL AND win = 'ref' GROUP BY 1, 2),
+       |model AS (
+       |  SELECT prev_type, next_type AS predicted FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY prev_type
+       |                                 ORDER BY n DESC, next_type) AS rn
+       |    FROM trained) WHERE rn = 1)
+       |SELECT p.prev_type, m.predicted, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(CASE WHEN p.event_type = m.predicted THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_correct,
+       |       CASE WHEN m.predicted IS NULL THEN NULL
+       |            ELSE CAST(sum(CASE WHEN p.event_type = m.predicted THEN 1 ELSE 0 END)
+       |                 * 1000000 // count(*) AS BIGINT) END AS acc_ppm
+       |FROM p LEFT JOIN model m ON m.prev_type = p.prev_type
+       |WHERE p.prev_type IS NOT NULL AND p.prev_win = 'cur' AND p.win = 'cur'
+       |GROUP BY p.prev_type, m.predicted""".stripMargin
+
   /** [[changepoint]] mirrored. */
   def changepointSql(): String =
     s"""WITH $hourlySeriesSql,

@@ -239,6 +239,58 @@ object Quality {
        |       count(*) < 2 AS at_risk
        |FROM g GROUP BY 1, 2""".stripMargin
 
+  /** Candidate functional dependencies the audit screens, as
+    * (name, table, lhs, rhs) — a mix of true FDs (violations must be 0:
+    * the regression canaries) and plausible-but-false ones (the
+    * violation counts are the discovery signal).
+    */
+  private val fdCandidates = Seq(
+    ("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("nation.n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+    ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+    ("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+    ("lineitem.l_orderkey->l_shipdate", "lineitem", "l_orderkey", "l_shipdate"))
+
+  /** Functional-dependency audit — the schema-discovery complement of
+    * the expectation suite: for each candidate `LHS → RHS`, count the
+    * LHS groups that map to MORE than one RHS value. True dependencies
+    * (key → attribute) must report zero violating groups — a non-zero
+    * count there is a corruption canary; for merely-plausible
+    * candidates the violation rate is the discovery signal (how far
+    * the column pair is from determinable). One
+    * `(LHS, count distinct RHS)` hash aggregate per candidate — the
+    * same shape profilers run at any scale; output is |candidates|
+    * rows.
+    *
+    * Output: `(fd, n_groups, n_viol, viol_ppm)`.
+    */
+  def functionalDeps(tables: Map[String, DataFrame]): DataFrame =
+    fdCandidates.map { case (name, tbl, lhs, rhs) =>
+      tables(tbl)
+        .groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("nd"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("nd") > 1L, 1L).otherwise(0L)).as("n_viol"))
+        .select(
+          lit(name).as("fd"),
+          col("n_groups"),
+          col("n_viol"),
+          expr("n_viol * 1000000 div n_groups").as("viol_ppm"))
+    }.reduce(_ unionAll _)
+
+  /** [[functionalDeps]] mirrored. */
+  def functionalDepsSql(): String =
+    fdCandidates
+      .map { case (name, tbl, lhs, rhs) =>
+        s"""SELECT '$name' AS fd, CAST(count(*) AS BIGINT) AS n_groups,
+           |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol,
+           |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+           |            AS BIGINT) AS viol_ppm
+           |FROM (SELECT $lhs, count(DISTINCT $rhs) AS nd FROM $tbl GROUP BY $lhs)""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+
   /** t-closeness audit — the third privacy screen after k-anonymity
     * (group size) and l-diversity (distinct sensitive values): a group
     * can be large AND diverse yet still leak if its sensitive-value
