@@ -209,37 +209,56 @@ object Layout {
 
   // ---- zone-map prune effectiveness ----------------------------------------
 
-  /** Rows per zone (row-group stand-in) for the 1-D clustered layout. */
-  val ZoneKeyRange = 512L
+  /** Rows per zone (parquet row-group stand-in) for the prune report. */
+  val ZoneRows = 256L
+
+  /** Key-domain bits for the prune report: both keys wrap into the SAME
+    * 10-bit domain (1024×1024 plane). Equal-cardinality dimensions are
+    * the honest Z-order benchmark — with one key's domain much smaller
+    * than the other's, the Morton order degenerates to the big key's
+    * order and pruning on the small key needs zone granularity the
+    * report shouldn't assume.
+    */
+  val ReportBits = 10
 
   /** Zone-map prune report — measures the thing Z-ordering exists FOR:
-    * for each candidate layout, synthetic zones (row-group stand-ins)
-    * carry per-zone [min,max] key boxes, and each probe predicate is
-    * tested against every zone's box exactly as a parquet reader tests
-    * row-group statistics. Layouts compared on identical data:
-    * `orderkey_range` (1-D clustered: zone = x div ${"ZoneKeyRange"}) vs
-    * `zorder` (zone = top byte of the Morton code — the [[zvalue]]
-    * tiling [[zorderWrite]] produces). Probes: the 2-D box, and each
-    * 1-D slice alone — the case where Z-order pays on both dimensions
-    * while 1-D clustering prunes only its own key.
+    * both layouts chunk the SAME rows into equal [[ZoneRows]]-row zones
+    * (exactly parquet row groups), differing only in the clustering
+    * order — `orderkey_sorted` (1-D: rows ordered by (x, y)) vs
+    * `zorder` (rows ordered by the [[zvalue]] Morton code, the order
+    * [[zorderWrite]] lays files out in). Each zone carries its [min,max]
+    * key box, and each probe predicate is tested against every zone's
+    * box exactly as a parquet reader tests row-group statistics.
+    * Probes: the 2-D box, and each 1-D slice alone — the case where
+    * Z-order pays on both dimensions while 1-D clustering prunes only
+    * its own leading key.
+    *
+    * Zone stats are tie-safe: rows tied on the full sort key are
+    * identical (x, y) tuples, so however a tie splits across a zone
+    * boundary the min/max boxes and counts are unchanged — which is
+    * what makes the report engine-independent. The ordering window is
+    * the write-time global sort [[zorderWrite]] already pays
+    * (repartitionByRange does it distributed); the report itself is
+    * metadata-scale: |zones|·|probes|.
     *
     * `rows_matched` is layout-independent (proven by parity: both
     * layouts show the same value); `rows_scanned` and `read_amp_ppm =
-    * rows_scanned·10⁶ div rows_matched` are the layout's score. The
-    * whole report costs two zone aggregates plus work bounded by
-    * |zones|·|probes| — metadata scale, never data scale.
+    * rows_scanned·10⁶ div max(rows_matched, 1)` are the layout's score.
     *
     * Output: `(layout, probe, zones_total, zones_scanned, rows_scanned,
     * rows_matched, read_amp_ppm)`.
     */
   def zoneMapPruneReport(lineitem: DataFrame): DataFrame = {
-    val mask = (1L << ZBits) - 1
+    val mask = (1L << ReportBits) - 1
     val keyed = lineitem.select(
       col("l_orderkey").bitwiseAND(lit(mask)).as("x"),
       col("l_partkey").bitwiseAND(lit(mask)).as("y"))
-    def zones(zoneId: Column, layout: String): DataFrame =
+    def zones(orderCols: Seq[Column], layout: String): DataFrame = {
+      val rn = row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*))
       keyed
-        .groupBy(zoneId.as("zone"))
+        .withColumn("zone", ((rn.cast("long") - 1L) / lit(ZoneRows)).cast("long"))
+        .groupBy(col("zone"))
         .agg(
           count(lit(1)).as("n_rows"),
           min(col("x")).as("min_x"),
@@ -247,12 +266,13 @@ object Layout {
           min(col("y")).as("min_y"),
           max(col("y")).as("max_y"))
         .select(lit(layout).as("layout"), col("*"))
-    val allZones = zones(expr(s"x div $ZoneKeyRange"), "orderkey_range")
-      .unionAll(zones(shiftright(zvalue(col("x"), col("y")), 2 * ZBits - 8), "zorder"))
+    }
+    val allZones = zones(Seq(col("x"), col("y")), "orderkey_sorted")
+      .unionAll(zones(Seq(zvalue(col("x"), col("y")), col("x"), col("y")), "zorder"))
     val probes = Seq(
-      ("box_xy", 1000L, 9000L, 2000L, 12000L),
-      ("slice_x", 1000L, 9000L, 0L, mask),
-      ("slice_y", 0L, mask, 2000L, 12000L))
+      ("box_xy", 100L, 400L, 600L, 900L),
+      ("slice_x", 100L, 400L, 0L, mask),
+      ("slice_y", 0L, mask, 600L, 900L))
     val probeDf = broadcast(
       allZones.sparkSession
         .createDataFrame(probes)
@@ -293,24 +313,28 @@ object Layout {
 
   /** [[zoneMapPruneReport]] mirrored. */
   def zoneMapPruneReportSql(): String = {
-    val mask = (1L << ZBits) - 1
+    val mask = (1L << ReportBits) - 1
     val z = zvalueSql("x", "y")
     s"""WITH keyed AS (
        |  SELECT l_orderkey & $mask AS x, l_partkey & $mask AS y FROM lineitem),
        |zones AS (
-       |  SELECT 'orderkey_range' AS layout, x // $ZoneKeyRange AS zone,
+       |  SELECT 'orderkey_sorted' AS layout, zone,
        |         CAST(count(*) AS BIGINT) AS n_rows,
        |         min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
-       |  FROM keyed GROUP BY 2
+       |  FROM (SELECT x, y,
+       |               (row_number() OVER (ORDER BY x, y) - 1) // $ZoneRows AS zone
+       |        FROM keyed) GROUP BY 2
        |  UNION ALL
-       |  SELECT 'zorder', $z >> ${2 * ZBits - 8},
+       |  SELECT 'zorder', zone,
        |         CAST(count(*) AS BIGINT),
        |         min(x), max(x), min(y), max(y)
-       |  FROM keyed GROUP BY 2),
+       |  FROM (SELECT x, y,
+       |               (row_number() OVER (ORDER BY $z, x, y) - 1) // $ZoneRows AS zone
+       |        FROM keyed) GROUP BY 2),
        |probes(probe, x_lo, x_hi, y_lo, y_hi) AS (VALUES
-       |  ('box_xy', 1000, 9000, 2000, 12000),
-       |  ('slice_x', 1000, 9000, 0, $mask),
-       |  ('slice_y', 0, $mask, 2000, 12000)),
+       |  ('box_xy', 100, 400, 600, 900),
+       |  ('slice_x', 100, 400, 0, $mask),
+       |  ('slice_y', 0, $mask, 600, 900)),
        |matched AS (
        |  SELECT p.probe, CAST(count(*) FILTER (
        |           k.x BETWEEN p.x_lo AND p.x_hi AND k.y BETWEEN p.y_lo AND p.y_hi)

@@ -82,4 +82,47 @@ class LayoutSpec extends SparkSpec {
     assert(got === want)
     graft.sources.Staging.cleanup(spark)
   }
+
+  test("compactionPlan: next-fit bins by running size, bytes conserved, files ordered") {
+    import spark.implicits._
+    // one source, file sizes (by docs-per-file groups of 10):
+    // docs 0..9 -> file 0 (10k), 10..19 -> file 1 (10k), 20..29 -> file 2 (10k)
+    // target 16384: file0 cum_before 0 -> bin 0; file1 cum_before 10k -> bin 0;
+    // file2 cum_before 20k -> bin 1
+    val docs = (0L until 30L).map(i => (i, "s0", 1000L)).toDF("doc_id", "source", "n_chars")
+    val out = Layout
+      .compactionPlan(docs)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out === Seq((0L, 2L, 20000L), (1L, 1L, 10000L)))
+    // bytes conserved
+    assert(out.map(_._3).sum === 30000L)
+  }
+
+  test("zoneMapPruneReport invariants: scan superset of match; z-order prunes both slices") {
+    // sf0.01: the smallest scale where BOTH keys wrap the full 10-bit
+    // report domain (sf0.001 partkeys stop at 199, so the y probes
+    // would match nothing and every layout would trivially prune all)
+    val li = graft.model.table(spark, "/root/testdata/sf0.01", "lineitem")
+    val rows = Layout.zoneMapPruneReport(li).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      val (zt, zs) = (r.getAs[Long]("zones_total"), r.getAs[Long]("zones_scanned"))
+      assert(zs <= zt)
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_matched"))
+    }
+    // rows_matched is layout-independent per probe
+    val byProbe = rows.groupBy(_.getAs[String]("probe"))
+    byProbe.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rows_matched")).toSet.size === 1)
+    }
+    // the 1-D x-sorted layout cannot prune the y-only slice (y is
+    // uniform within every x chunk); z-order must prune some of it
+    val m = rows.map(r => (r.getAs[String]("layout"), r.getAs[String]("probe")) -> r).toMap
+    val oy = m(("orderkey_sorted", "slice_y"))
+    assert(oy.getAs[Long]("zones_scanned") === oy.getAs[Long]("zones_total"))
+    val zy = m(("zorder", "slice_y"))
+    assert(zy.getAs[Long]("zones_scanned") < zy.getAs[Long]("zones_total"))
+  }
 }

@@ -83,4 +83,43 @@ class QualitySpec extends SparkSpec {
       Quality.aggIncremental(spark, docs).orderBy(col("source")).collect()
     assert(maintained.toSeq === full.toSeq)
   }
+
+  test("tCloseness: a group mirroring the global mix scores 0; a homogeneous group scores high") {
+    import spark.implicits._
+    // global mix: 2 segments 50/50 (bal_band 0 everywhere).
+    // nation 1 mirrors it exactly (tvd 0); nation 2 is all-A (tvd = 1/2 -> 500000)
+    val cust = Seq(
+      (1L, 0.0, "A"), (1L, 0.0, "B"), (1L, 0.0, "A"), (1L, 0.0, "B"),
+      (2L, 0.0, "A"), (2L, 0.0, "A"), (2L, 0.0, "A"), (2L, 0.0, "A"))
+      .toDF("c_nationkey", "c_acctbal", "c_mktsegment")
+    val out = Quality
+      .tCloseness(cust)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    // global: A=6/8, B=2/8. nation1: A=1/2,B=1/2 -> tvd = |1/2-3/4| = 1/4 -> 250000
+    // nation2: A=1, B=0 -> tvd = 1/4 ... recompute: |1-3/4|/... = (|1-3/4|+|0-1/4|)/2 = 1/4
+    assert(out(1L) === ((4L, 250000L, false)))
+    assert(out(2L) === ((4L, 250000L, false)))
+    // and an exact-mirror group: make the global 50/50 by using two nations
+    val mirror = Seq(
+      (1L, 0.0, "A"), (1L, 0.0, "B"),
+      (2L, 0.0, "A"), (2L, 0.0, "B"))
+      .toDF("c_nationkey", "c_acctbal", "c_mktsegment")
+    val m = Quality.tCloseness(mirror).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(m === Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("functionalDeps: true FDs report zero violations, broken ones count groups") {
+    import spark.implicits._
+    val out = Quality
+      .functionalDeps(tables)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("orders.o_orderkey->o_custkey") === ((0L, 0L)))
+    assert(out("nation.n_nationkey->n_regionkey") === ((0L, 0L)))
+    // the plausible-but-false candidates must be detected as violated
+    assert(out("lineitem.l_partkey->l_suppkey")._1 > 0L)
+  }
 }
