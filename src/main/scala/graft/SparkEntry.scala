@@ -1723,6 +1723,20 @@ object SparkEntry {
     // ≡ full rollup (the oracle computes the full side)
     "corpus_agg_incremental" -> ((s, d) =>
       operators.Quality.aggIncremental(s, docs(s, d)).orderBy(col("source"))),
+    // DP sensitivity pre-flight: max single-user contribution per stat
+    "pii_sensitivity" -> ((s, d) =>
+      operators.Quality.sensitivityReport(events(s, d)).orderBy(col("event_type"))),
+    // greedy longest-match subword encoding over the BPE vocabulary —
+    // the WordPiece-style third tokenizer family, distinct-words-only
+    "tok_wordpiece" -> ((s, d) =>
+      operators.Tokenization.wordpieceEncode(s, docs(s, d)).orderBy(col("word"))),
+    // first-touch vs last-touch conversion attribution in exact counts
+    "events_attribution" -> ((s, d) =>
+      EventOps.attribution(events(s, d)).orderBy(col("model"), col("event_type"))),
+    // MMR diversified re-rank of the exact top-10, integer deci-micro
+    "ann_mmr_rerank" -> ((s, d) =>
+      Similarity.mmrDiversify(embs(s, d), nQueries = 8, k = 5)
+        .orderBy(col("q_id"), col("rank"))),
     // session-concurrency profile: time spent at each live-session level
     "events_concurrency" -> ((s, d) =>
       EventOps.concurrency(events(s, d)).orderBy(col("concurrency"))),
@@ -4143,6 +4157,14 @@ object SparkEntry {
         s"SELECT * FROM (${operators.Quality.lDiversitySql()}) ORDER BY c_nationkey, bal_band",
       "corpus_agg_incremental" ->
         s"SELECT * FROM (${operators.Quality.aggIncrementalSql()}) ORDER BY source",
+      "pii_sensitivity" ->
+        s"SELECT * FROM (${operators.Quality.sensitivityReportSql()}) ORDER BY event_type",
+      "tok_wordpiece" ->
+        s"SELECT * FROM (${operators.Tokenization.wordpieceEncodeSql()}) ORDER BY word",
+      "events_attribution" ->
+        s"SELECT * FROM (${EventOps.attributionSql()}) ORDER BY model, event_type",
+      "ann_mmr_rerank" ->
+        s"SELECT * FROM (${Similarity.mmrDiversifySql(nQueries = 8, k = 5)}) ORDER BY q_id, rank",
       "events_concurrency" ->
         s"SELECT * FROM (${EventOps.concurrencySql()}) ORDER BY concurrency",
       "events_winsorized" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1531,6 +1531,60 @@ object EventOps {
        |FROM p LEFT JOIN model m ON m.prev_type = p.prev_type
        |WHERE p.prev_type IS NOT NULL AND p.prev_win = 'cur' AND p.win = 'cur'
        |GROUP BY p.prev_type, m.predicted""".stripMargin
+
+  /** Conversion attribution — first-touch vs last-touch credit for
+    * every purchase event: within each user's timeline, the purchase's
+    * last-touch is the latest preceding non-purchase event and its
+    * first-touch the earliest one, both picked by lexicographic
+    * max/min over `(ts, event_id, type)` structs inside an ordered
+    * window — no per-purchase join, no pair blowup; purchases with no
+    * preceding touch report as 'none' (direct conversions), never a
+    * silent drop. The credit table every marketing/growth dashboard
+    * starts from, in exact counts.
+    *
+    * Output: `(model, event_type, n_conversions)` with model ∈
+    * {first_touch, last_touch}.
+    */
+  def attribution(events: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(
+      col("event_type") =!= "purchase",
+      struct(col("ts"), col("event_id"), col("event_type")))
+    val conv = events
+      .withColumn("lt", max(touch).over(w))
+      .withColumn("ft", min(touch).over(w))
+      .filter(col("event_type") === "purchase")
+    def rollup(c: Column, model: String): DataFrame =
+      conv
+        .groupBy(coalesce(c.getField("event_type"), lit("none")).as("event_type"))
+        .agg(count(lit(1)).as("n_conversions"))
+        .select(lit(model).as("model"), col("event_type"), col("n_conversions"))
+    rollup(col("ft"), "first_touch").unionAll(rollup(col("lt"), "last_touch"))
+  }
+
+  /** [[attribution]] mirrored. */
+  def attributionSql(): String =
+    s"""WITH t AS (
+       |  SELECT event_type,
+       |         max(CASE WHEN event_type <> 'purchase'
+       |                  THEN (ts, event_id, event_type) END)
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt,
+       |         min(CASE WHEN event_type <> 'purchase'
+       |                  THEN (ts, event_id, event_type) END)
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft
+       |  FROM events),
+       |conv AS (SELECT lt, ft FROM t WHERE event_type = 'purchase')
+       |SELECT 'first_touch' AS model, coalesce(ft[3], 'none') AS event_type,
+       |       CAST(count(*) AS BIGINT) AS n_conversions
+       |FROM conv GROUP BY 2
+       |UNION ALL
+       |SELECT 'last_touch', coalesce(lt[3], 'none'), CAST(count(*) AS BIGINT)
+       |FROM conv GROUP BY 2""".stripMargin
 
   /** [[changepoint]] mirrored. */
   def changepointSql(): String =

@@ -291,6 +291,44 @@ object Quality {
       }
       .mkString("\nUNION ALL\n")
 
+  /** Contribution-sensitivity audit — the pre-flight every
+    * differential-privacy release needs: for each published statistic
+    * (here the per-type event counts), the largest single-user
+    * contribution IS the statistic's L1 sensitivity under user-level
+    * adjacency, and the noise a DP mechanism must add scales with it.
+    * A statistic one heavy user dominates (high max_share_ppm) is
+    * un-releasable without contribution capping — this report is how
+    * the cap is chosen. Deterministic (no noise is sampled — that
+    * can't be oracle-checked; the sensitivity analysis can).
+    *
+    * One (type, user) hash aggregate then a per-type rollup — map-side
+    * partial all the way, |types| output rows.
+    *
+    * Output: `(event_type, n_events, n_users, max_user_n,
+    * max_share_ppm)`.
+    */
+  def sensitivityReport(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_users"),
+        max(col("c")).as("max_user_n"),
+        expr("max(c) * 1000000 div sum(c)").as("max_share_ppm"))
+
+  /** [[sensitivityReport]] mirrored. */
+  def sensitivityReportSql(): String =
+    s"""WITH uc AS (
+       |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+       |       CAST(count(*) AS BIGINT) AS n_users,
+       |       CAST(max(c) AS BIGINT) AS max_user_n,
+       |       CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS max_share_ppm
+       |FROM uc GROUP BY event_type""".stripMargin
+
   /** t-closeness audit — the third privacy screen after k-anonymity
     * (group size) and l-diversity (distinct sensitive values): a group
     * can be large AND diverse yet still leak if its sensitive-value

@@ -1508,6 +1508,134 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  // ---- MMR diversified re-ranking ------------------------------------------
+
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) of the exact top-[[MmrCandidates]] — the serving-side
+    * step between "nearest" and "useful": pick greedily by
+    * `λ·rel − (1−λ)·max-sim-to-already-picked` so near-duplicate hits
+    * don't crowd the result page. λ = 0.7 in exact integer deci-micro
+    * units (`score = 7·rel_micro − 3·maxsim_micro`) — the greedy chain
+    * is deterministic down to its (score desc, id asc) tie-break, so
+    * the whole re-rank is oracle-checkable, which a float-scored MMR
+    * never is.
+    *
+    * Scale shape: everything after the candidate top-k runs on
+    * |queries|·k rows (k² sims per query) — re-ranking is bounded
+    * per-query work, the corpus is touched only by the candidate
+    * retrieval (the [[bruteForceTopK]] shape; any ANN path drops in).
+    *
+    * Output: `(q_id, rank, n_id, score)` — `rank` 1..k of the picked
+    * diversified set.
+    */
+  def mmrDiversify(embs: DataFrame, nQueries: Int, k: Int = 5): DataFrame = {
+    val d = asDouble(embs)
+    val relMicro = expr("CAST(round(cosd * 1000000) AS BIGINT)")
+    val scored = d
+      .alias("q")
+      .join(d.alias("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .filter(col("q.vec_id") < nQueries)
+      .select(
+        col("q.vec_id").as("q_id"),
+        col("c.vec_id").as("n_id"),
+        Parity.cosine(col("q.e"), col("c.e")).as("cosd"))
+      .select(col("q_id"), col("n_id"), relMicro.as("rel"))
+    val wCand = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("n_id"))
+    val cand = Phys.materialized(
+      scored.withColumn("rn", row_number().over(wCand)).filter(col("rn") <= MmrCandidates))
+    val sim = Phys.materialized(
+      cand
+        .select(col("q_id"), col("n_id").as("a"))
+        .join(cand.select(col("q_id"), col("n_id").as("b")), Seq("q_id"))
+        .filter(col("a") =!= col("b"))
+        .join(d.select(col("vec_id").as("a"), col("e").as("ea")), Seq("a"))
+        .join(d.select(col("vec_id").as("b"), col("e").as("eb")), Seq("b"))
+        .select(
+          col("q_id"),
+          col("a"),
+          col("b"),
+          round(Parity.cosine(col("ea"), col("eb")) * lit(1000000.0d), 0)
+            .cast("long")
+            .as("sim")))
+    var pick = Phys.materialized(
+      cand
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("n_id"), lit(1L).as("rank"), (col("rel") * 7L).as("score")))
+    var picked = pick.select(col("q_id"), col("n_id"))
+    val picks = scala.collection.mutable.ArrayBuffer(pick)
+    (2 to k).foreach { t =>
+      val stepScores = cand
+        .join(picked.select(col("q_id"), col("n_id").as("p_id")), Seq("q_id"))
+        .join(
+          sim.select(col("q_id"), col("a").as("n_id"), col("b").as("p_id"), col("sim")),
+          Seq("q_id", "n_id", "p_id"))
+        .groupBy(col("q_id"), col("n_id"), col("rel"))
+        .agg(max(col("sim")).as("maxsim"))
+        .join(picked.withColumn("is_p", lit(true)), Seq("q_id", "n_id"), "left_anti")
+        .select(col("q_id"), col("n_id"), (col("rel") * 7L - col("maxsim") * 3L).as("score"))
+      val wPick = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+      pick = Phys.materialized(
+        stepScores
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("q_id"), col("n_id"), lit(t.toLong).as("rank"), col("score")))
+      picks += pick
+      picked = Phys.materialized(picked.unionAll(pick.select(col("q_id"), col("n_id"))))
+    }
+    picks.reduce(_ unionAll _)
+  }
+
+  /** Candidate pool width for [[mmrDiversify]]. */
+  val MmrCandidates = 10
+
+  /** [[mmrDiversify]] mirrored: the greedy chain unrolled, one
+    * (scores, argmax, picked-union) CTE triple per step.
+    */
+  def mmrDiversifySql(nQueries: Int, k: Int = 5): String = {
+    val steps = (2 to k).map { t =>
+      s"""s$t AS MATERIALIZED (
+         |  SELECT c.q_id, c.n_id, 7 * c.rel - 3 * max(s.sim) AS score
+         |  FROM cand c
+         |  JOIN picked${t - 1} p ON p.q_id = c.q_id
+         |  JOIN sim s ON s.q_id = c.q_id AND s.a = c.n_id AND s.b = p.n_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM picked${t - 1} x
+         |                    WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
+         |  GROUP BY c.q_id, c.n_id, c.rel),
+         |pick$t AS MATERIALIZED (
+         |  SELECT q_id, n_id, CAST($t AS BIGINT) AS rank, score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |                                 ORDER BY score DESC, n_id) AS rn FROM s$t)
+         |  WHERE rn = 1),
+         |picked$t AS MATERIALIZED (
+         |  SELECT q_id, n_id FROM picked${t - 1} UNION ALL SELECT q_id, n_id FROM pick$t)"""
+        .stripMargin
+    }
+    val unions =
+      (1 to k).map(t => s"SELECT q_id, n_id, rank, score FROM pick$t").mkString(" UNION ALL ")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |scored AS MATERIALIZED (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         CAST(round(${Parity.cosineSql("q.e", "c.e")} * 1000000) AS BIGINT) AS rel
+       |  FROM d q JOIN d c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+       |cand AS MATERIALIZED (
+       |  SELECT q_id, n_id, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rn
+       |    FROM scored) WHERE rn <= $MmrCandidates),
+       |sim AS MATERIALIZED (
+       |  SELECT c1.q_id, c1.n_id AS a, c2.n_id AS b,
+       |         CAST(round(${Parity.cosineSql("da.e", "db.e")} * 1000000) AS BIGINT) AS sim
+       |  FROM cand c1 JOIN cand c2 ON c1.q_id = c2.q_id AND c1.n_id <> c2.n_id
+       |  JOIN d da ON da.vec_id = c1.n_id JOIN d db ON db.vec_id = c2.n_id),
+       |pick1 AS MATERIALIZED (
+       |  SELECT q_id, n_id, CAST(1 AS BIGINT) AS rank, 7 * rel AS score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |picked1 AS MATERIALIZED (SELECT q_id, n_id FROM pick1),
+       |${steps.mkString(",\n")}
+       |SELECT q_id, rank, n_id, score FROM ($unions)""".stripMargin
+  }
+
   /** [[knnEval]] mirrored. */
   def knnEvalSql(k: Int = 5): String =
     s"""WITH d AS (SELECT vec_id, CAST(label AS BIGINT) AS label,

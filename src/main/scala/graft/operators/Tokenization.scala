@@ -518,6 +518,121 @@ object Tokenization {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- WordPiece-style greedy longest-match encoder -------------------------
+
+  /** Unrolled matching steps for [[wordpieceEncode]] — one per emitted
+    * piece; 8 covers the corpus' longest word even under full
+    * character fallback (asserted by the pos-past-end fixpoint: a step
+    * on a finished word is a no-op).
+    */
+  val WordpieceMaxSteps = 8
+
+  /** WordPiece-style GREEDY LONGEST-MATCH encoding over the BPE-trained
+    * piece vocabulary — the third canonical subword algorithm next to
+    * merge-order BPE ([[bpeEncode]]) and Viterbi unigram
+    * ([[unigramEncode]]): at each position take the LONGEST vocabulary
+    * piece that matches (ties to the earliest-trained piece), falling
+    * back to single characters. Deliberately shares the BPE vocabulary
+    * so the two segmentations are comparable on identical pieces —
+    * greedy longest-match and merge-order replay genuinely differ
+    * (e.g. merges (a,b),(ab,c),(d,e) segment "dabc" as d|abc greedily
+    * but d|ab|c under merge order when (d,e) outranks nothing at
+    * position d).
+    *
+    * Scale shape: encoding runs on the DISTINCT-WORD histogram, never
+    * the corpus (the [[unigramEncode]] discipline); each of the
+    * [[WordpieceMaxSteps]] steps is a narrow codegen'd CASE chain over
+    * literal pieces — no join, no explode. Corpus-level rollups join
+    * the bounded word table back on the word key.
+    *
+    * Output per distinct word: `(word, freq, n_pieces, segs)` with
+    * `segs` the '|'-joined segmentation.
+    */
+  def wordpieceEncode(
+      spark: SparkSession,
+      docs: DataFrame,
+      nMerges: Int = 8,
+      minFreq: Long = 2L): DataFrame = {
+    val (merges, _) = trainMerges(spark, docs, nMerges, minFreq)
+    val ordered = merges
+      .map(m => (m.left + m.right, m.round))
+      .groupBy(_._1)
+      .map { case (p, g) => (p, g.map(_._2).min) }
+      .toSeq
+      .sortBy { case (p, r) => (-p.length, r, p) }
+    var st = wordHistogram(docs).select(
+      col("w"),
+      col("freq"),
+      lit(1).as("pos"),
+      lit(0L).as("np"),
+      lit("").as("segs"))
+    (1 to WordpieceMaxSteps).foreach { _ =>
+      val pieceCase = ordered
+        .foldLeft(when(lit(false), lit("")))((acc, pr) =>
+          acc.when(col("w").substr(col("pos"), lit(pr._1.length)) === pr._1, lit(pr._1)))
+        .otherwise(col("w").substr(col("pos"), lit(1)))
+      st = st
+        .withColumn("piece", when(col("pos") <= length(col("w")), pieceCase))
+        .select(
+          col("w"),
+          col("freq"),
+          when(col("piece").isNull, col("pos"))
+            .otherwise(col("pos") + length(col("piece")))
+            .as("pos"),
+          when(col("piece").isNull, col("np")).otherwise(col("np") + 1L).as("np"),
+          when(col("piece").isNull, col("segs"))
+            .otherwise(
+              when(col("segs") === "", col("piece"))
+                .otherwise(concat(col("segs"), lit("|"), col("piece"))))
+            .as("segs"))
+    }
+    st.select(col("w").as("word"), col("freq"), col("np").as("n_pieces"), col("segs"))
+  }
+
+  /** [[wordpieceEncode]] mirrored: the training CTEs build the piece
+    * table, then [[WordpieceMaxSteps]] unrolled (match, argmax-by-length,
+    * advance) steps over the word histogram.
+    */
+  def wordpieceEncodeSql(nMerges: Int = 8, minFreq: Long = 2L): String = {
+    val pieceUnion = (1 to nMerges)
+      .map(k => s"""SELECT t$k."left" || t$k."right" AS piece, $k AS rnd FROM t$k""")
+      .mkString(" UNION ALL ")
+    val steps = (1 to WordpieceMaxSteps)
+      .map { t =>
+        s"""c$t AS MATERIALIZED (
+           |  SELECT s.word, s.freq, s.pos, s.np, s.segs, p.piece, p.len,
+           |         row_number() OVER (PARTITION BY s.word
+           |                            ORDER BY p.len DESC, p.rnd) AS rn
+           |  FROM w${t - 1} s LEFT JOIN allp p
+           |    ON s.pos <= length(s.word) AND substr(s.word, s.pos, p.len) = p.piece),
+           |w$t AS MATERIALIZED (
+           |  SELECT word, freq,
+           |         CASE WHEN piece IS NULL THEN pos ELSE pos + len END AS pos,
+           |         CASE WHEN piece IS NULL THEN np ELSE np + 1 END AS np,
+           |         CASE WHEN piece IS NULL THEN segs
+           |              WHEN segs = '' THEN piece
+           |              ELSE segs || '|' || piece END AS segs
+           |  FROM c$t WHERE rn = 1)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH ${initialStatesSql(minFreq)},
+       |${trainRoundsSql(nMerges)},
+       |mp AS MATERIALIZED (
+       |  SELECT piece, CAST(min(rnd) AS BIGINT) AS rnd, length(piece) AS len
+       |  FROM ($pieceUnion) WHERE piece IS NOT NULL GROUP BY piece),
+       |wchars AS (
+       |  SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS piece
+       |  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM hist)),
+       |allp AS MATERIALIZED (
+       |  SELECT piece, len, rnd FROM mp
+       |  UNION ALL SELECT piece, 1, CAST(1000000 AS BIGINT) FROM wchars),
+       |w0 AS (SELECT w AS word, freq, 1 AS pos, CAST(0 AS BIGINT) AS np, '' AS segs
+       |       FROM hist),
+       |$steps
+       |SELECT word, CAST(freq AS BIGINT) AS freq, np AS n_pieces, segs
+       |FROM w$WordpieceMaxSteps""".stripMargin
+  }
+
   // ---- unigram (SentencePiece-style) tokenizer -----------------------------
 
   /** Trainer vocabulary cap: the unigram model trains on the TOP
