@@ -624,6 +624,10 @@ object SparkEntry {
     "ann_knn_eval" -> ((s, d) =>
       Similarity.knnEval(embs(s, d), k = 5)
         .orderBy(col("label_true"), col("label_pred"))),
+    // the same vote layer served through the train-split IVF index
+    "ann_knn_eval_ivf" -> ((s, d) =>
+      Similarity.knnEvalIvf(embs(s, d), k = 5, nProbe = 2)
+        .orderBy(col("label_true"), col("label_pred"))),
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(embs(s, d), nQueries = 50, k = 3, nProbe = 3)
         .orderBy(col("q_id"), col("rank"))),
@@ -1162,6 +1166,25 @@ object SparkEntry {
           length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"), col("valid_from"))
     }),
+    // time travel: interval lookup at v=1 over the SCD-2 history; the
+    // oracle replays latest-wins over version <= 1
+    "corpus_time_travel" -> ((s, d) => {
+      val (base, updates) = corpusVersionLog(s, d)
+      operators.Snapshot
+        .asOf(operators.Snapshot.scd2(base.unionByName(updates), "doc_id", "version"), v = 1L)
+        .select(
+          col("doc_id"),
+          col("valid_from"),
+          length(col("text")).cast("long").as("n_chars"),
+          col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+    // delta identity for an aggregated join view: stored base partials
+    // + three delta-join terms == the full-join rollup (the oracle)
+    "join_agg_incremental" -> ((s, d) =>
+      operators.Snapshot
+        .joinAggIncremental(s, table(s, d, "orders"), table(s, d, "lineitem"))
+        .orderBy(col("o_custkey"))),
     "decontaminate" -> ((s, d) => TextOps.decontaminate(docs(s, d)).orderBy(col("doc_id"))),
     "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d)).orderBy(col("doc_id"))),
     // self-trained unigram-LM scoring — the perplexity-proxy quality
@@ -1730,6 +1753,8 @@ object SparkEntry {
     // the WordPiece-style third tokenizer family, distinct-words-only
     "tok_wordpiece" -> ((s, d) =>
       operators.Tokenization.wordpieceEncode(s, docs(s, d)).orderBy(col("word"))),
+    // two-proportion A/B readout: pooled z² from five exact counts
+    "events_ab_test" -> ((s, d) => EventOps.abTest(events(s, d))),
     // first-touch vs last-touch conversion attribution in exact counts
     "events_attribution" -> ((s, d) =>
       EventOps.attribution(events(s, d)).orderBy(col("model"), col("event_type"))),
@@ -2267,6 +2292,56 @@ object SparkEntry {
        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
        |  FROM scored)
        |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** IVF-served kNN-eval oracle: Lloyd trained on the train split only
+    * (srcWhere), train-member inverted lists, held-out probes, exact
+    * cosine top-k within the probed lists, majority vote with the
+    * brute evaluator's tie-breaks.
+    */
+  private def knnEvalIvfOracleSql(k: Int, nProbe: Int): String = {
+    val last = s"c${Similarity.KmeansIters}"
+    val intE =
+      s"list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * ${Similarity.KmeansScale}) AS BIGINT))"
+    s"""WITH ${kmeansCtesSliced("", 0, Similarity.Dim, srcWhere = " WHERE vec_id % 5 <> 0")},
+       |lists AS (
+       |  SELECT vec_id AS n_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY ${kmeansScoreSql("v.ei", "c.c")} DESC, c.cid) AS rn
+       |    FROM d v CROSS JOIN $last c) WHERE rn = 1),
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |dt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $intE AS ei
+       |       FROM embeddings WHERE vec_id % 5 = 0),
+       |probes AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT t.vec_id AS q_id, c.cid,
+       |           row_number() OVER (PARTITION BY t.vec_id
+       |                              ORDER BY ${kmeansScoreSql("t.ei", "c.c")} DESC, c.cid) AS rn
+       |    FROM dt t CROSS JOIN $last c) WHERE rn <= $nProbe),
+       |topk AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT s.q_id, s.n_id,
+       |           row_number() OVER (PARTITION BY s.q_id ORDER BY s.cos DESC, s.n_id) AS rank
+       |    FROM (SELECT p.q_id, l.n_id,
+       |                 round(${Parity.cosineSql("q.e", "n.e")}, 6) AS cos
+       |          FROM probes p
+       |          JOIN lists l ON l.cid = p.cid
+       |          JOIN dt q ON q.vec_id = p.q_id
+       |          JOIN d n ON n.vec_id = l.n_id) s) WHERE rank <= $k),
+       |votes AS (
+       |  SELECT t.q_id, lq.label AS label_true, ln.label AS cand_label,
+       |         CAST(count(*) AS BIGINT) AS n_votes
+       |  FROM topk t JOIN lab lq ON lq.vec_id = t.q_id
+       |  JOIN lab ln ON ln.vec_id = t.n_id
+       |  GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT label_true, cand_label AS label_pred FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY n_votes DESC, cand_label) AS vr
+       |    FROM votes) WHERE vr = 1)
+       |SELECT label_true, label_pred, CAST(count(*) AS BIGINT) AS n
+       |FROM pred GROUP BY 1, 2""".stripMargin
   }
 
   /** IVF health oracle: retrain the deterministic quantizer inline,
@@ -3339,6 +3414,8 @@ object SparkEntry {
            |ORDER BY cid, dim""".stripMargin
       },
       "ann_ivf_trained" -> ivfTrainedOracleSql,
+      "ann_knn_eval_ivf" ->
+        s"SELECT * FROM (${knnEvalIvfOracleSql(k = 5, nProbe = 2)}) ORDER BY label_true, label_pred",
       // the stored-model probe is result-identical to the trained path:
       // the artifact is the SAME deterministic k-means, written then read
       "ann_ivf_stored" -> ivfTrainedOracleSql,
@@ -3863,6 +3940,23 @@ object SparkEntry {
           |       lead(version, 1) OVER (PARTITION BY doc_id ORDER BY version) IS NULL AS is_current,
           |       CAST(length(text) AS BIGINT) AS n_chars
           |FROM log ORDER BY doc_id, valid_from""".stripMargin,
+      "corpus_time_travel" ->
+        """WITH log AS (
+          |  SELECT doc_id, text, lang, CAST(1 AS BIGINT) AS version FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, 'UPDATED: ' || coalesce(text, ''), lang, CAST(2 AS BIGINT)
+          |  FROM documents WHERE doc_id % 7 = 0
+          |  UNION ALL
+          |  SELECT -doc_id - 1, 'NEW ' || CAST(doc_id AS VARCHAR), 'en', CAST(2 AS BIGINT)
+          |  FROM documents WHERE doc_id % 97 = 0),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+          |  FROM log WHERE version <= 1)
+          |SELECT doc_id, version AS valid_from,
+          |       CAST(length(text) AS BIGINT) AS n_chars, lang
+          |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      "join_agg_incremental" ->
+        s"SELECT * FROM (${operators.Snapshot.joinAggIncrementalSql()}) ORDER BY o_custkey",
       "decontaminate" ->
         s"""WITH sh AS (SELECT doc_id, unnest($shingleSql) AS g FROM $fromToks),
            |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % ${TextOps.BenchmarkMod} = 0),
@@ -4161,6 +4255,7 @@ object SparkEntry {
         s"SELECT * FROM (${operators.Quality.sensitivityReportSql()}) ORDER BY event_type",
       "tok_wordpiece" ->
         s"SELECT * FROM (${operators.Tokenization.wordpieceEncodeSql()}) ORDER BY word",
+      "events_ab_test" -> EventOps.abTestSql(),
       "events_attribution" ->
         s"SELECT * FROM (${EventOps.attributionSql()}) ORDER BY model, event_type",
       "ann_mmr_rerank" ->

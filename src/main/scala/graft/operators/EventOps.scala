@@ -1586,6 +1586,85 @@ object EventOps {
        |SELECT 'last_touch', coalesce(lt[3], 'none'), CAST(count(*) AS BIGINT)
        |FROM conv GROUP BY 2""".stripMargin
 
+  /** Two-proportion A/B test — the experiment readout run on every
+    * product launch: users split into arms by `user_id % 2`, a user
+    * converts if they have ≥ 1 purchase event, and the arms' rates are
+    * compared with the pooled two-proportion z statistic. The whole
+    * statistic reduces to one exact integer identity,
+    *
+    *   z² = (c₁n₂ − c₂n₁)² · N / (n₁·n₂·C·(N−C)),
+    *
+    * computed from five int64 counts — the final division is the only
+    * float op, on identical integer operands in both engines, so the
+    * micro-rounded z² is bit-stable. (A z² above ~3.84 rejects equal
+    * rates at 95% — the classic χ²₁ threshold.)
+    *
+    * One per-user aggregate then a 2-row rollup — map-side partial all
+    * the way down.
+    *
+    * Output: one row `(n_ctrl, conv_ctrl, n_treat, conv_treat,
+    * rate_ctrl_ppm, rate_treat_ppm, z2_micro)`.
+    */
+  def abTest(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .select(pmod(col("user_id"), lit(2L)).as("arm"), col("conv"))
+    perUser
+      .agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("arm") === 0L, col("conv")).otherwise(0L)).as("conv_ctrl"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === 1L, col("conv")).otherwise(0L)).as("conv_treat"))
+      .select(
+        col("n_ctrl"),
+        col("conv_ctrl"),
+        col("n_treat"),
+        col("conv_treat"),
+        expr("conv_ctrl * 1000000 div n_ctrl").as("rate_ctrl_ppm"),
+        expr("conv_treat * 1000000 div n_treat").as("rate_treat_ppm"),
+        expr(
+          """CASE WHEN (conv_ctrl + conv_treat) = 0
+            |       OR (conv_ctrl + conv_treat) = (n_ctrl + n_treat) THEN NULL
+            |     ELSE CAST(round(
+            |       1000000.0d
+            |       * CAST((conv_ctrl * n_treat - conv_treat * n_ctrl)
+            |              * (conv_ctrl * n_treat - conv_treat * n_ctrl) AS DOUBLE)
+            |       * CAST(n_ctrl + n_treat AS DOUBLE)
+            |       / (CAST(n_ctrl AS DOUBLE) * CAST(n_treat AS DOUBLE)
+            |          * CAST(conv_ctrl + conv_treat AS DOUBLE)
+            |          * CAST(n_ctrl + n_treat - conv_ctrl - conv_treat AS DOUBLE)))
+            |       AS BIGINT) END""".stripMargin).as("z2_micro"))
+  }
+
+  /** [[abTest]] mirrored. */
+  def abTestSql(): String =
+    s"""WITH pu AS (
+       |  SELECT user_id % 2 AS arm,
+       |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY user_id),
+       |a AS (
+       |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+       |         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_ctrl,
+       |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+       |         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_treat
+       |  FROM pu)
+       |SELECT n_ctrl, conv_ctrl, n_treat, conv_treat,
+       |       conv_ctrl * 1000000 // n_ctrl AS rate_ctrl_ppm,
+       |       conv_treat * 1000000 // n_treat AS rate_treat_ppm,
+       |       CASE WHEN (conv_ctrl + conv_treat) = 0
+       |              OR (conv_ctrl + conv_treat) = (n_ctrl + n_treat) THEN NULL
+       |            ELSE CAST(round(
+       |              CAST(1000000.0 AS DOUBLE)
+       |              * CAST((conv_ctrl * n_treat - conv_treat * n_ctrl)
+       |                     * (conv_ctrl * n_treat - conv_treat * n_ctrl) AS DOUBLE)
+       |              * CAST(n_ctrl + n_treat AS DOUBLE)
+       |              / (CAST(n_ctrl AS DOUBLE) * CAST(n_treat AS DOUBLE)
+       |                 * CAST(conv_ctrl + conv_treat AS DOUBLE)
+       |                 * CAST(n_ctrl + n_treat - conv_ctrl - conv_treat AS DOUBLE)))
+       |              AS BIGINT) END AS z2_micro
+       |FROM a""".stripMargin
+
   /** [[changepoint]] mirrored. */
   def changepointSql(): String =
     s"""WITH $hourlySeriesSql,

@@ -1508,6 +1508,61 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** [[knnEval]] served through the IVF index — pins the claim the
+    * brute evaluator's doc makes: the vote layer is agnostic to how the
+    * top-k was retrieved. The quantizer trains on the TRAIN split only
+    * (the held-out probes must not shape the index — the leakage rule
+    * every eval pipeline follows), train members build the inverted
+    * lists, and each held-out vector probes its `nProbe` best cells —
+    * per-query candidate work drops from |train| to ~nProbe/cells of
+    * it, the IVF bargain, at whatever recall the confusion matrix now
+    * reflects.
+    *
+    * Output: `(label_true, label_pred, n)`.
+    */
+  def knnEvalIvf(embs: DataFrame, k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val train = embs.filter(col("vec_id") % 5L =!= 0L)
+    val test = embs.filter(col("vec_id") % 5L === 0L)
+    val cents = Phys.materialized(kmeansFixed(train))
+    val lists = Phys.materialized(
+      invertedLists(train, cents)
+        .join(
+          embs.select(col("vec_id").as("n_id"), col("label").cast("long").as("cand_label")),
+          Seq("n_id")))
+    val wCell = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))
+    val probed = intEmb(test)
+      .crossJoin(broadcast(cents))
+      .select(
+        col("vec_id").as("q_id"),
+        col("cid"),
+        col("e").as("qe"),
+        cellScore(col("ei"), col("c")).as("ccos"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("cid"), col("qe"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    val wVote =
+      Window.partitionBy(col("q_id")).orderBy(col("n_votes").desc, col("cand_label"))
+    probed
+      .join(lists, Seq("cid"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        col("cand_label"),
+        round(Parity.cosine(col("qe"), col("ne")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .join(
+        test.select(col("vec_id").as("q_id"), col("label").cast("long").as("label_true")),
+        Seq("q_id"))
+      .groupBy(col("q_id"), col("label_true"), col("cand_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .groupBy(col("label_true"), col("cand_label").as("label_pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   // ---- MMR diversified re-ranking ------------------------------------------
 
   /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein,

@@ -69,4 +69,74 @@ object Snapshot {
         lead(col(version), 1).over(w).isNull.as("is_current") +:
         payload.map(col)): _*)
   }
+
+  /** Time travel: the table state AS OF version `v`, read from the
+    * [[scd2]] interval table with the one predicate the intervals
+    * exist for — `valid_from <= v < valid_to` (open-ended rows are
+    * current). The oracle REPLAYS latest-wins over the raw log
+    * restricted to `version <= v`, so parity proves the interval
+    * lookup and the replay are the same function — the identity that
+    * lets a 100 TB warehouse answer historical reads from one stored
+    * history table instead of re-merging logs per query.
+    */
+  def asOf(history: DataFrame, v: Long): DataFrame =
+    history.filter(
+      col("valid_from") <= v && (col("valid_to").isNull || col("valid_to") > v))
+
+  /** Incremental maintenance of an AGGREGATED JOIN VIEW — the delta
+    * identity every materialized revenue rollup at 100 TB refreshes
+    * by:
+    *
+    *   Δ(A ⋈ B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB
+    *
+    * The stored artifact is the aggregate partials of A_old⋈B_old
+    * (per-customer item counts and revenue cents); a refresh tick
+    * joins ONLY the delta terms — each bounded by |Δ|·fanout, never a
+    * rescan of the base join — and sum-merges into the stored rows.
+    * The oracle computes the same rollup over the FULL join, so parity
+    * proves the three-term identity, not just the aggregate. Revenue
+    * is exact integer cents (`round(extprice·(1−disc)·100)`), so the
+    * merged and recomputed views are bit-identical.
+    *
+    * Output: `(o_custkey, n_items, rev_cents)`.
+    */
+  def joinAggIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val o = orders.select(
+      col("o_orderkey").cast("long").as("okey"),
+      col("o_custkey").cast("long").as("o_custkey"))
+    val l = lineitem.select(
+      col("l_orderkey").cast("long").as("okey"),
+      expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+        .as("cents"))
+    val (oOld, dO) = (o.filter(col("okey") % 10L =!= 0L), o.filter(col("okey") % 10L === 0L))
+    val (lOld, dL) =
+      (l.filter(col("cents") % 7L =!= 0L), l.filter(col("cents") % 7L === 0L))
+    def rollup(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, Seq("okey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("rev_cents"))
+    val dir = graft.sources.Staging.freshDir("joinview-partials")
+    rollup(oOld, lOld).write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    stored
+      .unionByName(rollup(dO, lOld))
+      .unionByName(rollup(oOld, dL))
+      .unionByName(rollup(dO, dL))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_items")).as("n_items"), sum(col("rev_cents")).as("rev_cents"))
+  }
+
+  /** [[joinAggIncremental]]'s oracle: the full-join rollup the
+    * maintained view must equal.
+    */
+  def joinAggIncrementalSql(): String =
+    s"""SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       |       CAST(count(*) AS BIGINT) AS n_items,
+       |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+       |                     AS BIGINT)) AS BIGINT) AS rev_cents
+       |FROM orders JOIN lineitem ON CAST(l_orderkey AS BIGINT) = CAST(o_orderkey AS BIGINT)
+       |GROUP BY 1""".stripMargin
 }
