@@ -1755,6 +1755,19 @@ object SparkEntry {
       operators.Tokenization.wordpieceEncode(s, docs(s, d)).orderBy(col("word"))),
     // two-proportion A/B readout: pooled z² from five exact counts
     "events_ab_test" -> ((s, d) => EventOps.abTest(events(s, d))),
+    // seasonal-naive baseline scored on the last day (MAE + sMAPE ppm)
+    "events_snaive_eval" -> ((s, d) => EventOps.snaiveEval(events(s, d))),
+    // DP contribution capping: clamp per-user mass at K, report the bias
+    "pii_contribution_cap" -> ((s, d) =>
+      operators.Quality.contributionCap(events(s, d)).orderBy(col("event_type"))),
+    // column-profile drift between corpus versions (null/distinct/len)
+    "dq_profile_drift" -> ((s, d) => {
+      val (base, updates) = corpusVersionLog(s, d)
+      val v2 = operators.Snapshot.upsert(base, updates, "doc_id", "version")
+      operators.Quality
+        .profileDrift(base, v2, Seq("text", "lang"))
+        .orderBy(col("column"))
+    }),
     // first-touch vs last-touch conversion attribution in exact counts
     "events_attribution" -> ((s, d) =>
       EventOps.attribution(events(s, d)).orderBy(col("model"), col("event_type"))),
@@ -4256,6 +4269,27 @@ object SparkEntry {
       "tok_wordpiece" ->
         s"SELECT * FROM (${operators.Tokenization.wordpieceEncodeSql()}) ORDER BY word",
       "events_ab_test" -> EventOps.abTestSql(),
+      "events_snaive_eval" -> EventOps.snaiveEvalSql(),
+      "pii_contribution_cap" ->
+        s"SELECT * FROM (${operators.Quality.contributionCapSql()}) ORDER BY event_type",
+      "dq_profile_drift" -> {
+        val logSql =
+          """SELECT doc_id, text, lang, CAST(1 AS BIGINT) AS version FROM documents
+            |UNION ALL
+            |SELECT doc_id, 'UPDATED: ' || coalesce(text, ''), lang, CAST(2 AS BIGINT)
+            |FROM documents WHERE doc_id % 7 = 0
+            |UNION ALL
+            |SELECT -doc_id - 1, 'NEW ' || CAST(doc_id AS VARCHAR), 'en', CAST(2 AS BIGINT)
+            |FROM documents WHERE doc_id % 97 = 0""".stripMargin
+        val v2Sql =
+          s"""SELECT doc_id, text, lang FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+             |  FROM ($logSql)) WHERE rn = 1""".stripMargin
+        s"""SELECT * FROM (${operators.Quality.profileDriftSql(
+             "SELECT doc_id, text, lang FROM documents",
+             v2Sql,
+             Seq("text", "lang"))}) ORDER BY "column"""".stripMargin
+      },
       "events_attribution" ->
         s"SELECT * FROM (${EventOps.attributionSql()}) ORDER BY model, event_type",
       "ann_mmr_rerank" ->

@@ -1665,6 +1665,58 @@ object EventOps {
        |              AS BIGINT) END AS z2_micro
        |FROM a""".stripMargin
 
+  /** Seasonal-naive forecast evaluation — the baseline every real
+    * forecasting model must beat before it ships: predict each hour of
+    * the LAST full day as the same hour of the previous day, score
+    * against actuals with MAE and sMAPE-style ppm error. Runs on the
+    * gap-filled hourly spine ([[hourlySeries]]), so missing hours
+    * forecast and score as zeros instead of silently shortening the
+    * horizon. All errors are exact integers (|ŷ−y| sums); the single
+    * readout row divides once.
+    *
+    * Output: one row `(n_hours, mae_milli, total_actual, total_pred,
+    * smape_ppm)` — sMAPE denominator Σ(|y|+|ŷ|), NULL when that is 0.
+    */
+  def snaiveEval(events: DataFrame): DataFrame = {
+    val ser = hourlySeries(events)
+    val hi = ser.agg(max(col("h")).as("hmax"))
+    val scored = ser
+      .crossJoin(broadcast(hi))
+      .filter(col("h") > col("hmax") - 24L) // the last day = eval window
+      .select(col("h"), col("x").as("y"))
+      .join(
+        ser.select((col("h") + 24L).as("h"), col("x").as("yhat")),
+        Seq("h"),
+        "left_outer")
+      .withColumn("yhat", coalesce(col("yhat"), lit(0L)))
+    scored.agg(
+      count(lit(1)).as("n_hours"),
+      expr("sum(abs(yhat - y)) * 1000 div count(*)").as("mae_milli"),
+      sum(col("y")).as("total_actual"),
+      sum(col("yhat")).as("total_pred"),
+      when(expr("sum(abs(y) + abs(yhat))") === 0L, lit(null).cast("long"))
+        .otherwise(expr("2 * sum(abs(yhat - y)) * 1000000 div sum(abs(y) + abs(yhat))"))
+        .as("smape_ppm"))
+  }
+
+  /** [[snaiveEval]] mirrored. */
+  def snaiveEvalSql(): String =
+    s"""WITH $hourlySeriesSql,
+       |hi AS (SELECT max(h) AS hmax FROM ser),
+       |scored AS (
+       |  SELECT a.h, a.x AS y, coalesce(p.x, 0) AS yhat
+       |  FROM ser a CROSS JOIN hi
+       |  LEFT JOIN ser p ON p.h + 24 = a.h
+       |  WHERE a.h > hi.hmax - 24)
+       |SELECT CAST(count(*) AS BIGINT) AS n_hours,
+       |       CAST(sum(abs(yhat - y)) * 1000 // count(*) AS BIGINT) AS mae_milli,
+       |       CAST(sum(y) AS BIGINT) AS total_actual,
+       |       CAST(sum(yhat) AS BIGINT) AS total_pred,
+       |       CASE WHEN sum(abs(y) + abs(yhat)) = 0 THEN NULL
+       |            ELSE CAST(2 * sum(abs(yhat - y)) * 1000000
+       |                      // sum(abs(y) + abs(yhat)) AS BIGINT) END AS smape_ppm
+       |FROM scored""".stripMargin
+
   /** [[changepoint]] mirrored. */
   def changepointSql(): String =
     s"""WITH $hourlySeriesSql,

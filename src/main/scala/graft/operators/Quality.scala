@@ -329,6 +329,92 @@ object Quality {
        |       CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS max_share_ppm
        |FROM uc GROUP BY event_type""".stripMargin
 
+  /** Per-user contribution cap for [[sensitivityReport]]. */
+  val ContributionCap = 3L
+
+  /** Contribution capping — the DP pre-processing step the
+    * sensitivity report motivates: clamp every user's contribution to
+    * each statistic at [[ContributionCap]], so the released count's
+    * user-level L1 sensitivity is exactly the cap (not one heavy
+    * user's whole history). Reports the capped count next to the raw
+    * one and the clipped mass — the bias/privacy trade the analyst
+    * reads before choosing the cap. Same two-level aggregate shape as
+    * the sensitivity report.
+    *
+    * Output: `(event_type, n_raw, n_capped, n_clipped,
+    * n_users_clipped)`.
+    */
+  def contributionCap(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("c")).as("n_raw"),
+        sum(least(col("c"), lit(ContributionCap))).as("n_capped"),
+        sum(greatest(col("c") - ContributionCap, lit(0L))).as("n_clipped"),
+        sum(when(col("c") > ContributionCap, 1L).otherwise(0L)).as("n_users_clipped"))
+
+  /** [[contributionCap]] mirrored. */
+  def contributionCapSql(): String =
+    s"""WITH uc AS (
+       |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, CAST(sum(c) AS BIGINT) AS n_raw,
+       |       CAST(sum(least(c, $ContributionCap)) AS BIGINT) AS n_capped,
+       |       CAST(sum(greatest(c - $ContributionCap, 0)) AS BIGINT) AS n_clipped,
+       |       CAST(sum(CASE WHEN c > $ContributionCap THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_users_clipped
+       |FROM uc GROUP BY event_type""".stripMargin
+
+  /** Schema/profile drift between two corpus versions — the
+    * column-level diff a warehouse runs when a re-crawl lands: per
+    * column of the versioned corpus log, null rate, distinct count and
+    * mean length at v1 vs v2-current, with deltas in exact ppm/milli.
+    * The operator takes the two snapshots as DataFrames (any two
+    * versions of any table); the harness feeds it the shared
+    * [[graft.SparkEntry]] version log. |columns| output rows — a
+    * metadata-scale report off two single scans.
+    *
+    * Output: `(column, null_ppm_v1, null_ppm_v2, n_distinct_v1,
+    * n_distinct_v2, mean_len_milli_v1, mean_len_milli_v2)`.
+    */
+  def profileDrift(v1: DataFrame, v2: DataFrame, cols: Seq[String]): DataFrame = {
+    def profile(df: DataFrame, tag: String): DataFrame =
+      cols
+        .map { c =>
+          df.agg(
+              count(lit(1)).as("n"),
+              sum(when(col(c).isNull, 1L).otherwise(0L)).as("nulls"),
+              countDistinct(col(c)).as("nd"),
+              sum(length(col(c).cast("string")).cast("long")).as("len"))
+            .select(
+              lit(c).as("column"),
+              expr("nulls * 1000000 div n").as(s"null_ppm_$tag"),
+              col("nd").as(s"n_distinct_$tag"),
+              expr("len * 1000 div greatest(n - nulls, 1)").as(s"mean_len_milli_$tag"))
+        }
+        .reduce(_ unionAll _)
+    profile(v1, "v1").join(profile(v2, "v2"), Seq("column"))
+  }
+
+  /** [[profileDrift]] mirrored over the shared version-log SQL. */
+  def profileDriftSql(v1Sql: String, v2Sql: String, cols: Seq[String]): String = {
+    def profile(src: String, tag: String): String =
+      cols
+        .map(c => s"""SELECT '$c' AS "column",
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) * 1000000
+           |            // count(*) AS BIGINT) AS null_ppm_$tag,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct_$tag,
+           |       CAST(sum(length(CAST($c AS VARCHAR))) * 1000
+           |            // greatest(count(*) - sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 1)
+           |            AS BIGINT) AS mean_len_milli_$tag
+           |FROM ($src)""".stripMargin)
+        .mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (${profile(v1Sql, "v1")}) p1
+       |JOIN (${profile(v2Sql, "v2")}) p2 USING ("column")""".stripMargin
+  }
+
   /** t-closeness audit — the third privacy screen after k-anonymity
     * (group size) and l-diversity (distinct sensitive values): a group
     * can be large AND diverse yet still leak if its sensitive-value
