@@ -681,6 +681,58 @@ class PlanAuditSpec extends SparkSpec {
       s"basket pair join is not an equi-join:\n$basket")
   }
 
+  test("round-11 operators: no cartesians outside declared broadcast scalars") {
+    // the new analytics/layout/eval wave must stay equi-join/bucketed:
+    // a cartesian anywhere here is a scale bug (the only sanctioned
+    // nested-loops are broadcasts of 1-row aggregates, which plan as
+    // BroadcastNestedLoopJoin, never CartesianProduct)
+    Seq(
+      "pii_t_closeness", "train_logreg_auc", "events_acf", "events_changepoint",
+      "layout_compaction_plan", "layout_prune_report", "docs_domain_cap",
+      "sample_neyman_alloc", "events_concurrency", "events_winsorized",
+      "events_markov_eval", "dq_functional_deps", "events_attribution",
+      "events_ab_test", "pii_sensitivity", "pii_contribution_cap",
+      "tok_wordpiece", "join_agg_incremental", "corpus_time_travel",
+      "dq_profile_drift", "events_snaive_eval")
+      .foreach { q =>
+        val plan = planOf(SparkEntry.queries(q)(spark, dir))
+        assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
+      }
+  }
+
+  test("winsorized/markov eval window over compressed tables, not raw events") {
+    // winsorized: the cumulative window must consume the (type, milli)
+    // histogram aggregate — an event-grain window would sort the stream
+    val w = SparkEntry.queries("events_winsorized")(spark, dir)
+    w.collect()
+    val wPlan = w.queryExecution.executedPlan.toString
+    val winIdx = wPlan.indexOf("Window")
+    assert(winIdx >= 0 && wPlan.indexOf("HashAggregate", winIdx) > winIdx,
+      s"winsorized window not fed by the histogram:\n$wPlan")
+    // markov eval: the argmax window runs over the transition-count
+    // aggregate (|types|² rows), and the model joins back as a broadcast
+    val m = planOf(SparkEntry.queries("events_markov_eval")(spark, dir))
+    assert(m.contains("BroadcastHashJoin"), s"markov model join lost its broadcast:\n$m")
+  }
+
+  test("wordpiece runs on the distinct-word histogram: no corpus scan in the encode steps") {
+    // the encode fold must consume ONE corpus scan (the histogram);
+    // every unrolled step is a narrow projection over |distinct words|
+    val df = SparkEntry.queries("tok_wordpiece")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.split("\n").count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"wordpiece reads the corpus $scans times:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"wordpiece cartesian:\n$plan")
+  }
+
+  test("graph_msf contracts on equi-joins; stress levels join on node keys") {
+    Seq("graph_msf", "graph_stress").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
+    }
+  }
+
   test("tok_unigram_stored serving joins the broadcast artifact — no DP columns in the plan") {
     val docsDf = model.table(spark, dir, "documents")
     val modelDir = graft.operators.Tokenization.writeUnigramModel(spark, docsDf)
