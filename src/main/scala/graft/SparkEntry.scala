@@ -1755,6 +1755,74 @@ object SparkEntry {
       operators.Tokenization.wordpieceEncode(s, docs(s, d)).orderBy(col("word"))),
     // two-proportion A/B readout: pooled z² from five exact counts
     "events_ab_test" -> ((s, d) => EventOps.abTest(events(s, d))),
+    // TPC-H Q3 shape: segment + date straddle, top-10 open orders by
+    // exact-cents revenue (the classic 3-way join report)
+    "q3_shipping" -> ((s, d) =>
+      table(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .join(
+          table(s, d, "orders")
+            .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("c_custkey") === col("o_custkey"))
+        .join(
+          table(s, d, "lineitem")
+            .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+            .select(
+              col("l_orderkey"),
+              expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+                .as("cents")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+        .agg(sum(col("cents")).as("rev_cents"))
+        .orderBy(col("rev_cents").desc, col("l_orderkey"))
+        .limit(10)),
+    // TPC-H Q10 shape: returned-item revenue per customer over one
+    // order-date year, top 20
+    "q10_returns" -> ((s, d) =>
+      table(s, d, "orders")
+        .filter(
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(
+          table(s, d, "lineitem")
+            .filter(col("l_returnflag") === "R")
+            .select(
+              col("l_orderkey"),
+              expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+                .as("cents")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(
+          table(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey")),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey").cast("long").as("c_custkey"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("rev_cents"))
+        .orderBy(col("rev_cents").desc, col("c_custkey"))
+        .limit(20)),
+    // single-linkage clustering read off the MSF: cut heavy forest
+    // edges, components are the clusters (size histogram)
+    "graph_msf_clusters" -> ((s, d) => {
+      val forest = GraphOps.msf(GraphSource
+        .layeredEdges(s, d)
+        .select(
+          col("src"),
+          col("dst"),
+          expr("(least(src, dst) * 7 + greatest(src, dst) * 13) % 101").as("wn")))
+      val kept = forest.filter(col("wn") <= 50L)
+      GraphOps
+        .connectedComponents(kept.select(col("a").as("src"), col("b").as("dst")))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+    // experiment design: sample size per arm to detect the observed
+    // rate gap at alpha 0.05 / power 0.8 (normal approximation)
+    "events_ab_power" -> ((s, d) => EventOps.abPower(events(s, d))),
     // seasonal-naive baseline scored on the last day (MAE + sMAPE ppm)
     "events_snaive_eval" -> ((s, d) => EventOps.snaiveEval(events(s, d))),
     // DP contribution capping: clamp per-user mass at K, report the bias
@@ -4269,6 +4337,46 @@ object SparkEntry {
       "tok_wordpiece" ->
         s"SELECT * FROM (${operators.Tokenization.wordpieceEncodeSql()}) ORDER BY word",
       "events_ab_test" -> EventOps.abTestSql(),
+      "events_ab_power" -> EventOps.abPowerSql(),
+      "q3_shipping" ->
+        """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+          |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+          |                     AS BIGINT)) AS BIGINT) AS rev_cents
+          |FROM customer
+          |JOIN orders ON o_custkey = c_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |  AND l_shipdate > TIMESTAMP '1998-01-01'
+          |GROUP BY 1, 2
+          |ORDER BY rev_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+      "q10_returns" ->
+        """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+          |       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+          |       CAST(count(*) AS BIGINT) AS n_items,
+          |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+          |                     AS BIGINT)) AS BIGINT) AS rev_cents
+          |FROM orders
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN customer ON c_custkey = o_custkey
+          |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |  AND l_returnflag = 'R'
+          |GROUP BY 1, 2
+          |ORDER BY rev_cents DESC, c_custkey LIMIT 20""".stripMargin,
+      "graph_msf_clusters" ->
+        s"""WITH RECURSIVE msf AS MATERIALIZED (
+           |  SELECT * FROM (${GraphOps.msfSql(GraphSource.layeredEdgesSql, "(a * 7 + b * 13) % 101")})
+           |  WHERE wn <= 50),
+           |und AS MATERIALIZED (SELECT a AS s, b AS d FROM msf UNION SELECT b, a FROM msf),
+           |reach(id, lab) AS (
+           |  SELECT s, s FROM und
+           |  UNION
+           |  SELECT u.d, r.lab FROM reach r JOIN und u ON u.s = r.id),
+           |comp AS (SELECT id, min(lab) AS c FROM reach GROUP BY id),
+           |sizes AS (SELECT c, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY c)
+           |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+           |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin,
       "events_snaive_eval" -> EventOps.snaiveEvalSql(),
       "pii_contribution_cap" ->
         s"SELECT * FROM (${operators.Quality.contributionCapSql()}) ORDER BY event_type",

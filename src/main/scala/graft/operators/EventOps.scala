@@ -1637,6 +1637,85 @@ object EventOps {
             |       AS BIGINT) END""".stripMargin).as("z2_micro"))
   }
 
+  /** Experiment design from observed rates — the sample-size question
+    * that follows every underpowered A/B readout: with the two arms'
+    * observed conversion rates as the planning assumption, the normal-
+    * approximation sample size per arm to detect that gap at two-sided
+    * α = 0.05 with power 0.8 is
+    *
+    *   n = ⌈(z_α·√(2·p̄(1−p̄)) + z_β·√(p₁(1−p₁)+p₂(1−p₂)))² / (p₁−p₂)²⌉.
+    *
+    * The z constants are fixed literals; every other operand derives
+    * from the five exact counts by the SAME float-op sequence in both
+    * engines (sqrt/division are correctly-rounded IEEE), so even this
+    * all-double formula is bit-stable. NULL when the observed gap is 0.
+    *
+    * Output: one row `(rate_ctrl_ppm, rate_treat_ppm, n_per_arm)`.
+    */
+  def abPower(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .select(pmod(col("user_id"), lit(2L)).as("arm"), col("conv"))
+    perUser
+      .agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0L, col("conv")).otherwise(0L)).as("c1"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("arm") === 1L, col("conv")).otherwise(0L)).as("c2"))
+      .select(
+        expr("c1 * 1000000 div n1").as("rate_ctrl_ppm"),
+        expr("c2 * 1000000 div n2").as("rate_treat_ppm"),
+        expr(s"""CASE WHEN c1 * n2 = c2 * n1 THEN NULL ELSE CAST(ceil(
+          |  (($ZAlpha * sqrt(CAST(2 AS DOUBLE) * ((CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+          |      * (CAST(1 AS DOUBLE) - (CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+          |    + $ZBeta * sqrt(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+          |      + CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))))
+          |   * ($ZAlpha * sqrt(CAST(2 AS DOUBLE) * ((CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+          |      * (CAST(1 AS DOUBLE) - (CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+          |    + $ZBeta * sqrt(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+          |      + CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))))
+          |  / ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+          |     * (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+          |) AS BIGINT) END""".stripMargin).as("n_per_arm"))
+  }
+
+  /** z constants for [[abPower]] (two-sided α 0.05; power 0.8). */
+  val ZAlpha = "1.959963985"
+  val ZBeta = "0.841621234"
+
+  /** [[abPower]] mirrored: the identical expression text with DuckDB's
+    * integer-division spelling.
+    */
+  def abPowerSql(): String = {
+    val body = s"""(($ZAlpha * sqrt(CAST(2 AS DOUBLE) * ((CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+      |      * (CAST(1 AS DOUBLE) - (CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+      |    + $ZBeta * sqrt(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |      + CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))))
+      |   * ($ZAlpha * sqrt(CAST(2 AS DOUBLE) * ((CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+      |      * (CAST(1 AS DOUBLE) - (CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+      |    + $ZBeta * sqrt(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |      + CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))))
+      |  / ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |     * (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))""".stripMargin
+    s"""WITH pu AS (
+       |  SELECT user_id % 2 AS arm,
+       |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY user_id),
+       |a AS (
+       |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c1,
+       |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c2
+       |  FROM pu)
+       |SELECT c1 * 1000000 // n1 AS rate_ctrl_ppm,
+       |       c2 * 1000000 // n2 AS rate_treat_ppm,
+       |       CASE WHEN c1 * n2 = c2 * n1 THEN NULL ELSE CAST(ceil(
+       |$body
+       |) AS BIGINT) END AS n_per_arm
+       |FROM a""".stripMargin
+  }
+
   /** [[abTest]] mirrored. */
   def abTestSql(): String =
     s"""WITH pu AS (
