@@ -2870,28 +2870,71 @@ object GraphOps {
     * each an independent deletion-cascade loop over the shared
     * incremental patchLoop, integer-exact and engine-deterministic.
     *
-    * Scale shape: K−1 independent peel loops (each the [[kCore]]
-    * shape: per-round one frontier join + hash aggregate on the
-    * surviving degree), then K−1 id-keyed joins of |V|-row flag
-    * tables. The sequential bucket-peel (Matula–Beck) is O(E) on one
-    * machine but inherently serial; the per-k cascade form is what
-    * distributes.
+    * Scale shape: K−1 SEQUENTIAL peel loops over a SHRINKING graph —
+    * the nesting property cuts both ways: the k-core of G is the
+    * k-core of the (k−1)-core's induced subgraph, so each peel starts
+    * from the previous survivors' edges instead of the full graph,
+    * and the undirected materialization is paid once, not K−1 times.
+    * On the harness graph the k = 2 cascade dominates (its input is
+    * the full graph either way — measured ≈ flat at sf0.1 under
+    * ambient load), but on a graph whose cores shrink early the
+    * restart-from-survivors form is the one that survives 100×. The
+    * sequential bucket-peel (Matula–Beck) is O(E) on one machine but
+    * inherently serial; the per-k cascade form is what distributes.
     *
     * Output: `(id, coreness)` for every node of the undirected simple
     * graph.
     */
   def corenessTable(edges: DataFrame, maxK: Int = CorenessMaxK): DataFrame = {
-    val cores = (2 to maxK).map { k =>
-      kCore(edges, k).select(col("id"), col("in_core").cast("long").as(s"c$k"))
+    val session = edges.sparkSession
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+    val parts = loopPartitions(session, edges.count() * 2)
+    withLoopConfs(session, parts) {
+      val simple = Phys.materialized(
+        edges
+          .filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+          .distinct())
+      var und = ckpt(
+        simple
+          .select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(simple.select(col("b").as("src"), col("a").as("dst")))
+          .repartition(parts, col("src")))
+      var result =
+        ckpt(und.select(col("src").as("id")).distinct().withColumn("coreness", lit(1L)))
+      var k = 2
+      var survivors = -1L
+      while (k <= maxK && survivors != 0L) {
+        val base0 = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        val kk = k
+        val state = patchLoop(
+          base0,
+          b =>
+            b.filter(col("deg") < kk)
+              .select(col("id"), lit(-1L).as("p_val"), lit(true).as("p_upd")),
+          valCol = "deg",
+          trackReached = false,
+          maxRounds = Long.MaxValue)(kCoreDelta(_, _, und, kk))
+        val core = ckpt(state.filter(col("deg") >= 0).select(col("id")))
+        survivors = core.count()
+        if (survivors > 0L) {
+          result = ckpt(
+            result
+              .join(core.withColumn("inc", lit(1L)), Seq("id"), "left_outer")
+              .select(col("id"), (col("coreness") + coalesce(col("inc"), lit(0L))).as("coreness")))
+          und = ckpt(
+            und
+              .join(core.select(col("id").as("src")), Seq("src"), "left_semi")
+              .join(core.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+        }
+        k += 1
+      }
+      require(
+        survivors == 0L,
+        s"non-empty $maxK-core: the graph's degeneracy outgrew CorenessMaxK — raise the cap")
+      result
     }
-    require(
-      cores.last.filter(col(s"c$maxK") === 1L).limit(1).count() == 0L,
-      s"non-empty $maxK-core: the graph's degeneracy outgrew CorenessMaxK — raise the cap")
-    cores
-      .reduce((a, b) => a.join(b, Seq("id")))
-      .select(
-        col("id"),
-        (2 to maxK).map(k => col(s"c$k")).foldLeft(lit(1L))(_ + _).as("coreness"))
   }
 
   /** Continuous-approximation power-law MLE over the undirected degree

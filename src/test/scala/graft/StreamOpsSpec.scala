@@ -589,4 +589,49 @@ class StreamOpsSpec extends SparkSpec {
     })
     graft.sources.Staging.cleanup(spark)
   }
+
+  test("streaming domain cap: the admission counter persists ACROSS batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf
+      .set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Long, Long)] // (source, doc_id, n_chars)
+      val ckpt = java.nio.file.Files.createTempDirectory("domcap-ckpt")
+      val q = input
+        .toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.DomainCapProcessor(3L),
+          TimeMode.None(),
+          OutputMode.Update())
+        .toDF("source", "n_seen", "n_admitted", "last_admitted", "admitted_chars")
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .option("checkpointLocation", ckpt.toString)
+        .queryName("domcap_out")
+        .start()
+      try {
+        // batch 1 admits 2 of 2 — quota 3 not yet reached
+        input.addData(("s", 1L, 10L), ("s", 2L, 20L))
+        q.processAllAvailable()
+        // batch 2: only ONE more admission is left; the stateless gate
+        // would wrongly admit all three
+        input.addData(("s", 3L, 30L), ("s", 4L, 40L), ("s", 5L, 50L))
+        q.processAllAvailable()
+        val rows = spark
+          .table("domcap_out")
+          .collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        assert(rows.contains((2L, 2L, 2L, 30L)), "batch 1: both admitted")
+        assert(rows.last === ((5L, 3L, 3L, 60L)),
+          "batch 2: exactly one more admitted (doc 3, the smallest id), quota closed")
+      } finally q.stop()
+    } finally spark.conf.set(key, prev)
+  }
 }
