@@ -1802,6 +1802,115 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("rev_cents"))
         .orderBy(col("rev_cents").desc, col("c_custkey"))
         .limit(20)),
+    // TPC-H Q6 shape: single-scan predicate revenue — the pure
+    // pushdown/codegen benchmark (discount band compared on exact
+    // integer percent, never raw doubles)
+    "q6_forecast" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            expr("CAST(round(l_discount * 100) AS BIGINT) BETWEEN 2 AND 6") &&
+            col("l_quantity") < 24)
+        .agg(
+          sum(expr("CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)"))
+            .as("revenue_cents"),
+          count(lit(1)).as("n_rows"))),
+    // TPC-H Q5 shape: regional local-supplier volume — the 6-table
+    // star join keyed so customer and supplier share a nation; fact
+    // joins shuffle on their own keys, dims broadcast under AQE
+    "q5_local_supplier" -> ((s, d) => {
+      val asiaNations = table(s, d, "nation")
+        .join(
+          table(s, d, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      table(s, d, "lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+            .as("cents"))
+        .join(
+          table(s, d, "orders")
+            .filter(
+              col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(
+          table(s, d, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(
+          table(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("cents")).as("rev_cents"))
+        .orderBy(col("rev_cents").desc, col("n_name"))
+    }),
+    // TPC-H Q4 shape: order priority with a late-shipment EXISTS —
+    // the semi-join never widens the orders row, one bit per order
+    "q4_priority" -> ((s, d) =>
+      table(s, d, "orders")
+        .filter(
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(
+          table(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))),
+    // TPC-H Q14 shape: promo revenue share in exact ppm (the
+    // cents*1e6 product stays in BIGINT range below ~9e12 total
+    // cents per window — per-month windows keep it there at scale)
+    "q14_promo" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(
+          col("l_partkey"),
+          expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+            .as("cents"))
+        .join(
+          table(s, d, "part").select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("cents")).otherwise(lit(0L)))
+            .as("promo_cents"),
+          sum(col("cents")).as("total_cents"))
+        .select(
+          col("promo_cents"),
+          col("total_cents"),
+          expr("promo_cents * 1000000 div total_cents").as("promo_ppm"))),
+    // TPC-H Q18 shape: large-volume orders — the having-filter runs
+    // on the lineitem aggregate BEFORE any dimension join, so only
+    // qualifying orders ever reach orders/customer
+    "q18_big_orders" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 300)
+        .join(
+          table(s, d, "orders").select(
+            col("o_orderkey"), col("o_custkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(
+          table(s, d, "customer").select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(
+          col("c_custkey").cast("long").as("c_custkey"),
+          col("l_orderkey").cast("long").as("l_orderkey"),
+          col("odate"),
+          expr("CAST(round(qty) AS BIGINT)").as("total_qty"))
+        .orderBy(col("total_qty").desc, col("l_orderkey"))
+        .limit(20)),
     // single-linkage clustering read off the MSF: cut heavy forest
     // edges, components are the clusters (size histogram)
     "graph_msf_clusters" -> ((s, d) => {
@@ -4364,6 +4473,65 @@ object SparkEntry {
           |  AND l_returnflag = 'R'
           |GROUP BY 1, 2
           |ORDER BY rev_cents DESC, c_custkey LIMIT 20""".stripMargin,
+      "q6_forecast" ->
+        """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+          |            AS BIGINT) AS revenue_cents,
+          |       CAST(count(*) AS BIGINT) AS n_rows
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01'
+          |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 2 AND 6
+          |  AND l_quantity < 24""".stripMargin,
+      "q5_local_supplier" ->
+        """SELECT n_name,
+          |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+          |                     AS BIGINT)) AS BIGINT) AS rev_cents
+          |FROM lineitem
+          |JOIN orders ON o_orderkey = l_orderkey
+          |JOIN customer ON c_custkey = o_custkey
+          |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+          |JOIN nation ON n_nationkey = c_nationkey
+          |JOIN region ON r_regionkey = n_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |GROUP BY n_name
+          |ORDER BY rev_cents DESC, n_name""".stripMargin,
+      "q4_priority" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin,
+      "q14_promo" ->
+        """WITH j AS (
+          |  SELECT CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+          |           AS cents,
+          |         p_type
+          |  FROM lineitem JOIN part ON p_partkey = l_partkey
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |    AND l_shipdate < TIMESTAMP '1998-01-01')
+          |SELECT promo_cents, total_cents,
+          |       promo_cents * 1000000 // total_cents AS promo_ppm
+          |FROM (
+          |  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+          |              AS BIGINT) AS promo_cents,
+          |         CAST(sum(cents) AS BIGINT) AS total_cents
+          |  FROM j)""".stripMargin,
+      "q18_big_orders" ->
+        """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+          |       CAST(l_orderkey AS BIGINT) AS l_orderkey,
+          |       strftime(o_orderdate, '%Y-%m-%d') AS odate,
+          |       CAST(round(qty) AS BIGINT) AS total_qty
+          |FROM (SELECT l_orderkey, sum(l_quantity) AS qty
+          |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+          |JOIN orders ON o_orderkey = l_orderkey
+          |JOIN customer ON c_custkey = o_custkey
+          |ORDER BY total_qty DESC, l_orderkey LIMIT 20""".stripMargin,
       "graph_msf_clusters" ->
         s"""WITH RECURSIVE msf AS MATERIALIZED (
            |  SELECT * FROM (${GraphOps.msfSql(GraphSource.layeredEdgesSql, "(a * 7 + b * 13) % 101")})

@@ -700,6 +700,26 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("TPC-H report shapes: equi-joins only, Q18 having-filter precedes the dim joins") {
+    Seq("q6_forecast", "q5_local_supplier", "q4_priority", "q14_promo", "q18_big_orders")
+      .foreach { q =>
+        val plan = planOf(SparkEntry.queries(q)(spark, dir))
+        assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
+      }
+    // Q4's EXISTS must stay a semi-join (one bit per order, never a widening join)
+    val q4 = planOf(SparkEntry.queries("q4_priority")(spark, dir))
+    assert(q4.contains("LeftSemi"), s"q4 EXISTS lost its semi-join:\n$q4")
+    // Q18: the qty aggregate + having must run before orders/customer join —
+    // only qualifying orders reach the dimension side
+    val q18 = SparkEntry.queries("q18_big_orders")(spark, dir)
+    q18.collect()
+    val p18 = q18.queryExecution.executedPlan.toString
+    val joinIdx = p18.indexOf("Join")
+    val aggIdx = p18.lastIndexOf("HashAggregate")
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"q18 having-aggregate does not precede the joins:\n$p18")
+  }
+
   test("winsorized/markov eval window over compressed tables, not raw events") {
     // winsorized: the cumulative window must consume the (type, milli)
     // histogram aggregate — an event-grain window would sort the stream
