@@ -393,6 +393,10 @@ object SparkEntry {
         .orderBy(col("id"))),
     "triangle_count" -> ((s, d) =>
       GraphOps.triangleCount(GraphSource.lineitemEdges(s, d))),
+    // FW-BW pivot SCC: two bitmask sweeps (forward + transpose), the
+    // component is the intersection, the rest splits up/downstream
+    "graph_scc_pivot" -> ((s, d) =>
+      GraphOps.sccPivot(GraphSource.layeredEdges(s, d)).orderBy(col("id"))),
     // approximate neighborhood function: K FM bitmasks OR-merged per hop,
     // next to the exact ball-size sum (Palmer et al. KDD'02)
     "graph_anf" -> ((s, d) =>
@@ -2240,6 +2244,8 @@ object SparkEntry {
     // bitmask OR-propagation, rounds unrolled on the same distinct edges
     "graph_msbfs" ->
       GraphOps.multiSourceBfsSql(GraphSource.lineitemEdgesSql, nSources = 48, rounds = 4),
+    "graph_scc_pivot" ->
+      s"SELECT * FROM (\n${GraphOps.sccPivotSql(GraphSource.layeredEdgesSql)}\n) ORDER BY id",
     // FM-bitmask neighborhood function, rounds unrolled on the same edges
     "graph_anf" ->
       GraphOps.anfSql(GraphSource.lineitemEdgesSql, nSketches = 8, rounds = 2),

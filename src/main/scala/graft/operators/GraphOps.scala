@@ -3267,4 +3267,85 @@ object GraphOps {
        |       CAST(sum(sigma * g) AS BIGINT) AS stress
        |FROM ($levUnion) GROUP BY id HAVING sum(sigma * g) > 0""".stripMargin
   }
+
+  // ---- strongly connected component of a pivot (FW-BW) ---------------------
+
+  /** Pivot SCC by forward-backward reachability (the FW-BW step of
+    * Fleischer/Hendrickson/Pinar 2000): the strongly connected
+    * component containing the pivot node (id 1) is exactly
+    * fwd-reach(pivot) ∩ bwd-reach(pivot), and the remaining reached
+    * nodes split into pure downstream (forward-only) and pure upstream
+    * (backward-only) — the reachability-structure report a curation
+    * user reads to understand how a derived graph hangs together
+    * (does the reference-graph core cycle, or is it a DAG?).
+    *
+    * Both sweeps ride [[multiSourceBfs]]'s adaptive bitmask loop
+    * (nSources = 1): the edge list is exchanged once per direction and
+    * reused every round, rounds early-exit on an empty changed set, so
+    * a `rounds` budget beyond the true eccentricity costs nothing on
+    * the engine side. At 100 TB this is two edge-linear sweeps plus
+    * one id-keyed full-outer join of the (typically far smaller)
+    * reached sets — no pair table, no per-node BFS.
+    *
+    * Output: `(id, in_fwd, in_bwd, cls)` for every node reached in
+    * either direction; `cls` ∈ scc | downstream | upstream. The pivot
+    * itself lands in `scc` (seeded in both sweeps).
+    */
+  def sccPivot(edges: DataFrame, rounds: Int = 12): DataFrame = {
+    val fwd = multiSourceBfs(edges.select(col("src"), col("dst")), 1, rounds)
+      .select(col("id"), lit(1L).as("f"))
+    val bwd = multiSourceBfs(
+      edges.select(col("dst").as("src"), col("src").as("dst")), 1, rounds)
+      .select(col("id").as("bid"), lit(1L).as("b"))
+    fwd
+      .join(bwd, col("id") === col("bid"), "full_outer")
+      .select(
+        coalesce(col("id"), col("bid")).as("id"),
+        coalesce(col("f"), lit(0L)).as("in_fwd"),
+        coalesce(col("b"), lit(0L)).as("in_bwd"),
+        when(col("f").isNotNull && col("b").isNotNull, lit("scc"))
+          .when(col("f").isNotNull, lit("downstream"))
+          .otherwise(lit("upstream"))
+          .as("cls"))
+  }
+
+  /** [[sccPivot]] mirrored: two unrolled mask sweeps (forward and on
+    * the transposed edge list) full-outer-joined. Round CTEs are
+    * MATERIALIZED — each is referenced twice (carry + expand), and
+    * DuckDB would otherwise inline the chain 2^rounds times.
+    */
+  def sccPivotSql(edgesSql: String, rounds: Int = 12): String = {
+    def sweep(esql: String, p: String): String = {
+      val roundCtes = (1 to rounds)
+        .map { k =>
+          s"""${p}m$k AS MATERIALIZED (
+             |  SELECT id, bit_or(mask) AS mask FROM (
+             |    SELECT id, mask FROM ${p}m${k - 1}
+             |    UNION ALL
+             |    SELECT e.dst AS id, m.mask FROM ${p}m${k - 1} m
+             |    JOIN ${p}e e ON m.id = e.src WHERE m.mask <> 0)
+             |  GROUP BY id)""".stripMargin
+        }
+        .mkString(",\n")
+      s"""${p}raw AS ($esql),
+         |${p}e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ${p}raw),
+         |${p}nodes AS (SELECT src AS id FROM ${p}e UNION SELECT dst FROM ${p}e),
+         |${p}m0 AS (
+         |  SELECT id, CASE WHEN id = 1 THEN CAST(1 AS BIGINT)
+         |                  ELSE CAST(0 AS BIGINT) END AS mask
+         |  FROM ${p}nodes),
+         |$roundCtes,
+         |${p}w AS (SELECT id FROM ${p}m$rounds WHERE mask <> 0)""".stripMargin
+    }
+    val revSql = s"SELECT dst AS src, src AS dst FROM ($edgesSql)"
+    s"""WITH ${sweep(edgesSql, "f")},
+       |${sweep(revSql, "b")}
+       |SELECT coalesce(f.id, b.id) AS id,
+       |       CAST(CASE WHEN f.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_fwd,
+       |       CAST(CASE WHEN b.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_bwd,
+       |       CASE WHEN f.id IS NOT NULL AND b.id IS NOT NULL THEN 'scc'
+       |            WHEN f.id IS NOT NULL THEN 'downstream'
+       |            ELSE 'upstream' END AS cls
+       |FROM fw f FULL JOIN bw b ON f.id = b.id""".stripMargin
+  }
 }

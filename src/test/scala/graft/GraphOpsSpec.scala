@@ -545,4 +545,20 @@ class GraphOpsSpec extends SparkSpec {
     // a shortest-path DAG edge (dist(3)=1 != dist(2)+1)
     assert(out === Map(3L -> 1L))
   }
+
+  test("sccPivot classifies the pivot cycle, downstream tail, and upstream feeder") {
+    import spark.implicits._
+    // cycle 1->2->3->1 (the pivot SCC), 3->4 (downstream), 5->1 (upstream);
+    // 6<->7 is a separate SCC — unreached, must be absent entirely
+    val e = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 1L), (6L, 7L), (7L, 6L))
+      .toDF("src", "dst")
+    val out = GraphOps
+      .sccPivot(e, rounds = 6)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(3))
+      .toMap
+    assert(out === Map(
+      1L -> "scc", 2L -> "scc", 3L -> "scc", 4L -> "downstream", 5L -> "upstream"))
+  }
 }
