@@ -1980,6 +1980,9 @@ object SparkEntry {
     // exact AUC of the trained logreg scorer: Mann-Whitney over the
     // integer-score histogram, tie-corrected, no pair enumeration
     "train_logreg_auc" -> ((s, d) => operators.Training.logregAuc(docs(s, d))),
+    // the AUC scalar unrolled into its 10 ranking-decile operating
+    // points: precision/recall at tie-group-boundary threshold cuts
+    "train_logreg_pr" -> ((s, d) => operators.Training.logregPrCurve(docs(s, d))),
     // sample ACF of the gap-filled hourly count series, lags 1..6
     "events_acf" -> ((s, d) => EventOps.acf(events(s, d)).orderBy(col("lag"))),
     // retrospective single changepoint: max scaled CUSUM deviation
@@ -4587,6 +4590,7 @@ object SparkEntry {
       "pii_t_closeness" ->
         s"SELECT * FROM (${operators.Quality.tClosenessSql()}) ORDER BY c_nationkey, bal_band",
       "train_logreg_auc" -> operators.Training.logregAucSql(toks),
+      "train_logreg_pr" -> operators.Training.logregPrCurveSql(toks),
       "events_acf" -> s"SELECT * FROM (${EventOps.acfSql()}) ORDER BY lag",
       "events_changepoint" -> EventOps.changepointSql(),
       "layout_compaction_plan" ->

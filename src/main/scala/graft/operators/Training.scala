@@ -1112,4 +1112,104 @@ object Training {
        |       CAST((2 * sum(p_s * cumneg) + sum(p_s * n_s)) * 500000
        |         // (sum(p_s) * sum(n_s)) AS BIGINT) AS auc_ppm
        |FROM cum""".stripMargin
+
+  /** Precision/recall operating points of the trained logreg scorer at
+    * ten ranking-decile cuts — the curve a threshold-picking user reads
+    * next to [[logregAuc]]'s single scalar.
+    *
+    * Each decile d's operating point is the tie-group boundary where
+    * the top ceil(d·N/10) ranked rows end: keep-all-rows-with
+    * score ≥ that group's score. Anchoring to the tie-group edge (not
+    * an arbitrary within-group cut) is what keeps tp/fp exact and
+    * engine-independent when a tie group straddles the decile line.
+    *
+    * Scale shape: identical to [[logregAuc]] — one scoring scan, one
+    * hash aggregate to the bounded distinct-score histogram, a window
+    * over the histogram, then a 10-row broadcast cut table probes it;
+    * nothing row-grain crosses an exchange after the aggregate.
+    *
+    * Output: 10 rows `(decile, thr_score, n_kept, tp, precision_ppm,
+    * recall_ppm)` — precision = tp/kept, recall = tp/P, exact ppm.
+    */
+  def logregPrCurve(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val raw = logregRaw(docs).persist()
+    val (m1, m2) = logregMeans(raw)
+    val f = raw.select(col("y"), (col("x1r") - lit(m1)).as("x1"), (col("x2r") - lit(m2)).as("x2"))
+    val n = raw.count()
+    val w = trainWeights(f, n, iters)
+    val scored = raw.select(
+      col("y"),
+      (lit(w(0)) + lit(w(1)) * (col("x1r") - lit(m1)) + lit(w(2)) * (col("x2r") - lit(m2)))
+        .as("score"))
+    raw.unpersist()
+    val hist = scored
+      .groupBy(col("score"))
+      .agg(sum(col("y")).as("p_s"), sum(lit(1L) - col("y")).as("n_s"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cumpos", sum(col("p_s")).over(win))
+      .withColumn("cumall", sum(col("p_s") + col("n_s")).over(win))
+    val tot = hist.agg(
+      sum(col("p_s")).as("p_tot"),
+      sum(col("p_s") + col("n_s")).as("n_tot"))
+    val cuts = broadcast(
+      docs.sparkSession
+        .range(1, 11)
+        .select(col("id").as("decile"))
+        .crossJoin(tot)
+        .select(
+          col("decile"),
+          expr("(decile * n_tot + 9) div 10").as("cut_n"),
+          col("p_tot")))
+    cum
+      .join(
+        cuts,
+        col("cut_n") > col("cumall") - (col("p_s") + col("n_s")) &&
+          col("cut_n") <= col("cumall"))
+      .select(
+        col("decile"),
+        col("score").as("thr_score"),
+        col("cumall").as("n_kept"),
+        col("cumpos").as("tp"),
+        expr("cumpos * 1000000 div cumall").as("precision_ppm"),
+        expr("cumpos * 1000000 div p_tot").as("recall_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  /** [[logregPrCurve]] mirrored: shared training CTEs, the identical
+    * histogram cumulative, and the same tie-group-boundary cut rule.
+    */
+  def logregPrCurveSql(toksSql: String, iters: Int = 3): String =
+    s"""${logregCtes(toksSql, iters)},
+       |scored AS (
+       |  SELECT r.y,
+       |         w.w0 + w.w1 * (r.x1r - mm.m1) + w.w2 * (r.x2r - mm.m2) AS score
+       |  FROM raw r CROSS JOIN w$iters w CROSS JOIN mm),
+       |hist AS (
+       |  SELECT score, CAST(sum(y) AS BIGINT) AS p_s,
+       |         CAST(sum(1 - y) AS BIGINT) AS n_s
+       |  FROM scored GROUP BY score),
+       |cum AS (
+       |  SELECT score, p_s, n_s,
+       |         CAST(sum(p_s) OVER (ORDER BY score DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumpos,
+       |         CAST(sum(p_s + n_s) OVER (ORDER BY score DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumall
+       |  FROM hist),
+       |tot AS (
+       |  SELECT CAST(sum(p_s) AS BIGINT) AS p_tot,
+       |         CAST(sum(p_s + n_s) AS BIGINT) AS n_tot
+       |  FROM hist),
+       |cuts AS (
+       |  SELECT CAST(d AS BIGINT) AS decile,
+       |         (CAST(d AS BIGINT) * n_tot + 9) // 10 AS cut_n, p_tot
+       |  FROM generate_series(1, 10) t(d) CROSS JOIN tot)
+       |SELECT c.decile, u.score AS thr_score, u.cumall AS n_kept, u.cumpos AS tp,
+       |       u.cumpos * 1000000 // u.cumall AS precision_ppm,
+       |       u.cumpos * 1000000 // c.p_tot AS recall_ppm
+       |FROM cuts c JOIN cum u
+       |  ON c.cut_n > u.cumall - (u.p_s + u.n_s) AND c.cut_n <= u.cumall
+       |ORDER BY c.decile""".stripMargin
 }

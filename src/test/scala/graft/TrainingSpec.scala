@@ -161,4 +161,23 @@ class TrainingSpec extends SparkSpec {
     // monotone: balls only grow with h
     assert(out(0).getLong(1) < out(1).getLong(1))
   }
+
+  test("logreg PR curve: kept/tp monotone in decile, final recall is total") {
+    val docs = graft.model.table(spark, "/root/testdata/sf0.001", "documents")
+    val rows = operators.Training.logregPrCurve(docs).collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
+    val kept = rows.map(_.getLong(2))
+    val tp = rows.map(_.getLong(3))
+    // deeper cut ⇒ at least as many kept and at least as many true positives
+    assert(kept.zip(kept.tail).forall { case (a, b) => a <= b }, kept.toSeq)
+    assert(tp.zip(tp.tail).forall { case (a, b) => a <= b }, tp.toSeq)
+    // decile 10 keeps everything: recall hits exactly 1e6 ppm
+    assert(rows.last.getLong(5) === 1000000L)
+    // recall never exceeds 1e6; precision valid ppm
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L)
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000000L)
+    }
+  }
 }
