@@ -952,6 +952,10 @@ object SparkEntry {
     "emb_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(embs(s, d), nQueries = 20, k = 3)
         .orderBy(col("q_id"), col("rank"))),
+    // cell-blocked approximate kNN graph with the mutual-edge flag —
+    // the graph-based-curation substrate, per-cell quadratic only
+    "emb_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(embs(s, d)).orderBy(col("vec_id"), col("nbr_rank"))),
     // mislabeled-data mining: per label, the k vectors least similar to
     // their own label centroid
     "emb_outliers" -> ((s, d) =>
@@ -2680,6 +2684,35 @@ object SparkEntry {
        |ORDER BY g.vec_id""".stripMargin
   }
 
+  /** Oracle for `emb_knn_graph`: the same Lloyd assignment as the
+    * semantic-dedup oracle, then per-vector top-k by (cos desc, nbr)
+    * within the cell and the flipped-key self-join for `mutual`.
+    */
+  private def knnGraphOracleSql: String = {
+    val last = s"c${Similarity.KmeansIters}"
+    s"""WITH ${kmeansCtesSliced("", 0, Similarity.Dim, graft.operators.Dedup.SemanticCells)},
+       |cs AS (SELECT v.vec_id, c.cid, ${kmeansScoreSql("v.ei", "c.c")} AS ccos
+       |       FROM d v CROSS JOIN $last c),
+       |asg AS (SELECT vec_id, cid FROM (
+       |          SELECT vec_id, cid,
+       |                 row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |          FROM cs) WHERE rn = 1),
+       |cand AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+       |         round(${graft.functions.Parity.cosineSql("da.e", "db.e")}, 6) AS cos
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |  JOIN d da ON da.vec_id = a.vec_id
+       |  JOIN d db ON db.vec_id = b.vec_id),
+       |top AS (
+       |  SELECT vec_id, nbr_id, CAST(rn AS BIGINT) AS nbr_rank, cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rn
+       |    FROM cand) WHERE rn <= 3)
+       |SELECT t.vec_id, t.nbr_id, t.nbr_rank, t.cos,
+       |       (r.vec_id IS NOT NULL) AS mutual
+       |FROM top t LEFT JOIN top r ON r.vec_id = t.nbr_id AND r.nbr_id = t.vec_id
+       |ORDER BY t.vec_id, t.nbr_rank""".stripMargin
+  }
+
   /** The unrolled Lloyd CTE chain over a contiguous embedding slice
     * (`[lo0+1 .. lo0+dim]`, full vector when sfx is empty) with every CTE
     * name suffixed — lets the PQ oracle train one codebook per subspace
@@ -4354,6 +4387,7 @@ object SparkEntry {
            |FROM tf JOIN dfx USING (term) CROSS JOIN nn
            |ORDER BY doc_id, term""".stripMargin,
       "emb_hard_negatives" -> Similarity.hardNegativesSql(nQueries = 20, k = 3),
+      "emb_knn_graph" -> knnGraphOracleSql,
       "emb_outliers" -> Similarity.labelOutliersSql(k = 10),
       "emb_centroids" ->
         """WITH d AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

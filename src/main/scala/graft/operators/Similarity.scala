@@ -1714,4 +1714,64 @@ object Similarity {
        |    FROM votes) WHERE vr = 1)
        |SELECT label_true, label_pred, CAST(count(*) AS BIGINT) AS n
        |FROM pred GROUP BY 1, 2""".stripMargin
+
+  // ---- cell-blocked k-NN graph ---------------------------------------------
+
+  /** k-nearest-neighbor graph over the embedding corpus, cell-blocked:
+    * vectors are assigned to the deterministic Lloyd cells (the same
+    * quantizer SemDeDup blocks on, [[graft.operators.Dedup.SemanticCells]]-
+    * sized) and each vector's k neighbors are searched WITHIN its cell
+    * only — the approximate-kNN-graph construction (cf. Dong et al.
+    * 2011's blocked initialization) that graph-based curation (near-dup
+    * clustering, label propagation over content, diversity sampling)
+    * builds on at scale, where exact all-pairs kNN is quadratic.
+    *
+    * `mutual` marks edges whose reverse is also a top-k edge — the
+    * mutual-kNN subgraph is the standard density-robust clustering
+    * substrate.
+    *
+    * Scale shape: Lloyd train is broadcast (corpus never shuffled on a
+    * non-key); each vector shuffles ONCE on its cell id; per-cell pair
+    * work is (|V|/cells)² — grow `cells` with the corpus. The top-k
+    * window partitions by vec_id over per-vector candidate lists
+    * (bounded by the cell size), and the mutual check is a self-join of
+    * the |V|·k edge list on the flipped key — no all-pairs term.
+    *
+    * Output: `(vec_id, nbr_id, nbr_rank, cos, mutual)`, rank 1..k by
+    * (cos desc, nbr_id asc), cos rounded at 6 before ranking so the
+    * order is engine-portable.
+    */
+  def knnGraph(
+      embs: DataFrame,
+      k: Int = 3,
+      cells: Int = graft.operators.Dedup.SemanticCells): DataFrame = {
+    val assigned = Phys.materialized(invertedLists(embs, kmeansFixed(embs, cells)))
+    val a = assigned.alias("a")
+    val b = assigned.alias("b")
+    val cand = a
+      .join(b, col("a.cid") === col("b.cid") && col("a.n_id") =!= col("b.n_id"))
+      .select(
+        col("a.n_id").as("vec_id"),
+        col("b.n_id").as("nbr_id"),
+        round(graft.functions.Parity.cosine(col("a.ne"), col("b.ne")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    val top = Phys.materialized(
+      cand
+        .withColumn("nbr_rank", row_number().over(w).cast("long"))
+        .filter(col("nbr_rank") <= k))
+    val rev = top.select(col("nbr_id").as("r_vec"), col("vec_id").as("r_nbr"))
+    top
+      .join(
+        rev,
+        col("vec_id") === col("r_vec") && col("nbr_id") === col("r_nbr"),
+        "left_outer")
+      .select(
+        col("vec_id"),
+        col("nbr_id"),
+        col("nbr_rank"),
+        col("cos"),
+        col("r_vec").isNotNull.as("mutual"))
+  }
 }

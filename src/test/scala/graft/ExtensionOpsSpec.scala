@@ -1631,4 +1631,25 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(z(0).getDouble(3) === 0.0)
     assert(z(0).getDouble(4) === 1.0)
   }
+
+  test("knnGraph: ranks bounded, mutual is symmetric, neighbors distinct") {
+    val embs = model.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val rows = Similarity.knnGraph(embs, k = 3).collect()
+    assert(rows.nonEmpty)
+    val edges = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    edges.foreach { case (v, n, rk, _) =>
+      assert(v != n, "no self edge")
+      assert(rk >= 1 && rk <= 3, s"rank out of bounds: $rk")
+    }
+    // per-vector ranks are distinct and neighbors are distinct
+    edges.groupBy(_._1).foreach { case (_, es) =>
+      assert(es.map(_._3).distinct.length === es.length)
+      assert(es.map(_._2).distinct.length === es.length)
+    }
+    // mutual ⇔ the flipped directed edge is also a top-k edge
+    val dir = edges.map { case (v, n, _, _) => (v, n) }.toSet
+    edges.foreach { case (v, n, _, m) =>
+      assert(m === dir.contains((n, v)), s"mutual flag wrong for ($v,$n)")
+    }
+  }
 }
