@@ -1129,6 +1129,9 @@ object SparkEntry {
     // feeding tokenizer vocab review; min-count floor kills hapax noise
     "text_pmi_bigrams" -> ((s, d) =>
       TextOps.pmiBigrams(docs(s, d)).orderBy(col("w1"), col("w2"))),
+    // RAKE keyword phrases: delimiter-free token runs scored by the
+    // integer deg/freq word statistic, delimiters df-derived
+    "text_rake_keywords" -> ((s, d) => TextOps.rakeKeywords(docs(s, d))),
     // version-to-version change audit: added/updated/unchanged counts
     // from a null-safe full-outer compare of the two logical states
     "corpus_diff" -> ((s, d) => {
@@ -4115,6 +4118,7 @@ object SparkEntry {
       "text_zipf" -> TextOps.zipfFitSql(),
       "text_pmi_bigrams" ->
         s"SELECT * FROM (${TextOps.pmiBigramsSql()}) ORDER BY w1, w2",
+      "text_rake_keywords" -> TextOps.rakeKeywordsSql(),
       "corpus_diff" ->
         """WITH base AS (
           |  SELECT doc_id, text FROM documents),

@@ -2468,4 +2468,127 @@ object TextOps {
        |       $NeymanBudget * sd_weight // tot.tot_w AS alloc_neyman,
        |       $NeymanBudget * n_rows // tot.tot_n AS alloc_prop
        |FROM w CROSS JOIN tot""".stripMargin
+
+  // ---- RAKE keyword extraction ---------------------------------------------
+
+  /** RAKE-style keyword phrases (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are
+    * maximal delimiter-free token runs, each word is scored
+    * deg/freq (deg = Σ length of phrases containing it, freq = its
+    * occurrence count — frequent-but-isolated words score low, words
+    * that travel in long phrases score high), and a phrase scores the
+    * sum of its word scores. Scores are exact integer micro-units
+    * (`deg·1e6 div freq`), so the ranking is engine-portable.
+    *
+    * The delimiter set is the fixed stopword list PLUS the corpus's
+    * `nDelims` most frequent tokens (df-derived, the same
+    * self-derivation `bm25TopK` uses for its query) — RAKE's stopword
+    * list is corpus-tuned in practice, and a corpus-derived delimiter
+    * set keeps the operator meaningful on corpora whose generator
+    * vocabulary contains no classic stopwords. Phrases longer than
+    * `maxPhraseWords` are discarded AFTER word statistics are
+    * accumulated (standard RAKE MaxWordsInPhrase; the dropped runs
+    * still shape deg/freq).
+    *
+    * Scale shape: one explode of the corpus; islands come from a
+    * per-document window (bounded by document length); word stats are
+    * one vocab-keyed hash aggregate; the word-score join is
+    * vocab-sized; the final top-k is a TakeOrdered. The delimiter
+    * anti-join broadcasts a (nDelims + |stopwords|)-row table. No
+    * all-pairs term, nothing quadratic in corpus size.
+    *
+    * Output: top `k` rows `(phrase, n_words, n_occur, score_micro)`
+    * by (score desc, phrase asc).
+    */
+  def rakeKeywords(
+      docs: DataFrame,
+      k: Int = 20,
+      maxPhraseWords: Int = 4,
+      nDelims: Int = 10): DataFrame = {
+    val tok = docs
+      .select(
+        col("doc_id"),
+        posexplode(graft.functions.Parity.tokens(col("text"))).as(Seq("pos0", "t")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("t"))
+    val topDf = tok
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t"))
+      .limit(nDelims)
+      .select(col("t"))
+    val stopDf = docs.sparkSession
+      .range(1)
+      .select(explode(array(Stopwords.map(lit): _*)).as("t"))
+    val delims = topDf.unionByName(stopDf).distinct()
+    val ns = tok.join(broadcast(delims), Seq("t"), "left_anti")
+    val wIsl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+    val wLen = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("island"))
+    val pw = Phys.materialized(
+      ns.withColumn("island", col("pos") - row_number().over(wIsl))
+        .withColumn("plen", count(lit(1)).over(wLen).cast("long")))
+    val wsc = pw
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("t"), expr("deg * 1000000 div freq").as("w_score"))
+    val ph = pw
+      .join(wsc, Seq("t"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("t")))), s => s("t")),
+          " ").as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("w_score")).as("score_micro"))
+      .filter(col("n_words") <= maxPhraseWords)
+    ph.groupBy(col("phrase"), col("n_words"), col("score_micro"))
+      .agg(count(lit(1)).as("n_occur"))
+      .select(col("phrase"), col("n_words"), col("n_occur"), col("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(k)
+  }
+
+  /** [[rakeKeywords]] mirrored: the identical df-derived delimiter set,
+    * gaps-and-islands phrase extraction, and integer deg/freq scores.
+    */
+  def rakeKeywordsSql(k: Int = 20, maxPhraseWords: Int = 4, nDelims: Int = 10): String = {
+    val toks = graft.functions.Parity.tokensSql("text")
+    val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH tk AS (SELECT doc_id, $toks AS ts FROM documents),
+       |tok AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, ts[CAST(pos AS INT)] AS t
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos FROM tk)),
+       |delim AS (
+       |  SELECT t FROM (
+       |    SELECT t, count(*) AS n FROM tok GROUP BY t
+       |    ORDER BY n DESC, t LIMIT $nDelims)
+       |  UNION SELECT unnest($stopList)),
+       |ns AS (
+       |  SELECT doc_id, pos, t,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM tok WHERE t NOT IN (SELECT t FROM delim)),
+       |pw AS (
+       |  SELECT doc_id, island, pos, t,
+       |         CAST(count(*) OVER (PARTITION BY doc_id, island) AS BIGINT) AS plen
+       |  FROM ns),
+       |ws AS (
+       |  SELECT t, CAST(count(*) AS BIGINT) AS freq,
+       |         CAST(sum(plen) AS BIGINT) AS deg
+       |  FROM pw GROUP BY t),
+       |wsc AS (SELECT t, deg * 1000000 // freq AS w_score FROM ws),
+       |ph AS (
+       |  SELECT p.doc_id, p.island,
+       |         string_agg(p.t, ' ' ORDER BY p.pos) AS phrase,
+       |         CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(w.w_score) AS BIGINT) AS score_micro
+       |  FROM pw p JOIN wsc w ON w.t = p.t
+       |  GROUP BY p.doc_id, p.island
+       |  HAVING count(*) <= $maxPhraseWords)
+       |SELECT phrase, n_words, CAST(count(*) AS BIGINT) AS n_occur, score_micro
+       |FROM ph
+       |GROUP BY phrase, n_words, score_micro
+       |ORDER BY score_micro DESC, phrase LIMIT $k""".stripMargin
+  }
 }

@@ -1632,6 +1632,24 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(z(0).getDouble(4) === 1.0)
   }
 
+  test("rakeKeywords scores a planted phrase by hand-computed deg/freq") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the deep learning of deep models"),
+      (2L, "deep learning is great"))
+      .toDF("doc_id", "text")
+    // nDelims = 0: only the fixed stopword list delimits (tiny corpus)
+    val out = TextOps.rakeKeywords(docs, k = 10, maxPhraseWords = 4, nDelims = 0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // deg(deep)=6 freq=3 → 2e6; deg(learning)=4 freq=2 → 2e6;
+    // deg(models)=2 freq=1 → 2e6; deg(great)=1 freq=1 → 1e6
+    assert(out.toSeq === Seq(
+      ("deep learning", 2L, 2L, 4000000L),
+      ("deep models", 2L, 1L, 4000000L),
+      ("great", 1L, 1L, 1000000L)))
+  }
+
   test("knnGraph: ranks bounded, mutual is symmetric, neighbors distinct") {
     val embs = model.table(spark, "/root/testdata/sf0.001", "embeddings")
     val rows = Similarity.knnGraph(embs, k = 3).collect()
