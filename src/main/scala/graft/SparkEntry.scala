@@ -1945,6 +1945,9 @@ object SparkEntry {
     "events_ab_power" -> ((s, d) => EventOps.abPower(events(s, d))),
     // seasonal-naive baseline scored on the last day (MAE + sMAPE ppm)
     "events_snaive_eval" -> ((s, d) => EventOps.snaiveEval(events(s, d))),
+    // Holt linear-trend baseline: exact-halving smoothing fold, last
+    // day scored against level + j*trend
+    "events_holt_eval" -> ((s, d) => EventOps.holtEval(events(s, d))),
     // DP contribution capping: clamp per-user mass at K, report the bias
     "pii_contribution_cap" -> ((s, d) =>
       operators.Quality.contributionCap(events(s, d)).orderBy(col("event_type"))),
@@ -4593,6 +4596,7 @@ object SparkEntry {
            |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
            |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin,
       "events_snaive_eval" -> EventOps.snaiveEvalSql(),
+      "events_holt_eval" -> EventOps.holtEvalSql(),
       "pii_contribution_cap" ->
         s"SELECT * FROM (${operators.Quality.contributionCapSql()}) ORDER BY event_type",
       "dq_profile_drift" -> {

@@ -1796,6 +1796,110 @@ object EventOps {
        |                      // sum(abs(y) + abs(yhat)) AS BIGINT) END AS smape_ppm
        |FROM scored""".stripMargin
 
+  /** Holt linear-trend forecast evaluation — the second baseline next
+    * to [[snaiveEval]]: double-exponential smoothing with α = β = ½
+    * folded over the gap-filled hourly training series (everything
+    * before the last day), then the last 24 hours scored against the
+    * linear forecast ŷ_j = level + j·trend. Halving (×0.5) is EXACT in
+    * binary floating point and the fold order is pinned (one
+    * sequential list fold, identical op order in both engines), so
+    * level/trend are bit-identical cross-engine — the same discipline
+    * as [[graft.operators.LinAlg]]'s power iteration, no rounding grid
+    * inside the recursion.
+    *
+    * Scale shape: the series is the bounded hourly spine (an
+    * aggregate of the corpus, thousands of rows at most per window),
+    * collected into ONE array fold — the corpus itself is touched only
+    * by the hourly count aggregate. Same readout contract as
+    * snaive: exact integer milli/ppm errors, NULL sMAPE on an
+    * all-zero window.
+    *
+    * Output: one row `(n_train, n_eval, level_milli, trend_milli,
+    * mae_milli, smape_ppm)`.
+    */
+  def holtEval(events: DataFrame): DataFrame = {
+    val ser = hourlySeries(events)
+    val hi = ser.agg(max(col("h")).as("hmax"))
+    val withHi = ser.crossJoin(broadcast(hi))
+    val state = withHi
+      .filter(col("h") <= col("hmax") - 24L)
+      .agg(
+        transform(array_sort(collect_list(struct(col("h"), col("x")))), s =>
+          s("x").cast("double")).as("xs"),
+        count(lit(1)).as("n_train"))
+      .select(
+        col("n_train"),
+        expr(
+          """aggregate(xs,
+            |  named_struct('l', CAST(0.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE), 'i', 0),
+            |  (acc, x) -> IF(acc.i = 0,
+            |    named_struct('l', x, 'b', CAST(0.0 AS DOUBLE), 'i', 1),
+            |    named_struct(
+            |      'l', 0.5D * (x + acc.l + acc.b),
+            |      'b', 0.5D * (0.5D * (x + acc.l + acc.b) - acc.l + acc.b),
+            |      'i', 1)))""".stripMargin).as("st"))
+      .select(col("n_train"), col("st.l").as("l"), col("st.b").as("b"))
+    withHi
+      .filter(col("h") > col("hmax") - 24L)
+      .select((col("h") - (col("hmax") - lit(24L))).as("j"), col("x").as("y"))
+      .crossJoin(broadcast(state))
+      .select(
+        col("n_train"),
+        col("l"),
+        col("b"),
+        (col("y") * 1000L).as("y_milli"),
+        expr("CAST(round((l + CAST(j AS DOUBLE) * b) * 1000) AS BIGINT)").as("yhat_milli"))
+      .agg(
+        max(col("n_train")).as("n_train"),
+        count(lit(1)).as("n_eval"),
+        expr("CAST(round(max(l) * 1000) AS BIGINT)").as("level_milli"),
+        expr("CAST(round(max(b) * 1000) AS BIGINT)").as("trend_milli"),
+        expr("sum(abs(yhat_milli - y_milli)) div count(*)").as("mae_milli"),
+        when(expr("sum(abs(y_milli) + abs(yhat_milli))") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "2 * sum(abs(yhat_milli - y_milli)) * 1000000 div sum(abs(y_milli) + abs(yhat_milli))"))
+          .as("smape_ppm"))
+  }
+
+  /** [[holtEval]] mirrored: the same pinned-order halving fold.
+    * DuckDB's pairwise list_reduce seeds acc with the first element —
+    * exactly the engine's i = 0 first-step state — and the (l, b)
+    * state rides a 2-long LIST, not a struct: struct-typed lambda
+    * accumulators miscompute under DuckDB 1.0.0's subexpression
+    * handling (observed: the b field read stale values mid-fold).
+    */
+  def holtEvalSql(): String =
+    s"""WITH $hourlySeriesSql,
+       |hi AS (SELECT max(h) AS hmax FROM ser),
+       |tr AS (SELECT list(CAST(x AS DOUBLE) ORDER BY h) AS xs,
+       |              CAST(count(*) AS BIGINT) AS n_train
+       |       FROM ser CROSS JOIN hi WHERE h <= hi.hmax - 24),
+       |st AS (SELECT n_train,
+       |         list_reduce(
+       |           list_transform(xs, x -> [x, CAST(0.0 AS DOUBLE)]),
+       |           (acc, e) -> [
+       |             CAST(0.5 AS DOUBLE) * (e[1] + acc[1] + acc[2]),
+       |             CAST(0.5 AS DOUBLE) * (CAST(0.5 AS DOUBLE) * (e[1] + acc[1] + acc[2])
+       |                                    - acc[1] + acc[2])]) AS s
+       |       FROM tr),
+       |scored AS (
+       |  SELECT st.n_train, a.x * 1000 AS y_milli,
+       |         CAST(round((st.s[1] + CAST(a.h - (hi.hmax - 24) AS DOUBLE) * st.s[2]) * 1000)
+       |              AS BIGINT) AS yhat_milli,
+       |         st.s[1] AS l, st.s[2] AS b
+       |  FROM ser a CROSS JOIN hi CROSS JOIN st
+       |  WHERE a.h > hi.hmax - 24)
+       |SELECT CAST(max(n_train) AS BIGINT) AS n_train,
+       |       CAST(count(*) AS BIGINT) AS n_eval,
+       |       CAST(round(max(l) * 1000) AS BIGINT) AS level_milli,
+       |       CAST(round(max(b) * 1000) AS BIGINT) AS trend_milli,
+       |       CAST(sum(abs(yhat_milli - y_milli)) // count(*) AS BIGINT) AS mae_milli,
+       |       CASE WHEN sum(abs(y_milli) + abs(yhat_milli)) = 0 THEN NULL
+       |            ELSE CAST(2 * sum(abs(yhat_milli - y_milli)) * 1000000
+       |                      // sum(abs(y_milli) + abs(yhat_milli)) AS BIGINT)
+       |       END AS smape_ppm
+       |FROM scored""".stripMargin
+
   /** [[changepoint]] mirrored. */
   def changepointSql(): String =
     s"""WITH $hourlySeriesSql,

@@ -1632,6 +1632,21 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(z(0).getDouble(4) === 1.0)
   }
 
+  test("holtEval on a constant hourly series: level = rate, zero trend, zero error") {
+    import spark.implicits._
+    // one event per hour for 4 days: the gap-free constant series
+    val events = (0 until 96)
+      .map(i => (i.toLong, new java.sql.Timestamp(i * 3600L * 1000L)))
+      .toDF("event_id", "ts")
+    val r = operators.EventOps.holtEval(events).collect()(0)
+    assert(r.getLong(0) === 72L) // n_train = 3 days
+    assert(r.getLong(1) === 24L) // n_eval = the last day
+    assert(r.getLong(2) === 1000L) // level = 1 event/hour in milli
+    assert(r.getLong(3) === 0L) // trend
+    assert(r.getLong(4) === 0L) // mae
+    assert(r.getLong(5) === 0L) // smape
+  }
+
   test("rakeKeywords scores a planted phrase by hand-computed deg/freq") {
     import spark.implicits._
     val docs = Seq(
