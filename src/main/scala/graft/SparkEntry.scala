@@ -1470,6 +1470,10 @@ object SparkEntry {
     "er_blocked_pairs" -> ((s, d) =>
       Dedup.erBlockedPairs(model.table(s, d, "customer"))
         .orderBy(col("cust_a"), col("cust_b"))),
+    // ER completed into entities: transitive closure of the verified
+    // pairs, singleton-aware, canonical = component minimum
+    "er_clusters" -> ((s, d) =>
+      Dedup.erClusters(model.table(s, d, "customer")).orderBy(col("id"))),
     // chi-squared independence of segment × nation, micro-unit cell terms
     "stats_chi2" -> ((s, d) =>
       operators.Stats.chi2Independence(model.table(s, d, "customer"))),
@@ -3941,6 +3945,8 @@ object SparkEntry {
         s"SELECT * FROM (${Dedup.dupTokenRatioSql()}) ORDER BY doc_id",
       "er_blocked_pairs" ->
         s"SELECT * FROM (${Dedup.erBlockedPairsSql()}) ORDER BY cust_a, cust_b",
+      "er_clusters" ->
+        s"SELECT * FROM (${Dedup.erClustersSql()}) ORDER BY id",
       "stats_chi2" -> operators.Stats.chi2IndependenceSql(),
       "stats_corr_matrix" ->
         s"SELECT * FROM (${operators.Stats.corrMatrixSql()}) ORDER BY pair",

@@ -1184,6 +1184,66 @@ object Dedup {
        |FROM ok a JOIN ok b ON a.nat = b.nat AND a.seg = b.seg AND a.id < b.id
        |WHERE levenshtein(a.name, b.name) <= $maxDist""".stripMargin
 
+  /** Entity resolution completed: [[erBlockedPairs]]' verified matches
+    * closed transitively into ENTITIES (a chain A~B~C is one customer
+    * record three ways), every source record annotated with its entity
+    * id (the component minimum — singletons are their own entity), the
+    * entity size, and the canonical-record flag. This is the table a
+    * master-data pipeline actually merges on — pairs alone under-merge
+    * chains.
+    *
+    * Scale shape: candidate pairs stay block-capped
+    * ([[erBlockedPairs]]); the closure is the O(log d)-round star
+    * contraction ([[graft.operators.GraphOps.connectedComponentsStars]])
+    * over the (typically tiny) match-pair graph; the annotate/size
+    * steps are id- and entity-keyed joins. Nothing quadratic beyond
+    * the capped blocks.
+    *
+    * Output: one row per customer `(id, entity, n_members,
+    * is_canonical)`.
+    */
+  def erClusters(customer: DataFrame, maxDist: Int = 2): DataFrame = {
+    val pairs = erBlockedPairs(customer, maxDist)
+      .select(col("cust_a").as("src"), col("cust_b").as("dst"))
+    val comp = graft.operators.GraphOps
+      .connectedComponentsStars(pairs)
+      .select(col("id"), col("component"))
+    val ent = customer
+      .select(col("c_custkey").cast("long").as("id"))
+      .join(comp, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("component"), col("id")).as("entity"))
+    val sizes = ent.groupBy(col("entity")).agg(count(lit(1)).as("n_members"))
+    ent
+      .join(sizes, Seq("entity"))
+      .select(
+        col("id"),
+        col("entity"),
+        col("n_members"),
+        (col("id") === col("entity")).as("is_canonical"))
+  }
+
+  /** [[erClusters]] mirrored: the blocked-pair SQL, a recursive
+    * min-label reach for the closure, singletons via the left join.
+    */
+  def erClustersSql(maxDist: Int = 2): String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
+       |  SELECT cust_a, cust_b FROM (${erBlockedPairsSql(maxDist)})),
+       |und AS MATERIALIZED (
+       |  SELECT cust_a AS s, cust_b AS d FROM pairs
+       |  UNION SELECT cust_b, cust_a FROM pairs),
+       |reach(rid, lab) AS (
+       |  SELECT s, s FROM und
+       |  UNION
+       |  SELECT u.d, r.lab FROM reach r JOIN und u ON u.s = r.rid),
+       |comp AS (SELECT rid, min(lab) AS c FROM reach GROUP BY rid),
+       |ent AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS id,
+       |         coalesce(comp.c, CAST(c_custkey AS BIGINT)) AS entity
+       |  FROM customer LEFT JOIN comp ON comp.rid = CAST(c_custkey AS BIGINT)),
+       |sz AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_members FROM ent GROUP BY entity)
+       |SELECT e.id, e.entity, sz.n_members, (e.id = e.entity) AS is_canonical
+       |FROM ent e JOIN sz USING (entity)""".stripMargin
+
   /** Cohen's kappa between each pair of the four text dedup detectors,
     * over [[verdict]]'s per-doc flags — chance-corrected agreement, the
     * standard answer to "are two detectors redundant or complementary?"

@@ -1632,6 +1632,22 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(z(0).getDouble(4) === 1.0)
   }
 
+  test("erClusters: total partition of the customers, min-id canonical") {
+    val cust = model.table(spark, "/root/testdata/sf0.001", "customer")
+    val n = cust.count()
+    val rows = operators.Dedup.erClusters(cust).collect()
+    assert(rows.length === n, "every customer exactly once")
+    val byEntity = rows.groupBy(_.getLong(1))
+    byEntity.foreach { case (e, ms) =>
+      // entity label is the component minimum and a member
+      assert(ms.map(_.getLong(0)).min === e)
+      // sizes agree, exactly one canonical per entity
+      ms.foreach(r => assert(r.getLong(2) === ms.length))
+      assert(ms.count(_.getBoolean(3)) === 1)
+      ms.foreach(r => assert(r.getBoolean(3) === (r.getLong(0) == e)))
+    }
+  }
+
   test("holtEval on a constant hourly series: level = rate, zero trend, zero error") {
     import spark.implicits._
     // one event per hour for 4 days: the gap-free constant series
