@@ -1997,6 +1997,9 @@ object SparkEntry {
     // the AUC scalar unrolled into its 10 ranking-decile operating
     // points: precision/recall at tie-group-boundary threshold cuts
     "train_logreg_pr" -> ((s, d) => operators.Training.logregPrCurve(docs(s, d))),
+    // 3-fold CV accuracy: per-fold training (fold-local centering, no
+    // leakage), exact integer z > 0 scoring on the held-out rows
+    "train_logreg_cv" -> ((s, d) => operators.Training.logregCv(docs(s, d))),
     // sample ACF of the gap-filled hourly count series, lags 1..6
     "events_acf" -> ((s, d) => EventOps.acf(events(s, d)).orderBy(col("lag"))),
     // retrospective single changepoint: max scaled CUSUM deviation
@@ -4639,6 +4642,7 @@ object SparkEntry {
         s"SELECT * FROM (${operators.Quality.tClosenessSql()}) ORDER BY c_nationkey, bal_band",
       "train_logreg_auc" -> operators.Training.logregAucSql(toks),
       "train_logreg_pr" -> operators.Training.logregPrCurveSql(toks),
+      "train_logreg_cv" -> operators.Training.logregCvSql(toks),
       "events_acf" -> s"SELECT * FROM (${EventOps.acfSql()}) ORDER BY lag",
       "events_changepoint" -> EventOps.changepointSql(),
       "layout_compaction_plan" ->

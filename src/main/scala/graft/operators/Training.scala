@@ -173,36 +173,51 @@ object Training {
     * integer means, the centered frame, and the unrolled GD rounds —
     * both the trainer's and the stored-apply's oracle build on it.
     */
-  private def logregCtes(toksSql: String, iters: Int): String = {
-    def grad(prev: String, k: Int): String = {
-      val r = residual(s"w.w0", s"w.w1", s"w.w2")
-      s"""g$k AS (
-         |  SELECT w.w0 AS pw0, w.w1 AS pw1, w.w2 AS pw2, nn.n AS n,
-         |         CAST(sum(CAST(round($r * 1000000) AS BIGINT)) AS BIGINT) AS g0,
-         |         CAST(sum(CAST(round($r * x1 * 1000000) AS BIGINT)) AS BIGINT) AS g1,
-         |         CAST(sum(CAST(round($r * x2 * 1000000) AS BIGINT)) AS BIGINT) AS g2
-         |  FROM f CROSS JOIN $prev w CROSS JOIN nn
-         |  GROUP BY w.w0, w.w1, w.w2, nn.n),
-         |w$k AS (
-         |  SELECT pw0 - CAST(round(CAST(g0 AS DOUBLE) / ($LogregLrDen * n)) AS BIGINT) AS w0,
-         |         pw1 - CAST(round(CAST(g1 AS DOUBLE) / ($LogregLrDen * n)) AS BIGINT) AS w1,
-         |         pw2 - CAST(round(CAST(g2 AS DOUBLE) / ($LogregLrDen * n)) AS BIGINT) AS w2
-         |  FROM g$k)""".stripMargin
-    }
-    val rounds = (1 to iters).map(k => grad(s"w${k - 1}", k)).mkString(",\n")
-    s"""WITH raw AS (
-       |  SELECT doc_id,
+  /** The raw integer-feature CTE body (doc_id, y, x1r, x2r) — shared by
+    * the training chain and the cross-validation eval scan.
+    */
+  private def logregRawSql(toksSql: String): String =
+    s"""SELECT doc_id,
        |         CASE WHEN n_chars > $LogregLenThreshold THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
        |         CAST(len($toksSql) AS BIGINT) AS x1r,
        |         CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS x2r
-       |  FROM documents),
-       |mm AS (
+       |  FROM documents""".stripMargin
+
+  /** `sfx` suffixes every CTE name (so several independent training
+    * chains — e.g. one per CV fold — can share one WITH); `rawWhere`
+    * restricts the training rows (" WHERE ..." text). Defaults keep the
+    * original names and the full corpus.
+    */
+  private def logregCtes(
+      toksSql: String,
+      iters: Int,
+      sfx: String = "",
+      rawWhere: String = ""): String = {
+    def grad(prev: String, k: Int): String = {
+      val r = residual(s"w.w0", s"w.w1", s"w.w2")
+      s"""g$k$sfx AS (
+         |  SELECT w.w0 AS pw0, w.w1 AS pw1, w.w2 AS pw2, nn$sfx.n AS n,
+         |         CAST(sum(CAST(round($r * 1000000) AS BIGINT)) AS BIGINT) AS g0,
+         |         CAST(sum(CAST(round($r * x1 * 1000000) AS BIGINT)) AS BIGINT) AS g1,
+         |         CAST(sum(CAST(round($r * x2 * 1000000) AS BIGINT)) AS BIGINT) AS g2
+         |  FROM f$sfx CROSS JOIN $prev w CROSS JOIN nn$sfx
+         |  GROUP BY w.w0, w.w1, w.w2, nn$sfx.n),
+         |w$k$sfx AS (
+         |  SELECT pw0 - CAST(round(CAST(g0 AS DOUBLE) / ($LogregLrDen * n)) AS BIGINT) AS w0,
+         |         pw1 - CAST(round(CAST(g1 AS DOUBLE) / ($LogregLrDen * n)) AS BIGINT) AS w1,
+         |         pw2 - CAST(round(CAST(g2 AS DOUBLE) / ($LogregLrDen * n)) AS BIGINT) AS w2
+         |  FROM g$k$sfx)""".stripMargin
+    }
+    val rounds = (1 to iters).map(k => grad(s"w${k - 1}$sfx", k)).mkString(",\n")
+    s"""WITH raw$sfx AS (
+       |  ${logregRawSql(toksSql)}$rawWhere),
+       |mm$sfx AS (
        |  SELECT CAST(sum(x1r) // count(*) AS BIGINT) AS m1,
        |         CAST(sum(x2r) // count(*) AS BIGINT) AS m2
-       |  FROM raw),
-       |f AS (SELECT y, x1r - mm.m1 AS x1, x2r - mm.m2 AS x2 FROM raw CROSS JOIN mm),
-       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
-       |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2),
+       |  FROM raw$sfx),
+       |f$sfx AS (SELECT y, x1r - mm$sfx.m1 AS x1, x2r - mm$sfx.m2 AS x2 FROM raw$sfx CROSS JOIN mm$sfx),
+       |nn$sfx AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f$sfx),
+       |w0$sfx AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2),
        |$rounds""".stripMargin
   }
 
@@ -1212,4 +1227,91 @@ object Training {
        |FROM cuts c JOIN cum u
        |  ON c.cut_n > u.cumall - (u.p_s + u.n_s) AND c.cut_n <= u.cumall
        |ORDER BY c.decile""".stripMargin
+
+  // ---- k-fold cross-validation ---------------------------------------------
+
+  /** K-fold cross-validated accuracy of the logreg trainer — the
+    * honest generalization readout next to [[logregGd]]'s training-set
+    * count: for each fold, the model trains on the OTHER folds (its
+    * centering means too — no statistics leak from the held-out rows)
+    * and is scored on the held-out third. Folds are the deterministic
+    * `doc_id % folds` split, prediction is the exact integer rule
+    * `z > 0` at micro-unit weights — every count cross-engine exact.
+    *
+    * Scale shape: K independent runs of the same one-aggregate-per-
+    * round GD loop, each over (K−1)/K of the corpus, plus one scoring
+    * scan per fold — cost ≈ K× the single trainer, no new shuffle
+    * shapes. K stays a small constant (3 here) at any corpus size.
+    *
+    * Output: `folds` rows `(fold, n_train, n_eval, n_correct,
+    * acc_ppm)` ordered by fold.
+    */
+  def logregCv(docs: DataFrame, folds: Int = 3, iters: Int = 3): DataFrame = {
+    val raw = logregRaw(docs).persist()
+    val perFold = (0 until folds).map { fd =>
+      val tr = raw.filter(col("doc_id") % folds =!= fd)
+      val (m1, m2) = logregMeans(tr)
+      val f =
+        tr.select(col("y"), (col("x1r") - lit(m1)).as("x1"), (col("x2r") - lit(m2)).as("x2"))
+      val n = tr.count()
+      val w = trainWeights(f, n, iters)
+      raw
+        .filter(col("doc_id") % folds === fd)
+        .select(
+          col("y"),
+          (lit(w(0)) + lit(w(1)) * (col("x1r") - lit(m1)) + lit(w(2)) * (col("x2r") - lit(m2)))
+            .as("z"))
+        .agg(
+          count(lit(1)).as("n_eval"),
+          sum(when((col("z") > 0L) === (col("y") === 1L), 1L).otherwise(0L)).as("n_correct"))
+        .select(
+          lit(fd.toLong).as("fold"),
+          lit(n).as("n_train"),
+          col("n_eval"),
+          col("n_correct"))
+    }
+    val out = perFold.reduce(_ unionByName _)
+    raw.unpersist()
+    out
+      .select(
+        col("fold"),
+        col("n_train"),
+        col("n_eval"),
+        col("n_correct"),
+        expr("n_correct * 1000000 div n_eval").as("acc_ppm"))
+      .orderBy(col("fold"))
+  }
+
+  /** [[logregCv]] mirrored: one suffixed training chain per fold (the
+    * fold's own centering means — the no-leakage contract is in the
+    * SQL text), scored on the held-out rows of the shared raw scan.
+    */
+  def logregCvSql(toksSql: String, folds: Int = 3, iters: Int = 3): String = {
+    val chains = (0 until folds)
+      .map { fd =>
+        logregCtes(toksSql, iters, sfx = s"_$fd", rawWhere = s" WHERE doc_id % $folds <> $fd")
+          .stripPrefix("WITH ")
+      }
+      .mkString(",\n")
+    val evals = (0 until folds)
+      .map { fd =>
+        s"""SELECT CAST($fd AS BIGINT) AS fold, nn_$fd.n AS n_train,
+           |       CAST(count(*) AS BIGINT) AS n_eval,
+           |       CAST(sum(CASE WHEN
+           |         ((w.w0 + w.w1 * (r.x1r - mm_$fd.m1) + w.w2 * (r.x2r - mm_$fd.m2)) > 0)
+           |           = (r.y = 1)
+           |         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+           |FROM rawall r CROSS JOIN w${iters}_$fd w CROSS JOIN mm_$fd CROSS JOIN nn_$fd
+           |WHERE r.doc_id % $folds = $fd
+           |GROUP BY nn_$fd.n""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH rawall AS (
+       |  ${logregRawSql(toksSql)}),
+       |$chains
+       |SELECT fold, n_train, n_eval, n_correct,
+       |       n_correct * 1000000 // n_eval AS acc_ppm
+       |FROM ($evals)
+       |ORDER BY fold""".stripMargin
+  }
 }

@@ -162,6 +162,19 @@ class TrainingSpec extends SparkSpec {
     assert(out(0).getLong(1) < out(1).getLong(1))
   }
 
+  test("logreg CV: folds partition the corpus, train+eval complementary") {
+    val docs = graft.model.table(spark, "/root/testdata/sf0.001", "documents")
+    val n = docs.count()
+    val rows = operators.Training.logregCv(docs).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === n, "train + eval = corpus per fold")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(2))
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L)
+    }
+    assert(rows.map(_.getLong(2)).sum === n, "eval folds partition the corpus")
+  }
+
   test("logreg PR curve: kept/tp monotone in decile, final recall is total") {
     val docs = graft.model.table(spark, "/root/testdata/sf0.001", "documents")
     val rows = operators.Training.logregPrCurve(docs).collect()
