@@ -956,6 +956,9 @@ object SparkEntry {
     // the graph-based-curation substrate, per-cell quadratic only
     "emb_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(embs(s, d)).orderBy(col("vec_id"), col("nbr_rank"))),
+    // the choose-k pre-flight: Lloyd at each candidate k, exact
+    // integer micro-squared inertia per k
+    "ann_kmeans_elbow" -> ((s, d) => Similarity.kmeansElbow(embs(s, d))),
     // mislabeled-data mining: per label, the k vectors least similar to
     // their own label centroid
     "emb_outliers" -> ((s, d) =>
@@ -2697,6 +2700,34 @@ object SparkEntry {
        |ORDER BY g.vec_id""".stripMargin
   }
 
+  /** Oracle for `ann_kmeans_elbow`: one suffixed Lloyd chain per
+    * candidate k, the within-cluster micro² fold per vector, a
+    * UNION ALL readout row per k.
+    */
+  private def kmeansElbowOracleSql(ks: Seq[Int] = Seq(2, 4, 8)): String = {
+    val ctes = ks.map(k => kmeansCtesSliced(s"_k$k", 0, Similarity.Dim, k)).mkString(",\n")
+    val per = ks
+      .map { k =>
+        val last = s"c${Similarity.KmeansIters}_k$k"
+        s"""SELECT CAST($k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_vecs,
+           |       CAST(sum(sq) AS BIGINT) AS sse,
+           |       CAST(sum(sq) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_sqerr
+           |FROM (
+           |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |           list_transform(list_zip(v.ei, c.c),
+           |             s -> (s[1] - s[2]) * (s[1] - s[2]))), (a, x) -> a + x) AS sq
+           |  FROM (SELECT vec_id, cid FROM (
+           |          SELECT vec_id, cid,
+           |                 row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+           |          FROM (SELECT v.vec_id, c.cid, ${kmeansScoreSql("v.ei", "c.c")} AS ccos
+           |                FROM d_k$k v CROSS JOIN $last c)) WHERE rn = 1) a
+           |  JOIN d_k$k v ON v.vec_id = a.vec_id
+           |  JOIN $last c ON c.cid = a.cid)""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"WITH $ctes\nSELECT * FROM (\n$per\n) ORDER BY k"
+  }
+
   /** Oracle for `emb_knn_graph`: the same Lloyd assignment as the
     * semantic-dedup oracle, then per-vector top-k by (cos desc, nbr)
     * within the cell and the flipped-key self-join for `mutual`.
@@ -4404,6 +4435,7 @@ object SparkEntry {
            |ORDER BY doc_id, term""".stripMargin,
       "emb_hard_negatives" -> Similarity.hardNegativesSql(nQueries = 20, k = 3),
       "emb_knn_graph" -> knnGraphOracleSql,
+      "ann_kmeans_elbow" -> kmeansElbowOracleSql(),
       "emb_outliers" -> Similarity.labelOutliersSql(k = 10),
       "emb_centroids" ->
         """WITH d AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

@@ -1715,6 +1715,52 @@ object Similarity {
        |SELECT label_true, label_pred, CAST(count(*) AS BIGINT) AS n
        |FROM pred GROUP BY 1, 2""".stripMargin
 
+  // ---- k-means elbow (choose k) --------------------------------------------
+
+  /** The elbow table for choosing the quantizer's cell count: the same
+    * deterministic Lloyd training ([[kmeansFixed]]) run at each
+    * candidate k, scored by within-cluster squared error in exact
+    * integer micro² units (the [[pqDistortion]] readout applied to the
+    * full vector). Inertia falls monotonically in k; the k where the
+    * marginal drop flattens is the operating point — the standard
+    * pre-flight before committing an IVF/SemDeDup cell count.
+    *
+    * Scale shape: one integer-embedding materialization shared across
+    * all k; per k, Lloyd's broadcast assignment passes plus one
+    * zip_with fold per vector — k and the candidate list are small
+    * constants, so cost ≈ |ks| × one training.
+    *
+    * Output: one row per k `(k, n_vecs, sse, mean_sqerr)`.
+    */
+  def kmeansElbow(embs: DataFrame, ks: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    val d = Phys.materialized(intEmb(embs).select(col("vec_id"), col("ei")))
+    ks.map { k =>
+        val cent = kmeansFixed(embs, k)
+        val assigned = d
+          .crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("cid"), col("ei"), cellScore(col("ei"), col("c")).as("score"))
+          .groupBy(col("vec_id"))
+          .agg(
+            max(struct(col("score"), (-col("cid")).as("ncid"))).as("sel"),
+            first(col("ei")).as("ei"))
+          .select((-col("sel.ncid")).as("cid"), col("ei"))
+        assigned
+          .join(broadcast(cent), Seq("cid"))
+          .select(
+            aggregate(
+              zip_with(col("ei"), col("c"), (x, y) => (x - y) * (x - y)),
+              lit(0L),
+              (acc, v) => acc + v).as("sqerr"))
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            sum(col("sqerr")).as("sse"),
+            expr("sum(sqerr) div count(1)").as("mean_sqerr"))
+          .select(lit(k.toLong).as("k"), col("n_vecs"), col("sse"), col("mean_sqerr"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("k"))
+  }
+
   // ---- cell-blocked k-NN graph ---------------------------------------------
 
   /** k-nearest-neighbor graph over the embedding corpus, cell-blocked:

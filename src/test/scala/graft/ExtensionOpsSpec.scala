@@ -1632,6 +1632,17 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(z(0).getDouble(4) === 1.0)
   }
 
+  test("kmeansElbow: inertia non-increasing in k, every vector scored") {
+    val embs = model.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = embs.count()
+    val rows = Similarity.kmeansElbow(embs).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 4L, 8L))
+    rows.foreach(r => assert(r.getLong(1) === n))
+    val sse = rows.map(_.getLong(2))
+    assert(sse.zip(sse.tail).forall { case (a, b) => b <= a },
+      s"inertia must not rise with k: ${sse.toSeq}")
+  }
+
   test("erClusters: total partition of the customers, min-id canonical") {
     val cust = model.table(spark, "/root/testdata/sf0.001", "customer")
     val n = cust.count()
