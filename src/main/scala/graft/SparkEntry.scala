@@ -969,6 +969,10 @@ object SparkEntry {
       Multimodal.featureSummary(docs(s, d)).orderBy(col("doc_id"))),
     "multimodal_frames" -> ((s, d) =>
       Multimodal.frameSample(docs(s, d)).orderBy(col("doc_id"), col("frame_idx"))),
+    // frame-overlap video dedup: pairs sharing >= 2 sampled frame
+    // hashes, hot (boilerplate) hashes capped out of candidates
+    "multimodal_frame_dedup" -> ((s, d) =>
+      Multimodal.frameDedup(docs(s, d)).orderBy(col("a_id"), col("b_id"))),
     // perceptual-hash near-dup over the binary media column: banded
     // 64-bit average-hash LSH + exact Hamming verification (bucket-keyed,
     // never all-pairs; oversized buckets dropped as boilerplate)
@@ -4479,6 +4483,8 @@ object SparkEntry {
       "multimodal_phash_stored" -> Multimodal.phashGateSql(firstNewId = 400L),
       "docs_stream_phash_static" -> Multimodal.phashGateSql(firstNewId = 400L),
       "docs_stream_phash_upsert" -> Multimodal.phashUpsertSql(firstNewId = 400L),
+      "multimodal_frame_dedup" ->
+        s"SELECT * FROM (${Multimodal.frameDedupSql()}) ORDER BY a_id, b_id",
       "multimodal_frames" ->
         s"""WITH f AS (
            |  SELECT doc_id, text, CAST(length(text) // 64 AS BIGINT) AS n_frames

@@ -160,6 +160,63 @@ object Multimodal {
             Parity.TokP)
           .as("frame_hash"))
 
+  /** How many documents may share a frame hash before the hash is
+    * treated as boilerplate (a title card / silence block / standard
+    * intro) and dropped from candidate generation — the same
+    * df-cap reasoning as `Dedup.MaxShingleDf` and [[PhashBucketCap]].
+    */
+  val FrameHashCap = 50L
+
+  /** Frame-overlap near-duplicate detection — the video-dedup shape:
+    * two media payloads are candidate duplicates when they share at
+    * least `minShared` SAMPLED FRAME hashes ([[frameSample]]'s aligned
+    * frame-slot content hashes). Sharing one frame is coincidence or
+    * boilerplate; sharing most of the sampled frames is a re-upload,
+    * re-container, or trim of the same content — the k-of-n frame
+    * voting every large-scale video pipeline dedups on (full-payload
+    * hashing misses any re-mux, pHash on one keyframe misses trims).
+    *
+    * Scale shape: the frame table is a narrow map of the corpus; the
+    * candidate join buckets on the frame hash with hashes hotter than
+    * [[FrameHashCap]] documents dropped (boilerplate does not
+    * discriminate), so per-bucket work is ≤ cap²; the pair aggregate is
+    * keyed by the pair. Never an all-pairs comparison.
+    *
+    * Output: `(a_id, b_id, n_shared)` with a < b, n_shared ≥ minShared.
+    */
+  def frameDedup(docs: DataFrame, minShared: Int = 2): DataFrame = {
+    val fr = frameSample(docs).select(col("doc_id"), col("frame_hash")).distinct()
+    val keptHashes = fr
+      .groupBy(col("frame_hash"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= FrameHashCap)
+      .select(col("frame_hash"))
+    val kept = fr.join(keptHashes, Seq("frame_hash"))
+    val a = kept.alias("a")
+    val b = kept.alias("b")
+    a.join(
+        b,
+        col("a.frame_hash") === col("b.frame_hash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** [[frameDedup]] mirrored. */
+  def frameDedupSql(minShared: Int = 2): String =
+    s"""WITH fx AS (
+       |  SELECT doc_id, text, CAST(length(text) // 64 AS BIGINT) AS n_frames
+       |  FROM documents WHERE length(text) >= 64),
+       |fr AS (
+       |  SELECT DISTINCT doc_id,
+       |    ${Parity.charFoldSql("substring(text, CAST(t.i * 64 + 1 AS INT), 64)", 31L, Parity.TokP)} AS h
+       |  FROM fx CROSS JOIN range(0, 3) t(i) WHERE t.i < n_frames),
+       |freq AS (SELECT h FROM fr GROUP BY h HAVING count(*) <= $FrameHashCap),
+       |kept AS (SELECT fr.* FROM fr JOIN freq ON fr.h = freq.h)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
+
   /** Perceptual-hash constants: 64 "pixels" (the first 64 payload bytes),
     * signature split into 4×16-bit bands for the LSH bucket join; pairs
     * within full-signature Hamming ≤ [[PhashMaxHamming]] are near-dups.

@@ -1632,6 +1632,27 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(z(0).getDouble(4) === 1.0)
   }
 
+  test("frameDedup: k-of-n frame voting — full prefix match pairs, one-frame overlap doesn't") {
+    import spark.implicits._
+    val block = "x" * 64
+    val blockB = "y" * 64
+    val blockC = "z" * 64
+    val docs = Seq(
+      (1L, block + blockB + blockC + "tail one"), // frames: x, y, z
+      (2L, block + blockB + blockC + "different tail"), // same 3 frames
+      (3L, block + blockC + blockB), // shares x aligned; y/z at wrong offsets... same set actually
+      (4L, block + ("q" * 128))) // shares only frame 0
+      .toDF("doc_id", "text")
+    val out = operators.Multimodal.frameDedup(docs)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    // 1-2 share {x,y,z}; 1-3 and 2-3 share {x,y,z} too (hashes are a SET
+    // per doc — order/offset doesn't matter beyond alignment); 4 shares
+    // only {x} with each → below minShared
+    assert(out === Map((1L, 2L) -> 3L, (1L, 3L) -> 3L, (2L, 3L) -> 3L))
+  }
+
   test("kmeansElbow: inertia non-increasing in k, every vector scored") {
     val embs = model.table(spark, "/root/testdata/sf0.001", "embeddings")
     val n = embs.count()
