@@ -513,6 +513,9 @@ object SparkEntry {
       Dedup.exact(docs(s, d)).orderBy(col("doc_id"))),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashCandidates(docs(s, d)).orderBy(col("doc_a"), col("doc_b"))),
+    // estimator quality on its own candidates: MinHash-at-0.5 vs the
+    // exact token-set Jaccard, confusion counts + exact ppm P/R
+    "dedup_minhash_pr" -> ((s, d) => Dedup.minhashPrecision(docs(s, d))),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashCandidates(docs(s, d), Dedup.SimhashMaxHamming)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -1933,6 +1936,29 @@ object SparkEntry {
           expr("CAST(round(qty) AS BIGINT)").as("total_qty"))
         .orderBy(col("total_qty").desc, col("l_orderkey"))
         .limit(20)),
+    // TPC-H Q19 shape: disjunctive bracket predicates — three
+    // (brand, size, quantity) OR-arms over one join; the disjunction
+    // must still prune at the scans, not explode into a cross
+    "q19_brackets" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .select(
+          col("l_partkey"),
+          col("l_quantity"),
+          expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+            .as("cents"))
+        .join(
+          table(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 30)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+              col("l_quantity").between(20, 40)))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("rev_cents"))),
     // single-linkage clustering read off the MSF: cut heavy forest
     // edges, components are the clusters (size histogram)
     "graph_msf_clusters" -> ((s, d) => {
@@ -3121,6 +3147,46 @@ object SparkEntry {
            |FROM banded a JOIN banded b
            |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
            |ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_minhash_pr" ->
+        s"""WITH sigs AS (
+           |  SELECT doc_id, ${Parity.minhashSigSql(codes, Dedup.MinhashK)} AS sig FROM documents),
+           |banded AS (
+           |  $bandedUnion),
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, $sigMatch AS est_jaccard
+           |  FROM banded a JOIN banded b
+           |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+           |tc AS (SELECT doc_id, list_distinct($codes) AS cs FROM documents),
+           |tok AS (SELECT doc_id, unnest(cs) AS c FROM tc),
+           |sizes AS (SELECT doc_id, CAST(len(cs) AS BIGINT) AS n FROM tc),
+           |inter AS (
+           |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS i
+           |  FROM cands p
+           |  JOIN tok a ON a.doc_id = p.doc_a
+           |  JOIN tok b ON b.doc_id = p.doc_b AND b.c = a.c
+           |  GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT (c.est_jaccard >= 0.5) AS pred,
+           |         CASE WHEN sa.n + sb.n - coalesce(i.i, 0) = 0 THEN TRUE
+           |              ELSE round(CAST(coalesce(i.i, 0) AS DOUBLE)
+           |                         / (sa.n + sb.n - coalesce(i.i, 0)), 6) >= 0.5 END AS truth
+           |  FROM cands c
+           |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+           |  JOIN sizes sa ON sa.doc_id = c.doc_a
+           |  JOIN sizes sb ON sb.doc_id = c.doc_b),
+           |agg AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_cand,
+           |         CAST(sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |         CAST(sum(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |         CAST(sum(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |         CAST(sum(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           |  FROM scored)
+           |SELECT n_cand, tp, fp, fn, tn,
+           |       CASE WHEN tp + fp = 0 THEN NULL
+           |            ELSE tp * 1000000 // (tp + fp) END AS precision_ppm,
+           |       CASE WHEN tp + fn = 0 THEN NULL
+           |            ELSE tp * 1000000 // (tp + fn) END AS recall_ppm
+           |FROM agg""".stripMargin,
       "dedup_simhash" ->
         s"""WITH sims AS (
            |  SELECT doc_id, ${Parity.simhashSql(h40s)} AS simhash FROM documents),
@@ -4629,6 +4695,17 @@ object SparkEntry {
           |JOIN orders ON o_orderkey = l_orderkey
           |JOIN customer ON c_custkey = o_custkey
           |ORDER BY total_qty DESC, l_orderkey LIMIT 20""".stripMargin,
+      "q19_brackets" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+          |                     AS BIGINT)) AS BIGINT) AS rev_cents
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+          |       AND l_quantity BETWEEN 1 AND 20)
+          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+          |       AND l_quantity BETWEEN 10 AND 30)
+          |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+          |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
       "graph_msf_clusters" ->
         s"""WITH RECURSIVE msf AS MATERIALIZED (
            |  SELECT * FROM (${GraphOps.msfSql(GraphSource.layeredEdgesSql, "(a * 7 + b * 13) % 101")})

@@ -1184,6 +1184,69 @@ object Dedup {
        |FROM ok a JOIN ok b ON a.nat = b.nat AND a.seg = b.seg AND a.id < b.id
        |WHERE levenshtein(a.name, b.name) <= $maxDist""".stripMargin
 
+  /** Measured precision/recall of the MinHash estimator on its own
+    * candidate set: every LSH candidate pair's estimated Jaccard
+    * ([[minhashCandidates]]) is compared against the EXACT Jaccard of
+    * the same token-code sets the signature sketches, both thresholded
+    * at 0.5 — the detector-quality readout that tells a curation owner
+    * how much the K=[[MinhashK]] sketch misclassifies near the
+    * threshold. (Banding recall loss — true pairs sharing no band — is
+    * deliberately out of frame: this measures the ESTIMATOR on the
+    * candidates, the quantity that K controls.)
+    *
+    * Scale shape: exact intersections are computed ONLY for candidate
+    * pairs (pair-key joins fanned by document token counts), never an
+    * all-pairs term; set sizes are one narrow map over the corpus.
+    * Pairs with two empty token sets are identical by convention.
+    *
+    * Output: one row `(n_cand, tp, fp, fn, tn, precision_ppm,
+    * recall_ppm)` — NULL ppm when the denominator class is empty.
+    */
+  def minhashPrecision(docs: DataFrame): DataFrame = {
+    val codes = coalesce(
+      graft.functions.TokenCodes(split(col("text"), "\\s+")),
+      array().cast("array<long>"))
+    val cand = Phys.materialized(minhashCandidates(docs))
+    val toks = Phys.materialized(
+      docs.select(col("doc_id"), explode(array_distinct(codes)).as("c")))
+    val sizes = docs.select(col("doc_id"), size(array_distinct(codes)).cast("long").as("n"))
+    val inter = cand
+      .select(col("doc_a"), col("doc_b"))
+      .join(toks.select(col("doc_id").as("doc_a"), col("c")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("c")), Seq("doc_b", "c"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+      .withColumn("i", coalesce(col("i"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(
+        (col("est_jaccard") >= 0.5).as("pred"),
+        when(col("na") + col("nb") - col("i") === 0L, lit(true))
+          .otherwise(
+            round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6) >= 0.5)
+          .as("truth"))
+      .agg(
+        count(lit(1)).as("n_cand"),
+        sum(when(col("pred") && col("truth"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("truth"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("truth"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("truth"), 1L).otherwise(0L)).as("tn"))
+      .select(
+        col("n_cand"),
+        col("tp"),
+        col("fp"),
+        col("fn"),
+        col("tn"),
+        when(col("tp") + col("fp") === 0L, lit(null).cast("long"))
+          .otherwise(expr("tp * 1000000 div (tp + fp)"))
+          .as("precision_ppm"),
+        when(col("tp") + col("fn") === 0L, lit(null).cast("long"))
+          .otherwise(expr("tp * 1000000 div (tp + fn)"))
+          .as("recall_ppm"))
+  }
+
   /** Entity resolution completed: [[erBlockedPairs]]' verified matches
     * closed transitively into ENTITIES (a chain A~B~C is one customer
     * record three ways), every source record annotated with its entity
