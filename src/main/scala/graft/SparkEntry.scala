@@ -397,6 +397,20 @@ object SparkEntry {
     // component is the intersection, the rest splits up/downstream
     "graph_scc_pivot" -> ((s, d) =>
       GraphOps.sccPivot(GraphSource.layeredEdges(s, d)).orderBy(col("id"))),
+    // the bow-tie census over the pivot: scc/upstream/downstream node
+    // counts plus the never-reached remainder as 'disconnected'
+    "graph_bowtie" -> ((s, d) => {
+      val e = GraphSource.layeredEdges(s, d).select(col("src"), col("dst"))
+      val nodes =
+        e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id"))).distinct()
+      val cls = GraphOps.sccPivot(GraphSource.layeredEdges(s, d)).select(col("id"), col("cls"))
+      nodes
+        .join(cls, Seq("id"), "left_outer")
+        .select(coalesce(col("cls"), lit("disconnected")).as("cls"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("cls"))
+    }),
     // approximate neighborhood function: K FM bitmasks OR-merged per hop,
     // next to the exact ball-size sum (Palmer et al. KDD'02)
     "graph_anf" -> ((s, d) =>
@@ -1354,6 +1368,11 @@ object SparkEntry {
     "docs_stream_phash_static" -> ((s, d) =>
       streaming.StreamOps.docPhashGateOverParquet(s, d, firstNewId = 400L)
         .orderBy(col("doc_id"))),
+    // frame-overlap-on-arrival: arriving payloads' sampled-frame hashes
+    // probe the static frame store; k-of-n voting per (arrival, static)
+    "docs_stream_frame_static" -> ((s, d) =>
+      streaming.StreamOps.docFrameGateOverParquet(s, d, firstNewId = 400L)
+        .orderBy(col("doc_id"), col("s_id"))),
     // index-maintenance-on-arrival: arrivals extend the stored MinHash
     // band index — stateless signature + band map per arrival, store
     // bucket-occupancy annotated via one broadcast probe; output = the
@@ -1936,6 +1955,34 @@ object SparkEntry {
           expr("CAST(round(qty) AS BIGINT)").as("total_qty"))
         .orderBy(col("total_qty").desc, col("l_orderkey"))
         .limit(20)),
+    // 7-day moving-average revenue over the gap-filled day spine —
+    // the dashboard smoothing window (partial head windows divide by
+    // their true width); the window runs over the bounded daily
+    // aggregate, never event-grain rows
+    "orders_moving_avg" -> ((s, d) => {
+      val daily = table(s, d, "orders")
+        .select(
+          to_date(col("o_orderdate")).as("day"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("day"))
+        .agg(sum(col("cents")).as("rev_cents"))
+      val spine = table(s, d, "orders")
+        .agg(
+          min(to_date(col("o_orderdate"))).as("lo"),
+          max(to_date(col("o_orderdate"))).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day")).rowsBetween(-6, 0)
+      spine
+        .join(daily, Seq("day"), "left_outer")
+        .select(col("day"), coalesce(col("rev_cents"), lit(0L)).as("rev_cents"))
+        .withColumn("ma_sum", sum(col("rev_cents")).over(w))
+        .withColumn("ma_n", count(lit(1)).over(w))
+        .select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("rev_cents"),
+          expr("ma_sum div ma_n").as("ma7_cents"))
+        .orderBy(col("day"))
+    }),
     // TPC-H Q19 shape: disjunctive bracket predicates — three
     // (brand, size, quantity) OR-arms over one join; the disjunction
     // must still prune at the scans, not explode into a cross
@@ -2299,6 +2346,14 @@ object SparkEntry {
       GraphOps.multiSourceBfsSql(GraphSource.lineitemEdgesSql, nSources = 48, rounds = 4),
     "graph_scc_pivot" ->
       s"SELECT * FROM (\n${GraphOps.sccPivotSql(GraphSource.layeredEdgesSql)}\n) ORDER BY id",
+    "graph_bowtie" ->
+      s"""SELECT coalesce(c.cls, 'disconnected') AS cls, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM (SELECT src AS id FROM (${GraphSource.layeredEdgesSql})
+         |      UNION SELECT dst FROM (${GraphSource.layeredEdgesSql})) n
+         |LEFT JOIN (
+         |${GraphOps.sccPivotSql(GraphSource.layeredEdgesSql)}
+         |) c ON c.id = n.id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // FM-bitmask neighborhood function, rounds unrolled on the same edges
     "graph_anf" ->
       GraphOps.anfSql(GraphSource.lineitemEdgesSql, nSketches = 8, rounds = 2),
@@ -4548,6 +4603,8 @@ object SparkEntry {
       // parity + the stored-probe spec); the oracle proves the matches
       "multimodal_phash_stored" -> Multimodal.phashGateSql(firstNewId = 400L),
       "docs_stream_phash_static" -> Multimodal.phashGateSql(firstNewId = 400L),
+      "docs_stream_frame_static" ->
+        s"SELECT * FROM (${Multimodal.frameGateSql(firstNewId = 400L)}) ORDER BY doc_id, s_id",
       "docs_stream_phash_upsert" -> Multimodal.phashUpsertSql(firstNewId = 400L),
       "multimodal_frame_dedup" ->
         s"SELECT * FROM (${Multimodal.frameDedupSql()}) ORDER BY a_id, b_id",
@@ -4695,6 +4752,21 @@ object SparkEntry {
           |JOIN orders ON o_orderkey = l_orderkey
           |JOIN customer ON c_custkey = o_custkey
           |ORDER BY total_qty DESC, l_orderkey LIMIT 20""".stripMargin,
+      "orders_moving_avg" ->
+        """WITH d AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS day,
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+          |  FROM orders GROUP BY 1),
+          |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+          |spine AS (SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS day FROM b),
+          |ser AS (SELECT CAST(spine.day AS DATE) AS day, coalesce(d.rev_cents, 0) AS rev_cents
+          |        FROM spine LEFT JOIN d ON d.day = CAST(spine.day AS DATE))
+          |SELECT strftime(day, '%Y-%m-%d') AS day, rev_cents,
+          |       CAST(sum(rev_cents) OVER w AS BIGINT)
+          |         // CAST(count(*) OVER w AS BIGINT) AS ma7_cents
+          |FROM ser
+          |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+          |ORDER BY day""".stripMargin,
       "q19_brackets" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_rows,
           |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)

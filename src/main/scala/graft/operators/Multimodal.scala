@@ -217,6 +217,43 @@ object Multimodal {
        |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
 
+  /** The static frame-hash store the streaming gate probes: distinct
+    * (frame_hash, s_id) rows of the corpus slice, hashes hotter than
+    * [[FrameHashCap]] documents dropped (boilerplate), exactly the
+    * batch detector's candidate-side discipline.
+    */
+  def frameStore(docs: DataFrame): DataFrame = {
+    val fr = frameSample(docs).select(col("doc_id").as("s_id"), col("frame_hash")).distinct()
+    val kept = fr
+      .groupBy(col("frame_hash"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= FrameHashCap)
+      .select(col("frame_hash"))
+    fr.join(kept, Seq("frame_hash"))
+  }
+
+  /** Batch oracle for the streaming frame gate: arrivals (doc_id ≥
+    * `firstNewId`) against the static slice's capped distinct store.
+    * The arrival side is NOT deduplicated (the stream's frame map is
+    * stateless), so a repeated identical frame slot counts per slot —
+    * mirrored here by counting over the raw slot rows.
+    */
+  def frameGateSql(firstNewId: Long, minShared: Int = 2): String =
+    s"""WITH fx AS (
+       |  SELECT doc_id, text, CAST(length(text) // 64 AS BIGINT) AS n_frames
+       |  FROM documents WHERE length(text) >= 64),
+       |slots AS (
+       |  SELECT doc_id,
+       |    ${Parity.charFoldSql("substring(text, CAST(t.i * 64 + 1 AS INT), 64)", 31L, Parity.TokP)} AS h
+       |  FROM fx CROSS JOIN range(0, 3) t(i) WHERE t.i < n_frames),
+       |st AS (SELECT DISTINCT doc_id AS s_id, h FROM slots WHERE doc_id < $firstNewId),
+       |keep AS (SELECT h FROM st GROUP BY h HAVING count(*) <= $FrameHashCap),
+       |stk AS (SELECT st.* FROM st JOIN keep USING (h)),
+       |arr AS (SELECT doc_id, h FROM slots WHERE doc_id >= $firstNewId)
+       |SELECT a.doc_id, s.s_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM arr a JOIN stk s ON s.h = a.h
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
+
   /** Perceptual-hash constants: 64 "pixels" (the first 64 payload bytes),
     * signature split into 4×16-bit bands for the LSH bucket join; pairs
     * within full-signature Hamming ≤ [[PhashMaxHamming]] are near-dups.

@@ -784,6 +784,46 @@ object StreamOps {
       "complete")
   }
 
+  /** STREAMING FRAME-OVERLAP GATE: arriving media payloads probed
+    * against the static corpus's sampled-frame hash store
+    * ([[graft.operators.Multimodal.frameStore]] — df-capped exactly as
+    * the batch detector). An arrival is flagged against every static
+    * document it shares ≥ `minShared` frame-slot hashes with — the
+    * ingest-time face of `multimodal_frame_dedup` (k-of-n frame
+    * voting), catching re-uploads/trims the moment they arrive.
+    *
+    * Stream shape: frame sampling is a stateless narrow map per
+    * arrival; the store join is stream-static on the hash key; the
+    * ONE streaming aggregation counts matches per (arrival, static)
+    * pair — the ≥ minShared keep-filter runs on the sink read, keeping
+    * the streaming plan single-aggregation (Spark's structured-
+    * streaming constraint). Output: (doc_id, s_id, n_shared).
+    */
+  def docFrameGateOverParquet(
+      spark: SparkSession,
+      sfDir: String,
+      firstNewId: Long,
+      minShared: Int = 2): DataFrame = {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val store = broadcast(Multimodal.frameStore(docs.filter(col("doc_id") < firstNewId)))
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-docs-frame"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    runStream(
+      spark,
+      Multimodal
+        .frameSample(readDocStream(spark, staged.toString).filter(col("doc_id") >= firstNewId))
+        .select(col("doc_id"), col("frame_hash"))
+        .join(store, Seq("frame_hash"))
+        .groupBy(col("doc_id"), col("s_id"))
+        .agg(count(lit(1)).as("n_shared")),
+      graft.sources.Staging.freshTable("graft_stream_docframe"),
+      "complete")
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** STREAMING BM25 RELEVANCE GATE: the stored BM25 index
     * ([[graft.operators.TextOps.writeBm25Model]], built on the STATIC
     * corpus slice) scores arriving documents against the index's top-df

@@ -1632,6 +1632,17 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(z(0).getDouble(4) === 1.0)
   }
 
+  test("bowtie census partitions the node set") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.GraphSource.layeredEdges(spark, dir).select(col("src"), col("dst"))
+    val nNodes = e.select(col("src")).union(e.select(col("dst"))).distinct().count()
+    val rows = SparkEntry.queries("graph_bowtie")(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum === nNodes, "classes partition the nodes")
+    val classes = rows.map(_.getString(0)).toSet
+    assert(classes.contains("scc"), "pivot class present")
+    assert(classes.subsetOf(Set("scc", "upstream", "downstream", "disconnected")))
+  }
+
   test("frameDedup: k-of-n frame voting — full prefix match pairs, one-frame overlap doesn't") {
     import spark.implicits._
     val block = "x" * 64

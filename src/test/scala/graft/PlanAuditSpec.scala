@@ -704,7 +704,8 @@ class PlanAuditSpec extends SparkSpec {
     Seq(
       "q6_forecast", "q5_local_supplier", "q4_priority", "q14_promo", "q18_big_orders",
       "q19_brackets", "dedup_minhash_pr", "multimodal_frame_dedup", "er_clusters",
-      "text_rake_keywords", "train_logreg_cv", "events_holt_eval", "ann_kmeans_elbow")
+      "text_rake_keywords", "train_logreg_cv", "events_holt_eval", "ann_kmeans_elbow",
+      "orders_moving_avg")
       .foreach { q =>
         val plan = planOf(SparkEntry.queries(q)(spark, dir))
         assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
