@@ -1983,6 +1983,90 @@ object SparkEntry {
           expr("ma_sum div ma_n").as("ma7_cents"))
         .orderBy(col("day"))
     }),
+    // TPC-H Q7 shape: bi-directional trade volume between two nations
+    // by ship year — the dims join twice (supplier's and customer's
+    // nation), the pair filter keeps both directions
+    "q7_nation_volume" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(
+          col("l_orderkey"),
+          col("l_suppkey"),
+          date_format(col("l_shipdate"), "yyyy").as("l_year"),
+          expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+            .as("cents"))
+        .join(
+          table(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(
+          table(s, d, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(
+          table(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(
+          table(s, d, "nation")
+            .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("sn_key"))
+        .join(
+          table(s, d, "nation")
+            .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")),
+          col("c_nationkey") === col("cn_key"))
+        .filter(
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_8") ||
+            (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_7"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("cents")).as("rev_cents"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))),
+    // TPC-H Q8 shape: one supplier nation's market share (exact ppm)
+    // of a region's customer revenue, by order year
+    "q8_market_share" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+            .as("cents"))
+        .join(
+          table(s, d, "orders")
+            .filter(
+              col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+            .select(
+              col("o_orderkey"),
+              col("o_custkey"),
+              date_format(col("o_orderdate"), "yyyy").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(
+          table(s, d, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(
+          table(s, d, "nation")
+            .join(
+              table(s, d, "region").filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey").as("cn_key")),
+          col("c_nationkey") === col("cn_key"))
+        .join(
+          table(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(
+          table(s, d, "nation")
+            .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("sn_key"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_2", col("cents")).otherwise(0L))
+            .as("nation_cents"),
+          sum(col("cents")).as("total_cents"))
+        .select(
+          col("o_year"),
+          col("nation_cents"),
+          col("total_cents"),
+          expr("nation_cents * 1000000 div total_cents").as("share_ppm"))
+        .orderBy(col("o_year"))),
     // TPC-H Q19 shape: disjunctive bracket predicates — three
     // (brand, size, quantity) OR-arms over one join; the disjunction
     // must still prune at the scans, not explode into a cross
@@ -4767,6 +4851,48 @@ object SparkEntry {
           |FROM ser
           |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
           |ORDER BY day""".stripMargin,
+      "q7_nation_volume" ->
+        """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+          |       strftime(l_shipdate, '%Y') AS l_year,
+          |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+          |                     AS BIGINT)) AS BIGINT) AS rev_cents
+          |FROM lineitem
+          |JOIN orders ON o_orderkey = l_orderkey
+          |JOIN customer ON c_custkey = o_custkey
+          |JOIN supplier ON s_suppkey = l_suppkey
+          |JOIN nation sn ON sn.n_nationkey = s_nationkey
+          |JOIN nation cn ON cn.n_nationkey = c_nationkey
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01'
+          |  AND ((sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_8')
+          |       OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_7'))
+          |GROUP BY 1, 2, 3
+          |ORDER BY 1, 2, 3""".stripMargin,
+      "q8_market_share" ->
+        """WITH j AS (
+          |  SELECT strftime(o_orderdate, '%Y') AS o_year,
+          |         CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+          |           AS cents,
+          |         sn.n_name AS supp_nation
+          |  FROM lineitem
+          |  JOIN orders ON o_orderkey = l_orderkey
+          |  JOIN customer ON c_custkey = o_custkey
+          |  JOIN nation cn ON cn.n_nationkey = c_nationkey
+          |  JOIN region ON r_regionkey = cn.n_regionkey
+          |  JOIN supplier ON s_suppkey = l_suppkey
+          |  JOIN nation sn ON sn.n_nationkey = s_nationkey
+          |  WHERE r_name = 'ASIA'
+          |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |    AND o_orderdate < TIMESTAMP '1998-01-01')
+          |SELECT o_year, nation_cents, total_cents,
+          |       nation_cents * 1000000 // total_cents AS share_ppm
+          |FROM (
+          |  SELECT o_year,
+          |         CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN cents ELSE 0 END)
+          |              AS BIGINT) AS nation_cents,
+          |         CAST(sum(cents) AS BIGINT) AS total_cents
+          |  FROM j GROUP BY o_year)
+          |ORDER BY o_year""".stripMargin,
       "q19_brackets" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_rows,
           |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
