@@ -2067,6 +2067,59 @@ object SparkEntry {
           col("total_cents"),
           expr("nation_cents * 1000000 div total_cents").as("share_ppm"))
         .orderBy(col("o_year"))),
+    // TPC-H Q17 shape: small-quantity outlier revenue against each
+    // part's own average — the correlated scalar aggregate, planned as
+    // aggregate-then-join-back; the compare is exact integer
+    // cross-multiplication (5·qty·n < Σqty ⟺ qty < 0.2·avg)
+    "q17_small_qty" -> ((s, d) => {
+      val li = table(s, d, "lineitem").select(
+        col("l_partkey"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"))
+      val avgQ = li
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_li"))
+      li.join(
+          table(s, d, "part")
+            .filter(col("p_brand") === "Brand#12")
+            .select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(avgQ, Seq("l_partkey"))
+        .filter(col("qty") * 5L * col("n_li") < col("sum_qty"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("rev_cents"),
+          expr("CAST(sum(price_cents) div 7 AS BIGINT)").as("avg_yearly_cents"))
+    }),
+    // TPC-H Q22 shape: lapsed rich customers — above-average (among
+    // positive balances) account balance and no orders since 2000:
+    // one scalar aggregate broadcast + one anti join (the date scope
+    // keeps the class non-empty on a corpus where everyone has SOME
+    // order history)
+    "q22_idle_customers" -> ((s, d) => {
+      val cust = table(s, d, "customer").select(
+        col("c_custkey"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      val thresh = cust
+        .filter(col("bal_cents") > 0L)
+        .agg(
+          sum(col("bal_cents")).as("s"),
+          count(lit(1)).as("n"))
+        .select(expr("s div n").as("avg_bal_cents"))
+      cust
+        .crossJoin(broadcast(thresh))
+        .filter(col("bal_cents") > col("avg_bal_cents"))
+        .join(
+          table(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("total_bal_cents"))
+        .orderBy(col("c_nationkey"))
+    }),
     // TPC-H Q19 shape: disjunctive bracket predicates — three
     // (brand, size, quantity) OR-arms over one join; the disjunction
     // must still prune at the scans, not explode into a cross
@@ -4893,6 +4946,37 @@ object SparkEntry {
           |         CAST(sum(cents) AS BIGINT) AS total_cents
           |  FROM j GROUP BY o_year)
           |ORDER BY o_year""".stripMargin,
+      "q17_small_qty" ->
+        """WITH li AS (
+          |  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+          |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+          |  FROM lineitem),
+          |a AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+          |             CAST(count(*) AS BIGINT) AS n_li
+          |      FROM li GROUP BY l_partkey)
+          |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |       CAST(sum(price_cents) AS BIGINT) AS rev_cents,
+          |       CAST(CAST(sum(price_cents) AS BIGINT) // 7 AS BIGINT) AS avg_yearly_cents
+          |FROM li
+          |JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#12'
+          |JOIN a ON a.l_partkey = li.l_partkey
+          |WHERE qty * 5 * n_li < sum_qty""".stripMargin,
+      "q22_idle_customers" ->
+        """WITH cust AS (
+          |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+          |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+          |  FROM customer),
+          |t AS (SELECT CAST(sum(bal_cents) AS BIGINT) // CAST(count(*) AS BIGINT)
+          |        AS avg_bal_cents
+          |      FROM cust WHERE bal_cents > 0)
+          |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+          |       CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+          |FROM cust CROSS JOIN t
+          |WHERE bal_cents > avg_bal_cents
+          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+          |GROUP BY c_nationkey
+          |ORDER BY c_nationkey""".stripMargin,
       "q19_brackets" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_rows,
           |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
