@@ -2067,6 +2067,41 @@ object SparkEntry {
           col("total_cents"),
           expr("nation_cents * 1000000 div total_cents").as("share_ppm"))
         .orderBy(col("o_year"))),
+    // TPC-H Q13 shape: customer order-count distribution — the
+    // left-outer count (zero-order customers kept) folded to a
+    // histogram of customers per order count
+    "q13_order_counts" -> ((s, d) =>
+      table(s, d, "customer")
+        .select(col("c_custkey"))
+        .join(
+          table(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"),
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("n_cust").desc, col("n_orders").desc)),
+    // TPC-H Q15 shape: top supplier by quarter revenue — the scalar
+    // max broadcast back against the per-supplier rollup (ties kept)
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = table(s, d, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("s_key"))
+        .agg(
+          sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+            .as("total_cents"))
+      rev
+        .crossJoin(broadcast(rev.agg(max(col("total_cents")).as("mx"))))
+        .filter(col("total_cents") === col("mx"))
+        .join(
+          table(s, d, "supplier").select(col("s_suppkey"), col("s_name")),
+          col("s_key") === col("s_suppkey"))
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"), col("total_cents"))
+        .orderBy(col("s_suppkey"))
+    }),
     // TPC-H Q17 shape: small-quantity outlier revenue against each
     // part's own average — the correlated scalar aggregate, planned as
     // aggregate-then-join-back; the compare is exact integer
@@ -4946,6 +4981,28 @@ object SparkEntry {
           |         CAST(sum(cents) AS BIGINT) AS total_cents
           |  FROM j GROUP BY o_year)
           |ORDER BY o_year""".stripMargin,
+      "q13_order_counts" ->
+        """WITH co AS (
+          |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+          |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+          |  GROUP BY c_custkey)
+          |SELECT n_orders, CAST(count(*) AS BIGINT) AS n_cust
+          |FROM co GROUP BY n_orders
+          |ORDER BY n_cust DESC, n_orders DESC""".stripMargin,
+      "q15_top_supplier" ->
+        """WITH rev AS (
+          |  SELECT l_suppkey AS s_key,
+          |         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+          |                       AS BIGINT)) AS BIGINT) AS total_cents
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |    AND l_shipdate < TIMESTAMP '1997-04-01'
+          |  GROUP BY 1),
+          |m AS (SELECT max(total_cents) AS mx FROM rev)
+          |SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, r.total_cents
+          |FROM rev r JOIN m ON r.total_cents = m.mx
+          |JOIN supplier s ON s.s_suppkey = r.s_key
+          |ORDER BY s.s_suppkey""".stripMargin,
       "q17_small_qty" ->
         """WITH li AS (
           |  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,

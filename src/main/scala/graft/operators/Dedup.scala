@@ -1266,15 +1266,20 @@ object Dedup {
     * is_canonical)`.
     */
   def erClusters(customer: DataFrame, maxDist: Int = 2): DataFrame = {
-    val pairs = erBlockedPairs(customer, maxDist)
-      .select(col("cust_a").as("src"), col("cust_b").as("dst"))
+    // materialized: the levenshtein verify join must run ONCE — the
+    // star-contraction loop (and the two consumers of `ent` below)
+    // would otherwise re-execute it per round / per branch
+    val pairs = Phys.materialized(
+      erBlockedPairs(customer, maxDist)
+        .select(col("cust_a").as("src"), col("cust_b").as("dst")))
     val comp = graft.operators.GraphOps
       .connectedComponentsStars(pairs)
       .select(col("id"), col("component"))
-    val ent = customer
-      .select(col("c_custkey").cast("long").as("id"))
-      .join(comp, Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("component"), col("id")).as("entity"))
+    val ent = Phys.materialized(
+      customer
+        .select(col("c_custkey").cast("long").as("id"))
+        .join(comp, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("component"), col("id")).as("entity")))
     val sizes = ent.groupBy(col("entity")).agg(count(lit(1)).as("n_members"))
     ent
       .join(sizes, Seq("entity"))
