@@ -2067,6 +2067,38 @@ object SparkEntry {
           col("total_cents"),
           expr("nation_cents * 1000000 div total_cents").as("share_ppm"))
         .orderBy(col("o_year"))),
+    // TPC-H Q9 shape: profit by supplier nation × order year —
+    // revenue minus cost over the fact ⋈ part ⋈ supplier ⋈ nation
+    // star (p_retailprice·qty stands in for ps_supplycost·qty: the
+    // harness schema has no partsupp — same join/agg shape)
+    "q9_profit" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_partkey"),
+          col("l_suppkey"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+          expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+            .as("rev_cents"))
+        .join(
+          table(s, d, "part").select(
+            col("p_partkey"),
+            expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cost_cents")),
+          col("l_partkey") === col("p_partkey"))
+        .join(
+          table(s, d, "orders").select(
+            col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(
+          table(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(
+          table(s, d, "nation").select(col("n_nationkey"), col("n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(sum(col("rev_cents") - col("cost_cents") * col("qty")).as("profit_cents"))
+        .orderBy(col("nation"), col("o_year").desc)),
     // TPC-H Q13 shape: customer order-count distribution — the
     // left-outer count (zero-order customers kept) folded to a
     // histogram of customers per order count
@@ -2082,6 +2114,34 @@ object SparkEntry {
         .groupBy(col("n_orders"))
         .agg(count(lit(1)).as("n_cust"))
         .orderBy(col("n_cust").desc, col("n_orders").desc)),
+    // TPC-H Q12 shape: shipping-latency mix by bucket — the CASE-count
+    // pivot (critical- vs other-priority orders per latency class;
+    // latency buckets stand in for the schema's absent l_shipmode)
+    "q12_latency_mix" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(
+          table(s, d, "orders").select(
+            col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(
+          when(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAY"), "fast")
+            .when(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAY"), "normal")
+            .otherwise("late")
+            .as("latency"),
+          col("o_orderpriority"))
+        .groupBy(col("latency"))
+        .agg(
+          sum(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("n_critical"),
+          sum(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .as("n_other"))
+        .orderBy(col("latency"))),
     // TPC-H Q15 shape: top supplier by quarter revenue — the scalar
     // max broadcast back against the per-supplier rollup (ties kept)
     "q15_top_supplier" -> ((s, d) => {
@@ -4981,6 +5041,30 @@ object SparkEntry {
           |         CAST(sum(cents) AS BIGINT) AS total_cents
           |  FROM j GROUP BY o_year)
           |ORDER BY o_year""".stripMargin,
+      "q9_profit" ->
+        """SELECT n_name AS nation, strftime(o_orderdate, '%Y') AS o_year,
+          |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+          |                 - CAST(round(p_retailprice * 100) AS BIGINT)
+          |                   * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS profit_cents
+          |FROM lineitem
+          |JOIN part ON p_partkey = l_partkey
+          |JOIN orders ON o_orderkey = l_orderkey
+          |JOIN supplier ON s_suppkey = l_suppkey
+          |JOIN nation ON n_nationkey = s_nationkey
+          |GROUP BY 1, 2
+          |ORDER BY nation, o_year DESC""".stripMargin,
+      "q12_latency_mix" ->
+        """SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast'
+          |            WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'normal'
+          |            ELSE 'late' END AS latency,
+          |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_critical,
+          |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |                     THEN 0 ELSE 1 END) AS BIGINT) AS n_other
+          |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q13_order_counts" ->
         """WITH co AS (
           |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
