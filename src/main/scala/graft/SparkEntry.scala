@@ -2264,6 +2264,9 @@ object SparkEntry {
     // Holt linear-trend baseline: exact-halving smoothing fold, last
     // day scored against level + j*trend
     "events_holt_eval" -> ((s, d) => EventOps.holtEval(events(s, d))),
+    // choose-the-gap pre-flight: the sessionizer at each candidate
+    // inactivity gap, singleton collapse as the knee signal
+    "events_gap_sweep" -> ((s, d) => EventOps.sessionGapSweep(events(s, d))),
     // DP contribution capping: clamp per-user mass at K, report the bias
     "pii_contribution_cap" -> ((s, d) =>
       operators.Quality.contributionCap(events(s, d)).orderBy(col("event_type"))),
@@ -5144,6 +5147,7 @@ object SparkEntry {
            |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin,
       "events_snaive_eval" -> EventOps.snaiveEvalSql(),
       "events_holt_eval" -> EventOps.holtEvalSql(),
+      "events_gap_sweep" -> EventOps.sessionGapSweepSql(),
       "pii_contribution_cap" ->
         s"SELECT * FROM (${operators.Quality.contributionCapSql()}) ORDER BY event_type",
       "dq_profile_drift" -> {

@@ -1796,6 +1796,73 @@ object EventOps {
        |                      // sum(abs(y) + abs(yhat)) AS BIGINT) END AS smape_ppm
        |FROM scored""".stripMargin
 
+  /** Session-gap tuning sweep — the choose-the-gap pre-flight for
+    * [[sessionize]] (the analogue of the k-means elbow for the session
+    * boundary): the same sessionizer run at each candidate inactivity
+    * gap, read out as session count, user coverage, exact
+    * events-per-session (milli), and the singleton-session count (the
+    * quantity that collapses as the gap grows — a gap past the knee
+    * only merges real sessions). One row per candidate gap.
+    *
+    * Scale shape: |gaps| runs of the per-user windowed sessionizer
+    * (each bounded by per-user event counts) + a global 1-row
+    * aggregate each; gaps is a small constant.
+    */
+  def sessionGapSweep(
+      events: DataFrame,
+      gapsMinutes: Seq[Int] = Seq(15, 30, 60, 120)): DataFrame =
+    gapsMinutes
+      .map { g =>
+        sessionize(events, g)
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            count_distinct(col("user_id")).as("n_users"),
+            sum(col("n_events")).as("n_events"),
+            sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_singletons"))
+          .select(
+            lit(g.toLong).as("gap_minutes"),
+            col("n_sessions"),
+            col("n_users"),
+            col("n_events"),
+            expr("n_events * 1000 div n_sessions").as("events_per_session_milli"),
+            col("n_singletons"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("gap_minutes"))
+
+  /** [[sessionGapSweep]] mirrored: one scoped session chain per gap
+    * (each arm's WITH lives inside its own subquery parentheses).
+    */
+  def sessionGapSweepSql(gapsMinutes: Seq[Int] = Seq(15, 30, 60, 120)): String = {
+    val arms = gapsMinutes
+      .map { g =>
+        s"""SELECT CAST($g AS BIGINT) AS gap_minutes,
+           |       CAST(count(*) AS BIGINT) AS n_sessions,
+           |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |       CAST(sum(n_events) AS BIGINT) AS n_events,
+           |       CAST(sum(n_events) AS BIGINT) * 1000
+           |         // CAST(count(*) AS BIGINT) AS events_per_session_milli,
+           |       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons
+           |FROM (
+           |  WITH m AS (
+           |    SELECT user_id, event_id, ts,
+           |           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           |    FROM events),
+           |  s AS (
+           |    SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > ${g * 60}.0
+           |                   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_new
+           |    FROM m),
+           |  n AS (
+           |    SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           |    FROM s)
+           |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+           |  FROM n GROUP BY 1, 2)""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"SELECT * FROM (\n$arms\n) ORDER BY gap_minutes"
+  }
+
   /** Holt linear-trend forecast evaluation — the second baseline next
     * to [[snaiveEval]]: double-exponential smoothing with α = β = ½
     * folded over the gap-filled hourly training series (everything

@@ -1632,6 +1632,19 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(z(0).getDouble(4) === 1.0)
   }
 
+  test("sessionGapSweep: wider gap only merges — sessions/singletons non-increasing, totals fixed") {
+    val events = model.table(spark, "/root/testdata/sf0.001", "events")
+    val rows = operators.EventOps.sessionGapSweep(events).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(15L, 30L, 60L, 120L))
+    val sessions = rows.map(_.getLong(1))
+    val singles = rows.map(_.getLong(5))
+    assert(sessions.zip(sessions.tail).forall { case (a, b) => b <= a }, sessions.toSeq)
+    assert(singles.zip(singles.tail).forall { case (a, b) => b <= a }, singles.toSeq)
+    // the event total and user coverage are gap-invariant
+    assert(rows.map(_.getLong(3)).distinct.length === 1)
+    assert(rows.map(_.getLong(2)).distinct.length === 1)
+  }
+
   test("bowtie census partitions the node set") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.GraphSource.layeredEdges(spark, dir).select(col("src"), col("dst"))
