@@ -1633,7 +1633,7 @@ class ExtensionOpsSpec extends SparkSpec {
   }
 
   test("sessionGapSweep: wider gap only merges — sessions/singletons non-increasing, totals fixed") {
-    val events = model.table(spark, "/root/testdata/sf0.001", "events")
+    val events = model.eventsTable(spark, "/root/testdata/sf0.001")
     val rows = operators.EventOps.sessionGapSweep(events).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(15L, 30L, 60L, 120L))
     val sessions = rows.map(_.getLong(1))
