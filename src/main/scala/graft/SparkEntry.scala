@@ -976,6 +976,10 @@ object SparkEntry {
     // the choose-k pre-flight: Lloyd at each candidate k, exact
     // integer micro-squared inertia per k
     "ann_kmeans_elbow" -> ((s, d) => Similarity.kmeansElbow(embs(s, d))),
+    // what the fixed probe cost buys at each result-set size:
+    // recall@{1,3,5} of the trained IVF at nProbe 2, exact ppm
+    "ann_recall_at_k" -> ((s, d) =>
+      Similarity.ivfRecallAtK(embs(s, d), nQueries = 50)),
     // mislabeled-data mining: per label, the k vectors least similar to
     // their own label centroid
     "emb_outliers" -> ((s, d) =>
@@ -3020,6 +3024,54 @@ object SparkEntry {
        |ORDER BY g.vec_id""".stripMargin
   }
 
+  /** Oracle for `ann_recall_at_k`: the shared exact/probe scorings cut
+    * at each k, aggregate ppm readout per k (nProbe fixed at 2).
+    */
+  private def ivfRecallAtKOracleSql(ks: Seq[Int] = Seq(1, 3, 5), nProbe: Int = 2): String = {
+    val last = s"c${Similarity.KmeansIters}"
+    val score =
+      s"(${graft.functions.Parity.dotSql("CAST(v.ei AS DOUBLE[])", "CAST(c.c AS DOUBLE[])")} / " +
+        s"sqrt(${graft.functions.Parity.dotSql("CAST(c.c AS DOUBLE[])", "CAST(c.c AS DOUBLE[])")}))"
+    def perK(k: Int): String =
+      s"""exact_$k AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |    FROM scored_e) WHERE rank <= $k),
+         |approx_$k AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |    FROM scored_p) WHERE rank <= $k),
+         |rec_$k AS (
+         |  SELECT CAST($k AS BIGINT) AS k,
+         |         CAST(count(DISTINCT e.q_id) AS BIGINT) AS n_queries,
+         |         CAST(count(a.n_id) AS BIGINT) AS n_hits
+         |  FROM exact_$k e LEFT JOIN approx_$k a ON a.q_id = e.q_id AND a.n_id = e.n_id)""".stripMargin
+    s"""WITH $kmeansCtes,
+       |scored_e AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         round(${graft.functions.Parity.cosineSql("q.e", "c.e")}, 6) AS cos
+       |  FROM d q JOIN d c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+       |cs AS (SELECT v.vec_id, c.cid, $score AS ccos FROM d v CROSS JOIN $last c),
+       |ranked_cells AS (
+       |  SELECT vec_id, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |  FROM cs),
+       |assigned AS (SELECT vec_id AS n_id, cid FROM ranked_cells WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, cid FROM ranked_cells
+       |           WHERE vec_id < 50 AND rn <= $nProbe),
+       |scored_p AS (
+       |  SELECT p.q_id, a.n_id, round(${graft.functions.Parity.cosineSql("q.e", "n.e")}, 6) AS cos
+       |  FROM probes p
+       |  JOIN assigned a ON a.cid = p.cid AND a.n_id <> p.q_id
+       |  JOIN d q ON q.vec_id = p.q_id
+       |  JOIN d n ON n.vec_id = a.n_id),
+       |${ks.map(perK).mkString(",\n")}
+       |SELECT k, n_queries, n_hits,
+       |       n_hits * 1000000 // (n_queries * k) AS recall_ppm
+       |FROM (${ks.map(k => s"SELECT * FROM rec_$k").mkString(" UNION ALL ")})
+       |ORDER BY k""".stripMargin
+  }
+
   /** Oracle for `ann_kmeans_elbow`: one suffixed Lloyd chain per
     * candidate k, the within-cluster micro² fold per vector, a
     * UNION ALL readout row per k.
@@ -4796,6 +4848,7 @@ object SparkEntry {
       "emb_hard_negatives" -> Similarity.hardNegativesSql(nQueries = 20, k = 3),
       "emb_knn_graph" -> knnGraphOracleSql,
       "ann_kmeans_elbow" -> kmeansElbowOracleSql(),
+      "ann_recall_at_k" -> ivfRecallAtKOracleSql(),
       "emb_outliers" -> Similarity.labelOutliersSql(k = 10),
       "emb_centroids" ->
         """WITH d AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

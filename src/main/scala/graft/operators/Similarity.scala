@@ -605,6 +605,34 @@ object Similarity {
       .reduce(_ unionAll _)
   }
 
+  /** Measured recall@k of the trained IVF at a fixed probe width, for
+    * each k in `ks` — the companion curve to [[ivfRecall]]'s probe
+    * sweep: nProbe fixes the scan cost, and this table shows what that
+    * cost buys at each result-set size (recall@1 is usually the
+    * sensitive point). The quantizer trains ONCE; the exact baseline
+    * and the probe ranking are cut at each k. Readout is aggregate
+    * (one row per k), recall in exact ppm from integer hit counts.
+    */
+  def ivfRecallAtK(
+      embs: DataFrame,
+      nQueries: Int,
+      ks: Seq[Int] = Seq(1, 3, 5),
+      nProbe: Int = 2): DataFrame = {
+    val cents = Phys.materialized(kmeansFixed(embs))
+    ks.map { k =>
+        val exact = bruteForceTopK(embs, nQueries, k).select(col("q_id"), col("n_id"))
+        recallVsExact(exact, ivfWithCentroids(embs, cents, nQueries, k, nProbe), k)
+          .agg(count(lit(1)).as("n_queries"), sum(col("n_hits")).as("n_hits"))
+          .select(
+            lit(k.toLong).as("k"),
+            col("n_queries"),
+            col("n_hits"),
+            expr(s"n_hits * 1000000 div (n_queries * $k)").as("recall_ppm"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("k"))
+  }
+
   // ---- random-projection dimensionality reduction --------------------------
 
   /** Reduced dimensionality and the slice of the shared deterministic

@@ -705,6 +705,7 @@ class PlanAuditSpec extends SparkSpec {
       "q6_forecast", "q5_local_supplier", "q4_priority", "q14_promo", "q18_big_orders",
       "q7_nation_volume", "q8_market_share", "q17_small_qty", "q19_brackets",
       "q13_order_counts", "q15_top_supplier", "q9_profit", "q12_latency_mix",
+      "events_gap_sweep", "ann_recall_at_k",
       "q19_brackets", "dedup_minhash_pr", "multimodal_frame_dedup", "er_clusters",
       "text_rake_keywords", "train_logreg_cv", "events_holt_eval", "ann_kmeans_elbow",
       "orders_moving_avg")
