@@ -393,6 +393,34 @@ object SparkEntry {
         .orderBy(col("id"))),
     "triangle_count" -> ((s, d) =>
       GraphOps.triangleCount(GraphSource.lineitemEdges(s, d))),
+    // Doulion-style sampled triangle estimate (Tsourakakis 2009) next
+    // to the exact count: deterministic LCG-hash edge sampling at
+    // p = 1/2, estimate = sampled·p⁻³ = 8·sampled, measured error in
+    // exact per-mille — the sketch-family answer for graphs where even
+    // the degree-ordered exact count is too hot (p is the
+    // variance/cost knob; a small-triangle-count graph needs a mild p)
+    "graph_triangle_sampled" -> ((s, d) => {
+      val e = GraphSource.lineitemEdges(s, d).select(col("src"), col("dst"))
+      val exact = GraphOps
+        .triangleCount(e)
+        .select(col("n_triangles").as("exact_triangles"))
+      val sampled = GraphOps
+        .triangleCount(e.filter(
+          expr(
+          "(least(src, dst) * 1103515245 + greatest(src, dst) * 12345)" +
+            " % 1000000007 % 2 = 0")))
+        .select(col("n_triangles").as("n_sampled"))
+      exact
+        .crossJoin(sampled)
+        .select(
+          col("exact_triangles"),
+          col("n_sampled"),
+          (col("n_sampled") * 8L).as("est_triangles"),
+          when(col("exact_triangles") === 0L, lit(null).cast("long"))
+            .otherwise(
+              expr("abs(n_sampled * 8 - exact_triangles) * 1000 div exact_triangles"))
+            .as("err_pm"))
+    }),
     // FW-BW pivot SCC: two bitmask sweeps (forward + transpose), the
     // component is the intersection, the rest splits up/downstream
     "graph_scc_pivot" -> ((s, d) =>
@@ -2648,6 +2676,35 @@ object SparkEntry {
          |        JOIN o e2 ON e2.lo = e1.lo
          |          AND (e1.hdeg < e2.hdeg OR (e1.hdeg = e2.hdeg AND e1.hi < e2.hi))
          |        JOIN o e3 ON e3.lo = e1.hi AND e3.hi = e2.hi) AS n_triangles""".stripMargin,
+    "graph_triangle_sampled" -> {
+      def chain(sfx: String, extraWhere: String): String =
+        s"""und$sfx AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |        FROM edges WHERE src <> dst$extraWhere),
+           |deg$sfx AS (SELECT id, count(*) AS d FROM (
+           |          SELECT a AS id FROM und$sfx UNION ALL SELECT b FROM und$sfx) GROUP BY id),
+           |o$sfx AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+           |                  THEN u.a ELSE u.b END AS lo,
+           |             CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+           |                  THEN u.b ELSE u.a END AS hi,
+           |             CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+           |                  THEN db.d ELSE da.d END AS hdeg
+           |      FROM und$sfx u JOIN deg$sfx da ON da.id = u.a JOIN deg$sfx db ON db.id = u.b),
+           |tri$sfx AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o$sfx e1
+           |        JOIN o$sfx e2 ON e2.lo = e1.lo
+           |          AND (e1.hdeg < e2.hdeg OR (e1.hdeg = e2.hdeg AND e1.hi < e2.hi))
+           |        JOIN o$sfx e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)""".stripMargin
+      s"""WITH edges AS (${GraphSource.lineitemEdgesSql}),
+         |${chain("_x", "")},
+         |${chain(
+             "_s",
+             " AND (least(src, dst) * 1103515245 + greatest(src, dst) * 12345)" +
+               " % 1000000007 % 2 = 0")}
+         |SELECT x.n AS exact_triangles, s.n AS n_sampled,
+         |       s.n * 8 AS est_triangles,
+         |       CASE WHEN x.n = 0 THEN NULL
+         |            ELSE abs(s.n * 8 - x.n) * 1000 // x.n END AS err_pm
+         |FROM tri_x x CROSS JOIN tri_s s""".stripMargin
+    },
     "pagerank_fixed" -> {
       def iter(prev: String, k: Int): String =
         s"""r$k AS (
