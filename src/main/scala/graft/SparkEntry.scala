@@ -507,10 +507,11 @@ object SparkEntry {
         .orderBy(col("id"))),
     "kcore_4" -> ((s, d) =>
       GraphOps.kCore(GraphSource.lineitemEdges(s, d), k = 4).orderBy(col("id"))),
-    // full core decomposition: per-node core number via the nesting
-    // identity over independent peel loops; cap-core must be empty
+    // full core decomposition: per-node core number via the h-index
+    // iteration (one loop, one rank-aggregate round); the DuckDB
+    // oracle runs the independent peel unroll
     "graph_coreness" -> ((s, d) =>
-      GraphOps.corenessTable(GraphSource.lineitemEdges(s, d)).orderBy(col("id"))),
+      GraphOps.corenessHIndex(GraphSource.lineitemEdges(s, d)).orderBy(col("id"))),
     // edge-level cohesion: peel edges below k−2 triangle support to a
     // fixpoint; strictly stronger than the k-core filter
     "ktruss_3" -> ((s, d) =>
@@ -2246,6 +2247,45 @@ object SparkEntry {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("total_bal_cents"))
         .orderBy(col("c_nationkey"))
+    }),
+    // TPC-H Q21 shape: suppliers who kept orders waiting — sole late
+    // supplier on a multi-supplier finished order. The EXISTS / NOT
+    // EXISTS pair over two lineitem self-joins is rewritten as ONE
+    // per-order aggregate (distinct suppliers, distinct late
+    // suppliers) joined back — one lineitem pass instead of three.
+    // "Late" is the Q12 stand-in (shipped > 90 days after order date;
+    // the schema has no commit/receipt dates); all nations reported.
+    "q21_waiting_supplier" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(
+          table(s, d, "orders")
+            .filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("l_orderkey"),
+          col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY")).as("late"))
+      val perOrder = li
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      li.filter(col("late"))
+        .join(perOrder, col("l_orderkey") === col("ok"))
+        .filter(col("n_supp") > 1L && col("n_late_supp") === 1L)
+        .join(
+          broadcast(
+            table(s, d, "supplier").select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(
+          broadcast(table(s, d, "nation").select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("n_name"), col("s_name"))
+        .limit(100)
     }),
     // TPC-H Q19 shape: disjunctive bracket predicates — three
     // (brand, size, quantity) OR-arms over one join; the disjunction
@@ -5231,6 +5271,26 @@ object SparkEntry {
           |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
           |GROUP BY c_nationkey
           |ORDER BY c_nationkey""".stripMargin,
+      "q21_waiting_supplier" ->
+        """WITH li AS (
+          |  SELECT l_orderkey, l_suppkey,
+          |         (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+          |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          |  WHERE o_orderstatus = 'F'),
+          |per_order AS (
+          |  SELECT l_orderkey AS ok,
+          |         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+          |         CAST(count(DISTINCT CASE WHEN late THEN l_suppkey END) AS BIGINT)
+          |           AS n_late_supp
+          |  FROM li GROUP BY 1)
+          |SELECT n_name, s_name, CAST(count(*) AS BIGINT) AS numwait
+          |FROM li JOIN per_order ON ok = l_orderkey
+          |JOIN supplier ON s_suppkey = l_suppkey
+          |JOIN nation ON n_nationkey = s_nationkey
+          |WHERE late AND n_supp > 1 AND n_late_supp = 1
+          |GROUP BY n_name, s_name
+          |ORDER BY numwait DESC, n_name, s_name
+          |LIMIT 100""".stripMargin,
       "q19_brackets" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_rows,
           |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)

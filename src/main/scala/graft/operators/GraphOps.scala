@@ -2937,6 +2937,83 @@ object GraphOps {
     }
   }
 
+  /** Core numbers via the H-INDEX ITERATION (Lü, Zhou, Zhang & Stanley,
+    * "The H-index of a network node and its relation to degree and
+    * coreness", Nature Communications 2016): start every node at its
+    * degree and repeatedly replace `c(v)` with the H-index of its
+    * neighbors' current values (the largest `h` with ≥ h neighbors at
+    * ≥ h). The sequence is pointwise non-increasing and converges
+    * EXACTLY to `coreness(v)` — the same table [[corenessTable]] peels
+    * out, produced by ONE loop whose round is a message exchange plus a
+    * rank aggregate, instead of K−1 sequential deletion cascades each
+    * with its own inner fixpoint.
+    *
+    * Physical round: `und` is checkpointed dst-partitioned once, the
+    * state rides id-partitioned checkpoints, so the neighbor-value join
+    * is exchange-free; the only per-round shuffle is the |E| message
+    * rows moving to their `src` for the H-index window
+    * (`max(least(row_number, c))` over neighbors sorted by `c` desc —
+    * tie-order-invariant, since the sorted value sequence is unique).
+    * The changed count rides the round checkpoint as an observed metric
+    * (the A4 pattern — no per-round count action). Round count is the
+    * graph's h-relaxation depth — never more than the longest peel
+    * cascade, and ONE loop pays it, not K−1.
+    *
+    * The DuckDB oracle for `graph_coreness` keeps running the PEEL
+    * unroll ([[corenessOracleSql]]), so the correctness gate is an
+    * independent-algorithm cross-check; [[corenessTable]] stays as the
+    * in-suite exact reference ([[GraphOpsSpec]] asserts table equality).
+    *
+    * Output: `(id, coreness)` for every node of the undirected simple
+    * graph.
+    */
+  def corenessHIndex(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val session = edges.sparkSession
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+    val parts = loopPartitions(session, edges.count() * 2)
+    withLoopConfs(session, parts) {
+      val simple = Phys.materialized(
+        edges
+          .filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+          .distinct())
+      val und = ckpt(
+        simple
+          .select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(simple.select(col("b").as("src"), col("a").as("dst")))
+          .repartition(parts, col("dst")))
+      var state = ckpt(und.groupBy(col("src").as("id")).agg(count(lit(1)).as("c")))
+      var changed = -1L
+      var h = 0
+      while (h < maxRounds && changed != 0L) {
+        h += 1
+        val msgs = und
+          .join(state.select(col("id").as("dst"), col("c")), Seq("dst"))
+          .select(col("src"), col("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src"))
+          .orderBy(col("c").desc)
+        val next = msgs
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .groupBy(col("src").as("id"))
+          .agg(max(least(col("rn"), col("c"))).as("n"))
+        val obs = org.apache.spark.sql.Observation()
+        val merged = ckpt(
+          state
+            .join(next, Seq("id"))
+            .observe(obs, count_if(col("n") =!= col("c")).as("changed")))
+        val m = org.apache.spark.sql.graftbridge.CheckpointBridge.observedMetrics(obs)
+        changed =
+          if (m.nonEmpty) m("changed").asInstanceOf[Long]
+          else merged.agg(count_if(col("n") =!= col("c"))).head().getLong(0)
+        state = merged.select(col("id"), col("n").as("c"))
+      }
+      require(changed == 0L, s"h-index coreness did not converge within $maxRounds rounds")
+      state.select(col("id"), col("c").as("coreness"))
+    }
+  }
+
   /** Continuous-approximation power-law MLE over the undirected degree
     * sequence (Clauset, Shalizi & Newman 2009, eq. 3.1 with
     * `d_min = 1`): `α = 1 + n / Σ ln(d / (d_min − ½))`. The per-degree

@@ -835,14 +835,24 @@ object Tokenization {
   /** BPE compression-ROI curve: corpus-total pieces and fertility at
     * each candidate merge-table size — the marginal-return table that
     * decides when to stop growing the vocabulary (each row answers
-    * "what did the next merges buy"). Each point is a REAL training at
-    * that budget (not a prefix of the largest run — batched training's
-    * round grouping differs per budget, and the per-budget oracle
-    * replays the sequential loop exactly).
+    * "what did the next merges buy"). Trains ONCE at the largest
+    * budget and slices PREFIXES for the smaller points: sequential BPE
+    * has the prefix property (the budget-k merge list is the first k
+    * rows of the budget-K list, K ≥ k — the round argmax doesn't
+    * depend on the unpicked tail), and the per-budget DuckDB oracle
+    * replays the sequential loop exactly, so the batched trainer's
+    * budget-k output ≡ sequential(k) ≡ prefix-k of sequential(K) —
+    * the gate itself proves every link. Exhaustion folds in free:
+    * `take(k)` of an m-merge exhausted list is the m-merge list.
     *
-    * Scale shape: per point, the histogram-based trainer (corpus never
-    * scanned per merge round) plus one encode pass; the curve is
-    * |grid| such runs unioned.
+    * Scale shape: ONE histogram-based training (corpus never scanned
+    * per merge round) plus ONE fused encode pass — the grid's states
+    * are prefix-chained folds of the same merge list, so each budget's
+    * state extends the previous one inside a single projection, the
+    * piece count is the `` wrap-char count (`length − length
+    * (replace)`, no symbol-array construction), and the whole curve is
+    * one corpus scan ending in one |grid|+1-sum aggregate. Was |grid|
+    * trainings + |grid| encode scans + a word-count scan.
     *
     * Output: one row per budget
     * `(n_merges, n_words, n_pieces, fert_milli)`.
@@ -852,23 +862,33 @@ object Tokenization {
       docs: DataFrame,
       ks: Seq[Int] = CurveMergeCounts): DataFrame = {
     import spark.implicits._
-    val words = docs
-      .select(
-        size(
-          filter(
-            Parity.tokens(col("text")),
-            w => !w.contains(SepL) && !w.contains(SepR) && !w.contains(WordSep)))
-          .cast("long")
-          .as("w"))
-      .agg(sum(col("w")))
+    val (allMerges, _) = trainMerges(spark, docs, ks.max)
+    val wordsArr = filter(
+      Parity.tokens(col("text")),
+      w => !w.contains(SepL) && !w.contains(SepR) && !w.contains(WordSep))
+    val wordState = (w: Column) =>
+      array_join(
+        transform(
+          sequence(lit(1), length(w)),
+          i => concat(lit(SepL), w.substr(i, lit(1)), lit(SepR))),
+        "")
+    val state0 = array_join(transform(wordsArr, wordState), WordSep)
+    val sorted = ks.sorted
+    var st = state0
+    var prev = 0
+    val pieceCols = sorted.map { k =>
+      st = allMerges.slice(prev, k).foldLeft(st)((s, m) => mergeReplace(s, m.left, m.right))
+      prev = k
+      (length(st) - length(replace(st, lit(SepL), lit("")))).cast("long").as(s"p$k")
+    }
+    val row = docs
+      .select(size(wordsArr).cast("long").as("w") +: pieceCols: _*)
+      .agg(sum(col("w")).as("w"), sorted.map(k => sum(col(s"p$k")).as(s"p$k")): _*)
       .head()
-      .getLong(0)
-    ks.map { k =>
-        val (merges, _) = trainMerges(spark, docs, k)
-        val pieces = encodeWithMerges(docs, merges)
-          .agg(sum(col("n_tokens")))
-          .head()
-          .getLong(0)
+    val words = row.getLong(0)
+    sorted.zipWithIndex
+      .map { case (k, i) =>
+        val pieces = row.getLong(i + 1)
         (k.toLong, words, pieces, pieces * 1000L / words)
       }
       .toDF("n_merges", "n_words", "n_pieces", "fert_milli")

@@ -475,6 +475,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(out4 === Set(3L))
   }
 
+  test("corenessHIndex: agrees with the peel decomposition exactly") {
+    import spark.implicits._
+    val tri = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0), (1L, 4L, 1.0))
+      .toDF("src", "dst", "w")
+    val h = GraphOps.corenessHIndex(tri).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    // chain of pendants into a K4 — the h-relaxation needs several
+    // rounds to walk the chain down (the peel's longest cascade)
+    val chain = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b, 1.0)) ++
+      Seq((4L, 5L, 1.0), (5L, 6L, 1.0), (6L, 7L, 1.0), (7L, 8L, 1.0))
+    val g = chain.toDF("src", "dst", "w")
+    val peel = GraphOps.corenessTable(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hIdx = GraphOps.corenessHIndex(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hIdx === peel)
+    assert(hIdx(5L) === 1L && hIdx(1L) === 3L)
+  }
+
   test("powerlawFit: hand-computed MLE on a 3-node path, hub graph skews alpha down") {
     import spark.implicits._
     // path 1-2-3: degrees 1,2,1 → S = 2·ln(2) + ln(4) in micro,
