@@ -556,6 +556,11 @@ object SparkEntry {
       Dedup.exact(docs(s, d)).orderBy(col("doc_id"))),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashCandidates(docs(s, d)).orderBy(col("doc_a"), col("doc_b"))),
+    // banding tuning table: exact 1-(1-s^r)^b candidate probability at
+    // every (b,r) factoring of the signature, next to the shipped
+    // config's measured match histogram
+    "dedup_lsh_scurve" -> ((s, d) =>
+      Dedup.lshScurve(docs(s, d)).orderBy(col("bands"), col("k_match"))),
     // estimator quality on its own candidates: MinHash-at-0.5 vs the
     // exact token-set Jaccard, confusion counts + exact ppm P/R
     "dedup_minhash_pr" -> ((s, d) => Dedup.minhashPrecision(docs(s, d))),
@@ -801,6 +806,10 @@ object SparkEntry {
       streaming.StreamOps.tumblingOverParquet(s, d).orderBy(col("ws"), col("event_type"))),
     "events_stream_sliding" -> ((s, d) =>
       streaming.StreamOps.slidingOverParquet(s, d).orderBy(col("ws"), col("event_type"))),
+    // per-window heavy hitters: streaming tumbling counts + the rank
+    // readout a dashboard runs against the sink
+    "events_stream_topk" -> ((s, d) =>
+      streaming.StreamOps.topkOverParquet(s, d).orderBy(col("ws"), col("rk"))),
     "dedup_embedding_lsh" -> ((s, d) =>
       Dedup.embeddingNearDupsLsh(embs(s, d), minCosine = 0.3).orderBy(col("vec_a"), col("vec_b"))),
     // first-class CSV / JSON-lines sources: stage through the format with
@@ -3586,6 +3595,38 @@ object SparkEntry {
            |FROM banded a JOIN banded b
            |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
            |ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_lsh_scurve" -> {
+        // independent re-derivation of the exact rational S-curve via
+        // HUGEINT multiplication chains (the engine folds a BigInt
+        // literal table — the gate cross-checks the two arithmetics)
+        def hmul(term: String, n: Int): String = Seq.fill(n)(term).mkString(" * ")
+        val arms = Dedup.LshGrid
+          .map { case (b, r) =>
+            val den = BigInt(Dedup.MinhashK).pow(r * b)
+            val kr = hmul("CAST(k_match AS HUGEINT)", r)
+            val inner = s"(CAST('${BigInt(Dedup.MinhashK).pow(r)}' AS HUGEINT) - $kr)"
+            s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+               |       k_match, n_pairs,
+               |       CAST((1000000 * (CAST('$den' AS HUGEINT) - ${hmul(inner, b)}))
+               |            // CAST('$den' AS HUGEINT) AS BIGINT) AS collide_micro
+               |FROM byk""".stripMargin
+          }
+          .mkString("\nUNION ALL\n")
+        s"""WITH sigs AS (
+           |  SELECT doc_id, ${Parity.minhashSigSql(codes, Dedup.MinhashK)} AS sig FROM documents),
+           |banded AS (
+           |  $bandedUnion),
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, $sigMatch AS est_jaccard
+           |  FROM banded a JOIN banded b
+           |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+           |byk AS (
+           |  SELECT CAST(round(est_jaccard * ${Dedup.MinhashK}) AS BIGINT) AS k_match,
+           |         CAST(count(*) AS BIGINT) AS n_pairs
+           |  FROM cands GROUP BY 1)
+           |$arms
+           |ORDER BY bands, k_match""".stripMargin
+      },
       "dedup_minhash_pr" ->
         s"""WITH sigs AS (
            |  SELECT doc_id, ${Parity.minhashSigSql(codes, Dedup.MinhashK)} AS sig FROM documents),
@@ -4289,6 +4330,17 @@ object SparkEntry {
       "events_stream_tumbling" -> tumblingSql,
       "events_sliding" -> slidingSql,
       "events_stream_sliding" -> slidingSql,
+      "events_stream_topk" ->
+        s"""WITH c AS (
+           |  SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), $fmt) AS ws,
+           |         event_type, CAST(count(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1, 2),
+           |r AS (
+           |  SELECT ws, event_type, n,
+           |         CAST(row_number() OVER (PARTITION BY ws ORDER BY n DESC, event_type)
+           |              AS BIGINT) AS rk
+           |  FROM c)
+           |SELECT ws, event_type, n, rk FROM r WHERE rk <= 3 ORDER BY ws, rk""".stripMargin,
       "events_sessionize" -> sessionizeSql,
       "events_session_lengths" ->
         s"""WITH h AS (

@@ -1247,6 +1247,61 @@ object Dedup {
           .as("recall_ppm"))
   }
 
+  /** Banding grid for [[lshScurve]] — every (bands, rows) factoring of
+    * the K=[[MinhashK]] signature. */
+  val LshGrid = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+
+  /** MinHash-LSH banding S-CURVE (Leskovec–Rajaraman–Ullman, Mining of
+    * Massive Datasets §3.4.2): for every (b bands × r rows) factoring
+    * of the K-slot signature and every signature-match count k seen in
+    * the shipped candidate set, the EXACT candidate probability
+    * `1 − (1 − s^r)^b` at `s = k/K` — the table that picks the banding
+    * before a 100 TB dedup run (slide the curve's knee onto the
+    * similarity you must catch), next to the measured pair histogram
+    * of the config actually shipped ([[MinhashBands]]×[[MinhashR]]).
+    *
+    * The probability is computed as the exact rational
+    * `(K^rb − (K^r − k^r)^b) · 10^6 div K^rb` — the engine folds a
+    * driver-side BigInt table (85 rows) as a broadcast literal join,
+    * the oracle re-derives the same integers independently via
+    * HUGEINT multiplication chains, so the gate cross-checks two
+    * arbitrary-precision implementations of the closed form, not one
+    * formula pasted twice.
+    *
+    * Scale shape: the measured side is the banded candidate join
+    * (bucket-bounded as everywhere) collapsed to a ≤ K+1-row match
+    * histogram; the analytic side is |grid|·(K+1) rows of driver
+    * arithmetic. Output is at most |grid|·(K+1) rows.
+    *
+    * Output: `(bands, rows_per_band, k_match, n_pairs, collide_micro)`
+    * for every k present in the shipped candidate set.
+    */
+  def lshScurve(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val byK = minhashCandidates(docs)
+      .groupBy(
+        expr(s"CAST(round(est_jaccard * $MinhashK) AS BIGINT)").as("k_match"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val curve = LshGrid
+      .flatMap { case (b, r) =>
+        (0 to MinhashK).map { k =>
+          val den = BigInt(MinhashK).pow(r * b)
+          val num = den - (BigInt(MinhashK).pow(r) - BigInt(k).pow(r)).pow(b)
+          (b.toLong, r.toLong, k.toLong, (BigInt(1000000) * num / den).toLong)
+        }
+      }
+      .toDF("bands", "rows_per_band", "k_match", "collide_micro")
+    byK
+      .join(broadcast(curve), Seq("k_match"))
+      .select(
+        col("bands"),
+        col("rows_per_band"),
+        col("k_match"),
+        col("n_pairs"),
+        col("collide_micro"))
+  }
+
   /** Entity resolution completed: [[erBlockedPairs]]' verified matches
     * closed transitively into ENTITIES (a chain A~B~C is one customer
     * record three ways), every source record annotated with its entity

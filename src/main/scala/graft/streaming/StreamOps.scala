@@ -171,6 +171,29 @@ object StreamOps {
       "sliding",
       ev => EventOps.sliding(ev.withWatermark("ts", "20 minutes")))
 
+  /** Streaming per-window HEAVY-HITTERS report: the streaming engine
+    * maintains the watermarked tumbling counts incrementally (exactly
+    * the state a serving store is upserted with, bounded by the
+    * watermark); the top-k rank runs as the SERVING READOUT over the
+    * completed windows — the dashboard query an ops page issues
+    * against the sink, not a second pass over the stream. Rank ties
+    * break on event_type, so the report is deterministic at any k.
+    *
+    * Scale shape: streaming state is |open windows|·|types| rows; the
+    * readout ranks |windows|·|types| aggregate rows, never events.
+    * Oracle: the batch tumbling counts + the same rank filter.
+    */
+  def topkOverParquet(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val counts = overParquet(spark, sfDir, "topk", ev => tumblingStream(ev))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ws"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("ws"), col("event_type"), col("n"), col("rk"))
+  }
+
   /** Streaming exact deduplication: dropDuplicates state keyed on the
     * full event identity, chained into a per-type distinct count — the
     * dedup-before-ingest operator run incrementally. On an unbounded
