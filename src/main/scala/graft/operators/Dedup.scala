@@ -1168,8 +1168,12 @@ object Dedup {
       .select(
         col("a.id").as("cust_a"),
         col("b.id").as("cust_b"),
-        levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+        // bounded-threshold kernel: O(maxDist·len) early-abandon per
+        // pair instead of the O(len²) full DP — returns −1 past the
+        // bound, identical distances within it, so the oracle's plain
+        // levenshtein(...) <= maxDist predicate is unchanged
+        levenshtein(col("a.name"), col("b.name"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0L && col("dist") <= maxDist)
   }
 
   /** [[erBlockedPairs]] mirrored. */
