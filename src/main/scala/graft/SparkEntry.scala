@@ -1644,6 +1644,9 @@ object SparkEntry {
     // the Z-curve itself as data: bit-interleave expression vs the
     // oracle's term-for-term arithmetic mirror
     "zorder_curve" -> ((s, d) => Layout.zcurveHistogram(s, d).orderBy(col("z_bucket"))),
+    // the jump-free space-filling curve next to Z: codegen'd rotation
+    // loop vs the oracle's chained-CTE re-derivation
+    "hilbert_curve" -> ((s, d) => Layout.hilbertHistogram(s, d).orderBy(col("h_bucket"))),
     // explicit GROUPING SETS beyond rollup/cube: both single-dimension
     // groupings computed in one pass over the fact table
     "grouping_sets_agg" -> ((s, d) =>
@@ -4589,6 +4592,8 @@ object SparkEntry {
       "zorder_box_agg" -> operators.Layout.zorderBoxAggSql,
       "zorder_curve" ->
         (operators.Layout.zcurveHistogramSql + "\nORDER BY z_bucket"),
+      "hilbert_curve" ->
+        (operators.Layout.hilbertHistogramSql + "\nORDER BY h_bucket"),
       "partitioned_source_agg" ->
         """SELECT lang, count(*) AS n,
           |       CAST(sum(length(text)) AS BIGINT) AS sum_chars

@@ -142,6 +142,76 @@ object Layout {
        |GROUP BY 1""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.functions.HilbertIndex]]: the xy2d loop
+    * unrolled as `bits` chained CTE steps carrying (cx, cy, d) — one
+    * SELECT per bit level over the whole keyed table (never per-row
+    * recursion). Expects a CTE named `keyed(x, y)` in scope; emits CTEs
+    * `h0..h$bits`, where `h$bits` has columns `(x, y, d)`.
+    */
+  def hilbertSqlCtes(bits: Int): String = {
+    val h0 = "h0 AS (SELECT x, y, x AS cx, y AS cy, CAST(0 AS BIGINT) AS d FROM keyed)"
+    val steps = (0 until bits).map { i =>
+      val k = bits - 1 - i
+      val s = 1L << k
+      val rx = s"((cx >> $k) & 1)"
+      val ry = s"((cy >> $k) & 1)"
+      s"""h${i + 1} AS (
+         |  SELECT x, y,
+         |         CASE WHEN $ry = 0
+         |              THEN (CASE WHEN $rx = 1 THEN $s - 1 - cy ELSE cy END)
+         |              ELSE cx END AS cx,
+         |         CASE WHEN $ry = 0
+         |              THEN (CASE WHEN $rx = 1 THEN $s - 1 - cx ELSE cx END)
+         |              ELSE cy END AS cy,
+         |         d + ${s * s} * xor(3 * $rx, $ry) AS d
+         |  FROM h$i)""".stripMargin
+    }
+    (h0 +: steps).mkString(",\n")
+  }
+
+  /** The Hilbert-curve histogram as a first-class query — the sibling of
+    * [[zcurveHistogram]] on the SAME masked key plane, exercising the
+    * codegen'd [[graft.functions.HilbertIndex]] kernel against the
+    * oracle's chained-CTE re-derivation of the rotation loop. Comparing
+    * the two histograms' per-bucket key boxes side by side is the
+    * curve-choice evidence: Hilbert buckets never straddle the plane the
+    * way Z's seam-crossing buckets do.
+    */
+  def hilbertHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val mask = (1L << ZBits) - 1
+    graft.model
+      .table(spark, sfDir, "lineitem")
+      .select(
+        graft.functions
+          .HilbertIndex(
+            col("l_orderkey").bitwiseAND(lit(mask)),
+            col("l_partkey").bitwiseAND(lit(mask)),
+            ZBits)
+          .as("h"),
+        col("l_orderkey").bitwiseAND(lit(mask)).as("x"),
+        col("l_partkey").bitwiseAND(lit(mask)).as("y"))
+      .groupBy(shiftright(col("h"), 2 * ZBits - 8).as("h_bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"),
+        max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"),
+        max(col("y")).as("max_y"))
+  }
+
+  /** SQL mirror of [[hilbertHistogram]] (DuckDB). */
+  val hilbertHistogramSql: String =
+    s"""WITH keyed AS (
+       |  SELECT l_orderkey & ${(1L << ZBits) - 1} AS x,
+       |         l_partkey & ${(1L << ZBits) - 1} AS y FROM lineitem),
+       |${hilbertSqlCtes(ZBits)}
+       |SELECT d >> ${2 * ZBits - 8} AS h_bucket,
+       |       count(*) AS n_rows,
+       |       min(x) AS min_x, max(x) AS max_x,
+       |       min(y) AS min_y, max(y) AS max_y
+       |FROM h$ZBits
+       |GROUP BY 1""".stripMargin
+
   // ---- small-file compaction planning --------------------------------------
 
   /** Docs per pseudo-file and the compaction target size (chars stand
@@ -269,6 +339,13 @@ object Layout {
     }
     val allZones = zones(Seq(col("x"), col("y")), "orderkey_sorted")
       .unionAll(zones(Seq(zvalue(col("x"), col("y")), col("x"), col("y")), "zorder"))
+      .unionAll(
+        zones(
+          Seq(
+            graft.functions.HilbertIndex(col("x"), col("y"), ReportBits),
+            col("x"),
+            col("y")),
+          "hilbert"))
     val probes = Seq(
       ("box_xy", 100L, 400L, 600L, 900L),
       ("slice_x", 100L, 400L, 0L, mask),
@@ -317,6 +394,7 @@ object Layout {
     val z = zvalueSql("x", "y")
     s"""WITH keyed AS (
        |  SELECT l_orderkey & $mask AS x, l_partkey & $mask AS y FROM lineitem),
+       |${hilbertSqlCtes(ReportBits)},
        |zones AS (
        |  SELECT 'orderkey_sorted' AS layout, zone,
        |         CAST(count(*) AS BIGINT) AS n_rows,
@@ -330,7 +408,14 @@ object Layout {
        |         min(x), max(x), min(y), max(y)
        |  FROM (SELECT x, y,
        |               (row_number() OVER (ORDER BY $z, x, y) - 1) // $ZoneRows AS zone
-       |        FROM keyed) GROUP BY 2),
+       |        FROM keyed) GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'hilbert', zone,
+       |         CAST(count(*) AS BIGINT),
+       |         min(x), max(x), min(y), max(y)
+       |  FROM (SELECT x, y,
+       |               (row_number() OVER (ORDER BY d, x, y) - 1) // $ZoneRows AS zone
+       |        FROM h$ReportBits) GROUP BY 2),
        |probes(probe, x_lo, x_hi, y_lo, y_hi) AS (VALUES
        |  ('box_xy', 100, 400, 600, 900),
        |  ('slice_x', 100, 400, 0, $mask),

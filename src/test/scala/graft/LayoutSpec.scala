@@ -106,7 +106,7 @@ class LayoutSpec extends SparkSpec {
     // would match nothing and every layout would trivially prune all)
     val li = graft.model.table(spark, "/root/testdata/sf0.01", "lineitem")
     val rows = Layout.zoneMapPruneReport(li).collect()
-    assert(rows.length === 6)
+    assert(rows.length === 9)
     rows.foreach { r =>
       val (zt, zs) = (r.getAs[Long]("zones_total"), r.getAs[Long]("zones_scanned"))
       assert(zs <= zt)
@@ -124,5 +124,34 @@ class LayoutSpec extends SparkSpec {
     assert(oy.getAs[Long]("zones_scanned") === oy.getAs[Long]("zones_total"))
     val zy = m(("zorder", "slice_y"))
     assert(zy.getAs[Long]("zones_scanned") < zy.getAs[Long]("zones_total"))
+    // hilbert, like z, prunes both 1-D slices
+    val hy = m(("hilbert", "slice_y"))
+    assert(hy.getAs[Long]("zones_scanned") < hy.getAs[Long]("zones_total"))
+    val hx = m(("hilbert", "slice_x"))
+    assert(hx.getAs[Long]("zones_scanned") < hx.getAs[Long]("zones_total"))
+  }
+
+  test("HilbertIndex: bijective, jump-free, and matches the rotation-loop reference") {
+    import spark.implicits._
+    // exhaustive at bits=3: the 64 indexes are a permutation of 0..63
+    // and every consecutive pair of indexes is 4-adjacent in the plane
+    // (the locality property the Z curve lacks at quadrant seams)
+    val pts = for { x <- 0L until 8L; y <- 0L until 8L } yield (x, y)
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), graft.functions.HilbertIndex(col("x"), col("y"), 3).as("h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._3).sorted.toSeq === (0L until 64L))
+    val byD = got.sortBy(_._3)
+    byD.zip(byD.tail).foreach { case ((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L)
+    }
+    // the first quadrant-order corner cases at bits=1
+    val one = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L))
+      .toDF("x", "y")
+      .select(graft.functions.HilbertIndex(col("x"), col("y"), 1))
+      .collect()
+      .map(_.getLong(0))
+    assert(one.toSeq === Seq(0L, 1L, 2L, 3L))
   }
 }
