@@ -785,6 +785,10 @@ object SparkEntry {
     // redundancy-growth audit: share of never-seen-before shingles per doc
     "text_novelty" -> ((s, d) => TextOps.noveltyCurve(docs(s, d)).orderBy(col("doc_id"))),
     // nibble-entropy screen for compressed/encrypted/corrupt payloads
+    // audio shape: framed short-time energy + quiet-frame screen over
+    // the PCM-stand-in payload (codec swap point marked in the kernel)
+    "multimodal_audio_energy" -> ((s, d) =>
+      Multimodal.audioEnergy(docs(s, d)).orderBy(col("doc_id"))),
     "multimodal_entropy" -> ((s, d) =>
       Multimodal.payloadEntropy(docs(s, d)).orderBy(col("doc_id"))),
     // hub-hub vs hub-leaf attachment in one Pearson coefficient
@@ -4305,6 +4309,7 @@ object SparkEntry {
         (TextOps.langIdConfusionSql() + "\nORDER BY actual, pred_lang"),
       "text_novelty" -> (TextOps.noveltyCurveSql() + "\nORDER BY doc_id"),
       "multimodal_entropy" -> (Multimodal.payloadEntropySql() + "\nORDER BY doc_id"),
+      "multimodal_audio_energy" -> (Multimodal.audioEnergySql() + "\nORDER BY doc_id"),
       "graph_assortativity" -> GraphOps.assortativitySql(GraphSource.lineitemEdgesSql),
       "graph_link_pred" ->
         (s"SELECT * FROM (${GraphOps.linkPredictionSql(GraphSource.lineitemEdgesSql)})\n" +

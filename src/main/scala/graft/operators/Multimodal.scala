@@ -624,6 +624,71 @@ object Multimodal {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Samples per frame for [[audioEnergy]] (8-bit PCM stand-in). */
+  val AudioFrameLen = 256
+
+  /** Per-frame quiet threshold: mean squared deviation < 1024
+    * (|amplitude − 128| < 32 on average) marks a frame quiet. */
+  val AudioQuietEnergy: Long = AudioFrameLen.toLong * 1024L
+
+  /** Short-time ENERGY profile of the payload read as unsigned 8-bit
+    * PCM — the audio member of the multimodal family: frame the clip
+    * ([[AudioFrameLen]] samples, tail partial frame included), report
+    * per-doc frame count, total and peak energy, the peak's frame
+    * index (where in the clip the activity is), and the quiet-frame
+    * count — the voice-activity / silence-trim pre-filter an audio
+    * curation pipeline runs before any transcription. The byte→sample
+    * read is the documented decode stand-in
+    * ([[graft.functions.FrameEnergies]] marks the codec swap point);
+    * framing and windowed integer energy are the real pipeline shape.
+    *
+    * Scale shape: ONE codegen'd pass per row where the payload lives
+    * (no sample explode, no shuffle); everything downstream reads the
+    * ~payload/256-element frame vector.
+    *
+    * Output: `(doc_id, n_frames, total_energy, peak_energy,
+    * peak_frame, n_quiet)` — peak_* NULL/0 for an empty payload.
+    */
+  def audioEnergy(docs: DataFrame): DataFrame = {
+    val fe = graft.functions.FrameEnergies(
+      encode(coalesce(col("text"), lit("")), "utf-8"),
+      AudioFrameLen)
+    docs
+      .select(col("doc_id"), fe.as("fe"))
+      .select(
+        col("doc_id"),
+        size(col("fe")).cast("long").as("n_frames"),
+        aggregate(col("fe"), lit(0L), (acc, x) => acc + x).as("total_energy"),
+        array_max(col("fe")).as("peak_energy"),
+        coalesce(array_position(col("fe"), array_max(col("fe"))), lit(0L)).as("peak_frame"),
+        size(filter(col("fe"), e => e < lit(AudioQuietEnergy))).cast("long").as("n_quiet"))
+  }
+
+  /** [[audioEnergy]] mirrored: hex dump → nibble pairs → the same
+    * integer frame fold. */
+  def audioEnergySql(): String =
+    s"""WITH b AS (
+       |  SELECT doc_id, upper(hex(encode(coalesce(text, '')))) AS h FROM documents),
+       |s AS (
+       |  SELECT doc_id, list_transform(range(0, length(h) // 2), j ->
+       |           (strpos('0123456789ABCDEF', substr(h, 2*j+1, 1)) - 1) * 16 +
+       |           (strpos('0123456789ABCDEF', substr(h, 2*j+2, 1)) - 1)) AS bytes
+       |  FROM b),
+       |f AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, (len(bytes) + $AudioFrameLen - 1) // $AudioFrameLen),
+       |           k -> CAST(list_sum(list_transform(
+       |                  list_slice(bytes, k*$AudioFrameLen + 1,
+       |                             least((k+1)*$AudioFrameLen, len(bytes))),
+       |                  v -> CAST((v-128)*(v-128) AS BIGINT))) AS BIGINT)) AS fe
+       |  FROM s)
+       |SELECT doc_id, CAST(len(fe) AS BIGINT) AS n_frames,
+       |       CAST(coalesce(list_sum(fe), 0) AS BIGINT) AS total_energy,
+       |       list_max(fe) AS peak_energy,
+       |       CAST(coalesce(list_position(fe, list_max(fe)), 0) AS BIGINT) AS peak_frame,
+       |       CAST(len(list_filter(fe, e -> e < $AudioQuietEnergy)) AS BIGINT) AS n_quiet
+       |FROM f""".stripMargin
+
   /** Uniform-nibble entropy threshold for [[payloadEntropy]]'s flag:
     * 0.9 · ln 16 — a payload above it is nibble-uniform enough to be
     * compressed/encrypted/corrupt rather than structured media.

@@ -1757,4 +1757,30 @@ class ExtensionOpsSpec extends SparkSpec {
       assert(m === dir.contains((n, v)), s"mutual flag wrong for ($v,$n)")
     }
   }
+
+  test("audioEnergy: hand-computed frames, partial tail, empty payload") {
+    import spark.implicits._
+    // 'A' = 65 → dev −63 → 3969/sample; frame len 256, so a 300-char doc
+    // has frames of 256 and 44 samples
+    val docs = Seq(
+      (1L, "A" * 300),
+      (2L, ""),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Multimodal.audioEnergy(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) === 2L) // n_frames
+    assert(r1.getLong(2) === 300L * 3969L) // total
+    assert(r1.getLong(3) === 256L * 3969L) // peak = full frame
+    assert(r1.getLong(4) === 1L) // peak_frame
+    // the 44-sample tail frame totals 174636 < 262144: partial frames
+    // read quiet against the full-frame bound (the silence-trim
+    // behavior a VAD wants at clip edges); frame 1 (1016064) is loud
+    assert(r1.getLong(5) === 1L)
+    Seq(2L, 3L).foreach { id =>
+      val r = out(id)
+      assert(r.getLong(1) === 0L && r.getLong(2) === 0L)
+      assert(r.isNullAt(3) && r.getLong(4) === 0L && r.getLong(5) === 0L)
+    }
+  }
 }
