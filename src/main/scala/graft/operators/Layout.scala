@@ -60,10 +60,21 @@ object Layout {
     * repaid on every subsequent box scan.
     */
   def zorderWrite(df: DataFrame, xCol: String, yCol: String, nFiles: Int, dir: String): Unit =
-    df.withColumn("__z", zvalue(col(xCol), col(yCol)))
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    curveWrite(df, zvalue(col(xCol), col(yCol)), nFiles, dir)
+
+  /** [[zorderWrite]] with the Hilbert index as the clustering key —
+    * the jump-free curve gives strictly tighter per-file boxes (see
+    * [[graft.functions.HilbertIndex]]; the prune report measures the
+    * difference). Same write cost: one range exchange + local sort.
+    */
+  def hilbertWrite(df: DataFrame, xCol: String, yCol: String, nFiles: Int, dir: String): Unit =
+    curveWrite(df, graft.functions.HilbertIndex(col(xCol), col(yCol), ZBits), nFiles, dir)
+
+  private def curveWrite(df: DataFrame, curve: Column, nFiles: Int, dir: String): Unit =
+    df.withColumn("__c", curve)
+      .repartitionByRange(nFiles, col("__c"))
+      .sortWithinPartitions(col("__c"))
+      .drop("__c")
       .write
       .mode("overwrite")
       .parquet(dir)

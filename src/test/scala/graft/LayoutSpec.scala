@@ -54,6 +54,16 @@ class LayoutSpec extends SparkSpec {
       // cover compact tiles. 4× is a loose bound (measured ~10×+).
       assert(zArea * 4 < plainArea, s"z=$zArea plain=$plainArea")
 
+      // the Hilbert layout is at least as compact as Z (jump-free
+      // ranges; small slack for range-boundary sampling noise)
+      val hDir = java.nio.file.Files.createTempDirectory("graft-hilbert-test").toString
+      try {
+        Layout.hilbertWrite(keyed, "x", "y", nFiles = 8, dir = hDir)
+        val hArea = boxArea(hDir)
+        assert(hArea < zArea * 1.25, s"hilbert=$hArea z=$zArea")
+        assert(hArea * 4 < plainArea, s"hilbert=$hArea plain=$plainArea")
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(hDir))
+
       // and the box predicate reaches the staged scan as pushed filters
       val q = spark.read.parquet(zDir)
         .filter(col("x").between(1000, 9000) && col("y").between(2000, 12000))
