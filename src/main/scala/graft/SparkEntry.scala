@@ -421,6 +421,12 @@ object SparkEntry {
               expr("abs(n_sampled * 8 - exact_triangles) * 1000 div exact_triangles"))
             .as("err_pm"))
     }),
+    // DeepWalk-style deterministic truncated walks: one per source
+    // node, LCG-hash transitions the oracle replays exactly
+    "graph_random_walks" -> ((s, d) =>
+      GraphOps
+        .randomWalks(GraphSource.lineitemEdges(s, d))
+        .orderBy(col("walk_id"), col("step"))),
     // FW-BW pivot SCC: two bitmask sweeps (forward + transpose), the
     // component is the intersection, the rest splits up/downstream
     "graph_scc_pivot" -> ((s, d) =>
@@ -789,6 +795,10 @@ object SparkEntry {
     // the PCM-stand-in payload (codec swap point marked in the kernel)
     "multimodal_audio_energy" -> ((s, d) =>
       Multimodal.audioEnergy(docs(s, d)).orderBy(col("doc_id"))),
+    // gaps-and-islands over the loud frames: the utterance segments an
+    // ASR pipeline actually cuts on
+    "multimodal_audio_segments" -> ((s, d) =>
+      Multimodal.audioSegments(docs(s, d)).orderBy(col("doc_id"), col("start_frame"))),
     "multimodal_entropy" -> ((s, d) =>
       Multimodal.payloadEntropy(docs(s, d)).orderBy(col("doc_id"))),
     // hub-hub vs hub-leaf attachment in one Pearson coefficient
@@ -2584,6 +2594,9 @@ object SparkEntry {
     "graph_clustering_coef" ->
       GraphOps.clusteringCoefficientSql(GraphSource.lineitemEdgesSql),
     "graph_hits" -> GraphOps.hitsSql(GraphSource.lineitemEdgesSql, iters = 3),
+    "graph_random_walks" ->
+      (GraphOps.randomWalksSql(GraphSource.lineitemEdgesSql) +
+        "\nORDER BY walk_id, step"),
     "emb_centroid_confusion" ->
       (Similarity.nearestCentroidConfusionSql() + "\nORDER BY label, pred"),
     "reverse_graph" -> reverseGraphOracleSql,
@@ -4310,6 +4323,8 @@ object SparkEntry {
       "text_novelty" -> (TextOps.noveltyCurveSql() + "\nORDER BY doc_id"),
       "multimodal_entropy" -> (Multimodal.payloadEntropySql() + "\nORDER BY doc_id"),
       "multimodal_audio_energy" -> (Multimodal.audioEnergySql() + "\nORDER BY doc_id"),
+      "multimodal_audio_segments" ->
+        (Multimodal.audioSegmentsSql() + "\nORDER BY doc_id, start_frame"),
       "graph_assortativity" -> GraphOps.assortativitySql(GraphSource.lineitemEdgesSql),
       "graph_link_pred" ->
         (s"SELECT * FROM (${GraphOps.linkPredictionSql(GraphSource.lineitemEdgesSql)})\n" +

@@ -2937,6 +2937,83 @@ object GraphOps {
     }
   }
 
+  /** Deterministic RANDOM WALKS — the DeepWalk/node2vec sampling shape
+    * (Perozzi et al. 2014): one walk per source node, `nSteps` steps;
+    * at step t a walk at u moves to the out-neighbor minimizing the
+    * house LCG hash `(walk·1103515245 + t·1234567891 + v·12345) mod
+    * 1000000007` (hash ties broken toward the smaller node id, so the
+    * transition is total and engine-deterministic — the property that
+    * lets the DuckDB oracle replay the exact same walks; swap the hash
+    * slice for fresh samples). Walks STOP at sinks (no out-edge):
+    * they simply emit no further steps, the standard truncation.
+    *
+    * Scale shape: per step, one frontier⋈edges join (frontier is one
+    * row per live walk) and two walk-keyed aggregates (min-hash, then
+    * the tie floor); each step's frontier is materialized once, so
+    * total work is L·|E∩frontier| — never a multi-step blowup. At
+    * 100 TB this is how corpus-scale walk datasets for embedding
+    * training are minted.
+    *
+    * Output: `(walk_id, step, node)`, step 0..nSteps.
+    */
+  def randomWalks(edges: DataFrame, nSteps: Int = 4): DataFrame = {
+    val e = Phys.materialized(edges.select(col("src"), col("dst")).distinct())
+    var cur =
+      Phys.materialized(e.select(col("src").as("walk_id")).distinct().withColumn("node", col("walk_id")))
+    var acc = cur.withColumn("step", lit(0L))
+    (1 to nSteps).foreach { t =>
+      val cands = cur
+        .join(e, cur("node") === e("src"))
+        .select(
+          col("walk_id"),
+          e("dst").as("cand"))
+        .withColumn(
+          "h",
+          // the step term is folded to a long literal driver-side (an
+          // int-literal product overflows ANSI int arithmetic at t ≥ 2)
+          expr(
+            s"(walk_id * CAST(1103515245 AS BIGINT) + CAST(${t.toLong * 1234567891L} AS BIGINT)" +
+              s" + cand * CAST(12345 AS BIGINT)) % 1000000007"))
+      val mh = cands.groupBy(col("walk_id")).agg(min(col("h")).as("mh"))
+      cur = Phys.materialized(
+        cands
+          .join(mh, Seq("walk_id"))
+          .filter(col("h") === col("mh"))
+          .groupBy(col("walk_id"))
+          .agg(min(col("cand")).as("node")))
+      acc = acc.unionByName(cur.withColumn("step", lit(t.toLong)))
+    }
+    acc.select(col("walk_id"), col("step"), col("node"))
+  }
+
+  /** [[randomWalks]] mirrored: per step a candidate CTE, the min-hash
+    * floor, and the tie floor — all MATERIALIZED so the unroll stays
+    * linear (the Borůvka lesson). */
+  def randomWalksSql(edgesSql: String, nSteps: Int = 4): String = {
+    val head = Seq(
+      s"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesSql))",
+      "w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS node FROM e)")
+    val steps = (1 to nSteps).flatMap { t =>
+      Seq(
+        s"""c$t AS MATERIALIZED (
+           |  SELECT w.walk_id, e.dst AS cand,
+           |         (w.walk_id * CAST(1103515245 AS BIGINT)
+           |            + CAST(${t.toLong * 1234567891L} AS BIGINT)
+           |            + e.dst * CAST(12345 AS BIGINT)) % 1000000007 AS h
+           |  FROM w${t - 1} w JOIN e ON e.src = w.node)""".stripMargin,
+        s"""w$t AS MATERIALIZED (
+           |  SELECT c.walk_id, min(c.cand) AS node
+           |  FROM c$t c JOIN (SELECT walk_id, min(h) AS mh FROM c$t GROUP BY 1) m
+           |    ON m.walk_id = c.walk_id AND c.h = m.mh
+           |  GROUP BY 1)""".stripMargin)
+    }
+    val union = (0 to nSteps)
+      .map(t => s"SELECT walk_id, CAST($t AS BIGINT) AS step, node FROM w$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${(head ++ steps).mkString(",\n")}
+       |$union""".stripMargin
+  }
+
   /** Core numbers via the H-INDEX ITERATION (Lü, Zhou, Zhang & Stanley,
     * "The H-index of a network node and its relation to degree and
     * coreness", Nature Communications 2016): start every node at its

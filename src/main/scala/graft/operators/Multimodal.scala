@@ -689,6 +689,71 @@ object Multimodal {
        |       CAST(len(list_filter(fe, e -> e < $AudioQuietEnergy)) AS BIGINT) AS n_quiet
        |FROM f""".stripMargin
 
+  /** Voice-activity SEGMENTS over [[audioEnergy]]'s frames: maximal
+    * runs of loud frames (energy ≥ [[AudioQuietEnergy]]) as
+    * `(start_frame, end_frame)` intervals with run length and total
+    * energy — the segmentation an ASR pipeline cuts clips on (quiet
+    * gaps separate utterances; segments are what get transcribed).
+    * The run grouping is the gaps-and-islands identity
+    * `island = idx − row_number()` over each doc's loud frames.
+    *
+    * Scale shape: the explode is ~payload/[[AudioFrameLen]] frame rows
+    * (never samples); the island window partitions per doc — no
+    * global sort, no shuffle wider than the frame table.
+    *
+    * Output: one row per segment `(doc_id, start_frame, end_frame,
+    * n_frames, energy)`; silent docs contribute no rows.
+    */
+  def audioSegments(docs: DataFrame): DataFrame = {
+    val fe = graft.functions.FrameEnergies(
+      encode(coalesce(col("text"), lit("")), "utf-8"),
+      AudioFrameLen)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("idx"))
+    docs
+      .select(col("doc_id"), posexplode(fe).as(Seq("idx", "e")))
+      .filter(col("e") >= AudioQuietEnergy)
+      .withColumn("island", col("idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("idx")).cast("long").as("start_frame"),
+        max(col("idx")).cast("long").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("e")).as("energy"))
+      .drop("island")
+  }
+
+  /** [[audioSegments]] mirrored (zipped unnest for the frame index,
+    * same islands identity). */
+  def audioSegmentsSql(): String =
+    s"""WITH b AS (
+       |  SELECT doc_id, upper(hex(encode(coalesce(text, '')))) AS h FROM documents),
+       |s0 AS (
+       |  SELECT doc_id, list_transform(range(0, length(h) // 2), j ->
+       |           (strpos('0123456789ABCDEF', substr(h, 2*j+1, 1)) - 1) * 16 +
+       |           (strpos('0123456789ABCDEF', substr(h, 2*j+2, 1)) - 1)) AS bytes
+       |  FROM b),
+       |f AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, (len(bytes) + $AudioFrameLen - 1) // $AudioFrameLen),
+       |           k -> CAST(list_sum(list_transform(
+       |                  list_slice(bytes, k*$AudioFrameLen + 1,
+       |                             least((k+1)*$AudioFrameLen, len(bytes))),
+       |                  v -> CAST((v-128)*(v-128) AS BIGINT))) AS BIGINT)) AS fe
+       |  FROM s0),
+       |frames AS (
+       |  SELECT doc_id, unnest(fe) AS e, unnest(range(0, len(fe))) AS idx FROM f),
+       |loud AS (
+       |  SELECT doc_id, idx, e,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS rn
+       |  FROM frames WHERE e >= $AudioQuietEnergy)
+       |SELECT doc_id, CAST(min(idx) AS BIGINT) AS start_frame,
+       |       CAST(max(idx) AS BIGINT) AS end_frame,
+       |       CAST(count(*) AS BIGINT) AS n_frames,
+       |       CAST(sum(e) AS BIGINT) AS energy
+       |FROM loud GROUP BY doc_id, idx - rn""".stripMargin
+
   /** Uniform-nibble entropy threshold for [[payloadEntropy]]'s flag:
     * 0.9 · ln 16 — a payload above it is nibble-uniform enough to be
     * compressed/encrypted/corrupt rather than structured media.
