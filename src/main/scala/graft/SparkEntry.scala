@@ -427,6 +427,12 @@ object SparkEntry {
       GraphOps
         .randomWalks(GraphSource.lineitemEdges(s, d))
         .orderBy(col("walk_id"), col("step"))),
+    // node2vec second-order walks: p/q-biased transitions, exact
+    // inverse-CDF pick under a deterministic LCG draw
+    "graph_node2vec_walks" -> ((s, d) =>
+      GraphOps
+        .node2vecWalks(GraphSource.lineitemEdges(s, d))
+        .orderBy(col("walk_id"), col("step"))),
     // FW-BW pivot SCC: two bitmask sweeps (forward + transpose), the
     // component is the intersection, the rest splits up/downstream
     "graph_scc_pivot" -> ((s, d) =>
@@ -2596,6 +2602,9 @@ object SparkEntry {
     "graph_hits" -> GraphOps.hitsSql(GraphSource.lineitemEdgesSql, iters = 3),
     "graph_random_walks" ->
       (GraphOps.randomWalksSql(GraphSource.lineitemEdgesSql) +
+        "\nORDER BY walk_id, step"),
+    "graph_node2vec_walks" ->
+      (GraphOps.node2vecWalksSql(GraphSource.lineitemEdgesSql) +
         "\nORDER BY walk_id, step"),
     "emb_centroid_confusion" ->
       (Similarity.nearestCentroidConfusionSql() + "\nORDER BY label, pred"),

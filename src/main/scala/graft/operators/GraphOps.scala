@@ -3014,6 +3014,118 @@ object GraphOps {
        |$union""".stripMargin
   }
 
+  /** Second-order BIASED walks — node2vec (Grover & Leskovec, KDD
+    * 2016): the transition out of `node` depends on the PREVIOUS node
+    * too. Candidate classes get the classic return/BFS/DFS weights
+    * (`1/p` back to prev, 1 to a neighbor of prev, `1/q` outward;
+    * defaults p = 4, q = ½ as integer milli-weights 250/1000/2000, the
+    * explore-outward regime), and the pick is EXACT inverse-CDF
+    * categorical sampling with a DETERMINISTIC uniform draw: r =
+    * LCG(walk, t) mod Σw, next = first candidate (in id order) whose
+    * weight prefix-sum crosses r — proportional-to-weight given the
+    * draw, and bit-replayable by the DuckDB oracle. Step 1 has no
+    * prev; seeding `prev = node` makes every candidate a neighbor of
+    * prev, so the machinery degrades to the uniform pick on its own.
+    * Walks truncate at sinks.
+    *
+    * Scale shape: per step, the frontier⋈edges fan-out, ONE
+    * (prev, cand)-keyed adjacency probe against the edge table, a
+    * per-walk prefix-sum window over the candidate list (bounded by
+    * out-degree), and one walk-keyed aggregate — every join
+    * equi-keyed, state is one row per live walk.
+    *
+    * Output: `(walk_id, step, node)`, step 0..nSteps.
+    */
+  def node2vecWalks(
+      edges: DataFrame,
+      nSteps: Int = 4,
+      backMilli: Long = 250L,
+      adjMilli: Long = 1000L,
+      outMilli: Long = 2000L): DataFrame = {
+    val e = Phys.materialized(edges.select(col("src"), col("dst")).distinct())
+    var frontier = Phys.materialized(
+      e.select(col("src").as("walk_id"))
+        .distinct()
+        .select(col("walk_id"), col("walk_id").as("prev"), col("walk_id").as("node")))
+    var acc = frontier.select(col("walk_id"), lit(0L).as("step"), col("node"))
+    (1 to nSteps).foreach { t =>
+      val cands = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("walk_id"), col("prev"), col("node"), e("dst").as("cand"))
+      val adj = cands
+        .join(
+          e.select(col("src").as("p2"), col("dst").as("c2"), lit(true).as("is_adj")),
+          col("prev") === col("p2") && col("cand") === col("c2"),
+          "left_outer")
+        .select(
+          col("walk_id"),
+          col("node"),
+          col("cand"),
+          when(col("cand") === col("prev"), lit(backMilli))
+            .when(col("is_adj"), lit(adjMilli))
+            .otherwise(lit(outMilli))
+            .as("wm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("walk_id"))
+        .orderBy(col("cand"))
+      val picked = adj
+        .withColumn("cum", sum(col("wm")).over(w))
+        .join(adj.groupBy(col("walk_id")).agg(sum(col("wm")).as("tw")), Seq("walk_id"))
+        .withColumn(
+          "r",
+          expr(
+            s"(walk_id * CAST(1103515245 AS BIGINT) + CAST(${t.toLong * 1234567891L} AS BIGINT))" +
+              " % 1000000007 % tw"))
+        .filter(col("cum") > col("r"))
+      frontier = Phys.materialized(
+        picked
+          .groupBy(col("walk_id"))
+          .agg(min(col("node")).as("prev"), min(col("cand")).as("node"))
+          .select(col("walk_id"), col("prev"), col("node")))
+      acc = acc.unionByName(frontier.select(col("walk_id"), lit(t.toLong).as("step"), col("node")))
+    }
+    acc
+  }
+
+  /** [[node2vecWalks]] mirrored: per step the fan-out, the adjacency
+    * probe, the prefix-sum crossing — all MATERIALIZED. */
+  def node2vecWalksSql(
+      edgesSql: String,
+      nSteps: Int = 4,
+      backMilli: Long = 250L,
+      adjMilli: Long = 1000L,
+      outMilli: Long = 2000L): String = {
+    val head = Seq(
+      s"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesSql))",
+      "f0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS prev, src AS node FROM e)")
+    val steps = (1 to nSteps).flatMap { t =>
+      Seq(
+        s"""a$t AS MATERIALIZED (
+           |  SELECT w.walk_id, w.node, e.dst AS cand,
+           |         CASE WHEN e.dst = w.prev THEN $backMilli
+           |              WHEN e2.src IS NOT NULL THEN $adjMilli
+           |              ELSE $outMilli END AS wm
+           |  FROM f${t - 1} w
+           |  JOIN e ON e.src = w.node
+           |  LEFT JOIN e e2 ON e2.src = w.prev AND e2.dst = e.dst)""".stripMargin,
+        s"""f$t AS MATERIALIZED (
+           |  SELECT walk_id, min(node) AS prev, min(cand) AS node
+           |  FROM (SELECT walk_id, node, cand,
+           |               sum(wm) OVER (PARTITION BY walk_id ORDER BY cand) AS cum,
+           |               sum(wm) OVER (PARTITION BY walk_id) AS tw
+           |        FROM a$t)
+           |  WHERE cum > (walk_id * CAST(1103515245 AS BIGINT)
+           |                 + CAST(${t.toLong * 1234567891L} AS BIGINT))
+           |               % 1000000007 % tw
+           |  GROUP BY 1)""".stripMargin)
+    }
+    val union = (0 to nSteps)
+      .map(t => s"SELECT walk_id, CAST($t AS BIGINT) AS step, node FROM f$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${(head ++ steps).mkString(",\n")}
+       |$union""".stripMargin
+  }
+
   /** Core numbers via the H-INDEX ITERATION (Lü, Zhou, Zhang & Stanley,
     * "The H-index of a network node and its relation to degree and
     * coreness", Nature Communications 2016): start every node at its
