@@ -427,6 +427,12 @@ object SparkEntry {
       GraphOps
         .randomWalks(GraphSource.lineitemEdges(s, d))
         .orderBy(col("walk_id"), col("step"))),
+    // the trainer-facing readout of the walks: windowed (center,
+    // context) co-occurrence counts
+    "graph_walk_skipgrams" -> ((s, d) =>
+      GraphOps
+        .walkSkipgrams(GraphSource.lineitemEdges(s, d))
+        .orderBy(col("center"), col("context"))),
     // node2vec second-order walks: p/q-biased transitions, exact
     // inverse-CDF pick under a deterministic LCG draw
     "graph_node2vec_walks" -> ((s, d) =>
@@ -2606,6 +2612,9 @@ object SparkEntry {
     "graph_node2vec_walks" ->
       (GraphOps.node2vecWalksSql(GraphSource.lineitemEdgesSql) +
         "\nORDER BY walk_id, step"),
+    "graph_walk_skipgrams" ->
+      (GraphOps.walkSkipgramsSql(GraphSource.lineitemEdgesSql) +
+        "\nORDER BY center, context"),
     "emb_centroid_confusion" ->
       (Similarity.nearestCentroidConfusionSql() + "\nORDER BY label, pred"),
     "reverse_graph" -> reverseGraphOracleSql,

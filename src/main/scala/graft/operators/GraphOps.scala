@@ -3014,6 +3014,34 @@ object GraphOps {
        |$union""".stripMargin
   }
 
+  /** Skip-gram co-occurrence pairs from [[randomWalks]] — the table a
+    * DeepWalk/node2vec embedding trainer actually consumes: for every
+    * walk, all (center, context) node pairs within `window` steps of
+    * each other (both directions), counted. The walk table bounds the
+    * fan-out: a walk of L steps emits ≤ L·2·window pairs, so the
+    * pair count is linear in the walk corpus regardless of graph
+    * shape.
+    *
+    * Output: `(center, context, n_pairs)`.
+    */
+  def walkSkipgrams(edges: DataFrame, nSteps: Int = 4, window: Int = 2): DataFrame = {
+    val walks = Phys.materialized(randomWalks(edges, nSteps))
+    val a = walks.select(col("walk_id"), col("step").as("s1"), col("node").as("center"))
+    val b = walks.select(col("walk_id"), col("step").as("s2"), col("node").as("context"))
+    a.join(b, Seq("walk_id"))
+      .filter(abs(col("s2") - col("s1")).between(1, window))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** [[walkSkipgrams]] mirrored (walk replay nested as a CTE). */
+  def walkSkipgramsSql(edgesSql: String, nSteps: Int = 4, window: Int = 2): String =
+    s"""WITH wk AS MATERIALIZED (${randomWalksSql(edgesSql, nSteps)})
+       |SELECT a.node AS center, b.node AS context, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM wk a JOIN wk b
+       |  ON a.walk_id = b.walk_id AND abs(b.step - a.step) BETWEEN 1 AND $window
+       |GROUP BY 1, 2""".stripMargin
+
   /** Second-order BIASED walks — node2vec (Grover & Leskovec, KDD
     * 2016): the transition out of `node` depends on the PREVIOUS node
     * too. Candidate classes get the classic return/BFS/DFS weights
