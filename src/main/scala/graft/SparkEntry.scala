@@ -433,6 +433,12 @@ object SparkEntry {
       GraphOps
         .walkSkipgrams(GraphSource.lineitemEdges(s, d))
         .orderBy(col("center"), col("context"))),
+    // the full chain: walks -> skip-grams -> SGNS matrix trainer;
+    // per-entity vector state, integer gradients, exact oracle replay
+    "graph_embed_sgns" -> ((s, d) =>
+      operators.Training
+        .sgnsEmbeddings(GraphOps.walkSkipgrams(GraphSource.lineitemEdges(s, d)))
+        .orderBy(col("id"))),
     // node2vec second-order walks: p/q-biased transitions, exact
     // inverse-CDF pick under a deterministic LCG draw
     "graph_node2vec_walks" -> ((s, d) =>
@@ -2615,6 +2621,10 @@ object SparkEntry {
     "graph_walk_skipgrams" ->
       (GraphOps.walkSkipgramsSql(GraphSource.lineitemEdgesSql) +
         "\nORDER BY center, context"),
+    "graph_embed_sgns" ->
+      (operators.Training
+        .sgnsEmbeddingsSql(GraphOps.walkSkipgramsSql(GraphSource.lineitemEdgesSql)) +
+        "\nORDER BY id"),
     "emb_centroid_confusion" ->
       (Similarity.nearestCentroidConfusionSql() + "\nORDER BY label, pred"),
     "reverse_graph" -> reverseGraphOracleSql,

@@ -1314,4 +1314,179 @@ object Training {
        |FROM ($evals)
        |ORDER BY fold""".stripMargin
   }
+
+  // ---- SGNS node embeddings (the matrix-state trainer shape) ---------------
+
+  /** The rational fast-sigmoid fragment over a double expression. */
+  private def sig(z: String): String = s"(0.5 + ($z) / (2.0 * (1.0 + abs($z))))"
+
+  /** Skip-Gram with Negative Sampling over a (center, context, n)
+    * co-occurrence table — word2vec's objective (Mikolov et al. 2013)
+    * run as full-batch synchronous GD, the trainer family's FIFTH state
+    * shape: parameters are per-ENTITY vectors (two |V|×d milli-unit
+    * matrices, center and context), not a scalar model — the shape
+    * every embedding trainer at 100 TB has, where the model itself is a
+    * distributed table updated by keyed joins.
+    *
+    * Determinism end-to-end: init is an LCG of (id, dim); the one
+    * negative per pair is EXACT categorical choice by
+    * `hash(center, context) mod |V|` over the dense node index; every
+    * per-pair gradient component is rounded to an integer milli-unit
+    * BEFORE the per-entity sum (order-free reduction); σ is the
+    * rational fast sigmoid — so the trained matrix is bit-identical to
+    * the unrolled DuckDB oracle replaying the same rounds.
+    *
+    * Scale shape per round: pairs ⋈ U ⋈ V ⋈ (dense-index negative) ⋈ V
+    * — all equi-joins on entity keys; the scored table is materialized
+    * ONCE and feeds three keyed delta aggregates (center, context,
+    * negative), each map-side partial; updates are |V|-row outer joins.
+    * Nothing wider than the pair table ever shuffles. Like
+    * [[trainLogreg]]'s 3 rounds, `iters` = 2 demonstrates the exact
+    * mechanism, not convergence.
+    *
+    * Output: the trained center matrix `(id, u0..u{d−1})` in
+    * milli-units.
+    */
+  def sgnsEmbeddings(pairs: DataFrame, dims: Int = 4, iters: Int = 2): DataFrame = {
+    val BigP = 1000000007L
+    def pA(i: Int) = (1103515245L * (i + 1) + 12345L) % BigP
+    val p = Phys.materialized(
+      pairs.select(col("center"), col("context"), col("n_pairs").as("n")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    val nodes = Phys.materialized(
+      p.select(col("center").as("id"))
+        .unionAll(p.select(col("context").as("id")))
+        .distinct()
+        .withColumn("idx", row_number().over(w).cast("long") - 1L))
+    val nV = nodes.count()
+    def init(tag: String, off: Int): DataFrame =
+      nodes.select(
+        col("id") +: (0 until dims).map(i =>
+          expr(s"(id * ${pA(i + off)}) % $BigP % 201 - 100").as(s"$tag$i")): _*)
+    var u = Phys.materialized(init("u", 0))
+    var v = Phys.materialized(init("v", 10))
+    val zp = s"(CAST(${(0 until dims).map(i => s"u$i * v$i").mkString(" + ")} AS DOUBLE) / 1000000.0)"
+    val zn = s"(CAST(${(0 until dims).map(i => s"u$i * w$i").mkString(" + ")} AS DOUBLE) / 1000000.0)"
+    (1 to iters).foreach { _ =>
+      val scored = Phys.materialized(
+        p.join(u.select(col("id").as("center") +: (0 until dims).map(i => col(s"u$i")): _*), Seq("center"))
+          .join(
+            v.select(col("id").as("context") +: (0 until dims).map(i => col(s"v$i")): _*),
+            Seq("context"))
+          .withColumn("nidx", expr(s"(center * 1103515245 + context * 12345) % $BigP % $nV"))
+          .join(nodes.select(col("idx").as("nidx"), col("id").as("neg_id")), Seq("nidx"))
+          .join(
+            v.select(col("id").as("neg_id") +: (0 until dims).map(i => col(s"v$i").as(s"w$i")): _*),
+            Seq("neg_id"))
+          .withColumn("cp", expr(s"${sig(zp)} - 1.0"))
+          .withColumn("cn", expr(sig(zn)))
+          .select(
+            Seq(col("center"), col("context"), col("neg_id")) ++
+              (0 until dims).flatMap(i =>
+                Seq(
+                  expr(s"CAST(round(n * cp * v$i / 10.0) AS BIGINT)").as(s"dup$i"),
+                  expr(s"CAST(round(n * cn * w$i / 10.0) AS BIGINT)").as(s"dun$i"),
+                  expr(s"CAST(round(n * cp * u$i / 10.0) AS BIGINT)").as(s"dvp$i"),
+                  expr(s"CAST(round(n * cn * u$i / 10.0) AS BIGINT)").as(s"dwn$i"))): _*))
+      val du = scored
+        .groupBy(col("center").as("id"))
+        .agg(
+          sum(col("dup0") + col("dun0")).as("d0"),
+          (1 until dims).map(i => sum(col(s"dup$i") + col(s"dun$i")).as(s"d$i")): _*)
+      val dv = scored
+        .select(col("context").as("id") +: (0 until dims).map(i => col(s"dvp$i").as(s"d$i")): _*)
+        .unionAll(
+          scored.select(
+            col("neg_id").as("id") +: (0 until dims).map(i => col(s"dwn$i").as(s"d$i")): _*))
+        .groupBy(col("id"))
+        .agg(sum(col("d0")).as("d0"), (1 until dims).map(i => sum(col(s"d$i")).as(s"d$i")): _*)
+      u = Phys.materialized(
+        u.join(du, Seq("id"), "left_outer")
+          .select(
+            col("id") +: (0 until dims).map(i =>
+              (col(s"u$i") - coalesce(col(s"d$i"), lit(0L))).as(s"u$i")): _*))
+      v = Phys.materialized(
+        v.join(dv, Seq("id"), "left_outer")
+          .select(
+            col("id") +: (0 until dims).map(i =>
+              (col(s"v$i") - coalesce(col(s"d$i"), lit(0L))).as(s"v$i")): _*))
+    }
+    u
+  }
+
+  /** [[sgnsEmbeddings]] mirrored: the same rounds unrolled, scored
+    * tables and updates MATERIALIZED per round. `pairsSql` must yield
+    * (center, context, n_pairs). */
+  def sgnsEmbeddingsSql(pairsSql: String, dims: Int = 4, iters: Int = 2): String = {
+    val BigP = 1000000007L
+    def pA(i: Int) = (1103515245L * (i + 1) + 12345L) % BigP
+    def cols(tag: String) = (0 until dims).map(i => s"$tag$i").mkString(", ")
+    val zp = s"(CAST(${(0 until dims).map(i => s"u$i * v$i").mkString(" + ")} AS DOUBLE) / 1000000.0)"
+    val zn = s"(CAST(${(0 until dims).map(i => s"u$i * w$i").mkString(" + ")} AS DOUBLE) / 1000000.0)"
+    val head = Seq(
+      s"p AS MATERIALIZED (SELECT center, context, n_pairs AS n FROM ($pairsSql))",
+      """nodes AS MATERIALIZED (
+        |  SELECT id, row_number() OVER (ORDER BY id) - 1 AS idx
+        |  FROM (SELECT center AS id FROM p UNION SELECT context FROM p))""".stripMargin,
+      // the modulus hoisted to a one-row CTE: a scalar subquery inside
+      // the join condition re-evaluates per probe row
+      "nv AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS c FROM nodes)",
+      s"""u0t AS MATERIALIZED (SELECT id, ${(0 until dims)
+           .map(i => s"(id * ${pA(i)}) % $BigP % 201 - 100 AS u$i")
+           .mkString(", ")} FROM nodes)""",
+      s"""v0t AS MATERIALIZED (SELECT id, ${(0 until dims)
+           .map(i => s"(id * ${pA(i + 10)}) % $BigP % 201 - 100 AS v$i")
+           .mkString(", ")} FROM nodes)""")
+    val rounds = (1 to iters).flatMap { r =>
+      val (uPrev, vPrev) = (s"u${r - 1}t", s"v${r - 1}t")
+      Seq(
+        s"""sc$r AS MATERIALIZED (
+           |  SELECT center, context, neg_id,
+           |         ${(0 until dims)
+             .flatMap(i =>
+               Seq(
+                 s"CAST(round(n * cp * v$i / 10.0) AS BIGINT) AS dup$i",
+                 s"CAST(round(n * cn * w$i / 10.0) AS BIGINT) AS dun$i",
+                 s"CAST(round(n * cp * u$i / 10.0) AS BIGINT) AS dvp$i",
+                 s"CAST(round(n * cn * u$i / 10.0) AS BIGINT) AS dwn$i"))
+             .mkString(",\n         ")}
+           |  FROM (
+           |    SELECT j.*, ${sig(zp)} - 1.0 AS cp, ${sig(zn)} AS cn
+           |    FROM (
+           |      SELECT p.center, p.context, p.n, nn.id AS neg_id,
+           |             ${(0 until dims).map(i => s"uu.u$i AS u$i").mkString(", ")},
+           |             ${(0 until dims).map(i => s"vv.v$i AS v$i").mkString(", ")},
+           |             ${(0 until dims).map(i => s"vw.v$i AS w$i").mkString(", ")}
+           |      FROM p
+           |      CROSS JOIN nv
+           |      JOIN $uPrev uu ON uu.id = p.center
+           |      JOIN $vPrev vv ON vv.id = p.context
+           |      JOIN nodes nn ON nn.idx = (p.center * 1103515245 + p.context * 12345)
+           |                        % $BigP % nv.c
+           |      JOIN $vPrev vw ON vw.id = nn.id) j))""".stripMargin,
+        s"""du$r AS MATERIALIZED (
+           |  SELECT center AS id, ${(0 until dims)
+             .map(i => s"CAST(sum(dup$i + dun$i) AS BIGINT) AS d$i")
+             .mkString(", ")}
+           |  FROM sc$r GROUP BY 1)""".stripMargin,
+        s"""dv$r AS MATERIALIZED (
+           |  SELECT id, ${(0 until dims).map(i => s"CAST(sum(d$i) AS BIGINT) AS d$i").mkString(", ")}
+           |  FROM (SELECT context AS id, ${(0 until dims).map(i => s"dvp$i AS d$i").mkString(", ")} FROM sc$r
+           |        UNION ALL
+           |        SELECT neg_id, ${(0 until dims).map(i => s"dwn$i").mkString(", ")} FROM sc$r)
+           |  GROUP BY 1)""".stripMargin,
+        s"""u${r}t AS MATERIALIZED (
+           |  SELECT u.id, ${(0 until dims)
+             .map(i => s"u.u$i - coalesce(d.d$i, 0) AS u$i")
+             .mkString(", ")}
+           |  FROM $uPrev u LEFT JOIN du$r d ON d.id = u.id)""".stripMargin,
+        s"""v${r}t AS MATERIALIZED (
+           |  SELECT v.id, ${(0 until dims)
+             .map(i => s"v.v$i - coalesce(d.d$i, 0) AS v$i")
+             .mkString(", ")}
+           |  FROM $vPrev v LEFT JOIN dv$r d ON d.id = v.id)""".stripMargin)
+    }
+    s"""WITH ${(head ++ rounds).mkString(",\n")}
+       |SELECT id, ${cols("u")} FROM u${iters}t""".stripMargin
+  }
 }
