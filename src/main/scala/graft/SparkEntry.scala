@@ -437,7 +437,8 @@ object SparkEntry {
     // per-entity vector state, integer gradients, exact oracle replay
     "graph_embed_sgns" -> ((s, d) =>
       operators.Training
-        .sgnsEmbeddings(GraphOps.walkSkipgrams(GraphSource.lineitemEdges(s, d)))
+        .sgnsEmbeddings(
+          GraphOps.walkSkipgrams(GraphSource.lineitemEdges(s, d), startMod = 4L))
         .orderBy(col("id"))),
     // node2vec second-order walks: p/q-biased transitions, exact
     // inverse-CDF pick under a deterministic LCG draw
@@ -2623,7 +2624,8 @@ object SparkEntry {
         "\nORDER BY center, context"),
     "graph_embed_sgns" ->
       (operators.Training
-        .sgnsEmbeddingsSql(GraphOps.walkSkipgramsSql(GraphSource.lineitemEdgesSql)) +
+        .sgnsEmbeddingsSql(
+          GraphOps.walkSkipgramsSql(GraphSource.lineitemEdgesSql, startMod = 4L)) +
         "\nORDER BY id"),
     "emb_centroid_confusion" ->
       (Similarity.nearestCentroidConfusionSql() + "\nORDER BY label, pred"),

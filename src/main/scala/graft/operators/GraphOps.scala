@@ -2956,10 +2956,17 @@ object GraphOps {
     *
     * Output: `(walk_id, step, node)`, step 0..nSteps.
     */
-  def randomWalks(edges: DataFrame, nSteps: Int = 4): DataFrame = {
+  def randomWalks(edges: DataFrame, nSteps: Int = 4, startMod: Long = 1L): DataFrame = {
     val e = Phys.materialized(edges.select(col("src"), col("dst")).distinct())
     var cur =
-      Phys.materialized(e.select(col("src").as("walk_id")).distinct().withColumn("node", col("walk_id")))
+      Phys.materialized(
+        e.select(col("src").as("walk_id"))
+          .distinct()
+          // the walk-corpus budget knob: walks start from the 1/startMod
+          // deterministic node sample (id mod class 0) — how a real
+          // embedding pipeline bounds walk volume on a huge graph
+          .filter(pmod(col("walk_id"), lit(startMod)) === 0L)
+          .withColumn("node", col("walk_id")))
     var acc = cur.withColumn("step", lit(0L))
     (1 to nSteps).foreach { t =>
       val cands = cur
@@ -2989,10 +2996,11 @@ object GraphOps {
   /** [[randomWalks]] mirrored: per step a candidate CTE, the min-hash
     * floor, and the tie floor — all MATERIALIZED so the unroll stays
     * linear (the Borůvka lesson). */
-  def randomWalksSql(edgesSql: String, nSteps: Int = 4): String = {
+  def randomWalksSql(edgesSql: String, nSteps: Int = 4, startMod: Long = 1L): String = {
     val head = Seq(
       s"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesSql))",
-      "w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS node FROM e)")
+      "w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS node FROM e" +
+        s" WHERE src % $startMod = 0)")
     val steps = (1 to nSteps).flatMap { t =>
       Seq(
         s"""c$t AS MATERIALIZED (
@@ -3024,8 +3032,12 @@ object GraphOps {
     *
     * Output: `(center, context, n_pairs)`.
     */
-  def walkSkipgrams(edges: DataFrame, nSteps: Int = 4, window: Int = 2): DataFrame = {
-    val walks = Phys.materialized(randomWalks(edges, nSteps))
+  def walkSkipgrams(
+      edges: DataFrame,
+      nSteps: Int = 4,
+      window: Int = 2,
+      startMod: Long = 1L): DataFrame = {
+    val walks = Phys.materialized(randomWalks(edges, nSteps, startMod))
     val a = walks.select(col("walk_id"), col("step").as("s1"), col("node").as("center"))
     val b = walks.select(col("walk_id"), col("step").as("s2"), col("node").as("context"))
     a.join(b, Seq("walk_id"))
@@ -3035,8 +3047,12 @@ object GraphOps {
   }
 
   /** [[walkSkipgrams]] mirrored (walk replay nested as a CTE). */
-  def walkSkipgramsSql(edgesSql: String, nSteps: Int = 4, window: Int = 2): String =
-    s"""WITH wk AS MATERIALIZED (${randomWalksSql(edgesSql, nSteps)})
+  def walkSkipgramsSql(
+      edgesSql: String,
+      nSteps: Int = 4,
+      window: Int = 2,
+      startMod: Long = 1L): String =
+    s"""WITH wk AS MATERIALIZED (${randomWalksSql(edgesSql, nSteps, startMod)})
        |SELECT a.node AS center, b.node AS context, CAST(count(*) AS BIGINT) AS n_pairs
        |FROM wk a JOIN wk b
        |  ON a.walk_id = b.walk_id AND abs(b.step - a.step) BETWEEN 1 AND $window
