@@ -440,6 +440,14 @@ object SparkEntry {
         .sgnsEmbeddings(
           GraphOps.walkSkipgrams(GraphSource.lineitemEdges(s, d), startMod = 4L))
         .orderBy(col("id"))),
+    // extrinsic eval of the trained embeddings: link-prediction AUC
+    // (hash-corrupted negatives, integer Mann-Whitney over the score
+    // histogram — bit-exact)
+    "graph_embed_linkpred" -> ((s, d) =>
+      operators.Training.embedLinkPredAuc(
+        operators.Training.sgnsEmbeddings(
+          GraphOps.walkSkipgrams(GraphSource.lineitemEdges(s, d), startMod = 4L)),
+        GraphSource.lineitemEdges(s, d))),
     // node2vec second-order walks: p/q-biased transitions, exact
     // inverse-CDF pick under a deterministic LCG draw
     "graph_node2vec_walks" -> ((s, d) =>
@@ -1231,6 +1239,9 @@ object SparkEntry {
     // RAKE keyword phrases: delimiter-free token runs scored by the
     // integer deg/freq word statistic, delimiters df-derived
     "text_rake_keywords" -> ((s, d) => TextOps.rakeKeywords(docs(s, d))),
+    // TextRank: integer PageRank over the banded word co-occurrence
+    // graph — global-centrality keyword ranking, RAKE's complement
+    "text_textrank" -> ((s, d) => TextOps.textrank(docs(s, d))),
     // version-to-version change audit: added/updated/unchanged counts
     // from a null-safe full-outer compare of the two logical states
     "corpus_diff" -> ((s, d) => {
@@ -2627,6 +2638,11 @@ object SparkEntry {
         .sgnsEmbeddingsSql(
           GraphOps.walkSkipgramsSql(GraphSource.lineitemEdgesSql, startMod = 4L)) +
         "\nORDER BY id"),
+    "graph_embed_linkpred" ->
+      operators.Training.embedLinkPredAucSql(
+        operators.Training.sgnsEmbeddingsSql(
+          GraphOps.walkSkipgramsSql(GraphSource.lineitemEdgesSql, startMod = 4L)),
+        GraphSource.lineitemEdgesSql),
     "emb_centroid_confusion" ->
       (Similarity.nearestCentroidConfusionSql() + "\nORDER BY label, pred"),
     "reverse_graph" -> reverseGraphOracleSql,
@@ -4778,6 +4794,7 @@ object SparkEntry {
       "text_pmi_bigrams" ->
         s"SELECT * FROM (${TextOps.pmiBigramsSql()}) ORDER BY w1, w2",
       "text_rake_keywords" -> TextOps.rakeKeywordsSql(),
+      "text_textrank" -> TextOps.textrankSql(),
       "corpus_diff" ->
         """WITH base AS (
           |  SELECT doc_id, text FROM documents),

@@ -2591,4 +2591,117 @@ object TextOps {
        |GROUP BY phrase, n_words, score_micro
        |ORDER BY score_micro DESC, phrase LIMIT $k""".stripMargin
   }
+
+  // ---- TextRank keyword ranking --------------------------------------------
+
+  /** TextRank (Mihalcea & Tarau 2004, "TextRank: Bringing Order into
+    * Text"): rank single terms by PageRank over the word co-occurrence
+    * graph — two non-stopword tokens are linked when they appear within
+    * `window` positions of each other in a document, edge weight = the
+    * corpus-wide co-occurrence count, and the weighted rank iteration
+    * distributes each node's mass proportionally to edge weight
+    * (`pr·w div wsum`, Σ over in-neighbors). The complement of RAKE:
+    * RAKE scores phrases by local degree statistics in one pass,
+    * TextRank scores words by global graph centrality — the two
+    * disagree exactly where a word is frequent in long phrases but
+    * peripheral in the co-occurrence topology.
+    *
+    * All arithmetic is integer fixed-point (the [[graft.operators.GraphOps.pagerankFixed]]
+    * discipline): rank unit 1e12, per-edge contribution `pr·w div wsum`
+    * (div before sum, so both engines add identical integers), damping
+    * 85/100 — bit-identical on any engine, no rounding grid.
+    *
+    * Scale shape: one corpus explode; the co-occurrence self-join is
+    * per-document position-banded (fan-out ≤ `window` per token, never
+    * all-pairs); the graph is vocab-keyed (edges ≤ vocab·avg-degree,
+    * independent of corpus row count once counts saturate); each of the
+    * `iters` rounds is one vocab-keyed join + one aggregate over a
+    * checkpointed constant-depth plan. The word graph is exchanged once
+    * and reused every round.
+    *
+    * Output: top `k` rows `(term, pr)` by (pr desc, term asc).
+    */
+  def textrank(docs: DataFrame, iters: Int = 5, window: Int = 2, k: Int = 20): DataFrame = {
+    val tok = docs
+      .select(
+        col("doc_id"),
+        posexplode(Parity.tokens(col("text"))).as(Seq("pos0", "t")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("t"))
+      .filter(!col("t").isInCollection(Stopwords))
+    val a = tok.select(col("doc_id"), col("pos").as("pa"), col("t").as("ta"))
+    val b = tok.select(col("doc_id"), col("pos").as("pb"), col("t").as("tb"))
+    val co = a
+      .join(b, Seq("doc_id"))
+      .filter(
+        col("pb") - col("pa") >= 1 && col("pb") - col("pa") <= window &&
+          col("ta") =!= col("tb"))
+      .select(col("ta"), col("tb"))
+    val sym = co.unionAll(co.select(col("tb").as("ta"), col("ta").as("tb")))
+    val e0 = sym.groupBy(col("ta").as("src"), col("tb").as("dst")).agg(count(lit(1)).as("w"))
+    val ws = e0.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    // weight + out-mass on one materialized edge table: every round's
+    // probe reuses this one exchange
+    val e = Phys.materialized(e0.join(ws, Seq("src")))
+    val nn = ws.agg(count(lit(1)).as("n"))
+    var rank = Phys.materialized(
+      ws.crossJoin(nn)
+        .select(col("src").as("term"), expr("1000000000000L div n").as("pr"), col("n")))
+    (1 to iters).foreach { _ =>
+      val contrib = rank
+        .join(e, rank("term") === e("src"))
+        .select(e("dst").as("term"), expr("pr * w div wsum").as("c"))
+      val summed = contrib.groupBy("term").agg(sum(col("c")).as("s"))
+      rank = Phys.materialized(
+        rank
+          .join(summed, Seq("term"), "left_outer")
+          .select(
+            col("term"),
+            expr(
+              "CAST((15 * (1000000000000L div n) div 100) + (85 * coalesce(s, 0L)) div 100 AS BIGINT)")
+              .as("pr"),
+            col("n")))
+    }
+    rank
+      .select(col("term"), col("pr"))
+      .orderBy(col("pr").desc, col("term"))
+      .limit(k)
+  }
+
+  /** [[textrank]] mirrored: the identical banded co-occurrence graph and
+    * the unrolled integer rank rounds (all round CTEs MATERIALIZED so
+    * the unroll stays linear).
+    */
+  def textrankSql(iters: Int = 5, window: Int = 2, k: Int = 20): String = {
+    val toks = Parity.tokensSql("text")
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    def iter(prev: String, i: Int): String =
+      s"""r$i AS MATERIALIZED (
+         |  SELECT r.term,
+         |         CAST((15 * (1000000000000 // nn.n) // 100) +
+         |              (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM $prev r
+         |  LEFT JOIN (SELECT e.dst AS term, CAST(sum(r.pr * e.w // e.wsum) AS BIGINT) AS s
+         |             FROM $prev r JOIN e ON e.src = r.term GROUP BY e.dst) s ON s.term = r.term
+         |  CROSS JOIN nn)""".stripMargin
+    val rounds = (1 to iters).map(i => iter(s"r${i - 1}", i)).mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id, $toks AS ts FROM documents),
+       |tok AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, ts[CAST(pos AS INT)] AS t
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos FROM tk)),
+       |ns AS (SELECT doc_id, pos, t FROM tok WHERE t NOT IN ($stopList)),
+       |co AS (
+       |  SELECT a.t AS ta, b.t AS tb
+       |  FROM ns a JOIN ns b
+       |    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND $window AND a.t <> b.t),
+       |sym AS (SELECT ta, tb FROM co UNION ALL SELECT tb AS ta, ta AS tb FROM co),
+       |e0 AS MATERIALIZED (
+       |  SELECT ta AS src, tb AS dst, CAST(count(*) AS BIGINT) AS w FROM sym GROUP BY ta, tb),
+       |ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM e0 GROUP BY src),
+       |e AS MATERIALIZED (SELECT e0.src, e0.dst, e0.w, ws.wsum FROM e0 JOIN ws ON ws.src = e0.src),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ws),
+       |r0 AS MATERIALIZED (
+       |  SELECT src AS term, CAST(1000000000000 // nn.n AS BIGINT) AS pr FROM ws CROSS JOIN nn),
+       |$rounds
+       |SELECT term, pr FROM r$iters ORDER BY pr DESC, term LIMIT $k""".stripMargin
+  }
 }

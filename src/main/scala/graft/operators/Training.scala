@@ -1489,4 +1489,109 @@ object Training {
     s"""WITH ${(head ++ rounds).mkString(",\n")}
        |SELECT id, ${cols("u")} FROM u${iters}t""".stripMargin
   }
+
+  // ---- embedding link-prediction evaluation --------------------------------
+
+  /** Link-prediction AUC of trained node embeddings — the standard
+    * extrinsic eval of a [[sgnsEmbeddings]] run (Grover & Leskovec 2016
+    * §4.3 evaluate node2vec embeddings exactly this way): positives are
+    * the graph's own edges, negatives are one deterministically
+    * corrupted pair per positive (the tail re-drawn by the same hash →
+    * node-index map the SGNS negative sampler uses), each pair scores
+    * the integer dot product `Σ uᵢ(a)·uᵢ(b)`, and the AUC is the
+    * tie-corrected Mann-Whitney rank statistic computed over the score
+    * histogram — `2U = Σ_s pos_s·(2·cumneg_<s + neg_s)` stays integral,
+    * so the result is bit-identical on any engine (micro-units).
+    *
+    * Pairs whose endpoint the walk corpus never reached (no embedding
+    * row) drop out of the inner joins on BOTH sides — the eval covers
+    * the embedded subgraph, mirrored exactly in the oracle. A
+    * "negative" that happens to be a real edge keeps its negative
+    * label (the standard convention; with n_V candidate tails the
+    * collision mass is ~deg/n_V).
+    *
+    * Scale shape: two vocab-keyed embedding joins (|E| rows through
+    * each), one score-keyed histogram aggregate; the only sequential
+    * term is the cumulative window over DISTINCT scores — histogram-
+    * sized, not pair-sized (two-phase prefix sums at scale). No
+    * all-pairs term.
+    *
+    * Output: one row `(n_pos, n_neg, auc_micro)`.
+    */
+  def embedLinkPredAuc(emb: DataFrame, edges: DataFrame, dims: Int = 4): DataFrame = {
+    val BigP = 1000000007L
+    val e = Phys.materialized(
+      edges.filter(col("src") =!= col("dst")).select(col("src"), col("dst")).distinct())
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    val nodes = Phys.materialized(
+      emb.select(col("id")).withColumn("idx", row_number().over(w).cast("long") - 1L))
+    val nV = nodes.count()
+    val neg = e
+      .withColumn("nidx", expr(s"(src * 1103515245 + dst * 54321) % $BigP % $nV"))
+      .join(nodes.select(col("idx").as("nidx"), col("id").as("ndst")), Seq("nidx"))
+      .select(col("src"), col("ndst").as("dst"), lit(0L).as("label"))
+    val pairs = e.select(col("src"), col("dst"), lit(1L).as("label")).unionAll(neg)
+    val ua = emb.select(
+      col("id").as("src") +: (0 until dims).map(i => col(s"u$i").as(s"a$i")): _*)
+    val ub = emb.select(
+      col("id").as("dst") +: (0 until dims).map(i => col(s"u$i").as(s"b$i")): _*)
+    val hist = pairs
+      .join(ua, Seq("src"))
+      .join(ub, Seq("dst"))
+      .select(
+        expr((0 until dims).map(i => s"a$i * b$i").mkString(" + ")).as("score"),
+        col("label"))
+      .groupBy(col("score"))
+      .agg(sum(col("label")).as("pos"), sum(lit(1L) - col("label")).as("neg"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cumneg", coalesce(sum(col("neg")).over(ws), lit(0L)))
+      .agg(
+        sum(col("pos")).as("n_pos"),
+        sum(col("neg")).as("n_neg"),
+        sum(col("pos") * (lit(2L) * col("cumneg") + col("neg"))).as("u2"))
+      .select(
+        col("n_pos"),
+        col("n_neg"),
+        expr("1000000 * u2 div (2 * n_pos * n_neg)").as("auc_micro"))
+  }
+
+  /** [[embedLinkPredAuc]] mirrored: the trained-embedding CTE nested
+    * whole, the same hash-corrupted negatives, and the integer 2U rank
+    * statistic over the score histogram.
+    */
+  def embedLinkPredAucSql(embSql: String, edgesSql: String, dims: Int = 4): String = {
+    val dot = (0 until dims).map(i => s"a.u$i * b.u$i").mkString(" + ")
+    s"""WITH emb AS MATERIALIZED ($embSql),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM ($edgesSql) WHERE src <> dst),
+       |nodes AS MATERIALIZED (
+       |  SELECT id, CAST(row_number() OVER (ORDER BY id) AS BIGINT) - 1 AS idx FROM emb),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM nodes),
+       |neg AS (
+       |  SELECT e.src, n.id AS dst, CAST(0 AS BIGINT) AS label
+       |  FROM edges e CROSS JOIN nn
+       |  JOIN nodes n ON n.idx = (e.src * 1103515245 + e.dst * 54321) % 1000000007 % nn.nv),
+       |pairs AS (
+       |  SELECT src, dst, CAST(1 AS BIGINT) AS label FROM edges
+       |  UNION ALL SELECT src, dst, label FROM neg),
+       |hist AS (
+       |  SELECT $dot AS score,
+       |         CAST(sum(p.label) AS BIGINT) AS pos,
+       |         CAST(sum(1 - p.label) AS BIGINT) AS neg
+       |  FROM pairs p JOIN emb a ON a.id = p.src JOIN emb b ON b.id = p.dst
+       |  GROUP BY 1),
+       |cum AS (
+       |  SELECT pos, neg,
+       |         coalesce(sum(neg) OVER (ORDER BY score
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+       |  FROM hist),
+       |agg AS (
+       |  SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
+       |         CAST(sum(pos * (2 * cumneg + neg)) AS BIGINT) AS u2
+       |  FROM cum)
+       |SELECT n_pos, n_neg, 1000000 * u2 // (2 * n_pos * n_neg) AS auc_micro FROM agg""".stripMargin
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.Parity
-import graft.operators.{Dedup, EventOps, Multimodal, Similarity, Sketches, TextOps}
+import graft.operators.{Dedup, EventOps, Multimodal, Similarity, Sketches, TextOps, Training}
 
 /** Unit tests for the north-star extension operators on tiny in-memory
   * inputs with hand-computed expectations.
@@ -1735,6 +1735,54 @@ class ExtensionOpsSpec extends SparkSpec {
       ("deep learning", 2L, 2L, 4000000L),
       ("deep models", 2L, 1L, 4000000L),
       ("great", 1L, 1L, 1000000L)))
+  }
+
+  test("textrank ranks the co-occurrence hub above every spoke") {
+    import spark.implicits._
+    // hub co-occurs with every spoke; spokes see only hub + one
+    // distance-2 neighbor — global centrality must rank hub first
+    val docs = Seq((1L, "hub aa hub bb hub cc hub dd")).toDF("doc_id", "text")
+    val out = TextOps.textrank(docs, iters = 5, window = 2, k = 10).collect()
+    val pr = out.map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(pr.keySet === Set("hub", "aa", "bb", "cc", "dd"))
+    Seq("aa", "bb", "cc", "dd").foreach { s =>
+      assert(pr("hub") > pr(s), s"hub not above $s: $pr")
+    }
+    // first row IS the hub (pr desc, term asc ordering)
+    assert(out.head.getString(0) === "hub")
+  }
+
+  test("embedLinkPredAuc equals the naive pairwise Mann-Whitney on planted vectors") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, 50L, 0L, 0L, 0L),
+      (2L, 40L, 0L, 0L, 0L),
+      (3L, 0L, 30L, 0L, 0L),
+      (4L, 0L, 20L, 0L, 0L),
+      (5L, 5L, 5L, 0L, 0L),
+      (6L, -10L, 3L, 0L, 0L)).toDF("id", "u0", "u1", "u2", "u3")
+    val e = Seq((1L, 2L), (3L, 4L), (5L, 6L), (2L, 3L))
+    val edges = e.toDF("src", "dst")
+    val out = Training.embedLinkPredAuc(emb, edges).collect()(0)
+    // independent replay: same hash-corrupted negatives, then the
+    // DEFINITION of tie-corrected AUC (all pos-neg pair compares)
+    // instead of the operator's histogram prefix-sum form
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val vec = Map(
+      1L -> (50L, 0L), 2L -> (40L, 0L), 3L -> (0L, 30L),
+      4L -> (0L, 20L), 5L -> (5L, 5L), 6L -> (-10L, 3L))
+    def dot(a: Long, b: Long) = vec(a)._1 * vec(b)._1 + vec(a)._2 * vec(b)._2
+    val neg = e.map { case (s, d) =>
+      (s, ids(((s * 1103515245L + d * 54321L) % 1000000007L % 6L).toInt))
+    }
+    val pos = e.map(p => dot(p._1, p._2))
+    val negs = neg.map(p => dot(p._1, p._2))
+    val u2 = (for { p <- pos; n <- negs } yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    assert(out.getLong(0) === pos.length.toLong)
+    assert(out.getLong(1) === negs.length.toLong)
+    assert(out.getLong(2) === 1000000L * u2 / (2L * pos.length * negs.length))
   }
 
   test("knnGraph: ranks bounded, mutual is symmetric, neighbors distinct") {
