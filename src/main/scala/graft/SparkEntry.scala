@@ -1875,6 +1875,10 @@ object SparkEntry {
     "pii_l_diversity" -> ((s, d) =>
       operators.Quality.lDiversity(table(s, d, "customer"))
         .orderBy(col("c_nationkey"), col("bal_band"))),
+    // ε-DP geometric-mechanism release of per-nation counts: literal
+    // inverse-CDF noise table shared verbatim by both engines
+    "pii_dp_counts" -> ((s, d) =>
+      operators.Quality.dpCounts(table(s, d, "customer")).orderBy(col("c_nationkey"))),
     // incremental-maintenance identity: stored base partials + delta merge
     // ≡ full rollup (the oracle computes the full side)
     "corpus_agg_incremental" -> ((s, d) =>
@@ -5168,6 +5172,8 @@ object SparkEntry {
         s"SELECT * FROM (${operators.Quality.expectationsAuditSql()}) ORDER BY expectation",
       "pii_l_diversity" ->
         s"SELECT * FROM (${operators.Quality.lDiversitySql()}) ORDER BY c_nationkey, bal_band",
+      "pii_dp_counts" ->
+        s"SELECT * FROM (${operators.Quality.dpCountsSql()}) ORDER BY c_nationkey",
       "corpus_agg_incremental" ->
         s"SELECT * FROM (${operators.Quality.aggIncrementalSql()}) ORDER BY source",
       "pii_sensitivity" ->

@@ -239,6 +239,86 @@ object Quality {
        |       count(*) < 2 AS at_risk
        |FROM g GROUP BY 1, 2""".stripMargin
 
+  // ---- differentially-private release -------------------------------------
+
+  /** Two-sided-geometric inverse-CDF thresholds for the ε-DP geometric
+    * mechanism, support clamped to [−b, b] (tail mass ~α^b folded into
+    * the endpoints) and scaled to [0, 2^31): `noise(u)` = first k with
+    * `u < T(k)`. Computed ONCE here and folded as LITERALS into both
+    * engines' plans — cross-engine parity is exact by construction, no
+    * floating point crosses an engine boundary.
+    */
+  private[graft] def dpThresholds(eps: Double = 1.0, b: Int = 15): Seq[(Int, Long)] = {
+    val a = math.exp(-eps)
+    val ks = -b to b
+    val ps = ks.map(k => math.pow(a, math.abs(k)))
+    val total = ps.sum
+    var cum = 0.0
+    ks.zip(ps).map { case (k, p) =>
+      cum += p / total
+      (k, math.min(math.round(cum * 2147483648.0), 2147483648L))
+    }
+  }
+
+  /** The shared CASE chain over [[dpThresholds]] — identical text is
+    * valid Spark SQL and DuckDB SQL, so both engines fold the same
+    * literal table.
+    */
+  private def dpNoiseCase(u: String, eps: Double, b: Int): String = {
+    val th = dpThresholds(eps, b)
+    val whens = th.init.map { case (k, t) => s"WHEN $u < ${t}L THEN (${k})" }.mkString(" ")
+    s"(CASE $whens ELSE (${th.last._1}) END)"
+  }
+
+  /** ε-differentially-private per-nation customer counts via the
+    * geometric mechanism (Ghosh, Roughgarden & Sundararajan 2009 — the
+    * discrete, utility-optimal analog of Laplace noise for
+    * sensitivity-1 counting queries): each group's count is released
+    * as `max(0, n + Z)` with Z two-sided geometric, α = e^(−ε).
+    *
+    * The noise draw is deterministic and engine-portable: an LCG draw
+    * u ∈ [0, 2^31) seeded by the group key, pushed through the
+    * [[dpThresholds]] literal inverse-CDF table — the privacy
+    * *accounting* is real (the mechanism is exactly ε-DP w.r.t. the
+    * count if Z were drawn fresh); the deterministic seed is the
+    * test-harness replay convention used by every sampled operator in
+    * this engine (a production run would key the LCG by a secret
+    * release nonce).
+    *
+    * Scale shape: one hash aggregate over the grouping key, then a
+    * narrow codegen'd map (the CASE chain) — output bounded by the
+    * group domain, never |rows|.
+    *
+    * Output: `(c_nationkey, n_true, noise, n_dp)`.
+    */
+  def dpCounts(customer: DataFrame, eps: Double = 1.0, b: Int = 15): DataFrame =
+    customer
+      .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("u", expr("(c_nationkey * 1103515245 + 12345) % 2147483648"))
+      .withColumn("noise", expr(dpNoiseCase("u", eps, b)).cast("long"))
+      .select(
+        col("c_nationkey"),
+        col("n_true"),
+        col("noise"),
+        greatest(lit(0L), col("n_true") + col("noise")).as("n_dp"))
+
+  /** [[dpCounts]] mirrored: the identical literal threshold table (the
+    * CASE text is shared verbatim between the two dialects).
+    */
+  def dpCountsSql(eps: Double = 1.0, b: Int = 15): String = {
+    val c = dpNoiseCase("u", eps, b).replace("L THEN", " THEN")
+    s"""WITH g AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       |         CAST(count(*) AS BIGINT) AS n_true
+       |  FROM customer GROUP BY 1),
+       |u AS (SELECT c_nationkey, n_true,
+       |             (c_nationkey * 1103515245 + 12345) % 2147483648 AS u FROM g)
+       |SELECT c_nationkey, n_true, CAST($c AS BIGINT) AS noise,
+       |       greatest(0, n_true + CAST($c AS BIGINT)) AS n_dp
+       |FROM u""".stripMargin
+  }
+
   /** Candidate functional dependencies the audit screens, as
     * (name, table, lhs, rhs) — a mix of true FDs (violations must be 0:
     * the regression canaries) and plausible-but-false ones (the

@@ -122,4 +122,24 @@ class QualitySpec extends SparkSpec {
     // the plausible-but-false candidates must be detected as violated
     assert(out("lineitem.l_partkey->l_suppkey")._1 > 0L)
   }
+
+  test("dpCounts: valid inverse-CDF table, bounded noise, clamped release") {
+    val th = Quality.dpThresholds(eps = 1.0, b = 15)
+    assert(th.length === 31)
+    // strictly monotone CDF covering [0, 2^31) exactly
+    th.sliding(2).foreach { case Seq((_, a), (_, b)) => assert(a < b) }
+    assert(th.last._2 === 2147483648L)
+    // mode at zero: the widest CDF step is k = 0's
+    val widths = th.map(_._2).zip(0L +: th.map(_._2).init).map { case (hi, lo) => hi - lo }
+    assert(widths.zipWithIndex.maxBy(_._1)._2 === 15)
+    val out = Quality.dpCounts(tables("customer")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, z, rel) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(z >= -15L && z <= 15L)
+      assert(rel === math.max(0L, n + z))
+    }
+    // draws actually vary across groups (the LCG is keyed, not constant)
+    assert(out.map(_.getLong(2)).distinct.length > 1)
+  }
 }
