@@ -2455,6 +2455,10 @@ object SparkEntry {
     // listing, per-source bins (metadata-only at any scale)
     "layout_compaction_plan" -> ((s, d) =>
       operators.Layout.compactionPlan(docs(s, d)).orderBy(col("source"), col("bin"))),
+    // HRU greedy cube-view selection: one cube pass for lattice sizes,
+    // then the bounded 8-row greedy benefit walk
+    "cube_view_select" -> ((s, d) =>
+      operators.Layout.cubeViewSelect(events(s, d)).orderBy(col("round"))),
     // zone-map prune report: 1-D clustered vs Z-order layouts scored
     // by zones/rows scanned per probe predicate
     "layout_prune_report" -> ((s, d) =>
@@ -4660,6 +4664,7 @@ object SparkEntry {
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       // layout-independent: the same box over the original table
       "zorder_box_agg" -> operators.Layout.zorderBoxAggSql,
+      "cube_view_select" -> operators.Layout.cubeViewSelectSql(),
       "zorder_curve" ->
         (operators.Layout.zcurveHistogramSql + "\nORDER BY z_bucket"),
       "hilbert_curve" ->

@@ -450,4 +450,114 @@ object Layout {
        |FROM zones z CROSS JOIN probes p JOIN matched m ON m.probe = p.probe
        |GROUP BY z.layout, p.probe, m.rows_matched""".stripMargin
   }
+
+  // ---- greedy cube-view selection ------------------------------------------
+
+  /** Greedy materialized-view selection over the data-cube lattice
+    * (Harinarayan, Rajaraman & Ullman 1996, "Implementing Data Cubes
+    * Efficiently"): the 3-dim lattice over events (user × type × day)
+    * has 8 views; view sizes come from ONE cube pass (each view's row
+    * count = its distinct group count); then the classic greedy picks
+    * `picks` views beyond the always-materialized top view, each round
+    * choosing the view whose materialization most reduces total query
+    * cost — benefit(v) = Σ_{w ⊑ v} max(0, cost(w, S) − |v|), cost(w, S)
+    * = the smallest materialized ancestor. HRU prove this greedy is
+    * within (1 − 1/e) of optimal.
+    *
+    * The lattice walk runs driver-side over the COLLECTED 8-row size
+    * table (the bounded-artifact convention the GBM trainer's argmin
+    * uses) — all-integer, tiebreak (benefit desc, size asc, mask asc),
+    * so the trace is engine-exact. The data-sized work is the one cube
+    * aggregate; at 100 TB that is the only term that grows.
+    *
+    * Output: `(round, view_name, view_rows, benefit)`, one row per
+    * greedy pick; view names are subsets of "utd".
+    */
+  def cubeViewSelect(events: DataFrame, picks: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    val base = events.select(
+      col("user_id"),
+      col("event_type"),
+      col("ts").cast("date").as("day"))
+    // one pass: rows per grouping_id = the view's distinct group count
+    // (gid bit = 1 means the dim is aggregated away, so m = 7 - gid)
+    val sizes = base
+      .cube(col("user_id"), col("event_type"), col("day"))
+      .agg(grouping_id().as("gid"))
+      .groupBy(col("gid"))
+      .agg(count(lit(1)).as("sz"))
+      .select((lit(7L) - col("gid")).as("m"), col("sz"))
+    val szm: Map[Long, Long] =
+      sizes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def name(m: Long): String =
+      if (m == 0L) "()"
+      else Seq(4L -> "u", 2L -> "t", 1L -> "d").collect {
+        case (b, c) if (m & b) > 0 => c
+      }.mkString
+    var sel = Set(7L)
+    val trace = (1 to picks).map { r =>
+      val cost: Map[Long, Long] =
+        (0L to 7L).map(w => w -> sel.filter(v => (w & v) == w).map(szm).min).toMap
+      val best = (0L to 7L)
+        .filterNot(sel)
+        .map { v =>
+          val ben = (0L to 7L)
+            .filter(w => (w & v) == w)
+            .map(w => math.max(0L, cost(w) - szm(v)))
+            .sum
+          (v, szm(v), ben)
+        }
+        .minBy { case (v, s, b) => (-b, s, v) }
+      sel += best._1
+      (r.toLong, name(best._1), best._2, best._3)
+    }
+    import spark.implicits._
+    trace.toDF("round", "view_name", "view_rows", "benefit")
+  }
+
+  /** [[cubeViewSelect]] mirrored: per-view distinct-count branches for
+    * the sizes (the oracle's independent form of the cube pass) and the
+    * greedy unrolled one CTE chain per round over the 8-row lattice.
+    */
+  def cubeViewSelectSql(picks: Int = 3): String = {
+    def branch(m: Int): String = {
+      val dims = Seq(4 -> "user_id", 2 -> "event_type", 1 -> "day").collect {
+        case (b, d) if (m & b) > 0 => d
+      }
+      if (dims.nonEmpty)
+        s"SELECT $m AS m, CAST(count(*) AS BIGINT) AS sz" +
+          s" FROM (SELECT DISTINCT ${dims.mkString(", ")} FROM base)"
+      else "SELECT 0 AS m, CAST(1 AS BIGINT) AS sz"
+    }
+    def round(r: Int): String =
+      s"""cost$r AS (
+         |  SELECT w.m AS wm, min(s.sz) AS c
+         |  FROM sizes w JOIN sizes s ON (w.m & s.m) = w.m AND s.m IN (SELECT m FROM sel${r - 1})
+         |  GROUP BY w.m),
+         |ben$r AS (
+         |  SELECT v.m, v.sz,
+         |         CAST(sum(CASE WHEN c.c > v.sz THEN c.c - v.sz ELSE 0 END) AS BIGINT) AS benefit
+         |  FROM sizes v JOIN cost$r c ON (c.wm & v.m) = c.wm
+         |  WHERE v.m NOT IN (SELECT m FROM sel${r - 1})
+         |  GROUP BY v.m, v.sz),
+         |pick$r AS (SELECT CAST($r AS BIGINT) AS round, m, sz, benefit FROM ben$r
+         |           ORDER BY benefit DESC, sz ASC, m ASC LIMIT 1),
+         |sel$r AS (SELECT m FROM sel${r - 1} UNION ALL SELECT m FROM pick$r)""".stripMargin
+    val sizes = (0 until 8).map(branch).mkString("\nUNION ALL ")
+    val rounds = (1 to picks).map(round).mkString(",\n")
+    val pickUnion =
+      (1 to picks).map(r => s"SELECT * FROM pick$r").mkString(" UNION ALL ")
+    s"""WITH base AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
+       |sizes AS MATERIALIZED ($sizes),
+       |sel0 AS (SELECT 7 AS m),
+       |$rounds,
+       |picks AS ($pickUnion)
+       |SELECT round,
+       |       CASE WHEN m = 0 THEN '()' ELSE
+       |         concat(CASE WHEN m & 4 > 0 THEN 'u' ELSE '' END,
+       |                CASE WHEN m & 2 > 0 THEN 't' ELSE '' END,
+       |                CASE WHEN m & 1 > 0 THEN 'd' ELSE '' END) END AS view_name,
+       |       sz AS view_rows, benefit
+       |FROM picks ORDER BY round""".stripMargin
+  }
 }

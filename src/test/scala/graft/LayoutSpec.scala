@@ -164,4 +164,25 @@ class LayoutSpec extends SparkSpec {
       .map(_.getLong(0))
     assert(one.toSeq === Seq(0L, 1L, 2L, 3L))
   }
+
+  test("cubeViewSelect reproduces the hand-run HRU greedy on a planted lattice") {
+    import spark.implicits._
+    // 2 users x 2 types x 1 day, all combos: sizes utd=4, ut=4, ud=2,
+    // td=2, u=2, t=2, d=1, ()=1. Hand-run greedy (benefit desc, size
+    // asc, mask asc): round 1 ties ud/td at benefit 8 -> td (mask 3);
+    // round 2 -> ud (benefit 4); round 3 -> d (benefit 2).
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq(
+      (1L, ts, 1L, "a", 0.0, "{}"),
+      (2L, ts, 1L, "b", 0.0, "{}"),
+      (3L, ts, 2L, "a", 0.0, "{}"),
+      (4L, ts, 2L, "b", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Layout
+      .cubeViewSelect(ev)
+      .orderBy(col("round"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, "td", 2L, 8L), (2L, "ud", 2L, 4L), (3L, "d", 1L, 2L)))
+  }
 }
