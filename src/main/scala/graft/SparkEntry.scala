@@ -2279,6 +2279,108 @@ object SparkEntry {
           sum(col("price_cents")).as("rev_cents"),
           expr("CAST(sum(price_cents) div 7 AS BIGINT)").as("avg_yearly_cents"))
     }),
+    // TPC-H Q2 shape: minimum-cost supplier per part — the synthetic
+    // schema has no partsupp, so (part, supplier) unit cost derives
+    // from lineitem history (sum-price / sum-qty in exact micro-units);
+    // region-scoped suppliers broadcast, per-part argmin via window
+    "q2_min_cost_supplier" -> ((s, d) => {
+      val ps = table(s, d, "lineitem")
+        .select(
+          col("l_partkey"),
+          col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("q"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("pc")).as("price_cents"), sum(col("q")).as("qty"))
+      val eu = table(s, d, "supplier")
+        .join(broadcast(table(s, d, "nation")), col("n_nationkey") === col("s_nationkey"))
+        .join(
+          broadcast(table(s, d, "region").filter(col("r_name") === "EUROPE")),
+          col("r_regionkey") === col("n_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_partkey"))
+        .orderBy(col("cost_micro"), col("l_suppkey"))
+      ps.join(broadcast(eu), col("s_suppkey") === col("l_suppkey"))
+        .withColumn("cost_micro", expr("price_cents * 10000 div qty"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .join(
+          table(s, d, "part")
+            .filter(col("p_type") === "LARGE")
+            .select(col("p_partkey"), col("p_brand")),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"), col("cost_micro"))
+        .orderBy(col("p_partkey"))
+        .limit(100)
+    }),
+    // TPC-H Q11 shape: important stock — per-part value held by one
+    // nation's suppliers vs a broadcast global-total threshold
+    "q11_important_stock" -> ((s, d) => {
+      val natSupp = table(s, d, "supplier")
+        .join(
+          broadcast(table(s, d, "nation").filter(col("n_name") === "NATION_7")),
+          col("n_nationkey") === col("s_nationkey"))
+        .select(col("s_suppkey"))
+      val v = table(s, d, "lineitem")
+        .select(
+          col("l_partkey"),
+          col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"))
+        .join(broadcast(natSupp), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("pc")).as("value_cents"))
+      val t = v.agg(sum(col("value_cents")).as("total"))
+      v.crossJoin(broadcast(t))
+        .filter(col("value_cents") * 1000L > col("total"))
+        .select(col("l_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("l_partkey"))
+    }),
+    // TPC-H Q16 shape: supplier diversity per part class — distinct
+    // (part, supplier) pairs minus flagged suppliers (negative balance
+    // as the complaints stand-in), counted per brand/type/size
+    "q16_supplier_cnt" -> ((s, d) => {
+      val pairs = table(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+      val bad = table(s, d, "supplier").filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      pairs
+        .join(broadcast(bad), col("s_suppkey") === col("l_suppkey"), "left_anti")
+        .join(
+          table(s, d, "part").filter(col("p_brand") =!= "Brand#45"),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+    // TPC-H Q20 shape: dominant-share suppliers — shipped more than
+    // half a PROMO part's 1995 volume; the nested EXISTS chain becomes
+    // one aggregate + share filter + distinct semi
+    "q20_excess_suppliers" -> ((s, d) => {
+      val sq = operators.Phys.materialized(
+        table(s, d, "lineitem")
+          .filter(
+            col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+          .select(
+            col("l_partkey"),
+            col("l_suppkey"),
+            expr("CAST(round(l_quantity) AS BIGINT)").as("q"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("q")).as("qty")))
+      val tot = sq.groupBy(col("l_partkey")).agg(sum(col("qty")).as("total_qty"))
+      val hot = sq
+        .join(tot, Seq("l_partkey"))
+        .join(
+          table(s, d, "part").filter(col("p_type") === "PROMO").select(col("p_partkey")),
+          col("p_partkey") === col("l_partkey"))
+        .filter(col("qty") * 2L > col("total_qty"))
+        .select(col("l_suppkey"))
+        .distinct()
+      hot
+        .join(table(s, d, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(table(s, d, "nation")), col("n_nationkey") === col("s_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy(col("s_name"))
+    }),
     // TPC-H Q22 shape: lapsed rich customers — above-average (among
     // positive balances) account balance and no orders since 2000:
     // one scalar aggregate broadcast + one anti join (the date scope
@@ -5390,6 +5492,65 @@ object SparkEntry {
           |JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#12'
           |JOIN a ON a.l_partkey = li.l_partkey
           |WHERE qty * 5 * n_li < sum_qty""".stripMargin,
+      "q2_min_cost_supplier" ->
+        """WITH ps AS (
+          |  SELECT l_partkey, l_suppkey,
+          |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+          |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+          |  FROM lineitem GROUP BY 1, 2),
+          |eu AS (
+          |  SELECT s.s_suppkey, s.s_name, n.n_name
+          |  FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+          |  JOIN region r ON r.r_regionkey = n.n_regionkey
+          |  WHERE r.r_name = 'EUROPE'),
+          |cost AS (
+          |  SELECT ps.l_partkey, eu.s_name, eu.n_name,
+          |         ps.price_cents * 10000 // ps.qty AS cost_micro,
+          |         row_number() OVER (PARTITION BY ps.l_partkey
+          |                            ORDER BY ps.price_cents * 10000 // ps.qty, ps.l_suppkey) AS rk
+          |  FROM ps JOIN eu ON eu.s_suppkey = ps.l_suppkey)
+          |SELECT p.p_partkey, p.p_brand, c.s_name, c.n_name, c.cost_micro
+          |FROM cost c JOIN part p ON p.p_partkey = c.l_partkey
+          |WHERE c.rk = 1 AND p.p_type = 'LARGE'
+          |ORDER BY p.p_partkey LIMIT 100""".stripMargin,
+      "q11_important_stock" ->
+        """WITH v AS (
+          |  SELECT l.l_partkey,
+          |         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+          |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+          |  WHERE n.n_name = 'NATION_7' GROUP BY 1),
+          |t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total FROM v)
+          |SELECT v.l_partkey, v.value_cents
+          |FROM v CROSS JOIN t WHERE v.value_cents * 1000 > t.total
+          |ORDER BY v.value_cents DESC, v.l_partkey""".stripMargin,
+      "q16_supplier_cnt" ->
+        """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+          |ok AS (SELECT p.l_partkey, p.l_suppkey FROM pairs p
+          |       WHERE p.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+          |SELECT pt.p_brand, pt.p_type, CAST(pt.p_size AS BIGINT) AS p_size,
+          |       CAST(count(DISTINCT ok.l_suppkey) AS BIGINT) AS supplier_cnt
+          |FROM ok JOIN part pt ON pt.p_partkey = ok.l_partkey
+          |WHERE pt.p_brand <> 'Brand#45'
+          |GROUP BY 1, 2, 3
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+      "q20_excess_suppliers" ->
+        """WITH sq AS (
+          |  SELECT l_partkey, l_suppkey,
+          |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+          |  GROUP BY 1, 2),
+          |tot AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total_qty FROM sq GROUP BY 1),
+          |hot AS (
+          |  SELECT DISTINCT sq.l_suppkey
+          |  FROM sq JOIN tot ON tot.l_partkey = sq.l_partkey
+          |  JOIN part p ON p.p_partkey = sq.l_partkey
+          |  WHERE p.p_type = 'PROMO' AND sq.qty * 2 > tot.total_qty)
+          |SELECT s.s_name, n.n_name
+          |FROM hot JOIN supplier s ON s.s_suppkey = hot.l_suppkey
+          |JOIN nation n ON n.n_nationkey = s.s_nationkey
+          |ORDER BY s.s_name""".stripMargin,
       "q22_idle_customers" ->
         """WITH cust AS (
           |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
