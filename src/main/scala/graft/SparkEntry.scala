@@ -1589,6 +1589,11 @@ object SparkEntry {
     // pairs, singleton-aware, canonical = component minimum
     "er_clusters" -> ((s, d) =>
       Dedup.erClusters(model.table(s, d, "customer")).orderBy(col("id"))),
+    // Fellegi-Sunter agreement-pattern lift: observed vs chance-model
+    // pattern counts over capped blocks, all-integer ppm
+    "er_agreement_lift" -> ((s, d) =>
+      Dedup.erAgreementLift(model.table(s, d, "customer"))
+        .orderBy(col("seg_eq").desc, col("band_eq").desc)),
     // chi-squared independence of segment × nation, micro-unit cell terms
     "stats_chi2" -> ((s, d) =>
       operators.Stats.chi2Independence(model.table(s, d, "customer"))),
@@ -4721,6 +4726,8 @@ object SparkEntry {
         s"SELECT * FROM (${Dedup.erBlockedPairsSql()}) ORDER BY cust_a, cust_b",
       "er_clusters" ->
         s"SELECT * FROM (${Dedup.erClustersSql()}) ORDER BY id",
+      "er_agreement_lift" ->
+        s"SELECT * FROM (${Dedup.erAgreementLiftSql()}) ORDER BY seg_eq DESC, band_eq DESC",
       "stats_chi2" -> operators.Stats.chi2IndependenceSql(),
       "stats_corr_matrix" ->
         s"SELECT * FROM (${operators.Stats.corrMatrixSql()}) ORDER BY pair",

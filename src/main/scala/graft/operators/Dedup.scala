@@ -1188,6 +1188,132 @@ object Dedup {
        |FROM ok a JOIN ok b ON a.nat = b.nat AND a.seg = b.seg AND a.id < b.id
        |WHERE levenshtein(a.name, b.name) <= $maxDist""".stripMargin
 
+  /** Fellegi–Sunter agreement-pattern lift (Fellegi & Sunter 1969, "A
+    * Theory for Record Linkage"): FS scores a candidate pair by how much
+    * more often its field-agreement pattern occurs than CHANCE predicts
+    * (the m/u ratio). This operator measures that ratio label-free on
+    * nation-blocked customer pairs over two comparison fields (market
+    * segment, account-balance band): observed pattern counts come from
+    * the within-block pair join; the chance expectation uses each
+    * block's exact value histograms — P(field agrees by chance in block
+    * b) = Σ_v C(n_v,2) / C(n_b,2) — combined under FS's conditional-
+    * independence assumption. `lift_ppm` ≈ 1e6 means the fields
+    * co-agree no more than chance (no linkage signal); a pattern with
+    * lift ≫ 1e6 is the one whose agreement weight would dominate an FS
+    * decision rule.
+    *
+    * All-integer: ppm probabilities with a fixed division order, so
+    * both engines produce identical counts and lifts.
+    *
+    * Scale shape: the pair join is block-keyed and [[ErBlockCap]]-capped
+    * (Σ n_b² bounded, never |R|²); histograms are two hash aggregates;
+    * expectations are 4 rows per block. Same bounded-block discipline
+    * as [[erBlockedPairs]].
+    *
+    * Output: 4 rows `(seg_eq, band_eq, n_pairs, n_expected, lift_ppm)`,
+    * lift NULL where the expectation is zero.
+    */
+  def erAgreementLift(customer: DataFrame): DataFrame = {
+    val c = customer.select(
+      col("c_custkey").as("id"),
+      col("c_nationkey").cast("long").as("nat"),
+      col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") / 1000.0d).cast("long").as("band"))
+    val okn = broadcast(
+      c.groupBy(col("nat"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") <= ErBlockCap && col("n") > 1L)
+        .select(col("nat"), expr("n * (n - 1) div 2").as("pairs")))
+    val ok = Phys.materialized(c.join(okn.select(col("nat")), Seq("nat")))
+    val a = ok.alias("a")
+    val b = ok.alias("b")
+    val obs = a
+      .join(b, col("a.nat") === col("b.nat") && col("a.id") < col("b.id"))
+      .select(
+        (col("a.seg") === col("b.seg")).cast("long").as("seg_eq"),
+        (col("a.band") === col("b.band")).cast("long").as("band_eq"))
+      .groupBy(col("seg_eq"), col("band_eq"))
+      .agg(count(lit(1)).as("n_pairs"))
+    def agrPairs(field: String, out: String) = ok
+      .groupBy(col("nat"), col(field))
+      .agg(count(lit(1)).as("nv"))
+      .groupBy(col("nat"))
+      .agg(sum(expr("nv * (nv - 1) div 2")).as(out))
+    val pr = okn
+      .join(agrPairs("seg", "aps"), Seq("nat"))
+      .join(agrPairs("band", "apb"), Seq("nat"))
+      .select(
+        col("nat"),
+        col("pairs"),
+        expr("1000000 * aps div pairs").as("as_ppm"),
+        expr("1000000 * apb div pairs").as("ab_ppm"))
+    val exp = pr
+      .select(
+        col("nat"),
+        expr("""stack(4,
+          1L, 1L, pairs * (as_ppm * ab_ppm div 1000000) div 1000000,
+          1L, 0L, pairs * (as_ppm * (1000000 - ab_ppm) div 1000000) div 1000000,
+          0L, 1L, pairs * ((1000000 - as_ppm) * ab_ppm div 1000000) div 1000000,
+          0L, 0L, pairs * ((1000000 - as_ppm) * (1000000 - ab_ppm) div 1000000) div 1000000)
+          AS (seg_eq, band_eq, n_exp)"""))
+      .groupBy(col("seg_eq"), col("band_eq"))
+      .agg(sum(col("n_exp")).as("n_expected"))
+    exp
+      .join(obs, Seq("seg_eq", "band_eq"), "left_outer")
+      .select(
+        col("seg_eq"),
+        col("band_eq"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("n_expected"),
+        when(col("n_expected") === 0L, lit(null).cast("long"))
+          .otherwise(expr("1000000 * coalesce(n_pairs, 0L) div n_expected"))
+          .as("lift_ppm"))
+  }
+
+  /** [[erAgreementLift]] mirrored: identical capped blocks, value
+    * histograms, and ppm division order.
+    */
+  def erAgreementLiftSql(): String =
+    s"""WITH c AS (
+       |  SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+       |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+       |  FROM customer),
+       |sizes AS (SELECT nat, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY nat),
+       |okn AS (SELECT nat, n * (n - 1) // 2 AS pairs FROM sizes WHERE n <= $ErBlockCap AND n > 1),
+       |ok AS (SELECT c.* FROM c JOIN okn USING (nat)),
+       |obs AS (
+       |  SELECT CAST(a.seg = b.seg AS BIGINT) AS seg_eq,
+       |         CAST(a.band = b.band AS BIGINT) AS band_eq,
+       |         CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM ok a JOIN ok b ON a.nat = b.nat AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |hs AS (SELECT nat, CAST(sum(nv * (nv - 1) // 2) AS BIGINT) AS aps
+       |       FROM (SELECT nat, seg, CAST(count(*) AS BIGINT) AS nv FROM ok GROUP BY nat, seg)
+       |       GROUP BY nat),
+       |hb AS (SELECT nat, CAST(sum(nv * (nv - 1) // 2) AS BIGINT) AS apb
+       |       FROM (SELECT nat, band, CAST(count(*) AS BIGINT) AS nv FROM ok GROUP BY nat, band)
+       |       GROUP BY nat),
+       |pr AS (
+       |  SELECT o.nat, o.pairs,
+       |         1000000 * hs.aps // o.pairs AS as_ppm,
+       |         1000000 * hb.apb // o.pairs AS ab_ppm
+       |  FROM okn o JOIN hs ON hs.nat = o.nat JOIN hb ON hb.nat = o.nat),
+       |exp AS (
+       |  SELECT seg_eq, band_eq, CAST(sum(n_exp) AS BIGINT) AS n_expected FROM (
+       |    SELECT nat, CAST(1 AS BIGINT) AS seg_eq, CAST(1 AS BIGINT) AS band_eq,
+       |           pairs * (as_ppm * ab_ppm // 1000000) // 1000000 AS n_exp FROM pr
+       |    UNION ALL SELECT nat, 1, 0,
+       |           pairs * (as_ppm * (1000000 - ab_ppm) // 1000000) // 1000000 FROM pr
+       |    UNION ALL SELECT nat, 0, 1,
+       |           pairs * ((1000000 - as_ppm) * ab_ppm // 1000000) // 1000000 FROM pr
+       |    UNION ALL SELECT nat, 0, 0,
+       |           pairs * ((1000000 - as_ppm) * (1000000 - ab_ppm) // 1000000) // 1000000 FROM pr)
+       |  GROUP BY 1, 2)
+       |SELECT e.seg_eq, e.band_eq, coalesce(o.n_pairs, 0) AS n_pairs, e.n_expected,
+       |       CASE WHEN e.n_expected = 0 THEN NULL
+       |            ELSE 1000000 * coalesce(o.n_pairs, 0) // e.n_expected END AS lift_ppm
+       |FROM exp e LEFT JOIN obs o ON o.seg_eq = e.seg_eq AND o.band_eq = e.band_eq""".stripMargin
+
   /** Measured precision/recall of the MinHash estimator on its own
     * candidate set: every LSH candidate pair's estimated Jaccard
     * ([[minhashCandidates]]) is compared against the EXACT Jaccard of

@@ -1785,6 +1785,29 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out.getLong(2) === 1000000L * u2 / (2L * pos.length * negs.length))
   }
 
+  test("erAgreementLift flags perfectly correlated fields, zero cross patterns") {
+    import spark.implicits._
+    // one nation, segment and balance band perfectly correlated:
+    // both-agree and both-disagree inflate vs chance, mixed patterns
+    // are impossible (observed 0)
+    val rows = (0 until 40).map { i =>
+      val seg = if (i < 20) "A" else "B"
+      val bal = if (i < 20) 500.0 else 1500.0
+      (i.toLong, s"name$i", 1L, seg, bal)
+    }
+    val cust = rows.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = Dedup
+      .erAgreementLift(cust)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .toMap
+    assert(out.values.map(_._1).sum === 40L * 39L / 2L)
+    assert(out((1L, 1L))._2 > 1500000L, s"both-agree lift not elevated: $out")
+    assert(out((1L, 0L))._1 === 0L && out((0L, 1L))._1 === 0L)
+  }
+
   test("knnGraph: ranks bounded, mutual is symmetric, neighbors distinct") {
     val embs = model.table(spark, "/root/testdata/sf0.001", "embeddings")
     val rows = Similarity.knnGraph(embs, k = 3).collect()
