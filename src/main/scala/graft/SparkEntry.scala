@@ -828,6 +828,10 @@ object SparkEntry {
       Multimodal.audioSegments(docs(s, d)).orderBy(col("doc_id"), col("start_frame"))),
     "multimodal_entropy" -> ((s, d) =>
       Multimodal.payloadEntropy(docs(s, d)).orderBy(col("doc_id"))),
+    // Shazam-style landmark matching: peak-constellation hashes +
+    // offset-consistent vote (catches shifted clips pHash misses)
+    "multimodal_audio_match" -> ((s, d) =>
+      Multimodal.audioMatches(docs(s, d)).orderBy(col("doc_a"), col("doc_b"), col("off"))),
     // hub-hub vs hub-leaf attachment in one Pearson coefficient
     "graph_assortativity" -> ((s, d) =>
       GraphOps.assortativity(GraphSource.lineitemEdges(s, d))),
@@ -4484,6 +4488,8 @@ object SparkEntry {
       "text_novelty" -> (TextOps.noveltyCurveSql() + "\nORDER BY doc_id"),
       "multimodal_entropy" -> (Multimodal.payloadEntropySql() + "\nORDER BY doc_id"),
       "multimodal_audio_energy" -> (Multimodal.audioEnergySql() + "\nORDER BY doc_id"),
+      "multimodal_audio_match" ->
+        (Multimodal.audioMatchesSql() + "\nORDER BY doc_a, doc_b, off"),
       "multimodal_audio_segments" ->
         (Multimodal.audioSegmentsSql() + "\nORDER BY doc_id, start_frame"),
       "graph_assortativity" -> GraphOps.assortativitySql(GraphSource.lineitemEdgesSql),

@@ -810,4 +810,133 @@ object Multimodal {
        |       (round($terms, 6) >= $EntropySuspicious) AS suspicious
        |FROM documents""".stripMargin
   }
+
+  // ---- audio landmark fingerprinting ---------------------------------------
+
+  /** Samples per fingerprint frame — finer than [[AudioFrameLen]] so
+    * short clips still yield a usable peak constellation. */
+  val FpFrameLen = 16
+
+  /** Quiet threshold at the fingerprint frame length (same per-sample
+    * criterion as [[AudioQuietEnergy]]). */
+  val FpQuietEnergy: Long = FpFrameLen.toLong * 1024L
+
+  /** Max anchor→target frame distance in a landmark pair. */
+  val FpFanout = 8
+
+  /** Hot-bucket cap for the match join: a landmark hash shared by more
+    * of the corpus than this no longer discriminates and is dropped
+    * (the [[PhashBucketCap]] discipline). */
+  val FpBucketCap = 50L
+
+  /** Minimum aligned landmark votes for a reported match. */
+  val FpMinVotes = 3L
+
+  /** Landmark fingerprints of the payload's energy track — the
+    * constellation-hashing idea of Wang 2003 ("An Industrial-Strength
+    * Audio Search Algorithm") adapted to the 1-D short-time-energy
+    * stand-in: peaks (strict local maxima above [[FpQuietEnergy]]) form
+    * the constellation, and each anchor peak pairs with its ≤
+    * [[FpFanout]] following peaks into a quantized hash
+    * `(e_a mod 64)·4096 + (e_t mod 64)·64 + Δt` stamped with the
+    * anchor's frame time. (Real audio hashes pair spectral-peak
+    * FREQUENCIES; the energy track is the documented decode stand-in —
+    * the landmark/hash/offset machinery is the real pipeline shape.)
+    *
+    * Scale shape: one codegen'd energy pass per row, a per-doc window
+    * for peaks, and a fanout-bounded self-join (≤ [[FpFanout]] pairs
+    * per peak) — fingerprint volume is linear in total audio length.
+    *
+    * Output: `(doc_id, hash, t)`.
+    */
+  def audioFingerprints(docs: DataFrame): DataFrame = {
+    val fe = graft.functions.FrameEnergies(
+      encode(coalesce(col("text"), lit("")), "utf-8"),
+      FpFrameLen)
+    val fr = docs
+      .select(col("doc_id"), posexplode(fe).as(Seq("t0", "e")))
+      .select(col("doc_id"), col("t0").cast("long").as("t"), col("e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("t"))
+    val pk = fr
+      .withColumn("pe", lag(col("e"), 1, -1L).over(w))
+      .withColumn("ne", lead(col("e"), 1, -1L).over(w))
+      .filter(col("e") >= FpQuietEnergy && col("e") > col("pe") && col("e") > col("ne"))
+      .select(col("doc_id"), col("t"), col("e"))
+    val a = pk.alias("a")
+    val b = pk.alias("b")
+    a.join(
+        b,
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.t") - col("a.t") >= 1L && col("b.t") - col("a.t") <= FpFanout.toLong)
+      .select(
+        col("a.doc_id").as("doc_id"),
+        (pmod(col("a.e"), lit(64L)) * 4096L + pmod(col("b.e"), lit(64L)) * 64L +
+          (col("b.t") - col("a.t"))).as("hash"),
+        col("a.t").as("t"))
+  }
+
+  /** Cross-document matches over [[audioFingerprints]] — Wang 2003's
+    * offset-histogram vote: two clips match when ≥ `minVotes` landmark
+    * hashes agree AND their anchor-time differences are CONSISTENT
+    * (the constant offset is the relative alignment of the two clips,
+    * so a clip embedded mid-stream still matches, at a nonzero
+    * offset — the property pHash framing loses on shifted content).
+    *
+    * Scale shape: the fingerprint table is materialized once; the
+    * match join is hash-bucketed with hot buckets dropped at
+    * [[FpBucketCap]] (audited work ≤ cap² per bucket, never corpus
+    * all-pairs); the vote is one (doc_a, doc_b, offset) aggregate.
+    *
+    * Output: `(doc_a, doc_b, off, votes)`, doc_a < doc_b.
+    */
+  def audioMatches(docs: DataFrame, minVotes: Long = FpMinVotes): DataFrame = {
+    val fp = Phys.materialized(audioFingerprints(docs))
+    val ok = fp
+      .groupBy(col("hash"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= FpBucketCap)
+      .select(col("hash"))
+    val x = fp.join(ok, Seq("hash")).alias("x")
+    val y = fp.alias("y")
+    x.join(y, col("x.hash") === col("y.hash") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(
+        col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        (col("x.t") - col("y.t")).as("off"))
+      .agg(count(lit(1)).as("votes"))
+      .filter(col("votes") >= minVotes)
+  }
+
+  /** [[audioMatches]] mirrored: hex-dump byte fold → frame energies →
+    * peak constellation → landmark hashes → capped hash join → offset
+    * vote.
+    */
+  def audioMatchesSql(minVotes: Long = FpMinVotes): String =
+    s"""WITH b AS (SELECT doc_id, upper(hex(encode(coalesce(text, '')))) AS h FROM documents),
+       |s AS (SELECT doc_id, list_transform(range(0, length(h) // 2), j ->
+       |        (strpos('0123456789ABCDEF', substr(h, 2*j+1, 1)) - 1) * 16 +
+       |        (strpos('0123456789ABCDEF', substr(h, 2*j+2, 1)) - 1)) AS bytes FROM b),
+       |f AS (SELECT doc_id,
+       |        list_transform(range(0, (len(bytes) + $FpFrameLen - 1) // $FpFrameLen),
+       |          k -> CAST(list_sum(list_transform(
+       |                 list_slice(bytes, k*$FpFrameLen + 1, least((k+1)*$FpFrameLen, len(bytes))),
+       |                 v -> CAST((v-128)*(v-128) AS BIGINT))) AS BIGINT)) AS fe FROM s),
+       |fr AS (SELECT doc_id, CAST(pos AS BIGINT) - 1 AS t, fe[CAST(pos AS INT)] AS e
+       |       FROM (SELECT doc_id, fe, unnest(range(1, len(fe) + 1)) AS pos FROM f)),
+       |pk AS (SELECT doc_id, t, e FROM (
+       |         SELECT doc_id, t, e,
+       |                lag(e, 1, -1) OVER (PARTITION BY doc_id ORDER BY t) AS pe,
+       |                lead(e, 1, -1) OVER (PARTITION BY doc_id ORDER BY t) AS ne
+       |         FROM fr)
+       |       WHERE e >= $FpQuietEnergy AND e > pe AND e > ne),
+       |fp AS (SELECT a.doc_id, (a.e % 64) * 4096 + (b.e % 64) * 64 + (b.t - a.t) AS hash, a.t
+       |       FROM pk a JOIN pk b ON a.doc_id = b.doc_id AND b.t - a.t BETWEEN 1 AND $FpFanout),
+       |ok AS (SELECT hash FROM fp GROUP BY hash HAVING count(*) <= $FpBucketCap)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.t - y.t AS off,
+       |       CAST(count(*) AS BIGINT) AS votes
+       |FROM fp x JOIN ok ON ok.hash = x.hash
+       |JOIN fp y ON y.hash = x.hash AND x.doc_id < y.doc_id
+       |GROUP BY 1, 2, 3 HAVING count(*) >= $minVotes""".stripMargin
 }

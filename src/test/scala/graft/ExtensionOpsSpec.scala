@@ -1785,6 +1785,22 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out.getLong(2) === 1000000L * u2 / (2L * pos.length * negs.length))
   }
 
+  test("audioMatches finds an embedded clip at its nonzero alignment offset") {
+    import spark.implicits._
+    // 16-byte blocks: 'z' runs are quiet (36/sample), space-heavy runs
+    // are loud peaks; doc 2 embeds doc 1's track after 2 quiet blocks,
+    // so every aligned landmark votes at offset -2
+    def block(spaces: Int): String = " " * spaces + "z" * (16 - spaces)
+    val peaks = Seq(8, 10, 12, 14, 16)
+    val track = peaks.map(k => block(0) + block(k)).mkString + block(0)
+    val docs = Seq((1L, track), (2L, block(0) + block(0) + track)).toDF("doc_id", "text")
+    val out = Multimodal.audioMatches(docs).collect()
+    assert(out.nonEmpty, "no match found")
+    val m = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m.exists { case (a, b, off, votes) => a == 1L && b == 2L && off == -2L && votes >= 3L },
+      s"expected (1, 2, -2, >=3), got ${m.toSeq}")
+  }
+
   test("erAgreementLift flags perfectly correlated fields, zero cross patterns") {
     import spark.implicits._
     // one nation, segment and balance band perfectly correlated:
