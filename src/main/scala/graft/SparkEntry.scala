@@ -1458,6 +1458,11 @@ object SparkEntry {
     "docs_stream_phash_static" -> ((s, d) =>
       streaming.StreamOps.docPhashGateOverParquet(s, d, firstNewId = 400L)
         .orderBy(col("doc_id"))),
+    // landmark-match-on-arrival: stateless constellation hashes probe
+    // the capped static fingerprint store; offset-consistent vote
+    "docs_stream_audio_static" -> ((s, d) =>
+      streaming.StreamOps.docAudioMatchGateOverParquet(s, d, firstNewId = 400L)
+        .orderBy(col("doc_id"), col("s_id"), col("off"))),
     // frame-overlap-on-arrival: arriving payloads' sampled-frame hashes
     // probe the static frame store; k-of-n voting per (arrival, static)
     "docs_stream_frame_static" -> ((s, d) =>
@@ -1688,6 +1693,49 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy(col("l_returnflag"))
+    }),
+    // Yannakakis semi-join reduction (Yannakakis 1981) on the acyclic
+    // customer->orders->lineitem chain: leaf-to-root then root-to-leaf
+    // semi passes shrink every relation to exactly the rows that
+    // survive the full join BEFORE any join runs — the audit reports
+    // per-relation before/after rows plus the (invariant) join count.
+    // At 100 TB this is the difference between shuffling 20M lineitem
+    // rows and shuffling the 558 that matter.
+    "join_yannakakis" -> ((s, d) => {
+      val c0 = operators.Phys.materialized(
+        table(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")))
+      val o0 = operators.Phys.materialized(
+        table(s, d, "orders")
+          .filter(
+            col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")))
+      val l0 = operators.Phys.materialized(
+        table(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")))
+      val o1 = o0.join(c0, col("o_custkey") === col("c_custkey"), "left_semi")
+      val o2 = operators.Phys.materialized(
+        o1.join(l0, col("o_orderkey") === col("l_orderkey"), "left_semi"))
+      val l1 = l0.join(o2, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val c1 = c0.join(o2, col("c_custkey") === col("o_custkey"), "left_semi")
+      val jr = c0
+        .join(o0, col("o_custkey") === col("c_custkey"))
+        .join(l0, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      def cnt(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("n"))
+      def row(rel: String, before: DataFrame, after: DataFrame): DataFrame =
+        before
+          .select(col("n").as("n_before"))
+          .crossJoin(broadcast(after.select(col("n").as("n_after"))))
+          .select(lit(rel).as("rel"), col("n_before"), col("n_after"))
+      row("customer", cnt(c0), cnt(c1))
+        .unionByName(row("orders", cnt(o0), cnt(o2)))
+        .unionByName(row("lineitem", cnt(l0), cnt(l1)))
+        .unionByName(row("join_result", jr, jr))
+        .orderBy(col("rel"))
     }),
     // Z-order layout: lineitem staged in a Morton-curve-clustered layout
     // (per-file bounding boxes pinned in LayoutSpec), box-aggregated on
@@ -4769,6 +4817,24 @@ object SparkEntry {
           |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
       // the Bloom prefilter is exact-after-join: plain semi join here
+      "join_yannakakis" ->
+        """WITH c0 AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+          |o0 AS (SELECT o_orderkey, o_custkey FROM orders
+          |       WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          |         AND o_orderdate < TIMESTAMP '1996-01-01'),
+          |l0 AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+          |o1 AS (SELECT o.* FROM o0 o WHERE o.o_custkey IN (SELECT c_custkey FROM c0)),
+          |o2 AS (SELECT o.* FROM o1 o WHERE o.o_orderkey IN (SELECT l_orderkey FROM l0)),
+          |l1 AS (SELECT l.* FROM l0 l WHERE l.l_orderkey IN (SELECT o_orderkey FROM o2)),
+          |c1 AS (SELECT c.* FROM c0 c WHERE c.c_custkey IN (SELECT o_custkey FROM o2)),
+          |jr AS (SELECT CAST(count(*) AS BIGINT) AS n
+          |       FROM c0 JOIN o0 ON o_custkey = c_custkey JOIN l0 ON l_orderkey = o_orderkey)
+          |SELECT 'customer' AS rel, (SELECT CAST(count(*) AS BIGINT) FROM c0) AS n_before,
+          |       (SELECT CAST(count(*) AS BIGINT) FROM c1) AS n_after
+          |UNION ALL SELECT 'orders', (SELECT count(*) FROM o0), (SELECT count(*) FROM o2)
+          |UNION ALL SELECT 'lineitem', (SELECT count(*) FROM l0), (SELECT count(*) FROM l1)
+          |UNION ALL SELECT 'join_result', (SELECT n FROM jr), (SELECT n FROM jr)
+          |ORDER BY rel""".stripMargin,
       "bloom_semi_join" ->
         """SELECT l_returnflag, count(*) AS n,
           |       round(sum(l_quantity), 2) AS sum_qty
@@ -5236,6 +5302,8 @@ object SparkEntry {
       // parity + the stored-probe spec); the oracle proves the matches
       "multimodal_phash_stored" -> Multimodal.phashGateSql(firstNewId = 400L),
       "docs_stream_phash_static" -> Multimodal.phashGateSql(firstNewId = 400L),
+      "docs_stream_audio_static" ->
+        s"SELECT * FROM (${Multimodal.audioMatchGateSql(firstNewId = 400L)}) ORDER BY doc_id, s_id, off",
       "docs_stream_frame_static" ->
         s"SELECT * FROM (${Multimodal.frameGateSql(firstNewId = 400L)}) ORDER BY doc_id, s_id",
       "docs_stream_phash_upsert" -> Multimodal.phashUpsertSql(firstNewId = 400L),

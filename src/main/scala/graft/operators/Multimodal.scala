@@ -853,28 +853,37 @@ object Multimodal {
     val fe = graft.functions.FrameEnergies(
       encode(coalesce(col("text"), lit("")), "utf-8"),
       FpFrameLen)
-    val fr = docs
-      .select(col("doc_id"), posexplode(fe).as(Seq("t0", "e")))
-      .select(col("doc_id"), col("t0").cast("long").as("t"), col("e"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("t"))
-    val pk = fr
-      .withColumn("pe", lag(col("e"), 1, -1L).over(w))
-      .withColumn("ne", lead(col("e"), 1, -1L).over(w))
-      .filter(col("e") >= FpQuietEnergy && col("e") > col("pe") && col("e") > col("ne"))
-      .select(col("doc_id"), col("t"), col("e"))
-    val a = pk.alias("a")
-    val b = pk.alias("b")
-    a.join(
-        b,
-        col("a.doc_id") === col("b.doc_id") &&
-          col("b.t") - col("a.t") >= 1L && col("b.t") - col("a.t") <= FpFanout.toLong)
+    // the whole constellation is per-clip local, so peaks AND landmark
+    // pairs stay array-valued inside ONE narrow projection — no window,
+    // no self-join, and (being stateless) the same expression serves
+    // the streaming ingest gate unchanged
+    val withPeaks = docs
+      .select(col("doc_id"), fe.as("fe"))
       .select(
-        col("a.doc_id").as("doc_id"),
-        (pmod(col("a.e"), lit(64L)) * 4096L + pmod(col("b.e"), lit(64L)) * 64L +
-          (col("b.t") - col("a.t"))).as("hash"),
-        col("a.t").as("t"))
+        col("doc_id"),
+        filter(
+          transform(col("fe"), (e, i) => struct(i.cast("long").as("t"), e.as("e"))),
+          p =>
+            p("e") >= lit(FpQuietEnergy) &&
+              p("e") > when(p("t") === 0L, lit(-1L))
+                .otherwise(try_element_at(col("fe"), p("t").cast("int"))) &&
+              p("e") > coalesce(try_element_at(col("fe"), p("t").cast("int") + 2), lit(-1L)))
+          .as("pk"))
+    withPeaks
+      .select(
+        col("doc_id"),
+        explode(
+          flatten(transform(
+            col("pk"),
+            a =>
+              transform(
+                filter(col("pk"), b => b("t") - a("t") >= 1L && b("t") - a("t") <= FpFanout.toLong),
+                b =>
+                  struct(
+                    (pmod(a("e"), lit(64L)) * 4096L + pmod(b("e"), lit(64L)) * 64L +
+                      (b("t") - a("t"))).as("hash"),
+                    a("t").as("t")))))).as("lm"))
+      .select(col("doc_id"), col("lm.hash").as("hash"), col("lm.t").as("t"))
   }
 
   /** Cross-document matches over [[audioFingerprints]] — Wang 2003's
@@ -938,5 +947,39 @@ object Multimodal {
        |       CAST(count(*) AS BIGINT) AS votes
        |FROM fp x JOIN ok ON ok.hash = x.hash
        |JOIN fp y ON y.hash = x.hash AND x.doc_id < y.doc_id
+       |GROUP BY 1, 2, 3 HAVING count(*) >= $minVotes""".stripMargin
+
+  /** Batch replay of the streaming audio-landmark gate
+    * ([[graft.streaming.StreamOps.docAudioMatchGateOverParquet]]): the
+    * same fingerprint chain split at `firstNewId`, store-side hot
+    * buckets dropped, offset vote per (arrival, static) pair.
+    */
+  def audioMatchGateSql(firstNewId: Long, minVotes: Long = FpMinVotes): String =
+    s"""WITH b AS (SELECT doc_id, upper(hex(encode(coalesce(text, '')))) AS h FROM documents),
+       |s AS (SELECT doc_id, list_transform(range(0, length(h) // 2), j ->
+       |        (strpos('0123456789ABCDEF', substr(h, 2*j+1, 1)) - 1) * 16 +
+       |        (strpos('0123456789ABCDEF', substr(h, 2*j+2, 1)) - 1)) AS bytes FROM b),
+       |f AS (SELECT doc_id,
+       |        list_transform(range(0, (len(bytes) + $FpFrameLen - 1) // $FpFrameLen),
+       |          k -> CAST(list_sum(list_transform(
+       |                 list_slice(bytes, k*$FpFrameLen + 1, least((k+1)*$FpFrameLen, len(bytes))),
+       |                 v -> CAST((v-128)*(v-128) AS BIGINT))) AS BIGINT)) AS fe FROM s),
+       |fr AS (SELECT doc_id, CAST(pos AS BIGINT) - 1 AS t, fe[CAST(pos AS INT)] AS e
+       |       FROM (SELECT doc_id, fe, unnest(range(1, len(fe) + 1)) AS pos FROM f)),
+       |pk AS (SELECT doc_id, t, e FROM (
+       |         SELECT doc_id, t, e,
+       |                lag(e, 1, -1) OVER (PARTITION BY doc_id ORDER BY t) AS pe,
+       |                lead(e, 1, -1) OVER (PARTITION BY doc_id ORDER BY t) AS ne
+       |         FROM fr)
+       |       WHERE e >= $FpQuietEnergy AND e > pe AND e > ne),
+       |fp AS (SELECT a.doc_id, (a.e % 64) * 4096 + (b.e % 64) * 64 + (b.t - a.t) AS hash, a.t
+       |       FROM pk a JOIN pk b ON a.doc_id = b.doc_id AND b.t - a.t BETWEEN 1 AND $FpFanout),
+       |st AS (SELECT * FROM fp WHERE doc_id < $firstNewId),
+       |ok AS (SELECT hash FROM st GROUP BY hash HAVING count(*) <= $FpBucketCap),
+       |arr AS (SELECT * FROM fp WHERE doc_id >= $firstNewId)
+       |SELECT a.doc_id, st.doc_id AS s_id, a.t - st.t AS off,
+       |       CAST(count(*) AS BIGINT) AS votes
+       |FROM arr a JOIN ok ON ok.hash = a.hash
+       |JOIN st ON st.hash = a.hash
        |GROUP BY 1, 2, 3 HAVING count(*) >= $minVotes""".stripMargin
 }

@@ -847,6 +847,55 @@ object StreamOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** STREAMING AUDIO-LANDMARK GATE: arriving clips' constellation
+    * hashes ([[graft.operators.Multimodal.audioFingerprints]] — a
+    * stateless array-local map, no window, so the identical expression
+    * runs on the stream) probe the static corpus's fingerprint store,
+    * and a match needs ≥ [[graft.operators.Multimodal.FpMinVotes]]
+    * landmarks agreeing at ONE alignment offset — re-uploads and
+    * clipped/embedded excerpts are caught the moment they arrive, at
+    * their true offset.
+    *
+    * Stream shape: fingerprinting is a narrow stateless map per
+    * arrival; the store (hot buckets pre-dropped at
+    * [[graft.operators.Multimodal.FpBucketCap]]) joins stream-static
+    * broadcast; the ONE streaming aggregation is the offset vote; the
+    * ≥ minVotes keep-filter runs on the sink read. Output:
+    * `(doc_id, s_id, off, votes)`.
+    */
+  def docAudioMatchGateOverParquet(
+      spark: SparkSession,
+      sfDir: String,
+      firstNewId: Long): DataFrame = {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val fpStatic = Multimodal.audioFingerprints(docs.filter(col("doc_id") < firstNewId))
+    val ok = fpStatic
+      .groupBy(col("hash"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= Multimodal.FpBucketCap)
+      .select(col("hash"))
+    val store = broadcast(
+      fpStatic
+        .join(ok, Seq("hash"))
+        .select(col("doc_id").as("s_id"), col("hash"), col("t").as("s_t")))
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-docs-audio"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    runStream(
+      spark,
+      Multimodal
+        .audioFingerprints(
+          readDocStream(spark, staged.toString).filter(col("doc_id") >= firstNewId))
+        .join(store, Seq("hash"))
+        .groupBy(col("doc_id"), col("s_id"), (col("t") - col("s_t")).as("off"))
+        .agg(count(lit(1)).as("votes")),
+      graft.sources.Staging.freshTable("graft_stream_docaudio"),
+      "complete")
+      .filter(col("votes") >= Multimodal.FpMinVotes)
+  }
+
   /** STREAMING BM25 RELEVANCE GATE: the stored BM25 index
     * ([[graft.operators.TextOps.writeBm25Model]], built on the STATIC
     * corpus slice) scores arriving documents against the index's top-df
