@@ -1063,6 +1063,9 @@ object SparkEntry {
     // recall@{1,3,5} of the trained IVF at nProbe 2, exact ppm
     "ann_recall_at_k" -> ((s, d) =>
       Similarity.ivfRecallAtK(embs(s, d), nQueries = 50)),
+    // rank-weighted IVF quality: nDCG@10 vs the brute ranking, graded
+    // gains and literal log2 discounts, exact ppm
+    "ann_ndcg" -> ((s, d) => Similarity.ivfNdcg(embs(s, d), nQueries = 50)),
     // mislabeled-data mining: per label, the k vectors least similar to
     // their own label centroid
     "emb_outliers" -> ((s, d) =>
@@ -3411,6 +3414,57 @@ object SparkEntry {
        |ORDER BY k""".stripMargin
   }
 
+  /** Oracle for `ann_ndcg`: the recall oracle's exact/probe ranking
+    * chain, graded gains from the exact rank, the SAME literal discount
+    * table the engine folds, integer ppm readout.
+    */
+  private def ivfNdcgOracleSql(k: Int = 10, nProbe: Int = 2): String = {
+    val last = s"c${Similarity.KmeansIters}"
+    val score =
+      s"(${graft.functions.Parity.dotSql("CAST(v.ei AS DOUBLE[])", "CAST(c.c AS DOUBLE[])")} / " +
+        s"sqrt(${graft.functions.Parity.dotSql("CAST(c.c AS DOUBLE[])", "CAST(c.c AS DOUBLE[])")}))"
+    val idcg = Similarity.ndcgIdeal(k)
+    val wCase = "CASE " +
+      Similarity
+        .ndcgWeights(k)
+        .map { case (i, w) => s"WHEN a.rank_a = $i THEN $w" }
+        .mkString(" ") + " ELSE 0 END"
+    s"""WITH $kmeansCtes,
+       |scored_e AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         round(${graft.functions.Parity.cosineSql("q.e", "c.e")}, 6) AS cos
+       |  FROM d q JOIN d c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+       |cs AS (SELECT v.vec_id, c.cid, $score AS ccos FROM d v CROSS JOIN $last c),
+       |ranked_cells AS (
+       |  SELECT vec_id, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |  FROM cs),
+       |assigned AS (SELECT vec_id AS n_id, cid FROM ranked_cells WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, cid FROM ranked_cells
+       |           WHERE vec_id < 50 AND rn <= $nProbe),
+       |scored_p AS (
+       |  SELECT p.q_id, a.n_id, round(${graft.functions.Parity.cosineSql("q.e", "n.e")}, 6) AS cos
+       |  FROM probes p
+       |  JOIN assigned a ON a.cid = p.cid AND a.n_id <> p.q_id
+       |  JOIN d q ON q.vec_id = p.q_id
+       |  JOIN d n ON n.vec_id = a.n_id),
+       |exact_r AS (
+       |  SELECT q_id, n_id, rank AS rank_e FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |    FROM scored_e) WHERE rank <= $k),
+       |approx_r AS (
+       |  SELECT q_id, n_id, rank AS rank_a FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |    FROM scored_p) WHERE rank <= $k),
+       |terms AS (
+       |  SELECT coalesce($k + 1 - e.rank_e, 0) * ($wCase) AS term
+       |  FROM approx_r a LEFT JOIN exact_r e ON e.q_id = a.q_id AND e.n_id = a.n_id),
+       |nq AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries FROM exact_r)
+       |SELECT CAST($k AS BIGINT) AS k, CAST($nProbe AS BIGINT) AS n_probe, nq.n_queries,
+       |       1000000 * CAST(coalesce(sum(term), 0) AS BIGINT) // (nq.n_queries * $idcg) AS ndcg_ppm
+       |FROM terms CROSS JOIN nq GROUP BY nq.n_queries""".stripMargin
+  }
+
   /** Oracle for `ann_kmeans_elbow`: one suffixed Lloyd chain per
     * candidate k, the within-cluster micro² fold per vector, a
     * UNION ALL readout row per k.
@@ -5260,6 +5314,7 @@ object SparkEntry {
       "emb_knn_graph" -> knnGraphOracleSql,
       "ann_kmeans_elbow" -> kmeansElbowOracleSql(),
       "ann_recall_at_k" -> ivfRecallAtKOracleSql(),
+      "ann_ndcg" -> ivfNdcgOracleSql(),
       "emb_outliers" -> Similarity.labelOutliersSql(k = 10),
       "emb_centroids" ->
         """WITH d AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

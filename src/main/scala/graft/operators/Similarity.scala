@@ -633,6 +633,60 @@ object Similarity {
       .orderBy(col("k"))
   }
 
+  /** Discount weights for [[ivfNdcg]]: `round(1e6·log 2 / log(i+1))`
+    * for ranks 1..k — computed ONCE here and folded as literals into
+    * both engines' plans (the [[graft.operators.Quality.dpThresholds]]
+    * literal-table discipline), so the transcendental never crosses an
+    * engine boundary.
+    */
+  def ndcgWeights(k: Int): Seq[(Int, Long)] =
+    (1 to k).map(i => i -> math.round(1000000.0 * math.log(2.0) / math.log(i + 1.0)))
+
+  /** The ideal DCG at k under [[ndcgWeights]] with graded gains
+    * `k+1−rank` — a pure integer constant. */
+  def ndcgIdeal(k: Int): Long =
+    ndcgWeights(k).map { case (i, w) => (k + 1 - i).toLong * w }.sum
+
+  /** Rank-weighted retrieval quality of the trained IVF: nDCG@k
+    * (Järvelin & Kekäläinen 2002) against the brute-force ranking —
+    * the metric that (unlike recall@k) penalizes the approximate index
+    * for returning the right neighbors in the WRONG ORDER: each exact
+    * neighbor carries graded gain `k+1−exact_rank`, each approximate
+    * position a literal `1/log2(i+1)` micro-unit discount, and the
+    * readout is `Σ DCG / (n_queries · IDCG)` in exact ppm.
+    *
+    * Scale shape: the exact baseline is the spec-verified brute pass
+    * over the query sample; the IVF side reuses the trained quantizer
+    * probe path; the metric itself is one (q,n)-keyed join + one
+    * aggregate. Integer end-to-end (gains, literal discounts, ppm
+    * division), so the number is bit-identical cross-engine.
+    *
+    * Output: one row `(k, n_probe, n_queries, ndcg_ppm)`.
+    */
+  def ivfNdcg(embs: DataFrame, nQueries: Int, k: Int = 10, nProbe: Int = 2): DataFrame = {
+    val wLut = ndcgWeights(k)
+    val idcg = ndcgIdeal(k)
+    val wCase = "CASE " +
+      wLut.map { case (i, w) => s"WHEN rank_a = $i THEN ${w}L" }.mkString(" ") + " ELSE 0L END"
+    val exact = Phys.materialized(
+      bruteForceTopK(embs, nQueries, k).select(col("q_id"), col("n_id"), col("rank").as("rank_e")))
+    val cents = Phys.materialized(kmeansFixed(embs))
+    val approx = ivfWithCentroids(embs, cents, nQueries, k, nProbe)
+      .select(col("q_id"), col("n_id"), col("rank").as("rank_a"))
+    val nq = exact.agg(countDistinct(col("q_id")).as("n_queries"))
+    approx
+      .join(exact, Seq("q_id", "n_id"), "left_outer")
+      .select(
+        (coalesce(lit((k + 1).toLong) - col("rank_e"), lit(0L)) * expr(wCase)).as("term"))
+      .agg(coalesce(sum(col("term")), lit(0L)).as("dcg_sum"))
+      .crossJoin(broadcast(nq))
+      .select(
+        lit(k.toLong).as("k"),
+        lit(nProbe.toLong).as("n_probe"),
+        col("n_queries"),
+        expr(s"1000000 * dcg_sum div (n_queries * ${idcg}L)").as("ndcg_ppm"))
+  }
+
   // ---- random-projection dimensionality reduction --------------------------
 
   /** Reduced dimensionality and the slice of the shared deterministic

@@ -700,6 +700,22 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("round-12 wave: no cartesians outside declared broadcast scalars") {
+    // TextRank, embedding eval, DP release, lattice selection, the
+    // TPC-H completions, FS lift, audio landmarks, Yannakakis, nDCG —
+    // the only sanctioned nested-loops are broadcast 1-row/k-row
+    // scalars (BroadcastNestedLoopJoin), never CartesianProduct
+    Seq(
+      "text_textrank", "graph_embed_linkpred", "pii_dp_counts", "cube_view_select",
+      "q2_min_cost_supplier", "q11_important_stock", "q16_supplier_cnt",
+      "q20_excess_suppliers", "er_agreement_lift", "multimodal_audio_match",
+      "join_yannakakis", "ann_ndcg")
+      .foreach { q =>
+        val plan = planOf(SparkEntry.queries(q)(spark, dir))
+        assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
+      }
+  }
+
   test("TPC-H report shapes + round-11b wave: equi-joins only, Q18 having-filter precedes the dim joins") {
     Seq(
       "q6_forecast", "q5_local_supplier", "q4_priority", "q14_promo", "q18_big_orders",
