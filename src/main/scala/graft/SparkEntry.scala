@@ -921,6 +921,8 @@ object SparkEntry {
     }),
     "events_sliding" -> ((s, d) =>
       EventOps.sliding(events(s, d)).orderBy(col("ws"), col("event_type"))),
+    // top 3-step journeys over day-scale sessions: the path-mining read
+    "events_paths" -> ((s, d) => EventOps.eventPaths(events(s, d))),
     "events_sessionize" -> ((s, d) =>
       EventOps.sessionize(events(s, d), gapMinutes = 30).orderBy(col("user_id"), col("session_id"))),
     // session-length histogram off the same sessionizer: the engagement
@@ -4634,6 +4636,7 @@ object SparkEntry {
            |  FROM c)
            |SELECT ws, event_type, n, rk FROM r WHERE rk <= 3 ORDER BY ws, rk""".stripMargin,
       "events_sessionize" -> sessionizeSql,
+      "events_paths" -> EventOps.eventPathsSql(),
       "events_session_lengths" ->
         s"""WITH h AS (
            |  SELECT n_events AS session_len, CAST(count(*) AS BIGINT) AS n_sessions

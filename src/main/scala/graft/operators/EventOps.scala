@@ -1982,4 +1982,67 @@ object EventOps {
        |FROM cum CROSS JOIN tot
        |WHERE t < tot.tt
        |ORDER BY dev DESC, t_star LIMIT 1""".stripMargin
+
+  // ---- session path mining -------------------------------------------------
+
+  /** Top event-type PATHS — the product-analytics path-mining read
+    * (which 3-step journeys dominate?): sessions cut by the same
+    * silence-gap rule as [[sessionize]], events ordered (ts, event_id),
+    * every in-session length-3 window concatenated `a>b>c`, global
+    * top-`k` by count. The synthetic stream is sparse (~1 event/user/
+    * day), so the default gap is day-scale — at a real clickstream's
+    * density the same operator runs with the 30-minute gap.
+    *
+    * Scale shape: two per-user/per-session windows (no global sort),
+    * one path-keyed hash aggregate (domain ≤ |types|³), a TakeOrdered
+    * top-k. Nothing grows faster than the event count.
+    *
+    * Output: top `k` rows `(path, n)` by (n desc, path asc).
+    */
+  def eventPaths(events: DataFrame, gapMinutes: Int = 1440, k: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val marked = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "is_new",
+        when(
+          col("prev_ts").isNull ||
+            col("ts").cast("double") - col("prev_ts").cast("double") > gapMinutes * 60.0,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(byUser))
+    val bySess =
+      Window.partitionBy(col("user_id"), col("session_id")).orderBy(col("ts"), col("event_id"))
+    marked
+      .withColumn("t2", lead(col("event_type"), 1).over(bySess))
+      .withColumn("t3", lead(col("event_type"), 2).over(bySess))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
+  /** [[eventPaths]] mirrored: identical gap rule, window order, and
+    * top-k tiebreak. */
+  def eventPathsSql(gapMinutes: Int = 1440, k: Int = 20): String =
+    s"""WITH m AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |  FROM events),
+       |s AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > ${gapMinutes * 60}.0
+       |                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_new
+       |  FROM m),
+       |n AS (
+       |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |  FROM s),
+       |p AS (
+       |  SELECT event_type || '>' || lead(event_type, 1) OVER w || '>' ||
+       |         lead(event_type, 2) OVER w AS path,
+       |         lead(event_type, 2) OVER w AS t3
+       |  FROM n WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id))
+       |SELECT path, CAST(count(*) AS BIGINT) AS n FROM p WHERE t3 IS NOT NULL
+       |GROUP BY path ORDER BY n DESC, path LIMIT $k""".stripMargin
 }

@@ -285,6 +285,24 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(fa(1L) === ((97L * 31 + 98) * 31 + 99) % Parity.TokP)
   }
 
+  test("eventPaths windows stay inside sessions and respect the tiebreak") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // one 4-event session (paths a>b>c and b>c>b) and, after a > 1-day
+    // gap, a 2-event session — too short for a length-3 path
+    val e = Seq(
+      (1L, at(0), 7L, "a", 1.0, "{}"),
+      (2L, at(1), 7L, "b", 1.0, "{}"),
+      (3L, at(2), 7L, "c", 1.0, "{}"),
+      (4L, at(3), 7L, "b", 1.0, "{}"),
+      (5L, at(3000), 7L, "a", 1.0, "{}"),
+      (6L, at(3001), 7L, "b", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.eventPaths(e).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("a>b>c", 1L), ("b>c>b", 1L)))
+  }
+
   test("sessionize splits on gap > 30 minutes") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
