@@ -1588,6 +1588,23 @@ object SparkEntry {
     // count-min sketch point estimates next to the exact heavy hitters
     "sketch_cms_tokens" -> ((s, d) =>
       operators.Sketches.cmsHeavyHitters(docs(s, d)).orderBy(col("token"))),
+    // CMS join-cardinality estimate vs the exact join count — the
+    // optimizer's join-sizing read; the two relations never meet except
+    // in the measured-exact column
+    "join_size_cms" -> ((s, d) =>
+      operators.Sketches.joinSizeCms(
+        model.table(s, d, "orders"),
+        model.table(s, d, "lineitem"))),
+    // sequence packing, concat-then-chunk: boundary cuts vs zero pad
+    "docs_seq_pack" -> ((s, d) =>
+      operators.Packing.seqPack(docs(s, d)).orderBy(col("shard"))),
+    // sequence packing, no-split next-fit: pad waste vs zero cuts
+    "docs_pack_nextfit" -> ((s, d) =>
+      operators.Packing.packNextFit(docs(s, d)).orderBy(col("shard"))),
+    // CDC snapshot diff off the append log: insert/update/unchanged
+    // churn classification between two as-of states
+    "events_cdc_diff" -> ((s, d) =>
+      EventOps.cdcDiff(events(s, d)).orderBy(col("op"))),
     // span-level exact-substring dedup (duplicated 3-gram runs)
     "dedup_substring_spans" -> ((s, d) =>
       Dedup.dupSpans(docs(s, d)).orderBy(col("doc_id"), col("span_start"))),
@@ -4829,6 +4846,13 @@ object SparkEntry {
           s"(SELECT source, $toks AS t FROM documents)") + "\nORDER BY source"),
       "profile_table" -> operators.Sketches.profileLineitemSql(),
       "sketch_cms_tokens" -> operators.Sketches.cmsHeavyHittersSql(),
+      "join_size_cms" -> operators.Sketches.joinSizeCmsSql(),
+      "docs_seq_pack" ->
+        s"SELECT * FROM (${operators.Packing.seqPackSql()}) ORDER BY shard",
+      "docs_pack_nextfit" ->
+        s"SELECT * FROM (${operators.Packing.packNextFitSql()}) ORDER BY shard",
+      "events_cdc_diff" ->
+        s"SELECT * FROM (${EventOps.cdcDiffSql()}) ORDER BY op",
       "dedup_substring_spans" ->
         s"SELECT * FROM (${Dedup.dupSpansSql()}) ORDER BY doc_id, span_start",
       "dedup_dup_ratio" ->

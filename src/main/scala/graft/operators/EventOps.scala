@@ -1983,6 +1983,87 @@ object EventOps {
        |WHERE t < tot.tt
        |ORDER BY dev DESC, t_star LIMIT 1""".stripMargin
 
+  // ---- CDC snapshot diff -----------------------------------------------------
+
+  /** Change-data-capture diff between two snapshots of the keyed state
+    * derived from the append-only event log: state at time `t` = the
+    * latest `value` per `(user_id, event_type)` among events with
+    * `ts <= t` (ties broken by `event_id` — total order, so both engines
+    * pick the same row). Every key in the later snapshot is classified:
+    *
+    *  - `insert` — the key did not exist at `t1`;
+    *  - `update` — it existed and its latest value changed;
+    *  - `unchanged` — no state transition between the snapshots.
+    *
+    * (An append log has no deletes; a tombstone event type would add the
+    * fourth class with the same plan.) This is the CDC merge audit a
+    * warehouse user runs before applying a delta — how much of the
+    * target actually churns.
+    *
+    * Scale shape: both snapshot states are per-key window dedups
+    * partitioned by the SAME key, so the outer join that compares them
+    * is co-partitioned — one exchange feeds all three operators, and the
+    * readout is a 3-row aggregate. At 100 TB the two snapshots come from
+    * partition-pruned time-range scans of the same log.
+    */
+  def cdcDiff(
+      events: DataFrame,
+      t1: String = "2024-01-03 00:00:00",
+      t2: String = "2024-01-06 00:00:00"): DataFrame = {
+    def stateAt(t: String): DataFrame = {
+      val w = Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events
+        .filter(col("ts") <= lit(t).cast("timestamp"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("value"))
+    }
+    val s1 = stateAt(t1).alias("s1")
+    val s2 = stateAt(t2).alias("s2")
+    s2.join(
+        s1,
+        col("s1.user_id") === col("s2.user_id") &&
+          col("s1.event_type") === col("s2.event_type"),
+        "left")
+      .select(
+        col("s2.user_id").as("user_id"),
+        when(col("s1.user_id").isNull, "insert")
+          .when(col("s1.value") =!= col("s2.value"), "update")
+          .otherwise("unchanged")
+          .as("op"))
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("user_id")).as("checksum"))
+  }
+
+  /** [[cdcDiff]] mirrored: same key, same tiebreak, same classification. */
+  def cdcDiffSql(
+      t1: String = "2024-01-03 00:00:00",
+      t2: String = "2024-01-06 00:00:00"): String =
+    s"""WITH e1 AS (
+       |  SELECT user_id, event_type, value,
+       |         row_number() OVER (PARTITION BY user_id, event_type
+       |                            ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events WHERE ts <= TIMESTAMP '$t1'),
+       |s1 AS (SELECT user_id, event_type, value FROM e1 WHERE rn = 1),
+       |e2 AS (
+       |  SELECT user_id, event_type, value,
+       |         row_number() OVER (PARTITION BY user_id, event_type
+       |                            ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events WHERE ts <= TIMESTAMP '$t2'),
+       |s2 AS (SELECT user_id, event_type, value FROM e2 WHERE rn = 1),
+       |j AS (
+       |  SELECT s2.user_id,
+       |         CASE WHEN s1.user_id IS NULL THEN 'insert'
+       |              WHEN s1.value <> s2.value THEN 'update'
+       |              ELSE 'unchanged' END AS op
+       |  FROM s2 LEFT JOIN s1
+       |    ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type)
+       |SELECT op, CAST(count(*) AS BIGINT) AS n_keys,
+       |       CAST(sum(user_id) AS BIGINT) AS checksum
+       |FROM j GROUP BY op""".stripMargin
+
   // ---- session path mining -------------------------------------------------
 
   /** Top event-type PATHS — the product-analytics path-mining read

@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Parity
+
+/** Sequence packing for LLM pretraining: fitting variable-length
+  * documents into fixed-capacity training sequences (context windows).
+  * Two standard disciplines, reported side by side:
+  *
+  *  - '''concat-then-chunk''' ([[seqPack]]): documents are concatenated
+  *    in a deterministic order and the token stream is cut every
+  *    `capacity` tokens (the GPT-style packing used by most pretraining
+  *    pipelines — zero padding waste, but documents straddle chunk
+  *    boundaries and lose a cross-boundary attention span).
+  *  - '''no-split next-fit''' ([[packNextFit]]): each document is kept
+  *    whole; a bin is closed when the next document no longer fits
+  *    (the document-integrity packing used when truncation is not
+  *    acceptable — no straddling, but padding waste).
+  *
+  * The pair quantifies the actual trade a curation user tunes: cuts vs
+  * waste at a given capacity.
+  *
+  * Scale shape: packing is sequential by nature, so it is made
+  * distributed the way real pipelines do — per-shard. Documents land in
+  * `nShards` deterministic shards (`doc_id % nShards`); each shard
+  * packs independently (order = `doc_id`, the stand-in for the fixed
+  * pretraining shuffle order). [[seqPack]] is a per-shard window prefix
+  * sum plus integer division — no fold at all. [[packNextFit]] folds a
+  * per-shard token-length list; at 100 TB `nShards` grows with the
+  * corpus (one shard per input split) so each fold stays
+  * splits-sized — nothing here ever needs a global sort or a
+  * driver-side loop.
+  */
+object Packing {
+
+  /** Training-sequence token capacity (tokens per context window). The
+    * synthetic docs run 10–99 whitespace tokens, so 256 packs ~4–5 docs
+    * per sequence — the same docs-per-window regime a 2k-token window
+    * has over real web documents.
+    */
+  val Capacity = 256L
+
+  /** Shard count for the test tables; at scale this is the input-split
+    * count, not a constant.
+    */
+  val NShards = 8L
+
+  private def nTok(text: Column): Column = size(Parity.tokens(text)).cast("long")
+
+  /** Concat-then-chunk packing report, per shard: the token stream cut
+    * every [[Capacity]] tokens. A document occupying stream positions
+    * `[cum, cum + n)` straddles a boundary iff its first and last token
+    * fall in different chunks; `n_cuts` counts boundary crossings
+    * (= extra attention-span truncations), `tail_pad` is the only
+    * padding (the final partial chunk). `fill_ppm` is exact integer
+    * parts-per-million.
+    *
+    * One narrow map + one per-shard window prefix sum + one 8-row
+    * aggregate; the window sort is per-shard (parallel across shards),
+    * never global.
+    */
+  def seqPack(docs: DataFrame, capacity: Long = Capacity, nShards: Long = NShards): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    val chunks =
+      docs
+        .select(col("doc_id"), (col("doc_id") % nShards).as("shard"), nTok(col("text")).as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("cum_before", sum(col("n_tok")).over(w) - col("n_tok"))
+        .select(
+          col("shard"),
+          col("n_tok"),
+          expr(s"cum_before div $capacity").as("c0"),
+          expr(s"(cum_before + n_tok - 1) div $capacity").as("c1"))
+    val nChunks = expr(s"(sum(n_tok) + ${capacity - 1}) div $capacity")
+    chunks
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        nChunks.as("n_chunks"),
+        sum(when(col("c1") > col("c0"), 1L).otherwise(0L)).as("n_straddled"),
+        sum(col("c1") - col("c0")).as("n_cuts"),
+        (nChunks * capacity - sum(col("n_tok"))).as("tail_pad"),
+        expr(s"sum(n_tok) * 1000000 div (((sum(n_tok) + ${capacity - 1}) div $capacity) * $capacity)")
+          .as("fill_ppm"))
+  }
+
+  /** [[seqPack]] mirrored: same shard rule, same prefix sum, same
+    * integer division (`//`).
+    */
+  def seqPackSql(capacity: Long = Capacity, nShards: Long = NShards): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % $nShards AS shard,
+       |         CAST(len(${Parity.tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT shard, doc_id, n_tok,
+       |         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS cum_before
+       |  FROM t WHERE n_tok > 0),
+       |m AS (
+       |  SELECT shard, n_tok,
+       |         cum_before // $capacity AS c0,
+       |         (cum_before + n_tok - 1) // $capacity AS c1
+       |  FROM c)
+       |SELECT CAST(shard AS BIGINT) AS shard,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       CAST((sum(n_tok) + ${capacity - 1}) // $capacity AS BIGINT) AS n_chunks,
+       |       CAST(sum(CASE WHEN c1 > c0 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddled,
+       |       CAST(sum(c1 - c0) AS BIGINT) AS n_cuts,
+       |       CAST(((sum(n_tok) + ${capacity - 1}) // $capacity) * $capacity - sum(n_tok) AS BIGINT)
+       |         AS tail_pad,
+       |       CAST(sum(n_tok) * 1000000 //
+       |         (((sum(n_tok) + ${capacity - 1}) // $capacity) * $capacity) AS BIGINT) AS fill_ppm
+       |FROM m GROUP BY shard""".stripMargin
+
+  /** No-split next-fit packing report, per shard: documents are placed
+    * whole, in `doc_id` order; a bin closes the moment the next
+    * document does not fit (next-fit — the streaming-friendly packing:
+    * one open bin, O(1) state). Oversize documents (`n_tok > capacity`)
+    * are counted and skipped — upstream they are truncated or split,
+    * and counting them is the knob a user reads to pick the capacity.
+    *
+    * `waste_tokens` includes every closed bin's slack AND the open
+    * bin's tail, so `n_packed_tokens + waste_tokens =
+    * bins_used · capacity` exactly.
+    *
+    * The fold is the textbook sequential next-fit state machine
+    * `(fill, bins, waste)`, run inside ONE codegen'd `aggregate`
+    * expression over the shard's token-length list — the list is
+    * splits-sized by construction (see the object doc), so the
+    * `collect_list` here is a per-shard buffer, not a global one.
+    */
+  def packNextFit(
+      docs: DataFrame,
+      capacity: Long = Capacity,
+      nShards: Long = NShards): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      (col("doc_id") % nShards).as("shard"),
+      nTok(col("text")).as("n_tok"))
+    val g = base
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tok") > capacity, 1L).otherwise(0L)).as("n_oversize"),
+        coalesce(
+          sum(when(col("n_tok") > 0 && col("n_tok") <= capacity, col("n_tok"))),
+          lit(0L)).as("n_packed_tokens"),
+        sort_array(
+          collect_list(
+            when(
+              col("n_tok") > 0 && col("n_tok") <= capacity,
+              struct(col("doc_id"), col("n_tok"))))).as("ds"))
+    val st = aggregate(
+      transform(col("ds"), d => d.getField("n_tok")),
+      struct(lit(0L).as("fill"), lit(0L).as("bins"), lit(0L).as("waste")),
+      (acc, x) =>
+        when(
+          acc.getField("bins") === 0L,
+          struct(x.as("fill"), lit(1L).as("bins"), lit(0L).as("waste")))
+          .when(
+            acc.getField("fill") + x <= capacity,
+            struct(
+              (acc.getField("fill") + x).as("fill"),
+              acc.getField("bins").as("bins"),
+              acc.getField("waste").as("waste")))
+          .otherwise(struct(
+            x.as("fill"),
+            (acc.getField("bins") + 1L).as("bins"),
+            (acc.getField("waste") + capacity - acc.getField("fill")).as("waste"))))
+    g.withColumn("st", st)
+      .select(
+        col("shard"),
+        col("n_docs"),
+        col("n_oversize"),
+        col("n_packed_tokens"),
+        col("st.bins").as("bins_used"),
+        when(col("st.bins") === 0L, 0L)
+          .otherwise(col("st.waste") + capacity - col("st.fill"))
+          .as("waste_tokens"),
+        when(col("st.bins") === 0L, 0L)
+          .otherwise(expr(s"n_packed_tokens * 1000000 div (st.bins * $capacity)"))
+          .as("fill_ppm"))
+  }
+
+  /** [[packNextFit]] mirrored: the same state machine as a
+    * `list_reduce` whose accumulator is a 3-element BIGINT list
+    * `[fill, bins, waste]` (LIST, not STRUCT — DuckDB 1.0's struct
+    * lambda accumulators misread fields mid-fold; see the Holt note in
+    * PERF_NOTES). Elements are wrapped `[x]` so seed and element share
+    * the accumulator's type.
+    */
+  def packNextFitSql(capacity: Long = Capacity, nShards: Long = NShards): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % $nShards AS shard,
+       |         CAST(len(${Parity.tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |g AS (
+       |  SELECT shard,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(count(*) FILTER (WHERE n_tok > $capacity) AS BIGINT) AS n_oversize,
+       |         CAST(coalesce(sum(n_tok) FILTER (WHERE n_tok > 0 AND n_tok <= $capacity), 0)
+       |           AS BIGINT) AS n_packed_tokens,
+       |         list(n_tok ORDER BY doc_id) FILTER (WHERE n_tok > 0 AND n_tok <= $capacity) AS ns
+       |  FROM t GROUP BY shard),
+       |f AS (
+       |  SELECT shard, n_docs, n_oversize, n_packed_tokens,
+       |         list_reduce(
+       |           list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+       |                        list_transform(ns, x -> [x])),
+       |           (acc, x) -> CASE
+       |             WHEN acc[2] = 0 THEN [x[1], CAST(1 AS BIGINT), CAST(0 AS BIGINT)]
+       |             WHEN acc[1] + x[1] <= $capacity THEN [acc[1] + x[1], acc[2], acc[3]]
+       |             ELSE [x[1], acc[2] + 1, acc[3] + $capacity - acc[1]] END) AS st
+       |  FROM g)
+       |SELECT CAST(shard AS BIGINT) AS shard, n_docs, n_oversize, n_packed_tokens,
+       |       st[2] AS bins_used,
+       |       CASE WHEN st[2] = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE st[3] + $capacity - st[1] END AS waste_tokens,
+       |       CASE WHEN st[2] = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE n_packed_tokens * 1000000 // (st[2] * $capacity) END AS fill_ppm
+       |FROM f""".stripMargin
+}

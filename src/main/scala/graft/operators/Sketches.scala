@@ -316,6 +316,82 @@ object Sketches {
        |ORDER BY token""".stripMargin
   }
 
+  /** Join-cardinality estimation from per-side count-min sketches (the
+    * AMS/CMS inner-product estimator, Cormode & Muthukrishnan 2005 §4.2;
+    * the technique query optimizers use to size a join BEFORE running
+    * it): each side's key frequencies fold into d×w counters, the
+    * estimate is `min_j Σ_b c1[j][b]·c2[j][b]` — an overestimate only,
+    * with expected slack ≤ `n1·n2 / w` per row. Emitted next to the
+    * exact join count and the slack bound, so the estimator's error is a
+    * measured column (the `cmsHeavyHitters` discipline).
+    *
+    * Scale shape at 100 TB: each sketch build is one map-side-partial
+    * aggregate into d·w = 2048 cells — the whole point is that the two
+    * relations are never joined; the estimate costs two scans and a
+    * 2048-row join. The exact count here rides the orderkey equi-join
+    * the suite already proves; in production you'd run the sketch side
+    * alone.
+    */
+  def joinSizeCms(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    def sketch(keys: DataFrame): DataFrame =
+      keys
+        .select(
+          posexplode(array((0 until CmsDepth).map(j => cmsBucket(j, col("k"))): _*))
+            .as(Seq("j", "bucket")))
+        .groupBy(col("j"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+    val co = sketch(orders.select(col("o_orderkey").as("k")))
+    val cl = sketch(lineitem.select(col("l_orderkey").as("k")))
+    val est = co
+      .alias("co")
+      .join(cl.alias("cl"), col("co.j") === col("cl.j") && col("co.bucket") === col("cl.bucket"))
+      .groupBy(col("co.j"))
+      .agg(sum(col("co.c") * col("cl.c")).as("ip"))
+      .agg(min(col("ip")).as("est_cms"))
+    val exact = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("exact_rows"))
+    val ns = orders
+      .agg(count(lit(1)).as("n1"))
+      .crossJoin(lineitem.agg(count(lit(1)).as("n2")))
+    // three single-row aggregates composed in-plan (1-row broadcast
+    // nested loops), no driver-side collect
+    est
+      .crossJoin(exact)
+      .crossJoin(ns)
+      .select(
+        col("est_cms"),
+        col("exact_rows"),
+        expr("est_cms * 1000000 div exact_rows").as("ratio_ppm"),
+        expr(s"n1 * n2 div $CmsWidth").as("slack_bound"))
+  }
+
+  /** [[joinSizeCms]] mirrored cell-for-cell. */
+  def joinSizeCmsSql(): String = {
+    def rows(src: String) = (0 until CmsDepth)
+      .map(j => s"SELECT $j AS j, ${cmsBucketSql(j, "k")} AS bucket, " +
+        s"CAST(count(*) AS BIGINT) AS c FROM $src GROUP BY 1, 2")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ko AS (SELECT o_orderkey AS k FROM orders),
+       |kl AS (SELECT l_orderkey AS k FROM lineitem),
+       |co AS (${rows("ko")}),
+       |cl AS (${rows("kl")}),
+       |ip AS (
+       |  SELECT co.j, CAST(sum(co.c * cl.c) AS BIGINT) AS ip
+       |  FROM co JOIN cl ON co.j = cl.j AND co.bucket = cl.bucket GROUP BY co.j),
+       |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_cms FROM ip),
+       |ex AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS exact_rows
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |ns AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n1,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n2)
+       |SELECT est_cms, exact_rows,
+       |       est_cms * 1000000 // exact_rows AS ratio_ppm,
+       |       n1 * n2 // $CmsWidth AS slack_bound
+       |FROM est CROSS JOIN ex CROSS JOIN ns""".stripMargin
+  }
+
   // ---- HyperLogLog ---------------------------------------------------------
 
   /** HLL register count: 64 registers ≈ 13% standard error (1.04/√m).
