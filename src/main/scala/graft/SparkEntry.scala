@@ -669,6 +669,10 @@ object SparkEntry {
     }),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d)).orderBy(col("doc_a"), col("doc_b"))),
+    // exact J ≥ 1/2 join with prefix filtering: provably complete
+    // candidate pruning (no df cap, no loss), integer acceptance
+    "dedup_prefix_jaccard" -> ((s, d) =>
+      Dedup.prefixFilterPairs(docs(s, d)).orderBy(col("doc_a"), col("doc_b"))),
     // asymmetric near-dup: directional containment over the capped
     // shingle sets — catches a short doc quoted inside a long one
     "dedup_containment" -> ((s, d) =>
@@ -1405,6 +1409,10 @@ object SparkEntry {
     // of two), fold in event-time order — custom decayed state
     "events_stream_decay" -> ((s, d) =>
       streaming.StreamOps.userDecayOverParquet(s, d).orderBy(col("user_id"))),
+    // streaming CDC: per-key two-slot latest-event state, churn report
+    // as the serving readout; shares the batch events_cdc_diff oracle
+    "events_stream_cdc" -> ((s, d) =>
+      streaming.StreamOps.cdcOverParquet(s, d).orderBy(col("op"))),
     // streaming quantiles: the additive bin histogram IS the bounded
     // stream state; p50/p95 extracted from the sink
     "events_stream_quantiles" -> ((s, d) =>
@@ -4291,6 +4299,8 @@ object SparkEntry {
            |      FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
            |                   JOIN sizes sb ON sb.doc_id = i.doc_b)
            |ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_prefix_jaccard" ->
+        s"SELECT * FROM (${Dedup.prefixFilterPairsSql()}) ORDER BY doc_a, doc_b",
       "dedup_containment" ->
         s"""WITH sh AS (
            |  SELECT doc_id, lang, $shingleSql AS s
@@ -4852,6 +4862,8 @@ object SparkEntry {
       "docs_pack_nextfit" ->
         s"SELECT * FROM (${operators.Packing.packNextFitSql()}) ORDER BY shard",
       "events_cdc_diff" ->
+        s"SELECT * FROM (${EventOps.cdcDiffSql()}) ORDER BY op",
+      "events_stream_cdc" ->
         s"SELECT * FROM (${EventOps.cdcDiffSql()}) ORDER BY op",
       "dedup_substring_spans" ->
         s"SELECT * FROM (${Dedup.dupSpansSql()}) ORDER BY doc_id, span_start",

@@ -691,6 +691,115 @@ object Dedup {
       .filter(greatest(col("cont_a"), col("cont_b")) >= minCont)
   }
 
+  /** EXACT set-similarity join with PREFIX FILTERING (Chaudhuri, Ganti &
+    * Kaushik, ICDE 2006; the candidate-generation core of PPJoin, Xiao
+    * et al. WWW 2008): all pairs with shingle Jaccard ≥ 1/2, with NO
+    * df cap and NO loss — the provably complete pruning, where
+    * [[ngramJaccardPairs]]' [[MaxShingleDf]] cap trades recall on
+    * ubiquitous shingles for bounded buckets.
+    *
+    * The theorem: order every document's shingles by one global order
+    * (ascending document frequency, rarest first — ties on the shingle
+    * string); if `J(A,B) ≥ t` then A and B must share a shingle among
+    * each one's first `|d| − ⌈t·|d|⌉ + 1` shingles (skipping all of
+    * A's prefix means the overlap fits in the suffix, which is too
+    * small). So only PREFIX shingles enter the inverted index: a
+    * boilerplate trigram shared by millions of documents is — by being
+    * ubiquitous — last in the df order and lands in almost no prefix,
+    * so its bucket never explodes. The size filter
+    * `2·min(|A|,|B|) ≥ max(|A|,|B|)` (t rational → integer-exact)
+    * prunes cross-size candidates before verification.
+    *
+    * Verification is exact: candidates re-join the FULL shingle index,
+    * the acceptance test is the grid-free integer compare
+    * `2·inter ≥ uni`, and `jaccard_ppm` is exact integer ppm. Cost is
+    * Σ_cand |A| — proportional to the (prefix-pruned) candidate count,
+    * never to a hot bucket's square.
+    */
+  def prefixFilterPairs(docs: DataFrame): DataFrame = {
+    val inv = Phys.materialized(
+      docs.select(col("doc_id"), col("lang"), explode(shingles(col("text"))).as("g")))
+    val dfs = inv.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ranked = inv
+      .join(dfs, Seq("lang", "g"))
+      .withColumn("n_sh", count(lit(1)).over(wDoc))
+      .withColumn(
+        "rk",
+        row_number().over(wDoc.orderBy(col("df"), col("g"))).cast("long"))
+    // prefix length for t = 1/2: n − ⌈n/2⌉ + 1, all integer
+    val prefix = Phys.materialized(
+      ranked
+        .filter(col("rk") <= col("n_sh") - expr("(n_sh + 1) div 2") + 1L)
+        .select(col("doc_id"), col("lang"), col("g"), col("n_sh")))
+    val cand = prefix
+      .alias("a")
+      .join(
+        prefix.alias("b"),
+        col("a.lang") === col("b.lang") && col("a.g") === col("b.g") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          lit(2L) * least(col("a.n_sh"), col("b.n_sh")) >=
+            greatest(col("a.n_sh"), col("b.n_sh")))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"),
+        col("b.n_sh").as("nb"))
+      .distinct()
+    val full = inv.select(col("doc_id"), col("g"))
+    cand
+      .join(full.alias("va"), col("va.doc_id") === col("doc_a"))
+      .join(
+        full.alias("vb"),
+        col("vb.doc_id") === col("doc_b") && col("vb.g") === col("va.g"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(lit(2L) * col("inter") >= col("uni"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("inter"),
+        col("uni"),
+        expr("inter * 1000000 div uni").as("jaccard_ppm"))
+  }
+
+  /** [[prefixFilterPairs]] mirrored: same df order, same prefix length,
+    * same size filter, same integer acceptance.
+    */
+  def prefixFilterPairsSql(): String = {
+    val toks = graft.functions.Parity.tokensSql("text")
+    val shingleSql = graft.functions.Parity.shinglesSql("t")
+    s"""WITH sh AS (
+       |  SELECT doc_id, lang, $shingleSql AS s
+       |  FROM (SELECT doc_id, lang, $toks AS t FROM documents)),
+       |inv AS (SELECT doc_id, lang, unnest(s) AS g FROM sh),
+       |dfs AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS df FROM inv GROUP BY lang, g),
+       |ranked AS (
+       |  SELECT i.doc_id, i.lang, i.g,
+       |         CAST(count(*) OVER (PARTITION BY i.doc_id) AS BIGINT) AS n_sh,
+       |         CAST(row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.g) AS BIGINT) AS rk
+       |  FROM inv i JOIN dfs d ON d.lang = i.lang AND d.g = i.g),
+       |prefix AS (
+       |  SELECT doc_id, lang, g, n_sh FROM ranked
+       |  WHERE rk <= n_sh - (n_sh + 1) // 2 + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.n_sh AS na, b.n_sh AS nb
+       |  FROM prefix a JOIN prefix b
+       |    ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+       |   AND 2 * least(a.n_sh, b.n_sh) >= greatest(a.n_sh, b.n_sh)),
+       |ver AS (
+       |  SELECT c.doc_a, c.doc_b, c.na, c.nb, CAST(count(*) AS BIGINT) AS inter
+       |  FROM cand c
+       |  JOIN inv va ON va.doc_id = c.doc_a
+       |  JOIN inv vb ON vb.doc_id = c.doc_b AND vb.g = va.g
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b, inter, CAST(na + nb - inter AS BIGINT) AS uni,
+       |       inter * 1000000 // (na + nb - inter) AS jaccard_ppm
+       |FROM ver WHERE 2 * inter >= na + nb - inter""".stripMargin
+  }
+
   /** Candidate pairs → deduplication clusters → canonical-doc selection:
     * the step that turns "find near-duplicate pairs" into "deduplicate
     * the corpus" (what a training-data pipeline actually runs).

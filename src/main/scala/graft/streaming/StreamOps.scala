@@ -1322,6 +1322,62 @@ object StreamOps {
     } finally spark.conf.set(key, prev)
   }
 
+  /** STREAMING CDC — the incremental form of
+    * [[graft.operators.EventOps.cdcDiff]]: the state store carries, per
+    * `(user_id, event_type)` key, the latest event at or before EACH of
+    * the two snapshot times (two (ts, event_id, value) slots, ~40 bytes
+    * per key — state is |keys|-bounded, never |events|). Every arriving
+    * event lands in at most both slots by the same (ts, event_id) total
+    * order the batch operator uses, so the emitted classification is
+    * arrival-order-independent: a late event that predates a slot's
+    * current holder simply loses the max — the out-of-order hazard the
+    * decay fold has to clamp does not exist here.
+    *
+    * Emission (Update mode) is one `(user_id, event_type, op)` row per
+    * touched key; the 3-row churn report runs as the serving readout
+    * over the sink (the [[topkOverParquet]] discipline). Oracle: the
+    * batch [[graft.operators.EventOps.cdcDiffSql]] — identical by
+    * construction.
+    */
+  def cdcOverParquet(
+      spark: SparkSession,
+      sfDir: String,
+      t1: String = "2024-01-03 00:00:00",
+      t2: String = "2024-01-06 00:00:00"): DataFrame = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import spark.implicits._
+    val t1Us = java.time.LocalDateTime
+      .parse(t1.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC)
+      .toEpochMilli * 1000L
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf
+      .set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val perKey =
+      try overParquet(
+        spark,
+        sfDir,
+        "cdc",
+        ev =>
+          ev.filter(col("ts") <= lit(t2).cast("timestamp"))
+            .select(
+              col("user_id"),
+              col("event_type"),
+              expr("unix_micros(ts)").as("tus"),
+              col("event_id"),
+              col("value"))
+            .as[(Long, String, Long, Long, Double)]
+            .groupByKey(r => (r._1, r._2))
+            .transformWithState(new CdcProcessor(t1Us), TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "event_type", "op"),
+        mode = "update")
+      finally spark.conf.set(key, prev)
+    perKey
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("user_id")).as("checksum"))
+  }
+
   /** Time-decayed per-user engagement score via `transformWithState`:
     * state = (last event-time, score); each event first HALVES the
     * score once per whole elapsed day, then adds the event's milli
@@ -1886,6 +1942,54 @@ class UserTotalsProcessor
     rows.foreach { case (_, m) => n += 1L; s += m }
     totals.update((n, s))
     Iterator.single((key, n, s))
+  }
+}
+
+/** transformWithState processor for [[StreamOps.cdcOverParquet]]: one
+  * ValueState per (user, type) key holding the latest-event slot for
+  * each snapshot time — `(t1 ts, t1 event_id, t1 value, t1 seen,
+  * t2 ts, t2 event_id, t2 value)` (the t2 slot always exists once the
+  * key does: the upstream filter admits only `ts ≤ t2`). Each arriving
+  * row challenges both slots under the (ts, event_id) total order, so
+  * ANY arrival order converges to the same state; the emitted row is
+  * the key's current insert/update/unchanged classification.
+  */
+class CdcProcessor(t1Us: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      (Long, String),
+      (Long, String, Long, Long, Double),
+      (Long, String, String)] {
+
+  @transient private var st
+      : org.apache.spark.sql.streaming.ValueState[(Long, Long, Double, Long, Long, Long, Double)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Double, Long, Long, Long, Double)](
+      "cdc",
+      org.apache.spark.sql.Encoders.product[(Long, Long, Double, Long, Long, Long, Double)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: (Long, String),
+      rows: Iterator[(Long, String, Long, Long, Double)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, String, String)] = {
+    var (t1Ts, t1Eid, t1Val, has1, t2Ts, t2Eid, t2Val) =
+      if (st.exists()) st.get() match { case (a, b, c, d, e, f, g) => (a, b, c, d, e, f, g) }
+      else (-1L, -1L, 0.0, 0L, -1L, -1L, 0.0)
+    rows.foreach { case (_, _, tus, eid, v) =>
+      if (tus <= t1Us && (tus > t1Ts || (tus == t1Ts && eid > t1Eid))) {
+        t1Ts = tus; t1Eid = eid; t1Val = v; has1 = 1L
+      }
+      if (tus > t2Ts || (tus == t2Ts && eid > t2Eid)) {
+        t2Ts = tus; t2Eid = eid; t2Val = v
+      }
+    }
+    st.update((t1Ts, t1Eid, t1Val, has1, t2Ts, t2Eid, t2Val))
+    val op =
+      if (has1 == 0L) "insert" else if (t1Val != t2Val) "update" else "unchanged"
+    Iterator.single((key._1, key._2, op))
   }
 }
 

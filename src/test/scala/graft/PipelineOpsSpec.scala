@@ -8,6 +8,37 @@ class PipelineOpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("prefix-filter join is complete: equals brute-force J >= 1/2 pairs, cap-free") {
+    import spark.implicits._
+    // near-dup pair (0,1), a half-overlap pair (2,3) right at J = 1/2,
+    // a disjoint doc 4, and a shingle shared by ALL docs ("the end of")
+    // that a df-cap would drop but the prefix order merely deprioritizes
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta the end of", "en"),
+      (1L, "alpha beta gamma delta epsilon zeta the end of", "en"),
+      (2L, "one two three four five six seven the end of", "en"),
+      (3L, "one two three four five nine eight the end of", "en"),
+      (4L, "totally different words here entirely now the end of", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup
+      .prefixFilterPairs(docs)
+      .select(col("doc_a"), col("doc_b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // brute force: uncapped shared-shingle pairs, integer J >= 1/2 test
+    val brute = Dedup
+      .ngramJaccardPairs(docs, maxDf = 1000000L)
+      .filter(lit(2L) * col("inter") >= col("uni"))
+      .select(col("doc_a"), col("doc_b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got === brute)
+    assert(got.contains((0L, 1L)))
+    assert(!got.contains((0L, 4L)))
+  }
+
   test("chunk windows reconstruct the original text") {
     // stride-prefixes of all chunks but the last, plus the whole last
     // chunk, concatenate back to the source text — no char lost or

@@ -716,6 +716,23 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("round-13 wave: packing single-scan, CDC co-keyed, prefix filter cartesian-free") {
+    // packing: ONE documents scan each (a narrow map + windows/fold)
+    Seq("docs_seq_pack", "docs_pack_nextfit").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, dir)).split("== Initial Plan ==")(0)
+      assert("Scan parquet".r.findAllIn(plan).length === 1,
+        s"$q must read documents once:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian in $q:\n$plan")
+    }
+    // the remaining wave: equi-joins / broadcast scalars only
+    Seq("events_cdc_diff", "events_paths", "dedup_prefix_jaccard", "join_size_cms")
+      .foreach { q =>
+        val plan = planOf(SparkEntry.queries(q)(spark, dir))
+        assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
+      }
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("TPC-H report shapes + round-11b wave: equi-joins only, Q18 having-filter precedes the dim joins") {
     Seq(
       "q6_forecast", "q5_local_supplier", "q4_priority", "q14_promo", "q18_big_orders",

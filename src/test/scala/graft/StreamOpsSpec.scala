@@ -319,6 +319,23 @@ class StreamOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("streaming CDC churn report equals the batch snapshot diff at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = operators.EventOps
+      .cdcDiff(model.eventsTable(spark, dir))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val streamed = StreamOps
+      .cdcOverParquet(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.map(_._1) === Set("insert", "update", "unchanged"))
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("streaming funnel: a late early view retroactively unlocks later steps") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
