@@ -545,6 +545,10 @@ object SparkEntry {
     // oracle runs the independent peel unroll
     "graph_coreness" -> ((s, d) =>
       GraphOps.corenessHIndex(GraphSource.lineitemEdges(s, d)).orderBy(col("id"))),
+    // densest-region mining: bulk peel at 1.5× average degree, per-round
+    // density profile (run-to-empty max row = the 3-approx densest cut)
+    "graph_densest" -> ((s, d) =>
+      GraphOps.densestSubgraph(GraphSource.lineitemEdges(s, d)).orderBy(col("round"))),
     // edge-level cohesion: peel edges below k−2 triangle support to a
     // fixpoint; strictly stronger than the k-core filter
     "ktruss_3" -> ((s, d) =>
@@ -2817,6 +2821,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "kcore_4" -> kcoreUnrolledSql(k = 4, rounds = 6),
     "graph_coreness" -> corenessOracleSql(),
+    "graph_densest" ->
+      s"SELECT * FROM (${GraphOps.densestSubgraphSql(GraphSource.lineitemEdgesSql)}) ORDER BY round",
     "ktruss_3" -> GraphOps.kTrussSql(GraphSource.lineitemEdgesSql, k = 3),
     "graph_clustering_coef" ->
       GraphOps.clusteringCoefficientSql(GraphSource.lineitemEdgesSql),

@@ -2802,6 +2802,117 @@ object GraphOps {
     }
   }
 
+  /** Parallel densest-subgraph peel (Bahmani, Kumar & Vassilvitskii,
+    * VLDB 2012, ε = 1/2): per round, ALL nodes whose degree in the
+    * surviving induced subgraph is ≤ 3·ρ̄ (1.5× the average degree) are
+    * removed at once, and the round's `(|V|, |E|, density)` is recorded.
+    * Run to exhaustion the max-density round is a (2+2ε)=3-approximation
+    * of the densest subgraph; every node at or below the average dies
+    * each round, so |V| shrinks ≥ 1.5× per round and `maxRounds = 12`
+    * drains any graph up to ~10⁸ nodes (rounds past empty cost an empty
+    * aggregate).
+    *
+    * All comparisons are integer cross-multiplications (`2·deg·v >
+    * 3·Σdeg` ⇔ deg > 1.5·avg) — no rational rounding anywhere, so the
+    * peel sequence is bit-identical cross-engine. This is the bulk-peel
+    * companion of [[corenessHIndex]]: coreness answers "how deep does
+    * every node sit", the peel profile answers "where is the single
+    * densest region and how fast does the graph thin toward it" — the
+    * community/fraud-mining read.
+    *
+    * Scale shape: each round is two alive-set semi-joins + one degree
+    * aggregate + one 1-row total (cross-joined in-plan, never a driver
+    * action); the alive set geometrically shrinks, so total work is
+    * O(|E| · log |V|) with NO pair tables and no global sort. Output:
+    * one row per non-empty round `(round, n_nodes, n_edges,
+    * density_ppm, avg_deg_ppm)`.
+    */
+  def densestSubgraph(edges: DataFrame, maxRounds: Int = 12): DataFrame = {
+    val session = edges.sparkSession
+    val parts = loopPartitions(session, edges.count() * 2)
+    withLoopConfs(session, parts) {
+      def ckpt(df: DataFrame): DataFrame =
+        org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+      val simple = Phys.materialized(
+        edges
+          .filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+          .distinct())
+      val und = simple
+        .select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(simple.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      und.count()
+      var alive = ckpt(und.select(col("src").as("id")).distinct())
+      var profile: Seq[DataFrame] = Nil
+      (0 until maxRounds).foreach { i =>
+        val ei = und
+          .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        val deg = ei.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        // isolated survivors (all neighbors peeled last round) carry
+        // degree 0 — they are in v, and die this round (0 ≤ threshold)
+        val degAll = ckpt(
+          alive.join(deg, Seq("id"), "left_outer").na.fill(0L, Seq("deg")))
+        val stats = degAll.agg(
+          count(lit(1)).as("v"),
+          coalesce(sum(col("deg")), lit(0L)).as("m2"))
+        profile = profile :+ stats
+          .filter(col("v") > 0 && col("m2") > 0)
+          .select(
+            lit(i.toLong).as("round"),
+            col("v").as("n_nodes"),
+            expr("m2 div 2").as("n_edges"),
+            expr("m2 * 500000 div v").as("density_ppm"),
+            expr("m2 * 1000000 div v").as("avg_deg_ppm"))
+        alive = ckpt(
+          degAll
+            .crossJoin(broadcast(stats))
+            .filter(lit(2L) * col("deg") * col("v") > lit(3L) * col("m2"))
+            .select(col("id")))
+      }
+      und.unpersist(false)
+      profile.reduce(_ unionAll _)
+    }
+  }
+
+  /** [[densestSubgraph]] mirrored: the same 12 bulk-peel rounds as a
+    * materialized CTE chain (the Borůvka-oracle discipline — without
+    * MATERIALIZED the unroll inlines exponentially).
+    */
+  def densestSubgraphSql(edgesSql: String, maxRounds: Int = 12): String = {
+    val rounds = (0 until maxRounds).map { i =>
+      s"""e$i AS MATERIALIZED (
+         |  SELECT u.src, u.dst FROM und u
+         |  JOIN a$i sa ON sa.id = u.src JOIN a$i sb ON sb.id = u.dst),
+         |d$i AS MATERIALIZED (
+         |  SELECT a.id, CAST(coalesce(g.deg, 0) AS BIGINT) AS deg
+         |  FROM a$i a LEFT JOIN (SELECT src AS id, count(*) AS deg FROM e$i GROUP BY src) g
+         |    USING (id)),
+         |s$i AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS v,
+         |         CAST(coalesce(sum(deg), 0) AS BIGINT) AS m2 FROM d$i),
+         |p$i AS (
+         |  SELECT CAST($i AS BIGINT) AS round, v AS n_nodes, m2 // 2 AS n_edges,
+         |         m2 * 500000 // v AS density_ppm, m2 * 1000000 // v AS avg_deg_ppm
+         |  FROM s$i WHERE v > 0 AND m2 > 0),
+         |a${i + 1} AS MATERIALIZED (
+         |  SELECT d.id FROM d$i d CROSS JOIN s$i s WHERE 2 * d.deg * s.v > 3 * s.m2)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until maxRounds).map(i => s"SELECT * FROM p$i").mkString("\nUNION ALL\n")
+    s"""WITH base AS ($edgesSql),
+       |simple AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM base WHERE src <> dst),
+       |und AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM simple
+       |  UNION ALL SELECT b AS src, a AS dst FROM simple),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM und),
+       |$rounds
+       |$union""".stripMargin
+  }
+
   /** Degree histogram over both directions: for each degree value, how
     * many nodes have that out- (resp. in-) degree. Two hash aggregates
     * per side, all map-side partial — the structure snapshot that sizes

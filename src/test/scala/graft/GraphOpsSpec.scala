@@ -16,6 +16,23 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1))
       .toMap
 
+  test("densest peel: K6 core survives round 0, surfaces as the max-density round") {
+    // K6 (15 edges, every degree 5) + 20 leaves hung off node 1: round 0
+    // has avg degree 70/26 ≈ 2.7 → leaves (deg 1 ≤ 1.5·avg) die, K6
+    // survives; round 1 is the bare K6 (density 15/6 = 2.5) and a regular
+    // graph peels to empty (every degree equals the average)
+    val k6 = for { a <- 1L to 6L; b <- (a + 1) to 6L } yield (a, b, 1.0)
+    val leaves = (101L to 120L).map(l => (1L, l, 1.0))
+    val prof = GraphOps
+      .densestSubgraph(edgesDf(k6 ++ leaves))
+      .orderBy(org.apache.spark.sql.functions.col("round"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(prof.length === 2)
+    assert(prof(0) === ((0L, 26L, 35L, 35L * 1000000 / 26)))
+    assert(prof(1) === ((1L, 6L, 15L, 2500000L)))
+  }
+
   test("reverseGraph transposes and sorts adjacency ascending") {
     val out = GraphOps
       .reverseGraph(edgesDf(Seq((1L, 2L, 1.0), (3L, 2L, 1.0), (2L, 1L, 1.0), (10L, 2L, 1.0))))
