@@ -1417,6 +1417,10 @@ object SparkEntry {
     // as the serving readout; shares the batch events_cdc_diff oracle
     "events_stream_cdc" -> ((s, d) =>
       streaming.StreamOps.cdcOverParquet(s, d).orderBy(col("op"))),
+    // streaming next-fit packing: the batch fold's (fill, bins, waste)
+    // as per-shard state; shares the batch docs_pack_nextfit oracle
+    "docs_stream_pack" -> ((s, d) =>
+      streaming.StreamOps.packOverParquet(s, d).orderBy(col("shard"))),
     // streaming quantiles: the additive bin histogram IS the bounded
     // stream state; p50/p95 extracted from the sink
     "events_stream_quantiles" -> ((s, d) =>
@@ -4866,6 +4870,8 @@ object SparkEntry {
       "docs_seq_pack" ->
         s"SELECT * FROM (${operators.Packing.seqPackSql()}) ORDER BY shard",
       "docs_pack_nextfit" ->
+        s"SELECT * FROM (${operators.Packing.packNextFitSql()}) ORDER BY shard",
+      "docs_stream_pack" ->
         s"SELECT * FROM (${operators.Packing.packNextFitSql()}) ORDER BY shard",
       "events_cdc_diff" ->
         s"SELECT * FROM (${EventOps.cdcDiffSql()}) ORDER BY op",

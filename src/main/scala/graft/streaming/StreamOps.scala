@@ -1378,6 +1378,59 @@ object StreamOps {
       .agg(count(lit(1)).as("n_keys"), sum(col("user_id")).as("checksum"))
   }
 
+  /** STREAMING SEQUENCE PACKING — the incremental form of
+    * [[graft.operators.Packing.packNextFit]]: next-fit is the
+    * streaming-native packing discipline (ONE open bin per shard,
+    * O(1) state — why pipelines that pack on ingest use next-fit, not
+    * first-fit), so the state store carries exactly the batch fold's
+    * `(fill, bins, waste)` accumulator per shard plus the doc/oversize
+    * counters. Arrivals fold in doc_id order within the batch — the
+    * batch operator's order — and each batch emits the shard's current
+    * packing report, tail slack folded in at emission only (the open
+    * bin keeps filling on the next batch).
+    *
+    * Oracle: the batch [[graft.operators.Packing.packNextFitSql]] —
+    * identical by construction on the bounded harness stream.
+    */
+  def packOverParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import spark.implicits._
+    import graft.operators.Packing
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf
+      .set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-docs-pack"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+        staged.resolve("documents.parquet"))
+      runStream(
+        spark,
+        readDocStream(spark, staged.toString)
+          .select(
+            col("doc_id"),
+            (col("doc_id") % Packing.NShards).as("shard"),
+            size(graft.functions.Parity.tokens(col("text"))).cast("long").as("n_tok"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._2)
+          .transformWithState(
+            new PackProcessor(Packing.Capacity),
+            TimeMode.None(),
+            OutputMode.Update())
+          .toDF(
+            "shard",
+            "n_docs",
+            "n_oversize",
+            "n_packed_tokens",
+            "bins_used",
+            "waste_tokens",
+            "fill_ppm"),
+        graft.sources.Staging.freshTable("graft_stream_pack"),
+        "update")
+    } finally spark.conf.set(key, prev)
+  }
+
   /** Time-decayed per-user engagement score via `transformWithState`:
     * state = (last event-time, score); each event first HALVES the
     * score once per whole elapsed day, then adds the event's milli
@@ -1942,6 +1995,56 @@ class UserTotalsProcessor
     rows.foreach { case (_, m) => n += 1L; s += m }
     totals.update((n, s))
     Iterator.single((key, n, s))
+  }
+}
+
+/** transformWithState processor for [[StreamOps.packOverParquet]]: one
+  * ValueState per shard carrying the next-fit accumulator
+  * `(fill, bins, waste, n_docs, n_oversize, n_packed)` — the batch
+  * fold's state plus the report counters, O(1) per shard. Rows fold in
+  * doc_id order within the batch; the emitted report folds the open
+  * bin's tail slack in at emission only, so
+  * `n_packed + waste = bins · capacity` holds on every emission.
+  */
+class PackProcessor(capacity: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long,
+      (Long, Long, Long),
+      (Long, Long, Long, Long, Long, Long, Long)] {
+
+  @transient private var st
+      : org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long, Long, Long)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Long, Long, Long, Long)](
+      "pack",
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long, Long, Long)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long, Long, Long, Long, Long)] = {
+    var (fill, bins, waste, nDocs, nOver, nPacked) =
+      if (st.exists()) st.get() match { case (a, b, c, d, e, f) => (a, b, c, d, e, f) }
+      else (0L, 0L, 0L, 0L, 0L, 0L)
+    rows.toSeq.sortBy(_._1).foreach { case (_, _, t) =>
+      nDocs += 1L
+      if (t > capacity) nOver += 1L
+      else if (t > 0L) {
+        nPacked += t
+        if (bins == 0L) { bins = 1L; fill = t }
+        else if (fill + t <= capacity) fill += t
+        else { waste += capacity - fill; bins += 1L; fill = t }
+      }
+    }
+    st.update((fill, bins, waste, nDocs, nOver, nPacked))
+    val wasteOut = if (bins == 0L) 0L else waste + capacity - fill
+    val fillPpm = if (bins == 0L) 0L else nPacked * 1000000L / (bins * capacity)
+    Iterator.single((key, nDocs, nOver, nPacked, bins, wasteOut, fillPpm))
   }
 }
 

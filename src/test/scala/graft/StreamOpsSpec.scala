@@ -336,6 +336,25 @@ class StreamOpsSpec extends SparkSpec {
     graft.sources.Staging.cleanup(spark)
   }
 
+  test("streaming next-fit packing equals the batch fold at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = operators.Packing
+      .packNextFit(spark.read.parquet(s"$dir/documents.parquet"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+      .toSet
+    val streamed = StreamOps
+      .packOverParquet(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    graft.sources.Staging.cleanup(spark)
+  }
+
   test("streaming funnel: a late early view retroactively unlocks later steps") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
