@@ -1611,6 +1611,10 @@ object SparkEntry {
       operators.Sketches.joinSizeCms(
         model.table(s, d, "orders"),
         model.table(s, d, "lineitem"))),
+    // equi-width-histogram range selectivity vs the exact count — the
+    // optimizer's filter-sizing read, integer milli-row interpolation
+    "opt_selectivity_hist" -> ((s, d) =>
+      operators.Sketches.selectivityHist(model.table(s, d, "orders"))),
     // sequence packing, concat-then-chunk: boundary cuts vs zero pad
     "docs_seq_pack" -> ((s, d) =>
       operators.Packing.seqPack(docs(s, d)).orderBy(col("shard"))),
@@ -4867,6 +4871,7 @@ object SparkEntry {
       "profile_table" -> operators.Sketches.profileLineitemSql(),
       "sketch_cms_tokens" -> operators.Sketches.cmsHeavyHittersSql(),
       "join_size_cms" -> operators.Sketches.joinSizeCmsSql(),
+      "opt_selectivity_hist" -> operators.Sketches.selectivityHistSql(),
       "docs_seq_pack" ->
         s"SELECT * FROM (${operators.Packing.seqPackSql()}) ORDER BY shard",
       "docs_pack_nextfit" ->

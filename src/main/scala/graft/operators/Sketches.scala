@@ -366,6 +366,86 @@ object Sketches {
         expr(s"n1 * n2 div $CmsWidth").as("slack_bound"))
   }
 
+  /** Histogram bucket count for [[selectivityHist]]. */
+  val SelBuckets = 16L
+
+  /** Range-predicate selectivity estimation from an equi-width histogram
+    * (the Selinger-style optimizer statistic, System R 1979; what
+    * `ANALYZE` feeds a cost model): `o_totalprice` in integer cents
+    * folds into [[SelBuckets]] equi-width buckets, and the estimate for
+    * `price BETWEEN lo AND hi` is Σ over buckets of
+    * `count · overlap / width` — full buckets count whole, boundary
+    * buckets interpolate linearly (uniform-within-bucket assumption).
+    * All arithmetic is integer (cents, milli-rows): both engines compute
+    * the identical estimate, and the error against the exact count is a
+    * measured column, not a claim — the [[joinSizeCms]] discipline
+    * applied to the optimizer's OTHER cardinality question.
+    *
+    * Scale shape: one scan builds the 16-row histogram (map-side
+    * partial); min/max/width enter as a cross-joined 1-row aggregate —
+    * no driver collect. The exact count rides the same scan family here
+    * for the audit; in production only the histogram probe runs (16
+    * rows, O(1)).
+    */
+  def selectivityHist(
+      orders: DataFrame,
+      loCents: Long = 5000000L,
+      hiCents: Long = 15000000L): DataFrame = {
+    val b = SelBuckets
+    val c = orders.select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("p"))
+    val mm = c.agg(
+      min(col("p")).as("mn"),
+      max(col("p")).as("mx"),
+      expr(s"(max(p) - min(p)) div $b + 1").as("w"))
+    val h = c
+      .crossJoin(broadcast(mm))
+      .select(least(expr("(p - mn) div w"), lit(b - 1)).as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val est = h
+      .crossJoin(broadcast(mm))
+      .withColumn(
+        "overlap",
+        greatest(
+          lit(0L),
+          least(lit(hiCents), col("mn") + (col("b") + 1) * col("w") - 1) -
+            greatest(lit(loCents), col("mn") + col("b") * col("w")) + 1))
+      // integer milli-rows: `div`, never `/` (which is double division)
+      .select(expr("cnt * overlap * 1000 div w").as("contrib_milli"))
+      .agg(sum(col("contrib_milli")).as("est_milli"))
+    val exact = c
+      .filter(col("p") >= loCents && col("p") <= hiCents)
+      .agg(count(lit(1)).as("exact_rows"))
+    est
+      .crossJoin(exact)
+      .select(
+        expr("est_milli div 1000").as("est_rows"),
+        col("exact_rows"),
+        expr("abs(est_milli div 1000 - exact_rows) * 1000000 div exact_rows").as("err_ppm"))
+  }
+
+  /** [[selectivityHist]] mirrored bucket-for-bucket. */
+  def selectivityHistSql(loCents: Long = 5000000L, hiCents: Long = 15000000L): String = {
+    val b = SelBuckets
+    s"""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS p FROM orders),
+       |mm AS (SELECT min(p) AS mn, max(p) AS mx, (max(p) - min(p)) // $b + 1 AS w FROM c),
+       |h AS (
+       |  SELECT least((p - mn) // w, ${b - 1}) AS b, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM c CROSS JOIN mm GROUP BY 1),
+       |ov AS (
+       |  SELECT cnt,
+       |         greatest(CAST(0 AS BIGINT),
+       |           least($hiCents, mn + (b + 1) * w - 1) - greatest($loCents, mn + b * w) + 1)
+       |           AS overlap, w
+       |  FROM h CROSS JOIN mm),
+       |e AS (SELECT CAST(sum(cnt * overlap * 1000 // w) AS BIGINT) AS est_milli FROM ov),
+       |x AS (SELECT CAST(count(*) AS BIGINT) AS exact_rows FROM c
+       |      WHERE p BETWEEN $loCents AND $hiCents)
+       |SELECT est_milli // 1000 AS est_rows, exact_rows,
+       |       abs(est_milli // 1000 - exact_rows) * 1000000 // exact_rows AS err_ppm
+       |FROM e CROSS JOIN x""".stripMargin
+  }
+
   /** [[joinSizeCms]] mirrored cell-for-cell. */
   def joinSizeCmsSql(): String = {
     def rows(src: String) = (0 until CmsDepth)

@@ -82,6 +82,21 @@ class PackingSpec extends SparkSpec {
     assert(out.toSeq === Seq("unchanged"))
   }
 
+  test("selectivityHist: uniform data interpolates near-exactly; full range estimates all rows") {
+    // 64 rows at prices 100..6400 cents (uniform): the equi-width
+    // histogram's uniform-within-bucket assumption holds exactly, so a
+    // mid-range predicate lands within one bucket-boundary row of exact
+    val o = (1L to 64L).map(i => i * 100.0 / 100.0).toDF("o_totalprice")
+    val r = Sketches.selectivityHist(o, loCents = 1600, hiCents = 4800).collect().head
+    val est = r.getAs[Long]("est_rows")
+    val exact = r.getAs[Long]("exact_rows")
+    assert(exact === 33)
+    assert(math.abs(est - exact) <= 1, s"est $est vs exact $exact")
+    val full = Sketches.selectivityHist(o, loCents = 0, hiCents = 10000).collect().head
+    assert(full.getAs[Long]("exact_rows") === 64)
+    assert(math.abs(full.getAs[Long]("est_rows") - 64) <= 1)
+  }
+
   test("joinSizeCms: collision-free keys estimate exactly; estimator never undercounts") {
     val o = Seq(1L, 2L, 3L).toDF("o_orderkey")
     val l = Seq(1L, 1L, 2L, 2L, 2L, 3L, 9L).toDF("l_orderkey")
