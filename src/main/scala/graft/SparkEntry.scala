@@ -549,6 +549,10 @@ object SparkEntry {
     // density profile (run-to-empty max row = the 3-approx densest cut)
     "graph_densest" -> ((s, d) =>
       GraphOps.densestSubgraph(GraphSource.lineitemEdges(s, d)).orderBy(col("round"))),
+    // Katz path-counting centrality: β + α·Aᵀx with α = 1/8 exact
+    // integer division — sinks included, no degree normalization
+    "graph_katz" -> ((s, d) =>
+      GraphOps.katzFixed(GraphSource.lineitemEdges(s, d)).orderBy(col("id"))),
     // edge-level cohesion: peel edges below k−2 triangle support to a
     // fixpoint; strictly stronger than the k-core filter
     "ktruss_3" -> ((s, d) =>
@@ -2831,6 +2835,8 @@ object SparkEntry {
     "graph_coreness" -> corenessOracleSql(),
     "graph_densest" ->
       s"SELECT * FROM (${GraphOps.densestSubgraphSql(GraphSource.lineitemEdgesSql)}) ORDER BY round",
+    "graph_katz" ->
+      s"SELECT * FROM (${GraphOps.katzFixedSql(GraphSource.lineitemEdgesSql)}) ORDER BY id",
     "ktruss_3" -> GraphOps.kTrussSql(GraphSource.lineitemEdgesSql, k = 3),
     "graph_clustering_coef" ->
       GraphOps.clusteringCoefficientSql(GraphSource.lineitemEdgesSql),

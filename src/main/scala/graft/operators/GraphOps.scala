@@ -2802,6 +2802,71 @@ object GraphOps {
     }
   }
 
+  /** Katz centrality (Katz 1953) in exact integer milli-units: the
+    * path-counting centrality `x ← β + α·Aᵀx` — every incoming walk of
+    * length k contributes α^k, so unlike PageRank there is no
+    * degree normalization: a hub's mass propagates whole. α = 1/8 as an
+    * exact integer division (the [[pagerankFixed]] discipline: all
+    * arithmetic exact on any engine, oracle = the same rounds
+    * unrolled); α must sit under 1/λ_max for convergence — at 3
+    * demonstration rounds the magnitudes stay far inside int64 (each
+    * round multiplies by ≤ max_in_degree/8).
+    *
+    * Scale shape per round: one rank⋈edges equi-join (edge table
+    * pre-partitioned on src, reused every round) + one dst-keyed
+    * map-side-partial sum + a |V|-row outer join — identical to the
+    * PageRank round, no new machinery. ALL vertices participate
+    * (src ∪ dst): Katz is defined on sinks too, where PageRank's
+    * out-degree normalization keeps them source-only.
+    */
+  def katzFixed(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val session = edges.sparkSession
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      def ckpt(df: DataFrame): DataFrame =
+        org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+      val e = edges
+        .select(col("src"), col("dst"))
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      val verts = ckpt(
+        e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id"))).distinct())
+      var x = verts.withColumn("kz", lit(1000L))
+      (1 to iters).foreach { _ =>
+        val summed = x
+          .join(e, x("id") === e("src"))
+          .groupBy(e("dst").as("id"))
+          .agg(sum(col("kz")).as("s"))
+        x = ckpt(
+          verts
+            .join(summed, Seq("id"), "left_outer")
+            .select(col("id"), expr("1000 + (coalesce(s, 0L) div 8)").as("kz")))
+      }
+      e.unpersist()
+      x
+    }
+  }
+
+  /** [[katzFixed]] mirrored: the same rounds unrolled. */
+  def katzFixedSql(edgesSql: String, iters: Int = 3): String = {
+    def iter(prev: String, k: Int): String =
+      s"""x$k AS (
+         |  SELECT v.id, CAST(1000 + coalesce(s.s, 0) // 8 AS BIGINT) AS kz
+         |  FROM verts v
+         |  LEFT JOIN (SELECT e.dst AS id, CAST(sum(x.kz) AS BIGINT) AS s
+         |             FROM $prev x JOIN e ON e.src = x.id GROUP BY e.dst) s ON s.id = v.id)"""
+        .stripMargin
+    val chain = (1 to iters).map(k => iter(s"x${k - 1}", k)).mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |e AS (SELECT src, dst FROM edges),
+       |verts AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+       |x0 AS (SELECT id, CAST(1000 AS BIGINT) AS kz FROM verts),
+       |$chain
+       |SELECT id, kz FROM x$iters""".stripMargin
+  }
+
   /** Parallel densest-subgraph peel (Bahmani, Kumar & Vassilvitskii,
     * VLDB 2012, ε = 1/2): per round, ALL nodes whose degree in the
     * surviving induced subgraph is ≤ 3·ρ̄ (1.5× the average degree) are

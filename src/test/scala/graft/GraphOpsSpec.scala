@@ -33,6 +33,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(prof(1) === ((1L, 6L, 15L, 2500000L)))
   }
 
+  test("katz on a line graph: hand-computed milli-unit fixed point, sink included") {
+    // 1→2→3: x0 = 1000 everywhere; x1(2) = x1(3) = 1000 + 1000/8 = 1125;
+    // x2(3) = 1000 + 1125/8 = 1140; node 3 is a pure sink and still ranks
+    val out = GraphOps
+      .katzFixed(edgesDf(Seq((1L, 2L, 1.0), (2L, 3L, 1.0))))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out === Map(1L -> 1000L, 2L -> 1125L, 3L -> 1140L))
+  }
+
   test("reverseGraph transposes and sorts adjacency ascending") {
     val out = GraphOps
       .reverseGraph(edgesDf(Seq((1L, 2L, 1.0), (3L, 2L, 1.0), (2L, 1L, 1.0), (10L, 2L, 1.0))))
