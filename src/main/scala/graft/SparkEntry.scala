@@ -1619,6 +1619,10 @@ object SparkEntry {
     // optimizer's filter-sizing read, integer milli-row interpolation
     "opt_selectivity_hist" -> ((s, d) =>
       operators.Sketches.selectivityHist(model.table(s, d, "orders"))),
+    // KMV group-count estimate vs exact count-distinct — the
+    // optimizer's aggregate-sizing read, exact below k by construction
+    "opt_groupby_card" -> ((s, d) =>
+      operators.Sketches.groupByCardKmv(model.table(s, d, "orders"))),
     // sequence packing, concat-then-chunk: boundary cuts vs zero pad
     "docs_seq_pack" -> ((s, d) =>
       operators.Packing.seqPack(docs(s, d)).orderBy(col("shard"))),
@@ -4878,6 +4882,7 @@ object SparkEntry {
       "sketch_cms_tokens" -> operators.Sketches.cmsHeavyHittersSql(),
       "join_size_cms" -> operators.Sketches.joinSizeCmsSql(),
       "opt_selectivity_hist" -> operators.Sketches.selectivityHistSql(),
+      "opt_groupby_card" -> operators.Sketches.groupByCardKmvSql(),
       "docs_seq_pack" ->
         s"SELECT * FROM (${operators.Packing.seqPackSql()}) ORDER BY shard",
       "docs_pack_nextfit" ->

@@ -446,6 +446,61 @@ object Sketches {
        |FROM e CROSS JOIN x""".stripMargin
   }
 
+  /** KMV sample size for [[groupByCardKmv]]. */
+  val GbKmvK = 64
+
+  /** GROUP-BY output-cardinality estimation from a k-minimum-values
+    * sketch (Bar-Yossef et al. 2002) — the optimizer's third sizing
+    * question after [[joinSizeCms]] (join rows) and
+    * [[selectivityHist]] (filter rows): how many groups will the hash
+    * aggregate produce? The k smallest distinct key-hash values under a
+    * fixed affine permutation give `(k−1)·P / h_(k)`; when the key has
+    * fewer than k distinct values the sketch IS the exact answer. Same
+    * deterministic-hash discipline as every sketch here: both engines
+    * compute the identical estimate, the error is a measured column.
+    *
+    * Scale shape: a TakeOrdered top-k over the hashed key column — one
+    * scan, k·partitions driver traffic, never a global sort; the exact
+    * count-distinct rides along as the audit column only.
+    */
+  def groupByCardKmv(orders: DataFrame, k: Int = GbKmvK): DataFrame = {
+    val h = (lit(Parity.permA(7)) * (col("o_custkey") % lit(Parity.BigP)) +
+      lit(Parity.permB(7))) % lit(Parity.BigP)
+    val mins = orders
+      .select(h.as("h"))
+      .distinct()
+      .orderBy(col("h"))
+      .limit(k)
+    val est = mins.agg(count(lit(1)).as("kk"), max(col("h")).as("kth"))
+    val exact = orders.agg(countDistinct(col("o_custkey")).as("exact_groups"))
+    est
+      .crossJoin(exact)
+      .select(
+        when(col("kk") < k, col("kk"))
+          .otherwise(expr(s"(kk - 1) * ${Parity.BigP} div kth"))
+          .as("est_groups"),
+        col("exact_groups"),
+        expr(
+          s"abs((CASE WHEN kk < $k THEN kk ELSE (kk - 1) * ${Parity.BigP} div kth END)" +
+            " - exact_groups) * 1000000 div exact_groups").as("err_ppm"))
+  }
+
+  /** [[groupByCardKmv]] mirrored hash-for-hash. */
+  def groupByCardKmvSql(k: Int = GbKmvK): String =
+    s"""WITH hs AS (
+       |  SELECT DISTINCT (${Parity.permA(7)} * (o_custkey % ${Parity.BigP}) +
+       |                   ${Parity.permB(7)}) % ${Parity.BigP} AS h
+       |  FROM orders),
+       |mins AS (SELECT h FROM hs ORDER BY h LIMIT $k),
+       |e AS (SELECT CAST(count(*) AS BIGINT) AS kk, CAST(max(h) AS BIGINT) AS kth FROM mins),
+       |x AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_groups FROM orders)
+       |SELECT CAST(CASE WHEN kk < $k THEN kk
+       |            ELSE (kk - 1) * ${Parity.BigP} // kth END AS BIGINT) AS est_groups,
+       |       exact_groups,
+       |       abs((CASE WHEN kk < $k THEN kk ELSE (kk - 1) * ${Parity.BigP} // kth END)
+       |           - exact_groups) * 1000000 // exact_groups AS err_ppm
+       |FROM e CROSS JOIN x""".stripMargin
+
   /** [[joinSizeCms]] mirrored cell-for-cell. */
   def joinSizeCmsSql(): String = {
     def rows(src: String) = (0 until CmsDepth)

@@ -97,6 +97,21 @@ class PackingSpec extends SparkSpec {
     assert(math.abs(full.getAs[Long]("est_rows") - 64) <= 1)
   }
 
+  test("groupByCardKmv: below-k keys are exact; estimate stays within 2x at 10x k") {
+    // 20 distinct keys < k = 64 → the sketch IS the exact answer
+    val small = (1L to 100L).map(i => i % 20 + 1).toDF("o_custkey")
+    val rs = Sketches.groupByCardKmv(small).collect().head
+    assert(rs.getAs[Long]("est_groups") === 20)
+    assert(rs.getAs[Long]("exact_groups") === 20)
+    assert(rs.getAs[Long]("err_ppm") === 0)
+    // 640 distinct keys at k = 64: the (k−1)P/h_(k) estimate has
+    // relative error O(1/sqrt(k)) ≈ 12% — assert a generous 2x band
+    val big = (1L to 640L).toDF("o_custkey")
+    val rb = Sketches.groupByCardKmv(big).collect().head
+    val est = rb.getAs[Long]("est_groups")
+    assert(est > 320 && est < 1280, s"estimate $est out of band for 640 groups")
+  }
+
   test("joinSizeCms: collision-free keys estimate exactly; estimator never undercounts") {
     val o = Seq(1L, 2L, 3L).toDF("o_orderkey")
     val l = Seq(1L, 1L, 2L, 2L, 2L, 3L, 9L).toDF("l_orderkey")
