@@ -725,11 +725,18 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"cartesian in $q:\n$plan")
     }
     // the remaining wave: equi-joins / broadcast scalars only
-    Seq("events_cdc_diff", "events_paths", "dedup_prefix_jaccard", "join_size_cms")
+    Seq(
+      "events_cdc_diff", "events_paths", "dedup_prefix_jaccard", "join_size_cms",
+      "opt_selectivity_hist", "graph_katz")
       .foreach { q =>
         val plan = planOf(SparkEntry.queries(q)(spark, dir))
         assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
       }
+    // KMV cardinality: the k smallest hashes come from a TakeOrdered,
+    // never a global sort of the key column
+    val kmvPlan = planOf(SparkEntry.queries("opt_groupby_card")(spark, dir))
+    assert(kmvPlan.contains("TakeOrdered"), s"KMV lost its TakeOrdered:\n$kmvPlan")
+    assert(!kmvPlan.contains("CartesianProduct"), s"cartesian in opt_groupby_card:\n$kmvPlan")
     graft.sources.Staging.cleanup(spark)
   }
 
