@@ -361,6 +361,65 @@ object SparkEntry {
   }
   private def events(s: SparkSession, dir: String): DataFrame = eventsTable(s, dir)
 
+  /** The train-once SGNS artifact for this corpus: first caller per
+    * (sfDir, trainer params, version) trains and publishes the matrix;
+    * every later query — in this process or a fresh JVM — serves the
+    * stored table ([[operators.Training.sgnsModelDir]]). The embedding
+    * family thus has the same train-once/serve-many discipline as
+    * `train_gbm_stored`/`tok_unigram_stored`: evaluation and similarity
+    * reads never re-run gradient rounds.
+    */
+  private def sgnsModel(s: SparkSession, d: String): String =
+    operators.Training.sgnsModelDir(s"$d|walkSkipgrams|startMod=4|dims=4|iters=2") {
+      operators.Training.sgnsEmbeddings(
+        GraphOps.walkSkipgrams(GraphSource.lineitemEdges(s, d), startMod = 4L))
+    }
+
+  /** Exact connected-components oracle CTEs in the scale-safe shape:
+    * `rounds` rounds of hooking (min label over neighbors) + pointer-jump
+    * compression, every round MATERIALIZED — linear work per round, the
+    * DuckDB analogue of the engine's star-contraction CC — then ONE
+    * recursive min-label closure over the CONTRACTED remainder graph
+    * (one node per nearly-final cluster; empty or tiny once the unroll
+    * has converged), so the labels are exact for ANY component diameter,
+    * not only diameters the unroll covers. Replaces the naive
+    * `reach(id, lab)` transitive closure, whose intermediate is
+    * quadratic in cluster size (the three sf0.1 600 s oracle timeouts,
+    * PERF_NOTES r11; the MATERIALIZED-per-round trick is the Borůvka
+    * oracle's, which without it inlined exponentially).
+    *
+    * Expects a symmetric `und(src, dst)` CTE in scope, must sit inside a
+    * `WITH RECURSIVE` prologue; emits CTEs ending in
+    * `comp(id, component)` with component = min doc_id of the cluster.
+    */
+  private def ccCompCtes(rounds: Int = 8): String = {
+    val head = "l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lab FROM und)"
+    val rs = (1 to rounds).map { r =>
+      s"""h$r AS MATERIALIZED (
+         |  SELECT n.id, least(n.lab, coalesce(m.nl, n.lab)) AS lab
+         |  FROM l${r - 1} n LEFT JOIN (
+         |    SELECT u.dst AS id, min(l.lab) AS nl
+         |    FROM und u JOIN l${r - 1} l ON l.id = u.src GROUP BY u.dst) m
+         |  ON m.id = n.id),
+         |l$r AS MATERIALIZED (
+         |  SELECT a.id, b.lab FROM h$r a JOIN h$r b ON b.id = a.lab)""".stripMargin
+    }
+    val tail =
+      s"""ce AS MATERIALIZED (
+         |  SELECT DISTINCT a.lab AS s, b.lab AS d
+         |  FROM und u JOIN l$rounds a ON a.id = u.src JOIN l$rounds b ON b.id = u.dst
+         |  WHERE a.lab <> b.lab),
+         |ceu AS MATERIALIZED (SELECT s, d FROM ce UNION SELECT d, s FROM ce),
+         |reach(id, lab) AS (
+         |  SELECT s AS id, s AS lab FROM ceu
+         |  UNION
+         |  SELECT u.d, r.lab FROM reach r JOIN ceu u ON u.s = r.id),
+         |meta AS MATERIALIZED (SELECT id, min(lab) AS mlab FROM reach GROUP BY id),
+         |comp AS (SELECT f.id, coalesce(m.mlab, f.lab) AS component
+         |         FROM l$rounds f LEFT JOIN meta m ON m.id = f.lab)""".stripMargin
+    (Seq(head) ++ rs :+ tail).mkString(",\n")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "reverse_graph" -> (reverseGraph _),
@@ -433,21 +492,23 @@ object SparkEntry {
       GraphOps
         .walkSkipgrams(GraphSource.lineitemEdges(s, d))
         .orderBy(col("center"), col("context"))),
-    // the full chain: walks -> skip-grams -> SGNS matrix trainer;
-    // per-entity vector state, integer gradients, exact oracle replay
+    // the trainer row of the embedding family: walks -> skip-grams ->
+    // SGNS matrix GD, trained ONCE into the stored artifact (first
+    // caller per corpus pays it) and read back — per-entity vector
+    // state, integer gradients, exact oracle replay
     "graph_embed_sgns" -> ((s, d) =>
-      operators.Training
-        .sgnsEmbeddings(
-          GraphOps.walkSkipgrams(GraphSource.lineitemEdges(s, d), startMod = 4L))
-        .orderBy(col("id"))),
-    // extrinsic eval of the trained embeddings: link-prediction AUC
+      s.read.parquet(sgnsModel(s, d)).orderBy(col("id"))),
+    // extrinsic eval SERVED from the stored matrix: link-prediction AUC
     // (hash-corrupted negatives, integer Mann-Whitney over the score
-    // histogram — bit-exact)
+    // histogram — bit-exact); the plan carries zero gradient rounds
     "graph_embed_linkpred" -> ((s, d) =>
-      operators.Training.embedLinkPredAuc(
-        operators.Training.sgnsEmbeddings(
-          GraphOps.walkSkipgrams(GraphSource.lineitemEdges(s, d), startMod = 4L)),
-        GraphSource.lineitemEdges(s, d))),
+      operators.Training
+        .embedLinkPredStored(s, GraphSource.lineitemEdges(s, d), sgnsModel(s, d))),
+    // nearest-neighbor point lookup over the stored matrix: the
+    // production serving API of an embedding table (one artifact scan,
+    // broadcast query vector, integer dot-product top-k)
+    "graph_embed_stored" -> ((s, d) =>
+      operators.Training.sgnsSimilarStored(s, sgnsModel(s, d))),
     // node2vec second-order walks: p/q-biased transitions, exact
     // inverse-CDF pick under a deterministic LCG draw
     "graph_node2vec_walks" -> ((s, d) =>
@@ -2864,6 +2925,10 @@ object SparkEntry {
         operators.Training.sgnsEmbeddingsSql(
           GraphOps.walkSkipgramsSql(GraphSource.lineitemEdgesSql, startMod = 4L)),
         GraphSource.lineitemEdgesSql),
+    "graph_embed_stored" ->
+      operators.Training.sgnsSimilarStoredSql(
+        operators.Training.sgnsEmbeddingsSql(
+          GraphOps.walkSkipgramsSql(GraphSource.lineitemEdgesSql, startMod = 4L))),
     "emb_centroid_confusion" ->
       (Similarity.nearestCentroidConfusionSql() + "\nORDER BY label, pred"),
     "reverse_graph" -> reverseGraphOracleSql,
@@ -4198,14 +4263,9 @@ object SparkEntry {
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM banded a JOIN banded b
            |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
-           |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |und AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
            |        UNION ALL SELECT doc_b, doc_a FROM pairs),
-           |reach(id, lab) AS (
-           |  SELECT DISTINCT src AS id, src AS lab FROM und
-           |  UNION
-           |  SELECT u.dst, r.lab FROM reach r JOIN und u ON u.src = r.id
-           |),
-           |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+           |${ccCompCtes()}
            |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
            |       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
            |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
@@ -4229,14 +4289,9 @@ object SparkEntry {
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM banded a JOIN banded b
            |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
-           |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |und AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
            |        UNION ALL SELECT doc_b, doc_a FROM pairs),
-           |reach(id, lab) AS (
-           |  SELECT DISTINCT src AS id, src AS lab FROM und
-           |  UNION
-           |  SELECT u.dst, r.lab FROM reach r JOIN und u ON u.src = r.id
-           |),
-           |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+           |${ccCompCtes()},
            |cl AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
            |       FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
            |q AS (SELECT doc_id, quality FROM ($qualitySql)),
@@ -4292,14 +4347,9 @@ object SparkEntry {
            |  SELECT doc_a, doc_b FROM mhp
            |  UNION SELECT a_id, b_id FROM php
            |  UNION SELECT doc_a, doc_b FROM semp),
-           |und AS (SELECT doc_a AS src, doc_b AS dst FROM allp
+           |und AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM allp
            |        UNION ALL SELECT doc_b, doc_a FROM allp),
-           |reach(id, lab) AS (
-           |  SELECT DISTINCT src AS id, src AS lab FROM und
-           |  UNION
-           |  SELECT u.dst, r.lab FROM reach r JOIN und u ON u.src = r.id
-           |),
-           |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+           |${ccCompCtes()}
            |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
            |       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
            |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id

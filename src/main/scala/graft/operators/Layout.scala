@@ -317,10 +317,12 @@ object Layout {
     * Zone stats are tie-safe: rows tied on the full sort key are
     * identical (x, y) tuples, so however a tie splits across a zone
     * boundary the min/max boxes and counts are unchanged — which is
-    * what makes the report engine-independent. The ordering window is
-    * the write-time global sort [[zorderWrite]] already pays
-    * (repartitionByRange does it distributed); the report itself is
-    * metadata-scale: |zones|·|probes|.
+    * what makes the report engine-independent. Zone ids come from
+    * [[Phys.globalRank]] — range-repartition + per-partition offsets,
+    * the distributed form of the write-time sort [[zorderWrite]]
+    * already pays — never a single-partition ORDER BY window over the
+    * data-scale table; the report itself is metadata-scale:
+    * |zones|·|probes|.
     *
     * `rows_matched` is layout-independent (proven by parity: both
     * layouts show the same value); `rows_scanned` and `read_amp_ppm =
@@ -335,10 +337,9 @@ object Layout {
       col("l_orderkey").bitwiseAND(lit(mask)).as("x"),
       col("l_partkey").bitwiseAND(lit(mask)).as("y"))
     def zones(orderCols: Seq[Column], layout: String): DataFrame = {
-      val rn = row_number()
-        .over(org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*))
-      keyed
-        .withColumn("zone", ((rn.cast("long") - 1L) / lit(ZoneRows)).cast("long"))
+      Phys
+        .globalRank(keyed, orderCols, "rn")
+        .withColumn("zone", expr(s"rn div $ZoneRows"))
         .groupBy(col("zone"))
         .agg(
           count(lit(1)).as("n_rows"),

@@ -43,10 +43,33 @@ object Packing {
     */
   val Capacity = 256L
 
-  /** Shard count for the test tables; at scale this is the input-split
-    * count, not a constant.
+  /** Documents per shard for the DERIVED shard count: production
+    * queries shard the corpus into `ceil(n_docs / DocsPerShard)` packing
+    * shards — one per "input split" — so each per-shard fold stays
+    * split-sized as the corpus grows instead of growing with it
+    * (sf0.01: 500 docs → 8 shards; sf0.1: 5 000 → 79; 100 TB → one per
+    * actual input split). The oracle derives the same count from the
+    * same table ([[shardsForSql]]), so parity holds at every sf with
+    * DIFFERENT shard counts.
+    */
+  val DocsPerShard = 64L
+
+  /** Fixture shard count: specs pass doc_ids that are multiples of this
+    * to route a hand-built corpus into one shard. Production queries do
+    * NOT use it — they derive the count via [[shardsFor]].
     */
   val NShards = 8L
+
+  /** Scale-coupled shard count: one bounded driver-side scalar (a
+    * parquet count(*) — metadata speed), mirrored in SQL by
+    * [[shardsForSql]].
+    */
+  def shardsFor(docs: DataFrame): Long =
+    math.max(1L, (docs.count() + DocsPerShard - 1) / DocsPerShard)
+
+  /** The same derivation as a one-row CTE body over `documents`. */
+  def shardsForSql: String =
+    s"SELECT greatest(1, (count(*) + ${DocsPerShard - 1}) // $DocsPerShard) AS n FROM documents"
 
   private def nTok(text: Column): Column = size(Parity.tokens(text)).cast("long")
 
@@ -62,11 +85,12 @@ object Packing {
     * aggregate; the window sort is per-shard (parallel across shards),
     * never global.
     */
-  def seqPack(docs: DataFrame, capacity: Long = Capacity, nShards: Long = NShards): DataFrame = {
+  def seqPack(docs: DataFrame, capacity: Long = Capacity, nShards: Long = -1L): DataFrame = {
+    val nsh = if (nShards > 0) nShards else shardsFor(docs)
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
     val chunks =
       docs
-        .select(col("doc_id"), (col("doc_id") % nShards).as("shard"), nTok(col("text")).as("n_tok"))
+        .select(col("doc_id"), (col("doc_id") % nsh).as("shard"), nTok(col("text")).as("n_tok"))
         .filter(col("n_tok") > 0)
         .withColumn("cum_before", sum(col("n_tok")).over(w) - col("n_tok"))
         .select(
@@ -91,11 +115,12 @@ object Packing {
   /** [[seqPack]] mirrored: same shard rule, same prefix sum, same
     * integer division (`//`).
     */
-  def seqPackSql(capacity: Long = Capacity, nShards: Long = NShards): String =
-    s"""WITH t AS (
-       |  SELECT doc_id, doc_id % $nShards AS shard,
+  def seqPackSql(capacity: Long = Capacity, nShards: Long = -1L): String =
+    s"""WITH nsh AS (${if (nShards > 0) s"SELECT CAST($nShards AS BIGINT) AS n" else shardsForSql}),
+       |t AS (
+       |  SELECT doc_id, doc_id % nsh.n AS shard,
        |         CAST(len(${Parity.tokensSql("text")}) AS BIGINT) AS n_tok
-       |  FROM documents),
+       |  FROM documents CROSS JOIN nsh),
        |c AS (
        |  SELECT shard, doc_id, n_tok,
        |         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
@@ -138,10 +163,11 @@ object Packing {
   def packNextFit(
       docs: DataFrame,
       capacity: Long = Capacity,
-      nShards: Long = NShards): DataFrame = {
+      nShards: Long = -1L): DataFrame = {
+    val nsh = if (nShards > 0) nShards else shardsFor(docs)
     val base = docs.select(
       col("doc_id"),
-      (col("doc_id") % nShards).as("shard"),
+      (col("doc_id") % nsh).as("shard"),
       nTok(col("text")).as("n_tok"))
     val g = base
       .groupBy(col("shard"))
@@ -195,11 +221,12 @@ object Packing {
     * PERF_NOTES). Elements are wrapped `[x]` so seed and element share
     * the accumulator's type.
     */
-  def packNextFitSql(capacity: Long = Capacity, nShards: Long = NShards): String =
-    s"""WITH t AS (
-       |  SELECT doc_id, doc_id % $nShards AS shard,
+  def packNextFitSql(capacity: Long = Capacity, nShards: Long = -1L): String =
+    s"""WITH nsh AS (${if (nShards > 0) s"SELECT CAST($nShards AS BIGINT) AS n" else shardsForSql}),
+       |t AS (
+       |  SELECT doc_id, doc_id % nsh.n AS shard,
        |         CAST(len(${Parity.tokensSql("text")}) AS BIGINT) AS n_tok
-       |  FROM documents),
+       |  FROM documents CROSS JOIN nsh),
        |g AS (
        |  SELECT shard,
        |         CAST(count(*) AS BIGINT) AS n_docs,
@@ -211,8 +238,11 @@ object Packing {
        |f AS (
        |  SELECT shard, n_docs, n_oversize, n_packed_tokens,
        |         list_reduce(
+       |           -- a shard with zero packable docs leaves ns NULL (list(..) FILTER
+       |           -- over no rows); coalesce to [] so the fold degrades to the seed,
+       |           -- exactly like the Spark aggregate over an empty collect_list
        |           list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
-       |                        list_transform(ns, x -> [x])),
+       |                        coalesce(list_transform(ns, x -> [x]), [])),
        |           (acc, x) -> CASE
        |             WHEN acc[2] = 0 THEN [x[1], CAST(1 AS BIGINT), CAST(0 AS BIGINT)]
        |             WHEN acc[1] + x[1] <= $capacity THEN [acc[1] + x[1], acc[2], acc[3]]

@@ -17,6 +17,32 @@ private[graft] object Phys {
   def materialized(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
 
+  /** Distributed dense global rank (0-based, appended as `rankName`) in
+    * the total order of `orderCols`: range-repartition + sort-within-
+    * partitions, then RDD `zipWithIndex`'s two-phase count-then-offset —
+    * never the single-partition global sort a `row_number() OVER
+    * (ORDER BY …)` window with no PARTITION BY plans to. Range
+    * partition k holds strictly smaller keys than partition k+1, so the
+    * partition-major index IS the global rank. Ties order arbitrarily
+    * within a partition (RangePartitioner never splits equal keys
+    * across partitions); callers must be tie-safe — unique keys, or
+    * tie-invariant downstream aggregates.
+    */
+  def globalRank(
+      df: DataFrame,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      rankName: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.repartitionByRange(n, orderCols: _*).sortWithinPartitions(orderCols: _*)
+    val schema =
+      StructType(sorted.schema.fields :+ StructField(rankName, LongType, nullable = false))
+    val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    sorted.sparkSession.createDataFrame(rows, schema)
+  }
+
   /** [[materialized]], hash-laid-out on `cols`: repartitions with an
     * EXPLICIT partition count (so AQE cannot coalesce the layout),
     * checkpoints, and re-declares the resulting `HashPartitioning` on

@@ -1352,12 +1352,16 @@ object Training {
     def pA(i: Int) = (1103515245L * (i + 1) + 12345L) % BigP
     val p = Phys.materialized(
       pairs.select(col("center"), col("context"), col("n_pairs").as("n")))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    // dense node index via the distributed two-phase rank (ids are
+    // unique, so the rank is deterministic) — not a single-partition
+    // ORDER BY window over the |V|-scale vocabulary
     val nodes = Phys.materialized(
-      p.select(col("center").as("id"))
-        .unionAll(p.select(col("context").as("id")))
-        .distinct()
-        .withColumn("idx", row_number().over(w).cast("long") - 1L))
+      Phys.globalRank(
+        p.select(col("center").as("id"))
+          .unionAll(p.select(col("context").as("id")))
+          .distinct(),
+        Seq(col("id")),
+        "idx"))
     val nV = nodes.count()
     def init(tag: String, off: Int): DataFrame =
       nodes.select(
@@ -1522,9 +1526,9 @@ object Training {
     val BigP = 1000000007L
     val e = Phys.materialized(
       edges.filter(col("src") =!= col("dst")).select(col("src"), col("dst")).distinct())
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    // same distributed dense index as the trainer's sampler (unique ids)
     val nodes = Phys.materialized(
-      emb.select(col("id")).withColumn("idx", row_number().over(w).cast("long") - 1L))
+      Phys.globalRank(emb.select(col("id")), Seq(col("id")), "idx"))
     val nV = nodes.count()
     val neg = e
       .withColumn("nidx", expr(s"(src * 1103515245 + dst * 54321) % $BigP % $nV"))
@@ -1593,5 +1597,130 @@ object Training {
        |         CAST(sum(pos * (2 * cumneg + neg)) AS BIGINT) AS u2
        |  FROM cum)
        |SELECT n_pos, n_neg, 1000000 * u2 // (2 * n_pos * n_neg) AS auc_micro FROM agg""".stripMargin
+  }
+
+  // ---- stored SGNS artifact: train once, serve many ------------------------
+
+  /** Artifact-format/trainer-semantics version, part of every cache key:
+    * bump whenever [[sgnsEmbeddings]] (or its walk/skip-gram inputs)
+    * change meaning, so a matrix trained by an older build can never
+    * serve a newer query.
+    */
+  val SgnsModelVersion = 1
+
+  /** In-process memo of key → published artifact dir (the disk check is
+    * cheap, but computeIfAbsent also serializes concurrent trainers).
+    */
+  private val sgnsDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Train-once registry for the embedding matrix. The artifact lives in
+    * a content-keyed directory OUTSIDE [[graft.sources.Staging]] (whose
+    * per-query cleanup would defeat serve-many) and is published
+    * atomically: train into a temp dir, `ATOMIC_MOVE` into the keyed
+    * path — a killed or concurrent JVM can never expose a half-written
+    * matrix, and `_SUCCESS` (parquet's own commit marker, which the
+    * atomic move carries along) gates reuse. Deterministic training
+    * (LCG init, integer gradients) is what makes cross-process reuse
+    * sound: same key ⇒ bit-identical matrix, whoever trained it.
+    *
+    * This is the production shape: embeddings are trained once per
+    * corpus snapshot and SERVED from a table; an evaluation or
+    * similarity query never re-runs gradient rounds.
+    */
+  def sgnsModelDir(key: String)(train: => DataFrame): String =
+    sgnsDirCache.computeIfAbsent(
+      s"v$SgnsModelVersion|$key",
+      fullKey => {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val base = Paths.get(sys.props("java.io.tmpdir"), "graft-model-cache")
+        Files.createDirectories(base)
+        val hash = f"${scala.util.hashing.MurmurHash3.stringHash(fullKey)}%08x"
+        val dir = base.resolve(s"sgns-$hash")
+        if (!Files.exists(dir.resolve("_SUCCESS"))) {
+          // a dir without the marker is debris from a pre-atomic-move
+          // crash of the WRITE temp itself — clear it before publishing
+          if (Files.exists(dir)) deleteTree(dir)
+          val tmp = Files.createTempDirectory(base, "sgns-train-")
+          train.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            // another process published first: serve its (identical) matrix
+            case _: java.nio.file.FileAlreadyExistsException => deleteTree(tmp)
+            case _: java.nio.file.FileSystemException => deleteTree(tmp)
+          }
+          trainedCount.incrementAndGet()
+        }
+        dir.toString
+      })
+
+  /** Observability for the no-silent-retrain contract: how many times
+    * this process actually ran the trainer (spec-asserted ≤ 1 per key).
+    */
+  val trainedCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** Test hook: drop the in-process memo so a spec can prove the DISK
+    * reuse path (a fresh JVM finding a published artifact) never
+    * re-invokes the trainer.
+    */
+  private[graft] def clearSgnsMemo(): Unit = sgnsDirCache.clear()
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).forEach(deleteTree(_))
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
+  /** Link-prediction AUC SERVED from the stored matrix: the
+    * [[embedLinkPredAuc]] statistic with `emb` = one artifact scan — the
+    * plan contains zero gradient rounds, zero walk generation; only the
+    * artifact, the edge list, and the histogram rank aggregate.
+    */
+  def embedLinkPredStored(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame,
+      modelDir: String,
+      dims: Int = 4): DataFrame =
+    embedLinkPredAuc(spark.read.parquet(modelDir), edges, dims)
+
+  /** Nearest-neighbor serving from the stored matrix — the point-lookup
+    * production API of an embedding table: the query vector (here the
+    * smallest-id node, a 1-row bounded lookup folded into literals) is
+    * broadcast into a single artifact scan scoring the integer dot
+    * product, top-k by `(score DESC, id)`. No training, no pair table;
+    * at 100 TB this is one columnar scan of |V| rows per query batch
+    * (or an ANN index probe — see [[Similarity]] — when |V| itself is
+    * too large to scan per query).
+    */
+  def sgnsSimilarStored(
+      spark: org.apache.spark.sql.SparkSession,
+      modelDir: String,
+      k: Int = 10,
+      dims: Int = 4): DataFrame = {
+    val emb = spark.read.parquet(modelDir)
+    // bounded driver read: exactly one 5-long row, never data-scale
+    val q = emb.orderBy(col("id")).limit(1).collect()(0)
+    val qid = q.getAs[Long]("id")
+    val dot = (0 until dims).map(i => col(s"u$i") * lit(q.getAs[Long](s"u$i"))).reduce(_ + _)
+    emb
+      .filter(col("id") =!= qid)
+      .select(col("id"), dot.as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
+  /** [[sgnsSimilarStored]]'s oracle: retrain the matrix via the
+    * [[sgnsEmbeddingsSql]] CTEs (bit-identical to the artifact by the
+    * trainer's determinism), then the same min-id query row, dot-product
+    * scores, and (score DESC, id) top-k.
+    */
+  def sgnsSimilarStoredSql(embSql: String, k: Int = 10, dims: Int = 4): String = {
+    val dot = (0 until dims).map(i => s"e.u$i * q.u$i").mkString(" + ")
+    s"""WITH emb AS MATERIALIZED ($embSql),
+       |q AS (SELECT * FROM emb ORDER BY id LIMIT 1)
+       |SELECT e.id, CAST($dot AS BIGINT) AS score
+       |FROM emb e CROSS JOIN q
+       |WHERE e.id <> q.id
+       |ORDER BY score DESC, e.id
+       |LIMIT $k""".stripMargin
   }
 }

@@ -1346,10 +1346,13 @@ object StreamOps {
       t2: String = "2024-01-06 00:00:00"): DataFrame = {
     import org.apache.spark.sql.streaming.TimeMode
     import spark.implicits._
-    val t1Us = java.time.LocalDateTime
+    // full-microsecond cutoff: the batch oracle compares `ts <= TIMESTAMP t1`
+    // at microsecond precision, so truncating via toEpochMilli would
+    // misclassify an event with sub-millisecond ts components at the boundary
+    val t1Inst = java.time.LocalDateTime
       .parse(t1.replace(' ', 'T'))
       .toInstant(java.time.ZoneOffset.UTC)
-      .toEpochMilli * 1000L
+    val t1Us = t1Inst.getEpochSecond * 1000000L + t1Inst.getNano / 1000L
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
     spark.conf
@@ -1401,6 +1404,8 @@ object StreamOps {
     spark.conf
       .set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
+      // same scale-coupled shard count as the batch operator and oracle
+      val nsh = Packing.shardsFor(spark.read.parquet(s"$sfDir/documents.parquet"))
       val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-docs-pack"))
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
@@ -1410,7 +1415,7 @@ object StreamOps {
         readDocStream(spark, staged.toString)
           .select(
             col("doc_id"),
-            (col("doc_id") % Packing.NShards).as("shard"),
+            (col("doc_id") % nsh).as("shard"),
             size(graft.functions.Parity.tokens(col("text"))).cast("long").as("n_tok"))
           .as[(Long, Long, Long)]
           .groupByKey(_._2)
