@@ -614,6 +614,11 @@ object SparkEntry {
     // integer division — sinks included, no degree normalization
     "graph_katz" -> ((s, d) =>
       GraphOps.katzFixed(GraphSource.lineitemEdges(s, d)).orderBy(col("id"))),
+    // the A4 convergence readout for the fixed-round Katz: per-round
+    // changed count + L1 residual, so the fixed point is verified, not
+    // assumed
+    "graph_katz_resid" -> ((s, d) =>
+      GraphOps.katzResiduals(GraphSource.lineitemEdges(s, d)).orderBy(col("round"))),
     // edge-level cohesion: peel edges below k−2 triangle support to a
     // fixpoint; strictly stronger than the k-core filter
     "ktruss_3" -> ((s, d) =>
@@ -624,6 +629,12 @@ object SparkEntry {
     // hubs & authorities in exact integer micro-units (L1-normalized)
     "graph_hits" -> ((s, d) =>
       GraphOps.hits(GraphSource.lineitemEdges(s, d), iters = 3).orderBy(col("id"))),
+    // the same A4 readout for HITS: per-round changed counts + L1
+    // residuals of BOTH score vectors
+    "graph_hits_resid" -> ((s, d) =>
+      GraphOps
+        .hitsResiduals(GraphSource.lineitemEdges(s, d), iters = 3)
+        .orderBy(col("round"))),
     // Rocchio read of the label centroids: per-vector nearest-centroid
     // assignment folded to the label confusion matrix
     "emb_centroid_confusion" -> ((s, d) =>
@@ -735,6 +746,15 @@ object SparkEntry {
     "dedup_minhash_stored" -> ((s, d) => {
       val idx = Dedup.writeMinhashIndex(s, docs(s, d).filter(col("doc_id") < 400L))
       Dedup.minhashProbeStored(s, docs(s, d), idx, firstNewId = 400L).orderBy(col("doc_id"))
+    }),
+    // single-document point probe of the stored band index: ONE runtime
+    // document (here doc 0's text standing in for an ingest request)
+    // signed by one narrow map, broadcast into a bucket-keyed probe of
+    // the artifact — two bucket reads, no corpus re-sign, no full scan
+    "dedup_probe_stored" -> ((s, d) => {
+      val qt = docs(s, d).filter(col("doc_id") === 0L).select(col("text")).first().getString(0)
+      val idx = Dedup.writeMinhashIndex(s, docs(s, d))
+      Dedup.minhashProbeOne(s, idx, qt)
     }),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d)).orderBy(col("doc_a"), col("doc_b"))),
@@ -2902,10 +2922,13 @@ object SparkEntry {
       s"SELECT * FROM (${GraphOps.densestSubgraphSql(GraphSource.lineitemEdgesSql)}) ORDER BY round",
     "graph_katz" ->
       s"SELECT * FROM (${GraphOps.katzFixedSql(GraphSource.lineitemEdgesSql)}) ORDER BY id",
+    "graph_katz_resid" -> GraphOps.katzResidualsSql(GraphSource.lineitemEdgesSql),
     "ktruss_3" -> GraphOps.kTrussSql(GraphSource.lineitemEdgesSql, k = 3),
     "graph_clustering_coef" ->
       GraphOps.clusteringCoefficientSql(GraphSource.lineitemEdgesSql),
     "graph_hits" -> GraphOps.hitsSql(GraphSource.lineitemEdgesSql, iters = 3),
+    "graph_hits_resid" ->
+      GraphOps.hitsResidualsSql(GraphSource.lineitemEdgesSql, iters = 3),
     "graph_random_walks" ->
       (GraphOps.randomWalksSql(GraphSource.lineitemEdgesSql) +
         "\nORDER BY walk_id, step"),
@@ -4181,6 +4204,31 @@ object SparkEntry {
            |FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
            |LEFT JOIN best b ON b.new_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+      "dedup_probe_stored" -> {
+        val mInt = "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(list_zip(q.sig, o.sig), " +
+          "s -> CASE WHEN s[1] = s[2] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
+          "(acc, x) -> acc + x) AS BIGINT)"
+        val qbUnion = (0 until Dedup.MinhashBands)
+          .map(i =>
+            s"SELECT $i AS band_idx, " +
+              s"${Parity.bandValSql("sig", i, Dedup.MinhashR)} AS band_val FROM q")
+          .mkString("\n  UNION ALL ")
+        s"""WITH sigs AS (
+           |  SELECT doc_id, ${Parity.minhashSigSql(codes, Dedup.MinhashK)} AS sig FROM documents),
+           |banded AS (
+           |  $bandedUnion),
+           |q AS (SELECT sig FROM sigs WHERE doc_id = 0),
+           |qb AS (
+           |  $qbUnion),
+           |cand AS (
+           |  SELECT o.doc_id, max($mInt) AS n_match
+           |  FROM banded o JOIN qb USING (band_idx, band_val) CROSS JOIN q
+           |  GROUP BY o.doc_id)
+           |SELECT doc_id, n_match,
+           |       round(CAST(n_match AS DOUBLE) / ${Dedup.MinhashK}, 6) AS est_jaccard
+           |FROM cand ORDER BY n_match DESC, doc_id LIMIT 10""".stripMargin
+      },
       "dedup_minhash_stored" -> {
         val mInt = "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
           "list_transform(list_zip(n.sig, o.sig), " +

@@ -389,6 +389,49 @@ object Dedup {
         coalesce(col("match_k"), lit(0L)).as("match_k"))
   }
 
+  /** Single-document point probe of the STORED band index — the
+    * interactive production API next to `ann_ivf_query`/
+    * `text_bm25_query`: ONE runtime document (a literal string, e.g.
+    * an ingest request or a moderation lookup) is signed and banded by
+    * one narrow map over one row, the 2-row band key set is BROADCAST
+    * into a bucket-keyed probe of the artifact, and each colliding
+    * index entry is scored by exact signature agreement (the unbiased
+    * Jaccard estimate). Top-k by `(n_match DESC, doc_id)`.
+    *
+    * The plan never re-signs, re-bands, or even re-reads the indexed
+    * corpus — only the artifact's (band_idx, band_val) buckets the
+    * probe's two keys hit. At 100 TB with a bucket-partitioned index
+    * this is a 2-bucket point read per request.
+    */
+  def minhashProbeOne(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queryText: String,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val idx = spark.read.parquet(indexDir)
+    val probe = bandRows(minhashSignatures(Seq((-1L, queryText)).toDF("doc_id", "text")))
+      .select(col("sig").as("sig_n"), col("band_idx"), col("band_val"))
+    val m = aggregate(
+      zip_with(col("sig_n"), col("sig_o"), (a, b) => when(a === b, 1L).otherwise(0L)),
+      lit(0L),
+      (acc, x) => acc + x)
+    broadcast(probe)
+      .join(
+        idx.select(col("doc_id"), col("sig").as("sig_o"), col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
+      .select(col("doc_id"), m.as("n_match"))
+      // a doc colliding on both bands appears twice with the same score
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_match")).as("n_match"))
+      .select(
+        col("doc_id"),
+        col("n_match"),
+        round(col("n_match").cast("double") / MinhashK, 6).as("est_jaccard"))
+      .orderBy(col("n_match").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** [[bandRows]] over fresh signatures with the signature column
     * dropped — the narrow `(doc_id, band_idx, band_val)` map a
     * streaming index maintainer computes per arrival (pure column

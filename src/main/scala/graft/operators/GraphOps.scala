@@ -2556,6 +2556,91 @@ object GraphOps {
     }
   }
 
+  /** Convergence trace for [[hits]] — the A4 readout: one row per round
+    * with changed-vertex counts and L1 residuals (micro-units) for BOTH
+    * score vectors (`a_0 ≡ 0`, so round 1's authority residual is the
+    * initial mass). A user reads the last row to confirm the shipped
+    * `iters` reached (or how far it sits from) the fixed point. Same
+    * rounds as [[hits]] + per round two |V|-row joins and a 1-row
+    * driver-collected aggregate (bounded by `iters`).
+    */
+  def hitsResiduals(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val session = edges.sparkSession
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      val e = ckpt(edges.select(col("src"), col("dst")).distinct())
+      val nodes = ckpt(
+        e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id"))).distinct())
+      def normalized(raw: DataFrame, vCol: String): DataFrame = {
+        val tot = raw.agg(sum(col("raw")).as("tot"))
+        ckpt(
+          nodes
+            .join(raw, Seq("id"), "left_outer")
+            .crossJoin(broadcast(tot))
+            .select(
+              col("id"),
+              expr(s"coalesce(raw, 0) * 1000000 div tot").as(vCol)))
+      }
+      def delta(nw: DataFrame, pv: DataFrame, c: String): (Long, Long) = {
+        val d = nw.alias("n")
+          .join(pv.alias("p"), Seq("id"))
+          .agg(
+            sum(when(col(s"n.$c") =!= col(s"p.$c"), 1L).otherwise(0L)).as("ch"),
+            sum(abs(col(s"n.$c") - col(s"p.$c"))).as("res"))
+          .collect()(0)
+        (d.getLong(0), d.getLong(1))
+      }
+      var h = ckpt(nodes.select(col("id"), lit(1000000L).as("h")))
+      var a = ckpt(nodes.select(col("id"), lit(0L).as("a")))
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+      (1 to iters).foreach { r =>
+        val an = normalized(
+          e.join(h, e("src") === h("id"))
+            .groupBy(e("dst").as("id"))
+            .agg(sum(col("h")).as("raw")),
+          "a")
+        val hn = normalized(
+          e.join(an, e("dst") === an("id"))
+            .groupBy(e("src").as("id"))
+            .agg(sum(col("a")).as("raw")),
+          "h")
+        val (ca, ra) = delta(an, a, "a")
+        val (chg, rh) = delta(hn, h, "h")
+        out += ((r.toLong, chg, rh, ca, ra))
+        a = an
+        h = hn
+      }
+      import session.implicits._
+      out.toSeq
+        .toDF("round", "hub_changed", "hub_resid_micro", "auth_changed", "auth_resid_micro")
+    }
+  }
+
+  /** [[hitsResiduals]] mirrored: the [[hitsSql]] chain + an all-zero
+    * a0 and per-round diffs. */
+  def hitsResidualsSql(edgesSql: String, iters: Int = 3): String = {
+    val base = hitsSql(edgesSql, iters)
+    val prologueEnd = base.lastIndexOf("SELECT h.id")
+    val prologue = base.substring(0, prologueEnd).trim.stripSuffix(",")
+    val diffs = (1 to iters)
+      .map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS round,
+           |  (SELECT CAST(sum(CASE WHEN n.h <> p.h THEN 1 ELSE 0 END) AS BIGINT)
+           |   FROM h$r n JOIN h${r - 1} p USING (id)) AS hub_changed,
+           |  (SELECT CAST(sum(abs(n.h - p.h)) AS BIGINT)
+           |   FROM h$r n JOIN h${r - 1} p USING (id)) AS hub_resid_micro,
+           |  (SELECT CAST(sum(CASE WHEN n.a <> p.a THEN 1 ELSE 0 END) AS BIGINT)
+           |   FROM a$r n JOIN a${r - 1} p USING (id)) AS auth_changed,
+           |  (SELECT CAST(sum(abs(n.a - p.a)) AS BIGINT)
+           |   FROM a$r n JOIN a${r - 1} p USING (id)) AS auth_resid_micro""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""$prologue,
+       |a0 AS (SELECT id, CAST(0 AS BIGINT) AS a FROM nodes)
+       |SELECT * FROM ($diffs) ORDER BY round""".stripMargin
+  }
+
   /** [[hits]] mirrored: the identical integer half-rounds unrolled. */
   def hitsSql(edgesSql: String, iters: Int = 3): String = {
     val rounds = (1 to iters)
@@ -2848,8 +2933,8 @@ object GraphOps {
     }
   }
 
-  /** [[katzFixed]] mirrored: the same rounds unrolled. */
-  def katzFixedSql(edgesSql: String, iters: Int = 3): String = {
+  /** The shared x0..x`iters` Katz round CTE prologue (no final SELECT). */
+  private def katzChainCtes(edgesSql: String, iters: Int): String = {
     def iter(prev: String, k: Int): String =
       s"""x$k AS (
          |  SELECT v.id, CAST(1000 + coalesce(s.s, 0) // 8 AS BIGINT) AS kz
@@ -2858,13 +2943,81 @@ object GraphOps {
          |             FROM $prev x JOIN e ON e.src = x.id GROUP BY e.dst) s ON s.id = v.id)"""
         .stripMargin
     val chain = (1 to iters).map(k => iter(s"x${k - 1}", k)).mkString(",\n")
-    s"""WITH edges AS ($edgesSql),
+    s"""edges AS ($edgesSql),
        |e AS (SELECT src, dst FROM edges),
        |verts AS (SELECT DISTINCT id FROM
        |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
        |x0 AS (SELECT id, CAST(1000 AS BIGINT) AS kz FROM verts),
-       |$chain
+       |$chain""".stripMargin
+  }
+
+  /** [[katzFixed]] mirrored: the same rounds unrolled. */
+  def katzFixedSql(edgesSql: String, iters: Int = 3): String =
+    s"""WITH ${katzChainCtes(edgesSql, iters)}
        |SELECT id, kz FROM x$iters""".stripMargin
+
+  /** Convergence trace for [[katzFixed]] — the A4 readout the
+    * fixed-iteration centralities were missing: one row per round with
+    * the number of vertices whose score moved and the L1 residual
+    * Σ|x_k − x_{k−1}| in milli-units, so a user KNOWS whether the
+    * shipped round count sits at the fixed point (resid 0) or how far
+    * off it is, instead of trusting `iters` blind.
+    *
+    * Scale shape: identical rounds to [[katzFixed]] plus, per round,
+    * one |V|-row id-keyed join and a 1-row aggregate collected to the
+    * driver (the maskLoop/A4 global-counter discipline — bounded by
+    * `iters` rows total, never data-scale).
+    */
+  def katzResiduals(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val session = edges.sparkSession
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      def ckpt(df: DataFrame): DataFrame =
+        org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+      val e = edges
+        .select(col("src"), col("dst"))
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      val verts = ckpt(
+        e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id"))).distinct())
+      var x = ckpt(verts.withColumn("kz", lit(1000L)))
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      (1 to iters).foreach { r =>
+        val summed = x
+          .join(e, x("id") === e("src"))
+          .groupBy(e("dst").as("id"))
+          .agg(sum(col("kz")).as("s"))
+        val xn = ckpt(
+          verts
+            .join(summed, Seq("id"), "left_outer")
+            .select(col("id"), expr("1000 + (coalesce(s, 0L) div 8)").as("kz")))
+        val d = xn.alias("n")
+          .join(x.alias("p"), Seq("id"))
+          .agg(
+            sum(when(col("n.kz") =!= col("p.kz"), 1L).otherwise(0L)).as("ch"),
+            sum(abs(col("n.kz") - col("p.kz"))).as("res"))
+          .collect()(0)
+        out += ((r.toLong, d.getLong(0), d.getLong(1)))
+        x = xn
+      }
+      e.unpersist()
+      import session.implicits._
+      out.toSeq.toDF("round", "n_changed", "resid_l1_milli")
+    }
+  }
+
+  /** [[katzResiduals]] mirrored: the same chain, per-round diffs. */
+  def katzResidualsSql(edgesSql: String, iters: Int = 3): String = {
+    val diffs = (1 to iters)
+      .map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS round,
+           |       CAST(sum(CASE WHEN n.kz <> p.kz THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           |       CAST(sum(abs(n.kz - p.kz)) AS BIGINT) AS resid_l1_milli
+           |FROM x$r n JOIN x${r - 1} p USING (id)""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${katzChainCtes(edgesSql, iters)}
+       |SELECT * FROM ($diffs) ORDER BY round""".stripMargin
   }
 
   /** Parallel densest-subgraph peel (Bahmani, Kumar & Vassilvitskii,

@@ -609,4 +609,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(out === Map(
       1L -> "scc", 2L -> "scc", 3L -> "scc", 4L -> "downstream", 5L -> "upstream"))
   }
+
+  test("katzResiduals: single edge reaches the fixed point after round 1 and reports zeros") {
+    import spark.implicits._
+    // 1 -> 2: round 1 moves node 2 to 1000 + 1000/8 = 1125 (resid 125),
+    // rounds 2..3 recompute the identical vector — residual exactly 0
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val out = GraphOps.katzResiduals(e, iters = 3).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, 1L, 125L), (2L, 0L, 0L), (3L, 0L, 0L)))
+  }
+
+  test("hitsResiduals: single edge converges after round 1 on both vectors") {
+    import spark.implicits._
+    // 1 -> 2: a1 = all mass on node 2, h1 = all mass on node 1; both
+    // changed in round 1 (a0 ≡ 0, h0 uniform), then frozen
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val out = GraphOps.hitsResiduals(e, iters = 3).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out === Seq(
+      (1L, 1L, 1000000L, 1L, 1000000L),
+      (2L, 0L, 0L, 0L, 0L),
+      (3L, 0L, 0L, 0L, 0L)))
+  }
 }

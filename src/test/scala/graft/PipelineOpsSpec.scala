@@ -551,4 +551,24 @@ class PipelineOpsSpec extends SparkSpec {
     val dups = out.agg(sum(col("n_dup_paras"))).collect()(0).getLong(0)
     assert(dups > 0)
   }
+
+  test("minhashProbeOne: exact-copy probe tops the index hits; unrelated docs stay out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "completely different words here entirely"))
+      .toDF("doc_id", "text")
+    val idx = operators.Dedup.writeMinhashIndex(spark, docs)
+    val out = operators.Dedup
+      .minhashProbeOne(spark, idx, "alpha beta gamma delta epsilon zeta")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    // both exact copies collide with the full K=16 signature match
+    assert(out.take(2) === Seq((1L, 16L), (2L, 16L)))
+    // the unrelated doc can only appear via a band collision of distinct
+    // signatures — with these fixtures it must not appear at all
+    assert(!out.map(_._1).contains(3L))
+  }
 }
