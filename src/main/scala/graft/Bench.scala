@@ -12,8 +12,11 @@ object Bench {
     */
   val LoadWaitCapSec = 600
 
-  /** Queries re-measured standalone after the sweep. */
-  val ArbiterN = 10
+  /** Queries re-measured standalone after the sweep: top-20 so the
+    * mid-tier (where round-11's unconfirmed in-sweep inflation lived)
+    * self-adjudicates contention vs regression in the artifact itself.
+    */
+  val ArbiterN = 20
 
   /** Child JVMs the sweep is split across: bounds how much JIT-profile
     * decay any one published per-query time can accumulate (measured r7:

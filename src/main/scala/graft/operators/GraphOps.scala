@@ -2520,16 +2520,25 @@ object GraphOps {
     */
   def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
     val session = edges.sparkSession
-    def ckpt(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
     val parts = loopPartitions(session, edges.count())
     withLoopConfs(session, parts) {
-      val e = ckpt(edges.select(col("src"), col("dst")).distinct())
-      val nodes = ckpt(
-        e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id"))).distinct())
+      // declared-layout loop state (the katzFixed discipline, both
+      // directions): one edge copy hashed on src and one on dst, each
+      // score vector hashed on id — every rank⋈edges equi-join and every
+      // nodes⋈raw outer join then plans with NO exchange on either side;
+      // the only per-round shuffle left is the transpose aggregate's
+      // (unavoidable: it re-keys |E| rows to the other endpoint).
+      def byId(df: DataFrame): DataFrame = Phys.materializedHashedBy(df, Seq("id"))
+      // distinct computed once; the two layout copies repartition the
+      // checkpointed rows, not the lineage
+      val e0 = Phys.materialized(edges.select(col("src"), col("dst")).distinct())
+      val eS = Phys.materializedHashedBy(e0, Seq("src"))
+      val eD = Phys.materializedHashedBy(e0, Seq("dst"))
+      val nodes = byId(
+        eS.select(col("src").as("id")).unionAll(eS.select(col("dst").as("id"))).distinct())
       def normalized(raw: DataFrame, vCol: String): DataFrame = {
         val tot = raw.agg(sum(col("raw")).as("tot"))
-        ckpt(
+        byId(
           nodes
             .join(raw, Seq("id"), "left_outer")
             .crossJoin(broadcast(tot))
@@ -2537,17 +2546,17 @@ object GraphOps {
               col("id"),
               expr(s"coalesce(raw, 0) * 1000000 div tot").as(vCol)))
       }
-      var h = ckpt(nodes.select(col("id"), lit(1000000L).as("h")))
+      var h = byId(nodes.select(col("id"), lit(1000000L).as("h")))
       var a: DataFrame = null
       (1 to iters).foreach { _ =>
         a = normalized(
-          e.join(h, e("src") === h("id"))
-            .groupBy(e("dst").as("id"))
+          eS.join(h, eS("src") === h("id"))
+            .groupBy(eS("dst").as("id"))
             .agg(sum(col("h")).as("raw")),
           "a")
         h = normalized(
-          e.join(a, e("dst") === a("id"))
-            .groupBy(e("src").as("id"))
+          eD.join(a, eD("dst") === a("id"))
+            .groupBy(eD("src").as("id"))
             .agg(sum(col("a")).as("raw")),
           "h")
       }
