@@ -753,7 +753,9 @@ object SparkEntry {
     // the artifact — two bucket reads, no corpus re-sign, no full scan
     "dedup_probe_stored" -> ((s, d) => {
       val qt = docs(s, d).filter(col("doc_id") === 0L).select(col("text")).first().getString(0)
-      val idx = Dedup.writeMinhashIndex(s, docs(s, d))
+      // index built ONCE per corpus (ModelCache), probed many times —
+      // repeat probes in this or any later process pay only the probe
+      val idx = Dedup.minhashIndexCached(s, docs(s, d), d)
       Dedup.minhashProbeOne(s, idx, qt)
     }),
     "dedup_ngram_jaccard" -> ((s, d) =>

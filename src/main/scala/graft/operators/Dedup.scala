@@ -403,6 +403,21 @@ object Dedup {
     * probe's two keys hit. At 100 TB with a bucket-partitioned index
     * this is a 2-bucket point read per request.
     */
+  /** The full-corpus band index as a [[ModelCache]] artifact: built once
+    * per corpus (key = caller-supplied corpus identity), served by every
+    * later probe in this or any other process — the index lifecycle a
+    * point-lookup API actually has (the per-query
+    * [[writeMinhashIndex]]/Staging form demonstrates build+probe in one
+    * plan; this one is the steady state). Data-scale artifact: written
+    * with its natural partitioning, never coalesced.
+    */
+  def minhashIndexCached(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      corpusKey: String): String =
+    ModelCache.dir(s"minhash-band-index|$corpusKey|K=$MinhashK,b=$MinhashBands,r=$MinhashR",
+      singleFile = false)(bandRows(minhashSignatures(docs)))
+
   def minhashProbeOne(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String,

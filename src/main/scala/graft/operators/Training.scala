@@ -1601,74 +1601,14 @@ object Training {
 
   // ---- stored SGNS artifact: train once, serve many ------------------------
 
-  /** Artifact-format/trainer-semantics version, part of every cache key:
-    * bump whenever [[sgnsEmbeddings]] (or its walk/skip-gram inputs)
-    * change meaning, so a matrix trained by an older build can never
-    * serve a newer query.
-    */
-  val SgnsModelVersion = 1
-
-  /** In-process memo of key → published artifact dir (the disk check is
-    * cheap, but computeIfAbsent also serializes concurrent trainers).
-    */
-  private val sgnsDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]
-
-  /** Train-once registry for the embedding matrix. The artifact lives in
-    * a content-keyed directory OUTSIDE [[graft.sources.Staging]] (whose
-    * per-query cleanup would defeat serve-many) and is published
-    * atomically: train into a temp dir, `ATOMIC_MOVE` into the keyed
-    * path — a killed or concurrent JVM can never expose a half-written
-    * matrix, and `_SUCCESS` (parquet's own commit marker, which the
-    * atomic move carries along) gates reuse. Deterministic training
-    * (LCG init, integer gradients) is what makes cross-process reuse
-    * sound: same key ⇒ bit-identical matrix, whoever trained it.
-    *
-    * This is the production shape: embeddings are trained once per
-    * corpus snapshot and SERVED from a table; an evaluation or
-    * similarity query never re-runs gradient rounds.
+  /** Train-once registry for the embedding matrix — the general
+    * [[ModelCache]] discipline with an `sgns|` key family. Deterministic
+    * training (LCG init, integer gradients) is what makes cross-process
+    * reuse sound: same key ⇒ bit-identical matrix, whoever trained it.
+    * An evaluation or similarity query never re-runs gradient rounds.
     */
   def sgnsModelDir(key: String)(train: => DataFrame): String =
-    sgnsDirCache.computeIfAbsent(
-      s"v$SgnsModelVersion|$key",
-      fullKey => {
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        val base = Paths.get(sys.props("java.io.tmpdir"), "graft-model-cache")
-        Files.createDirectories(base)
-        val hash = f"${scala.util.hashing.MurmurHash3.stringHash(fullKey)}%08x"
-        val dir = base.resolve(s"sgns-$hash")
-        if (!Files.exists(dir.resolve("_SUCCESS"))) {
-          // a dir without the marker is debris from a pre-atomic-move
-          // crash of the WRITE temp itself — clear it before publishing
-          if (Files.exists(dir)) deleteTree(dir)
-          val tmp = Files.createTempDirectory(base, "sgns-train-")
-          train.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            // another process published first: serve its (identical) matrix
-            case _: java.nio.file.FileAlreadyExistsException => deleteTree(tmp)
-            case _: java.nio.file.FileSystemException => deleteTree(tmp)
-          }
-          trainedCount.incrementAndGet()
-        }
-        dir.toString
-      })
-
-  /** Observability for the no-silent-retrain contract: how many times
-    * this process actually ran the trainer (spec-asserted ≤ 1 per key).
-    */
-  val trainedCount = new java.util.concurrent.atomic.AtomicLong
-
-  /** Test hook: drop the in-process memo so a spec can prove the DISK
-    * reuse path (a fresh JVM finding a published artifact) never
-    * re-invokes the trainer.
-    */
-  private[graft] def clearSgnsMemo(): Unit = sgnsDirCache.clear()
-
-  private def deleteTree(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).forEach(deleteTree(_))
-    java.nio.file.Files.deleteIfExists(p)
-  }
+    ModelCache.dir(s"sgns|$key")(train)
 
   /** Link-prediction AUC SERVED from the stored matrix: the
     * [[embedLinkPredAuc]] statistic with `emb` = one artifact scan — the

@@ -198,21 +198,22 @@ class TrainingSpec extends SparkSpec {
 
   test("sgnsModelDir trains exactly once per key; disk reuse never re-invokes the trainer") {
     import spark.implicits._
+    import graft.operators.ModelCache
     val key = s"spec|${java.util.UUID.randomUUID()}"
     val planted = Seq((1L, 7L, 8L, 9L, 10L), (2L, -1L, -2L, -3L, -4L))
       .toDF("id", "u0", "u1", "u2", "u3")
-    val before = Training.trainedCount.get()
+    val before = ModelCache.builtCount.get()
     val d1 = Training.sgnsModelDir(key)(planted)
-    assert(Training.trainedCount.get() === before + 1)
+    assert(ModelCache.builtCount.get() === before + 1)
     // memo hit: same dir, no second train
     val d2 = Training.sgnsModelDir(key)(planted)
-    assert(d2 === d1 && Training.trainedCount.get() === before + 1)
+    assert(d2 === d1 && ModelCache.builtCount.get() === before + 1)
     // fresh-JVM simulation: memo dropped, artifact on disk — the thunk
     // must NOT run (a throwing trainer proves it)
-    Training.clearSgnsMemo()
+    ModelCache.clearMemo()
     val d3 = Training.sgnsModelDir(key)(fail("silent retrain: trainer invoked despite artifact"))
     assert(d3 === d1)
-    assert(Training.trainedCount.get() === before + 1)
+    assert(ModelCache.builtCount.get() === before + 1)
   }
 
   test("embedLinkPredStored serves the PLANTED matrix and its plan scans the artifact, zero GD rounds") {
