@@ -758,6 +758,14 @@ object SparkEntry {
       val idx = Dedup.minhashIndexCached(s, docs(s, d), d)
       Dedup.minhashProbeOne(s, idx, qt)
     }),
+    // the Hamming-family twin: one runtime document fingerprinted, its
+    // chunk keys broadcast into the stored SimHash index, candidates
+    // Hamming-verified, nearest-first
+    "dedup_probe_simhash" -> ((s, d) => {
+      val qt = docs(s, d).filter(col("doc_id") === 0L).select(col("text")).first().getString(0)
+      val idx = Dedup.simhashIndexCached(s, docs(s, d), d)
+      Dedup.simhashProbeOne(s, idx, qt)
+    }),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d)).orderBy(col("doc_a"), col("doc_b"))),
     // exact J ≥ 1/2 join with prefix filtering: provably complete
@@ -4106,6 +4114,28 @@ object SparkEntry {
            |  FROM chunked a JOIN chunked b
            |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
            |WHERE hamming <= ${Dedup.SimhashMaxHamming} ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_probe_simhash" -> {
+        val qcUnion = (0 until Dedup.SimhashChunks)
+          .map(i =>
+            s"SELECT $i AS chunk_idx, " +
+              s"((simhash >> ${i * Dedup.SimhashChunkBits}) & ${(1L << Dedup.SimhashChunkBits) - 1}) AS chunk_val FROM q")
+          .mkString("\n  UNION ALL ")
+        s"""WITH sims AS (
+           |  SELECT doc_id, ${Parity.simhashSql(h40s)} AS simhash FROM documents),
+           |chunked AS (
+           |  $chunkedUnion),
+           |q AS (SELECT simhash FROM sims WHERE doc_id = 0),
+           |qc AS (
+           |  $qcUnion),
+           |cand AS (
+           |  SELECT o.doc_id,
+           |         min(CAST(bit_count(xor(o.simhash, q.simhash)) AS BIGINT)) AS hamming
+           |  FROM chunked o JOIN qc USING (chunk_idx, chunk_val) CROSS JOIN q
+           |  GROUP BY o.doc_id)
+           |SELECT doc_id, hamming FROM cand
+           |WHERE hamming <= ${Dedup.SimhashMaxHamming}
+           |ORDER BY hamming, doc_id LIMIT 10""".stripMargin
+      },
       "pipeline_modern" ->
         s"""WITH gop AS (${TextOps.gopherRulesSql().replace("\n", "\n  ")}),
            |vd AS (WITH ${verdictDupCtes.replace("\n", "\n  ")}

@@ -584,6 +584,69 @@ object Dedup {
         coalesce(col("hamming"), lit(-1L)).as("hamming"))
   }
 
+  /** The full-corpus SimHash chunk index as a [[ModelCache]] artifact —
+    * [[minhashIndexCached]]'s Hamming-family twin: built once per
+    * corpus, served by every later probe in any process. Data-scale:
+    * natural partitioning, never coalesced.
+    */
+  def simhashIndexCached(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      corpusKey: String): String =
+    ModelCache.dir(
+      s"simhash-chunk-index|$corpusKey|chunks=$SimhashChunks,bits=$SimhashChunkBits",
+      singleFile = false)(
+      simhashes(docs)
+        .select(
+          col("doc_id"),
+          col("simhash"),
+          posexplode(array((0 until SimhashChunks).map { i =>
+            shiftright(col("simhash"), i * SimhashChunkBits)
+              .bitwiseAND(lit((1L << SimhashChunkBits) - 1))
+          }: _*)).as(Seq("chunk_idx", "chunk_val"))))
+
+  /** Single-document Hamming point probe of the STORED chunk index —
+    * [[minhashProbeOne]]'s SimHash twin: ONE runtime document
+    * fingerprinted by one narrow map, its [[SimhashChunks]] chunk keys
+    * broadcast into a bucket-keyed probe of the artifact, candidates
+    * Hamming-verified exactly (pigeonhole-complete for distances ≤
+    * `maxHamming`), nearest-first top-k. The indexed corpus is never
+    * re-fingerprinted or re-read outside the probed buckets.
+    */
+  def simhashProbeOne(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queryText: String,
+      maxHamming: Int = SimhashMaxHamming,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val idx = spark.read.parquet(indexDir)
+    val probe = simhashes(Seq((-1L, queryText)).toDF("doc_id", "text"))
+      .select(
+        col("simhash").as("sh_n"),
+        posexplode(array((0 until SimhashChunks).map { i =>
+          shiftright(col("simhash"), i * SimhashChunkBits)
+            .bitwiseAND(lit((1L << SimhashChunkBits) - 1))
+        }: _*)).as(Seq("chunk_idx", "chunk_val")))
+    broadcast(probe)
+      .join(
+        idx.select(
+          col("doc_id"),
+          col("simhash").as("sh_o"),
+          col("chunk_idx"),
+          col("chunk_val")),
+        Seq("chunk_idx", "chunk_val"))
+      .select(
+        col("doc_id"),
+        bit_count(col("sh_n").bitwiseXOR(col("sh_o"))).cast("long").as("hamming"))
+      // the same doc can collide on several chunks — one row per doc
+      .groupBy(col("doc_id"))
+      .agg(min(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("hamming"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-doc 40-bit SimHash fingerprint over 3-gram shingle features.
     * Shingles, not single tokens: token-level features of a small shared
     * vocabulary are nearly identical across documents, which makes every

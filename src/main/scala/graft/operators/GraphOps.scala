@@ -660,8 +660,11 @@ object GraphOps {
       // CARRIED through the rank state as a constant column — no driver-side
       // count() pass; all arithmetic stays integer (exact on any engine),
       // mirroring the oracle's `CROSS JOIN nn`.
-      def ckpt(df: DataFrame): DataFrame =
-        org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
+      // rank carries a DECLARED id layout (the hits() discipline): the
+      // rank⋈edges probe and the rank⋈summed outer join then plan with
+      // no exchange on the rank side — the per-round shuffle left is
+      // the contribution aggregate's, which genuinely re-keys |E| rows
+      def ckpt(df: DataFrame): DataFrame = Phys.materializedHashedBy(df, Seq("id"))
       val nn = outdeg.agg(count(lit(1)).as("n"))
       var rank = ckpt(
         outdeg
@@ -2575,16 +2578,18 @@ object GraphOps {
     */
   def hitsResiduals(edges: DataFrame, iters: Int = 3): DataFrame = {
     val session = edges.sparkSession
-    def ckpt(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
     val parts = loopPartitions(session, edges.count())
     withLoopConfs(session, parts) {
-      val e = ckpt(edges.select(col("src"), col("dst")).distinct())
-      val nodes = ckpt(
-        e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id"))).distinct())
+      // same declared-layout discipline as [[hits]]
+      def byId(df: DataFrame): DataFrame = Phys.materializedHashedBy(df, Seq("id"))
+      val e0 = Phys.materialized(edges.select(col("src"), col("dst")).distinct())
+      val eS = Phys.materializedHashedBy(e0, Seq("src"))
+      val eD = Phys.materializedHashedBy(e0, Seq("dst"))
+      val nodes = byId(
+        eS.select(col("src").as("id")).unionAll(eS.select(col("dst").as("id"))).distinct())
       def normalized(raw: DataFrame, vCol: String): DataFrame = {
         val tot = raw.agg(sum(col("raw")).as("tot"))
-        ckpt(
+        byId(
           nodes
             .join(raw, Seq("id"), "left_outer")
             .crossJoin(broadcast(tot))
@@ -2601,18 +2606,18 @@ object GraphOps {
           .collect()(0)
         (d.getLong(0), d.getLong(1))
       }
-      var h = ckpt(nodes.select(col("id"), lit(1000000L).as("h")))
-      var a = ckpt(nodes.select(col("id"), lit(0L).as("a")))
+      var h = byId(nodes.select(col("id"), lit(1000000L).as("h")))
+      var a = byId(nodes.select(col("id"), lit(0L).as("a")))
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
       (1 to iters).foreach { r =>
         val an = normalized(
-          e.join(h, e("src") === h("id"))
-            .groupBy(e("dst").as("id"))
+          eS.join(h, eS("src") === h("id"))
+            .groupBy(eS("dst").as("id"))
             .agg(sum(col("h")).as("raw")),
           "a")
         val hn = normalized(
-          e.join(an, e("dst") === an("id"))
-            .groupBy(e("src").as("id"))
+          eD.join(an, eD("dst") === an("id"))
+            .groupBy(eD("src").as("id"))
             .agg(sum(col("a")).as("raw")),
           "h")
         val (ca, ra) = delta(an, a, "a")

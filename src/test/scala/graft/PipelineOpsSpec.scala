@@ -571,4 +571,24 @@ class PipelineOpsSpec extends SparkSpec {
     // signatures — with these fixtures it must not appear at all
     assert(!out.map(_._1).contains(3L))
   }
+
+  test("simhashProbeOne: exact copy at hamming 0 first; cached index never rebuilds") {
+    import spark.implicits._
+    import graft.operators.ModelCache
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, text),
+      (2L, "unrelated totally different content everywhere all new words"))
+      .toDF("doc_id", "text")
+    val key = s"spec-sh|${java.util.UUID.randomUUID()}"
+    val before = ModelCache.builtCount.get()
+    val idx = operators.Dedup.simhashIndexCached(spark, docs, key)
+    assert(ModelCache.builtCount.get() === before + 1)
+    // second resolve: memo hit, no rebuild
+    assert(operators.Dedup.simhashIndexCached(spark, docs, key) === idx)
+    assert(ModelCache.builtCount.get() === before + 1)
+    val out = operators.Dedup.simhashProbeOne(spark, idx, text).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.head === ((1L, 0L)), s"got ${out.toSeq}")
+  }
 }
