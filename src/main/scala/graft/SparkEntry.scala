@@ -838,14 +838,14 @@ object SparkEntry {
     // MODEL ARTIFACT is staged; the returned probe plan only READS it
     // (centroid scan + corpus scan — no training stage in the plan)
     "ann_ivf_stored" -> ((s, d) => {
-      val model = Similarity.writeIvfModel(s, embs(s, d))
+      val model = Similarity.writeIvfModel(s, embs(s, d), d)
       Similarity.ivfStoredTopK(s, embs(s, d), model, nQueries = 50, k = 3, nProbe = 2)
         .orderBy(col("q_id"), col("rank"))
     }),
     // IVF index health: per-cell occupancy ppm + micro-unit assignment
     // scores off the stored quantizer — the skew/drift/dead-cell alarm
     "ann_ivf_health" -> ((s, d) => {
-      val model = Similarity.writeIvfModel(s, embs(s, d))
+      val model = Similarity.writeIvfModel(s, embs(s, d), d)
       Similarity.ivfHealth(s, embs(s, d), model).orderBy(col("cid"))
     }),
     // centroid-based silhouette per cluster: quality beside occupancy,
@@ -855,18 +855,18 @@ object SparkEntry {
       Similarity.pqDistortion(embs(s, d)).orderBy(col("m"))),
     // per-dim SQ8 reconstruction error off the stored scalar quantizer
     "ann_sq_distortion" -> ((s, d) => {
-      val model = Similarity.writeSqModel(s, embs(s, d))
+      val model = Similarity.writeSqModel(s, embs(s, d), d)
       Similarity.sqDistortion(s, embs(s, d), model).orderBy(col("dim"))
     }),
     "emb_silhouette" -> ((s, d) => {
-      val model = Similarity.writeIvfModel(s, embs(s, d))
+      val model = Similarity.writeIvfModel(s, embs(s, d), d)
       Similarity.silhouette(s, embs(s, d), model).orderBy(col("cid"))
     }),
     // EXTERNAL-query ANN: a runtime query vector served against the
     // stored quantizer — probe cells picked driver-side over the k-row
     // artifact, the data plan is a cell-pruned list scan + TakeOrdered
     "ann_ivf_query" -> ((s, d) => {
-      val model = Similarity.writeIvfModel(s, embs(s, d))
+      val model = Similarity.writeIvfModel(s, embs(s, d), d)
       Similarity.ivfQueryStored(s, embs(s, d), model, AnnQueryVec, k = 10, nProbe = 2)
     }),
     // product quantization: per-subspace codebooks + LUT-based ADC scan
@@ -884,7 +884,7 @@ object SparkEntry {
     // parquet artifact; the returned ADC plan only READS them (codebook
     // scan + corpus scan — no Lloyd stage in the plan)
     "ann_pq_stored" -> ((s, d) => {
-      val model = Similarity.writePqModel(s, embs(s, d))
+      val model = Similarity.writePqModel(s, embs(s, d), d)
       Similarity.pqStoredTopK(s, embs(s, d), model, nQueries = 50, k = 3)
         .orderBy(col("q_id"), col("rank"))
     }),
@@ -892,19 +892,19 @@ object SparkEntry {
     // artifact; serving decomposes the dot EXACTLY through the codes
     // (one codegen'd DotProduct per pair — no dequantized array per pair)
     "ann_sq_stored" -> ((s, d) => {
-      val model = Similarity.writeSqModel(s, embs(s, d))
+      val model = Similarity.writeSqModel(s, embs(s, d), d)
       Similarity.sqStoredTopK(s, embs(s, d), model, nQueries = 10, k = 5)
         .orderBy(col("q_id"), col("rank"))
     }),
     // measured recall of the 4x SQ compression against the exact
     // inner-product ranking (the pq_recall discipline)
     "ann_sq_recall" -> ((s, d) =>
-      Similarity.sqRecall(s, embs(s, d), nQueries = 20, k = 5).orderBy(col("q_id"))),
+      Similarity.sqRecall(s, embs(s, d), nQueries = 20, k = 5, corpusKey = d).orderBy(col("q_id"))),
     // both artifacts stored — coarse quantizer + codebooks: the complete
     // production ANN serving plan, zero training stages
     "ann_ivfpq_stored" -> ((s, d) => {
-      val ivf = Similarity.writeIvfModel(s, embs(s, d))
-      val pq = Similarity.writePqModel(s, embs(s, d))
+      val ivf = Similarity.writeIvfModel(s, embs(s, d), d)
+      val pq = Similarity.writePqModel(s, embs(s, d), d)
       Similarity.ivfpqStoredTopK(s, embs(s, d), ivf, pq, nQueries = 50, k = 3, nProbe = 3)
         .orderBy(col("q_id"), col("rank"))
     }),

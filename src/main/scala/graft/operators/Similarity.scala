@@ -330,11 +330,22 @@ object Similarity {
     * storing it decouples the Lloyd training cost from every future
     * probe/index job.
     */
-  def writeIvfModel(spark: org.apache.spark.sql.SparkSession, embs: DataFrame): String = {
-    val dir = graft.sources.Staging.freshDir("ivf-model")
-    kmeansFixed(embs).coalesce(1).write.mode("overwrite").parquet(dir)
-    dir
-  }
+  def writeIvfModel(
+      spark: org.apache.spark.sql.SparkSession,
+      embs: DataFrame,
+      corpusKey: String = ""): String =
+    // a corpus identity upgrades the artifact to the ModelCache
+    // train-once/serve-many discipline: the Lloyd rounds run once per
+    // corpus across ALL queries and processes, not once per query; the
+    // key-less form keeps the per-query Staging demo for specs
+    if (corpusKey.nonEmpty)
+      ModelCache.dir(s"ivf-centroids|$corpusKey|k=$KmeansCells,iters=$KmeansIters")(
+        kmeansFixed(embs))
+    else {
+      val dir = graft.sources.Staging.freshDir("ivf-model")
+      kmeansFixed(embs).coalesce(1).write.mode("overwrite").parquet(dir)
+      dir
+    }
 
   /** The IVF inverted lists of a corpus under a given centroid table:
     * (cid, n_id, ne) — each vector in its argmax cell, selected by the
@@ -933,12 +944,21 @@ object Similarity {
     * the product quantizer. Storing it decouples the [[PqM]] Lloyd
     * chains from every future encode/ADC job.
     */
-  def writePqModel(spark: org.apache.spark.sql.SparkSession, embs: DataFrame): String = {
-    val dir = graft.sources.Staging.freshDir("pq-model")
-    val dsub = Phys.materialized(subspaced(intEmb(embs).select(col("vec_id"), col("ei"))))
-    kmeansFixedKeyed(dsub, PqCells, KmeansIters)
-      .coalesce(1).write.mode("overwrite").parquet(dir)
-    dir
+  def writePqModel(
+      spark: org.apache.spark.sql.SparkSession,
+      embs: DataFrame,
+      corpusKey: String = ""): String = {
+    def train = {
+      val dsub = Phys.materialized(subspaced(intEmb(embs).select(col("vec_id"), col("ei"))))
+      kmeansFixedKeyed(dsub, PqCells, KmeansIters)
+    }
+    if (corpusKey.nonEmpty)
+      ModelCache.dir(s"pq-codebooks|$corpusKey|m=$PqM,cells=$PqCells,iters=$KmeansIters")(train)
+    else {
+      val dir = graft.sources.Staging.freshDir("pq-model")
+      train.coalesce(1).write.mode("overwrite").parquet(dir)
+      dir
+    }
   }
 
   /** Train once, persist the SCALAR quantizer (faiss SQ8): per-dimension
@@ -949,14 +969,21 @@ object Similarity {
     * independent, so the serving dot product decomposes exactly (see
     * [[sqStoredTopK]]).
     */
-  def writeSqModel(spark: org.apache.spark.sql.SparkSession, embs: DataFrame): String = {
-    val dir = graft.sources.Staging.freshDir("sq-model")
-    asDouble(embs)
-      .select(posexplode(col("e")).as(Seq("pos", "x")))
-      .groupBy((col("pos") + 1).cast("int").as("dim"))
-      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-      .coalesce(1).write.mode("overwrite").parquet(dir)
-    dir
+  def writeSqModel(
+      spark: org.apache.spark.sql.SparkSession,
+      embs: DataFrame,
+      corpusKey: String = ""): String = {
+    def train =
+      asDouble(embs)
+        .select(posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy((col("pos") + 1).cast("int").as("dim"))
+        .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    if (corpusKey.nonEmpty) ModelCache.dir(s"sq-ranges|$corpusKey|dim=$Dim")(train)
+    else {
+      val dir = graft.sources.Staging.freshDir("sq-model")
+      train.coalesce(1).write.mode("overwrite").parquet(dir)
+      dir
+    }
   }
 
   /** Inner-product top-k over a STORED scalar quantizer: the corpus is
@@ -1140,8 +1167,9 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       embs: DataFrame,
       nQueries: Int,
-      k: Int): DataFrame = {
-    val modelDir = writeSqModel(spark, embs)
+      k: Int,
+      corpusKey: String = ""): DataFrame = {
+    val modelDir = writeSqModel(spark, embs, corpusKey)
     recallVsExact(
       bruteDotTopK(embs, nQueries, k).select(col("q_id"), col("n_id")),
       sqStoredTopK(spark, embs, modelDir, nQueries, k),
