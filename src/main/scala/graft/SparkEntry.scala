@@ -710,7 +710,7 @@ object SparkEntry {
     // plus the pHash media detector and the SemDeDup embedding
     // detector, one keep conjunction per document
     "dedup_verdict_multimodal" -> ((s, d) =>
-      Dedup.verdictMultimodal(docs(s, d), embs(s, d)).orderBy(col("doc_id"))),
+      Dedup.verdictMultimodal(docs(s, d), embs(s, d), corpusKey = d).orderBy(col("doc_id"))),
     // the MODERN curation recipe composed end-to-end: heuristic rules
     // (Gopher) ∧ ensemble dedup keep ∧ DSIR importance (llr > 0), per
     // lang — each stage the already-verified operator; the composition
@@ -784,7 +784,7 @@ object SparkEntry {
     // embedding pair families — the canonical-survivor table across
     // re-encodes, quotes, and paraphrases
     "dedup_clusters_multimodal" -> ((s, d) =>
-      Dedup.clustersMultimodal(docs(s, d), embs(s, d)).orderBy(col("doc_id"))),
+      Dedup.clustersMultimodal(docs(s, d), embs(s, d), corpusKey = d).orderBy(col("doc_id"))),
     // threshold tuning table: pair/flagged counts at each candidate
     // cosine cut, one pass over the materialized scored pairs
     "dedup_threshold_sweep" -> ((s, d) =>
@@ -794,7 +794,7 @@ object SparkEntry {
     // SemDeDup: k-means cells as the candidate blocks, within-cluster
     // lower-id cosine evidence — paraphrase dedup with no shingle overlap
     "dedup_semantic" -> ((s, d) =>
-      Dedup.semanticDedup(embs(s, d), minCosine = 0.4).orderBy(col("vec_id"))),
+      Dedup.semanticDedup(embs(s, d), minCosine = 0.4, corpusKey = d).orderBy(col("vec_id"))),
     // similarity search
     "ann_brute_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embs(s, d), nQueries = 10, k = 5)
@@ -1160,7 +1160,7 @@ object SparkEntry {
     // cell-blocked approximate kNN graph with the mutual-edge flag —
     // the graph-based-curation substrate, per-cell quadratic only
     "emb_knn_graph" -> ((s, d) =>
-      Similarity.knnGraph(embs(s, d)).orderBy(col("vec_id"), col("nbr_rank"))),
+      Similarity.knnGraph(embs(s, d), corpusKey = d).orderBy(col("vec_id"), col("nbr_rank"))),
     // the choose-k pre-flight: Lloyd at each candidate k, exact
     // integer micro-squared inertia per k
     "ann_kmeans_elbow" -> ((s, d) => Similarity.kmeansElbow(embs(s, d))),

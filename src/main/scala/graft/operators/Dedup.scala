@@ -298,14 +298,15 @@ object Dedup {
   def verdictMultimodal(
       docs: DataFrame,
       embs: DataFrame,
-      minCosine: Double = 0.4): DataFrame = {
+      minCosine: Double = 0.4,
+      corpusKey: String = ""): DataFrame = {
     val text = verdict(docs).drop("keep")
     val phDup = Multimodal
       .phashDedup(docs)
       .select(col("b_id").as("doc_id"))
       .distinct()
       .select(col("doc_id"), lit(true).as("phash_dup"))
-    val semDup = semanticDedup(embs, minCosine)
+    val semDup = semanticDedup(embs, minCosine, corpusKey)
       .filter(col("is_dup"))
       .select(col("vec_id").as("doc_id"), lit(true).as("semantic_dup"))
     val flags = Seq("exact_dup", "minhash_dup", "simhash_dup", "ngram_dup",
@@ -1184,9 +1185,12 @@ object Dedup {
     * shingle- and media-keyed pair families. Same cell blocking, same
     * threshold semantics; per-cell quadratic, never all-pairs.
     */
-  def semanticDedupPairs(embs: DataFrame, minCosine: Double): DataFrame = {
+  def semanticDedupPairs(
+      embs: DataFrame,
+      minCosine: Double,
+      corpusKey: String = ""): DataFrame = {
     val assigned =
-      Similarity.invertedLists(embs, Similarity.kmeansFixed(embs, Dedup.SemanticCells))
+      Similarity.invertedLists(embs, Similarity.kmeansCached(embs, Dedup.SemanticCells, corpusKey))
     val a = assigned.alias("a")
     val b = assigned.alias("b")
     a.join(b, col("a.cid") === col("b.cid") && col("a.n_id") < col("b.n_id"))
@@ -1216,13 +1220,14 @@ object Dedup {
   def clustersMultimodal(
       docs: DataFrame,
       embs: DataFrame,
-      minCosine: Double = 0.4): DataFrame = {
+      minCosine: Double = 0.4,
+      corpusKey: String = ""): DataFrame = {
     val pairs = minhashCandidatePairs(docs)
       .unionByName(
         Multimodal
           .phashDedup(docs)
           .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
-      .unionByName(semanticDedupPairs(embs, minCosine))
+      .unionByName(semanticDedupPairs(embs, minCosine, corpusKey))
       .distinct()
     clusters(docs, pairs)
   }
@@ -1781,8 +1786,9 @@ object Dedup {
                 |       * 1000000) AS BIGINT) END""".stripMargin).as("kappa_micro"))
   }
 
-  def semanticDedup(embs: DataFrame, minCosine: Double): DataFrame = {
-    val assigned = Similarity.invertedLists(embs, Similarity.kmeansFixed(embs, Dedup.SemanticCells))
+  def semanticDedup(embs: DataFrame, minCosine: Double, corpusKey: String = ""): DataFrame = {
+    val assigned =
+      Similarity.invertedLists(embs, Similarity.kmeansCached(embs, Dedup.SemanticCells, corpusKey))
     val a = assigned.alias("a")
     val b = assigned.alias("b")
     val dupEvidence = a

@@ -271,6 +271,21 @@ object Similarity {
     * map, the update is one explode + hash aggregate (map-side partial)
     * per iteration; nothing ever shuffles the corpus on a non-key.
     */
+  /** The Lloyd centroid table under the [[ModelCache]] train-once
+    * discipline: with a corpus identity the k-cell quantizer trains once
+    * ever and every consumer (SemDeDup blocking, the kNN graph, the
+    * silhouette/health reads) serves the stored table; key-less callers
+    * keep the inline training (spec fixtures, the oracle-replay demos).
+    * Sound because [[kmeansFixed]] is deterministic (integer micro-unit
+    * Lloyd, argmax ties to the lower cid).
+    */
+  def kmeansCached(embs: DataFrame, kCells: Int, corpusKey: String): DataFrame =
+    if (corpusKey.isEmpty) kmeansFixed(embs, kCells)
+    else
+      embs.sparkSession.read.parquet(
+        ModelCache.dir(s"kmeans-centroids|$corpusKey|k=$kCells,iters=$KmeansIters")(
+          kmeansFixed(embs, kCells)))
+
   def kmeansFixed(
       embs: DataFrame,
       kCells: Int = KmeansCells,
@@ -1900,8 +1915,9 @@ object Similarity {
   def knnGraph(
       embs: DataFrame,
       k: Int = 3,
-      cells: Int = graft.operators.Dedup.SemanticCells): DataFrame = {
-    val assigned = Phys.materialized(invertedLists(embs, kmeansFixed(embs, cells)))
+      cells: Int = graft.operators.Dedup.SemanticCells,
+      corpusKey: String = ""): DataFrame = {
+    val assigned = Phys.materialized(invertedLists(embs, kmeansCached(embs, cells, corpusKey)))
     val a = assigned.alias("a")
     val b = assigned.alias("b")
     val cand = a
