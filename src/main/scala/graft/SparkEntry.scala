@@ -586,7 +586,7 @@ object SparkEntry {
     // no BFS loop in the plan
     "graph_landmark_stored" -> ((s, d) => {
       val model =
-        GraphOps.writeLandmarkModel(GraphSource.lineitemEdges(s, d), nLandmarks = 8, rounds = 4)
+        GraphOps.writeLandmarkModel(GraphSource.lineitemEdges(s, d), nLandmarks = 8, rounds = 4, corpusKey = d)
       GraphOps.landmarkEstimateStored(s, model, nLandmarks = 8).orderBy(col("u"), col("v"))
     }),
     // ANF's production read: sketch-only to saturation (changed set

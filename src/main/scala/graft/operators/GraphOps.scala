@@ -1162,10 +1162,17 @@ object GraphOps {
   def writeLandmarkModel(
       edges: DataFrame,
       nLandmarks: Int = 8,
-      rounds: Int = 4): String = {
-    val und = edges
+      rounds: Int = 4,
+      corpusKey: String = ""): String = {
+    def und = edges
       .select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // a corpus identity upgrades the sweep to the ModelCache
+    // train-once/serve-many lifecycle (cross-query, cross-process);
+    // key-less callers keep the per-query Staging demo
+    if (corpusKey.nonEmpty)
+      return ModelCache.dir(s"landmark-dists|$corpusKey|n=$nLandmarks,rounds=$rounds")(
+        landmarkDistances(und, nLandmarks, rounds))
     val dir = graft.sources.Staging.freshDir("landmark-model")
     landmarkDistances(und, nLandmarks, rounds)
       .coalesce(1).write.mode("overwrite").parquet(dir)
