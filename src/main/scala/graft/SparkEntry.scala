@@ -1648,6 +1648,11 @@ object SparkEntry {
     // Cramer solve on the aggregated row
     "train_linreg" -> ((s, d) =>
       operators.Training.linregNormal(model.table(s, d, "lineitem"))),
+    // split conformal prediction: calibrated 90% interval half-width
+    // (exact integer order statistic via distributed rank) + measured
+    // held-out coverage — the distribution-free uncertainty eval
+    "train_conformal" -> ((s, d) =>
+      operators.Training.conformalInterval(model.table(s, d, "lineitem"))),
     // full-batch logistic regression, 3 synchronous GD rounds, integer
     // micro-unit weights and gradients (no libm anywhere)
     "train_logreg" -> ((s, d) =>
@@ -1747,6 +1752,9 @@ object SparkEntry {
     // chi-squared independence of segment × nation, micro-unit cell terms
     "stats_chi2" -> ((s, d) =>
       operators.Stats.chi2Independence(model.table(s, d, "customer"))),
+    // mutual information / variation of information of type × hour,
+    // nano-nat cell terms — the information-theoretic association read
+    "stats_mutual_info" -> ((s, d) => operators.Stats.mutualInfo(events(s, d))),
     // Pearson matrix in exact decimal/HUGEINT sums — no float accumulation
     "stats_corr_matrix" -> ((s, d) =>
       operators.Stats.corrMatrix(model.table(s, d, "lineitem")).orderBy(col("pair"))),
@@ -4979,6 +4987,7 @@ object SparkEntry {
       "emb_pca_power" -> operators.LinAlg.pcaPowerSql(),
       "emb_pca_project" -> operators.LinAlg.pcaProjectSql(),
       "train_linreg" -> operators.Training.linregNormalSql,
+      "train_conformal" -> operators.Training.conformalIntervalSql(),
       "train_logreg" -> operators.Training.logregGdSql(toks),
       "train_logreg_stored" -> operators.Training.logregApplyStoredSql(toks),
       "train_fasttext" -> operators.Training.fasttextGdSql(),
@@ -5034,6 +5043,7 @@ object SparkEntry {
       "er_agreement_lift" ->
         s"SELECT * FROM (${Dedup.erAgreementLiftSql()}) ORDER BY seg_eq DESC, band_eq DESC",
       "stats_chi2" -> operators.Stats.chi2IndependenceSql(),
+      "stats_mutual_info" -> operators.Stats.mutualInfoSql(),
       "stats_corr_matrix" ->
         s"SELECT * FROM (${operators.Stats.corrMatrixSql()}) ORDER BY pair",
       "audit_benford" ->

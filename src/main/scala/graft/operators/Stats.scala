@@ -535,4 +535,89 @@ object Stats {
        |       abs(d.n_obs * 1000000 // t.n_total
        |           - CAST(round(log10(1.0 + 1.0 / d.digit) * 1000000) AS BIGINT)) AS dev_ppm
        |FROM d CROSS JOIN t""".stripMargin
+
+  /** Mutual information I(X;Y) between event type and hour-of-day, with
+    * the marginal entropies and the variation of information
+    * VI = H(X) + H(Y) − 2·I — the information-theoretic association
+    * read next to [[chi2Independence]]'s frequentist one (chi² asks
+    * "is the deviation from independence surprising?"; MI asks "how
+    * many nats does knowing the hour buy about the type?"). VI is the
+    * metric form (a true distance between the two partitions), the
+    * number a feature-selection or schema-advisor pass ranks column
+    * pairs by.
+    *
+    * Exactness discipline: each cell's `p·ln(p/(px·py))` is one fixed
+    * double expression (identical text both engines) rounded to
+    * integer NANO-nats before the cross-cell sum, so the aggregate is
+    * order-free; VI is then pure integer arithmetic on the three
+    * rounded sums.
+    *
+    * Scale shape: one corpus scan to the contingency table (≤
+    * |types|·24 rows), margins re-aggregated from the cell table,
+    * everything after is broadcast-sized.
+    *
+    * Output: one row `(n, n_cells, mi_nano, hx_nano, hy_nano, vi_nano)`.
+    */
+  def mutualInfo(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(col("event_type").as("x"), expr("(unix_micros(ts) div 3600000000) % 24").as("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("o"))
+    val rowM = cells.groupBy(col("x")).agg(sum(col("o")).as("rt"))
+    val colM = cells.groupBy(col("y")).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val mi = cells
+      .join(broadcast(rowM), Seq("x"))
+      .join(broadcast(colM), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .agg(
+        max(col("n")).as("n"),
+        count(lit(1)).as("n_cells"),
+        sum(expr(
+          "CAST(round(CAST(o AS DOUBLE) / CAST(n AS DOUBLE) * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))) * 1000000000) AS BIGINT)"))
+          .as("mi_nano"))
+    val hx = rowM
+      .crossJoin(broadcast(tot))
+      .agg(sum(expr(
+        "CAST(round(-(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000) AS BIGINT)"))
+        .as("hx_nano"))
+    val hy = colM
+      .crossJoin(broadcast(tot))
+      .agg(sum(expr(
+        "CAST(round(-(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000) AS BIGINT)"))
+        .as("hy_nano"))
+    mi.crossJoin(broadcast(hx))
+      .crossJoin(broadcast(hy))
+      .withColumn("vi_nano", col("hx_nano") + col("hy_nano") - lit(2L) * col("mi_nano"))
+  }
+
+  /** [[mutualInfo]] mirrored. */
+  def mutualInfoSql(): String =
+    s"""WITH cells AS (
+       |  SELECT event_type AS x, (epoch_us(ts) // 3600000000) % 24 AS y,
+       |         CAST(count(*) AS BIGINT) AS o
+       |  FROM events GROUP BY 1, 2),
+       |rm AS (SELECT x, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+       |cm AS (SELECT y, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+       |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+       |mi AS (
+       |  SELECT max(t.n) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+       |         CAST(sum(CAST(round(CAST(o AS DOUBLE) / CAST(t.n AS DOUBLE)
+       |           * ln(CAST(o AS DOUBLE) * CAST(t.n AS DOUBLE)
+       |                / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))
+       |           * 1000000000) AS BIGINT)) AS BIGINT) AS mi_nano
+       |  FROM cells c JOIN rm USING (x) JOIN cm USING (y) CROSS JOIN t),
+       |hx AS (
+       |  SELECT CAST(sum(CAST(round(-(CAST(rt AS DOUBLE) / CAST(t.n AS DOUBLE))
+       |           * ln(CAST(rt AS DOUBLE) / CAST(t.n AS DOUBLE))
+       |           * 1000000000) AS BIGINT)) AS BIGINT) AS hx_nano
+       |  FROM rm CROSS JOIN t),
+       |hy AS (
+       |  SELECT CAST(sum(CAST(round(-(CAST(ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+       |           * ln(CAST(ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+       |           * 1000000000) AS BIGINT)) AS BIGINT) AS hy_nano
+       |  FROM cm CROSS JOIN t)
+       |SELECT mi.n, mi.n_cells, mi.mi_nano, hx.hx_nano, hy.hy_nano,
+       |       hx.hx_nano + hy.hy_nano - 2 * mi.mi_nano AS vi_nano
+       |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin
 }

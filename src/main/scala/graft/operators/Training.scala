@@ -1663,4 +1663,128 @@ object Training {
        |ORDER BY score DESC, e.id
        |LIMIT $k""".stripMargin
   }
+
+  // ---- split conformal prediction ------------------------------------------
+
+  /** Split conformal prediction over the price~quantity regression:
+    * train OLS on split A, take the ⌈0.9·(n+1)⌉-th smallest absolute
+    * residual on calibration split B as the interval half-width q, and
+    * MEASURE the fraction of a held-out test split C that ±q actually
+    * covers — the distribution-free "is my model's uncertainty honest"
+    * readout (Vovk et al.; Angelopoulos & Bates 2021 survey form). This
+    * is the eval a production scorer ships next to its point
+    * predictions: by exchangeability the expected coverage is ≥ 90%
+    * regardless of how wrong the linear model is.
+    *
+    * Determinism: splits are `l_orderkey % 10` (0-5 train, 6-7 calib,
+    * 8-9 test); sums are exact BIGINT; slope/intercept are ONE fixed
+    * double expression; residuals round to integer micro-price-units
+    * before ranking so the order statistic is an integer; the rank index
+    * ⌈9(n+1)/10⌉ is pure integer arithmetic (never a 0.9·x float).
+    *
+    * Scale shape: three filtered passes over one scan lineage + ONE
+    * distributed rank ([[Phys.globalRank]] — range-repartition +
+    * zipWithIndex, never a single-partition ORDER BY window) to extract
+    * the order statistic; everything else is broadcast-sized.
+    *
+    * Output: one row `(n_train, n_calib, n_test, q_idx, q_mic,
+    * covered, coverage_ppm)`.
+    */
+  def conformalInterval(lineitem: DataFrame): DataFrame = {
+    val f = lineitem.select(
+      expr("CAST(l_quantity AS BIGINT)").as("x"),
+      expr("CAST(round(l_extendedprice * 1000) AS BIGINT)").as("y"),
+      expr("CAST(l_orderkey AS BIGINT) % 10").as("s"))
+    val m = f
+      .filter(col("s") <= 5)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        col("n").as("n_train"),
+        col("sx"),
+        col("sy"),
+        expr(
+          "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")
+          .as("b"))
+      .select(
+        col("n_train"),
+        col("b"),
+        expr("(CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n_train AS DOUBLE)").as("a"))
+    val residMic =
+      "CAST(round(abs(CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))) * 1000) AS BIGINT)"
+    val cal = f
+      .filter(col("s").isin(6L, 7L))
+      .crossJoin(broadcast(m))
+      .select(expr(residMic).as("r_mic"))
+    val nq = cal.agg(
+      count(lit(1)).as("n_calib"),
+      expr("(9 * (count(1) + 1) + 9) div 10").as("q_idx"))
+    val qRow = Phys
+      .globalRank(cal, Seq(col("r_mic")), "rk")
+      .crossJoin(broadcast(nq))
+      .filter(col("rk") === col("q_idx") - 1)
+      .select(col("n_calib"), col("q_idx"), col("r_mic").as("q_mic"))
+    f.filter(col("s").isin(8L, 9L))
+      .crossJoin(broadcast(m))
+      .select(expr(residMic).as("r_mic"), col("n_train"))
+      .crossJoin(broadcast(qRow))
+      .agg(
+        max(col("n_train")).as("n_train"),
+        max(col("n_calib")).as("n_calib"),
+        count(lit(1)).as("n_test"),
+        max(col("q_idx")).as("q_idx"),
+        max(col("q_mic")).as("q_mic"),
+        sum(when(col("r_mic") <= col("q_mic"), 1L).otherwise(0L)).as("covered"))
+      .withColumn("coverage_ppm", expr("covered * 1000000 div n_test"))
+  }
+
+  /** [[conformalInterval]] mirrored; the order statistic is ORDER
+    * BY/OFFSET instead of the distributed rank — value-identical
+    * (both take the q_idx-th smallest integer residual).
+    */
+  def conformalIntervalSql(): String =
+    s"""WITH f AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS x,
+       |         CAST(round(l_extendedprice * 1000) AS BIGINT) AS y,
+       |         CAST(l_orderkey AS BIGINT) % 10 AS s
+       |  FROM lineitem),
+       |tr AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM f WHERE s <= 5),
+       |m0 AS (
+       |  SELECT n AS n_train, sx, sy,
+       |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+       |  FROM tr),
+       |m AS (
+       |  SELECT n_train, b,
+       |         (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n_train AS DOUBLE) AS a
+       |  FROM m0),
+       |cal AS (
+       |  SELECT CAST(round(abs(CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))) * 1000) AS BIGINT) AS r_mic
+       |  FROM f CROSS JOIN m WHERE s IN (6, 7)),
+       |nq AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_calib,
+       |         (9 * (CAST(count(*) AS BIGINT) + 1) + 9) // 10 AS q_idx
+       |  FROM cal),
+       |qv AS (
+       |  SELECT nq.n_calib, nq.q_idx, r.r_mic AS q_mic
+       |  FROM nq, (SELECT r_mic, row_number() OVER (ORDER BY r_mic) AS rn FROM cal) r
+       |  WHERE r.rn = nq.q_idx),
+       |te AS (
+       |  SELECT CAST(round(abs(CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))) * 1000) AS BIGINT) AS r_mic,
+       |         m.n_train
+       |  FROM f CROSS JOIN m WHERE s IN (8, 9))
+       |SELECT max(te.n_train) AS n_train, max(qv.n_calib) AS n_calib,
+       |       CAST(count(*) AS BIGINT) AS n_test,
+       |       max(qv.q_idx) AS q_idx, max(qv.q_mic) AS q_mic,
+       |       CAST(sum(CASE WHEN te.r_mic <= qv.q_mic THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+       |       CAST(sum(CASE WHEN te.r_mic <= qv.q_mic THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+       |         // CAST(count(*) AS BIGINT) AS coverage_ppm
+       |FROM te CROSS JOIN qv""".stripMargin
 }
