@@ -1735,6 +1735,10 @@ object SparkEntry {
     // per-doc duplicated-token fraction (the curation threshold scalar)
     "dedup_dup_ratio" -> ((s, d) =>
       Dedup.dupTokenRatio(docs(s, d)).orderBy(col("doc_id"))),
+    // content-defined chunking dedup: rolling-hash cut points, global
+    // chunk-level dup accounting — "how many tokens of this corpus are new"
+    "dedup_cdc_chunks" -> ((s, d) =>
+      Dedup.cdcChunks(docs(s, d)).orderBy(col("doc_id"))),
     // entity-resolution candidates: blocking key + levenshtein verify,
     // per-block work capped — never the |R|² cross product
     "er_blocked_pairs" -> ((s, d) =>
@@ -1790,6 +1794,10 @@ object SparkEntry {
     // inter-arrival burstiness B = (sigma-mu)/(sigma+mu) per type
     "events_burstiness" -> ((s, d) =>
       EventOps.burstiness(events(s, d)).orderBy(col("event_type"))),
+    // event-time lateness vs arrival order: the watermark-delay design
+    // histogram (what would withWatermark(d) drop?), two-level prefix max
+    "events_lateness_audit" -> ((s, d) =>
+      EventOps.latenessAudit(events(s, d)).orderBy(col("channel"))),
     // categorical mix drift: exact-ppm TV distance + chi2 homogeneity
     "events_type_mix_drift" -> ((s, d) => EventOps.typeMixDrift(events(s, d))),
     // behavioral diversity: per-user type-entropy, quarter-nat buckets
@@ -5036,6 +5044,8 @@ object SparkEntry {
         s"SELECT * FROM (${Dedup.dupSpansSql()}) ORDER BY doc_id, span_start",
       "dedup_dup_ratio" ->
         s"SELECT * FROM (${Dedup.dupTokenRatioSql()}) ORDER BY doc_id",
+      "dedup_cdc_chunks" ->
+        s"SELECT * FROM (${Dedup.cdcChunksSql()}) ORDER BY doc_id",
       "er_blocked_pairs" ->
         s"SELECT * FROM (${Dedup.erBlockedPairsSql()}) ORDER BY cust_a, cust_b",
       "er_clusters" ->
@@ -5062,6 +5072,8 @@ object SparkEntry {
       "events_seasonality" ->
         (EventOps.seasonalitySql() + "\nORDER BY event_type, hour"),
       "events_burstiness" -> (EventOps.burstinessSql() + "\nORDER BY event_type"),
+      "events_lateness_audit" ->
+        s"SELECT * FROM (${EventOps.latenessAuditSql()}) ORDER BY channel",
       "events_type_mix_drift" -> EventOps.typeMixDriftSql(),
       "events_user_entropy" ->
         (EventOps.userEntropyProfileSql() + "\nORDER BY ent_bucket"),

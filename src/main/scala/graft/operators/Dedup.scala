@@ -1808,4 +1808,129 @@ object Dedup {
         col("max_cos").isNotNull.as("is_dup"),
         coalesce(col("max_cos"), lit(-2.0d)).as("max_cos"))
   }
+
+  // ---- content-defined chunking dedup ---------------------------------------
+
+  /** Average chunk length control: a token position cuts iff its rolling
+    * trigram hash ≡ 0 (mod this), so chunks average ~16 tokens. */
+  val CdcDivisor = 16L
+
+  /** Content-defined chunking dedup (the storage-dedup / FastCDC idea in
+    * relational form): cut each document into chunks at positions where
+    * a rolling trigram hash of the token stream hits `0 mod
+    * [[CdcDivisor]]`, then dedup CHUNKS globally by content hash. Unlike
+    * fixed-width chunking, the cut points move with the content, so an
+    * insertion near the head of a near-copy shifts every byte offset but
+    * almost no cut point — shared suffixes still dedup. This is the
+    * sub-document complement of [[dupSpans]]: spans find what repeats,
+    * CDC chunking is the storage/transfer question ("how many bytes of
+    * this corpus are new?") asked before materializing a snapshot.
+    *
+    * Determinism: the rolling hash is the shared 40-bit token hash
+    * folded through `((h₋₂·31 + h₋₁)·31 + h₀) mod 2³¹−1`; chunk identity
+    * is the position-ordered fold of token hashes (mod the same prime);
+    * first occurrence is the minimum of the `doc_id·10⁶ + chunk_idx`
+    * arrival key (chunk index is bounded by document length ≪ 10⁶).
+    *
+    * Scale shape: one tokenize+explode, per-doc windows (partitioned by
+    * doc_id — never global), one hash aggregate to the chunk table, one
+    * self-aggregate for first occurrences joined back on the chunk hash,
+    * one per-doc rollup re-joined to the doc spine. All shuffles are
+    * keyed; nothing is all-pairs.
+    *
+    * Output: one row per document `(doc_id, n_chunks, dup_chunks,
+    * n_toks, dup_toks, dup_ppm)`.
+    */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val P = Parity.BigP
+    val pos = docs
+      .select(col("doc_id"), posexplode(Parity.tokens(col("text"))).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        Parity.tokenH40(col("tok")).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val g = pos
+      .withColumn("roll",
+        ((lag(col("h"), 2).over(w) * 31L + lag(col("h"), 1).over(w)) * 31L + col("h")) % P)
+      .withColumn("bnd",
+        when(col("pos") >= 3L && col("roll") % CdcDivisor === 0L, 1L).otherwise(0L))
+      .withColumn("chunk_idx",
+        coalesce(
+          sum(col("bnd")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    val chunks = g
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("h")))), s => s.getField("h")),
+          lit(0L),
+          (acc, x) => (acc * Parity.TokP + x) % P).as("chash"))
+      .withColumn("akey", col("doc_id") * 1000000L + col("chunk_idx"))
+    val fst = chunks.groupBy(col("chash")).agg(min(col("akey")).as("fkey"))
+    val perDoc = chunks
+      .join(fst, Seq("chash"))
+      .withColumn("is_dup", when(col("akey") =!= col("fkey"), 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("is_dup")).as("dup_chunks"),
+        sum(col("n_toks")).as("n_toks"),
+        sum(col("is_dup") * col("n_toks")).as("dup_toks"))
+    docs
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("dup_toks"), lit(0L)).as("dup_toks"))
+      .withColumn("dup_ppm",
+        when(col("n_toks") === 0L, 0L).otherwise(expr("dup_toks * 1000000 div n_toks")))
+  }
+
+  /** [[cdcChunks]] mirrored. */
+  def cdcChunksSql(): String = {
+    val P = Parity.BigP
+    val h = Parity.tokenH40Sql("ts[CAST(pos AS INT)]")
+    s"""WITH tok AS (SELECT doc_id, ${Parity.tokensSql("text")} AS ts FROM documents),
+       |p AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, $h AS h
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos FROM tok)),
+       |g AS (
+       |  SELECT doc_id, pos, h,
+       |         ((lag(h, 2) OVER w * 31 + lag(h, 1) OVER w) * 31 + h) % $P AS roll
+       |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |b AS (
+       |  SELECT doc_id, pos, h,
+       |         CASE WHEN pos >= 3 AND roll % $CdcDivisor = 0 THEN 1 ELSE 0 END AS bnd
+       |  FROM g),
+       |c AS (
+       |  SELECT doc_id, pos, h,
+       |         CAST(coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx
+       |  FROM b),
+       |ch AS (
+       |  SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_toks,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY pos)),
+       |                     (acc, x) -> (acc * ${Parity.TokP} + x) % $P) AS chash,
+       |         doc_id * 1000000 + chunk_idx AS akey
+       |  FROM c GROUP BY 1, 2),
+       |fst AS (SELECT chash, min(akey) AS fkey FROM ch GROUP BY 1),
+       |pd AS (
+       |  SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |         CAST(sum(CASE WHEN ch.akey <> fst.fkey THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       |         CAST(sum(ch.n_toks) AS BIGINT) AS n_toks,
+       |         CAST(sum(CASE WHEN ch.akey <> fst.fkey THEN ch.n_toks ELSE 0 END) AS BIGINT) AS dup_toks
+       |  FROM ch JOIN fst USING (chash) GROUP BY 1)
+       |SELECT d.doc_id,
+       |       coalesce(pd.n_chunks, 0) AS n_chunks,
+       |       coalesce(pd.dup_chunks, 0) AS dup_chunks,
+       |       coalesce(pd.n_toks, 0) AS n_toks,
+       |       coalesce(pd.dup_toks, 0) AS dup_toks,
+       |       CASE WHEN coalesce(pd.n_toks, 0) = 0 THEN 0
+       |            ELSE coalesce(pd.dup_toks, 0) * 1000000 // pd.n_toks END AS dup_ppm
+       |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+  }
 }

@@ -2126,4 +2126,108 @@ object EventOps {
        |  FROM n WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id))
        |SELECT path, CAST(count(*) AS BIGINT) AS n FROM p WHERE t3 IS NOT NULL
        |GROUP BY path ORDER BY n DESC, path LIMIT $k""".stripMargin
+
+  // ---- event-time lateness audit -------------------------------------------
+
+  /** Out-of-orderness audit: for each event, lateness = (running max of
+    * event time over ARRIVAL order) − its own event time. This is THE
+    * design statistic for a streaming watermark: `withWatermark(delay)`
+    * drops exactly the rows whose lateness exceeds `delay`, so the
+    * lateness histogram tells an operator what each candidate delay
+    * would discard BEFORE deploying it (the
+    * [[graft.streaming.StreamOps]] gates all take this delay as a
+    * parameter; this query is how a user picks it).
+    *
+    * Two channels, one row each: `log` audits the append log as it
+    * stands (arrival = event_id — and measures this corpus' log to be
+    * perfectly time-sorted, the zero row being the finding); `replay_j8`
+    * replays the same log through a deterministic reorder channel
+    * (arrival key = event_id + hash-jitter < 8 positions — a simulated
+    * racy multi-ingester), which is what gives the histogram machinery
+    * real mass to classify.
+    *
+    * Scale shape: the prefix max is two-level — a partitioned window
+    * inside arrival blocks of 4096 plus a per-channel cross-block prefix
+    * over the n/4096-row block table (one more level of the same
+    * blocking covers any realistic log before the block table itself is
+    * data-scale; never an unpartitioned window over the events). The
+    * final readout is one bounded aggregate.
+    *
+    * Output: two rows `(channel, n, on_time, le_1m, le_10m, le_1h,
+    * gt_1h, max_late_us, late_ppm)`.
+    */
+  def latenessAudit(events: DataFrame): DataFrame = {
+    val e = events.select(
+      col("event_id").cast("long").as("eid"),
+      expr("unix_micros(ts)").as("us"))
+    val log = e.select(lit("log").as("channel"), col("eid").as("ak"), col("eid"), col("us"))
+    val replay = e.select(
+      lit("replay_j8").as("channel"),
+      (col("eid") + (lit(1103515245L) * (col("eid") % 1000003L) + 12345L) % 2147483647L % 8L)
+        .as("ak"),
+      col("eid"),
+      col("us"))
+    val base = log.unionAll(replay).withColumn("blk", expr("ak div 4096"))
+    val wIn = Window
+      .partitionBy(col("channel"), col("blk"))
+      .orderBy(col("ak"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inMax = base.withColumn("inmax", max(col("us")).over(wIn))
+    val wBlk = Window
+      .partitionBy(col("channel"))
+      .orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = base
+      .groupBy(col("channel"), col("blk"))
+      .agg(max(col("us")).as("bmax"))
+      .withColumn("pmax", max(col("bmax")).over(wBlk))
+      .drop("bmax")
+    inMax
+      .join(prefix, Seq("channel", "blk"))
+      .withColumn("late_us",
+        greatest(col("inmax"), coalesce(col("pmax"), col("inmax"))) - col("us"))
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("late_us") === 0L, 1L).otherwise(0L)).as("on_time"),
+        sum(when(col("late_us") > 0L && col("late_us") <= 60000000L, 1L).otherwise(0L))
+          .as("le_1m"),
+        sum(when(col("late_us") > 60000000L && col("late_us") <= 600000000L, 1L).otherwise(0L))
+          .as("le_10m"),
+        sum(when(col("late_us") > 600000000L && col("late_us") <= 3600000000L, 1L).otherwise(0L))
+          .as("le_1h"),
+        sum(when(col("late_us") > 3600000000L, 1L).otherwise(0L)).as("gt_1h"),
+        max(col("late_us")).as("max_late_us"))
+      .withColumn("late_ppm", expr("(n - on_time) * 1000000 div n"))
+  }
+
+  /** [[latenessAudit]] mirrored — the oracle computes the IDENTICAL
+    * prefix max with one flat per-channel window (blocking is a
+    * physical-plan choice, not a semantic one).
+    */
+  def latenessAuditSql(): String =
+    s"""WITH e AS (
+       |  SELECT CAST(event_id AS BIGINT) AS eid, epoch_us(ts) AS us FROM events),
+       |b AS (
+       |  SELECT 'log' AS channel, eid AS ak, eid, us FROM e
+       |  UNION ALL
+       |  SELECT 'replay_j8' AS channel,
+       |         eid + (1103515245 * (eid % 1000003) + 12345) % 2147483647 % 8 AS ak,
+       |         eid, us
+       |  FROM e),
+       |r AS (
+       |  SELECT channel, us,
+       |         max(us) OVER (PARTITION BY channel ORDER BY ak, eid
+       |                       ROWS UNBOUNDED PRECEDING) - us AS late_us
+       |  FROM b)
+       |SELECT channel, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(CASE WHEN late_us = 0 THEN 1 ELSE 0 END) AS BIGINT) AS on_time,
+       |       CAST(sum(CASE WHEN late_us > 0 AND late_us <= 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS le_1m,
+       |       CAST(sum(CASE WHEN late_us > 60000000 AND late_us <= 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS le_10m,
+       |       CAST(sum(CASE WHEN late_us > 600000000 AND late_us <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS le_1h,
+       |       CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS gt_1h,
+       |       CAST(max(late_us) AS BIGINT) AS max_late_us,
+       |       (CAST(count(*) AS BIGINT) - CAST(sum(CASE WHEN late_us = 0 THEN 1 ELSE 0 END) AS BIGINT))
+       |         * 1000000 // CAST(count(*) AS BIGINT) AS late_ppm
+       |FROM r GROUP BY channel""".stripMargin
 }
