@@ -2733,6 +2733,10 @@ object SparkEntry {
     "ann_mmr_rerank" -> ((s, d) =>
       Similarity.mmrDiversify(embs(s, d), nQueries = 8, k = 5)
         .orderBy(col("q_id"), col("rank"))),
+    // greedy k-center coreset (Gonzalez farthest-point): k diverse
+    // exemplars + achieved covering radius, exact integer distances
+    "emb_kcenter_coreset" -> ((s, d) =>
+      Similarity.kcenterCoreset(embs(s, d)).orderBy(col("rank"))),
     // session-concurrency profile: time spent at each live-session level
     "events_concurrency" -> ((s, d) =>
       EventOps.concurrency(events(s, d)).orderBy(col("concurrency"))),
@@ -5993,6 +5997,8 @@ object SparkEntry {
         s"SELECT * FROM (${EventOps.attributionSql()}) ORDER BY model, event_type",
       "ann_mmr_rerank" ->
         s"SELECT * FROM (${Similarity.mmrDiversifySql(nQueries = 8, k = 5)}) ORDER BY q_id, rank",
+      "emb_kcenter_coreset" ->
+        s"SELECT * FROM (${Similarity.kcenterCoresetSql()}) ORDER BY rank",
       "events_concurrency" ->
         s"SELECT * FROM (${EventOps.concurrencySql()}) ORDER BY concurrency",
       "events_winsorized" ->

@@ -1946,4 +1946,93 @@ object Similarity {
         col("cos"),
         col("r_vec").isNotNull.as("mutual"))
   }
+
+  // ---- k-center coreset selection -------------------------------------------
+
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal):
+    * start from the minimum vec_id, then k−1 times pick the point
+    * farthest (squared L2, exact integers) from everything chosen so
+    * far. The selected set 2-approximates the optimal k-center cover,
+    * which is the classic "pick k maximally-diverse exemplars" pass a
+    * training pipeline runs to seed a labeling budget, dedup a few-shot
+    * pool, or stratify an eval slice — the coverage-first complement of
+    * [[mmrRerank]]'s relevance-first diversity.
+    *
+    * Determinism: vectors quantize to [[KmeansScale]] micro-integers
+    * (the shared ANN discipline), distances are exact BIGINT, argmax
+    * ties break to the smaller vec_id.
+    *
+    * Scale shape: k bounded argmax aggregates over one materialized
+    * integer-vector frame — each round is one scan with a broadcast
+    * center literal folded into `least(...)`; the only driver-side rows
+    * are the k chosen centers (a bounded model artifact). The output's
+    * last row is the achieved covering radius (max over the corpus of
+    * the distance to the chosen set) — one more bounded aggregate.
+    *
+    * Output: k+1 rows `(rank, vec_id, dist2)` — rank 0..k−1 the chosen
+    * exemplars with their selection distance (0 for the seed), rank k
+    * the summary row `(k, -1, covering_radius²)`.
+    */
+  def kcenterCoreset(embs: DataFrame, k: Int = 8): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val base = Phys.materialized(
+      embs.select(
+        col("vec_id").cast("long").as("vec_id"),
+        graft.functions.MicroInts(col("embedding").cast("array<double>"), KmeansScale).as("ei")))
+    // DotLongs accumulates in double; every value here stays below 2^53
+    // (64 dims × (2·10⁶)² ≈ 2.6·10¹⁴ max dist²), so the cast back to
+    // BIGINT is exact — the oracle's pure-integer fold sees the same.
+    def dist2To(center: Array[Long]): org.apache.spark.sql.Column = {
+      val c = typedLit(center.toSeq)
+      val dl = graft.functions.DotLongs
+      (dl(c, c) + dl(col("ei"), col("ei")) - lit(2.0d) * dl(col("ei"), c)).cast("long")
+    }
+    val seed = base.orderBy(col("vec_id")).limit(1).collect()(0)
+    var picked = List((0, seed.getLong(0), 0L))
+    var minD = dist2To(seed.getSeq[Long](1).toArray)
+    for (r <- 1 until k) {
+      val sel = base
+        .select(col("vec_id"), col("ei"), minD.as("d"))
+        .orderBy(col("d").desc, col("vec_id"))
+        .limit(1)
+        .collect()(0)
+      picked ::= ((r, sel.getLong(0), sel.getLong(2)))
+      minD = least(minD, dist2To(sel.getSeq[Long](1).toArray))
+    }
+    val radius = base
+      .agg(max(minD).as("dist2"))
+      .select(lit(k).as("rank"), lit(-1L).as("vec_id"), col("dist2"))
+    picked.reverse
+      .toDF("rank", "vec_id", "dist2")
+      .unionAll(radius)
+  }
+
+  /** [[kcenterCoreset]] mirrored: the identical greedy unrolled as k−1
+    * CTE stages (argmax by `(d DESC, vec_id)`, then `least` with the
+    * new center's distance), over the same micro-integer vectors.
+    */
+  def kcenterCoresetSql(k: Int = 8): String = {
+    def d2(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(list_zip($a, $b), s -> (s[1] - s[2]) * (s[1] - s[2]))), " +
+        s"(acc, x) -> acc + x)"
+    val head = Seq(
+      s"d AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, " +
+        s"list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * $KmeansScale) AS BIGINT)) AS ei " +
+        s"FROM embeddings)",
+      "c0 AS (SELECT vec_id, ei FROM d ORDER BY vec_id LIMIT 1)",
+      s"m0 AS (SELECT d.vec_id, d.ei, ${d2("d.ei", "c0.ei")} AS md FROM d CROSS JOIN c0)")
+    val stages = (1 until k).flatMap { r =>
+      Seq(
+        s"c$r AS (SELECT vec_id, ei, md FROM m${r - 1} ORDER BY md DESC, vec_id LIMIT 1)",
+        s"m$r AS (SELECT m.vec_id, m.ei, least(m.md, ${d2("m.ei", "c.ei")}) AS md " +
+          s"FROM m${r - 1} m CROSS JOIN c$r c)")
+    }
+    val rows =
+      Seq("SELECT 0 AS rank, vec_id, CAST(0 AS BIGINT) AS dist2 FROM c0") ++
+        (1 until k).map(r => s"SELECT $r AS rank, vec_id, CAST(md AS BIGINT) AS dist2 FROM c$r") :+
+        s"SELECT $k AS rank, CAST(-1 AS BIGINT) AS vec_id, CAST(max(md) AS BIGINT) AS dist2 FROM m${k - 1}"
+    s"WITH ${(head ++ stages).mkString(",\n")}\n${rows.mkString("\nUNION ALL\n")}"
+  }
 }
