@@ -2784,6 +2784,9 @@ object SparkEntry {
     "layout_prune_report" -> ((s, d) =>
       operators.Layout.zoneMapPruneReport(table(s, d, "lineitem"))
         .orderBy(col("layout"), col("probe"))),
+    // per-column RLE/dictionary/delta encoding advisor in write order
+    "layout_encoding_stats" -> ((s, d) =>
+      operators.Layout.encodingStats(table(s, d, "lineitem")).orderBy(col("col"))),
     // per-domain frequency cap: best-K-by-quality-proxy per source
     "docs_domain_cap" -> ((s, d) =>
       TextOps.domainCap(docs(s, d)).orderBy(col("source"))),
@@ -6018,6 +6021,8 @@ object SparkEntry {
         s"SELECT * FROM (${operators.Layout.compactionPlanSql()}) ORDER BY source, bin",
       "layout_prune_report" ->
         s"SELECT * FROM (${operators.Layout.zoneMapPruneReportSql()}) ORDER BY layout, probe",
+      "layout_encoding_stats" ->
+        s"SELECT * FROM (${operators.Layout.encodingStatsSql()}) ORDER BY col",
       "docs_domain_cap" ->
         s"SELECT * FROM (${TextOps.domainCapSql()}) ORDER BY source",
       "sample_neyman_alloc" ->

@@ -561,4 +561,109 @@ object Layout {
        |       sz AS view_rows, benefit
        |FROM picks ORDER BY round""".stripMargin
   }
+
+  // ---- column encoding advisor ----------------------------------------------
+
+  /** Per-column encoding-advisor statistics in the table's write order
+    * (l_orderkey, l_linenumber): run count and mean run length (what RLE
+    * would buy), distinct count and its bit width (what dictionary
+    * encoding would buy), and the max adjacent delta with its bit width
+    * (what delta encoding would buy). This is the read a layout/compaction
+    * planner does before choosing parquet encodings or a sort key — the
+    * write-side sibling of [[zoneMapPruneReport]]'s read-side pruning
+    * stats.
+    *
+    * Runs and deltas are measured WITHIN each l_orderkey group (the unit
+    * the write order co-locates; cross-group boundaries are one run each,
+    * counted by construction since `lag` restarts per group) — so the
+    * windows are partitioned by the group key, never a global sort. The
+    * categorical column enters as its 20-bit token code; bit widths are
+    * `ceil(ln(x)/ln 2)` evaluated in the same fixed double form both
+    * engines.
+    *
+    * Scale shape: ONE corpus scan fanned long-form (narrow in-row
+    * explode), one partitioned window pass, one 5-group aggregate.
+    *
+    * Output: 5 rows `(col, n, n_distinct, dict_bits, n_runs,
+    * avg_run_centi, max_delta, delta_bits)`.
+    */
+  def encodingStats(lineitem: DataFrame): DataFrame = {
+    import graft.functions.Parity
+    val base = lineitem.select(
+      col("l_orderkey").cast("long").as("ok"),
+      col("l_linenumber").cast("long").as("lno"),
+      col("l_partkey").cast("long").as("pk"),
+      col("l_quantity").cast("long").as("qty"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      Parity.charFold(col("l_returnflag"), 31L, Parity.TokP).as("rf"))
+    val longForm = base
+      .select(
+        col("ok"),
+        col("lno"),
+        explode(array(
+          struct(lit("l_orderkey").as("c"), col("ok").as("v")),
+          struct(lit("l_partkey").as("c"), col("pk").as("v")),
+          struct(lit("l_quantity").as("c"), col("qty").as("v")),
+          struct(lit("price_cents").as("c"), col("cents").as("v")),
+          struct(lit("l_returnflag").as("c"), col("rf").as("v")))).as("s"))
+      .select(col("ok"), col("lno"), col("s.c").as("c"), col("s.v").as("v"))
+    // (ok, lno) is NOT unique in the testdata — the value itself breaks
+    // the ordering tie (remaining ties are equal values, so lag/delta
+    // results are order-invariant)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c"), col("ok"))
+      .orderBy(col("lno"), col("v"))
+    longForm
+      .withColumn("prev", lag(col("v"), 1).over(w))
+      .groupBy(col("c").as("col"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("v")).as("n_distinct"),
+        sum(when(col("prev").isNull || col("v") =!= col("prev"), 1L).otherwise(0L)).as("n_runs"),
+        max(abs(col("v") - col("prev"))).as("max_delta"))
+      .select(
+        col("col"),
+        col("n"),
+        col("n_distinct"),
+        expr("CAST(ceil(ln(CAST(n_distinct AS DOUBLE)) / ln(CAST(2 AS DOUBLE))) AS BIGINT)")
+          .as("dict_bits"),
+        col("n_runs"),
+        expr("n * 100 div n_runs").as("avg_run_centi"),
+        coalesce(col("max_delta"), lit(0L)).as("max_delta"),
+        expr(
+          "CAST(ceil(ln(CAST(coalesce(max_delta, 0) + 1 AS DOUBLE)) / ln(CAST(2 AS DOUBLE))) AS BIGINT)")
+          .as("delta_bits"))
+  }
+
+  /** [[encodingStats]] mirrored (long form as UNION ALL — same rows). */
+  def encodingStatsSql(): String = {
+    import graft.functions.Parity
+    val rf = Parity.charFoldSql("l_returnflag", 31L, Parity.TokP)
+    s"""WITH f AS (
+       |  SELECT CAST(l_orderkey AS BIGINT) AS ok, CAST(l_linenumber AS BIGINT) AS lno,
+       |         CAST(l_partkey AS BIGINT) AS pk, CAST(l_quantity AS BIGINT) AS qty,
+       |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+       |         $rf AS rf
+       |  FROM lineitem),
+       |l AS (
+       |  SELECT 'l_orderkey' AS c, ok, lno, ok AS v FROM f
+       |  UNION ALL SELECT 'l_partkey', ok, lno, pk FROM f
+       |  UNION ALL SELECT 'l_quantity', ok, lno, qty FROM f
+       |  UNION ALL SELECT 'price_cents', ok, lno, cents FROM f
+       |  UNION ALL SELECT 'l_returnflag', ok, lno, rf FROM f),
+       |w AS (
+       |  SELECT c, v, lag(v) OVER (PARTITION BY c, ok ORDER BY lno, v) AS prev FROM l),
+       |a AS (
+       |  SELECT c AS col, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+       |         CAST(sum(CASE WHEN prev IS NULL OR v <> prev THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+       |         CAST(max(abs(v - prev)) AS BIGINT) AS max_delta
+       |  FROM w GROUP BY c)
+       |SELECT col, n, n_distinct,
+       |       CAST(ceil(ln(CAST(n_distinct AS DOUBLE)) / ln(CAST(2 AS DOUBLE))) AS BIGINT) AS dict_bits,
+       |       n_runs, n * 100 // n_runs AS avg_run_centi,
+       |       coalesce(max_delta, 0) AS max_delta,
+       |       CAST(ceil(ln(CAST(coalesce(max_delta, 0) + 1 AS DOUBLE)) / ln(CAST(2 AS DOUBLE))) AS BIGINT) AS delta_bits
+       |FROM a""".stripMargin
+  }
 }
