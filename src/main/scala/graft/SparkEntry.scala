@@ -2737,6 +2737,11 @@ object SparkEntry {
     // exemplars + achieved covering radius, exact integer distances
     "emb_kcenter_coreset" -> ((s, d) =>
       Similarity.kcenterCoreset(embs(s, d)).orderBy(col("rank"))),
+    // metadata-filtered vector search: candidate predicate pruned inside
+    // the probed IVF cells (never post-truncating the top-k)
+    "ann_filtered_topk" -> ((s, d) =>
+      Similarity.ivfFilteredTopK(embs(s, d), nQueries = 20, k = 5)
+        .orderBy(col("q_id"), col("rank"))),
     // session-concurrency profile: time spent at each live-session level
     "events_concurrency" -> ((s, d) =>
       EventOps.concurrency(events(s, d)).orderBy(col("concurrency"))),
@@ -6002,6 +6007,8 @@ object SparkEntry {
         s"SELECT * FROM (${Similarity.mmrDiversifySql(nQueries = 8, k = 5)}) ORDER BY q_id, rank",
       "emb_kcenter_coreset" ->
         s"SELECT * FROM (${Similarity.kcenterCoresetSql()}) ORDER BY rank",
+      "ann_filtered_topk" ->
+        s"SELECT * FROM (${Similarity.ivfFilteredTopKSql(nQueries = 20, k = 5)}) ORDER BY q_id, rank",
       "events_concurrency" ->
         s"SELECT * FROM (${EventOps.concurrencySql()}) ORDER BY concurrency",
       "events_winsorized" ->

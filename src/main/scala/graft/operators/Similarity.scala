@@ -202,7 +202,12 @@ object Similarity {
     * probe (rn ≤ nProbe), exact cosine re-rank within the probed lists.
     * Input must carry (vec_id, cid, e, ccos).
     */
-  private def rankAndProbe(cellScores: DataFrame, nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+  private def rankAndProbe(
+      cellScores: DataFrame,
+      nQueries: Int,
+      k: Int,
+      nProbe: Int,
+      candPred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val wCell = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     // materialized: both the inverted lists (rn = 1) and the query probes
     // (rn <= nProbe) consume this — without it the corpus×centroid
@@ -210,6 +215,7 @@ object Similarity {
     val rankedCells = Phys.materialized(cellScores.withColumn("rn", row_number().over(wCell)))
     val assigned = rankedCells
       .filter(col("rn") === 1)
+      .filter(candPred)
       .select(col("vec_id").as("n_id"), col("cid"), col("e").as("ne"))
     val probes = rankedCells
       .filter(col("vec_id") < nQueries && col("rn") <= nProbe)
@@ -1946,6 +1952,73 @@ object Similarity {
         col("cos"),
         col("r_vec").isNotNull.as("mutual"))
   }
+
+  // ---- filtered vector search ------------------------------------------------
+
+  /** Metadata-filtered ANN (the "filtered vector search" every vector
+    * store ships): IVF probe with a candidate predicate — here `vec_id %
+    * mod = 0`, standing in for any licensing/shard/tenant filter —
+    * applied to the inverted lists BEFORE exact re-ranking, so the
+    * filter prunes candidates inside the probed cells rather than
+    * post-truncating the top-k (the classic wrong way, which returns
+    * fewer than k rows or misses matches entirely). With filter
+    * selectivity 1/mod the effective list length shrinks by ~mod, which
+    * is why the default probes one more cell than [[ivfTopK]] — the
+    * standard nProbe-vs-selectivity tradeoff, made visible here as a
+    * parameter.
+    *
+    * Scale shape: identical to [[ivfTopK]] (one corpus×centroid
+    * broadcast scoring pass reused by lists and probes, candidate join
+    * keyed on the cell) — the predicate is a narrow filter pushed onto
+    * the assigned lists.
+    */
+  def ivfFilteredTopK(
+      embs: DataFrame,
+      nQueries: Int,
+      k: Int,
+      nProbe: Int = 3,
+      mod: Long = 3L): DataFrame = {
+    val d = asDouble(embs)
+    val cellScores = d
+      .crossJoin(broadcast(centroidVectors(embs)))
+      .select(
+        col("vec_id"),
+        col("cid"),
+        col("e"),
+        round(Parity.cosine(col("e"), col("c")), 6).as("ccos"))
+    rankAndProbe(cellScores, nQueries, k, nProbe, candPred = col("vec_id") % mod === 0L)
+  }
+
+  /** [[ivfFilteredTopK]] mirrored (the ann_ivf_topk oracle with the
+    * candidate predicate on the inverted lists). */
+  def ivfFilteredTopKSql(nQueries: Int, k: Int, nProbe: Int = 3, mod: Long = 3L): String =
+    s"""WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cent AS (
+       |  SELECT label AS cid, list(centroid ORDER BY dim) AS c
+       |  FROM (SELECT label, CAST(t.i AS INT) AS dim, round(avg(e[t.i]), 6) AS centroid
+       |        FROM d CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2)
+       |  GROUP BY label),
+       |cell_scores AS (
+       |  SELECT v.vec_id, c.cid, round(${Parity.cosineSql("v.e", "c.c")}, 6) AS ccos
+       |  FROM d v CROSS JOIN cent c),
+       |ranked_cells AS (
+       |  SELECT vec_id, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |  FROM cell_scores),
+       |assigned AS (
+       |  SELECT vec_id AS n_id, cid FROM ranked_cells WHERE rn = 1 AND vec_id % $mod = 0),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cid FROM ranked_cells WHERE vec_id < $nQueries AND rn <= $nProbe),
+       |scored AS (
+       |  SELECT p.q_id, a.n_id, round(${Parity.cosineSql("q.e", "n.e")}, 6) AS cos
+       |  FROM probes p
+       |  JOIN assigned a ON a.cid = p.cid AND a.n_id <> p.q_id
+       |  JOIN d q ON q.vec_id = p.q_id
+       |  JOIN d n ON n.vec_id = a.n_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT * FROM ranked WHERE rank <= $k""".stripMargin
 
   // ---- k-center coreset selection -------------------------------------------
 
