@@ -1,0 +1,143 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, EventOps, Layout, Similarity, Stats, Training}
+
+/** Round-12 wave: information-theoretic stats, conformal intervals,
+  * lateness audit, CDC chunking, k-center coresets, encoding advisor,
+  * filtered vector search — planted-input invariants for each.
+  */
+class AdvisorOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("mutual information: MI >= 0, VI = Hx + Hy - 2*MI, on real events") {
+    val r = Stats.mutualInfo(model.eventsTable(spark, dir)).collect()(0)
+    val (mi, hx, hy, vi) = (
+      r.getAs[Long]("mi_nano"),
+      r.getAs[Long]("hx_nano"),
+      r.getAs[Long]("hy_nano"),
+      r.getAs[Long]("vi_nano"))
+    // MI of a finite sample is >= 0 up to per-cell nano rounding
+    assert(mi >= -r.getAs[Long]("n_cells"))
+    assert(vi === hx + hy - 2 * mi)
+    assert(hx > 0 && hy > 0)
+  }
+
+  test("conformal on exactly-linear data: zero half-width, full coverage") {
+    import spark.implicits._
+    // y = 10.000x exactly (price = 10*qty) → every residual is 0, the
+    // calibrated interval collapses to q = 0, coverage is 100%
+    val rows = (1L to 400L).map(i => (i, (i % 50) + 1, ((i % 50) + 1) * 10.0))
+    val li = rows.toDF("l_orderkey", "l_quantity", "l_extendedprice")
+    val r = Training.conformalInterval(li).collect()(0)
+    assert(r.getAs[Long]("q_mic") === 0L)
+    assert(r.getAs[Long]("coverage_ppm") === 1000000L)
+    assert(r.getAs[Long]("n_train") > 0 && r.getAs[Long]("n_calib") > 0)
+    // the rank index is the exact integer ceil(9(n+1)/10)
+    val nc = r.getAs[Long]("n_calib")
+    assert(r.getAs[Long]("q_idx") === (9 * (nc + 1) + 9) / 10)
+  }
+
+  test("lateness audit: sorted log is all on-time; buckets partition n") {
+    import spark.implicits._
+    val ev = (0L until 300L)
+      .map(i => (i, new Timestamp(1700000000000L + i * 1000L)))
+      .toDF("event_id", "ts")
+    val out = EventOps.latenessAudit(ev).collect()
+    val log = out.find(_.getAs[String]("channel") == "log").get
+    assert(log.getAs[Long]("on_time") === 300L)
+    assert(log.getAs[Long]("max_late_us") === 0L)
+    out.foreach { r =>
+      val parts = Seq("on_time", "le_1m", "le_10m", "le_1h", "gt_1h")
+        .map(r.getAs[Long](_))
+        .sum
+      assert(parts === r.getAs[Long]("n"))
+    }
+  }
+
+  test("CDC chunking: token conservation, full-dup copy, shift resilience") {
+    import spark.implicits._
+    val words =
+      (1 to 120).map(i => s"w${i * 7 % 101}x${i % 13}").mkString(" ")
+    val docs = Seq(
+      (0L, words, "en", "a", 1L),
+      (1L, words, "en", "a", 1L), // exact copy → fully duplicate
+      (2L, "prepended " + words, "en", "a", 1L), // shifted copy → suffix chunks still dedup
+      (3L, (1 to 50).map(i => s"q${i}z${i * 3}").mkString(" "), "en", "a", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.cdcChunks(docs).collect().map(r => r.getLong(0) -> r).toMap
+    // token conservation: chunks cover every token exactly once
+    assert(out(0L).getAs[Long]("n_toks") === 120L)
+    assert(out(2L).getAs[Long]("n_toks") === 121L)
+    // the exact copy is 100% duplicate tokens
+    assert(out(1L).getAs[Long]("dup_ppm") === 1000000L)
+    // content-defined cuts survive the one-token prepend: the shifted
+    // copy still shares chunks with doc 0 (fixed-width chunking would
+    // share none)
+    assert(out(2L).getAs[Long]("dup_toks") > 0L)
+    // the unrelated doc shares nothing
+    assert(out(3L).getAs[Long]("dup_toks") === 0L)
+  }
+
+  test("k-center coreset covers planted far-apart clusters, radii non-increasing") {
+    import spark.implicits._
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f), 0),
+      (1L, Array(0.01f, 0.0f), 0),
+      (2L, Array(0.9f, 0.9f), 1),
+      (3L, Array(0.9f, 0.89f), 1),
+      (4L, Array(-0.9f, 0.9f), 2),
+      (5L, Array(-0.89f, 0.9f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.kcenterCoreset(pts, k = 3).collect().sortBy(_.getAs[Int]("rank"))
+    val chosen = rows.take(3).map(_.getAs[Long]("vec_id")).toSet
+    // one exemplar per planted cluster
+    assert(chosen.map(id => id / 2).size === 3)
+    // selection radii are non-increasing, and the final covering radius
+    // is the tiny intra-cluster distance
+    val d1 = rows(1).getAs[Long]("dist2")
+    val d2 = rows(2).getAs[Long]("dist2")
+    val cover = rows(3).getAs[Long]("dist2")
+    assert(d1 >= d2 && d2 >= cover)
+    assert(cover <= 400000000L) // ≤ (0.02 · 10⁶)²
+  }
+
+  test("encoding advisor: constant vs incrementing planted columns") {
+    import spark.implicits._
+    val rows = (0L until 120L).map { i =>
+      (i / 4, (i % 4) + 1, 7L, (i % 4) * 3 + 1, 1.0, "N")
+    }
+    val li = rows.toDF(
+      "l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+      "l_extendedprice", "l_returnflag")
+    val out = Layout.encodingStats(li).collect().map(r => r.getString(0) -> r).toMap
+    // constant column: one run per group, zero deltas, dict of 1 value
+    val pk = out("l_partkey")
+    assert(pk.getAs[Long]("n_distinct") === 1L)
+    assert(pk.getAs[Long]("n_runs") === 30L)
+    assert(pk.getAs[Long]("max_delta") === 0L)
+    assert(pk.getAs[Long]("dict_bits") === 0L)
+    // stepping column: every row a new run inside its group, delta = 3
+    val q = out("l_quantity")
+    assert(q.getAs[Long]("max_delta") === 3L)
+    assert(q.getAs[Long]("n_runs") === 120L)
+  }
+
+  test("filtered vector search: every hit satisfies the predicate, ranks dense") {
+    val out = Similarity
+      .ivfFilteredTopK(model.table(spark, dir, "embeddings"), nQueries = 6, k = 4)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_id") % 3 === 0L)
+    }
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks === (1 to ranks.length).toArray)
+    }
+  }
+}
