@@ -651,6 +651,11 @@ object SparkEntry {
     // bins vs observed positive rate
     "train_fasttext_calibration" -> ((s, d) =>
       operators.Training.fasttextCalibration(s, docs(s, d)).orderBy(col("bin"))),
+    // isotonic (PAV-optimal, minimax closed form) calibration of the
+    // stored score: the monotone score→probability map served next to
+    // the raw reliability diagram; bounded bins-table arithmetic only
+    "train_isotonic" -> ((s, d) =>
+      operators.Training.isotonicCalibration(s, docs(s, d)).orderBy(col("bin"))),
     // stored-stump serving: literal CASE chain, one scan, no training
     "train_gbm_stored" -> ((s, d) => {
       val m = operators.Training.writeGbmModel(s, table(s, d, "lineitem"))
@@ -5018,6 +5023,8 @@ object SparkEntry {
       "train_gbm_stumps" -> operators.Training.gbmStumpsSql(),
       "train_gbm_stored" -> operators.Training.gbmApplyStoredSql(),
       "train_fasttext_calibration" -> operators.Training.fasttextCalibrationSql(),
+      "train_isotonic" ->
+        s"SELECT * FROM (${operators.Training.isotonicCalibrationSql()}) ORDER BY bin",
       "sketch_kmv_shingles" -> {
         val k = operators.Sketches.KmvK
         s"""WITH g AS (SELECT DISTINCT unnest($shingleSql) AS g FROM $fromToks),

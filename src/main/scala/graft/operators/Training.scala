@@ -862,6 +862,84 @@ object Training {
       .withColumn("rate_ppm", expr("n_pos * 1000000 div n"))
   }
 
+  /** Isotonic (monotone non-decreasing) calibration of the trained
+    * fastText score, fit over [[fasttextCalibration]]'s reliability
+    * bins by the exact minimax closed form of weighted isotonic
+    * regression: `iso_i = max_{j≤i} min_{k≥i} avg(y over bins j..k)`
+    * (the pool-adjacent-violators optimum, written as a bounded
+    * minimax instead of the sequential PAV sweep so both engines
+    * compute it identically with no iteration). Where the empirical
+    * bin rates dip out of order — sampling noise in a finite
+    * calibration set — the fit pools them; the output is the monotone
+    * score→probability map a production scorer serves, next to the
+    * raw reliability diagram.
+    *
+    * Scale shape: everything after the calibration aggregate operates
+    * on the BINS-row table (a bounded model artifact, like the GBM
+    * histogram): prefix sums over `bins` rows, a (j,k) range self-join
+    * of ≤ bins² rows, two bounded grouped aggregates. The corpus cost
+    * is [[fasttextCalibration]]'s — one stored-model scoring pass.
+    *
+    * Output: one row per bin `(bin, n, n_pos, rate_ppm, iso_ppm)`,
+    * `iso_ppm` non-decreasing in `bin`.
+    */
+  def isotonicCalibration(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      bins: Int = 10): DataFrame = {
+    val cal = Phys.materialized(
+      fasttextCalibration(spark, docs, bins)
+        .select(col("bin"), col("n"), col("n_pos"), col("rate_ppm")))
+    // windows/joins below are over the `bins`-row artifact, not the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val p = cal
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("cs", sum(col("n_pos")).over(w))
+    val ranges = p
+      .alias("j")
+      .join(p.alias("k"), col("j.bin") <= col("k.bin"))
+      .select(
+        col("j.bin").as("jb"),
+        col("k.bin").as("kb"),
+        (expr("CAST(k.cs - (j.cs - j.n_pos) AS DOUBLE)") /
+          expr("CAST(k.cn - (j.cn - j.n) AS DOUBLE)")).as("a"))
+    val iso = ranges
+      .join(cal.select(col("bin").as("ib")), col("jb") <= col("ib") && col("kb") >= col("ib"))
+      .groupBy(col("jb"), col("ib"))
+      .agg(min(col("a")).as("mja"))
+      .groupBy(col("ib").as("bin"))
+      .agg(max(col("mja")).as("iso"))
+    cal
+      .join(iso, Seq("bin"))
+      .withColumn("iso_ppm", expr("CAST(round(iso * 1000000) AS BIGINT)"))
+      .drop("iso")
+  }
+
+  /** [[isotonicCalibration]] mirrored: the same minimax over the
+    * calibration-bin CTE. */
+  def isotonicCalibrationSql(bins: Int = 10, iters: Int = FtIters): String =
+    s"""WITH cal AS (${fasttextCalibrationSql(bins, iters)}),
+       |p AS (
+       |  SELECT bin, n, n_pos,
+       |         CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+       |         CAST(sum(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+       |  FROM cal),
+       |r AS (
+       |  SELECT j.bin AS jb, k.bin AS kb,
+       |         CAST(k.cs - (j.cs - j.n_pos) AS DOUBLE)
+       |           / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS a
+       |  FROM p j JOIN p k ON j.bin <= k.bin),
+       |t AS (
+       |  SELECT r.jb, i.bin AS ib, min(r.a) AS mja
+       |  FROM r JOIN p i ON r.jb <= i.bin AND r.kb >= i.bin
+       |  GROUP BY 1, 2),
+       |iso AS (SELECT ib AS bin, max(mja) AS iso FROM t GROUP BY 1)
+       |SELECT cal.bin, cal.n, cal.n_pos, cal.rate_ppm,
+       |       CAST(round(iso.iso * 1000000) AS BIGINT) AS iso_ppm
+       |FROM cal JOIN iso USING (bin)""".stripMargin
+
   /** [[fasttextCalibration]] mirrored over the training CTEs. */
   def fasttextCalibrationSql(bins: Int = 10, iters: Int = FtIters): String = {
     val score = "w.w0" + (1 to FtDim).map(j => s" + w.w$j * (r.x${j}r - mm.m$j)").mkString

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, EventOps, Layout, Similarity, Stats, Training}
+// (Training.isotonicCalibration trains through the shared ModelCache)
 
 /** Round-12 wave: information-theoretic stats, conformal intervals,
   * lateness audit, CDC chunking, k-center coresets, encoding advisor,
@@ -125,6 +126,21 @@ class AdvisorOpsSpec extends SparkSpec {
     val q = out("l_quantity")
     assert(q.getAs[Long]("max_delta") === 3L)
     assert(q.getAs[Long]("n_runs") === 120L)
+  }
+
+  test("isotonic calibration: monotone fit that conserves the positive mass") {
+    val rows = Training
+      .isotonicCalibration(spark, model.table(spark, dir, "documents"))
+      .collect()
+      .sortBy(_.getAs[Long]("bin"))
+    val iso = rows.map(_.getAs[Long]("iso_ppm"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b })
+    // isotonic regression preserves the weighted mean: Σ n·iso = Σ n_pos
+    // (up to the 1-ppm per-bin rounding of iso_ppm)
+    val n = rows.map(_.getAs[Long]("n"))
+    val fitted = rows.zip(n).map { case (r, w) => r.getAs[Long]("iso_ppm") * w }.sum
+    val actual = rows.map(r => r.getAs[Long]("n_pos") * 1000000L).sum
+    assert(math.abs(fitted - actual) <= n.sum)
   }
 
   test("filtered vector search: every hit satisfies the predicate, ranks dense") {
