@@ -720,6 +720,11 @@ object SparkEntry {
     // (Gopher) ∧ ensemble dedup keep ∧ DSIR importance (llr > 0), per
     // lang — each stage the already-verified operator; the composition
     // adds three doc_id joins and one rollup
+    // dense-retrieval (RAG) pipeline: chunk → hash-embed → cosine top-k
+    // for three planted queries; swap the embed expression for model
+    // vectors and the brute pass for the IVF probe at scale
+    "pipeline_rag" -> ((s, d) =>
+      TextOps.ragRetrieve(docs(s, d)).orderBy(col("query_id"), col("rank"))),
     "pipeline_modern" -> ((s, d) => {
       val g = TextOps.gopherRules(docs(s, d)).select(col("doc_id"), col("pass"))
       val v = Dedup.verdict(docs(s, d)).select(col("doc_id"), col("keep"))
@@ -4169,6 +4174,8 @@ object SparkEntry {
            |WHERE hamming <= ${Dedup.SimhashMaxHamming}
            |ORDER BY hamming, doc_id LIMIT 10""".stripMargin
       },
+      "pipeline_rag" ->
+        s"SELECT * FROM (${TextOps.ragRetrieveSql()}) ORDER BY query_id, rank",
       "pipeline_modern" ->
         s"""WITH gop AS (${TextOps.gopherRulesSql().replace("\n", "\n  ")}),
            |vd AS (WITH ${verdictDupCtes.replace("\n", "\n  ")}

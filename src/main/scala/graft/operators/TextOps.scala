@@ -2704,4 +2704,116 @@ object TextOps {
        |$rounds
        |SELECT term, pr FROM r$iters ORDER BY pr DESC, term LIMIT $k""".stripMargin
   }
+
+  // ---- dense retrieval (RAG) pipeline ---------------------------------------
+
+  /** Hash-embedding dimensionality for [[ragRetrieve]]. */
+  val RagDims = 32
+
+  /** The three planted retrieval queries (terms from the corpus
+    * vocabulary; the oracle embeds the identical literals). */
+  val RagQueries: Seq[(String, String)] = Seq(
+    ("q1", "hash join merge batch"),
+    ("q2", "window sort order line"),
+    ("q3", "scan filter table row"))
+
+  /** Signed feature-hash embedding (the hashing trick, Weinberger 2009):
+    * token t adds ±1 to dimension `h(t) mod dims`, sign from bit 6 of
+    * the shared 40-bit token hash. Deterministic, vocabulary-free, and
+    * exactly mirrorable — the embedding stub that makes a dense
+    * retrieval pipeline testable without a neural encoder (swap this
+    * one expression for real model vectors in production; every other
+    * stage is unchanged). Spelled per-dimension like [[Parity.simhash]]
+    * (dims array traversals; the single-pass custom Expression is the
+    * same upgrade path).
+    */
+  def hashEmbed(t: Column, dims: Int = RagDims): Column = {
+    val hs = transform(Parity.tokens(t), tok => Parity.tokenH40(tok))
+    array((0 until dims).map { j =>
+      aggregate(
+        hs,
+        lit(0L),
+        (acc, h) =>
+          acc + when(
+            h % dims === j,
+            lit(1L) - lit(2L) * shiftright(h, 6).bitwiseAND(lit(1L))).otherwise(0L))
+    }: _*)
+  }
+
+  def hashEmbedSql(hs: String, dims: Int = RagDims): String =
+    (0 until dims)
+      .map { j =>
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($hs, " +
+          s"h -> CASE WHEN h % $dims = $j THEN 1 - 2 * ((h >> 6) & 1) ELSE 0 END)), " +
+          s"(a, x) -> a + x)"
+      }
+      .mkString("[", ", ", "]")
+
+  /** End-to-end dense-retrieval (RAG) pipeline over the corpus: chunk →
+    * embed ([[hashEmbed]]) → exact cosine top-k per query. The
+    * composition a retrieval-augmented serving stack runs at index
+    * time + query time, with the planted [[RagQueries]] standing in for
+    * user questions; the sparse sibling is `text_bm25_query`.
+    *
+    * Scale shape: chunking is a narrow per-doc fan-out; embedding is a
+    * narrow per-chunk map; scoring is a 3-row broadcast against the
+    * chunk table with a bounded-k window per query. At corpus scale the
+    * brute scoring pass swaps for the IVF probe
+    * ([[Similarity.ivfStoredTopK]]) with everything else unchanged.
+    *
+    * Output: k rows per query `(query_id, rank, doc_id, chunk_idx,
+    * cos)`.
+    */
+  def ragRetrieve(docs: DataFrame, k: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = chunk(docs)
+      .select(col("doc_id"), col("chunk_idx"), hashEmbed(col("chunk")).as("cv"))
+      .filter(graft.functions.DotLongs(col("cv"), col("cv")) > 0.0d)
+    val queries = RagQueries
+      .toDF("query_id", "qtext")
+      .select(col("query_id"), hashEmbed(col("qtext")).as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id"), col("chunk_idx"))
+    chunks
+      .crossJoin(broadcast(queries))
+      .select(
+        col("query_id"),
+        col("doc_id"),
+        col("chunk_idx"),
+        round(
+          Parity.cosine(col("qv").cast("array<double>"), col("cv").cast("array<double>")),
+          6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("chunk_idx"), col("cos"))
+  }
+
+  /** [[ragRetrieve]] mirrored. */
+  def ragRetrieveSql(k: Int = 3): String = {
+    val qvals = RagQueries.map { case (id, t) => s"('$id', '$t')" }.mkString(", ")
+    val hsChunk = s"list_transform(${Parity.tokensSql("chunk")}, tok -> ${Parity
+        .tokenH40Sql("tok")})"
+    val hsQ = s"list_transform(${Parity.tokensSql("qtext")}, tok -> ${Parity.tokenH40Sql("tok")})"
+    s"""WITH ch0 AS (${chunkSql()}),
+       |ch AS (
+       |  SELECT doc_id, chunk_idx, ${hashEmbedSql(hsChunk)} AS cv FROM ch0),
+       |chnz AS (
+       |  SELECT * FROM ch
+       |  WHERE ${Parity.dotSql("CAST(cv AS DOUBLE[])", "CAST(cv AS DOUBLE[])")} > 0),
+       |q AS (
+       |  SELECT query_id, ${hashEmbedSql(hsQ)} AS qv
+       |  FROM (VALUES $qvals) AS t(query_id, qtext)),
+       |scored AS (
+       |  SELECT q.query_id, c.doc_id, c.chunk_idx,
+       |         round(${Parity
+        .cosineSql("CAST(q.qv AS DOUBLE[])", "CAST(c.cv AS DOUBLE[])")}, 6) AS cos
+       |  FROM chnz c CROSS JOIN q),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, doc_id, chunk_idx) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, doc_id, chunk_idx, cos FROM ranked WHERE rank <= $k""".stripMargin
+  }
 }
