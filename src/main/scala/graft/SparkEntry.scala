@@ -1729,6 +1729,14 @@ object SparkEntry {
     // optimizer's aggregate-sizing read, exact below k by construction
     "opt_groupby_card" -> ((s, d) =>
       operators.Sketches.groupByCardKmv(model.table(s, d, "orders"))),
+    // the decision the statistics exist for: System-R first-join choice
+    // over the 3-table chain, estimate vs exact (counted, never
+    // materialized) candidate sizes, minimum marked
+    "opt_join_order" -> ((s, d) =>
+      operators.Sketches.joinOrderChoice(
+        model.table(s, d, "customer"),
+        model.table(s, d, "orders"),
+        model.table(s, d, "lineitem")).orderBy(col("first_join"))),
     // sequence packing, concat-then-chunk: boundary cuts vs zero pad
     "docs_seq_pack" -> ((s, d) =>
       operators.Packing.seqPack(docs(s, d)).orderBy(col("shard"))),
@@ -5055,6 +5063,8 @@ object SparkEntry {
       "sketch_cms_tokens" -> operators.Sketches.cmsHeavyHittersSql(),
       "join_size_cms" -> operators.Sketches.joinSizeCmsSql(),
       "opt_selectivity_hist" -> operators.Sketches.selectivityHistSql(),
+      "opt_join_order" ->
+        s"SELECT * FROM (${operators.Sketches.joinOrderChoiceSql()}) ORDER BY first_join",
       "opt_groupby_card" -> operators.Sketches.groupByCardKmvSql(),
       "docs_seq_pack" ->
         s"SELECT * FROM (${operators.Packing.seqPackSql()}) ORDER BY shard",

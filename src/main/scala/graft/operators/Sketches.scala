@@ -892,4 +892,117 @@ object Sketches {
        |       ms[2] AS ci_lo, ms[${b - 1}] AS ci_hi
        |FROM m""".stripMargin
   }
+
+  // ---- join-order choice from the statistics --------------------------------
+
+  /** The optimizer decision the statistics exist FOR: given the 3-table
+    * chain customer ⨝(custkey) orders ⨝(orderkey) lineitem, estimate
+    * each candidate first join with the System-R uniform formula
+    * `|A|·|B| / max(ndv_A, ndv_B)` (cross products cost the raw
+    * product), measure the TRUE size of each candidate exactly, and
+    * mark the chosen (minimum-estimate) start. With three relations the
+    * Selinger DP degenerates to exactly this first-join choice, so the
+    * row shows the decision AND the estimator error that drives it —
+    * the companion of `join_size_cms` (sketch estimate) and
+    * `opt_selectivity_hist` (filter estimate).
+    *
+    * Exactness: the true equi-join sizes come from Σ_k cntA(k)·cntB(k)
+    * over per-key count histograms (one keyed aggregate per side, one
+    * keyed join — the join is COUNTED, never materialized); the true
+    * cross size is the arithmetic product. All integers.
+    *
+    * Output: 3 rows `(first_join, est_rows, actual_rows, err_ppm,
+    * chosen)`.
+    */
+  def joinOrderChoice(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val c = customer.agg(
+      count(lit(1)).as("cn"),
+      countDistinct(col("c_custkey")).as("c_ndv"))
+    val o = orders.agg(
+      count(lit(1)).as("on"),
+      countDistinct(col("o_custkey")).as("o_ndv_ck"),
+      countDistinct(col("o_orderkey")).as("o_ndv_ok"))
+    val l = lineitem.agg(
+      count(lit(1)).as("ln"),
+      countDistinct(col("l_orderkey")).as("l_ndv"))
+    val actCO = customer
+      .groupBy(col("c_custkey").as("k"))
+      .agg(count(lit(1)).as("a"))
+      .join(orders.groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("b")), Seq("k"))
+      .agg(coalesce(sum(col("a") * col("b")), lit(0L)).as("act_co"))
+    val actOL = orders
+      .groupBy(col("o_orderkey").as("k"))
+      .agg(count(lit(1)).as("a"))
+      .join(lineitem.groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("b")), Seq("k"))
+      .agg(coalesce(sum(col("a") * col("b")), lit(0L)).as("act_ol"))
+    c.crossJoin(broadcast(o))
+      .crossJoin(broadcast(l))
+      .crossJoin(broadcast(actCO))
+      .crossJoin(broadcast(actOL))
+      .withColumn("est_co", expr("cn * on div greatest(c_ndv, o_ndv_ck)"))
+      .withColumn("est_ol", expr("on * ln div greatest(o_ndv_ok, l_ndv)"))
+      .withColumn("est_cl", expr("cn * ln"))
+      .select(explode(array(
+        struct(
+          lit("customer*orders").as("first_join"),
+          col("est_co").as("est_rows"),
+          col("act_co").as("actual_rows"),
+          (col("est_co") === least(col("est_co"), col("est_ol"), col("est_cl"))).as("chosen")),
+        struct(
+          lit("orders*lineitem").as("first_join"),
+          col("est_ol").as("est_rows"),
+          col("act_ol").as("actual_rows"),
+          (col("est_ol") < least(col("est_co"), col("est_cl"))).as("chosen")),
+        struct(
+          lit("customer*lineitem").as("first_join"),
+          col("est_cl").as("est_rows"),
+          col("est_cl").as("actual_rows"),
+          (col("est_cl") < least(col("est_co"), col("est_ol"))).as("chosen")))).as("s"))
+      .select(col("s.first_join"), col("s.est_rows"), col("s.actual_rows"), col("s.chosen"))
+      .withColumn("err_ppm",
+        expr("abs(est_rows - actual_rows) * 1000000 div greatest(actual_rows, 1)"))
+      .select(col("first_join"), col("est_rows"), col("actual_rows"), col("err_ppm"), col("chosen"))
+  }
+
+  /** [[joinOrderChoice]] mirrored. */
+  def joinOrderChoiceSql(): String =
+    s"""WITH c AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS cn,
+       |         CAST(count(DISTINCT c_custkey) AS BIGINT) AS c_ndv
+       |  FROM customer),
+       |o AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS onn,
+       |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS o_ndv_ck,
+       |         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS o_ndv_ok
+       |  FROM orders),
+       |l AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS lnn,
+       |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS l_ndv
+       |  FROM lineitem),
+       |aco AS (
+       |  SELECT CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT) AS act_co
+       |  FROM (SELECT c_custkey AS k, count(*) AS n FROM customer GROUP BY 1) a
+       |  JOIN (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1) b USING (k)),
+       |aol AS (
+       |  SELECT CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT) AS act_ol
+       |  FROM (SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY 1) a
+       |  JOIN (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1) b USING (k)),
+       |e AS (
+       |  SELECT cn * onn // greatest(c_ndv, o_ndv_ck) AS est_co,
+       |         onn * lnn // greatest(o_ndv_ok, l_ndv) AS est_ol,
+       |         cn * lnn AS est_cl, act_co, act_ol
+       |  FROM c CROSS JOIN o CROSS JOIN l CROSS JOIN aco CROSS JOIN aol),
+       |rows0 AS (
+       |  SELECT 'customer*orders' AS first_join, est_co AS est_rows, act_co AS actual_rows,
+       |         est_co = least(est_co, est_ol, est_cl) AS chosen FROM e
+       |  UNION ALL
+       |  SELECT 'orders*lineitem', est_ol, act_ol,
+       |         est_ol < least(est_co, est_cl) FROM e
+       |  UNION ALL
+       |  SELECT 'customer*lineitem', est_cl, est_cl,
+       |         est_cl < least(est_co, est_ol) FROM e)
+       |SELECT first_join, est_rows, actual_rows,
+       |       abs(est_rows - actual_rows) * 1000000 // greatest(actual_rows, 1) AS err_ppm,
+       |       chosen
+       |FROM rows0""".stripMargin
 }
