@@ -1553,6 +1553,12 @@ object SparkEntry {
     "docs_stream_dedup_static" -> ((s, d) =>
       streaming.StreamOps.docDedupOverParquet(s, d, firstNewId = 400L)
         .orderBy(col("source"))),
+    // chunk-level dedup-on-arrival: arriving docs CDC-chunked array-side
+    // (no windows in a streaming plan), chunks anti-probed against the
+    // static chunk store — the per-batch "bytes of new content" meter
+    "docs_stream_cdc_static" -> ((s, d) =>
+      streaming.StreamOps.docCdcGateOverParquet(s, d, firstNewId = 400L)
+        .orderBy(col("source"))),
     // per-source admission quota at ingest: stateful counter admits the
     // first K per source, O(|sources|) state
     "docs_stream_domain_cap" -> ((s, d) =>
@@ -4908,6 +4914,8 @@ object SparkEntry {
            |WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = i.fp)
            |GROUP BY source ORDER BY source""".stripMargin
       },
+      "docs_stream_cdc_static" ->
+        s"SELECT * FROM (${Dedup.cdcGateSql(firstNewId = 400L)}) ORDER BY source",
       "docs_stream_quality_static" -> operators.Training.fasttextGateSql(firstNewId = 400L),
       "docs_stream_dsir_static" -> TextOps.dsirGateSql(firstNewId = 400L),
       "docs_stream_gopher_static" ->

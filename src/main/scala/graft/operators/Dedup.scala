@@ -1841,7 +1841,11 @@ object Dedup {
     * Output: one row per document `(doc_id, n_chunks, dup_chunks,
     * n_toks, dup_toks, dup_ppm)`.
     */
-  def cdcChunks(docs: DataFrame): DataFrame = {
+  /** The (doc_id, chunk_idx, n_toks, chash) chunk table behind
+    * [[cdcChunks]] — exposed so the streaming ingest gate can build the
+    * static chunk store from the identical derivation.
+    */
+  def cdcChunkTable(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val P = Parity.BigP
     val pos = docs
@@ -1858,14 +1862,55 @@ object Dedup {
         coalesce(
           sum(col("bnd")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-    val chunks = g
-      .groupBy(col("doc_id"), col("chunk_idx"))
+    g.groupBy(col("doc_id"), col("chunk_idx"))
       .agg(
         count(lit(1)).as("n_toks"),
         aggregate(
           transform(array_sort(collect_list(struct(col("pos"), col("h")))), s => s.getField("h")),
           lit(0L),
           (acc, x) => (acc * Parity.TokP + x) % P).as("chash"))
+  }
+
+  /** [[cdcChunkTable]] computed entirely ARRAY-SIDE as one narrow
+    * column expression — array<struct<chash, n_toks>> per document, no
+    * explode, no window — which is what a Structured Streaming plan can
+    * run statelessly (windows are unavailable there). Spec-asserted
+    * equal to the window form. element_at re-evaluation inside
+    * interpreted HOFs makes this the arrivals-path form only; the
+    * corpus-side store uses [[cdcChunkTable]].
+    */
+  def cdcChunkStructs(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val P = Parity.BigP
+    val hs = transform(Parity.tokens(text), t => Parity.tokenH40(t))
+    val n = size(hs)
+    // cut positions: token p (1-based, p>=3) ends a chunk
+    val ends0 = filter(
+      sequence(lit(1), greatest(n, lit(1))),
+      p =>
+        p >= 3 && p <= n &&
+          ((element_at(hs, p - 2) * 31L + element_at(hs, p - 1)) * 31L + element_at(hs, p)) % P
+            % CdcDivisor === 0L)
+    // always close the final chunk at n (dedup if n itself was a cut)
+    val ends = when(n === 0, array().cast("array<int>"))
+      .otherwise(array_distinct(concat(ends0, array(n))))
+    val starts =
+      concat(array(lit(1)), transform(slice(ends, lit(1), size(ends) - 1), e => e + 1))
+    val zipped = zip_with(
+      starts,
+      ends,
+      (s0, e0) =>
+        struct(
+          aggregate(
+            slice(hs, s0, e0 - s0 + 1),
+            lit(0L),
+            (acc, x) => (acc * Parity.TokP + x) % P).as("chash"),
+          (e0 - s0 + 1).cast("long").as("n_toks")))
+    // empty doc → no chunks (zip_with would otherwise null-pad)
+    when(n === 0, array().cast("array<struct<chash:bigint,n_toks:bigint>>")).otherwise(zipped)
+  }
+
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val chunks = cdcChunkTable(docs)
       .withColumn("akey", col("doc_id") * 1000000L + col("chunk_idx"))
     val fst = chunks.groupBy(col("chash")).agg(min(col("akey")).as("fkey"))
     val perDoc = chunks
@@ -1890,11 +1935,13 @@ object Dedup {
         when(col("n_toks") === 0L, 0L).otherwise(expr("dup_toks * 1000000 div n_toks")))
   }
 
-  /** [[cdcChunks]] mirrored. */
-  def cdcChunksSql(): String = {
+  /** Shared oracle CTE prefix deriving the chunk table `ch(doc_id,
+    * chunk_idx, n_toks, chash, akey)` — the SQL twin of
+    * [[cdcChunkTable]]. */
+  private def cdcChunkCtes: String = {
     val P = Parity.BigP
     val h = Parity.tokenH40Sql("ts[CAST(pos AS INT)]")
-    s"""WITH tok AS (SELECT doc_id, ${Parity.tokensSql("text")} AS ts FROM documents),
+    s"""tok AS (SELECT doc_id, ${Parity.tokensSql("text")} AS ts FROM documents),
        |p AS (
        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, $h AS h
        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos FROM tok)),
@@ -1916,7 +1963,12 @@ object Dedup {
        |         list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY pos)),
        |                     (acc, x) -> (acc * ${Parity.TokP} + x) % $P) AS chash,
        |         doc_id * 1000000 + chunk_idx AS akey
-       |  FROM c GROUP BY 1, 2),
+       |  FROM c GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** [[cdcChunks]] mirrored. */
+  def cdcChunksSql(): String =
+    s"""WITH $cdcChunkCtes,
        |fst AS (SELECT chash, min(akey) AS fkey FROM ch GROUP BY 1),
        |pd AS (
        |  SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
@@ -1932,5 +1984,22 @@ object Dedup {
        |       CASE WHEN coalesce(pd.n_toks, 0) = 0 THEN 0
        |            ELSE coalesce(pd.dup_toks, 0) * 1000000 // pd.n_toks END AS dup_ppm
        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
-  }
+
+  /** Oracle for the streaming CDC-chunk ingest gate: arrivals' chunks
+    * (window form — semantically identical to the array-side streaming
+    * derivation) anti-joined against the static corpus' chunk store,
+    * rolled up per source.
+    */
+  def cdcGateSql(firstNewId: Long): String =
+    s"""WITH $cdcChunkCtes,
+       |store AS (SELECT DISTINCT chash FROM ch WHERE doc_id < $firstNewId),
+       |arr AS (SELECT doc_id, chash, n_toks FROM ch WHERE doc_id >= $firstNewId),
+       |nw AS (
+       |  SELECT a.* FROM arr a
+       |  WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.chash = a.chash))
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_new_chunks,
+       |       CAST(sum(nw.n_toks) AS BIGINT) AS new_tokens,
+       |       CAST(min(nw.doc_id) AS BIGINT) AS first_id
+       |FROM nw JOIN documents d USING (doc_id)
+       |GROUP BY 1""".stripMargin
 }

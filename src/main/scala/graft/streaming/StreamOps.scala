@@ -432,6 +432,46 @@ object StreamOps {
       "complete")
   }
 
+  /** STREAMING CDC-CHUNK DEDUP GATE: arriving documents are
+    * content-defined-chunked ([[graft.operators.Dedup.cdcChunkStructs]]
+    * — the ARRAY-SIDE form, since a streaming plan has no windows) and
+    * their chunks anti-joined against the STATIC chunk-hash store of
+    * the existing corpus, rolling up per source how many chunks — and
+    * how many tokens — are genuinely NEW. This is the ingest-time
+    * "bytes of new content" meter: the batch `dedup_cdc_chunks` asks it
+    * of a finished corpus, this gate answers it per arriving micro-batch
+    * with one stateless array map + one broadcast anti probe per row.
+    */
+  def docCdcGateOverParquet(spark: SparkSession, sfDir: String, firstNewId: Long): DataFrame = {
+    val store = broadcast(
+      graft.operators.Dedup
+        .cdcChunkTable(
+          spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < firstNewId))
+        .select(col("chash"))
+        .distinct())
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-cdc"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    runStream(
+      spark,
+      readDocStream(spark, staged.toString)
+        .filter(col("doc_id") >= firstNewId)
+        .select(
+          col("doc_id"),
+          col("source"),
+          explode(graft.operators.Dedup.cdcChunkStructs(col("text"))).as("c"))
+        .select(col("doc_id"), col("source"), col("c.chash"), col("c.n_toks"))
+        .join(store, Seq("chash"), "left_anti")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_new_chunks"),
+          sum(col("n_toks")).as("new_tokens"),
+          min(col("doc_id")).as("first_id")),
+      graft.sources.Staging.freshTable("graft_stream_cdc"),
+      "complete")
+  }
+
   /** STREAMING QUALITY GATE: the stored fastText-style classifier
     * ([[graft.operators.Training.writeFasttextModel]], trained on the
     * STATIC corpus slice) applied to arriving documents. The per-doc

@@ -128,6 +128,34 @@ class AdvisorOpsSpec extends SparkSpec {
     assert(q.getAs[Long]("n_runs") === 120L)
   }
 
+  test("array-side CDC chunker equals the window form (streaming = batch)") {
+    import spark.implicits._
+    val docs = model
+      .table(spark, dir, "documents")
+      .limit(120)
+      .unionByName(
+        Seq((9001L, "", "en", "x", 0L), (9002L, "one two", "en", "x", 7L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val win = Dedup
+      .cdcChunkTable(docs)
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("chunk_idx"), col("chash"), col("n_toks"))))
+          .as("chunks"))
+      .select(col("doc_id"), expr("transform(chunks, c -> struct(c.chash, c.n_toks))").as("cs"))
+    val arr = docs
+      .select(col("doc_id"), Dedup.cdcChunkStructs(col("text")).as("cs"))
+      .filter(size(col("cs")) > 0)
+    val both = win
+      .withColumnRenamed("cs", "w")
+      .join(arr.withColumnRenamed("cs", "a"), Seq("doc_id"))
+      .collect()
+    assert(both.length === 121) // 120 real docs + "one two"; empty doc in neither
+    both.foreach { r =>
+      assert(r.getSeq[Any](1) === r.getSeq[Any](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("isotonic calibration: monotone fit that conserves the positive mass") {
     val rows = Training
       .isotonicCalibration(spark, model.table(spark, dir, "documents"))
