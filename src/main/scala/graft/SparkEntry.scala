@@ -1484,6 +1484,10 @@ object SparkEntry {
     // 64-dim space — the dimensionality-reduction cost, quantified
     "ann_rp_recall" -> ((s, d) =>
       Similarity.rpRecall(embs(s, d), nQueries = 50, k = 3).orderBy(col("q_id"))),
+    // 1-bit binary quantization: XOR+popcount Hamming scan over 16-byte
+    // codes, exact rerank of 20 — measured recall of 32× compression
+    "ann_bq_recall" -> ((s, d) =>
+      Similarity.bqRecall(embs(s, d), nQueries = 50, k = 3).orderBy(col("q_id"))),
     // the stateful sessionizer pushed through the streaming engine
     // (flatMapGroupsWithState + state store); shares the batch oracle
     "events_stream_sessionize" -> ((s, d) =>
@@ -5402,6 +5406,8 @@ object SparkEntry {
            |                   ELSE CAST(a.max_rep AS DOUBLE) / a.n_grams END) + 1e-9, 6) AS rep_ratio
            |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+      "ann_bq_recall" ->
+        s"SELECT * FROM (${Similarity.bqRecallSql(nQueries = 50, k = 3)}) ORDER BY q_id",
       "ann_rp_recall" -> {
         val rLit = (0 until Similarity.RpDim)
           .map(j =>

@@ -777,6 +777,106 @@ object Similarity {
       rpTopK(embs, nQueries, k),
       k)
 
+  // ---- binary quantization ---------------------------------------------------
+
+  /** Candidate pool the Hamming scan hands to the exact rerank. */
+  val BqRerank = 20
+
+  /** 1-bit-per-dimension binary quantization: each vector compresses to
+    * its 64 sign bits, stored as two 32-bit words — a 32× compression
+    * that turns the candidate scan into XOR + popcount over 16 bytes
+    * (the trick modern vector stores ship as "binary quantization";
+    * sign-bit Hamming approximates angular distance — the [[rpBucket]]
+    * LSH family evaluated exhaustively instead of bucketed).
+    */
+  def bqCodes(embs: DataFrame): DataFrame = {
+    def word(lo: Int, hi: Int): org.apache.spark.sql.Column =
+      (lo until hi)
+        .map(j => when(element_at(col("e"), j + 1) > 0.0d, lit(1L << (j - lo))).otherwise(0L))
+        .reduce(_ + _)
+    asDouble(embs).select(col("vec_id"), word(0, 32).as("w0"), word(32, 64).as("w1"))
+  }
+
+  /** Hamming-ranked top-`rerank` candidates per query, exact-cosine
+    * reranked to top-k. The scan phase touches only the 16-byte codes;
+    * the full vectors are read back for just `rerank` rows per query —
+    * the two-phase shape that makes 1-bit search usable at corpus scale.
+    */
+  def bqTopK(embs: DataFrame, nQueries: Int, k: Int, rerank: Int = BqRerank): DataFrame = {
+    val codes = Phys.materialized(bqCodes(embs))
+    val q = codes.filter(col("vec_id") < nQueries).alias("q")
+    val c = codes.alias("c")
+    val wHam = Window.partitionBy(col("q_id")).orderBy(col("ham"), col("n_id"))
+    val cands = q
+      .join(c, col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("q_id"),
+        col("c.vec_id").as("n_id"),
+        (expr("bit_count(q.w0 ^ c.w0)") + expr("bit_count(q.w1 ^ c.w1)")).as("ham"))
+      .withColumn("hrank", row_number().over(wHam))
+      .filter(col("hrank") <= rerank)
+    val d = asDouble(embs)
+    val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cands
+      .join(d.select(col("vec_id").as("q_id"), col("e").as("qe")), Seq("q_id"))
+      .join(d.select(col("vec_id").as("n_id"), col("e").as("ne")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"), round(Parity.cosine(col("qe"), col("ne")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+  }
+
+  /** Measured recall@k of the 1-bit two-phase search vs the exact
+    * full-precision top-k — what 32× compression costs on THIS corpus,
+    * next to [[rpRecall]] (16× via projection) and [[pqRecall]]
+    * (36× via codebooks).
+    */
+  def bqRecall(embs: DataFrame, nQueries: Int, k: Int): DataFrame =
+    recallVsExact(
+      bruteForceTopK(embs, nQueries, k).select(col("q_id"), col("n_id")),
+      bqTopK(embs, nQueries, k),
+      k)
+
+  /** [[bqRecall]] mirrored. */
+  def bqRecallSql(nQueries: Int, k: Int, rerank: Int = BqRerank): String = {
+    def wordSql(lo: Int, hi: Int): String =
+      (lo until hi)
+        .map(j =>
+          s"(CASE WHEN e[${j + 1}] > 0 THEN CAST(${1L << (j - lo)} AS BIGINT) ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id, ${wordSql(0, 32)} AS w0, ${wordSql(32, 64)} AS w1 FROM d),
+       |cands AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |           bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS ham,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)), c.vec_id)
+       |             AS hrank
+       |    FROM codes q JOIN codes c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id)
+       |  WHERE hrank <= $rerank),
+       |approx AS (
+       |  SELECT * FROM (
+       |    SELECT t.q_id, t.n_id,
+       |           CAST(row_number() OVER (PARTITION BY t.q_id
+       |             ORDER BY round(${Parity.cosineSql("q.e", "n.e")}, 6) DESC, t.n_id) AS INT)
+       |             AS rank
+       |    FROM cands t JOIN d q ON q.vec_id = t.q_id JOIN d n ON n.vec_id = t.n_id)
+       |  WHERE rank <= $k),
+       |exact AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |           CAST(row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY round(${Parity.cosineSql("q.e", "c.e")}, 6) DESC, c.vec_id) AS INT)
+       |             AS rank
+       |    FROM d q JOIN d c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id)
+       |  WHERE rank <= $k)
+       |SELECT e.q_id, CAST(count(a.n_id) AS BIGINT) AS n_hits,
+       |       round(CAST(count(a.n_id) AS DOUBLE) / $k, 6) AS recall
+       |FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+       |GROUP BY e.q_id""".stripMargin
+  }
+
   /** Product-quantization geometry: [[Dim]] split into [[PqM]] contiguous
     * subspaces of [[PqSubDim]] dims, each quantized by its own
     * [[kmeansFixed]] codebook of [[PqCells]] centroids — 8×7-bit codes
