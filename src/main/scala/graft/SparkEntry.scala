@@ -952,6 +952,10 @@ object SparkEntry {
     "graph_link_pred" -> ((s, d) =>
       GraphOps.linkPrediction(GraphSource.lineitemEdges(s, d))
         .orderBy(col("common").desc, col("a"), col("b"))),
+    // GraphSAGE-style 2-hop fan-out-bounded neighborhood sampling: the
+    // GNN minibatch block builder, sampled adjacency computed once
+    "graph_khop_sample" -> ((s, d) =>
+      GraphOps.khopSample(GraphSource.lineitemEdges(s, d)).orderBy(col("root"))),
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d)).orderBy(col("doc_id"))),
     "text_token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(docs(s, d)).orderBy(col("doc_id"))),
@@ -4839,6 +4843,8 @@ object SparkEntry {
       "graph_link_pred" ->
         (s"SELECT * FROM (${GraphOps.linkPredictionSql(GraphSource.lineitemEdgesSql)})\n" +
           "ORDER BY common DESC, a, b"),
+      "graph_khop_sample" ->
+        s"SELECT * FROM (${GraphOps.khopSampleSql(GraphSource.lineitemEdgesSql)}) ORDER BY root",
       "text_quality" -> s"$qualitySql ORDER BY doc_id",
       "split_leakage" ->
         s"SELECT * FROM (${TextOps.splitLeakageSql()}) ORDER BY doc_id",

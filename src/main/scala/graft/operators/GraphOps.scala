@@ -4008,4 +4008,88 @@ object GraphOps {
        |            ELSE 'upstream' END AS cls
        |FROM fw f FULL JOIN bw b ON f.id = b.id""".stripMargin
   }
+
+  // ---- k-hop neighborhood sampling (GNN minibatch blocks) --------------------
+
+  /** Per-hop fan-out of the sampled adjacency. */
+  val KhopFanout = 3
+
+  /** Root sampling modulus: every node with `id % KhopRootMod = 0` that
+    * has out-edges roots a block — a fixed FRACTION of the graph, so
+    * the root set scales with it. */
+  val KhopRootMod = 500L
+
+  /** GraphSAGE-style k-hop neighborhood sampling (Hamilton et al. 2017):
+    * the minibatch-construction pass of every GNN training pipeline —
+    * for each root, keep at most [[KhopFanout]] out-neighbors per node
+    * per hop (2 hops here), so a block's size is bounded by f + f²
+    * regardless of hub degrees. Neighbor choice is a deterministic
+    * hash-rank over (src, dst) — the seeded-sampler contract every other
+    * sampling operator here keeps (doc_sample, walk starts).
+    *
+    * Scale shape: the pruned adjacency is computed ONCE (one window
+    * partitioned by src — keyed, never global) and reused by both hops;
+    * each hop is an equi-join keyed on the frontier node. Fan-out bounds
+    * make the block table ≤ |roots|·(f + f²) rows.
+    *
+    * Output: one row per root `(root, n_hop1, n_hop2_paths,
+    * n_hop2_distinct)`.
+    */
+  def khopSample(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = "(1103515245 * ((src * 31 + dst) % 1000003) + 12345) % 2147483647"
+    val w = Window.partitionBy(col("src")).orderBy(expr(h), col("dst"))
+    val adj = Phys.materializedHashedBy(
+      edges
+        .select(col("src"), col("dst"))
+        .distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= KhopFanout)
+        .drop("rn"),
+      Seq("src"))
+    val roots = adj
+      .filter(col("src") % KhopRootMod === 0L)
+      .select(col("src").as("root"))
+      .distinct()
+    val hop1 = roots.join(adj, col("root") === col("src")).select(col("root"), col("dst").as("n1"))
+    val hop2 = hop1
+      .join(adj, col("n1") === col("src"))
+      .select(col("root"), col("n1"), col("dst").as("n2"))
+    hop1
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("n_hop1"))
+      .join(
+        hop2
+          .groupBy(col("root"))
+          .agg(count(lit(1)).as("n_hop2_paths"), countDistinct(col("n2")).as("n_hop2_distinct")),
+        Seq("root"),
+        "left")
+      .select(
+        col("root"),
+        col("n_hop1"),
+        coalesce(col("n_hop2_paths"), lit(0L)).as("n_hop2_paths"),
+        coalesce(col("n_hop2_distinct"), lit(0L)).as("n_hop2_distinct"))
+  }
+
+  /** [[khopSample]] mirrored. */
+  def khopSampleSql(edgesSql: String): String =
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |adj AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY (1103515245 * ((src * 31 + dst) % 1000003) + 12345) % 2147483647, dst)
+       |      AS rn
+       |    FROM e)
+       |  WHERE rn <= $KhopFanout),
+       |roots AS (SELECT DISTINCT src AS root FROM adj WHERE src % $KhopRootMod = 0),
+       |h1 AS (SELECT r.root, a.dst AS n1 FROM roots r JOIN adj a ON a.src = r.root),
+       |h2 AS (SELECT h1.root, a.dst AS n2 FROM h1 JOIN adj a ON a.src = h1.n1),
+       |g1 AS (SELECT root, CAST(count(*) AS BIGINT) AS n_hop1 FROM h1 GROUP BY 1),
+       |g2 AS (SELECT root, CAST(count(*) AS BIGINT) AS n_hop2_paths,
+       |              CAST(count(DISTINCT n2) AS BIGINT) AS n_hop2_distinct
+       |       FROM h2 GROUP BY 1)
+       |SELECT g1.root, g1.n_hop1,
+       |       coalesce(g2.n_hop2_paths, 0) AS n_hop2_paths,
+       |       coalesce(g2.n_hop2_distinct, 0) AS n_hop2_distinct
+       |FROM g1 LEFT JOIN g2 USING (root)""".stripMargin
 }
