@@ -1830,6 +1830,10 @@ object SparkEntry {
     // histogram (what would withWatermark(d) drop?), two-level prefix max
     "events_lateness_audit" -> ((s, d) =>
       EventOps.latenessAudit(events(s, d)).orderBy(col("channel"))),
+    // Hill tail-index plot at k=50/100/200: the heavy-tail diagnostic
+    // for a value column, bounded top-k order statistics only
+    "events_hill_tail" -> ((s, d) =>
+      EventOps.hillTail(events(s, d)).orderBy(col("k"))),
     // categorical mix drift: exact-ppm TV distance + chi2 homogeneity
     "events_type_mix_drift" -> ((s, d) => EventOps.typeMixDrift(events(s, d))),
     // behavioral diversity: per-user type-entropy, quarter-nat buckets
@@ -5128,6 +5132,8 @@ object SparkEntry {
       "events_burstiness" -> (EventOps.burstinessSql() + "\nORDER BY event_type"),
       "events_lateness_audit" ->
         s"SELECT * FROM (${EventOps.latenessAuditSql()}) ORDER BY channel",
+      "events_hill_tail" ->
+        s"SELECT * FROM (${EventOps.hillTailSql()}) ORDER BY k",
       "events_type_mix_drift" -> EventOps.typeMixDriftSql(),
       "events_user_entropy" ->
         (EventOps.userEntropyProfileSql() + "\nORDER BY ent_bucket"),

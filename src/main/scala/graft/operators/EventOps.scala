@@ -2127,6 +2127,80 @@ object EventOps {
        |SELECT path, CAST(count(*) AS BIGINT) AS n FROM p WHERE t3 IS NOT NULL
        |GROUP BY path ORDER BY n DESC, path LIMIT $k""".stripMargin
 
+  // ---- heavy-tail index (Hill estimator) -------------------------------------
+
+  /** Hill-plot k values (largest first bounds the TakeOrdered). */
+  val HillKs: Seq[Int] = Seq(50, 100, 200)
+
+  /** Hill tail-index estimator of the event-value distribution at each
+    * k in [[HillKs]] — the heavy-tail read an operator runs on a
+    * latency/size/amount column before trusting any mean-based alarm:
+    * α̂(k) = (k−1) / Σ_{i<k} ln(x₍ᵢ₎/x₍ₖ₎) over the top-k order
+    * statistics, and the three-k "Hill plot" row set is the stability
+    * diagnostic itself (a real Pareto tail shows a flat stretch; a
+    * thin-tailed column shows α̂ drifting up with k). Complements
+    * `graph_powerlaw_fit` (discrete degree law) on the continuous side.
+    *
+    * Determinism: the top-max(k) set is a bounded TakeOrdered (value
+    * DESC, event_id); each ln ratio rounds to integer nano-units BEFORE
+    * the sum (the KL/PSI discipline) so the aggregate is order-free;
+    * α̂ is integer arithmetic on the rounded sum.
+    *
+    * Scale shape: one corpus TakeOrdered to max(k)=200 rows (map-side
+    * partial top-k), then bounded-table arithmetic only.
+    *
+    * Output: one row per k `(k, x_k, alpha_milli)`.
+    */
+  def hillTail(events: DataFrame): DataFrame = {
+    val kMax = HillKs.max
+    val top = events
+      .select(col("value"), col("event_id"))
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(kMax)
+    // bounded 200-row frame from here on
+    val ranked = Phys.materialized(
+      top.withColumn(
+        "rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("value").desc, col("event_id")))))
+    HillKs
+      .map { k =>
+        val xk = ranked.filter(col("rn") === k).select(col("value").as("xk"))
+        ranked
+          .filter(col("rn") < k)
+          .crossJoin(broadcast(xk))
+          .agg(
+            sum(expr("CAST(round(ln(value / xk) * 1000000000) AS BIGINT)")).as("s_nano"),
+            max(col("xk")).as("x_k"))
+          .select(
+            lit(k.toLong).as("k"),
+            col("x_k"),
+            expr(s"(${k - 1} * 1000000000000) div s_nano").as("alpha_milli"))
+      }
+      .reduce(_ unionAll _)
+  }
+
+  /** [[hillTail]] mirrored. */
+  def hillTailSql(): String = {
+    val kMax = HillKs.max
+    val rows = HillKs
+      .map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |       (SELECT value FROM ranked WHERE rn = $k) AS x_k,
+           |       (${k - 1} * 1000000000000) // (
+           |         SELECT CAST(sum(CAST(round(ln(r.value / xk.value) * 1000000000) AS BIGINT)) AS BIGINT)
+           |         FROM ranked r, (SELECT value FROM ranked WHERE rn = $k) xk
+           |         WHERE r.rn < $k) AS alpha_milli""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH top AS (
+       |  SELECT value, event_id FROM events ORDER BY value DESC, event_id LIMIT $kMax),
+       |ranked AS (
+       |  SELECT value, row_number() OVER (ORDER BY value DESC, event_id) AS rn FROM top)
+       |$rows""".stripMargin
+  }
+
   // ---- event-time lateness audit -------------------------------------------
 
   /** Out-of-orderness audit: for each event, lateness = (running max of

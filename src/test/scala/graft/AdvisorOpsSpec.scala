@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EventOps, Layout, Similarity, Stats, Training}
+import graft.operators.{Dedup, EventOps, GraphOps, Layout, Similarity, Stats, Training}
 // (Training.isotonicCalibration trains through the shared ModelCache)
 
 /** Round-12 wave: information-theoretic stats, conformal intervals,
@@ -169,6 +169,48 @@ class AdvisorOpsSpec extends SparkSpec {
     val fitted = rows.zip(n).map { case (r, w) => r.getAs[Long]("iso_ppm") * w }.sum
     val actual = rows.map(r => r.getAs[Long]("n_pos") * 1000000L).sum
     assert(math.abs(fitted - actual) <= n.sum)
+  }
+
+  test("k-hop sampling respects the fan-out bound at every hop") {
+    val out = GraphOps
+      .khopSample(GraphSource.lineitemEdges(spark, dir))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val h1 = r.getAs[Long]("n_hop1")
+      assert(h1 >= 1L && h1 <= GraphOps.KhopFanout)
+      assert(r.getAs[Long]("n_hop2_paths") <= h1 * GraphOps.KhopFanout)
+      assert(r.getAs[Long]("n_hop2_distinct") <= r.getAs[Long]("n_hop2_paths"))
+    }
+  }
+
+  test("Hill estimator: alpha positive, threshold decreasing in k") {
+    val rows = EventOps
+      .hillTail(model.eventsTable(spark, dir))
+      .collect()
+      .sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")) === EventOps.HillKs.map(_.toLong).toArray)
+    rows.foreach(r => assert(r.getAs[Long]("alpha_milli") > 0L))
+    val xs = rows.map(_.getAs[Double]("x_k"))
+    assert(xs.zip(xs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("binary quantization: identical vectors are each other's top hit") {
+    import spark.implicits._
+    // period-101 construction: no accidental duplicates among i < 40
+    val vecs = (0L until 40L).map { i =>
+      val base = Array.tabulate(64)(j => ((i * 31 + j * 7) % 101 - 50).toFloat / 50f)
+      (i, base)
+    } :+ (99L, Array.tabulate(64)(j => ((5 * 31 + j * 7) % 101 - 50).toFloat / 50f))
+    val embs = vecs.toDF("vec_id", "embedding")
+    val top = Similarity
+      .bqTopK(embs, nQueries = 10, k = 1)
+      .collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_id"))
+      .toMap
+    // vec 99 is an exact copy of vec 5 → Hamming 0 → exact-cos rerank
+    // must return it first
+    assert(top(5L) === 99L)
   }
 
   test("filtered vector search: every hit satisfies the predicate, ranks dense") {
