@@ -1879,9 +1879,21 @@ object Dedup {
     * interpreted HOFs makes this the arrivals-path form only; the
     * corpus-side store uses [[cdcChunkTable]].
     */
-  def cdcChunkStructs(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def cdcChunkStructs(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    cdcChunkStructsFromHashes(transform(Parity.tokens(text), t => Parity.tokenH40(t)))
+
+  /** [[cdcChunkStructs]] over an ALREADY-COMPUTED token-hash array.
+    * Callers on a hot path must materialize the hash array as its own
+    * projected column first and pass the attribute: interpreted
+    * higher-order functions re-evaluate a non-attribute child per
+    * element_at reference (the [[graft.functions.Parity.shingles]]
+    * trap) — with ~3 references per position that turns tokenize+hash
+    * into O(n²) per document (measured 65 s for the sf0.1 ingest gate
+    * before this split; ~3 s after).
+    */
+  def cdcChunkStructsFromHashes(
+      hs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val P = Parity.BigP
-    val hs = transform(Parity.tokens(text), t => Parity.tokenH40(t))
     val n = size(hs)
     // cut positions: token p (1-based, p>=3) ends a chunk
     val ends0 = filter(

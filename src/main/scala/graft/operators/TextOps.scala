@@ -2727,8 +2727,16 @@ object TextOps {
     * (dims array traversals; the single-pass custom Expression is the
     * same upgrade path).
     */
-  def hashEmbed(t: Column, dims: Int = RagDims): Column = {
-    val hs = transform(Parity.tokens(t), tok => Parity.tokenH40(tok))
+  def hashEmbed(t: Column, dims: Int = RagDims): Column =
+    hashEmbedFromHashes(transform(Parity.tokens(t), tok => Parity.tokenH40(tok)), dims)
+
+  /** [[hashEmbed]] over an already-computed token-hash array. Hot-path
+    * callers must project the hash array as its own column first: the
+    * per-dimension aggregates reference it `dims` times, and
+    * interpreted HOFs re-evaluate a non-attribute child per reference
+    * (measured 15 s → ~2 s on the sf0.1 retrieval pipeline).
+    */
+  def hashEmbedFromHashes(hs: Column, dims: Int = RagDims): Column =
     array((0 until dims).map { j =>
       aggregate(
         hs,
@@ -2738,7 +2746,6 @@ object TextOps {
             h % dims === j,
             lit(1L) - lit(2L) * shiftright(h, 6).bitwiseAND(lit(1L))).otherwise(0L))
     }: _*)
-  }
 
   def hashEmbedSql(hs: String, dims: Int = RagDims): String =
     (0 until dims)
@@ -2767,8 +2774,17 @@ object TextOps {
   def ragRetrieve(docs: DataFrame, k: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val chunks = chunk(docs)
-      .select(col("doc_id"), col("chunk_idx"), hashEmbed(col("chunk")).as("cv"))
+    // materialized: the embed column is referenced by the zero-norm
+    // filter AND the scoring cosine — without the barrier each
+    // reference re-computes the 32-aggregate embed per row
+    val chunks = graft.operators.Phys
+      .materialized(
+        chunk(docs)
+          .select(
+            col("doc_id"),
+            col("chunk_idx"),
+            transform(Parity.tokens(col("chunk")), tok => Parity.tokenH40(tok)).as("hs"))
+          .select(col("doc_id"), col("chunk_idx"), hashEmbedFromHashes(col("hs")).as("cv")))
       .filter(graft.functions.DotLongs(col("cv"), col("cv")) > 0.0d)
     val queries = RagQueries
       .toDF("query_id", "qtext")

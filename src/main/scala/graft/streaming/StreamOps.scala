@@ -457,10 +457,18 @@ object StreamOps {
       spark,
       readDocStream(spark, staged.toString)
         .filter(col("doc_id") >= firstNewId)
+        // the hash array MUST be its own projection: the chunk
+        // expression references it ~3× per position, and interpreted
+        // HOFs re-evaluate non-attribute children per reference
         .select(
           col("doc_id"),
           col("source"),
-          explode(graft.operators.Dedup.cdcChunkStructs(col("text"))).as("c"))
+          transform(graft.functions.Parity.tokens(col("text")), t =>
+            graft.functions.Parity.tokenH40(t)).as("hs"))
+        .select(
+          col("doc_id"),
+          col("source"),
+          explode(graft.operators.Dedup.cdcChunkStructsFromHashes(col("hs"))).as("c"))
         .select(col("doc_id"), col("source"), col("c.chash"), col("c.n_toks"))
         .join(store, Seq("chash"), "left_anti")
         .groupBy(col("source"))
