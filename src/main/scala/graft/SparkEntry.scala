@@ -1443,6 +1443,9 @@ object SparkEntry {
     "doc_budget_select" -> ((s, d) => TextOps.budgetSelect(docs(s, d)).orderBy(col("doc_id"))),
     // conditional fluency score: add-1-smoothed bigram LM, self-trained
     "text_bigram_lm" -> ((s, d) => TextOps.bigramScore(docs(s, d)).orderBy(col("doc_id"))),
+    // interpolated Kneser-Ney bigram fluency: absolute discounting with
+    // continuation-count backoff — the production n-gram smoother
+    "text_kn_score" -> ((s, d) => TextOps.knScore(docs(s, d)).orderBy(col("doc_id"))),
     // RHO-style learnability: bigram-vs-unigram loss gap per doc
     "doc_excess_loss" -> ((s, d) => TextOps.excessLoss(docs(s, d)).orderBy(col("doc_id"))),
     // per-source distribution drift vs the corpus (KL over observed terms)
@@ -1728,6 +1731,10 @@ object SparkEntry {
     // count-min sketch point estimates next to the exact heavy hitters
     "sketch_cms_tokens" -> ((s, d) =>
       operators.Sketches.cmsHeavyHitters(docs(s, d)).orderBy(col("token"))),
+    // measured Bloom false-positive rate vs the textbook prediction —
+    // calibrating the filter bloom_semi_join builds
+    "sketch_bloom_fpp" -> ((s, d) =>
+      operators.Sketches.bloomFpp(model.table(s, d, "orders"))),
     // CMS join-cardinality estimate vs the exact join count — the
     // optimizer's join-sizing read; the two relations never meet except
     // in the measured-exact column
@@ -4658,6 +4665,8 @@ object SparkEntry {
       // stored-model query shares the oracle
       "lm_apply_stored" -> (TextOps.unigramScoreSql() + "\nORDER BY doc_id"),
       "text_bigram_lm" -> (TextOps.bigramScoreSql() + "\nORDER BY doc_id"),
+      "text_kn_score" ->
+        s"SELECT * FROM (${TextOps.knScoreSql()}) ORDER BY doc_id",
       "doc_excess_loss" -> (TextOps.excessLossSql() + "\nORDER BY doc_id"),
       "source_kl_drift" -> (TextOps.sourceKlDriftSql() + "\nORDER BY source"),
       "text_jsd_sources" ->
@@ -5083,6 +5092,7 @@ object SparkEntry {
           s"(SELECT source, $toks AS t FROM documents)") + "\nORDER BY source"),
       "profile_table" -> operators.Sketches.profileLineitemSql(),
       "sketch_cms_tokens" -> operators.Sketches.cmsHeavyHittersSql(),
+      "sketch_bloom_fpp" -> operators.Sketches.bloomFppSql(),
       "join_size_cms" -> operators.Sketches.joinSizeCmsSql(),
       "opt_selectivity_hist" -> operators.Sketches.selectivityHistSql(),
       "opt_join_order" ->

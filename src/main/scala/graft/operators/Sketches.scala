@@ -893,6 +893,113 @@ object Sketches {
        |FROM m""".stripMargin
   }
 
+  // ---- Bloom filter accuracy ------------------------------------------------
+
+  /** Bloom bit-array size (power of two) and hash count. */
+  val BloomM = 131072L
+  val BloomK = 3
+
+  /** Measured Bloom-filter false-positive rate next to the textbook
+    * prediction `(1 − (1−1/m)^{kn})^k` — the estimator-quality row for
+    * the remaining sketch family ([[cmsHeavyHitters]] measures CMS
+    * overcount, [[hllPerSource]] HLL error, [[groupByCardKmv]] KMV;
+    * `bloom_semi_join` USES a Bloom filter, this row calibrates one).
+    * Members are the even order keys, probes the odd ones — disjoint by
+    * construction, so every probe hit is a false positive.
+    *
+    * Determinism: bit positions are the shared LCG permutation hashes
+    * mod [[BloomM]]; the measured side is pure integer counting; the
+    * prediction is ONE fixed double expression.
+    *
+    * Scale shape: the filter is built as a DISTINCT bit-position table
+    * (k narrow maps + one distinct ≤ m rows); probes explode to k
+    * (probe, position) rows and left-join the bit table keyed on
+    * position; one final aggregate. Nothing is all-pairs; the bit table
+    * is bounded by m.
+    *
+    * Output: one row `(n_members, n_probes, m, k, bits_set, fp_count,
+    * fpp_ppm, theory_ppm)`.
+    */
+  def bloomFpp(orders: DataFrame): DataFrame = {
+    import graft.functions.Parity
+    val keys = orders.select(col("o_orderkey").cast("long").as("x")).distinct()
+    // avalanche-mix each key ONCE before deriving the k positions: an
+    // affine LCG alone keeps the consecutive-orderkey lattice structure
+    // and the measured FPP lands 7× over the independence prediction
+    // (same failure mixCol documents for the HLL registers)
+    val members = keys.filter(col("x") % 2 === 0L).select(mixCol(col("x")).as("mx"))
+    val probes = keys.filter(col("x") % 2 === 1L).select(col("x"), mixCol(col("x")).as("mx"))
+    def pos(i: Int, x: org.apache.spark.sql.Column) =
+      (lit(Parity.permA(i)) * x + lit(Parity.permB(i))) % lit(Parity.BigP) % lit(BloomM)
+    val bits = members
+      .select(explode(array((0 until BloomK).map(i => pos(i, col("mx"))): _*)).as("b"))
+      .distinct()
+      .withColumn("set", lit(1L))
+    val nM = members.agg(count(lit(1)).as("n_members"))
+    val probeHits = probes
+      .select(col("x"), explode(array((0 until BloomK).map(i => pos(i, col("mx"))): _*)).as("b"))
+      .join(bits, Seq("b"), "left")
+      .groupBy(col("x"))
+      .agg(min(coalesce(col("set"), lit(0L))).as("all_set"))
+      .agg(
+        count(lit(1)).as("n_probes"),
+        sum(col("all_set")).as("fp_count"))
+    val nBits = bits.agg(count(lit(1)).as("bits_set"))
+    probeHits
+      .crossJoin(broadcast(nM))
+      .crossJoin(broadcast(nBits))
+      .select(
+        col("n_members"),
+        col("n_probes"),
+        lit(BloomM).as("m"),
+        lit(BloomK.toLong).as("k"),
+        col("bits_set"),
+        col("fp_count"),
+        expr("fp_count * 1000000 div n_probes").as("fpp_ppm"),
+        expr(
+          s"CAST(round(pow(1.0 - pow(1.0 - 1.0 / $BloomM, $BloomK * CAST(n_members AS DOUBLE)), $BloomK) * 1000000) AS BIGINT)")
+          .as("theory_ppm"))
+  }
+
+  /** [[bloomFpp]] mirrored. */
+  def bloomFppSql(): String = {
+    import graft.functions.Parity
+    def pos(i: Int, x: String) =
+      s"(${Parity.permA(i)} * $x + ${Parity.permB(i)}) % ${Parity.BigP} % $BloomM"
+    val mixCtes =
+      s"""m1 AS (SELECT x, (1103515245 * (x % ${Parity.BigP}) + 12345) % ${Parity.BigP} AS x1 FROM keys),
+         |m2 AS (SELECT x, xor(x1, x1 >> 13) AS x2 FROM m1),
+         |m3 AS (SELECT x, (69069 * x2 + 1) % ${Parity.BigP} AS x3 FROM m2),
+         |mixed AS (SELECT x, xor(x3, x3 >> 7) AS mx FROM m3)""".stripMargin
+    val memberPos =
+      (0 until BloomK).map(i => s"SELECT ${pos(i, "mx")} AS b FROM members").mkString(" UNION ALL ")
+    val probePos =
+      (0 until BloomK)
+        .map(i => s"SELECT x, ${pos(i, "mx")} AS b FROM probes")
+        .mkString(" UNION ALL ")
+    s"""WITH keys AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS x FROM orders),
+       |$mixCtes,
+       |members AS (SELECT mx FROM mixed WHERE x % 2 = 0),
+       |probes AS (SELECT x, mx FROM mixed WHERE x % 2 = 1),
+       |bits AS (SELECT DISTINCT b FROM ($memberPos)),
+       |ph AS (
+       |  SELECT p.x, min(CASE WHEN bits.b IS NOT NULL THEN 1 ELSE 0 END) AS all_set
+       |  FROM ($probePos) p LEFT JOIN bits ON bits.b = p.b
+       |  GROUP BY p.x),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       |         CAST(sum(all_set) AS BIGINT) AS fp_count
+       |  FROM ph),
+       |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_members FROM members),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits)
+       |SELECT nm.n_members, agg.n_probes,
+       |       CAST($BloomM AS BIGINT) AS m, CAST($BloomK AS BIGINT) AS k,
+       |       nb.bits_set, agg.fp_count,
+       |       agg.fp_count * 1000000 // agg.n_probes AS fpp_ppm,
+       |       CAST(round(pow(1.0 - pow(1.0 - 1.0 / $BloomM, $BloomK * CAST(nm.n_members AS DOUBLE)), $BloomK) * 1000000) AS BIGINT) AS theory_ppm
+       |FROM agg CROSS JOIN nm CROSS JOIN nb""".stripMargin
+  }
+
   // ---- join-order choice from the statistics --------------------------------
 
   /** The optimizer decision the statistics exist FOR: given the 3-table

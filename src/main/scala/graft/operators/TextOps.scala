@@ -2705,6 +2705,105 @@ object TextOps {
        |SELECT term, pr FROM r$iters ORDER BY pr DESC, term LIMIT $k""".stripMargin
   }
 
+  // ---- Kneser-Ney bigram scoring ---------------------------------------------
+
+  /** Interpolated Kneser–Ney bigram fluency score (Kneser & Ney 1995;
+    * Chen & Goodman 1999 interpolated form, fixed discount d = 0.75):
+    * `P(w|v) = max(c(vw)−d, 0)/c(v·) + d·N₁₊(v·)/c(v·) · N₁₊(·w)/T`
+    * — absolute discounting with the CONTINUATION-count backoff that
+    * made KN the production n-gram smoother (a word seen in many
+    * contexts backs off high; a frequent-but-one-context word does
+    * not). Completes the smoothing ladder next to the add-one unigram
+    * ([[unigramScore]]) and add-one bigram ([[bigramScore]]) scores.
+    *
+    * Determinism: the per-bigram ln P is ONE fixed double expression
+    * rounded to 9 decimals, summed per doc in position order (the
+    * bigramScore fold discipline); the four count statistics are exact
+    * integers.
+    *
+    * Scale shape: one bigram explode, four hash aggregates over it
+    * (pair counts, context totals, forward and backward continuation
+    * counts), keyed joins back — the [[bigramScore]] plan plus two
+    * aggregates.
+    *
+    * Output: `(doc_id, n_bigrams, mean_lnp_kn)` per document.
+    */
+  def knScore(docs: DataFrame): DataFrame = {
+    val ts = toks(col("text"))
+    val pairs = when(size(ts) < 2, array().cast("array<struct<ctx:string,nxt:string>>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(ts) - 1),
+          i => struct(element_at(ts, i).as("ctx"), element_at(ts, i + 1).as("nxt"))))
+    val big = docs
+      .select(col("doc_id"), posexplode(pairs).as(Seq("p0", "bg")))
+      .select(
+        col("doc_id"),
+        (col("p0") + 1).cast("long").as("pos"),
+        col("bg.ctx").as("ctx"),
+        col("bg.nxt").as("nxt"))
+    val h2 = big.groupBy(col("ctx"), col("nxt")).agg(count(lit(1)).as("c2"))
+    val hc = big.groupBy(col("ctx")).agg(
+      count(lit(1)).as("cc"),
+      countDistinct(col("nxt")).as("n1f"))
+    val hb = big.groupBy(col("nxt")).agg(countDistinct(col("ctx")).as("n1b"))
+    val t = h2.agg(count(lit(1)).as("t_types"))
+    val lnForm =
+      "round(ln(greatest(CAST(c2 AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) " +
+        "/ CAST(cc AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(n1f AS DOUBLE) " +
+        "/ CAST(cc AS DOUBLE) * (CAST(n1b AS DOUBLE) / CAST(t_types AS DOUBLE))), 9)"
+    val lnp = big
+      .join(h2, Seq("ctx", "nxt"))
+      .join(hc, Seq("ctx"))
+      .join(hb, Seq("nxt"))
+      .crossJoin(broadcast(t))
+      .select(col("doc_id"), col("pos"), expr(lnForm).as("lnp"))
+    val perDoc = lnp
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("lnp")))), s => s("lnp")),
+          lit(0.0d),
+          (acc, x) => acc + x).as("sum_lnp"))
+    docs
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("sum_lnp") / col("n_bigrams").cast("double"), 6).as("mean_lnp_kn"))
+  }
+
+  /** [[knScore]] mirrored. */
+  def knScoreSql(): String = {
+    val toksSql = Parity.tokensSql("text")
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS ts FROM documents),
+       |big AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |         ts[CAST(pos AS INT)] AS ctx, ts[CAST(pos + 1 AS INT)] AS nxt
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS pos FROM tok)),
+       |h2 AS (SELECT ctx, nxt, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2),
+       |hc AS (SELECT ctx, CAST(count(*) AS BIGINT) AS cc,
+       |              CAST(count(DISTINCT nxt) AS BIGINT) AS n1f
+       |       FROM big GROUP BY 1),
+       |hb AS (SELECT nxt, CAST(count(DISTINCT ctx) AS BIGINT) AS n1b FROM big GROUP BY 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM h2),
+       |lnp AS (
+       |  SELECT big.doc_id, big.pos,
+       |         round(ln(greatest(CAST(c2 AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / CAST(cc AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(n1f AS DOUBLE) / CAST(cc AS DOUBLE) * (CAST(n1b AS DOUBLE) / CAST(t_types AS DOUBLE))), 9) AS lnp
+       |  FROM big JOIN h2 USING (ctx, nxt) JOIN hc USING (ctx) JOIN hb USING (nxt)
+       |  CROSS JOIN t),
+       |pd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lnp ORDER BY pos)),
+       |                     (acc, x) -> acc + x) AS sum_lnp
+       |  FROM lnp GROUP BY 1)
+       |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+       |       round(pd.sum_lnp / CAST(pd.n_bigrams AS DOUBLE), 6) AS mean_lnp_kn
+       |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+  }
+
   // ---- dense retrieval (RAG) pipeline ---------------------------------------
 
   /** Hash-embedding dimensionality for [[ragRetrieve]]. */
