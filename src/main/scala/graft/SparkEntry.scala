@@ -1764,6 +1764,10 @@ object SparkEntry {
     // sequence packing, no-split next-fit: pad waste vs zero cuts
     "docs_pack_nextfit" -> ((s, d) =>
       operators.Packing.packNextFit(docs(s, d)).orderBy(col("shard"))),
+    // best-fit-decreasing: the offline 11/9-OPT packing — the waste
+    // delta vs next-fit decides whether the sort is worth it
+    "docs_pack_bestfit" -> ((s, d) =>
+      operators.Packing.packBestFit(docs(s, d)).orderBy(col("shard"))),
     // CDC snapshot diff off the append log: insert/update/unchanged
     // churn classification between two as-of states
     "events_cdc_diff" -> ((s, d) =>
@@ -5102,6 +5106,8 @@ object SparkEntry {
         s"SELECT * FROM (${operators.Packing.seqPackSql()}) ORDER BY shard",
       "docs_pack_nextfit" ->
         s"SELECT * FROM (${operators.Packing.packNextFitSql()}) ORDER BY shard",
+      "docs_pack_bestfit" ->
+        s"SELECT * FROM (${operators.Packing.packBestFitSql()}) ORDER BY shard",
       "docs_stream_pack" ->
         s"SELECT * FROM (${operators.Packing.packNextFitSql()}) ORDER BY shard",
       "events_cdc_diff" ->

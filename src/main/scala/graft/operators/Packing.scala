@@ -255,4 +255,113 @@ object Packing {
        |       CASE WHEN st[2] = 0 THEN CAST(0 AS BIGINT)
        |            ELSE n_packed_tokens * 1000000 // (st[2] * $capacity) END AS fill_ppm
        |FROM f""".stripMargin
+
+  /** No-split BEST-FIT-DECREASING packing report, per shard: documents
+    * sorted by descending token count (ties by doc_id) and each placed
+    * in the FULLEST open bin it still fits — the classic 11/9·OPT+1
+    * offline heuristic (Johnson 1973), closing the packing quality
+    * ladder above [[packNextFit]]'s 2-approx streaming form
+    * (spec-asserted never worse on the same shards). This is the
+    * packing a batch pipeline runs when it can afford a sort; the
+    * waste delta against next-fit is the number that decides whether
+    * the sort is worth it.
+    *
+    * The fold's accumulator is the OPEN-BIN LOAD LIST (≤ docs/1 bins,
+    * shard-bounded), searched per placement with bounded list ops —
+    * still one aggregate expression per shard, no driver loop.
+    */
+  def packBestFit(
+      docs: DataFrame,
+      capacity: Long = Capacity,
+      nShards: Long = -1L): DataFrame = {
+    val nsh = if (nShards > 0) nShards else shardsFor(docs)
+    val base = docs.select(
+      col("doc_id"),
+      (col("doc_id") % nsh).as("shard"),
+      nTok(col("text")).as("n_tok"))
+    val g = base
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tok") > capacity, 1L).otherwise(0L)).as("n_oversize"),
+        coalesce(
+          sum(when(col("n_tok") > 0 && col("n_tok") <= capacity, col("n_tok"))),
+          lit(0L)).as("n_packed_tokens"),
+        sort_array(
+          collect_list(
+            when(
+              col("n_tok") > 0 && col("n_tok") <= capacity,
+              struct((-col("n_tok")).as("neg"), col("doc_id"))))).as("ds"))
+    val bins = aggregate(
+      transform(col("ds"), d => -d.getField("neg")),
+      array().cast("array<bigint>"),
+      (acc, x) => {
+        val fits = filter(acc, l => l + x <= capacity)
+        val best = array_max(fits)
+        val idx = element_at(
+          filter(sequence(lit(1), size(acc)), i => element_at(acc, i) === best),
+          1)
+        when(size(fits) === 0, concat(acc, array(x)))
+          .otherwise(
+            concat(
+              slice(acc, lit(1), idx - 1),
+              array(best + x),
+              slice(acc, idx + 1, size(acc) - idx)))
+      })
+    g.withColumn("bins", bins)
+      .select(
+        col("shard"),
+        col("n_docs"),
+        col("n_oversize"),
+        col("n_packed_tokens"),
+        size(col("bins")).cast("long").as("bins_used"),
+        (size(col("bins")).cast("long") * capacity - col("n_packed_tokens")).as("waste_tokens"),
+        when(size(col("bins")) === 0, 0L)
+          .otherwise(expr(s"n_packed_tokens * 1000000 div (size(bins) * $capacity)"))
+          .as("fill_ppm"))
+  }
+
+  /** [[packBestFit]] mirrored: the same load-list fold as a
+    * `list_reduce` (accumulator = the open-bin load list; the seed is
+    * prepended, elements stay bare BIGINTs since the accumulator is
+    * already a list).
+    */
+  def packBestFitSql(capacity: Long = Capacity, nShards: Long = -1L): String =
+    s"""WITH nsh AS (${if (nShards > 0) s"SELECT CAST($nShards AS BIGINT) AS n" else shardsForSql}),
+       |t AS (
+       |  SELECT doc_id, doc_id % nsh.n AS shard,
+       |         CAST(len(${Parity.tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents CROSS JOIN nsh),
+       |g AS (
+       |  SELECT shard,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(count(*) FILTER (WHERE n_tok > $capacity) AS BIGINT) AS n_oversize,
+       |         CAST(coalesce(sum(n_tok) FILTER (WHERE n_tok > 0 AND n_tok <= $capacity), 0)
+       |           AS BIGINT) AS n_packed_tokens,
+       |         list(n_tok ORDER BY n_tok DESC, doc_id)
+       |           FILTER (WHERE n_tok > 0 AND n_tok <= $capacity) AS ns
+       |  FROM t GROUP BY shard),
+       |f AS (
+       |  SELECT shard, n_docs, n_oversize, n_packed_tokens,
+       |         list_reduce(
+       |           -- elements wrapped [x] so seed (the empty load list) and
+       |           -- elements share the accumulator's BIGINT[] type
+       |           list_prepend(CAST([] AS BIGINT[]),
+       |                        coalesce(list_transform(ns, x -> [x]), [])),
+       |           (acc, x) -> CASE
+       |             WHEN len(list_filter(acc, l -> l + x[1] <= $capacity)) = 0
+       |               THEN list_append(acc, x[1])
+       |             ELSE list_concat(list_concat(
+       |                    acc[1:list_position(acc, list_max(list_filter(acc, l -> l + x[1] <= $capacity))) - 1],
+       |                    [list_max(list_filter(acc, l -> l + x[1] <= $capacity)) + x[1]]),
+       |                    acc[list_position(acc, list_max(list_filter(acc, l -> l + x[1] <= $capacity))) + 1:])
+       |             END) AS bins
+       |  FROM g)
+       |SELECT CAST(shard AS BIGINT) AS shard, n_docs, n_oversize, n_packed_tokens,
+       |       CAST(len(bins) AS BIGINT) AS bins_used,
+       |       CAST(len(bins) AS BIGINT) * $capacity - n_packed_tokens AS waste_tokens,
+       |       CASE WHEN len(bins) = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE n_packed_tokens * 1000000 // (CAST(len(bins) AS BIGINT) * $capacity) END
+       |         AS fill_ppm
+       |FROM f""".stripMargin
 }

@@ -213,6 +213,28 @@ class AdvisorOpsSpec extends SparkSpec {
     assert(top(5L) === 99L)
   }
 
+  test("best-fit-decreasing never uses more bins than next-fit, conserves tokens") {
+    import graft.operators.Packing
+    val docs = model.table(spark, dir, "documents")
+    val bf = Packing
+      .packBestFit(docs)
+      .collect()
+      .map(r => r.getAs[Long]("shard") -> r)
+      .toMap
+    val nf = Packing
+      .packNextFit(docs)
+      .collect()
+      .map(r => r.getAs[Long]("shard") -> r)
+      .toMap
+    assert(bf.keySet === nf.keySet && bf.nonEmpty)
+    bf.foreach { case (shard, b) =>
+      assert(b.getAs[Long]("bins_used") <= nf(shard).getAs[Long]("bins_used"))
+      assert(
+        b.getAs[Long]("n_packed_tokens") + b.getAs[Long]("waste_tokens") ===
+          b.getAs[Long]("bins_used") * Packing.Capacity)
+    }
+  }
+
   test("filtered vector search: every hit satisfies the predicate, ranks dense") {
     val out = Similarity
       .ivfFilteredTopK(model.table(spark, dir, "embeddings"), nQueries = 6, k = 4)
