@@ -1495,6 +1495,13 @@ object SparkEntry {
     // codes, exact rerank of 20 — measured recall of 32× compression
     "ann_bq_recall" -> ((s, d) =>
       Similarity.bqRecall(embs(s, d), nQueries = 50, k = 3).orderBy(col("q_id"))),
+    // external-query serving through the 1-bit index: sign words folded
+    // in as literals, 16-byte scan, exact rerank of 20
+    "ann_bq_query" -> ((s, d) =>
+      Similarity.bqQuery(embs(s, d), AnnQueryVec).orderBy(col("rank"))),
+    // coreset apply half: per-exemplar cluster census (count + radius)
+    "emb_kcenter_assign" -> ((s, d) =>
+      Similarity.kcenterAssign(embs(s, d)).orderBy(col("rank"))),
     // the stateful sessionizer pushed through the streaming engine
     // (flatMapGroupsWithState + state store); shares the batch oracle
     "events_stream_sessionize" -> ((s, d) =>
@@ -1802,6 +1809,9 @@ object SparkEntry {
     // mutual information / variation of information of type × hour,
     // nano-nat cell terms — the information-theoretic association read
     "stats_mutual_info" -> ((s, d) => operators.Stats.mutualInfo(events(s, d))),
+    // one-way ANOVA of value across types: F + eta² — the
+    // numeric-across-groups cell of the association battery
+    "stats_anova" -> ((s, d) => operators.Stats.anovaOneWay(events(s, d))),
     // Pearson matrix in exact decimal/HUGEINT sums — no float accumulation
     "stats_corr_matrix" -> ((s, d) =>
       operators.Stats.corrMatrix(model.table(s, d, "lineitem")).orderBy(col("pair"))),
@@ -5128,6 +5138,7 @@ object SparkEntry {
         s"SELECT * FROM (${Dedup.erAgreementLiftSql()}) ORDER BY seg_eq DESC, band_eq DESC",
       "stats_chi2" -> operators.Stats.chi2IndependenceSql(),
       "stats_mutual_info" -> operators.Stats.mutualInfoSql(),
+      "stats_anova" -> operators.Stats.anovaOneWaySql(),
       "stats_corr_matrix" ->
         s"SELECT * FROM (${operators.Stats.corrMatrixSql()}) ORDER BY pair",
       "audit_benford" ->
@@ -5436,6 +5447,10 @@ object SparkEntry {
            |ORDER BY d.doc_id""".stripMargin,
       "ann_bq_recall" ->
         s"SELECT * FROM (${Similarity.bqRecallSql(nQueries = 50, k = 3)}) ORDER BY q_id",
+      "ann_bq_query" ->
+        s"SELECT * FROM (${Similarity.bqQuerySql(AnnQueryVec)}) ORDER BY rank",
+      "emb_kcenter_assign" ->
+        s"SELECT * FROM (${Similarity.kcenterAssignSql()}) ORDER BY rank",
       "ann_rp_recall" -> {
         val rLit = (0 until Similarity.RpDim)
           .map(j =>

@@ -825,6 +825,71 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** [[bqTopK]] for an EXTERNAL query vector — the point-lookup serving
+    * API of the 1-bit index, next to `ann_ivf_query`/`text_bm25_query`:
+    * the query's sign words fold in as literals, the corpus scan
+    * touches only the 16-byte codes, and the full vectors are read back
+    * for `rerank` rows.
+    *
+    * Output: k rows `(rank, vec_id, cos)`.
+    */
+  def bqQuery(
+      embs: DataFrame,
+      query: Seq[Double],
+      k: Int = 5,
+      rerank: Int = BqRerank): DataFrame = {
+    def word(lo: Int, hi: Int): Long =
+      (lo until hi).map(j => if (query(j) > 0) 1L << (j - lo) else 0L).sum
+    val (q0, q1) = (word(0, 32), word(32, 64))
+    val cands = bqCodes(embs)
+      .select(
+        col("vec_id"),
+        (expr(s"bit_count(w0 ^ ${q0}L)") + expr(s"bit_count(w1 ^ ${q1}L)")).as("ham"))
+      .orderBy(col("ham"), col("vec_id"))
+      .limit(rerank)
+    val scored = cands
+      .join(asDouble(embs), Seq("vec_id"))
+      .select(
+        col("vec_id"),
+        round(Parity.cosine(typedLit(query), col("e")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+    // rank over the bounded k-row result only
+    scored
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** [[bqQuery]] mirrored. */
+  def bqQuerySql(query: Seq[Double], k: Int = 5, rerank: Int = BqRerank): String = {
+    def wordSql(lo: Int, hi: Int): String =
+      (lo until hi)
+        .map(j =>
+          s"(CASE WHEN e[${j + 1}] > 0 THEN CAST(${1L << (j - lo)} AS BIGINT) ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    def word(lo: Int, hi: Int): Long =
+      (lo until hi).map(j => if (query(j) > 0) 1L << (j - lo) else 0L).sum
+    val qLit = s"CAST(${query.mkString("[", ", ", "]")} AS DOUBLE[])"
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id, ${wordSql(0, 32)} AS w0, ${wordSql(32, 64)} AS w1 FROM d),
+       |cands AS (
+       |  SELECT vec_id,
+       |         bit_count(xor(w0, CAST(${word(0, 32)} AS BIGINT)))
+       |           + bit_count(xor(w1, CAST(${word(32, 64)} AS BIGINT))) AS ham
+       |  FROM codes ORDER BY ham, vec_id LIMIT $rerank),
+       |scored AS (
+       |  SELECT c.vec_id, round(${Parity.cosineSql(qLit, "d.e")}, 6) AS cos
+       |  FROM cands c JOIN d ON d.vec_id = c.vec_id
+       |  ORDER BY cos DESC, c.vec_id LIMIT $k)
+       |SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank,
+       |       vec_id, cos
+       |FROM scored""".stripMargin
+  }
+
   /** Measured recall@k of the 1-bit two-phase search vs the exact
     * full-precision top-k — what 32× compression costs on THIS corpus,
     * next to [[rpRecall]] (16× via projection) and [[pqRecall]]
@@ -2146,46 +2211,120 @@ object Similarity {
     * exemplars with their selection distance (0 for the seed), rank k
     * the summary row `(k, -1, covering_radius²)`.
     */
-  def kcenterCoreset(embs: DataFrame, k: Int = 8): DataFrame = {
-    val spark = embs.sparkSession
-    import spark.implicits._
-    val base = Phys.materialized(
+  private def kcenterBase(embs: DataFrame): DataFrame =
+    Phys.materialized(
       embs.select(
         col("vec_id").cast("long").as("vec_id"),
         graft.functions.MicroInts(col("embedding").cast("array<double>"), KmeansScale).as("ei")))
-    // DotLongs accumulates in double; every value here stays below 2^53
-    // (64 dims × (2·10⁶)² ≈ 2.6·10¹⁴ max dist²), so the cast back to
-    // BIGINT is exact — the oracle's pure-integer fold sees the same.
-    def dist2To(center: Array[Long]): org.apache.spark.sql.Column = {
-      val c = typedLit(center.toSeq)
-      val dl = graft.functions.DotLongs
-      (dl(c, c) + dl(col("ei"), col("ei")) - lit(2.0d) * dl(col("ei"), c)).cast("long")
-    }
+
+  // DotLongs accumulates in double; every value here stays below 2^53
+  // (64 dims × (2·10⁶)² ≈ 2.6·10¹⁴ max dist²), so the cast back to
+  // BIGINT is exact — the oracle's pure-integer fold sees the same.
+  private def kcenterDist2(center: Array[Long]): org.apache.spark.sql.Column = {
+    val c = typedLit(center.toSeq)
+    val dl = graft.functions.DotLongs
+    (dl(c, c) + dl(col("ei"), col("ei")) - lit(2.0d) * dl(col("ei"), c)).cast("long")
+  }
+
+  /** The greedy picking loop shared by [[kcenterCoreset]] and
+    * [[kcenterAssign]]: returns (rank, vec_id, selection dist²,
+    * integer vector) per chosen exemplar. */
+  private def kcenterPick(base: DataFrame, k: Int): List[(Int, Long, Long, Array[Long])] = {
     val seed = base.orderBy(col("vec_id")).limit(1).collect()(0)
-    var picked = List((0, seed.getLong(0), 0L))
-    var minD = dist2To(seed.getSeq[Long](1).toArray)
+    var picked = List((0, seed.getLong(0), 0L, seed.getSeq[Long](1).toArray))
+    var minD = kcenterDist2(picked.head._4)
     for (r <- 1 until k) {
       val sel = base
         .select(col("vec_id"), col("ei"), minD.as("d"))
         .orderBy(col("d").desc, col("vec_id"))
         .limit(1)
         .collect()(0)
-      picked ::= ((r, sel.getLong(0), sel.getLong(2)))
-      minD = least(minD, dist2To(sel.getSeq[Long](1).toArray))
+      picked ::= ((r, sel.getLong(0), sel.getLong(2), sel.getSeq[Long](1).toArray))
+      minD = least(minD, kcenterDist2(picked.head._4))
     }
+    picked.reverse
+  }
+
+  def kcenterCoreset(embs: DataFrame, k: Int = 8): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val base = kcenterBase(embs)
+    val picked = kcenterPick(base, k)
+    val minD = picked.map(p => kcenterDist2(p._4)).reduce(least(_, _))
     val radius = base
       .agg(max(minD).as("dist2"))
       .select(lit(k).as("rank"), lit(-1L).as("vec_id"), col("dist2"))
-    picked.reverse
+    picked
+      .map(p => (p._1, p._2, p._3))
       .toDF("rank", "vec_id", "dist2")
       .unionAll(radius)
+  }
+
+  /** The coreset's APPLY half: every corpus vector assigned to its
+    * nearest chosen exemplar (ties to the lower rank), rolled up to the
+    * per-exemplar cluster census — assigned count and achieved cluster
+    * radius. This is what the labeling/stratification pass that chose
+    * the coreset actually consumes: which exemplar speaks for how much
+    * of the corpus, and how tightly.
+    *
+    * Scale shape: one scan over the materialized integer-vector frame
+    * with k broadcast center literals folded into an argmin struct
+    * array; one k-group aggregate.
+    *
+    * Output: k rows `(rank, vec_id, n_assigned, radius2)`.
+    */
+  def kcenterAssign(embs: DataFrame, k: Int = 8): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val base = kcenterBase(embs)
+    val picked = kcenterPick(base, k)
+    val best = array_min(
+      array(picked.map(p => struct(kcenterDist2(p._4).as("d"), lit(p._1).as("r"))): _*))
+    val exemplars = picked.map(p => (p._1, p._2)).toDF("rank", "vec_id")
+    base
+      .select(best.getField("d").as("d"), best.getField("r").as("rank"))
+      .groupBy(col("rank"))
+      .agg(count(lit(1)).as("n_assigned"), max(col("d")).as("radius2"))
+      .join(broadcast(exemplars), Seq("rank"))
+      .select(col("rank"), col("vec_id"), col("n_assigned"), col("radius2"))
+  }
+
+  /** [[kcenterAssign]] mirrored: the unrolled greedy CTEs of
+    * [[kcenterCoresetSql]] feed a center union, per-point argmin by
+    * (dist², rank), k-group census. */
+  def kcenterAssignSql(k: Int = 8): String = {
+    def d2(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(list_zip($a, $b), s -> (s[1] - s[2]) * (s[1] - s[2]))), " +
+        s"(acc, x) -> acc + x)"
+    val centers = (0 until k)
+      .map(r => s"SELECT $r AS rank, vec_id AS cvid, ei FROM c$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${kcenterStageCtes(k)},
+       |cents AS ($centers),
+       |dist AS (
+       |  SELECT d.vec_id, c.rank, c.cvid, ${d2("d.ei", "c.ei")} AS dd
+       |  FROM d CROSS JOIN cents c),
+       |asg AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, rank, dd,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dd, rank) AS rn
+       |    FROM dist)
+       |  WHERE rn = 1)
+       |SELECT a.rank, max(c.cvid) AS vec_id,
+       |       CAST(count(*) AS BIGINT) AS n_assigned,
+       |       CAST(max(a.dd) AS BIGINT) AS radius2
+       |FROM asg a JOIN cents c ON c.rank = a.rank
+       |GROUP BY a.rank""".stripMargin
   }
 
   /** [[kcenterCoreset]] mirrored: the identical greedy unrolled as k−1
     * CTE stages (argmax by `(d DESC, vec_id)`, then `least` with the
     * new center's distance), over the same micro-integer vectors.
     */
-  def kcenterCoresetSql(k: Int = 8): String = {
+  /** The unrolled greedy stage CTEs (d, c0, m0, c1, m1, …) shared by
+    * the coreset and assignment oracles. */
+  private def kcenterStageCtes(k: Int): String = {
     def d2(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         s"list_transform(list_zip($a, $b), s -> (s[1] - s[2]) * (s[1] - s[2]))), " +
@@ -2202,10 +2341,14 @@ object Similarity {
         s"m$r AS (SELECT m.vec_id, m.ei, least(m.md, ${d2("m.ei", "c.ei")}) AS md " +
           s"FROM m${r - 1} m CROSS JOIN c$r c)")
     }
+    (head ++ stages).mkString(",\n")
+  }
+
+  def kcenterCoresetSql(k: Int = 8): String = {
     val rows =
       Seq("SELECT 0 AS rank, vec_id, CAST(0 AS BIGINT) AS dist2 FROM c0") ++
         (1 until k).map(r => s"SELECT $r AS rank, vec_id, CAST(md AS BIGINT) AS dist2 FROM c$r") :+
         s"SELECT $k AS rank, CAST(-1 AS BIGINT) AS vec_id, CAST(max(md) AS BIGINT) AS dist2 FROM m${k - 1}"
-    s"WITH ${(head ++ stages).mkString(",\n")}\n${rows.mkString("\nUNION ALL\n")}"
+    s"WITH ${kcenterStageCtes(k)}\n${rows.mkString("\nUNION ALL\n")}"
   }
 }

@@ -591,6 +591,85 @@ object Stats {
       .withColumn("vi_nano", col("hx_nano") + col("hy_nano") - lit(2L) * col("mi_nano"))
   }
 
+  /** One-way ANOVA of event value across event types — the
+    * numeric-across-groups association test completing the battery's
+    * matrix ([[chi2Independence]]: categorical×categorical,
+    * [[corrMatrix]]: numeric×numeric, [[mutualInfo]]:
+    * information-theoretic): F = (SSB/(k−1)) / (SSW/(n−k)), with η² =
+    * SSB/(SSB+SSW) as the effect size a dashboard actually thresholds
+    * (F alone grows with n).
+    *
+    * Exactness: values enter as exact integer cents; per-group sums and
+    * sums of squares are exact BIGINT; each group's SSW/SSB term is ONE
+    * fixed double expression rounded to integer cents² before the
+    * (bounded, k-row) cross-group sum; F and η² are fixed double forms
+    * over the rounded sums.
+    *
+    * Scale shape: one corpus scan to k per-group integer triples,
+    * everything after is k-row arithmetic.
+    *
+    * Output: one row `(n, k, ssb_c2, ssw_c2, f_milli, eta2_ppm)`.
+    */
+  def anovaOneWay(events: DataFrame): DataFrame = {
+    val g = events
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("ng"),
+        sum(col("v")).as("sg"),
+        sum(col("v") * col("v")).as("ssg"))
+    val tot = g.agg(
+      sum(col("ng")).as("n"),
+      count(lit(1)).as("k"),
+      sum(col("sg")).as("s"))
+    g.crossJoin(broadcast(tot))
+      .select(
+        col("n"),
+        col("k"),
+        expr(
+          "CAST(round(CAST(ssg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)) AS BIGINT)")
+          .as("ssw_term"),
+        expr(
+          "CAST(round(CAST(ng AS DOUBLE) * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)")
+          .as("ssb_term"))
+      .groupBy(col("n"), col("k"))
+      .agg(sum(col("ssb_term")).as("ssb_c2"), sum(col("ssw_term")).as("ssw_c2"))
+      .select(
+        col("n"),
+        col("k"),
+        col("ssb_c2"),
+        col("ssw_c2"),
+        expr(
+          "CAST(round(CAST(ssb_c2 AS DOUBLE) * CAST(n - k AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) * CAST(k - 1 AS DOUBLE)) * 1000) AS BIGINT)")
+          .as("f_milli"),
+        expr("ssb_c2 * 1000000 div (ssb_c2 + ssw_c2)").as("eta2_ppm"))
+  }
+
+  /** [[anovaOneWay]] mirrored. */
+  def anovaOneWaySql(): String =
+    s"""WITH g AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+       |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sg,
+       |         CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ssg
+       |  FROM events GROUP BY 1),
+       |t AS (
+       |  SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+       |         CAST(sum(sg) AS BIGINT) AS s
+       |  FROM g),
+       |terms AS (
+       |  SELECT t.n, t.k,
+       |         CAST(round(CAST(ssg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)) AS BIGINT) AS ssw_term,
+       |         CAST(round(CAST(ng AS DOUBLE) * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS ssb_term
+       |  FROM g CROSS JOIN t),
+       |a AS (
+       |  SELECT n, k, CAST(sum(ssb_term) AS BIGINT) AS ssb_c2,
+       |         CAST(sum(ssw_term) AS BIGINT) AS ssw_c2
+       |  FROM terms GROUP BY 1, 2)
+       |SELECT n, k, ssb_c2, ssw_c2,
+       |       CAST(round(CAST(ssb_c2 AS DOUBLE) * CAST(n - k AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) * CAST(k - 1 AS DOUBLE)) * 1000) AS BIGINT) AS f_milli,
+       |       ssb_c2 * 1000000 // (ssb_c2 + ssw_c2) AS eta2_ppm
+       |FROM a""".stripMargin
+
   /** [[mutualInfo]] mirrored. */
   def mutualInfoSql(): String =
     s"""WITH cells AS (
