@@ -956,8 +956,11 @@ object Sketches {
         col("bits_set"),
         col("fp_count"),
         expr("fp_count * 1000000 div n_probes").as("fpp_ppm"),
+        // exp(e·ln b) instead of pow(b, e): big-exponent pow() diverges
+        // between libms (552079 vs 552029 ppm at sf0.1); ln/exp agree,
+        // and the outer cube is explicit multiplication
         expr(
-          s"CAST(round(pow(1.0 - pow(1.0 - 1.0 / $BloomM, $BloomK * CAST(n_members AS DOUBLE)), $BloomK) * 1000000) AS BIGINT)")
+          s"CAST(round((CAST(1 AS DOUBLE) - exp($BloomK * CAST(n_members AS DOUBLE) * ln(CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / $BloomM))) * (CAST(1 AS DOUBLE) - exp($BloomK * CAST(n_members AS DOUBLE) * ln(CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / $BloomM))) * (CAST(1 AS DOUBLE) - exp($BloomK * CAST(n_members AS DOUBLE) * ln(CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / $BloomM))) * 1000000) AS BIGINT)")
           .as("theory_ppm"))
   }
 
@@ -996,7 +999,7 @@ object Sketches {
        |       CAST($BloomM AS BIGINT) AS m, CAST($BloomK AS BIGINT) AS k,
        |       nb.bits_set, agg.fp_count,
        |       agg.fp_count * 1000000 // agg.n_probes AS fpp_ppm,
-       |       CAST(round(pow(1.0 - pow(1.0 - 1.0 / $BloomM, $BloomK * CAST(nm.n_members AS DOUBLE)), $BloomK) * 1000000) AS BIGINT) AS theory_ppm
+       |       CAST(round((CAST(1 AS DOUBLE) - exp($BloomK * CAST(nm.n_members AS DOUBLE) * ln(CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / $BloomM))) * (CAST(1 AS DOUBLE) - exp($BloomK * CAST(nm.n_members AS DOUBLE) * ln(CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / $BloomM))) * (CAST(1 AS DOUBLE) - exp($BloomK * CAST(nm.n_members AS DOUBLE) * ln(CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / $BloomM))) * 1000000) AS BIGINT) AS theory_ppm
        |FROM agg CROSS JOIN nm CROSS JOIN nb""".stripMargin
   }
 
