@@ -93,11 +93,14 @@ object Bench {
     val allNames = SparkEntry.queries.keys.toSeq.sorted
     val chunkSize = math.max(1, math.ceil(allNames.size.toDouble / SweepChunks).toInt)
     var sweepMode = "child"
+    // per-stream-query micro-batch work ms (arbiter overwrites sweep)
+    var streamWork = Map.empty[String, Long]
     val results: Seq[(String, Double, Boolean)] = allNames.grouped(chunkSize).toSeq.flatMap {
       chunk =>
         ArbiterChild.runInChild(sfDir, cpus, chunk, mode = "sweep") match {
-          case Some(ArbiterChild.ChildResult(times, childLoad)) =>
+          case Some(ArbiterChild.ChildResult(times, works, childLoad)) =>
             loadMax = math.max(loadMax, childLoad)
+            streamWork = streamWork ++ works
             // a name the child reported as -1 (threw) or not at all is a
             // failure row, same shape as an in-process failure: ok=false
             chunk.map { n =>
@@ -115,16 +118,23 @@ object Bench {
     // warm (one untimed + two timed reps, min reported) in one more child
     // JVM — the number to trust when sweep and arbiter disagree, matching
     // the judge's warm-rep standalone methodology.
-    val slowest = results.filter(_._3).sortBy(-_._2).take(ArbiterN).map(_._1)
-    val (arbiter, arbiterMode) = ArbiterChild.runInChild(sfDir, cpus, slowest) match {
-      case Some(ArbiterChild.ChildResult(times, childLoad)) =>
-        loadMax = math.max(loadMax, childLoad)
-        (slowest.flatMap(n => times.get(n).map(t => (n, t, t >= 0))), "child")
-      // the fallback numbers come from the SAME polluted JVM the arbiter
-      // exists to distrust — name the mode so a reader of the artifact
-      // knows which meaning "arbiter" carries this run
-      case None => (slowest.map(timed), "inprocess")
-    }
+    // every `_stream` query is arbited UNCONDITIONALLY: streaming wall
+    // times conflate latch waits with work and sat below the top-N
+    // cutoff in round 12 with no adjudicable number anywhere — now each
+    // gets a fresh-JVM min-of-2 wall time AND a micro-batch work-ms row
+    val slowest = (results.filter(_._3).sortBy(-_._2).take(ArbiterN).map(_._1) ++
+      allNames.filter(_.contains("_stream"))).distinct
+    val (arbiter, arbiterMode) =
+      ArbiterChild.runInChild(sfDir, cpus, slowest, timeoutMin = 30) match {
+        case Some(ArbiterChild.ChildResult(times, works, childLoad)) =>
+          loadMax = math.max(loadMax, childLoad)
+          streamWork = streamWork ++ works
+          (slowest.flatMap(n => times.get(n).map(t => (n, t, t >= 0))), "child")
+        // the fallback numbers come from the SAME polluted JVM the arbiter
+        // exists to distrust — name the mode so a reader of the artifact
+        // knows which meaning "arbiter" carries this run
+        case None => (slowest.map(timed), "inprocess")
+      }
     // times rounded to ms: the driver tail-captures ~2 KB of output, and
     // full-precision doubles pushed the JSON head past the window
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
@@ -142,9 +152,12 @@ object Bench {
     val env = s""""sf":"$sfDir","load_start":${r3(loadStart)},"load_end":$loadEnd""" +
       s""","load_max":${r3(loadMax)},"load_wait_sec":$loadWaitSec""" +
       s""","sweep_mode":"$sweepMode","errors":$errors"""
+    val workMap = streamWork.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec",$env,"arbiter":${qmap(
-          arbiter)},"queries":${qmap(results)}}"""
+          arbiter)},"stream_work_ms":$workMap,"queries":${qmap(results)}}"""
     println(fullLine)
     // the driver tail-captures only ~2 KB of stdout, so every round's
     // BENCH_r*.json has "parsed": null and the per-query map survives
@@ -167,6 +180,7 @@ object Bench {
     // the arbiter map is ~ArbiterN entries (< 400 bytes) — its own line
     // so the trustworthy fresh-process numbers can never be truncated
     // away with the 140-entry queries map again
+    println(s"""{"metric":"stream_work_ms","unit":"ms","queries":$workMap}""")
     println(
       s"""{"metric":"arbiter","unit":"sec","mode":"$arbiterMode","queries":${qmap(arbiter)}}""")
     println(

@@ -20,10 +20,13 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     (1 to reps).foreach { rep =>
+      streaming.StreamOps.streamWorkMs.set(0L)
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").count()
       spark.catalog.clearCache()
-      println(f"[probe] $name rep=$rep rows=$n sec=${(System.nanoTime() - t0) / 1e9}%6.2f")
+      val work = streaming.StreamOps.streamWorkMs.get()
+      println(f"[probe] $name rep=$rep rows=$n sec=${(System.nanoTime() - t0) / 1e9}%6.2f" +
+        (if (work > 0) s" work_ms=$work" else ""))
     }
     spark.stop()
   }

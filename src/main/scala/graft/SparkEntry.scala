@@ -716,15 +716,15 @@ object SparkEntry {
     // detector, one keep conjunction per document
     "dedup_verdict_multimodal" -> ((s, d) =>
       Dedup.verdictMultimodal(docs(s, d), embs(s, d), corpusKey = d).orderBy(col("doc_id"))),
-    // the MODERN curation recipe composed end-to-end: heuristic rules
-    // (Gopher) ∧ ensemble dedup keep ∧ DSIR importance (llr > 0), per
-    // lang — each stage the already-verified operator; the composition
-    // adds three doc_id joins and one rollup
     // dense-retrieval (RAG) pipeline: chunk → hash-embed → cosine top-k
     // for three planted queries; swap the embed expression for model
     // vectors and the brute pass for the IVF probe at scale
     "pipeline_rag" -> ((s, d) =>
       TextOps.ragRetrieve(docs(s, d)).orderBy(col("query_id"), col("rank"))),
+    // the MODERN curation recipe composed end-to-end: heuristic rules
+    // (Gopher) ∧ ensemble dedup keep ∧ DSIR importance (llr > 0), per
+    // lang — each stage the already-verified operator; the composition
+    // adds three doc_id joins and one rollup
     "pipeline_modern" -> ((s, d) => {
       val g = TextOps.gopherRules(docs(s, d)).select(col("doc_id"), col("pass"))
       val v = Dedup.verdict(docs(s, d)).select(col("doc_id"), col("keep"))
@@ -2743,18 +2743,26 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_rows"),
           sum(col("cents")).as("rev_cents"))),
-    // single-linkage clustering read off the MSF: cut heavy forest
-    // edges, components are the clusters (size histogram)
+    // single-linkage clustering at a FIXED cut: by the Kruskal/minimax
+    // invariant, MSF(G) restricted to wn <= t spans exactly the
+    // components of G restricted to wn <= t (same node set too — the
+    // minimax path property keeps every under-threshold endpoint
+    // incident to an under-threshold forest edge), so the scalable plan
+    // is ONE connected-components pass over the thresholded edge set —
+    // no forest build, no second contraction loop. The DuckDB oracle
+    // keeps the forest-based definition, re-proving the equivalence on
+    // real data every gate; full-dendrogram use (where the forest IS
+    // the product) is what graph_msf benchmarks.
     "graph_msf_clusters" -> ((s, d) => {
-      val forest = GraphOps.msf(GraphSource
+      val cut = GraphSource
         .layeredEdges(s, d)
         .select(
           col("src"),
           col("dst"),
-          expr("(least(src, dst) * 7 + greatest(src, dst) * 13) % 101").as("wn")))
-      val kept = forest.filter(col("wn") <= 50L)
+          expr("(least(src, dst) * 7 + greatest(src, dst) * 13) % 101").as("wn"))
+        .filter(col("src") =!= col("dst") && col("wn") <= 50L)
       GraphOps
-        .connectedComponents(kept.select(col("a").as("src"), col("b").as("dst")))
+        .connectedComponents(cut.select(col("src"), col("dst")))
         .groupBy(col("component"))
         .agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("cluster_size"))

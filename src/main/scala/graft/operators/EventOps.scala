@@ -2153,8 +2153,11 @@ object EventOps {
     */
   def hillTail(events: DataFrame): DataFrame = {
     val kMax = HillKs.max
+    // ln(x/x_k) is only defined on a positive tail; a non-positive value
+    // reaching the top-k would NaN the Spark sum and error DuckDB's ln
     val top = events
       .select(col("value"), col("event_id"))
+      .filter(col("value") > 0.0d)
       .orderBy(col("value").desc, col("event_id"))
       .limit(kMax)
     // bounded 200-row frame from here on
@@ -2176,7 +2179,9 @@ object EventOps {
           .select(
             lit(k.toLong).as("k"),
             col("x_k"),
-            expr(s"(${k - 1} * 1000000000000) div s_nano").as("alpha_milli"))
+            // s_nano = 0 (all top-k values equal): α̂ undefined — NULL in
+            // BOTH engines (Spark div would NULL, DuckDB // would error)
+            expr(s"(${k - 1} * 1000000000000) div nullif(s_nano, 0)").as("alpha_milli"))
       }
       .reduce(_ unionAll _)
   }
@@ -2188,14 +2193,15 @@ object EventOps {
       .map { k =>
         s"""SELECT CAST($k AS BIGINT) AS k,
            |       (SELECT value FROM ranked WHERE rn = $k) AS x_k,
-           |       (${k - 1} * 1000000000000) // (
+           |       (${k - 1} * 1000000000000) // nullif((
            |         SELECT CAST(sum(CAST(round(ln(r.value / xk.value) * 1000000000) AS BIGINT)) AS BIGINT)
            |         FROM ranked r, (SELECT value FROM ranked WHERE rn = $k) xk
-           |         WHERE r.rn < $k) AS alpha_milli""".stripMargin
+           |         WHERE r.rn < $k), 0) AS alpha_milli""".stripMargin
       }
       .mkString("\nUNION ALL\n")
     s"""WITH top AS (
-       |  SELECT value, event_id FROM events ORDER BY value DESC, event_id LIMIT $kMax),
+       |  SELECT value, event_id FROM events WHERE value > 0
+       |  ORDER BY value DESC, event_id LIMIT $kMax),
        |ranked AS (
        |  SELECT value, row_number() OVER (ORDER BY value DESC, event_id) AS rn FROM top)
        |$rows""".stripMargin

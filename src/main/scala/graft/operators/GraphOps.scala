@@ -3687,24 +3687,62 @@ object GraphOps {
     * shrinks geometrically), and labels re-map through the contraction.
     * Components at least halve per round ⇒ ≤ log₂|V| rounds.
     *
-    * Scale shape: per round one labels⋈edges join (hash-partitioned on
-    * node id), one per-component window argmin (never a global sort or
-    * global rank), and a contraction whose input is one edge per
-    * component. The convergence read is `isEmpty` on the checkpointed
-    * crossing-edge set — the same scalar-control pattern as [[kTruss]].
+    * Scale shape: the crossing-edge set carries its own labels and is
+    * CONTRACTED forward each round (endpoints re-mapped, internal edges
+    * dropped, parallel super-edges collapsed to their pair minimum), so
+    * round N's join input is the surviving crossing set — geometric in
+    * the component count, ~2|E| total — never a full labels⋈edges
+    * re-join of |E| per round. Per round: one per-component window
+    * argmin (never a global sort), a contraction whose input is one
+    * edge per live component, and two label re-map joins against that
+    * (component-bounded) mapping. The convergence read is a count on
+    * the checkpointed crossing set — the same scalar-control pattern
+    * as [[kTruss]].
     *
     * Input: `(src, dst, wn)` with integer weights (callers carrying
     * float costs scale to micro-units first; exactness of the result
     * then needs no float comparison anywhere). Parallel edges collapse
     * to their minimum weight. Output: the forest edges `(a, b, wn)`.
     */
-  def msf(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+  /** Per-round crossing-edge-set sizes of the most recent [[msf]] run —
+    * spec instrumentation pinning the contraction: the working set must
+    * shrink from round 2 on (the whole point of carrying labels ON the
+    * edges instead of re-joining the full edge table every round).
+    */
+  private[graft] var lastMsfRoundEdgeCounts: Vector[Long] = Vector.empty
+
+  /** Crossing sets at or under this many super-edges finish on the
+    * driver with a Kruskal union-find instead of more distributed
+    * rounds. The collect is bounded by this CONSTANT (≤ ~40 KB of
+    * longs) at any data scale — the same bounded-readout doctrine as
+    * the loop convergence counters — and it removes the log|V| tail of
+    * rounds that each process a handful of edges but pay the full
+    * per-round scheduling floor (measured ~1.5 s/round at local[32];
+    * on a real cluster the floor is task dispatch + barrier latency,
+    * so the tail dominates end-of-run latency there too). The forest
+    * is unique under the total order (wn, a, b), so Kruskal on the
+    * contracted remainder returns EXACTLY what more Borůvka rounds
+    * would — MsfHybridSpec pins tailCap=0 vs default equality.
+    */
+  val MsfTailCap = 1024
+
+  def msf(edges: DataFrame, maxRounds: Int = 20, tailCap: Int = MsfTailCap): DataFrame = {
     val session = edges.sparkSession
     def ckpt(df: DataFrame): DataFrame =
       org.apache.spark.sql.graftbridge.CheckpointBridge.dropOriginStats(df.localCheckpoint(true))
     val parts = loopPartitions(session, edges.count())
     withLoopConfs(session, parts) {
-      val we = ckpt(
+      // The working set CARRIES its own component labels: (u, v) are the
+      // current super-node endpoints, (a, b, wn) the original edge payload
+      // the forest is read from. Initially u=a, v=b (every node its own
+      // component), so the set starts as the deduped crossing edges and —
+      // unlike a labels⋈edges re-join of the full |E| every round — only
+      // ever SHRINKS: contraction both merges endpoints (u=v edges drop)
+      // and collapses parallel super-edges to their (wn, a, b) minimum,
+      // which is the only row the per-component argmin can ever pick.
+      // Round N thus pays join input proportional to the surviving
+      // crossing set (geometric in the component count), ~2|E| total.
+      var work = ckpt(
         edges
           .filter(col("src") =!= col("dst"))
           .select(
@@ -3712,28 +3750,46 @@ object GraphOps {
             greatest(col("src"), col("dst")).as("b"),
             col("wn"))
           .groupBy(col("a"), col("b"))
-          .agg(min(col("wn")).as("wn")))
-      var labels = ckpt(
-        we.select(col("a").as("id"))
-          .unionAll(we.select(col("b").as("id")))
-          .distinct()
-          .withColumn("lbl", col("id")))
+          .agg(min(col("wn")).as("wn"))
+          .select(col("a").as("u"), col("b").as("v"), col("wn"), col("a"), col("b")))
       var forest: DataFrame = null
       var done = false
       var round = 0
+      var counts = Vector.empty[Long]
       while (!done && round < maxRounds) {
         round += 1
-        val crossing = ckpt(
-          we.join(labels.select(col("id").as("a"), col("lbl").as("la")), Seq("a"))
-            .join(labels.select(col("id").as("b"), col("lbl").as("lb")), Seq("b"))
-            .filter(col("la") =!= col("lb")))
-        if (crossing.isEmpty) done = true
-        else {
-          val cand = crossing
-            .select(col("la").as("c"), col("wn"), col("a"), col("b"), col("la"), col("lb"))
+        val nCrossing = work.count()
+        counts = counts :+ nCrossing
+        if (nCrossing == 0L) done = true
+        else if (nCrossing <= tailCap) {
+          // Bounded driver tail (see [[MsfTailCap]]): Kruskal over the
+          // ≤ tailCap surviving super-edges under the same total order.
+          val rows = work.select(col("wn"), col("a"), col("b"), col("u"), col("v")).collect()
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+            r
+          }
+          val picked = rows
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+            .sortBy { case (wn, a, b, _, _) => (wn, a, b) }
+            .flatMap { case (wn, a, b, u, v) =>
+              val (ru, rv) = (find(u), find(v))
+              if (ru == rv) None
+              else { parent(math.max(ru, rv)) = math.min(ru, rv); Some((a, b, wn)) }
+            }
+          import session.implicits._
+          val tail = picked.toSeq.toDF("a", "b", "wn")
+          forest = if (forest == null) ckpt(tail) else ckpt(forest.unionAll(tail))
+          done = true
+        } else {
+          val cand = work
+            .select(col("u").as("c"), col("wn"), col("a"), col("b"), col("u"), col("v"))
             .unionAll(
-              crossing
-                .select(col("lb").as("c"), col("wn"), col("a"), col("b"), col("la"), col("lb")))
+              work.select(col("v").as("c"), col("wn"), col("a"), col("b"), col("u"), col("v")))
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("c"))
             .orderBy(col("wn"), col("a"), col("b"))
@@ -3741,23 +3797,43 @@ object GraphOps {
             cand
               .withColumn("rn", row_number().over(w))
               .filter(col("rn") === 1)
-              .select(col("a"), col("b"), col("wn"), col("la"), col("lb"))
+              .select(col("a"), col("b"), col("wn"), col("u"), col("v"))
               .distinct())
           val picked = chosen.select(col("a"), col("b"), col("wn"))
           forest = if (forest == null) ckpt(picked) else ckpt(forest.unionAll(picked))
+          // Contract: the chosen pseudo-forest has ≤ one edge per LIVE
+          // component, so this CC input is bounded by the (halving)
+          // component count, not by |E|. (Measured: min-label beats the
+          // star contraction here — patchLoop's shrinking frontier keeps
+          // the propagation rounds cheap, while stars pay two full
+          // groupBy/join/distinct passes per round.)
           val comp =
-            connectedComponents(chosen.select(col("la").as("src"), col("lb").as("dst")))
-          labels = ckpt(
-            labels
-              .join(
-                comp.select(col("id").as("j_lbl"), col("component")),
-                col("lbl") === col("j_lbl"),
-                "left_outer")
-              .select(col("id"), coalesce(col("component"), col("lbl")).as("lbl")))
+            connectedComponents(chosen.select(col("u").as("src"), col("v").as("dst")))
+          // Every label still in `work` is incident to a chosen edge (its
+          // component picked one), so comp covers it; left_outer+coalesce
+          // keeps the invariant loud rather than silently dropping rows.
+          val relabeled = work
+            .join(comp.select(col("id").as("u"), col("component").as("nu")), Seq("u"), "left_outer")
+            .join(comp.select(col("id").as("v"), col("component").as("nv")), Seq("v"), "left_outer")
+            .select(
+              coalesce(col("nu"), col("u")).as("u"),
+              coalesce(col("nv"), col("v")).as("v"),
+              col("wn"), col("a"), col("b"))
+            .filter(col("u") =!= col("v"))
+          work = ckpt(
+            relabeled
+              .select(
+                least(col("u"), col("v")).as("u"),
+                greatest(col("u"), col("v")).as("v"),
+                struct(col("wn"), col("a"), col("b")).as("e"))
+              .groupBy(col("u"), col("v"))
+              .agg(min(col("e")).as("e"))
+              .select(col("u"), col("v"), col("e.wn").as("wn"), col("e.a").as("a"), col("e.b").as("b")))
         }
       }
+      lastMsfRoundEdgeCounts = counts
       require(done, s"msf did not converge within $maxRounds rounds")
-      if (forest == null) we.select(col("a"), col("b"), col("wn")).limit(0)
+      if (forest == null) work.select(col("a"), col("b"), col("wn")).limit(0)
       else forest.distinct()
     }
   }

@@ -18,11 +18,36 @@ import org.apache.spark.sql.DataFrame
   * Keys must embed every semantic input (corpus path, builder params)
   * plus [[Version]] — bump it whenever any builder's semantics change so
   * an artifact from an older build can never serve a newer query.
+  *
+  * Identity is VERIFIED, never assumed: the directory name is a 32-bit
+  * hash of the key, so two distinct keys can collide; every artifact
+  * carries its FULL key in a `_KEY` file (written before the atomic
+  * move, so it is exactly as durable as the data), and reuse compares
+  * the stored key byte-for-byte — a mismatch probes the next
+  * deterministic slot (`model-<hash>-1`, `-2`, …) instead of silently
+  * serving the wrong model. Lifecycle is bounded: the registry tracks
+  * total on-disk bytes and evicts least-recently-served artifacts
+  * (LRU by `_KEY` mtime, touched on every reuse) over
+  * [[cacheCapBytes]], never evicting a key this process is actively
+  * serving.
   */
 object ModelCache {
 
   /** Artifact-format/builder-semantics version, part of every key. */
   val Version = 1
+
+  /** Total on-disk cap for the registry, bytes (default 4 GiB;
+    * override with GRAFT_MODEL_CACHE_CAP_MB or sysprop
+    * graft.model.cache.cap.mb). Artifacts otherwise accumulate in
+    * java.io.tmpdir unboundedly across corpora and Version bumps.
+    */
+  def cacheCapBytes: Long = {
+    val mb = sys.props.get("graft.model.cache.cap.mb")
+      .orElse(sys.env.get("GRAFT_MODEL_CACHE_CAP_MB"))
+      .map(_.toLong)
+      .getOrElse(4096L)
+    mb * 1024L * 1024L
+  }
 
   /** In-process memo of key → published dir (the disk check is cheap,
     * but computeIfAbsent also serializes concurrent builders).
@@ -34,11 +59,20 @@ object ModelCache {
     */
   val builtCount = new java.util.concurrent.atomic.AtomicLong
 
+  /** Observability for eviction: artifacts deleted by the size cap. */
+  val evictedCount = new java.util.concurrent.atomic.AtomicLong
+
   /** Test hook: drop the in-process memo so a spec can prove the DISK
     * reuse path (a fresh JVM finding a published artifact) never
     * re-invokes the builder.
     */
   private[graft] def clearMemo(): Unit = memo.clear()
+
+  private def baseDir: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-model-cache")
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
 
   /** Resolve (building at most once per key, process-wide AND
     * disk-wide) the artifact directory for `key`. `singleFile`
@@ -51,28 +85,92 @@ object ModelCache {
       s"v$Version|$key",
       fullKey => {
         import java.nio.file.{Files, Paths, StandardCopyOption}
-        val base = Paths.get(sys.props("java.io.tmpdir"), "graft-model-cache")
-        Files.createDirectories(base)
+        val base = baseDir
         val hash = f"${scala.util.hashing.MurmurHash3.stringHash(fullKey)}%08x"
-        val out = base.resolve(s"model-$hash")
-        if (!Files.exists(out.resolve("_SUCCESS"))) {
-          // a dir without the marker is debris from a crash of an older
-          // non-atomic writer — clear it before publishing
-          if (Files.exists(out)) deleteTree(out)
-          val tmp = Files.createTempDirectory(base, "build-")
-          val df = build
-          (if (singleFile) df.coalesce(1) else df)
-            .write.mode("overwrite").parquet(tmp.toString)
-          try Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            // another process published first: serve its (identical) copy
-            case _: java.nio.file.FileAlreadyExistsException => deleteTree(tmp)
-            case _: java.nio.file.FileSystemException => deleteTree(tmp)
+        var slot = 0
+        var resolved: String = null
+        while (resolved == null) {
+          val out = base.resolve(if (slot == 0) s"model-$hash" else s"model-$hash-$slot")
+          val keyFile = out.resolve("_KEY")
+          if (Files.exists(out.resolve("_SUCCESS"))) {
+            val stored =
+              if (Files.exists(keyFile)) Files.readString(keyFile) else ""
+            if (stored == fullKey) {
+              // serve — and record the reuse for LRU ordering
+              try Files.setLastModifiedTime(
+                keyFile, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+              catch { case _: java.io.IOException => () }
+              resolved = out.toString
+            } else slot += 1 // 32-bit collision (or pre-_KEY legacy): next slot
+          } else {
+            // a dir without the marker is debris from a crash of an older
+            // non-atomic writer — clear it before publishing
+            if (Files.exists(out)) deleteTree(out)
+            val tmp = Files.createTempDirectory(base, "build-")
+            val df = build
+            (if (singleFile) df.coalesce(1) else df)
+              .write.mode("overwrite").parquet(tmp.toString)
+            // the key rides INSIDE the atomic move: a published dir can
+            // never exist without its identity
+            Files.writeString(tmp.resolve("_KEY"), fullKey)
+            try {
+              Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE)
+              builtCount.incrementAndGet()
+              resolved = out.toString
+            } catch {
+              // another process published this slot first: loop WITHOUT
+              // advancing the slot — re-read it; if its key matches we
+              // serve the (identical) copy, else we probe the next slot
+              case _: java.nio.file.FileAlreadyExistsException => deleteTree(tmp)
+              case _: java.nio.file.FileSystemException => deleteTree(tmp)
+            }
           }
-          builtCount.incrementAndGet()
         }
-        out.toString
+        evictOverCap(base, resolved)
+        resolved
       })
+
+  /** Delete least-recently-served artifacts until the registry fits
+    * [[cacheCapBytes]]. Recency is the `_KEY` mtime (touched on every
+    * reuse); artifacts memoized by THIS process are pinned — a live
+    * DataFrame may still be reading them.
+    */
+  private def evictOverCap(base: java.nio.file.Path, justPublished: String): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    // the caller's dir is passed explicitly: eviction runs INSIDE its
+    // computeIfAbsent mapping, i.e. before the memo insert lands
+    val pinned = memo.values().asScala.toSet + justPublished
+    def treeSize(p: java.nio.file.Path): Long = {
+      val s = Files.walk(p)
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+      finally s.close()
+    }
+    val listing = Files.list(base)
+    val entries =
+      try listing.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("model-"))
+        .filter(p => Files.exists(p.resolve("_SUCCESS")))
+        .map { p =>
+          val touched =
+            try Files.getLastModifiedTime(p.resolve("_KEY")).toMillis
+            catch { case _: java.io.IOException => 0L }
+          (p, treeSize(p), touched)
+        }
+        .toVector
+      finally listing.close()
+    var total = entries.map(_._2).sum
+    val cap = cacheCapBytes
+    if (total > cap) {
+      entries.sortBy(_._3).foreach { case (p, sz, _) =>
+        if (total > cap && !pinned.contains(p.toString)) {
+          deleteTree(p)
+          evictedCount.incrementAndGet()
+          total -= sz
+        }
+      }
+    }
+  }
 
   private def deleteTree(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p))

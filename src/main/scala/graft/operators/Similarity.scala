@@ -803,26 +803,48 @@ object Similarity {
     * the two-phase shape that makes 1-bit search usable at corpus scale.
     */
   def bqTopK(embs: DataFrame, nQueries: Int, k: Int, rerank: Int = BqRerank): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
     val codes = Phys.materialized(bqCodes(embs))
     val q = codes.filter(col("vec_id") < nQueries).alias("q")
     val c = codes.alias("c")
-    val wHam = Window.partitionBy(col("q_id")).orderBy(col("ham"), col("n_id"))
-    val cands = q
+    // Hamming phase: the |q|·|corpus| scored stream is ranked by the
+    // bounded-heap [[graft.functions.TopKAggregator]] (score = −ham so
+    // "higher first, lower id on ties" realizes (ham ASC, n_id ASC)) —
+    // map-side partial top-`rerank`, so only rerank·|q| rows cross the
+    // shuffle; a row_number window here would instead SORT the whole
+    // scan per partition, the scan's dominant shuffle at corpus scale.
+    val scoredHam = q
       .join(c, col("q.vec_id") =!= col("c.vec_id"))
       .select(
         col("q.vec_id").as("q_id"),
         col("c.vec_id").as("n_id"),
-        (expr("bit_count(q.w0 ^ c.w0)") + expr("bit_count(q.w1 ^ c.w1)")).as("ham"))
-      .withColumn("hrank", row_number().over(wHam))
-      .filter(col("hrank") <= rerank)
+        (-(expr("bit_count(q.w0 ^ c.w0)") + expr("bit_count(q.w1 ^ c.w1)")))
+          .cast("double").as("negham"))
+      .as[(Long, Long, Double)]
+    val topHam = new graft.functions.TopKAggregator(rerank)
+    val cands = scoredHam
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topHam.toColumn)
+      .flatMap { case (qId, hits) => hits.map { case (nId, _) => (qId, nId) } }
+      .toDF("q_id", "n_id")
+    // rerank phase: exact cosine over the rerank-bounded pool only
     val d = asDouble(embs)
-    val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    cands
+    val reranked = cands
       .join(d.select(col("vec_id").as("q_id"), col("e").as("qe")), Seq("q_id"))
       .join(d.select(col("vec_id").as("n_id"), col("e").as("ne")), Seq("n_id"))
       .select(col("q_id"), col("n_id"), round(Parity.cosine(col("qe"), col("ne")), 6).as("cos"))
-      .withColumn("rank", row_number().over(wCos))
-      .filter(col("rank") <= k)
+      .as[(Long, Long, Double)]
+    val topCos = new graft.functions.TopKAggregator(k)
+    reranked
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topCos.toColumn)
+      .flatMap { case (qId, hits) =>
+        hits.zipWithIndex.map { case ((nId, cos), i) => (qId, nId, cos, i + 1) }
+      }
+      .toDF("q_id", "n_id", "cos", "rank")
   }
 
   /** [[bqTopK]] for an EXTERNAL query vector — the point-lookup serving

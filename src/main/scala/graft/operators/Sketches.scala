@@ -1052,22 +1052,25 @@ object Sketches {
       .withColumn("est_co", expr("cn * on div greatest(c_ndv, o_ndv_ck)"))
       .withColumn("est_ol", expr("on * ln div greatest(o_ndv_ok, l_ndv)"))
       .withColumn("est_cl", expr("cn * ln"))
+      // exactly ONE candidate is chosen under every tie pattern: rank by
+      // (est_rows, fixed candidate order co < ol < cl) — co wins any tie
+      // it is part of, ol beats only cl on a tie, cl must win strictly
       .select(explode(array(
         struct(
           lit("customer*orders").as("first_join"),
           col("est_co").as("est_rows"),
           col("act_co").as("actual_rows"),
-          (col("est_co") === least(col("est_co"), col("est_ol"), col("est_cl"))).as("chosen")),
+          (col("est_co") <= col("est_ol") && col("est_co") <= col("est_cl")).as("chosen")),
         struct(
           lit("orders*lineitem").as("first_join"),
           col("est_ol").as("est_rows"),
           col("act_ol").as("actual_rows"),
-          (col("est_ol") < least(col("est_co"), col("est_cl"))).as("chosen")),
+          (col("est_ol") < col("est_co") && col("est_ol") <= col("est_cl")).as("chosen")),
         struct(
           lit("customer*lineitem").as("first_join"),
           col("est_cl").as("est_rows"),
           col("est_cl").as("actual_rows"),
-          (col("est_cl") < least(col("est_co"), col("est_ol"))).as("chosen")))).as("s"))
+          (col("est_cl") < col("est_co") && col("est_cl") < col("est_ol")).as("chosen")))).as("s"))
       .select(col("s.first_join"), col("s.est_rows"), col("s.actual_rows"), col("s.chosen"))
       .withColumn("err_ppm",
         expr("abs(est_rows - actual_rows) * 1000000 div greatest(actual_rows, 1)"))
@@ -1104,13 +1107,13 @@ object Sketches {
        |  FROM c CROSS JOIN o CROSS JOIN l CROSS JOIN aco CROSS JOIN aol),
        |rows0 AS (
        |  SELECT 'customer*orders' AS first_join, est_co AS est_rows, act_co AS actual_rows,
-       |         est_co = least(est_co, est_ol, est_cl) AS chosen FROM e
+       |         est_co <= est_ol AND est_co <= est_cl AS chosen FROM e
        |  UNION ALL
        |  SELECT 'orders*lineitem', est_ol, act_ol,
-       |         est_ol < least(est_co, est_cl) FROM e
+       |         est_ol < est_co AND est_ol <= est_cl FROM e
        |  UNION ALL
        |  SELECT 'customer*lineitem', est_cl, est_cl,
-       |         est_cl < least(est_co, est_ol) FROM e)
+       |         est_cl < est_co AND est_cl < est_ol FROM e)
        |SELECT first_join, est_rows, actual_rows,
        |       abs(est_rows - actual_rows) * 1000000 // greatest(actual_rows, 1) AS err_ppm,
        |       chosen

@@ -639,10 +639,14 @@ object Stats {
         col("k"),
         col("ssb_c2"),
         col("ssw_c2"),
+        // degenerate inputs (single group k=1, or zero within-group
+        // variance) make F undefined: NULL in both engines — the double
+        // form would otherwise hit Inf/NaN whose BIGINT cast DIVERGES
+        // between Spark (saturates) and DuckDB (errors)
         expr(
-          "CAST(round(CAST(ssb_c2 AS DOUBLE) * CAST(n - k AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) * CAST(k - 1 AS DOUBLE)) * 1000) AS BIGINT)")
+          "CAST(round(CAST(ssb_c2 AS DOUBLE) * CAST(n - k AS DOUBLE) / nullif(CAST(ssw_c2 AS DOUBLE) * CAST(k - 1 AS DOUBLE), CAST(0 AS DOUBLE)) * 1000) AS BIGINT)")
           .as("f_milli"),
-        expr("ssb_c2 * 1000000 div (ssb_c2 + ssw_c2)").as("eta2_ppm"))
+        expr("ssb_c2 * 1000000 div nullif(ssb_c2 + ssw_c2, 0)").as("eta2_ppm"))
   }
 
   /** [[anovaOneWay]] mirrored. */
@@ -666,8 +670,8 @@ object Stats {
        |         CAST(sum(ssw_term) AS BIGINT) AS ssw_c2
        |  FROM terms GROUP BY 1, 2)
        |SELECT n, k, ssb_c2, ssw_c2,
-       |       CAST(round(CAST(ssb_c2 AS DOUBLE) * CAST(n - k AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) * CAST(k - 1 AS DOUBLE)) * 1000) AS BIGINT) AS f_milli,
-       |       ssb_c2 * 1000000 // (ssb_c2 + ssw_c2) AS eta2_ppm
+       |       CAST(round(CAST(ssb_c2 AS DOUBLE) * CAST(n - k AS DOUBLE) / nullif(CAST(ssw_c2 AS DOUBLE) * CAST(k - 1 AS DOUBLE), CAST(0 AS DOUBLE)) * 1000) AS BIGINT) AS f_milli,
+       |       ssb_c2 * 1000000 // nullif(ssb_c2 + ssw_c2, 0) AS eta2_ppm
        |FROM a""".stripMargin
 
   /** [[mutualInfo]] mirrored. */

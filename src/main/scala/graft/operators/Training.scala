@@ -1798,9 +1798,12 @@ object Training {
       .filter(col("s").isin(6L, 7L))
       .crossJoin(broadcast(m))
       .select(expr(residMic).as("r_mic"))
+    // clamp to n_calib: for n_calib < 9 the ceil index would exceed the
+    // table and silently collapse the result — the standard finite-sample
+    // fallback is q = max residual (the n-th order statistic)
     val nq = cal.agg(
       count(lit(1)).as("n_calib"),
-      expr("(9 * (count(1) + 1) + 9) div 10").as("q_idx"))
+      expr("least((9 * (count(1) + 1) + 9) div 10, count(1))").as("q_idx"))
     val qRow = Phys
       .globalRank(cal, Seq(col("r_mic")), "rk")
       .crossJoin(broadcast(nq))
@@ -1848,7 +1851,8 @@ object Training {
        |  FROM f CROSS JOIN m WHERE s IN (6, 7)),
        |nq AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_calib,
-       |         (9 * (CAST(count(*) AS BIGINT) + 1) + 9) // 10 AS q_idx
+       |         least((9 * (CAST(count(*) AS BIGINT) + 1) + 9) // 10,
+       |               CAST(count(*) AS BIGINT)) AS q_idx
        |  FROM cal),
        |qv AS (
        |  SELECT nq.n_calib, nq.q_idx, r.r_mic AS q_mic

@@ -17,6 +17,24 @@ import graft.operators.EventOps
   */
 object StreamOps {
 
+  /** Micro-batch WORK milliseconds (Σ triggerExecution over the batches
+    * of every bounded stream run since the last reset): the wall time of
+    * a harness stream conflates trigger-latch and source-poll waits with
+    * actual work, so benchmark adjudication reads THIS accumulator —
+    * [[graft.Bench]]/[[graft.ArbiterChild]] reset it before a query and
+    * publish it next to the wall time for every `_stream` query.
+    */
+  val streamWorkMs = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def recordWork(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try {
+      val ms = q.recentProgress.toSeq
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.longValue()))
+        .sum
+      streamWorkMs.addAndGet(ms)
+      ()
+    } catch { case _: Throwable => () }
+
   /** Schema of the events table (explicit: readStream requires one).
     * The LongType `ts` is the nanos-generation layout (TIMESTAMP(NANOS)
     * arrives as nanos-since-epoch BIGINT under `nanosAsLong`);
@@ -289,7 +307,7 @@ object StreamOps {
           .option("checkpointLocation", ckpt.toString)
           .queryName(name)
           .start()
-        try q.processAllAvailable()
+        try { q.processAllAvailable(); recordWork(q) }
         finally stopQuietly(q)
       } finally deleteRecursively(ckpt)
     }
@@ -1929,7 +1947,7 @@ object StreamOps {
         .start()
       // stop in finally: a failure mid-batch must not leak a running
       // query whose checkpoint the outer finally is about to delete
-      try q.processAllAvailable()
+      try { q.processAllAvailable(); recordWork(q) }
       finally stopQuietly(q)
     } finally deleteRecursively(ckpt)
     spark.table(name)

@@ -564,6 +564,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(out === Set((1L, 2L, 1L), (1L, 3L, 3L)))
   }
 
+  test("msf working set contracts forward: round >= 2 join input shrinks") {
+    import spark.implicits._
+    // 8-node path with weights alternating small/large so Borůvka pairs
+    // up in round 1 ({1,2},{3,4},{5,6},{7,8}), leaving exactly the 3
+    // heavy edges crossing in round 2, then 0 — the crossing-set counts
+    // must be the strictly-shrinking [7, 3, 0], never a re-scan of |E|.
+    val e = Seq(
+      (1L, 2L, 1L), (2L, 3L, 10L), (3L, 4L, 2L), (4L, 5L, 20L),
+      (5L, 6L, 3L), (6L, 7L, 30L), (7L, 8L, 4L))
+      .toDF("src", "dst", "wn")
+    val out = GraphOps.msf(e, tailCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.size === 7) // the path is a tree: every edge survives
+    assert(GraphOps.lastMsfRoundEdgeCounts === Vector(7L, 3L, 0L),
+      s"Borůvka crossing set must contract each round, got ${GraphOps.lastMsfRoundEdgeCounts}")
+    // hybrid tail: the driver Kruskal finish returns the identical
+    // (unique) forest as pure distributed rounds, and the crossing set
+    // collected is round-2's contracted remainder, never |E|
+    val hybrid = GraphOps.msf(e, tailCap = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hybrid === out)
+    assert(GraphOps.lastMsfRoundEdgeCounts === Vector(7L, 3L),
+      s"tail must take over at the 3-edge remainder, got ${GraphOps.lastMsfRoundEdgeCounts}")
+  }
+
   test("stressCentrality matches explicit path enumeration on a diamond DAG") {
     import spark.implicits._
     // source 1; diamond 1->2->4, 1->3->4, then 4->5:

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ModelCache
+
+/** The artifact-identity and lifecycle contracts of the
+  * train-once/serve-many registry: reuse VERIFIES the stored key (a
+  * 32-bit directory-name collision must rebuild into the next slot,
+  * never silently serve the wrong model), the key rides inside the
+  * atomic publish, and the size cap evicts least-recently-served
+  * artifacts without ever touching one this process still serves.
+  */
+class ModelCacheSpec extends SparkSpec {
+
+  private def hashOf(key: String): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(s"v${ModelCache.Version}|$key")}%08x"
+
+  private def base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-model-cache")
+
+  test("a planted hash collision rebuilds into the next slot — never serves the wrong model") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val key = s"collision-spec|${java.util.UUID.randomUUID()}"
+    // plant an artifact at key's slot-0 directory carrying a DIFFERENT key
+    val slot0 = base.resolve(s"model-${hashOf(key)}")
+    Files.createDirectories(slot0)
+    Files.writeString(slot0.resolve("_KEY"), "some-other-key-entirely")
+    Files.writeString(slot0.resolve("_SUCCESS"), "")
+    Files.writeString(slot0.resolve("impostor.txt"), "wrong model bytes")
+    val before = ModelCache.builtCount.get()
+    val d = ModelCache.dir(key)(Seq((1L, 42L)).toDF("id", "v"))
+    assert(d === slot0.getParent.resolve(s"model-${hashOf(key)}-1").toString,
+      "collision must probe the deterministic next slot")
+    assert(ModelCache.builtCount.get() === before + 1)
+    // the impostor is untouched; the real artifact serves the real data
+    assert(Files.readString(slot0.resolve("_KEY")) === "some-other-key-entirely")
+    assert(spark.read.parquet(d).select(col("v")).head().getLong(0) === 42L)
+    // disk reuse (fresh-JVM simulation) resolves the SAME slot-1 dir
+    // without rebuilding — the stored key, not the dir name, is identity
+    ModelCache.clearMemo()
+    val d2 = ModelCache.dir(key)(fail("rebuilt despite a key-verified artifact"))
+    assert(d2 === d && ModelCache.builtCount.get() === before + 1)
+  }
+
+  test("a legacy artifact without _KEY is never served — identity must be provable") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val key = s"legacy-spec|${java.util.UUID.randomUUID()}"
+    val slot0 = base.resolve(s"model-${hashOf(key)}")
+    Files.createDirectories(slot0)
+    Files.writeString(slot0.resolve("_SUCCESS"), "")
+    val before = ModelCache.builtCount.get()
+    val d = ModelCache.dir(key)(Seq((1L, 7L)).toDF("id", "v"))
+    assert(d.endsWith("-1") && ModelCache.builtCount.get() === before + 1)
+  }
+
+  test("size cap evicts least-recently-served artifacts; the in-memo artifact is pinned") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // fully isolated registry: private tmpdir + zero cap for the test
+    val prevTmp = sys.props("java.io.tmpdir")
+    val isolated = Files.createTempDirectory("mc-evict-spec")
+    sys.props("java.io.tmpdir") = isolated.toString
+    try {
+      val keyA = s"evict-a|${java.util.UUID.randomUUID()}"
+      val keyB = s"evict-b|${java.util.UUID.randomUUID()}"
+      val dA = ModelCache.dir(keyA)(Seq((1L, 1L)).toDF("id", "v"))
+      assert(Files.exists(java.nio.file.Paths.get(dA, "_SUCCESS")))
+      // unpin A (fresh-JVM simulation), then publish B under a 0-byte cap:
+      // A must be evicted, B (pinned by this process's memo) must survive
+      ModelCache.clearMemo()
+      sys.props("graft.model.cache.cap.mb") = "0"
+      val evictedBefore = ModelCache.evictedCount.get()
+      val dB = ModelCache.dir(keyB)(Seq((2L, 2L)).toDF("id", "v"))
+      assert(!Files.exists(java.nio.file.Paths.get(dA)), "LRU artifact must be evicted")
+      assert(Files.exists(java.nio.file.Paths.get(dB, "_SUCCESS")), "pinned artifact must survive")
+      assert(ModelCache.evictedCount.get() > evictedBefore)
+    } finally {
+      sys.props -= "graft.model.cache.cap.mb"
+      sys.props("java.io.tmpdir") = prevTmp
+    }
+  }
+}

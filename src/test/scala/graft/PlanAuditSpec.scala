@@ -793,6 +793,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"wordpiece cartesian:\n$plan")
   }
 
+  test("bqTopK ranks the Hamming scan with the bounded heap — no window anywhere in its plan") {
+    val embsDf = model.table(spark, dir, "embeddings")
+    val plan = planOf(graft.operators.Similarity.bqTopK(embsDf, nQueries = 5, k = 3))
+    assert(!plan.contains("Window"),
+      s"the |q|x|corpus| Hamming scan must never feed a window sort:\n$plan")
+  }
+
   test("graph_msf contracts on equi-joins; stress levels join on node keys") {
     Seq("graph_msf", "graph_stress").foreach { q =>
       val plan = planOf(SparkEntry.queries(q)(spark, dir))
