@@ -1518,6 +1518,12 @@ object SparkEntry {
     // sides); oracle = the same interval join over the static table
     "events_stream_join" -> ((s, d) =>
       streaming.StreamOps.intervalJoinOverParquet(s, d).orderBy(col("p_id"), col("c_id"))),
+    // LEFT-OUTER stream-stream join: null-matches emitted on watermark
+    // expiry (sentinel-driven on the bounded file); oracle = static
+    // LEFT JOIN with the same interval condition
+    "events_stream_join_outer" -> ((s, d) =>
+      streaming.StreamOps.intervalJoinOuterOverParquet(s, d)
+        .orderBy(col("p_id"), col("c_id"))),
     // stream-static enrichment join (broadcast dimension probed per
     // micro-batch, zero stream-side state) + windowed agg per segment
     "events_stream_enrich" -> ((s, d) =>
@@ -1687,6 +1693,22 @@ object SparkEntry {
     // held-out coverage — the distribution-free uncertainty eval
     "train_conformal" -> ((s, d) =>
       operators.Training.conformalInterval(model.table(s, d, "lineitem"))),
+    // Cook's distance: closed-form OLS influence — the exact
+    // data-attribution readout (top-20 points whose removal moves the
+    // model most)
+    "train_cooks_distance" -> ((s, d) =>
+      operators.Training.cooksDistance(model.table(s, d, "lineitem"))),
+    // pass@k in the unbiased product form (Chen et al. 2021): tasks =
+    // event types, deterministic first-50 sample, value > 80 passes
+    "eval_pass_at_k" -> ((s, d) =>
+      operators.Training.passAtK(events(s, d)).orderBy(col("event_type"))),
+    // Bradley–Terry strengths by Hunter's MM over adjacent-event
+    // preferences — the arena-leaderboard fit, k²-bounded iteration
+    "train_bradley_terry" -> ((s, d) =>
+      operators.Training.bradleyTerry(events(s, d)).orderBy(col("rnk"))),
+    // linear CKA between two embedding blocks: the representation-
+    // similarity statistic, one moments pass + O(d²) driver arithmetic
+    "emb_cka" -> ((s, d) => operators.LinAlg.cka(embs(s, d))),
     // full-batch logistic regression, 3 synchronous GD rounds, integer
     // micro-unit weights and gradients (no libm anywhere)
     "train_logreg" -> ((s, d) =>
@@ -1775,6 +1797,9 @@ object SparkEntry {
     // delta vs next-fit decides whether the sort is worth it
     "docs_pack_bestfit" -> ((s, d) =>
       operators.Packing.packBestFit(docs(s, d)).orderBy(col("shard"))),
+    // cross-document attention mass of the two no-split packings — the
+    // fraction that decides whether packed pretraining needs masking
+    "docs_pack_xdoc" -> ((s, d) => operators.Packing.packXdoc(docs(s, d))),
     // CDC snapshot diff off the append log: insert/update/unchanged
     // churn classification between two as-of states
     "events_cdc_diff" -> ((s, d) =>
@@ -4941,6 +4966,17 @@ object SparkEntry {
            |FROM p JOIN c ON p.user_id = c.user_id
            |  AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
            |ORDER BY p_id, c_id""".stripMargin,
+      "events_stream_join_outer" ->
+        s"""WITH p AS (SELECT event_id AS p_id, user_id, ts, value FROM events
+           |           WHERE event_type = 'purchase'),
+           |c AS (SELECT event_id AS c_id, user_id, ts, value FROM events
+           |      WHERE event_type = 'click')
+           |SELECT p.p_id, c.c_id, p.user_id,
+           |       strftime(p.ts, $fmt) AS pts, strftime(c.ts, $fmt) AS cts,
+           |       p.value AS p_value, c.value AS c_value
+           |FROM p LEFT JOIN c ON p.user_id = c.user_id
+           |  AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+           |ORDER BY p_id, c_id""".stripMargin,
       "events_stream_enrich" ->
         s"""SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), $fmt) AS ws,
            |       c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
@@ -5081,6 +5117,12 @@ object SparkEntry {
       "emb_pca_project" -> operators.LinAlg.pcaProjectSql(),
       "train_linreg" -> operators.Training.linregNormalSql,
       "train_conformal" -> operators.Training.conformalIntervalSql(),
+      "train_cooks_distance" -> operators.Training.cooksDistanceSql(),
+      "eval_pass_at_k" ->
+        s"SELECT * FROM (${operators.Training.passAtKSql()}) ORDER BY event_type",
+      "train_bradley_terry" ->
+        s"SELECT * FROM (${operators.Training.bradleyTerrySql()}) ORDER BY rnk",
+      "emb_cka" -> operators.LinAlg.ckaSql(),
       "train_logreg" -> operators.Training.logregGdSql(toks),
       "train_logreg_stored" -> operators.Training.logregApplyStoredSql(toks),
       "train_fasttext" -> operators.Training.fasttextGdSql(),
@@ -5126,6 +5168,7 @@ object SparkEntry {
         s"SELECT * FROM (${operators.Packing.packNextFitSql()}) ORDER BY shard",
       "docs_pack_bestfit" ->
         s"SELECT * FROM (${operators.Packing.packBestFitSql()}) ORDER BY shard",
+      "docs_pack_xdoc" -> operators.Packing.packXdocSql(),
       "docs_stream_pack" ->
         s"SELECT * FROM (${operators.Packing.packNextFitSql()}) ORDER BY shard",
       "events_cdc_diff" ->

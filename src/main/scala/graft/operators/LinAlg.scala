@@ -367,4 +367,89 @@ object LinAlg {
        |             (a, b) -> a + b) / 1000.0 - mv.muv + 1e-9, 6) AS pc1
        |FROM c CROSS JOIN v$iters w CROSS JOIN muv mv
        |ORDER BY c.vec_id""".stripMargin
+  // ---- linear CKA (centered kernel alignment) -------------------------------
+
+  /** Linear CKA between two 8-dim blocks of the embedding space (dims
+    * 1–8 vs 33–40) — the representation-similarity statistic model
+    * comparisons report (Kornblith et al. 2019, "Similarity of Neural
+    * Network Representations Revisited"): for linear kernels,
+    * CKA(X, Y) = ‖cov(X,Y)‖²_F / (‖cov(X,X)‖_F · ‖cov(Y,Y)‖_F). Here
+    * the two "models" are two fixed coordinate blocks of the same
+    * corpus — the readout a drift monitor runs between an old and new
+    * embedding snapshot (swap one block's columns for the other
+    * table's at deploy time; the machinery is identical).
+    *
+    * Determinism: the single data pass is [[MomentsAggregator]]'s exact
+    * integer milli-unit moments; every covariance entry is ONE fixed
+    * double expression over those integers, squared and rounded to a
+    * 1e-15 grid BEFORE the (order-free, exact BIGINT) Frobenius sums;
+    * the final ratio is one double expression on the three integers.
+    *
+    * Scale shape: one corpus scan (map-side partial O(d²) buffer),
+    * driver O(d²) arithmetic — the covariance/PCA legitimacy.
+    *
+    * Output: one row `(n, hsic_xy_fe, hsic_xx_fe, hsic_yy_fe,
+    * cka_ppm)`.
+    */
+  def cka(embs: DataFrame): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val d = Dim
+    val (n, s, p) = moments(embs, d)
+    def pAt(i: Int, j: Int): Long = if (i <= j) p(tri(i, j, d)) else p(tri(j, i, d))
+    // the exact covExpr arithmetic, in the same operation order
+    def cov(i: Int, j: Int): Double =
+      (n.toDouble * pAt(i, j).toDouble - s(i).toDouble * s(j).toDouble) /
+        (n.toDouble * n.toDouble * 1000000.0)
+    val bx = 0 until 8
+    val by = 32 until 40
+    def fro(is: Range, js: Range): Long =
+      (for { i <- is; j <- js } yield math.round(cov(i, j) * cov(i, j) * 1.0e15)).sum
+    val (hxy, hxx, hyy) = (fro(bx, by), fro(bx, bx), fro(by, by))
+    val ckaPpm =
+      if (hxx == 0L || hyy == 0L) 0L
+      else math.round(hxy.toDouble / math.sqrt(hxx.toDouble * hyy.toDouble) * 1.0e6)
+    Seq((n, hxy, hxx, hyy, ckaPpm))
+      .toDF("n", "hsic_xy_fe", "hsic_xx_fe", "hsic_yy_fe", "cka_ppm")
+  }
+
+  /** [[cka]] mirrored: the same milli-int moments via index cross
+    * joins, the same covExpr text, the same 1e-15 Frobenius grid.
+    */
+  def ckaSql(): String = {
+    val z = s"CAST(round(($covExpr) * ($covExpr) * 1e15) AS BIGINT)"
+    s"""WITH c AS (
+       |  SELECT [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS c
+       |  FROM embeddings),
+       |dx AS (SELECT unnest(range(1, 9)) AS i),
+       |dy AS (SELECT unnest(range(33, 41)) AS i),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+       |sv AS (
+       |  SELECT d.i AS i, CAST(sum(c.c[d.i]) AS BIGINT) AS s
+       |  FROM c, (SELECT i FROM dx UNION SELECT i FROM dy) d GROUP BY d.i),
+       |fxy AS (
+       |  SELECT CAST(sum($z) AS BIGINT) AS h FROM (
+       |    SELECT nn.n AS n, CAST(sum(c.c[di.i] * c.c[dj.i]) AS BIGINT) AS p, a.s AS si, b.s AS sj
+       |    FROM c, dx di, dy dj, nn, sv a, sv b
+       |    WHERE a.i = di.i AND b.i = dj.i
+       |    GROUP BY di.i, dj.i, nn.n, a.s, b.s)),
+       |fxx AS (
+       |  SELECT CAST(sum($z) AS BIGINT) AS h FROM (
+       |    SELECT nn.n AS n, CAST(sum(c.c[di.i] * c.c[dj.i]) AS BIGINT) AS p, a.s AS si, b.s AS sj
+       |    FROM c, dx di, dx dj, nn, sv a, sv b
+       |    WHERE a.i = di.i AND b.i = dj.i
+       |    GROUP BY di.i, dj.i, nn.n, a.s, b.s)),
+       |fyy AS (
+       |  SELECT CAST(sum($z) AS BIGINT) AS h FROM (
+       |    SELECT nn.n AS n, CAST(sum(c.c[di.i] * c.c[dj.i]) AS BIGINT) AS p, a.s AS si, b.s AS sj
+       |    FROM c, dy di, dy dj, nn, sv a, sv b
+       |    WHERE a.i = di.i AND b.i = dj.i
+       |    GROUP BY di.i, dj.i, nn.n, a.s, b.s))
+       |SELECT nn.n, fxy.h AS hsic_xy_fe, fxx.h AS hsic_xx_fe, fyy.h AS hsic_yy_fe,
+       |       CASE WHEN fxx.h = 0 OR fyy.h = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE CAST(round(CAST(fxy.h AS DOUBLE)
+       |              / sqrt(CAST(fxx.h AS DOUBLE) * CAST(fyy.h AS DOUBLE)) * 1e6) AS BIGINT) END
+       |         AS cka_ppm
+       |FROM nn CROSS JOIN fxy CROSS JOIN fxx CROSS JOIN fyy""".stripMargin
+  }
 }

@@ -364,4 +364,179 @@ object Packing {
        |            ELSE n_packed_tokens * 1000000 // (CAST(len(bins) AS BIGINT) * $capacity) END
        |         AS fill_ppm
        |FROM f""".stripMargin
+  // ---- cross-document attention fraction ------------------------------------
+
+  /** Cross-document attention mass of the two no-split packings — the
+    * number that decides whether packed pretraining needs attention
+    * masking (Zhao et al. 2024 "best-fit packing" measure the same
+    * fraction): under full causal attention over a packed bin with doc
+    * lengths l₁..l_m, total pairs are T(T+1)/2 for T = Σl and
+    * within-doc pairs Σ lᵢ(lᵢ+1)/2 — everything else attends ACROSS
+    * document boundaries. Within-doc mass is packing-invariant, so the
+    * per-strategy difference is entirely in the bin totals.
+    *
+    * All-integer arithmetic off the same folds the packing reports run
+    * (next-fit gains one accumulator slot for Σ T(T+1)/2 over closed
+    * bins; best-fit reads its open-bin load list); one corpus scan per
+    * strategy, bounded rollup after.
+    *
+    * Output: 2 rows `(strategy, bins_used, total_pairs, xdoc_pairs,
+    * xdoc_ppm)` ordered by strategy.
+    */
+  def packXdoc(docs: DataFrame, capacity: Long = Capacity, nShards: Long = -1L): DataFrame = {
+    val nsh = if (nShards > 0) nShards else shardsFor(docs)
+    val base = docs.select(
+      col("doc_id"),
+      (col("doc_id") % nsh).as("shard"),
+      nTok(col("text")).as("n_tok"))
+    // shared within-doc mass over the packable docs
+    val within = base
+      .filter(col("n_tok") > 0 && col("n_tok") <= capacity)
+      .agg(coalesce(sum(expr("n_tok * (n_tok + 1) div 2")), lit(0L)).as("w"))
+    // T(T+1) is even and ≤ capacity², so the double division is exact
+    // and the cast restores the fold's BIGINT accumulator type
+    def pairsOf(load: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (load * (load + lit(1L)) / lit(2L)).cast("long")
+    // next-fit: the packNextFit fold with a pair-sum slot (ps accumulates
+    // closed bins; the final open bin is added at readout)
+    val nfG = base
+      .groupBy(col("shard"))
+      .agg(
+        sort_array(
+          collect_list(
+            when(
+              col("n_tok") > 0 && col("n_tok") <= capacity,
+              struct(col("doc_id"), col("n_tok"))))).as("ds"))
+    val nfSt = aggregate(
+      transform(col("ds"), d => d.getField("n_tok")),
+      struct(lit(0L).as("fill"), lit(0L).as("bins"), lit(0L).as("ps")),
+      (acc, x) =>
+        when(
+          acc.getField("bins") === 0L,
+          struct(x.as("fill"), lit(1L).as("bins"), lit(0L).as("ps")))
+          .when(
+            acc.getField("fill") + x <= capacity,
+            struct(
+              (acc.getField("fill") + x).as("fill"),
+              acc.getField("bins").as("bins"),
+              acc.getField("ps").as("ps")))
+          .otherwise(struct(
+            x.as("fill"),
+            (acc.getField("bins") + 1L).as("bins"),
+            (acc.getField("ps") + pairsOf(acc.getField("fill"))).as("ps"))))
+    val nf = nfG
+      .withColumn("st", nfSt)
+      .select(
+        col("st.bins").as("bins"),
+        when(col("st.bins") === 0L, 0L)
+          .otherwise(col("st.ps") + pairsOf(col("st.fill")))
+          .as("pairs"))
+      .agg(sum(col("bins")).as("bins_used"), sum(col("pairs")).as("total_pairs"))
+      .select(lit("nextfit").as("strategy"), col("bins_used"), col("total_pairs"))
+    // best-fit-decreasing: Σ T(T+1)/2 straight off the load list
+    val bfdG = base
+      .groupBy(col("shard"))
+      .agg(
+        sort_array(
+          collect_list(
+            when(
+              col("n_tok") > 0 && col("n_tok") <= capacity,
+              struct((-col("n_tok")).as("neg"), col("doc_id"))))).as("ds"))
+    val bfdBins = aggregate(
+      transform(col("ds"), d => -d.getField("neg")),
+      array().cast("array<bigint>"),
+      (acc, x) => {
+        val fits = filter(acc, l => l + x <= capacity)
+        val best = array_max(fits)
+        val idx = element_at(
+          filter(sequence(lit(1), size(acc)), i => element_at(acc, i) === best),
+          1)
+        when(size(fits) === 0, concat(acc, array(x)))
+          .otherwise(
+            concat(
+              slice(acc, lit(1), idx - 1),
+              array(best + x),
+              slice(acc, idx + 1, size(acc) - idx)))
+      })
+    val bfd = bfdG
+      .withColumn("bins", bfdBins)
+      .select(
+        size(col("bins")).cast("long").as("nb"),
+        aggregate(col("bins"), lit(0L), (acc, t) => acc + pairsOf(t)).as("pairs"))
+      .agg(sum(col("nb")).as("bins_used"), sum(col("pairs")).as("total_pairs"))
+      .select(lit("bestfit").as("strategy"), col("bins_used"), col("total_pairs"))
+    bfd
+      .unionAll(nf)
+      .crossJoin(broadcast(within))
+      .select(
+        col("strategy"),
+        col("bins_used"),
+        col("total_pairs"),
+        (col("total_pairs") - col("w")).as("xdoc_pairs"),
+        expr("(total_pairs - w) * 1000000 div nullif(total_pairs, 0)").as("xdoc_ppm"))
+      .orderBy(col("strategy"))
+  }
+
+  /** [[packXdoc]] mirrored: the same folds as `list_reduce`s (next-fit
+    * accumulator = [fill, bins, ps]; best-fit = the load-list fold) and
+    * the same T(T+1)/2 arithmetic.
+    */
+  def packXdocSql(capacity: Long = Capacity, nShards: Long = -1L): String =
+    s"""WITH nsh AS (${if (nShards > 0) s"SELECT CAST($nShards AS BIGINT) AS n" else shardsForSql}),
+       |t AS (
+       |  SELECT doc_id, doc_id % nsh.n AS shard,
+       |         CAST(len(${Parity.tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents CROSS JOIN nsh),
+       |w AS (
+       |  SELECT CAST(coalesce(sum(n_tok * (n_tok + 1) // 2), 0) AS BIGINT) AS w
+       |  FROM t WHERE n_tok > 0 AND n_tok <= $capacity),
+       |nfg AS (
+       |  SELECT shard, list(n_tok ORDER BY doc_id)
+       |           FILTER (WHERE n_tok > 0 AND n_tok <= $capacity) AS ns
+       |  FROM t GROUP BY shard),
+       |nff AS (
+       |  SELECT shard,
+       |         list_reduce(
+       |           list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+       |                        coalesce(list_transform(ns, x -> [x]), [])),
+       |           (acc, x) -> CASE
+       |             WHEN acc[2] = 0 THEN [x[1], CAST(1 AS BIGINT), CAST(0 AS BIGINT)]
+       |             WHEN acc[1] + x[1] <= $capacity THEN [acc[1] + x[1], acc[2], acc[3]]
+       |             ELSE [x[1], acc[2] + 1, acc[3] + acc[1] * (acc[1] + 1) // 2] END) AS st
+       |  FROM nfg),
+       |nf AS (
+       |  SELECT 'nextfit' AS strategy,
+       |         CAST(sum(st[2]) AS BIGINT) AS bins_used,
+       |         CAST(sum(CASE WHEN st[2] = 0 THEN 0
+       |                       ELSE st[3] + st[1] * (st[1] + 1) // 2 END) AS BIGINT) AS total_pairs
+       |  FROM nff),
+       |bfg AS (
+       |  SELECT shard, list(n_tok ORDER BY n_tok DESC, doc_id)
+       |           FILTER (WHERE n_tok > 0 AND n_tok <= $capacity) AS ns
+       |  FROM t GROUP BY shard),
+       |bff AS (
+       |  SELECT shard,
+       |         list_reduce(
+       |           list_prepend(CAST([] AS BIGINT[]),
+       |                        coalesce(list_transform(ns, x -> [x]), [])),
+       |           (acc, x) -> CASE
+       |             WHEN len(list_filter(acc, l -> l + x[1] <= $capacity)) = 0
+       |               THEN list_append(acc, x[1])
+       |             ELSE list_concat(list_concat(
+       |                    acc[1:list_position(acc, list_max(list_filter(acc, l -> l + x[1] <= $capacity))) - 1],
+       |                    [list_max(list_filter(acc, l -> l + x[1] <= $capacity)) + x[1]]),
+       |                    acc[list_position(acc, list_max(list_filter(acc, l -> l + x[1] <= $capacity))) + 1:])
+       |             END) AS bins
+       |  FROM bfg),
+       |bf AS (
+       |  SELECT 'bestfit' AS strategy,
+       |         CAST(sum(len(bins)) AS BIGINT) AS bins_used,
+       |         CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), bins),
+       |                              (a, b) -> a + b * (b + 1) // 2)) AS BIGINT) AS total_pairs
+       |  FROM bff),
+       |u AS (SELECT * FROM bf UNION ALL SELECT * FROM nf)
+       |SELECT strategy, bins_used, total_pairs,
+       |       total_pairs - w.w AS xdoc_pairs,
+       |       (total_pairs - w.w) * 1000000 // nullif(total_pairs, 0) AS xdoc_ppm
+       |FROM u CROSS JOIN w ORDER BY strategy""".stripMargin
 }

@@ -1869,4 +1869,335 @@ object Training {
        |       CAST(sum(CASE WHEN te.r_mic <= qv.q_mic THEN 1 ELSE 0 END) AS BIGINT) * 1000000
        |         // CAST(count(*) AS BIGINT) AS coverage_ppm
        |FROM te CROSS JOIN qv""".stripMargin
+
+  // ---- regression influence diagnostics (Cook's distance) -------------------
+
+  /** Cook's distance of every lineitem row under the price~quantity OLS
+    * — the closed-form influence function of linear regression (Cook
+    * 1977): D_i = (r_i²/(p·s²))·(h_i/(1−h_i)²) with leverage
+    * h_i = 1/n + (x_i−x̄)²/Sxx, p = 2. THE data-attribution primitive a
+    * curation pipeline runs before trusting a fitted filter: the top-D
+    * rows are the points whose removal moves the model most (the exact,
+    * no-retraining form of what TracIn/influence-function methods
+    * approximate for deep models).
+    *
+    * Exactness: sufficient statistics are exact BIGINT sums; residuals
+    * round to whole units BEFORE the Σr² pass (r ≤ ~1e5 ⇒ Σr² < 2⁶³ at
+    * any realistic SF); slope/leverage/D are fixed double expressions
+    * over the aggregated scalars, identical in both engines.
+    *
+    * Scale shape: three scans of two columns (stats → Σr² → per-row D),
+    * each reduction map-side partial; the readout is a bounded
+    * TakeOrdered 20 by (d_nano DESC, keys). No window, no pair table.
+    *
+    * Output: 20 rows `(l_orderkey, l_linenumber, x, y_mic, r_u, h_ppb,
+    * d_nano)`.
+    */
+  def cooksDistance(lineitem: DataFrame): DataFrame = {
+    val f = lineitem.select(
+      col("l_orderkey").cast("long").as("okey"),
+      col("l_linenumber").cast("long").as("lno"),
+      expr("CAST(l_quantity AS BIGINT)").as("x"),
+      expr("CAST(round(l_extendedprice * 1000) AS BIGINT)").as("y_mic"))
+    val m = f
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y_mic")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y_mic")).as("sxy"))
+      .select(
+        col("n"),
+        col("sx"),
+        col("sy"),
+        col("sxx"),
+        expr(
+          "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")
+          .as("b"))
+      .select(
+        col("n"), col("sx"), col("sxx"), col("b"),
+        expr("(CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)")
+          .as("a"))
+    val rU = "CAST(round(abs(CAST(y_mic AS DOUBLE) - (a + b * CAST(x AS DOUBLE))) / 1000) AS BIGINT)"
+    val hD =
+      "(1.0 / CAST(n AS DOUBLE) + (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
+    val s2 = f
+      .crossJoin(broadcast(m))
+      .select(expr(rU).as("r_u"))
+      .agg(sum(col("r_u") * col("r_u")).as("sr2"))
+    f.crossJoin(broadcast(m))
+      .crossJoin(broadcast(s2))
+      .select(
+        col("okey").as("l_orderkey"),
+        col("lno").as("l_linenumber"),
+        col("x"),
+        col("y_mic"),
+        expr(rU).as("r_u"),
+        expr(hD).as("h"),
+        col("n"), col("sr2"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("x"), col("y_mic"), col("r_u"),
+        expr("CAST(round(h * 1000000000) AS BIGINT)").as("h_ppb"),
+        expr(
+          "CAST(round(CAST(r_u AS DOUBLE) * CAST(r_u AS DOUBLE) / (2.0 * CAST(sr2 AS DOUBLE) / CAST(n - 2 AS DOUBLE)) * (h / ((1.0 - h) * (1.0 - h))) * 1000000000) AS BIGINT)")
+          .as("d_nano"))
+      .orderBy(col("d_nano").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+  }
+
+  /** [[cooksDistance]] mirrored: the identical sufficient-statistic →
+    * residual → leverage → D chain; TakeOrdered = ORDER BY/LIMIT.
+    */
+  def cooksDistanceSql(): String = {
+    val rU = "CAST(round(abs(CAST(y_mic AS DOUBLE) - (a + b * CAST(x AS DOUBLE))) / 1000) AS BIGINT)"
+    val hD =
+      "(1.0 / CAST(n AS DOUBLE) + (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
+    s"""WITH f AS (
+       |  SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       |         CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       |         CAST(l_quantity AS BIGINT) AS x,
+       |         CAST(round(l_extendedprice * 1000) AS BIGINT) AS y_mic
+       |  FROM lineitem),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y_mic) AS BIGINT) AS sy,
+       |         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y_mic) AS BIGINT) AS sxy
+       |  FROM f),
+       |m0 AS (
+       |  SELECT n, sx, sxx,
+       |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+       |         sy
+       |  FROM st),
+       |m AS (
+       |  SELECT n, sx, sxx, b,
+       |         (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+       |  FROM m0),
+       |s2 AS (
+       |  SELECT CAST(sum($rU * $rU) AS BIGINT) AS sr2
+       |  FROM f CROSS JOIN m),
+       |rows0 AS (
+       |  SELECT l_orderkey, l_linenumber, x, y_mic,
+       |         $rU AS r_u, $hD AS h, n, sr2
+       |  FROM f CROSS JOIN m CROSS JOIN s2)
+       |SELECT l_orderkey, l_linenumber, x, y_mic, r_u,
+       |       CAST(round(h * 1000000000) AS BIGINT) AS h_ppb,
+       |       CAST(round(CAST(r_u AS DOUBLE) * CAST(r_u AS DOUBLE) / (2.0 * CAST(sr2 AS DOUBLE) / CAST(n - 2 AS DOUBLE)) * (h / ((1.0 - h) * (1.0 - h))) * 1000000000) AS BIGINT) AS d_nano
+       |FROM rows0
+       |ORDER BY d_nano DESC, l_orderkey, l_linenumber
+       |LIMIT 20""".stripMargin
+  }
+
+  // ---- pass@k (unbiased estimator, Chen et al. 2021) -------------------------
+
+  /** Exact pass@k over a bounded per-task sample — the HumanEval-style
+    * functional-correctness estimator every code/eval pipeline reports:
+    * pass@k = 1 − C(n−c,k)/C(n,k), computed in its numerically-stable
+    * product form ∏_{i=0}^{k−1}(n−c−i)/(n−i) (Chen et al. 2021, "of
+    * which we evaluate the unbiased estimator"). Tasks are event types;
+    * the per-task sample is the FIRST `nSamples` events by event_id (a
+    * deterministic fixed-size draw); a sample passes when value >
+    * `passValue`.
+    *
+    * Determinism: n and c are exact integers; the k-factor product is
+    * ONE fixed double expression (identical text in both engines) with
+    * each factor clamped at 0 (c > n−k ⇒ pass@k = 1 exactly).
+    *
+    * Scale shape: per-task rank-limit (k tasks are a bounded set; at a
+    * 100 TB event log the same draw is a per-type bounded TopK
+    * aggregator — the window form is the oracle-shared shape), then
+    * k-row arithmetic.
+    *
+    * Output: one row per task `(event_type, n, c, pass1_ppm, pass5_ppm,
+    * pass10_ppm)`.
+    */
+  def passAtK(events: DataFrame, nSamples: Int = 50, passValue: Double = 80.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("event_id"))
+    def prodExpr(k: Int): String =
+      (0 until k)
+        .map(i => s"(CAST(greatest(n - c - $i, 0) AS DOUBLE) / CAST(n - $i AS DOUBLE))")
+        .mkString(" * ")
+    def passPpm(k: Int): String =
+      // n < k: the estimator is undefined (a 0/0 factor) — NULL in both
+      // engines rather than a NaN whose BIGINT cast diverges
+      s"CASE WHEN n < $k THEN NULL ELSE CAST(round((1.0 - ${prodExpr(k)}) * 1000000) AS BIGINT) END"
+    events
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nSamples)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") > passValue, 1L).otherwise(0L)).as("c"))
+      .select(
+        col("event_type"), col("n"), col("c"),
+        expr(passPpm(1)).as("pass1_ppm"),
+        expr(passPpm(5)).as("pass5_ppm"),
+        expr(passPpm(10)).as("pass10_ppm"))
+  }
+
+  /** [[passAtK]] mirrored. */
+  def passAtKSql(nSamples: Int = 50, passValue: Double = 80.0): String = {
+    def prodExpr(k: Int): String =
+      (0 until k)
+        .map(i => s"(CAST(greatest(n - c - $i, 0) AS DOUBLE) / CAST(n - $i AS DOUBLE))")
+        .mkString(" * ")
+    def passPpm(k: Int): String =
+      s"CASE WHEN n < $k THEN NULL ELSE CAST(round((1.0 - ${prodExpr(k)}) * 1000000) AS BIGINT) END"
+    s"""WITH r AS (
+       |  SELECT event_type, value,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+       |  FROM events),
+       |g AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN value > $passValue THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM r WHERE rn <= $nSamples GROUP BY event_type)
+       |SELECT event_type, n, c,
+       |       ${passPpm(1)} AS pass1_ppm,
+       |       ${passPpm(5)} AS pass5_ppm,
+       |       ${passPpm(10)} AS pass10_ppm
+       |FROM g""".stripMargin
+  }
+
+  // ---- Bradley–Terry pairwise-preference ranking ----------------------------
+
+  /** Bradley–Terry strengths from pairwise preferences — the ranking
+    * model RLHF/arena pipelines fit over comparison data (Bradley &
+    * Terry 1952; Hunter 2004's MM iteration θ_i ← W_i / Σ_j n_ij/(θ_i+θ_j),
+    * the update Chatbot-Arena-style leaderboards run). Preferences are
+    * derived deterministically from the event log: per user, each
+    * ADJACENT pair of different-type events (ordered by ts, event_id)
+    * is one comparison won by the higher-value side (ties skipped).
+    *
+    * Determinism: the win matrix is exact counts; each MM round's
+    * denominator terms round to integer nanos BEFORE the (k-row) sum;
+    * θ updates and the Σθ = k normalization are fixed double forms on
+    * the rounded integers — 8 unrolled rounds, identical in both
+    * engines. The k² win matrix is a BOUNDED artifact (k = #event
+    * types), so the engine iterates it on the driver; the oracle
+    * mirrors the identical arithmetic as unrolled CTEs.
+    *
+    * Scale shape: one lag window per user (the sessionize shape) → one
+    * k²-row aggregate; everything after is k-row arithmetic.
+    *
+    * Output: one row per item `(event_type, wins, losses, theta_nano,
+    * rnk)` — rnk by θ descending, ties by name.
+    */
+  def bradleyTerry(events: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("p_type", lag(col("event_type"), 1).over(w))
+      .withColumn("p_value", lag(col("value"), 1).over(w))
+      .filter(col("p_type").isNotNull && col("p_type") =!= col("event_type") &&
+        col("p_value") =!= col("value"))
+      .select(
+        when(col("value") > col("p_value"), col("event_type")).otherwise(col("p_type"))
+          .as("win_t"),
+        when(col("value") > col("p_value"), col("p_type")).otherwise(col("event_type"))
+          .as("lose_t"))
+      .groupBy(col("win_t"), col("lose_t"))
+      .agg(count(lit(1)).as("cnt"))
+    // bounded k² artifact (k = #event types): the MM iteration runs on
+    // the driver over these counts, mirroring the oracle's unrolled CTEs
+    val wm = pairs.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val items = wm.keysIterator.flatMap { case (a, b) => Iterator(a, b) }.toSeq.distinct.sorted
+    val k = items.size
+    def nij(a: String, b: String): Long = wm.getOrElse((a, b), 0L) + wm.getOrElse((b, a), 0L)
+    val wins = items.map(i => i -> items.filterNot(_ == i).map(j => wm.getOrElse((i, j), 0L)).sum).toMap
+    var theta = items.map(_ -> 1000000000L).toMap
+    (1 to rounds).foreach { _ =>
+      val updated = items.map { i =>
+        val sNano = items.filterNot(_ == i).map { j =>
+          math.round(
+            nij(i, j).toDouble / ((theta(i) + theta(j)).toDouble / 1.0e9) * 1.0e9)
+        }.sum
+        i -> (if (sNano == 0L) 0L
+              else math.round(wins(i).toDouble * 1.0e18 / sNano.toDouble))
+      }.toMap
+      val total = updated.valuesIterator.sum
+      theta =
+        if (total == 0L) updated
+        else updated.map { case (i, t) =>
+          i -> math.round(t.toDouble * (k.toDouble * 1.0e9) / total.toDouble)
+        }
+    }
+    val losses =
+      items.map(i => i -> items.filterNot(_ == i).map(j => wm.getOrElse((j, i), 0L)).sum).toMap
+    val ranked = items
+      .map(i => (i, wins(i), losses(i), theta(i)))
+      .sortBy { case (i, _, _, t) => (-t, i) }
+      .zipWithIndex
+      .map { case ((i, wn, ls, t), r) => (i, wn, ls, t, (r + 1).toLong) }
+    import spark.implicits._
+    ranked.toDF("event_type", "wins", "losses", "theta_nano", "rnk")
+  }
+
+  /** [[bradleyTerry]] mirrored: the win matrix from the same lag
+    * window, then `rounds` unrolled MM CTEs doing the identical
+    * nano-rounded arithmetic over the k-row item table.
+    */
+  def bradleyTerrySql(rounds: Int = 8): String = {
+    // every round CTE is MATERIALIZED: the chain t_r → u_r → s_r → t_{r-1}
+    // re-evaluates EXPONENTIALLY if left as views (each round references
+    // its predecessor several times)
+    def roundCte(r: Int): String =
+      s"""s$r AS MATERIALIZED (
+         |  SELECT nm.a AS t,
+         |         CAST(sum(CAST(round(CAST(nm.n AS DOUBLE)
+         |             / ((CAST(ta.th AS DOUBLE) + CAST(tb.th AS DOUBLE)) / 1e9) * 1e9)
+         |           AS BIGINT)) AS BIGINT) AS s_nano
+         |  FROM nmat nm
+         |  JOIN t${r - 1} ta ON ta.t = nm.a
+         |  JOIN t${r - 1} tb ON tb.t = nm.b
+         |  GROUP BY nm.a),
+         |u$r AS MATERIALIZED (
+         |  SELECT s$r.t,
+         |         CASE WHEN s_nano = 0 THEN CAST(0 AS BIGINT)
+         |              ELSE CAST(round(CAST(w.w AS DOUBLE) * 1e18 / CAST(s_nano AS DOUBLE))
+         |                AS BIGINT) END AS th
+         |  FROM s$r JOIN wins w ON w.t = s$r.t),
+         |t$r AS MATERIALIZED (
+         |  SELECT t,
+         |         CASE WHEN (SELECT sum(th) FROM u$r) = 0 THEN th
+         |              ELSE CAST(round(CAST(th AS DOUBLE)
+         |                * (CAST((SELECT count(*) FROM items) AS DOUBLE) * 1e9)
+         |                / CAST((SELECT sum(th) FROM u$r) AS DOUBLE)) AS BIGINT) END AS th
+         |  FROM u$r)""".stripMargin
+    val ctes = (1 to rounds).map(roundCte).mkString(",\n")
+    s"""WITH lagged AS (
+       |  SELECT event_type, value,
+       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p_type,
+       |         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p_value
+       |  FROM events),
+       |pw AS MATERIALIZED (
+       |  SELECT CASE WHEN value > p_value THEN event_type ELSE p_type END AS win_t,
+       |         CASE WHEN value > p_value THEN p_type ELSE event_type END AS lose_t,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM lagged
+       |  WHERE p_type IS NOT NULL AND p_type <> event_type AND p_value <> value
+       |  GROUP BY 1, 2),
+       |items AS MATERIALIZED (
+       |  SELECT DISTINCT win_t AS t FROM pw UNION SELECT DISTINCT lose_t FROM pw),
+       |nmat AS MATERIALIZED (
+       |  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n FROM (
+       |    SELECT win_t AS a, lose_t AS b, cnt FROM pw
+       |    UNION ALL SELECT lose_t, win_t, cnt FROM pw)
+       |  GROUP BY a, b),
+       |wins AS MATERIALIZED (
+       |  SELECT i.t, CAST(coalesce(sum(pw.cnt), 0) AS BIGINT) AS w
+       |  FROM items i LEFT JOIN pw ON pw.win_t = i.t GROUP BY i.t),
+       |losses AS MATERIALIZED (
+       |  SELECT i.t, CAST(coalesce(sum(pw.cnt), 0) AS BIGINT) AS l
+       |  FROM items i LEFT JOIN pw ON pw.lose_t = i.t GROUP BY i.t),
+       |t0 AS MATERIALIZED (SELECT t, CAST(1000000000 AS BIGINT) AS th FROM items),
+       |$ctes
+       |SELECT w.t AS event_type, w.w AS wins, l.l AS losses, f.th AS theta_nano,
+       |       CAST(row_number() OVER (ORDER BY f.th DESC, w.t) AS BIGINT) AS rnk
+       |FROM t$rounds f JOIN wins w ON w.t = f.t JOIN losses l ON l.t = f.t""".stripMargin
+  }
 }

@@ -402,6 +402,139 @@ object StreamOps {
       },
       mode = "append")
 
+  /** LEFT-OUTER stream-stream interval join: purchases keep a row even
+    * when no click preceded them within the window — the attribution
+    * join a pipeline actually ships (the unmatched side is the signal:
+    * un-attributed conversions). The OUTER semantics are the hard part
+    * in a streaming engine: a null-match can only be emitted when the
+    * WATERMARK proves no matching right row can still arrive, i.e. the
+    * left row's state expires — so on a bounded file the watermark must
+    * be driven PAST the data. The staged input is therefore three files
+    * consumed as three micro-batches (`maxFilesPerTrigger = 1`, mod-time
+    * ordered): the data, then two far-future sentinel files (user −1,
+    * one purchase + one click each so BOTH sides' watermarks advance).
+    * Batch 2's sentinels raise the watermark past every real row; batch
+    * 3 triggers the state-expiry scan that flushes the null-matches
+    * (eviction happens against the watermark set at batch START, so one
+    * more batch is needed after the raise — the same reason the
+    * sessionizer carries sentinels). Sentinel rows themselves never
+    * reach the output: their only match is each other (filtered by
+    * user), and their own expiry would need a fourth batch that never
+    * comes.
+    *
+    * Batch oracle: the same interval condition as a static LEFT JOIN —
+    * the engine must emit every real purchase EXACTLY once, matched
+    * rows inner-style on arrival, unmatched with NULL click columns on
+    * expiry.
+    */
+  def intervalJoinOuterOverParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-ssjoin-outer"))
+    val dataDir = staged.resolve("data")
+    java.nio.file.Files.createDirectories(dataDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dataDir.resolve("part-0-data.parquet"))
+    // sentinels in the SAME on-disk schema as the data file: built by
+    // transforming two real rows, so ts keeps its generation's type
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsIsLong = batch.schema("ts").dataType == LongType
+    def sentinel(idx: Int, days: Int): Unit = {
+      val shift: org.apache.spark.sql.Column =
+        if (tsIsLong) max(col("ts")) + lit(days * 86400L * 1000000000L)
+        else max(col("ts")) + expr(s"INTERVAL $days DAYS")
+      val rows = batch
+        .agg(shift.as("mx"))
+        .select(explode(array(lit("purchase"), lit("click"))).as("event_type"), col("mx"))
+        .select(
+          lit(-1L).as("event_id"),
+          col("mx").as("ts"),
+          lit(-1L).as("user_id"),
+          col("event_type"),
+          lit(0.0).as("value"),
+          lit("{}").as("props"))
+      val tmp = staged.resolve(s"senttmp$idx")
+      rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.move(p, dataDir.resolve(s"part-$idx-sentinel.parquet"))
+          moved = true
+        }
+      }
+    }
+    sentinel(1, 10)
+    sentinel(2, 20)
+    // mod-time order = batch order under maxFilesPerTrigger=1
+    val t0 = System.currentTimeMillis()
+    Seq("part-0-data.parquet" -> 60000L, "part-1-sentinel.parquet" -> 40000L,
+      "part-2-sentinel.parquet" -> 20000L).foreach { case (f, back) =>
+      java.nio.file.Files.setLastModifiedTime(
+        dataDir.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(t0 - back))
+    }
+    val name = graft.sources.Staging.freshTable("graft_stream_ssjoin_outer")
+    withStreamPartitions(spark) {
+      val ckpt = freshCheckpointDir()
+      try {
+        val ev =
+          (if (detectTsIsLong(spark, dataDir.toString))
+             spark.readStream
+               .schema(eventsSchema)
+               .option("maxFilesPerTrigger", 1)
+               .parquet(dataDir.toString)
+               .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+           else
+             spark.readStream
+               .schema(StructType(eventsSchema.map(f =>
+                 if (f.name == "ts") f.copy(dataType = TimestampType) else f)))
+               .option("maxFilesPerTrigger", 1)
+               .parquet(dataDir.toString))
+        val p = ev
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("event_id").as("p_id"),
+            col("user_id"),
+            col("ts").as("p_ts"),
+            col("value").as("p_value"))
+          .withWatermark("p_ts", "20 minutes")
+        val c = ev
+          .filter(col("event_type") === "click")
+          .select(
+            col("event_id").as("c_id"),
+            col("user_id").as("c_user"),
+            col("ts").as("c_ts"),
+            col("value").as("c_value"))
+          .withWatermark("c_ts", "20 minutes")
+        val joined = p
+          .join(
+            c,
+            col("user_id") === col("c_user") &&
+              col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+              col("c_ts") <= col("p_ts"),
+            "left_outer")
+          .select(
+            col("p_id"),
+            col("c_id"),
+            col("user_id"),
+            date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("pts"),
+            date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("cts"),
+            col("p_value"),
+            col("c_value"))
+        val q = joined.writeStream
+          .outputMode("append")
+          .format("memory")
+          .option("checkpointLocation", ckpt.toString)
+          .queryName(name)
+          .start()
+        try { q.processAllAvailable(); recordWork(q) }
+        finally stopQuietly(q)
+      } finally deleteRecursively(ckpt)
+    }
+    spark.table(name).filter(col("user_id") =!= -1L)
+  }
+
   /** Schema of the documents table (readStream requires one). */
   val docsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -122,4 +122,22 @@ class PackingSpec extends SparkSpec {
     assert(r.getAs[Long]("est_cms") === 6)
     assert(r.getAs[Long]("est_cms") >= r.getAs[Long]("exact_rows"))
   }
+  test("packXdoc: hand-computed cross-doc attention mass for both strategies") {
+    // tokens [4, 3, 2] at capacity 6, one shard:
+    //  next-fit (doc order): bins [4],[3+2] -> pairs 10 + 15 = 25
+    //  best-fit-decreasing:  bins [4+2],[3] -> pairs 21 + 6  = 27
+    //  within-doc mass: 10 + 6 + 3 = 19 -> xdoc 6 vs 8
+    val docs = Seq(
+      (0L, "a b c d"),
+      (1L, "a b c"),
+      (2L, "a b"))
+      .toDF("doc_id", "text")
+    val out = Packing.packXdoc(docs, capacity = 6, nShards = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("bestfit", 2L, 27L, 8L),
+      ("nextfit", 2L, 25L, 6L)))
+  }
+
 }

@@ -670,4 +670,33 @@ class StreamOpsSpec extends SparkSpec {
       } finally q.stop()
     } finally spark.conf.set(key, prev)
   }
+  test("outer stream-stream join equals the batch LEFT JOIN exactly (sentinel-driven flush)") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.streaming.StreamOps.intervalJoinOuterOverParquet(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    val ev = spark.read.parquet(s"$d/events.parquet")
+    val tsCol =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("timestamp_micros(ts div 1000)")
+      else col("ts")
+    val base = ev.withColumn("ts", tsCol)
+    val p = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = base.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val want = p.join(
+        c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSet
+    assert(got === want, "every purchase exactly once: matched inner rows + null-flushed rest")
+    graft.sources.Staging.cleanup(spark)
+  }
+
 }

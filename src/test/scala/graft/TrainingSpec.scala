@@ -258,4 +258,78 @@ class TrainingSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("id"), r.getAs[Long]("score"))).toSeq
     assert(out === Seq((11L, 10L), (12L, 10L), (13L, 2L)))
   }
+  // ---- round-13 wave: influence, pass@k, Bradley–Terry ---------------------
+
+  test("cooksDistance ranks the planted high-leverage outlier first") {
+    import spark.implicits._
+    // 12 near-colinear points (price = 100·qty) plus one extreme-x point
+    // far off the line: maximal leverage AND maximal residual => top D
+    val rows = (1 to 12).map(i => (i.toLong, 1, i.toDouble, i * 100.0)) :+
+      (99L, 1, 50.0, 100.0)
+    val li = rows.toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val out = Training.cooksDistance(li).collect()
+    assert(out.length === 13)
+    assert(out.head.getLong(0) === 99L, s"outlier must rank first, got ${out.head}")
+    // D strictly dominates every other point's
+    assert(out.head.getLong(6) > out(1).getLong(6))
+  }
+
+  test("passAtK matches the closed form and guards n < k") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // one task, 3 samples, 2 passing (value > 0.5)
+    val ev = Seq(
+      (1L, ts, 1L, "t", 1.0, "{}"),
+      (2L, ts, 1L, "t", 0.0, "{}"),
+      (3L, ts, 1L, "t", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Training.passAtK(ev, nSamples = 3, passValue = 0.5).collect()(0)
+    assert((r.getLong(1), r.getLong(2)) === ((3L, 2L)))
+    // pass@1 = 1 - (1/3) = 0.666667
+    assert(r.getLong(3) === 666667L)
+    // k = 5, 10 > n = 3: undefined, NULL in both engines
+    assert(r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("bradleyTerry ranks the always-winning type first; ties rank by name") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user 1 alternates a/b with a always carrying the higher value
+    val ev = (0 until 10).map { i =>
+      if (i % 2 == 0) ((i + 1).toLong, t(i), 1L, "a", 10.0, "{}")
+      else ((i + 1).toLong, t(i), 1L, "b", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Training.bradleyTerry(ev).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b"))
+    val (thA, thB) = (out(0).getLong(3), out(1).getLong(3))
+    assert(thA > thB && out(0).getLong(4) === 1L)
+    // a won all 9 adjacent comparisons
+    assert(out(0).getLong(1) === 9L && out(1).getLong(2) === 9L)
+  }
+
+  test("cka is exactly 1 when the Y block duplicates X, 0 when Y is constant") {
+    import spark.implicits._
+    def vec(xs: Seq[Float], dup: Boolean): Array[Float] = {
+      val a = new Array[Float](64)
+      xs.zipWithIndex.foreach { case (v, i) => a(i) = v }
+      if (dup) xs.zipWithIndex.foreach { case (v, i) => a(32 + i) = v }
+      a
+    }
+    val pats = Seq(
+      Seq(1f, -2f, 3f, 0f, 1f, 0f, 2f, -1f),
+      Seq(-1f, 1f, 0f, 2f, -2f, 1f, 0f, 1f),
+      Seq(2f, 0f, -1f, 1f, 0f, -1f, 1f, 2f))
+    val same = pats.zipWithIndex
+      .map { case (p, i) => (i.toLong, vec(p, dup = true)) }
+      .toDF("vec_id", "embedding")
+    val r1 = LinAlg.cka(same).collect()(0)
+    assert(r1.getLong(4) === 1000000L, s"identical blocks must give CKA 1, got $r1")
+    assert(r1.getLong(1) === r1.getLong(2) && r1.getLong(2) === r1.getLong(3))
+    val zeroY = pats.zipWithIndex
+      .map { case (p, i) => (i.toLong, vec(p, dup = false)) }
+      .toDF("vec_id", "embedding")
+    val r0 = LinAlg.cka(zeroY).collect()(0)
+    assert(r0.getLong(4) === 0L && r0.getLong(3) === 0L)
+  }
+
 }
