@@ -2797,6 +2797,9 @@ object SparkEntry {
     // experiment design: sample size per arm to detect the observed
     // rate gap at alpha 0.05 / power 0.8 (normal approximation)
     "events_ab_power" -> ((s, d) => EventOps.abPower(events(s, d))),
+    // Mann–Kendall trend + Theil–Sen slope over the daily counts: the
+    // nonparametric is-it-trending battery, C(days,2)-bounded
+    "events_mann_kendall" -> ((s, d) => EventOps.mannKendall(events(s, d))),
     // seasonal-naive baseline scored on the last day (MAE + sMAPE ppm)
     "events_snaive_eval" -> ((s, d) => EventOps.snaiveEval(events(s, d))),
     // Holt linear-trend baseline: exact-halving smoothing fold, last
@@ -6110,6 +6113,7 @@ object SparkEntry {
            |sizes AS (SELECT c, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY c)
            |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
            |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin,
+      "events_mann_kendall" -> EventOps.mannKendallSql(),
       "events_snaive_eval" -> EventOps.snaiveEvalSql(),
       "events_holt_eval" -> EventOps.holtEvalSql(),
       "events_gap_sweep" -> EventOps.sessionGapSweepSql(),

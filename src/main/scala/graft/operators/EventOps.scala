@@ -2310,4 +2310,119 @@ object EventOps {
        |       (CAST(count(*) AS BIGINT) - CAST(sum(CASE WHEN late_us = 0 THEN 1 ELSE 0 END) AS BIGINT))
        |         * 1000000 // CAST(count(*) AS BIGINT) AS late_ppm
        |FROM r GROUP BY channel""".stripMargin
+  // ---- Mann–Kendall trend + Theil–Sen slope ---------------------------------
+
+  /** Mann–Kendall trend test with a Theil–Sen slope over the daily
+    * event-count series — the nonparametric "is this metric trending"
+    * battery a monitor runs before alerting on a drift score (Mann
+    * 1945; Kendall's τ; Sen 1968): S = Σ_{i<j} sign(n_j − n_i),
+    * τ = S/C(d,2), the continuity-corrected normal z, and the median
+    * pairwise slope. No tie correction in Var(S) (documented; mirrored
+    * identically — the verdict threshold |z| > 1.96 is unaffected at
+    * these d).
+    *
+    * Exactness: the daily table is exact counts; S and the pair count
+    * are integers; slopes round to integer micro-units per pair BEFORE
+    * the median (lower median at even counts, ties ordered by the pair
+    * key — fully deterministic); τ/z are fixed double forms over the
+    * integers (double division, never integer div — S can be negative
+    * and Spark `div` truncates where DuckDB `//` floors).
+    *
+    * Scale shape: one corpus scan to the d-row daily table (d = days of
+    * retention, bounded); the pair join and median are over C(d,2)
+    * bounded rows.
+    *
+    * Output: one row `(n_days, s, tau_ppm, z_milli, sen_slope_mic)`.
+    */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(to_date(col("ts")).as("d"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"))
+    val idx = Phys.materialized(
+      daily.withColumn(
+        "i",
+        row_number()
+          .over(org.apache.spark.sql.expressions.Window.orderBy(col("d")))
+          .cast("long")))
+    val pairs = idx
+      .select(col("i").as("ai"), col("n").as("an"))
+      .join(
+        idx.select(col("i").as("bi"), col("n").as("bn")),
+        col("bi") > col("ai"))
+      .select(
+        col("ai"),
+        col("bi"),
+        signum(col("bn") - col("an")).cast("long").as("sg"),
+        expr(
+          "CAST(round(CAST(bn - an AS DOUBLE) * 1000000 / CAST(bi - ai AS DOUBLE)) AS BIGINT)")
+          .as("slope_mic"))
+    val agg = pairs.agg(
+      sum(col("sg")).as("s"),
+      count(lit(1)).as("m"))
+    val dcount = idx.agg(count(lit(1)).as("n_days"))
+    val medRank = expr("(m + 1) div 2")
+    val sen = pairs
+      .withColumn(
+        "rk",
+        row_number()
+          .over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("slope_mic"), col("ai"), col("bi")))
+          .cast("long"))
+      .crossJoin(broadcast(agg.select(medRank.as("mr"))))
+      .filter(col("rk") === col("mr"))
+      .select(col("slope_mic").as("sen_slope_mic"))
+    dcount
+      .crossJoin(broadcast(agg))
+      .crossJoin(broadcast(sen))
+      .select(
+        col("n_days"),
+        col("s"),
+        expr("CAST(round(CAST(s AS DOUBLE) * 1000000 / CAST(m AS DOUBLE)) AS BIGINT)")
+          .as("tau_ppm"),
+        expr(
+          """CAST(round(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+            |                WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+            |                ELSE CAST(0 AS DOUBLE) END
+            |  / sqrt(CAST(n_days AS DOUBLE) * CAST(n_days - 1 AS DOUBLE)
+            |         * CAST(2 * n_days + 5 AS DOUBLE) / 18.0) * 1000) AS BIGINT)"""
+            .stripMargin.replace("\n", " "))
+          .as("z_milli"),
+        col("sen_slope_mic"))
+  }
+
+  /** [[mannKendall]] mirrored. */
+  def mannKendallSql(): String =
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |idx AS MATERIALIZED (
+       |  SELECT n, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i FROM daily),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.i AS ai, b.i AS bi,
+       |         CAST(sign(b.n - a.n) AS BIGINT) AS sg,
+       |         CAST(round(CAST(b.n - a.n AS DOUBLE) * 1000000
+       |           / CAST(b.i - a.i AS DOUBLE)) AS BIGINT) AS slope_mic
+       |  FROM idx a JOIN idx b ON b.i > a.i),
+       |ag AS MATERIALIZED (
+       |  SELECT CAST(sum(sg) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS m FROM pairs),
+       |dc AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM idx),
+       |sen AS (
+       |  SELECT slope_mic AS sen_slope_mic FROM (
+       |    SELECT slope_mic,
+       |           CAST(row_number() OVER (ORDER BY slope_mic, ai, bi) AS BIGINT) AS rk
+       |    FROM pairs) r CROSS JOIN ag
+       |  WHERE r.rk = (ag.m + 1) // 2)
+       |SELECT dc.n_days, ag.s,
+       |       CAST(round(CAST(ag.s AS DOUBLE) * 1000000 / CAST(ag.m AS DOUBLE)) AS BIGINT)
+       |         AS tau_ppm,
+       |       CAST(round(CASE WHEN ag.s > 0 THEN CAST(ag.s - 1 AS DOUBLE)
+       |                       WHEN ag.s < 0 THEN CAST(ag.s + 1 AS DOUBLE)
+       |                       ELSE CAST(0 AS DOUBLE) END
+       |         / sqrt(CAST(dc.n_days AS DOUBLE) * CAST(dc.n_days - 1 AS DOUBLE)
+       |                * CAST(2 * dc.n_days + 5 AS DOUBLE) / 18.0) * 1000) AS BIGINT)
+       |         AS z_milli,
+       |       sen.sen_slope_mic
+       |FROM dc CROSS JOIN ag CROSS JOIN sen""".stripMargin
+
 }

@@ -1921,11 +1921,14 @@ object Training {
     val rU = "CAST(round(abs(CAST(y_mic AS DOUBLE) - (a + b * CAST(x AS DOUBLE))) / 1000) AS BIGINT)"
     val hD =
       "(1.0 / CAST(n AS DOUBLE) + (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
-    val s2 = f
-      .crossJoin(broadcast(m))
-      .select(expr(rU).as("r_u"))
-      .agg(sum(col("r_u") * col("r_u")).as("sr2"))
-    f.crossJoin(broadcast(m))
+    // pin the 1-row model and Σr²: each is consumed by a later pass, and
+    // an unpinned lineage would re-run the stats scan per consumer
+    val mP = Phys.materialized(m)
+    val s2 = Phys.materialized(
+      f.crossJoin(broadcast(mP))
+        .select(expr(rU).as("r_u"))
+        .agg(sum(col("r_u") * col("r_u")).as("sr2")))
+    f.crossJoin(broadcast(mP))
       .crossJoin(broadcast(s2))
       .select(
         col("okey").as("l_orderkey"),

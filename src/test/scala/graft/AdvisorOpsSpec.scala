@@ -248,4 +248,20 @@ class AdvisorOpsSpec extends SparkSpec {
       assert(ranks === (1 to ranks.length).toArray)
     }
   }
+  test("Mann-Kendall: monotone daily counts give tau = 1, hand-computed z and Sen slope") {
+    import spark.implicits._
+    // 3 days with 1, 2, 3 events: S = 3, m = 3, tau = 1e6; all pairwise
+    // slopes are +1/day -> Sen = 1e6 mic; z = (3-1)/sqrt(3*2*11/18)
+    val rows = for {
+      (day, cnt) <- Seq(("01", 1), ("02", 2), ("03", 3))
+      i <- 1 to cnt
+    } yield (day.toLong * 100 + i, Timestamp.valueOf(s"2024-03-$day 0$i:00:00"), 1L, "t", 1.0, "{}")
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.mannKendall(ev).collect()(0)
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getLong(2) === 1000000L)
+    assert(r.getLong(3) === math.round(2.0 / math.sqrt(66.0 / 18.0) * 1000))
+    assert(r.getLong(4) === 1000000L)
+  }
+
 }
