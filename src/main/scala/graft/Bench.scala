@@ -97,7 +97,12 @@ object Bench {
     var streamWork = Map.empty[String, Long]
     val results: Seq[(String, Double, Boolean)] = allNames.grouped(chunkSize).toSeq.flatMap {
       chunk =>
-        ArbiterChild.runInChild(sfDir, cpus, chunk, mode = "sweep") match {
+        // 30-min cap: a cold ModelCache (first run after a Version bump
+        // or _KEY migration) retrains every stored artifact inside the
+        // sweep — measured pushing a ~100-query chunk past the old
+        // 15-min cap and silently degrading the whole chunk to the
+        // in-process fallback numbers
+        ArbiterChild.runInChild(sfDir, cpus, chunk, mode = "sweep", timeoutMin = 30) match {
           case Some(ArbiterChild.ChildResult(times, works, childLoad)) =>
             loadMax = math.max(loadMax, childLoad)
             streamWork = streamWork ++ works

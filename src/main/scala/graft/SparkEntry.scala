@@ -2800,6 +2800,17 @@ object SparkEntry {
     // Mann–Kendall trend + Theil–Sen slope over the daily counts: the
     // nonparametric is-it-trending battery, C(days,2)-bounded
     "events_mann_kendall" -> ((s, d) => EventOps.mannKendall(events(s, d))),
+    // CUPED variance reduction: per-user pre/post masses, theta* and
+    // the rho^2 go/no-go row — exact moments, one scan
+    "events_cuped" -> ((s, d) => EventOps.cuped(events(s, d))),
+    // James–Stein / random-effects shrinkage of per-type means toward
+    // the grand mean (DL tau^2), the small-group ranking stabilizer
+    "stats_james_stein" -> ((s, d) =>
+      operators.Stats.jamesStein(events(s, d)).orderBy(col("event_type"))),
+    // SoftDeDup: duplicates reweighted 1/cluster_size instead of
+    // dropped; per-source effective-token mass for the mixture designer
+    "dedup_soft_weights" -> ((s, d) =>
+      Dedup.softWeights(docs(s, d)).orderBy(col("source"))),
     // seasonal-naive baseline scored on the last day (MAE + sMAPE ppm)
     "events_snaive_eval" -> ((s, d) => EventOps.snaiveEval(events(s, d))),
     // Holt linear-trend baseline: exact-halving smoothing fold, last
@@ -6114,6 +6125,11 @@ object SparkEntry {
            |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
            |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin,
       "events_mann_kendall" -> EventOps.mannKendallSql(),
+      "events_cuped" -> EventOps.cupedSql(),
+      "stats_james_stein" ->
+        s"SELECT * FROM (${operators.Stats.jamesSteinSql()}) ORDER BY event_type",
+      "dedup_soft_weights" ->
+        s"SELECT * FROM (${Dedup.softWeightsSql()}) ORDER BY source",
       "events_snaive_eval" -> EventOps.snaiveEvalSql(),
       "events_holt_eval" -> EventOps.holtEvalSql(),
       "events_gap_sweep" -> EventOps.sessionGapSweepSql(),

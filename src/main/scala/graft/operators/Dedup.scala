@@ -2014,4 +2014,65 @@ object Dedup {
        |       CAST(min(nw.doc_id) AS BIGINT) AS first_id
        |FROM nw JOIN documents d USING (doc_id)
        |GROUP BY 1""".stripMargin
+  // ---- soft deduplication (reweight instead of remove) ----------------------
+
+  /** SoftDeDup per-source accounting: instead of DROPPING duplicates,
+    * every copy of a document keeps weight 1/cluster_size, so a
+    * duplicated page contributes one document's worth of gradient mass
+    * in total wherever its copies live (the reweighting alternative to
+    * hard dedup — "soft deduplication" in the recent data-curation
+    * literature; exact-duplicate clusters here, the same fingerprint
+    * identity as [[exact]]). The per-source effective-token mass is the
+    * number a mixture designer feeds the sampler: a source whose volume
+    * is mostly copies shrinks toward its distinct content.
+    *
+    * Exactness: clusters are exact fingerprint groups; each row's
+    * effective tokens are `n_tok·1000 div csize` (positive integer
+    * division, engine-identical) summed exactly.
+    *
+    * Scale shape: one fingerprint aggregate (one row per DISTINCT doc
+    * crosses the shuffle), one fp-keyed size join back, one per-source
+    * rollup. No pair table anywhere.
+    *
+    * Output: per source `(source, n_docs, n_dup_docs, raw_tokens,
+    * eff_tokens_milli, eff_ppm)`.
+    */
+  def softWeights(docs: DataFrame): DataFrame = {
+    val f = docs.select(
+      col("doc_id"),
+      col("source"),
+      graft.functions.Parity.fp40(col("text")).as("fp"),
+      size(graft.functions.Parity.tokens(col("text"))).cast("long").as("n_tok"))
+    val cs = f.groupBy(col("fp")).agg(count(lit(1)).as("csize"))
+    f.join(cs, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1L, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_tok")).as("raw_tokens"),
+        sum(expr("n_tok * 1000 div csize")).as("eff_tokens_milli"))
+      .select(
+        col("source"), col("n_docs"), col("n_dup_docs"), col("raw_tokens"),
+        col("eff_tokens_milli"),
+        expr("eff_tokens_milli * 1000 div nullif(raw_tokens, 0)").as("eff_ppm"))
+  }
+
+  /** [[softWeights]] mirrored. */
+  def softWeightsSql(): String = {
+    val fp = graft.functions.Parity.fp40Sql("text")
+    val toks = s"CAST(len(${graft.functions.Parity.tokensSql("text")}) AS BIGINT)"
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT doc_id, source, $fp AS fp, $toks AS n_tok FROM documents),
+       |cs AS (SELECT fp, CAST(count(*) AS BIGINT) AS csize FROM f GROUP BY fp)
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+       |       CAST(sum(n_tok * 1000 // csize) AS BIGINT) AS eff_tokens_milli,
+       |       CAST(sum(n_tok * 1000 // csize) AS BIGINT) * 1000
+       |         // nullif(CAST(sum(n_tok) AS BIGINT), 0) AS eff_ppm
+       |FROM f JOIN cs USING (fp)
+       |GROUP BY source""".stripMargin
+  }
+
 }

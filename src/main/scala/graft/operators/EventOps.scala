@@ -2425,4 +2425,107 @@ object EventOps {
        |       sen.sen_slope_mic
        |FROM dc CROSS JOIN ag CROSS JOIN sen""".stripMargin
 
+  // ---- CUPED variance reduction ----------------------------------------------
+
+  /** CUPED variance-reduction readout (Deng et al. 2013, "Improving the
+    * Sensitivity of Online Controlled Experiments by Utilizing
+    * Pre-Experiment Data"): per user, X = pre-period value mass (first
+    * half of the retention window) and Y = experiment-period mass
+    * (second half); θ* = cov(X,Y)/var(X), and the adjusted metric
+    * Y − θ(X − X̄) has variance var(Y)·(1 − ρ²). The ρ² row is THE
+    * go/no-go number for deploying CUPED on a metric: it is exactly the
+    * fraction of variance (≈ sample size) the covariate buys.
+    *
+    * Exactness: per-user masses are exact integer cents (conditional
+    * sums); the five cross-moments are exact BIGINT; θ, the variances,
+    * and ρ² are fixed double forms on the aggregated integers.
+    * Zero-variance X (no pre-period signal) NULLs θ and the reduction
+    * identically in both engines.
+    *
+    * Scale shape: one corpus scan → per-user conditional aggregate
+    * (hash, map-side partial) → one 5-sum rollup. No window, no join.
+    *
+    * Output: one row `(n_users, theta_micro, var_y_c2, var_cuped_c2,
+    * reduction_ppm)`.
+    */
+  def cuped(events: DataFrame): DataFrame = {
+    val bounds = Phys.materialized(
+      events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")))
+    val perUser = events
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("user_id"),
+        when(
+          unix_micros(col("ts")) <= expr("lo + (hi - lo) div 2"),
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L).as("xc"),
+        when(
+          unix_micros(col("ts")) > expr("lo + (hi - lo) div 2"),
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L).as("yc"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("xc")).as("x"), sum(col("yc")).as("y"))
+    // second moments in 38-digit decimals (the [[Stats.corrMatrix]]
+    // discipline): Σx² passes 2^63 long before the user count does
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val m = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(d38(col("x")) * d38(col("x"))).cast("double").as("sxx"),
+      sum(d38(col("x")) * d38(col("y"))).cast("double").as("sxy"),
+      sum(d38(col("y")) * d38(col("y"))).cast("double").as("syy"))
+    val covXY = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val varX = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val varY = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    m.select(
+      col("n").as("n_users"),
+      expr(s"CAST(round($covXY / nullif($varX, CAST(0 AS DOUBLE)) * 1000000) AS BIGINT)")
+        .as("theta_micro"),
+      expr(s"CAST(round($varY / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)")
+        .as("var_y_c2"),
+      expr(
+        s"""CAST(round(($varY - $covXY * $covXY / nullif($varX, CAST(0 AS DOUBLE)))
+           | / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)""".stripMargin)
+        .as("var_cuped_c2"),
+      expr(
+        s"""CAST(round($covXY * $covXY
+           | / nullif($varX * $varY, CAST(0 AS DOUBLE)) * 1000000) AS BIGINT)""".stripMargin)
+        .as("reduction_ppm"))
+  }
+
+  /** [[cuped]] mirrored. */
+  def cupedSql(): String = {
+    val covXY = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val varX = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val varY = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    s"""WITH b AS (
+       |  SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+       |         CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+       |  FROM events),
+       |pu AS (
+       |  SELECT user_id,
+       |         CAST(sum(CASE WHEN epoch_us(ts) <= b.lo + (b.hi - b.lo) // 2
+       |                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+       |         CAST(sum(CASE WHEN epoch_us(ts) > b.lo + (b.hi - b.lo) // 2
+       |                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+       |  FROM events CROSS JOIN b GROUP BY user_id),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+       |         CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+       |         CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+       |  FROM pu)
+       |SELECT n AS n_users,
+       |       CAST(round($covXY / nullif($varX, CAST(0 AS DOUBLE)) * 1000000) AS BIGINT)
+       |         AS theta_micro,
+       |       CAST(round($varY / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) AS var_y_c2,
+       |       CAST(round(($varY - $covXY * $covXY / nullif($varX, CAST(0 AS DOUBLE)))
+       |         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) AS var_cuped_c2,
+       |       CAST(round($covXY * $covXY
+       |         / nullif($varX * $varY, CAST(0 AS DOUBLE)) * 1000000) AS BIGINT) AS reduction_ppm
+       |FROM m""".stripMargin
+  }
+
 }

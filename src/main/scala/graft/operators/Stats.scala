@@ -703,4 +703,127 @@ object Stats {
        |SELECT mi.n, mi.n_cells, mi.mi_nano, hx.hx_nano, hy.hy_nano,
        |       hx.hx_nano + hy.hy_nano - 2 * mi.mi_nano AS vi_nano
        |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin
+  // ---- empirical-Bayes (James–Stein) shrinkage -------------------------------
+
+  /** Empirical-Bayes shrinkage of the per-type mean value toward the
+    * grand mean — the James–Stein / random-effects estimator a metrics
+    * platform applies before ranking small groups (Efron & Morris 1975;
+    * τ² by the DerSimonian–Laird method of moments with weights
+    * wᵢ = nᵢ/s²): each group's posterior mean is
+    * g + (τ²/(τ² + s²/nᵢ))·(mᵢ − g), so a noisy small group collapses
+    * toward the grand mean while a well-measured one keeps its own.
+    *
+    * Exactness: per-group sufficient statistics are exact integer cents
+    * (n, Σv, Σv²); the pooled-variance and Q terms round to integer
+    * grids BEFORE their (bounded, k-row) sums (the [[anovaOneWay]]
+    * discipline — a k-row double sum would still be order-sensitive);
+    * τ², Bᵢ, and the shrunk means are fixed double forms on the
+    * aggregated integers. Degenerate inputs (k = 1, zero within-group
+    * variance) NULL out identically in both engines.
+    *
+    * Scale shape: one corpus scan to k integer triples; k-row
+    * arithmetic after (one broadcast of the 1-row scalars).
+    *
+    * Output: per type `(event_type, n, mean_milli, shrunk_milli,
+    * b_ppm)` — b_ppm is the shrinkage factor τ²/(τ²+vᵢ) in ppm.
+    */
+  def jamesStein(events: DataFrame): DataFrame = {
+    val g = events
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("ng"),
+        sum(col("v")).as("sg"),
+        sum(col("v") * col("v")).as("ssg"))
+    val gP = Phys.materialized(g)
+    val tot = Phys.materialized(
+      gP.select(
+          col("ng"), col("sg"),
+          expr(
+            "CAST(round(CAST(ssg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)) AS BIGINT)")
+            .as("ssw_term"))
+        .agg(
+          sum(col("ng")).as("n"),
+          count(lit(1)).as("k"),
+          sum(col("sg")).as("s"),
+          sum(col("ssw_term")).as("ssw_c2")))
+    // Q = Σ wᵢ(mᵢ − g)² with wᵢ = nᵢ/s²; per-group term rounded to a
+    // 1e-9 grid before the exact k-row sum
+    val qTerm =
+      "CAST(round(CAST(ng AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) " +
+        "* (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) " +
+        "* (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) " +
+        "* 1000000000) AS BIGINT)"
+    val wTerm =
+      "CAST(round(CAST(ng AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) * 1000000000) AS BIGINT)"
+    val w2Term =
+      "CAST(round(CAST(ng AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) " +
+        "* CAST(ng AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) * 1000000000) AS BIGINT)"
+    val qs = Phys.materialized(
+      gP.crossJoin(broadcast(tot))
+        .select(expr(qTerm).as("q9"), expr(wTerm).as("w9"), expr(w2Term).as("w29"))
+        .agg(sum(col("q9")).as("q9"), sum(col("w9")).as("w9"), sum(col("w29")).as("w29")))
+    // τ² = max(0, (Q − (k−1)) / (Σw − Σw²/Σw)), all from the 1e-9 grids
+    val tau2 =
+      "greatest(CAST(0 AS DOUBLE), (CAST(q9 AS DOUBLE) / 1e9 - CAST(k - 1 AS DOUBLE)) " +
+        "/ nullif(CAST(w9 AS DOUBLE) / 1e9 - (CAST(w29 AS DOUBLE) / 1e9) / nullif(CAST(w9 AS DOUBLE) / 1e9, CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE)))"
+    val vi = "(CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE) / CAST(ng AS DOUBLE))"
+    gP.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(qs))
+      .select(
+        col("event_type"),
+        col("ng").as("n"),
+        expr("CAST(round(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) * 10) AS BIGINT)")
+          .as("mean_milli"),
+        expr(
+          s"""CAST(round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+             | + ($tau2 / nullif($tau2 + $vi, CAST(0 AS DOUBLE)))
+             |   * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) * 10) AS BIGINT)""".stripMargin)
+          .as("shrunk_milli"),
+        expr(s"CAST(round(($tau2 / nullif($tau2 + $vi, CAST(0 AS DOUBLE))) * 1000000) AS BIGINT)")
+          .as("b_ppm"))
+  }
+
+  /** [[jamesStein]] mirrored: the same grids, the same τ²/B/posterior
+    * text.
+    */
+  def jamesSteinSql(): String = {
+    val qTerm =
+      "CAST(round(CAST(ng AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) " +
+        "* (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) " +
+        "* (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) " +
+        "* 1000000000) AS BIGINT)"
+    val wTerm =
+      "CAST(round(CAST(ng AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) * 1000000000) AS BIGINT)"
+    val w2Term =
+      "CAST(round(CAST(ng AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) " +
+        "* CAST(ng AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) * 1000000000) AS BIGINT)"
+    val tau2 =
+      "greatest(CAST(0 AS DOUBLE), (CAST(q9 AS DOUBLE) / 1e9 - CAST(k - 1 AS DOUBLE)) " +
+        "/ nullif(CAST(w9 AS DOUBLE) / 1e9 - (CAST(w29 AS DOUBLE) / 1e9) / nullif(CAST(w9 AS DOUBLE) / 1e9, CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE)))"
+    val vi = "(CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE) / CAST(ng AS DOUBLE))"
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+       |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sg,
+       |         CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ssg
+       |  FROM events GROUP BY 1),
+       |t AS MATERIALIZED (
+       |  SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+       |         CAST(sum(sg) AS BIGINT) AS s,
+       |         CAST(sum(CAST(round(CAST(ssg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)) AS BIGINT)) AS BIGINT) AS ssw_c2
+       |  FROM g),
+       |q AS MATERIALIZED (
+       |  SELECT CAST(sum($qTerm) AS BIGINT) AS q9,
+       |         CAST(sum($wTerm) AS BIGINT) AS w9,
+       |         CAST(sum($w2Term) AS BIGINT) AS w29
+       |  FROM g CROSS JOIN t)
+       |SELECT event_type, ng AS n,
+       |       CAST(round(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) * 10) AS BIGINT) AS mean_milli,
+       |       CAST(round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+       |         + ($tau2 / nullif($tau2 + $vi, CAST(0 AS DOUBLE)))
+       |           * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) * 10) AS BIGINT) AS shrunk_milli,
+       |       CAST(round(($tau2 / nullif($tau2 + $vi, CAST(0 AS DOUBLE))) * 1000000) AS BIGINT) AS b_ppm
+       |FROM g CROSS JOIN t CROSS JOIN q""".stripMargin
+  }
+
 }

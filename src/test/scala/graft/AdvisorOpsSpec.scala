@@ -264,4 +264,45 @@ class AdvisorOpsSpec extends SparkSpec {
     assert(r.getLong(4) === 1000000L)
   }
 
+  test("CUPED: y perfectly predicted by x gives reduction 1e6 and zero residual variance") {
+    import spark.implicits._
+    // two events per user: pre-period value v, post-period value 2v
+    // -> Y = 2X exactly -> rho^2 = 1, var_cuped = 0, theta = 2
+    val rows = (1 to 8).flatMap { u =>
+      Seq(
+        (u.toLong * 2, Timestamp.valueOf("2024-01-01 00:00:00"), u.toLong, "t", u * 1.0, "{}"),
+        (u.toLong * 2 + 1, Timestamp.valueOf("2024-01-30 00:00:00"), u.toLong, "t", u * 2.0, "{}"))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.cuped(ev).collect()(0)
+    assert(r.getLong(0) === 8L)
+    assert(r.getLong(1) === 2000000L) // theta = 2
+    assert(r.getLong(3) === 0L) // var(Y - theta X) = 0
+    assert(r.getLong(4) === 1000000L) // rho^2 = 1
+  }
+
+  test("James-Stein: the small deviant group shrinks toward the grand mean more than large ones") {
+    import spark.implicits._
+    // two big groups with many noisy observations around means 10 and 20,
+    // one small group at 40: the small group must shrink (b_ppm < 1e6,
+    // shrunk strictly between its raw mean and the grand mean)
+    val rows =
+      (1 to 50).map(i => (i.toLong, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a",
+        10.0 + (i % 5) * 0.5, "{}")) ++
+      (1 to 50).map(i => (100 + i.toLong, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "b",
+        20.0 + (i % 5) * 0.5, "{}")) ++
+      (1 to 3).map(i => (200 + i.toLong, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "c",
+        40.0 + i * 0.5, "{}"))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = operators.Stats.jamesStein(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (rawC, shrunkC, bC) = out("c")
+    assert(bC < 1000000L && bC > 0L)
+    // grand mean is ~15.8e3 milli; c's shrunk mean moves DOWN from raw
+    assert(shrunkC < rawC)
+    // the big groups barely move relative to c's shift
+    val shiftA = math.abs(out("a")._2 - out("a")._1)
+    assert(math.abs(rawC - shrunkC) > shiftA)
+  }
+
 }

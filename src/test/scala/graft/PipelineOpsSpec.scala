@@ -591,4 +591,23 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(out.head === ((1L, 0L)), s"got ${out.toSeq}")
   }
+  test("softWeights: a tripled doc contributes exactly one doc of effective mass") {
+    import spark.implicits._
+    // source s1: "a b c" three times (cluster of 3, 3 tokens each) plus a
+    // unique 2-token doc; source s2: one unique 4-token doc
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "a b c", "s1"), (3L, "a b c", "s1"),
+      (4L, "x y", "s1"),
+      (5L, "p q r s", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.softWeights(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // s1: 4 docs, 3 dup copies, 11 raw tokens; effective milli-tokens =
+    // 3*(3*1000/3) + 2000 = 5000 -> 5000/11000 of raw = 454545 ppm
+    assert(out("s1") === ((4L, 3L, 11L, 5000L, 454545L)))
+    // s2: everything unique -> effective mass = raw mass (1e6 ppm)
+    assert(out("s2") === ((1L, 0L, 4L, 4000L, 1000000L)))
+  }
+
 }
