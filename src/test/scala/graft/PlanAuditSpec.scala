@@ -793,6 +793,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"wordpiece cartesian:\n$plan")
   }
 
+  test("round-13 wave: no cartesians outside declared broadcast scalars") {
+    // bounded-scalar crossJoins (a 1-row model/moment table) plan as
+    // BroadcastNestedLoopJoin, never CartesianProduct — the audit that
+    // keeps a refactor from silently materializing a pair table
+    Seq(
+      "eval_pass_at_k", "train_cooks_distance", "emb_cka", "docs_pack_xdoc",
+      "events_mann_kendall", "events_cuped", "stats_james_stein",
+      "dedup_soft_weights").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
+    }
+  }
+
   test("bqTopK ranks the Hamming scan with the bounded heap — no window anywhere in its plan") {
     val embsDf = model.table(spark, dir, "embeddings")
     val plan = planOf(graft.operators.Similarity.bqTopK(embsDf, nQueries = 5, k = 3))
