@@ -796,10 +796,14 @@ class PlanAuditSpec extends SparkSpec {
   test("round-13 wave: no cartesians outside declared broadcast scalars") {
     // bounded-scalar crossJoins (a 1-row model/moment table) plan as
     // BroadcastNestedLoopJoin, never CartesianProduct — the audit that
-    // keeps a refactor from silently materializing a pair table
+    // keeps a refactor from silently materializing a pair table.
+    // events_mann_kendall is EXCLUDED by declaration: its day-pair
+    // inequality join is a C(days,2) cartesian over the retention-
+    // bounded daily table (30 rows at any SF) — bounded by design,
+    // like the scalar crossJoins, just not broadcast-1-row.
     Seq(
       "eval_pass_at_k", "train_cooks_distance", "emb_cka", "docs_pack_xdoc",
-      "events_mann_kendall", "events_cuped", "stats_james_stein",
+      "events_cuped", "stats_james_stein",
       "dedup_soft_weights").foreach { q =>
       val plan = planOf(SparkEntry.queries(q)(spark, dir))
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
