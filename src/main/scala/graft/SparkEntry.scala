@@ -2803,6 +2803,9 @@ object SparkEntry {
     // CUPED variance reduction: per-user pre/post masses, theta* and
     // the rho^2 go/no-go row — exact moments, one scan
     "events_cuped" -> ((s, d) => EventOps.cuped(events(s, d))),
+    // mixture SPRT: always-valid sequential mean-shift test per type
+    // (log-space Λ, reject decided on the rounded milli column)
+    "events_msprt" -> ((s, d) => EventOps.msprt(events(s, d)).orderBy(col("event_type"))),
     // James–Stein / random-effects shrinkage of per-type means toward
     // the grand mean (DL tau^2), the small-group ranking stabilizer
     "stats_james_stein" -> ((s, d) =>
@@ -6126,6 +6129,8 @@ object SparkEntry {
            |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin,
       "events_mann_kendall" -> EventOps.mannKendallSql(),
       "events_cuped" -> EventOps.cupedSql(),
+      "events_msprt" ->
+        s"SELECT * FROM (${EventOps.msprtSql()}) ORDER BY event_type",
       "stats_james_stein" ->
         s"SELECT * FROM (${operators.Stats.jamesSteinSql()}) ORDER BY event_type",
       "dedup_soft_weights" ->

@@ -2528,4 +2528,100 @@ object EventOps {
        |FROM m""".stripMargin
   }
 
+  // ---- mixture SPRT (always-valid sequential test) ---------------------------
+
+  /** Mixture sequential probability ratio test of the per-type mean
+    * shift between the two halves of the retention window — the
+    * ALWAYS-VALID p-value machinery that makes continuously-monitored
+    * A/B dashboards honest (Johari, Koomen, Pekelis & Walsh 2017,
+    * "Peeking at A/B Tests"): with δ̂ the observed mean difference,
+    * V = σ̂²(1/n₁ + 1/n₂) its variance, and a N(0, τ²) mixing prior,
+    * Λ = √(V/(V+τ²)) · exp(δ̂²τ² / (2V(V+τ²))), and rejecting when
+    * Λ ≥ 1/α controls type-I error at EVERY look, not just a fixed
+    * horizon. Reported in log space (the bloom-FPP libm lesson: ln
+    * composes exactly where exp of large arguments diverges).
+    *
+    * Exactness: per-(type, half) statistics are exact integer cents;
+    * ln Λ is ONE fixed double expression on them, rounded to milli;
+    * the reject flag derives from the ROUNDED column (≥ ln(1/0.05) =
+    * 2996 milli), so both engines decide identically. Degenerate
+    * inputs (a half with < 2 rows, zero pooled variance) NULL out
+    * identically.
+    *
+    * Scale shape: one corpus scan → k-row conditional aggregate;
+    * k-row arithmetic after. τ = 1 value-unit (τ² = 10⁴ cents²).
+    *
+    * Output: per type `(event_type, n_ref, n_cur, delta_milli,
+    * ln_lambda_milli, reject)`.
+    */
+  def msprt(events: DataFrame): DataFrame = {
+    val bounds = Phys.materialized(
+      events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")))
+    val g = events
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("event_type"),
+        (unix_micros(col("ts")) <= expr("lo + (hi - lo) div 2")).as("is_ref"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
+        sum(when(col("is_ref"), col("v")).otherwise(0L)).as("sr"),
+        sum(when(col("is_ref"), col("v") * col("v")).otherwise(0L)).as("ssr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc"),
+        sum(when(!col("is_ref"), col("v")).otherwise(0L)).as("sc_"),
+        sum(when(!col("is_ref"), col("v") * col("v")).otherwise(0L)).as("ssc"))
+    val sig2 =
+      "((CAST(ssr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)) " +
+        "+ (CAST(ssc AS DOUBLE) - CAST(sc_ AS DOUBLE) * CAST(sc_ AS DOUBLE) / CAST(nc AS DOUBLE))) " +
+        "/ nullif(CAST(nr + nc - 2 AS DOUBLE), CAST(0 AS DOUBLE))"
+    val vv = s"($sig2 * (1.0 / CAST(nr AS DOUBLE) + 1.0 / CAST(nc AS DOUBLE)))"
+    val dd = "(CAST(sc_ AS DOUBLE) / CAST(nc AS DOUBLE) - CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE))"
+    val tau2 = "10000.0"
+    val lnl =
+      s"(0.5 * ln($vv / ($vv + $tau2)) + $dd * $dd * $tau2 / nullif(2.0 * $vv * ($vv + $tau2), CAST(0 AS DOUBLE)))"
+    g.filter(col("nr") >= 2L && col("nc") >= 2L)
+      .select(
+        col("event_type"),
+        col("nr").as("n_ref"),
+        col("nc").as("n_cur"),
+        expr(s"CAST(round($dd * 10) AS BIGINT)").as("delta_milli"),
+        expr(s"CAST(round($lnl * 1000) AS BIGINT)").as("ln_lambda_milli"))
+      .withColumn("reject", col("ln_lambda_milli") >= 2996L)
+  }
+
+  /** [[msprt]] mirrored. */
+  def msprtSql(): String = {
+    val sig2 =
+      "((CAST(ssr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)) " +
+        "+ (CAST(ssc AS DOUBLE) - CAST(sc_ AS DOUBLE) * CAST(sc_ AS DOUBLE) / CAST(nc AS DOUBLE))) " +
+        "/ nullif(CAST(nr + nc - 2 AS DOUBLE), CAST(0 AS DOUBLE))"
+    val vv = s"($sig2 * (1.0 / CAST(nr AS DOUBLE) + 1.0 / CAST(nc AS DOUBLE)))"
+    val dd = "(CAST(sc_ AS DOUBLE) / CAST(nc AS DOUBLE) - CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE))"
+    val tau2 = "10000.0"
+    val lnl =
+      s"(0.5 * ln($vv / ($vv + $tau2)) + $dd * $dd * $tau2 / nullif(2.0 * $vv * ($vv + $tau2), CAST(0 AS DOUBLE)))"
+    s"""WITH b AS (
+       |  SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+       |         CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+       |  FROM events),
+       |g AS (
+       |  SELECT event_type,
+       |         CAST(sum(CASE WHEN epoch_us(ts) <= b.lo + (b.hi - b.lo) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+       |         CAST(sum(CASE WHEN epoch_us(ts) <= b.lo + (b.hi - b.lo) // 2 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sr,
+       |         CAST(sum(CASE WHEN epoch_us(ts) <= b.lo + (b.hi - b.lo) // 2 THEN CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS ssr,
+       |         CAST(sum(CASE WHEN epoch_us(ts) > b.lo + (b.hi - b.lo) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+       |         CAST(sum(CASE WHEN epoch_us(ts) > b.lo + (b.hi - b.lo) // 2 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sc_,
+       |         CAST(sum(CASE WHEN epoch_us(ts) > b.lo + (b.hi - b.lo) // 2 THEN CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS ssc
+       |  FROM events CROSS JOIN b GROUP BY event_type)
+       |SELECT event_type, nr AS n_ref, nc AS n_cur,
+       |       CAST(round($dd * 10) AS BIGINT) AS delta_milli,
+       |       CAST(round($lnl * 1000) AS BIGINT) AS ln_lambda_milli,
+       |       CAST(round($lnl * 1000) AS BIGINT) >= 2996 AS reject
+       |FROM g
+       |WHERE nr >= 2 AND nc >= 2""".stripMargin
+  }
+
 }

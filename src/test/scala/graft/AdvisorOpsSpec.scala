@@ -305,4 +305,23 @@ class AdvisorOpsSpec extends SparkSpec {
     assert(math.abs(rawC - shrunkC) > shiftA)
   }
 
+  test("mSPRT: a planted mean shift rejects; identical halves never do") {
+    import spark.implicits._
+    def ev(id: Long, day: String, v: Double) =
+      (id, Timestamp.valueOf(s"2024-01-$day 00:00:00"), 1L, "t", v, "{}")
+    // shifted: ref half around 10, cur half around 100 -> huge delta
+    val shifted = ((1 to 20).map(i => ev(i.toLong, "01", 10.0 + (i % 3))) ++
+      (1 to 20).map(i => ev(100 + i.toLong, "30", 100.0 + (i % 3))))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rs = EventOps.msprt(shifted).collect()(0)
+    assert(rs.getBoolean(5), s"90-unit shift must reject: $rs")
+    assert(rs.getLong(4) > 2996L)
+    // identical halves: delta 0 -> ln Lambda = 0.5 ln(V/(V+tau2)) < 0
+    val same = ((1 to 20).map(i => ev(i.toLong, "01", 10.0 + (i % 3))) ++
+      (1 to 20).map(i => ev(100 + i.toLong, "30", 10.0 + (i % 3))))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rn = EventOps.msprt(same).collect()(0)
+    assert(!rn.getBoolean(5) && rn.getLong(4) < 0L && rn.getLong(3) === 0L)
+  }
+
 }
