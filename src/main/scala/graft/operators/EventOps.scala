@@ -2541,7 +2541,9 @@ object EventOps {
     * horizon. Reported in log space (the bloom-FPP libm lesson: ln
     * composes exactly where exp of large arguments diverges).
     *
-    * Exactness: per-(type, half) statistics are exact integer cents;
+    * Exactness: per-(type, half) statistics are exact integer cents
+    * (counts/sums BIGINT; Σv² a 38-digit decimal / HUGEINT — the
+    * [[cuped]] overflow discipline);
     * ln Λ is ONE fixed double expression on them, rounded to milli;
     * the reject flag derives from the ROUNDED column (≥ ln(1/0.05) =
     * 2996 milli), so both engines decide identically. Degenerate
@@ -2559,6 +2561,9 @@ object EventOps {
       events.agg(
         min(unix_micros(col("ts"))).as("lo"),
         max(unix_micros(col("ts"))).as("hi")))
+    // squared cents in 38-digit decimals (the [[cuped]] discipline):
+    // Σv² passes 2^63 long before the row count does
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val g = events
       .crossJoin(broadcast(bounds))
       .select(
@@ -2569,10 +2574,12 @@ object EventOps {
       .agg(
         sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
         sum(when(col("is_ref"), col("v")).otherwise(0L)).as("sr"),
-        sum(when(col("is_ref"), col("v") * col("v")).otherwise(0L)).as("ssr"),
+        sum(when(col("is_ref"), d38(col("v")) * d38(col("v")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).cast("double").as("ssr"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc"),
         sum(when(!col("is_ref"), col("v")).otherwise(0L)).as("sc_"),
-        sum(when(!col("is_ref"), col("v") * col("v")).otherwise(0L)).as("ssc"))
+        sum(when(!col("is_ref"), d38(col("v")) * d38(col("v")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).cast("double").as("ssc"))
     val sig2 =
       "((CAST(ssr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)) " +
         "+ (CAST(ssc AS DOUBLE) - CAST(sc_ AS DOUBLE) * CAST(sc_ AS DOUBLE) / CAST(nc AS DOUBLE))) " +
@@ -2580,8 +2587,12 @@ object EventOps {
     val vv = s"($sig2 * (1.0 / CAST(nr AS DOUBLE) + 1.0 / CAST(nc AS DOUBLE)))"
     val dd = "(CAST(sc_ AS DOUBLE) / CAST(nc AS DOUBLE) - CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE))"
     val tau2 = "10000.0"
+    // zero (or FP-negative) pooled variance would hit ln(0)/ln(<0):
+    // Spark NULLs, DuckDB raises — gate the whole statistic so both
+    // engines agree on NULL instead of diverging
     val lnl =
-      s"(0.5 * ln($vv / ($vv + $tau2)) + $dd * $dd * $tau2 / nullif(2.0 * $vv * ($vv + $tau2), CAST(0 AS DOUBLE)))"
+      s"(CASE WHEN $vv <= CAST(0 AS DOUBLE) THEN CAST(NULL AS DOUBLE) " +
+        s"ELSE 0.5 * ln($vv / ($vv + $tau2)) + $dd * $dd * $tau2 / (2.0 * $vv * ($vv + $tau2)) END)"
     g.filter(col("nr") >= 2L && col("nc") >= 2L)
       .select(
         col("event_type"),
@@ -2602,7 +2613,8 @@ object EventOps {
     val dd = "(CAST(sc_ AS DOUBLE) / CAST(nc AS DOUBLE) - CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE))"
     val tau2 = "10000.0"
     val lnl =
-      s"(0.5 * ln($vv / ($vv + $tau2)) + $dd * $dd * $tau2 / nullif(2.0 * $vv * ($vv + $tau2), CAST(0 AS DOUBLE)))"
+      s"(CASE WHEN $vv <= CAST(0 AS DOUBLE) THEN CAST(NULL AS DOUBLE) " +
+        s"ELSE 0.5 * ln($vv / ($vv + $tau2)) + $dd * $dd * $tau2 / (2.0 * $vv * ($vv + $tau2)) END)"
     s"""WITH b AS (
        |  SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
        |         CAST(max(epoch_us(ts)) AS BIGINT) AS hi
@@ -2611,10 +2623,10 @@ object EventOps {
        |  SELECT event_type,
        |         CAST(sum(CASE WHEN epoch_us(ts) <= b.lo + (b.hi - b.lo) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS nr,
        |         CAST(sum(CASE WHEN epoch_us(ts) <= b.lo + (b.hi - b.lo) // 2 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sr,
-       |         CAST(sum(CASE WHEN epoch_us(ts) <= b.lo + (b.hi - b.lo) // 2 THEN CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS ssr,
+       |         CAST(sum(CASE WHEN epoch_us(ts) <= b.lo + (b.hi - b.lo) // 2 THEN CAST(round(value * 100) AS HUGEINT) * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) AS ssr,
        |         CAST(sum(CASE WHEN epoch_us(ts) > b.lo + (b.hi - b.lo) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
        |         CAST(sum(CASE WHEN epoch_us(ts) > b.lo + (b.hi - b.lo) // 2 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sc_,
-       |         CAST(sum(CASE WHEN epoch_us(ts) > b.lo + (b.hi - b.lo) // 2 THEN CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS ssc
+       |         CAST(sum(CASE WHEN epoch_us(ts) > b.lo + (b.hi - b.lo) // 2 THEN CAST(round(value * 100) AS HUGEINT) * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) AS ssc
        |  FROM events CROSS JOIN b GROUP BY event_type)
        |SELECT event_type, nr AS n_ref, nc AS n_cur,
        |       CAST(round($dd * 10) AS BIGINT) AS delta_milli,

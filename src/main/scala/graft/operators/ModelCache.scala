@@ -29,7 +29,8 @@ import org.apache.spark.sql.DataFrame
   * total on-disk bytes and evicts least-recently-served artifacts
   * (LRU by `_KEY` mtime, touched on every reuse) over
   * [[cacheCapBytes]], never evicting a key this process is actively
-  * serving.
+  * serving nor one any process touched within [[graceMillis]] — the
+  * lock-free cross-process pin.
   */
 object ModelCache {
 
@@ -48,6 +49,18 @@ object ModelCache {
       .getOrElse(4096L)
     mb * 1024L * 1024L
   }
+
+  /** Eviction grace window (default 60 min; override with sysprop
+    * graft.model.cache.grace.min): artifacts whose `_KEY` mtime is
+    * younger than this are NEVER evicted, whoever touched them. Reuse
+    * in ANY process touches `_KEY`, so a sibling JVM's in-flight read
+    * keeps its artifact alive without cross-process locks — the memo
+    * pin below only protects THIS process; the grace window is what
+    * makes eviction race-free across concurrent bench/verify children.
+    * 60 min exceeds any plausible single query at the bench scale.
+    */
+  def graceMillis: Long =
+    sys.props.get("graft.model.cache.grace.min").map(_.toLong).getOrElse(60L) * 60000L
 
   /** In-process memo of key → published dir (the disk check is cheap,
     * but computeIfAbsent also serializes concurrent builders).
@@ -68,8 +81,14 @@ object ModelCache {
     */
   private[graft] def clearMemo(): Unit = memo.clear()
 
+  /** Registry root: sysprop graft.model.cache.dir when set (specs
+    * inject an isolated root here instead of repointing the process-wide
+    * java.io.tmpdir), else `$java.io.tmpdir/graft-model-cache`.
+    */
   private def baseDir: java.nio.file.Path = {
-    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-model-cache")
+    val p = sys.props.get("graft.model.cache.dir")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-model-cache"))
     java.nio.file.Files.createDirectories(p)
     p
   }
@@ -117,6 +136,9 @@ object ModelCache {
               Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE)
               builtCount.incrementAndGet()
               resolved = out.toString
+              // size changes ONLY on publish, so the registry walk runs
+              // once per build, not per resolve — reuse never re-walks
+              evictOverCap(base, resolved)
             } catch {
               // another process published this slot first: loop WITHOUT
               // advancing the slot — re-read it; if its key matches we
@@ -126,14 +148,17 @@ object ModelCache {
             }
           }
         }
-        evictOverCap(base, resolved)
         resolved
       })
 
   /** Delete least-recently-served artifacts until the registry fits
     * [[cacheCapBytes]]. Recency is the `_KEY` mtime (touched on every
     * reuse); artifacts memoized by THIS process are pinned — a live
-    * DataFrame may still be reading them.
+    * DataFrame may still be reading them — and artifacts touched within
+    * [[graceMillis]] are pinned for EVERY process, so a concurrent JVM's
+    * in-flight read (which touched `_KEY` at resolve time) can never
+    * lose its files mid-scan. Runs only on publish: reuse cannot grow
+    * the registry, so it never pays this walk.
     */
   private def evictOverCap(base: java.nio.file.Path, justPublished: String): Unit = {
     import java.nio.file.Files
@@ -162,8 +187,10 @@ object ModelCache {
     var total = entries.map(_._2).sum
     val cap = cacheCapBytes
     if (total > cap) {
-      entries.sortBy(_._3).foreach { case (p, sz, _) =>
-        if (total > cap && !pinned.contains(p.toString)) {
+      val now = System.currentTimeMillis()
+      val grace = graceMillis
+      entries.sortBy(_._3).foreach { case (p, sz, touched) =>
+        if (total > cap && !pinned.contains(p.toString) && now - touched >= grace) {
           deleteTree(p)
           evictedCount.incrementAndGet()
           total -= sz

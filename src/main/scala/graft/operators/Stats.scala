@@ -599,8 +599,10 @@ object Stats {
     * SSB/(SSB+SSW) as the effect size a dashboard actually thresholds
     * (F alone grows with n).
     *
-    * Exactness: values enter as exact integer cents; per-group sums and
-    * sums of squares are exact BIGINT; each group's SSW/SSB term is ONE
+    * Exactness: values enter as exact integer cents; per-group sums are
+    * exact BIGINT and sums of squares exact 38-digit decimals (HUGEINT
+    * in the mirror — a Long Σv² would wrap silently where DuckDB
+    * errors); each group's SSW/SSB term is ONE
     * fixed double expression rounded to integer cents² before the
     * (bounded, k-row) cross-group sum; F and η² are fixed double forms
     * over the rounded sums.
@@ -617,7 +619,10 @@ object Stats {
       .agg(
         count(lit(1)).as("ng"),
         sum(col("v")).as("sg"),
-        sum(col("v") * col("v")).as("ssg"))
+        // Σv² in 38-digit decimals (the cuped discipline): a Long sum
+        // silently wraps where DuckDB's HUGEINT mirror would not
+        sum(col("v").cast("decimal(38,0)") * col("v").cast("decimal(38,0)"))
+          .cast("double").as("ssg"))
     val tot = g.agg(
       sum(col("ng")).as("n"),
       count(lit(1)).as("k"),
@@ -654,7 +659,7 @@ object Stats {
     s"""WITH g AS (
        |  SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sg,
-       |         CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ssg
+       |         CAST(sum(CAST(round(value * 100) AS HUGEINT) * CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS ssg
        |  FROM events GROUP BY 1),
        |t AS (
        |  SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
@@ -714,7 +719,8 @@ object Stats {
     * toward the grand mean while a well-measured one keeps its own.
     *
     * Exactness: per-group sufficient statistics are exact integer cents
-    * (n, Σv, Σv²); the pooled-variance and Q terms round to integer
+    * (n, Σv exact BIGINT; Σv² a 38-digit decimal / HUGEINT — the cuped
+    * overflow discipline); the pooled-variance and Q terms round to integer
     * grids BEFORE their (bounded, k-row) sums (the [[anovaOneWay]]
     * discipline — a k-row double sum would still be order-sensitive);
     * τ², Bᵢ, and the shrunk means are fixed double forms on the
@@ -734,7 +740,10 @@ object Stats {
       .agg(
         count(lit(1)).as("ng"),
         sum(col("v")).as("sg"),
-        sum(col("v") * col("v")).as("ssg"))
+        // Σv² in 38-digit decimals (the cuped discipline): a Long sum
+        // silently wraps where DuckDB's HUGEINT mirror would not
+        sum(col("v").cast("decimal(38,0)") * col("v").cast("decimal(38,0)"))
+          .cast("double").as("ssg"))
     val gP = Phys.materialized(g)
     val tot = Phys.materialized(
       gP.select(
@@ -750,15 +759,15 @@ object Stats {
     // Q = Σ wᵢ(mᵢ − g)² with wᵢ = nᵢ/s²; per-group term rounded to a
     // 1e-9 grid before the exact k-row sum
     val qTerm =
-      "CAST(round(CAST(ng AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) " +
+      "CAST(round(CAST(ng AS DOUBLE) / (nullif(CAST(ssw_c2 AS DOUBLE), CAST(0 AS DOUBLE)) / nullif(CAST(n - k AS DOUBLE), CAST(0 AS DOUBLE))) " +
         "* (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) " +
         "* (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) " +
         "* 1000000000) AS BIGINT)"
     val wTerm =
-      "CAST(round(CAST(ng AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) * 1000000000) AS BIGINT)"
+      "CAST(round(CAST(ng AS DOUBLE) / (nullif(CAST(ssw_c2 AS DOUBLE), CAST(0 AS DOUBLE)) / nullif(CAST(n - k AS DOUBLE), CAST(0 AS DOUBLE))) * 1000000000) AS BIGINT)"
     val w2Term =
-      "CAST(round(CAST(ng AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) " +
-        "* CAST(ng AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) * 1000000000) AS BIGINT)"
+      "CAST(round(CAST(ng AS DOUBLE) / (nullif(CAST(ssw_c2 AS DOUBLE), CAST(0 AS DOUBLE)) / nullif(CAST(n - k AS DOUBLE), CAST(0 AS DOUBLE))) " +
+        "* CAST(ng AS DOUBLE) / (nullif(CAST(ssw_c2 AS DOUBLE), CAST(0 AS DOUBLE)) / nullif(CAST(n - k AS DOUBLE), CAST(0 AS DOUBLE))) * 1000000000) AS BIGINT)"
     val qs = Phys.materialized(
       gP.crossJoin(broadcast(tot))
         .select(expr(qTerm).as("q9"), expr(wTerm).as("w9"), expr(w2Term).as("w29"))
@@ -767,7 +776,8 @@ object Stats {
     val tau2 =
       "greatest(CAST(0 AS DOUBLE), (CAST(q9 AS DOUBLE) / 1e9 - CAST(k - 1 AS DOUBLE)) " +
         "/ nullif(CAST(w9 AS DOUBLE) / 1e9 - (CAST(w29 AS DOUBLE) / 1e9) / nullif(CAST(w9 AS DOUBLE) / 1e9, CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE)))"
-    val vi = "(CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE) / CAST(ng AS DOUBLE))"
+    val vi =
+      "(nullif(CAST(ssw_c2 AS DOUBLE), CAST(0 AS DOUBLE)) / nullif(CAST(n - k AS DOUBLE), CAST(0 AS DOUBLE)) / CAST(ng AS DOUBLE))"
     gP.crossJoin(broadcast(tot))
       .crossJoin(broadcast(qs))
       .select(
@@ -789,23 +799,24 @@ object Stats {
     */
   def jamesSteinSql(): String = {
     val qTerm =
-      "CAST(round(CAST(ng AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) " +
+      "CAST(round(CAST(ng AS DOUBLE) / (nullif(CAST(ssw_c2 AS DOUBLE), CAST(0 AS DOUBLE)) / nullif(CAST(n - k AS DOUBLE), CAST(0 AS DOUBLE))) " +
         "* (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) " +
         "* (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) " +
         "* 1000000000) AS BIGINT)"
     val wTerm =
-      "CAST(round(CAST(ng AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) * 1000000000) AS BIGINT)"
+      "CAST(round(CAST(ng AS DOUBLE) / (nullif(CAST(ssw_c2 AS DOUBLE), CAST(0 AS DOUBLE)) / nullif(CAST(n - k AS DOUBLE), CAST(0 AS DOUBLE))) * 1000000000) AS BIGINT)"
     val w2Term =
-      "CAST(round(CAST(ng AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) " +
-        "* CAST(ng AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) * 1000000000) AS BIGINT)"
+      "CAST(round(CAST(ng AS DOUBLE) / (nullif(CAST(ssw_c2 AS DOUBLE), CAST(0 AS DOUBLE)) / nullif(CAST(n - k AS DOUBLE), CAST(0 AS DOUBLE))) " +
+        "* CAST(ng AS DOUBLE) / (nullif(CAST(ssw_c2 AS DOUBLE), CAST(0 AS DOUBLE)) / nullif(CAST(n - k AS DOUBLE), CAST(0 AS DOUBLE))) * 1000000000) AS BIGINT)"
     val tau2 =
       "greatest(CAST(0 AS DOUBLE), (CAST(q9 AS DOUBLE) / 1e9 - CAST(k - 1 AS DOUBLE)) " +
         "/ nullif(CAST(w9 AS DOUBLE) / 1e9 - (CAST(w29 AS DOUBLE) / 1e9) / nullif(CAST(w9 AS DOUBLE) / 1e9, CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE)))"
-    val vi = "(CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE) / CAST(ng AS DOUBLE))"
+    val vi =
+      "(nullif(CAST(ssw_c2 AS DOUBLE), CAST(0 AS DOUBLE)) / nullif(CAST(n - k AS DOUBLE), CAST(0 AS DOUBLE)) / CAST(ng AS DOUBLE))"
     s"""WITH g AS MATERIALIZED (
        |  SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sg,
-       |         CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ssg
+       |         CAST(sum(CAST(round(value * 100) AS HUGEINT) * CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS ssg
        |  FROM events GROUP BY 1),
        |t AS MATERIALIZED (
        |  SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,

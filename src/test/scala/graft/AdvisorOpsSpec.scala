@@ -324,4 +324,34 @@ class AdvisorOpsSpec extends SparkSpec {
     assert(!rn.getBoolean(5) && rn.getLong(4) < 0L && rn.getLong(3) === 0L)
   }
 
+  test("mSPRT: zero pooled variance NULLs the statistic instead of hitting ln(0)") {
+    import spark.implicits._
+    // a fixed-value event type: both halves constant -> vv = 0. Spark's
+    // ln(0) is NULL while DuckDB's errors, so the statistic must be
+    // gated to NULL on BOTH sides, never evaluated
+    val rows = ((1 to 5).map(i => (i.toLong, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "fix", 7.0, "{}")) ++
+      (1 to 5).map(i => (100 + i.toLong, Timestamp.valueOf("2024-01-30 00:00:00"), 1L, "fix", 7.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.msprt(rows).collect()(0)
+    assert(r.isNullAt(4), s"ln_lambda must be NULL on zero variance: $r")
+    assert(r.isNullAt(5), "reject derives from the NULL statistic")
+    assert(r.getLong(3) === 0L, "delta itself is still well-defined")
+  }
+
+  test("James-Stein: zero within-group variance NULLs the shrinkage instead of Inf-casting") {
+    import spark.implicits._
+    // every group constant -> ssw_c2 = 0: the pooled variance is
+    // undefined; Spark would saturate the Inf BIGINT cast where DuckDB
+    // errors, so both mirror sides must NULL shrunk/b instead
+    val rows = (1 to 10).map(i => (i.toLong, Timestamp.valueOf("2024-01-01 00:00:00"), 1L,
+      if (i <= 5) "a" else "b", if (i <= 5) 10.0 else 20.0, "{}"))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = operators.Stats.jamesStein(ev).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(!r.isNullAt(2), "raw mean stays defined")
+      assert(r.isNullAt(3) && r.isNullAt(4), s"shrunk/b must NULL on zero pooled variance: $r")
+    }
+  }
+
 }

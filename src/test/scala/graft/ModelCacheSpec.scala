@@ -57,10 +57,12 @@ class ModelCacheSpec extends SparkSpec {
   test("size cap evicts least-recently-served artifacts; the in-memo artifact is pinned") {
     import java.nio.file.Files
     import spark.implicits._
-    // fully isolated registry: private tmpdir + zero cap for the test
-    val prevTmp = sys.props("java.io.tmpdir")
+    // isolated registry via the injected-root sysprop (NOT by repointing
+    // the process-wide java.io.tmpdir, which would misroute concurrent
+    // suites' temp files); grace=0 so only the memo pin is under test
     val isolated = Files.createTempDirectory("mc-evict-spec")
-    sys.props("java.io.tmpdir") = isolated.toString
+    sys.props("graft.model.cache.dir") = isolated.toString
+    sys.props("graft.model.cache.grace.min") = "0"
     try {
       val keyA = s"evict-a|${java.util.UUID.randomUUID()}"
       val keyB = s"evict-b|${java.util.UUID.randomUUID()}"
@@ -77,7 +79,44 @@ class ModelCacheSpec extends SparkSpec {
       assert(ModelCache.evictedCount.get() > evictedBefore)
     } finally {
       sys.props -= "graft.model.cache.cap.mb"
-      sys.props("java.io.tmpdir") = prevTmp
+      sys.props -= "graft.model.cache.grace.min"
+      sys.props -= "graft.model.cache.dir"
+    }
+  }
+
+  test("grace window pins a sibling process's in-flight artifact across a cap crossing") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val isolated = Files.createTempDirectory("mc-grace-spec")
+    sys.props("graft.model.cache.dir") = isolated.toString
+    try {
+      val keyA = s"grace-a|${java.util.UUID.randomUUID()}"
+      val keyB = s"grace-b|${java.util.UUID.randomUUID()}"
+      val keyC = s"grace-c|${java.util.UUID.randomUUID()}"
+      val dA = ModelCache.dir(keyA)(Seq((1L, 1L)).toDF("id", "v"))
+      val dB = ModelCache.dir(keyB)(Seq((2L, 2L)).toDF("id", "v"))
+      // second-process simulation: OUR memo forgets both, but A was just
+      // touched (its _KEY mtime is fresh — exactly what a sibling JVM's
+      // resolve leaves behind), while B's last touch is backdated beyond
+      // the grace window, i.e. genuinely idle
+      ModelCache.clearMemo()
+      Files.setLastModifiedTime(
+        java.nio.file.Paths.get(dB, "_KEY"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ModelCache.graceMillis - 60000L))
+      sys.props("graft.model.cache.cap.mb") = "0"
+      val dC = ModelCache.dir(keyC)(Seq((3L, 3L)).toDF("id", "v"))
+      assert(Files.exists(java.nio.file.Paths.get(dA, "_SUCCESS")),
+        "recently-touched artifact must survive the cap crossing — a sibling may be mid-read")
+      assert(!Files.exists(java.nio.file.Paths.get(dB)),
+        "idle (beyond-grace) artifact is the one the cap reclaims")
+      assert(Files.exists(java.nio.file.Paths.get(dC, "_SUCCESS")))
+      // the surviving artifact still SERVES after the crossing, as the
+      // sibling would observe mid-query
+      assert(spark.read.parquet(dA).select(col("v")).head().getLong(0) === 1L)
+    } finally {
+      sys.props -= "graft.model.cache.cap.mb"
+      sys.props -= "graft.model.cache.dir"
     }
   }
 }
