@@ -619,6 +619,15 @@ object SparkEntry {
     // assumed
     "graph_katz_resid" -> ((s, d) =>
       GraphOps.katzResiduals(GraphSource.lineitemEdges(s, d)).orderBy(col("round"))),
+    // the same A4 convergence readout for fixed-round PageRank: per-round
+    // changed count + L1 residual in rank pico-units
+    "pagerank_resid" -> ((s, d) =>
+      GraphOps.pagerankResiduals(GraphSource.lineitemEdges(s, d)).orderBy(col("round"))),
+    // and for the FM/ANF sketch loop: the maskLoop changed-count
+    // observation surfaced per hop, next to the round's N(h) estimate —
+    // n_changed = 0 is the saturation the production early exit keys on
+    "graph_anf_resid" -> ((s, d) =>
+      GraphOps.anfResiduals(GraphSource.lineitemEdges(s, d)).orderBy(col("round"))),
     // edge-level cohesion: peel edges below k−2 triangle support to a
     // fixpoint; strictly stronger than the k-core filter
     "ktruss_3" -> ((s, d) =>
@@ -1591,6 +1600,12 @@ object SparkEntry {
     // scores each arriving doc as one stateless array fold
     "docs_stream_quality_static" -> ((s, d) =>
       streaming.StreamOps.docQualityGateOverParquet(s, d, firstNewId = 400L)
+        .orderBy(col("source"))),
+    // the same gate terminated in a DURABLE parquet table: foreachBatch
+    // writes per-batch partitions under dynamic overwrite (replay-
+    // idempotent = exactly-once), the gate readout rolls the table up
+    "docs_stream_quality_sink" -> ((s, d) =>
+      streaming.StreamOps.docQualityGateSinkOverParquet(s, d, firstNewId = 400L)
         .orderBy(col("source"))),
     // importance sampling at ingest: static DSIR model, stateless fold,
     // per-source selected-count rollup
@@ -3068,6 +3083,8 @@ object SparkEntry {
     "graph_katz" ->
       s"SELECT * FROM (${GraphOps.katzFixedSql(GraphSource.lineitemEdgesSql)}) ORDER BY id",
     "graph_katz_resid" -> GraphOps.katzResidualsSql(GraphSource.lineitemEdgesSql),
+    "pagerank_resid" -> GraphOps.pagerankResidualsSql(GraphSource.lineitemEdgesSql),
+    "graph_anf_resid" -> GraphOps.anfResidualsSql(GraphSource.lineitemEdgesSql),
     "ktruss_3" -> GraphOps.kTrussSql(GraphSource.lineitemEdgesSql, k = 3),
     "graph_clustering_coef" ->
       GraphOps.clusteringCoefficientSql(GraphSource.lineitemEdgesSql),
@@ -5015,6 +5032,9 @@ object SparkEntry {
       "docs_stream_cdc_static" ->
         s"SELECT * FROM (${Dedup.cdcGateSql(firstNewId = 400L)}) ORDER BY source",
       "docs_stream_quality_static" -> operators.Training.fasttextGateSql(firstNewId = 400L),
+      // the file-sink termination lands the identical per-doc scores, so
+      // the same batch rollup adjudicates the stream->file->table path
+      "docs_stream_quality_sink" -> operators.Training.fasttextGateSql(firstNewId = 400L),
       "docs_stream_dsir_static" -> TextOps.dsirGateSql(firstNewId = 400L),
       "docs_stream_gopher_static" ->
         s"""WITH g AS (${TextOps.gopherRulesSql().replace("\n", "\n  ")})

@@ -691,6 +691,102 @@ object GraphOps {
     }
   }
 
+  /** Convergence trace for [[pagerankFixed]] — the same A4 readout
+    * [[katzResiduals]] gives Katz: one row per round with the number of
+    * nodes whose rank moved and the L1 residual Σ|pr_k − pr_{k−1}| in
+    * the rank's own pico-units (total mass = 10¹²), so the shipped
+    * `iters` is verified against the fixed point instead of trusted
+    * blind.
+    *
+    * Scale shape: identical rounds to [[pagerankFixed]] plus, per
+    * round, one |V|-row id-keyed join (both sides carry the declared
+    * id layout — no exchange) and a 1-row aggregate to the driver:
+    * bounded by `iters` rows total, never data-scale.
+    */
+  def pagerankResiduals(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val session = edges.sparkSession
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      val e = edges
+        .select(col("src"), col("dst"))
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      def ckpt(df: DataFrame): DataFrame = Phys.materializedHashedBy(df, Seq("id"))
+      val nn = outdeg.agg(count(lit(1)).as("n"))
+      var rank = ckpt(
+        outdeg
+          .crossJoin(nn)
+          .select(col("id"), col("deg"), expr("1000000000000L div n").as("pr"), col("n")))
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      (1 to iters).foreach { r =>
+        val contrib = rank
+          .join(e, rank("id") === e("src"))
+          .select(e("dst").as("id"), expr("pr div deg").as("c"))
+        val summed = contrib.groupBy("id").agg(sum(col("c")).as("s"))
+        val next = ckpt(
+          rank
+            .join(summed, Seq("id"), "left_outer")
+            .select(
+              col("id"),
+              col("deg"),
+              expr(
+                "CAST((15 * (1000000000000L div n) div 100) + (85 * coalesce(s, 0L)) div 100 AS BIGINT)")
+                .as("pr"),
+              col("n")))
+        val d = next.alias("cur")
+          .join(rank.alias("prv"), Seq("id"))
+          .agg(
+            sum(when(col("cur.pr") =!= col("prv.pr"), 1L).otherwise(0L)).as("ch"),
+            sum(abs(col("cur.pr") - col("prv.pr"))).as("res"))
+          .collect()(0)
+        out += ((r.toLong, d.getLong(0), d.getLong(1)))
+        rank = next
+      }
+      e.unpersist()
+      import session.implicits._
+      out.toSeq.toDF("round", "n_changed", "resid_l1_pico")
+    }
+  }
+
+  /** The [[pagerankFixed]] CTE chain (r0..r`iters`), shared by the
+    * residual oracle — textually the same iteration as the
+    * `pagerank_fixed` oracle itself.
+    */
+  private def pagerankChainCtes(edgesSql: String, iters: Int): String = {
+    def iter(prev: String, k: Int): String =
+      s"""r$k AS (
+         |  SELECT r.id, r.deg,
+         |         CAST((15 * (1000000000000 // nn.n) // 100) +
+         |              (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM $prev r
+         |  LEFT JOIN (SELECT e.dst AS id, CAST(sum(r.pr // r.deg) AS BIGINT) AS s
+         |             FROM $prev r JOIN e ON e.src = r.id GROUP BY e.dst) s ON s.id = r.id
+         |  CROSS JOIN nn)""".stripMargin
+    val chain = (1 to iters).map(k => iter(s"r${k - 1}", k)).mkString(",\n")
+    s"""edges AS ($edgesSql),
+       |e AS (SELECT src, dst FROM edges),
+       |outdeg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM outdeg),
+       |r0 AS (SELECT id, deg, CAST(1000000000000 // nn.n AS BIGINT) AS pr
+       |       FROM outdeg CROSS JOIN nn),
+       |$chain""".stripMargin
+  }
+
+  /** [[pagerankResiduals]] mirrored: the same chain, per-round diffs. */
+  def pagerankResidualsSql(edgesSql: String, iters: Int = 3): String = {
+    val diffs = (1 to iters)
+      .map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS round,
+           |       CAST(sum(CASE WHEN n.pr <> p.pr THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           |       CAST(sum(abs(n.pr - p.pr)) AS BIGINT) AS resid_l1_pico
+           |FROM r$r n JOIN r${r - 1} p ON n.id = p.id""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${pagerankChainCtes(edgesSql, iters)}
+       |SELECT * FROM ($diffs) ORDER BY round""".stripMargin
+  }
+
   /** Personalized (topic-sensitive) PageRank: [[pagerankFixed]]'s
     * fixed-point integer iteration, but the 15% teleport mass returns
     * ONLY to the seed set {id : id % seedMod == 0} instead of spreading
@@ -1619,6 +1715,125 @@ object GraphOps {
        |$changedCtes
        |$hRows
        |ORDER BY h""".stripMargin
+  }
+
+  /** Convergence trace for the FM/ANF sketch loop — the A4 readout for
+    * [[anf]]/[[anfEstimate]], matching [[katzResiduals]]: one row per
+    * hop with the number of nodes whose K-mask tuple grew that round
+    * (the [[maskLoop]] `changed` observation, surfaced instead of
+    * internal) and the round's N(h) estimate, so sketch saturation is
+    * verified — n_changed hitting 0 IS the fixed point the early-exit
+    * production loop keys on.
+    *
+    * Scale shape: identical rounds to [[anfEstimate]] (one edge join +
+    * one hash aggregate per hop); both readout scalars ride the round
+    * checkpoint as observed metrics — zero extra passes, `rounds`
+    * driver-side rows total. earlyExit=false so the output shape is a
+    * fixed `rounds` rows, saturated rounds reading (0, est).
+    */
+  def anfResiduals(edges: DataFrame, nSketches: Int = 8, rounds: Int = 3): DataFrame = {
+    require(nSketches >= 1 && nSketches <= 16, s"nSketches in [1,16], got $nSketches")
+    val session = edges.sparkSession
+    val parts = loopPartitions(session, edges.count())
+    withLoopConfs(session, parts) {
+      val e = edges
+        .select(col("src"), col("dst"))
+        .distinct()
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      val nodes = e
+        .select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+        .distinct()
+      import graft.functions.Parity
+      val hashCols = (0 until nSketches).map { s =>
+        ((lit(Parity.permA(AnfPermOff + s)) * (col("id") % lit(Parity.BigP)) +
+          lit(Parity.permB(AnfPermOff + s))) % lit(Parity.BigP)).as(s"h$s")
+      }
+      val rhoCols = (0 until nSketches).map { s =>
+        when(col(s"h$s") === 0L, lit(31L))
+          .otherwise(length(bin(col(s"h$s"))) - length(rtrim(bin(col(s"h$s")), "0")))
+          .cast("long")
+          .as(s"rho$s")
+      }
+      val maskInit = (0 until nSketches).map(s =>
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(rho$s AS INT))").as(s"m$s"))
+      val seed = nodes
+        .select(col("id") +: hashCols: _*)
+        .select(col("id") +: rhoCols: _*)
+        .select(col("id") +: maskInit: _*)
+      val rSumNew = (0 until nSketches)
+        .map(s => expr(s"CAST(length(bin(n$s ^ (n$s + 1))) - 1 AS BIGINT)"))
+        .reduce(_ + _)
+      val lutArr = array(anfLut(nSketches).map(lit(_)): _*)
+      val estObs = Seq(sum(element_at(lutArr, (rSumNew + 1L).cast("int"))).as("est_s"))
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      maskLoop(e, seed, nSketches, rounds, earlyExit = false, freeSuperseded = true, estObs)(
+        _ => (),
+        (h, _, _, metrics) => {
+          val s = metrics("est_s").asInstanceOf[Long]
+          val est = (s / 77351L) * 100L + ((s % 77351L) * 100L) / 77351L
+          rows += ((h.toLong, metrics("changed").asInstanceOf[Long], est))
+        })
+      e.unpersist()
+      import session.implicits._
+      rows.toSeq.toDF("round", "n_changed", "n_pairs_est").orderBy(col("round"))
+    }
+  }
+
+  /** [[anfResiduals]] mirrored: the [[anfSql]] mask chain unrolled, the
+    * per-round changed count as a consecutive-state diff (ids whose
+    * mask tuple differs between b_h and b_{h−1} — OR-merge is monotone,
+    * so "differs" is exactly "grew"), the same fixed-point estimator.
+    */
+  def anfResidualsSql(edgesSql: String, nSketches: Int = 8, rounds: Int = 3): String = {
+    import graft.functions.Parity
+    val ss = 0 until nSketches
+    val hashes = ss
+      .map(s =>
+        s"(${Parity.permA(AnfPermOff + s)} * (id % ${Parity.BigP}) + " +
+          s"${Parity.permB(AnfPermOff + s)}) % ${Parity.BigP} AS h$s")
+      .mkString(", ")
+    val seedMasks = ss
+      .map(s =>
+        s"CAST(1 AS BIGINT) << (CASE WHEN h$s = 0 THEN 31 " +
+          s"ELSE length(bin(h$s)) - length(rtrim(bin(h$s), '0')) END) AS m$s")
+      .mkString(", ")
+    val mCols = ss.map(s => s"m$s").mkString(", ")
+    val orAgg = ss.map(s => s"bit_or(m$s) AS m$s").mkString(", ")
+    val maskRounds = (1 to rounds)
+      .map { k =>
+        s"""b$k AS MATERIALIZED (
+           |  SELECT id, $orAgg FROM (
+           |    SELECT id, $mCols FROM b${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS id, $mCols FROM b${k - 1} m JOIN e ON m.id = e.src)
+           |  GROUP BY id)""".stripMargin
+      }
+      .mkString(",\n")
+    val anyDiff = ss.map(s => s"x.m$s <> y.m$s").mkString(" OR ")
+    val rSumSql = ss
+      .map(s => s"(length(bin(xor(m$s, m$s + 1))) - 1)")
+      .mkString(" + ")
+    val lutSql = anfLut(nSketches).mkString("[", ", ", "]")
+    val sumSql = s"CAST(sum($lutSql[($rSumSql) + 1]) AS BIGINT)"
+    val hRows = (1 to rounds)
+      .map { h =>
+        s"""SELECT CAST($h AS BIGINT) AS round,
+           |       (SELECT CAST(count(*) AS BIGINT)
+           |        FROM b$h x JOIN b${h - 1} y ON x.id = y.id WHERE $anyDiff) AS n_changed,
+           |       (SELECT ($sumSql // 77351) * 100 +
+           |               (($sumSql % 77351) * 100) // 77351 FROM b$h) AS n_pairs_est""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH raw AS ($edgesSql),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT id, $hashes FROM nodes),
+       |b0 AS (SELECT id, $seedMasks FROM h0),
+       |$maskRounds
+       |SELECT * FROM ($hRows) ORDER BY round""".stripMargin
   }
 
   /** Harmonic centrality, estimated per node from the [[anf]] FM

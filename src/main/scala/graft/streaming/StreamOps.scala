@@ -683,6 +683,101 @@ object StreamOps {
       "complete")
   }
 
+  /** STREAMING QUALITY GATE, EXACTLY-ONCE FILE-SINK TERMINATION: the
+    * same stored-classifier scoring as [[docQualityGateOverParquet]],
+    * but the per-doc scores land in a DURABLE parquet table via
+    * `foreachBatch` instead of the harness memory sink — the
+    * production termination of an ingest gate. Exactly-once without
+    * sink transactions: each micro-batch writes its own
+    * `batch_id=<id>` partition under DYNAMIC partition overwrite, so a
+    * batch REPLAYED after a crash (Structured Streaming re-delivers
+    * the checkpointed offset range, with identical file-source
+    * content) rewrites exactly its own partition instead of
+    * duplicating rows — deterministic batch content + idempotent write
+    * = exactly-once table state ([[upsertDocGateBatch]];
+    * re-run-idempotence pinned in StreamingStaticSpec). The gate
+    * readout rolls the durable table up per source, so the batch
+    * rollup oracle of the memory-sink gate adjudicates the whole
+    * stream→file→table path.
+    *
+    * Scale shape: stateless scoring projection (no state store), one
+    * parquet partition write per micro-batch, one rollup scan of the
+    * sink at read time. On a real firehose the sink table is the
+    * curated-corpus landing zone; its `batch_id` partitioning also
+    * gives consumers an incremental-load key.
+    */
+  def docQualityGateSinkOverParquet(
+      spark: SparkSession,
+      sfDir: String,
+      firstNewId: Long): DataFrame = {
+    import graft.functions.Parity
+    import graft.operators.Training
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val modelDir = Training.writeFasttextModel(spark, docs.filter(col("doc_id") < firstNewId))
+    val m = spark.read.parquet(modelDir).head()
+    val w = m.getSeq[Long](0)
+    val ms = m.getSeq[Long](1)
+    val bias = w(0) - (1 to Training.FtDim).map(j => w(j) * ms(j - 1)).sum
+    val wArr = array((1 to Training.FtDim).map(j => lit(w(j))): _*)
+    val staged = java.nio.file.Paths.get(graft.sources.Staging.freshDir("stream-docs-gate-sink"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val scored = readDocStream(spark, staged.toString)
+      .filter(col("doc_id") >= firstNewId)
+      .select(
+        col("doc_id"),
+        col("source"),
+        (lit(bias) + aggregate(
+          transform(
+            Parity.tokens(col("text")),
+            t => pmod(Parity.tokenH40(t), lit(Training.FtDim))),
+          lit(0L),
+          (acc, h) => acc + element_at(wArr, (h + 1).cast("int")))).as("score_micro"))
+    val sink = graft.sources.Staging.freshDir("stream-docgate-table")
+    withStreamPartitions(spark) {
+      val ckpt = freshCheckpointDir()
+      try {
+        val q = scored.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch((b: DataFrame, id: Long) => upsertDocGateBatch(b, id, sink))
+          .start()
+        try { q.processAllAvailable(); recordWork(q) }
+        finally stopQuietly(q)
+      } finally deleteRecursively(ckpt)
+    }
+    // explicit schema: a zero-new-doc run leaves no data files, and the
+    // empty gate table must still have the gate's shape
+    val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score_micro", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType)))
+    spark.read.schema(sinkSchema).parquet(sink)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("score_micro") > 0, 1L).otherwise(0L)).as("n_accepted"),
+        min(col("doc_id")).as("first_id"))
+  }
+
+  /** The idempotent `foreachBatch` termination for
+    * [[docQualityGateSinkOverParquet]]: the batch rides into its own
+    * `batch_id` partition, and `overwrite` + dynamic partition
+    * overwrite means re-running the SAME batch (a post-crash replay)
+    * deletes-and-rewrites only that partition — other batches' rows
+    * are untouched, and the table never holds two copies.
+    */
+  private[graft] def upsertDocGateBatch(batch: DataFrame, batchId: Long, sinkDir: String): Unit =
+    batch
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(sinkDir)
+
   /** STREAMING GOPHER GATE: the heuristic rule battery
     * ([[graft.operators.TextOps.gopherRules]]) applied to arriving
     * documents — all seven rules are stateless integer per-row
