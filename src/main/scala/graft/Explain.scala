@@ -4,8 +4,34 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: print the formatted physical plan of one named query and time
   * its execution. Usage: runMain graft.Explain <queryName> [sfDir] [reps]
+  *
+  * Also accounts spill: a TaskEnd listener accumulates
+  * memory/disk-spilled bytes and the peak per-task execution memory,
+  * printed per rep — the observable for the memory-pressure runs
+  * (SPARK_DRIVER_MEM=6g), where completing WITH spill is the pass
+  * criterion and an OOM is the failure.
   */
 object Explain {
+
+  /** Accumulates spill/peak-memory task metrics across a rep. */
+  private class SpillListener extends org.apache.spark.scheduler.SparkListener {
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+    val peakExecMem = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        memSpilled.addAndGet(m.memoryBytesSpilled)
+        diskSpilled.addAndGet(m.diskBytesSpilled)
+        peakExecMem.getAndAccumulate(m.peakExecutionMemory, math.max(_, _))
+      }
+    }
+    def readout(): String =
+      s"spill_mem_mb=${memSpilled.get() / (1024 * 1024)} " +
+        s"spill_disk_mb=${diskSpilled.get() / (1024 * 1024)} " +
+        s"peak_task_exec_mb=${peakExecMem.get() / (1024 * 1024)}"
+  }
+
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -19,12 +45,20 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    println(s"[explain] heap_mb=$heapMb cpus=$cpus")
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>
+      val l = new SpillListener
+      spark.sparkContext.addSparkListener(l)
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(s"[explain] rep $i: $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events are posted async — drain before reading
+      org.apache.spark.sql.graftbridge.CheckpointBridge.drainListenerBus(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(l)
+      println(s"[explain] rep $i: $name rows=$n sec=$sec ${l.readout()}")
     }
     spark.stop()
   }

@@ -51,6 +51,13 @@ object CheckpointBridge {
   def observedMetrics(obs: org.apache.spark.sql.Observation): Map[String, Any] =
     obs.getOrEmpty
 
+  /** Block until all queued listener events are delivered
+    * (`listenerBus` is `private[spark]`): a metrics listener read right
+    * after an action would otherwise race the async event bus.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** [[dropOriginStats]] plus a DECLARED hash partitioning: a checkpoint
     * taken under AQE reports `UnknownPartitioning`, so every downstream
     * join re-exchanges rows that are already laid out on the join key.
