@@ -2821,6 +2821,13 @@ object SparkEntry {
     // mixture SPRT: always-valid sequential mean-shift test per type
     // (log-space Λ, reject decided on the rounded milli column)
     "events_msprt" -> ((s, d) => EventOps.msprt(events(s, d)).orderBy(col("event_type"))),
+    // difference-in-differences: treated-vs-control change-of-changes
+    // on the four (treat, post) cells — the quasi-experimental effect
+    // with unpooled SE, one scan, 4-row aggregate
+    "events_did" -> ((s, d) => EventOps.did(events(s, d))),
+    // Page–Hinkley sequential mean-shift detector on the daily means:
+    // running-mean-adaptive integer recursion, bit-exact trace
+    "events_page_hinkley" -> ((s, d) => EventOps.pageHinkley(events(s, d)).orderBy(col("d"))),
     // James–Stein / random-effects shrinkage of per-type means toward
     // the grand mean (DL tau^2), the small-group ranking stabilizer
     "stats_james_stein" -> ((s, d) =>
@@ -6151,6 +6158,9 @@ object SparkEntry {
       "events_cuped" -> EventOps.cupedSql(),
       "events_msprt" ->
         s"SELECT * FROM (${EventOps.msprtSql()}) ORDER BY event_type",
+      "events_did" -> EventOps.didSql(),
+      "events_page_hinkley" ->
+        s"SELECT * FROM (${EventOps.pageHinkleySql()}) ORDER BY d",
       "stats_james_stein" ->
         s"SELECT * FROM (${operators.Stats.jamesSteinSql()}) ORDER BY event_type",
       "dedup_soft_weights" ->

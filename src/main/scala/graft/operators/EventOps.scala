@@ -2636,4 +2636,187 @@ object EventOps {
        |WHERE nr >= 2 AND nc >= 2""".stripMargin
   }
 
+  // ---- difference-in-differences --------------------------------------------
+
+  /** Difference-in-differences estimator (Card & Krueger 1994 form) —
+    * the quasi-experimental readout a metrics platform runs when
+    * treatment was NOT randomized per-impression: treated cohort
+    * (user_id odd — the same assignment hash as [[abTest]]) vs
+    * control, pre vs post (the two halves of the observed window), on
+    * per-event value. The parallel-trends identity: the effect is the
+    * treated cohort's change MINUS the control cohort's change,
+    * (m̄₁₁−m̄₁₀)−(m̄₀₁−m̄₀₀), which nets out any common time shock a
+    * naive post-only comparison would absorb into the estimate. SE by
+    * the unpooled four-cell variance sum Σ s²ᵢⱼ/nᵢⱼ.
+    *
+    * Exactness: the four cells' sufficient statistics are exact
+    * integer cents (n, Σv BIGINT; Σv² decimal(38,0)/HUGEINT — the
+    * [[cuped]] overflow discipline); means, effect, SE, and t are
+    * fixed double forms on them, rounded to milli. Degenerate cells
+    * (empty, or any cell with n < 2 for the SE) NULL the affected
+    * columns identically in both engines.
+    *
+    * Scale shape: one corpus scan → 4-row conditional aggregate →
+    * 1-row arithmetic. No window, no join.
+    *
+    * Output: one row `(n00, n01, n10, n11, effect_milli, se_milli,
+    * t_milli)` — cell suffix = treat,post.
+    */
+  def did(events: DataFrame): DataFrame = {
+    val bounds = Phys.materialized(
+      events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")))
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def cell(t: Int, p: Int, c: org.apache.spark.sql.Column, zero: org.apache.spark.sql.Column) =
+      sum(when(col("treat") === t.toLong && col("post") === p.toLong, c).otherwise(zero))
+    val aggCols = (for { t <- 0 to 1; p <- 0 to 1 } yield Seq(
+      cell(t, p, lit(1L), lit(0L)).as(s"n$t$p"),
+      cell(t, p, col("v"), lit(0L)).as(s"s$t$p"),
+      cell(t, p, d38(col("v")) * d38(col("v")), lit(0).cast("decimal(38,0)"))
+        .cast("double").as(s"ss$t$p"))).flatten
+    val a = events
+      .crossJoin(broadcast(bounds))
+      .select(
+        pmod(col("user_id"), lit(2L)).as("treat"),
+        (unix_micros(col("ts")) > expr("lo + (hi - lo) div 2")).cast("long").as("post"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    // mean of cell tp; NULL on an empty cell
+    def m(t: Int, p: Int) =
+      s"(CAST(s$t$p AS DOUBLE) / nullif(CAST(n$t$p AS DOUBLE), CAST(0 AS DOUBLE)))"
+    // unbiased cell variance over n; NULL when n < 2
+    def va(t: Int, p: Int) =
+      s"((CAST(ss$t$p AS DOUBLE) - CAST(s$t$p AS DOUBLE) * CAST(s$t$p AS DOUBLE) " +
+        s"/ nullif(CAST(n$t$p AS DOUBLE), CAST(0 AS DOUBLE))) " +
+        s"/ nullif(CAST(n$t$p - 1 AS DOUBLE), CAST(0 AS DOUBLE)) " +
+        s"/ nullif(CAST(n$t$p AS DOUBLE), CAST(0 AS DOUBLE)))"
+    val effect = s"((${m(1, 1)} - ${m(1, 0)}) - (${m(0, 1)} - ${m(0, 0)}))"
+    val se = s"sqrt(${va(0, 0)} + ${va(0, 1)} + ${va(1, 0)} + ${va(1, 1)})"
+    a.select(
+      col("n00"), col("n01"), col("n10"), col("n11"),
+      expr(s"CAST(round($effect * 10) AS BIGINT)").as("effect_milli"),
+      expr(s"CAST(round($se * 10) AS BIGINT)").as("se_milli"),
+      expr(s"CAST(round($effect / nullif($se, CAST(0 AS DOUBLE)) * 1000) AS BIGINT)")
+        .as("t_milli"))
+  }
+
+  /** [[did]] mirrored: the same four-cell forms, HUGEINT second
+    * moments.
+    */
+  def didSql(): String = {
+    def m(t: Int, p: Int) =
+      s"(CAST(s$t$p AS DOUBLE) / nullif(CAST(n$t$p AS DOUBLE), CAST(0 AS DOUBLE)))"
+    def va(t: Int, p: Int) =
+      s"((CAST(ss$t$p AS DOUBLE) - CAST(s$t$p AS DOUBLE) * CAST(s$t$p AS DOUBLE) " +
+        s"/ nullif(CAST(n$t$p AS DOUBLE), CAST(0 AS DOUBLE))) " +
+        s"/ nullif(CAST(n$t$p - 1 AS DOUBLE), CAST(0 AS DOUBLE)) " +
+        s"/ nullif(CAST(n$t$p AS DOUBLE), CAST(0 AS DOUBLE)))"
+    val effect = s"((${m(1, 1)} - ${m(1, 0)}) - (${m(0, 1)} - ${m(0, 0)}))"
+    val se = s"sqrt(${va(0, 0)} + ${va(0, 1)} + ${va(1, 0)} + ${va(1, 1)})"
+    val cells = (for { t <- 0 to 1; p <- 0 to 1 } yield {
+      val cond = s"treat = $t AND post = $p"
+      s"""CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n$t$p,
+         |         CAST(sum(CASE WHEN $cond THEN v ELSE 0 END) AS BIGINT) AS s$t$p,
+         |         CAST(sum(CASE WHEN $cond THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS DOUBLE) AS ss$t$p""".stripMargin
+    }).mkString(",\n         ")
+    s"""WITH b AS (
+       |  SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+       |         CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+       |  FROM events),
+       |r AS (
+       |  SELECT user_id % 2 AS treat,
+       |         CASE WHEN epoch_us(ts) > b.lo + (b.hi - b.lo) // 2 THEN 1 ELSE 0 END AS post,
+       |         CAST(round(value * 100) AS BIGINT) AS v
+       |  FROM events CROSS JOIN b),
+       |a AS (
+       |  SELECT $cells
+       |  FROM r)
+       |SELECT n00, n01, n10, n11,
+       |       CAST(round($effect * 10) AS BIGINT) AS effect_milli,
+       |       CAST(round($se * 10) AS BIGINT) AS se_milli,
+       |       CAST(round($effect / nullif($se, CAST(0 AS DOUBLE)) * 1000) AS BIGINT) AS t_milli
+       |FROM a""".stripMargin
+  }
+
+  // ---- Page–Hinkley drift detector -------------------------------------------
+
+  /** Page–Hinkley sequential mean-shift detector (Page 1954; the
+    * streaming-drift form in Gama et al. 2014's survey) over the daily
+    * mean-value series: mₜ = Σᵢ≤ₜ (xᵢ − x̄ᵢ), with x̄ᵢ the running mean
+    * of the first i days, and PHₜ = mₜ − minᵢ≤ₜ mᵢ — a sustained
+    * upward mean shift makes mₜ climb away from its historical
+    * minimum, and PHₜ > λ alarms. The day-resolution complement of
+    * [[cusum]] (which tracks per-event deviations from a FIXED
+    * reference half): Page–Hinkley needs no reference period — the
+    * running mean adapts, so it fires only on shifts that outrun it.
+    *
+    * Exactness: the daily series is exact integer micro-cents
+    * (Σcents·10⁶ div n — floor division on nonnegative operands,
+    * identical in both engines); every recursion term (running mean,
+    * mₜ cumsum, running min) is integer arithmetic over the bounded
+    * day series, so the whole trace is bit-identical cross-engine with
+    * NO rounding grid at all. λ = [[PhLambdaMicro]].
+    *
+    * Scale shape: one corpus scan → per-day aggregate (hash, map-side
+    * partial) → three window passes over the BOUNDED day series
+    * (≤ window length in days — never data-scale).
+    *
+    * Output: one row per day `(d, n_events, mean_micro, m_micro,
+    * ph_micro, alarm)`.
+    */
+  def pageHinkley(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(to_date(col("ts")).as("d"), expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("s"))
+      .select(col("d"), col("n_events"), expr("s * 1000000 div n_events").as("mean_micro"))
+    val w = Window.orderBy(col("d"))
+    val cum = daily
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("csum", sum(col("mean_micro")).over(w))
+      // running mean over the first i days, floored — exact integers
+      .withColumn("term", col("mean_micro") - expr("csum div i"))
+    cum
+      .withColumn("m_micro", sum(col("term")).over(w))
+      .withColumn("ph_micro", col("m_micro") - min(col("m_micro")).over(w))
+      .select(
+        // string day — the engine's cross-engine date convention
+        date_format(col("d"), "yyyy-MM-dd").as("d"),
+        col("n_events"),
+        col("mean_micro"),
+        col("m_micro"),
+        col("ph_micro"),
+        (col("ph_micro") > PhLambdaMicro).as("alarm"))
+  }
+
+  /** [[pageHinkley]]'s alarm threshold, micro-cents (50 cents of
+    * accumulated drift beyond the running mean).
+    */
+  val PhLambdaMicro = 50000000L
+
+  /** [[pageHinkley]] mirrored: the same three window passes in
+    * DuckDB's window spelling.
+    */
+  def pageHinkleySql(): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_events,
+       |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) * 1000000
+       |           // CAST(count(*) AS BIGINT) AS mean_micro
+       |  FROM events GROUP BY 1),
+       |cum AS (
+       |  SELECT d, n_events, mean_micro,
+       |         mean_micro - (CAST(sum(mean_micro) OVER (ORDER BY d) AS BIGINT)
+       |           // CAST(row_number() OVER (ORDER BY d) AS BIGINT)) AS term
+       |  FROM daily),
+       |m AS (
+       |  SELECT d, n_events, mean_micro,
+       |         CAST(sum(term) OVER (ORDER BY d) AS BIGINT) AS m_micro
+       |  FROM cum)
+       |SELECT strftime(d, '%Y-%m-%d') AS d, n_events, mean_micro, m_micro,
+       |       m_micro - min(m_micro) OVER (ORDER BY d) AS ph_micro,
+       |       m_micro - min(m_micro) OVER (ORDER BY d) > $PhLambdaMicro AS alarm
+       |FROM m""".stripMargin
+
 }

@@ -338,6 +338,64 @@ class AdvisorOpsSpec extends SparkSpec {
     assert(r.getLong(3) === 0L, "delta itself is still well-defined")
   }
 
+  test("DiD: a planted treatment effect is recovered net of the common time shock") {
+    import spark.implicits._
+    def ev(id: Long, day: String, uid: Long, v: Double) =
+      (id, Timestamp.valueOf(s"2024-01-$day 00:00:00"), uid, "t", v, "{}")
+    // control (even uids): pre ~10, post ~12 (common shock +2);
+    // treated (odd uids): pre ~20, post ~25 (+2 shock, +3 effect).
+    // jitter +0/+0.1 within each cell for nonzero cell variance
+    val rows =
+      (0 until 10).map(i => ev(i.toLong, "01", 2L * i, 10.0 + (i % 2) * 0.1)) ++
+      (0 until 10).map(i => ev(100 + i.toLong, "30", 2L * i, 12.0 + (i % 2) * 0.1)) ++
+      (0 until 10).map(i => ev(200 + i.toLong, "01", 2L * i + 1, 20.0 + (i % 2) * 0.1)) ++
+      (0 until 10).map(i => ev(300 + i.toLong, "30", 2L * i + 1, 25.0 + (i % 2) * 0.1))
+    val r = EventOps.did(rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect()(0)
+    assert((0 to 3).forall(i => r.getLong(i) === 10L), "10 events per cell")
+    assert(r.getLong(4) === 3000L, s"effect = (25-20)-(12-10) = 3.0 exactly (jitter cancels): $r")
+    assert(r.getLong(5) > 0L, "nonzero jitter -> nonzero SE")
+    assert(r.getLong(6) > 10000L, "a 3.0 effect against centi-scale noise is a huge t")
+    // naive post-only comparison would report 25-12 = 13: DiD nets the
+    // baseline gap and the shock; 3.0 is the causal number
+  }
+
+  test("DiD: an empty cell NULLs the effect identically instead of crashing the forms") {
+    import spark.implicits._
+    def ev(id: Long, day: String, uid: Long, v: Double) =
+      (id, Timestamp.valueOf(s"2024-01-$day 00:00:00"), uid, "t", v, "{}")
+    // no treated-pre cell (odd uids appear only post)
+    val rows =
+      (0 until 4).map(i => ev(i.toLong, "01", 2L * i, 10.0 + i * 0.1)) ++
+      (0 until 4).map(i => ev(100 + i.toLong, "30", 2L * i, 12.0 + i * 0.1)) ++
+      (0 until 4).map(i => ev(300 + i.toLong, "30", 2L * i + 1, 25.0 + i * 0.1))
+    val r = EventOps.did(rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect()(0)
+    assert(r.getLong(2) === 0L, "treated-pre cell empty")
+    assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6),
+      s"effect/SE/t must NULL when a cell is missing: $r")
+  }
+
+  test("Page-Hinkley: a sustained mean shift alarms; a flat series never does") {
+    import spark.implicits._
+    def ev(id: Long, day: Int, v: Double) =
+      (id, Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"), 1L, "t", v, "{}")
+    // 10 flat days at 1.00, then 10 days at 2.00: m climbs ~1e8
+    // micro-cents/day after the running mean lags -> crosses 5e7
+    val shifted = ((1 to 10).map(d => ev(d.toLong, d, 1.0)) ++
+      (11 to 20).map(d => ev(100 + d.toLong, d, 2.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rs = EventOps.pageHinkley(shifted).orderBy(col("d")).collect()
+    assert(rs.length === 20)
+    assert(!rs.take(10).exists(_.getBoolean(5)), "no alarm on the flat prefix")
+    assert(rs.drop(12).forall(_.getBoolean(5)), s"sustained shift must alarm: ${rs.toSeq}")
+    // flat series: every term is 0, ph stays 0
+    val flat = (1 to 20).map(d => ev(d.toLong, d, 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rf = EventOps.pageHinkley(flat).collect()
+    assert(rf.forall(r => r.getLong(4) === 0L && !r.getBoolean(5)))
+  }
+
   test("James-Stein: zero within-group variance NULLs the shrinkage instead of Inf-casting") {
     import spark.implicits._
     // every group constant -> ssw_c2 = 0: the pooled variance is
