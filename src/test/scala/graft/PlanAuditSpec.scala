@@ -824,6 +824,30 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("events_did is one fact scan into a 4-cell partial aggregate — no window, no data-scale join") {
+    val plan = planOf(SparkEntry.queries("events_did")(spark, dir))
+    assert(!plan.contains("Window"), s"DiD needs no window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"the bounds join must broadcast:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"bounds must ride a broadcast:\n$plan")
+    // the cells reduce map-side: exactly one hash-partitioned exchange
+    // (the 4-cell final aggregate), nothing data-scale after the scan
+    val shuffles = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 0, s"cell aggregate must ride the single-partition path:\n$plan")
+  }
+
+  test("page-hinkley windows run over the bounded daily series, below the day aggregate") {
+    val df = SparkEntry.queries("events_page_hinkley")(spark, dir)
+    val plan = planOf(df)
+    // the day aggregate must sit BELOW the windows: a window over raw
+    // events would single-partition the corpus; over ≤|days| rows it is
+    // the documented bounded shape
+    val lines = plan.split("\n")
+    val firstWindow = lines.indexWhere(_.contains("Window"))
+    val lastAgg = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(firstWindow >= 0 && lastAgg > firstWindow,
+      s"day aggregate must feed the windows (window@$firstWindow agg@$lastAgg):\n$plan")
+  }
+
   test("tok_unigram_stored serving joins the broadcast artifact — no DP columns in the plan") {
     val docsDf = model.table(spark, dir, "documents")
     val modelDir = graft.operators.Tokenization.writeUnigramModel(spark, docsDf)
