@@ -2828,6 +2828,9 @@ object SparkEntry {
     // Page–Hinkley sequential mean-shift detector on the daily means:
     // running-mean-adaptive integer recursion, bit-exact trace
     "events_page_hinkley" -> ((s, d) => EventOps.pageHinkley(events(s, d)).orderBy(col("d"))),
+    // quantile treatment effects from the binned per-arm CDFs: the
+    // distributional effect readout (p25/p50/p75), exact integer ranks
+    "events_qte_binned" -> ((s, d) => EventOps.qteBinned(events(s, d)).orderBy(col("q_pct"))),
     // James–Stein / random-effects shrinkage of per-type means toward
     // the grand mean (DL tau^2), the small-group ranking stabilizer
     "stats_james_stein" -> ((s, d) =>
@@ -6161,6 +6164,8 @@ object SparkEntry {
       "events_did" -> EventOps.didSql(),
       "events_page_hinkley" ->
         s"SELECT * FROM (${EventOps.pageHinkleySql()}) ORDER BY d",
+      "events_qte_binned" ->
+        s"SELECT * FROM (${EventOps.qteBinnedSql()}) ORDER BY q_pct",
       "stats_james_stein" ->
         s"SELECT * FROM (${operators.Stats.jamesSteinSql()}) ORDER BY event_type",
       "dedup_soft_weights" ->

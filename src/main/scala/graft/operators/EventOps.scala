@@ -303,6 +303,107 @@ object EventOps {
         round((col("b95") + 0.5) / 4.0, 6).as("p95_est"))
   }
 
+  /** Binned quantile treatment effects — the distributional companion
+    * of the mean-effect readouts ([[abTest]]/[[did]]): a treatment that
+    * moves the median differently from the tail is invisible to a mean
+    * difference, so experimentation platforms report the effect AT
+    * quantiles (Athey & Imbens 2017's heterogeneity point, in the
+    * binned form a 100 TB corpus permits). Per arm (the [[abTest]]
+    * user_id parity assignment), the quarter-unit value histogram
+    * ([[quantilesBinned]]'s grid) gives each arm's binned CDF; the
+    * p25/p50/p75 bins are the smallest bins reaching ceil(q·n) in
+    * EXACT integer rank arithmetic, and the QTE at q is the bin-center
+    * difference — pure integer bin math, bit-identical cross-engine.
+    *
+    * Scale shape: one corpus scan → (arm, bin) histogram (hash,
+    * map-side partial) → windows over the BOUNDED histogram (≤ arms ×
+    * bins rows) → 3 output rows. The quantile never sorts the corpus.
+    *
+    * Output: one row per quantile `(q_pct, n_ctrl, n_treat, p_ctrl_est,
+    * p_treat_est, qte_est)`.
+    */
+  def qteBinned(events: DataFrame): DataFrame = {
+    val hist = events
+      .select(
+        pmod(col("user_id"), lit(2L)).as("arm"),
+        floor(col("value") * 4).cast("long").as("bin"))
+      .groupBy(col("arm"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window
+      .partitionBy(col("arm"))
+      .orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("arm"))))
+    val qb = cum
+      .groupBy(col("arm"), col("n"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 3) div 4"), col("bin"))).as("b25"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("bin"))).as("b50"),
+        min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("bin"))).as("b75"))
+    def armCol(a: Int, c: String) =
+      sum(when(col("arm") === a.toLong, col(c)).otherwise(lit(null))).as(s"$c$a")
+    val wide = qb.agg(
+      sum(when(col("arm") === 0L, col("n")).otherwise(0L)).as("n_ctrl"),
+      sum(when(col("arm") === 1L, col("n")).otherwise(0L)).as("n_treat"),
+      armCol(0, "b25"), armCol(1, "b25"),
+      armCol(0, "b50"), armCol(1, "b50"),
+      armCol(0, "b75"), armCol(1, "b75"))
+    wide.select(
+      col("n_ctrl"),
+      col("n_treat"),
+      expr(
+        "stack(3, 25L, b250, b251, 50L, b500, b501, 75L, b750, b751) AS (q_pct, bc, bt)"))
+      .select(
+        col("q_pct"),
+        col("n_ctrl"),
+        col("n_treat"),
+        round((col("bc") + 0.5) / 4.0, 6).as("p_ctrl_est"),
+        round((col("bt") + 0.5) / 4.0, 6).as("p_treat_est"),
+        round((col("bt") - col("bc")) / 4.0, 6).as("qte_est"))
+  }
+
+  /** [[qteBinned]] mirrored: the same histogram windows, the stack
+    * unpivot spelled as a 3-way UNION ALL.
+    */
+  def qteBinnedSql(): String = {
+    val rows = Seq(
+      ("25", "b25"), ("50", "b50"), ("75", "b75")).map { case (q, b) =>
+      s"""SELECT CAST($q AS BIGINT) AS q_pct, n_ctrl, n_treat,
+         |       round((${b}0 + 0.5) / 4.0, 6) AS p_ctrl_est,
+         |       round((${b}1 + 0.5) / 4.0, 6) AS p_treat_est,
+         |       round((${b}1 - ${b}0) / 4.0, 6) AS qte_est
+         |FROM wide""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH hist AS (
+       |  SELECT user_id % 2 AS arm, CAST(floor(value * 4) AS BIGINT) AS bin,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT *, CAST(sum(c) OVER (PARTITION BY arm ORDER BY bin
+       |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |         CAST(sum(c) OVER (PARTITION BY arm) AS BIGINT) AS n
+       |  FROM hist),
+       |qb AS (
+       |  SELECT arm, n,
+       |         min(CASE WHEN cum >= (n + 3) // 4 THEN bin END) AS b25,
+       |         min(CASE WHEN cum >= (n + 1) // 2 THEN bin END) AS b50,
+       |         min(CASE WHEN cum >= (3 * n + 3) // 4 THEN bin END) AS b75
+       |  FROM cum GROUP BY arm, n),
+       |wide AS (
+       |  SELECT CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n_ctrl,
+       |         CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n_treat,
+       |         CAST(sum(CASE WHEN arm = 0 THEN b25 END) AS BIGINT) AS b250,
+       |         CAST(sum(CASE WHEN arm = 1 THEN b25 END) AS BIGINT) AS b251,
+       |         CAST(sum(CASE WHEN arm = 0 THEN b50 END) AS BIGINT) AS b500,
+       |         CAST(sum(CASE WHEN arm = 1 THEN b50 END) AS BIGINT) AS b501,
+       |         CAST(sum(CASE WHEN arm = 0 THEN b75 END) AS BIGINT) AS b750,
+       |         CAST(sum(CASE WHEN arm = 1 THEN b75 END) AS BIGINT) AS b751
+       |  FROM qb)
+       |$rows""".stripMargin
+  }
+
   /** JSON property extraction + aggregation: pulls `$.k` out of the props
     * JSON column (Spark-native get_json_object — codegen'd path) and
     * aggregates per event type.

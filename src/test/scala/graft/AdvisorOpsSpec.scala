@@ -396,6 +396,25 @@ class AdvisorOpsSpec extends SparkSpec {
     assert(rf.forall(r => r.getLong(4) === 0L && !r.getBoolean(5)))
   }
 
+  test("QTE: a tail-only treatment shows at p75 but not at the median") {
+    import spark.implicits._
+    def ev(id: Long, uid: Long, v: Double) =
+      (id, Timestamp.valueOf("2024-01-01 00:00:00"), uid, "t", v, "{}")
+    // both arms: 60% of mass at 1.0, 40% at varying upper value —
+    // control upper 2.0, treated upper 5.0: p25/p50 identical, p75 moves
+    val rows =
+      (0 until 60).map(i => ev(i.toLong, 2L * i, 1.0)) ++
+      (0 until 40).map(i => ev(100 + i.toLong, 2L * i, 2.0)) ++
+      (0 until 60).map(i => ev(200 + i.toLong, 2L * i + 1, 1.0)) ++
+      (0 until 40).map(i => ev(300 + i.toLong, 2L * i + 1, 5.0))
+    val out = EventOps.qteBinned(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(out(25L) === 0.0 && out(50L) === 0.0,
+      s"no effect below the tail: $out")
+    assert(out(75L) === 3.0, s"tail effect = 5.0 - 2.0 at the bin grid: $out")
+  }
+
   test("James-Stein: zero within-group variance NULLs the shrinkage instead of Inf-casting") {
     import spark.implicits._
     // every group constant -> ssw_c2 = 0: the pooled variance is
