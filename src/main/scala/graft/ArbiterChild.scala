@@ -20,11 +20,33 @@ import scala.jdk.CollectionConverters._
   */
 object ArbiterChild {
 
+  /** Per-task spill/peak-memory accumulator (same readout as
+    * [[Explain]]'s): attached around every measured rep so the sweep
+    * artifact carries spill accounting for the whole inventory — the
+    * 10×-scale observable ("zero spill" is a claim; this is the
+    * instrument).
+    */
+  private class SpillListener extends org.apache.spark.scheduler.SparkListener {
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+    val peakExecMem = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        memSpilled.addAndGet(m.memoryBytesSpilled)
+        diskSpilled.addAndGet(m.diskBytesSpilled)
+        peakExecMem.getAndAccumulate(m.peakExecutionMemory, math.max(_, _))
+      }
+    }
+  }
+
   /** Child entry: `ArbiterChild <sfDir> <cpus> <mode> <query>...` —
     * prints one `[arbiter] <name> <sec>` line per query (`-1` for a
-    * query that threw, so a broken query never looks fast), and a
-    * final `[loadmax] <v>` line (worst 1-min load sampled between
-    * queries — the parent folds it into the published load_max).
+    * query that threw, so a broken query never looks fast), a
+    * `[spill] <name> <memMB> <diskMB> <peakTaskMB>` line per query,
+    * and a final `[loadmax] <v>` line (worst 1-min load sampled
+    * between queries — the parent folds it into the published
+    * load_max).
     */
   def main(args: Array[String]): Unit = {
     val (sfDir, cpus, mode, names) = (args(0), args(1), args(2), args.drop(3))
@@ -61,13 +83,20 @@ object ArbiterChild {
         // wall time conflates trigger-latch/poll waits with work, so the
         // work accumulator is published next to it for every `_stream`
         // query — the adjudicable number the round-12 regressions lacked
-        def rep(): (Double, Long) = {
+        def rep(): (Double, Long, Long, (Long, Long, Long)) = {
           streaming.StreamOps.streamWorkMs.set(0L)
+          streaming.StreamOps.streamTriggers.set(0L)
+          val sl = new SpillListener
+          spark.sparkContext.addSparkListener(sl)
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, sfDir).count()
           val dt = (System.nanoTime() - t0) / 1e9
+          // listener events post async — drain before reading
+          org.apache.spark.sql.graftbridge.CheckpointBridge.drainListenerBus(spark.sparkContext)
+          spark.sparkContext.removeSparkListener(sl)
           freeAll()
-          (dt, streaming.StreamOps.streamWorkMs.get())
+          (dt, streaming.StreamOps.streamWorkMs.get(), streaming.StreamOps.streamTriggers.get(),
+            (sl.memSpilled.get(), sl.diskSpilled.get(), sl.peakExecMem.get()))
         }
         val dts = mode match {
           case "min2" =>
@@ -84,7 +113,13 @@ object ArbiterChild {
         loadMax = math.max(loadMax, loadAvg)
         val best = dts.minBy(_._1)
         println(f"[arbiter] $name ${best._1}%.3f")
-        if (name.contains("_stream")) println(s"[work] $name ${best._2}")
+        // work-ms AND trigger count of the best rep: the pair makes a
+        // work inflation self-diagnosing (more batches vs slower batches)
+        if (name.contains("_stream")) println(s"[work] $name ${best._2} ${best._3}")
+        // spill accounting of the best rep (MB): mem-spilled,
+        // disk-spilled, peak per-task execution memory
+        val (sm, sd, pk) = best._4
+        println(s"[spill] $name ${sm / 1048576} ${sd / 1048576} ${pk / 1048576}")
       } catch {
         case e: Throwable =>
           System.err.println(s"[arbiter] $name failed: $e")
@@ -96,12 +131,14 @@ object ArbiterChild {
   }
 
   /** One chunk's child results: per-query seconds (−1 = query threw),
-    * per-stream-query micro-batch work ms, plus the worst ambient load
-    * the child saw.
+    * per-stream-query (micro-batch work ms, completed trigger count),
+    * per-query spill accounting (memMB, diskMB, peakTaskMB), plus the
+    * worst ambient load the child saw.
     */
   final case class ChildResult(
       times: Map[String, Double],
-      workMs: Map[String, Long],
+      workMs: Map[String, (Long, Long)],
+      spill: Map[String, (Long, Long, Long)],
       loadMax: Double)
 
   /** Fork the child against the parent's own classpath/flags; None on
@@ -114,7 +151,7 @@ object ArbiterChild {
       names: Seq[String],
       mode: String = "min2",
       timeoutMin: Long = 15): Option[ChildResult] =
-    if (names.isEmpty) Some(ChildResult(Map.empty, Map.empty, 0.0))
+    if (names.isEmpty) Some(ChildResult(Map.empty, Map.empty, Map.empty, 0.0))
     else
       try {
         val javaBin = java.nio.file.Paths
@@ -168,12 +205,20 @@ object ArbiterChild {
             val works = lines
               .filter(_.startsWith("[work] "))
               .map(_.stripPrefix("[work] ").split(' '))
-              .collect { case Array(n, w) => n -> w.toLong }
+              .collect {
+                case Array(n, w, t) => n -> (w.toLong, t.toLong)
+                case Array(n, w) => n -> (w.toLong, -1L)
+              }
+              .toMap
+            val spills = lines
+              .filter(_.startsWith("[spill] "))
+              .map(_.stripPrefix("[spill] ").split(' '))
+              .collect { case Array(n, m, d, p) => n -> (m.toLong, d.toLong, p.toLong) }
               .toMap
             val lm = lines
               .collectFirst { case l if l.startsWith("[loadmax] ") => l.stripPrefix("[loadmax] ").toDouble }
               .getOrElse(0.0)
-            Some(ChildResult(times, works, lm))
+            Some(ChildResult(times, works, spills, lm))
           }
         } finally { outFile.delete(); errFile.delete(); () }
       } catch { case e: Throwable => System.err.println(s"[arbiter] child failed: $e"); None }

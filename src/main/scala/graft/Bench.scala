@@ -93,8 +93,15 @@ object Bench {
     val allNames = SparkEntry.queries.keys.toSeq.sorted
     val chunkSize = math.max(1, math.ceil(allNames.size.toDouble / SweepChunks).toInt)
     var sweepMode = "child"
-    // per-stream-query micro-batch work ms (arbiter overwrites sweep)
-    var streamWork = Map.empty[String, Long]
+    // per-stream-query (micro-batch work ms, trigger count) — arbiter
+    // overwrites sweep; reps per entry tracked alongside so the artifact
+    // carries (reps, triggers, work_ms) for every streaming query
+    var streamWork = Map.empty[String, (Long, Long)]
+    var streamReps = Map.empty[String, Int]
+    // per-query spill (memMB, diskMB, peakTaskMB) from the children —
+    // published compactly: only nonzero-spill queries named, plus the
+    // inventory-wide peak task memory (the 100 TB observable)
+    var spill = Map.empty[String, (Long, Long, Long)]
     val results: Seq[(String, Double, Boolean)] = allNames.grouped(chunkSize).toSeq.flatMap {
       chunk =>
         // 30-min cap: a cold ModelCache (first run after a Version bump
@@ -103,9 +110,11 @@ object Bench {
         // 15-min cap and silently degrading the whole chunk to the
         // in-process fallback numbers
         ArbiterChild.runInChild(sfDir, cpus, chunk, mode = "sweep", timeoutMin = 30) match {
-          case Some(ArbiterChild.ChildResult(times, works, childLoad)) =>
+          case Some(ArbiterChild.ChildResult(times, works, spills, childLoad)) =>
             loadMax = math.max(loadMax, childLoad)
             streamWork = streamWork ++ works
+            streamReps = streamReps ++ works.keys.map(_ -> 1)
+            spill = spill ++ spills
             // a name the child reported as -1 (threw) or not at all is a
             // failure row, same shape as an in-process failure: ok=false
             chunk.map { n =>
@@ -120,26 +129,39 @@ object Bench {
         }
     }
     // FRESH-PROCESS arbiter pass: the sweep's slowest queries re-measured
-    // warm (one untimed + two timed reps, min reported) in one more child
-    // JVM — the number to trust when sweep and arbiter disagree, matching
+    // warm (one untimed + two timed reps, min reported) in child JVMs —
+    // the number to trust when sweep and arbiter disagree, matching
     // the judge's warm-rep standalone methodology.
     // every `_stream` query is arbited UNCONDITIONALLY: streaming wall
     // times conflate latch waits with work and sat below the top-N
     // cutoff in round 12 with no adjudicable number anywhere — now each
-    // gets a fresh-JVM min-of-2 wall time AND a micro-batch work-ms row
-    val slowest = (results.filter(_._3).sortBy(-_._2).take(ArbiterN).map(_._1) ++
-      allNames.filter(_.contains("_stream"))).distinct
-    val (arbiter, arbiterMode) =
-      ArbiterChild.runInChild(sfDir, cpus, slowest, timeoutMin = 30) match {
-        case Some(ArbiterChild.ChildResult(times, works, childLoad)) =>
+    // gets a fresh-JVM min-of-2 wall time AND a micro-batch work/trigger
+    // row. The streams run in their OWN child, not behind the top-20
+    // heavies: the round-15 repro showed 20 heavy min2 queries in front
+    // inflate late stream work-ms 2–3× at identical trigger counts
+    // (JIT/session decay — the r14 "tripled pair"), while a streams-only
+    // child measures every floor.
+    val heavies = results.filter(_._3).sortBy(-_._2).take(ArbiterN).map(_._1)
+      .filterNot(_.contains("_stream"))
+    val streams = allNames.filter(_.contains("_stream"))
+    def arbiterChild(names: Seq[String], reps: Int): (Seq[(String, Double, Boolean)], String) =
+      ArbiterChild.runInChild(sfDir, cpus, names, timeoutMin = 30) match {
+        case Some(ArbiterChild.ChildResult(times, works, spills, childLoad)) =>
           loadMax = math.max(loadMax, childLoad)
           streamWork = streamWork ++ works
-          (slowest.flatMap(n => times.get(n).map(t => (n, t, t >= 0))), "child")
+          streamReps = streamReps ++ works.keys.map(_ -> reps)
+          spill = spill ++ spills
+          (names.flatMap(n => times.get(n).map(t => (n, t, t >= 0))), "child")
         // the fallback numbers come from the SAME polluted JVM the arbiter
         // exists to distrust — name the mode so a reader of the artifact
         // knows which meaning "arbiter" carries this run
-        case None => (slowest.map(timed), "inprocess")
+        case None => (names.map(timed), "inprocess")
       }
+    val (arbiterHeavy, modeHeavy) = arbiterChild(heavies, reps = 2)
+    val (arbiterStream, modeStream) = arbiterChild(streams, reps = 2)
+    val arbiter = arbiterHeavy ++ arbiterStream
+    val arbiterMode =
+      if (modeHeavy == modeStream) modeHeavy else s"$modeHeavy+$modeStream"
     // times rounded to ms: the driver tail-captures ~2 KB of output, and
     // full-precision doubles pushed the JSON head past the window
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
@@ -157,12 +179,26 @@ object Bench {
     val env = s""""sf":"$sfDir","load_start":${r3(loadStart)},"load_end":$loadEnd""" +
       s""","load_max":${r3(loadMax)},"load_wait_sec":$loadWaitSec""" +
       s""","sweep_mode":"$sweepMode","errors":$errors"""
-    val workMap = streamWork.toSeq.sorted
-      .map { case (k, v) => "\"" + k + "\":" + v }
+    // stream_work_ms keeps its historical scalar meaning (work ms of the
+    // best rep); stream_detail adds [reps, triggers, work_ms] so a work
+    // inflation self-diagnoses as batch-count vs per-batch regression
+    val workMap = streamWork.toSeq.sortBy(_._1)
+      .map { case (k, (w, _)) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
+    val detailMap = streamWork.toSeq.sortBy(_._1)
+      .map { case (k, (w, t)) =>
+        "\"" + k + "\":[" + streamReps.getOrElse(k, 1) + "," + t + "," + w + "]"
+      }
+      .mkString("{", ",", "}")
+    // only queries that actually spilled are named (expected: none);
+    // the inventory-wide peak task exec memory is always published
+    val spilled = spill.toSeq.filter { case (_, (m, d, _)) => m > 0 || d > 0 }.sortBy(_._1)
+      .map { case (k, (m, d, p)) => "\"" + k + "\":[" + m + "," + d + "," + p + "]" }
+      .mkString("{", ",", "}")
+    val peakTaskMb = if (spill.isEmpty) -1L else spill.values.map(_._3).max
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec",$env,"arbiter":${qmap(
-          arbiter)},"stream_work_ms":$workMap,"queries":${qmap(results)}}"""
+          arbiter)},"stream_work_ms":$workMap,"stream_detail":$detailMap,"spill_nonzero_mb":$spilled,"peak_task_exec_mb":$peakTaskMb,"queries":${qmap(results)}}"""
     println(fullLine)
     // the driver tail-captures only ~2 KB of stdout, so every round's
     // BENCH_r*.json has "parsed": null and the per-query map survives
@@ -186,6 +222,8 @@ object Bench {
     // so the trustworthy fresh-process numbers can never be truncated
     // away with the 140-entry queries map again
     println(s"""{"metric":"stream_work_ms","unit":"ms","queries":$workMap}""")
+    println(s"""{"metric":"stream_detail","unit":"[reps,triggers,work_ms]","queries":$detailMap}""")
+    println(s"""{"metric":"spill","unit":"mb","nonzero":$spilled,"peak_task_exec_mb":$peakTaskMb}""")
     println(
       s"""{"metric":"arbiter","unit":"sec","mode":"$arbiterMode","queries":${qmap(arbiter)}}""")
     println(

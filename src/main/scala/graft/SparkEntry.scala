@@ -1098,6 +1098,24 @@ object SparkEntry {
     // as prefix-sum minus running-min, localizes WHEN the shift happened
     "events_cusum" -> ((s, d) =>
       EventOps.cusumDrift(events(s, d)).orderBy(col("event_type"))),
+    // SERVING side of the monitoring family (train-once/serve-many,
+    // completing what the index/model families already have): a RUNTIME
+    // window scored against the STORED per-type CUSUM reference target
+    "events_cusum_query" -> ((s, d) => {
+      val model = EventOps.writeCusumModel(s, events(s, d), corpusKey = d)
+      EventOps.cusumQueryStored(
+          s, events(s, d), model, EventOps.DriftQueryLoPct, EventOps.DriftQueryHiPct)
+        .orderBy(col("event_type"))
+    }),
+    // RUNTIME window scored against the STORED reference histogram —
+    // the drift dashboard's per-query cost: one ts-filtered scan plus
+    // an artifact read; the reference corpus is never rescanned
+    "events_psi_query" -> ((s, d) => {
+      val model = EventOps.writePsiModel(s, events(s, d), corpusKey = d)
+      EventOps.psiQueryStored(
+          s, events(s, d), model, EventOps.DriftQueryLoPct, EventOps.DriftQueryHiPct)
+        .orderBy(col("event_type"))
+    }),
     // rank-based Mann–Whitney drift: doubled midranks keep U and the
     // window-separation AUC exact integers
     "events_mwu_drift" -> ((s, d) =>
@@ -5641,6 +5659,10 @@ object SparkEntry {
       "events_psi" -> (EventOps.psiDriftSql() + "\nORDER BY event_type"),
       "events_ks_drift" -> (EventOps.ksDriftSql() + "\nORDER BY event_type"),
       "events_cusum" -> (EventOps.cusumDriftSql() + "\nORDER BY event_type"),
+      "events_cusum_query" -> (EventOps.cusumQueryStoredSql(
+        EventOps.DriftQueryLoPct, EventOps.DriftQueryHiPct) + "\nORDER BY event_type"),
+      "events_psi_query" -> (EventOps.psiQueryStoredSql(
+        EventOps.DriftQueryLoPct, EventOps.DriftQueryHiPct) + "\nORDER BY event_type"),
       "events_mwu_drift" -> (EventOps.mwuDriftSql() + "\nORDER BY event_type"),
       "events_survival_km" -> (EventOps.survivalKmSql() + "\nORDER BY t_hr"),
       "events_drift_report" -> (EventOps.driftReportSql() + "\nORDER BY event_type"),

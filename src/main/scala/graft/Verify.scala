@@ -63,6 +63,22 @@ object Verify {
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // MANIFEST SELF-CHECK: round 14's driver compare silently dropped a
+    // registered query (graph_closeness_est had no correctness row, no
+    // err, nothing) — so the dump now counts its own output dirs against
+    // the registry and says so loudly, in stdout AND in a file the
+    // compare side can cross-check. A query that failed above is listed
+    // as missing here; a query missing WITHOUT a [verify] failure line
+    // means the drop happened outside this process.
+    val dumped = queries.keys.toSeq.sorted
+      .filter(n => Files.exists(Paths.get(outDir, n, "_SUCCESS")))
+    val missing = queries.keys.toSeq.sorted.diff(dumped)
+    val manifest =
+      s"""{"registered": ${queries.size}, "dumped": ${dumped.size}, """ +
+        s""""missing": ${missing.map(q).mkString("[", ",", "]")}}"""
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
+    println(s"[verify] dumped ${dumped.size} of ${queries.size} registered queries" +
+      (if (missing.isEmpty) "" else s"; MISSING: ${missing.mkString(", ")}"))
   }
 
   def main(args: Array[String]): Unit = {

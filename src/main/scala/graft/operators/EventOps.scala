@@ -377,7 +377,7 @@ object EventOps {
          |FROM wide""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH hist AS (
-       |  SELECT user_id % 2 AS arm, CAST(floor(value * 4) AS BIGINT) AS bin,
+       |  SELECT ((user_id % 2) + 2) % 2 AS arm, CAST(floor(value * 4) AS BIGINT) AS bin,
        |         CAST(count(*) AS BIGINT) AS c
        |  FROM events GROUP BY 1, 2),
        |cum AS (
@@ -1074,7 +1074,10 @@ object EventOps {
     val h = events
       .select(
         col("event_type"),
-        expr("(unix_micros(ts) div 3600000000) % 24").as("hour"))
+        // explicit floor-div (see pageHinkley): Spark div truncates,
+        // DuckDB // floors — identical post-1970, harmonized for any ts
+        expr("((unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) div 3600000000) % 24")
+          .as("hour"))
       .groupBy(col("event_type"), col("hour"))
       .agg(count(lit(1)).as("n"))
     val tot = h.groupBy(col("event_type").as("tt")).agg(sum(col("n")).as("total"))
@@ -1219,6 +1222,208 @@ object EventOps {
        |       CAST(min(CASE WHEN s > $CusumH THEN {'ts': ts, 'event_id': event_id} END)
        |            .event_id AS BIGINT) AS first_cross_id
        |FROM ss GROUP BY event_type""".stripMargin
+
+  /** Runtime-window bounds (percent of corpus ts span) for the drift
+    * SERVING entries [[cusumQueryStored]]/[[psiQueryStored]]: a window
+    * INSIDE the current half but deliberately not equal to it, so the
+    * entries demonstrably score an arbitrary caller-supplied window
+    * against the stored reference rather than re-running the train-side
+    * ref/cur split. Constants (not args) only so the DuckDB oracle can
+    * embed the same literals.
+    */
+  val DriftQueryLoPct = 60
+  val DriftQueryHiPct = 90
+
+  /** TRAIN-ONCE side of CUSUM serving: the per-type reference target
+    * (mean of the ref half, value-milli integers) published through
+    * [[ModelCache]] — built once per corpus snapshot, then every
+    * monitoring query scores its own window against it without
+    * touching the reference data again. Schema:
+    * `(event_type, target_milli, n_ref)`.
+    */
+  def writeCusumModel(spark: org.apache.spark.sql.SparkSession, events: DataFrame, corpusKey: String): String =
+    ModelCache.dir(s"cusum-ref|$corpusKey") {
+      windowed(events)
+        .filter(col("win") === "ref")
+        .select(col("event_type"), expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+        .groupBy(col("event_type"))
+        .agg(expr("sum(vm) div count(1)").as("target_milli"), count(lit(1)).as("n_ref"))
+    }
+
+  /** EXTERNAL-QUERY CUSUM over the STORED reference — the monitoring
+    * family's serving entry point (the drift-side completion of the
+    * train-once/serve-many story the index/model families already
+    * have): an on-call engineer scores an arbitrary RUNTIME window
+    * (`[loPct, hiPct]` percent of corpus span — in production, absolute
+    * timestamps) against the published per-type target. The plan is one
+    * bounds lookup + one ts-filtered scan + the per-type sequential
+    * window over ONLY the queried slice — the reference half is never
+    * rescanned, which is the entire point at 100 TB (the ref window is
+    * historical data; the query window is a day's arrivals).
+    * Same statistic/columns as [[cusumDrift]] over the queried window.
+    */
+  def cusumQueryStored(
+      spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame,
+      modelDir: String,
+      loPct: Int,
+      hiPct: Int): DataFrame = {
+    val ref = spark.read
+      .parquet(modelDir)
+      .select(col("event_type").as("rt"), col("target_milli"))
+    val bounds = events.agg(
+      min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"))
+    val slice = events
+      .join(broadcast(bounds))
+      .withColumn("us", unix_micros(col("ts")))
+      .filter(
+        col("us") > expr(s"lo + (hi - lo) * $loPct div 100") &&
+          col("us") <= expr(s"lo + (hi - lo) * $hiPct div 100"))
+      .select(
+        col("event_type"),
+        col("ts"),
+        col("event_id"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("vm"))
+    val ord = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = slice
+      .join(broadcast(ref), col("event_type") === col("rt"))
+      .withColumn("p", sum(col("vm") - col("target_milli")).over(ord))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(ord)))
+    s.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_win"),
+        max(col("target_milli")).as("target_milli"),
+        max(col("s")).as("max_s_milli"),
+        sum(when(col("s") > CusumH, 1L).otherwise(0L)).as("n_crossings"),
+        min(when(col("s") > CusumH, struct(col("ts"), col("event_id")))).getField("event_id")
+          .as("first_cross_id"))
+  }
+
+  /** [[cusumQueryStored]] mirrored: the reference target retrained
+    * inline from the same ref-half definition (the artifact builder is
+    * deterministic, so stored ≡ retrained), the runtime window as
+    * percent-of-span literals.
+    */
+  def cusumQueryStoredSql(loPct: Int, hiPct: Int): String =
+    s"""WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+       |v AS (SELECT e.event_type, e.ts, e.event_id,
+       |             CAST(round(value * 1000) AS BIGINT) AS vm,
+       |             epoch_us(ts) AS us, b.lo, b.hi FROM events e CROSS JOIN b),
+       |ref AS (SELECT event_type, CAST(sum(vm) AS BIGINT) // CAST(count(*) AS BIGINT)
+       |               AS target_milli
+       |        FROM v WHERE us <= lo + (hi - lo) // 2 GROUP BY 1),
+       |cur AS (SELECT v.event_type, v.ts, v.event_id, v.vm, r.target_milli
+       |        FROM v JOIN ref r USING (event_type)
+       |        WHERE us > lo + (hi - lo) * $loPct // 100
+       |          AND us <= lo + (hi - lo) * $hiPct // 100),
+       |ps AS (SELECT event_type, ts, event_id, target_milli,
+       |              CAST(sum(vm - target_milli) OVER (PARTITION BY event_type
+       |                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+       |       FROM cur),
+       |ss AS (SELECT *, CAST(p - least(CAST(0 AS BIGINT),
+       |                min(p) OVER (PARTITION BY event_type
+       |                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS s
+       |       FROM ps)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_win,
+       |       CAST(max(target_milli) AS BIGINT) AS target_milli,
+       |       CAST(max(s) AS BIGINT) AS max_s_milli,
+       |       CAST(sum(CASE WHEN s > $CusumH THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings,
+       |       CAST(min(CASE WHEN s > $CusumH THEN {'ts': ts, 'event_id': event_id} END)
+       |            .event_id AS BIGINT) AS first_cross_id
+       |FROM ss GROUP BY event_type""".stripMargin
+
+  /** TRAIN-ONCE side of PSI serving: the per-(type, bin) REFERENCE
+    * histogram of the ref half published through [[ModelCache]] —
+    * the "stored histogram artifact" every runtime drift score probes.
+    * Bins with zero reference mass are absent (they materialize as
+    * zero rows at query time). Schema: `(event_type, bin, nr)`.
+    */
+  def writePsiModel(spark: org.apache.spark.sql.SparkSession, events: DataFrame, corpusKey: String): String =
+    ModelCache.dir(s"psi-ref|$corpusKey|binw=$PsiBinWidth") {
+      windowed(events)
+        .filter(col("win") === "ref")
+        .select(
+          col("event_type"),
+          floor(col("value") / lit(PsiBinWidth)).cast("long").as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("nr"))
+    }
+
+  /** EXTERNAL-QUERY PSI over the STORED reference histogram: the
+    * runtime window's arrivals are binned and merged (union + hash
+    * re-aggregate, no outer join) with the artifact's per-bin counts,
+    * then scored by the shared [[psiFromCounts]] tail. One ts-filtered
+    * scan of ONLY the queried window; the reference corpus is read as
+    * |types|·|bins| artifact rows, never rescanned — the serve-many
+    * cost model of a production drift dashboard.
+    */
+  def psiQueryStored(
+      spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame,
+      modelDir: String,
+      loPct: Int,
+      hiPct: Int): DataFrame = {
+    val refBins = spark.read
+      .parquet(modelDir)
+      .select(col("event_type"), col("bin"), col("nr"), lit(0L).as("nc"))
+    val bounds = events.agg(
+      min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"))
+    val curBins = events
+      .join(broadcast(bounds))
+      .withColumn("us", unix_micros(col("ts")))
+      .filter(
+        col("us") > expr(s"lo + (hi - lo) * $loPct div 100") &&
+          col("us") <= expr(s"lo + (hi - lo) * $hiPct div 100"))
+      .select(
+        col("event_type"),
+        floor(col("value") / lit(PsiBinWidth)).cast("long").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("nc"))
+      .select(col("event_type"), col("bin"), lit(0L).as("nr"), col("nc"))
+    val cnt = refBins
+      .unionByName(curBins)
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("nr")).as("nr"), sum(col("nc")).as("nc"))
+    psiFromCounts(cnt)
+  }
+
+  /** [[psiQueryStored]] mirrored: ref histogram retrained inline from
+    * the same ref-half definition, runtime window as literals, same
+    * union-of-bins merge and smoothing as the batch PSI.
+    */
+  def psiQueryStoredSql(loPct: Int, hiPct: Int): String =
+    s"""WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+       |v AS (SELECT e.event_type, e.value, epoch_us(ts) AS us, b.lo, b.hi
+       |      FROM events e CROSS JOIN b),
+       |c AS (
+       |  SELECT event_type, bin, CAST(sum(nr) AS BIGINT) AS nr,
+       |         CAST(sum(nc) AS BIGINT) AS nc FROM (
+       |    SELECT event_type, CAST(floor(value / $PsiBinWidth) AS BIGINT) AS bin,
+       |           1 AS nr, 0 AS nc
+       |    FROM v WHERE us <= lo + (hi - lo) // 2
+       |    UNION ALL
+       |    SELECT event_type, CAST(floor(value / $PsiBinWidth) AS BIGINT) AS bin,
+       |           0 AS nr, 1 AS nc
+       |    FROM v WHERE us > lo + (hi - lo) * $loPct // 100
+       |      AND us <= lo + (hi - lo) * $hiPct // 100)
+       |  GROUP BY 1, 2),
+       |t AS (SELECT event_type AS tt, CAST(sum(nr) AS BIGINT) AS tr,
+       |             CAST(sum(nc) AS BIGINT) AS tc, CAST(count(*) AS BIGINT) AS nb
+       |      FROM c GROUP BY 1),
+       |x AS (
+       |  SELECT c.event_type, t.tr, t.tc, t.nb,
+       |         CAST(c.nr + 1 AS DOUBLE) / CAST(t.tr + t.nb AS DOUBLE) AS pr,
+       |         CAST(c.nc + 1 AS DOUBLE) / CAST(t.tc + t.nb AS DOUBLE) AS pc
+       |  FROM c JOIN t ON c.event_type = t.tt)
+       |SELECT event_type, max(tr) AS n_ref, max(tc) AS n_cur, max(nb) AS n_bins,
+       |       CAST(sum(CAST(round((pc - pr) * ln(pc / pr) * 1000000.0) AS BIGINT)) AS BIGINT)
+       |         AS psi_micro
+       |FROM x GROUP BY event_type""".stripMargin
 
   /** Two-sample Kolmogorov–Smirnov drift per event type between the
     * same reference/current halves: `D = max_x |F_ref(x) − F_cur(x)|`,
@@ -1800,7 +2005,7 @@ object EventOps {
       |  / ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
       |     * (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))""".stripMargin
     s"""WITH pu AS (
-       |  SELECT user_id % 2 AS arm,
+       |  SELECT ((user_id % 2) + 2) % 2 AS arm,
        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
        |  FROM events GROUP BY user_id),
        |a AS (
@@ -1820,7 +2025,7 @@ object EventOps {
   /** [[abTest]] mirrored. */
   def abTestSql(): String =
     s"""WITH pu AS (
-       |  SELECT user_id % 2 AS arm,
+       |  SELECT ((user_id % 2) + 2) % 2 AS arm,
        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
        |  FROM events GROUP BY user_id),
        |a AS (
@@ -2826,7 +3031,7 @@ object EventOps {
        |         CAST(max(epoch_us(ts)) AS BIGINT) AS hi
        |  FROM events),
        |r AS (
-       |  SELECT user_id % 2 AS treat,
+       |  SELECT ((user_id % 2) + 2) % 2 AS treat,
        |         CASE WHEN epoch_us(ts) > b.lo + (b.hi - b.lo) // 2 THEN 1 ELSE 0 END AS post,
        |         CAST(round(value * 100) AS BIGINT) AS v
        |  FROM events CROSS JOIN b),
@@ -2872,13 +3077,23 @@ object EventOps {
       .select(to_date(col("ts")).as("d"), expr("CAST(round(value * 100) AS BIGINT)").as("v"))
       .groupBy(col("d"))
       .agg(count(lit(1)).as("n_events"), sum(col("v")).as("s"))
-      .select(col("d"), col("n_events"), expr("s * 1000000 div n_events").as("mean_micro"))
+      // FLOOR division spelled explicitly (x - pmod(x,y)) div y: Spark's
+      // `div` truncates toward zero while DuckDB's `//` floors, so the
+      // bit-exact cross-engine claim would silently break on a corpus
+      // with negative daily sums — floor-div on this side matches the
+      // oracle's semantics for ANY sign (identical on the current
+      // nonnegative-value corpus)
+      .select(
+        col("d"),
+        col("n_events"),
+        expr("(s * 1000000 - pmod(s * 1000000, n_events)) div n_events").as("mean_micro"))
     val w = Window.orderBy(col("d"))
     val cum = daily
       .withColumn("i", row_number().over(w).cast("long"))
       .withColumn("csum", sum(col("mean_micro")).over(w))
       // running mean over the first i days, floored — exact integers
-      .withColumn("term", col("mean_micro") - expr("csum div i"))
+      // (same explicit floor-div as mean_micro: csum can go negative)
+      .withColumn("term", col("mean_micro") - expr("(csum - pmod(csum, i)) div i"))
     cum
       .withColumn("m_micro", sum(col("term")).over(w))
       .withColumn("ph_micro", col("m_micro") - min(col("m_micro")).over(w))

@@ -3765,6 +3765,17 @@ object GraphOps {
     * Output: `(id, coreness)` for every node of the undirected simple
     * graph.
     */
+  /** Frontier-round guards for [[corenessHIndex]]: a round recomputes
+    * only the changed-frontier's neighborhood when the previous round's
+    * changed count is at most 1/[[CorenessFrontierFrac]] of the nodes
+    * AND at most [[CorenessFrontierCap]] (the broadcast-size bound —
+    * the frontier and its neighbor-id set ride broadcast semi-joins).
+    * Above either bound the round runs full, which is never worse than
+    * the pre-frontier loop.
+    */
+  val CorenessFrontierFrac = 4L
+  val CorenessFrontierCap = 2000000L
+
   def corenessHIndex(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
     val session = edges.sparkSession
     def ckpt(df: DataFrame): DataFrame =
@@ -3782,13 +3793,37 @@ object GraphOps {
           .unionAll(simple.select(col("b").as("src"), col("a").as("dst")))
           .repartition(parts, col("dst")))
       var state = ckpt(und.groupBy(col("src").as("id")).agg(count(lit(1)).as("c")))
+      val nNodes = state.count()
+      // null = full round; else the previous round's CHANGED node ids.
+      // An h-index can only move when some neighbor's value moved last
+      // round, so a frontier round recomputes exactly the frontier's
+      // neighborhood — the tail of the h-relaxation (most rounds, once
+      // the graph settles) then pays |N(frontier)| shuffle + sort, not
+      // |E| (the 10× probe measured the full-round loop ≈ linear in
+      // edges per round; the frontier rounds are what flatten it).
+      var frontier: DataFrame = null
       var changed = -1L
       var h = 0
       while (h < maxRounds && changed != 0L) {
         h += 1
-        val msgs = und
+        // every edge fetches its dst's current value — exchange-free
+        // (und dst-partitioned, state rides id-partitioned checkpoints)
+        val baseMsgs = und
           .join(state.select(col("id").as("dst"), col("c")), Seq("dst"))
           .select(col("src"), col("c"))
+        val msgs =
+          if (frontier == null) baseMsgs
+          else {
+            // neighbors-of-frontier, then a BROADCAST semi-join so the
+            // |E|→src shuffle (the round's dominant cost) only carries
+            // the affected neighborhood; both sets are count-bounded by
+            // the frontier guards before entering this branch
+            val affected = und
+              .join(broadcast(frontier.select(col("id").as("dst"))), Seq("dst"))
+              .select(col("src"))
+              .distinct()
+            baseMsgs.join(broadcast(affected), Seq("src"))
+          }
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("src"))
           .orderBy(col("c").desc)
@@ -3797,15 +3832,21 @@ object GraphOps {
           .groupBy(col("src").as("id"))
           .agg(max(least(col("rn"), col("c"))).as("n"))
         val obs = org.apache.spark.sql.Observation()
+        // full round: every node has a next value (inner); frontier
+        // round: untouched nodes keep their value (left_outer, n null)
         val merged = ckpt(
           state
-            .join(next, Seq("id"))
+            .join(next, Seq("id"), if (frontier == null) "inner" else "left_outer")
             .observe(obs, count_if(col("n") =!= col("c")).as("changed")))
         val m = org.apache.spark.sql.graftbridge.CheckpointBridge.observedMetrics(obs)
         changed =
           if (m.nonEmpty) m("changed").asInstanceOf[Long]
           else merged.agg(count_if(col("n") =!= col("c"))).head().getLong(0)
-        state = merged.select(col("id"), col("n").as("c"))
+        frontier =
+          if (changed == 0L || changed > CorenessFrontierCap ||
+            changed * CorenessFrontierFrac > nNodes) null
+          else merged.filter(col("n") =!= col("c")).select(col("id"))
+        state = merged.select(col("id"), coalesce(col("n"), col("c")).as("c"))
       }
       require(changed == 0L, s"h-index coreness did not converge within $maxRounds rounds")
       state.select(col("id"), col("c").as("coreness"))

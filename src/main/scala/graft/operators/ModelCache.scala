@@ -75,6 +75,22 @@ object ModelCache {
   /** Observability for eviction: artifacts deleted by the size cap. */
   val evictedCount = new java.util.concurrent.atomic.AtomicLong
 
+  /** Of [[evictedCount]], how many were reclaimed past the high-water
+    * mark DESPITE being inside the grace window (capacity override).
+    */
+  val graceOverriddenCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** Hard ceiling above which the grace window stops protecting
+    * artifacts (default 2× [[cacheCapBytes]]; override with sysprop
+    * graft.model.cache.highwater.mb): the cap stays soft under normal
+    * concurrency — nothing in-flight is ever reclaimed — but disk
+    * usage is BOUNDED even when every artifact is freshly touched.
+    */
+  def highWaterBytes: Long =
+    sys.props.get("graft.model.cache.highwater.mb")
+      .map(_.toLong * 1024L * 1024L)
+      .getOrElse(2L * cacheCapBytes)
+
   /** Test hook: drop the in-process memo so a spec can prove the DISK
     * reuse path (a fresh JVM finding a published artifact) never
     * re-invokes the builder.
@@ -189,13 +205,41 @@ object ModelCache {
     if (total > cap) {
       val now = System.currentTimeMillis()
       val grace = graceMillis
+      val deleted = scala.collection.mutable.Set.empty[String]
       entries.sortBy(_._3).foreach { case (p, sz, touched) =>
         if (total > cap && !pinned.contains(p.toString) && now - touched >= grace) {
           deleteTree(p)
+          deleted += p.toString
           evictedCount.incrementAndGet()
           total -= sz
         }
       }
+      // HARD HIGH-WATER MARK: the grace window makes the cap soft (any
+      // artifact touched within the hour is unevictable for every
+      // process), so a busy multi-process bench could otherwise sit
+      // over cap indefinitely. Past highWaterBytes the oldest
+      // beyond-THIS-PROCESS artifacts are reclaimed regardless of
+      // grace — a concurrent reader loses only a rebuildable artifact
+      // (its builder is deterministic; the next resolve republishes),
+      // which is the right trade once disk is actually scarce.
+      if (total > highWaterBytes) {
+        entries.sortBy(_._3).foreach { case (p, sz, _) =>
+          if (total > cap && !pinned.contains(p.toString) && !deleted.contains(p.toString)) {
+            deleteTree(p)
+            deleted += p.toString
+            evictedCount.incrementAndGet()
+            graceOverriddenCount.incrementAndGet()
+            total -= sz
+          }
+        }
+      }
+      // over cap with nothing reclaimable: say so, or the cap silently
+      // means nothing and operators can't see why disk keeps growing
+      if (total > cap)
+        System.err.println(
+          s"[ModelCache] registry ${total / (1024 * 1024)} MB exceeds cap ${cap / (1024 * 1024)} MB " +
+            s"and no artifact is evictable (all pinned by this process or within the " +
+            s"${graceMillis / 60000}-min grace window, high-water ${highWaterBytes / (1024 * 1024)} MB)")
     }
   }
 

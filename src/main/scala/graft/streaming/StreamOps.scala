@@ -26,12 +26,26 @@ object StreamOps {
     */
   val streamWorkMs = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Completed micro-batch TRIGGER count (Σ batches over the bounded
+    * stream runs since the last reset): published next to
+    * [[streamWorkMs]] so a work-ms inflation self-diagnoses as "more
+    * micro-batches" (batch-count nondeterminism in the harness staging)
+    * vs "slower micro-batches" (a real per-batch regression) — the exact
+    * ambiguity round-14's stream-join arbiter entries could not resolve
+    * from the single work-ms scalar.
+    */
+  val streamTriggers = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def recordWork(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     try {
       val ms = q.recentProgress.toSeq
         .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.longValue()))
         .sum
       streamWorkMs.addAndGet(ms)
+      // batchId is 0-based and monotone within a run; recentProgress is
+      // ring-buffered (default cap 100), so the batch count comes from
+      // the LAST progress, not the buffer length
+      q.recentProgress.lastOption.foreach(p => streamTriggers.addAndGet(p.batchId + 1))
       ()
     } catch { case _: Throwable => () }
 
@@ -2125,12 +2139,23 @@ object StreamOps {
     * failure: `stop()` can throw (stopTimeout), and an exception from a
     * `finally` would replace the real mid-batch error.
     */
-  private def stopQuietly(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+  private def stopQuietly(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     try q.stop()
     catch {
       case e: Exception =>
         System.err.println(s"[StreamOps] stop() failed for ${q.name}: $e")
     }
+    // drop the stopped run's cached state-store providers NOW, before
+    // the caller deletes the checkpoint: a bounded run's providers are
+    // keyed by a runId that never runs again, and leaving them loaded
+    // makes the background maintenance tick walk (and error on) a
+    // growing orphan list — measured as 2–3× micro-batch work-ms late
+    // in a many-query session with IDENTICAL trigger counts. Harness
+    // runs are sequential; a provider a future query needs reloads
+    // from its own checkpoint on demand.
+    try org.apache.spark.sql.graftbridge.CheckpointBridge.unloadStateStores()
+    catch { case _: Throwable => () }
+  }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._

@@ -58,6 +58,20 @@ object CheckpointBridge {
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
 
+  /** Unload every cached state-store provider (`StateStore.unloadAll`
+    * is `private[sql]`). A bounded harness stream run leaves its
+    * providers in the executor-level cache keyed by a runId that will
+    * never run again, with a checkpoint dir the harness is about to
+    * delete — the 60 s maintenance tick then walks a growing orphan
+    * list (dozens of providers per stream-stream join), which is
+    * exactly the positional per-batch slowdown the round-15 arbiter
+    * repro measured (identical trigger counts, 2–3× work-ms late in a
+    * long child). Providers reload from their checkpoint on demand, so
+    * unloading between SEQUENTIAL runs is always safe.
+    */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
   /** [[dropOriginStats]] plus a DECLARED hash partitioning: a checkpoint
     * taken under AQE reports `UnknownPartitioning`, so every downstream
     * join re-exchanges rows that are already laid out on the join key.

@@ -396,6 +396,35 @@ class AdvisorOpsSpec extends SparkSpec {
     assert(rf.forall(r => r.getLong(4) === 0L && !r.getBoolean(5)))
   }
 
+  test("Page-Hinkley floors (not truncates) on NEGATIVE daily sums — the oracle's // semantics") {
+    import spark.implicits._
+    def ev(id: Long, day: Int, v: Double) =
+      (id, Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"), 1L, "t", v, "{}")
+    // days with negative cent sums and counts that do NOT divide them:
+    // truncation (toward zero) and floor differ on every such day, so a
+    // div-spelled mean would break cross-engine parity the moment a
+    // corpus carries refunds — asserted against Math.floorDiv directly
+    val rows = Seq(
+      ev(1, 1, -0.07), ev(2, 1, -0.07), ev(3, 1, 0.01), // day sum -13 cents over 3
+      ev(4, 2, -0.05), ev(5, 2, 0.02),                  // day sum  -3 cents over 2
+      ev(6, 3, 0.07), ev(7, 3, -0.02), ev(8, 3, -0.09)) // day sum  -4 cents over 3
+    val out = EventOps.pageHinkley(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .orderBy(col("d")).collect()
+    val sums = Seq((-13L, 3L), (-3L, 2L), (-4L, 3L))
+    val expectMeans = sums.map { case (s, n) => Math.floorDiv(s * 1000000L, n) }
+    assert(out.map(_.getLong(2)).toSeq === expectMeans,
+      s"mean_micro must be FLOOR division: got ${out.map(_.getLong(2)).toSeq}, want $expectMeans")
+    // the running-mean term floors too: m after day i uses floorDiv(csum, i)
+    val csums = expectMeans.scanLeft(0L)(_ + _).tail
+    val terms = expectMeans.zip(csums).zipWithIndex.map { case ((mu, cs), i) =>
+      mu - Math.floorDiv(cs, i + 1L)
+    }
+    val expectM = terms.scanLeft(0L)(_ + _).tail
+    assert(out.map(_.getLong(3)).toSeq === expectM,
+      s"m_micro must fold floor-div running means: got ${out.map(_.getLong(3)).toSeq}, want $expectM")
+  }
+
   test("QTE: a tail-only treatment shows at p75 but not at the median") {
     import spark.implicits._
     def ev(id: Long, uid: Long, v: Double) =
@@ -429,6 +458,60 @@ class AdvisorOpsSpec extends SparkSpec {
       assert(!r.isNullAt(2), "raw mean stays defined")
       assert(r.isNullAt(3) && r.isNullAt(4), s"shrunk/b must NULL on zero pooled variance: $r")
     }
+  }
+
+  test("cusumQueryStored follows the artifact — a planted zero target makes max_s the window sum") {
+    import spark.implicits._
+    val ev = model.eventsTable(spark, dir)
+    val modelDir = EventOps.writeCusumModel(spark, ev, corpusKey = dir + "#spec-cusum-plant")
+    // plant target_milli = 0 for every type: the CUSUM increments are
+    // then all +vm (vm >= 0 on this corpus), so p is nondecreasing,
+    // least(0, min p) = 0, and max_s must equal the window's Σvm per
+    // type — a statistic no retrained reference could produce
+    val types = ev.select("event_type").distinct().as[String].collect()
+    types.map(t => (t, 0L, 1L)).toSeq.toDF("event_type", "target_milli", "n_ref")
+      .coalesce(1).write.mode("overwrite").parquet(modelDir)
+    val lo = EventOps.DriftQueryLoPct
+    val hi = EventOps.DriftQueryHiPct
+    val served = EventOps.cusumQueryStored(spark, ev, modelDir, lo, hi)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("max_s_milli")).toMap
+    // the window Σvm recomputed independently of the operator
+    val b = ev.agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
+    val expect = ev.join(broadcast(b))
+      .withColumn("us", unix_micros(col("ts")))
+      .filter(col("us") > expr(s"lo + (hi - lo) * $lo div 100") &&
+        col("us") <= expr(s"lo + (hi - lo) * $hi div 100"))
+      .groupBy("event_type")
+      .agg(sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("sv"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("sv")).toMap
+    assert(served.nonEmpty)
+    served.foreach { case (t, s) =>
+      assert(s === expect(t), s"type $t: served max_s $s, planted-target window sum ${expect(t)}")
+    }
+    graft.sources.Staging.cleanup(spark)
+  }
+
+  test("psiQueryStored follows the artifact — a planted single-bin histogram sets n_ref/n_bins") {
+    import spark.implicits._
+    val ev = model.eventsTable(spark, dir)
+    val modelDir = EventOps.writePsiModel(spark, ev, corpusKey = dir + "#spec-psi-plant")
+    // plant one far-away bin with nr=7 per type: n_ref must serve as 7
+    // and n_bins as 1 + |window bins| (the planted bin can't occur in
+    // real data: values are bounded far below bin 999999)
+    val types = ev.select("event_type").distinct().as[String].collect()
+    types.map(t => (t, 999999L, 7L)).toSeq.toDF("event_type", "bin", "nr")
+      .coalesce(1).write.mode("overwrite").parquet(modelDir)
+    val lo = EventOps.DriftQueryLoPct
+    val hi = EventOps.DriftQueryHiPct
+    val served = EventOps.psiQueryStored(spark, ev, modelDir, lo, hi).collect()
+    assert(served.nonEmpty)
+    served.foreach { r =>
+      assert(r.getAs[Long]("n_ref") === 7L,
+        s"n_ref must come from the planted artifact: $r")
+      assert(r.getAs[Long]("n_bins") >= 2L,
+        s"bin set must union the planted bin with the window's real bins: $r")
+    }
+    graft.sources.Staging.cleanup(spark)
   }
 
 }

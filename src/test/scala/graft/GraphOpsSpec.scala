@@ -523,6 +523,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(hIdx(5L) === 1L && hIdx(1L) === 3L)
   }
 
+  test("corenessHIndex frontier rounds: a long path relaxes to all-ones through many tiny frontiers") {
+    import spark.implicits._
+    // pure path: coreness 1 everywhere, but the h-relaxation must walk
+    // the 2→1 correction inward one hop per round — after round 1 the
+    // changed set is tiny, so almost every round runs in FRONTIER mode
+    // (changed·CorenessFrontierFrac ≤ n): exactly the delta-propagation
+    // semantics the frontier restriction must not break
+    val n = 40L
+    val path = (1L until n).map(i => (i, i + 1, 1.0)).toDF("src", "dst", "w")
+    val out = GraphOps.corenessHIndex(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.size === n.toInt)
+    assert(out.values.forall(_ === 1L), s"path coreness must be all 1: $out")
+  }
+
   test("powerlawFit: hand-computed MLE on a 3-node path, hub graph skews alpha down") {
     import spark.implicits._
     // path 1-2-3: degrees 1,2,1 → S = 2·ln(2) + ln(4) in micro,

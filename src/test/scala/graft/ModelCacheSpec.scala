@@ -105,6 +105,9 @@ class ModelCacheSpec extends SparkSpec {
         java.nio.file.attribute.FileTime.fromMillis(
           System.currentTimeMillis() - ModelCache.graceMillis - 60000L))
       sys.props("graft.model.cache.cap.mb") = "0"
+      // pin the high-water mark out of the way: this test is about the
+      // SOFT cap's grace semantics, not the capacity override
+      sys.props("graft.model.cache.highwater.mb") = "1048576"
       val dC = ModelCache.dir(keyC)(Seq((3L, 3L)).toDF("id", "v"))
       assert(Files.exists(java.nio.file.Paths.get(dA, "_SUCCESS")),
         "recently-touched artifact must survive the cap crossing — a sibling may be mid-read")
@@ -116,6 +119,38 @@ class ModelCacheSpec extends SparkSpec {
       assert(spark.read.parquet(dA).select(col("v")).head().getLong(0) === 1L)
     } finally {
       sys.props -= "graft.model.cache.cap.mb"
+      sys.props -= "graft.model.cache.highwater.mb"
+      sys.props -= "graft.model.cache.dir"
+    }
+  }
+
+  test("high-water mark reclaims within-grace artifacts once the soft cap is truly blown") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val isolated = Files.createTempDirectory("mc-hw-spec")
+    sys.props("graft.model.cache.dir") = isolated.toString
+    try {
+      val keyA = s"hw-a|${java.util.UUID.randomUUID()}"
+      val keyB = s"hw-b|${java.util.UUID.randomUUID()}"
+      val dA = ModelCache.dir(keyA)(Seq((1L, 1L)).toDF("id", "v"))
+      // unpin A but leave its _KEY touch FRESH (inside grace): under the
+      // soft cap alone it would be unevictable forever — the r14 advisor
+      // finding. With cap=0 and high-water=0 the capacity override must
+      // reclaim it anyway; B stays pinned by this process's memo.
+      ModelCache.clearMemo()
+      sys.props("graft.model.cache.cap.mb") = "0"
+      sys.props("graft.model.cache.highwater.mb") = "0"
+      val overBefore = ModelCache.graceOverriddenCount.get()
+      val dB = ModelCache.dir(keyB)(Seq((2L, 2L)).toDF("id", "v"))
+      assert(!Files.exists(java.nio.file.Paths.get(dA)),
+        "past the high-water mark, grace must stop protecting idle-process artifacts")
+      assert(Files.exists(java.nio.file.Paths.get(dB, "_SUCCESS")),
+        "this process's pinned artifact survives even the high-water pass")
+      assert(ModelCache.graceOverriddenCount.get() > overBefore,
+        "the grace override must be observable")
+    } finally {
+      sys.props -= "graft.model.cache.cap.mb"
+      sys.props -= "graft.model.cache.highwater.mb"
       sys.props -= "graft.model.cache.dir"
     }
   }

@@ -30,6 +30,31 @@ class VerifySpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$out/b_good")), "queries after a failure must still run")
     val oracleJson = Files.readString(Paths.get(s"$out/oracle_sql.json"))
     assert(oracleJson.contains("\"a_bad\""), "the failed query's oracle entry must survive — that is what makes the driver record err instead of silence")
+    // the manifest self-check (round 14: a registered query's row vanished
+    // from the driver's correctness file with no err) must name the
+    // missing query and carry the registered-vs-dumped counts
+    val manifest = Files.readString(Paths.get(s"$out/manifest.json"))
+    assert(manifest.contains("\"registered\": 2"), manifest)
+    assert(manifest.contains("\"dumped\": 1"), manifest)
+    assert(manifest.contains("\"a_bad\""), "the missing query must be NAMED in the manifest")
+    assert(!manifest.contains("\"b_good\""), "a dumped query must not be listed missing")
+  }
+
+  test("manifest reports all-dumped when every query succeeds") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_verify_spec_ok").toString
+    val good = (s: org.apache.spark.sql.SparkSession, _: String) =>
+      Seq((1L, "x")).toDF("id", "v")
+    Verify.dump(
+      spark,
+      "unused",
+      out,
+      queries = Map("only_q" -> good),
+      oracles = Map("only_q" -> "SELECT 1 AS one"))
+    val manifest = Files.readString(Paths.get(s"$out/manifest.json"))
+    assert(manifest.contains("\"registered\": 1"), manifest)
+    assert(manifest.contains("\"dumped\": 1"), manifest)
+    assert(manifest.contains("\"missing\": []"), manifest)
   }
 
   test("fault injection is flag-gated: off by default, on under the sysprop") {
