@@ -74,6 +74,10 @@ object ArbiterChild {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       sources.Staging.cleanup(spark)
+      // let the ContextCleaner reap dead broadcasts (no unpersist-all
+      // API): loop queries broadcast per round, and the accumulated
+      // dead state otherwise stalls the next rep's first broadcast
+      System.gc()
     }
     freeAll()
     var loadMax = loadAvg

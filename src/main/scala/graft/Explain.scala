@@ -48,7 +48,24 @@ object Explain {
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     println(s"[explain] heap_mb=$heapMb cpus=$cpus")
     val fn = SparkEntry.queries(name)
+    // same inter-rep hygiene as Bench/ArbiterChild (clearCache misses
+    // localCheckpoint blocks): without it, a loop query's second
+    // execution runs against a storage pool full of the previous run's
+    // checkpoint blocks — measured 3–10× per-round inflation on the 10×
+    // coreness probe, which is the HARNESS leaking, not the operator
+    def freeAll(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      sources.Staging.cleanup(spark)
+      // broadcasts have no unpersist-all API — they are reaped by the
+      // ContextCleaner on GC. A loop query leaves GBs of dead broadcast
+      // state (one state broadcast per round); without the nudge the
+      // NEXT rep's first broadcast stalls behind the accumulated
+      // cleanup (measured: 35 s round-1 vs 7 s fresh)
+      System.gc()
+    }
     fn(spark, sfDir).explain("formatted")
+    freeAll()
     (1 to reps).foreach { i =>
       val l = new SpillListener
       spark.sparkContext.addSparkListener(l)
@@ -59,6 +76,7 @@ object Explain {
       org.apache.spark.sql.graftbridge.CheckpointBridge.drainListenerBus(spark.sparkContext)
       spark.sparkContext.removeSparkListener(l)
       println(s"[explain] rep $i: $name rows=$n sec=$sec ${l.readout()}")
+      freeAll()
     }
     spark.stop()
   }

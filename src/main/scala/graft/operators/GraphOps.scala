@@ -3773,8 +3773,17 @@ object GraphOps {
     * Above either bound the round runs full, which is never worse than
     * the pre-frontier loop.
     */
-  val CorenessFrontierFrac = 4L
+  val CorenessFrontierFrac = 64L
   val CorenessFrontierCap = 2000000L
+
+  /** Node-count gate for the BROADCAST-STATE round mode: below this the
+    * per-round state table rides a broadcast (tens of MB) and the whole
+    * round is exchange-free; above it the loop falls back to the
+    * shuffle form (state fetch join + |E|→src exchange), whose cost per
+    * round is the designed large-cluster behavior. The same
+    * small-side-broadcast judgment call as any dimension join.
+    */
+  val CorenessBroadcastNodes = 8000000L
 
   def corenessHIndex(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
     val session = edges.sparkSession
@@ -3787,50 +3796,86 @@ object GraphOps {
           .filter(col("src") =!= col("dst"))
           .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
           .distinct())
-      val und = ckpt(
-        simple
-          .select(col("a").as("src"), col("b").as("dst"))
-          .unionAll(simple.select(col("b").as("src"), col("a").as("dst")))
-          .repartition(parts, col("dst")))
-      var state = ckpt(und.groupBy(col("src").as("id")).agg(count(lit(1)).as("c")))
+      val undAll = simple
+        .select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(simple.select(col("b").as("src"), col("a").as("dst")))
+      // SRC layout, declared: the h-index grouping side. In broadcast
+      // mode every round's plan — state fetch (broadcast join), level
+      // counts, per-src window, final agg, state merge — runs entirely
+      // inside this partitioning: ZERO per-round exchanges.
+      val undSrc = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .withDeclaredHashPartitioning(
+          undAll.repartition(parts, col("src")).localCheckpoint(true),
+          Seq("src"),
+          parts)
+      var state = ckpt(undSrc.groupBy(col("src").as("id")).agg(count(lit(1)).as("c")))
       val nNodes = state.count()
+      val broadcastMode = nNodes <= CorenessBroadcastNodes
+      // the shuffle fallback fetches state through a dst-layout copy
+      // (the r14 shape: dst-co-located fetch, |E|→src window shuffle)
+      lazy val undDst = ckpt(undSrc.repartition(parts, col("dst")))
       // null = full round; else the previous round's CHANGED node ids.
       // An h-index can only move when some neighbor's value moved last
       // round, so a frontier round recomputes exactly the frontier's
-      // neighborhood — the tail of the h-relaxation (most rounds, once
-      // the graph settles) then pays |N(frontier)| shuffle + sort, not
-      // |E| (the 10× probe measured the full-round loop ≈ linear in
-      // edges per round; the frontier rounds are what flatten it).
+      // neighborhood (tiny once the relaxation settles).
       var frontier: DataFrame = null
       var changed = -1L
       var h = 0
       while (h < maxRounds && changed != 0L) {
         h += 1
-        // every edge fetches its dst's current value — exchange-free
-        // (und dst-partitioned, state rides id-partitioned checkpoints)
-        val baseMsgs = und
-          .join(state.select(col("id").as("dst"), col("c")), Seq("dst"))
-          .select(col("src"), col("c"))
+        val tRound = System.nanoTime()
+        val stateAsDst = state.select(col("id").as("dst"), col("c"))
         val msgs =
-          if (frontier == null) baseMsgs
-          else {
-            // neighbors-of-frontier, then a BROADCAST semi-join so the
-            // |E|→src shuffle (the round's dominant cost) only carries
-            // the affected neighborhood; both sets are count-bounded by
-            // the frontier guards before entering this branch
-            val affected = und
+          if (frontier == null) {
+            if (broadcastMode)
+              undSrc.join(broadcast(stateAsDst), Seq("dst")).select(col("src"), col("c"))
+            else
+              undDst.join(stateAsDst, Seq("dst")).select(col("src"), col("c"))
+          } else {
+            // EDGES restricted before any state fetch: neighbors-of-
+            // frontier via broadcast semi-join, then only the affected
+            // nodes' edges fetch state — a tail round never pays the
+            // full-|E| state probe, let alone its shuffle; both
+            // broadcast sets are count-bounded by the frontier guards
+            val affected = undSrc
               .join(broadcast(frontier.select(col("id").as("dst"))), Seq("dst"))
               .select(col("src"))
               .distinct()
-            baseMsgs.join(broadcast(affected), Seq("src"))
+            val subEdges = undSrc.join(broadcast(affected), Seq("src"))
+            if (broadcastMode)
+              subEdges.join(broadcast(stateAsDst), Seq("dst")).select(col("src"), col("c"))
+            else
+              subEdges.join(stateAsDst, Seq("dst")).select(col("src"), col("c"))
           }
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("src"))
           .orderBy(col("c").desc)
-        val next = msgs
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .groupBy(col("src").as("id"))
-          .agg(max(least(col("rn"), col("c"))).as("n"))
+        val next =
+          if (broadcastMode) {
+            // H-index from LEVEL COUNTS: h(v) = max over present
+            // neighbor-values L of min(L, #{neighbors ≥ L}) — identical
+            // to the sorted row_number formulation (for h* the h-index
+            // and L the smallest present level ≥ h*, min(L, cnt≥L) =
+            // h*, and no level exceeds it). msgs is src-partitioned, so
+            // the hash-agg, the cumulative window (over the few
+            // distinct levels per src — values live in the small
+            // coreness range once settled) and the final agg all run
+            // partition-local.
+            val wcum = w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)
+            msgs
+              .groupBy(col("src"), col("c"))
+              .agg(count(lit(1)).as("k"))
+              .withColumn("cc", sum(col("k")).over(wcum))
+              .groupBy(col("src").as("id"))
+              .agg(max(least(col("c"), col("cc"))).as("n"))
+          } else
+            // shuffle form: one |E|→src exchange + per-src sort
+            msgs
+              .withColumn("rn", row_number().over(w).cast("long"))
+              .groupBy(col("src").as("id"))
+              .agg(max(least(col("rn"), col("c"))).as("n"))
         val obs = org.apache.spark.sql.Observation()
         // full round: every node has a next value (inner); frontier
         // round: untouched nodes keep their value (left_outer, n null)
@@ -3842,6 +3887,8 @@ object GraphOps {
         changed =
           if (m.nonEmpty) m("changed").asInstanceOf[Long]
           else merged.agg(count_if(col("n") =!= col("c"))).head().getLong(0)
+        if (sys.env.contains("GRAFT_CORENESS_DEBUG"))
+          System.err.println(f"[coreness] round=$h changed=$changed mode=${if (frontier == null) "full" else "frontier"} sec=${(System.nanoTime() - tRound) / 1e9}%.2f")
         frontier =
           if (changed == 0L || changed > CorenessFrontierCap ||
             changed * CorenessFrontierFrac > nNodes) null
