@@ -460,14 +460,22 @@ object SparkEntry {
     // variance/cost knob; a small-triangle-count graph needs a mild p)
     "graph_triangle_sampled" -> ((s, d) => {
       val e = GraphSource.lineitemEdges(s, d).select(col("src"), col("dst"))
+      // the sampling predicate is symmetric in (src, dst), so it commutes
+      // with the undirected simplification — simplify ONCE, count both
+      // from the shared materialized simple graph (one distinct pass and
+      // one lineitem scan instead of two of each; the sampled side's
+      // degrees/orientation are still computed on the SAMPLED subgraph,
+      // exactly as before)
+      val und = operators.Phys.materialized(
+        e.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+          .distinct())
       val exact = GraphOps
-        .triangleCount(e)
+        .triangleCountUnd(und)
         .select(col("n_triangles").as("exact_triangles"))
       val sampled = GraphOps
-        .triangleCount(e.filter(
-          expr(
-          "(least(src, dst) * 1103515245 + greatest(src, dst) * 12345)" +
-            " % 1000000007 % 2 = 0")))
+        .triangleCountUnd(und.filter(
+          expr("(a * 1103515245 + b * 12345) % 1000000007 % 2 = 0")))
         .select(col("n_triangles").as("n_sampled"))
       exact
         .crossJoin(sampled)

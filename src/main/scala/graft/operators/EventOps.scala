@@ -692,23 +692,37 @@ object EventOps {
     * `(t_hr, n_risk, n_events, ln_s_micro, s_ppm)`.
     */
   def survivalKm(events: DataFrame): DataFrame = {
-    val u = events.groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("f"))
-    val p = events
-      .filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"))
-      .agg(min(unix_micros(col("ts"))).as("fp"))
-    val oe = events.agg(max(unix_micros(col("ts"))).as("e"))
-    val d = u
-      .join(p, Seq("user_id"), "left_outer")
+    // ONE corpus scan: the three per-user/global reductions the estimator
+    // needs (first event, first purchase, per-user max ts) fold in a
+    // single grouped aggregate — min(when(purchase, ts)) ≡ the filtered
+    // per-user min (NULL when the user never purchases, exactly the
+    // left-join absence it replaces), and the global observation end is
+    // the max of the per-user maxima. The old shape scanned events three
+    // times (u, p, oe), and the un-materialized histogram doubled the
+    // whole subtree under the n_total cross join — 6 scans in the final
+    // plan where one suffices (guide §7.2, duplicated subtrees; §6,
+    // scan-count at scale).
+    val perUser = Phys.materialized(
+      events
+        .groupBy(col("user_id"))
+        .agg(
+          min(unix_micros(col("ts"))).as("f"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("fp"),
+          max(unix_micros(col("ts"))).as("me")))
+    val oe = perUser.agg(max(col("me")).as("e"))
+    val d = perUser
       .crossJoin(broadcast(oe))
       .select(
         when(col("fp").isNull, expr("(e - f) div 3600000000"))
           .otherwise(expr("(fp - f) div 3600000000"))
           .as("t_hr"),
         when(col("fp").isNull, 0L).otherwise(1L).as("ev"))
-    val h = d
-      .groupBy(col("t_hr"))
-      .agg(count(lit(1)).as("n_exit"), sum(col("ev")).as("n_events"))
+    // the duration histogram is ≤ |distinct t_hr| rows; materialized so
+    // the n_total aggregate and the risk-set window read it once instead
+    // of re-running the per-user pipeline
+    val h = Phys.materialized(
+      d.groupBy(col("t_hr"))
+        .agg(count(lit(1)).as("n_exit"), sum(col("ev")).as("n_events")))
     val tot = h.agg(sum(col("n_exit")).as("n_total"))
     val ord = Window.orderBy(col("t_hr")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     h.crossJoin(broadcast(tot))

@@ -927,9 +927,11 @@ object GraphOps {
     var changedCount = m0("changed").asInstanceOf[Long]
     var changedDf = state.filter(anyNonzero)
     onSeed(state)
+    val debug = sys.env.contains("GRAFT_LOOP_DEBUG")
     var h = 0
     while (h < maxRounds && (!earlyExit || changedCount > 0)) {
       h += 1
+      val tRound = System.nanoTime()
       val msgs = changedDf
         .join(e, changedDf("id") === e("src"))
         .select(e("dst").as("id") +: ss.map(s => col(s"m$s")): _*)
@@ -972,6 +974,10 @@ object GraphOps {
         .select(col("id") +: ss.map(s => expr(s"n$s & ~m$s").as(s"d$s")): _*)
       onRound(h, state, deltaDf, metrics)
       if (freeSuperseded) { free(live); live = newIds }
+      if (debug)
+        System.err.println(
+          f"[maskLoop] round=$h%3d changed=$changedCount%7d " +
+            f"sec=${(System.nanoTime() - tRound) / 1e9}%5.2f")
     }
     state
   }
@@ -1225,8 +1231,30 @@ object GraphOps {
     val und = edges
       .select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val lm = landmarkDistances(und, nLandmarks, rounds)
-    val ex = landmarkDistances(und, nLandmarks, rounds, sampleSeedLo)
+    // FUSED SWEEP (guide §2.4 — remove whole passes): the landmark batch
+    // (seeds 1..n) and the verification batch (seeds sampleSeedLo..+n−1)
+    // are per-bit independent BFS traversals, so when the two seed
+    // ranges are contiguous they ride ONE 2n-bit maskLoop — one edge
+    // distinct/partition/persist and one edge join per round instead of
+    // two full sweeps. A bit's first-arrival rounds don't interact
+    // across bits (OR is per-bit), so the fused arrival set is exactly
+    // the union of the two separate sweeps' (early exit fires at the
+    // max of the two saturation depths — a bit that has saturated
+    // contributes no further arrivals, so the extra rounds of the
+    // earlier-saturating batch emit nothing). Non-contiguous callers
+    // keep the two-sweep form.
+    val (lm, ex) =
+      if (sampleSeedLo == 1L + nLandmarks) {
+        val fused = landmarkDistances(und, 2 * nLandmarks, rounds)
+        (
+          fused.filter(col("landmark") <= nLandmarks),
+          fused
+            .filter(col("landmark") > nLandmarks)
+            .select(col("id"), (col("landmark") - nLandmarks).as("landmark"), col("dist")))
+      } else
+        (
+          landmarkDistances(und, nLandmarks, rounds),
+          landmarkDistances(und, nLandmarks, rounds, sampleSeedLo))
     val lu = lm
       .filter(col("id") >= sampleSeedLo && col("id") <= sampleSeedLo + nLandmarks - 1)
       .select(col("id").as("u"), col("landmark"), col("dist").as("du"))
@@ -2469,14 +2497,25 @@ object GraphOps {
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = triangleCountUnd(und)
+    // triangleCountUnd's orientation materialization is eager, so und's
+    // job is done here
+    und.unpersist()
+    out
+  }
+
+  /** [[triangleCount]] over an ALREADY-SIMPLIFIED undirected edge set
+    * `(a < b, dedup'd)` — lets a caller that derives several subgraphs
+    * of one simple graph (e.g. the exact + edge-sampled counts of
+    * `graph_triangle_sampled`) pay the simplification scan once instead
+    * of once per count (guide §2.4: a `distinct` on data that is
+    * already unique is a full shuffle for nothing).
+    */
+  def triangleCountUnd(und: DataFrame): DataFrame = {
     // materialize the oriented edges already hash-laid-out on the wedge
     // key: both wedge-join references then arrive co-partitioned on lo
     // and the join plans with no exchange on either side
     val o = Phys.materializedHashedBy(orientByDegree(und), Seq("lo"))
-    // materialized is eager, so und's job is done here; orientation is a
-    // bijection on edges, so o's row count IS the undirected edge count
-    // and und needn't survive past this point
-    und.unpersist()
     val wedgeOrder =
       col("e1.hdeg") < col("e2.hdeg") ||
         (col("e1.hdeg") === col("e2.hdeg") && col("e1.hi") < col("e2.hi"))

@@ -672,4 +672,67 @@ class GraphOpsSpec extends SparkSpec {
       (2L, 0L, 0L, 0L, 0L),
       (3L, 0L, 0L, 0L, 0L)))
   }
+
+  test("landmarkEstimate: fused 2n-bit sweep equals the two separate sweeps") {
+    // r15 optimization: contiguous seed ranges (1..n landmarks,
+    // n+1..2n sample sources) ride ONE maskLoop. Equivalence vs the
+    // old two-sweep form is asserted row-for-row on a graph where both
+    // batches saturate at different depths (the early-exit interaction
+    // the fusion must not change): a chain hanging off the clique side.
+    val clique = for { a <- 1L to 16L; b <- (a + 1) to 16L; if b - a <= 3 } yield (a, b, 1.0)
+    val chain = Seq((16L, 97L, 1.0), (97L, 194L, 1.0), (194L, 291L, 1.0))
+    val edges = edgesDf(clique ++ chain)
+    import org.apache.spark.sql.functions.col
+    val und = edges
+      .select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val fused = GraphOps
+      .landmarkEstimate(edges, nLandmarks = 8, rounds = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    // the pre-r15 shape: two independent 8-bit sweeps
+    val lm = GraphOps.landmarkDistances(und, nLandmarks = 8, rounds = 4)
+    val ex = GraphOps.landmarkDistances(und, nLandmarks = 8, rounds = 4, seedLo = 9L)
+    val lu = lm
+      .filter(col("id") >= 9L && col("id") <= 16L)
+      .select(col("id").as("u"), col("landmark"), col("dist").as("du"))
+    val lv = lm
+      .filter(org.apache.spark.sql.functions.pmod(col("id"), org.apache.spark.sql.functions.lit(97L)) === 0)
+      .select(col("id").as("v"), col("landmark"), col("dist").as("dv"))
+    val est = lv
+      .join(org.apache.spark.sql.functions.broadcast(lu), Seq("landmark"))
+      .groupBy(col("u"), col("v"))
+      .agg(org.apache.spark.sql.functions.min(col("du") + col("dv")).as("est_dist"))
+    val exact = ex
+      .filter(org.apache.spark.sql.functions.pmod(col("id"), org.apache.spark.sql.functions.lit(97L)) === 0)
+      .select(col("id").as("v"), (col("landmark") + 8L).as("u"), col("dist").as("exact_dist"))
+    val twoSweep = est
+      .join(exact, Seq("u", "v"), "left_outer")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(fused.nonEmpty)
+    assert(fused === twoSweep)
+  }
+
+  test("triangleCountUnd on the pre-simplified graph equals triangleCount") {
+    // r15 optimization support: graph_triangle_sampled shares one
+    // simplified undirected edge set between its exact and sampled
+    // counts. The simplification (drop self-loops, least/greatest,
+    // distinct) must commute with triangleCount's internal one.
+    import org.apache.spark.sql.functions._
+    val edges = edgesDf(Seq(
+      (1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0), // triangle
+      (2L, 1L, 5.0), (3L, 3L, 1.0), // reverse dup + self-loop
+      (3L, 4L, 1.0), (4L, 1L, 1.0))) // second triangle 1-3-4
+    val und = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val viaUnd = GraphOps.triangleCountUnd(und).collect()(0)
+    val direct = GraphOps.triangleCount(edges).collect()(0)
+    assert((viaUnd.getLong(0), viaUnd.getLong(1)) === ((direct.getLong(0), direct.getLong(1))))
+    assert(viaUnd.getLong(1) === 2L)
+  }
 }
