@@ -3585,13 +3585,17 @@ object GraphOps {
           expr(
             s"(walk_id * CAST(1103515245 AS BIGINT) + CAST(${t.toLong * 1234567891L} AS BIGINT)" +
               s" + cand * CAST(12345 AS BIGINT)) % 1000000007"))
-      val mh = cands.groupBy(col("walk_id")).agg(min(col("h")).as("mh"))
+      // ONE hash aggregate picks the transition: min(struct(h, cand))
+      // is lexicographic — minimum hash first, ties to the smaller
+      // candidate id — exactly the min-hash + tie-floor pick the
+      // previous two-aggregate + join-back shape computed, but with a
+      // map-side partial and one exchange instead of three (guide §2.3
+      // "aggregate before you shuffle", §2.4)
       cur = Phys.materialized(
         cands
-          .join(mh, Seq("walk_id"))
-          .filter(col("h") === col("mh"))
           .groupBy(col("walk_id"))
-          .agg(min(col("cand")).as("node")))
+          .agg(min(struct(col("h"), col("cand"))).as("sel"))
+          .select(col("walk_id"), col("sel.cand").as("node")))
       acc = acc.unionByName(cur.withColumn("step", lit(t.toLong)))
     }
     acc.select(col("walk_id"), col("step"), col("node"))
@@ -3716,9 +3720,15 @@ object GraphOps {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("walk_id"))
         .orderBy(col("cand"))
+      // the weight total rides a SECOND window over the same walk_id
+      // partitioning (unbounded frame) instead of a separate aggregate
+      // + join back — the two Window operators share one exchange+sort,
+      // so the per-step plan drops a shuffle and a join (guide §2.4:
+      // operations keyed the same way share one exchange)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("walk_id"))
       val picked = adj
         .withColumn("cum", sum(col("wm")).over(w))
-        .join(adj.groupBy(col("walk_id")).agg(sum(col("wm")).as("tw")), Seq("walk_id"))
+        .withColumn("tw", sum(col("wm")).over(wAll))
         .withColumn(
           "r",
           expr(
