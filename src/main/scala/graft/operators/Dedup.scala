@@ -1394,7 +1394,19 @@ object Dedup {
     val ok = c.join(
       broadcast(sizes.filter(col("n") <= ErBlockCap).select(col("nat"), col("seg"))),
       Seq("nat", "seg"))
-    val a = ok.alias("a")
+    // spread the PROBE side across the session's shuffle partitions on
+    // the block key: locally the customer scan is one split, so the
+    // planner's broadcast self-join ran every within-block pair compare
+    // on ONE task (plan-verified; measured the whole stage serial).
+    // The exchange moves only thin (nat, seg, id, name) rows, and at
+    // scale it is exactly the block-key partitioning a sort-merge plan
+    // of this join would install anyway — reused, never wasted
+    // (guide §2.5 input skew, §3.1 deliberate join shape). The count is
+    // EXPLICIT because AQE coalesces a keyless-count repartition of a
+    // KB-sized input back to one partition — the fan-out here is pair
+    // GENERATION work per row, invisible to byte-based coalescing.
+    val parts = customer.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val a = ok.repartition(parts, col("nat"), col("seg")).alias("a")
     val b = ok.alias("b")
     a.join(
         b,
@@ -1408,7 +1420,15 @@ object Dedup {
         // bound, identical distances within it, so the oracle's plain
         // levenshtein(...) <= maxDist predicate is unchanged
         levenshtein(col("a.name"), col("b.name"), maxDist).cast("long").as("dist"))
-      .filter(col("dist") >= 0L && col("dist") <= maxDist)
+      // `dist != -1` ⟺ the old `dist >= 0 AND dist <= maxDist` (the
+      // threshold kernel returns −1 past the bound, 0..maxDist within) —
+      // but with ONE reference to the column: Catalyst substitutes the
+      // alias when it pushes this filter into the join condition, and a
+      // two-conjunct predicate evaluated the levenshtein TWICE per
+      // candidate pair there (plus once in the project — plan-verified
+      // 3 evals/pair; guide §4.4's duplicated-expression trap, reached
+      // without any UDF)
+      .filter(col("dist") =!= -1L)
   }
 
   /** [[erBlockedPairs]] mirrored. */
@@ -1460,7 +1480,13 @@ object Dedup {
         .filter(col("n") <= ErBlockCap && col("n") > 1L)
         .select(col("nat"), expr("n * (n - 1) div 2").as("pairs")))
     val ok = Phys.materialized(c.join(okn.select(col("nat")), Seq("nat")))
-    val a = ok.alias("a")
+    // same probe-side spread as erBlockedPairs (explicit count — AQE
+    // would coalesce the KB-sized exchange): the checkpointed `ok`
+    // inherits the single-split customer scan's partitioning, so the
+    // broadcast self-join's ~n²/2 within-block compares otherwise run
+    // on one task
+    val parts = customer.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val a = ok.repartition(parts, col("nat")).alias("a")
     val b = ok.alias("b")
     val obs = a
       .join(b, col("a.nat") === col("b.nat") && col("a.id") < col("b.id"))

@@ -580,16 +580,26 @@ object GraphOps {
     // m(u) (the paper's two operations verbatim).
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val d = directed(e)
-      val m = d
-        .groupBy(col("u"))
-        .agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val withM = d.join(m, Seq("u"))
+      // m(u) rides a partition-only window over d instead of a
+      // groupBy + join back: one exchange computes the neighborhood
+      // minimum AND attaches it to every (u, v) row — the round drops
+      // an aggregate and a join per star (guide §2.4: operations keyed
+      // the same way share one exchange). The small-star's self rows
+      // `(u, m)` are recovered from the same windowed frame as the
+      // DISTINCT u rows (one per group), so no second m-derivation.
+      val wU = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+      val withM = d
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
       val hooked =
         (if (large) withM.filter(col("v") > col("u"))
          else withM.filter(col("v") <= col("u")))
           .select(col("v").as("u"), col("m").as("v"))
-      canon(if (large) hooked else hooked.unionAll(m.select(col("u"), col("m").as("v"))))
+      // the small-star self rows (u, m) are emitted once per (u, v)
+      // edge row rather than once per u — canon's terminal DISTINCT
+      // dedups them anyway, so no extra exchange is spent pre-deduping
+      canon(
+        if (large) hooked
+        else hooked.unionAll(withM.select(col("u"), col("m").as("v"))))
     }
 
     // every vertex of the undirected closure (self-loop-only nodes
@@ -597,22 +607,35 @@ object GraphOps {
     val verts =
       edges.select(col("src").as("id")).unionAll(edges.select(col("dst").as("id"))).distinct()
 
-    var e = ckpt(canon(edges.select(col("src").as("u"), col("dst").as("v"))))
     // Cheap stability signature as a PREFILTER only: (count, sum a, sum b)
     // can collide across distinct edge sets (e.g. {(1,4),(2,3)} vs
     // {(1,3),(2,4)}), so a signature match is CONFIRMED by exact set
     // equality before the loop stops — both sides are canonical distinct
     // sets, so equal counts + empty next∖prev ⇒ equal sets.
-    def sig(df: DataFrame): (Long, Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(col("a")), sum(col("b"))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))
+    //
+    // r15: the signature rides the checkpoint materialization as
+    // observed metrics (the patchLoop/maskLoop discipline) instead of a
+    // separate aggregate action per round, and the large+small star
+    // composition materializes ONCE per round instead of once per star —
+    // the round is one job where it was four (guide §1.2: the loop's
+    // per-round floor here is job dispatch, not data).
+    val sigCols = Seq(count(lit(1)).as("cnt"), sum(col("a")).as("sa"), sum(col("b")).as("sb"))
+    def ckptSig(df: DataFrame): (DataFrame, (Long, Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val d = ckpt(df.observe(obs, sigCols.head, sigCols.tail: _*))
+      val m = org.apache.spark.sql.graftbridge.CheckpointBridge.observedMetrics(obs)
+      def l(v: Any): Long = v match { case null => 0L; case x: Long => x; case x => x.toString.toLong }
+      if (m.nonEmpty) (d, (l(m("cnt")), l(m("sa")), l(m("sb"))))
+      else {
+        val r = d.agg(sigCols.head, sigCols.tail: _*).head()
+        (d, (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+      }
     }
-    var prev = sig(e)
+    var (e, prev) = ckptSig(canon(edges.select(col("src").as("u"), col("dst").as("v"))))
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxRounds) {
-      val next = ckpt(star(ckpt(star(e, large = true)), large = false))
-      val s = sig(next)
+      val (next, s) = ckptSig(star(star(e, large = true), large = false))
       stable = s == prev && next.exceptAll(e).isEmpty
       prev = s
       e = next

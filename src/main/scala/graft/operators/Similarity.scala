@@ -339,7 +339,13 @@ object Similarity {
       nQueries: Int,
       k: Int,
       nProbe: Int): DataFrame = {
-    val cellScores = intEmb(embs)
+    // materialized BEFORE the centroid cross: projection collapse
+    // otherwise inlines the MicroInts quantization under the post-join
+    // project, re-rounding every component once per (vector, cell) row —
+    // k× the work of the one narrow pass the plan reads as (measured 3×+
+    // on invertedLists at 64 cells; guide §4.4's duplicated-expression
+    // trap). Same discipline as the PQ paths' materialized `dsub`.
+    val cellScores = Phys.materialized(intEmb(embs))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), col("e"), cellScore(col("ei"), col("c")).as("ccos"))
     rankAndProbe(cellScores, nQueries, k, nProbe)
@@ -376,7 +382,9 @@ object Similarity {
     * arriving query batch.
     */
   def invertedLists(embs: DataFrame, cents: DataFrame): DataFrame =
-    intEmb(embs)
+    // materialized intEmb — see ivfWithCentroids (64-cell cross would
+    // otherwise re-round every component 64×)
+    Phys.materialized(intEmb(embs))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), col("e"), cellScore(col("ei"), col("c")).as("ccos"))
       .groupBy(col("vec_id"))
@@ -493,7 +501,7 @@ object Similarity {
       embs: DataFrame,
       modelDir: String): DataFrame = {
     val cents = spark.read.parquet(modelDir)
-    val asg = intEmb(embs)
+    val asg = Phys.materialized(intEmb(embs))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), cellScore(col("ei"), col("c")).as("ccos"))
       .groupBy(col("vec_id"))
@@ -548,7 +556,7 @@ object Similarity {
       modelDir: String): DataFrame = {
     val cents = spark.read.parquet(modelDir)
     val scored = Phys.materialized(
-      intEmb(embs)
+      Phys.materialized(intEmb(embs))
         .crossJoin(broadcast(cents))
         .select(
           col("vec_id"),
@@ -1505,7 +1513,8 @@ object Similarity {
       nQueries: Int,
       k: Int,
       nProbe: Int): DataFrame = {
-    val cellScores = intEmb(embs)
+    // materialized intEmb — see ivfWithCentroids
+    val cellScores = Phys.materialized(intEmb(embs))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), cellScore(col("ei"), col("c")).as("ccos"))
     val wCell = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
@@ -1848,7 +1857,7 @@ object Similarity {
           embs.select(col("vec_id").as("n_id"), col("label").cast("long").as("cand_label")),
           Seq("n_id")))
     val wCell = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))
-    val probed = intEmb(test)
+    val probed = Phys.materialized(intEmb(test))
       .crossJoin(broadcast(cents))
       .select(
         col("vec_id").as("q_id"),
