@@ -108,6 +108,9 @@ object Dedup {
     * columns are carried at all.
     */
   def minhashCandidatePairs(docs: DataFrame): DataFrame = {
+    // plain materialized (NOT hashedBy): this path's per-bucket work is
+    // linear (star pairs), so the extra layout exchange costs more than
+    // the serial probe it prevents — measured 0.6 s vs 1.2 s at sf0.1
     val banded = Phys.materialized(bandRows(minhashSignatures(docs)).drop("sig"))
     val mins = banded
       .groupBy(col("band_idx"), col("band_val"))
@@ -471,9 +474,15 @@ object Dedup {
     * ever materializes).
     */
   private def bandedSelfJoin(docs: DataFrame): DataFrame = {
-    // materialized: the self-join below would otherwise recompute the
-    // whole signature pipeline on both the build and probe side
-    val banded = Phys.materialized(bandRows(minhashSignatures(docs)))
+    // materialized + hash-laid-out on the bucket key (the phash
+    // discipline): the self-join below would otherwise recompute the
+    // whole signature pipeline on both sides, AND — locally, where the
+    // docs scan is one split — probe the broadcast build side from a
+    // single-partition checkpoint, serializing every bucket pair compare
+    // onto one task
+    val banded = Phys.materializedHashedBy(
+      bandRows(minhashSignatures(docs)),
+      Seq("band_idx", "band_val"))
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(
@@ -676,13 +685,16 @@ object Dedup {
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sh = simhashes(docs)
-    val chunked = Phys.materialized(sh.select(
-      col("doc_id"),
-      col("simhash"),
-      posexplode(array((0 until SimhashChunks).map { i =>
-        shiftright(col("simhash"), i * SimhashChunkBits)
-          .bitwiseAND(lit((1L << SimhashChunkBits) - 1))
-      }: _*)).as(Seq("chunk_idx", "chunk_val"))))
+    // hash-laid-out on the bucket key — see bandedSelfJoin
+    val chunked = Phys.materializedHashedBy(
+      sh.select(
+        col("doc_id"),
+        col("simhash"),
+        posexplode(array((0 until SimhashChunks).map { i =>
+          shiftright(col("simhash"), i * SimhashChunkBits)
+            .bitwiseAND(lit((1L << SimhashChunkBits) - 1))
+        }: _*)).as(Seq("chunk_idx", "chunk_val"))),
+      Seq("chunk_idx", "chunk_val"))
     val a = chunked.alias("a")
     val b = chunked.alias("b")
     a.join(
@@ -738,7 +750,9 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("lang"), col("g"))
-    val inv = Phys.materialized(inv0.join(keep, Seq("lang", "g"), "left_semi"))
+    // hash-laid-out on the shingle bucket key — see bandedSelfJoin
+    val inv = Phys.materializedHashedBy(
+      inv0.join(keep, Seq("lang", "g"), "left_semi"), Seq("lang", "g"))
     val a = inv.alias("a")
     val b = inv.alias("b")
     // Each shared kept shingle joins exactly once per pair: count(*) IS
@@ -790,7 +804,9 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("lang"), col("g"))
-    val inv = Phys.materialized(inv0.join(keep, Seq("lang", "g"), "left_semi"))
+    // hash-laid-out on the shingle bucket key — see bandedSelfJoin
+    val inv = Phys.materializedHashedBy(
+      inv0.join(keep, Seq("lang", "g"), "left_semi"), Seq("lang", "g"))
     val a = inv.alias("a")
     val b = inv.alias("b")
     val inter = a
